@@ -1,0 +1,50 @@
+"""Table catalog: loaders for the canonical parquet tables.
+
+The driver testdata (`TESTDATA.md`) is a TPC-H-ish star schema plus
+``events`` / ``documents`` / ``embeddings``.  FIXTURES.md §B maps each table
+onto the reference's logical model (`part` ≈ book dim, `orders` ≈ collect
+events, `lineitem` ≈ book↔tag fact, …).
+
+Everything is plain ``spark.read.parquet`` — columnar scan with predicate
+pushdown / column pruning from Catalyst.  At 100 TB the same call reads a
+date/key-partitioned table directory; nothing here assumes single-file
+inputs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so spark.sql() queries mirror the
+    DuckDB oracle's pre-registered views one-to-one."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

@@ -1,0 +1,426 @@
+"""Oracle-checked query catalog.
+
+Every implemented operator from SURVEY.md §2 gets a named query here plus an
+equivalent ANSI-SQL oracle (run by the driver via DuckDB on the same parquet
+tables).  ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views of
+the :data:`REGISTRY`.
+
+Cross-engine determinism rules (applied to every query):
+
+- **Explicit total order for any LIMIT / row_number boundary** — Spark is
+  free to order ties arbitrarily, so every window / top-k carries tie-break
+  columns down to a unique key.
+- **No order-dependent float aggregation in hashed output.**  Double addition
+  is non-associative; Spark and DuckDB aggregate in different orders.  Any
+  SUM over doubles is integerized per-row first
+  (``cast(round(expr * 100) as bigint)``): per-row float math is
+  order-independent (identical IEEE ops in both engines) and integer sums are
+  exact, so results match bit-for-bit.  The scaled sum is divided back at the
+  end.
+- DuckDB's ``sum(bigint)`` returns ``HUGEINT`` and ``row_number()`` returns
+  ``BIGINT`` — oracles cast to match Spark's ``long``.
+- DuckDB ``regexp_replace`` is first-match-only by default — oracles pass the
+  ``'g'`` flag wherever Spark replaces globally.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .catalog import load_table
+from .functions.text import normalize_title
+from .operators.hot import hot_items
+from .operators.scoring import rank_discounted_score
+from .operators.topk import top_fraction_per_group, topk_per_group
+from .operators.weights import normalize_weights, weighted_document
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# A7 + J1 + O2 — flagship: hot items top-30
+# (reference `guessLike_u_like.py:95-104`: count collections per book, top-30)
+# ---------------------------------------------------------------------------
+
+@register(
+    "hot_items",
+    """
+    SELECT p.p_partkey, p.p_name, count(*) AS cnt
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_partkey, p.p_name
+    ORDER BY cnt DESC, p.p_partkey
+    LIMIT 30
+    """,
+)
+def q_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return hot_items(
+        lineitem,
+        "l_partkey",
+        n=30,
+        dim=part,
+        dim_key="p_partkey",
+        dim_cols=["p_name"],
+    ).select("p_partkey", "p_name", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# A2/P1/P3 + partial-agg — pricing summary (TPC-H Q1 shape; scan-pushdown demo)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+           CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS sum_disc_cents,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # filter + projection push to the parquet scan (PushedFilters/ReadSchema)
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("bigint")
+            ).alias("sum_disc_cents"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 + A2 + P4 + F12 — GROUP_CONCAT round-trip with HAVING
+# (reference `guessLike_u_like.py:46`: GROUP_CONCAT(bookId) HAVING COUNT>15)
+# ---------------------------------------------------------------------------
+
+@register(
+    "group_concat_roundtrip",
+    """
+    SELECT o_custkey,
+           string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+               AS orders_csv,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) > 15
+    """,
+)
+def q_group_concat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("o_orderkey")),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("orders_csv"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .filter(F.col("n_orders") > 15)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 + F11 — per-key min/max weight normalization into {1..4}
+# (reference `simility_books.py:38`)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tag_weights",
+    """
+    SELECT l_orderkey, l_partkey, l_linenumber,
+           CAST(ceil(((l_quantity + 0.1 - min_q) * 4) / (max_q + 0.1 - min_q)) AS INT)
+               AS weight
+    FROM (
+        SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+               min(l_quantity) OVER (PARTITION BY l_orderkey) AS min_q,
+               max(l_quantity) OVER (PARTITION BY l_orderkey) AS max_q
+        FROM lineitem
+    )
+    """,
+)
+def q_tag_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    return normalize_weights(l, "l_orderkey", "l_quantity").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "weight"
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 + F6 + J2 — weighted document build (term repeated `weight` times)
+# (reference `simility_books.py:39-41`: `(tag + ' ') * weight`)
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_docs",
+    """
+    WITH w AS (
+        SELECT l_orderkey, l_partkey, l_linenumber,
+               CAST(ceil(((l_quantity + 0.1 - min_q) * 4) / (max_q + 0.1 - min_q)) AS INT)
+                   AS weight
+        FROM (
+            SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+                   min(l_quantity) OVER (PARTITION BY l_orderkey) AS min_q,
+                   max(l_quantity) OVER (PARTITION BY l_orderkey) AS max_q
+            FROM lineitem
+        )
+    )
+    SELECT l_orderkey,
+           string_agg(rep, ' ' ORDER BY l_partkey, l_linenumber) AS doc
+    FROM (
+        SELECT w.l_orderkey, w.l_partkey, w.l_linenumber,
+               trim(repeat(p.p_name || ' ', w.weight)) AS rep
+        FROM w JOIN part p ON w.l_partkey = p.p_partkey
+    )
+    GROUP BY l_orderkey
+    """,
+)
+def q_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_linenumber", "l_quantity"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    weighted = normalize_weights(l, "l_orderkey", "l_quantity")
+    with_names = weighted.join(
+        F.broadcast(part), weighted.l_partkey == part.p_partkey, "inner"
+    )
+    return weighted_document(
+        with_names,
+        "l_orderkey",
+        term_col="p_name",
+        weight_col="weight",
+        order_by=["l_partkey", "l_linenumber"],
+        doc_col="doc",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W1 — top-k per query item (reference `simility_books.py:62`, num_best=100)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top3_per_part",
+    """
+    SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
+               row_number() OVER (
+                   PARTITION BY l_partkey
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+               ) AS rn
+        FROM lineitem
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_top3_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    out = topk_per_group(
+        l,
+        ["l_partkey"],
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=3,
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# W3 — most-recent-k per user (reference `guessLike_u_like.py:189,203-204`)
+# ---------------------------------------------------------------------------
+
+@register(
+    "recent3_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               row_number() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def q_recent3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    out = topk_per_group(
+        o, ["o_custkey"], [F.desc("o_orderdate"), F.asc("o_orderkey")], k=3
+    )
+    return out.withColumn("rn", F.col("rn").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# W2 — top-fraction per group (reference `guessLike_u_like.py:114-117`:
+# top 10% most-similar users within the predicted cluster)
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_decile_per_segment",
+    """
+    SELECT c_mktsegment, c_custkey, c_acctbal, round(pr, 6) AS pr
+    FROM (
+        SELECT c_mktsegment, c_custkey, c_acctbal,
+               percent_rank() OVER (
+                   PARTITION BY c_mktsegment ORDER BY c_acctbal DESC
+               ) AS pr
+        FROM customer
+    )
+    WHERE pr <= 0.1
+    """,
+)
+def q_top_decile_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    out = top_fraction_per_group(
+        c, ["c_mktsegment"], [F.desc("c_acctbal")], fraction=0.1
+    )
+    return out.withColumn("pr", F.round(F.col("pr"), 6))
+
+
+# ---------------------------------------------------------------------------
+# A8 + W5 — rank-discounted score fold
+# (reference `guessLike_u_like.py:119-124`: score[b] += sim / ln(cnt[b]+1))
+# ---------------------------------------------------------------------------
+
+@register(
+    "score_fold",
+    """
+    SELECT l_partkey,
+           CAST(sum(CAST(round((o_totalprice / ln(rn + 1)) * 100) AS BIGINT)) AS BIGINT)
+               AS score_cents
+    FROM (
+        SELECT l.l_partkey, o.o_totalprice,
+               row_number() OVER (
+                   PARTITION BY l.l_partkey
+                   ORDER BY o.o_totalprice DESC, o.o_custkey,
+                            l.l_orderkey, l.l_linenumber
+               ) AS rn
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    )
+    GROUP BY l_partkey
+    """,
+)
+def q_score_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_linenumber"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    joined = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    # integerize the discounted contribution per-row so the sum is exact
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.desc("o_totalprice"),
+        F.asc("o_custkey"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    )
+    rn = F.row_number().over(w)
+    contrib = F.round((F.col("o_totalprice") / F.log(rn + F.lit(1))) * 100).cast(
+        "bigint"
+    )
+    return (
+        joined.select("l_partkey", contrib.alias("__c"))
+        .groupBy("l_partkey")
+        .agg(F.sum("__c").alias("score_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# P10 + F8 + W4 — title-normalized fuzzy dedup, best-rated survivor
+# (reference `simility_books.py:74-88`)
+# ---------------------------------------------------------------------------
+
+@register(
+    "title_dedup",
+    """
+    SELECT p_partkey, p_name, title_norm
+    FROM (
+        SELECT p_partkey, p_name, title_norm,
+               row_number() OVER (
+                   PARTITION BY title_norm
+                   ORDER BY p_retailprice DESC, p_partkey
+               ) AS rn
+        FROM (
+            SELECT p_partkey, p_name, p_retailprice,
+                   trim(regexp_replace(
+                        regexp_replace(lower(p_name),
+                            '[（）【】/()0-9，第:精].*$', ''),
+                        '[.·・《》\\-]', '', 'g')) AS title_norm
+            FROM part
+        )
+    )
+    WHERE rn = 1
+    """,
+)
+def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_name", "p_retailprice"
+    )
+    normed = p.withColumn("title_norm", normalize_title(F.col("p_name")))
+    out = topk_per_group(
+        normed,
+        ["title_norm"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        k=1,
+    )
+    return out.select("p_partkey", "p_name", "title_norm")
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
+    }
