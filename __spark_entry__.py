@@ -12,14 +12,15 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from hainan_big_data_recommend_system_spark import queries as _catalog
+from hainan_big_data_recommend_system_spark import qcatalog as _catalog
+from hainan_big_data_recommend_system_spark.qcatalog.relational import q_hot_items
 
 SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _catalog.q_hot_items(spark, SMOKE_SF_DIR)
+    return q_hot_items(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

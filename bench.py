@@ -18,7 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hainan_big_data_recommend_system_spark.queries import REGISTRY  # noqa: E402
+from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY  # noqa: E402
 from hainan_big_data_recommend_system_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1,60 +1,20 @@
-"""Oracle-checked query catalog.
+"""Relational core queries (SURVEY.md §2.1–2.8).
 
-Every implemented operator from SURVEY.md §2 gets a named query here plus an
-equivalent ANSI-SQL oracle (run by the driver via DuckDB on the same parquet
-tables).  ``__spark_entry__.queries()`` / ``oracle_sql()`` are thin views of
-the :data:`REGISTRY`.
-
-Cross-engine determinism rules (applied to every query):
-
-- **Explicit total order for any LIMIT / row_number boundary** — Spark is
-  free to order ties arbitrarily, so every window / top-k carries tie-break
-  columns down to a unique key.
-- **No order-dependent float aggregation in hashed output.**  Double addition
-  is non-associative; Spark and DuckDB aggregate in different orders.  Any
-  SUM over doubles is integerized per-row first
-  (``cast(round(expr * 100) as bigint)``): per-row float math is
-  order-independent (identical IEEE ops in both engines) and integer sums are
-  exact, so results match bit-for-bit.  The scaled sum is divided back at the
-  end.
-- DuckDB's ``sum(bigint)`` returns ``HUGEINT`` and ``row_number()`` returns
-  ``BIGINT`` — oracles cast to match Spark's ``long``.
-- DuckDB ``regexp_replace`` is first-match-only by default — oracles pass the
-  ``'g'`` flag wherever Spark replaces globally.
+Scans, filters, joins, aggregations, windows, sorts/limits re-expressed as
+Catalyst plans; each paired with a DuckDB oracle.  Determinism rules: see
+package docstring.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
-
-from .catalog import load_table
-from .functions.text import normalize_title
-from .operators.hot import hot_items
-from .operators.scoring import rank_discounted_score
-from .operators.topk import top_fraction_per_group, topk_per_group
-from .operators.weights import normalize_weights, weighted_document
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    name: str
-    fn: Callable[[SparkSession, str], DataFrame]
-    oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
-
-
-REGISTRY: dict[str, QuerySpec] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        REGISTRY[name] = QuerySpec(name, fn, oracle)
-        return fn
-
-    return deco
-
+from ..catalog import load_table
+from ..functions.text import normalize_title
+from ..operators.hot import hot_items
+from ..operators.topk import top_fraction_per_group, topk_per_group
+from ..operators.weights import normalize_weights, weighted_document
+from . import register
 
 # ---------------------------------------------------------------------------
 # A7 + J1 + O2 — flagship: hot items top-30
@@ -356,8 +316,6 @@ def q_score_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
     # integerize the discounted contribution per-row so the sum is exact
-    from pyspark.sql import Window
-
     w = Window.partitionBy("l_partkey").orderBy(
         F.desc("o_totalprice"),
         F.asc("o_custkey"),
@@ -416,11 +374,3 @@ def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "p_name", "title_norm")
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.fn for name, spec in REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {
-        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None
-    }

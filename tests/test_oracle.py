@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import pytest
 
-from hainan_big_data_recommend_system_spark.queries import REGISTRY
+from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY
 from tests.oracle_utils import compare, duck_con
 
 _ORACLED = [n for n, s in REGISTRY.items() if s.oracle is not None]
