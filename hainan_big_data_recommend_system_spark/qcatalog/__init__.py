@@ -70,3 +70,4 @@ def oracle_sql() -> dict[str, str]:
 
 from . import relational  # noqa: E402,F401
 from . import profile_logs  # noqa: E402,F401
+from . import ml  # noqa: E402,F401

@@ -1,0 +1,173 @@
+"""ML-layer queries (SURVEY.md §2.9 M2§–M7§, §2.3 J5/J6).
+
+The vectorize/cluster/similarity stages.  BoW term counting and the cosine
+similarity joins are oracle-checked (integer tf / quantized embeddings make
+the math exact cross-engine); the KMeans fit itself is rows-only (checked by
+invariants in tests/test_ml.py — cluster count, full assignment, seed
+stability).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..ml.clustering import assign_clusters, fit_kmeans
+from ..ml.vectorize import fit_vectorizer
+from ..operators.similarity import (
+    cosine_topk_arrays,
+    doc_token_weights,
+    sparse_cosine_topk,
+)
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# M2§ as a relation — BoW term counts with min-df pruning
+# (reference `CountVectorizer(min_df=10)`, `guessLike_u_like.py:74`)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_token_counts",
+    r"""
+    WITH tf AS (
+        SELECT doc_id, tok AS token, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    ),
+    kept AS (
+        SELECT token FROM (SELECT token, count(*) AS d FROM tf GROUP BY token)
+        WHERE d >= 10
+    )
+    SELECT doc_id, token, tf FROM tf JOIN kept USING (token)
+    """,
+)
+def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_token_weights(docs, "doc_id", "text", min_df=10)
+
+
+# ---------------------------------------------------------------------------
+# J6/M7§ — per-document top-10 cosine neighbors via posting-list join
+# (reference `similarities.Similarity(num_best=100)`, `simility_books.py:62`;
+#  query side restricted to doc_id % 10 = 0 — per-query top-k is the
+#  operator's semantic; the subset bounds the pair blowup like num_best does)
+# ---------------------------------------------------------------------------
+
+@register(
+    "doc_similarity_topk",
+    r"""
+    WITH tf AS (
+        SELECT doc_id, tok AS token, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    ),
+    kept AS (
+        SELECT token FROM (SELECT token, count(*) AS d FROM tf GROUP BY token)
+        WHERE d >= 10
+    ),
+    tfp AS (SELECT tf.* FROM tf JOIN kept USING (token)),
+    norms AS (SELECT doc_id, sum(tf * tf) AS norm2 FROM tfp GROUP BY doc_id),
+    dots AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.tf * b.tf) AS dot
+        FROM tfp a JOIN tfp b USING (token)
+        WHERE a.doc_id % 10 = 0 AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    scored AS (
+        SELECT a_id, b_id,
+               dot / (sqrt(na.norm2) * sqrt(nb.norm2)) AS sim
+        FROM dots
+        JOIN norms na ON na.doc_id = a_id
+        JOIN norms nb ON nb.doc_id = b_id
+    )
+    SELECT a_id AS query_id, b_id AS neighbor_id,
+           round(sim, 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY a_id ORDER BY sim DESC, b_id
+        ) AS rn
+        FROM scored
+    )
+    WHERE rn <= 10
+    """,
+)
+def q_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return sparse_cosine_topk(
+        docs,
+        "doc_id",
+        "text",
+        k=10,
+        min_df=10,
+        query_filter=F.col("a_id") % 10 == 0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/M6§ — cluster-blocked exact ANN: top-5 cosine neighbors per embedding
+# within its label block (reference's k-means blocking scheme,
+# `guessLike_u_like.py:82-93,111-117`, with `label` standing in for the
+# predicted cluster; quantized dot products → exact cross-engine)
+# ---------------------------------------------------------------------------
+
+@register(
+    "ann_topk_blocked",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.qv, b.qv) AS dot,
+               list_dot_product(a.qv, a.qv) AS na,
+               list_dot_product(b.qv, b.qv) AS nb
+        FROM q a JOIN q b ON a.label = b.label AND a.vec_id <> b.vec_id
+    )
+    SELECT query_id, neighbor_id,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_arrays(
+        emb, "vec_id", "embedding", k=5, block_col="label", scale=1000
+    )
+
+
+# ---------------------------------------------------------------------------
+# M2§+M3§+M4§ — full vectorize→cluster pipeline (rows-only: vocabulary order
+# and centroid init are engine-specific; invariants tested in test_ml.py)
+# ---------------------------------------------------------------------------
+
+@register("doc_clusters", None)
+def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vec = fit_vectorizer(docs, "text", min_df=2.0)
+    feats = vec.transform(docs)
+    km = fit_kmeans(feats, k=10, seed=42)
+    assigned = assign_clusters(km, feats)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("cluster")
+    )
