@@ -23,21 +23,31 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 def rank_discounted_score(
     df: DataFrame,
-    item_col: str,
+    item_cols: str | list[str],
     sim_col: str,
     order_by: list[Column],
     score_col: str = "score",
+    int_scale: int | None = None,
 ) -> DataFrame:
     """A8: ``score(item) = Σ_j sim_j / ln(j+1)`` with j = occurrence index of
     the item when contributors are visited in ``order_by`` order.
 
-    Returns ``(item_col, score_col)``.
+    ``item_cols`` may be composite (e.g. ``(user, item)`` for per-user
+    scoring).  With ``int_scale`` set, each contribution is rounded to
+    ``1/int_scale`` units before summing — exact integer sums, deterministic
+    under any aggregation order (see qcatalog package docstring); the score
+    column is then the scaled integer.
+
+    Returns ``(*item_cols, score_col)``.
     """
-    w = Window.partitionBy(item_col).orderBy(*order_by)
+    keys = [item_cols] if isinstance(item_cols, str) else list(item_cols)
+    w = Window.partitionBy(*keys).orderBy(*order_by)
     rn = F.row_number().over(w)
-    contrib = (F.col(sim_col) / F.log(rn + F.lit(1))).alias("__contrib")
+    contrib = F.col(sim_col) / F.log(rn + F.lit(1))
+    if int_scale is not None:
+        contrib = F.round(contrib * int_scale).cast("bigint")
     return (
-        df.select(item_col, contrib)
-        .groupBy(item_col)
+        df.select(*keys, contrib.alias("__contrib"))
+        .groupBy(*keys)
         .agg(F.sum("__contrib").alias(score_col))
     )

@@ -71,3 +71,5 @@ def oracle_sql() -> dict[str, str]:
 from . import relational  # noqa: E402,F401
 from . import profile_logs  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
+from . import reco  # noqa: E402,F401
+from . import streamq  # noqa: E402,F401

@@ -1,0 +1,201 @@
+"""Recommendation-assembly queries (SURVEY.md §2.9 M8§, §3.2–3.3).
+
+The reference's ``recommend_User_Book`` (`guessLike_u_like.py:106-129`)
+composed end-to-end on the TPC-H analogs (FIXTURES.md §B: customer ≈ user,
+part ≈ book, orders⋈lineitem ≈ collections):
+
+similar users (top-40 by proximity within segment ≈ within-cluster top-10%)
+→ rank-discounted score fold over their collections (A8)
+→ anti-filter own collection (P9) and the hot list (P8)
+→ top-10 per user (O2).
+
+Fully SQL-expressible → oracle-checked.  The query side restricts to
+``uid % 10 = 0`` (the "active users this batch" subset — the same
+bounding the reference gets from computing one user per event).
+
+Plus ALS collaborative filtering (rows-only) — the idiomatic-Spark upgrade
+of the reference's similarity heuristic (BASELINE.json north_star).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..operators.hot import hot_items
+from ..operators.scoring import rank_discounted_score
+from ..operators.topk import topk_per_group
+from . import register
+
+
+@register(
+    "reco_assembly",
+    """
+    WITH colls AS (
+        SELECT DISTINCT o.o_custkey AS uid, l.l_partkey AS pid
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    hot AS (
+        SELECT l_partkey AS pid FROM (
+            SELECT l_partkey, count(*) AS cnt FROM lineitem
+            GROUP BY l_partkey ORDER BY cnt DESC, l_partkey LIMIT 30
+        )
+    ),
+    sim_users AS (
+        SELECT uid, vid, sim, urank FROM (
+            SELECT a.c_custkey AS uid, b.c_custkey AS vid,
+                   1.0 / (1.0 + abs(a.c_acctbal - b.c_acctbal) / 1000.0) AS sim,
+                   row_number() OVER (
+                       PARTITION BY a.c_custkey
+                       ORDER BY abs(a.c_acctbal - b.c_acctbal), b.c_custkey
+                   ) AS urank
+            FROM customer a
+            JOIN customer b
+              ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey <> b.c_custkey
+            WHERE a.c_custkey % 10 = 0
+        ) WHERE urank <= 40
+    ),
+    contribs AS (
+        SELECT s.uid, c.pid, s.sim,
+               row_number() OVER (
+                   PARTITION BY s.uid, c.pid ORDER BY s.urank
+               ) AS occ
+        FROM sim_users s JOIN colls c ON c.uid = s.vid
+    ),
+    scores AS (
+        SELECT uid, pid,
+               CAST(sum(CAST(round(sim / ln(occ + 1) * 1000000) AS BIGINT))
+                    AS BIGINT) AS score_micros
+        FROM contribs GROUP BY uid, pid
+    ),
+    filtered AS (
+        SELECT sc.uid, sc.pid, sc.score_micros FROM scores sc
+        WHERE NOT EXISTS (
+                  SELECT 1 FROM colls c WHERE c.uid = sc.uid AND c.pid = sc.pid
+              )
+          AND sc.pid NOT IN (SELECT pid FROM hot)
+    )
+    SELECT uid, pid, score_micros, CAST(rk AS BIGINT) AS rk
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY uid ORDER BY score_micros DESC, pid
+        ) AS rk
+        FROM filtered
+    )
+    WHERE rk <= 10
+    """,
+)
+def q_reco_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return reco_assembly(spark, sf_dir, uid_mod=10)
+
+
+def reco_assembly(
+    spark: SparkSession, sf_dir: str, uid_mod: int | None = None
+) -> DataFrame:
+    """M8§ assembly; ``uid_mod`` restricts the query-user subset (None → all
+    users, the `log_analyze.py` nightly-batch shape)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+
+    colls = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("uid"), F.col("l_partkey").alias("pid"))
+        .distinct()
+    )
+    hot = hot_items(li, "l_partkey", n=30).select(
+        F.col("l_partkey").alias("pid")
+    )
+
+    a = cust.select(
+        F.col("c_custkey").alias("uid"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    if uid_mod is not None:
+        a = a.filter(F.col("uid") % uid_mod == 0)
+    b = cust.select(
+        F.col("c_custkey").alias("vid"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, "seg").filter(F.col("uid") != F.col("vid"))
+    absdiff = F.abs(F.col("bal_a") - F.col("bal_b"))
+    sim_users = topk_per_group(
+        pairs.select(
+            "uid",
+            "vid",
+            (1.0 / (1.0 + absdiff / 1000.0)).alias("sim"),
+            absdiff.alias("__d"),
+        ),
+        ["uid"],
+        [F.asc("__d"), F.asc("vid")],
+        k=40,
+        rank_col="urank",
+    ).select("uid", "vid", "sim", "urank")
+
+    contribs = sim_users.join(
+        colls.withColumnRenamed("uid", "vid"), "vid", "inner"
+    ).select("uid", "pid", "sim", "urank")
+    scores = rank_discounted_score(
+        contribs,
+        ["uid", "pid"],
+        "sim",
+        [F.asc("urank")],
+        score_col="score_micros",
+        int_scale=1_000_000,
+    )
+
+    not_own = scores.join(colls, ["uid", "pid"], "left_anti")
+    not_hot = not_own.join(F.broadcast(hot), "pid", "left_anti")
+    out = topk_per_group(
+        not_hot,
+        ["uid"],
+        [F.desc("score_micros"), F.asc("pid")],
+        k=10,
+        rank_col="rk",
+    )
+    return out.select("uid", "pid", "score_micros", F.col("rk").cast("long").alias("rk"))
+
+
+# ---------------------------------------------------------------------------
+# ALS collaborative filtering (north-star upgrade; rows-only — factorization
+# is float-iterative, checked by invariants in tests)
+# ---------------------------------------------------------------------------
+
+@register("als_recommendations", None)
+def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.recommendation import ALS
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ratings = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=8,
+        maxIter=5,
+        seed=42,
+        implicitPrefs=True,
+        userCol="user",
+        itemCol="item",
+        ratingCol="rating",
+        coldStartStrategy="drop",
+    )
+    model = als.fit(ratings)
+    recs = model.recommendForAllUsers(5)
+    return recs.select(
+        F.col("user").cast("bigint").alias("uid"),
+        F.posexplode("recommendations").alias("pos", "rec"),
+    ).select(
+        "uid",
+        F.col("rec.item").cast("bigint").alias("pid"),
+        (F.col("pos") + 1).cast("bigint").alias("rk"),
+    )

@@ -1,0 +1,101 @@
+"""Event-time window queries (SURVEY.md §2.10 extension surface).
+
+The window functions in :mod:`..streaming.events` are plain DataFrame ops,
+so the same code runs under ``readStream`` (tested in
+tests/test_streaming.py) and as batch — here they run as batch against the
+``events`` table and are oracle-checked against DuckDB's equivalent
+epoch-bucket / island formulations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..streaming.events import session_counts, sliding_counts, tumbling_counts
+from . import register
+
+
+# ---------------------------------------------------------------------------
+# Tumbling 1-hour windows (epoch-aligned, same as Spark's F.window)
+# ---------------------------------------------------------------------------
+
+@register(
+    "windowed_event_counts",
+    """
+    SELECT TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS wstart,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return tumbling_counts(ev, window="1 hour")
+
+
+# ---------------------------------------------------------------------------
+# Sliding windows: 1 hour wide, 30-minute slide → each event in exactly 2
+# windows, starts at the two preceding 30-minute boundaries
+# ---------------------------------------------------------------------------
+
+@register(
+    "sliding_event_counts",
+    """
+    SELECT wstart, event_type, count(*) AS n FROM (
+        SELECT unnest([
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
+                       - INTERVAL 30 MINUTE
+               ]) AS wstart,
+               event_type
+        FROM events
+    )
+    GROUP BY wstart, event_type
+    """,
+)
+def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_counts(ev, window="1 hour", slide="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# Session windows (30-minute gap) — the islands formulation in SQL:
+# new session when the gap from the previous event is >= the gap duration
+# (Spark session windows are [start, last+gap), end-exclusive)
+# ---------------------------------------------------------------------------
+
+@register(
+    "session_event_counts",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM flagged
+    )
+    SELECT min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           count(*) AS n
+    FROM sess
+    GROUP BY user_id, sid
+    """,
+)
+def q_session_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return session_counts(ev, gap="30 minutes")

@@ -1,0 +1,65 @@
+"""Streaming sinks (SURVEY.md §2.1 S11/S12, §2.10 T1/T4).
+
+The reference writes per-user Redis string keys with retry/reconnect
+(`guessLike_u_like.py:211-226`).  Spark-side that is a ``foreachBatch``
+KV upsert: each micro-batch computes (key, value) rows and hands them to a
+pluggable writer.  ``foreachBatch`` gives at-least-once delivery — the
+writer must be idempotent (last-write-wins KV upserts are), which replaces
+the reference's sleep/reconnect/retry loop with the engine's own retry
+machinery.
+
+The test harness writer appends to a parquet dir keyed by epoch (so replays
+overwrite deterministically); a Redis/production writer plugs in the same
+interface without touching the query.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+KVWriter = Callable[[DataFrame, int], None]
+
+
+def parquet_kv_writer(out_dir: str) -> KVWriter:
+    """Idempotent test-harness KV sink: one parquet partition per epoch,
+    overwritten on replay (exactly-once effect over at-least-once calls)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch_id}")
+            )
+        )
+
+    return write
+
+
+def memory_kv_writer(store: dict) -> KVWriter:
+    """Driver-side dict KV sink for unit tests (last-write-wins upsert)."""
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        for row in batch_df.collect():
+            store[row["kv_key"]] = row["ids_csv"]
+
+    return write
+
+
+def start_kv_query(
+    result_stream: DataFrame,
+    writer: KVWriter,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """T1/T6: run the streaming query — ``availableNow`` drains everything
+    present then stops (the daily-batch trigger, `log_analyze.py` lifecycle);
+    otherwise continuous micro-batches."""
+    q = result_stream.writeStream.foreachBatch(writer).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        q = q.trigger(availableNow=True)
+    return q.start()

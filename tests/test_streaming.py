@@ -1,0 +1,107 @@
+"""Streaming-execution tests (SURVEY.md §2.10 T1–T6): the same window/parse
+functions that pass the batch oracle must produce identical results under
+readStream, and the foreachBatch KV path must serve recs with hot fallback."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from hainan_big_data_recommend_system_spark.catalog import load_table
+from hainan_big_data_recommend_system_spark.streaming.events import (
+    dispatch_channels,
+    parse_events,
+    read_event_stream,
+    tumbling_counts,
+)
+from hainan_big_data_recommend_system_spark.streaming.recommend import (
+    build_static_state,
+    recommend_batch,
+)
+from hainan_big_data_recommend_system_spark.streaming.sinks import (
+    memory_kv_writer,
+    start_kv_query,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, sf_dir, tmp_path_factory):
+    """Re-write events as a 4-file parquet dir → 4 micro-batches with
+    maxFilesPerTrigger=1."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    yield out
+    shutil.rmtree(out, ignore_errors=True)
+
+
+def test_streaming_tumbling_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    ev_batch = load_table(spark, sf_dir, "events")
+    expected = {
+        (r["wstart"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in tumbling_counts(ev_batch).collect()
+    }
+
+    stream = read_event_stream(spark, stream_dir)
+    agg = tumbling_counts(stream)
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumbling_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.processAllAvailable()
+    got = {
+        (r["wstart"], r["event_type"]): (r["n"], r["value_cents"])
+        for r in spark.sql("SELECT * FROM tumbling_out").collect()
+    }
+    q.stop()
+    assert got == expected
+
+
+def test_parse_and_dispatch_streaming(spark, stream_dir, tmp_path):
+    stream = dispatch_channels(parse_events(read_event_stream(spark, stream_dir)))
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("parsed_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM parsed_out").collect()
+    assert len(rows) > 0
+    assert all(r["user_id"] > 0 for r in rows)
+    assert all(r["k_val"] is not None for r in rows)  # payload parsed (S10)
+    chans = {r["channel"] for r in rows}
+    assert chans <= {"u_like", "u_nlike", "u_first_select"}  # T5 dispatch
+    assert "u_first_select" in chans
+
+
+def test_foreach_batch_kv_with_fallback(spark, sf_dir, stream_dir, tmp_path):
+    state = build_static_state(spark, sf_dir)
+    store: dict[str, str] = {}
+    writer = memory_kv_writer(store)
+
+    stream = parse_events(read_event_stream(spark, stream_dir, max_files=2))
+
+    def per_batch(batch_df, epoch_id):
+        writer(recommend_batch(batch_df, state), epoch_id)
+
+    q = start_kv_query(stream, per_batch, str(tmp_path / "ckpt3"))
+    q.awaitTermination(180)
+
+    assert len(store) > 0
+    assert all(k.startswith("b_like:") for k in store)
+    # T4: every user got a payload; users without personalized recs got hot list
+    assert all(v for v in store.values())
+    rec_uids = {r["uid"] for r in state.user_recs.select("uid").collect()}
+    fallback_hits = [
+        k for k in store if int(k.split(":")[1]) not in rec_uids
+    ]
+    for k in fallback_hits:
+        assert store[k] == state.hot_csv
