@@ -1,0 +1,235 @@
+"""Deduplication suite — the operators a 100 TB training-data pipeline needs
+(BASELINE.json north_star; beyond the reference's title-dedup P10).
+
+Five strategies, one escalation ladder:
+
+- :func:`exact_dedup` — content-hash groupBy.  O(n) shuffle on the hash;
+  at scale this is always the first pass (cheap, removes the bulk).
+- :func:`shingles` + :func:`ngram_jaccard_topk` — exact n-gram Jaccard via
+  posting-list join on shingles.  Quadratic in docs sharing a shingle —
+  usable within blocks / query subsets.
+- :func:`minhash_signatures` + :func:`lsh_buckets` +
+  :func:`lsh_candidate_pairs` — MinHash LSH: signature = min-wise hash per
+  seed (md5 keyed by seed; ANY consistent total order works for min-wise
+  hashing, so hex-string min is valid and engine-portable), banded into
+  buckets; candidates = same (band, band-hash).  This is the scale path:
+  shuffle ∝ n·bands, pairs only within buckets.
+- :func:`simhash_fingerprints` — 16-bit SimHash (MSB of each md5 hex digit
+  of each token, tf-weighted sign sum per bit position).  Near-dups share
+  fingerprints at small Hamming distance; groupBy fingerprint is O(n).
+- embedding cosine near-dup — reuse :mod:`.similarity`'s quantized cosine
+  with a threshold filter (see qcatalog.dedup).
+
+Everything is built-in expressions (md5/conv/substring/array ops) — no
+Python in the row path, and every op is oracle-checkable because md5 is
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def exact_dedup(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact dedup by content hash: (id, fingerprint, group_size, is_dup) —
+    the survivor (min id) per group has ``is_dup = false``."""
+    fp = F.md5(F.col(text_col).cast("binary")).alias("fingerprint")
+    hashed = docs.select(F.col(id_col).alias("doc_id"), fp)
+    w = Window.partitionBy("fingerprint").orderBy(F.asc("doc_id"))
+    cnt = Window.partitionBy("fingerprint")
+    return hashed.select(
+        "doc_id",
+        "fingerprint",
+        F.count(F.lit(1)).over(cnt).alias("group_size"),
+        (F.row_number().over(w) > 1).alias("is_dup"),
+    )
+
+
+def shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 — short docs
+    # must yield zero shingles, not bogus ones
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            toks.alias("__toks"),
+            F.explode(idx).alias("__i"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 5,
+    query_filter: Column | None = None,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard top-k neighbors per query doc.
+
+    |A∩B| from the shingle posting join; |A∪B| = |A|+|B|−|A∩B| — all integer
+    counts, so the Jaccard ratio is deterministic cross-engine.
+    """
+    sh = shingles(docs, id_col, text_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    if query_filter is not None:
+        a = a.filter(query_filter)
+    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a_id") != F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    jac = (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            (
+                F.col("n_inter")
+                / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("jaccard"), F.asc("b_id"))
+    return (
+        jac.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("a_id").alias("query_id"),
+            F.col("b_id").alias("neighbor_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash: signature_i(doc) = min over shingles of md5(i ':' shingle).
+
+    One row per (doc_id, hash_id, sig).  The min of a keyed md5 hex string
+    is a valid min-wise hash (consistent total order), portable across
+    engines without integer conversion.
+    """
+    sh = shingles(docs, id_col, text_col, shingle_n)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(num_hashes - 1))
+        ).alias("hash_id"),
+        "shingle",
+    ).select(
+        "doc_id",
+        "hash_id",
+        F.md5(
+            F.concat(
+                F.col("hash_id").cast("string"), F.lit(":"), F.col("shingle")
+            ).cast("binary")
+        ).alias("h"),
+    )
+    return seeded.groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig"))
+
+
+def lsh_buckets(
+    signatures: DataFrame, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature matrix: band_hash = md5 of the band's concatenated
+    sigs (in hash_id order).  Returns (doc_id, band_id, band_hash)."""
+    banded = signatures.withColumn(
+        "band_id", (F.col("hash_id") / rows_per_band).cast("int")
+    )
+    ordered = F.struct("hash_id", "sig")
+    return (
+        banded.groupBy("doc_id", "band_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.transform(
+                        F.sort_array(F.collect_list(ordered)), lambda s: s["sig"]
+                    ),
+                ).cast("binary")
+            ).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any (band_id, band_hash)
+    bucket; deduplicated, a_id < b_id."""
+    a = buckets.select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_hash"
+    )
+    b = buckets.select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_hash"
+    )
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def simhash_fingerprints(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """16-bit SimHash: bit p = sign of Σ_tokens tf · (±1), where the ±1 is
+    the MSB of hex digit p of md5(token).  Returns (doc_id, simhash int)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    h = F.md5(F.col("token").cast("binary"))
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        *[
+            F.when(
+                F.conv(F.substring(h, p + 1, 1), 16, 10).cast("int") >= 8,
+                F.col("tf"),
+            )
+            .otherwise(-F.col("tf"))
+            .alias(f"b{p}")
+            for p in range(16)
+        ],
+    )
+    agg = bits.groupBy("doc_id").agg(
+        *[F.sum(f"b{p}").alias(f"s{p}") for p in range(16)]
+    )
+    fp = None
+    for p in range(16):
+        term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        fp = term if fp is None else fp + term
+    return agg.select("doc_id", fp.cast("long").alias("simhash"))

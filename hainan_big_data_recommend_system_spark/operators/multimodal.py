@@ -1,0 +1,136 @@
+"""Multimodal column plumbing (north-star extension surface).
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata, processed by Arrow-batched pandas functions over ``mapInPandas``:
+
+    (id, media binary, media_type, meta…) → decode/extract → features
+
+The decode kernels themselves are STUBBED — PIL/ffmpeg/torchaudio are not in
+this container — behind an import-try that raises ``NotImplementedError``
+with a clear message, plus a deterministic fake used by tests.  What IS real
+and tested: the schema contract, the Arrow batch path, the partitioning
+strategy, and the UDF signatures — the parts that matter for the Spark plan.
+
+Scale notes: binary payloads make rows wide — ``maxPartitionBytes`` governs
+scan parallelism, and feature extraction should run AFTER any filter that
+can drop rows (predicate pushdown on the metadata columns; never decode
+what you'll discard).  ``mapInPandas`` streams Arrow batches — peak memory
+is one batch, not one partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField("source", T.StringType(), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, "
+    "width int, height int, channels int, features array<float>"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "media_id long, frame_index int, frame_offset_bytes long, frame_digest string"
+)
+
+
+def _try_real_decode(payload: bytes):  # pragma: no cover - env-dependent
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "real image decode requires Pillow, which is not in this "
+            "container — tests use the deterministic fake below"
+        )
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic fake decode keyed on payload bytes: stable dims and an
+    8-dim 'feature' vector from the byte histogram (stands in for a real
+    CNN embedding; same payload → same features, any engine, any retry)."""
+    n = len(payload)
+    width = 16 + (n % 64)
+    height = 16 + ((n // 64) % 64)
+    hist = [0.0] * 8
+    for b in payload[:4096]:
+        hist[b & 7] += 1.0
+    total = sum(hist) or 1.0
+    return width, height, 3, [h / total for h in hist]
+
+
+def decode_image_features(
+    media: DataFrame, use_real_decoder: bool = False
+) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (``mapInPandas``).
+
+    The output schema is fixed and engine-checkable; only the kernel is a
+    stub.  Repartitions by ``media_id`` first so a skewed source layout
+    (e.g. one parquet file per ingest day) doesn't serialize the decode.
+    """
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if use_real_decoder:
+                    _try_real_decode(payload)
+                w, h, c, feats = _fake_decode(payload)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "media_type": r["media_type"],
+                        "n_bytes": len(payload),
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.repartition("media_id")
+        .mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    )
+
+
+def sample_frames(media: DataFrame, every_bytes: int = 1 << 16) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emit one row per sampled
+    offset (deterministic stride; a real implementation would seek keyframes).
+    Pure column expressions — the explode shape is what a real frame sampler
+    produces, one row per frame, partitioned by media_id."""
+    n = F.length("payload").cast("long")
+    n_frames = F.greatest((n / every_bytes).cast("int"), F.lit(1))
+    return (
+        media.filter(F.col("media_type") == "video")
+        .select(
+            "media_id",
+            F.posexplode(F.sequence(F.lit(0), n_frames - 1)).alias(
+                "frame_index", "__f"
+            ),
+            n.alias("__n"),
+        )
+        .select(
+            "media_id",
+            "frame_index",
+            (F.col("frame_index").cast("long") * every_bytes).alias(
+                "frame_offset_bytes"
+            ),
+            F.md5(
+                F.concat_ws(":", F.col("media_id"), F.col("frame_index")).cast(
+                    "binary"
+                )
+            ).alias("frame_digest"),
+        )
+    )

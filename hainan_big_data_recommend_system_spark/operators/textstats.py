@@ -1,0 +1,131 @@
+"""Text-analysis operators for training-data pipelines (north-star surface):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All codegen'd column expressions over the ``documents`` table — the shapes a
+100 TB corpus pipeline runs before dedup/filtering.  Each is deterministic
+and oracle-checkable (regex classes kept to engine-portable syntax; ratios
+built from integer counts then divided once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: tiny per-language function-word lexicons for the n-gram/lexicon heuristic
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "von", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "avec", "des", "une"),
+    "es": ("el", "la", "los", "de", "y", "es", "con", "una"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "他"),
+}
+
+#: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def _count_matches(text: Column, char_class: str) -> Column:
+    """Count characters matching ``char_class`` (portable: length delta)."""
+    return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
+
+
+def text_quality_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Quality-scoring features: lengths, token counts, punct/digit/space
+    ratios (micro-scaled ints for exact cross-engine compare)."""
+    t = F.col(text_col)
+    toks = F.split(F.trim(t), r"\s+")
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(toks).cast("bigint")
+    n_punct = _count_matches(t, r"[^A-Za-z0-9\s]").cast("bigint")
+    n_digit = _count_matches(t, r"[0-9]").cast("bigint")
+    n_space = _count_matches(t, r"\s").cast("bigint")
+    ratio = lambda num: F.round(num * 1000000 / F.greatest(n_chars, F.lit(1))).cast(
+        "bigint"
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.round(
+            n_chars * 1000000 / F.greatest(n_tokens, F.lit(1))
+        ).cast("bigint").alias("chars_per_token_micros"),
+        ratio(n_punct).alias("punct_ratio_micros"),
+        ratio(n_digit).alias("digit_ratio_micros"),
+        ratio(n_space).alias("space_ratio_micros"),
+    )
+
+
+def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and BPE-ish subword
+    pre-tokens (letter/digit runs + punctuation singles)."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+    )
+
+
+def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Lexicon-overlap language ID: score each language by function-word
+    hits (tf-weighted), argmax with deterministic tie order (score desc,
+    lang asc); no hits → 'und'."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+    )
+    scores = []
+    for lang, words in sorted(LANG_LEXICONS.items()):
+        scores.append(
+            F.sum(
+                F.when(F.col("token").isin(*words), 1).otherwise(0)
+            ).alias(f"score_{lang}")
+        )
+    agg = toks.groupBy("doc_id").agg(*scores)
+    # melt to (doc_id, lang, score), then deterministic argmax via window
+    melted = agg.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(lang).alias("lang"),
+                        F.col(f"score_{lang}").alias("score"),
+                    )
+                    for lang in sorted(LANG_LEXICONS)
+                ]
+            )
+        ).alias("ls"),
+    ).select("doc_id", F.col("ls.lang").alias("lang"), F.col("ls.score").alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = (
+        melted.filter(F.col("score") > 0)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("lang_pred"))
+    )
+    all_docs = docs.select(F.col(id_col).alias("doc_id"))
+    return all_docs.join(best, "doc_id", "left").select(
+        "doc_id", F.coalesce("lang_pred", F.lit("und")).alias("lang_pred")
+    )
+
+
+def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Document fingerprinting: full-content md5 over normalized text
+    (lowercase, squashed whitespace) + a locality-ish prefix hash over the
+    first 8 tokens (cheap clustering key for near-dup triage)."""
+    t = F.col(text_col)
+    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    toks = F.split(norm, " ")
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.md5(norm.cast("binary")).alias("content_fp"),
+        F.md5(prefix.cast("binary")).alias("prefix_fp"),
+    )

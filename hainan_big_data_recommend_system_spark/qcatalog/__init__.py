@@ -73,3 +73,5 @@ from . import profile_logs  # noqa: E402,F401
 from . import ml  # noqa: E402,F401
 from . import reco  # noqa: E402,F401
 from . import streamq  # noqa: E402,F401
+from . import dedup  # noqa: E402,F401
+from . import textstats  # noqa: E402,F401

@@ -1,0 +1,200 @@
+"""Deduplication queries (north-star extension surface) — every strategy in
+:mod:`..operators.dedup` oracle-checked (md5 is bit-identical cross-engine,
+so even MinHash signatures and LSH buckets hash-match)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import (
+    exact_dedup,
+    lsh_buckets,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_topk,
+    simhash_fingerprints,
+)
+from ..operators.similarity import int_dot, quantize_vec
+from . import register
+
+_SHINGLES_SQL = r"""
+        SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+        FROM (
+            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            FROM documents
+        ), LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+"""
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT doc_id, fingerprint, group_size, is_dup FROM (
+        SELECT doc_id, fingerprint,
+               count(*) OVER (PARTITION BY fingerprint) AS group_size,
+               row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1
+                   AS is_dup
+        FROM (SELECT doc_id, md5(text) AS fingerprint FROM documents)
+    )
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@register(
+    "ngram_jaccard_topk",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_inter
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id % 25 = 0 AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    jac AS (
+        SELECT a_id, b_id,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+    )
+    SELECT a_id AS query_id, b_id AS neighbor_id,
+           round(jaccard, 6) AS jaccard, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY a_id ORDER BY jaccard DESC, b_id
+        ) AS rn FROM jac
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_topk(
+        docs, "doc_id", "text", n=3, k=5, query_filter=F.col("a_id") % 25 == 0
+    )
+
+
+_SIGS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    seeded AS (
+        SELECT doc_id, h.hash_id,
+               md5(CAST(h.hash_id AS VARCHAR) || ':' || shingle) AS hv
+        FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS hash_id) h
+    ),
+    sigs AS (
+        SELECT doc_id, hash_id, min(hv) AS sig
+        FROM seeded GROUP BY doc_id, hash_id
+    ),
+    buckets AS (
+        SELECT doc_id, CAST(hash_id // 2 AS INT) AS band_id,
+               md5(string_agg(sig, '|' ORDER BY hash_id)) AS band_hash
+        FROM sigs GROUP BY doc_id, CAST(hash_id // 2 AS INT)
+    )
+"""
+
+
+@register(
+    "minhash_lsh_buckets",
+    _SIGS_SQL + "\n    SELECT doc_id, band_id, band_hash FROM buckets",
+)
+def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    return lsh_buckets(sigs, rows_per_band=2)
+
+
+@register(
+    "minhash_candidate_pairs",
+    _SIGS_SQL
+    + """
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM buckets a
+    JOIN buckets b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """,
+)
+def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    return lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
+
+
+@register(
+    "simhash_fingerprints",
+    r"""
+    WITH tf AS (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+            FROM documents
+        )
+        WHERE token <> ''
+        GROUP BY doc_id, token
+    ),
+    bits AS (
+        SELECT doc_id, pp.p,
+               sum(CASE WHEN strpos('0123456789abcdef',
+                                    substr(md5(token), pp.p + 1, 1)) - 1 >= 8
+                        THEN tf ELSE -tf END) AS s
+        FROM tf, LATERAL (SELECT unnest(range(0, 16)) AS p) pp
+        GROUP BY doc_id, pp.p
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << p)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id
+    """,
+)
+def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "embedding_neardup_pairs",
+    """
+    WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    )
+    SELECT a_id, b_id, round(sim, 6) AS sim FROM (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               list_dot_product(a.qv, b.qv)
+                   / (sqrt(list_dot_product(a.qv, a.qv))
+                      * sqrt(list_dot_product(b.qv, b.qv))) AS sim
+        FROM q a JOIN q b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    WHERE sim >= 0.35
+    """,
+)
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", quantize_vec(F.col("embedding"), 1000).alias("qv")
+    )
+    a = q.select(
+        F.col("vec_id").alias("a_id"), F.col("label"), F.col("qv").alias("qa")
+    )
+    b = q.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("label").alias("label_b"),
+        F.col("qv").alias("qb"),
+    )
+    pairs = a.join(b, (a.label == b.label_b) & (F.col("a_id") < F.col("b_id")))
+    sim = int_dot(F.col("qa"), F.col("qb")) / (
+        F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
+        * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
+    )
+    return (
+        pairs.select("a_id", "b_id", sim.alias("sim"))
+        .filter(F.col("sim") >= 0.35)
+        .select("a_id", "b_id", F.round("sim", 6).alias("sim"))
+    )

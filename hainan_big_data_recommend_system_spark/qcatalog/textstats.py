@@ -1,0 +1,141 @@
+"""Text-analysis queries (north-star extension surface): quality stats,
+token counting, language ID, fingerprinting, multimodal metadata."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..operators.textstats import (
+    BPE_SPLIT_PATTERN,
+    LANG_LEXICONS,
+    doc_fingerprints,
+    lang_id,
+    text_quality_stats,
+    token_counts,
+)
+from . import register
+
+
+@register(
+    "text_quality_stats",
+    r"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(round(length(text) * 1000000
+               / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+               AS BIGINT) AS chars_per_token_micros,
+           CAST(round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+               * 1000000 / greatest(length(text), 1)) AS BIGINT) AS punct_ratio_micros,
+           CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+               * 1000000 / greatest(length(text), 1)) AS BIGINT) AS digit_ratio_micros,
+           CAST(round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+               * 1000000 / greatest(length(text), 1)) AS BIGINT) AS space_ratio_micros
+    FROM documents
+    """,
+)
+def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_quality_stats(docs, "doc_id", "text")
+
+
+@register(
+    "token_counts",
+    rf"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_counts(docs, "doc_id", "text")
+
+
+def _lexicon_values() -> str:
+    rows = []
+    for lang, words in sorted(LANG_LEXICONS.items()):
+        for wd in words:
+            rows.append(f"('{lang}', '{wd}')")
+    return ", ".join(rows)
+
+
+@register(
+    "lang_id",
+    rf"""
+    WITH lex(lang, word) AS (VALUES {_lexicon_values()}),
+    toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ),
+    scores AS (
+        SELECT t.doc_id, x.lang, count(*) AS score
+        FROM toks t JOIN lex x ON t.token = x.word
+        GROUP BY t.doc_id, x.lang
+    ),
+    best AS (
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang
+            ) AS rn
+            FROM scores WHERE score > 0
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, coalesce(b.lang, 'und') AS lang_pred
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return lang_id(docs, "doc_id", "text")
+
+
+@register(
+    "doc_fingerprints",
+    r"""
+    SELECT doc_id,
+           md5(norm) AS content_fp,
+           md5(array_to_string((string_split(norm, ' '))[1:8], ' ')) AS prefix_fp
+    FROM (
+        SELECT doc_id,
+               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    """,
+)
+def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return doc_fingerprints(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal metadata: binary payload length + content digest — the typed
+# metadata layer over opaque binary columns (decode itself is stubbed in
+# operators/multimodal.py; the Spark-side plumbing is what's real)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_meta",
+    """
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_sha256,
+           CASE WHEN octet_length(encode(text)) >= 1024 THEN 'large'
+                ELSE 'small' END AS size_class
+    FROM documents
+    """,
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    n_bytes = F.length(payload).cast("bigint")
+    return docs.select(
+        "doc_id",
+        n_bytes.alias("n_bytes"),
+        F.sha2(payload, 256).alias("content_sha256"),
+        F.when(n_bytes >= 1024, "large").otherwise("small").alias("size_class"),
+    )
