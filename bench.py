@@ -3,9 +3,11 @@
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
 JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed with a count-style action (collect) so the full plan
-runs; a warmup pass on the smallest SF primes the JVM/codegen so the timing
-reflects steady-state query execution, not JVM startup.
+Each query is fully materialized through the ``noop`` sink (all columns
+computed and serialized — ``count()`` would let Catalyst prune expensive
+projections and flatter the numbers); a warmup pass on the smallest SF
+primes the JVM/codegen so the timing reflects steady-state execution, not
+JVM startup.
 """
 
 from __future__ import annotations
@@ -43,9 +45,9 @@ def main() -> None:
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
-        n = df.count()
+        df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -1,0 +1,213 @@
+"""Approximate-nearest-neighbor search over embedding columns
+(BASELINE.json north_star: "similarity search" extension surface).
+
+Three strategies over ``array<float>`` embeddings, one semantic
+(top-k cosine neighbors per query vector):
+
+- :func:`cosine_topk_bruteforce` — the exact baseline.  Distributed
+  brute force: candidates are hash-partitioned into blocks, queries are
+  replicated to every block, each block runs one numpy int64 ``Q @ Cᵀ``
+  and keeps a local top-k; a global window top-k over the per-block
+  winners is exact.  Shuffle = |Q|·blocks + |C| — this is how you shard
+  a 100 TB exact scan, and the quality yardstick for everything below.
+- label/cluster-blocked exact (:func:`..similarity.cosine_topk_arrays`)
+  — the reference's k-means blocking (`guessLike_u_like.py:82-93`):
+  exact within a block, recall traded at block boundaries.
+- :func:`ivf_topk` — IVF in the FAISS sense: a seeded KMeans coarse
+  quantizer assigns every vector to a list; each query probes its
+  ``nprobe`` nearest centroids and scores exactly within those lists.
+  Recall/cost dial = (nlist, nprobe).  Quantizer centroids are
+  float-iterative → not oracle-SQL-expressible; correctness is pinned by
+  invariant tests (recall vs brute force, self-exclusion, k-bound).
+
+All dot products run on integer-quantized vectors
+(:func:`..similarity.quantize_vec`) so scores are exact and identical
+across strategies — recall differences are purely from candidate
+pruning, never float drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from .similarity import quantize_vec
+
+
+def _mixed_block_topk(k: int):
+    """applyInPandas kernel: rows carry (id, __qv, __is_q, __is_c); each
+    block scores its queries against its candidates via one exact int64
+    matmul and emits the block-local top-k per query."""
+    import pandas as pd
+
+    def _block(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        qmask = pdf["__is_q"].to_numpy(dtype=bool)
+        cmask = pdf["__is_c"].to_numpy(dtype=bool)
+        if not qmask.any() or not cmask.any():
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
+        q_rows, c_rows = pdf[qmask], pdf[cmask]
+        q_ids = q_rows["vid"].to_numpy()
+        c_ids = c_rows["vid"].to_numpy()
+        q_mat = np.array(q_rows["__qv"].tolist(), dtype=np.int64)
+        c_mat = np.array(c_rows["__qv"].tolist(), dtype=np.int64)
+        q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
+        c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+        sims = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
+        rows_q, rows_n, rows_s = [], [], []
+        for r in range(len(q_ids)):
+            cand_idx = np.nonzero(c_ids != q_ids[r])[0]
+            srow = sims[r]
+            top = cand_idx[np.lexsort((c_ids[cand_idx], -srow[cand_idx]))][:k]
+            rows_q.extend([q_ids[r]] * len(top))
+            rows_n.extend(c_ids[top])
+            rows_s.extend(srow[top])
+        return pd.DataFrame(
+            {"query_id": rows_q, "neighbor_id": rows_n, "sim": rows_s}
+        )
+
+    return _block
+
+
+def _global_topk(scored: DataFrame, k: int) -> DataFrame:
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("sim", 6).alias("sim"),
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_filter: Column | None = None,
+    scale: int = 1000,
+    vectors_per_block: int = 4096,
+) -> DataFrame:
+    """Exact global top-k cosine neighbors — the ANN quality baseline.
+
+    ``(query_id, neighbor_id, sim, rn)``, self-pairs excluded.  Identical
+    results to an all-pairs join; physically a sharded matmul.
+    """
+    n = df.count()
+    n_blocks = max(1, -(-n // vectors_per_block))
+    base = df.select(
+        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("__qv")
+    )
+    cand = base.select(
+        "vid",
+        "__qv",
+        F.pmod(F.xxhash64("vid"), F.lit(n_blocks)).cast("int").alias("__blk"),
+        F.lit(False).alias("__is_q"),
+        F.lit(True).alias("__is_c"),
+    )
+    q = base.withColumnRenamed("vid", "query_id")
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    blocks = df.sparkSession.range(n_blocks).select(
+        F.col("id").cast("int").alias("__blk")
+    )
+    qrep = q.crossJoin(blocks).select(
+        F.col("query_id").alias("vid"),
+        "__qv",
+        "__blk",
+        F.lit(True).alias("__is_q"),
+        F.lit(False).alias("__is_c"),
+    )
+    scored = (
+        cand.unionByName(qrep)
+        .groupBy("__blk")
+        .applyInPandas(
+            _mixed_block_topk(k), "query_id long, neighbor_id long, sim double"
+        )
+    )
+    return _global_topk(scored, k)
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    nlist: int = 16,
+    nprobe: int = 2,
+    seed: int = 42,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN: seeded-KMeans coarse quantizer → per-query ``nprobe``-list
+    probing → exact scoring within the probed lists.
+
+    Expected work per query ≈ ``nprobe/nlist`` of brute force; recall is
+    whatever the quantizer geometry gives (pinned by an invariant test
+    against :func:`cosine_topk_bruteforce`).  The inverted lists are the
+    ``__blk`` groups — at 100 TB each list is a partition and the probe
+    replication is the only cross-partition traffic.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = df.select(
+        F.col(id_col).alias("vid"),
+        quantize_vec(F.col(vec_col), scale).alias("__qv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
+    )
+    km = KMeans(k=nlist, seed=seed, featuresCol="features").fit(feats)
+    assigned = km.transform(feats).select(
+        "vid", "__qv", F.col("prediction").cast("int").alias("__blk")
+    )
+
+    centers = [
+        (int(i), [float(x) for x in c]) for i, c in enumerate(km.clusterCenters())
+    ]
+    centers_df = F.broadcast(
+        df.sparkSession.createDataFrame(
+            centers, "centroid_id int, center array<double>"
+        )
+    )
+    dist2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("center"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    probe_w = Window.partitionBy("vid").orderBy(F.asc("__d2"), F.asc("centroid_id"))
+    probes = (
+        df.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col),
+            quantize_vec(F.col(vec_col), scale).alias("__qv"),
+        )
+        .crossJoin(centers_df)
+        .select("vid", "__qv", "centroid_id", dist2.alias("__d2"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("vid", "__qv", F.col("centroid_id").alias("__blk"))
+    )
+
+    cand = assigned.select(
+        "vid", "__qv", "__blk",
+        F.lit(False).alias("__is_q"), F.lit(True).alias("__is_c"),
+    )
+    qrep = probes.select(
+        "vid", "__qv", "__blk",
+        F.lit(True).alias("__is_q"), F.lit(False).alias("__is_c"),
+    )
+    scored = (
+        cand.unionByName(qrep)
+        .groupBy("__blk")
+        .applyInPandas(
+            _mixed_block_topk(k), "query_id long, neighbor_id long, sim double"
+        )
+    )
+    return _global_topk(scored, k)

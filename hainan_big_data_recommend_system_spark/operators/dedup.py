@@ -87,15 +87,22 @@ def ngram_jaccard_topk(
     |A∩B| from the shingle posting join; |A∪B| = |A|+|B|−|A∩B| — all integer
     counts, so the Jaccard ratio is deterministic cross-engine.
     """
-    sh = shingles(docs, id_col, text_col, n)
+    # hashed shingle ids (8-byte join key beats strings; 64-bit collision
+    # odds are ~|shingles|²/2⁶⁵ — immaterial) + persist so the
+    # tokenize→shingle→distinct subtree doesn't run for both join sides
+    sh = (
+        shingles(docs, id_col, text_col, n)
+        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .persist()
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
-    a = sh.select(F.col("doc_id").alias("a_id"), "shingle")
+    a = sh.select(F.col("doc_id").alias("a_id"), "__sh")
     if query_filter is not None:
         a = a.filter(query_filter)
-    b = sh.select(F.col("doc_id").alias("b_id"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b_id"), "__sh")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "__sh")
         .filter(F.col("a_id") != F.col("b_id"))
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("n_inter"))
@@ -128,6 +135,24 @@ def ngram_jaccard_topk(
     )
 
 
+MINHASH_PRIME = (1 << 31) - 1  # Mersenne prime 2³¹−1
+
+
+def minhash_hash_family(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) constants for the universal hash family
+    h_j(x) = (a_j·x + b_j) mod P — derived from md5 so both engines (and the
+    oracle SQL text) see identical literals without any RNG.  28-bit a/b ×
+    28-bit x stays under 2⁵⁶ — no int64 overflow."""
+    import hashlib
+
+    fam = []
+    for j in range(num_hashes):
+        a = int(hashlib.md5(f"minhash:a:{j}".encode()).hexdigest()[:7], 16) | 1
+        b = int(hashlib.md5(f"minhash:b:{j}".encode()).hexdigest()[:7], 16)
+        fam.append((a, b))
+    return fam
+
+
 def minhash_signatures(
     docs: DataFrame,
     id_col: str,
@@ -135,29 +160,39 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
 ) -> DataFrame:
-    """MinHash: signature_i(doc) = min over shingles of md5(i ':' shingle).
+    """MinHash: signature_j(doc) = min over shingles of (a_j·H + b_j) mod P,
+    with H = the first 28 bits of md5(shingle).
 
-    One row per (doc_id, hash_id, sig).  The min of a keyed md5 hex string
-    is a valid min-wise hash (consistent total order), portable across
-    engines without integer conversion.
+    One md5 per shingle + ``num_hashes`` integer min-aggregates in a single
+    wide groupBy — no ``num_hashes``× row explosion and no per-variant md5
+    (the variant hashes are a universal family over the one base hash; at
+    16 hashes this is ~16× less hashing and shuffle than seeding md5 per
+    (hash_id, shingle)).  Returns one row per (doc_id, hash_id, sig).
     """
     sh = shingles(docs, id_col, text_col, shingle_n)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.lit(num_hashes - 1))
-        ).alias("hash_id"),
-        "shingle",
-    ).select(
-        "doc_id",
-        "hash_id",
-        F.md5(
-            F.concat(
-                F.col("hash_id").cast("string"), F.lit(":"), F.col("shingle")
-            ).cast("binary")
-        ).alias("h"),
+    base = F.conv(
+        F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10
+    ).cast("long")
+    fam = minhash_hash_family(num_hashes)
+    wide = sh.select("doc_id", base.alias("__h")).groupBy("doc_id").agg(
+        *[
+            F.min((F.col("__h") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_PRIME)).alias(
+                f"s{j}"
+            )
+            for j, (a, b) in enumerate(fam)
+        ]
     )
-    return seeded.groupBy("doc_id", "hash_id").agg(F.min("h").alias("sig"))
+    kv = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("int").alias("hash_id"), F.col(f"s{j}").alias("sig")
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    return wide.select("doc_id", F.explode(kv).alias("kv")).select(
+        "doc_id", F.col("kv.hash_id").alias("hash_id"), F.col("kv.sig").alias("sig")
+    )
 
 
 def lsh_buckets(
@@ -176,7 +211,8 @@ def lsh_buckets(
                 F.concat_ws(
                     "|",
                     F.transform(
-                        F.sort_array(F.collect_list(ordered)), lambda s: s["sig"]
+                        F.sort_array(F.collect_list(ordered)),
+                        lambda s: s["sig"].cast("string"),
                     ),
                 ).cast("binary")
             ).alias("band_hash")

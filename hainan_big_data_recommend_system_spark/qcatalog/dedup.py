@@ -11,11 +11,12 @@ from ..operators.dedup import (
     exact_dedup,
     lsh_buckets,
     lsh_candidate_pairs,
+    minhash_hash_family,
     minhash_signatures,
     ngram_jaccard_topk,
     simhash_fingerprints,
 )
-from ..operators.similarity import int_dot, quantize_vec
+from ..operators.similarity import blocked_cosine_pairs_np
 from . import register
 
 _SHINGLES_SQL = r"""
@@ -79,20 +80,27 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HASH_FAMILY_VALUES = ", ".join(
+    f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_hash_family(16))
+)
+
 _SIGS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
-    seeded AS (
-        SELECT doc_id, h.hash_id,
-               md5(CAST(h.hash_id AS VARCHAR) || ':' || shingle) AS hv
-        FROM sh, LATERAL (SELECT unnest(range(0, 16)) AS hash_id) h
+    hashed AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(shingle), 1, 7))::BIGINT AS h
+        FROM sh
     ),
     sigs AS (
-        SELECT doc_id, hash_id, min(hv) AS sig
-        FROM seeded GROUP BY doc_id, hash_id
+        SELECT doc_id, f.hash_id,
+               min((h * f.a + f.b) % 2147483647) AS sig
+        FROM hashed, (VALUES {_HASH_FAMILY_VALUES}) f(hash_id, a, b)
+        GROUP BY doc_id, f.hash_id
     ),
     buckets AS (
         SELECT doc_id, CAST(hash_id // 2 AS INT) AS band_id,
-               md5(string_agg(sig, '|' ORDER BY hash_id)) AS band_hash
+               md5(string_agg(CAST(sig AS VARCHAR), '|' ORDER BY hash_id))
+                   AS band_hash
         FROM sigs GROUP BY doc_id, CAST(hash_id // 2 AS INT)
     )
 """
@@ -177,24 +185,6 @@ def q_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select(
-        "vec_id", "label", quantize_vec(F.col("embedding"), 1000).alias("qv")
-    )
-    a = q.select(
-        F.col("vec_id").alias("a_id"), F.col("label"), F.col("qv").alias("qa")
-    )
-    b = q.select(
-        F.col("vec_id").alias("b_id"),
-        F.col("label").alias("label_b"),
-        F.col("qv").alias("qb"),
-    )
-    pairs = a.join(b, (a.label == b.label_b) & (F.col("a_id") < F.col("b_id")))
-    sim = int_dot(F.col("qa"), F.col("qb")) / (
-        F.sqrt(int_dot(F.col("qa"), F.col("qa")).cast("double"))
-        * F.sqrt(int_dot(F.col("qb"), F.col("qb")).cast("double"))
-    )
-    return (
-        pairs.select("a_id", "b_id", sim.alias("sim"))
-        .filter(F.col("sim") >= 0.35)
-        .select("a_id", "b_id", F.round("sim", 6).alias("sim"))
+    return blocked_cosine_pairs_np(
+        emb, "vec_id", "embedding", block_col="label", threshold=0.35, scale=1000
     )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..ml.clustering import assign_clusters, fit_kmeans
 from ..ml.vectorize import fit_vectorizer
+from ..operators.ann import cosine_topk_bruteforce, ivf_topk
 from ..operators.similarity import (
     cosine_topk_arrays,
     doc_token_weights,
@@ -118,6 +119,54 @@ def q_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `guessLike_u_like.py:82-93,111-117`, with `label` standing in for the
 # predicted cluster; quantized dot products → exact cross-engine)
 # ---------------------------------------------------------------------------
+
+@register(
+    "ann_topk_bruteforce",
+    """
+    WITH q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_dot_product(a.qv, b.qv) AS dot,
+               list_dot_product(a.qv, a.qv) AS na,
+               list_dot_product(b.qv, b.qv) AS nb
+        FROM q a JOIN q b ON a.vec_id <> b.vec_id
+        WHERE a.vec_id % 4 = 0
+    )
+    SELECT query_id, neighbor_id,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global ANN baseline (distributed brute force; §north_star
+    similarity search).  Query side bounded to vec_id % 4 = 0 — the same
+    probe-subset bounding the reference's online path gets per event."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_bruteforce(
+        emb, "vec_id", "embedding", k=5, query_filter=F.col("query_id") % 4 == 0
+    )
+
+
+@register("ann_topk_ivf", None)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (KMeans coarse quantizer, nprobe-list probing) — float-
+    iterative quantizer → rows-only here; recall-vs-bruteforce invariant
+    pinned in tests/test_ml.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2)
+
 
 @register(
     "ann_topk_blocked",

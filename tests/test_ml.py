@@ -47,6 +47,39 @@ def test_cosine_bounds_and_topk_size(spark, sf_dir):
     assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
 
 
+def test_ivf_recall_vs_bruteforce(spark, sf_dir):
+    """IVF is approximate by candidate pruning only: every score it emits is
+    exact, ranks are k-bounded, self-pairs excluded, and recall@5 against
+    the exact baseline must clear the (nlist=8, nprobe=2) geometry floor."""
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5)
+    approx = ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2)
+
+    assert approx.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert approx.agg(F.max("rn")).collect()[0][0] <= 5
+
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    total = exact.count()
+    assert total > 0
+    recall = hits / total
+    assert recall >= 0.5, f"IVF recall@5 = {recall:.3f} < 0.5"
+
+    # IVF scores are exact: any (query, neighbor) it shares with brute
+    # force must carry the identical sim
+    mismatched = (
+        exact.select("query_id", "neighbor_id", F.col("sim").alias("s_exact"))
+        .join(approx, ["query_id", "neighbor_id"])
+        .filter(F.abs(F.col("sim") - F.col("s_exact")) > 0)
+        .count()
+    )
+    assert mismatched == 0
+
+
 def test_cosine_symmetry(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(100)
     out = cosine_topk_arrays(emb, "vec_id", "embedding", k=100, block_col="label")
