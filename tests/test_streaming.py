@@ -105,3 +105,53 @@ def test_foreach_batch_kv_with_fallback(spark, sf_dir, stream_dir, tmp_path):
     ]
     for k in fallback_hits:
         assert store[k] == state.hot_csv
+
+
+def test_stateful_running_profiles(spark, sf_dir, stream_dir, tmp_path):
+    """applyInPandasWithState: after all micro-batches, each user's latest
+    emitted running profile must equal the batch groupBy over all events."""
+    from hainan_big_data_recommend_system_spark.streaming.stateful import (
+        running_user_profiles,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], r["cents"], r["ntypes"], r["last_ts"])
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"),
+            F.countDistinct("event_type").alias("ntypes"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+
+    stream = read_event_stream(spark, stream_dir)
+    q = (
+        running_user_profiles(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("profiles_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .start()
+    )
+    q.processAllAvailable()
+    rows = spark.sql("SELECT * FROM profiles_out").collect()
+    q.stop()
+
+    assert rows, "stateful op emitted nothing"
+    assert not any(r["expired"] for r in rows)  # no 1h idle expiry in-test
+    # latest emission per user (running counters are monotone in n_events)
+    latest = {}
+    for r in rows:
+        cur = latest.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            latest[r["user_id"]] = r
+    assert set(latest) == set(expected)
+    for uid, r in latest.items():
+        n, cents, ntypes, last_ts = expected[uid]
+        assert r["n_events"] == n, uid
+        assert r["value_cents"] == cents, uid
+        assert r["n_types"] == ntypes, uid
+        assert r["last_ts"] == last_ts, uid
