@@ -141,6 +141,7 @@ def ivf_topk(
     nprobe: int = 2,
     seed: int = 42,
     scale: int = 1000,
+    max_iter: int = 10,
 ) -> DataFrame:
     """IVF ANN: seeded-KMeans coarse quantizer → per-query ``nprobe``-list
     probing → exact scoring within the probed lists.
@@ -159,7 +160,9 @@ def ivf_topk(
         quantize_vec(F.col(vec_col), scale).alias("__qv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
-    km = KMeans(k=nlist, seed=seed, featuresCol="features").fit(feats)
+    # a coarse quantizer needs rough geometry, not convergence — cap the
+    # iterations (recall is invariant-tested against brute force)
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
     assigned = km.transform(feats).select(
         "vid", "__qv", F.col("prediction").cast("int").alias("__blk")
     )

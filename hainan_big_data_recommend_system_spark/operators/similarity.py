@@ -220,6 +220,43 @@ def doc_token_weights(
     )
 
 
+def tfidf_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 0,
+) -> DataFrame:
+    """TF-IDF term weighting as a relation:
+    ``(doc_id, token, tf, df, idf_micros, w)`` with
+    ``idf_micros = round(ln((N+1)/(df+1))·10⁶)`` and ``w = tf · idf_micros``.
+
+    The idf is quantized to integer micros immediately — downstream dot
+    products over ``w`` stay exact integer sums (same discipline as
+    :func:`quantize_vec`).  N comes from a scalar subquery, not a driver
+    constant, so the plan stays self-contained at any scale.
+    """
+    tf = _term_freqs(docs, id_col, text_col)
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    if min_df:
+        dfc = dfc.filter(F.col("df") >= min_df)
+    n_docs = docs.select(F.countDistinct(id_col).alias("__n"))
+    idf = F.round(
+        F.log((F.col("__n") + 1) / (F.col("df") + 1)) * 1_000_000
+    ).cast("bigint")
+    weighted_vocab = (
+        dfc.crossJoin(F.broadcast(n_docs))
+        .select("token", "df", idf.alias("idf_micros"))
+    )
+    return tf.join(F.broadcast(weighted_vocab), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        "df",
+        "idf_micros",
+        (F.col("tf") * F.col("idf_micros")).alias("w"),
+    )
+
+
 def sparse_cosine_topk(
     docs: DataFrame,
     id_col: str,

@@ -116,6 +116,61 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def corpus_clean_flags(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_tokens: int = 5,
+    max_tokens: int = 2000,
+    max_punct_ratio_micros: int = 300_000,
+    max_digit_ratio_micros: int = 300_000,
+) -> DataFrame:
+    """Composite corpus-cleaning pipeline — the canonical pre-training
+    filter chain: length gates → punctuation/digit-ratio gates → exact-dup
+    survivor selection (min id per content hash wins).
+
+    Emits every doc with ``keep`` plus the FIRST failing ``reason``
+    (``too_short | too_long | high_punct | high_digit | dup | kept``) so
+    the drop distribution is auditable — at 100 TB you chart reasons per
+    source before believing the surviving corpus.  One pass: the quality
+    gates are column expressions on the scan; the dup check is one window
+    over the content hash (shuffle ∝ corpus, no joins).
+    """
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("bigint")
+    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+    ratio = lambda num: F.round(
+        num * 1_000_000 / F.greatest(n_chars, F.lit(1))
+    ).cast("bigint")
+    punct = ratio(_count_matches(t, r"[^A-Za-z0-9\s]").cast("bigint"))
+    digit = ratio(_count_matches(t, r"[0-9]").cast("bigint"))
+
+    w = Window.partitionBy("__fp").orderBy(F.asc("doc_id"))
+    flagged = docs.select(
+        F.col(id_col).alias("doc_id"),
+        n_tokens.alias("__nt"),
+        punct.alias("__punct"),
+        digit.alias("__digit"),
+        F.md5(t.cast("binary")).alias("__fp"),
+    ).withColumn("__dup_rank", F.row_number().over(w))
+
+    reason = (
+        F.when(F.col("__nt") < min_tokens, "too_short")
+        .when(F.col("__nt") > max_tokens, "too_long")
+        .when(F.col("__punct") > max_punct_ratio_micros, "high_punct")
+        .when(F.col("__digit") > max_digit_ratio_micros, "high_digit")
+        .when(F.col("__dup_rank") > 1, "dup")
+        .otherwise("kept")
+    )
+    return flagged.select(
+        "doc_id",
+        reason.alias("reason"),
+        (reason == "kept").alias("keep"),
+    )
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Document fingerprinting: full-content md5 over normalized text
     (lowercase, squashed whitespace) + a locality-ish prefix hash over the

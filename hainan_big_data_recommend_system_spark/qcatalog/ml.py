@@ -19,6 +19,7 @@ from ..operators.similarity import (
     cosine_topk_arrays,
     doc_token_weights,
     sparse_cosine_topk,
+    tfidf_weights,
 )
 from . import register
 
@@ -50,6 +51,41 @@ from . import register
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_token_weights(docs, "doc_id", "text", min_df=10)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF term weighting (north-star text-analytics surface) — idf quantized
+# to integer micros at the source so any downstream dot product is an exact
+# integer sum (the same determinism discipline as quantize_vec)
+# ---------------------------------------------------------------------------
+
+@register(
+    "tfidf_weights",
+    r"""
+    WITH tf AS (
+        SELECT doc_id, tok AS token, count(*) AS tf
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+        GROUP BY doc_id, tok
+    ),
+    dfc AS (
+        SELECT token, count(*) AS df FROM tf GROUP BY token HAVING count(*) >= 5
+    ),
+    n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.token, tf.tf, dfc.df,
+           CAST(round(ln((n.n_docs + 1.0) / (dfc.df + 1.0)) * 1000000)
+               AS BIGINT) AS idf_micros,
+           tf.tf * CAST(round(ln((n.n_docs + 1.0) / (dfc.df + 1.0)) * 1000000)
+               AS BIGINT) AS w
+    FROM tf JOIN dfc USING (token), n
+    """,
+)
+def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_weights(docs, "doc_id", "text", min_df=5)
 
 
 # ---------------------------------------------------------------------------

@@ -9,6 +9,7 @@ from ..catalog import load_table
 from ..operators.textstats import (
     BPE_SPLIT_PATTERN,
     LANG_LEXICONS,
+    corpus_clean_flags,
     doc_fingerprints,
     lang_id,
     text_quality_stats,
@@ -110,6 +111,43 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprints(docs, "doc_id", "text")
+
+
+@register(
+    "corpus_clean",
+    r"""
+    WITH flagged AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+               CAST(round((length(text)
+                    - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT) AS punct,
+               CAST(round((length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT) AS digit,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS dup_rank
+        FROM documents
+    ),
+    reasons AS (
+        SELECT doc_id,
+               CASE WHEN nt < 5 THEN 'too_short'
+                    WHEN nt > 2000 THEN 'too_long'
+                    WHEN punct > 300000 THEN 'high_punct'
+                    WHEN digit > 300000 THEN 'high_digit'
+                    WHEN dup_rank > 1 THEN 'dup'
+                    ELSE 'kept' END AS reason
+        FROM flagged
+    )
+    SELECT doc_id, reason, reason = 'kept' AS keep FROM reasons
+    """,
+)
+def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pre-training cleaning pipeline (quality gates + exact-dup
+    survivor selection) with auditable drop reasons."""
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_clean_flags(docs, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
