@@ -171,16 +171,40 @@ def corpus_clean_flags(
     )
 
 
+ROLLING_BASE = 31
+ROLLING_PRIME = (1 << 31) - 1
+
+
 def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Document fingerprinting: full-content md5 over normalized text
-    (lowercase, squashed whitespace) + a locality-ish prefix hash over the
-    first 8 tokens (cheap clustering key for near-dup triage)."""
+    """Document fingerprinting three ways:
+
+    - ``content_fp`` — full-content md5 over normalized text (lowercase,
+      squashed whitespace): the exact-dup key;
+    - ``prefix_fp`` — md5 of the first 8 tokens: cheap clustering key for
+      near-dup triage;
+    - ``rolling_fp`` — polynomial rolling hash over the token stream,
+      ``h = (h·31 + H(tok)) mod 2³¹−1`` with ``H`` = first 28 bits of
+      md5(tok), folded left-to-right (order-sensitive, integer-exact,
+      incrementally updatable — the streaming-append fingerprint).
+    """
     t = F.col(text_col)
     norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     toks = F.split(norm, " ")
     prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
+    tok_hashes = F.transform(
+        toks,
+        lambda tok: F.conv(F.substring(F.md5(tok.cast("binary")), 1, 7), 16, 10).cast(
+            "long"
+        ),
+    )
+    rolling = F.aggregate(
+        F.slice(tok_hashes, 2, F.greatest(F.size(tok_hashes) - 1, F.lit(0))),
+        F.element_at(tok_hashes, 1),
+        lambda acc, h: (acc * ROLLING_BASE + h) % ROLLING_PRIME,
+    )
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(norm.cast("binary")).alias("content_fp"),
         F.md5(prefix.cast("binary")).alias("prefix_fp"),
+        rolling.alias("rolling_fp"),
     )

@@ -100,7 +100,12 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            md5(norm) AS content_fp,
-           md5(array_to_string((string_split(norm, ' '))[1:8], ' ')) AS prefix_fp
+           md5(array_to_string((string_split(norm, ' '))[1:8], ' ')) AS prefix_fp,
+           list_reduce(
+               list_transform(string_split(norm, ' '),
+                              t -> ('0x' || substr(md5(t), 1, 7))::BIGINT),
+               (acc, h) -> (acc * 31 + h) % 2147483647
+           ) AS rolling_fp
     FROM (
         SELECT doc_id,
                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm

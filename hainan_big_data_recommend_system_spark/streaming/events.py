@@ -75,6 +75,17 @@ def dispatch_channels(df: DataFrame, mapping: dict[str, str] | None = None) -> D
     return df.withColumn("channel", expr.otherwise(chan))
 
 
+def dedup_events(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup: at-least-once sources (Kafka redelivery,
+    file-source replays) are collapsed to exactly-once rows by ``event_id``
+    within the watermark horizon — state is bounded by
+    (watermark × arrival rate), not stream lifetime.  The streaming face of
+    the batch `dedup_exact` operator."""
+    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def tumbling_counts(
     df: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

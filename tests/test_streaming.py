@@ -155,3 +155,32 @@ def test_stateful_running_profiles(spark, sf_dir, stream_dir, tmp_path):
         assert r["value_cents"] == cents, uid
         assert r["n_types"] == ntypes, uid
         assert r["last_ts"] == last_ts, uid
+
+
+def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
+    """A replayed (duplicated) source must collapse to exactly-once rows."""
+    from hainan_big_data_recommend_system_spark.streaming.events import (
+        dedup_events,
+        read_event_stream,
+    )
+
+    ev = load_table(spark, sf_dir, "events").limit(500)
+    src = str(tmp_path / "dup_events")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    ev.repartition(3).write.mode("append").parquet(src)  # replay every row
+
+    stream = read_event_stream(spark, src, max_files=2)
+    q = (
+        dedup_events(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_dedup"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    ids = [r["event_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "duplicates survived"
+    assert set(ids) == {r["event_id"] for r in ev.collect()}
