@@ -48,6 +48,10 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        # drop persisted intermediates so one query's cache (e.g. ALS
+        # training data, shingle tables) can't squeeze the next query's
+        # executor memory — each timing is an honest cold run
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

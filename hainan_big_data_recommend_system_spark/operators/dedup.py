@@ -48,29 +48,31 @@ def exact_dedup(
 
 
 def shingles(
-    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
+    """Word n-gram shingles per doc: (doc_id, shingle), distinct by default.
+
+    Pass ``distinct=False`` when the consumer collapses duplicates anyway
+    (e.g. a min/max aggregate) — the distinct is a full shuffle of string
+    rows, the single most expensive step of the shingle pipeline.
+    """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 — short docs
     # must yield zero shingles, not bogus ones
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            toks.alias("__toks"),
-            F.explode(idx).alias("__i"),
-        )
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias(
-                "shingle"
-            ),
-        )
-        .distinct()
+    out = docs.select(
+        F.col(id_col).alias("doc_id"),
+        toks.alias("__toks"),
+        F.explode(idx).alias("__i"),
+    ).select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(F.col("__toks"), F.col("__i"), n)).alias(
+            "shingle"
+        ),
     )
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_topk(
@@ -88,11 +90,14 @@ def ngram_jaccard_topk(
     counts, so the Jaccard ratio is deterministic cross-engine.
     """
     # hashed shingle ids (8-byte join key beats strings; 64-bit collision
-    # odds are ~|shingles|²/2⁶⁵ — immaterial) + persist so the
-    # tokenize→shingle→distinct subtree doesn't run for both join sides
+    # odds are ~|shingles|²/2⁶⁵ — immaterial).  Hash BEFORE distinct so the
+    # dedup shuffle moves 16-byte (doc_id, int64) rows, not n-word strings;
+    # persist so the tokenize→shingle→distinct subtree runs once, not for
+    # both join sides + the size aggregate
     sh = (
-        shingles(docs, id_col, text_col, n)
+        shingles(docs, id_col, text_col, n, distinct=False)
         .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .distinct()
         .persist()
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
@@ -168,8 +173,13 @@ def minhash_signatures(
     (the variant hashes are a universal family over the one base hash; at
     16 hashes this is ~16× less hashing and shuffle than seeding md5 per
     (hash_id, shingle)).  Returns one row per (doc_id, hash_id, sig).
+
+    Shingles are NOT pre-deduplicated: ``min`` collapses duplicates for
+    free, so the distinct's full shuffle is pure waste here — the only
+    shuffle in this operator is the final per-doc aggregate (with map-side
+    partial mins, so shuffle volume is |docs|·num_hashes, not |shingles|).
     """
-    sh = shingles(docs, id_col, text_col, shingle_n)
+    sh = shingles(docs, id_col, text_col, shingle_n, distinct=False)
     base = F.conv(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10
     ).cast("long")
