@@ -374,3 +374,40 @@ def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("p_partkey", "p_name", "title_norm")
 
 
+
+
+# ---------------------------------------------------------------------------
+# J1 under skew — salted fact⋈dim join (SURVEY.md §4 "salting for skew").
+# Salting is purely physical: the oracle is the PLAIN join, which is exactly
+# the point — a hot key spread over `salt` tasks must not change one row.
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_hot_parts",
+    """
+    SELECT l.l_partkey, p.p_name,
+           count(*) AS cnt,
+           CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY l.l_partkey, p.p_name
+    ORDER BY cnt DESC, l.l_partkey
+    LIMIT 50
+    """,
+)
+def q_salted_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_name"
+    )
+    joined = salted_join(li, part, "l_partkey", salt=8, how="inner")
+    return (
+        joined.groupBy("l_partkey", "p_name")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("l_partkey"))
+        .limit(50)
+    )
