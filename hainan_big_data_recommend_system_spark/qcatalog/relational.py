@@ -411,3 +411,93 @@ def q_salted_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("l_partkey"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup aggregation (SURVEY.md §2.4 "grouping sets / cube / rollup — not
+# present [in the reference]; free in Spark SQL") — exercised so the family
+# is covered: per-(region, nation) revenue with subtotal and grand-total
+# rows.  NULL group markers match DuckDB's ROLLUP semantics.
+# ---------------------------------------------------------------------------
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT r.r_name, n.n_name,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational set ops (SURVEY.md §2.7 "UNION/INTERSECT/EXCEPT on tables —
+# not present [in the reference]; free in Spark") — nations with customers
+# vs nations with suppliers, all three ops in one tagged result.
+# ---------------------------------------------------------------------------
+
+@register(
+    "nation_set_ops",
+    """
+    WITH cn AS (
+        SELECT DISTINCT n_name FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > 9000
+    ),
+    sn AS (
+        SELECT DISTINCT n_name FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_acctbal > 9000
+    )
+    SELECT 'both' AS op, n_name FROM (SELECT n_name FROM cn INTERSECT SELECT n_name FROM sn)
+    UNION ALL
+    SELECT 'customer_only' AS op, n_name FROM (SELECT n_name FROM cn EXCEPT SELECT n_name FROM sn)
+    UNION ALL
+    SELECT 'supplier_only' AS op, n_name FROM (SELECT n_name FROM sn EXCEPT SELECT n_name FROM cn)
+    """,
+)
+def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    supp = load_table(spark, sf_dir, "supplier").select("s_nationkey", "s_acctbal")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = (
+        cust.filter(F.col("c_acctbal") > 9000)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    sn = (
+        supp.filter(F.col("s_acctbal") > 9000)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .select("n_name")
+        .distinct()
+    )
+    return (
+        cn.intersect(sn).select(F.lit("both").alias("op"), "n_name")
+        .unionAll(cn.subtract(sn).select(F.lit("customer_only").alias("op"), "n_name"))
+        .unionAll(sn.subtract(cn).select(F.lit("supplier_only").alias("op"), "n_name"))
+    )

@@ -99,3 +99,49 @@ def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return session_counts(ev, gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# As-of join (extension surface; SURVEY.md §2.3 lists it as absent in the
+# reference) — for each click, the latest view by the same user at or
+# before it.  Oracle = DuckDB's native ASOF LEFT JOIN; the Spark side is
+# the union+window distributed as-of (operators/asof.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "asof_click_view",
+    """
+    SELECT c.event_id, c.user_id, c.ts AS click_ts,
+           v.ts AS ts_r, v.event_id AS event_id_r,
+           CAST(round(v.value * 100) AS BIGINT) AS view_value_cents
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    """,
+)
+def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.asof import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").alias("click_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="ts",
+        right_payload=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "click_ts",
+        "ts_r",
+        "event_id_r",
+        F.round(F.col("value_r") * 100).cast("bigint").alias("view_value_cents"),
+    )
