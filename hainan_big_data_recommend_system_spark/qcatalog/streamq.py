@@ -145,3 +145,42 @@ def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id_r",
         F.round(F.col("value_r") * 100).cast("bigint").alias("view_value_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval join (extension surface; absent in the reference) — click↔view
+# pairs by the same user within ±30 minutes.  Spark side is the banded
+# equi-join (operators/rangejoin.py: bucket = floor(epoch/tol), replicate
+# one side ×3, exact filter); oracle is DuckDB's plain inequality join —
+# banding must not add or drop a single pair.
+# ---------------------------------------------------------------------------
+
+@register(
+    "interval_click_view",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           v.event_id AS event_id_r, v.ts AS ts_r,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS dt_us
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 1800 * 1000000
+    """,
+)
+def q_interval_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.rangejoin import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    out = interval_join(
+        clicks, views, on="user_id", left_ts="ts", right_ts="ts", tolerance_s=1800
+    )
+    dt = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("ts_r"))
+    return out.select(
+        "event_id", "user_id", "ts", "event_id_r", "ts_r", dt.alias("dt_us")
+    )
