@@ -184,3 +184,58 @@ def test_streaming_dedup_within_watermark(spark, sf_dir, tmp_path):
     ids = [r["event_id"] for r in rows]
     assert len(ids) == len(set(ids)), "duplicates survived"
     assert set(ids) == {r["event_id"] for r in ev.collect()}
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream_dir, tmp_path):
+    """Stream-stream time-range join must emit exactly the batch banded
+    interval join's pairs (streaming/joins.py vs operators/rangejoin.py)."""
+    from hainan_big_data_recommend_system_spark.operators.rangejoin import interval_join
+    from hainan_big_data_recommend_system_spark.streaming.joins import (
+        stream_interval_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    expected = {
+        (r["event_id"], r["event_id_r"])
+        for r in interval_join(
+            clicks_b, views_b, on="user_id", left_ts="ts", right_ts="ts",
+            tolerance_s=1800,
+        ).collect()
+    }
+
+    stream = read_event_stream(spark, stream_dir)
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views_s = stream.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", "ts"
+    )
+    # the stream_dir fixture repartitions RANDOMLY, so each micro-batch file
+    # spans the full ~2-week event range — the watermark must cover that
+    # disorder or later batches' rows are (correctly) dropped as late.  A
+    # production time-ordered stream would use a tight horizon instead.
+    joined = stream_interval_join(
+        clicks_s, views_s, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance_s=1800, watermark="30 days",
+    )
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("ss_interval_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["event_id"], r["event_id_r"])
+        for r in spark.sql("SELECT * FROM ss_interval_out").collect()
+    }
+    assert got == expected
+    assert len(got) > 0
