@@ -184,3 +184,57 @@ def q_interval_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "event_id_r", "ts_r", dt.alias("dt_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling (training-data rebalancing; extension surface).
+# Survival is a pure function of (seed, event_id) via md5 — bit-identical
+# in DuckDB, so the *sampled rows themselves* are oracle-checked, not just
+# the rates.  Retry-safe by construction (O4 determinism rule).
+# ---------------------------------------------------------------------------
+
+_STRATA = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 0.25}
+
+
+@register(
+    "stratified_sample_events",
+    """
+    SELECT event_id, event_type, user_id
+    FROM events
+    WHERE ('0x' || substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+          / 4294967296.0
+          < CASE event_type
+                WHEN 'click' THEN 0.5
+                WHEN 'view' THEN 0.1
+                WHEN 'purchase' THEN 1.0
+                WHEN 'error' THEN 0.25
+                ELSE 0.0
+            END
+    """,
+)
+def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sampling import stratified_sample
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+    return stratified_sample(
+        ev, "event_type", _STRATA, key=F.col("event_id"), seed="42"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates (approx_count_distinct = HyperLogLog++, approximate
+# percentiles) — rows-only: sketch internals are engine-specific by design,
+# so the invariants (≤5% HLL error vs exact, percentile ordering/bounds)
+# are asserted in tests/test_sketches.py instead of a hash match.
+# ---------------------------------------------------------------------------
+
+@register("sketch_event_stats", None)
+def q_sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+    )

@@ -1,0 +1,39 @@
+"""Invariant checks for the sketch aggregates (rows-only catalog entry
+``sketch_event_stats``): HLL++ distinct counts within the configured error
+of exact, approximate percentiles ordered and inside [min, max]."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from hainan_big_data_recommend_system_spark.catalog import load_table
+from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def test_sketch_stats_invariants(spark):
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["sketch_event_stats"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact) and len(got) == 5
+    for et, row in got.items():
+        ex = exact[et]
+        # rsd=0.02 → allow 5x headroom for the small-cardinality regime
+        assert abs(row["approx_users"] - ex["users"]) <= max(3, 0.10 * ex["users"]), (
+            et, row["approx_users"], ex["users"],
+        )
+        p50, p95 = row["value_p50_p95"]
+        assert ex["vmin"] <= p50 <= p95 <= ex["vmax"], (et, p50, p95)
