@@ -501,3 +501,55 @@ def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(cn.subtract(sn).select(F.lit("customer_only").alias("op"), "n_name"))
         .unionAll(sn.subtract(cn).select(F.lit("supplier_only").alias("op"), "n_name"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact 1-D kNN per group (scale path for W2's "top-k most similar within
+# block" when similarity is monotone in a scalar distance — reco_assembly's
+# sim_users stage).  Spark side: sort + banded position join, O(n) shuffle
+# (operators/nn1d.py).  Oracle: the all-pairs window — the band must
+# reproduce it row-for-row, proving no candidate was pruned wrongly.
+# ---------------------------------------------------------------------------
+
+@register(
+    "nearest_balance_neighbors",
+    """
+    SELECT c_mktsegment, c_custkey, neighbor_id, dist_cents,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+        SELECT a.c_mktsegment, a.c_custkey, b.c_custkey AS neighbor_id,
+               CAST(round(abs(a.c_acctbal - b.c_acctbal) * 100) AS BIGINT)
+                   AS dist_cents,
+               row_number() OVER (
+                   PARTITION BY a.c_mktsegment, a.c_custkey
+                   ORDER BY abs(a.c_acctbal - b.c_acctbal), b.c_custkey
+               ) AS rank
+        FROM customer a
+        JOIN customer b
+          ON a.c_mktsegment = b.c_mktsegment AND a.c_custkey <> b.c_custkey
+        WHERE a.c_custkey % 10 = 0
+    )
+    WHERE rank <= 40
+    """,
+)
+def q_nearest_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.nn1d import nearest_neighbors_1d
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_custkey", "c_acctbal"
+    )
+    out = nearest_neighbors_1d(
+        cust,
+        group_col="c_mktsegment",
+        id_col="c_custkey",
+        val_col="c_acctbal",
+        k=40,
+        query_filter=F.col("a_id") % 10 == 0,
+    )
+    return out.select(
+        "c_mktsegment",
+        "c_custkey",
+        "neighbor_id",
+        F.round(F.col("dist") * 100).cast("bigint").alias("dist_cents"),
+        "rank",
+    )
