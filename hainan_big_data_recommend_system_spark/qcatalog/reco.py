@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..operators.hot import hot_items
+from ..operators.nn1d import nearest_neighbors_1d
 from ..operators.scoring import rank_discounted_score
 from ..operators.topk import topk_per_group
 from . import register
@@ -109,32 +110,27 @@ def reco_assembly(
         F.col("l_partkey").alias("pid")
     )
 
-    a = cust.select(
-        F.col("c_custkey").alias("uid"),
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_acctbal").alias("bal_a"),
-    )
-    if uid_mod is not None:
-        a = a.filter(F.col("uid") % uid_mod == 0)
-    b = cust.select(
-        F.col("c_custkey").alias("vid"),
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_acctbal").alias("bal_b"),
-    )
-    pairs = a.join(b, "seg").filter(F.col("uid") != F.col("vid"))
-    absdiff = F.abs(F.col("bal_a") - F.col("bal_b"))
-    sim_users = topk_per_group(
-        pairs.select(
-            "uid",
-            "vid",
-            (1.0 / (1.0 + absdiff / 1000.0)).alias("sim"),
-            absdiff.alias("__d"),
-        ),
-        ["uid"],
-        [F.asc("__d"), F.asc("vid")],
+    # top-40 most-similar users per query user.  sim is monotone in
+    # |Δ acctbal|, so this is exact 1-D kNN — the banded operator replaces
+    # the all-pairs-within-segment window (O(Σ segment²) rows) with an
+    # O(n) sort + position band join; the oracle below still computes the
+    # all-pairs formulation, proving the substitution row-exact.
+    knn = nearest_neighbors_1d(
+        cust,
+        group_col="c_mktsegment",
+        id_col="c_custkey",
+        val_col="c_acctbal",
         k=40,
-        rank_col="urank",
-    ).select("uid", "vid", "sim", "urank")
+        query_filter=(
+            None if uid_mod is None else F.col("a_id") % uid_mod == 0
+        ),
+    )
+    sim_users = knn.select(
+        F.col("c_custkey").alias("uid"),
+        F.col("neighbor_id").alias("vid"),
+        (1.0 / (1.0 + F.col("dist") / 1000.0)).alias("sim"),
+        F.col("rank").alias("urank"),
+    )
 
     contribs = sim_users.join(
         colls.withColumnRenamed("uid", "vid"), "vid", "inner"
