@@ -50,8 +50,12 @@ def main() -> None:
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop persisted intermediates so one query's cache (e.g. ALS
         # training data, shingle tables) can't squeeze the next query's
-        # executor memory — each timing is an honest cold run
+        # executor memory — each timing is an honest cold run.  The forced
+        # GC collects the freed blocks NOW: without it, ML-training garbage
+        # surfaces as a major GC inside a later query's timing (observed as
+        # 3-4x spikes on the queries that happen to follow ALS).
         spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
     print(
