@@ -16,6 +16,7 @@ from ..operators.dedup import (
     ngram_jaccard_topk,
     simhash_fingerprints,
 )
+from ..operators.components import connected_components
 from ..operators.similarity import blocked_cosine_pairs_np
 from . import register
 
@@ -131,6 +132,50 @@ def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
     return lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
+
+
+@register(
+    "dedup_components",
+    _SIGS_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a
+        JOIN buckets b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION ALL
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT u AS node, u AS lbl FROM edges
+        UNION
+        SELECT e.u AS node, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node)
+    SELECT c.node AS doc_id, c.canon AS canon_id, CAST(s.n AS BIGINT) AS csize
+    FROM comp c
+    JOIN (SELECT canon, count(*) AS n FROM comp GROUP BY canon) s USING (canon)
+    """,
+)
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: LSH candidate pairs → connected components →
+    (doc, canonical member, cluster size).  The canonical member (min id
+    reachable) is the survivor a corpus clean keeps; the oracle computes
+    the same closure with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
+    cc = connected_components(pairs, "a_id", "b_id")
+    sizes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("csize"))
+    return cc.join(sizes, "component").select(
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("canon_id"),
+        F.col("csize").cast("long").alias("csize"),
+    )
 
 
 @register(
