@@ -553,3 +553,54 @@ def q_nearest_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dist") * 100).cast("bigint").alias("dist_cents"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot (wide aggregation) — extension beyond the reference's long-form aggs.
+# Spark's `pivot` with an EXPLICIT value list stays a single hash aggregate
+# (one shuffle on the groupBy key, map-side partial aggs per pivot value);
+# omitting the list would add a distinct-values job at 100 TB.
+# ---------------------------------------------------------------------------
+
+@register(
+    "pivot_priority_status_revenue",
+    """
+    SELECT o_orderpriority,
+           CAST(sum(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS f_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS o_cents,
+           CAST(sum(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS p_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pivot_priority_status_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders to one column per status, cents-integerized revenue
+    (per-row round → exact BIGINT sums both engines)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    wide = (
+        orders.withColumn("__cents", cents)
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.sum("__cents").alias("cents"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    # pivot fills cells for absent (priority, status) combos with null
+    # AFTER aggregation — coalesce here, not inside the agg
+    zero = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
+    return wide.select(
+        "o_orderpriority",
+        zero("F_cents").alias("f_cents"),
+        zero("O_cents").alias("o_cents"),
+        zero("P_cents").alias("p_cents"),
+        (zero("F_cnt") + zero("O_cnt") + zero("P_cnt")).alias("n_orders"),
+    )

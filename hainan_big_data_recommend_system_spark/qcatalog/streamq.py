@@ -9,7 +9,7 @@ epoch-bucket / island formulations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..streaming.events import session_counts, sliding_counts, tumbling_counts
@@ -237,4 +237,66 @@ def q_sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact per-group quantiles (percentile_disc semantics) — the oracled exact
+# counterpart to `sketch_event_stats`' approx percentiles.  Rank selection
+# (value at row_number == ceil(p*n)) is pure integer arithmetic over a
+# deterministic sort, so it hash-matches cross-engine where interpolating
+# quantile_cont floats would not.  One shuffle on the group key; at 100 TB
+# per-key quantiles this shape beats a global sort, and the approx sketch
+# (sketch_event_stats) is the single-pass scale path when exactness is
+# negotiable.
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_value_quantiles",
+    """
+    WITH v AS (
+        SELECT event_type, value,
+               row_number() OVER (
+                   PARTITION BY event_type ORDER BY value, event_id
+               ) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+        WHERE value IS NOT NULL
+    )
+    SELECT event_type, pname,
+           CAST(round(value * 100) AS BIGINT) AS q_cents
+    FROM v, (VALUES ('p25', 0.25), ('p50', 0.50), ('p75', 0.75),
+                    ('p95', 0.95)) ps(pname, p)
+    WHERE rn = greatest(1, CAST(ceil(p * n) AS BIGINT))
+    """,
+)
+def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    wc = Window.partitionBy("event_type")
+    v = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    ps = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(nm).alias("pname"), F.lit(p).alias("p"))
+                for nm, p in [("p25", 0.25), ("p50", 0.50), ("p75", 0.75), ("p95", 0.95)]
+            ]
+        )
+    ).alias("ps")
+    return (
+        v.select("event_type", "value", "rn", "n", ps)
+        .filter(
+            F.col("rn")
+            == F.greatest(F.lit(1), F.ceil(F.col("ps.p") * F.col("n")).cast("bigint"))
+        )
+        .select(
+            "event_type",
+            F.col("ps.pname").alias("pname"),
+            F.round(F.col("value") * 100).cast("bigint").alias("q_cents"),
+        )
     )
