@@ -182,3 +182,31 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("content_sha256"),
         F.when(n_bytes >= 1024, "large").otherwise("small").alias("size_class"),
     )
+
+
+@register(
+    "frame_samples",
+    """
+    SELECT doc_id AS media_id,
+           CAST(i AS INT) AS frame_index,
+           CAST(i * 256 AS BIGINT) AS frame_offset_bytes,
+           md5(doc_id || ':' || i) AS frame_digest
+    FROM (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+         LATERAL (SELECT unnest(range(0, greatest(CAST(n // 256 AS INT), 1)))
+                  AS i)
+    """,
+)
+def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing (operators/multimodal.sample_frames)
+    over fake payloads built from document text: one row per sampled
+    offset, md5 digest — deterministic, so even the multimodal explode
+    shape is DuckDB-oracled."""
+    from ..operators.multimodal import sample_frames
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("media_type"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    return sample_frames(media, every_bytes=256)
