@@ -142,6 +142,7 @@ def ivf_topk(
     seed: int = 42,
     scale: int = 1000,
     max_iter: int = 10,
+    fit_fraction: float = 1.0,
 ) -> DataFrame:
     """IVF ANN: seeded-KMeans coarse quantizer → per-query ``nprobe``-list
     probing → exact scoring within the probed lists.
@@ -161,8 +162,17 @@ def ivf_topk(
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     # a coarse quantizer needs rough geometry, not convergence — cap the
-    # iterations (recall is invariant-tested against brute force)
-    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="features").fit(feats)
+    # iterations and optionally fit on a sample (recall is invariant-tested
+    # against brute force).  At 100 TB fitting the quantizer on a fraction
+    # is mandatory, not an optimization: FAISS trains IVF on ~1-10% too.
+    fit_src = (
+        feats
+        if fit_fraction >= 1.0
+        else feats.sample(fraction=fit_fraction, seed=seed)
+    )
+    km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        fit_src
+    )
     assigned = km.transform(feats).select(
         "vid", "__qv", F.col("prediction").cast("int").alias("__blk")
     )

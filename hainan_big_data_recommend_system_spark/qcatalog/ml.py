@@ -201,7 +201,10 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative quantizer → rows-only here; recall-vs-bruteforce invariant
     pinned in tests/test_ml.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2)
+    return ivf_topk(
+        emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2,
+        max_iter=5, fit_fraction=0.25,
+    )
 
 
 @register(

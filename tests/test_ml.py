@@ -58,7 +58,11 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 
     emb = load_table(spark, sf_dir, "embeddings")
     exact = cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5)
-    approx = ivf_topk(emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2)
+    # same hyperparameters as the catalog query (sampled quantizer fit)
+    approx = ivf_topk(
+        emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2,
+        max_iter=5, fit_fraction=0.25,
+    )
 
     assert approx.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
     assert approx.agg(F.max("rn")).collect()[0][0] <= 5
