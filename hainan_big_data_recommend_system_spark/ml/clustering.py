@@ -24,11 +24,16 @@ def fit_kmeans(
     k: int = 10,
     seed: int = 42,
     prediction_col: str = "cluster",
+    max_iter: int = 10,
 ) -> KMeansModel:
+    # the reference runs sklearn with n_init=1 — a single restart, rough
+    # convergence accepted; 10 Lloyd iterations matches that bar and halves
+    # the fit's job count vs the Spark default of 20
     return KMeans(
         k=k,
         seed=seed,
         initMode="k-means||",
+        maxIter=max_iter,
         featuresCol=features_col,
         predictionCol=prediction_col,
     ).fit(df)
