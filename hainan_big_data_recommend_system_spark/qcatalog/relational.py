@@ -604,3 +604,94 @@ def q_pivot_priority_status_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         zero("P_cents").alias("p_cents"),
         (zero("F_cnt") + zero("O_cnt") + zero("P_cnt")).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (all grouping-set combinations) — §2.4 lists cube as absent from the
+# reference and free in Spark; this makes it a tested capability.  grouping()
+# markers disambiguate subtotal nulls from genuine null keys.  One shuffle:
+# Spark expands the grouping sets map-side, so the exchange carries
+# |groups| × 4 rows, not 4 scans.
+# ---------------------------------------------------------------------------
+
+@register(
+    "cube_priority_status",
+    """
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS INT)
+               AS gid,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """,
+)
+def q_cube_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        orders.withColumn("__cents", cents)
+        .cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            (F.grouping("o_orderpriority") * 2 + F.grouping("o_orderstatus"))
+            .cast("int")
+            .alias("gid"),
+            F.sum("__cents").cast("bigint").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Analytic window functions with explicit frames (lead/lag/rowsBetween) —
+# §2.5 marks these absent from the reference; covered here as first-class:
+# per-customer order timeline with deltas, running total, and a 3-row
+# trailing sum.  Single hash Exchange on the partition key; every frame
+# shares one in-partition sort.
+# ---------------------------------------------------------------------------
+
+@register(
+    "order_timeline_analytics",
+    """
+    WITH o AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           cents - lag(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS delta_prev_cents,
+           lead(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) - cents AS delta_next_cents,
+           CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS running_cents,
+           CAST(sum(cents) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS last3_cents
+    FROM o
+    """,
+)
+def q_order_timeline_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.withColumn("__cents", cents).select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("__cents") - F.lag("__cents").over(w)).alias("delta_prev_cents"),
+        (F.lead("__cents").over(w) - F.col("__cents")).alias("delta_next_cents"),
+        F.sum("__cents")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("running_cents"),
+        F.sum("__cents")
+        .over(w.rowsBetween(-2, Window.currentRow))
+        .cast("bigint")
+        .alias("last3_cents"),
+    )
