@@ -1,0 +1,72 @@
+"""Physical-plan regression tests — the PLANS.md evidence, enforced.
+
+A correct result from a bad plan is a silent scale regression: these
+assert the plan *shape* (broadcast vs shuffle, pushdown, no nested loop)
+so a future edit that keeps the oracle green but breaks the 100 TB story
+fails CI.  Plans are inspected pre-execution (the AQE initial plan — the
+shapes asserted here are scale-invariant properties of the logical
+mapping, not runtime choices)."""
+
+from __future__ import annotations
+
+import pytest
+
+import hainan_big_data_recommend_system_spark.qcatalog as qc
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(spark, name: str) -> str:
+    df = qc.REGISTRY[name].fn(spark, SF_DIR)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hot_items_broadcasts_dim_and_takes_ordered(spark):
+    plan = plan_of(spark, "hot_items")
+    # dim join is broadcast (never a 100 TB fact shuffle) and the
+    # orderBy().limit() compiles to per-partition top-k + driver merge
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # the fact scan reads ONE column — projection pushdown reached parquet
+    assert "ReadSchema: struct<l_partkey:bigint>" in plan, plan
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark):
+    plan = plan_of(spark, "pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan, plan
+    # single exchange: the final group-by; partial aggregation is map-side
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_region_revenue_star_join_is_all_broadcast(spark):
+    plan = plan_of(spark, "region_revenue")
+    # supplier->nation->region all broadcast; lineitem streams through with
+    # ZERO pre-join shuffles — the only exchange is the 5-row final agg
+    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_asof_join_is_single_shuffle_no_pairs(spark):
+    plan = plan_of(spark, "asof_click_view")
+    # union+window as-of: one hash exchange, no join node materializing
+    # candidate pairs at all
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_interval_join_is_banded_hash_join_not_nested_loop(spark):
+    plan = plan_of(spark, "interval_click_view")
+    # banding turns |a.ts - b.ts| <= tol into an equi-join on (key, bucket)
+    assert "NestedLoop" not in plan, plan
+    assert plan.count("BroadcastHashJoin") + plan.count("SortMergeJoin") >= 1, plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_exact", "token_counts", "text_quality_stats", "frame_samples"],
+)
+def test_text_pipeline_queries_have_no_python_udfs(spark, name):
+    # the hot text path is JVM-side expressions end-to-end: a row-at-a-time
+    # Python UDF sneaking in would show as BatchEvalPython / ArrowEvalPython
+    plan = plan_of(spark, name)
+    assert "EvalPython" not in plan, plan
