@@ -208,3 +208,64 @@ def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.md5(prefix.cast("binary")).alias("prefix_fp"),
         rolling.alias("rolling_fp"),
     )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 relevance of every document against a fixed term set —
+    (doc_id, score_micros, n_terms).
+
+    Classic Robertson/Sparck-Jones BM25 (idf with +0.5 smoothing, tf
+    saturation k1, length normalization b).  Per-(doc, term) scores are
+    integerized to micros BEFORE the per-doc sum, so the result is exact
+    under any aggregation order — the same cross-engine determinism
+    discipline as tfidf_weights.  All heavy steps are one-shuffle
+    aggregates on (doc, token); the corpus stats (N, avgdl) are a
+    broadcast scalar, and the query-term tf table is tiny because the
+    IN-filter prunes before the groupBy.
+    """
+    t = F.col(text_col)
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(t), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("tok").isin(terms))
+        .groupBy("doc_id", F.col("tok").alias("token"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+
+    joined = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(dfc), "token")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    score = (
+        idf
+        * (F.col("tf") * (k1 + 1.0))
+        / (F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    )
+    term_micros = F.round(score * 1_000_000).cast("bigint")
+    return (
+        joined.select("doc_id", term_micros.alias("__m"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("__m").cast("bigint").alias("score_micros"),
+            F.count(F.lit(1)).alias("n_terms"),
+        )
+    )

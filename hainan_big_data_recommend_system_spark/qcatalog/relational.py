@@ -695,3 +695,31 @@ def q_order_timeline_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("last3_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-text passthrough — ONE SQL string executed verbatim by BOTH engines
+# (spark.sql over registered views; DuckDB as the oracle).  Demonstrates the
+# ANSI-SQL surface of the engine and covers distinct-aggregation (§2.4
+# "not present" in the reference).  Catalyst plans the distinct count as a
+# two-phase expand + partial agg — no driver-side distinct.
+# ---------------------------------------------------------------------------
+
+_SEGMENT_SUMMARY_SQL = """
+    SELECT c.c_mktsegment,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           count(*) AS n_orders,
+           CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+@register("sql_segment_summary", _SEGMENT_SUMMARY_SQL)
+def q_sql_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle string IS the implementation: same text, two engines."""
+    from ..catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SEGMENT_SUMMARY_SQL)

@@ -210,3 +210,45 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").cast("binary").alias("payload"),
     )
     return sample_frames(media, every_bytes=256)
+
+
+@register(
+    "bm25_scores",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, tok
+        FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents
+        )
+        WHERE tok <> ''
+    ),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, tok AS token, count(*) AS tf FROM toks
+        WHERE tok IN ('spark', 'query', 'join')
+        GROUP BY doc_id, tok
+    ),
+    dfc AS (SELECT token, count(*) AS df FROM tf GROUP BY token)
+    SELECT tf.doc_id,
+           CAST(sum(CAST(round(
+               ln(1.0 + (stats.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+               * 1000000) AS BIGINT)) AS BIGINT) AS score_micros,
+           count(*) AS n_terms
+    FROM tf
+    JOIN dl ON tf.doc_id = dl.doc_id
+    JOIN dfc ON tf.token = dfc.token
+    CROSS JOIN stats
+    GROUP BY tf.doc_id
+    """,
+)
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance against a fixed query-term set (k1=1.2, b=0.75);
+    per-term micros integerized before the doc sum — fully oracled."""
+    from ..operators.textstats import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, "doc_id", "text", ["spark", "query", "join"])
