@@ -70,3 +70,27 @@ def test_text_pipeline_queries_have_no_python_udfs(spark, name):
     # Python UDF sneaking in would show as BatchEvalPython / ArrowEvalPython
     plan = plan_of(spark, name)
     assert "EvalPython" not in plan, plan
+
+
+def test_partitioned_scan_prunes_by_date(spark, tmp_path):
+    """S7: a dt-partitioned layout + equality filter must prune at the scan
+    (PartitionFilters), reading one directory, not the full table — the
+    physical mechanism behind the reference's 'yesterday's log' path."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+
+    ev = load_table(spark, SF_DIR, "events").withColumn(
+        "dt", F.date_format("ts", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "events_by_dt")
+    ev.write.partitionBy("dt").mode("overwrite").parquet(path)
+
+    part = spark.read.parquet(path)
+    pick = part.agg(F.max("dt")).collect()[0][0]
+    pruned = part.filter(F.col("dt") == pick)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert f"(dt#" in plan or pick in plan, plan
+    # the filter must NOT appear as a post-scan row filter on dt
+    assert "PushedFilters: [IsNotNull(dt)" not in plan, plan
