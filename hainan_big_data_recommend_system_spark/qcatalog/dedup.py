@@ -233,3 +233,43 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return blocked_cosine_pairs_np(
         emb, "vec_id", "embedding", block_col="label", threshold=0.35, scale=1000
     )
+
+
+@register(
+    "incremental_dedup",
+    """
+    WITH old AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 <> 0
+    ),
+    new AS (
+        SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT n.doc_id,
+           min(o.doc_id) AS dup_of,
+           count(o.doc_id) > 0 AS is_corpus_dup
+    FROM new n LEFT JOIN old o ON n.fp = o.fp
+    GROUP BY n.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup — the operational shape at 100 TB: hash only the
+    NEW batch and join it against the existing corpus's fingerprint index
+    (in production a bucketed table on fp, making this scan-and-merge with
+    no corpus-side shuffle; `sources/bucketing.py`).  Never re-dedups the
+    corpus itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    old = docs.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("old_id"), fp.alias("fp")
+    )
+    new = docs.filter(F.col("doc_id") % 4 == 0).select(
+        "doc_id", fp.alias("fp")
+    )
+    return (
+        new.join(old, "fp", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.min("old_id").alias("dup_of"),
+            (F.count("old_id") > 0).alias("is_corpus_dup"),
+        )
+    )

@@ -300,3 +300,58 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("value") * 100).cast("bigint").alias("q_cents"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization — the relational counterpart to the streaming
+# session window (`session_event_counts`): a new session starts after a
+# >30 min silence.  lag + running sum over one per-user sort; gap math on
+# integer epoch-micros so the session boundaries hash-match cross-engine.
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionized_events",
+    """
+    WITH e AS (
+        SELECT user_id, event_id, epoch_us(ts) AS us
+        FROM events
+    ),
+    marks AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN us - lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                    ) > 1800000000
+                    OR lag(us) OVER (
+                        PARTITION BY user_id ORDER BY us, event_id
+                    ) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM e
+    )
+    SELECT user_id, event_id,
+           CAST(sum(is_new) OVER (
+               PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS session_seq
+    FROM marks
+    """,
+)
+def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gap = F.col("us") - F.lag("us").over(w)
+    marks = ev.select(
+        "user_id", "event_id", F.unix_micros("ts").alias("us")
+    ).withColumn(
+        "is_new",
+        F.when(
+            (gap > 1_800_000_000) | F.lag("us").over(w).isNull(), 1
+        ).otherwise(0),
+    )
+    return marks.select(
+        "user_id",
+        "event_id",
+        F.sum("is_new")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("session_seq"),
+    )
