@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Scale-slope probe: replicate the sf0.1 tables 10x (ids offset so keys
+stay unique and join fan-outs stay realistic) and time a representative
+subset of the catalog at both scales.  A query whose time grows ~10x is
+linear (shuffle/scan bound); sub-linear growth means the sf0.1 number is
+fixed-overhead dominated; super-linear growth is the red flag the probe
+exists to catch (a pair blowup or skew collapse that small-SF testing
+hides).
+
+Writes replicas under .scale_tmp/ (gitignored); results go to stdout as
+one JSON line.  Findings are recorded in PLANS.md §10.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from hainan_big_data_recommend_system_spark.catalog import TABLES, load_table  # noqa: E402
+from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY  # noqa: E402
+from hainan_big_data_recommend_system_spark.session import get_spark  # noqa: E402
+
+BASE = "/root/testdata/sf0.1"
+OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".scale_tmp", "sf1")
+FACTOR = 10
+
+# id columns to offset per table so replicas don't collide (foreign keys
+# offset consistently, so join cardinality per key is preserved)
+ID_COLS = {
+    "customer": ["c_custkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "supplier": ["s_suppkey"],
+    "part": [],       # dims joined by every replica — keep as-is
+    "nation": [],
+    "region": [],
+}
+
+QUERIES = [
+    "hot_items",
+    "pricing_summary",
+    "sessionized_events",
+    "interval_click_view",
+    "minhash_lsh_buckets",
+    "dedup_components",
+    "token_counts",
+    "sql_segment_summary",
+]
+
+
+def build_replicas(spark) -> None:
+    os.makedirs(OUT, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(OUT, f"{t}.parquet")
+        if os.path.exists(dst):
+            continue
+        df = load_table(spark, BASE, t)
+        ids = ID_COLS.get(t, [])
+        if not ids:
+            df.write.mode("overwrite").parquet(dst)
+            continue
+        span = 10_000_000_000
+        parts = []
+        for r in range(FACTOR):
+            rep = df
+            for c in ids:
+                rep = rep.withColumn(c, F.col(c) + F.lit(r * span))
+            parts.append(rep)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    spark = get_spark(app_name="scale_probe")
+    build_replicas(spark)
+    results = {}
+    for name in QUERIES:
+        row = {}
+        for label, sf_dir in [("sf0.1", BASE), ("sf1", OUT)]:
+            t0 = time.perf_counter()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            row[label] = round(time.perf_counter() - t0, 2)
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        row["slope"] = round(row["sf1"] / row["sf0.1"], 2)
+        results[name] = row
+        print(f"# {name}: {row}", file=sys.stderr)
+    print(json.dumps(results))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
