@@ -279,3 +279,54 @@ def simhash_fingerprints(
         term = F.when(F.col(f"s{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0))
         fp = term if fp is None else fp + term
     return agg.select("doc_id", fp.cast("long").alias("simhash"))
+
+
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidate pairs — the stage between
+    candidate generation and clustering in a production dedup pipeline.
+
+    LSH buckets admit false positives by design; verification computes the
+    TRUE n-gram Jaccard, but ONLY for the |candidates| pairs, never the
+    posting-join blowup (work ∝ Σ candidate shingles, not Σ df²).  Returns
+    (a_id, b_id, jaccard) for pairs clearing ``threshold`` — integer
+    intersection/union counts, so the ratio is deterministic cross-engine.
+    """
+    sh = (
+        shingles(docs, id_col, text_col, n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a_sh = sh.select(F.col("doc_id").alias("a_id"), "__sh")
+    b_sh = sh.select(F.col("doc_id").alias("b_id"), "__sh")
+    inter = (
+        pairs.join(a_sh, "a_id")
+        .join(b_sh, ["b_id", "__sh"])
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    return (
+        inter.join(sa, "a_id")
+        .join(sb, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(
+                F.col("n_inter")
+                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

@@ -273,3 +273,42 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("old_id") > 0).alias("is_corpus_dup"),
         )
     )
+
+
+@register(
+    "minhash_verified_pairs",
+    _SIGS_SQL
+    + """,
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a
+        JOIN buckets b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+        GROUP BY p.a_id, p.b_id
+    )
+    SELECT a_id, b_id,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = a_id
+    JOIN sizes sb ON sb.doc_id = b_id
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    """,
+)
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by exact Jaccard (threshold 0.5) — kills the
+    false positives banding admits, at |candidates| cost rather than the
+    posting-join blowup."""
+    from ..operators.dedup import verify_candidate_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, "doc_id", "text", num_hashes=16, shingle_n=3)
+    pairs = lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
+    return verify_candidate_pairs(docs, pairs, "doc_id", "text", n=3, threshold=0.5)
