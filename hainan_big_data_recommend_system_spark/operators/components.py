@@ -38,6 +38,28 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+# two large primes for the convergence signatures: raw sums of 64-bit-hash
+# node ids overflow long (ANSI mode throws), and a single modded sum has a
+# ~1e-9 per-round collision chance of stopping early with a silently wrong
+# answer; requiring BOTH mod-sums (plus the count) to repeat pushes that
+# below ~1e-18 — labels only ever decrease, so a false "no change" needs a
+# total decrease that is simultaneously ≡0 mod both primes
+_P1 = 1_000_000_007
+_P2 = 998_244_353
+
+
+def _label_sig(labels: DataFrame) -> tuple:
+    row = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.pmod(F.col("component"), F.lit(_P1))), F.lit(0)).alias(
+            "h1"
+        ),
+        F.coalesce(F.sum(F.pmod(F.col("component"), F.lit(_P2))), F.lit(0)).alias(
+            "h2"
+        ),
+    ).collect()[0]
+    return row["n"], row["h1"], row["h2"]
+
 
 def connected_components(
     edges: DataFrame,
@@ -69,7 +91,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint(eager=False)
     )
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    prev_sig = _label_sig(labels)
 
     for _ in range(max_rounds):
         neighbor_min = (
@@ -83,10 +105,10 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("component")).collect()[0][0]
-        if cur_sum == prev_sum:
+        cur_sig = _label_sig(labels)
+        if cur_sig == prev_sig:
             return labels
-        prev_sum = cur_sum
+        prev_sig = cur_sig
 
     raise RuntimeError(
         f"connected_components did not converge in {max_rounds} rounds; "
@@ -120,33 +142,36 @@ def connected_components_star(
     detected when the canonical edge multiset stops changing (compared by
     count + xxhash sum — both order-insensitive).
     """
+    raw = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    # nodes are collected BEFORE dropping self-loops so a node appearing
+    # only as (x, x) still comes back as its own singleton component —
+    # matching connected_components' semantics exactly
+    all_nodes = (
+        raw.select(F.col("u").alias("node"))
+        .union(raw.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+        raw.filter(F.col("u") != F.col("v"))
         .select(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
         .localCheckpoint()
     )
-    all_nodes = (
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
 
-    def sig(df: DataFrame) -> tuple[int, int]:
-        # mod before summing: ANSI mode rejects long overflow, and a sum of
-        # raw xxhash64 values overflows after a handful of rows
+    def sig(df: DataFrame) -> tuple:
+        # mod before summing (ANSI mode rejects long overflow on raw
+        # xxhash64 sums); two independent primes so an edge-set collision
+        # can't silently stop the loop pre-star (see _label_sig)
+        h = F.xxhash64("u", "v")
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(
-                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))),
-                F.lit(0),
-            ).alias("h"),
+            F.coalesce(F.sum(F.pmod(h, F.lit(_P1))), F.lit(0)).alias("h1"),
+            F.coalesce(F.sum(F.pmod(h, F.lit(_P2))), F.lit(0)).alias("h2"),
         ).collect()[0]
-        return row["n"], row["h"]
+        return row["n"], row["h1"], row["h2"]
 
     prev = sig(e)
     for _ in range(max_rounds):

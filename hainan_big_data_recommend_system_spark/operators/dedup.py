@@ -316,17 +316,13 @@ def verify_candidate_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
+    # threshold on the RAW ratio (rounding is output formatting only —
+    # filtering the rounded value would admit pairs the oracle's unrounded
+    # WHERE clause rejects near the boundary)
+    jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
-        .select(
-            "a_id",
-            "b_id",
-            F.round(
-                F.col("n_inter")
-                / (F.col("a_n") + F.col("b_n") - F.col("n_inter")),
-                6,
-            ).alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(jac >= threshold)
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
     )

@@ -575,7 +575,8 @@ def q_nearest_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN o_orderstatus = 'P'
                          THEN CAST(round(o_totalprice * 100) AS BIGINT)
                          ELSE 0 END) AS BIGINT) AS p_cents,
-           count(*) AS n_orders
+           CAST(sum(CASE WHEN o_orderstatus IN ('F', 'O', 'P')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_orders
     FROM orders
     GROUP BY o_orderpriority
     """,
@@ -595,7 +596,9 @@ def q_pivot_priority_status_revenue(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     # pivot fills cells for absent (priority, status) combos with null
-    # AFTER aggregation — coalesce here, not inside the agg
+    # AFTER aggregation — coalesce here, not inside the agg.  n_orders
+    # counts orders in the PIVOTED statuses (both sides agree even if a
+    # status outside the explicit value list ever appears).
     zero = lambda c: F.coalesce(F.col(c), F.lit(0))  # noqa: E731
     return wide.select(
         "o_orderpriority",
@@ -718,8 +721,10 @@ _SEGMENT_SUMMARY_SQL = """
 
 @register("sql_segment_summary", _SEGMENT_SUMMARY_SQL)
 def q_sql_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The oracle string IS the implementation: same text, two engines."""
-    from ..catalog import register_views
-
-    register_views(spark, sf_dir)
+    """The oracle string IS the implementation: same text, two engines.
+    Only the referenced tables are registered — re-registering all ten
+    (incl. the events nanos conversion path) would bill this query for
+    eight tables it never reads."""
+    for t in ("customer", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SEGMENT_SUMMARY_SQL)

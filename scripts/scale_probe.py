@@ -39,8 +39,11 @@ ID_COLS = {
     "events": ["event_id", "user_id"],
     "documents": ["doc_id"],
     "embeddings": ["vec_id"],
-    "supplier": ["s_suppkey"],
-    "part": [],       # dims joined by every replica — keep as-is
+    # dims joined by every replica stay as-is: offsetting supplier without
+    # also offsetting lineitem.l_suppkey would leave 9 replicas dangling
+    # and corrupt the join fan-out the probe is supposed to preserve
+    "supplier": [],
+    "part": [],
     "nation": [],
     "region": [],
 }

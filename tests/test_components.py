@@ -62,6 +62,17 @@ def test_direction_and_duplicate_edges_irrelevant(spark):
     assert _cc_dict(e1) == {1: 1, 2: 1, 3: 1}
 
 
+def test_self_loop_only_nodes_are_singletons_in_both(spark):
+    edges = spark.createDataFrame([(7, 7), (1, 2)], ["a_id", "b_id"])
+    prop = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    star = {
+        r["node"]: r["component"]
+        for r in connected_components_star(edges).collect()
+    }
+    assert prop == {7: 7, 1: 1, 2: 1}
+    assert star == {7: 7, 1: 1, 2: 1}
+
+
 def test_star_long_chain_converges_fast(spark):
     # diameter 39 — propagation would need ~39 rounds; large-star/small-star
     # collapses it in O(log^2 n)
