@@ -134,3 +134,68 @@ def sample_frames(media: DataFrame, every_bytes: int = 1 << 16) -> DataFrame:
             ).alias("frame_digest"),
         )
     )
+
+
+RESIZED_SCHEMA = (
+    "media_id long, src_width int, src_height int, "
+    "dst_width int, dst_height int, resized binary, resize_digest string"
+)
+
+
+def _fake_resize(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """Deterministic fake resize: stride-sample the payload down to
+    dst_w*dst_h bytes (stands in for pixel resampling; same payload and
+    target dims → same bytes, any engine, any retry)."""
+    target = max(dst_w * dst_h, 1)
+    if len(payload) <= target:
+        return payload
+    stride = len(payload) // target
+    return payload[::stride][:target]
+
+
+def resize_images(
+    media: DataFrame,
+    dst_w: int = 64,
+    dst_h: int = 64,
+    use_real_decoder: bool = False,
+) -> DataFrame:
+    """Resize plumbing over Arrow batches (``mapInPandas``), kernel stubbed
+    like :func:`decode_image_features`.
+
+    The Spark-side contract is the real deliverable: binary-in/binary-out
+    schema, Arrow batch streaming (peak memory = one batch, not one
+    partition), repartition by ``media_id`` so a skewed ingest layout
+    doesn't serialize the work, and a digest column so downstream dedup
+    can run on resized outputs without re-reading payloads.
+    """
+    import hashlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = bytes(r["payload"])
+                if use_real_decoder:
+                    _try_real_decode(payload)
+                w, h, _, _ = _fake_decode(payload)
+                out = _fake_resize(payload, dst_w, dst_h)
+                rows.append(
+                    {
+                        "media_id": r["media_id"],
+                        "src_width": w,
+                        "src_height": h,
+                        "dst_width": dst_w,
+                        "dst_height": dst_h,
+                        "resized": out,
+                        "resize_digest": hashlib.md5(out).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return (
+        media.filter(F.col("media_type") == "image")
+        .repartition("media_id")
+        .mapInPandas(batches, schema=RESIZED_SCHEMA)
+    )

@@ -66,3 +66,26 @@ def test_frame_sampling(spark, media):
         idxs = sorted(f["frame_index"] for f in fr)
         assert idxs == list(range(len(idxs)))  # dense frame indexes
         assert all(f["frame_offset_bytes"] == f["frame_index"] * 128 for f in fr)
+
+
+def test_resize_schema_and_determinism(spark, media):
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        resize_images,
+    )
+
+    out = resize_images(media, dst_w=8, dst_h=8)
+    assert out.schema.simpleString() == (
+        "struct<media_id:bigint,src_width:int,src_height:int,"
+        "dst_width:int,dst_height:int,resized:binary,resize_digest:string>"
+    )
+    rows = {r["media_id"]: r for r in out.collect()}
+    # only images pass through, every resized payload fits the target
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert len(rows) == n_images
+    assert all(len(bytes(r["resized"])) <= 64 for r in rows.values())
+    # deterministic: a second run yields identical digests
+    again = {
+        r["media_id"]: r["resize_digest"]
+        for r in resize_images(media, dst_w=8, dst_h=8).collect()
+    }
+    assert again == {k: r["resize_digest"] for k, r in rows.items()}
