@@ -6,12 +6,16 @@ files, called in none), so the engine's live tokenization is whitespace
 split (functions/text.py); this module implements the declared intent as
 an optional, gated operator.
 
-jieba is not in this container: the Pandas UDF tries to import it per
-executor and falls back to a deterministic unicode-script splitter (CJK
-runs become single-char tokens — jieba full-mode's degenerate behavior
-without a dictionary; latin/digit runs split on boundaries).  The UDF
-signature, Arrow batching, and the reference's token filter are the
-tested contract either way.
+jieba is not in this container: the import is attempted ONCE at module
+load (each executor interpreter imports this module once when the UDF is
+deserialized — no per-batch import/path-scan cost), falling back to a
+deterministic script-run splitter: latin/digit runs are kept whole, and
+CJK runs emit character BIGRAMS — the standard dictionary-free CJK
+tokenization, and the only fallback whose output survives the
+reference's len>=2 filter (a single-char-per-CJK-codepoint fallback
+would be filtered to nothing for exactly the language this operator
+exists to handle).  The UDF signature, Arrow batching, and the token
+filter are the tested contract either way.
 """
 
 from __future__ import annotations
@@ -20,28 +24,41 @@ import re
 
 from pyspark.sql import Column, functions as F, types as T
 
-_SCRIPT_RE = re.compile(
-    r"[一-鿿]|[A-Za-z]+|[0-9]+", re.UNICODE
-)
+try:  # once per interpreter, driver and executors alike
+    import jieba as _jieba  # type: ignore
+except ImportError:  # pragma: no cover - env-dependent
+    _jieba = None
+
+_RUN_RE = re.compile(r"([一-鿿]+)|([A-Za-z]+)|([0-9]+)")
 
 
 def _fallback_cut(text: str) -> list[str]:
-    return _SCRIPT_RE.findall(text or "")
+    out: list[str] = []
+    for m in _RUN_RE.finditer(text or ""):
+        cjk, lat, dig = m.groups()
+        if cjk:
+            if len(cjk) == 1:
+                out.append(cjk)  # filtered below, same as jieba's singles
+            else:
+                out.extend(cjk[i : i + 2] for i in range(len(cjk) - 1))
+        else:
+            out.append(lat or dig)
+    return out
 
 
 @F.pandas_udf(T.ArrayType(T.StringType()))
 def segment_words(texts):
-    """Per-batch segmentation: jieba if available, unicode-script fallback
-    otherwise.  Applies the reference's filter (len>=2, not all-digits) —
-    `simility_books.py:14`."""
+    """Per-batch segmentation: jieba full-mode if available, script-run
+    bigram fallback otherwise.  Applies the reference's filter (len>=2,
+    not all-digits) — `simility_books.py:14`."""
     import pandas as pd
 
-    try:
-        import jieba  # type: ignore
+    if _jieba is not None:  # pragma: no cover - env-dependent
 
         def cut(t):
-            return [w for w in jieba.cut(t or "", cut_all=True)]
-    except ImportError:
+            return list(_jieba.cut(t or "", cut_all=True))
+
+    else:
         cut = _fallback_cut
 
     def keep(ws):

@@ -53,29 +53,36 @@ def _try_real_decode(payload: bytes):  # pragma: no cover - env-dependent
         )
 
 
+def _fake_dims(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic fake dimensions from payload length alone — O(1)."""
+    n = len(payload)
+    return 16 + (n % 64), 16 + ((n // 64) % 64), 3
+
+
 def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     """Deterministic fake decode keyed on payload bytes: stable dims and an
     8-dim 'feature' vector from the byte histogram (stands in for a real
     CNN embedding; same payload → same features, any engine, any retry)."""
-    n = len(payload)
-    width = 16 + (n % 64)
-    height = 16 + ((n // 64) % 64)
+    width, height, channels = _fake_dims(payload)
     hist = [0.0] * 8
     for b in payload[:4096]:
         hist[b & 7] += 1.0
     total = sum(hist) or 1.0
-    return width, height, 3, [h / total for h in hist]
+    return width, height, channels, [h / total for h in hist]
 
 
-def decode_image_features(
-    media: DataFrame, use_real_decoder: bool = False
+def _map_media_rows(
+    media: DataFrame,
+    row_fn,
+    schema: str,
+    media_type: str | None = None,
+    use_real_decoder: bool = False,
 ) -> DataFrame:
-    """Decode + feature-extract over Arrow batches (``mapInPandas``).
-
-    The output schema is fixed and engine-checkable; only the kernel is a
-    stub.  Repartitions by ``media_id`` first so a skewed source layout
-    (e.g. one parquet file per ingest day) doesn't serialize the decode.
-    """
+    """Shared Arrow-batch skeleton for per-payload kernels: optional
+    media-type filter, repartition by ``media_id`` (a skewed ingest layout
+    must not serialize the work), ``mapInPandas`` streaming (peak memory =
+    one batch), and the real-decoder gate.  ``row_fn(media_id, payload,
+    row) -> dict`` supplies the kernel output per row."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -85,23 +92,39 @@ def decode_image_features(
                 payload = bytes(r["payload"])
                 if use_real_decoder:
                     _try_real_decode(payload)
-                w, h, c, feats = _fake_decode(payload)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "media_type": r["media_type"],
-                        "n_bytes": len(payload),
-                        "width": w,
-                        "height": h,
-                        "channels": c,
-                        "features": feats,
-                    }
-                )
+                rows.append(row_fn(r["media_id"], payload, r))
             yield pd.DataFrame(rows)
 
-    return (
-        media.repartition("media_id")
-        .mapInPandas(batches, schema=IMAGE_FEATURES_SCHEMA)
+    src = media
+    if media_type is not None:
+        src = src.filter(F.col("media_type") == media_type)
+    return src.repartition("media_id").mapInPandas(batches, schema=schema)
+
+
+def decode_image_features(
+    media: DataFrame, use_real_decoder: bool = False
+) -> DataFrame:
+    """Decode + feature-extract over Arrow batches (``mapInPandas``).
+
+    The output schema is fixed and engine-checkable; only the kernel is a
+    stub.  Plumbing (filter/repartition/Arrow batches) lives in
+    :func:`_map_media_rows`.
+    """
+
+    def row_fn(media_id, payload, r):
+        w, h, c, feats = _fake_decode(payload)
+        return {
+            "media_id": media_id,
+            "media_type": r["media_type"],
+            "n_bytes": len(payload),
+            "width": w,
+            "height": h,
+            "channels": c,
+            "features": feats,
+        }
+
+    return _map_media_rows(
+        media, row_fn, IMAGE_FEATURES_SCHEMA, use_real_decoder=use_real_decoder
     )
 
 
@@ -163,39 +186,29 @@ def resize_images(
     like :func:`decode_image_features`.
 
     The Spark-side contract is the real deliverable: binary-in/binary-out
-    schema, Arrow batch streaming (peak memory = one batch, not one
-    partition), repartition by ``media_id`` so a skewed ingest layout
-    doesn't serialize the work, and a digest column so downstream dedup
-    can run on resized outputs without re-reading payloads.
+    schema, Arrow batch streaming, skew-safe repartition (shared skeleton
+    :func:`_map_media_rows`), and a digest column so downstream dedup can
+    run on resized outputs without re-reading payloads.
     """
     import hashlib
 
-    import pandas as pd
+    def row_fn(media_id, payload, r):
+        w, h, _ = _fake_dims(payload)
+        out = _fake_resize(payload, dst_w, dst_h)
+        return {
+            "media_id": media_id,
+            "src_width": w,
+            "src_height": h,
+            "dst_width": dst_w,
+            "dst_height": dst_h,
+            "resized": out,
+            "resize_digest": hashlib.md5(out).hexdigest(),
+        }
 
-    def batches(it):
-        for pdf in it:
-            rows = []
-            for _, r in pdf.iterrows():
-                payload = bytes(r["payload"])
-                if use_real_decoder:
-                    _try_real_decode(payload)
-                w, h, _, _ = _fake_decode(payload)
-                out = _fake_resize(payload, dst_w, dst_h)
-                rows.append(
-                    {
-                        "media_id": r["media_id"],
-                        "src_width": w,
-                        "src_height": h,
-                        "dst_width": dst_w,
-                        "dst_height": dst_h,
-                        "resized": out,
-                        "resize_digest": hashlib.md5(out).hexdigest(),
-                    }
-                )
-            yield pd.DataFrame(rows)
-
-    return (
-        media.filter(F.col("media_type") == "image")
-        .repartition("media_id")
-        .mapInPandas(batches, schema=RESIZED_SCHEMA)
+    return _map_media_rows(
+        media,
+        row_fn,
+        RESIZED_SCHEMA,
+        media_type="image",
+        use_real_decoder=use_real_decoder,
     )
