@@ -228,6 +228,9 @@ def q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # percentiles) — rows-only: sketch internals are engine-specific by design,
 # so the invariants (≤5% HLL error vs exact, percentile ordering/bounds)
 # are asserted in tests/test_sketches.py instead of a hash match.
+# Scalar columns only: the driver's rows-only canonicalizer sorts a pandas
+# frame over every column and dies on array cells, so the two percentiles
+# come back as separate p50/p95 doubles, never one array<double>.
 # ---------------------------------------------------------------------------
 
 @register("sketch_event_stats", None)
@@ -236,7 +239,8 @@ def q_sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+        F.percentile_approx("value", 0.5, 10_000).alias("value_p50"),
+        F.percentile_approx("value", 0.95, 10_000).alias("value_p95"),
     )
 
 

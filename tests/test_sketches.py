@@ -35,5 +35,13 @@ def test_sketch_stats_invariants(spark):
         assert abs(row["approx_users"] - ex["users"]) <= max(3, 0.10 * ex["users"]), (
             et, row["approx_users"], ex["users"],
         )
-        p50, p95 = row["value_p50_p95"]
+        p50, p95 = row["value_p50"], row["value_p95"]
         assert ex["vmin"] <= p50 <= p95 <= ex["vmax"], (et, p50, p95)
+
+
+def test_sketch_stats_scalar_columns_only(spark):
+    """Driver-canonicalizer contract: no array/map/struct columns in any
+    catalog result (pandas sort_values crashes on unhashable cells)."""
+    df = REGISTRY["sketch_event_stats"].fn(spark, SF_DIR)
+    for f in df.schema.fields:
+        assert f.dataType.typeName() not in ("array", "map", "struct"), f.name
