@@ -9,8 +9,11 @@ Physical strategy — the standard distributed as-of, NOT a range join:
    left = 1, so an exact-tie right row sorts BEFORE the left row → the
    match is inclusive, matching ``ON right.ts <= left.ts``);
 2. one hash Exchange on the key columns; within each partition sort by
-   (ts, side, tiebreak) — this is the only shuffle, and it's the same one
-   ANY per-key operator needs;
+   (ts, side, payload) — this is the only shuffle, and it's the same one
+   ANY per-key operator needs.  The payload struct is the tiebreak: among
+   right rows sharing (key, ts) the GREATEST payload struct wins
+   (lexicographic over (right_ts, *right_payload)), so the match is a
+   defined row, not whichever one the shuffle happened to order last;
 3. ``last(right_payload, ignorenulls=True)`` over rows UNBOUNDED PRECEDING
    → CURRENT ROW carries the latest right row forward; left rows read it,
    right rows are dropped.
@@ -63,9 +66,13 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
 
+    # "__r" as the final sort key makes the carry deterministic: right rows
+    # tied on (key, ts) sort by payload struct, and F.last picks the
+    # greatest one.  Left rows (side=1) sort after every tied right row
+    # regardless, and their null "__r" is skipped by ignorenulls.
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
+        .orderBy("__ts", "__side", "__r")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = (

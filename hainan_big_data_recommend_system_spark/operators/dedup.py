@@ -75,6 +75,25 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+def hashed_shingles(
+    docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Distinct hashed shingles ``(doc_id, __sh)`` — the shared input of the
+    Jaccard / verification stages.
+
+    Hashed BEFORE the distinct so the dedup shuffle moves 16-byte
+    (doc_id, int64) rows, not n-word strings (8-byte join keys beat strings;
+    64-bit collision odds are ~|shingles|²/2⁶⁵ — immaterial).  Callers that
+    feed several operators from one shingle set should stage this to a table
+    once (qcatalog.dedup staged tables) instead of recomputing per operator.
+    """
+    return (
+        shingles(docs, id_col, text_col, n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_topk(
     docs: DataFrame,
     id_col: str,
@@ -83,22 +102,24 @@ def ngram_jaccard_topk(
     k: int = 5,
     query_filter: Column | None = None,
     threshold: float = 0.0,
+    shingle_src: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard top-k neighbors per query doc.
 
     |A∩B| from the shingle posting join; |A∪B| = |A|+|B|−|A∩B| — all integer
     counts, so the Jaccard ratio is deterministic cross-engine.
+
+    ``shingle_src`` (a :func:`hashed_shingles` relation, e.g. a staged
+    table) skips the in-query shingle build.  Without it the shingle
+    subtree is ``localCheckpoint``-materialized — it feeds both join sides
+    plus the size aggregate, and unlike ``persist`` the checkpoint blocks
+    are reclaimed by the ContextCleaner once the query's DataFrames go out
+    of scope, so catalog-style many-query sessions don't accumulate cache.
     """
-    # hashed shingle ids (8-byte join key beats strings; 64-bit collision
-    # odds are ~|shingles|²/2⁶⁵ — immaterial).  Hash BEFORE distinct so the
-    # dedup shuffle moves 16-byte (doc_id, int64) rows, not n-word strings;
-    # persist so the tokenize→shingle→distinct subtree runs once, not for
-    # both join sides + the size aggregate
     sh = (
-        shingles(docs, id_col, text_col, n, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
-        .distinct()
-        .persist()
+        shingle_src
+        if shingle_src is not None
+        else hashed_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -288,6 +309,7 @@ def verify_candidate_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
+    shingle_src: DataFrame | None = None,
 ) -> DataFrame:
     """Exact-Jaccard verification of LSH candidate pairs — the stage between
     candidate generation and clustering in a production dedup pipeline.
@@ -297,12 +319,14 @@ def verify_candidate_pairs(
     posting-join blowup (work ∝ Σ candidate shingles, not Σ df²).  Returns
     (a_id, b_id, jaccard) for pairs clearing ``threshold`` — integer
     intersection/union counts, so the ratio is deterministic cross-engine.
+
+    ``shingle_src`` / checkpoint discipline: same as
+    :func:`ngram_jaccard_topk` (no leaked cache entries).
     """
     sh = (
-        shingles(docs, id_col, text_col, n, distinct=False)
-        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
-        .distinct()
-        .persist()
+        shingle_src
+        if shingle_src is not None
+        else hashed_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 

@@ -34,9 +34,13 @@ def hot_items(
     if dim is not None:
         dk = dim_key or item_key
         cols = dim_cols or [c for c in dim.columns if c != dk]
+        dim_sel = F.broadcast(dim.select(dk, *cols))
+        # drop the fact-side key by Column reference, not by name: when a
+        # caller passes dim_key == item_key a name-based drop would remove
+        # BOTH key columns and break the orderBy below
         counts = counts.join(
-            F.broadcast(dim.select(dk, *cols)), counts[item_key] == dim[dk], "inner"
-        ).drop(item_key)
+            dim_sel, counts[item_key] == dim_sel[dk], "inner"
+        ).drop(counts[item_key])
         key_out = dk
     else:
         key_out = item_key

@@ -59,20 +59,20 @@ def dispatch_channels(df: DataFrame, mapping: dict[str, str] | None = None) -> D
     """T5: map event types onto the reference's three trigger channels.
     One streaming job with an ``event_type`` dispatch column, not three
     processes (SURVEY.md §2.10)."""
-    mapping = mapping or {
-        "click": "u_like",
-        "purchase": "u_like",
-        "error": "u_nlike",
-        "signup": "u_first_select",
-        "view": "u_like",
-    }
-    chan = F.lit(None).cast("string")
-    expr = None
+    if mapping is None:  # `or` would silently swap {} for the default
+        mapping = {
+            "click": "u_like",
+            "purchase": "u_like",
+            "error": "u_nlike",
+            "signup": "u_first_select",
+            "view": "u_like",
+        }
+    # fold over a null base so an explicitly-empty mapping degrades to
+    # channel = NULL instead of crashing on a None .otherwise chain
+    expr = F.lit(None).cast("string")
     for k, v in mapping.items():
-        expr = F.when(F.col("event_type") == k, v) if expr is None else expr.when(
-            F.col("event_type") == k, v
-        )
-    return df.withColumn("channel", expr.otherwise(chan))
+        expr = F.when(F.col("event_type") == k, v).otherwise(expr)
+    return df.withColumn("channel", expr)
 
 
 def dedup_events(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
