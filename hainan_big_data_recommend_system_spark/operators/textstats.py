@@ -29,12 +29,9 @@ def _count_matches(text: Column, char_class: str) -> Column:
     return F.length(text) - F.length(F.regexp_replace(text, char_class, ""))
 
 
-def text_quality_stats(
-    docs: DataFrame, id_col: str, text_col: str
-) -> DataFrame:
-    """Quality-scoring features: lengths, token counts, punct/digit/space
-    ratios (micro-scaled ints for exact cross-engine compare)."""
-    t = F.col(text_col)
+def _quality_cols(t: Column) -> list[Column]:
+    """The quality-feature expressions, shared by :func:`text_quality_stats`
+    and the single-pass :func:`text_profile`."""
     toks = F.split(F.trim(t), r"\s+")
     n_chars = F.length(t).cast("bigint")
     n_tokens = F.size(toks).cast("bigint")
@@ -44,8 +41,7 @@ def text_quality_stats(
     ratio = lambda num: F.round(num * 1000000 / F.greatest(n_chars, F.lit(1))).cast(
         "bigint"
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         F.round(
@@ -54,6 +50,16 @@ def text_quality_stats(
         ratio(n_punct).alias("punct_ratio_micros"),
         ratio(n_digit).alias("digit_ratio_micros"),
         ratio(n_space).alias("space_ratio_micros"),
+    ]
+
+
+def text_quality_stats(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Quality-scoring features: lengths, token counts, punct/digit/space
+    ratios (micro-scaled ints for exact cross-engine compare)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *_quality_cols(F.col(text_col))
     )
 
 
@@ -187,7 +193,14 @@ def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
       md5(tok), folded left-to-right (order-sensitive, integer-exact,
       incrementally updatable — the streaming-append fingerprint).
     """
-    t = F.col(text_col)
+    return docs.select(
+        F.col(id_col).alias("doc_id"), *_fingerprint_cols(F.col(text_col))
+    )
+
+
+def _fingerprint_cols(t: Column) -> list[Column]:
+    """The three fingerprint expressions (see :func:`doc_fingerprints`),
+    shared with the single-pass :func:`text_profile`."""
     norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
     toks = F.split(norm, " ")
     prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
@@ -202,12 +215,35 @@ def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.element_at(tok_hashes, 1),
         lambda acc, h: (acc * ROLLING_BASE + h) % ROLLING_PRIME,
     )
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
+    return [
         F.md5(norm.cast("binary")).alias("content_fp"),
         F.md5(prefix.cast("binary")).alias("prefix_fp"),
         rolling.alias("rolling_fp"),
+    ]
+
+
+def text_profile(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The full per-document text-analysis profile in ONE pass: quality
+    features + BPE-ish subword count + all three fingerprints as a single
+    projection on the scan, plus the language prediction via one
+    (doc_id)-keyed join against the lexicon argmax.
+
+    This is the production shape at 100 TB — the per-facet operators
+    (:func:`text_quality_stats` etc.) stay available for composition, but a
+    corpus pipeline computes every per-row feature in one scan instead of
+    re-reading the corpus per facet; only language ID (an aggregate over
+    exploded tokens) needs its own shuffle.
+    """
+    t = F.col(text_col)
+    bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0)).cast("bigint")
+    base = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *_quality_cols(t),
+        bpe.alias("n_bpe_tokens"),
+        *_fingerprint_cols(t),
     )
+    lang = lang_id(docs, id_col, text_col)
+    return base.join(lang, "doc_id")
 
 
 def bm25_scores(

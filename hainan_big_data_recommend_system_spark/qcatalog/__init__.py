@@ -45,14 +45,42 @@ class QuerySpec:
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
 
 
+#: Queries exported through ``__spark_entry__`` — the harness driver
+#: correctness-checks at most the FIRST 50 registered entries, so this
+#: registry is capped at 50 and every entry is a claim the driver verifies.
 REGISTRY: dict[str, QuerySpec] = {}
+
+#: Locally-verified overflow: oracle-checked in ``tests/test_oracle.py``
+#: (same DuckDB compare at sf0.01) but not exported to the driver.  Queries
+#: land here when their operator coverage is subsumed by a driver-registry
+#: query (e.g. per-facet variants folded into a merged query) — the
+#: operator keeps a green oracle without spending one of the 50 slots.
+EXTRA_REGISTRY: dict[str, QuerySpec] = {}
+
+DRIVER_CHECK_LIMIT = 50
 
 
 def register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
-        if name in REGISTRY:
+        if name in REGISTRY or name in EXTRA_REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
         REGISTRY[name] = QuerySpec(name, fn, oracle)
+        if len(REGISTRY) > DRIVER_CHECK_LIMIT:
+            raise ValueError(
+                f"driver registry exceeds {DRIVER_CHECK_LIMIT} queries; "
+                "register overflow via register_extra so every exported "
+                "query keeps a driver correctness row"
+            )
+        return fn
+
+    return deco
+
+
+def register_extra(name: str, oracle: str | None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY or name in EXTRA_REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        EXTRA_REGISTRY[name] = QuerySpec(name, fn, oracle)
         return fn
 
     return deco

@@ -18,7 +18,7 @@ from ..operators.dedup import (
 )
 from ..operators.components import connected_components
 from ..operators.similarity import blocked_cosine_pairs_np
-from . import register
+from . import register, register_extra
 
 _SHINGLES_SQL = r"""
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
@@ -117,7 +117,7 @@ def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_buckets(sigs, rows_per_band=2)
 
 
-@register(
+@register_extra(
     "minhash_candidate_pairs",
     _SIGS_SQL
     + """

@@ -21,7 +21,7 @@ from ..operators.similarity import (
     sparse_cosine_topk,
     tfidf_weights,
 )
-from . import register
+from . import register, register_extra
 
 
 # ---------------------------------------------------------------------------
@@ -29,7 +29,7 @@ from . import register
 # (reference `CountVectorizer(min_df=10)`, `guessLike_u_like.py:74`)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "doc_token_counts",
     r"""
     WITH tf AS (

@@ -17,7 +17,7 @@ from ..operators.hot import hot_items
 from ..operators.logparse import parse_log_lines, user_book_sets
 from ..operators.sampling import sample_k_per_group
 from ..operators.topk import topk_per_group
-from . import register
+from . import register, register_extra
 
 
 # ---------------------------------------------------------------------------
@@ -255,7 +255,7 @@ def q_yesterday_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (generalizes the reference's fact⋈dim join `simility_books.py:37`)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "region_revenue",
     """
     SELECT r_name,

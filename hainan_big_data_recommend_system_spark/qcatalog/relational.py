@@ -14,7 +14,7 @@ from ..functions.text import normalize_title
 from ..operators.hot import hot_items
 from ..operators.topk import top_fraction_per_group, topk_per_group
 from ..operators.weights import normalize_weights, weighted_document
-from . import register
+from . import register, register_extra
 
 # ---------------------------------------------------------------------------
 # A7 + J1 + O2 — flagship: hot items top-30
@@ -48,7 +48,7 @@ def q_hot_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 # A2/P1/P3 + partial-agg — pricing summary (TPC-H Q1 shape; scan-pushdown demo)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "pricing_summary",
     """
     SELECT l_returnflag, l_linestatus,
@@ -123,7 +123,7 @@ def q_group_concat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference `simility_books.py:38`)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "tag_weights",
     """
     SELECT l_orderkey, l_partkey, l_linenumber,
@@ -420,7 +420,7 @@ def q_salted_hot_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows.  NULL group markers match DuckDB's ROLLUP semantics.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "rollup_revenue",
     """
     SELECT r.r_name, n.n_name,
@@ -511,7 +511,7 @@ def q_nation_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # reproduce it row-for-row, proving no candidate was pruned wrongly.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "nearest_balance_neighbors",
     """
     SELECT c_mktsegment, c_custkey, neighbor_id, dist_cents,

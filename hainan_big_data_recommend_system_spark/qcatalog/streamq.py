@@ -13,14 +13,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..streaming.events import session_counts, sliding_counts, tumbling_counts
-from . import register
+from . import register, register_extra
 
 
 # ---------------------------------------------------------------------------
 # Tumbling 1-hour windows (epoch-aligned, same as Spark's F.window)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "windowed_event_counts",
     """
     SELECT TIMESTAMP '1970-01-01 00:00:00'
@@ -42,7 +42,7 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # windows, starts at the two preceding 30-minute boundaries
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "sliding_event_counts",
     """
     SELECT wstart, event_type, count(*) AS n FROM (
@@ -62,6 +62,61 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return sliding_counts(ev, window="1 hour", slide="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# The driver-checked event-time-window query: tumbling AND sliding windows
+# in one tagged union (the per-kind queries above stay in the extra
+# registry, same oracles).  Both kinds are the same streaming operators
+# (streaming/events.py) run as batch; sliding rows carry NULL value_cents
+# because the sliding aggregate only counts.
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_time_windows",
+    """
+    SELECT 'tumbling' AS win_kind,
+           TIMESTAMP '1970-01-01 00:00:00'
+               + to_seconds(CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)) AS wstart,
+           event_type,
+           count(*) AS n,
+           CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+    FROM events
+    GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding' AS win_kind, wstart, event_type,
+           count(*) AS n, CAST(NULL AS BIGINT) AS value_cents
+    FROM (
+        SELECT unnest([
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT)),
+                   TIMESTAMP '1970-01-01 00:00:00'
+                       + to_seconds(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT))
+                       - INTERVAL 30 MINUTE
+               ]) AS wstart,
+               event_type
+        FROM events
+    )
+    GROUP BY wstart, event_type
+    """,
+)
+def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    tumb = tumbling_counts(ev, window="1 hour").select(
+        F.lit("tumbling").alias("win_kind"),
+        "wstart",
+        "event_type",
+        "n",
+        "value_cents",
+    )
+    slid = sliding_counts(ev, window="1 hour", slide="30 minutes").select(
+        F.lit("sliding").alias("win_kind"),
+        "wstart",
+        "event_type",
+        "n",
+        F.lit(None).cast("bigint").alias("value_cents"),
+    )
+    return tumb.unionByName(slid)
 
 
 # ---------------------------------------------------------------------------
@@ -108,7 +163,7 @@ def q_session_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the union+window distributed as-of (operators/asof.py).
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "asof_click_view",
     """
     SELECT c.event_id, c.user_id, c.ts AS click_ts,
@@ -155,7 +210,7 @@ def q_asof_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding must not add or drop a single pair.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "interval_click_view",
     """
     SELECT c.event_id, c.user_id, c.ts,
@@ -184,6 +239,55 @@ def q_interval_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "event_id", "user_id", "ts", "event_id_r", "ts_r", dt.alias("dt_us")
     )
+
+
+# ---------------------------------------------------------------------------
+# The driver-checked temporal-join query: the as-of match AND the ±30 min
+# interval pairs in one tagged union (per-kind queries stay in the extra
+# registry, same oracles).  `metric` is the kind's own measure: matched
+# view value in cents for as-of rows, signed click−view delta in micros
+# for interval rows.
+# ---------------------------------------------------------------------------
+
+@register(
+    "temporal_join_click_view",
+    """
+    SELECT 'asof' AS join_kind, c.event_id, c.user_id, c.ts,
+           v.event_id AS event_id_r, v.ts AS ts_r,
+           CAST(round(v.value * 100) AS BIGINT) AS metric
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id AND v.ts <= c.ts
+    UNION ALL
+    SELECT 'interval' AS join_kind, c.event_id, c.user_id, c.ts,
+           v.event_id AS event_id_r, v.ts AS ts_r,
+           CAST(epoch_us(c.ts) - epoch_us(v.ts) AS BIGINT) AS metric
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON c.user_id = v.user_id
+     AND abs(epoch_us(c.ts) - epoch_us(v.ts)) <= 1800 * 1000000
+    """,
+)
+def q_temporal_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    asof = q_asof_click_view(spark, sf_dir).select(
+        F.lit("asof").alias("join_kind"),
+        "event_id",
+        "user_id",
+        F.col("click_ts").alias("ts"),
+        "event_id_r",
+        "ts_r",
+        F.col("view_value_cents").alias("metric"),
+    )
+    interval = q_interval_click_view(spark, sf_dir).select(
+        F.lit("interval").alias("join_kind"),
+        "event_id",
+        "user_id",
+        "ts",
+        "event_id_r",
+        "ts_r",
+        F.col("dt_us").alias("metric"),
+    )
+    return asof.unionByName(interval)
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +417,7 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer epoch-micros so the session boundaries hash-match cross-engine.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "sessionized_events",
     """
     WITH e AS (

@@ -12,13 +12,14 @@ from ..operators.textstats import (
     corpus_clean_flags,
     doc_fingerprints,
     lang_id,
+    text_profile,
     text_quality_stats,
     token_counts,
 )
-from . import register
+from . import register, register_extra
 
 
-@register(
+@register_extra(
     "text_quality_stats",
     r"""
     SELECT doc_id,
@@ -41,7 +42,7 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality_stats(docs, "doc_id", "text")
 
 
-@register(
+@register_extra(
     "token_counts",
     rf"""
     SELECT doc_id,
@@ -64,7 +65,7 @@ def _lexicon_values() -> str:
     return ", ".join(rows)
 
 
-@register(
+@register_extra(
     "lang_id",
     rf"""
     WITH lex(lang, word) AS (VALUES {_lexicon_values()}),
@@ -95,7 +96,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(docs, "doc_id", "text")
 
 
-@register(
+@register_extra(
     "doc_fingerprints",
     r"""
     SELECT doc_id,
@@ -116,6 +117,77 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_fingerprints(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# The driver-checked text-analysis query: every per-doc facet (quality,
+# token counts, fingerprints, language ID) as ONE single-pass profile.
+# The per-facet queries above stay in the extra registry (same oracles,
+# checked in tests/test_oracle.py) — the merged profile is what a corpus
+# pipeline actually runs at 100 TB: one scan, one lang-score shuffle.
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_profile",
+    rf"""
+    WITH lex(lang, word) AS (VALUES {_lexicon_values()}),
+    ltoks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+        FROM documents
+    ),
+    scores AS (
+        SELECT t.doc_id, x.lang, count(*) AS score
+        FROM ltoks t JOIN lex x ON t.token = x.word
+        GROUP BY t.doc_id, x.lang
+    ),
+    best AS (
+        SELECT doc_id, lang FROM (
+            SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, lang
+            ) AS rn
+            FROM scores WHERE score > 0
+        ) WHERE rn = 1
+    ),
+    prof AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(round(length(text) * 1000000
+                   / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+                   AS BIGINT) AS chars_per_token_micros,
+               CAST(round((length(text)
+                    - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT)
+                   AS punct_ratio_micros,
+               CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT)
+                   AS digit_ratio_micros,
+               CAST(round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT)
+                   AS space_ratio_micros,
+               CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
+                   AS n_bpe_tokens,
+               md5(norm) AS content_fp,
+               md5(array_to_string((string_split(norm, ' '))[1:8], ' ')) AS prefix_fp,
+               list_reduce(
+                   list_transform(string_split(norm, ' '),
+                                  t -> ('0x' || substr(md5(t), 1, 7))::BIGINT),
+                   (acc, h) -> (acc * 31 + h) % 2147483647
+               ) AS rolling_fp
+        FROM (
+            SELECT doc_id, text,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+            FROM documents
+        )
+    )
+    SELECT p.*, coalesce(b.lang, 'und') AS lang_pred
+    FROM prof p LEFT JOIN best b USING (doc_id)
+    """,
+)
+def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_profile(docs, "doc_id", "text")
 
 
 @register(
