@@ -13,9 +13,29 @@ linearly.  ``vocabSize`` bounds driver memory for the vocabulary at 100 TB.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.ml import Pipeline, PipelineModel
 from pyspark.ml.feature import CountVectorizer, RegexTokenizer, StopWordsRemover
 from pyspark.sql import DataFrame
+
+#: bundled stop-word asset (S8 — the reference reads its list from a local
+#: file next to the job, `guessLike_u_like.py:72-73`)
+STOP_WORDS_PATH = Path(__file__).resolve().parent.parent / "assets" / "stop_words.txt"
+
+
+def load_stop_words(path: str | Path | None = None) -> list[str]:
+    """S8: driver-side scan of the stop-word list (one token per line,
+    ``#`` comments and blanks ignored).  The list rides to executors inside
+    the broadcast ``StopWordsRemover`` params — never a per-row file read.
+    """
+    p = Path(path) if path is not None else STOP_WORDS_PATH
+    words = []
+    for line in p.read_text(encoding="utf-8").splitlines():
+        w = line.strip()
+        if w and not w.startswith("#"):
+            words.append(w)
+    return words
 
 
 def vectorize_pipeline(

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
 from ..ml.clustering import assign_clusters, fit_kmeans
-from ..ml.vectorize import fit_vectorizer
+from ..ml.vectorize import fit_vectorizer, load_stop_words
 from ..operators.ann import cosine_topk_bruteforce, ivf_topk
 from ..operators.similarity import (
     cosine_topk_arrays,
@@ -51,6 +51,63 @@ from . import register, register_extra
 def q_doc_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return doc_token_weights(docs, "doc_id", "text", min_df=10)
+
+
+# ---------------------------------------------------------------------------
+# S8 + P6 — stop-word filtering through the REAL ML-pipeline mechanism
+# (RegexTokenizer → StopWordsRemover with the bundled list, the reference's
+# `CountVectorizer(stop_words=...)` path `guessLike_u_like.py:72-74`).
+# The oracle re-derives the filter as `token NOT IN (<list>)` — the
+# transformer's semantics (lowercased match, order-preserving keep) are
+# what's being pinned, not just "some tokens vanished".
+# ---------------------------------------------------------------------------
+
+_SW_IN_LIST = ", ".join(
+    "'" + w.replace("'", "''") + "'" for w in load_stop_words()
+)
+
+
+@register(
+    "stopword_profile",
+    rf"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_raw,
+           CAST(len(kept) AS BIGINT) AS n_kept,
+           array_to_string(kept, ' ') AS kept_doc
+    FROM (
+        SELECT doc_id, toks,
+               list_filter(toks, x -> x NOT IN ({_SW_IN_LIST})) AS kept
+        FROM t
+    )
+    """,
+)
+def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.ml.feature import RegexTokenizer, StopWordsRemover
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = RegexTokenizer(
+        inputCol="text",
+        outputCol="__toks",
+        pattern=r"\s+",
+        minTokenLength=1,
+        toLowercase=True,
+    )
+    rem = StopWordsRemover(
+        inputCol="__toks", outputCol="__kept", stopWords=load_stop_words()
+    )
+    out = rem.transform(tok.transform(docs))
+    return out.select(
+        "doc_id",
+        F.size("__toks").cast("bigint").alias("n_raw"),
+        F.size("__kept").cast("bigint").alias("n_kept"),
+        F.concat_ws(" ", "__kept").alias("kept_doc"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -250,7 +307,9 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("doc_clusters", None)
 def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    vec = fit_vectorizer(docs, "text", min_df=2.0)
+    # stop-word removal (S8) ahead of the vectorizer, as in the reference's
+    # online pipelines (`guessLike_u_like.py:74`)
+    vec = fit_vectorizer(docs, "text", min_df=2.0, stop_words=load_stop_words())
     feats = vec.transform(docs)
     km = fit_kmeans(feats, k=10, seed=42)
     assigned = assign_clusters(km, feats)
