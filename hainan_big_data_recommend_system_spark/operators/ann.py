@@ -132,6 +132,76 @@ def cosine_topk_bruteforce(
     return _global_topk(scored, k)
 
 
+def ivf_topk_pinned(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 2,
+    scale: int = 1000,
+) -> DataFrame:
+    """IVF ANN with a PINNED coarse quantizer — the production/oracle form.
+
+    FAISS separates quantizer training from search; this operator is the
+    search half with the trained quantizer shipped as integer literals
+    (:mod:`.ivf_centroids`, fitted offline by scripts/fit_ivf_centroids.py).
+    Assignment and probing are exact integer-distance argmins
+    (Σ(qᵢ−cᵢ)² over the quantized grid, ties to the lower centroid id), so
+    the whole query — list assignment, nprobe probing, in-list exact
+    scoring — is deterministic and DuckDB-oracle-checkable, unlike the
+    float-iterative in-Spark KMeans fit of :func:`ivf_topk`.
+
+    Physical plan: one broadcast of nlist centroid rows, a narrow
+    crossJoin + window per vector (nlist ≪ n, so this is a map-side
+    operation), then the same mixed-block matmul kernel as brute force —
+    but each query only visits ``nprobe`` of ``nlist`` lists, the IVF
+    speedup.  At 100 TB: lists are the partition layout; re-fit the
+    quantizer offline on a sample whenever drift matters.
+    """
+    if centroids is None:
+        from .ivf_centroids import PINNED_IVF_CENTROIDS
+
+        centroids = PINNED_IVF_CENTROIDS
+    spark = df.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid int, cv array<bigint>",
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("__qv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("__d2"), F.asc("cid"))
+    ranked = (
+        base.crossJoin(cent_df)
+        .select("vid", "__qv", "cid", dist2.alias("__d2"))
+        .withColumn("__pr", F.row_number().over(w))
+    )
+    cand = ranked.filter(F.col("__pr") == 1).select(
+        "vid", "__qv", F.col("cid").alias("__blk"),
+        F.lit(False).alias("__is_q"), F.lit(True).alias("__is_c"),
+    )
+    qrep = ranked.filter(F.col("__pr") <= nprobe).select(
+        "vid", "__qv", F.col("cid").alias("__blk"),
+        F.lit(True).alias("__is_q"), F.lit(False).alias("__is_c"),
+    )
+    scored = (
+        cand.unionByName(qrep)
+        .groupBy("__blk")
+        .applyInPandas(
+            _mixed_block_topk(k), "query_id long, neighbor_id long, sim double"
+        )
+    )
+    return _global_topk(scored, k)
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,

@@ -14,7 +14,8 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..ml.clustering import assign_clusters, fit_kmeans
 from ..ml.vectorize import fit_vectorizer, load_stop_words
-from ..operators.ann import cosine_topk_bruteforce, ivf_topk
+from ..operators.ann import cosine_topk_bruteforce, ivf_topk_pinned
+from ..operators.ivf_centroids import PINNED_IVF_CENTROIDS
 from ..operators.similarity import (
     cosine_topk_arrays,
     doc_token_weights,
@@ -252,16 +253,68 @@ def q_ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ann_topk_ivf", None)
-def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN (KMeans coarse quantizer, nprobe-list probing) — float-
-    iterative quantizer → rows-only here; recall-vs-bruteforce invariant
-    pinned in tests/test_ml.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(
-        emb, "vec_id", "embedding", k=5, nlist=8, nprobe=2,
-        max_iter=5, fit_fraction=0.25,
+_IVF_CENT_VALUES = ", ".join(
+    f"({i}, {c})" for i, c in enumerate(PINNED_IVF_CENTROIDS)
+)
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH cent AS (
+        SELECT cid, cv::BIGINT[] AS cv
+        FROM (VALUES {_IVF_CENT_VALUES}) v(cid, cv)
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    dist AS (
+        SELECT q.vec_id, c.cid,
+               list_dot_product(q.qv, q.qv)
+                 - 2 * list_dot_product(q.qv, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM q, cent c
+    ),
+    ranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+        FROM dist
+    ),
+    assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+    probes AS (SELECT vec_id, cid FROM ranked WHERE pr <= 2),
+    pairs AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+               list_dot_product(qa.qv, qb.qv) AS dot,
+               list_dot_product(qa.qv, qa.qv) AS na,
+               list_dot_product(qb.qv, qb.qv) AS nb
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+        JOIN q qa ON qa.vec_id = p.vec_id
+        JOIN q qb ON qb.vec_id = a.vec_id
     )
+    SELECT query_id, neighbor_id,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with the pinned offline-trained coarse quantizer
+    (operators/ivf_centroids.py): integer-exact assignment + nprobe=2
+    probing + exact in-list scoring — fully oracle-checked, every stage.
+    The in-Spark KMeans-trained variant stays available as
+    `operators.ann.ivf_topk` with recall invariants in tests/test_ml.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk_pinned(emb, "vec_id", "embedding", k=5, nprobe=2)
 
 
 @register(

@@ -27,6 +27,22 @@ def test_kmeans_invariants(spark, sf_dir):
     assert all(0 <= r["cluster"] < 10 for r in sizes)
 
 
+def test_kmeans_full_k_and_deterministic_ordering(spark, sf_oracle_dir):
+    """At corpus scale (sf0.01, 500 docs) the seeded fit must populate all
+    k clusters, and the doc_clusters catalog query must return a stable,
+    cluster-ordered result across invocations (SURVEY §5.4 invariants)."""
+    from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY
+
+    fn = REGISTRY["doc_clusters"].fn
+    r1 = fn(spark, sf_oracle_dir).collect()
+    r2 = fn(spark, sf_oracle_dir).collect()
+    assert [tuple(r) for r in r1] == [tuple(r) for r in r2]  # seed-stable
+    clusters = [r["cluster"] for r in r1]
+    assert clusters == sorted(clusters)  # deterministic ordering
+    assert len(clusters) == 10  # every cluster populated (k exactly)
+    assert sum(r["n_docs"] for r in r1) == 500  # every doc assigned
+
+
 def test_kmeans_seed_stability(spark, sf_dir):
     _, a1 = _fit(spark, sf_dir, seed=7)
     _, a2 = _fit(spark, sf_dir, seed=7)
@@ -75,6 +91,37 @@ def test_ivf_recall_vs_bruteforce(spark, sf_dir):
 
     # IVF scores are exact: any (query, neighbor) it shares with brute
     # force must carry the identical sim
+    mismatched = (
+        exact.select("query_id", "neighbor_id", F.col("sim").alias("s_exact"))
+        .join(approx, ["query_id", "neighbor_id"])
+        .filter(F.abs(F.col("sim") - F.col("s_exact")) > 0)
+        .count()
+    )
+    assert mismatched == 0
+
+
+def test_ivf_pinned_recall_vs_bruteforce(spark, sf_oracle_dir):
+    """The pinned-quantizer IVF (the oracled catalog form) under the same
+    invariants as the trained one: exact scores, k-bound, no self-pairs,
+    recall@5 over the geometry floor on the corpus the quantizer was
+    fitted for."""
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        ivf_topk_pinned,
+    )
+
+    emb = load_table(spark, sf_oracle_dir, "embeddings")
+    exact = cosine_topk_bruteforce(emb, "vec_id", "embedding", k=5)
+    approx = ivf_topk_pinned(emb, "vec_id", "embedding", k=5, nprobe=2)
+
+    assert approx.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert approx.agg(F.max("rn")).collect()[0][0] <= 5
+
+    hits = exact.join(approx, ["query_id", "neighbor_id"], "inner").count()
+    total = exact.count()
+    recall = hits / total
+    assert recall >= 0.5, f"pinned IVF recall@5 = {recall:.3f} < 0.5"
+
     mismatched = (
         exact.select("query_id", "neighbor_id", F.col("sim").alias("s_exact"))
         .join(approx, ["query_id", "neighbor_id"])
