@@ -185,6 +185,7 @@ def minhash_signatures(
     text_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingle_src: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash: signature_j(doc) = min over shingles of (a_j·H + b_j) mod P,
     with H = the first 28 bits of md5(shingle).
@@ -199,8 +200,14 @@ def minhash_signatures(
     free, so the distinct's full shuffle is pure waste here — the only
     shuffle in this operator is the final per-doc aggregate (with map-side
     partial mins, so shuffle volume is |docs|·num_hashes, not |shingles|).
+    ``shingle_src`` (a ``(doc_id, shingle)`` relation, e.g. a staged
+    table — distinct or not, min doesn't care) skips the shingle build.
     """
-    sh = shingles(docs, id_col, text_col, shingle_n, distinct=False)
+    sh = (
+        shingle_src
+        if shingle_src is not None
+        else shingles(docs, id_col, text_col, shingle_n, distinct=False)
+    )
     base = F.conv(
         F.substring(F.md5(F.col("shingle").cast("binary")), 1, 7), 16, 10
     ).cast("long")
