@@ -34,6 +34,15 @@ def sf_of(path: str) -> float:
 
 def main() -> None:
     spark = get_spark(app_name="bench")
+    # start from a cold stage dir so the one-time cost of the staged dedup
+    # intermediates is measured INSIDE this run (once), not amortized away
+    # by a previous run's leftovers
+    import shutil
+
+    shutil.rmtree(
+        os.environ.get("SPARK_GRAFT_STAGE_DIR", "/tmp/spark_graft_stage"),
+        ignore_errors=True,
+    )
     # warmup: flagship on the smallest sf primes codegen + parquet reader
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir):
@@ -41,6 +50,34 @@ def main() -> None:
             REGISTRY["hot_items"].fn(spark, warm_dir).collect()
         except Exception:
             pass
+    # warm MLlib: ALS/KMeans first use loads netlib-BLAS + a few hundred
+    # JVM classes; round 1 charged that (~20s observed) to whichever ML
+    # query happened to run first.  A 64-cell ALS fit + a 2-point KMeans
+    # fit pay it here, so per-query timings measure the algorithms.
+    try:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.linalg import Vectors
+        from pyspark.ml.recommendation import ALS
+
+        tiny = spark.createDataFrame(
+            [(u, i, 1.0) for u in range(8) for i in range(8)],
+            "user int, item int, rating float",
+        )
+        als_m = ALS(
+            rank=2, maxIter=1, seed=0, userCol="user", itemCol="item",
+            ratingCol="rating", implicitPrefs=True,  # same solver path as
+            numUserBlocks=2, numItemBlocks=2,        # the catalog query
+        ).fit(tiny)
+        als_m.recommendForAllUsers(2).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        pts = spark.createDataFrame(
+            [(Vectors.dense([0.0]),), (Vectors.dense([1.0]),)], ["features"]
+        )
+        KMeans(k=2, seed=0, maxIter=1).fit(pts)
+    except Exception:
+        pass
+    spark.catalog.clearCache()
     # Prime the OS page cache for the benchmark tables: a full sequential
     # read of each parquet file before any timing starts.  Per-query numbers
     # then measure steady-state execution (plan + shuffle + compute), not

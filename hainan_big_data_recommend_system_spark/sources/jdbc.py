@@ -15,10 +15,11 @@ The reference reads four MySQL tables (`simility_books.py:37,45`,
 - the dedup-on-conflict append (S13) is ``dropDuplicates(keys)`` + append
   mode: Spark owns the dedup, the database stays a dumb sink.
 
-No JDBC driver ships in this container, so everything here is a thin,
-untested-at-runtime composition of public ``DataFrameReader``/``Writer``
-API; the unit tests exercise the parquet-backed path which shares every
-operator downstream of the scan.
+Runtime-verified against Apache Derby (the embedded SQL engine Spark
+ships for its Hive metastore): tests/test_jdbc.py round-trips the
+dedup-append sink, the partitioned parallel scan, and asserts predicate
+pushdown reaches the JDBC source.  Production MySQL differs only by URL
+and driver class.
 """
 
 from __future__ import annotations
