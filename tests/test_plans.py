@@ -17,7 +17,8 @@ SF_DIR = "/root/testdata/sf0.01"
 
 
 def plan_of(spark, name: str) -> str:
-    df = qc.REGISTRY[name].fn(spark, SF_DIR)
+    spec = qc.REGISTRY.get(name) or qc.EXTRA_REGISTRY[name]
+    df = spec.fn(spark, SF_DIR)
     return df._jdf.queryExecution().executedPlan().toString()
 
 
