@@ -95,3 +95,52 @@ def test_partitioned_scan_prunes_by_date(spark, tmp_path):
     assert f"(dt#" in plan or pick in plan, plan
     # the filter must NOT appear as a post-scan row filter on dt
     assert "PushedFilters: [IsNotNull(dt)" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-2 queries — plan shapes that must survive future edits
+# ---------------------------------------------------------------------------
+
+
+def test_stopword_profile_is_narrow_jvm_pipeline(spark):
+    """Tokenize -> StopWordsRemover -> project is scan-local: ZERO
+    exchanges and no Python eval (the ML transformers are JVM UDFs)."""
+    plan = plan_of(spark, "stopword_profile")
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_text_profile_single_lang_shuffle(spark):
+    """The merged profile computes quality/tokens/fingerprints as scan
+    projections; the only exchange is the lang-score aggregate (its window
+    and the doc_id join reuse that partitioning / broadcast)."""
+    plan = plan_of(spark, "text_profile")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "EvalPython" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan  # doc-level joins broadcast
+
+
+def test_ann_topk_ivf_broadcasts_centroids_only(spark):
+    """IVF probing joins each vector against the 8-row pinned centroid
+    table — that must be the ONLY nested-loop (broadcast of nlist rows,
+    never data x data), and the scoring kernel is the Arrow block matmul."""
+    plan = plan_of(spark, "ann_topk_ivf")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 2, plan
+
+
+def test_event_time_windows_one_exchange_per_kind(spark):
+    plan = plan_of(spark, "event_time_windows")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
+    """Generate and decode both stream Arrow batches (MapInPandas x2);
+    the metadata join stays broadcast, and no row-at-a-time Python eval
+    appears anywhere."""
+    plan = plan_of(spark, "multimodal_meta")
+    assert plan.count("MapInPandas") == 2, plan
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
