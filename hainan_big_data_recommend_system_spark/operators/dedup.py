@@ -111,10 +111,16 @@ def ngram_jaccard_topk(
 
     ``shingle_src`` (a :func:`hashed_shingles` relation, e.g. a staged
     table) skips the in-query shingle build.  Without it the shingle
-    subtree is ``localCheckpoint``-materialized — it feeds both join sides
-    plus the size aggregate, and unlike ``persist`` the checkpoint blocks
-    are reclaimed by the ContextCleaner once the query's DataFrames go out
-    of scope, so catalog-style many-query sessions don't accumulate cache.
+    subtree is eagerly ``localCheckpoint``-materialized (lazy would let
+    the first job recompute it once per consumer path) — it feeds both
+    join sides plus the size aggregate, and unlike ``persist`` the
+    checkpoint blocks are reclaimed by the ContextCleaner once the
+    query's DataFrames go out of scope, so catalog-style many-query
+    sessions don't accumulate cache.  Trade-off: checkpoint blocks are
+    non-replicated and their lineage is cut, so an executor loss mid-query
+    fails the job instead of recomputing — on a real cluster pass a
+    staged/reliable ``shingle_src`` (qcatalog.dedup staged tables), which
+    is the deployment shape anyway.
     """
     sh = (
         shingle_src

@@ -61,13 +61,15 @@ def _try_real_decode(payload: bytes):  # pragma: no cover - env-dependent
 # ---------------------------------------------------------------------------
 
 
-def parse_bmp_header(payload: bytes) -> tuple[int, int, int, int]:
+def parse_bmp_header(payload: bytes) -> tuple[int, int, int, int, int]:
     """Parse a BITMAPINFOHEADER-style BMP: returns
-    ``(width, height, bits_per_pixel, declared_file_size)``.
+    ``(width, height, bits_per_pixel, declared_file_size, pixel_offset)``.
 
     Validates the 'BM' magic, header length, and plane count; raises
     ``ValueError`` on anything malformed — a decode stage must reject
-    corrupt payloads loudly, not emit garbage dimensions.
+    corrupt payloads loudly, not emit garbage dimensions.  The pixel
+    offset comes from header bytes 10–13 (it is NOT always 54: V4/V5 DIB
+    headers and palettes push it out).
     """
     import struct
 
@@ -75,7 +77,7 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError(f"BMP too short: {len(payload)} bytes")
     if payload[:2] != b"BM":
         raise ValueError("not a BMP: missing 'BM' magic")
-    file_size = struct.unpack_from("<I", payload, 2)[0]
+    file_size, _, _, px_offset = struct.unpack_from("<IHHI", payload, 2)
     dib_size = struct.unpack_from("<I", payload, 14)[0]
     if dib_size < 40:
         raise ValueError(f"unsupported DIB header size {dib_size}")
@@ -85,7 +87,9 @@ def parse_bmp_header(payload: bytes) -> tuple[int, int, int, int]:
         raise ValueError(f"BMP plane count must be 1, got {planes}")
     if width <= 0:
         raise ValueError(f"non-positive BMP width {width}")
-    return width, abs(height), bpp, file_size
+    if not 14 + dib_size <= px_offset <= len(payload):
+        raise ValueError(f"pixel offset {px_offset} outside payload")
+    return width, abs(height), bpp, file_size, px_offset
 
 
 def make_bmp(width: int, height: int, pixel_seed: bytes) -> bytes:
@@ -113,16 +117,22 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     return 16 + (n % 64), 16 + ((n // 64) % 64), 3
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
-    """Deterministic fake decode keyed on payload bytes: stable dims and an
-    8-dim 'feature' vector from the byte histogram (stands in for a real
-    CNN embedding; same payload → same features, any engine, any retry)."""
-    width, height, channels = _fake_dims(payload)
+def _byte_hist(buf: bytes) -> list[float]:
+    """Normalized 8-bin byte histogram over (at most) the first 4 KiB —
+    the deterministic stand-in for a CNN embedding (same bytes → same
+    features, any engine, any retry)."""
     hist = [0.0] * 8
-    for b in payload[:4096]:
+    for b in buf[:4096]:
         hist[b & 7] += 1.0
     total = sum(hist) or 1.0
-    return width, height, channels, [h / total for h in hist]
+    return [h / total for h in hist]
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
+    """Deterministic fake decode keyed on payload bytes: stable dims and
+    the byte-histogram features."""
+    width, height, channels = _fake_dims(payload)
+    return width, height, channels, _byte_hist(payload)
 
 
 def _map_media_rows(
@@ -169,14 +179,20 @@ def decode_image_features(
     """
 
     def row_fn(media_id, payload, r):
+        # try the real parser on a BMP-shaped payload; a lookalike that
+        # merely starts with 'BM' (text, random binary) must fall back to
+        # the total fake path, not fail the task — one corrupt row never
+        # kills a corpus decode
+        parsed = None
         if payload[:2] == b"BM":
-            w, h, bpp, _ = parse_bmp_header(payload)
+            try:
+                parsed = parse_bmp_header(payload)
+            except ValueError:
+                parsed = None
+        if parsed is not None:
+            w, h, bpp, _, px_off = parsed
             c = max(bpp // 8, 1)
-            hist = [0.0] * 8
-            for b in payload[54:4150]:  # pixel bytes, skip the header
-                hist[b & 7] += 1.0
-            total = sum(hist) or 1.0
-            feats = [x / total for x in hist]
+            feats = _byte_hist(payload[px_off:])  # pixel bytes only
         else:
             w, h, c, feats = _fake_decode(payload)
         return {

@@ -294,9 +294,11 @@ def sparse_cosine_topk(
         tokens = sorted(r[0] for r in vocab_sample)
         scored = _dense_blocked_scores(docs, id_col, text_col, tokens, k, query_filter)
     else:
-        # localCheckpoint, not persist: the weighted postings feed the norm
-        # aggregate and both join sides; checkpoint blocks are GC-reclaimed
-        # after the query instead of living in the CacheManager forever
+        # eager localCheckpoint, not persist (lazy would recompute per path): the weighted postings feed the
+        # norm aggregate and both join sides; checkpoint blocks are
+        # GC-reclaimed after the query instead of living in the CacheManager
+        # forever.  (Non-replicated + lineage cut → executor loss fails the
+        # job; at cluster scale stage this table reliably instead.)
         tw = tf.join(F.broadcast(kept), "token", "inner").localCheckpoint(eager=True)
         scored = _posting_join_scores(tw, query_filter)
     w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))

@@ -64,13 +64,15 @@ def register(name: str, oracle: str | None):
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
         if name in REGISTRY or name in EXTRA_REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        REGISTRY[name] = QuerySpec(name, fn, oracle)
-        if len(REGISTRY) > DRIVER_CHECK_LIMIT:
+        # check BEFORE inserting: a caller that swallows the error must
+        # not be left with a silently-unverifiable 51st export
+        if len(REGISTRY) >= DRIVER_CHECK_LIMIT:
             raise ValueError(
                 f"driver registry exceeds {DRIVER_CHECK_LIMIT} queries; "
                 "register overflow via register_extra so every exported "
                 "query keeps a driver correctness row"
             )
+        REGISTRY[name] = QuerySpec(name, fn, oracle)
         return fn
 
     return deco

@@ -51,7 +51,13 @@ def _stage(
     """Write-once/read-many staging: build → parquet → read.  Keyed by the
     dataset path, its documents-file mtime (testdata is immutable, but a
     regenerated fixture must not serve a stale stage), and the semantics
-    version."""
+    version.
+
+    Concurrency-safe via write-to-temp + atomic rename: a second session
+    racing the build writes its own temp dir and loses the rename, and a
+    reader only ever sees a fully-written stage (never a directory an
+    overwrite is mid-way through deleting).
+    """
     doc_path = os.path.join(sf_dir, "documents.parquet")
     mtime = int(os.path.getmtime(doc_path)) if os.path.exists(doc_path) else 0
     key = hashlib.md5(
@@ -59,7 +65,15 @@ def _stage(
     ).hexdigest()[:16]
     path = os.path.join(_STAGE_ROOT, key, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        tmp = f"{path}.tmp-{os.getpid()}-{id(spark)}"
+        build().write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, path)  # atomic on one filesystem
+        except OSError:
+            # a concurrent builder won the rename — use theirs
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(path)
 
 

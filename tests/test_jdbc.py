@@ -58,7 +58,11 @@ def test_jdbc_partitioned_scan_and_pushdown(spark, derby_url):
         900, 910, 920, 930, 940, 950, 960, 970, 980, 990
     ]
     # predicate pushdown reaches the JDBC source (S2's hand-written WHERE,
-    # done by Catalyst): the filter must appear as a pushed filter, not a
-    # post-scan Filter over the full table
+    # done by Catalyst): the concrete filter must appear INSIDE the
+    # PushedFilters bracket list (an empty list plus 'k' in ReadSchema
+    # must not pass)
     plan = filtered._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan and "k" in plan.split("PushedFilters", 1)[1][:120]
+    assert "PushedFilters" in plan, plan
+    pushed = plan.split("PushedFilters", 1)[1]
+    pushed = pushed[pushed.index("[") : pushed.index("]") + 1]
+    assert "GreaterThanOrEqual(k,90)" in pushed.replace(" ", ""), plan

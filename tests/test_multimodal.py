@@ -98,6 +98,8 @@ def test_resize_schema_and_determinism(spark, media):
 
 
 def test_bmp_roundtrip_and_rejection():
+    import struct
+
     from hainan_big_data_recommend_system_spark.operators.multimodal import (
         make_bmp,
         parse_bmp_header,
@@ -105,19 +107,47 @@ def test_bmp_roundtrip_and_rejection():
 
     for w, h, seed in [(1, 1, b"x"), (31, 17, b"hello world"), (13, 5, b"")]:
         payload = make_bmp(w, h, seed)
-        pw, ph, bpp, fsize = parse_bmp_header(payload)
-        assert (pw, ph, bpp) == (w, h, 24)
+        pw, ph, bpp, fsize, px_off = parse_bmp_header(payload)
+        assert (pw, ph, bpp, px_off) == (w, h, 24, 54)
         assert fsize == len(payload) == 54 + (w * 3 + 3) // 4 * 4 * h
+
+    # the parser reads the BYTES: patch the width field in place and the
+    # parsed width must follow the corruption, not any id-based formula
+    payload = bytearray(make_bmp(10, 4, b"seed"))
+    struct.pack_into("<i", payload, 18, 23)
+    assert parse_bmp_header(bytes(payload))[0] == 23
 
     with pytest.raises(ValueError):
         parse_bmp_header(b"PNG" + b"\x00" * 60)  # wrong magic
     with pytest.raises(ValueError):
         parse_bmp_header(b"BM\x00")  # truncated
+    with pytest.raises(ValueError):
+        bad = bytearray(make_bmp(4, 4, b"x"))
+        struct.pack_into("<I", bad, 10, 10_000)  # pixel offset past payload
+        parse_bmp_header(bytes(bad))
+
+
+def test_decode_falls_back_on_bmp_lookalike(spark):
+    """A payload that merely STARTS with 'BM' (text, random bytes) must go
+    down the fake path, not fail the task — one corrupt row never kills a
+    corpus decode."""
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        _fake_dims,
+        decode_image_features,
+    )
+
+    lookalike = b"BMW dealership reviews, volume 7: " + b"\x01\x02" * 40
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(lookalike), "s")],
+        "media_id long, media_type string, payload binary, source string",
+    )
+    row = decode_image_features(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == _fake_dims(lookalike)
 
 
 def test_decode_uses_real_bmp_header(spark, sf_dir):
-    """Dims must come from the payload bytes, not the fake-dims formula:
-    corrupt the width field and the decode output must change with it."""
+    """Dims of valid generated BMPs must come from the payload bytes via
+    the parser (generator-formula agreement end-to-end)."""
     from hainan_big_data_recommend_system_spark.operators.multimodal import (
         decode_image_features,
         generate_bmp_media,
