@@ -348,3 +348,75 @@ def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, "doc_id", "text", ["spark", "query", "join"])
+
+
+# ---------------------------------------------------------------------------
+# S14 — scrape-ingest extraction (reference: the Douban review notebook,
+# 图书美文信息抓取.ipynb cell-3/4: paged HTTP fetch + `re.findall` field
+# extraction).  The network fetch is a connector concern outside the
+# engine; the ENGINE's share — multi-match regex field extraction from
+# fetched page bodies into typed rows — runs here over deterministic
+# synthesized pages (two review entries per page), so both engines parse
+# identical input.  Spark: regexp_extract_all + arrays_zip + posexplode,
+# no Python in the row path.
+# ---------------------------------------------------------------------------
+
+_PAGE_SQL = """
+        SELECT doc_id,
+               '<li id="toggle-' || doc_id || '"><span class="rating">'
+                   || doc_id % 10 || '</span><p>' || substr(text, 1, 40)
+                   || '</p></li><li id="toggle-' || (doc_id + 100000)
+                   || '"><span class="rating">' || (doc_id + 3) % 10
+                   || '</span><p>more</p></li>' AS html
+        FROM documents
+"""
+
+
+@register_extra(
+    "scrape_extract",
+    rf"""
+    WITH pages AS ({_PAGE_SQL}),
+    parsed AS (
+        SELECT doc_id,
+               regexp_extract_all(html, 'id="toggle-(\d+)"', 1) AS ids,
+               regexp_extract_all(html, 'rating">(\d+)<', 1) AS ratings
+        FROM pages
+    )
+    SELECT doc_id AS page_id,
+           CAST(i - 1 AS INT) AS review_idx,
+           CAST(ids[i] AS BIGINT) AS review_id,
+           CAST(ratings[i] AS BIGINT) AS rating
+    FROM parsed, LATERAL (SELECT unnest(range(1, len(ids) + 1)) AS i)
+    """,
+)
+def q_scrape_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 as an engine capability: `re.findall`-style multi-match field
+    extraction from page bodies (`regexp_extract_all`), one output row per
+    extracted review.  Pages are synthesized deterministically from the
+    documents table — the fetch itself is out-of-engine (connector)."""
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<li id="toggle-'), F.col("doc_id").cast("string"),
+        F.lit('"><span class="rating">'), (F.col("doc_id") % 10).cast("string"),
+        F.lit("</span><p>"), F.substring("text", 1, 40),
+        F.lit('</p></li><li id="toggle-'),
+        (F.col("doc_id") + 100000).cast("string"),
+        F.lit('"><span class="rating">'),
+        ((F.col("doc_id") + 3) % 10).cast("string"),
+        F.lit("</span><p>more</p></li>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    parsed = pages.select(
+        F.col("doc_id").alias("page_id"),
+        F.regexp_extract_all("html", F.lit(r'id="toggle-(\d+)"'), 1).alias("ids"),
+        F.regexp_extract_all("html", F.lit(r'rating">(\d+)<'), 1).alias("ratings"),
+    )
+    return parsed.select(
+        "page_id",
+        F.posexplode(F.arrays_zip("ids", "ratings")).alias("review_idx", "z"),
+    ).select(
+        "page_id",
+        F.col("review_idx").cast("int").alias("review_idx"),
+        F.col("z.ids").cast("bigint").alias("review_id"),
+        F.col("z.ratings").cast("bigint").alias("rating"),
+    )

@@ -23,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import functions as F  # noqa: E402
 
 from hainan_big_data_recommend_system_spark.catalog import TABLES, load_table  # noqa: E402
-from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY  # noqa: E402
+from hainan_big_data_recommend_system_spark.qcatalog import EXTRA_REGISTRY, REGISTRY  # noqa: E402
 from hainan_big_data_recommend_system_spark.session import get_spark  # noqa: E402
 
 BASE = "/root/testdata/sf0.1"
@@ -57,6 +57,9 @@ QUERIES = [
     "dedup_components",
     "token_counts",
     "sql_segment_summary",
+    "text_profile",
+    "stopword_profile",
+    "minhash_verified_pairs",
 ]
 
 
@@ -86,13 +89,21 @@ def build_replicas(spark) -> None:
 
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
+    # cold staged-dedup dir: the stage build is part of the measured cost
+    import shutil
+
+    shutil.rmtree(
+        os.environ.get("SPARK_GRAFT_STAGE_DIR", "/tmp/spark_graft_stage"),
+        ignore_errors=True,
+    )
     build_replicas(spark)
     results = {}
     for name in QUERIES:
         row = {}
         for label, sf_dir in [("sf0.1", BASE), ("sf1", OUT)]:
             t0 = time.perf_counter()
-            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode(
+            spec = REGISTRY.get(name) or EXTRA_REGISTRY[name]
+            spec.fn(spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             row[label] = round(time.perf_counter() - t0, 2)
