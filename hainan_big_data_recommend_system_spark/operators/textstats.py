@@ -177,6 +177,75 @@ def corpus_clean_flags(
     )
 
 
+def repetition_stats(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality features (the Gopher-rule family): per doc,
+    for word 2-grams and 3-grams,
+
+    - ``top{n}gram_micros`` — occurrences of the single most frequent
+      n-gram / total n-gram occurrences (boilerplate detector);
+    - ``dup{n}gram_micros`` — fraction of n-gram occurrences that are
+      repeats, ``(total − distinct) / total`` (loop/stutter detector).
+
+    Micro-scaled integer ratios → exact cross-engine.  One explode +
+    groupBy per n (shuffle ∝ n-gram occurrences, linear in corpus size);
+    docs too short for an n-gram get 0s via the left join.
+    """
+    from .dedup import shingles
+
+    def per_n(n: int, prefix: str) -> DataFrame:
+        sh = shingles(docs, id_col, text_col, n=n, distinct=False)
+        cnt = sh.groupBy("doc_id", "shingle").agg(F.count(F.lit(1)).alias("c"))
+        agg = cnt.groupBy("doc_id").agg(
+            F.sum("c").alias("total"),
+            F.max("c").alias("top"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        ratio = lambda num: F.round(num * 1_000_000 / F.col("total")).cast("bigint")
+        return agg.select(
+            "doc_id",
+            ratio(F.col("top")).alias(f"top{prefix}_micros"),
+            ratio(F.col("total") - F.col("n_distinct")).alias(
+                f"dup{prefix}_micros"
+            ),
+        )
+
+    base = docs.select(F.col(id_col).alias("doc_id"))
+    out = base.join(per_n(2, "2gram"), "doc_id", "left").join(
+        per_n(3, "3gram"), "doc_id", "left"
+    )
+    z = lambda c: F.coalesce(F.col(c), F.lit(0)).alias(c)
+    return out.select(
+        "doc_id",
+        z("top2gram_micros"),
+        z("dup2gram_micros"),
+        z("top3gram_micros"),
+        z("dup3gram_micros"),
+    )
+
+
+#: PII-ish surface patterns (corpus-scrub triage; engine-portable regex)
+PII_PATTERNS: dict[str, str] = {
+    "emails": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+",
+    "urls": r"https?://[^ \t\n]+",
+    "phones": r"[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]",
+}
+
+
+def pii_pattern_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc counts of PII-shaped matches (emails / URLs / phone-like) —
+    the triage stage before a corpus scrub decides redact-vs-drop.  Pure
+    ``regexp_extract_all`` counting on the scan; patterns avoid
+    bounded-repeat syntax so the same text works in Java and RE2."""
+    t = F.col(text_col)
+    cols = [
+        F.size(F.regexp_extract_all(t, F.lit(pat), 0)).cast("bigint").alias(
+            f"n_{name}"
+        )
+        for name, pat in PII_PATTERNS.items()
+    ]
+    return docs.select(F.col(id_col).alias("doc_id"), *cols)
+
+
 ROLLING_BASE = 31
 ROLLING_PRIME = (1 << 31) - 1
 

@@ -420,3 +420,111 @@ def q_scrape_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.ids").cast("bigint").alias("review_id"),
         F.col("z.ratings").cast("bigint").alias("rating"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality features (Gopher-rule family) — boilerplate /
+# stutter detection ahead of corpus filtering.  Extra registry: the
+# corpus-quality surface is driver-verified via text_profile/corpus_clean;
+# this adds the n-gram repetition dimension under the same local gate.
+# ---------------------------------------------------------------------------
+
+@register_extra(
+    "repetition_stats",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        FROM documents
+    ),
+    g2 AS (
+        SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS sh
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        WHERE len(toks) >= 2
+    ),
+    s2 AS (
+        SELECT doc_id,
+               CAST(round(max(c) * 1000000.0 / sum(c)) AS BIGINT)
+                   AS top2gram_micros,
+               CAST(round((sum(c) - count(*)) * 1000000.0 / sum(c)) AS BIGINT)
+                   AS dup2gram_micros
+        FROM (SELECT doc_id, sh, count(*) AS c FROM g2 GROUP BY doc_id, sh)
+        GROUP BY doc_id
+    ),
+    g3 AS (
+        SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+        WHERE len(toks) >= 3
+    ),
+    s3 AS (
+        SELECT doc_id,
+               CAST(round(max(c) * 1000000.0 / sum(c)) AS BIGINT)
+                   AS top3gram_micros,
+               CAST(round((sum(c) - count(*)) * 1000000.0 / sum(c)) AS BIGINT)
+                   AS dup3gram_micros
+        FROM (SELECT doc_id, sh, count(*) AS c FROM g3 GROUP BY doc_id, sh)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(top2gram_micros, 0) AS top2gram_micros,
+           coalesce(dup2gram_micros, 0) AS dup2gram_micros,
+           coalesce(top3gram_micros, 0) AS top3gram_micros,
+           coalesce(dup3gram_micros, 0) AS dup3gram_micros
+    FROM (SELECT doc_id FROM documents) d
+    LEFT JOIN s2 USING (doc_id)
+    LEFT JOIN s3 USING (doc_id)
+    """,
+)
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# PII-pattern triage — emails/URLs/phone-shaped match counts per doc.  The
+# fixture corpus contains none, so deterministic PII-ish suffixes are
+# injected for 1 in 5 docs (both engines build the identical augmented
+# text); the regex counting is the operator under test.
+# ---------------------------------------------------------------------------
+
+@register_extra(
+    "pii_pattern_counts",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact u' || doc_id
+                        || '@mail.example.com via https://ex.org/p' || doc_id
+                        || ' or 555-123-4567'
+                   ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+'))
+               AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, 'https?://[^ \t\n]+'))
+               AS BIGINT) AS n_urls,
+           CAST(len(regexp_extract_all(text,
+               '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]'))
+               AS BIGINT) AS n_phones
+    FROM aug
+    """,
+)
+def q_pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import pii_pattern_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.org/p"),
+        F.col("doc_id").cast("string"), F.lit(" or 555-123-4567"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_pattern_counts(aug, "doc_id", "text")
