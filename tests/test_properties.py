@@ -103,3 +103,51 @@ def test_p10_title_normalization_idempotent(spark, titles):
     ).collect()
     for r in rows:
         assert r.n1 == r.n2, r
+
+
+@given(
+    st.integers(min_value=1, max_value=256),
+    st.integers(min_value=1, max_value=96),
+    st.binary(min_size=0, max_size=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, seed):
+    """make_bmp → parse_bmp_header round-trips exactly for any dims/pixel
+    seed, and the declared file size matches the padded-row formula."""
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        make_bmp,
+        parse_bmp_header,
+    )
+
+    payload = make_bmp(w, h, seed)
+    pw, ph, bpp, fsize, px_off = parse_bmp_header(payload)
+    assert (pw, ph, bpp, px_off) == (w, h, 24, 54)
+    assert fsize == len(payload) == 54 + (w * 3 + 3) // 4 * 4 * h
+
+
+def test_repetition_stats_bounds_and_extremes(spark):
+    """Ratio bounds [0, 1e6]; a fully-repetitive doc maxes top/dup, an
+    all-distinct doc has dup=0, and a doc too short for n-grams gets 0s."""
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "a b c d"), (3, "x")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(docs, "doc_id", "text").collect()}
+    # doc 1: 2-grams = ["a a"] x3 -> top = 1.0, dup = 2/3
+    assert out[1]["top2gram_micros"] == 1_000_000
+    assert out[1]["dup2gram_micros"] == 666667
+    # doc 2: three distinct 2-grams -> top = 1/3, dup = 0
+    assert out[2]["top2gram_micros"] == 333333
+    assert out[2]["dup2gram_micros"] == 0
+    # doc 3: too short for any n-gram -> all zeros
+    assert all(out[3][c] == 0 for c in (
+        "top2gram_micros", "dup2gram_micros", "top3gram_micros", "dup3gram_micros"
+    ))
+    for r in out.values():
+        for c in ("top2gram_micros", "dup2gram_micros",
+                  "top3gram_micros", "dup3gram_micros"):
+            assert 0 <= r[c] <= 1_000_000
