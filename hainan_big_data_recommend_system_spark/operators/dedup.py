@@ -103,8 +103,15 @@ def ngram_jaccard_topk(
     query_filter: Column | None = None,
     threshold: float = 0.0,
     shingle_src: DataFrame | None = None,
+    broadcast_queries: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard top-k neighbors per query doc.
+
+    ``broadcast_queries=True`` broadcasts the (filtered) query-side
+    postings into a map-side join, so the full corpus posting table never
+    shuffles for the pair join — the right plan whenever the query batch
+    is bounded (dedup-a-batch-against-the-corpus, the production shape).
+    Leave False when the query side is unbounded.
 
     |A∩B| from the shingle posting join; |A∪B| = |A|+|B|−|A∩B| — all integer
     counts, so the Jaccard ratio is deterministic cross-engine.
@@ -132,6 +139,8 @@ def ngram_jaccard_topk(
     a = sh.select(F.col("doc_id").alias("a_id"), "__sh")
     if query_filter is not None:
         a = a.filter(query_filter)
+    if broadcast_queries:
+        a = F.broadcast(a)
     b = sh.select(F.col("doc_id").alias("b_id"), "__sh")
     inter = (
         a.join(b, "__sh")

@@ -175,6 +175,9 @@ def q_ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5,
         query_filter=F.col("a_id") % 25 == 0,
         shingle_src=staged_hashed_shingles(spark, sf_dir),
+        # the query subset is bounded by construction → map-side join; the
+        # corpus posting table never shuffles for the pair join
+        broadcast_queries=True,
     )
 
 
