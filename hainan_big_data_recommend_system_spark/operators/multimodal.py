@@ -291,25 +291,69 @@ def _fake_resize(payload: bytes, dst_w: int, dst_h: int) -> bytes:
     return payload[::stride][:target]
 
 
+def resize_bmp(payload: bytes, dst_w: int, dst_h: int) -> bytes:
+    """REAL resize for 24-bit BMPs: nearest-neighbor resample of the
+    actual pixel grid (row padding respected, bottom-up order preserved),
+    re-encoded as a valid BMP of the target dimensions.  Pure function —
+    deterministic under retry — and pure Python, so it runs without any
+    image library.  Raises ``ValueError`` for non-24bpp inputs."""
+    w, h, bpp, _, off = parse_bmp_header(payload)
+    if bpp != 24:
+        raise ValueError(f"resize_bmp handles 24bpp only, got {bpp}")
+    src_row = (w * 3 + 3) // 4 * 4
+    dst_row = (dst_w * 3 + 3) // 4 * 4
+    need = off + src_row * h
+    if len(payload) < need:
+        raise ValueError(f"BMP pixel data truncated: {len(payload)} < {need}")
+    out = bytearray(dst_row * dst_h)
+    for y in range(dst_h):
+        sy = y * h // dst_h
+        src_base = off + sy * src_row
+        dst_base = y * dst_row
+        for x in range(dst_w):
+            sx = x * w // dst_w
+            s = src_base + sx * 3
+            d = dst_base + x * 3
+            out[d : d + 3] = payload[s : s + 3]
+    import struct
+
+    file_size = 54 + len(out)
+    header = b"BM" + struct.pack("<IHHI", file_size, 0, 0, 54)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, dst_w, dst_h, 1, 24, 0, len(out), 2835, 2835, 0, 0
+    )
+    return header + dib + bytes(out)
+
+
 def resize_images(
     media: DataFrame,
     dst_w: int = 64,
     dst_h: int = 64,
     use_real_decoder: bool = False,
 ) -> DataFrame:
-    """Resize plumbing over Arrow batches (``mapInPandas``), kernel stubbed
-    like :func:`decode_image_features`.
+    """Resize over Arrow batches (``mapInPandas``).
 
-    The Spark-side contract is the real deliverable: binary-in/binary-out
-    schema, Arrow batch streaming, skew-safe repartition (shared skeleton
-    :func:`_map_media_rows`), and a digest column so downstream dedup can
-    run on resized outputs without re-reading payloads.
+    24-bit BMP payloads take the REAL path (:func:`resize_bmp`:
+    nearest-neighbor resample of the actual pixel grid, re-encoded as a
+    valid BMP); other formats fall back to the deterministic fake behind
+    the Pillow gate.  Binary-in/binary-out schema, Arrow batch streaming,
+    skew-safe repartition (shared skeleton :func:`_map_media_rows`), and a
+    digest column so downstream dedup can run on resized outputs without
+    re-reading payloads.
     """
     import hashlib
 
     def row_fn(media_id, payload, r):
-        w, h, _ = _fake_dims(payload)
-        out = _fake_resize(payload, dst_w, dst_h)
+        out = None
+        if payload[:2] == b"BM":
+            try:
+                w, h, _, _, _ = parse_bmp_header(payload)
+                out = resize_bmp(payload, dst_w, dst_h)
+            except ValueError:
+                out = None
+        if out is None:
+            w, h, _ = _fake_dims(payload)
+            out = _fake_resize(payload, dst_w, dst_h)
         return {
             "media_id": media_id,
             "src_width": w,

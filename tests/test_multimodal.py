@@ -164,3 +164,61 @@ def test_decode_uses_real_bmp_header(spark, sf_dir):
         assert r["height"] == 1 + did % 17
         assert r["channels"] == 3
         assert r["n_bytes"] == 54 + (r["width"] * 3 + 3) // 4 * 4 * r["height"]
+
+
+def test_resize_bmp_real_resample():
+    """resize_bmp reads the ACTUAL pixel grid: a 2x2 BMP with distinct
+    corner colors downsampled to 1x1 must carry the bottom-left source
+    pixel (nearest-neighbor, BMP rows are bottom-up), and the output is
+    itself a valid BMP of the target dims."""
+    import struct
+
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        make_bmp,
+        parse_bmp_header,
+        resize_bmp,
+    )
+
+    # hand-build a 2x2 24bpp BMP with known pixels (BGR):
+    # storage row 0 = bottom row: (1,1,1) (2,2,2); row 1 = top: (3,3,3) (4,4,4)
+    row = bytes([1, 1, 1, 2, 2, 2, 0, 0])  # 2px * 3B + 2B pad
+    top = bytes([3, 3, 3, 4, 4, 4, 0, 0])
+    pixels = row + top
+    header = b"BM" + struct.pack("<IHHI", 54 + len(pixels), 0, 0, 54)
+    dib = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    src = header + dib + pixels
+
+    out = resize_bmp(src, 1, 1)
+    w, h, bpp, fsize, off = parse_bmp_header(out)
+    assert (w, h, bpp) == (1, 1, 24) and fsize == len(out)
+    assert out[off : off + 3] == bytes([1, 1, 1])  # bottom-left source pixel
+
+    # upsample: every sampled pixel must come from the source grid
+    up = resize_bmp(src, 4, 2)
+    uw, uh, _, _, uoff = parse_bmp_header(up)
+    assert (uw, uh) == (4, 2)
+    urow = (4 * 3 + 3) // 4 * 4
+    bottom = [tuple(up[uoff + i * 3 : uoff + i * 3 + 3]) for i in range(4)]
+    assert bottom == [(1, 1, 1), (1, 1, 1), (2, 2, 2), (2, 2, 2)]
+
+    # generated BMPs round-trip through resize too
+    g = make_bmp(10, 6, b"pattern")
+    rg = resize_bmp(g, 5, 3)
+    assert parse_bmp_header(rg)[:2] == (5, 3)
+
+
+def test_resize_images_takes_real_path_for_bmp(spark, sf_dir):
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        generate_bmp_media,
+        parse_bmp_header,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(10)
+    media = generate_bmp_media(docs, "doc_id", "text")
+    out = resize_images(media, dst_w=8, dst_h=8).collect()
+    assert len(out) == 10
+    for r in out:
+        assert r["src_width"] == 1 + r["media_id"] % 31  # real header dims
+        w, h, bpp, _, _ = parse_bmp_header(bytes(r["resized"]))
+        assert (w, h, bpp) == (8, 8, 24)  # output is a valid 8x8 BMP
