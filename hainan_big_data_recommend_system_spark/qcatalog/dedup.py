@@ -413,3 +413,91 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shingle_src=staged_hashed_shingles(spark, sf_dir),
     )
+
+
+@register_extra(
+    "incremental_neardup",
+    _SIGS_SQL
+    + """,
+    bnew AS (SELECT * FROM buckets WHERE doc_id % 4 = 0),
+    bold AS (SELECT * FROM buckets WHERE doc_id % 4 <> 0),
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+        FROM bnew n
+        JOIN bold o ON n.band_id = o.band_id AND n.band_hash = o.band_hash
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_id, c.old_id, count(*) AS n_inter
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.new_id
+        JOIN sh sb ON sb.doc_id = c.old_id AND sb.shingle = sa.shingle
+        GROUP BY c.new_id, c.old_id
+    ),
+    jac AS (
+        SELECT new_id, old_id,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = new_id
+        JOIN sizes sb ON sb.doc_id = old_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.5
+    ),
+    best AS (
+        SELECT new_id, old_id, j FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY new_id ORDER BY j DESC, old_id
+            ) AS rn FROM jac
+        ) WHERE rn = 1
+    )
+    SELECT d.doc_id, b.old_id AS dup_of,
+           round(b.j, 6) AS jaccard,
+           b.old_id IS NOT NULL AS is_neardup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 = 0) d
+    LEFT JOIN best b ON b.new_id = d.doc_id
+    """,
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup — the ingest-time complement of
+    `incremental_dedup`'s exact-hash check: the new batch's LSH buckets
+    probe the corpus bucket index (both staged), candidates are verified
+    by exact Jaccard (>= 0.5), and each new doc reports its best corpus
+    match.  At 100 TB the corpus buckets are a bucketed table on
+    (band_id, band_hash), so the probe is a scan-and-merge on the batch's
+    buckets only — the corpus is never re-shingled or re-shuffled."""
+    from ..operators.dedup import verify_candidate_pairs
+    from ..operators.topk import topk_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    buckets = staged_buckets(spark, sf_dir)
+    bnew = buckets.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("a_id"), "band_id", "band_hash"
+    )
+    bold = buckets.filter(F.col("doc_id") % 4 != 0).select(
+        F.col("doc_id").alias("b_id"), "band_id", "band_hash"
+    )
+    cand = (
+        bnew.join(bold, ["band_id", "band_hash"])
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    verified = verify_candidate_pairs(
+        docs,
+        cand,
+        "doc_id",
+        "text",
+        n=3,
+        threshold=0.5,
+        shingle_src=staged_hashed_shingles(spark, sf_dir),
+    )
+    best = topk_per_group(
+        verified, ["a_id"], [F.desc("jaccard"), F.asc("b_id")], k=1
+    ).select("a_id", "b_id", "jaccard")
+    new_docs = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
+    return new_docs.join(
+        best, new_docs.doc_id == best.a_id, "left"
+    ).select(
+        "doc_id",
+        F.col("b_id").alias("dup_of"),
+        "jaccard",
+        F.col("b_id").isNotNull().alias("is_neardup"),
+    )
