@@ -1,0 +1,209 @@
+r"""Training-pipeline assembly queries (north-star extension surface):
+decontamination, duplicated-n-gram coverage, sequence packing, domain
+quota sampling, length bucketing.
+
+These are the corpus-hygiene / batch-assembly stages that sit between the
+dedup ladder (:mod:`.dedup`) and a training run.  No reference analogue —
+the reference ends at recommendation assembly — but they are first-class
+components of the 100 TB engine this repo targets.
+
+All registered via :func:`..register_extra`: the driver registry is at its
+50-query cap, so these carry the same local DuckDB oracle gate
+(tests/test_oracle.py) instead of a driver row.  Every output column is
+integer/string/bool — no floats, no arrays — and every ratio is integer
+basis points (``x * 10000 div y``), bit-exact in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..operators.contamination import benchmark_overlap, dup_ngram_coverage
+from ..operators.packing import pack_sequences
+from . import register_extra
+
+# benchmark set for decontamination: a deterministic 1/97 slice of the
+# documents table stands in for the (always tiny) eval suite
+_BENCH_PRED = "doc_id % 97 = 0"
+
+_CONTAMINATION_SQL = rf"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE NOT ({_BENCH_PRED})),
+bench AS (SELECT text FROM documents WHERE {_BENCH_PRED}),
+csh AS (
+    SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM corpus),
+         LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+),
+bsh AS (
+    SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
+    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench),
+         LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
+)
+SELECT c.doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated,
+       CAST(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) * 10000
+            // count(*) AS BIGINT) AS contamination_bp
+FROM csh c LEFT JOIN bsh b USING (shingle)
+GROUP BY c.doc_id
+"""
+
+
+@register_extra("contamination_overlap", _CONTAMINATION_SQL)
+def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination: 5-gram collision rate of every corpus doc against
+    the benchmark slice (docs with ``doc_id % 97 = 0``).  The benchmark
+    shingle set is broadcast — the corpus side never shuffles on shingles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.expr(_BENCH_PRED))
+    corpus = docs.where(~F.expr(_BENCH_PRED))
+    return benchmark_overlap(corpus, bench, "doc_id", "text", n=5)
+
+
+_DUP_COVERAGE_SQL = r"""
+WITH occ AS (
+    SELECT doc_id, array_to_string(toks[i:i+9], ' ') AS shingle
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+          FROM documents),
+         LATERAL (SELECT unnest(range(1, len(toks) - 8)) AS i)
+),
+dupset AS (
+    SELECT shingle
+    FROM (SELECT shingle, count(DISTINCT doc_id) AS df FROM occ GROUP BY shingle)
+    WHERE df >= 2
+),
+per AS (
+    SELECT o.doc_id, count(*) AS n_positions,
+           sum(CASE WHEN u.shingle IS NOT NULL THEN 1 ELSE 0 END) AS dup_positions
+    FROM occ o LEFT JOIN dupset u USING (shingle)
+    GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_positions, 0) AS BIGINT) AS n_positions,
+       CAST(coalesce(p.dup_positions, 0) AS BIGINT) AS dup_positions,
+       CAST(CASE WHEN coalesce(p.n_positions, 0) = 0 THEN 0
+                 ELSE p.dup_positions * 10000 // p.n_positions
+            END AS BIGINT) AS dup_coverage_bp
+FROM documents d LEFT JOIN per p USING (doc_id)
+"""
+
+
+@register_extra("dup_ngram_coverage", _DUP_COVERAGE_SQL)
+def q_dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring-dedup signal (Lee et al. 2021): fraction of each
+    doc's 10-gram positions covered by a 10-gram appearing in ≥2 docs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dup_ngram_coverage(docs, "doc_id", "text", n=10, min_docs=2)
+
+
+_PACK_BUDGET = 256
+
+_PACKING_SQL = rf"""
+WITH t AS (
+    SELECT doc_id,
+           md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, shuffle_key, n_tokens,
+           CAST(coalesce(
+               sum(n_tokens) OVER (
+                   ORDER BY shuffle_key, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS BIGINT) AS cum_before
+    FROM t
+)
+SELECT doc_id, shuffle_key, n_tokens, cum_before,
+       CAST(cum_before // {_PACK_BUDGET} AS BIGINT) AS pack_id
+FROM c
+"""
+
+
+@register_extra("sequence_packing", _PACKING_SQL)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-concat sequence packing at a 256-token budget over the
+    md5-shuffled corpus.  The oracle is the single-partition window
+    spelling; the engine runs the 256-bucket two-pass distributed prefix
+    sum (:mod:`..operators.packing`) — same numbers, scalable plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "text", budget=_PACK_BUDGET).select(
+        "doc_id", "shuffle_key", "n_tokens", "cum_before", "pack_id"
+    )
+
+
+_QUOTA = 25
+
+_QUOTA_SAMPLE_SQL = rf"""
+SELECT doc_id, lang, source, CAST(quota_rank AS BIGINT) AS quota_rank
+FROM (
+    SELECT doc_id, lang, source,
+           row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS quota_rank
+    FROM documents
+)
+WHERE quota_rank <= {_QUOTA}
+"""
+
+
+@register_extra("domain_quota_sample", _QUOTA_SAMPLE_SQL)
+def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mix quota sampling: a deterministic md5-ordered sample of at
+    most 25 docs per (lang, source) cell — the mixture-balancing stage of
+    corpus assembly.  Scale: one hash shuffle on the (small-cardinality)
+    group key; no global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.row_number().over(w).cast("long").alias("quota_rank"),
+        )
+        .where(F.col("quota_rank") <= _QUOTA)
+    )
+
+
+_LENGTH_BUCKETS_SQL = r"""
+WITH t AS (
+    SELECT lang,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS n_tokens
+    FROM documents
+)
+SELECT lang,
+       CAST(length(bin(n_tokens)) AS BIGINT) AS len_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bucket_tokens
+FROM t
+GROUP BY lang, length(bin(n_tokens))
+"""
+
+
+@register_extra("length_buckets", _LENGTH_BUCKETS_SQL)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two length histogram per language (bucket = bit-length of
+    the whitespace token count — integer ops only, no float log2).  Drives
+    curriculum/packing decisions; single partial-aggregated groupBy."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    return (
+        docs.select(
+            "lang",
+            n_tokens.alias("n_tokens"),
+            F.length(F.bin(n_tokens)).cast("long").alias("len_bucket"),
+        )
+        .groupBy("lang", "len_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("bucket_tokens"),
+        )
+    )

@@ -1,0 +1,133 @@
+"""Invariant tests for the training-pipeline assembly operators
+(contamination, packing, quota sampling) — semantics the DuckDB oracle
+can't express as crisply: self-consistency, determinism, and the
+distributed-prefix-sum ≡ single-partition-window equivalence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, Window, functions as F
+
+from hainan_big_data_recommend_system_spark.operators.contamination import (
+    benchmark_overlap,
+    dup_ngram_coverage,
+)
+from hainan_big_data_recommend_system_spark.operators.packing import (
+    distributed_prefix_sum,
+    pack_sequences,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_prefix_sum_matches_global_window(spark):
+    # 1000 rows, adversarial values (incl. zeros) — the 256-bucket two-pass
+    # must reproduce the naive single-partition window bit-for-bit
+    rows = [Row(i=i, v=(i * 7919) % 13) for i in range(1000)]
+    df = spark.createDataFrame(rows).withColumn(
+        "k", F.md5(F.col("i").cast("string").cast("binary"))
+    )
+    got = distributed_prefix_sum(df, "k", "i", "v")
+    w = Window.orderBy("k", "i").rowsBetween(Window.unboundedPreceding, -1)
+    want = df.withColumn(
+        "cum_before",
+        F.coalesce(F.sum(F.col("v").cast("long")).over(w), F.lit(0).cast("long")),
+    )
+    assert (
+        got.select("i", "cum_before")
+        .exceptAll(want.select("i", "cum_before"))
+        .count()
+        == 0
+    )
+    assert got.count() == 1000
+
+
+def test_prefix_sum_plan_has_no_global_sort_window(spark):
+    # the data-sized window must be partitioned (by the range bucket);
+    # only the <=256-row offsets branch may be single-partition
+    rows = [Row(i=i, v=1) for i in range(100)]
+    df = spark.createDataFrame(rows).withColumn(
+        "k", F.md5(F.col("i").cast("string").cast("binary"))
+    )
+    plan = (
+        distributed_prefix_sum(df, "k", "i", "v")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "windowspecdefinition(__bkt" in plan, plan
+
+
+def test_pack_sequences_invariants(docs):
+    budget = 256
+    packed = pack_sequences(docs, "doc_id", "text", budget=budget).cache()
+    n_docs = docs.count()
+    assert packed.count() == n_docs  # every doc assigned exactly once
+    assert packed.select("doc_id").distinct().count() == n_docs
+    # pack_id is exactly the exclusive-prefix-sum bucket
+    bad = packed.where(
+        F.col("pack_id") != F.expr(f"cum_before div {budget}")
+    ).count()
+    assert bad == 0
+    # cumulative totals are consistent: max(cum_before + n_tokens) = total
+    total = packed.agg(F.sum("n_tokens")).first()[0]
+    top = packed.agg(F.max(F.col("cum_before") + F.col("n_tokens"))).first()[0]
+    assert top == total
+    # pack ids are dense 0..max (streaming concat leaves no gaps as long as
+    # every doc is shorter than the budget; sf0.001 docs are ~30 tokens)
+    ids = [r.pack_id for r in packed.select("pack_id").distinct().collect()]
+    assert sorted(ids) == list(range(max(ids) + 1))
+    packed.unpersist()
+
+
+def test_benchmark_overlap_self_is_fully_contaminated(docs):
+    # checking a slice against itself: every doc with >=1 shingle must be
+    # 100% contaminated (10000 bp)
+    sl = docs.where(F.col("doc_id") % 17 == 0)
+    out = benchmark_overlap(sl, sl, "doc_id", "text", n=5)
+    assert out.where(F.col("contamination_bp") != 10000).count() == 0
+    assert out.count() > 0
+
+
+def test_benchmark_overlap_disjoint_vocab_is_zero(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=1, text="a b c d e f g h")]
+    )
+    bench = spark.createDataFrame([Row(doc_id=2, text="q r s t u v w x")])
+    out = benchmark_overlap(corpus, bench, "doc_id", "text", n=5).collect()
+    assert len(out) == 1
+    assert out[0].n_contaminated == 0 and out[0].contamination_bp == 0
+
+
+def test_dup_ngram_coverage_flags_exact_copies(spark):
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # byte-identical twin
+            Row(doc_id=3, text="z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),  # unique
+            Row(doc_id=4, text="too short"),  # < n tokens
+        ]
+    )
+    out = {r.doc_id: r for r in dup_ngram_coverage(df, "doc_id", "text", n=10).collect()}
+    assert out[1].dup_coverage_bp == 10000
+    assert out[2].dup_coverage_bp == 10000
+    assert out[3].dup_coverage_bp == 0 and out[3].n_positions == 2
+    assert out[4].n_positions == 0 and out[4].dup_coverage_bp == 0
+    assert len(out) == 4  # short docs still get a row
+
+
+def test_dup_ngram_coverage_no_dups_on_unique_corpus(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=" ".join(f"t{i}_{j}" for j in range(15)))
+            for i in range(5)
+        ]
+    )
+    out = dup_ngram_coverage(df, "doc_id", "text", n=10)
+    assert out.where(F.col("dup_positions") != 0).count() == 0
