@@ -132,6 +132,45 @@ def cosine_topk_bruteforce(
     return _global_topk(scored, k)
 
 
+def pinned_centroid_ranks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[int]] | None = None,
+    scale: int = 1000,
+) -> DataFrame:
+    """Rank every pinned centroid per vector by exact integer L2 distance:
+    (vid, __qv, cid, __d2, __pr), ``__pr = 1`` is the assignment.  Shared by
+    IVF probing (:func:`ivf_topk_pinned`) and SemDeDup clustering
+    (:mod:`.semdedup`).  Physically a broadcast of nlist centroid rows and
+    a map-side crossJoin + per-vector window — no data-sized shuffle."""
+    if centroids is None:
+        from .ivf_centroids import PINNED_IVF_CENTROIDS
+
+        centroids = PINNED_IVF_CENTROIDS
+    spark = df.sparkSession
+    cent_df = F.broadcast(
+        spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cid int, cv array<bigint>",
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("__qv")
+    )
+    dist2 = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("vid").orderBy(F.asc("__d2"), F.asc("cid"))
+    return (
+        base.crossJoin(cent_df)
+        .select("vid", "__qv", "cid", dist2.alias("__d2"))
+        .withColumn("__pr", F.row_number().over(w))
+    )
+
+
 def ivf_topk_pinned(
     df: DataFrame,
     id_col: str,
@@ -159,31 +198,7 @@ def ivf_topk_pinned(
     speedup.  At 100 TB: lists are the partition layout; re-fit the
     quantizer offline on a sample whenever drift matters.
     """
-    if centroids is None:
-        from .ivf_centroids import PINNED_IVF_CENTROIDS
-
-        centroids = PINNED_IVF_CENTROIDS
-    spark = df.sparkSession
-    cent_df = F.broadcast(
-        spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
-            "cid int, cv array<bigint>",
-        )
-    )
-    base = df.select(
-        F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("__qv")
-    )
-    dist2 = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    w = Window.partitionBy("vid").orderBy(F.asc("__d2"), F.asc("cid"))
-    ranked = (
-        base.crossJoin(cent_df)
-        .select("vid", "__qv", "cid", dist2.alias("__d2"))
-        .withColumn("__pr", F.row_number().over(w))
-    )
+    ranked = pinned_centroid_ranks(df, id_col, vec_col, centroids, scale)
     cand = ranked.filter(F.col("__pr") == 1).select(
         "vid", "__qv", F.col("cid").alias("__blk"),
         F.lit(False).alias("__is_q"), F.lit(True).alias("__is_c"),

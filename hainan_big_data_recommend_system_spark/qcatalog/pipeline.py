@@ -20,7 +20,9 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..operators.contamination import benchmark_overlap, dup_ngram_coverage
+from ..operators.ivf_centroids import PINNED_IVF_CENTROIDS
 from ..operators.packing import pack_sequences
+from ..operators.semdedup import semdedup
 from . import register_extra
 
 # benchmark set for decontamination: a deterministic 1/97 slice of the
@@ -207,3 +209,64 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("bucket_tokens"),
         )
     )
+
+
+_SEMDEDUP_T = 0.3
+
+_CENT_VALUES = ", ".join(f"({i}, {c})" for i, c in enumerate(PINNED_IVF_CENTROIDS))
+
+_SEMDEDUP_SQL = f"""
+WITH cent AS (
+    SELECT cid, cv::BIGINT[] AS cv FROM (VALUES {_CENT_VALUES}) v(cid, cv)
+),
+q AS (
+    SELECT vec_id,
+           list_transform(embedding::DOUBLE[],
+                          x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+    FROM embeddings
+),
+ranked AS (
+    SELECT vec_id, cid,
+           row_number() OVER (
+               PARTITION BY vec_id
+               ORDER BY list_dot_product(qv, qv)
+                          - 2 * list_dot_product(qv, cv)
+                          + list_dot_product(cv, cv), cid) AS pr
+    FROM q, cent
+),
+assign AS (SELECT vec_id, cid FROM ranked WHERE pr = 1),
+pairs AS (
+    SELECT sa.vec_id AS a_id, sb.vec_id AS b_id
+    FROM assign sa
+    JOIN assign sb ON sa.cid = sb.cid AND sa.vec_id < sb.vec_id
+    JOIN q a ON a.vec_id = sa.vec_id
+    JOIN q b ON b.vec_id = sb.vec_id
+    WHERE list_dot_product(a.qv, b.qv)
+            / (sqrt(list_dot_product(a.qv, a.qv))
+               * sqrt(list_dot_product(b.qv, b.qv))) >= {_SEMDEDUP_T}
+),
+peers AS (
+    SELECT vec_id, count(*) AS n_dup_peers,
+           max(CASE WHEN peer < vec_id THEN 1 ELSE 0 END) AS has_smaller
+    FROM (SELECT a_id AS vec_id, b_id AS peer FROM pairs
+          UNION ALL
+          SELECT b_id AS vec_id, a_id AS peer FROM pairs)
+    GROUP BY vec_id
+)
+SELECT s.vec_id, CAST(s.cid AS BIGINT) AS cluster_id,
+       CAST(coalesce(p.n_dup_peers, 0) AS BIGINT) AS n_dup_peers,
+       coalesce(p.has_smaller = 1, false) AS is_dropped
+FROM assign s LEFT JOIN peers p USING (vec_id)
+"""
+
+
+@register_extra("semdedup_prune", _SEMDEDUP_SQL)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): pinned-quantizer clustering + blocked
+    within-cluster cosine near-dup + keep-minimum-id survivor rule — every
+    stage integer-exact, so even this embedding-space dedup is fully
+    DuckDB-oracled.  Reuses the IVF centroid literals (one quantizer fit
+    serves both ANN search and semantic dedup, the FAISS deployment
+    pattern)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semdedup(emb, "vec_id", "embedding", threshold=_SEMDEDUP_T)

@@ -131,3 +131,27 @@ def test_dup_ngram_coverage_no_dups_on_unique_corpus(spark):
     )
     out = dup_ngram_coverage(df, "doc_id", "text", n=10)
     assert out.where(F.col("dup_positions") != 0).count() == 0
+
+
+def test_semdedup_drops_exact_twin(spark):
+    from hainan_big_data_recommend_system_spark.operators.semdedup import semdedup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").limit(200)
+    twin = emb.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    )
+    out = semdedup(emb.unionByName(twin), "vec_id", "embedding", threshold=0.3)
+    twin_row = out.where(F.col("vec_id") == 1_000_000 + emb.first().vec_id).first()
+    # the byte-identical copy has cosine 1.0 with a smaller id -> dropped
+    assert twin_row.is_dropped and twin_row.n_dup_peers >= 1
+    # every vector assigned exactly once; minimum id of any peer group kept
+    assert out.count() == 201
+    kept_min = (
+        out.groupBy("cluster_id").agg(F.min("vec_id").alias("m"))
+        .join(out, (F.col("m") == F.col("vec_id")), "inner")
+        .where(F.col("is_dropped"))
+        .count()
+    )
+    assert kept_min == 0  # the smallest id in a cluster can never be dropped
