@@ -16,6 +16,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = (
     "region",
@@ -33,21 +34,44 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Cast top-level TIMESTAMP_NTZ columns to TIMESTAMP.
+
+    Fixture parquet has been written both ways across driver rounds
+    (``isAdjustedToUTC`` true and false); Spark reads the latter as
+    TIMESTAMP_NTZ, which functions like ``unix_micros`` reject.  Under the
+    engine's pinned UTC session timezone (session.py) the cast is
+    value-identical — it exists so every downstream operator and oracle
+    sees one timestamp type regardless of how the fixture was encoded.
+    """
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if ntz:
+        # the NTZ→TIMESTAMP cast interprets the naive value in the session
+        # timezone; pin UTC so it matches the UTC-naive DuckDB oracle even
+        # under a caller-provided session
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        df = df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long and
-        # truncate to microseconds with INTEGER division — float division
-        # would round half the microseconds up, diverging from DuckDB's
-        # (and Spark's own) truncating ns→us cast.
+        # events.ts has been parquet TIMESTAMP(NANOS) in some fixture
+        # rounds, which Spark's vectorized reader rejects
+        # ([PARQUET_TYPE_ILLEGAL]).  Read nanos as long and truncate to
+        # microseconds with INTEGER division — float division would round
+        # half the microseconds up, diverging from DuckDB's (and Spark's
+        # own) truncating ns→us cast.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _normalize_timestamps(spark, df)
+    return _normalize_timestamps(
+        spark, spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    )
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

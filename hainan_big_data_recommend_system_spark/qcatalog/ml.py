@@ -15,6 +15,7 @@ from ..catalog import load_table
 from ..ml.clustering import assign_clusters, fit_kmeans
 from ..ml.vectorize import fit_vectorizer, load_stop_words
 from ..operators.ann import cosine_topk_bruteforce, ivf_topk_pinned
+from ..operators.lsh import lsh_topk_pinned, pinned_hyperplanes
 from ..operators.ivf_centroids import PINNED_IVF_CENTROIDS
 from ..operators.similarity import (
     cosine_topk_arrays,
@@ -370,4 +371,78 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("cluster")
+    )
+
+
+# ---------------------------------------------------------------------------
+# north_star similarity search — random-hyperplane LSH ANN: the
+# data-INDEPENDENT bucket index (Charikar SRP-LSH).  Pinned integer
+# hyperplanes (same determinism trick as the IVF quantizer / MinHash hash
+# family) make signature bits, bucket ids and quantized cosine scores exact
+# in both engines — every stage of the approximate index is oracle-checked.
+# ---------------------------------------------------------------------------
+
+_LSH_PLANE_VALUES = ", ".join(
+    f"({t}, {j}, {h})" for t, j, h in pinned_hyperplanes(n_tables=4, bits=6, dim=64)
+)
+
+
+@register_extra(
+    "ann_topk_lsh",
+    f"""
+    WITH hp AS (
+        SELECT t, j, h::BIGINT[] AS h
+        FROM (VALUES {_LSH_PLANE_VALUES}) v(t, j, h)
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    sig AS (
+        SELECT q.vec_id, hp.t,
+               sum(CASE WHEN list_dot_product(q.qv, hp.h) >= 0
+                        THEN CAST(1 AS BIGINT) << hp.j ELSE 0 END) AS bucket
+        FROM q, hp
+        GROUP BY q.vec_id, hp.t
+    ),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM sig a
+        JOIN sig b ON a.t = b.t AND a.bucket = b.bucket
+                   AND a.vec_id <> b.vec_id
+        WHERE a.vec_id % 4 = 0
+    ),
+    pairs AS (
+        SELECT c.query_id, c.neighbor_id,
+               list_dot_product(qa.qv, qb.qv) AS dot,
+               list_dot_product(qa.qv, qa.qv) AS na,
+               list_dot_product(qb.qv, qb.qv) AS nb
+        FROM cand c
+        JOIN q qa ON qa.vec_id = c.query_id
+        JOIN q qb ON qb.vec_id = c.neighbor_id
+    )
+    SELECT query_id, neighbor_id,
+           round(dot / (sqrt(na) * sqrt(nb)), 6) AS sim, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id
+            ORDER BY dot / (sqrt(na) * sqrt(nb)) DESC, neighbor_id
+        ) AS rn
+        FROM pairs
+    )
+    WHERE rn <= 5
+    """,
+)
+def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN (operators/lsh.py): 4 tables × 6 bits over the
+    64-dim embeddings, candidates deduped across tables, exact quantized
+    cosine within buckets, top-5 per probed query (vec_id % 4 = 0 — same
+    probe bounding as `ann_topk_bruteforce`, so recall is directly
+    comparable).  Recall vs brute force is pinned in tests/test_lsh.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_topk_pinned(
+        emb, "vec_id", "embedding", k=5,
+        n_tables=4, bits=6, query_filter=F.col("query_id") % 4 == 0,
     )
