@@ -55,6 +55,19 @@ def _normalize_timestamps(spark: SparkSession, df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one canonical table as a DataFrame.
+
+    Side effect (deliberate, ADVICE r3): if the fixture encodes timestamps
+    as TIMESTAMP_NTZ, this sets ``spark.sql.session.timeZone=UTC`` on the
+    caller's session and does NOT restore the prior value.  The NTZ→
+    TIMESTAMP cast reads the session timezone lazily at *execution* time,
+    so restoring the conf after planning would silently re-interpret the
+    returned (lazy) DataFrame in the old timezone at collect time.  The
+    engine pins UTC globally anyway (session.py); callers who need a
+    different session timezone must materialize this table first.
+    ``events`` additionally sets ``spark.sql.legacy.parquet.nanosAsLong``
+    for fixtures written with TIMESTAMP(NANOS).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":

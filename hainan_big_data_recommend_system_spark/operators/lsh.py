@@ -14,8 +14,9 @@ is data-INDEPENDENT — no training stage, signatures are pure per-row map
 work, which makes it the right first index for a corpus you haven't
 sampled yet and the only one that works under adversarial drift.
 
-Determinism: hyperplane components are pinned integers from a fixed LCG
-formula (:func:`pinned_hyperplanes`) and vectors are integer-quantized
+Determinism: hyperplane components are pinned integers from a fixed
+splitmix-style bit-mix of the component's flat index
+(:func:`pinned_hyperplanes`) and vectors are integer-quantized
 (:func:`..similarity.quantize_vec`), so bucket ids and scores are exact —
 the whole query (signature, bucket join, scoring) is DuckDB-oracle-
 checkable, same design as the pinned IVF quantizer
@@ -27,6 +28,9 @@ the groupBy); the bucket self-join shuffles on (table, bucket) — bucket
 population is the work unit, tuned by ``bits`` (more bits → smaller
 buckets → fewer candidates, lower recall; more tables buys recall back
 linearly in signature cost).  Nothing is all-pairs: work ∝ Σ bucket².
+Candidate pairs are deduplicated on ids ONLY and the quantized vectors
+re-joined afterwards, so the widest shuffle (the cross-table
+dropDuplicates) carries two longs per row, not two 64-element arrays.
 """
 
 from __future__ import annotations
@@ -35,12 +39,18 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .similarity import int_dot, quantize_vec
 
-#: LCG constants (glibc's) for the pinned hyperplane family — any fixed
-#: odd multiplier works; pinned so Spark and the SQL oracle embed the
-#: same literals.
-_LCG_A = 1103515245
-_LCG_C = 12345
-_LCG_M = 2003  # prime → components uniform in [-1001, 1001]
+_MIX_M = 2003  # prime → components uniform in [-1001, 1001]
+_MASK64 = (1 << 64) - 1
+
+
+def _mix64(x: int) -> int:
+    """SplitMix64 finalizer (Steele et al., public domain) — avalanches a
+    64-bit index so nearby inputs give statistically independent outputs.
+    Plain Python ints, maskable, reproducible anywhere."""
+    x &= _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return (x ^ (x >> 31)) & _MASK64
 
 
 def pinned_hyperplanes(
@@ -49,19 +59,19 @@ def pinned_hyperplanes(
     """Deterministic integer hyperplanes, ``(table, bit, components)`` rows.
 
     Component ``d`` of hyperplane ``(t, j)`` is
-    ``((A·(idx+1) + C) mod M) − (M−1)/2`` with
-    ``idx = (t·bits + j)·dim + d`` — a data-independent pseudo-random
-    family symmetric around 0, reproducible as literals in oracle SQL.
+    ``mix64(idx + 1) mod M − (M−1)/2`` with
+    ``idx = (t·bits + j)·dim + d`` — each component is an independent
+    avalanche of its flat index, so planes behave like the iid random
+    hyperplanes the Charikar analysis assumes (an earlier affine-in-idx
+    LCG variant produced strided, strongly correlated components).  The
+    family is data-independent and reproducible as literals in oracle SQL.
     """
     planes = []
-    half = (_LCG_M - 1) // 2
+    half = (_MIX_M - 1) // 2
     for t in range(n_tables):
         for j in range(bits):
             base = (t * bits + j) * dim
-            h = [
-                ((_LCG_A * (base + d + 1) + _LCG_C) % _LCG_M) - half
-                for d in range(dim)
-            ]
+            h = [(_mix64(base + d + 1) % _MIX_M) - half for d in range(dim)]
             planes.append((t, j, h))
     return planes
 
@@ -73,16 +83,28 @@ def lsh_signatures(
     planes: list[tuple[int, int, list[int]]] | None = None,
     scale: int = 1000,
 ) -> DataFrame:
-    """Per-(vector, table) bucket ids: ``(vid, __qv, t, bucket)``.
+    """Per-(vector, table) bucket ids: ``(vid, t, bucket)``.
 
     ``bucket = Σ_j [v·h_tj ≥ 0] · 2^j`` over exact integer dots.
     Physically: broadcast of ``tables·bits`` hyperplane rows, a map-side
     crossJoin computing one dot per (row, plane), then a groupBy packing
-    bits — shuffle volume = |rows|·tables signature rows, never vectors
-    squared.
+    bits — shuffle volume = |rows|·tables narrow signature rows (three
+    longs each; the quantized vectors never ride the signature shuffle),
+    never vectors squared.
+
+    Fails fast if the data's vector dimensionality differs from the
+    planes' (a mismatch would zero-pad dots via ``zip_with`` nulls and
+    silently collapse every row into one O(n²) bucket).
     """
     if planes is None:
         planes = pinned_hyperplanes()
+    plane_dim = len(planes[0][2])
+    data_dim = _vec_dim(df, vec_col)
+    if data_dim != plane_dim:
+        raise ValueError(
+            f"vector dim {data_dim} != hyperplane dim {plane_dim}; build "
+            f"planes with pinned_hyperplanes(dim={data_dim})"
+        )
     spark = df.sparkSession
     plane_df = F.broadcast(
         spark.createDataFrame(planes, "t int, j int, h array<bigint>")
@@ -94,12 +116,9 @@ def lsh_signatures(
     bit = F.when(int_dot(F.col("__qv"), F.col("h")) >= 0, 1).otherwise(0)
     return (
         base.crossJoin(plane_df)
-        .select("vid", "__qv", "t", "j", bit.alias("__bit"))
+        .select("vid", "t", "j", bit.alias("__bit"))
         .groupBy("vid", "t")
-        .agg(
-            F.sum(F.expr("shiftleft(__bit, j)")).alias("bucket"),
-            F.first("__qv").alias("__qv"),
-        )
+        .agg(F.sum(F.expr("shiftleft(__bit, j)")).alias("bucket"))
     )
 
 
@@ -122,21 +141,34 @@ def lsh_topk_pinned(
     only from bucketing, never score noise.  ``query_filter`` bounds the
     query side (applied to ``query_id``) the way the reference's online
     path scores one probe set per event.
+
+    Shuffle discipline: the bucket join and cross-table dropDuplicates
+    carry only id/bucket longs; the quantized vectors are re-joined onto
+    the deduplicated pair set afterwards (two hash joins keyed on the id),
+    so the widest stage's row width is independent of vector dim.
     """
     planes = pinned_hyperplanes(n_tables, bits, _vec_dim(df, vec_col))
     sig = lsh_signatures(df, id_col, vec_col, planes, scale)
-    a = sig.select(
-        F.col("vid").alias("query_id"), F.col("__qv").alias("__qa"), "t", "bucket"
-    )
+    a = sig.select(F.col("vid").alias("query_id"), "t", "bucket")
     if query_filter is not None:
         a = a.filter(query_filter)
-    b = sig.select(
-        F.col("vid").alias("neighbor_id"), F.col("__qv").alias("__qb"), "t", "bucket"
-    )
-    pairs = (
+    b = sig.select(F.col("vid").alias("neighbor_id"), "t", "bucket")
+    cand = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = df.select(
+        F.col(id_col).alias("vid"),
+        quantize_vec(F.col(vec_col), scale).alias("__qv"),
+    )
+    pairs = cand.join(
+        qv.select(F.col("vid").alias("query_id"), F.col("__qv").alias("__qa")),
+        "query_id",
+    ).join(
+        qv.select(F.col("vid").alias("neighbor_id"), F.col("__qv").alias("__qb")),
+        "neighbor_id",
     )
     dot = int_dot(F.col("__qa"), F.col("__qb")).cast("double")
     na = int_dot(F.col("__qa"), F.col("__qa")).cast("double")

@@ -383,7 +383,7 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _LSH_PLANE_VALUES = ", ".join(
-    f"({t}, {j}, {h})" for t, j, h in pinned_hyperplanes(n_tables=4, bits=6, dim=64)
+    f"({t}, {j}, {h})" for t, j, h in pinned_hyperplanes(n_tables=16, bits=6, dim=64)
 )
 
 
@@ -436,13 +436,18 @@ _LSH_PLANE_VALUES = ", ".join(
     """,
 )
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (operators/lsh.py): 4 tables × 6 bits over the
+    """Hyperplane-LSH ANN (operators/lsh.py): 16 tables × 6 bits over the
     64-dim embeddings, candidates deduped across tables, exact quantized
     cosine within buckets, top-5 per probed query (vec_id % 4 = 0 — same
     probe bounding as `ann_topk_bruteforce`, so recall is directly
-    comparable).  Recall vs brute force is pinned in tests/test_lsh.py."""
+    comparable).  Recall@5 vs brute force is pinned ≥ 0.5 in
+    tests/test_lsh.py (measured 0.536 at sf0.01 / 0.557 at sf0.001 —
+    deterministic: pinned planes + quantized vectors); 16 tables is the
+    recall knob, chosen because 4 tables bottoms out at ~0.19 on these
+    near-orthogonal synthetic embeddings while signature cost stays one
+    map pass."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk_pinned(
         emb, "vec_id", "embedding", k=5,
-        n_tables=4, bits=6, query_filter=F.col("query_id") % 4 == 0,
+        n_tables=16, bits=6, query_filter=F.col("query_id") % 4 == 0,
     )
