@@ -387,7 +387,7 @@ _LSH_PLANE_VALUES = ", ".join(
 )
 
 
-@register_extra(
+@register(
     "ann_topk_lsh",
     f"""
     WITH hp AS (

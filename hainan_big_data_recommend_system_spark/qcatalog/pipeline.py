@@ -7,11 +7,14 @@ dedup ladder (:mod:`.dedup`) and a training run.  No reference analogue —
 the reference ends at recommendation assembly — but they are first-class
 components of the 100 TB engine this repo targets.
 
-All registered via :func:`..register_extra`: the driver registry is at its
-50-query cap, so these carry the same local DuckDB oracle gate
-(tests/test_oracle.py) instead of a driver row.  Every output column is
-integer/string/bool — no floats, no arrays — and every ratio is integer
-basis points (``x * 10000 div y``), bit-exact in both engines.
+Registry placement (round 4): the flagships — ``contamination_overlap``,
+``sequence_packing``, ``semdedup_prune`` — hold driver slots (rotated in by
+demoting relational demos whose operator coverage is subsumed by other
+driver queries); the remaining variants are :func:`..register_extra`
+entries under the same local DuckDB oracle gate (tests/test_oracle.py).
+Every output column is integer/string/bool — no floats, no arrays — and
+every ratio is integer basis points (``x * 10000 div y``), bit-exact in
+both engines.
 """
 
 from __future__ import annotations
@@ -23,7 +26,7 @@ from ..operators.contamination import benchmark_overlap, dup_ngram_coverage
 from ..operators.ivf_centroids import PINNED_IVF_CENTROIDS
 from ..operators.packing import pack_sequences
 from ..operators.semdedup import semdedup
-from . import register_extra
+from . import register, register_extra
 
 # benchmark set for decontamination: a deterministic 1/97 slice of the
 # documents table stands in for the (always tiny) eval suite
@@ -54,7 +57,7 @@ GROUP BY c.doc_id
 """
 
 
-@register_extra("contamination_overlap", _CONTAMINATION_SQL)
+@register("contamination_overlap", _CONTAMINATION_SQL)
 def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decontamination: 5-gram collision rate of every corpus doc against
     the benchmark slice (docs with ``doc_id % 97 = 0``).  The benchmark
@@ -126,7 +129,7 @@ FROM c
 """
 
 
-@register_extra("sequence_packing", _PACKING_SQL)
+@register("sequence_packing", _PACKING_SQL)
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-concat sequence packing at a 256-token budget over the
     md5-shuffled corpus.  The oracle is the single-partition window
@@ -260,7 +263,7 @@ FROM assign s LEFT JOIN peers p USING (vec_id)
 """
 
 
-@register_extra("semdedup_prune", _SEMDEDUP_SQL)
+@register("semdedup_prune", _SEMDEDUP_SQL)
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): pinned-quantizer clustering + blocked
     within-cluster cosine near-dup + keep-minimum-id survivor rule — every

@@ -195,10 +195,12 @@ def q_weighted_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W1 — top-k per query item (reference `simility_books.py:62`, num_best=100)
+# W1 — top-k per query item (reference `simility_books.py:62`, num_best=100).
+# EXTRA since round 4: W1's driver row rides `doc_similarity_topk`; this
+# demo freed a driver slot for the LLM-pipeline flagships.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "top3_per_part",
     """
     SELECT l_partkey, l_orderkey, l_linenumber, l_extendedprice,
@@ -228,10 +230,12 @@ def q_top3_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# W3 — most-recent-k per user (reference `guessLike_u_like.py:189,203-204`)
+# W3 — most-recent-k per user (reference `guessLike_u_like.py:189,203-204`).
+# EXTRA since round 4: `recent_orders_kv` covers W3+O3+F5+F19 in one driver
+# query; this single-facet variant keeps the local oracle only.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "recent3_per_customer",
     """
     SELECT o_custkey, o_orderkey, o_orderdate, CAST(rn AS BIGINT) AS rn
@@ -378,11 +382,14 @@ def q_title_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # J1 under skew — salted fact⋈dim join (SURVEY.md §4 "salting for skew").
+# EXTRA since round 4: the salted plan's row-equivalence to the plain join
+# is pinned by tests/test_skew.py + this oracle locally; J1/A7 driver
+# coverage rides `hot_items`.
 # Salting is purely physical: the oracle is the PLAIN join, which is exactly
 # the point — a hot key spread over `salt` tasks must not change one row.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "salted_hot_parts",
     """
     SELECT l.l_partkey, p.p_name,

@@ -7,7 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from hainan_big_data_recommend_system_spark.catalog import load_table
-from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY
+from hainan_big_data_recommend_system_spark.qcatalog import EXTRA_REGISTRY
 
 SF_DIR = "/root/testdata/sf0.01"
 
@@ -15,7 +15,7 @@ SF_DIR = "/root/testdata/sf0.01"
 def test_sketch_stats_invariants(spark):
     got = {
         r["event_type"]: r
-        for r in REGISTRY["sketch_event_stats"].fn(spark, SF_DIR).collect()
+        for r in EXTRA_REGISTRY["sketch_event_stats"].fn(spark, SF_DIR).collect()
     }
     ev = load_table(spark, SF_DIR, "events")
     exact = {
@@ -42,6 +42,6 @@ def test_sketch_stats_invariants(spark):
 def test_sketch_stats_scalar_columns_only(spark):
     """Driver-canonicalizer contract: no array/map/struct columns in any
     catalog result (pandas sort_values crashes on unhashable cells)."""
-    df = REGISTRY["sketch_event_stats"].fn(spark, SF_DIR)
+    df = EXTRA_REGISTRY["sketch_event_stats"].fn(spark, SF_DIR)
     for f in df.schema.fields:
         assert f.dataType.typeName() not in ("array", "map", "struct"), f.name
