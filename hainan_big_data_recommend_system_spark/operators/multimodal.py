@@ -5,11 +5,16 @@ metadata, processed by Arrow-batched pandas functions over ``mapInPandas``:
 
     (id, media binary, media_type, meta…) → decode/extract → features
 
-The decode kernels themselves are STUBBED — PIL/ffmpeg/torchaudio are not in
-this container — behind an import-try that raises ``NotImplementedError``
-with a clear message, plus a deterministic fake used by tests.  What IS real
-and tested: the schema contract, the Arrow batch path, the partitioning
-strategy, and the UDF signatures — the parts that matter for the Spark plan.
+Two image formats decode for REAL in pure Python — BMP (header parse +
+nearest-neighbor resize) and PNG (chunk walk with CRC validation, zlib
+inflate, per-scanline unfilter incl. Paeth) — so dimensions, channel
+counts and pixel digests come from the payload bytes themselves.
+Compressed formats that genuinely need a native library (JPEG; ffmpeg/
+torchaudio for av) stay behind an import-try that raises
+``NotImplementedError`` with a clear message, plus a deterministic fake
+used by tests.  Also real and tested: the schema contract, the Arrow
+batch path, the partitioning strategy, and the UDF signatures — the parts
+that matter for the Spark plan.
 
 Scale notes: binary payloads make rows wide — ``maxPartitionBytes`` governs
 scan parallelism, and feature extraction should run AFTER any filter that
@@ -35,7 +40,8 @@ MEDIA_SCHEMA = T.StructType(
 
 IMAGE_FEATURES_SCHEMA = (
     "media_id long, media_type string, n_bytes long, "
-    "width int, height int, channels int, features array<float>"
+    "width int, height int, channels int, features array<float>, "
+    "px_md5 string"
 )
 
 FRAME_SAMPLE_SCHEMA = (
@@ -111,6 +117,193 @@ def make_bmp(width: int, height: int, pixel_seed: bytes) -> bytes:
     return header + dib + (seed * reps)[:pixel_bytes]
 
 
+# ---------------------------------------------------------------------------
+# Real decode path #2: PNG (round 4).  stdlib zlib covers the DEFLATE layer;
+# the chunk framing, CRC validation and scanline unfiltering (None/Sub/Up/
+# Average/Paeth — PNG spec §9 "Filtering") are small pure-Python kernels, so
+# PNG payloads decode to actual pixel bytes without Pillow.
+# ---------------------------------------------------------------------------
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: color type → samples per pixel (8-bit depth only; palette needs PLTE
+#: handling and stays out of scope)
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4): nearest of left/up/up-left to the
+    initial estimate ``a + b − c``, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def make_png(width: int, height: int, pixel_seed: bytes) -> bytes:
+    """Build a VALID 8-bit RGB PNG with pixel data cycled from
+    ``pixel_seed`` — the fixture generator for the PNG decode path.
+
+    Scanline ``y`` is encoded with filter type ``y % 5``, so any decoder
+    that gets the dimensions AND pixel bytes back must implement every
+    filter including Paeth — a filter bug cannot hide behind filter-0
+    fixtures.  Pure function of its arguments: the raw (pre-filter) pixel
+    stream is exactly ``pixel_seed`` cycled to ``width·height·3`` bytes,
+    which is what lets an oracle predict the decoded pixel digest.
+    """
+    import struct
+    import zlib
+
+    stride = width * 3
+    seed = pixel_seed or b"\x00"
+    n = stride * height
+    reps = -(-n // len(seed))
+    raw = (seed * reps)[:n]
+    out = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        line = raw[y * stride : (y + 1) * stride]
+        ft = y % 5
+        out.append(ft)
+        if ft == 0:
+            out += line
+        elif ft == 1:  # Sub
+            out += bytes(
+                (line[i] - (line[i - 3] if i >= 3 else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            out += bytes((line[i] - prior[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            out += bytes(
+                (line[i] - (((line[i - 3] if i >= 3 else 0) + prior[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - 3] if i >= 3 else 0,
+                        prior[i],
+                        prior[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        prior = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-Python PNG decode: returns ``(width, height, channels,
+    unfiltered pixel bytes)``.
+
+    Walks the chunk stream validating every CRC, parses IHDR, inflates the
+    concatenated IDAT payload via stdlib zlib, and reverses the per-
+    scanline filter (types 0–4 incl. Paeth).  Supports 8-bit depth,
+    grayscale/RGB/RGBA color, no interlace; anything else — and any
+    malformed framing, bad CRC, or pixel-count mismatch — raises
+    ``ValueError``: a decode stage must reject corrupt payloads loudly.
+    """
+    import struct
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    width = height = channels = None
+    idat = bytearray()
+    while pos + 12 <= len(payload):
+        clen = struct.unpack_from(">I", payload, pos)[0]
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + clen]
+        if len(data) != clen:
+            raise ValueError(f"truncated {ctype!r} chunk")
+        crc = struct.unpack_from(">I", payload, pos + 8 + clen)[0]
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        if ctype == b"IHDR":
+            width, height, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported bit depth {depth}")
+            channels = _PNG_CHANNELS.get(color)
+            if channels is None:
+                raise ValueError(f"unsupported color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG unsupported")
+            if width <= 0 or height <= 0:
+                raise ValueError(f"bad dimensions {width}x{height}")
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if width is None:
+        raise ValueError("no IHDR chunk")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError(
+            f"inflated size {len(raw)} != {(stride + 1) * height} "
+            f"for {width}x{height}x{channels}"
+        )
+    fb = channels  # filter unit: one pixel's worth of bytes at 8-bit depth
+    pixels = bytearray()
+    prior = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - fb] if i >= fb else 0)) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prior[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                line[i] = (
+                    line[i] + (((line[i - fb] if i >= fb else 0) + prior[i]) >> 1)
+                ) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                line[i] = (
+                    line[i]
+                    + _paeth(
+                        line[i - fb] if i >= fb else 0,
+                        prior[i],
+                        prior[i - fb] if i >= fb else 0,
+                    )
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        pixels += line
+        prior = bytes(line)
+    return width, height, channels, bytes(pixels)
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """Deterministic fake dimensions from payload length alone — O(1)."""
     n = len(payload)
@@ -170,31 +363,45 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over Arrow batches (``mapInPandas``).
 
-    BMP payloads take the REAL path: dimensions/channel count are parsed
-    from the payload's own header bytes (:func:`parse_bmp_header`).  Other
-    formats need Pillow (``use_real_decoder`` gate) and otherwise fall to
-    the deterministic fake.  Features are the byte-histogram stand-in for
-    a CNN embedding in both paths.  Plumbing (filter/repartition/Arrow
-    batches) lives in :func:`_map_media_rows`.
+    BMP and PNG payloads take the REAL path: BMP dimensions/channel count
+    are parsed from the header bytes (:func:`parse_bmp_header`); PNG is
+    fully decoded — CRC-validated chunk walk, zlib inflate, scanline
+    unfilter — to actual pixel bytes (:func:`parse_png`).  ``px_md5``
+    digests the decoded pixel stream (BMP: the padded pixel array after
+    the header; PNG: the unfiltered samples; fake path: the raw payload),
+    so an oracle that can predict the pixels can pin the whole decode.
+    Other formats need Pillow (``use_real_decoder`` gate) and otherwise
+    fall to the deterministic fake.  Features are the byte-histogram
+    stand-in for a CNN embedding in every path.  Plumbing
+    (filter/repartition/Arrow batches) lives in :func:`_map_media_rows`.
     """
+    import hashlib
 
     def row_fn(media_id, payload, r):
-        # try the real parser on a BMP-shaped payload; a lookalike that
-        # merely starts with 'BM' (text, random binary) must fall back to
-        # the total fake path, not fail the task — one corrupt row never
-        # kills a corpus decode
-        parsed = None
-        if payload[:2] == b"BM":
+        # try the real parsers on format-shaped payloads; a lookalike that
+        # merely starts with the magic (text, random binary) must fall
+        # back to the total fake path, not fail the task — one corrupt row
+        # never kills a corpus decode
+        decoded = None
+        if payload[:8] == PNG_SIG:
             try:
-                parsed = parse_bmp_header(payload)
+                w, h, c, pixels = parse_png(payload)
+                decoded = (w, h, c, pixels)
             except ValueError:
-                parsed = None
-        if parsed is not None:
-            w, h, bpp, _, px_off = parsed
-            c = max(bpp // 8, 1)
-            feats = _byte_hist(payload[px_off:])  # pixel bytes only
+                decoded = None
+        elif payload[:2] == b"BM":
+            try:
+                w, h, bpp, _, px_off = parse_bmp_header(payload)
+                decoded = (w, h, max(bpp // 8, 1), payload[px_off:])
+            except ValueError:
+                decoded = None
+        if decoded is not None:
+            w, h, c, pixels = decoded
+            feats = _byte_hist(pixels)
+            digest = hashlib.md5(pixels).hexdigest()
         else:
             w, h, c, feats = _fake_decode(payload)
+            digest = hashlib.md5(payload).hexdigest()
         return {
             "media_id": media_id,
             "media_type": r["media_type"],
@@ -203,6 +410,7 @@ def decode_image_features(
             "height": h,
             "channels": c,
             "features": feats,
+            "px_md5": digest,
         }
 
     return _map_media_rows(
@@ -236,6 +444,40 @@ def generate_bmp_media(
                             str(r[text_col]).encode("utf-8"),
                         ),
                         "source": "synthetic-bmp",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def generate_png_media(
+    docs: DataFrame, id_col: str, text_col: str, mod_w: int = 29, mod_h: int = 13
+) -> DataFrame:
+    """Fixture-payload generator for the PNG path: one valid RGB8 PNG per
+    document, sized ``(1 + id % mod_w) × (1 + id % mod_h)``, raw pixels
+    cycled from the document text, scanline filters cycling 0–4 (incl.
+    Paeth).  Pure function of (id, text): the decoded pixel stream is
+    exactly the text bytes cycled to ``w·h·3``, so an oracle can predict
+    the post-decode ``px_md5`` — which pins inflate AND unfilter, not just
+    header parsing."""
+    import pandas as pd
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r[id_col])
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image",
+                        "payload": make_png(
+                            1 + did % mod_w,
+                            1 + did % mod_h,
+                            str(r[text_col]).encode("utf-8"),
+                        ),
+                        "source": "synthetic-png",
                     }
                 )
             yield pd.DataFrame(rows)

@@ -245,29 +245,60 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 17 AS INT) AS img_h,
            CAST(24 AS INT) AS img_bpp,
            CAST(54 + ((1 + doc_id % 31) * 3 + 3) // 4 * 4 * (1 + doc_id % 17)
-                AS BIGINT) AS img_bytes
+                AS BIGINT) AS img_bytes,
+           CAST(1 + doc_id % 29 AS INT) AS png_w,
+           CAST(1 + doc_id % 13 AS INT) AS png_h,
+           CAST(3 AS INT) AS png_channels,
+           md5(substr(repeat(text,
+                             CAST(((1 + doc_id % 29) * (1 + doc_id % 13) * 3
+                                   + length(text) - 1) // length(text) AS INT)),
+                      1,
+                      (1 + doc_id % 29) * (1 + doc_id % 13) * 3)) AS png_px_md5
     FROM documents
     """,
 )
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed metadata over opaque binary payloads PLUS a real decode: each
-    doc gets a valid generated BMP (dims are a pure function of doc_id),
-    and `img_w`/`img_h`/`img_bpp`/`img_bytes` are parsed back from the
-    payload's own header bytes by the decode stage
-    (operators/multimodal.py: parse_bmp_header via decode_image_features).
-    The oracle predicts those fields from the generator formula — so a
-    parser bug (wrong offset, wrong endianness, missed row padding) breaks
-    the hash match."""
-    from ..operators.multimodal import decode_image_features, generate_bmp_media
+    """Typed metadata over opaque binary payloads PLUS two real decodes.
+
+    BMP: each doc gets a valid generated BMP (dims a pure function of
+    doc_id); `img_w`/`img_h`/`img_bpp`/`img_bytes` are parsed back from
+    the payload's own header bytes (operators/multimodal.py:
+    parse_bmp_header via decode_image_features) — a parser bug (wrong
+    offset, endianness, missed row padding) breaks the hash match.
+
+    PNG (round 4): each doc also gets a valid RGB8 PNG whose scanlines
+    cycle filter types 0-4 (incl. Paeth); `png_w`/`png_h`/`png_channels`
+    come from the CRC-validated IHDR and `png_px_md5` digests the pixel
+    bytes after zlib inflate + unfilter (operators/multimodal.py:
+    parse_png).  The raw pixel stream is the doc text cycled to w*h*3
+    bytes, so the oracle reconstructs it with repeat()/substr() (text is
+    ASCII in every fixture — chars == bytes) and md5s it — one wrong
+    pixel anywhere (bad inflate, wrong Paeth tiebreak, off-by-one stride)
+    and the driver hash mismatches."""
+    from ..operators.multimodal import (
+        decode_image_features,
+        generate_bmp_media,
+        generate_png_media,
+    )
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = generate_bmp_media(docs, "doc_id", "text")
-    feats = decode_image_features(media).select(
+    bmp_feats = decode_image_features(
+        generate_bmp_media(docs, "doc_id", "text")
+    ).select(
         F.col("media_id").alias("doc_id"),
         F.col("width").alias("img_w"),
         F.col("height").alias("img_h"),
         (F.col("channels") * 8).cast("int").alias("img_bpp"),
         F.col("n_bytes").alias("img_bytes"),
+    )
+    png_feats = decode_image_features(
+        generate_png_media(docs, "doc_id", "text")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("png_w"),
+        F.col("height").alias("png_h"),
+        F.col("channels").alias("png_channels"),
+        F.col("px_md5").alias("png_px_md5"),
     )
     payload = F.col("text").cast("binary")
     n_bytes = F.length(payload).cast("bigint")
@@ -277,7 +308,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("content_sha256"),
         F.when(n_bytes >= 1024, "large").otherwise("small").alias("size_class"),
     )
-    return meta.join(feats, "doc_id")
+    return meta.join(bmp_feats, "doc_id").join(png_feats, "doc_id")
 
 
 @register(

@@ -1,6 +1,8 @@
-"""Multimodal plumbing tests: binary columns flow through Arrow batches with
-a stable schema; decode stub is deterministic; frame sampling explodes
-correctly.  (Real decoders aren't in this container — SURVEY/M6 scope.)"""
+"""Multimodal tests: binary columns flow through Arrow batches with a
+stable schema; BMP and PNG decode for REAL in pure Python (header parse /
+CRC + inflate + unfilter); frame sampling explodes correctly; everything
+else falls back to the deterministic fake (JPEG et al. need Pillow, which
+isn't in this container)."""
 
 from __future__ import annotations
 
@@ -31,7 +33,8 @@ def test_decode_schema_and_determinism(spark, media):
     out1 = decode_image_features(media)
     assert out1.schema.simpleString() == (
         "struct<media_id:bigint,media_type:string,n_bytes:bigint,"
-        "width:int,height:int,channels:int,features:array<float>>"
+        "width:int,height:int,channels:int,features:array<float>,"
+        "px_md5:string>"
     )
     r1 = {r["media_id"]: (r["width"], r["height"], tuple(r["features"])) for r in out1.collect()}
     r2 = {
@@ -164,6 +167,127 @@ def test_decode_uses_real_bmp_header(spark, sf_dir):
         assert r["height"] == 1 + did % 17
         assert r["channels"] == 3
         assert r["n_bytes"] == 54 + (r["width"] * 3 + 3) // 4 * 4 * r["height"]
+
+
+# ---------------------------------------------------------------------------
+# Real PNG decode path (round 4): CRC-validated chunk walk, zlib inflate,
+# scanline unfilter incl. Paeth.  The encoder is pinned against BY-HAND
+# filter arithmetic (not just roundtrip, which a symmetric encoder/decoder
+# bug could survive); the decoder against the roundtrip + the DuckDB oracle
+# on px_md5 (qcatalog `multimodal_meta`).
+# ---------------------------------------------------------------------------
+
+
+def test_png_roundtrip_all_filters():
+    import hashlib
+
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        make_png,
+        parse_png,
+    )
+
+    for w, h, seed in [(1, 1, b"x"), (29, 13, b"some document text"), (7, 11, b"")]:
+        payload = make_png(w, h, seed)
+        pw, ph, c, px = parse_png(payload)
+        s = seed or b"\x00"
+        n = w * h * 3
+        want = (s * (-(-n // len(s))))[:n]
+        assert (pw, ph, c) == (w, h, 3)
+        assert px == want  # decode inverts filter 0..4 exactly
+        assert hashlib.md5(px).hexdigest() == hashlib.md5(want).hexdigest()
+
+
+def test_png_filtered_bytes_pinned_by_hand():
+    """The encoder's filtered scanlines match spec arithmetic computed BY
+    HAND for a 1x5 image (one scanline per filter type): Sub with no left
+    neighbor, Up as row delta, Average as floor((a+b)/2), Paeth choosing
+    the `up` predictor when a=c=0.  This breaks the symmetry of the
+    roundtrip test — a matching encode/decode bug pair cannot pass it."""
+    import struct
+    import zlib
+
+    from hainan_big_data_recommend_system_spark.operators.multimodal import make_png
+
+    seed = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120, 130, 140, 150])
+    payload = make_png(1, 5, seed)
+    # IDAT is the second chunk: sig(8) + IHDR chunk (12+13) = offset 33
+    clen = struct.unpack_from(">I", payload, 33)[0]
+    assert payload[37:41] == b"IDAT"
+    raw = zlib.decompress(payload[41 : 41 + clen])
+    expect = bytes(
+        [0, 10, 20, 30]        # y0 None
+        + [1, 40, 50, 60]      # y1 Sub   (left = 0)
+        + [2, 30, 30, 30]      # y2 Up    (row2 - row1)
+        + [3, 65, 70, 75]      # y3 Avg   (100-35, 110-40, 120-45)
+        + [4, 30, 30, 30]      # y4 Paeth (predictor = up = row3)
+    )
+    assert raw == expect
+
+
+def test_png_rejects_corruption():
+    import struct
+
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        make_png,
+        parse_png,
+    )
+
+    good = make_png(5, 4, b"seed")
+    with pytest.raises(ValueError, match="signature"):
+        parse_png(b"\x89PNX" + good[4:])
+    bad_crc = bytearray(good)
+    bad_crc[20] ^= 0xFF  # flip an IHDR byte without fixing its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        parse_png(bytes(bad_crc))
+    # declared dims inconsistent with pixel data (CRC re-stamped so the
+    # failure is the size check, not the checksum)
+    bad_dim = bytearray(good)
+    struct.pack_into(">I", bad_dim, 16, 9)  # width 5 -> 9 inside IHDR
+    import zlib
+
+    crc = zlib.crc32(bytes(bad_dim[12:29])) & 0xFFFFFFFF
+    struct.pack_into(">I", bad_dim, 29, crc)
+    with pytest.raises(ValueError, match="inflated size"):
+        parse_png(bytes(bad_dim))
+
+
+def test_decode_uses_real_png_pixels(spark, sf_dir):
+    """Dims AND pixel digest of generated PNGs must come from actually
+    decoding the payload (generator-formula agreement end-to-end)."""
+    import hashlib
+
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        decode_image_features,
+        generate_png_media,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    media = generate_png_media(docs, "doc_id", "text")
+    out = {r["media_id"]: r for r in decode_image_features(media).collect()}
+    assert set(out) == set(texts)
+    for did, r in out.items():
+        w, h = 1 + did % 29, 1 + did % 13
+        assert (r["width"], r["height"], r["channels"]) == (w, h, 3)
+        tb = texts[did].encode("utf-8")
+        n = w * h * 3
+        want = (tb * (-(-n // len(tb))))[:n]
+        assert r["px_md5"] == hashlib.md5(want).hexdigest()
+
+
+def test_decode_falls_back_on_png_lookalike(spark):
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        _fake_dims,
+        decode_image_features,
+    )
+
+    lookalike = b"\x89PNG\r\n\x1a\n" + b"this is not a real chunk stream"
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(lookalike), "s")],
+        "media_id long, media_type string, payload binary, source string",
+    )
+    row = decode_image_features(media).collect()[0]
+    assert (row["width"], row["height"], row["channels"]) == _fake_dims(lookalike)
 
 
 def test_resize_bmp_real_resample():
