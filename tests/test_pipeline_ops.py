@@ -133,6 +133,83 @@ def test_dup_ngram_coverage_no_dups_on_unique_corpus(spark):
     assert out.where(F.col("dup_positions") != 0).count() == 0
 
 
+def test_semdedup_chainmin_containment_vs_exact_ball_cover(spark):
+    """Pin the chain-min survivor rule's deviation from exact ε-ball
+    dedup (VERDICT r3): on the same within-cluster pair list,
+
+    1. the minimum id of every connected component always survives;
+    2. everything chain-min drops is a non-minimum member of some
+       component (never an isolated vector);
+    3. chain-min prunes a SUPERSET of the exact greedy min-id ε-ball
+       cover (the SemDeDup paper's per-ball semantics) — the documented
+       conservative direction;
+
+    and report the over-prune rate on the fixture."""
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        pinned_centroid_ranks,
+    )
+    from hainan_big_data_recommend_system_spark.operators.components import (
+        connected_components,
+    )
+    from hainan_big_data_recommend_system_spark.operators.semdedup import semdedup
+    from hainan_big_data_recommend_system_spark.operators.similarity import (
+        blocked_cosine_pairs_np,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    verdict = semdedup(emb, "vec_id", "embedding", threshold=0.3)
+    dropped = {r["vec_id"] for r in verdict.filter("is_dropped").collect()}
+    assert dropped  # fixture produces real near-dup structure
+
+    # the identical pair list the operator scored (same quantizer, same
+    # threshold, same integer math)
+    assign = (
+        pinned_centroid_ranks(emb, "vec_id", "embedding")
+        .filter(F.col("__pr") == 1)
+        .select(F.col("vid").alias("vec_id"), F.col("cid").alias("cluster_id"))
+    )
+    pairs = blocked_cosine_pairs_np(
+        emb.select(F.col("vec_id"), F.col("embedding").alias("__vec"))
+        .join(assign, "vec_id"),
+        "vec_id", "__vec", block_col="cluster_id", threshold=0.3,
+    )
+
+    comp = connected_components(pairs, "a_id", "b_id")
+    minima = {r["node"] for r in comp.filter("node = component").collect()}
+    members = {r["node"] for r in comp.collect()}
+
+    # 1. component minima always survive the chain-min rule
+    assert not (dropped & minima)
+    # 2. chain-min drops only non-minimum component members — i.e. it is
+    #    bounded above by one-survivor-per-component pruning
+    assert dropped <= (members - minima)
+
+    # 3. exact greedy min-id ε-ball cover, computed independently on the
+    #    collected pair list (fixture-sized)
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for r in pairs.select("a_id", "b_id").collect():
+        adj[r["a_id"]].add(r["b_id"])
+        adj[r["b_id"]].add(r["a_id"])
+    ball_dropped: set = set()
+    for v in sorted(adj):
+        if v not in ball_dropped:  # v is kept: its whole ε-ball goes
+            ball_dropped |= adj[v] - {v}
+    assert ball_dropped <= dropped  # chain-min prunes at least as hard
+
+    over = len(dropped) - len(ball_dropped)
+    rate = over / max(len(ball_dropped), 1)
+    print(
+        f"semdedup chain-min over-prune: {len(dropped)} dropped vs "
+        f"{len(ball_dropped)} exact ball-cover (+{over}, {rate:.1%})"
+    )
+    # the deviation is the documented tradeoff, but it must stay a
+    # deviation, not a blowup: chain-min on this fixture prunes within
+    # 25% of the exact cover
+    assert rate <= 0.25
+
+
 def test_semdedup_drops_exact_twin(spark):
     from hainan_big_data_recommend_system_spark.operators.semdedup import semdedup
 
