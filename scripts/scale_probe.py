@@ -60,6 +60,11 @@ QUERIES = [
     "text_profile",
     "stopword_profile",
     "minhash_verified_pairs",
+    # round-4 additions (VERDICT r3 #4): the promoted pipeline flagships
+    "sequence_packing",
+    "dup_ngram_coverage",
+    "semdedup_prune",
+    "ann_topk_lsh",
 ]
 
 
@@ -87,6 +92,73 @@ def build_replicas(spark) -> None:
         out.write.mode("overwrite").parquet(dst)
 
 
+def knob_probes(spark) -> dict:
+    """Approximate-index knob sweeps (VERDICT r3 #4): a data-INDEPENDENT
+    index with fixed geometry goes quadratic when the data scales under
+    it — bucket population ∝ n for LSH with fixed ``bits``, cluster size
+    ∝ n for SemDeDup with fixed ``nlist``.  The fix at scale is the knob,
+    not the operator: more bits / more centroids.  This probe measures
+    both the degradation and the knob restoring it."""
+    from hainan_big_data_recommend_system_spark.operators.lsh import (
+        lsh_signatures,
+        lsh_topk_pinned,
+        pinned_hyperplanes,
+    )
+    from hainan_big_data_recommend_system_spark.operators.semdedup import semdedup
+    from hainan_big_data_recommend_system_spark.operators.similarity import (
+        quantize_vec,
+    )
+
+    out: dict = {}
+    for label, sf_dir in [("sf0.1", BASE), ("sf1", OUT)]:
+        emb = load_table(spark, sf_dir, "embeddings")
+        for bits in (6, 9):
+            planes = pinned_hyperplanes(16, bits, 64)
+            occ = (
+                lsh_signatures(emb, "vec_id", "embedding", planes)
+                .groupBy("t", "bucket")
+                .count()
+            )
+            stats = occ.agg(
+                F.max("count").alias("mx"),
+                F.avg("count").alias("avg"),
+                F.sum(F.col("count") * F.col("count")).alias("sum_sq"),
+            ).collect()[0]
+            t0 = time.perf_counter()
+            lsh_topk_pinned(
+                emb, "vec_id", "embedding", k=5, n_tables=16, bits=bits,
+                query_filter=F.col("query_id") % 4 == 0,
+            ).write.format("noop").mode("overwrite").save()
+            out[f"lsh_{label}_bits{bits}"] = {
+                "max_bucket": int(stats["mx"]),
+                "mean_bucket": round(float(stats["avg"]), 1),
+                "pair_work": int(stats["sum_sq"]),  # Σ bucket² ∝ candidates
+                "sec": round(time.perf_counter() - t0, 2),
+            }
+        for nlist in (8, 32):
+            cents = None
+            if nlist != 8:
+                # deterministic subsample quantizer: every k-th vector —
+                # no fit needed, the point is cluster-size bounding
+                rows = (
+                    emb.orderBy("vec_id")
+                    .select(quantize_vec(F.col("embedding")).alias("qv"))
+                    .limit(4000)
+                    .collect()
+                )
+                step = max(len(rows) // nlist, 1)
+                cents = [list(r["qv"]) for r in rows[::step][:nlist]]
+            t0 = time.perf_counter()
+            semdedup(
+                emb, "vec_id", "embedding", threshold=0.3, centroids=cents
+            ).write.format("noop").mode("overwrite").save()
+            out[f"semdedup_{label}_nlist{nlist}"] = round(
+                time.perf_counter() - t0, 2
+            )
+        print(f"# knobs {label}: {out}", file=sys.stderr)
+    return out
+
+
 def main() -> None:
     spark = get_spark(app_name="scale_probe")
     # cold staged-dedup dir: the stage build is part of the measured cost
@@ -112,6 +184,7 @@ def main() -> None:
         row["slope"] = round(row["sf1"] / row["sf0.1"], 2)
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
+    results["knobs"] = knob_probes(spark)
     print(json.dumps(results))
     spark.stop()
 
