@@ -137,10 +137,10 @@ def test_event_time_windows_one_exchange_per_kind(spark):
 
 
 def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
-    """Generate and decode both stream Arrow batches (MapInPandas x2);
-    the metadata join stays broadcast, and no row-at-a-time Python eval
-    appears anywhere."""
+    """Two generate→decode chains (BMP + PNG since round 4) stream Arrow
+    batches (MapInPandas ×4); both metadata joins stay broadcast, and no
+    row-at-a-time Python eval appears anywhere."""
     plan = plan_of(spark, "multimodal_meta")
-    assert plan.count("MapInPandas") == 2, plan
+    assert plan.count("MapInPandas") == 4, plan
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
