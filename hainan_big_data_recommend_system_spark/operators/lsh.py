@@ -148,7 +148,15 @@ def lsh_topk_pinned(
     so the widest stage's row width is independent of vector dim.
     """
     planes = pinned_hyperplanes(n_tables, bits, _vec_dim(df, vec_col))
-    sig = lsh_signatures(df, id_col, vec_col, planes, scale)
+    # materialize the signature index once: the bucket self-join consumes
+    # it on BOTH sides, and the query-side filter makes the subplans
+    # differ, so Spark's ReuseExchange cannot kick in — without this the
+    # whole signature pipeline (crossJoin + groupBy) executes twice.  At
+    # deployment scale this checkpoint is the persisted LSH index table
+    # (build once, probe many), same staging shape as qcatalog/dedup.py.
+    sig = lsh_signatures(df, id_col, vec_col, planes, scale).localCheckpoint(
+        eager=True
+    )
     a = sig.select(F.col("vid").alias("query_id"), "t", "bucket")
     if query_filter is not None:
         a = a.filter(query_filter)
