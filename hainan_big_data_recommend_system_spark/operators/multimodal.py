@@ -234,6 +234,7 @@ def parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 8
     width = height = channels = None
     idat = bytearray()
+    seen_iend = False
     while pos + 12 <= len(payload):
         clen = struct.unpack_from(">I", payload, pos)[0]
         ctype = payload[pos + 4 : pos + 8]
@@ -259,11 +260,17 @@ def parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
+            seen_iend = True
             break
         pos += 12 + clen
     if width is None:
         raise ValueError("no IHDR chunk")
-    raw = zlib.decompress(bytes(idat))
+    if not seen_iend:
+        raise ValueError("missing IEND chunk (truncated stream)")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"bad IDAT stream: {e}") from None
     stride = width * channels
     if len(raw) != (stride + 1) * height:
         raise ValueError(

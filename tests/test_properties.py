@@ -125,6 +125,38 @@ def test_bmp_roundtrip_property(w, h, seed):
     assert fsize == len(payload) == 54 + (w * 3 + 3) // 4 * 4 * h
 
 
+@given(
+    st.integers(min_value=1, max_value=48),
+    st.integers(min_value=1, max_value=24),
+    st.binary(min_size=0, max_size=64),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(w, h, seed):
+    """make_png → parse_png round-trips EXACT PIXELS for any dims/seed:
+    the decoder must invert whichever of the five scanline filters the
+    encoder picked (they cycle per row), including Paeth, and truncating
+    the payload anywhere must raise, never return garbage."""
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        make_png,
+        parse_png,
+    )
+
+    payload = make_png(w, h, seed)
+    pw, ph, c, px = parse_png(payload)
+    s = seed or b"\x00"
+    n = w * h * 3
+    assert (pw, ph, c) == (w, h, 3)
+    assert px == (s * (-(-n // len(s))))[:n]
+    # any truncation that cuts a chunk boundary or body fails loudly
+    for cut in (9, 20, 33, len(payload) // 2, len(payload) - 1):
+        if cut < len(payload):
+            try:
+                parse_png(payload[:cut])
+            except ValueError:
+                continue
+            raise AssertionError(f"truncation at {cut} not rejected")
+
+
 def test_repetition_stats_bounds_and_extremes(spark):
     """Ratio bounds [0, 1e6]; a fully-repetitive doc maxes top/dup, an
     all-distinct doc has dup=0, and a doc too short for n-grams gets 0s."""
