@@ -239,3 +239,77 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir, stream_dir, tm
     }
     assert got == expected
     assert len(got) > 0
+
+
+# ---------------------------------------------------------------------------
+# Streaming corpus ingestion with exact dedup (streaming/ingest.py): the
+# streaming face of the batch dedup ladder — per-batch survivor selection,
+# anti-join against the persistent hash index, epoch-keyed idempotence.
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_dedup_ingest(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        read_ingested_corpus,
+        start_dedup_ingest,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    # file 1: an in-batch duplicate (ids 1,2 same text); file 2: a
+    # cross-batch duplicate of file 1 plus fresh content
+    spark.createDataFrame(
+        [(1, "alpha alpha"), (2, "alpha alpha"), (3, "beta")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    spark.createDataFrame(
+        [(4, "alpha alpha"), (5, "gamma")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_dedup_ingest(stream, corpus, index, ckpt)
+    q.awaitTermination()
+
+    got = read_ingested_corpus(spark, corpus)
+    texts = [r["text"] for r in got.collect()]
+    # one survivor per distinct content, across batches
+    assert sorted(texts) == ["alpha alpha", "beta", "gamma"]
+    # min-id survivor discipline within the batch
+    assert {r["doc_id"] for r in got.collect()} == {1, 3, 5}
+
+    # second run over the same checkpoint: only NEW content appends
+    spark.createDataFrame(
+        [(6, "beta"), (7, "delta")], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f3")
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q2 = start_dedup_ingest(stream2, corpus, index, ckpt)
+    q2.awaitTermination()
+    texts2 = sorted(r["text"] for r in read_ingested_corpus(spark, corpus).collect())
+    assert texts2 == ["alpha alpha", "beta", "delta", "gamma"]
+
+    # at-least-once replay of an epoch is idempotent: re-offering the same
+    # batch under the same epoch id overwrites, never double-appends
+    writer = dedup_ingest_writer(corpus, index)
+    replay = spark.createDataFrame(
+        [(6, "beta"), (7, "delta")], "doc_id long, text string"
+    )
+    epochs = sorted(
+        int(e.split("=")[1])
+        for e in __import__("os").listdir(corpus)
+        if e.startswith("epoch=")
+    )
+    writer(replay, epochs[-1])
+    texts3 = sorted(r["text"] for r in read_ingested_corpus(spark, corpus).collect())
+    assert texts3 == texts2
