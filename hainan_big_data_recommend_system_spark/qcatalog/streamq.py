@@ -352,6 +352,40 @@ def q_sketch_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# EXTRA rows-only, same rationale as sketch_event_stats: the sketch's
+# binary layout is engine-specific; error bounds are the testable contract
+# (tests/test_sketches.py).
+@register_extra("cms_heavy_hitters", None)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for the exact top-10 users —
+    the heavy-hitters member of the sketch family (HLL++ distincts,
+    approx percentiles, CMS counts).  The sketch is built by a
+    distributed treeAggregate (eps=0.1% of stream length, 99% confidence,
+    pinned seed); driver state is the few-KB sketch plus the bounded
+    top-10 probe list.  At 100 TB the sketch replaces the exact groupBy
+    when only hot-key estimates are needed: one map pass, mergeable,
+    fixed memory."""
+    ev = load_table(spark, sf_dir, "events")
+    # the SQL aggregate builds the sketch distributed (partial merge);
+    # the driver deserializes the few-KB binary to probe it
+    sk = ev.select(
+        F.expr("count_min_sketch(user_id, 0.001d, 0.99d, 42)").alias("s")
+    ).collect()[0]["s"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    top = (
+        ev.groupBy("user_id")
+        .count()
+        .orderBy(F.desc("count"), F.asc("user_id"))
+        .limit(10)
+        .collect()  # bounded: exactly 10 rows
+    )
+    data = [
+        (int(r["user_id"]), int(r["count"]), int(cms.estimateCount(int(r["user_id"]))))
+        for r in top
+    ]
+    return spark.createDataFrame(data, "user_id long, exact_n long, cms_n long")
+
+
 # ---------------------------------------------------------------------------
 # Exact per-group quantiles (percentile_disc semantics) — the oracled exact
 # counterpart to `sketch_event_stats`' approx percentiles.  Rank selection

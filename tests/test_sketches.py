@@ -45,3 +45,18 @@ def test_sketch_stats_scalar_columns_only(spark):
     df = EXTRA_REGISTRY["sketch_event_stats"].fn(spark, SF_DIR)
     for f in df.schema.fields:
         assert f.dataType.typeName() not in ("array", "map", "struct"), f.name
+
+
+def test_cms_heavy_hitters_bounds(spark):
+    """Count-min never undercounts, and with eps=0.001 the overcount on
+    this fixture is bounded by eps * stream length (99% confidence; seed
+    pinned, so this is deterministic in practice)."""
+    got = EXTRA_REGISTRY["cms_heavy_hitters"].fn(spark, SF_DIR).collect()
+    assert len(got) == 10
+    n_events = load_table(spark, SF_DIR, "events").count()
+    for r in got:
+        assert r["cms_n"] >= r["exact_n"], r  # CMS is one-sided
+        assert r["cms_n"] <= r["exact_n"] + 0.001 * n_events, r
+    # the probe list is the exact top-10: descending counts
+    counts = [r["exact_n"] for r in got]
+    assert counts == sorted(counts, reverse=True)
