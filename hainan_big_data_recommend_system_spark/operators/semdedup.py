@@ -60,10 +60,14 @@ def semdedup(
     with_cid = df.select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__vec")
     ).join(assign, "vec_id")
+    # materialize the pair list once: the peers union below consumes it on
+    # BOTH sides, and lazily the whole upstream (assignment window + per-
+    # cluster matmul kernel) would execute twice — the plan pin in
+    # tests/test_plans.py holds this at one FlatMapGroupsInPandas
     pairs = blocked_cosine_pairs_np(
         with_cid, "vec_id", "__vec", block_col="cluster_id",
         threshold=threshold, scale=scale,
-    )
+    ).localCheckpoint(eager=True)
     # peers per vector (either side of the a<b pair), dropped = any smaller peer
     peers = (
         pairs.select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("peer"))

@@ -144,3 +144,89 @@ def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
     assert plan.count("MapInPandas") == 4, plan
     assert "EvalPython" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 2, plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 driver promotions — plan shapes of the pipeline flagships
+# ---------------------------------------------------------------------------
+
+
+def test_ann_topk_lsh_narrow_dedup_and_plane_broadcast(spark):
+    """Hyperplane LSH: the planes ride a broadcast (96 tiny rows, never
+    data x data); the bucket join shuffles on (t, bucket) and the
+    cross-table candidate dedup exchange carries ONLY the two id longs
+    (the round-4 shuffle-width fix); no Python eval anywhere."""
+    import re
+
+    plan = plan_of(spark, "ann_topk_lsh")
+    assert "EvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    ex = _exchange_lines(plan)
+    assert re.search(r"hashpartitioning\(query_id#\d+L, neighbor_id#\d+L", ex), ex
+    assert re.search(r"hashpartitioning\(t#\d+, bucket#\d+L", ex), ex
+    assert "__q" not in ex, ex  # vectors never key a shuffle
+
+
+def _exchange_lines(plan: str) -> str:
+    return "\n".join(l for l in plan.splitlines() if "Exchange hashpartitioning" in l)
+
+
+def test_contamination_overlap_broadcasts_benchmark_side(spark):
+    """Decontamination: the shingle join is a broadcast of the (small by
+    construction) benchmark side — the corpus NEVER shuffles to meet it.
+    The only shingle-keyed exchange in the plan is the benchmark's own
+    distinct; corpus-side exchanges are per-doc aggregates."""
+    plan = plan_of(spark, "contamination_overlap")
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan  # a corpus shuffle-join = bug
+    assert "EvalPython" not in plan, plan
+
+
+def test_sequence_packing_no_global_sort_window(spark):
+    """Sequence packing: the distributed two-pass prefix sum must never
+    fall back to a global single-partition window (the scale-killer it
+    exists to avoid)."""
+    plan = plan_of(spark, "sequence_packing")
+    assert "Exchange SinglePartition" not in plan or plan.count(
+        "Exchange SinglePartition"
+    ) <= 1, plan  # at most the bounded 256-row bucket-offset stage
+    assert "EvalPython" not in plan, plan
+
+
+def test_semdedup_prune_broadcasts_quantizer(spark):
+    """SemDeDup: the expensive stages run exactly once.  The final plan
+    consumes the eagerly-checkpointed pair list (so the per-cluster Arrow
+    matmul kernel is NOT re-executed per peers-union branch — it shows as
+    a materialized scan, zero FlatMapGroupsInPandas in the final plan),
+    and the pair pipeline itself broadcasts the 8-row pinned centroid
+    table rather than shuffling data to meet it."""
+    plan = plan_of(spark, "semdedup_prune")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("FlatMapGroupsInPandas") == 0, plan  # checkpointed
+    assert "EvalPython" not in plan, plan
+
+    # the pair pipeline (pre-checkpoint) has the asserted kernel shape
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        pinned_centroid_ranks,
+    )
+    from hainan_big_data_recommend_system_spark.operators.similarity import (
+        blocked_cosine_pairs_np,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    assign = (
+        pinned_centroid_ranks(emb, "vec_id", "embedding")
+        .filter(F.col("__pr") == 1)
+        .select(F.col("vid").alias("vec_id"), F.col("cid").alias("cluster_id"))
+    )
+    pairs = blocked_cosine_pairs_np(
+        emb.select("vec_id", F.col("embedding").alias("__vec")).join(assign, "vec_id"),
+        "vec_id", "__vec", block_col="cluster_id", threshold=0.3,
+    )
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert pplan.count("FlatMapGroupsInPandas") == 1, pplan
+    assert "CartesianProduct" not in pplan, pplan
+    assert "BroadcastNestedLoopJoin" in pplan or "BroadcastHashJoin" in pplan, pplan
