@@ -51,11 +51,18 @@ def nearest_neighbors_1d(
     Returns (group, id, neighbor_id, dist, rank) — exact, deterministic.
     """
     w_pos = Window.partitionBy("__g").orderBy("__v", "__id")
-    pos = df.select(
-        F.col(group_col).alias("__g"),
-        F.col(id_col).alias("__id"),
-        F.col(val_col).alias("__v"),
-    ).withColumn("__pos", F.row_number().over(w_pos))
+    # materialize positions once: they feed the tie-width aggregate AND
+    # both sides of the band join — lazily the per-group sort window would
+    # execute three times
+    pos = (
+        df.select(
+            F.col(group_col).alias("__g"),
+            F.col(id_col).alias("__id"),
+            F.col(val_col).alias("__v"),
+        )
+        .withColumn("__pos", F.row_number().over(w_pos))
+        .localCheckpoint(eager=True)
+    )
 
     # T = max multiplicity of a single value per group → exact band width
     ties = (

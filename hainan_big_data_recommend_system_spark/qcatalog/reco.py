@@ -101,10 +101,14 @@ def reco_assembly(
         "c_custkey", "c_mktsegment", "c_acctbal"
     )
 
+    # materialize the collection set once: it feeds the contribs join AND
+    # the own-collection anti-filter — lazily the orders⋈lineitem shuffle
+    # join + distinct would execute twice
     colls = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("uid"), F.col("l_partkey").alias("pid"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     hot = hot_items(li, "l_partkey", n=30).select(
         F.col("l_partkey").alias("pid")
