@@ -82,6 +82,7 @@ def lsh_signatures(
     vec_col: str,
     planes: list[tuple[int, int, list[int]]] | None = None,
     scale: int = 1000,
+    data_dim: int | None = None,
 ) -> DataFrame:
     """Per-(vector, table) bucket ids: ``(vid, t, bucket)``.
 
@@ -94,12 +95,15 @@ def lsh_signatures(
 
     Fails fast if the data's vector dimensionality differs from the
     planes' (a mismatch would zero-pad dots via ``zip_with`` nulls and
-    silently collapse every row into one O(n²) bucket).
+    silently collapse every row into one O(n²) bucket).  ``data_dim``
+    lets a caller that already probed the dim (``lsh_topk_pinned``) skip
+    the one-row probe job.
     """
     if planes is None:
         planes = pinned_hyperplanes()
     plane_dim = len(planes[0][2])
-    data_dim = _vec_dim(df, vec_col)
+    if data_dim is None:
+        data_dim = _vec_dim(df, vec_col)
     if data_dim != plane_dim:
         raise ValueError(
             f"vector dim {data_dim} != hyperplane dim {plane_dim}; build "
@@ -147,16 +151,17 @@ def lsh_topk_pinned(
     the deduplicated pair set afterwards (two hash joins keyed on the id),
     so the widest stage's row width is independent of vector dim.
     """
-    planes = pinned_hyperplanes(n_tables, bits, _vec_dim(df, vec_col))
+    dim = _vec_dim(df, vec_col)
+    planes = pinned_hyperplanes(n_tables, bits, dim)
     # materialize the signature index once: the bucket self-join consumes
     # it on BOTH sides, and the query-side filter makes the subplans
     # differ, so Spark's ReuseExchange cannot kick in — without this the
     # whole signature pipeline (crossJoin + groupBy) executes twice.  At
     # deployment scale this checkpoint is the persisted LSH index table
     # (build once, probe many), same staging shape as qcatalog/dedup.py.
-    sig = lsh_signatures(df, id_col, vec_col, planes, scale).localCheckpoint(
-        eager=True
-    )
+    sig = lsh_signatures(
+        df, id_col, vec_col, planes, scale, data_dim=dim
+    ).localCheckpoint(eager=True)
     a = sig.select(F.col("vid").alias("query_id"), "t", "bucket")
     if query_filter is not None:
         a = a.filter(query_filter)

@@ -238,13 +238,18 @@ def parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
     while pos + 12 <= len(payload):
         clen = struct.unpack_from(">I", payload, pos)[0]
         ctype = payload[pos + 4 : pos + 8]
-        data = payload[pos + 8 : pos + 8 + clen]
-        if len(data) != clen:
+        # one bound covers data AND the 4-byte CRC: a payload cut inside
+        # the CRC field must raise ValueError here, not struct.error below
+        # (decode_image_features' corrupt-row fallback catches ValueError)
+        if pos + 12 + clen > len(payload):
             raise ValueError(f"truncated {ctype!r} chunk")
+        data = payload[pos + 8 : pos + 8 + clen]
         crc = struct.unpack_from(">I", payload, pos + 8 + clen)[0]
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"bad CRC in {ctype!r} chunk")
         if ctype == b"IHDR":
+            if clen != 13:
+                raise ValueError(f"IHDR length {clen} != 13")
             width, height, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data
             )

@@ -235,6 +235,11 @@ def test_png_rejects_corruption():
     good = make_png(5, 4, b"seed")
     with pytest.raises(ValueError, match="signature"):
         parse_png(b"\x89PNX" + good[4:])
+    # a cut INSIDE a chunk's trailing CRC field must raise ValueError too,
+    # never struct.error — decode_image_features' corrupt-row fallback
+    # catches only ValueError (code-review r4 finding)
+    with pytest.raises(ValueError, match="truncated"):
+        parse_png(good[: 8 + 8 + 13 + 2])  # sig + IHDR header+data + 2 CRC bytes
     bad_crc = bytearray(good)
     bad_crc[20] ^= 0xFF  # flip an IHDR byte without fixing its CRC
     with pytest.raises(ValueError, match="CRC"):

@@ -187,9 +187,8 @@ def test_sequence_packing_no_global_sort_window(spark):
     fall back to a global single-partition window (the scale-killer it
     exists to avoid)."""
     plan = plan_of(spark, "sequence_packing")
-    assert "Exchange SinglePartition" not in plan or plan.count(
-        "Exchange SinglePartition"
-    ) <= 1, plan  # at most the bounded 256-row bucket-offset stage
+    # at most the bounded 256-row bucket-offset stage
+    assert plan.count("Exchange SinglePartition") <= 1, plan
     assert "EvalPython" not in plan, plan
 
 
