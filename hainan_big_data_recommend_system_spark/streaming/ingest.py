@@ -1,20 +1,31 @@
-"""Streaming corpus ingestion with exact dedup against a persistent hash
-index — the streaming face of the batch dedup ladder (north-star
-extension; the batch counterpart is ``qcatalog/dedup.py`` /
-``operators/dedup.exact_dedup``).
+"""Streaming corpus ingestion with dedup against persistent indexes — the
+streaming face of the batch dedup ladder (north-star extension; the batch
+counterparts are ``qcatalog/dedup.py`` / ``operators/dedup.py``).
 
 A 100 TB corpus is not built in one batch: documents arrive continuously
 and each micro-batch must be deduplicated (a) within itself and (b)
 against everything already ingested, WITHOUT rescanning the corpus — the
-anti-join probes a compact content-hash index, work ∝ batch, not corpus.
+probes hit compact persistent indexes, work ∝ batch, not corpus:
+
+- **exact stage**: min-id survivor per content hash within the batch,
+  then a left-anti probe of the content-hash index.
+- **near-dup stage** (optional, ``bucket_dir``): MinHash→LSH-band buckets
+  of the batch probe the persistent bucket index for corpus candidates
+  (plus in-batch bucket collisions); candidates are verified by exact
+  n-gram Jaccard — only |candidates| pairs, never a corpus join — and a
+  batch doc is dropped if it near-matches the corpus or a smaller-id
+  batch peer (the chain-min rule of ``operators/semdedup.py``).
 
 Exactly-once discipline under foreachBatch's at-least-once contract:
-both the surviving documents and their hashes are written to
-epoch-partitioned directories (``epoch=N``) with per-epoch overwrite, and
-the index anti-join EXCLUDES the current epoch's partition — so a
-replayed epoch recomputes the identical survivor set from the same
-inputs and overwrites its own previous output, never double-appends and
-never mistakes its own half-written hashes for prior corpus content.
+documents, hashes, and buckets are written to epoch-partitioned
+directories (``epoch=N``) with per-epoch overwrite, and every index/corpus
+probe EXCLUDES the current epoch's partition — a replayed epoch recomputes
+the identical survivor set from the same inputs and overwrites its own
+previous output, never double-appends and never mistakes its own
+half-written state for prior corpus content.
+
+Contract: document ids are unique across the stream's lifetime (standard
+for ingest pipelines; the survivor rules key on them).
 """
 
 from __future__ import annotations
@@ -24,16 +35,31 @@ import os
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _has_epochs(path: str) -> bool:
+    return os.path.isdir(path) and any(
+        e.startswith("epoch=") for e in os.listdir(path)
+    )
+
+
+def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
+    """Broadcast the index probe only while it is genuinely small — a
+    bounded count probe, not a full scan (``limit(n+1).count()``)."""
+    return df.limit(limit_rows + 1).count() <= limit_rows
+
+
 def dedup_ingest_writer(
     corpus_dir: str,
     index_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_dir: str | None = None,
+    jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
 ):
-    """``foreachBatch`` writer: per micro-batch, keep one survivor (min
-    id) per content hash within the batch, drop everything whose hash is
-    already in the on-disk index (earlier epochs), then write survivors
-    and their hashes under ``epoch=<id>`` with overwrite semantics."""
+    """``foreachBatch`` writer: exact stage always; near-dup stage when
+    ``bucket_dir`` is given (see module docstring for both)."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -46,9 +72,7 @@ def dedup_ingest_writer(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if os.path.isdir(index_dir) and any(
-            e.startswith("epoch=") for e in os.listdir(index_dir)
-        ):
+        if _has_epochs(index_dir):
             idx = spark.read.parquet(index_dir)  # partition col: epoch
             prior = idx.filter(F.col("epoch") != epoch_id).select(
                 F.col("fingerprint").alias("__h")
@@ -56,21 +80,119 @@ def dedup_ingest_writer(
             survivors = survivors.join(
                 F.broadcast(prior) if _small(prior) else prior, "__h", "left_anti"
             )
-        survivors = survivors.localCheckpoint(eager=True)  # two sinks below
+        survivors = survivors.localCheckpoint(eager=True)  # multiple consumers
+
+        buckets = None
+        if bucket_dir is not None:
+            survivors, buckets = _near_dup_stage(
+                spark, survivors, epoch_id, corpus_dir, bucket_dir,
+                id_col, text_col, jaccard_threshold,
+                shingle_n, num_hashes, rows_per_band,
+            )
+
         survivors.drop("__h").write.mode("overwrite").parquet(
             os.path.join(corpus_dir, f"epoch={epoch_id}")
         )
         survivors.select(F.col("__h").alias("fingerprint")).write.mode(
             "overwrite"
         ).parquet(os.path.join(index_dir, f"epoch={epoch_id}"))
+        if buckets is not None:
+            buckets.write.mode("overwrite").parquet(
+                os.path.join(bucket_dir, f"epoch={epoch_id}")
+            )
 
     return write
 
 
-def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
-    """Broadcast the index probe only while it is genuinely small — a
-    bounded count probe, not a full scan (``limit(n+1).count()``)."""
-    return df.limit(limit_rows + 1).count() <= limit_rows
+def _near_dup_stage(
+    spark,
+    survivors: DataFrame,
+    epoch_id: int,
+    corpus_dir: str,
+    bucket_dir: str,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingle_n: int,
+    num_hashes: int,
+    rows_per_band: int,
+) -> tuple[DataFrame, DataFrame]:
+    """MinHash/LSH near-dup filter for one batch.  Returns (surviving
+    rows, their final bucket index rows)."""
+    from ..operators.dedup import (
+        lsh_buckets,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_candidate_pairs,
+    )
+
+    docs = survivors.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+    )
+    buckets = lsh_buckets(
+        minhash_signatures(docs, "doc_id", "text", num_hashes, shingle_n),
+        rows_per_band,
+    ).localCheckpoint(eager=True)
+
+    # in-batch candidates (a_id < b_id) + corpus candidates (a=new, b=old)
+    cand = lsh_candidate_pairs(buckets).withColumn("__from_corpus", F.lit(False))
+    if _has_epochs(bucket_dir):
+        prior_b = (
+            spark.read.parquet(bucket_dir)
+            .filter(F.col("epoch") != epoch_id)
+            .select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+        )
+        corpus_cand = (
+            buckets.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+            .join(prior_b, ["band_id", "band_hash"])
+            .select("a_id", "b_id")
+            .distinct()
+            .withColumn("__from_corpus", F.lit(True))
+        )
+        cand = cand.unionByName(corpus_cand)
+    cand = cand.localCheckpoint(eager=True)
+
+    # verification corpus: the batch docs plus ONLY the candidate partner
+    # docs pulled from prior epochs — bounded by |candidates|
+    all_docs = docs
+    if _has_epochs(corpus_dir):
+        partner_ids = cand.filter("__from_corpus").select(
+            F.col("b_id").alias("doc_id")
+        ).distinct()
+        partners = (
+            spark.read.parquet(corpus_dir)
+            .filter(F.col("epoch") != epoch_id)
+            .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+            .join(partner_ids, "doc_id")
+        )
+        all_docs = docs.unionByName(partners)
+
+    verified = verify_candidate_pairs(
+        all_docs,
+        cand.select("a_id", "b_id").distinct(),
+        "doc_id",
+        "text",
+        n=shingle_n,
+        threshold=threshold,
+    ).join(cand, ["a_id", "b_id"])
+    # drop rule: a corpus match kills the new doc; an in-batch match kills
+    # the larger id (chain-min — the pair generator enforces a_id < b_id)
+    dropped = (
+        verified.filter("__from_corpus").select(F.col("a_id").alias("doc_id"))
+        .unionByName(
+            verified.filter("NOT __from_corpus").select(
+                F.col("b_id").alias("doc_id")
+            )
+        )
+        .distinct()
+    )
+    kept = survivors.join(
+        dropped.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
+    ).localCheckpoint(eager=True)
+    kept_buckets = buckets.join(
+        kept.select(F.col(id_col).alias("doc_id")), "doc_id"
+    )
+    return kept, kept_buckets
 
 
 def start_dedup_ingest(
@@ -80,12 +202,17 @@ def start_dedup_ingest(
     checkpoint_dir: str,
     id_col: str = "doc_id",
     text_col: str = "text",
+    bucket_dir: str | None = None,
+    jaccard_threshold: float = 0.5,
     available_now: bool = True,
 ):
     """Run the ingestion query (``availableNow`` drains what's present and
     stops — the nightly-ingest trigger; otherwise continuous)."""
     q = doc_stream.writeStream.foreachBatch(
-        dedup_ingest_writer(corpus_dir, index_dir, id_col, text_col)
+        dedup_ingest_writer(
+            corpus_dir, index_dir, id_col, text_col,
+            bucket_dir=bucket_dir, jaccard_threshold=jaccard_threshold,
+        )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:
         q = q.trigger(availableNow=True)

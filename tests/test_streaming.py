@@ -313,3 +313,49 @@ def test_streaming_dedup_ingest(spark, tmp_path):
     writer(replay, epochs[-1])
     texts3 = sorted(r["text"] for r in read_ingested_corpus(spark, corpus).collect())
     assert texts3 == texts2
+
+
+def test_streaming_neardup_ingest(spark, tmp_path):
+    """Near-dup stage: in-batch LSH near-dup drops the larger id;
+    a later batch's near-dup of ingested content drops via the corpus
+    bucket probe; byte-distinct non-dups survive."""
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        read_ingested_corpus,
+        start_dedup_ingest,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    buckets = str(tmp_path / "buckets")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    near = base + " w11"  # 8 shared 3-gram shingles of 9 -> jaccard 8/9
+    far = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"
+    # batch 1: docs 1 and 2 are near-dups of each other; 3 is distinct
+    spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    # batch 2: doc 4 near-dups the ingested doc 1; 5 is fresh
+    spark.createDataFrame(
+        [(4, base + " w12"), (5, "y1 y2 y3 y4 y5 y6 y7 y8 y9 y10")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_dedup_ingest(
+        stream, corpus, index, ckpt, bucket_dir=buckets, jaccard_threshold=0.5
+    )
+    q.awaitTermination()
+
+    got = {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()}
+    # 2 dropped in-batch (chain-min keeps 1); 4 dropped vs corpus; 5 kept
+    assert got == {1, 3, 5}, got
+    # the bucket index holds exactly the survivors
+    bidx = {r["doc_id"] for r in spark.read.parquet(buckets).collect()}
+    assert bidx == {1, 3, 5}, bidx
