@@ -374,3 +374,46 @@ def bm25_scores(
             F.count(F.lit(1)).alias("n_terms"),
         )
     )
+
+
+def unigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained unigram-LM log-likelihood per doc — the
+    perplexity-proxy quality signal of CCNet-style filtering (Wenzek et
+    al. 2020 train a wiki LM and drop high-perplexity docs; the unigram
+    self-trained variant flags gibberish/outlier token distributions with
+    no external model).
+
+    Add-one smoothing: p(tok) = (c+1)/(N+V).  Per-token log-probs are
+    integerized to micros per ROW (identical double ops in both engines),
+    so the per-doc sums are exact integer arithmetic — hash-stable
+    cross-engine; the mean uses one double division of exact integers.
+
+    Scale shape: the count build shuffles token occurrences once with
+    map-side combine (linear in corpus tokens — the floor for any LM
+    fit); the scoring join's build side is the VOCABULARY (≪ corpus, Zipf
+    guarantees it), which AQE broadcasts at deployment scale, and the
+    (N, V) totals are a 1-row broadcast.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    )
+    lp = F.round(
+        F.log((F.col("c") + 1) / (F.col("n") + F.col("v"))) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        toks.join(counts, "tok")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", lp.alias("lp_micros"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+        F.sum("lp_micros").cast("bigint").alias("sum_lp_micros"),
+        F.round(F.sum("lp_micros") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_lp_micros"),
+    )

@@ -559,3 +559,35 @@ def q_pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return pii_pattern_counts(aug, "doc_id", "text")
+
+
+@register_extra(
+    "unigram_lm_scores",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM counts),
+    scored AS (
+        SELECT t.doc_id,
+               CAST(round(ln((c + 1) / (n + v)) * 1000000) AS BIGINT) AS lp
+        FROM toks t JOIN counts USING (tok) CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(lp) AS BIGINT) AS sum_lp_micros,
+           CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micros
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained unigram-LM doc likelihood (operators/textstats.py:
+    unigram_lm_scores) — the perplexity-proxy quality facet; per-token
+    log-probs integerized per row so the DuckDB hash match is exact."""
+    from ..operators.textstats import unigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_lm_scores(docs, "doc_id", "text")
