@@ -397,8 +397,15 @@ def unigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")  # empty docs must not mint a "" vocab entry
+    # materialize the vocab once: it feeds the (N,V) totals AND the
+    # scoring join — lazily the token-occurrence shuffle would run twice
+    # (the double-consumption pattern, see PLANS.md)
+    counts = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
     )
-    counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
     tot = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     )

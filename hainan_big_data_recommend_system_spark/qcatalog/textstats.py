@@ -565,8 +565,10 @@ def q_pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unigram_lm_scores",
     r"""
     WITH toks AS (
-        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
-        FROM documents
+        SELECT doc_id, tok FROM (
+            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents
+        ) WHERE tok <> ''
     ),
     counts AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n, count(*) AS v FROM counts),

@@ -35,10 +35,35 @@ import os
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def _has_epochs(path: str) -> bool:
-    return os.path.isdir(path) and any(
-        e.startswith("epoch=") for e in os.listdir(path)
-    )
+def _read_epochs(spark, path: str) -> DataFrame | None:
+    """Epoch-partitioned parquet state, or None if none exists yet.
+    Probed THROUGH Spark (not os.path) so the state dirs can live on any
+    Hadoop-compatible filesystem, not just the driver's local disk."""
+    try:
+        return spark.read.parquet(path)
+    except Exception as e:  # [PATH_NOT_FOUND] / empty dir on first batch
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
+
+
+def _guard_epoch_collision(prior: DataFrame | None, epoch_id: int) -> None:
+    """Fail fast when the streaming checkpoint was reset against existing
+    state dirs: restarted epoch ids would alias committed partitions —
+    the own-epoch exclusion would treat old data as half-written state
+    and the per-epoch overwrite would DELETE it.  With the matching
+    checkpoint a replay re-runs only the newest uncommitted epoch, so
+    ``epoch_id < max(existing)`` can only mean a checkpoint mismatch."""
+    if prior is None:
+        return
+    mx = prior.agg(F.max("epoch")).collect()[0][0]
+    if mx is not None and epoch_id < mx:
+        raise ValueError(
+            f"epoch {epoch_id} < existing max epoch {mx}: the streaming "
+            "checkpoint does not match these state dirs (was it deleted?). "
+            "Reuse the original checkpointLocation or start with fresh "
+            "corpus/index/bucket dirs."
+        )
 
 
 def _small(df: DataFrame, limit_rows: int = 1_000_000) -> bool:
@@ -63,8 +88,12 @@ def dedup_ingest_writer(
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # null text hashes to a sentinel so empty-content rows dedup as
+        # one group (md5(NULL) is NULL, and NULL join keys never match —
+        # without this every batch would append its own null-text row)
         hashed = batch_df.withColumn(
-            "__h", F.md5(F.col(text_col).cast("binary"))
+            "__h",
+            F.coalesce(F.md5(F.col(text_col).cast("binary")), F.lit("__null__")),
         )
         rn = Window.partitionBy("__h").orderBy(F.asc(id_col))
         survivors = (
@@ -72,8 +101,9 @@ def dedup_ingest_writer(
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        if _has_epochs(index_dir):
-            idx = spark.read.parquet(index_dir)  # partition col: epoch
+        idx = _read_epochs(spark, index_dir)  # partition col: epoch
+        _guard_epoch_collision(idx, epoch_id)
+        if idx is not None:
             prior = idx.filter(F.col("epoch") != epoch_id).select(
                 F.col("fingerprint").alias("__h")
             )
@@ -136,11 +166,10 @@ def _near_dup_stage(
 
     # in-batch candidates (a_id < b_id) + corpus candidates (a=new, b=old)
     cand = lsh_candidate_pairs(buckets).withColumn("__from_corpus", F.lit(False))
-    if _has_epochs(bucket_dir):
-        prior_b = (
-            spark.read.parquet(bucket_dir)
-            .filter(F.col("epoch") != epoch_id)
-            .select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+    bucket_state = _read_epochs(spark, bucket_dir)
+    if bucket_state is not None:
+        prior_b = bucket_state.filter(F.col("epoch") != epoch_id).select(
+            F.col("doc_id").alias("b_id"), "band_id", "band_hash"
         )
         corpus_cand = (
             buckets.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
@@ -155,13 +184,13 @@ def _near_dup_stage(
     # verification corpus: the batch docs plus ONLY the candidate partner
     # docs pulled from prior epochs — bounded by |candidates|
     all_docs = docs
-    if _has_epochs(corpus_dir):
+    corpus_state = _read_epochs(spark, corpus_dir)
+    if corpus_state is not None:
         partner_ids = cand.filter("__from_corpus").select(
             F.col("b_id").alias("doc_id")
         ).distinct()
         partners = (
-            spark.read.parquet(corpus_dir)
-            .filter(F.col("epoch") != epoch_id)
+            corpus_state.filter(F.col("epoch") != epoch_id)
             .select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
             .join(partner_ids, "doc_id")
         )
@@ -204,14 +233,20 @@ def start_dedup_ingest(
     text_col: str = "text",
     bucket_dir: str | None = None,
     jaccard_threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
     available_now: bool = True,
 ):
     """Run the ingestion query (``availableNow`` drains what's present and
-    stops — the nightly-ingest trigger; otherwise continuous)."""
+    stops — the nightly-ingest trigger; otherwise continuous).  The LSH
+    knobs pass through to :func:`dedup_ingest_writer`."""
     q = doc_stream.writeStream.foreachBatch(
         dedup_ingest_writer(
             corpus_dir, index_dir, id_col, text_col,
             bucket_dir=bucket_dir, jaccard_threshold=jaccard_threshold,
+            shingle_n=shingle_n, num_hashes=num_hashes,
+            rows_per_band=rows_per_band,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -359,3 +359,41 @@ def test_streaming_neardup_ingest(spark, tmp_path):
     # the bucket index holds exactly the survivors
     bidx = {r["doc_id"] for r in spark.read.parquet(buckets).collect()}
     assert bidx == {1, 3, 5}, bidx
+
+
+def test_ingest_guards_checkpoint_reset_and_null_text(spark, tmp_path):
+    """Code-review r4 fixes: (1) a restarted epoch id below the committed
+    max means the checkpoint was reset against live state dirs — fail
+    fast instead of silently overwriting committed epochs; (2) null-text
+    rows hash to a sentinel so they dedup across batches instead of
+    accumulating one per batch."""
+    import pytest as _pytest
+
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        read_ingested_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    writer = dedup_ingest_writer(corpus, index)
+
+    b0 = spark.createDataFrame(
+        [(1, None), (2, "alpha")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, None), (4, "beta")], "doc_id long, text string"
+    )
+    writer(b0, 0)
+    writer(b1, 1)
+    rows = read_ingested_corpus(spark, corpus).collect()
+    # one surviving null-text row total, not one per batch
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 4]
+
+    # replay of the newest epoch is allowed (same outcome)...
+    writer(b1, 1)
+    rows2 = read_ingested_corpus(spark, corpus).collect()
+    assert sorted(r["doc_id"] for r in rows2) == [1, 2, 4]
+    # ...but an epoch id below the committed max is a checkpoint mismatch
+    with _pytest.raises(ValueError, match="checkpoint"):
+        writer(b0, 0)
