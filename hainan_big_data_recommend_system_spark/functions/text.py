@@ -38,7 +38,7 @@ def squash_spaces(s: Column) -> Column:
 def tokenize(doc: Column) -> Column:
     """F4: whitespace tokenization (`simility_books.py:53`,
     `guessLike_u_like.py:87`)."""
-    return F.split(F.trim(doc), r"\s+")
+    return F.split(F.trim(doc), r"[ \t\n\x0B\f\r]+")
 
 
 def token_filter(tokens: Column) -> Column:

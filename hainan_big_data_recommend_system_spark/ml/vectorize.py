@@ -50,7 +50,7 @@ def vectorize_pipeline(
         RegexTokenizer(
             inputCol=text_col,
             outputCol="__tokens",
-            pattern=r"\s+",
+            pattern=r"[ \t\n\x0B\f\r]+",
             minTokenLength=1,
             toLowercase=True,
         )

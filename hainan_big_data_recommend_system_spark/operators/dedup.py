@@ -56,7 +56,7 @@ def shingles(
     (e.g. a min/max aggregate) — the distinct is a full shuffle of string
     rows, the single most expensive step of the shingle pipeline.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 — short docs
     # must yield zero shingles, not bogus ones
     idx = F.when(
@@ -297,7 +297,7 @@ def simhash_fingerprints(
     the MSB of hex digit p of md5(token).  Returns (doc_id, simhash int)."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("token"),
     ).filter(F.col("token") != "")
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
     h = F.md5(F.col("token").cast("binary"))
@@ -362,13 +362,13 @@ def verify_candidate_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("a_n"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("b_n"))
-    # threshold on the RAW ratio (rounding is output formatting only —
-    # filtering the rounded value would admit pairs the oracle's unrounded
-    # WHERE clause rejects near the boundary)
+    # threshold AND output on the RAW ratio: rounding here would make a
+    # downstream best-match rank order by the collapsed value while an
+    # oracle ranks raw — callers round for display at their output edge
     jac = F.col("n_inter") / (F.col("a_n") + F.col("b_n") - F.col("n_inter"))
     return (
         inter.join(sa, "a_id")
         .join(sb, "b_id")
         .filter(jac >= threshold)
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .select("a_id", "b_id", jac.alias("jaccard"))
     )

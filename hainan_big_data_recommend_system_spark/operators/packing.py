@@ -108,7 +108,7 @@ def pack_sequences(
     base = docs.select(
         F.col(id_col).alias("doc_id"),
         F.md5(F.col(id_col).cast("string").cast("binary")).alias("shuffle_key"),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+"))
+        F.size(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"))
         .cast("long")
         .alias("n_tokens"),
     )

@@ -178,7 +178,7 @@ def _term_freqs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(doc_id, token, tf) term frequencies via whitespace tokenization."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("token"),
     ).filter(F.col("token") != "")
     return toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
 
@@ -366,10 +366,10 @@ def _dense_blocked_scores(
     ``applyInPandas`` (numpy int64 ``Q @ Cᵀ``) with a local top-k.  The
     global window top-k over the union of per-block top-k is exact.
 
-    Tokenization inside the block replicates Spark's
-    ``split(trim(text), '\\s+')`` exactly (Java ``\\s`` is ASCII-only, so the
-    Python regex pins the same class) — per-(doc, kept-token) counts, hence
-    dots and norms, are identical to the posting-join path.
+    Tokenization inside the block replicates the engine-wide explicit
+    whitespace class (``[ \\t\\n\\x0B\\f\\r]+`` — Java's ASCII ``\\s`` set,
+    spelled out so RE2/DuckDB agree byte-for-byte) — per-(doc, kept-token)
+    counts, hence dots and norms, are identical to the posting-join path.
     """
     import pandas as pd
 
@@ -402,7 +402,7 @@ def _dense_blocked_scores(
 
         import numpy as np
 
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java \s (ASCII), not Python \s
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java [ \t\n\x0B\f\r] (ASCII), not Python [ \t\n\x0B\f\r]
         vocab = vocab_bc.value
 
         def vectorize(rows: pd.DataFrame) -> tuple:

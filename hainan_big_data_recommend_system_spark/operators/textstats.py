@@ -21,7 +21,7 @@ LANG_LEXICONS: dict[str, tuple[str, ...]] = {
 }
 
 #: BPE-ish pre-tokenization: letter runs, digit runs, single punctuation
-BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_SPLIT_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def _count_matches(text: Column, char_class: str) -> Column:
@@ -32,12 +32,12 @@ def _count_matches(text: Column, char_class: str) -> Column:
 def _quality_cols(t: Column) -> list[Column]:
     """The quality-feature expressions, shared by :func:`text_quality_stats`
     and the single-pass :func:`text_profile`."""
-    toks = F.split(F.trim(t), r"\s+")
+    toks = F.split(F.trim(t), r"[ \t\n\x0B\f\r]+")
     n_chars = F.length(t).cast("bigint")
     n_tokens = F.size(toks).cast("bigint")
-    n_punct = _count_matches(t, r"[^A-Za-z0-9\s]").cast("bigint")
+    n_punct = _count_matches(t, r"[^A-Za-z0-9 \t\n\x0B\f\r]").cast("bigint")
     n_digit = _count_matches(t, r"[0-9]").cast("bigint")
-    n_space = _count_matches(t, r"\s").cast("bigint")
+    n_space = _count_matches(t, r"[ \t\n\x0B\f\r]").cast("bigint")
     ratio = lambda num: F.round(num * 1000000 / F.greatest(n_chars, F.lit(1))).cast(
         "bigint"
     )
@@ -67,7 +67,7 @@ def token_counts(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Token counting two ways: whitespace tokens and BPE-ish subword
     pre-tokens (letter/digit runs + punctuation singles)."""
     t = F.col(text_col)
-    ws = F.size(F.split(F.trim(t), r"\s+"))
+    ws = F.size(F.split(F.trim(t), r"[ \t\n\x0B\f\r]+"))
     bpe = F.size(F.regexp_extract_all(t, F.lit(BPE_SPLIT_PATTERN), 0))
     return docs.select(
         F.col(id_col).alias("doc_id"),
@@ -82,7 +82,7 @@ def lang_id(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     lang asc); no hits → 'und'."""
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"[ \t\n\x0B\f\r]+")).alias("token"),
     )
     scores = []
     for lang, words in sorted(LANG_LEXICONS.items()):
@@ -146,11 +146,11 @@ def corpus_clean_flags(
 
     t = F.col(text_col)
     n_chars = F.length(t).cast("bigint")
-    n_tokens = F.size(F.split(F.trim(t), r"\s+")).cast("bigint")
+    n_tokens = F.size(F.split(F.trim(t), r"[ \t\n\x0B\f\r]+")).cast("bigint")
     ratio = lambda num: F.round(
         num * 1_000_000 / F.greatest(n_chars, F.lit(1))
     ).cast("bigint")
-    punct = ratio(_count_matches(t, r"[^A-Za-z0-9\s]").cast("bigint"))
+    punct = ratio(_count_matches(t, r"[^A-Za-z0-9 \t\n\x0B\f\r]").cast("bigint"))
     digit = ratio(_count_matches(t, r"[0-9]").cast("bigint"))
 
     w = Window.partitionBy("__fp").orderBy(F.asc("doc_id"))
@@ -270,7 +270,7 @@ def doc_fingerprints(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
 def _fingerprint_cols(t: Column) -> list[Column]:
     """The three fingerprint expressions (see :func:`doc_fingerprints`),
     shared with the single-pass :func:`text_profile`."""
-    norm = F.trim(F.regexp_replace(F.lower(t), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(t), r"[ \t\n\x0B\f\r]+", " "))
     toks = F.split(norm, " ")
     prefix = F.concat_ws(" ", F.slice(toks, 1, 8))
     tok_hashes = F.transform(
@@ -338,7 +338,7 @@ def bm25_scores(
     t = F.col(text_col)
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(t), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(t), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     ).filter(F.col("tok") != "")
     dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     stats = dl.agg(
@@ -396,7 +396,7 @@ def unigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")).alias("tok"),
     ).filter(F.col("tok") != "")  # empty docs must not mint a "" vocab entry
     # materialize the vocab once: it feeds the (N,V) totals AND the
     # scoring join — lazily the token-occurrence shuffle would run twice

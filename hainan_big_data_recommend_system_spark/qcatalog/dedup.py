@@ -53,27 +53,45 @@ def _stage(
     regenerated fixture must not serve a stale stage), and the semantics
     version.
 
-    Concurrency-safe via write-to-temp + atomic rename: a second session
-    racing the build writes its own temp dir and loses the rename, and a
+    Concurrency-safe via write-to-temp + atomic rename: every racing
+    builder — other processes AND other threads of this session — writes
+    its own uniquely-named temp dir and at most one rename wins, so a
     reader only ever sees a fully-written stage (never a directory an
     overwrite is mid-way through deleting).
     """
     doc_path = os.path.join(sf_dir, "documents.parquet")
-    mtime = int(os.path.getmtime(doc_path)) if os.path.exists(doc_path) else 0
+    # nanosecond mtime + size: a fixture regenerated within the same
+    # second (or deployed with mtime-preserving copy) must still miss
+    try:
+        st = os.stat(doc_path)
+        fingerprint = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fingerprint = "absent"
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{mtime}:{_STAGE_VERSION}".encode()
+        f"{os.path.abspath(sf_dir)}:{fingerprint}:{_STAGE_VERSION}".encode()
     ).hexdigest()[:16]
     path = os.path.join(_STAGE_ROOT, key, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        tmp = f"{path}.tmp-{os.getpid()}-{id(spark)}"
-        build().write.mode("overwrite").parquet(tmp)
+        import shutil
+        import threading
+        import uuid
+
+        tmp = (
+            f"{path}.tmp-{os.getpid()}-{threading.get_ident()}"
+            f"-{uuid.uuid4().hex[:8]}"
+        )
         try:
+            build().write.mode("overwrite").parquet(tmp)
             os.rename(tmp, path)  # atomic on one filesystem
         except OSError:
-            # a concurrent builder won the rename — use theirs
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+            # treat as a lost race ONLY if a winner actually installed the
+            # stage; otherwise surface the real failure instead of reading
+            # a path that does not exist
+            if not os.path.exists(os.path.join(path, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)  # never leak temp dirs
     return spark.read.parquet(path)
 
 
@@ -114,7 +132,7 @@ def staged_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHINGLES_SQL = r"""
         SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
         FROM (
-            SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+            SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
             FROM documents
         ), LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
 """
@@ -278,7 +296,7 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tf AS (
         SELECT doc_id, token, count(*) AS tf
         FROM (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS token
             FROM documents
         )
         WHERE token <> ''
@@ -412,7 +430,7 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         n=3,
         threshold=0.5,
         shingle_src=staged_hashed_shingles(spark, sf_dir),
-    )
+    ).withColumn("jaccard", F.round("jaccard", 6))
 
 
 @register_extra(
@@ -489,9 +507,12 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         shingle_src=staged_hashed_shingles(spark, sf_dir),
     )
+    # rank on the RAW jaccard (the oracle's best CTE does too); round only
+    # at the output edge — ranking the rounded value would tie-break
+    # differently on rounding-collapsed near-ties
     best = topk_per_group(
         verified, ["a_id"], [F.desc("jaccard"), F.asc("b_id")], k=1
-    ).select("a_id", "b_id", "jaccard")
+    ).select("a_id", "b_id", F.round("jaccard", 6).alias("jaccard"))
     new_docs = docs.filter(F.col("doc_id") % 4 == 0).select("doc_id")
     return new_docs.join(
         best, new_docs.doc_id == best.a_id, "left"

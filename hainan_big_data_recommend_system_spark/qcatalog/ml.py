@@ -37,7 +37,7 @@ from . import register, register_extra
     WITH tf AS (
         SELECT doc_id, tok AS token, count(*) AS tf
         FROM (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
             FROM documents
         )
         WHERE tok <> ''
@@ -74,7 +74,7 @@ _SW_IN_LIST = ", ".join(
     rf"""
     WITH t AS (
         SELECT doc_id,
-               list_filter(string_split_regex(lower(trim(text)), '\s+'),
+               list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                            x -> x <> '') AS toks
         FROM documents
     )
@@ -96,7 +96,7 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = RegexTokenizer(
         inputCol="text",
         outputCol="__toks",
-        pattern=r"\s+",
+        pattern=r"[ \t\n\x0B\f\r]+",
         minTokenLength=1,
         toLowercase=True,
     )
@@ -124,7 +124,7 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tf AS (
         SELECT doc_id, tok AS token, count(*) AS tf
         FROM (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
             FROM documents
         )
         WHERE tok <> ''
@@ -160,7 +160,7 @@ def q_tfidf_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tf AS (
         SELECT doc_id, tok AS token, count(*) AS tf
         FROM (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
             FROM documents
         )
         WHERE tok <> ''

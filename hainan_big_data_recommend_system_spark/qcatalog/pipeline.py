@@ -37,13 +37,13 @@ WITH corpus AS (SELECT doc_id, text FROM documents WHERE NOT ({_BENCH_PRED})),
 bench AS (SELECT text FROM documents WHERE {_BENCH_PRED}),
 csh AS (
     SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS shingle
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
           FROM corpus),
          LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
 ),
 bsh AS (
     SELECT DISTINCT array_to_string(toks[i:i+4], ' ') AS shingle
-    FROM (SELECT string_split_regex(trim(text), '\s+') AS toks FROM bench),
+    FROM (SELECT string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks FROM bench),
          LATERAL (SELECT unnest(range(1, len(toks) - 3)) AS i)
 )
 SELECT c.doc_id,
@@ -71,7 +71,7 @@ def q_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUP_COVERAGE_SQL = r"""
 WITH occ AS (
     SELECT doc_id, array_to_string(toks[i:i+9], ' ') AS shingle
-    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+    FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
           FROM documents),
          LATERAL (SELECT unnest(range(1, len(toks) - 8)) AS i)
 ),
@@ -110,7 +110,7 @@ _PACKING_SQL = rf"""
 WITH t AS (
     SELECT doc_id,
            md5(CAST(doc_id AS VARCHAR)) AS shuffle_key,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT)
                AS n_tokens
     FROM documents
 ),
@@ -180,7 +180,7 @@ def q_domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LENGTH_BUCKETS_SQL = r"""
 WITH t AS (
     SELECT lang,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+           CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT)
                AS n_tokens
     FROM documents
 )
@@ -199,7 +199,7 @@ def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     the whitespace token count — integer ops only, no float log2).  Drives
     curriculum/packing decisions; single partial-aggregated groupBy."""
     docs = load_table(spark, sf_dir, "documents")
-    n_tokens = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    n_tokens = F.size(F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+")).cast("long")
     return (
         docs.select(
             "lang",

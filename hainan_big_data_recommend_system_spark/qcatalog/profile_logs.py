@@ -195,7 +195,9 @@ def q_semi_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_json_kv",
     """
     SELECT event_id, user_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           -- TRY_CAST mirrors Spark's null-on-failure cast: a non-integral
+           -- payload must yield NULL in both engines, not crash the oracle
            printf('%s:%d', event_type, user_id) AS kv_key
     FROM events
     WHERE event_type IN ('click', 'view') AND user_id > 0

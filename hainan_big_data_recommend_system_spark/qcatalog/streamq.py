@@ -29,6 +29,7 @@ from . import register, register_extra
            count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
+    WHERE ts IS NOT NULL  -- Spark's window() drops NULL event times
     GROUP BY 1, 2
     """,
 )
@@ -55,6 +56,7 @@ def q_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                ]) AS wstart,
                event_type
         FROM events
+        WHERE ts IS NOT NULL  -- Spark's window() drops NULL event times
     )
     GROUP BY wstart, event_type
     """,
@@ -82,6 +84,7 @@ def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
     FROM events
+    WHERE ts IS NOT NULL  -- Spark's window() drops NULL event times
     GROUP BY 2, 3
     UNION ALL
     SELECT 'sliding' AS win_kind, wstart, event_type,
@@ -96,6 +99,7 @@ def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                ]) AS wstart,
                event_type
         FROM events
+        WHERE ts IS NOT NULL  -- Spark's window() drops NULL event times
     )
     GROUP BY wstart, event_type
     """,
@@ -134,6 +138,7 @@ def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                          OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
                     THEN 1 ELSE 0 END AS new_sess
         FROM events
+        WHERE ts IS NOT NULL  -- Spark's session_window() drops NULL times
         WINDOW w AS (PARTITION BY user_id ORDER BY ts)
     ),
     sess AS (
@@ -461,6 +466,7 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
         SELECT user_id, event_id, epoch_us(ts) AS us
         FROM events
+        WHERE ts IS NOT NULL  -- NULL ordering differs cross-engine
     ),
     marks AS (
         SELECT user_id, event_id, us,
@@ -482,7 +488,7 @@ def q_event_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("us", "event_id")
     gap = F.col("us") - F.lag("us").over(w)
     marks = ev.select(

@@ -24,15 +24,15 @@ from . import register, register_extra
     r"""
     SELECT doc_id,
            CAST(length(text) AS BIGINT) AS n_chars,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
            CAST(round(length(text) * 1000000
-               / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+               / greatest(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 1))
                AS BIGINT) AS chars_per_token_micros,
-           CAST(round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+           CAST(round((length(text) - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))
                * 1000000 / greatest(length(text), 1)) AS BIGINT) AS punct_ratio_micros,
            CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                * 1000000 / greatest(length(text), 1)) AS BIGINT) AS digit_ratio_micros,
-           CAST(round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+           CAST(round((length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')))
                * 1000000 / greatest(length(text), 1)) AS BIGINT) AS space_ratio_micros
     FROM documents
     """,
@@ -46,7 +46,7 @@ def q_text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "token_counts",
     rf"""
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_ws_tokens,
            CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
                AS n_bpe_tokens
     FROM documents
@@ -71,7 +71,7 @@ def _lexicon_values() -> str:
     WITH lex(lang, word) AS (VALUES {_lexicon_values()}),
     toks AS (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+               unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
         FROM documents
     ),
     scores AS (
@@ -109,7 +109,7 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
            ) AS rolling_fp
     FROM (
         SELECT doc_id,
-               trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+               trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
         FROM documents
     )
     """,
@@ -133,7 +133,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH lex(lang, word) AS (VALUES {_lexicon_values()}),
     ltoks AS (
         SELECT doc_id,
-               unnest(string_split_regex(lower(trim(text)), '\s+')) AS token
+               unnest(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')) AS token
         FROM documents
     ),
     scores AS (
@@ -152,18 +152,18 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     prof AS (
         SELECT doc_id,
                CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS n_tokens,
                CAST(round(length(text) * 1000000
-                   / greatest(len(string_split_regex(trim(text), '\s+')), 1))
+                   / greatest(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')), 1))
                    AS BIGINT) AS chars_per_token_micros,
                CAST(round((length(text)
-                    - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                    - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))
                    * 1000000 / greatest(length(text), 1)) AS BIGINT)
                    AS punct_ratio_micros,
                CAST(round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
                    * 1000000 / greatest(length(text), 1)) AS BIGINT)
                    AS digit_ratio_micros,
-               CAST(round((length(text) - length(regexp_replace(text, '\s', '', 'g')))
+               CAST(round((length(text) - length(regexp_replace(text, '[ \t\n\x0B\f\r]', '', 'g')))
                    * 1000000 / greatest(length(text), 1)) AS BIGINT)
                    AS space_ratio_micros,
                CAST(len(regexp_extract_all(text, '{BPE_SPLIT_PATTERN}')) AS BIGINT)
@@ -177,7 +177,7 @@ def q_doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rolling_fp
         FROM (
             SELECT doc_id, text,
-                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+                   trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
             FROM documents
         )
     )
@@ -195,9 +195,9 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH flagged AS (
         SELECT doc_id,
-               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS nt,
+               CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS BIGINT) AS nt,
                CAST(round((length(text)
-                    - length(regexp_replace(text, '[^A-Za-z0-9\s]', '', 'g')))
+                    - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))
                    * 1000000 / greatest(length(text), 1)) AS BIGINT) AS punct,
                CAST(round((length(text)
                     - length(regexp_replace(text, '[0-9]', '', 'g')))
@@ -345,7 +345,7 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH toks AS (
         SELECT doc_id, tok
         FROM (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
             FROM documents
         )
         WHERE tok <> ''
@@ -464,7 +464,7 @@ def q_scrape_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetition_stats",
     r"""
     WITH t AS (
-        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
         FROM documents
     ),
     g2 AS (
@@ -566,7 +566,7 @@ def q_pii_pattern_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (
         SELECT doc_id, tok FROM (
-            SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+            SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
             FROM documents
         ) WHERE tok <> ''
     ),
