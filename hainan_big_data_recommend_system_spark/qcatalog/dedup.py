@@ -224,6 +224,17 @@ _SIGS_SQL = f"""
     )
 """
 
+#: the LSH candidate-pair join — shared verbatim by the buckets/pairs/
+#: components/verify oracles so a banding change edits ONE place
+_PAIRS_SQL = """
+        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+        FROM buckets a
+        JOIN buckets b
+          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+"""
+
+
 
 @register(
     "minhash_lsh_buckets",
@@ -235,14 +246,7 @@ def q_minhash_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register_extra(
     "minhash_candidate_pairs",
-    _SIGS_SQL
-    + """
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM buckets a
-    JOIN buckets b
-      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
-    """,
+    _SIGS_SQL + _PAIRS_SQL,
 )
 def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(staged_buckets(spark, sf_dir))
@@ -252,12 +256,7 @@ def q_minhash_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_components",
     _SIGS_SQL.replace("WITH", "WITH RECURSIVE", 1)
     + """,
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM buckets a
-        JOIN buckets b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
+    pairs AS (""" + _PAIRS_SQL + """
     ),
     edges AS (
         SELECT a_id AS u, b_id AS v FROM pairs
@@ -391,12 +390,7 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_verified_pairs",
     _SIGS_SQL
     + """,
-    pairs AS (
-        SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-        FROM buckets a
-        JOIN buckets b
-          ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-             AND a.doc_id < b.doc_id
+    pairs AS (""" + _PAIRS_SQL + """
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
     inter AS (
