@@ -424,3 +424,51 @@ def unigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         .cast("bigint")
         .alias("avg_lp_micros"),
     )
+
+
+def pii_redact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """PII redaction — the scrub stage after :func:`pii_pattern_counts`
+    triage: every email/URL/phone-shaped span is replaced by a typed
+    placeholder token (``<EMAIL>``/``<URL>``/``<PHONE>``), preserving the
+    surrounding text for training.  Chained ``regexp_replace`` on the
+    scan — order matters and is fixed (emails before URLs: an address
+    inside a mailto URL must not be half-rewritten; phones last)."""
+    t = F.col(text_col)
+    redacted = F.regexp_replace(t, PII_PATTERNS["emails"], "<EMAIL>")
+    redacted = F.regexp_replace(redacted, PII_PATTERNS["urls"], "<URL>")
+    redacted = F.regexp_replace(redacted, PII_PATTERNS["phones"], "<PHONE>")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        redacted.alias("redacted_text"),
+        (F.length(t) - F.length(redacted)).cast("bigint").alias("chars_removed"),
+    )
+
+
+def split_assignment(
+    docs: DataFrame, id_col: str, salt: str = "splitv1",
+    train_pct: int = 90, val_pct: int = 5,
+) -> DataFrame:
+    """Deterministic train/val/test split — the last corpus-assembly
+    stage.  Bucket = first 7 hex digits of md5(id || salt) mod 100, so
+    membership is a pure function of (id, salt): reruns, late-arriving
+    shards, and other engines (the DuckDB oracle) assign identically, and
+    changing the salt re-rolls the split without touching data.  No
+    shuffle at all — a scan-local projection."""
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        bucket.cast("bigint").alias("split_bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -593,3 +593,80 @@ def q_unigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_lm_scores(docs, "doc_id", "text")
+
+
+@register_extra(
+    "pii_redact",
+    r"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 5 = 0
+                   THEN ' contact u' || doc_id
+                        || '@mail.example.com via https://ex.org/p' || doc_id
+                        || ' or 555-123-4567'
+                   ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id, redacted_text,
+           CAST(length(text) - length(redacted_text) AS BIGINT) AS chars_removed
+    FROM (
+        SELECT doc_id, text,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                           '<EMAIL>', 'g'),
+                       'https?://[^ \t\n]+', '<URL>', 'g'),
+                   '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+                   '<PHONE>', 'g') AS redacted_text
+        FROM aug
+    )
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/textstats.pii_redact) over the same
+    synthetically-augmented corpus as `pii_pattern_counts` (1/5 of docs
+    get a known email+URL+phone suffix), so the redaction provably
+    rewrites real matches — placeholders in, PII spans out, byte-exact
+    against the oracle."""
+    from ..operators.textstats import pii_redact
+
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.concat(
+        F.lit(" contact u"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com via https://ex.org/p"),
+        F.col("doc_id").cast("string"), F.lit(" or 555-123-4567"),
+    )
+    aug = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0, F.concat(F.col("text"), suffix))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return pii_redact(aug, "doc_id", "text")
+
+
+@register_extra(
+    "split_assignment",
+    r"""
+    SELECT doc_id,
+           CAST(bucket AS BIGINT) AS split_bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'splitv1'), 1, 7))
+                   ::BIGINT % 100 AS bucket
+        FROM documents
+    )
+    """,
+)
+def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted train/val/test split (operators/textstats.
+    split_assignment) — the final corpus-assembly stage; membership is a
+    pure function of (doc_id, salt), scan-local, no shuffle."""
+    from ..operators.textstats import split_assignment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assignment(docs, "doc_id")
