@@ -232,3 +232,55 @@ def test_semdedup_drops_exact_twin(spark):
         .count()
     )
     assert kept_min == 0  # the smallest id in a cluster can never be dropped
+
+
+def test_pii_redact_removes_every_match(spark):
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        PII_PATTERNS,
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+x@ex-ample.org today"),
+            (2, "see https://ex.org/a?b=c#d and http://plain.io"),
+            (3, "call 555-123-4567 or 555-000-1111"),
+            (4, "no pii here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    for pat in PII_PATTERNS.values():
+        import re
+
+        for did, r in out.items():
+            assert not re.search(pat, r["redacted_text"]), (did, r)
+    assert out[1]["redacted_text"] == "mail me at <EMAIL> today"
+    assert out[3]["redacted_text"] == "call <PHONE> or <PHONE>"
+    assert out[4]["redacted_text"] == "no pii here at all"
+    assert out[4]["chars_removed"] == 0
+
+
+def test_split_assignment_proportions_and_determinism(spark):
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        split_assignment,
+    )
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    out = split_assignment(docs, "doc_id")
+    counts = {r["split"]: r["cnt"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    n = sum(counts.values())
+    assert n == 5000
+    # md5 buckets are near-uniform: 90/5/5 within a few points
+    assert 0.85 <= counts["train"] / n <= 0.93
+    assert 0.03 <= counts["val"] / n <= 0.08
+    assert 0.03 <= counts["test"] / n <= 0.08
+    # pure function of (id, salt): identical across plans, different salt
+    # re-rolls membership
+    a = {r["doc_id"]: r["split"] for r in out.collect()}
+    b = {r["doc_id"]: r["split"] for r in split_assignment(docs, "doc_id").collect()}
+    assert a == b
+    c = {r["doc_id"]: r["split"]
+         for r in split_assignment(docs, "doc_id", salt="other").collect()}
+    assert a != c
