@@ -51,7 +51,10 @@ def asof_join(
         F.col(right_ts).alias(right_ts),
         *[F.col(c).alias(c) for c in right_payload],
     )
-    r = right.select(
+    # a NULL right_ts matches nothing under `right_ts <= left_ts`, but
+    # NULLS sort FIRST under Spark ASC — unfiltered they'd be carried as
+    # spurious earliest matches for every left row
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *keys,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

@@ -48,17 +48,22 @@ _P1 = 1_000_000_007
 _P2 = 998_244_353
 
 
-def _label_sig(labels: DataFrame) -> tuple:
-    row = labels.agg(
+def _sig_of(df: DataFrame, hashed: F.Column) -> tuple:
+    """Order-insensitive convergence signature of ``hashed`` over ``df``:
+    (count, Σ pmod(h, P1), Σ pmod(h, P2)).  The mod-sums accumulate as
+    ``decimal(38,0)`` — summing int64 pmods would itself overflow long
+    past ~9e9 rows, exactly the corpus scale this operator targets."""
+    dec = "decimal(38,0)"
+    row = df.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(F.pmod(F.col("component"), F.lit(_P1))), F.lit(0)).alias(
-            "h1"
-        ),
-        F.coalesce(F.sum(F.pmod(F.col("component"), F.lit(_P2))), F.lit(0)).alias(
-            "h2"
-        ),
+        F.coalesce(F.sum(F.pmod(hashed, F.lit(_P1)).cast(dec)), F.lit(0).cast(dec)).alias("h1"),
+        F.coalesce(F.sum(F.pmod(hashed, F.lit(_P2)).cast(dec)), F.lit(0).cast(dec)).alias("h2"),
     ).collect()[0]
     return row["n"], row["h1"], row["h2"]
+
+
+def _label_sig(labels: DataFrame) -> tuple:
+    return _sig_of(labels, F.col("component"))
 
 
 def connected_components(
@@ -162,16 +167,9 @@ def connected_components_star(
     )
 
     def sig(df: DataFrame) -> tuple:
-        # mod before summing (ANSI mode rejects long overflow on raw
-        # xxhash64 sums); two independent primes so an edge-set collision
-        # can't silently stop the loop pre-star (see _label_sig)
-        h = F.xxhash64("u", "v")
-        row = df.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.sum(F.pmod(h, F.lit(_P1))), F.lit(0)).alias("h1"),
-            F.coalesce(F.sum(F.pmod(h, F.lit(_P2))), F.lit(0)).alias("h2"),
-        ).collect()[0]
-        return row["n"], row["h1"], row["h2"]
+        # canonical edge-multiset signature (shared _sig_of machinery —
+        # see its decimal-accumulation rationale)
+        return _sig_of(df, F.xxhash64("u", "v"))
 
     prev = sig(e)
     for _ in range(max_rounds):

@@ -48,7 +48,10 @@ def distributed_prefix_sum(
     independent of data size.
     """
     bucket = F.substring(F.col(order_hex_col), 1, 2)
-    rows = df.withColumn("__bkt", bucket)
+    # materialize once: the bucket totals AND the probe side both consume
+    # this relation — lazily the upstream (tokenize/hash projections) would
+    # execute twice per pass
+    rows = df.withColumn("__bkt", bucket).localCheckpoint(eager=True)
 
     # pass 1: one partial sum per bucket; exclusive offsets via a window
     # over ≤256 rows (safely single-partition — it is driver-bounded)

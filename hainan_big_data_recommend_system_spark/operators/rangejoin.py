@@ -41,6 +41,11 @@ def interval_join(
     prunes candidates, the final filter is the real predicate.
     """
     keys = [on] if isinstance(on, str) else list(on)
+    if tolerance_s <= 0:
+        raise ValueError(
+            f"tolerance_s must be > 0 (got {tolerance_s}); for exact "
+            "timestamp matching use an equi-join on the timestamp column"
+        )
     tol_us = int(tolerance_s) * 1_000_000
 
     l_us = F.unix_micros(F.col(left_ts))

@@ -22,8 +22,10 @@ working set off-heap; nothing here assumes single-node state.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Iterable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -41,8 +43,20 @@ PROFILE_SCHEMA = T.StructType(
     ]
 )
 
-# state tuple layout: (n_events, value_cents, types_csv, last_ts_epoch_us)
+# state tuple layout: (n_events, value_cents, types_json, last_ts_epoch_us).
+# The type set is JSON-encoded — a delimiter-join would let a type value
+# containing the delimiter corrupt the set on reload.
 _STATE_SCHEMA = "n BIGINT, cents BIGINT, types STRING, last_us BIGINT"
+
+
+def _round_half_up_cents(values: pd.Series) -> int:
+    """Σ round(value·100) with HALF-UP rounding (away from zero) — the
+    convention of Spark's ``F.round`` and the DuckDB oracles; pandas'
+    ``Series.round`` is half-to-even and would drift on exact .5 cents.
+    NULL values contribute 0, matching ``F.sum``'s null-skipping."""
+    v = pd.Series(values).astype("float64").to_numpy() * 100.0
+    v = v[np.isfinite(v)]
+    return int(np.sum(np.sign(v) * np.floor(np.abs(v) + 0.5)).astype("int64")) if len(v) else 0
 
 
 def _make_update_fn(idle_timeout_ms: int | None):
@@ -53,35 +67,37 @@ def _make_update_fn(idle_timeout_ms: int | None):
     ) -> Iterable[pd.DataFrame]:
         (user_id,) = key
         if state.hasTimedOut:
-            n, cents, types_csv, last_us = state.get
+            n, cents, types_json, last_us = state.get
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [user_id],
                     "n_events": [n],
                     "value_cents": [cents],
-                    "n_types": [len(types_csv.split("|")) if types_csv else 0],
+                    "n_types": [len(json.loads(types_json)) if types_json else 0],
                     "last_ts": [pd.Timestamp(last_us, unit="us")],
                     "expired": [True],
                 }
             )
             return
 
-        n, cents, types_csv, last_us = (
-            state.get if state.exists else (0, 0, "", 0)
+        n, cents, types_json, last_us = (
+            state.get if state.exists else (0, 0, "[]", 0)
         )
-        seen = set(types_csv.split("|")) - {""}
+        seen = set(json.loads(types_json)) if types_json else set()
         for pdf in pdfs:
             n += len(pdf)
             # per-row integerization BEFORE the sum: the running state must
-            # be exact integers, never order-dependent float accumulation
-            cents += int(
-                pd.Series(pdf["value"]).mul(100).round().astype("int64").sum()
-            )
-            seen.update(pdf["event_type"].tolist())
-            batch_max_us = pdf["ts"].max().value // 1000
-            last_us = max(last_us, batch_max_us)
-        state.update((n, cents, "|".join(sorted(seen)), last_us))
+            # be exact integers, never order-dependent float accumulation.
+            # A poison row (NULL value/type/ts) must degrade, not crash —
+            # the micro-batch would otherwise replay forever from the
+            # checkpoint and the query could never pass it.
+            cents += _round_half_up_cents(pdf["value"])
+            seen.update(t for t in pdf["event_type"].tolist() if t is not None)
+            ts_max = pdf["ts"].max()
+            if pd.notna(ts_max):
+                last_us = max(last_us, ts_max.value // 1000)
+        state.update((n, cents, json.dumps(sorted(seen)), last_us))
         if idle_timeout_ms is not None:
             state.setTimeoutDuration(idle_timeout_ms)
         yield pd.DataFrame(

@@ -397,3 +397,84 @@ def test_ingest_guards_checkpoint_reset_and_null_text(spark, tmp_path):
     # ...but an epoch id below the committed max is a checkpoint mismatch
     with _pytest.raises(ValueError, match="checkpoint"):
         writer(b0, 0)
+
+
+def test_asof_null_right_ts_matches_nothing(spark):
+    """Code-review r4: a NULL right_ts sorts first under Spark ASC and was
+    carried as a spurious earliest match; it must match nothing."""
+    from hainan_big_data_recommend_system_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user_id long, click_ts string"
+    ).select("user_id", F.col("click_ts").cast("timestamp").alias("click_ts"))
+    right = spark.createDataFrame(
+        [(1, None, 7.0)], "user_id long, ts string, value double"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = asof_join(
+        left, right, on="user_id", left_ts="click_ts", right_ts="ts",
+        right_payload=["value"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["ts_r"] is None and out[0]["value_r"] is None
+
+
+def test_stateful_update_fn_survives_poison_rows():
+    """Code-review r4: NULL value/event_type/ts rows must degrade, not
+    crash (a crashed micro-batch replays from the checkpoint forever).
+    Also pins HALF-UP cent rounding and delimiter-safe type-set state."""
+    import pandas as pd
+
+    from hainan_big_data_recommend_system_spark.streaming.stateful import (
+        _make_update_fn,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = v
+            self.exists = True
+        def setTimeoutDuration(self, ms):
+            pass
+        def remove(self):
+            self._v = None
+
+    update = _make_update_fn(None)
+    state = FakeState()
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": pd.to_datetime(["2024-01-01", None, "2024-01-02"]),
+            "event_type": ["a|b", None, "click"],
+            "value": [0.125, None, 1.0],
+        }
+    )
+    [out] = list(update((1,), iter([pdf]), state))
+    assert out["n_events"][0] == 3
+    # 0.125 -> 12.5 cents -> 13 HALF-UP (pandas' own round() would give 12)
+    assert out["value_cents"][0] == 13 + 100
+    # the literal type 'a|b' is ONE type; None is skipped
+    assert out["n_types"][0] == 2
+    # reload round-trips the delimiter-bearing type intact
+    state2 = FakeState()
+    state2._v, state2.exists = state._v, True
+    [out2] = list(update((1,), iter([pdf.iloc[:0]]), state2))
+    assert out2["n_types"][0] == 2
+
+
+def test_interval_join_rejects_zero_tolerance(spark):
+    from hainan_big_data_recommend_system_spark.operators.rangejoin import (
+        interval_join,
+    )
+
+    df = spark.range(1).select(
+        F.col("id").alias("user_id"), F.current_timestamp().alias("ts")
+    )
+    with pytest.raises(ValueError, match="tolerance"):
+        interval_join(df, df, on="user_id", left_ts="ts", right_ts="ts",
+                      tolerance_s=0)
