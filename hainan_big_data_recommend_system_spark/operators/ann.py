@@ -53,6 +53,14 @@ def _mixed_block_topk(k: int):
         c_mat = np.array(c_rows["__qv"].tolist(), dtype=np.int64)
         q_norm = np.sqrt((q_mat * q_mat).sum(axis=1).astype(np.float64))
         c_norm = np.sqrt((c_mat * c_mat).sum(axis=1).astype(np.float64))
+        # zero-norm (all-zero-quantized) vectors have no defined cosine:
+        # they are neither queries nor neighbors.  Unguarded they yield
+        # 0/0 = NaN, which Spark's F.desc orders ABOVE every real sim.
+        qz, cz = q_norm > 0, c_norm > 0
+        q_ids, q_mat, q_norm = q_ids[qz], q_mat[qz], q_norm[qz]
+        c_ids, c_mat, c_norm = c_ids[cz], c_mat[cz], c_norm[cz]
+        if len(q_ids) == 0 or len(c_ids) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
         sims = (q_mat @ c_mat.T) / (q_norm[:, None] * c_norm[None, :])
         rows_q, rows_n, rows_s = [], [], []
         for r in range(len(q_ids)):
@@ -97,6 +105,7 @@ def cosine_topk_bruteforce(
     ``(query_id, neighbor_id, sim, rn)``, self-pairs excluded.  Identical
     results to an all-pairs join; physically a sharded matmul.
     """
+    df = df.filter(F.col(vec_col).isNotNull())  # NULL vec: no cosine
     n = df.count()
     n_blocks = max(1, -(-n // vectors_per_block))
     base = df.select(
@@ -155,7 +164,7 @@ def pinned_centroid_ranks(
             "cid int, cv array<bigint>",
         )
     )
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"), quantize_vec(F.col(vec_col), scale).alias("__qv")
     )
     dist2 = F.aggregate(
@@ -241,9 +250,8 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    df = df.filter(F.col(vec_col).isNotNull())  # NULL vec: no cosine
     feats = df.select(
-        F.col(id_col).alias("vid"),
-        quantize_vec(F.col(vec_col), scale).alias("__qv"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"),
     )
     # a coarse quantizer needs rough geometry, not convergence — cap the
@@ -257,9 +265,6 @@ def ivf_topk(
     )
     km = KMeans(k=nlist, seed=seed, maxIter=max_iter, featuresCol="features").fit(
         fit_src
-    )
-    assigned = km.transform(feats).select(
-        "vid", "__qv", F.col("prediction").cast("int").alias("__blk")
     )
 
     centers = [
@@ -279,8 +284,14 @@ def ivf_topk(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    # ONE distance ranking serves storage assignment (rank 1) AND query
+    # probing (rank <= nprobe): deriving assignment from km.transform's
+    # prediction instead would use a different distance formulation
+    # (||a||²+||b||²−2a·b vs Σ(a−b)²), and a float near-tie could store a
+    # vector in a list its own top probe never visits.  Materialized once
+    # — both consumers read it (the double-consumption pattern).
     probe_w = Window.partitionBy("vid").orderBy(F.asc("__d2"), F.asc("centroid_id"))
-    probes = (
+    ranked = (
         df.select(
             F.col(id_col).alias("vid"),
             F.col(vec_col),
@@ -289,8 +300,13 @@ def ivf_topk(
         .crossJoin(centers_df)
         .select("vid", "__qv", "centroid_id", dist2.alias("__d2"))
         .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= nprobe)
-        .select("vid", "__qv", F.col("centroid_id").alias("__blk"))
+        .localCheckpoint(eager=True)
+    )
+    assigned = ranked.filter(F.col("__pr") == 1).select(
+        "vid", "__qv", F.col("centroid_id").cast("int").alias("__blk")
+    )
+    probes = ranked.filter(F.col("__pr") <= nprobe).select(
+        "vid", "__qv", F.col("centroid_id").alias("__blk")
     )
 
     cand = assigned.select(

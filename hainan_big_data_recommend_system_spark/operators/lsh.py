@@ -113,7 +113,7 @@ def lsh_signatures(
     plane_df = F.broadcast(
         spark.createDataFrame(planes, "t int, j int, h array<bigint>")
     )
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         quantize_vec(F.col(vec_col), scale).alias("__qv"),
     )
@@ -172,7 +172,7 @@ def lsh_topk_pinned(
         .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    qv = df.select(
+    qv = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         quantize_vec(F.col(vec_col), scale).alias("__qv"),
     )

@@ -74,5 +74,6 @@ def stratified_sample(
     for value, p in fractions.items():
         cond = F.col(strata_col) == value
         frac = F.when(cond, F.lit(p)) if frac is None else frac.when(cond, F.lit(p))
-    frac = frac.otherwise(F.lit(0.0))
-    return df.filter(u < frac)
+    if frac is None:  # empty fractions: every stratum defaults to 0
+        return df.filter(F.lit(False))
+    return df.filter(u < frac.otherwise(F.lit(0.0)))

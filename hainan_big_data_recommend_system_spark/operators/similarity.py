@@ -79,7 +79,7 @@ def cosine_topk_arrays(
     """
     import pandas as pd
 
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         quantize_vec(F.col(vec_col), scale).alias("__qv"),
         (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
@@ -103,13 +103,18 @@ def cosine_topk_arrays(
                 {"query_id": [], "neighbor_id": [], "sim": []}
             )
         norms = np.sqrt((vecs * vecs).sum(axis=1).astype(np.float64))
-        qi = np.nonzero(qmask)[0]
+        # zero-norm vectors have no defined cosine — exclude as queries
+        # AND candidates (0/0 = NaN would rank first under F.desc)
+        qi = np.nonzero(qmask & (norms > 0))[0]
+        if len(qi) == 0:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "sim": []})
         dots = vecs[qi] @ vecs.T  # exact int64
-        sims = dots / (norms[qi][:, None] * norms[None, :])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dots / (norms[qi][:, None] * norms[None, :])
         rows_q, rows_n, rows_s = [], [], []
         for r, i in enumerate(qi):
             srow = sims[r]
-            cand = np.nonzero(ids != ids[i])[0]
+            cand = np.nonzero((ids != ids[i]) & (norms > 0))[0]
             # sort: sim desc, neighbor_id asc (lexsort: last key is primary)
             order = cand[np.lexsort((ids[cand], -srow[cand]))][:k]
             rows_q.extend([ids[i]] * len(order))
@@ -145,7 +150,7 @@ def blocked_cosine_pairs_np(
     as one numpy int64 matmul per block (embedding near-dup detection)."""
     import pandas as pd
 
-    base = df.select(
+    base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("a_id"),
         quantize_vec(F.col(vec_col), scale).alias("__qv"),
         F.col(block_col).alias("__blk"),
@@ -161,6 +166,10 @@ def blocked_cosine_pairs_np(
         order = np.argsort(ids, kind="stable")
         vecs, ids = vecs[order], ids[order]
         norms = np.sqrt((vecs * vecs).sum(axis=1).astype(np.float64))
+        nz = norms > 0  # zero-norm vectors pair with nothing
+        vecs, ids, norms = vecs[nz], ids[nz], norms[nz]
+        if len(ids) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": [], "sim": []})
         sims = (vecs @ vecs.T) / (norms[:, None] * norms[None, :])
         iu, ju = np.triu_indices(len(ids), k=1)
         keep = sims[iu, ju] >= threshold
@@ -402,13 +411,20 @@ def _dense_blocked_scores(
 
         import numpy as np
 
-        ws = re.compile(r"[ \t\n\x0b\f\r]+")  # Java [ \t\n\x0B\f\r] (ASCII), not Python [ \t\n\x0B\f\r]
+        # the engine-wide explicit ASCII whitespace class (see module
+        # docstring of the split sweep) — NOT Python's unicode \s
+        ws = re.compile(r"[ \t\n\x0b\f\r]+")
         vocab = vocab_bc.value
 
         def vectorize(rows: pd.DataFrame) -> tuple:
             mat = np.zeros((len(rows), vocab_size), dtype=np.int64)
             for r, text in enumerate(rows["__text"]):
-                for tok in ws.split(text.strip()):
+                if text is None:
+                    continue  # posting path drops NULL docs; match it
+                # strip ASCII space ONLY — F.trim's semantics; Python's
+                # bare strip() removes unicode whitespace and would make
+                # the two physical strategies tokenize differently
+                for tok in ws.split(text.strip(" ")):
                     i = vocab.get(tok)
                     if i is not None:
                         mat[r, i] += 1

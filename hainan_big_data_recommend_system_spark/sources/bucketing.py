@@ -75,4 +75,9 @@ def co_located_join(
     executed plan.
     """
     lt, rt = spark.table(left_table), spark.table(right_table)
+    if left_on == right_on:
+        # USING-style join: one key column in the output — the expression
+        # form would keep both sides' identically-named columns and make
+        # every later reference to the key ambiguous
+        return lt.join(rt, [left_on], how)
     return lt.join(rt, lt[left_on] == rt[right_on], how)

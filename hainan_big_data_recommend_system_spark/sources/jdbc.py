@@ -41,6 +41,12 @@ def read_jdbc_table(
     ``.filter`` — both push down to the server."""
     reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
     if partition_column is not None:
+        if lower_bound is None or upper_bound is None:
+            # str(None) would reach the connector as the literal "None"
+            # and die in a NumberFormatException far from the caller
+            raise ValueError(
+                "partition_column requires both lower_bound and upper_bound"
+            )
         reader = (
             reader.option("partitionColumn", partition_column)
             .option("lowerBound", str(lower_bound))
@@ -59,12 +65,39 @@ def write_jdbc_append_dedup(
     dedup_keys: list[str],
     properties: dict[str, str] | None = None,
 ) -> None:
-    """S13: the notebook's ``INSERT IGNORE`` ≈ dedup-then-append — survivor
-    selection happens in Spark (deterministic: ``dropDuplicates`` keeps the
-    first row per key within each partition; pre-sort if a specific survivor
-    is required)."""
+    """S13: the notebook's ``INSERT IGNORE`` = dedup-then-append, against
+    BOTH the incoming batch and the target table.
+
+    In-batch survivor selection is deterministic (min over the remaining
+    columns per key via a window, not ``dropDuplicates``'s partition-order
+    pick — a retry must produce the same row); rows whose keys already
+    exist in the target are anti-joined away, which is the half of INSERT
+    IGNORE a pure batch dedup misses (a re-run would otherwise append
+    every overlapping key a second time).  The existing-keys read projects
+    only the key columns, and the filter pushes down to the server.
+    """
+    from pyspark.sql import Window, functions as F
+
+    value_cols = [c for c in df.columns if c not in dedup_keys]
+    order = [F.asc(c) for c in value_cols] or [F.asc(dedup_keys[0])]
+    w = Window.partitionBy(*dedup_keys).orderBy(*order)
+    batch = (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    try:
+        existing = read_jdbc_table(
+            batch.sparkSession, url, table, properties=properties
+        ).select(*dedup_keys)
+        batch = batch.join(existing, dedup_keys, "left_anti")
+    except Exception as e:
+        # first append: the target does not exist yet (Spark creates it on
+        # write) — nothing to dedup against.  Anything else is a real error.
+        if "does not exist" not in str(e) and "not found" not in str(e).lower():
+            raise
     writer = (
-        df.dropDuplicates(dedup_keys)
+        batch
         .write.format("jdbc")
         .option("url", url)
         .option("dbtable", table)

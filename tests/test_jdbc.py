@@ -37,6 +37,20 @@ def test_jdbc_roundtrip_with_dedup(spark, derby_url):
     got = {r["uid"]: r["name"] for r in back.collect()}
     assert got == {i: f"user_{i}" for i in range(7)}  # one survivor per key
 
+    # INSERT IGNORE semantics vs the EXISTING table too: a re-run with
+    # overlapping keys appends only the new ones (code-review r4 — the
+    # pure in-batch dedup re-appended every overlapping key)
+    rerun = spark.createDataFrame(
+        [(0, "user_0_again", 99.0), (7, "user_7", 7.0)],
+        "uid int, name string, score double",
+    )
+    write_jdbc_append_dedup(rerun, derby_url, "dedup_users", ["uid"], DRIVER)
+    back2 = read_jdbc_table(spark, derby_url, "dedup_users", properties=DRIVER)
+    got2 = {r["uid"]: r["name"] for r in back2.collect()}
+    assert len(back2.collect()) == 8  # no duplicate uid=0 row
+    assert got2[0] == "user_0"  # existing row wins, like INSERT IGNORE
+    assert got2[7] == "user_7"
+
 
 def test_jdbc_partitioned_scan_and_pushdown(spark, derby_url):
     df = spark.createDataFrame(
