@@ -29,7 +29,12 @@ try:  # once per interpreter, driver and executors alike
 except ImportError:  # pragma: no cover - env-dependent
     _jieba = None
 
-_RUN_RE = re.compile(r"([一-鿿]+)|([A-Za-z]+)|([0-9]+)")
+#: script runs: CJK covers Extension A (U+3400–) through the URO — Ext-A
+#: chars are real in Chinese book metadata and previously vanished from
+#: the corpus; latin/digit classes include the fullwidth forms (ＡＢＣ１２３)
+#: for the same reason.  The downstream filter's ``str.isdigit()`` is
+#: already true for fullwidth digits, matching the reference's filter.
+_RUN_RE = re.compile(r"([㐀-鿿]+)|([A-Za-zＡ-Ｚａ-ｚ]+)|([0-9０-９]+)")
 
 
 def _fallback_cut(text: str) -> list[str]:

@@ -26,8 +26,12 @@ def clean_author(author: Column) -> Column:
 
 def doc_assemble(tags_doc: Column, author: Column) -> Column:
     """F6: document = tags ⊕ ' ' ⊕ author ⊕ ' ' ⊕ author — the author is
-    doubled deliberately to up-weight it (`simility_books.py:51`)."""
-    return F.concat(tags_doc, F.lit(" "), author, F.lit(" "), author)
+    doubled deliberately to up-weight it (`simility_books.py:51`).
+
+    ``concat_ws``, not ``concat``: plain concat null-propagates, so one
+    NULL author would nullify the whole document and silently drop a book
+    with perfectly good tags from the similarity corpus."""
+    return F.concat_ws(" ", tags_doc, author, author)
 
 
 def squash_spaces(s: Column) -> Column:
@@ -37,7 +41,13 @@ def squash_spaces(s: Column) -> Column:
 
 def tokenize(doc: Column) -> Column:
     """F4: whitespace tokenization (`simility_books.py:53`,
-    `guessLike_u_like.py:87`)."""
+    `guessLike_u_like.py:87`).
+
+    Deliberately the engine-wide explicit ASCII whitespace class (NOT
+    unicode ``\\s``): Java and RE2 disagree on ``\\s`` membership, and
+    cross-engine oracle exactness wins over Python ``str.split()``'s
+    unicode-whitespace behavior.  Sources with ideographic spaces
+    (U+3000) should normalize them upstream."""
     return F.split(F.trim(doc), r"[ \t\n\x0B\f\r]+")
 
 
@@ -68,5 +78,11 @@ def ids_csv(ids: Column) -> Column:
 def csv_ids(csv: Column) -> Column:
     """F12: parse a CSV int-list string back to ``array<bigint>`` — replaces
     the reference's ``eval`` round-trip (`guessLike_u_like.py:47`; ``eval`` of
-    untrusted data is a code-exec hazard, deliberately not reproduced)."""
-    return F.transform(F.split(csv, ","), lambda x: x.cast("bigint"))
+    untrusted data is a code-exec hazard, deliberately not reproduced).
+
+    An empty/blank string round-trips to an EMPTY array (``split('')``
+    alone would yield ``[NULL]`` and break size/membership checks);
+    non-numeric tokens cast to NULL elements — visible, not invented."""
+    return F.when(F.length(F.trim(csv)) == 0, F.array().cast("array<bigint>")).otherwise(
+        F.transform(F.split(csv, ","), lambda x: x.cast("bigint"))
+    )

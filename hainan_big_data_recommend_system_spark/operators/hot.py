@@ -33,7 +33,14 @@ def hot_items(
     counts = fact.groupBy(item_key).agg(F.count(F.lit(1)).alias("cnt"))
     if dim is not None:
         dk = dim_key or item_key
-        cols = dim_cols or [c for c in dim.columns if c != dk]
+        # `is None`, not `or`: an explicitly-empty dim_cols means "key
+        # only", not "all columns"
+        cols = (
+            [c for c in dim.columns if c != dk] if dim_cols is None else dim_cols
+        )
+        cols = [c for c in cols if c != dk]  # never duplicate the key
+        if "cnt" in cols:
+            raise ValueError("dim column 'cnt' collides with the count output")
         dim_sel = F.broadcast(dim.select(dk, *cols))
         # drop the fact-side key by Column reference, not by name: when a
         # caller passes dim_key == item_key a name-based drop would remove

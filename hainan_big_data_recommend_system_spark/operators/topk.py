@@ -46,6 +46,13 @@ def top_fraction_per_group(
 
     Uses ``percent_rank`` so tied sort keys share a rank — the kept set is
     deterministic even with ties.
+
+    Known deviation from the reference for SMALL groups: the top row of a
+    group has ``percent_rank = 0`` and is always kept, whereas the
+    reference's ``[:int(0.1*n)]`` truncation keeps zero rows when
+    ``n < 1/fraction``.  Keeping the best member of every group is the
+    deliberate choice (an empty recommendation set helps nobody); the
+    DuckDB oracle (`top_decile_per_segment`) pins the same semantics.
     """
     w = Window.partitionBy(*partition_by).orderBy(*order_by)
     return df.withColumn(rank_col, F.percent_rank().over(w)).filter(

@@ -22,8 +22,11 @@ EVENT_SCHEMA = T.StructType(
     ]
 )
 
-#: payload schema of the reference's pub/sub messages (`{'userId': N}` /
-#: `{'userId': N, 'bookIds': [...]}`, `guessLike_u_first_select.py:174-178`)
+#: payload schema of the HARNESS's events fixture (wire key ``k``).  The
+#: reference's pub/sub messages are `{'userId': N}` / `{'userId': N,
+#: 'bookIds': [...]}` (`guessLike_u_first_select.py:174-178`); a production
+#: deployment swaps in `"userId BIGINT, bookIds ARRAY<BIGINT>"` here — the
+#: parse/dispatch machinery is schema-agnostic.
 PAYLOAD_SCHEMA = "k BIGINT"
 
 CHANNELS = ("u_like", "u_nlike", "u_first_select")
@@ -50,6 +53,11 @@ def parse_events(df: DataFrame) -> DataFrame:
     return (
         df.withColumn("payload", F.from_json("props", PAYLOAD_SCHEMA))
         .withColumn("k_val", F.col("payload.k"))
+        # garbage frame = a present-but-unparseable payload (from_json
+        # yields a NULL struct): drop it, like the reference's control-
+        # frame skip.  A genuinely absent payload (props NULL) passes —
+        # not every channel carries one.
+        .filter(F.col("props").isNull() | F.col("payload").isNotNull())
         .drop("payload")
         .filter(F.col("user_id").isNotNull() & (F.col("user_id") > 0))
     )
@@ -80,9 +88,16 @@ def dedup_events(df: DataFrame, watermark: str = "2 hours") -> DataFrame:
     file-source replays) are collapsed to exactly-once rows by ``event_id``
     within the watermark horizon — state is bounded by
     (watermark × arrival rate), not stream lifetime.  The streaming face of
-    the batch `dedup_exact` operator."""
-    return df.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+    the batch `dedup_exact` operator.
+
+    Rows with a NULL event_id are dropped up front: dedup keys compare
+    null-safe, so they would all collapse into ONE surviving row —
+    silently discarding every later distinct-but-unidentified event is
+    worse than rejecting records that violate the identity contract."""
+    return (
+        df.filter(F.col("event_id").isNotNull())
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
 
 

@@ -36,6 +36,10 @@ class StaticState:
 
 def build_static_state(spark: SparkSession, sf_dir: str) -> StaticState:
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    # one hot-30 aggregate serves both the CSV fallback payload and (via
+    # reco_assembly's own internal hot list) the anti-filter — the list is
+    # 30 rows, so the duplicate compute inside reco_assembly is a second
+    # full fact groupBy; bounded collect here, reused as a literal
     hot = hot_items(li, "l_partkey", n=30).select("l_partkey")
     hot_ids = [r["l_partkey"] for r in hot.collect()]
     hot_csv = ",".join(str(i) for i in hot_ids)
