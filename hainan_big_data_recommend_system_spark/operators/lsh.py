@@ -41,6 +41,13 @@ from .similarity import int_dot, quantize_vec
 
 _MIX_M = 2003  # prime → components uniform in [-1001, 1001]
 _MASK64 = (1 << 64) - 1
+# Flat-index stride between tables: plane (t, j) has identity
+# (t*_J_STRIDE + j) regardless of how many bits a caller requests, so a
+# plane set generated at max_bits FILTERED to j < bits equals the set
+# generated at bits directly.  This is what lets the static oracle SQL
+# inline one max-geometry VALUES literal and select the derived-bits
+# subset at query time (qcatalog/ml.py: ann_topk_lsh).
+_J_STRIDE = 32
 
 
 def _mix64(x: int) -> int:
@@ -60,20 +67,57 @@ def pinned_hyperplanes(
 
     Component ``d`` of hyperplane ``(t, j)`` is
     ``mix64(idx + 1) mod M − (M−1)/2`` with
-    ``idx = (t·bits + j)·dim + d`` — each component is an independent
+    ``idx = (t·_J_STRIDE + j)·dim + d`` — each component is an independent
     avalanche of its flat index, so planes behave like the iid random
     hyperplanes the Charikar analysis assumes (an earlier affine-in-idx
     LCG variant produced strided, strongly correlated components).  The
     family is data-independent and reproducible as literals in oracle SQL.
+
+    Plane identity is independent of ``bits`` (fixed ``_J_STRIDE``
+    between tables): ``pinned_hyperplanes(T, b1)`` is a prefix-per-table
+    subset of ``pinned_hyperplanes(T, b2)`` for ``b1 < b2``, which makes
+    the self-scaling geometry (``derive_bits``) oracle-checkable from a
+    single max-bits literal set.
     """
+    if bits > _J_STRIDE:
+        raise ValueError(f"bits={bits} exceeds plane-identity stride {_J_STRIDE}")
     planes = []
     half = (_MIX_M - 1) // 2
     for t in range(n_tables):
         for j in range(bits):
-            base = (t * bits + j) * dim
+            base = (t * _J_STRIDE + j) * dim
             h = [(_mix64(base + d + 1) % _MIX_M) - half for d in range(dim)]
             planes.append((t, j, h))
     return planes
+
+
+def derive_bits(
+    n: int,
+    target_bucket_rows: int = 32,
+    min_bits: int = 4,
+    max_bits: int = 16,
+) -> int:
+    """Self-scaling LSH geometry: the smallest ``bits`` keeping the
+    expected bucket population ``n / 2^bits`` at or below
+    ``target_bucket_rows``, clamped to ``[min_bits, max_bits]``.
+
+    This is the PLANS §12 rule (``bits ≈ log2(n / target_bucket_rows)``)
+    made exact with pure integer arithmetic so Python and the DuckDB
+    oracle derive the identical value: ``ceil(log2(m)) = (m-1).bit_length()``
+    for ``m = ceil(n / target)``.  Fixed geometry is the measured
+    scale-killer (bucket population ∝ n ⇒ pair work ∝ n²: 51.9× wall at
+    10× data with bits frozen at 6); deriving bits from the corpus count
+    keeps per-bucket work flat while ``n_tables`` stays the recall knob.
+
+    Derived values on the synthetic embeddings: n=500 → 4, n=2000 → 6
+    (the geometry the sf0.1 bench already ran), n=20000 → 10 (the probe's
+    knob fix measured Σ bucket² dropping 6× and wall 36.1s → 6.0s at 9).
+    """
+    if n <= 0:
+        return min_bits
+    m = (n + target_bucket_rows - 1) // target_bucket_rows
+    raw = (m - 1).bit_length() if m > 1 else 0
+    return max(min_bits, min(max_bits, raw))
 
 
 def lsh_signatures(
@@ -132,12 +176,17 @@ def lsh_topk_pinned(
     vec_col: str,
     k: int,
     n_tables: int = 4,
-    bits: int = 6,
+    bits: int | None = None,
     query_filter: Column | None = None,
     scale: int = 1000,
 ) -> DataFrame:
     """Top-k cosine neighbors via hyperplane-LSH bucket join —
     ``(query_id, neighbor_id, sim, rn)``, self-pairs excluded.
+
+    ``bits=None`` (the default) derives the geometry from the corpus
+    count via :func:`derive_bits` — one cheap count aggregate over the
+    non-null vectors, then per-bucket work stays flat as n grows.  Pass
+    an explicit ``bits`` only for experiments pinning a fixed geometry.
 
     Candidates = pairs sharing any table's bucket, deduplicated across
     tables BEFORE scoring (a pair colliding in 3 of 4 tables is scored
@@ -152,6 +201,9 @@ def lsh_topk_pinned(
     so the widest stage's row width is independent of vector dim.
     """
     dim = _vec_dim(df, vec_col)
+    if bits is None:
+        n = df.filter(F.col(vec_col).isNotNull()).count()
+        bits = derive_bits(n)
     planes = pinned_hyperplanes(n_tables, bits, dim)
     # materialize the signature index once: the bucket self-join consumes
     # it on BOTH sides, and the query-side filter makes the subplans
@@ -205,9 +257,17 @@ def lsh_topk_pinned(
 
 
 def _vec_dim(df: DataFrame, vec_col: str) -> int:
-    """Vector dimensionality from one row (embedding columns are fixed-dim
-    by contract; one-row limit, not a full scan)."""
-    row = df.select(F.size(F.col(vec_col)).alias("d")).limit(1).collect()
+    """Vector dimensionality from one NON-NULL row (embedding columns are
+    fixed-dim by contract; one-row limit, not a full scan).  The non-null
+    filter matters: probing an unfiltered df whose first row is NULL
+    yields size=-1 and a spurious dim-mismatch error even though
+    lsh_signatures itself drops NULL vectors (ADVICE r4)."""
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .limit(1)
+        .collect()
+    )
     if not row:
-        raise ValueError(f"cannot infer dim of {vec_col!r}: empty input")
+        raise ValueError(f"cannot infer dim of {vec_col!r}: no non-null vectors")
     return int(row[0]["d"])

@@ -272,14 +272,25 @@ def parse_png(payload: bytes) -> tuple[int, int, int, bytes]:
         raise ValueError("no IHDR chunk")
     if not seen_iend:
         raise ValueError("missing IEND chunk (truncated stream)")
+    stride = width * channels
+    expected = (stride + 1) * height
+    # Bounded inflate (ADVICE r4): cap output at the IHDR-derived size +1
+    # probe byte so a zip-bomb IDAT (small declared dims, multi-GB
+    # inflated stream) raises ValueError instead of OOMing the executor —
+    # decode_image_features' corrupt-row fallback only catches ValueError.
     try:
-        raw = zlib.decompress(bytes(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expected + 1)
     except zlib.error as e:
         raise ValueError(f"bad IDAT stream: {e}") from None
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
+    if len(raw) > expected or d.unconsumed_tail or d.unused_data or not d.eof:
         raise ValueError(
-            f"inflated size {len(raw)} != {(stride + 1) * height} "
+            f"IDAT inflates past {expected} bytes for "
+            f"{width}x{height}x{channels} (oversized or unterminated stream)"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"inflated size {len(raw)} != {expected} "
             f"for {width}x{height}x{channels}"
         )
     fb = channels  # filter unit: one pixel's worth of bytes at 8-bit depth

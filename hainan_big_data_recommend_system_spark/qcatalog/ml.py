@@ -382,17 +382,32 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # in both engines — every stage of the approximate index is oracle-checked.
 # ---------------------------------------------------------------------------
 
+# Max-geometry plane literals: plane (t, j) identity is independent of the
+# requested bits (fixed _J_STRIDE in operators/lsh.py), so the static SQL
+# inlines all 16 tables x 16 bits once and the derived-bits subset
+# (j < bits) equals what pinned_hyperplanes(16, bits) generates in Spark.
 _LSH_PLANE_VALUES = ", ".join(
-    f"({t}, {j}, {h})" for t, j, h in pinned_hyperplanes(n_tables=16, bits=6, dim=64)
+    f"({t}, {j}, {h})" for t, j, h in pinned_hyperplanes(n_tables=16, bits=16, dim=64)
 )
 
 
 @register(
     "ann_topk_lsh",
     f"""
-    WITH hp AS (
+    WITH nrows AS (
+        SELECT count(*) AS n FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    geom AS (
+        -- derive_bits(n, target=32, min=4, max=16) in exact integer SQL:
+        -- ceil(log2(m)) = length(bin(m-1)) for m>1, m = ceil(n/32)
+        SELECT least(greatest(
+                 CASE WHEN m > 1 THEN length(bin(m - 1)) ELSE 0 END, 4), 16) AS bits
+        FROM (SELECT (n + 31) // 32 AS m FROM nrows)
+    ),
+    hp AS (
         SELECT t, j, h::BIGINT[] AS h
-        FROM (VALUES {_LSH_PLANE_VALUES}) v(t, j, h)
+        FROM (VALUES {_LSH_PLANE_VALUES}) v(t, j, h), geom
+        WHERE j < geom.bits
     ),
     q AS (
         SELECT vec_id,
@@ -436,18 +451,22 @@ _LSH_PLANE_VALUES = ", ".join(
     """,
 )
 def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN (operators/lsh.py): 16 tables × 6 bits over the
-    64-dim embeddings, candidates deduped across tables, exact quantized
-    cosine within buckets, top-5 per probed query (vec_id % 4 = 0 — same
-    probe bounding as `ann_topk_bruteforce`, so recall is directly
-    comparable).  Recall@5 vs brute force is pinned ≥ 0.5 in
-    tests/test_lsh.py (measured 0.536 at sf0.01 / 0.557 at sf0.001 —
-    deterministic: pinned planes + quantized vectors); 16 tables is the
-    recall knob, chosen because 4 tables bottoms out at ~0.19 on these
-    near-orthogonal synthetic embeddings while signature cost stays one
-    map pass."""
+    """Hyperplane-LSH ANN (operators/lsh.py): 16 tables over the 64-dim
+    embeddings with SELF-SCALING bits — `derive_bits(n)` picks the
+    smallest geometry keeping expected bucket population ≤ 32 rows
+    (n=500 → 4 bits at the driver's sf0.01, n=2000 → 6 at sf0.1, n=20000
+    → 10 at the probe's sf1), so per-bucket pair work stays flat as the
+    corpus grows instead of the measured 51.9×-at-10× blowup of frozen
+    bits=6 (PLANS §12).  The oracle derives the identical bits from
+    count(*) in exact integer SQL and selects the same plane subset from
+    the max-geometry literals.  Candidates deduped across tables, exact
+    quantized cosine within buckets, top-5 per probed query
+    (vec_id % 4 = 0 — same probe bounding as `ann_topk_bruteforce`).
+    Recall@5 vs brute force pinned ≥ 0.5 in tests/test_lsh.py; 16 tables
+    is the recall knob (4 tables bottoms out near the geometry floor on
+    these near-orthogonal synthetic embeddings)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return lsh_topk_pinned(
         emb, "vec_id", "embedding", k=5,
-        n_tables=16, bits=6, query_filter=F.col("query_id") % 4 == 0,
+        n_tables=16, query_filter=F.col("query_id") % 4 == 0,
     )

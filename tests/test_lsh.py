@@ -5,8 +5,10 @@ brute-force baseline must clear a floor.  All quantities here are fully
 deterministic (pinned splitmix planes, integer-quantized vectors), so the
 floors are not flaky margins — they pin the measured values.
 
-Measured recall@5 for the catalog config (16 tables x 6 bits, probe set
-vec_id % 4 = 0): 0.5568 at sf0.001, 0.536 at sf0.01."""
+Measured recall@5 for the catalog config (16 tables x self-scaling bits,
+probe set vec_id % 4 = 0): 0.9008 at sf0.001 (n=500 -> 4 bits), 0.872 at
+sf0.01 (n=500 -> 4 bits).  Fixed-geometry runs (bits=6) measure lower
+because 500-row corpora over-partition at 64 buckets/table."""
 
 from __future__ import annotations
 
@@ -16,6 +18,7 @@ from pyspark.sql import functions as F
 from hainan_big_data_recommend_system_spark.catalog import load_table
 from hainan_big_data_recommend_system_spark.operators.ann import cosine_topk_bruteforce
 from hainan_big_data_recommend_system_spark.operators.lsh import (
+    derive_bits,
     lsh_signatures,
     lsh_topk_pinned,
     pinned_hyperplanes,
@@ -56,16 +59,50 @@ def _recall_and_score_check(spark, sf_dir, n_tables, bits):
 
 
 def test_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """Catalog config on the smoke fixture: recall@5 >= 0.5."""
-    recall = _recall_and_score_check(spark, sf_dir, n_tables=16, bits=6)
-    assert recall >= 0.5, f"LSH recall@5 = {recall:.3f} < 0.5"
+    """Catalog config (self-scaling bits) on the smoke fixture:
+    recall@5 >= 0.8 (measured 0.9008 — deterministic)."""
+    recall = _recall_and_score_check(spark, sf_dir, n_tables=16, bits=None)
+    assert recall >= 0.8, f"LSH recall@5 = {recall:.3f} < 0.8"
 
 
 def test_lsh_pinned_recall_vs_bruteforce(spark, sf_oracle_dir):
     """The oracled catalog form on the sf0.01 corpus the driver checks —
-    this is the claim cited by qcatalog/ml.py:q_ann_topk_lsh."""
-    recall = _recall_and_score_check(spark, sf_oracle_dir, n_tables=16, bits=6)
-    assert recall >= 0.5, f"pinned LSH recall@5 = {recall:.3f} < 0.5"
+    this is the claim cited by qcatalog/ml.py:q_ann_topk_lsh (measured
+    0.872 — deterministic)."""
+    recall = _recall_and_score_check(spark, sf_oracle_dir, n_tables=16, bits=None)
+    assert recall >= 0.8, f"pinned LSH recall@5 = {recall:.3f} < 0.8"
+
+
+def test_derive_bits_rule():
+    """VERDICT r4 #6: the self-scaling rule keeps expected bucket
+    population n / 2^bits within [target/2, 2*target] wherever the clamp
+    is not binding, and reproduces the documented anchor points."""
+    target = 32
+    for n in (1_000, 10_000, 100_000, 2_000, 20_000, 777, 54_321):
+        bits = derive_bits(n, target_bucket_rows=target)
+        if 4 < bits < 16:  # clamp not binding
+            pop = n / (1 << bits)
+            assert target / 2 <= pop <= 2 * target, (n, bits, pop)
+    # anchor points from PLANS §12 / the scale probe
+    assert derive_bits(500) == 4
+    assert derive_bits(2_000) == 6
+    assert derive_bits(20_000) == 10
+    # clamps and degenerate inputs
+    assert derive_bits(0) == 4
+    assert derive_bits(1) == 4
+    assert derive_bits(10**12) == 16
+
+
+def test_plane_identity_independent_of_bits():
+    """The oracle-literal trick: planes generated at max bits, filtered to
+    j < b, equal planes generated at b directly — so one static VALUES
+    literal serves every derived geometry."""
+    full = pinned_hyperplanes(16, 16, 64)
+    for b in (4, 6, 10):
+        subset = [(t, j, h) for t, j, h in full if j < b]
+        assert subset == pinned_hyperplanes(16, b, 64)
+    with pytest.raises(ValueError, match="stride"):
+        pinned_hyperplanes(2, 33, 64)
 
 
 def test_more_tables_buy_recall(spark, sf_dir):

@@ -256,6 +256,57 @@ def test_png_rejects_corruption():
         parse_png(bytes(bad_dim))
 
 
+def test_png_zip_bomb_bounded(monkeypatch):
+    """ADVICE r4: an IDAT that inflates far past the IHDR-derived bound
+    (small declared dims, highly-compressed multi-MB stream) must raise
+    ValueError from the bounded inflater — never materialize the full
+    decompressed payload (executor-OOM vector on a corpus decode)."""
+    import struct
+    import zlib
+
+    from hainan_big_data_recommend_system_spark.operators.multimodal import (
+        PNG_SIG,
+        parse_png,
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # IHDR declares 1x1 grayscale (expected inflate: 2 bytes) but IDAT
+    # holds 32 MB of zeros compressed to ~32 KB — all chunk CRCs valid
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (32 * 1024 * 1024), 9)
+    payload = PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", bomb) + chunk(b"IEND", b"")
+
+    seen = {}
+    real = zlib.decompressobj
+
+    def spying_decompressobj(*a, **k):
+        d = real(*a, **k)
+
+        class Wrap:
+            def decompress(self, data, max_length=0):
+                out = d.decompress(data, max_length)
+                seen["out_len"] = len(out)
+                return out
+
+            def __getattr__(self, name):
+                return getattr(d, name)
+
+        return Wrap()
+
+    monkeypatch.setattr(zlib, "decompressobj", spying_decompressobj)
+    with pytest.raises(ValueError, match="inflates past"):
+        parse_png(payload)
+    # the inflater was length-capped: output stopped at bound+1, not 32 MB
+    assert seen["out_len"] <= 3
+
+
 def test_decode_uses_real_png_pixels(spark, sf_dir):
     """Dims AND pixel digest of generated PNGs must come from actually
     decoding the payload (generator-formula agreement end-to-end)."""
