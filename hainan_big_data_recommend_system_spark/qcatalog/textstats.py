@@ -249,9 +249,13 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 29 AS INT) AS png_w,
            CAST(1 + doc_id % 13 AS INT) AS png_h,
            CAST(3 AS INT) AS png_channels,
-           md5(substr(repeat(text,
+           -- seed mirrors make_png's empty-text fallback (pixel_seed or
+           -- b'\\x00'): an empty document must digest a NUL-cycled stream,
+           -- not divide by zero in the repeat count (ADVICE r4)
+           md5(substr(repeat(CASE WHEN length(text) = 0 THEN chr(0) ELSE text END,
                              CAST(((1 + doc_id % 29) * (1 + doc_id % 13) * 3
-                                   + length(text) - 1) // length(text) AS INT)),
+                                   + greatest(length(text), 1) - 1)
+                                  // greatest(length(text), 1) AS INT)),
                       1,
                       (1 + doc_id % 29) * (1 + doc_id % 13) * 3)) AS png_px_md5
     FROM documents

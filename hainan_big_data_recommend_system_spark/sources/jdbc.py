@@ -74,7 +74,19 @@ def write_jdbc_append_dedup(
     exist in the target are anti-joined away, which is the half of INSERT
     IGNORE a pure batch dedup misses (a re-run would otherwise append
     every overlapping key a second time).  The existing-keys read projects
-    only the key columns, and the filter pushes down to the server.
+    only the key columns.
+
+    The key set is MATERIALIZED (eager ``localCheckpoint``) before the
+    write starts: left lazy, the JDBC scan of the target is embedded in
+    the write plan and re-executed inside every write task — each task
+    would open its own cursor against the table it is concurrently
+    appending to, and a task retry could see its own partial writes
+    (ADVICE r4).  Snapshotting the keys once pins one consistent
+    read-before-write.  Cross-JOB atomicity is out of scope: two
+    concurrent ``write_jdbc_append_dedup`` jobs can both snapshot before
+    either writes and double-append the same key — true INSERT IGNORE
+    under concurrency needs a DB-side unique constraint, same as the
+    reference's notebook relies on MySQL's.
     """
     from pyspark.sql import Window, functions as F
 
@@ -87,9 +99,13 @@ def write_jdbc_append_dedup(
         .drop("__rn")
     )
     try:
-        existing = read_jdbc_table(
-            batch.sparkSession, url, table, properties=properties
-        ).select(*dedup_keys)
+        existing = (
+            read_jdbc_table(batch.sparkSession, url, table, properties=properties)
+            .select(*dedup_keys)
+            # eager: runs the JDBC key scan NOW, once, and replaces it in
+            # the write plan with the snapshot (never a per-task cursor)
+            .localCheckpoint(eager=True)
+        )
         batch = batch.join(existing, dedup_keys, "left_anti")
     except Exception as e:
         # first append: the target does not exist yet (Spark creates it on

@@ -42,7 +42,20 @@ def _read_epochs(spark, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except Exception as e:  # [PATH_NOT_FOUND] / empty dir on first batch
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        msg = str(e)
+        # Error-class tags are Spark-4-era; older AnalysisException carries
+        # only the prose form ("Path does not exist: ..."), and a hard fail
+        # here kills the FIRST micro-batch of every stream on such versions
+        # (ADVICE r4) — match both generations.
+        if any(
+            tag in msg
+            for tag in (
+                "PATH_NOT_FOUND",
+                "UNABLE_TO_INFER_SCHEMA",
+                "Path does not exist",
+                "Unable to infer schema",
+            )
+        ):
             return None
         raise
 

@@ -402,3 +402,25 @@ def test_resize_images_takes_real_path_for_bmp(spark, sf_dir):
         assert r["src_width"] == 1 + r["media_id"] % 31  # real header dims
         w, h, bpp, _, _ = parse_bmp_header(bytes(r["resized"]))
         assert (w, h, bpp) == (8, 8, 24)  # output is a valid 8x8 BMP
+
+
+def test_multimodal_meta_oracle_handles_empty_text(spark, tmp_path):
+    """ADVICE r4: an empty document must not divide the oracle's repeat
+    count by zero — both engines fall back to a NUL pixel seed (the
+    generator's `pixel_seed or b"\\x00"`), so the png_px_md5 facet still
+    hash-matches on such a row."""
+    import duckdb
+
+    from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY
+    from tests.oracle_utils import compare
+
+    sf = str(tmp_path / "sf_empty")
+    spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, "x")], "doc_id long, text string"
+    ).write.parquet(f"{sf}/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    spec = REGISTRY["multimodal_meta"]
+    compare(spec.fn(spark, sf), con, spec.oracle, "multimodal_meta[empty-text]")
