@@ -1,0 +1,476 @@
+"""Pure-Python baseline-sequential JPEG codec (round 5) — the last image
+format on the real-decode ladder (operators/multimodal.py: BMP header
+parse, PNG chunk/inflate/unfilter, now JPEG entropy decode + IDCT).
+
+Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
+samples, 1 component (grayscale) or 3 components with NO chroma
+subsampling (h=v=1 for every component), no restart intervals, no
+progressive/arithmetic coding.  Everything inside that scope is REAL:
+
+- marker walk (SOI/APP/DQT/SOF0/DHT/SOS/EOI) with length validation;
+- quantization + Huffman tables parsed from the FILE's own DQT/DHT
+  segments (canonical code reconstruction per ITU-T T.81 §C.2), so the
+  decoder handles any compliant baseline stream in scope, not just this
+  encoder's output;
+- entropy decode: DC category + EXTEND, AC run/size with ZRL and EOB,
+  0xFF00 byte-unstuffing;
+- dequantize → inverse zigzag → float IDCT (numpy, separable 8×8
+  transform matrix) → level shift → clamp → YCbCr→RGB (JFIF/BT.601).
+
+The encoder (`make_jpeg`) is the matching fixture generator, same
+contract as make_bmp/make_png: a pure function of (width, height,
+pixel_seed) whose raw RGB stream is the seed cycled to w·h·3 bytes.
+With the default flat quantization tables the DCT roundtrip is nearly
+lossless, so tests pin a small max-abs pixel error instead of a digest
+(IDCT rounding makes bit-exact cross-library pins brittle; dimensions
+and channel count ARE pinned exactly by the DuckDB oracle in
+qcatalog/textstats.py: multimodal_meta).
+
+No reference analogue (the reference has no image pipeline); public
+knowledge: ITU-T T.81 (JPEG), JFIF 1.02.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+
+# zigzag scan order (T.81 Figure A.6): index i of the scan -> (row, col)
+ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# Generic Huffman code-length counts + symbol lists (Annex K shape): the
+# DC tables cover categories 0-11, the AC tables every (run, size)
+# symbol incl. ZRL/EOB.  The decoder never assumes these — it rebuilds
+# whatever canonical tables the stream's DHT declares.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+
+def _ac_table() -> tuple[list[int], list[int]]:
+    """Canonical AC table covering all 162 baseline AC symbols: EOB, ZRL,
+    and (run 0-15) x (size 1-10).  Built as a fixed-length canonical code
+    (all symbols at 9 bits, reserving the all-ones prefix) — legal per
+    T.81 §C.2 (any prefix-free code listed by length works) and trivially
+    self-consistent between this encoder and any table-driven decoder."""
+    symbols = [0x00, 0xF0] + [
+        (r << 4) | s for r in range(16) for s in range(1, 11)
+    ]
+    bits = [0] * 16
+    bits[8] = len(symbols)  # all codes 9 bits long (bits[i] = count of i+1)
+    return bits, symbols
+
+_AC_BITS, _AC_VALS = _ac_table()
+
+# flat quality-100-style quantization tables: DCT roundtrip error stays
+# within a few counts, which is what lets tests pin a tight tolerance
+_QUANT_LUMA = [1] * 64
+_QUANT_CHROMA = [1] * 64
+
+
+def _dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16.0)
+    return m
+
+
+def _build_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical per T.81 §C.2."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("entropy stream exhausted mid-block")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker inside entropy data")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = b
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _category(v: int) -> int:
+    return abs(v).bit_length()
+
+
+def _extend(d: int, t: int) -> int:
+    """T.81 EXTEND: map t received bits back to the signed value."""
+    if t == 0:
+        return 0
+    return d if d >= (1 << (t - 1)) else d - (1 << t) + 1
+
+
+def _rgb_to_ycbcr(rgb):
+    import numpy as np
+
+    r = rgb[..., 0].astype(np.float64)
+    g = rgb[..., 1].astype(np.float64)
+    b = rgb[..., 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(ycc):
+    import numpy as np
+
+    y = ycc[..., 0]
+    cb = ycc[..., 1] - 128.0
+    cr = ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def make_jpeg(
+    width: int, height: int, pixel_seed: bytes, gray: bool = False
+) -> bytes:
+    """Encode a VALID baseline-sequential JFIF JPEG (YCbCr 4:4:4, or
+    single-component grayscale with ``gray=True``; flat quant tables)
+    whose raw RGB stream is ``pixel_seed`` cycled to ``width·height·3``
+    bytes — the same seed convention as make_bmp / make_png, so fixtures
+    need no image assets."""
+    import numpy as np
+
+    if width <= 0 or height <= 0:
+        raise ValueError(f"bad dimensions {width}x{height}")
+    seed = pixel_seed or b"\x00"
+    n = width * height * 3
+    reps = -(-n // len(seed))
+    raw = (seed * reps)[:n]
+    rgb = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
+    ycc = _rgb_to_ycbcr(rgb)
+    ncomp = 1 if gray else 3
+
+    # pad to 8x8 blocks by edge replication (keeps boundary DCT tame)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.empty((bh * 8, bw * 8, 3), dtype=np.float64)
+    padded[:height, :width] = ycc
+    padded[height:, :width] = ycc[height - 1 : height, :]
+    padded[:, width:] = padded[:, width - 1 : width]
+
+    m = _dct_matrix()
+    dc_codes = _build_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _build_codes(_AC_BITS, _AC_VALS)
+    quants = [_QUANT_LUMA, _QUANT_CHROMA]
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    for by in range(bh):
+        for bx in range(bw):
+            for comp in range(ncomp):
+                q = quants[0 if comp == 0 else 1]
+                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
+                coef = m @ block @ m.T
+                zz = [
+                    int(round(coef[zi // 8, zi % 8] / q[i]))
+                    for i, zi in enumerate(ZIGZAG)
+                ]
+                diff = zz[0] - pred[comp]
+                pred[comp] = zz[0]
+                t = _category(diff)
+                code, length = dc_codes[t]
+                w.write(code, length)
+                if t:
+                    w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_codes[0xF0]  # ZRL
+                        w.write(code, length)
+                        run -= 16
+                    t = _category(zz[i])
+                    code, length = ac_codes[(run << 4) | t]
+                    w.write(code, length)
+                    w.write(zz[i] if zz[i] > 0 else zz[i] + (1 << t) - 1, t)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_codes[0x00]  # EOB
+                    w.write(code, length)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    for tid, q in enumerate(quants[: 1 if gray else 2]):
+        out += _seg(0xDB, bytes([tid]) + bytes(q[i] for i in range(64)))
+    sof = struct.pack(">BHHB", 8, height, width, ncomp)
+    for cid in range(ncomp):
+        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])  # h=v=1
+    out += _seg(0xC0, sof)
+    tables = [(0, 0, _DC_BITS, _DC_VALS), (1, 0, _AC_BITS, _AC_VALS)]
+    if not gray:
+        tables += [(0, 1, _DC_BITS, _DC_VALS), (1, 1, _AC_BITS, _AC_VALS)]
+    for tc, tid, bits, vals in tables:
+        out += _seg(0xC4, bytes([(tc << 4) | tid]) + bytes(bits) + bytes(vals))
+    sos = bytes([ncomp])
+    for cid in range(ncomp):
+        td_ta = 0x00 if cid == 0 else 0x11
+        sos += bytes([cid + 1, td_ta])
+    sos += bytes([0, 63, 0])
+    out += _seg(0xDA, sos)
+    out += w.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+class _HuffDecoder:
+    """Canonical-code decoder: walk bits, match against per-length first
+    codes (T.81 Figure F.16 DECODE procedure)."""
+
+    def __init__(self, bits: list[int], vals: list[int]) -> None:
+        self.mincode = [0] * 17
+        self.maxcode = [-1] * 17
+        self.valptr = [0] * 17
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            if bits[length - 1]:
+                self.valptr[length] = k
+                self.mincode[length] = code
+                code += bits[length - 1]
+                k += bits[length - 1]
+                self.maxcode[length] = code - 1
+            code <<= 1
+        self.vals = vals
+
+    def decode(self, r: _BitReader) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | r.read_bit()
+            if self.maxcode[length] >= code >= self.mincode[length]:
+                return self.vals[self.valptr[length] + code - self.mincode[length]]
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Decode a baseline-sequential JPEG: returns ``(width, height,
+    channels, pixel bytes)`` — interleaved RGB8 for 3-component streams,
+    gray8 for 1-component.  Raises ``ValueError`` on anything outside
+    the documented scope (progressive, subsampled, restart-interval,
+    12-bit, arithmetic) or malformed (bad lengths, undefined tables,
+    truncated entropy data) — a decode stage must reject corrupt
+    payloads loudly, never emit garbage pixels.
+    """
+    import numpy as np
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: missing SOI")
+    pos = 2
+    quant: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], _HuffDecoder] = {}
+    frame = None  # (w, h, [(cid, qid)])
+    scan = None  # ([(cid, dc_tid, ac_tid)], entropy_start)
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError(f"expected marker at offset {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RSTn
+            continue
+        if pos + 2 > len(payload):
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack_from(">H", payload, pos)[0]
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError(f"bad segment length {seglen} at offset {pos}")
+        body = payload[pos + 2 : pos + seglen]
+        if marker == 0xDB:  # DQT
+            p = 0
+            while p < len(body):
+                pq, tq = body[p] >> 4, body[p] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quantization tables unsupported")
+                if p + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                quant[tq] = list(body[p + 1 : p + 65])
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(body):
+                tc, th = body[p] >> 4, body[p] & 0xF
+                bits = list(body[p + 1 : p + 17])
+                nv = sum(bits)
+                if p + 17 + nv > len(body):
+                    raise ValueError("truncated DHT")
+                vals = list(body[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _HuffDecoder(bits, vals)
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0")
+            prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component list")
+            if prec != 8:
+                raise ValueError(f"unsupported sample precision {prec}")
+            if nc not in (1, 3):
+                raise ValueError(f"unsupported component count {nc}")
+            comps = []
+            for i in range(nc):
+                cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
+                if hv != 0x11:
+                    raise ValueError(
+                        f"chroma subsampling unsupported (h/v={hv:#x})"
+                    )
+                comps.append((cid, qid))
+            if w <= 0 or h <= 0:
+                raise ValueError(f"bad dimensions {w}x{h}")
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            if struct.unpack_from(">H", body, 0)[0] != 0:
+                raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS
+            if not body or len(body) < 1 + 2 * body[0] + 3:
+                raise ValueError("truncated SOS")
+            ns = body[0]
+            stabs = []
+            for i in range(ns):
+                cid, tds = body[1 + 2 * i : 3 + 2 * i]
+                stabs.append((cid, tds >> 4, tds & 0xF))
+            scan = (stabs, pos + seglen)
+            break
+        pos += seglen
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0 or SOS segment")
+    w, h, comps = frame
+    stabs, epos = scan
+    if len(stabs) != len(comps):
+        raise ValueError("scan component count != frame component count")
+
+    # locate EOI: entropy data runs to the final FFD9 (stuffed FF00 and
+    # RSTn bytes are handled by the bit reader / rejected via DRI)
+    end = payload.rfind(b"\xff\xd9")
+    if end < epos:
+        raise ValueError("missing EOI after entropy data")
+    reader = _BitReader(payload[epos:end])
+
+    qtabs = []
+    decs = []
+    order = {cid: i for i, (cid, _, _) in enumerate(stabs)}
+    for cid, qid in comps:
+        if qid not in quant:
+            raise ValueError(f"component references undefined DQT {qid}")
+        if cid not in order:
+            raise ValueError(f"component {cid} missing from scan")
+        _, td, ta = stabs[order[cid]]
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("scan references undefined DHT")
+        qtabs.append(np.array(quant[qid], dtype=np.float64))
+        decs.append((huff[(0, td)], huff[(1, ta)]))
+
+    m = _dct_matrix()
+    bw, bh = -(-w // 8), -(-h // 8)
+    nc = len(comps)
+    planes = np.empty((bh * 8, bw * 8, nc), dtype=np.float64)
+    pred = [0] * nc
+    for by in range(bh):
+        for bx in range(bw):
+            for ci in range(nc):
+                dc_dec, ac_dec = decs[ci]
+                zz = [0] * 64
+                t = dc_dec.decode(reader)
+                if t > 11:
+                    raise ValueError(f"DC category {t} out of range")
+                diff = _extend(reader.read_bits(t), t) if t else 0
+                pred[ci] += diff
+                zz[0] = pred[ci]
+                i = 1
+                while i < 64:
+                    rs = ac_dec.decode(reader)
+                    r, s = rs >> 4, rs & 0xF
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            i += 16
+                            continue
+                        break  # EOB
+                    i += r
+                    if i > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[i] = _extend(reader.read_bits(s), s)
+                    i += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                for i, zi in enumerate(ZIGZAG):
+                    coef[zi // 8, zi % 8] = zz[i] * qtabs[ci][i]
+                block = m.T @ coef @ m + 128.0
+                planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
+    cropped = planes[:h, :w]
+    if nc == 3:
+        pixels = _ycbcr_to_rgb(cropped).tobytes()
+    else:
+        pixels = (
+            np.clip(np.round(cropped[..., 0]), 0, 255).astype(np.uint8).tobytes()
+        )
+    return w, h, nc, pixels

@@ -5,11 +5,13 @@ metadata, processed by Arrow-batched pandas functions over ``mapInPandas``:
 
     (id, media binary, media_type, meta…) → decode/extract → features
 
-Two image formats decode for REAL in pure Python — BMP (header parse +
-nearest-neighbor resize) and PNG (chunk walk with CRC validation, zlib
-inflate, per-scanline unfilter incl. Paeth) — so dimensions, channel
-counts and pixel digests come from the payload bytes themselves.
-Compressed formats that genuinely need a native library (JPEG; ffmpeg/
+Three image formats decode for REAL in pure Python — BMP (header parse +
+nearest-neighbor resize), PNG (chunk walk with CRC validation, zlib
+inflate, per-scanline unfilter incl. Paeth), and baseline-sequential
+JPEG (marker walk, canonical Huffman entropy decode, dequant + IDCT +
+YCbCr→RGB; operators/jpeg.py) — so dimensions, channel counts and pixel
+digests come from the payload bytes themselves.  Formats that genuinely
+need a native library (progressive/subsampled JPEG via Pillow; ffmpeg/
 torchaudio for av) stay behind an import-try that raises
 ``NotImplementedError`` with a clear message, plus a deterministic fake
 used by tests.  Also real and tested: the schema contract, the Arrow
@@ -412,6 +414,14 @@ def decode_image_features(
                 decoded = (w, h, c, pixels)
             except ValueError:
                 decoded = None
+        elif payload[:2] == b"\xff\xd8":
+            try:
+                from .jpeg import parse_jpeg
+
+                w, h, c, pixels = parse_jpeg(payload)
+                decoded = (w, h, c, pixels)
+            except ValueError:
+                decoded = None
         elif payload[:2] == b"BM":
             try:
                 w, h, bpp, _, px_off = parse_bmp_header(payload)
@@ -501,6 +511,43 @@ def generate_png_media(
                             str(r[text_col]).encode("utf-8"),
                         ),
                         "source": "synthetic-png",
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return docs.select(id_col, text_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
+def generate_jpeg_media(
+    docs: DataFrame, id_col: str, text_col: str, mod_w: int = 23, mod_h: int = 11
+) -> DataFrame:
+    """Fixture-payload generator for the JPEG path (round 5): one valid
+    baseline-sequential JFIF JPEG per document (operators/jpeg.py:
+    make_jpeg — YCbCr 4:4:4, flat quant tables, canonical Huffman), sized
+    ``(1 + id % mod_w) × (1 + id % mod_h)`` with the raw RGB stream cycled
+    from the document text.  Dimensions are a pure function of the id, so
+    the oracle pins what the CRC-of-markers-validated decode parses back;
+    pixel values survive the DCT roundtrip only within a small tolerance
+    (IDCT rounding), which tests pin instead of a digest."""
+    import pandas as pd
+
+    from .jpeg import make_jpeg
+
+    def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r[id_col])
+                rows.append(
+                    {
+                        "media_id": did,
+                        "media_type": "image",
+                        "payload": make_jpeg(
+                            1 + did % mod_w,
+                            1 + did % mod_h,
+                            str(r[text_col]).encode("utf-8"),
+                        ),
+                        "source": "synthetic-jpeg",
                     }
                 )
             yield pd.DataFrame(rows)

@@ -249,6 +249,9 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 29 AS INT) AS png_w,
            CAST(1 + doc_id % 13 AS INT) AS png_h,
            CAST(3 AS INT) AS png_channels,
+           CAST(1 + doc_id % 23 AS INT) AS jpeg_w,
+           CAST(1 + doc_id % 11 AS INT) AS jpeg_h,
+           CAST(3 AS INT) AS jpeg_channels,
            -- seed mirrors make_png's empty-text fallback (pixel_seed or
            -- b'\\x00'): an empty document must digest a NUL-cycled stream,
            -- not divide by zero in the repeat count (ADVICE r4)
@@ -278,10 +281,20 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes, so the oracle reconstructs it with repeat()/substr() (text is
     ASCII in every fixture — chars == bytes) and md5s it — one wrong
     pixel anywhere (bad inflate, wrong Paeth tiebreak, off-by-one stride)
-    and the driver hash mismatches."""
+    and the driver hash mismatches.
+
+    JPEG (round 5): each doc also gets a valid baseline-sequential JFIF
+    JPEG (operators/jpeg.py: make_jpeg — canonical Huffman, flat quant);
+    `jpeg_w`/`jpeg_h`/`jpeg_channels` come from the REAL entropy decode
+    (marker walk + Huffman + IDCT in parse_jpeg, reached through
+    decode_image_features' magic dispatch).  Pixels survive the DCT
+    roundtrip only within a small rounding tolerance, so the pixel
+    invariant is pinned in tests/test_jpeg.py rather than by digest here
+    — dims/channels are exact and driver-hashed."""
     from ..operators.multimodal import (
         decode_image_features,
         generate_bmp_media,
+        generate_jpeg_media,
         generate_png_media,
     )
 
@@ -304,6 +317,14 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("channels").alias("png_channels"),
         F.col("px_md5").alias("png_px_md5"),
     )
+    jpeg_feats = decode_image_features(
+        generate_jpeg_media(docs, "doc_id", "text")
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("jpeg_w"),
+        F.col("height").alias("jpeg_h"),
+        F.col("channels").alias("jpeg_channels"),
+    )
     payload = F.col("text").cast("binary")
     n_bytes = F.length(payload).cast("bigint")
     meta = docs.select(
@@ -312,7 +333,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(payload, 256).alias("content_sha256"),
         F.when(n_bytes >= 1024, "large").otherwise("small").alias("size_class"),
     )
-    return meta.join(bmp_feats, "doc_id").join(png_feats, "doc_id")
+    return (
+        meta.join(bmp_feats, "doc_id")
+        .join(png_feats, "doc_id")
+        .join(jpeg_feats, "doc_id")
+    )
 
 
 @register(
