@@ -364,7 +364,8 @@ def _map_media_rows(
     media-type filter, repartition by ``media_id`` (a skewed ingest layout
     must not serialize the work), ``mapInPandas`` streaming (peak memory =
     one batch), and the real-decoder gate.  ``row_fn(media_id, payload,
-    row) -> dict`` supplies the kernel output per row."""
+    row) -> dict | None`` supplies the kernel output per row; ``None``
+    drops the row (e.g. undecodable payloads in a hash kernel)."""
     import pandas as pd
 
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -374,13 +375,43 @@ def _map_media_rows(
                 payload = bytes(r["payload"])
                 if use_real_decoder:
                     _try_real_decode(payload)
-                rows.append(row_fn(r["media_id"], payload, r))
-            yield pd.DataFrame(rows)
+                out = row_fn(r["media_id"], payload, r)
+                if out is not None:
+                    rows.append(out)
+            if rows:
+                yield pd.DataFrame(rows)
 
     src = media
     if media_type is not None:
         src = src.filter(F.col("media_type") == media_type)
     return src.repartition("media_id").mapInPandas(batches, schema=schema)
+
+
+def decode_any(payload: bytes) -> tuple[int, int, int, bytes] | None:
+    """Magic-dispatched real decode: ``(w, h, channels, pixel bytes)`` for
+    valid PNG / baseline-JPEG / BMP payloads, ``None`` otherwise.  A
+    lookalike that merely starts with a format magic (text, random
+    binary) returns None — callers fall back to the deterministic fake;
+    one corrupt row never kills a corpus decode."""
+    if payload[:8] == PNG_SIG:
+        try:
+            return parse_png(payload)
+        except ValueError:
+            return None
+    if payload[:2] == b"\xff\xd8":
+        try:
+            from .jpeg import parse_jpeg
+
+            return parse_jpeg(payload)
+        except ValueError:
+            return None
+    if payload[:2] == b"BM":
+        try:
+            w, h, bpp, _, px_off = parse_bmp_header(payload)
+            return (w, h, max(bpp // 8, 1), payload[px_off:])
+        except ValueError:
+            return None
+    return None
 
 
 def decode_image_features(
@@ -403,31 +434,7 @@ def decode_image_features(
     import hashlib
 
     def row_fn(media_id, payload, r):
-        # try the real parsers on format-shaped payloads; a lookalike that
-        # merely starts with the magic (text, random binary) must fall
-        # back to the total fake path, not fail the task — one corrupt row
-        # never kills a corpus decode
-        decoded = None
-        if payload[:8] == PNG_SIG:
-            try:
-                w, h, c, pixels = parse_png(payload)
-                decoded = (w, h, c, pixels)
-            except ValueError:
-                decoded = None
-        elif payload[:2] == b"\xff\xd8":
-            try:
-                from .jpeg import parse_jpeg
-
-                w, h, c, pixels = parse_jpeg(payload)
-                decoded = (w, h, c, pixels)
-            except ValueError:
-                decoded = None
-        elif payload[:2] == b"BM":
-            try:
-                w, h, bpp, _, px_off = parse_bmp_header(payload)
-                decoded = (w, h, max(bpp // 8, 1), payload[px_off:])
-            except ValueError:
-                decoded = None
+        decoded = decode_any(payload)
         if decoded is not None:
             w, h, c, pixels = decoded
             feats = _byte_hist(pixels)
