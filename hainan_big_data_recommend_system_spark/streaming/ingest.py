@@ -269,5 +269,102 @@ def start_dedup_ingest(
 
 def read_ingested_corpus(spark, corpus_dir: str) -> DataFrame:
     """The deduplicated corpus across all ingested epochs (partition
-    column ``epoch`` records provenance)."""
+    column ``epoch`` records provenance; negative epochs are compacted
+    base generations — see :func:`compact_ingest_state`)."""
     return spark.read.parquet(corpus_dir)
+
+
+def _fs_for(spark, path: str):
+    """Hadoop FileSystem for ``path`` — compaction must work on whatever
+    filesystem the state dirs live on, not just the driver's local disk."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
+def compact_ingest_state(
+    spark,
+    state_dir: str,
+    upto: int | None = None,
+    target_rows_per_file: int = 5_000_000,
+) -> dict:
+    """Fold committed epoch partitions into one base generation —
+    the small-file compaction for the per-epoch-overwrite layout
+    (VERDICT r4 #5): a long-running stream accumulates one small parquet
+    dir per epoch, and every probe in :func:`dedup_ingest_writer` reads
+    thousands of partitions at 100 TB scale.
+
+    Protocol (safe under the writer's at-least-once replay):
+
+    - eligible = every partition with ``epoch <= upto``, where ``upto``
+      defaults to ``max(epoch) - 1`` — **the newest epoch is never
+      compacted**: a crash-recovery replay re-runs exactly that epoch
+      with self-exclusion (``epoch != epoch_id``) + per-epoch overwrite,
+      which only stays idempotent while its rows live in its OWN
+      partition.  Compacted epochs are strictly older than the
+      checkpoint's next epoch and can never be replayed.
+    - base generations are NEGATIVE epochs (``epoch=-1``, ``epoch=-2``,
+      …): always included by every ``epoch != epoch_id`` probe (real
+      epoch ids are ≥ 0) and invisible to the max-epoch collision guard.
+      Each compaction folds the prior base(s) plus newly eligible
+      epochs into the next generation.
+    - crash-safety by ORDER, not transactions: the new base is written
+      to a temp dir and atomically renamed into the state dir BEFORE any
+      source partition is deleted.  Every crash window therefore leaves
+      AT MOST duplicate membership (rows present in both the new base
+      and a not-yet-deleted source), which every downstream probe
+      tolerates — the exact stage anti-joins on fingerprint, the bucket
+      stage distincts candidates — and the next compaction run heals.
+
+    Returns ``{"compacted_epochs": [...], "base_epoch": g, "rows": n}``
+    (no-op: empty list).  Run per state dir (corpus / index / buckets);
+    the dirs are independent membership state, so compacting them at
+    different times is safe.
+    """
+    df = _read_epochs(spark, state_dir)
+    if df is None:
+        return {"compacted_epochs": [], "base_epoch": None, "rows": 0}
+    epochs = [
+        r["epoch"] for r in df.select("epoch").distinct().collect()
+    ]
+    mx = max((e for e in epochs if e >= 0), default=None)
+    if mx is None:
+        return {"compacted_epochs": [], "base_epoch": None, "rows": 0}
+    if upto is None:
+        upto = mx - 1
+    if upto >= mx:
+        raise ValueError(
+            f"upto={upto} would compact the newest epoch {mx}, which must "
+            "stay replayable under the at-least-once contract; use "
+            f"upto <= {mx - 1}"
+        )
+    eligible = sorted(e for e in epochs if e <= upto)
+    if not eligible or all(e < 0 for e in eligible):
+        return {"compacted_epochs": [], "base_epoch": None, "rows": 0}
+    new_base = min((e for e in epochs if e < 0), default=0) - 1
+
+    rows_df = df.filter(F.col("epoch") <= upto).drop("epoch")
+    n = rows_df.count()
+    nfiles = max(1, -(-n // target_rows_per_file))
+    tmp = f"{state_dir.rstrip('/')}.compact-tmp-{os.getpid()}"
+    rows_df.coalesce(nfiles).write.mode("overwrite").parquet(tmp)
+
+    jvm, fs, _ = _fs_for(spark, state_dir)
+    dst = jvm.org.apache.hadoop.fs.Path(
+        os.path.join(state_dir, f"epoch={new_base}")
+    )
+    if not fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), dst):
+        fs.delete(jvm.org.apache.hadoop.fs.Path(tmp), True)
+        raise ValueError(
+            f"compaction rename into {dst} failed (concurrent compaction?)"
+        )
+    # only AFTER the base is fully installed: drop the folded sources
+    for e in eligible:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                os.path.join(state_dir, f"epoch={e}")
+            ),
+            True,
+        )
+    return {"compacted_epochs": eligible, "base_epoch": new_base, "rows": n}

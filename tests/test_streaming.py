@@ -361,6 +361,101 @@ def test_streaming_neardup_ingest(spark, tmp_path):
     assert bidx == {1, 3, 5}, bidx
 
 
+def test_ingest_compaction_preserves_state(spark, tmp_path):
+    """VERDICT r4 #5: folding committed epochs into a negative-epoch base
+    generation must be INVISIBLE to every consumer — identical survivor
+    corpus, identical probe behavior for later batches (exact and
+    near-dup), idempotent replay of the (never-compacted) newest epoch,
+    and re-compaction folds the old base into the next generation."""
+    import os as _os
+
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        compact_ingest_state,
+        dedup_ingest_writer,
+        read_ingested_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    buckets = str(tmp_path / "buckets")
+    writer = dedup_ingest_writer(corpus, index, bucket_dir=buckets)
+
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    alpha = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    beta = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"
+    gamma = "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"
+    writer(spark.createDataFrame([(1, base), (2, alpha)],
+                                 "doc_id long, text string"), 0)
+    writer(spark.createDataFrame([(3, beta), (4, alpha)],
+                                 "doc_id long, text string"), 1)
+    writer(spark.createDataFrame([(5, gamma)],
+                                 "doc_id long, text string"), 2)
+    before = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_ingested_corpus(spark, corpus).collect()
+    )
+    assert [d for d, _ in before] == [1, 2, 3, 5]
+
+    for d in (corpus, index, buckets):
+        res = compact_ingest_state(spark, d)
+        assert res["compacted_epochs"] == [0, 1], (d, res)
+        assert res["base_epoch"] == -1
+    # the newest epoch partition survives; older ones are folded
+    parts = sorted(
+        p for p in _os.listdir(corpus) if p.startswith("epoch=")
+    )
+    assert parts == ["epoch=-1", "epoch=2"], parts
+
+    after = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_ingested_corpus(spark, corpus).collect()
+    )
+    assert after == before  # identical survivor set
+
+    # exact probe still sees compacted fingerprints: alpha re-offered in
+    # a new epoch is dropped; near-dup probe still sees compacted
+    # buckets: a near-dup of doc 1 is dropped; fresh content survives
+    writer(
+        spark.createDataFrame(
+            [(6, alpha), (7, base + " w11"), (8, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")],
+            "doc_id long, text string",
+        ),
+        3,
+    )
+    got = sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()
+    )
+    assert got == [1, 2, 3, 5, 8], got
+
+    # replay of the newest epoch post-compaction stays idempotent
+    writer(
+        spark.createDataFrame(
+            [(6, alpha), (7, base + " w11"), (8, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")],
+            "doc_id long, text string",
+        ),
+        3,
+    )
+    got2 = sorted(
+        r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()
+    )
+    assert got2 == got
+
+    # second compaction folds generation -1 plus epoch 2 into -2
+    res2 = compact_ingest_state(spark, corpus)
+    assert res2["compacted_epochs"] == [-1, 2] and res2["base_epoch"] == -2
+    final = sorted(
+        (r["doc_id"], r["text"])
+        for r in read_ingested_corpus(spark, corpus).collect()
+    )
+    assert [d for d, _ in final] == [1, 2, 3, 5, 8]
+
+    # guard: compacting the newest epoch is refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="replayable"):
+        compact_ingest_state(spark, corpus, upto=3)
+
+
 def test_ingest_guards_checkpoint_reset_and_null_text(spark, tmp_path):
     """Code-review r4 fixes: (1) a restarted epoch id below the committed
     max means the checkpoint was reset against live state dirs — fail
