@@ -325,3 +325,100 @@ def ivf_topk(
         )
     )
     return _global_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Strategy selection (round 5, VERDICT r4 #7): the PLANS §12 decision table
+# as code — SURVEY §7.4 promised the ANN family "behind one operator
+# interface", and the measured table (sf0.1, n=2000, recall@5 vs exact on
+# the probe set) is the rationale:
+#
+#   brute force        recall 1.000   O(n·probes) exact    ground truth /
+#                                                          small corpus
+#   IVF nprobe=2/8     recall 0.441   ∝ probed-list sizes  trained quantizer;
+#                                                          recall ∝ nprobe
+#   LSH 16 × derived   recall 0.62+   ∝ Σ bucket²          no training stage;
+#                                                          data-independent
+# ---------------------------------------------------------------------------
+
+
+def choose_ann_strategy(
+    n: int,
+    has_quantizer: bool = False,
+    recall_target: float = 0.6,
+    brute_force_max_n: int = 10_000,
+) -> dict:
+    """Pick the ANN strategy + parameters for a corpus of ``n`` vectors.
+
+    Encodes the measured decision table (PLANS §12):
+
+    - exact brute force whenever it is affordable (``n`` at or under
+      ``brute_force_max_n`` — the sharded matmul is cheap there and
+      recall is 1.0 by construction) or the recall target demands
+      near-exactness (> 0.9: no measured approximate config clears that);
+    - IVF when a trained quantizer is available and the target is inside
+      what probing buys (recall scales ~linearly with nprobe/nlist;
+      measured 0.441 at nprobe=2 of nlist=8 → nprobe ≈
+      ceil(recall·nlist) with a floor of 2);
+    - hyperplane LSH otherwise — the data-INDEPENDENT index that needs no
+      training stage, with ``bits`` derived from ``n``
+      (:func:`..lsh.derive_bits`) and tables as the recall knob
+      (16 clears 0.6 on the synthetic embeddings; 4 bottoms out ~0.19).
+
+    Returns ``{"strategy": "brute" | "ivf" | "lsh", ...params}``; the
+    params feed :func:`cosine_topk_bruteforce`, :func:`ivf_topk_pinned`,
+    or :func:`..lsh.lsh_topk_pinned` directly.
+    """
+    from .lsh import derive_bits
+
+    if not 0.0 < recall_target <= 1.0:
+        raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    if n <= brute_force_max_n or recall_target > 0.9:
+        return {"strategy": "brute"}
+    if has_quantizer and recall_target <= 0.5:
+        nlist = 8  # the pinned-quantizer geometry (operators/ivf_centroids)
+        import math
+
+        return {
+            "strategy": "ivf",
+            "nprobe": max(2, math.ceil(recall_target * nlist)),
+        }
+    return {
+        "strategy": "lsh",
+        "bits": derive_bits(n),
+        "n_tables": 16 if recall_target > 0.4 else 4,
+    }
+
+
+def ann_topk_auto(
+    df,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    query_filter=None,
+    n: int | None = None,
+    has_quantizer: bool = False,
+    centroids: list[list[int]] | None = None,
+    recall_target: float = 0.6,
+) -> DataFrame:
+    """One interface over the ANN family (SURVEY §7.4): counts the corpus
+    (unless ``n`` is passed), consults :func:`choose_ann_strategy`, and
+    dispatches.  ``centroids`` implies ``has_quantizer``."""
+    from .lsh import lsh_topk_pinned
+
+    if n is None:
+        n = df.filter(F.col(vec_col).isNotNull()).count()
+    has_quantizer = has_quantizer or centroids is not None
+    choice = choose_ann_strategy(n, has_quantizer, recall_target)
+    if choice["strategy"] == "brute":
+        return cosine_topk_bruteforce(df, id_col, vec_col, k, query_filter)
+    if choice["strategy"] == "ivf":
+        out = ivf_topk_pinned(
+            df, id_col, vec_col, k, centroids=centroids, nprobe=choice["nprobe"]
+        )
+        return out.filter(query_filter) if query_filter is not None else out
+    return lsh_topk_pinned(
+        df, id_col, vec_col, k,
+        n_tables=choice["n_tables"], bits=choice["bits"],
+        query_filter=query_filter,
+    )

@@ -143,3 +143,72 @@ def test_cosine_symmetry(spark, sf_dir):
     joined = a.join(b, ["query_id", "neighbor_id"], "inner")
     bad = joined.filter(F.abs(F.col("sim") - F.col("sim_t")) > 1e-9).count()
     assert bad == 0
+
+
+def test_choose_ann_strategy_decision_table():
+    """VERDICT r4 #7: the PLANS §12 decision table as code — each row of
+    the measured table maps to the strategy the helper returns."""
+    import pytest as _pytest
+
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        choose_ann_strategy,
+    )
+    from hainan_big_data_recommend_system_spark.operators.lsh import derive_bits
+
+    # small corpus / ground-truth demands -> exact brute force
+    assert choose_ann_strategy(500)["strategy"] == "brute"
+    assert choose_ann_strategy(10**6, recall_target=0.95)["strategy"] == "brute"
+    # trained quantizer + target inside what probing buys -> IVF,
+    # nprobe scaled to the target (floor 2, the measured config)
+    ivf = choose_ann_strategy(10**6, has_quantizer=True, recall_target=0.4)
+    assert ivf == {"strategy": "ivf", "nprobe": 4}
+    assert (
+        choose_ann_strategy(10**6, True, 0.2)["nprobe"] == 2
+    )  # floor: measured 0.441 at nprobe=2
+    # no training stage available -> data-independent LSH with bits
+    # derived from n and tables as the recall knob
+    lsh = choose_ann_strategy(10**6, has_quantizer=False, recall_target=0.6)
+    assert lsh["strategy"] == "lsh"
+    assert lsh["bits"] == derive_bits(10**6)
+    assert lsh["n_tables"] == 16
+    assert choose_ann_strategy(10**6, False, 0.3)["n_tables"] == 4
+    # quantizer present but target above what probing reaches -> LSH
+    assert (
+        choose_ann_strategy(10**6, True, 0.7)["strategy"] == "lsh"
+    )
+    with _pytest.raises(ValueError, match="recall_target"):
+        choose_ann_strategy(1000, recall_target=0.0)
+
+
+def test_ann_topk_auto_dispatch(spark, sf_dir):
+    """The one-interface dispatcher routes the smoke corpus (n=500) to
+    exact brute force, and forced-large n to LSH — results match the
+    directly-invoked operator bit for bit."""
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        ann_topk_auto,
+        cosine_topk_bruteforce,
+    )
+    from hainan_big_data_recommend_system_spark.operators.lsh import (
+        lsh_topk_pinned,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.col("query_id") % 4 == 0
+    auto = {tuple(r) for r in ann_topk_auto(
+        emb, "vec_id", "embedding", k=5, query_filter=probe
+    ).collect()}
+    exact = {tuple(r) for r in cosine_topk_bruteforce(
+        emb, "vec_id", "embedding", k=5, query_filter=probe
+    ).collect()}
+    assert auto == exact  # n=500 -> brute path, identical output
+
+    forced = {tuple(r) for r in ann_topk_auto(
+        emb, "vec_id", "embedding", k=5, query_filter=probe,
+        n=1_000_000,  # pretend scale: auto must take the LSH path
+    ).collect()}
+    lsh = {tuple(r) for r in lsh_topk_pinned(
+        emb, "vec_id", "embedding", k=5, n_tables=16, bits=15,
+        query_filter=probe,
+    ).collect()}
+    assert forced == lsh
