@@ -137,13 +137,14 @@ def test_event_time_windows_one_exchange_per_kind(spark):
 
 
 def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
-    """Two generate→decode chains (BMP + PNG since round 4) stream Arrow
-    batches (MapInPandas ×4); both metadata joins stay broadcast, and no
-    row-at-a-time Python eval appears anywhere."""
+    """Three generate→decode chains (BMP + PNG since round 4, JPEG since
+    round 5) stream Arrow batches (MapInPandas ×6); all three metadata
+    joins stay broadcast, and no row-at-a-time Python eval appears
+    anywhere."""
     plan = plan_of(spark, "multimodal_meta")
-    assert plan.count("MapInPandas") == 4, plan
+    assert plan.count("MapInPandas") == 6, plan
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("BroadcastHashJoin") == 3, plan
 
 
 # ---------------------------------------------------------------------------
