@@ -353,6 +353,20 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int, list[float]]:
     return width, height, channels, _byte_hist(payload)
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition a CPU-bound Python stage to one partition per core,
+    with an EXPLICIT partition count.  Media kernels are heavy per ROW but
+    tiny per BYTE, so both of Spark's byte-oriented defaults serialize
+    them: a small parquet input arrives as one split (the encode stage was
+    measured running on 1 of 32 cores), and a count-less
+    ``repartition(col)`` is an AQE coalescing target that collapses a
+    few-MB payload exchange back to one partition.  Pinning
+    ``defaultParallelism`` partitions disables the coalesce and scales
+    with the cluster (cores here, executor slots on a real deployment)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, *cols) if cols else df.repartition(n)
+
+
 def _map_media_rows(
     media: DataFrame,
     row_fn,
@@ -384,7 +398,7 @@ def _map_media_rows(
     src = media
     if media_type is not None:
         src = src.filter(F.col("media_type") == media_type)
-    return src.repartition("media_id").mapInPandas(batches, schema=schema)
+    return _spread(src, "media_id").mapInPandas(batches, schema=schema)
 
 
 def decode_any(payload: bytes) -> tuple[int, int, int, bytes] | None:
@@ -488,7 +502,9 @@ def generate_bmp_media(
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select(id_col, text_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def generate_png_media(
@@ -522,7 +538,9 @@ def generate_png_media(
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select(id_col, text_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def generate_jpeg_media(
@@ -559,7 +577,9 @@ def generate_jpeg_media(
                 )
             yield pd.DataFrame(rows)
 
-    return docs.select(id_col, text_col).mapInPandas(batches, schema=MEDIA_SCHEMA)
+    return _spread(docs.select(id_col, text_col)).mapInPandas(
+        batches, schema=MEDIA_SCHEMA
+    )
 
 
 def sample_frames(media: DataFrame, every_bytes: int = 1 << 16) -> DataFrame:
