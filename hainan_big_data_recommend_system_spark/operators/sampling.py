@@ -77,3 +77,61 @@ def stratified_sample(
     if frac is None:  # empty fractions: every stratum defaults to 0
         return df.filter(F.lit(False))
     return df.filter(u < frac.otherwise(F.lit(0.0)))
+
+
+def temperature_mixture_sample(
+    df: DataFrame,
+    domain_col: str,
+    key: Column,
+    target_frac: float = 0.5,
+    seed: str = "mix",
+) -> DataFrame:
+    """Temperature-scaled domain mixture sampling (the α-reweighting used
+    to flatten corpus domain imbalance when assembling LLM training data:
+    domain weight ∝ n_d^α with α = 0.5, so over-represented domains are
+    down-sampled and the long tail is kept).
+
+    With w_d = √n_d, domain d is sampled at
+    ``rate_d = min(1, target·N·w_d / (Σw·n_d))`` — expected output size
+    ≈ ``target_frac · N`` with the mixture re-balanced toward the
+    α-tempered distribution.  α is pinned at 0.5 because IEEE-754
+    requires ``sqrt`` to be exactly rounded, which keeps the per-domain
+    rate bit-identical across engines (generic ``pow`` carries no such
+    guarantee); weights are integerized (×1e6, round) before summing so
+    the normalizer is an order-free integer sum.
+
+    Scale: two corpus scans (domain counts, then the sampled projection);
+    the per-domain rate table is tiny and broadcast; the keep decision is
+    a scan-local pure function of (seed, key) — retries can never
+    resample, and no window or data-wide shuffle exists anywhere.
+    """
+    n_d = F.col("n_d").cast("double")
+    d = df.groupBy(domain_col).agg(F.count(F.lit(1)).cast("long").alias("n_d"))
+    w = d.withColumn(
+        "w_i", F.round(F.sqrt(n_d) * F.lit(1000000.0)).cast("long")
+    )
+    # tiny (one row per domain) but its parent aggregate scans the corpus,
+    # and BOTH the normalizer and the rate join consume it
+    w = w.localCheckpoint(eager=True)
+    tot = w.agg(
+        F.sum("n_d").cast("long").alias("n_total"),
+        F.sum("w_i").cast("long").alias("w_total"),
+    )
+    rate = F.least(
+        F.lit(1.0),
+        (F.col("n_total").cast("double") * F.lit(float(target_frac))
+         * F.col("w_i").cast("double"))
+        / (F.col("w_total").cast("double") * F.col("n_d").cast("double")),
+    )
+    rates = w.crossJoin(F.broadcast(tot)).select(
+        domain_col, rate.alias("rate")
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(hash_uniform(key, seed) < F.col("rate"))
+        .select(
+            key.cast("long").alias("doc_id"),
+            F.col(domain_col),
+            F.round(F.col("rate") * 1000000).cast("long").alias("rate_micros"),
+        )
+    )

@@ -273,3 +273,50 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semdedup(emb, "vec_id", "embedding", threshold=_SEMDEDUP_T)
+
+
+_MIX_FRAC = 0.5
+
+_MIXTURE_SQL = rf"""
+WITH d AS (
+    SELECT lang, CAST(count(*) AS BIGINT) AS n_d FROM documents GROUP BY lang
+),
+w AS (
+    SELECT lang, n_d,
+           CAST(round(sqrt(CAST(n_d AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_i
+    FROM d
+),
+tot AS (
+    SELECT CAST(sum(n_d) AS BIGINT) AS n_total,
+           CAST(sum(w_i) AS BIGINT) AS w_total
+    FROM w
+),
+r AS (
+    SELECT lang,
+           least(1.0,
+                 CAST(n_total AS DOUBLE) * {_MIX_FRAC} * CAST(w_i AS DOUBLE)
+                 / (CAST(w_total AS DOUBLE) * CAST(n_d AS DOUBLE))) AS rate
+    FROM w, tot
+)
+SELECT doc_id, lang, CAST(round(rate * 1000000) AS BIGINT) AS rate_micros
+FROM documents JOIN r USING (lang)
+WHERE CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           AS DOUBLE) / 4294967296.0 < rate
+"""
+
+
+@register_extra("mixture_sample_temperature", _MIXTURE_SQL)
+def q_mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture (α = 0.5 reweighting over `lang`,
+    the data-mixing stage of LLM corpus assembly — over-represented
+    domains down-sampled toward √n_d weights at a ~50% overall target).
+    Every float step is a single exactly-rounded IEEE op in a pinned
+    order, so the data-derived per-domain rates — not just the keep
+    decisions — hash-match DuckDB bit-for-bit
+    (:func:`..operators.sampling.temperature_mixture_sample`)."""
+    from ..operators.sampling import temperature_mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mixture_sample(
+        docs, "lang", F.col("doc_id"), target_frac=_MIX_FRAC, seed="mix"
+    )
