@@ -699,3 +699,90 @@ def q_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return split_assignment(docs, "doc_id")
+
+
+_HTML_ORACLE = r"""
+WITH h AS (
+    SELECT doc_id,
+           '<html><head><title>d' || CAST(doc_id AS VARCHAR)
+           || '</title><style>p{margin:0}</style><script>var t="'
+           || CAST(doc_id AS VARCHAR)
+           || '";if(t<"1"){t="&lt;"}</script></head><body><nav><a href="/">home</a><a href="/d'
+           || CAST(doc_id AS VARCHAR)
+           || '">self</a></nav><div><p>'
+           || replace(coalesce(text, ''), chr(10), '</p><p>')
+           || '</p><p>See <a href="/more">more &amp; extra</a> notes.</p></div><footer><a href="/terms">terms</a></footer></body></html>'
+               AS html
+    FROM documents
+),
+deb AS (
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(html,
+               '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+               '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+               '(?s)<nav[^>]*>.*?</nav>', ' ', 'g'),
+               '(?s)<header[^>]*>.*?</header>', ' ', 'g'),
+               '(?s)<footer[^>]*>.*?</footer>', ' ', 'g'),
+               '(?s)<aside[^>]*>.*?</aside>', ' ', 'g'),
+               '(?s)<!--.*?-->', ' ', 'g') AS d
+    FROM h
+),
+l AS (
+    SELECT doc_id, d,
+           coalesce(list_aggregate(list_transform(
+               regexp_extract_all(d, '(?s)<a[^>]*>(.*?)</a>', 1),
+               b -> CAST(length(regexp_replace(b, '<[^>]*>', '', 'g'))
+                         AS BIGINT)), 'sum'), 0) AS link_chars
+    FROM deb
+),
+t AS (
+    SELECT doc_id, link_chars,
+           trim(regexp_replace(
+               replace(replace(replace(replace(replace(replace(
+                   regexp_replace(d, '<[^>]*>', ' ', 'g'),
+                   '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                   '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&'),
+               '[ \t\n\x0B\f\r]+', ' ', 'g')) AS main_text
+    FROM l
+)
+SELECT doc_id, main_text,
+       CAST(length(main_text) AS BIGINT) AS main_len,
+       CAST(link_chars AS BIGINT) AS link_chars,
+       CAST(round(CAST(link_chars AS DOUBLE) * 1000000.0
+                  / CAST(greatest(CAST(length(main_text) AS BIGINT), 1)
+                         AS DOUBLE)) AS BIGINT) AS link_density_micros
+FROM t
+"""
+
+
+@register_extra("html_extract_main", _HTML_ORACLE)
+def q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → training-text extraction (operators/html.html_extract_text)
+    over a synthetically-wrapped corpus: every document is embedded in a
+    deterministic page skeleton (title/style/script chrome, nav + footer
+    link bars, paragraph-split body, an in-content anchor with entities),
+    so the extractor provably drops script/style/nav/footer content,
+    strips tags, decodes entities, collapses whitespace, and measures
+    link density — the trafilatura-role stage of a web-crawl pipeline,
+    all JVM-side expressions, byte-exact against the oracle."""
+    from ..operators.html import html_extract_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit('<html><head><title>d'), sid,
+        F.lit('</title><style>p{margin:0}</style><script>var t="'), sid,
+        F.lit('";if(t<"1"){t="&lt;"}</script></head><body>'
+              '<nav><a href="/">home</a><a href="/d'), sid,
+        F.lit('">self</a></nav><div><p>'),
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\n"), F.lit("</p><p>"),
+        ),
+        F.lit('</p><p>See <a href="/more">more &amp; extra</a> notes.'
+              '</p></div><footer><a href="/terms">terms</a></footer>'
+              '</body></html>'),
+    )
+    pages = docs.select("doc_id", html.alias("html"))
+    return html_extract_text(pages, "doc_id", "html")
