@@ -139,3 +139,129 @@ def dup_ngram_coverage(
             .alias("dup_coverage_bp"),
         )
     )
+
+
+def benchmark_overlap_bloom(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    m_bits: int = 1 << 23,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-prefiltered decontamination — bit-identical output to
+    :func:`benchmark_overlap`, different scale regime.
+
+    The broadcast path above assumes the benchmark shingle set fits in a
+    broadcast.  When it doesn't (many eval suites unioned, or bench-vs-
+    bench sweeps), the corpus side must shuffle-join on the shingle key —
+    and THAT is what a Bloom filter prevents: a fixed-size bitmap
+    (``m_bits``/8 bytes, default 1 MiB) stands in for the whole benchmark
+    set, the corpus stream is prefiltered scan-locally to the tiny
+    bloom-passing fraction, and only those survivors enter the shuffle
+    join for exact verification.  Bloom false positives are killed by the
+    verify join; false negatives cannot exist (every benchmark position
+    is set), so the result is exactly :func:`benchmark_overlap`'s — and
+    shares its DuckDB oracle.
+
+    Mechanics: ``k`` salted ``xxhash64`` positions per shingle; the
+    benchmark's set-bit positions are collected (bounded by
+    ``min(k·n_bench_shingles, m_bits)`` ints — the regime where even the
+    position LIST is driver-hostile is the regime where you shard the
+    filter, out of scope here) into an LSB-first numpy bitmap that ships
+    to executors as a broadcast variable, probed by an Arrow-vectorized
+    ``pandas_udf`` (three bit tests per shingle — exactly the work a JVM
+    bloom probe would do, and the only Python in the pipeline).
+
+    Scale shape: two map-only corpus scans (per-doc totals; probe), no
+    corpus-wide shuffle — the exact-verify join moves bloom survivors
+    only.  Intentionally NOT materialized between the two scans:
+    recomputing a scan-local shingle explode is cheaper at 100 TB than
+    checkpointing the full shingle stream.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = corpus.sparkSession
+
+    bench_sh = (
+        shingles(
+            benchmark.select(F.lit(0).alias("__bid"), F.col(text_col)),
+            "__bid",
+            text_col,
+            n=n,
+            distinct=False,
+        )
+        .select("shingle")
+        .distinct()
+    )
+
+    def _positions(col):
+        return [
+            F.pmod(
+                F.xxhash64(F.concat(col, F.lit(f"\x1f{i}"))), F.lit(m_bits)
+            ).alias(f"__p{i}")
+            for i in range(k)
+        ]
+
+    pos_rows = (
+        bench_sh.select(
+            F.explode(F.array(*_positions(F.col("shingle")))).alias("p")
+        )
+        .distinct()
+        .collect()
+    )
+    bitmap = np.zeros(m_bits >> 3, dtype=np.uint8)
+    idx = np.array([r["p"] for r in pos_rows], dtype=np.int64)
+    if idx.size:
+        np.bitwise_or.at(bitmap, idx >> 3, (1 << (idx & 7)).astype(np.uint8))
+    bc = spark.sparkContext.broadcast(bitmap.tobytes())
+
+    # no type hints: `from __future__ import annotations` stringifies
+    # them and pyspark's hint resolver can't evaluate function-local names
+    def _bloom_bit(p):
+        bm = np.frombuffer(bc.value, dtype=np.uint8)
+        i = p.to_numpy(np.int64)
+        return pd.Series(
+            ((bm[i >> 3] >> (i & 7).astype(np.uint8)) & 1).astype(bool)
+        )
+
+    bloom_bit = F.pandas_udf(_bloom_bit, "boolean")
+
+    corpus_sh = shingles(corpus, id_col, text_col, n=n, distinct=True)
+    totals = corpus_sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+
+    probed = corpus_sh.select(
+        "doc_id", "shingle", *_positions(F.col("shingle"))
+    )
+    cond = bloom_bit(F.col("__p0"))
+    for i in range(1, k):
+        cond = cond & bloom_bit(F.col(f"__p{i}"))
+    candidates = probed.filter(cond).select(
+        "doc_id", F.xxhash64("shingle").alias("__sh")
+    )
+    bench_hash = bench_sh.select(F.xxhash64("shingle").alias("__sh")).distinct()
+    # deliberate shuffle join (no broadcast hint): this operator's regime
+    # is the too-big-to-broadcast benchmark; survivors are the small side
+    hits = (
+        candidates.join(bench_hash, "__sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_contaminated"))
+    )
+    return (
+        totals.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce(F.col("n_contaminated"), F.lit(0))
+            .cast("long")
+            .alias("n_contaminated"),
+        )
+        .withColumn(
+            "contamination_bp",
+            F.expr("n_contaminated * 10000L div n_shingles").cast("long"),
+        )
+    )

@@ -320,3 +320,20 @@ def q_mixture_sample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_mixture_sample(
         docs, "lang", F.col("doc_id"), target_frac=_MIX_FRAC, seed="mix"
     )
+
+
+@register_extra("contamination_overlap_bloom", _CONTAMINATION_SQL)
+def q_contamination_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bloom-prefiltered spelling of `contamination_overlap`
+    (operators/contamination.benchmark_overlap_bloom): a fixed-size bitmap
+    stands in for the benchmark shingle set, the corpus stream is
+    prefiltered scan-locally, and only bloom survivors enter the exact
+    shuffle-join verification — the too-big-to-broadcast-benchmark regime.
+    No false negatives + exact verify ⇒ bit-identical results, so BOTH
+    spellings share one DuckDB oracle."""
+    from ..operators.contamination import benchmark_overlap_bloom
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.where(F.expr(_BENCH_PRED))
+    corpus = docs.where(~F.expr(_BENCH_PRED))
+    return benchmark_overlap_bloom(corpus, bench, "doc_id", "text", n=5)
