@@ -337,3 +337,49 @@ def q_contamination_overlap_bloom(spark: SparkSession, sf_dir: str) -> DataFrame
     bench = docs.where(F.expr(_BENCH_PRED))
     corpus = docs.where(~F.expr(_BENCH_PRED))
     return benchmark_overlap_bloom(corpus, bench, "doc_id", "text", n=5)
+
+
+def _zorder_oracle() -> str:
+    from ..operators.zorder import GRID_BITS, zorder_sql_expr
+
+    grid_max = (1 << GRID_BITS) - 1
+    zmax = 1 << (2 * GRID_BITS)
+    return rf"""
+WITH t AS (
+    SELECT o_orderkey,
+           CAST(o_custkey AS BIGINT) AS a,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS b
+    FROM orders
+),
+s AS (
+    SELECT min(a) AS alo, max(a) AS ahi, min(b) AS blo, max(b) AS bhi FROM t
+),
+q AS (
+    SELECT o_orderkey,
+           ((a - alo) * {grid_max}) // greatest(ahi - alo, 1) AS qa,
+           ((b - blo) * {grid_max}) // greatest(bhi - blo, 1) AS qb
+    FROM t, s
+),
+z AS (SELECT o_orderkey, {zorder_sql_expr("qa", "qb")} AS zval FROM q)
+SELECT o_orderkey, CAST(zval AS BIGINT) AS zval,
+       CAST(zval * 16 // {zmax} AS BIGINT) AS file_id
+FROM z
+"""
+
+
+@register_extra("zorder_layout_orders", _zorder_oracle())
+def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order write layout (operators/zorder.zorder_layout): Morton-code
+    interleave of (o_custkey, price-cents) on a 16-bit grid plus the
+    even-z-range file assignment — multi-dimensional data skipping as a
+    deterministic, fully-oracled transform (the SQL interleave text is
+    generated from the same loop as the Spark expression, so the two
+    spellings cannot drift)."""
+    from ..operators.zorder import zorder_layout
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
+    )
+    return zorder_layout(orders, "o_orderkey", "o_custkey", "o_cents")
