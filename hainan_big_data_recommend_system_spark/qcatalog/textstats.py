@@ -786,3 +786,48 @@ def q_html_extract_main(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pages = docs.select("doc_id", html.alias("html"))
     return html_extract_text(pages, "doc_id", "html")
+
+
+def _quality_model_oracle() -> str:
+    from ..operators.quality_model import (
+        KEEP_MILLI,
+        N_BUCKETS,
+        weights_values_sql,
+    )
+
+    return rf"""
+WITH w AS (SELECT j, wt FROM (VALUES {weights_values_sql()}) v(j, wt)),
+tok AS (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(tok), 1, 7))::BIGINT % {N_BUCKETS} AS j
+    FROM tok WHERE tok <> ''
+),
+s AS (
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(wt) AS BIGINT) AS sum_w
+    FROM b JOIN w USING (j)
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       CAST(sum_w // n_tokens AS BIGINT) AS score_milli,
+       (sum_w // n_tokens) > {KEEP_MILLI} AS keep
+FROM s
+"""
+
+
+@register_extra("quality_classifier_scores", _quality_model_oracle())
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier
+    (operators/quality_model.linear_quality_score): model inference as a
+    broadcast join — tokens hash to feature buckets, the pinned integer
+    weight table joins in, an integer mean decides keep/drop.  The
+    fastText-role filter stage; weights inline as a VALUES literal in the
+    oracle, so the whole inference path is hash-checked."""
+    from ..operators.quality_model import linear_quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    return linear_quality_score(docs, "doc_id", "text")
