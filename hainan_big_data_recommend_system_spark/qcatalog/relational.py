@@ -467,7 +467,11 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # vs nations with suppliers, all three ops in one tagged result.
 # ---------------------------------------------------------------------------
 
-@register(
+# Demoted to EXTRA in round 5 (still oracle-checked locally): the driver
+# slot went to html_extract_main; the E1/E2 set-semantics facets keep
+# driver rows via user_set_ops and semi_anti_parts, and the
+# INTERSECT/EXCEPT spelling itself stays under the local DuckDB gate.
+@register_extra(
     "nation_set_ops",
     """
     WITH cn AS (

@@ -305,7 +305,12 @@ def q_temporal_join_click_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STRATA = {"click": 0.5, "view": 0.1, "purchase": 1.0, "error": 0.25}
 
 
-@register(
+# Demoted to EXTRA in round 5 (still oracle-checked locally): the driver
+# slot went to mixture_sample_temperature, which exercises the same
+# hash-threshold Bernoulli mechanism with DATA-DERIVED per-domain rates
+# (a strict superset of the fixed-fractions facet); deterministic-sampling
+# coverage also rides seeded_sample_orders' driver row (O4).
+@register_extra(
     "stratified_sample_events",
     """
     SELECT event_id, event_type, user_id
