@@ -183,6 +183,11 @@ def benchmark_overlap_bloom(
     import numpy as np
     import pandas as pd
 
+    if m_bits < 8 or m_bits % 8:
+        raise ValueError(f"m_bits must be a positive multiple of 8, got {m_bits}")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
     spark = corpus.sparkSession
 
     bench_sh = (
