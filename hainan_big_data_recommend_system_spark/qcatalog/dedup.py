@@ -612,3 +612,58 @@ def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_neardup_pairs(hashes, "dhash", "media_id", bands=8, max_hamming=10).select(
         F.col("image_a"), F.col("image_b"), F.col("hamming")
     )
+
+
+_FUZZY_Q = 6
+_FUZZY_K = 2
+
+_FUZZY_SQL = rf"""
+WITH t0 AS (SELECT doc_id, substr(text, 1, 40) AS t FROM documents),
+u AS (
+    SELECT doc_id, t FROM t0
+    UNION ALL
+    SELECT doc_id + 10000000, substr(t, 1, 4) || '~' || substr(t, 6) FROM t0
+),
+g AS (
+    SELECT doc_id, t, length(t) AS l,
+           unnest(list_distinct(list_transform(
+               range(1, length(t) - {_FUZZY_Q} + 2),
+               i -> substr(t, i, {_FUZZY_Q})))) AS gm
+    FROM u WHERE length(t) >= {_FUZZY_Q * (_FUZZY_K + 1)}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.t AS ta, b.t AS tb
+    FROM g a JOIN g b
+      ON a.gm = b.gm AND a.doc_id < b.doc_id AND abs(a.l - b.l) <= {_FUZZY_K}
+)
+SELECT id_a, id_b, CAST(levenshtein(ta, tb) AS BIGINT) AS dist
+FROM cand WHERE levenshtein(ta, tb) <= {_FUZZY_K}
+"""
+
+
+@register_extra("fuzzy_title_pairs", _FUZZY_SQL)
+def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy self-join (operators/fuzzyjoin.
+    edit_distance_join): every title pair within Levenshtein ≤ 2, found
+    via lossless q-gram posting candidates (q=6 ⇒ any true pair of
+    ≥18-char strings shares a gram) and verified with the exact
+    `levenshtein` built-in — identical DP in Spark and DuckDB, so even
+    the distances are hash-checked.  Fixture: 40-char document prefixes
+    plus a typo'd copy of each (one substituted char), giving every
+    title a distance-1 partner on top of the corpus's natural near-dups."""
+    from ..operators.fuzzyjoin import edit_distance_join
+
+    docs = load_table(spark, sf_dir, "documents")
+    titles = docs.select(
+        "doc_id", F.substring("text", 1, 40).alias("t")
+    )
+    typos = titles.select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat(
+            F.substring("t", 1, 4), F.lit("~"), F.expr("substring(t, 6, 40)")
+        ).alias("t"),
+    )
+    return edit_distance_join(
+        titles.unionByName(typos), "doc_id", "t",
+        max_dist=_FUZZY_K, q=_FUZZY_Q,
+    )
