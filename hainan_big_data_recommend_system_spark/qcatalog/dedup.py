@@ -667,3 +667,32 @@ def q_fuzzy_title_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         titles.unionByName(typos), "doc_id", "t",
         max_dist=_FUZZY_K, q=_FUZZY_Q,
     )
+
+
+def _pagerank_oracle() -> str:
+    from ..operators.pagerank import pagerank_unrolled_sql
+
+    return (
+        _SIGS_SQL
+        + """,
+    pairs AS ("""
+        + _PAIRS_SQL
+        + """
+    ),"""
+        + pagerank_unrolled_sql()
+    )
+
+
+@register_extra("dup_graph_pagerank", _pagerank_oracle())
+def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (operators/pagerank.pagerank_micro) over the LSH
+    candidate-pair graph: ranks template/boilerplate hubs that collide
+    with everything — the centrality complement to dedup_components'
+    cluster membership.  Exact micro-unit arithmetic with a fixed
+    iteration count makes even this iterative algorithm hash-checkable;
+    the oracle's unrolled CTE stages are generated from the same
+    constants as the Spark loop."""
+    from ..operators.pagerank import pagerank_micro
+
+    pairs = lsh_candidate_pairs(staged_buckets(spark, sf_dir))
+    return pagerank_micro(pairs)
