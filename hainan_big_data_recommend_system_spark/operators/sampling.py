@@ -135,3 +135,44 @@ def temperature_mixture_sample(
             F.round(F.col("rate") * 1000000).cast("long").alias("rate_micros"),
         )
     )
+
+
+def training_shards(
+    df: DataFrame,
+    key: Column,
+    n_shards: int = 64,
+    seed: str = "shard",
+) -> DataFrame:
+    """Deterministic global shuffle into fixed training shards — the last
+    write stage of corpus assembly (training loaders want N balanced
+    files in a reproducibly random order, not source order).
+
+    ``shard_id`` is a salted-hash bucket (balanced in expectation, pure
+    function of the key — a re-run, a retry, or another engine produces
+    the identical sharding) and ``shard_pos`` orders rows WITHIN a shard
+    by an independent salted hash, so concatenating shards in id order
+    replays the exact global permutation.
+
+    Scale: one hash shuffle on ``shard_id``; the per-shard sort is
+    bounded by shard size (pick ``n_shards`` ≈ corpus/target-file-size).
+    The physical write is ``repartition(n_shards, "shard_id")`` +
+    ``sortWithinPartitions("shard_pos")`` — no global sort anywhere.
+    """
+    shard = (
+        F.conv(
+            F.substring(hash_rank(key, f"{seed}-bucket"), 1, 7), 16, 10
+        ).cast("long")
+        % n_shards
+    )
+    w = Window.partitionBy("shard_id").orderBy(
+        hash_rank(F.col("__key"), f"{seed}-pos").asc(), F.col("__key").asc()
+    )
+    return (
+        df.select(
+            key.alias("__key"), shard.cast("long").alias("shard_id")
+        )
+        .withColumn("shard_pos", F.row_number().over(w).cast("long"))
+        .select(
+            F.col("__key").alias("doc_id"), "shard_id", "shard_pos"
+        )
+    )

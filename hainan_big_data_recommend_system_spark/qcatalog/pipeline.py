@@ -386,3 +386,33 @@ def q_zorder_layout_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("long").alias("o_cents"),
     )
     return zorder_layout(orders, "o_orderkey", "o_custkey", "o_cents")
+
+
+_N_SHARDS = 64
+
+_SHARDS_SQL = rf"""
+WITH t AS (
+    SELECT doc_id,
+           ('0x' || substr(md5('shard-bucket:' || CAST(doc_id AS VARCHAR)), 1, 7))
+               ::BIGINT % {_N_SHARDS} AS shard_id
+    FROM documents
+)
+SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(row_number() OVER (
+           PARTITION BY shard_id
+           ORDER BY md5('shard-pos:' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS BIGINT) AS shard_pos
+FROM t
+"""
+
+
+@register_extra("training_shards", _SHARDS_SQL)
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard writer layout (operators/sampling.
+    training_shards): salted-hash shard assignment + independent
+    salted-hash within-shard order — the reproducible global shuffle a
+    training loader consumes, oracled down to every position."""
+    from ..operators.sampling import training_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return training_shards(docs, F.col("doc_id"), n_shards=_N_SHARDS)

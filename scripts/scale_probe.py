@@ -65,6 +65,21 @@ QUERIES = [
     "dup_ngram_coverage",
     "semdedup_prune",
     "ann_topk_lsh",
+    # round-5 additions.  NOTE on the replica texture: replicas duplicate
+    # document TEXT verbatim (ids offset), so duplicate-finding queries
+    # (image_neardup_phash, fuzzy_title_pairs) see every title as a
+    # 10-clique and their OUTPUT grows ~x100 — that is the operator doing
+    # its job on a corpus with 10x duplication, not a plan blowup; judge
+    # their slopes against that baseline, not against 10x.
+    "multimodal_meta",
+    "image_neardup_phash",
+    "html_extract_main",
+    "mixture_sample_temperature",
+    "quality_classifier_scores",
+    "zorder_layout_orders",
+    "contamination_overlap_bloom",
+    "fuzzy_title_pairs",
+    "dup_graph_pagerank",
 ]
 
 
@@ -170,7 +185,9 @@ def main() -> None:
     )
     build_replicas(spark)
     results = {}
-    for name in QUERIES:
+    # argv selects a subset (e.g. just-landed queries); default = all
+    names = sys.argv[1:] or QUERIES
+    for name in names:
         row = {}
         for label, sf_dir in [("sf0.1", BASE), ("sf1", OUT)]:
             t0 = time.perf_counter()
@@ -184,7 +201,8 @@ def main() -> None:
         row["slope"] = round(row["sf1"] / row["sf0.1"], 2)
         results[name] = row
         print(f"# {name}: {row}", file=sys.stderr)
-    results["knobs"] = knob_probes(spark)
+    if not sys.argv[1:]:  # knob sweeps only on the full run
+        results["knobs"] = knob_probes(spark)
     print(json.dumps(results))
     spark.stop()
 
