@@ -444,6 +444,44 @@ def pii_redact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def c4_line_filter(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style line + page cleaning (Raffel et al. 2020's public
+    heuristics): a line survives only if it ends in terminal punctuation,
+    has at least five whitespace words, and does not mention
+    ``javascript``; the whole page is dropped when it contains
+    ``lorem ipsum`` or a curly brace.  Entirely expression-level — split
+    on newline, higher-order ``filter`` with the three line rules,
+    ``array_join`` of the survivors — so the stage is scan-local (no
+    shuffle, no UDF) and byte-exact cross-engine: every rule is a
+    regex/length predicate in the Spark/RE2 common dialect.
+
+    At 100 TB this is the first pass over a web crawl after HTML
+    extraction (:func:`..operators.html.extract_main_text`): it must
+    stream through the scan, and it does — one projection, whole-stage
+    codegen, output rows never wider than input."""
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    keep = lambda l: (
+        l.rlike("[.!?\"'][ \t]*$")
+        & (F.size(F.split(F.trim(l), "[ \t]+")) >= 5)
+        & ~F.lower(l).contains("javascript")
+    )
+    kept = F.filter(lines, keep)
+    page_drop = F.lower(t).contains("lorem ipsum") | t.contains("{")
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(page_drop, F.lit("")).otherwise(F.array_join(kept, "\n")).alias(
+            "cleaned_text"
+        ),
+        F.size(lines).cast("bigint").alias("n_lines"),
+        F.when(page_drop, F.lit(0))
+        .otherwise(F.size(kept))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.when(page_drop, 1).otherwise(0).cast("bigint").alias("page_dropped"),
+    )
+
+
 def split_assignment(
     docs: DataFrame, id_col: str, salt: str = "splitv1",
     train_pct: int = 90, val_pct: int = 5,

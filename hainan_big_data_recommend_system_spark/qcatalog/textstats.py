@@ -676,6 +676,78 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "c4_line_filter",
+    r"""
+    WITH pages AS (
+        SELECT doc_id,
+               substr(text, 1, 80) || ' tail of the lead paragraph ends here.'
+               || chr(10)
+               || 'Please enable JavaScript to continue browsing this site.'
+               || chr(10) || substr(text, 81, 60) || chr(10) || 'buy now'
+               || chr(10)
+               || CASE WHEN doc_id % 7 = 0
+                      THEN 'lorem ipsum dolor sit amet consectetur.' || chr(10)
+                      ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                      THEN '{ "k": ' || CAST(doc_id AS VARCHAR) || ' }' || chr(10)
+                      ELSE '' END
+               || substr(text, 141, 80) || ' closing line of page text here!'
+                   AS page
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id,
+               string_split(page, chr(10)) AS lines,
+               (contains(lower(page), 'lorem ipsum') OR contains(page, '{'))
+                   AS pd,
+               list_filter(string_split(page, chr(10)), l ->
+                   regexp_matches(l, '[.!?"''][ \t]*$')
+                   AND len(string_split_regex(trim(l), '[ \t]+')) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM pages
+    )
+    SELECT doc_id,
+           CASE WHEN pd THEN '' ELSE array_to_string(kept, chr(10)) END
+               AS cleaned_text,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(CASE WHEN pd THEN 0 ELSE len(kept) END AS BIGINT) AS n_kept,
+           CAST(CASE WHEN pd THEN 1 ELSE 0 END AS BIGINT) AS page_dropped
+    FROM k
+    """,
+)
+def q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 line/page cleaning (operators/textstats.c4_line_filter) over a
+    deterministically synthesized multi-line page (the corpus has no
+    newlines): each doc gets a kept lead line, a javascript notice, an
+    unterminated fragment, a too-short line, a kept closing line, and —
+    on 1/7 and 1/11 of docs — a ``lorem ipsum`` / curly-brace page-drop
+    trigger, so every rule provably fires.  Oracle mirrors the page
+    construction byte-for-byte."""
+    from ..operators.textstats import c4_line_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    page = F.concat(
+        F.substring(t, 1, 80),
+        F.lit(" tail of the lead paragraph ends here.\n"
+              "Please enable JavaScript to continue browsing this site.\n"),
+        F.substring(t, 81, 60),
+        F.lit("\nbuy now\n"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("lorem ipsum dolor sit amet consectetur.\n"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit('{ "k": '), F.col("doc_id").cast("string"),
+                        F.lit(" }\n")))
+        .otherwise(F.lit("")),
+        F.substring(t, 141, 80),
+        F.lit(" closing line of page text here!"),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    return c4_line_filter(pages, "doc_id", "text")
+
+
+@register_extra(
     "split_assignment",
     r"""
     SELECT doc_id,

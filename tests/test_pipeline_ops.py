@@ -358,3 +358,36 @@ def test_bloom_prefilter_is_selective(docs):
     # fpp the bloom passes hits + a sliver — assert the prefilter regime
     # holds (candidates ≪ total) via the final counts it must reproduce
     assert agg["hits"] < agg["total"] * 0.5
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule pinned by hand: terminal punctuation, >=5 words,
+    javascript mention, lorem-ipsum page drop, curly-brace page drop."""
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        c4_line_filter,
+    )
+
+    page = "\n".join(
+        [
+            "this line has five words here.",   # kept
+            "no terminal punctuation on this line",  # dropped: punct
+            "too short.",                        # dropped: < 5 words
+            "Enable JavaScript to view the content.",  # dropped: javascript
+            'a quoted ending with five words"',  # kept (quote terminal)
+        ]
+    )
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=page),
+            Row(doc_id=2, text="keep these lorem ipsum pages out always."),
+            Row(doc_id=3, text="a config { block } kills the whole page."),
+        ]
+    )
+    got = {r["doc_id"]: r for r in c4_line_filter(df, "doc_id", "text").collect()}
+    assert got[1]["cleaned_text"] == (
+        'this line has five words here.\na quoted ending with five words"'
+    )
+    assert (got[1]["n_lines"], got[1]["n_kept"], got[1]["page_dropped"]) == (5, 2, 0)
+    assert (got[2]["cleaned_text"], got[2]["page_dropped"]) == ("", 1)
+    assert got[2]["n_kept"] == 0
+    assert (got[3]["cleaned_text"], got[3]["page_dropped"]) == ("", 1)
