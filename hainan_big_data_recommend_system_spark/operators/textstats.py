@@ -444,6 +444,63 @@ def pii_redact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def leakage_safe_splits(
+    docs: DataFrame,
+    id_col: str,
+    dup_pairs: DataFrame,
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    salt: str = "splitgv1",
+    train_pct: int = 90,
+    val_pct: int = 5,
+) -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    the split boundary: hash the duplicate-CLUSTER id, not the doc id.
+
+    Per-doc salted-hash splits (:func:`split_assignment`) scatter the
+    members of a near-dup cluster independently, so a test document's
+    near-twin lands in train ~90% of the time — the benchmark-inflation
+    failure mode dedup pipelines exist to prevent (the reason GPT-3/C4
+    style corpora deduplicate against eval sets).  Here every doc's split
+    group is the minimum reachable member of its component in the
+    candidate-pair graph (``connected_components``), falling back to its
+    own id for singleton docs, and the bucket hash is taken over that
+    group id — whole clusters move together by construction.
+
+    Cost at 100 TB: components over the CANDIDATE pairs only (edge count
+    ∝ near-dup density, not n²), one left equi-join of the component
+    labels onto the corpus keyed on the doc id (AQE broadcasts it when
+    dup density is low; at web-crawl dup rates it is a plain hash join
+    on the id — never wider than one long per labeled doc), then the
+    same scan-local md5 bucket as ``split_assignment``."""
+    from .components import connected_components
+
+    cc = connected_components(dup_pairs, a_col, b_col)
+    labeled = docs.select(F.col(id_col).alias("doc_id")).join(
+        cc.select(F.col("node").alias("doc_id"), "component"),
+        "doc_id",
+        "left",
+    )
+    group = F.coalesce(F.col("component"), F.col("doc_id"))
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(group.cast("string"), F.lit(salt))), 1, 7),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    return labeled.select(
+        "doc_id",
+        group.cast("bigint").alias("split_group"),
+        bucket.cast("bigint").alias("split_bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def c4_line_filter(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """C4-style line + page cleaning (Raffel et al. 2020's public
     heuristics): a line survives only if it ends in terminal punctuation,

@@ -293,6 +293,55 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "leakage_safe_splits",
+    _SIGS_SQL.replace("WITH", "WITH RECURSIVE", 1)
+    + """,
+    pairs AS (""" + _PAIRS_SQL + """
+    ),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM pairs
+        UNION ALL
+        SELECT b_id AS u, a_id AS v FROM pairs
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT u AS node, u AS lbl FROM edges
+        UNION
+        SELECT e.u AS node, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node),
+    grouped AS (
+        SELECT d.doc_id, coalesce(c.canon, d.doc_id) AS split_group
+        FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+    )
+    SELECT doc_id,
+           CAST(split_group AS BIGINT) AS split_group,
+           CAST(bucket AS BIGINT) AS split_bucket,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+        SELECT doc_id, split_group,
+               ('0x' || substr(md5(CAST(split_group AS VARCHAR) || 'splitgv1'),
+                               1, 7))::BIGINT % 100 AS bucket
+        FROM grouped
+    )
+    """,
+)
+def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-leakage-safe train/val/test split (operators/textstats.
+    leakage_safe_splits): the LSH candidate-pair graph's connected
+    components define the split group, so a whole duplicate cluster lands
+    in one split — the eval-contamination guard per-doc hashing cannot
+    give.  Oracle recomputes the closure with the recursive CTE and
+    hashes the identical group id."""
+    from ..operators.textstats import leakage_safe_splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(staged_buckets(spark, sf_dir))
+    return leakage_safe_splits(docs, "doc_id", pairs)
+
+
 @register(
     "simhash_fingerprints",
     r"""
