@@ -906,3 +906,115 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return linear_quality_score(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (operators/bpe.py) — the oracle unrolls the training
+# loop into static CTE stages generated from the same constants as the
+# Spark loop (pair count → deterministic argmax → literal replace), so the
+# learned merge table itself is hash-checked cross-engine.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+_BPE_BASE_SQL = r"""
+    WITH w AS (
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS word
+            FROM documents
+        ) WHERE word <> '' GROUP BY word
+    ),
+    s0 AS (
+        SELECT '|' || array_to_string(regexp_extract_all(word, '.'), '||') || '|' AS seq,
+               CAST(freq AS BIGINT) AS freq
+        FROM w
+    )"""
+
+
+def _bpe_train_ctes(n_merges: int) -> str:
+    parts = [_BPE_BASE_SQL]
+    for i in range(1, n_merges + 1):
+        parts.append(f""",
+    p{i} AS (
+        SELECT toks[i] AS t1, toks[i + 1] AS t2, sum(freq) AS cnt
+        FROM (
+            SELECT string_split(substr(seq, 2, length(seq) - 2), '||') AS toks,
+                   freq
+            FROM s{i - 1}
+        ), LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+        GROUP BY t1, t2
+    ),
+    b{i} AS (SELECT t1, t2, cnt FROM p{i} ORDER BY cnt DESC, t1, t2 LIMIT 1),
+    s{i} AS (
+        SELECT replace(seq, '|' || t1 || '||' || t2 || '|',
+                       '|' || t1 || t2 || '|') AS seq, freq
+        FROM s{i - 1}, b{i}
+    )""")
+    return "".join(parts)
+
+
+def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
+    rows = "\n        UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, t1 AS merge_left, "
+        f"t2 AS merge_right, CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return _bpe_train_ctes(n_merges) + f"""
+    SELECT step, merge_left, merge_right, pair_count FROM (
+        {rows}
+    )
+    """
+
+
+def _bpe_apply_oracle(n_merges: int = _BPE_MERGES) -> str:
+    doc_seq = (
+        "array_to_string(list_transform("
+        "list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'), "
+        "x -> x <> ''), "
+        "w -> '|' || array_to_string(regexp_extract_all(w, '.'), '||') || '|'"
+        "), ' ')"
+    )
+    for i in range(1, n_merges + 1):
+        doc_seq = (
+            f"replace({doc_seq}, "
+            f"(SELECT '|' || t1 || '||' || t2 || '|' FROM b{i}), "
+            f"(SELECT '|' || t1 || t2 || '|' FROM b{i}))"
+        )
+    return _bpe_train_ctes(n_merges) + f"""
+    SELECT doc_id,
+           CAST((length(s) - length(replace(s, '||', ''))) // 2
+                + len(list_filter(string_split_regex(trim(text),
+                      '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')) AS BIGINT)
+               AS n_bpe_tokens
+    FROM (SELECT doc_id, text, {doc_seq} AS s FROM documents)
+    """
+
+
+@register_extra("bpe_merge_training", _bpe_merges_oracle())
+def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the corpus
+    collapses to a (word, freq) table in one map-side-combine shuffle,
+    then 8 merge rounds of vocabulary-sized pair counting with a
+    deterministic argmax.  The output IS the learned artifact — the merge
+    table — hash-matched against an oracle that unrolls the identical
+    training loop into static CTEs."""
+    from ..operators.bpe import bpe_merge_table, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merge_table(
+        spark, word_counts(docs, "text"), "word", "freq", _BPE_MERGES
+    )
+
+
+@register_extra("bpe_token_counts", _bpe_apply_oracle())
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenization with the learned BPE merges (operators/bpe.bpe_apply):
+    per-doc subword counts after applying the 8 trained merges in order —
+    the cost model every sequence-packing / context-length decision runs
+    on.  Application is a scan-local chain of literal replaces (no UDF);
+    the oracle re-trains in CTEs and applies the same chain."""
+    from ..operators.bpe import bpe_apply, bpe_train, word_counts
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = bpe_train(word_counts(docs, "text"), "word", "freq", _BPE_MERGES)
+    return bpe_apply(docs, "doc_id", "text", merges)
