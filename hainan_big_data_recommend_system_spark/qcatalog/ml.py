@@ -470,3 +470,83 @@ def q_ann_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=5,
         n_tables=16, query_filter=F.col("query_id") % 4 == 0,
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ ANN — pinned codebooks make encode + ADC exact integer arithmetic,
+# so the compressed-index search path is fully oracle-checked.
+# ---------------------------------------------------------------------------
+
+def _pq_cb_values() -> str:
+    from ..operators.pq_codebooks import PINNED_PQ_CODEBOOKS
+
+    rows = []
+    for j, book in enumerate(PINNED_PQ_CODEBOOKS):
+        for c, cw in enumerate(book):
+            rows.append(f"({j}, {c}, {cw})")
+    return ", ".join(rows)
+
+
+def _pq_sub_dim() -> int:
+    from ..operators.pq_codebooks import PQ_SUB_DIM
+
+    return PQ_SUB_DIM
+
+
+_PQ_ORACLE = f"""
+    WITH cb(j, c, cv) AS (VALUES {_pq_cb_values()}),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    d AS (
+        SELECT q.vec_id, cb.j, cb.c,
+               list_aggregate(list_transform(
+                   list_zip(q.qv[cb.j * {_pq_sub_dim()} + 1:(cb.j + 1) * {_pq_sub_dim()}], cb.cv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS dist
+        FROM q, cb
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dist, c
+            ) AS rn FROM d
+        ) WHERE rn = 1
+    ),
+    lut AS (SELECT vec_id, j, c, dist FROM d WHERE vec_id % 4 = 0),
+    scored AS (
+        SELECT l.vec_id AS query_id, cs.vec_id AS neighbor_id,
+               sum(l.dist) AS adc
+        FROM codes cs JOIN lut l ON l.j = cs.j AND l.c = cs.code
+        WHERE l.vec_id <> cs.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc, neighbor_id
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """
+
+
+@register_extra("ann_topk_pq", _PQ_ORACLE)
+def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN (operators/pq.py): encode is a scan-local
+    integer argmin against the pinned codebooks (the 32×-compression
+    index a 100 TB embedding corpus keeps in RAM), search is broadcast
+    LUT + 8 integer lookups per candidate (asymmetric distance).  Every
+    stage exact integers — the whole compressed path hash-checks.  Same
+    probe bounding as the other ANN queries (vec_id % 4 = 0), top-5
+    ascending distance."""
+    from ..operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_adc_topk(
+        emb, "vec_id", "embedding", k=5,
+        query_filter=F.col("query_id") % 4 == 0,
+    )

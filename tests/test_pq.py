@@ -1,0 +1,112 @@
+"""PQ ANN: encode determinism, ADC exactness, and recall vs exact L2."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Row, functions as F
+
+from hainan_big_data_recommend_system_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+)
+from hainan_big_data_recommend_system_spark.operators.pq_codebooks import (
+    PINNED_PQ_CODEBOOKS,
+    PQ_SUB_DIM,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_codebook_geometry():
+    m = len(PINNED_PQ_CODEBOOKS)
+    assert m * PQ_SUB_DIM == 64  # covers the embedding dim exactly
+    assert all(len(b) == len(PINNED_PQ_CODEBOOKS[0]) for b in PINNED_PQ_CODEBOOKS)
+    assert all(len(cw) == PQ_SUB_DIM for b in PINNED_PQ_CODEBOOKS for cw in b)
+
+
+def test_encode_matches_numpy_reference(spark, emb):
+    got = {r["vid"]: r["codes"] for r in pq_encode(emb, "vec_id", "embedding").collect()}
+    rows = emb.orderBy("vec_id").collect()
+    books = np.asarray(PINNED_PQ_CODEBOOKS, dtype=np.int64)
+    m, k, s = books.shape
+    for r in rows[:50]:
+        x = np.round(np.asarray(r["embedding"], dtype=np.float64) * 1000).astype(
+            np.int64
+        )
+        want = [
+            int(
+                (
+                    (x[j * s : (j + 1) * s][None, :] - books[j]) ** 2
+                ).sum(axis=1).argmin()
+            )
+            for j in range(m)
+        ]
+        assert list(got[r["vec_id"]]) == want
+
+
+def test_adc_recall_floor_vs_exact_l2(spark, emb):
+    """The pinned M=16 x K=256 geometry measured recall@5 = 0.776 at
+    sf0.01 (its training set) and 0.552 at sf0.001 vs exact integer L2;
+    floor pinned below the smaller-set figure."""
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.round(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000
+    ).astype(np.int64)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    exact = {}
+    for i in np.nonzero(ids % 4 == 0)[0]:
+        top = np.lexsort((ids, d2[i]))[:5]
+        exact[ids[i]] = set(ids[top])
+    got = {}
+    out = pq_adc_topk(
+        emb, "vec_id", "embedding", k=5, query_filter=F.col("query_id") % 4 == 0
+    ).collect()
+    for r in out:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(got) == set(exact)
+    rec = np.mean([len(got[q] & exact[q]) / 5 for q in exact])
+    assert rec >= 0.5, f"recall@5 {rec:.3f} below floor"
+
+
+def test_adc_distance_is_exact_lut_sum(spark, emb):
+    """Spot-check: reported adc_dist equals the hand-computed LUT sum."""
+    out = pq_adc_topk(
+        emb, "vec_id", "embedding", k=5, query_filter=F.col("query_id") == 0
+    ).collect()
+    codes = {r["vid"]: list(r["codes"]) for r in pq_encode(emb, "vec_id", "embedding").collect()}
+    qvec = np.round(
+        np.asarray(
+            emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"],
+            dtype=np.float64,
+        )
+        * 1000
+    ).astype(np.int64)
+    books = np.asarray(PINNED_PQ_CODEBOOKS, dtype=np.int64)
+    m, k, s = books.shape
+    for r in out:
+        want = sum(
+            int(
+                (
+                    (qvec[j * s : (j + 1) * s] - books[j][codes[r["neighbor_id"]][j]])
+                    ** 2
+                ).sum()
+            )
+            for j in range(m)
+        )
+        assert r["adc_dist"] == want
+
+
+def test_null_vectors_dropped(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.1] * 64), Row(vec_id=2, embedding=None)],
+        "vec_id long, embedding array<float>",
+    )
+    assert pq_encode(df, "vec_id", "embedding").count() == 1
