@@ -745,3 +745,107 @@ def q_dup_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = lsh_candidate_pairs(staged_buckets(spark, sf_dir))
     return pagerank_micro(pairs)
+
+
+_ESD_W = 8
+_ESD_SUFFIX = (
+    " subscribe to our newsletter for updates and exclusive offers today"
+)
+
+_ESD_ORACLE = f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || CASE WHEN doc_id % 3 = 0 THEN '{_ESD_SUFFIX}'
+                            ELSE '' END AS text
+        FROM documents
+    ),
+    t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+        FROM aug
+    ),
+    occ AS (
+        SELECT doc_id, i AS pos,
+               md5(array_to_string(toks[i:i + {_ESD_W - 1}], ' ')) AS wh
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) - {_ESD_W - 2})) AS i)
+    ),
+    r AS (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+               count(*) OVER (PARTITION BY wh) AS cnt
+        FROM occ
+    ),
+    rem AS (
+        SELECT doc_id, pos, pos + {_ESD_W - 1} AS e
+        FROM r WHERE cnt >= 2 AND rn >= 2
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR pos > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS ni
+        FROM rem
+    ),
+    isl2 AS (
+        SELECT doc_id, pos, e,
+               sum(ni) OVER (
+                   PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+               ) AS g
+        FROM isl
+    ),
+    m AS (SELECT doc_id, g, min(pos) AS s, max(e) AS e
+          FROM isl2 GROUP BY doc_id, g),
+    tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS tokn
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+    ),
+    keep AS (
+        SELECT k.doc_id, k.pos, k.tokn FROM tok k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m
+            WHERE m.doc_id = k.doc_id AND k.pos BETWEEN m.s AND m.e
+        )
+    ),
+    g AS (
+        SELECT doc_id, string_agg(tokn, ' ' ORDER BY pos) AS clean_text,
+               count(*) AS kc
+        FROM keep GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(g.clean_text, '') AS clean_text,
+           CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           CAST(len(t.toks) - coalesce(g.kc, 0) AS BIGINT) AS n_removed_tokens
+    FROM t LEFT JOIN g USING (doc_id)
+"""
+
+
+@register_extra("exact_substring_dedup", _ESD_ORACLE)
+def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span removal (operators/substring_dedup.py — the Lee et
+    al. 2021 scrub, token-window formulation): every duplicated 8-token
+    window keeps only its corpus-wide first occurrence; later copies of
+    exact-dup docs empty out entirely and the synthetically shared
+    boilerplate sentence (appended to doc_id % 3 = 0, so the
+    cross-document partial-span rule provably fires) survives only in
+    the first doc carrying it.  The oracle mirrors the augmentation and
+    replays the same window/interval algebra with md5 window keys —
+    equality classes, not hash values, decide removal, so the different
+    hash functions still agree."""
+    from ..operators.substring_dedup import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0, F.concat(F.col("text"), F.lit(_ESD_SUFFIX))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return exact_substring_dedup(aug, "doc_id", "text", w=_ESD_W)

@@ -426,3 +426,62 @@ def test_leakage_safe_splits_keep_clusters_together(spark):
         if base[a] != base[b]
     ]
     assert leaked, "fixture should exhibit at least one per-doc-split leak"
+
+
+def test_exact_substring_dedup_semantics(spark):
+    """Repeated-span removal pinned by hand: the corpus-wide first
+    occurrence survives, later ones are cut, intervals merge, exact-dup
+    docs empty out, short docs are untouched."""
+    from hainan_big_data_recommend_system_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    shared = "one two three four"  # 4-token span, w=4 window
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"alpha {shared} beta"),
+            Row(doc_id=2, text=f"gamma delta {shared} epsilon"),
+            Row(doc_id=3, text=f"alpha {shared} beta"),  # exact dup of 1
+            Row(doc_id=4, text="tiny doc"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, "doc_id", "text", w=4).collect()
+    }
+    # doc 1 holds every first occurrence -> untouched
+    assert out[1]["clean_text"] == f"alpha {shared} beta"
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2: its copy of the shared span is dropped (the span's windows
+    # first occur in doc 1); surrounding text survives
+    assert out[2]["clean_text"] == "gamma delta epsilon"
+    assert out[2]["n_removed_tokens"] == 4
+    # doc 3 is an exact duplicate -> every window duplicated -> emptied
+    assert out[3]["clean_text"] == ""
+    assert out[3]["n_removed_tokens"] == out[3]["n_tokens"] == 6
+    # doc 4 is shorter than the window -> no windows, untouched
+    assert out[4]["clean_text"] == "tiny doc"
+    assert out[4]["n_removed_tokens"] == 0
+
+
+def test_exact_substring_dedup_merges_overlapping_spans(spark):
+    """Two duplicated windows overlapping in one doc must merge into one
+    remove-interval (no double-count, no stranded mid-tokens)."""
+    from hainan_big_data_recommend_system_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="a b c d e"),     # windows: abcd, bcde
+            Row(doc_id=2, text="x a b c d e y"), # both windows duplicated
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in exact_substring_dedup(docs, "doc_id", "text", w=4).collect()
+    }
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2 loses the merged [a..e] interval = 5 tokens, keeps x and y
+    assert out[2]["clean_text"] == "x y"
+    assert out[2]["n_removed_tokens"] == 5
