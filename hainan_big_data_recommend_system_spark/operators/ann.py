@@ -347,11 +347,20 @@ def choose_ann_strategy(
     has_quantizer: bool = False,
     recall_target: float = 0.6,
     brute_force_max_n: int = 10_000,
+    max_bytes_per_vector: int | None = None,
+    dim: int = 64,
 ) -> dict:
     """Pick the ANN strategy + parameters for a corpus of ``n`` vectors.
 
     Encodes the measured decision table (PLANS §12):
 
+    - **memory first**: when ``max_bytes_per_vector`` is below the raw
+      float32 footprint (``dim·4``), only the PQ compressed index fits —
+      the pinned M=16×K=256 geometry stores 16 bytes/vector and measured
+      recall@5 0.776 vs exact L2, so targets above 0.75 are refused
+      rather than silently missed (at deployment scale PQ composes with
+      IVF lists; the budget decides the *storage*, the rest of the table
+      decides the *traversal*);
     - exact brute force whenever it is affordable (``n`` at or under
       ``brute_force_max_n`` — the sharded matmul is cheap there and
       recall is 1.0 by construction) or the recall target demands
@@ -365,14 +374,32 @@ def choose_ann_strategy(
       (:func:`..lsh.derive_bits`) and tables as the recall knob
       (16 clears 0.6 on the synthetic embeddings; 4 bottoms out ~0.19).
 
-    Returns ``{"strategy": "brute" | "ivf" | "lsh", ...params}``; the
-    params feed :func:`cosine_topk_bruteforce`, :func:`ivf_topk_pinned`,
-    or :func:`..lsh.lsh_topk_pinned` directly.
+    Returns ``{"strategy": "brute" | "ivf" | "lsh" | "pq", ...params}``;
+    the params feed :func:`cosine_topk_bruteforce`,
+    :func:`ivf_topk_pinned`, :func:`..lsh.lsh_topk_pinned`, or
+    :func:`..pq.pq_adc_topk` directly.
     """
     from .lsh import derive_bits
 
     if not 0.0 < recall_target <= 1.0:
         raise ValueError(f"recall_target must be in (0, 1], got {recall_target}")
+    if max_bytes_per_vector is not None and max_bytes_per_vector < dim * 4:
+        from .pq_codebooks import PINNED_PQ_CODEBOOKS
+
+        pq_bytes = len(PINNED_PQ_CODEBOOKS)  # one byte-code per subspace
+        if max_bytes_per_vector < pq_bytes:
+            raise ValueError(
+                f"budget {max_bytes_per_vector} B/vector is below even the "
+                f"PQ code size ({pq_bytes} B); no strategy fits"
+            )
+        if recall_target > 0.75:
+            raise ValueError(
+                f"recall_target {recall_target} exceeds the measured PQ "
+                "recall (0.776 at the pinned geometry) — no "
+                "memory-constrained config clears it; raise the budget or "
+                "lower the target"
+            )
+        return {"strategy": "pq"}
     if n <= brute_force_max_n or recall_target > 0.9:
         return {"strategy": "brute"}
     if has_quantizer and recall_target <= 0.5:
@@ -400,6 +427,7 @@ def ann_topk_auto(
     has_quantizer: bool = False,
     centroids: list[list[int]] | None = None,
     recall_target: float = 0.6,
+    max_bytes_per_vector: int | None = None,
 ) -> DataFrame:
     """One interface over the ANN family (SURVEY §7.4): counts the corpus
     (unless ``n`` is passed), consults :func:`choose_ann_strategy`, and
@@ -409,7 +437,14 @@ def ann_topk_auto(
     if n is None:
         n = df.filter(F.col(vec_col).isNotNull()).count()
     has_quantizer = has_quantizer or centroids is not None
-    choice = choose_ann_strategy(n, has_quantizer, recall_target)
+    choice = choose_ann_strategy(
+        n, has_quantizer, recall_target,
+        max_bytes_per_vector=max_bytes_per_vector,
+    )
+    if choice["strategy"] == "pq":
+        from .pq import pq_adc_topk
+
+        return pq_adc_topk(df, id_col, vec_col, k, query_filter=query_filter)
     if choice["strategy"] == "brute":
         return cosine_topk_bruteforce(df, id_col, vec_col, k, query_filter)
     if choice["strategy"] == "ivf":

@@ -825,7 +825,7 @@ _ESD_ORACLE = f"""
 """
 
 
-@register_extra("exact_substring_dedup", _ESD_ORACLE)
+@register("exact_substring_dedup", _ESD_ORACLE)
 def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repeated-span removal (operators/substring_dedup.py — the Lee et
     al. 2021 scrub, token-window formulation): every duplicated 8-token

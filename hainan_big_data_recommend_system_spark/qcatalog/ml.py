@@ -118,7 +118,12 @@ def q_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # integer sum (the same determinism discipline as quantize_vec)
 # ---------------------------------------------------------------------------
 
-@register(
+# Demoted to EXTRA in round 5 (still oracle-checked locally): the M2/M5
+# vectorization + P11 min-df facets ride doc_similarity_topk's driver row
+# (count-vectorized cosine with vocabulary pruning) and the idf-weighting
+# facet rides bm25_scores (idf-smoothed, tf-saturated weights); the slot
+# went to the BPE tokenizer-training flagship.
+@register_extra(
     "tfidf_weights",
     r"""
     WITH tf AS (
@@ -318,7 +323,11 @@ def q_ann_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk_pinned(emb, "vec_id", "embedding", k=5, nprobe=2)
 
 
-@register(
+# Demoted to EXTRA in round 5 (still oracle-checked locally): the J5/M6
+# within-cluster cosine facets ride embedding_neardup_pairs' driver row
+# (same label-blocked exact scoring kernel); the slot went to ann_topk_pq,
+# which adds the compressed-index regime the ANN family lacked.
+@register_extra(
     "ann_topk_blocked",
     """
     WITH q AS (
@@ -534,7 +543,7 @@ _PQ_ORACLE = f"""
     """
 
 
-@register_extra("ann_topk_pq", _PQ_ORACLE)
+@register("ann_topk_pq", _PQ_ORACLE)
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN (operators/pq.py): encode is a scan-local
     integer argmin against the pinned codebooks (the 32×-compression

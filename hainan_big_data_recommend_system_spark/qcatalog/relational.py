@@ -628,7 +628,11 @@ def q_pivot_priority_status_revenue(spark: SparkSession, sf_dir: str) -> DataFra
 # |groups| × 4 rows, not 4 scans.
 # ---------------------------------------------------------------------------
 
-@register(
+# Demoted to EXTRA in round 5 (still oracle-checked locally in
+# tests/test_oracle.py): CUBE is beyond-reference SQL-surface; the
+# grouping-sets family keeps rollup_revenue's local oracle and the driver
+# slot went to the exact-substring scrub flagship.
+@register_extra(
     "cube_priority_status",
     """
     SELECT o_orderpriority, o_orderstatus,

@@ -990,7 +990,7 @@ def _bpe_apply_oracle(n_merges: int = _BPE_MERGES) -> str:
     """
 
 
-@register_extra("bpe_merge_training", _bpe_merges_oracle())
+@register("bpe_merge_training", _bpe_merges_oracle())
 def q_bpe_merge_training(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): the corpus
     collapses to a (word, freq) table in one map-side-combine shuffle,

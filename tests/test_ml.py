@@ -178,6 +178,25 @@ def test_choose_ann_strategy_decision_table():
     )
     with _pytest.raises(ValueError, match="recall_target"):
         choose_ann_strategy(1000, recall_target=0.0)
+    # memory budget below the raw float32 footprint -> PQ is the only
+    # regime that fits (16 B codes at the pinned M=16 geometry); targets
+    # above the measured PQ recall are refused, budgets below even the
+    # code size are refused
+    assert (
+        choose_ann_strategy(10**6, max_bytes_per_vector=32)["strategy"] == "pq"
+    )
+    assert (
+        choose_ann_strategy(500, max_bytes_per_vector=16)["strategy"] == "pq"
+    )  # memory outranks the brute-force row
+    with _pytest.raises(ValueError, match="measured PQ recall"):
+        choose_ann_strategy(10**6, max_bytes_per_vector=32, recall_target=0.8)
+    with _pytest.raises(ValueError, match="no strategy fits"):
+        choose_ann_strategy(10**6, max_bytes_per_vector=8)
+    # budget at or above raw size -> the memory clause is a no-op
+    assert (
+        choose_ann_strategy(500, max_bytes_per_vector=256)["strategy"]
+        == "brute"
+    )
 
 
 def test_ann_topk_auto_dispatch(spark, sf_dir):
@@ -212,3 +231,24 @@ def test_ann_topk_auto_dispatch(spark, sf_dir):
         query_filter=probe,
     ).collect()}
     assert forced == lsh
+
+
+def test_ann_topk_auto_pq_dispatch(spark, sf_dir):
+    """A sub-raw memory budget routes through the PQ path — identical to
+    the directly-invoked pq_adc_topk bit for bit."""
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        ann_topk_auto,
+    )
+    from hainan_big_data_recommend_system_spark.operators.pq import pq_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.col("query_id") % 4 == 0
+    auto = {tuple(r) for r in ann_topk_auto(
+        emb, "vec_id", "embedding", k=5, query_filter=probe,
+        max_bytes_per_vector=16,
+    ).collect()}
+    direct = {tuple(r) for r in pq_adc_topk(
+        emb, "vec_id", "embedding", k=5, query_filter=probe
+    ).collect()}
+    assert auto == direct
