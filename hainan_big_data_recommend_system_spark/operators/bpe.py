@@ -89,6 +89,16 @@ def bpe_train(
     sum), a deterministic 1-row argmax, one literal replace.  Sequences
     are eagerly checkpointed per step so the lineage stays one replace
     deep instead of accumulating ``n_merges`` nested plans."""
+    # the delimiter construction is the correctness foundation: a word
+    # containing SEP would forge bucket boundaries and corrupt every
+    # merge after it.  The check is one filter over the vocab-sized
+    # table — cheap, and it fails fast instead of training garbage.
+    n_bad = words.filter(F.col(word_col).contains(SEP)).count()
+    if n_bad:
+        raise ValueError(
+            f"{n_bad} words contain the symbol delimiter {SEP!r}; "
+            "strip or remap them before BPE training"
+        )
     seq = words.select(
         _seq_expr(F.col(word_col)).alias("seq"),
         F.col(freq_col).cast("long").alias("freq"),

@@ -42,6 +42,27 @@ from .pq_codebooks import PINNED_PQ_CODEBOOKS, PQ_SCALE, PQ_SUB_DIM
 from .similarity import quantize_vec
 
 
+def _check_dim(
+    df: DataFrame, vec_col: str, codebooks: list[list[list[int]]], sub_dim: int
+) -> None:
+    """Fail fast when the data's dimensionality does not cover the
+    codebook grid exactly — silent numpy slicing would otherwise encode
+    truncated subvectors (or die mid-task with a shape error)."""
+    need = len(codebooks) * sub_dim
+    row = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(F.size(F.col(vec_col)).alias("d"))
+        .limit(1)
+        .collect()
+    )
+    if row and int(row[0]["d"]) != need:
+        raise ValueError(
+            f"vector dim {row[0]['d']} != codebook grid "
+            f"{len(codebooks)} x {sub_dim} = {need}; refit with "
+            "scripts/fit_pq_codebooks.py for this dimensionality"
+        )
+
+
 def _books_np(codebooks: list[list[list[int]]]):
     """(M, K, sub_dim) int64 ndarray of the codebooks."""
     import numpy as np
@@ -80,6 +101,7 @@ def pq_encode(
     corpus the way the shingle/bucket stages are staged tables."""
     if codebooks is None:
         codebooks = PINNED_PQ_CODEBOOKS
+    _check_dim(df, vec_col, codebooks, sub_dim)
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vid"),
         quantize_vec(F.col(vec_col), scale).alias("__qv"),

@@ -41,6 +41,11 @@ def exact_substring_dedup(
     """``(doc_id, clean_text, n_tokens, n_removed_tokens)`` after removing
     every duplicated ``w``-token window occurrence except the corpus-wide
     first (ties impossible: ``(doc_id, pos)`` is unique)."""
+    if w < 2:
+        raise ValueError(
+            f"window length w={w} must be >= 2: w=1 degenerates into "
+            "removing every repeated TOKEN, which is not span removal"
+        )
     toks = F.split(F.trim(F.col(text_col)), _WS)
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
     # guard: Spark's sequence DESCENDS when stop < start — short docs must

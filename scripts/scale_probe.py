@@ -80,6 +80,15 @@ QUERIES = [
     "contamination_overlap_bloom",
     "fuzzy_title_pairs",
     "dup_graph_pagerank",
+    # round-5 session-2 additions.  exact_substring_dedup on the replica
+    # texture sees every doc as a 10-clique of itself (same caveat as the
+    # near-dup queries above): replicas 2..10 of every doc empty out, so
+    # its work is dominated by the window-hash shuffle, which is linear.
+    "c4_line_filter",
+    "leakage_safe_splits",
+    "bpe_merge_training",
+    "ann_topk_pq",
+    "exact_substring_dedup",
 ]
 
 

@@ -77,3 +77,9 @@ def test_bpe_exhaustion_raises(spark):
     words = spark.createDataFrame([Row(word="ab", freq=1)])
     with pytest.raises(ValueError, match="exhausted"):
         bpe_train(words, "word", "freq", n_merges=3)
+
+
+def test_bpe_rejects_delimiter_in_words(spark):
+    words = spark.createDataFrame([Row(word="a|b", freq=1), Row(word="ok", freq=1)])
+    with pytest.raises(ValueError, match="delimiter"):
+        bpe_train(words, "word", "freq", n_merges=1)

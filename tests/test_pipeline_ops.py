@@ -485,3 +485,13 @@ def test_exact_substring_dedup_merges_overlapping_spans(spark):
     # doc 2 loses the merged [a..e] interval = 5 tokens, keeps x and y
     assert out[2]["clean_text"] == "x y"
     assert out[2]["n_removed_tokens"] == 5
+
+
+def test_exact_substring_dedup_rejects_degenerate_window(spark):
+    from hainan_big_data_recommend_system_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
+    with pytest.raises(ValueError, match="w=1"):
+        exact_substring_dedup(docs, "doc_id", "text", w=1)

@@ -110,3 +110,12 @@ def test_null_vectors_dropped(spark):
         "vec_id long, embedding array<float>",
     )
     assert pq_encode(df, "vec_id", "embedding").count() == 1
+
+
+def test_dim_mismatch_raises(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[0.1] * 32)],
+        "vec_id long, embedding array<float>",
+    )
+    with pytest.raises(ValueError, match="codebook grid"):
+        pq_encode(df, "vec_id", "embedding")
