@@ -230,3 +230,48 @@ def test_semdedup_prune_broadcasts_quantizer(spark):
     assert pplan.count("FlatMapGroupsInPandas") == 1, pplan
     assert "CartesianProduct" not in pplan, pplan
     assert "BroadcastNestedLoopJoin" in pplan or "BroadcastHashJoin" in pplan, pplan
+
+
+def test_c4_line_filter_is_scan_local(spark):
+    # the C4 cleaner is one projection over the scan: no Exchange at all,
+    # and no Python anywhere (higher-order filter is JVM-side)
+    plan = plan_of(spark, "c4_line_filter")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_bpe_apply_is_scan_local(spark):
+    # tokenizing with the learned merges is a literal replace chain over
+    # the scan — no shuffle, no Python (training happens before the plan)
+    plan = plan_of(spark, "bpe_token_counts")
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_ann_topk_pq_arrow_batched_block_kernel(spark):
+    # encode + ADC are Arrow-batched numpy kernels (the repo-standard for
+    # matmul-shaped work).  Exactly ONE BroadcastNestedLoopJoin is
+    # expected: the deliberate bounded query-replication crossJoin over
+    # block ids (|Q| x n_blocks rows — same shape as
+    # cosine_topk_bruteforce), never a pair-space materialization.
+    plan = plan_of(spark, "ann_topk_pq")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+
+
+def test_exact_substring_dedup_one_window_hash_shuffle(spark):
+    # row_number + count over the SAME (window-hash) partition spec must
+    # compile to one Exchange, not two; the interval stages add per-doc
+    # exchanges, the rebuild joins on doc_id — but nothing shuffles text
+    # except the final per-doc concat
+    plan = plan_of(spark, "exact_substring_dedup")
+    assert plan.count("Exchange hashpartitioning(__wh") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_leakage_safe_splits_bucket_is_post_join_projection(spark):
+    # the split hash is computed AFTER the component label join as a
+    # scan-local projection: no Python, no extra exchange beyond the
+    # components rounds and the label join
+    plan = plan_of(spark, "leakage_safe_splits")
+    assert "EvalPython" not in plan, plan
