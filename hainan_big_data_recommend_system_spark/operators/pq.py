@@ -3,29 +3,30 @@ similarity search (Jégou, Douze, Schmid, TPAMI 2011).
 
 PQ splits the vector space into M contiguous subspaces and replaces each
 subvector by the id of its nearest codeword in a per-subspace codebook:
-a 64-dim float32 embedding (256 bytes) becomes M=8 one-byte codes — the
-32× compression that lets a 100 TB embedding corpus live in cluster RAM.
+a 64-dim float32 embedding (256 bytes) becomes M=16 one-byte codes at
+the pinned geometry (M=16 × K=256, `pq_codebooks.py`) — the 16×
+compression that lets a 100 TB embedding corpus live in cluster RAM.
 Search is asymmetric distance computation (ADC): the query stays exact,
 each subspace contributes a looked-up ``||q_j − codeword||²`` term, and
 the approximate distance is the sum over subspaces.
 
 Spark shape (both stages are Arrow-batched numpy kernels — the repo's
 standard for dense matmul-shaped work, same as
-:func:`.ann.cosine_topk_bruteforce`; per-row expression trees over
-8×16×8 codebook literals blow past JIT method limits and fall out of
-codegen, measured 30s vs ~2s at sf0.1):
+:func:`.ann.cosine_topk_bruteforce`; per-row expression trees over the
+codebook literals blow past JIT method limits and fall out of codegen,
+measured 30s vs ~2s at sf0.1):
 
 - **encode is a pure map pass** (``mapInPandas``): one
   ``‖X_j‖² − 2·X_j·C_jᵀ + ‖C_j‖²`` int64 matmul per subspace, argmin
   rows → codes.  No shuffle; the codes table is the persisted index.
-- **search is a sharded ADC scan**: candidates hash into blocks, the
-  bounded query side is replicated per block with its exact vector, and
-  each block kernel builds the 8×16 LUT once, gathers
-  ``Σ_j lut[q, j, code_j]`` for its candidates, and emits a block-local
-  top-k; a global window over block winners is exact.  (At deployment
-  scale ADC composes with the IVF lists of operators/ann.py — probe
-  lists first, ADC within; this is the within-list kernel and the
-  full-scan regime.)
+- **search is a sharded ADC scan** (:func:`pq_adc_topk`): candidates
+  hash into blocks, the bounded query side is replicated per block with
+  its exact vector, and each block kernel builds the M×K LUT once,
+  gathers ``Σ_j lut[q, j, code_j]`` for its candidates, and emits a
+  block-local top-k; a global window over block winners is exact.
+- **IVFPQ** (:func:`pq_ivf_adc_topk`): the deployment composition —
+  the pinned IVF coarse quantizer bounds WHERE to look, the codes bound
+  WHAT each visit costs.
 
 Determinism: codebooks and vectors are integer-quantized, so encoding
 argmins (tie-break: smallest code id — numpy argmin keeps the first
@@ -211,6 +212,83 @@ def pq_adc_topk(
         F.col("id").cast("int").alias("__blk")
     )
     qrep = q.crossJoin(blocks).select(
+        F.col("query_id").alias("vid"),
+        "__qv",
+        F.lit(None).cast("array<int>").alias("codes"),
+        "__blk",
+        F.lit(True).alias("__is_q"),
+    )
+    scored = (
+        cand.unionByName(qrep)
+        .groupBy("__blk")
+        .applyInPandas(
+            _adc_block_topk(k, codebooks),
+            "query_id long, neighbor_id long, adc_dist long",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )
+
+
+def pq_ivf_adc_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 2,
+    codebooks: list[list[list[int]]] | None = None,
+    query_filter: Column | None = None,
+    scale: int = PQ_SCALE,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
+    """IVFPQ — the FAISS composition: the pinned IVF coarse quantizer
+    (operators/ivf_centroids.py) bounds WHERE to look (each query visits
+    its ``nprobe`` nearest lists), the PQ codes bound WHAT each visit
+    costs (16-byte ADC gathers instead of 256-byte exact dots).  This is
+    the deployment regime the full-scan :func:`pq_adc_topk` docstring
+    promises: per-query work ∝ probed-list population, per-candidate
+    memory 16 B, and both prunings are exact integer argmins — the whole
+    two-level index is DuckDB-oracle-checkable.
+
+    Same output contract as the other ANN operators:
+    ``(query_id, neighbor_id, adc_dist, rn)``, ascending exact-integer
+    ADC distance, self-pairs excluded, ties on neighbor id."""
+    from .ann import pinned_centroid_ranks
+
+    if codebooks is None:
+        codebooks = PINNED_PQ_CODEBOOKS
+    ranked = pinned_centroid_ranks(df, id_col, vec_col, centroids, scale)
+    codes = pq_encode(df, id_col, vec_col, codebooks, scale, sub_dim)
+    cand = (
+        ranked.filter(F.col("__pr") == 1)
+        .select("vid", F.col("cid").alias("__blk"))
+        .join(codes, "vid")
+        .select(
+            "vid",
+            F.lit(None).cast("array<bigint>").alias("__qv"),
+            "codes",
+            "__blk",
+            F.lit(False).alias("__is_q"),
+        )
+    )
+    q = ranked.filter(F.col("__pr") <= nprobe).select(
+        F.col("vid").alias("query_id"), "__qv", F.col("cid").alias("__blk")
+    )
+    if query_filter is not None:
+        q = q.filter(query_filter)
+    qrep = q.select(
         F.col("query_id").alias("vid"),
         "__qv",
         F.lit(None).cast("array<int>").alias("codes"),

@@ -559,3 +559,86 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=5,
         query_filter=F.col("query_id") % 4 == 0,
     )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH cent AS (
+        SELECT cid, cv::BIGINT[] AS cv
+        FROM (VALUES {_IVF_CENT_VALUES}) v(cid, cv)
+    ),
+    cb(j, c, cbv) AS (VALUES {_pq_cb_values()}),
+    q AS (
+        SELECT vec_id,
+               list_transform(embedding::DOUBLE[],
+                              x -> CAST(round(x * 1000) AS BIGINT)) AS qv
+        FROM embeddings
+    ),
+    cdist AS (
+        SELECT q.vec_id, c.cid,
+               list_dot_product(q.qv, q.qv)
+                 - 2 * list_dot_product(q.qv, c.cv)
+                 + list_dot_product(c.cv, c.cv) AS d2
+        FROM q, cent c
+    ),
+    cranked AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS pr
+        FROM cdist
+    ),
+    assign AS (SELECT vec_id, cid FROM cranked WHERE pr = 1),
+    probes AS (
+        SELECT vec_id, cid FROM cranked WHERE pr <= 2 AND vec_id % 4 = 0
+    ),
+    d AS (
+        SELECT q.vec_id, cb.j, cb.c,
+               list_aggregate(list_transform(
+                   list_zip(q.qv[cb.j * {_pq_sub_dim()} + 1:(cb.j + 1) * {_pq_sub_dim()}], cb.cbv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS dist
+        FROM q, cb
+    ),
+    codes AS (
+        SELECT vec_id, j, c AS code FROM (
+            SELECT vec_id, j, c, row_number() OVER (
+                PARTITION BY vec_id, j ORDER BY dist, c
+            ) AS rn FROM d
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT d.vec_id, d.j, d.c, d.dist
+        FROM d JOIN (SELECT DISTINCT vec_id FROM probes) pq USING (vec_id)
+    ),
+    scored AS (
+        SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+               sum(l.dist) AS adc
+        FROM probes p
+        JOIN assign a ON a.cid = p.cid AND a.vec_id <> p.vec_id
+        JOIN codes cs ON cs.vec_id = a.vec_id
+        JOIN lut l ON l.vec_id = p.vec_id AND l.j = cs.j AND l.c = cs.code
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist,
+           CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc, neighbor_id
+        ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """
+
+
+@register_extra("ann_topk_ivfpq", _IVFPQ_ORACLE)
+def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ (operators/pq.pq_ivf_adc_topk) — the FAISS composition the
+    two pinned indexes exist for: the coarse quantizer bounds WHERE to
+    look (nprobe=2 of 8 lists), the PQ codes bound WHAT each visit costs
+    (16-byte ADC gathers).  Both prunings are exact integer argmins, so
+    the whole two-level index hash-checks.  Same probe bounding as the
+    ANN family (vec_id % 4 = 0), top-5 ascending ADC distance."""
+    from ..operators.pq import pq_ivf_adc_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ivf_adc_topk(
+        emb, "vec_id", "embedding", k=5, nprobe=2,
+        query_filter=F.col("query_id") % 4 == 0,
+    )

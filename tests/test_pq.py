@@ -119,3 +119,38 @@ def test_dim_mismatch_raises(spark):
     )
     with pytest.raises(ValueError, match="codebook grid"):
         pq_encode(df, "vec_id", "embedding")
+
+
+def test_ivfpq_invariants_and_recall(spark, emb):
+    """IVFPQ = PQ restricted to probed IVF lists: distances it emits are
+    identical to the full-scan ADC for shared pairs (pruning changes the
+    candidate set, never a score), no self-pairs, k-bounded, and recall
+    vs full-scan PQ tracks the IVF nprobe=2/8 geometry (measured 0.398
+    at sf0.001, 0.525 at sf0.01; floor below)."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.pq import (
+        pq_ivf_adc_topk,
+    )
+
+    probe = F.col("query_id") % 4 == 0
+    full = pq_adc_topk(emb, "vec_id", "embedding", k=5, query_filter=probe)
+    ivf = pq_ivf_adc_topk(
+        emb, "vec_id", "embedding", k=5, nprobe=2, query_filter=probe
+    )
+    assert ivf.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+    assert ivf.agg(F.max("rn")).collect()[0][0] <= 5
+    mism = (
+        full.select("query_id", "neighbor_id", F.col("adc_dist").alias("d0"))
+        .join(ivf, ["query_id", "neighbor_id"])
+        .filter(F.col("adc_dist") != F.col("d0"))
+        .count()
+    )
+    assert mism == 0  # exact ADC regardless of pruning
+    fs, iv = {}, {}
+    for r in full.collect():
+        fs.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ivf.collect():
+        iv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    rec = sum(len(fs[q] & iv.get(q, set())) / len(fs[q]) for q in fs) / len(fs)
+    assert rec >= 0.3, f"IVFPQ recall {rec:.3f} below the nprobe=2 floor"
