@@ -95,12 +95,26 @@ def dedup_ingest_writer(
     shingle_n: int = 3,
     num_hashes: int = 16,
     rows_per_band: int = 2,
+    clean_fn=None,
 ):
     """``foreachBatch`` writer: exact stage always; near-dup stage when
-    ``bucket_dir`` is given (see module docstring for both)."""
+    ``bucket_dir`` is given (see module docstring for both).
+
+    ``clean_fn`` (optional ``DataFrame -> DataFrame``) is the quality
+    gate applied to every batch BEFORE any dedup state is touched — the
+    place for the batch operators (``c4_line_filter`` + a keep filter,
+    ``pii_redact``, ``linear_quality_score`` thresholds) in the
+    streaming path.  It MUST be deterministic and must preserve
+    ``id_col``/``text_col``: at-least-once replay re-applies it to the
+    same rows and relies on identical output for idempotence (the same
+    contract as the dedup stages themselves).  Rows it drops never
+    reach the fingerprint index, so a later replay cannot resurrect
+    them."""
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        if clean_fn is not None:
+            batch_df = clean_fn(batch_df)
         # null text hashes to a sentinel so empty-content rows dedup as
         # one group (md5(NULL) is NULL, and NULL join keys never match —
         # without this every batch would append its own null-text row)
@@ -250,16 +264,18 @@ def start_dedup_ingest(
     num_hashes: int = 16,
     rows_per_band: int = 2,
     available_now: bool = True,
+    clean_fn=None,
 ):
     """Run the ingestion query (``availableNow`` drains what's present and
     stops — the nightly-ingest trigger; otherwise continuous).  The LSH
-    knobs pass through to :func:`dedup_ingest_writer`."""
+    knobs and the pre-dedup ``clean_fn`` quality gate pass through to
+    :func:`dedup_ingest_writer`."""
     q = doc_stream.writeStream.foreachBatch(
         dedup_ingest_writer(
             corpus_dir, index_dir, id_col, text_col,
             bucket_dir=bucket_dir, jaccard_threshold=jaccard_threshold,
             shingle_n=shingle_n, num_hashes=num_hashes,
-            rows_per_band=rows_per_band,
+            rows_per_band=rows_per_band, clean_fn=clean_fn,
         )
     ).option("checkpointLocation", checkpoint_dir)
     if available_now:

@@ -573,3 +573,75 @@ def test_interval_join_rejects_zero_tolerance(spark):
     with pytest.raises(ValueError, match="tolerance"):
         interval_join(df, df, on="user_id", left_ts="ts", right_ts="ts",
                       tolerance_s=0)
+
+
+def test_streaming_ingest_with_clean_stage(spark, tmp_path):
+    """The clean_fn quality gate runs before any dedup state is touched:
+    dropped pages never enter the corpus or the fingerprint index, kept
+    pages flow through the exact stage cleaned, and epoch replay stays
+    idempotent because the gate is deterministic."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        c4_line_filter,
+    )
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        read_ingested_corpus,
+        start_dedup_ingest,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    good = "this page has plenty of good words."
+    spark.createDataFrame(
+        [
+            (1, good),
+            (2, "lorem ipsum dolor sit amet this page dies."),   # page drop
+            (3, good + "\nenable javascript to proceed now ok"), # line drop
+            (4, good),                                           # dup of 1
+        ],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+
+    def clean(df):
+        cleaned = c4_line_filter(df, "doc_id", "text")
+        return (
+            cleaned.filter(
+                (F.col("page_dropped") == 0) & (F.col("n_kept") > 0)
+            )
+            .select("doc_id", F.col("cleaned_text").alias("text"))
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f*")
+    )
+    q = start_dedup_ingest(stream, corpus, index, ckpt, clean_fn=clean)
+    q.awaitTermination()
+
+    got = {r["doc_id"]: r["text"] for r in read_ingested_corpus(spark, corpus).collect()}
+    # doc 2 page-dropped; doc 3 cleaned to the same text as doc 1 -> it
+    # dedups away; doc 4 exact-dups away; survivor is doc 1, cleaned
+    assert got == {1: good}
+
+    # replaying the same epoch through the writer is still idempotent
+    import os as _os
+
+    writer = dedup_ingest_writer(corpus, index, clean_fn=clean)
+    replay = spark.createDataFrame(
+        [(1, good), (2, "lorem ipsum dolor sit amet this page dies."),
+         (3, good + "\nenable javascript to proceed now ok"), (4, good)],
+        "doc_id long, text string",
+    )
+    epoch = max(
+        int(e.split("=")[1])
+        for e in _os.listdir(corpus) if e.startswith("epoch=")
+    )
+    writer(replay, epoch)
+    got2 = {r["doc_id"]: r["text"] for r in read_ingested_corpus(spark, corpus).collect()}
+    assert got2 == got
