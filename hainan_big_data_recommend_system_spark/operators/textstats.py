@@ -426,6 +426,69 @@ def unigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus-trained bigram-LM log-likelihood per doc — the
+    context-sensitive step up from :func:`unigram_lm_scores`: a doc of
+    frequent words in improbable ORDER (shuffled text, keyword stuffing,
+    template soup) scores high-perplexity here while the unigram model
+    cannot see it.  Together they bracket the CCNet-style perplexity
+    filter with no external model.
+
+    Add-one smoothing over observed bigrams: p(w₂|w₁) = (c₂+1)/(c₁+V).
+    Per-bigram log-probs are integerized to micros per ROW, so per-doc
+    sums are exact integers — hash-stable cross-engine.  Docs with fewer
+    than two tokens have no bigrams and no row (same contract as the
+    oracle).
+
+    Scale shape: one bigram shuffle with map-side combine (linear in
+    corpus tokens), scoring joins whose build sides are the bigram/
+    unigram vocabularies (≪ corpus), a 1-row V broadcast."""
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    # slice() rejects negative lengths — an empty doc (size 0) must yield
+    # zero bigrams, not a runtime error
+    npairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(arr, 1, npairs).alias("w1"),
+        F.slice(arr, 2, npairs).alias("w2"),
+    )
+    big = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(z).alias("z")
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    uni = docs.select(F.explode(arr).alias("w"))
+    # both count tables feed the totals AND the scoring joins — eager
+    # checkpoints keep each corpus shuffle at one execution
+    c1 = (
+        uni.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=True)
+    )
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)
+    )
+    v = c1.agg(F.count(F.lit(1)).alias("v"))
+    lp = F.round(
+        F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(v))
+        .select("doc_id", lp.alias("lp_micros"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp_micros").cast("bigint").alias("sum_lp_micros"),
+        F.round(F.sum("lp_micros") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_lp_micros"),
+    )
+
+
 def pii_redact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PII redaction — the scrub stage after :func:`pii_pattern_counts`
     triage: every email/URL/phone-shaped span is replaced by a typed

@@ -1018,3 +1018,48 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(word_counts(docs, "text"), "word", "freq", _BPE_MERGES)
     return bpe_apply(docs, "doc_id", "text", merges)
+
+
+@register_extra(
+    "bigram_lm_scores",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    c1 AS (SELECT w, count(*) AS c1 FROM uni GROUP BY w),
+    v AS (SELECT count(*) AS v FROM c1),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln((c2 + 1) / (c1 + v)) * 1000000) AS BIGINT) AS lp
+        FROM big b
+        JOIN c2 USING (w1, w2)
+        JOIN c1 ON c1.w = b.w1
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS sum_lp_micros,
+           CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micros
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-trained bigram-LM doc likelihood (operators/textstats.
+    bigram_lm_scores) — the context-sensitive perplexity facet: improbable
+    word ORDER scores badly even when every word is common.  Same
+    micro-integer discipline as the unigram facet, so the hash match is
+    exact."""
+    from ..operators.textstats import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, "doc_id", "text")

@@ -495,3 +495,23 @@ def test_exact_substring_dedup_rejects_degenerate_window(spark):
     docs = spark.createDataFrame([Row(doc_id=1, text="a b")])
     with pytest.raises(ValueError, match="w=1"):
         exact_substring_dedup(docs, "doc_id", "text", w=1)
+
+
+def test_bigram_lm_flags_improbable_word_order(spark):
+    """The point of the bigram facet: common words in scrambled order
+    score worse than the dominant phrasing, invisible to a unigram LM."""
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
+
+    rows = [Row(doc_id=i, text="the quick brown fox") for i in range(20)]
+    rows.append(Row(doc_id=99, text="fox the brown quick"))
+    docs = spark.createDataFrame(rows)
+    bi = {r["doc_id"]: r["avg_lp_micros"] for r in bigram_lm_scores(docs, "doc_id", "text").collect()}
+    uni = {r["doc_id"]: r["avg_lp_micros"] for r in unigram_lm_scores(docs, "doc_id", "text").collect()}
+    assert bi[99] < bi[0]        # scrambled order: much less likely
+    assert uni[99] == uni[0]     # unigram LM is blind to order
+    # docs with < 2 tokens emit no bigram row
+    tiny = spark.createDataFrame([Row(doc_id=1, text="word"), Row(doc_id=2, text="")])
+    assert bigram_lm_scores(tiny, "doc_id", "text").count() == 0
