@@ -489,6 +489,97 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def dsir_importance_weights(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_filter,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every doc by the
+    log importance ratio between a TARGET distribution (the domain you
+    want more of — ``target_filter`` marks its rows) and the RAW corpus
+    distribution, both estimated as add-one-smoothed multinomials over
+    HASHED bigram features.
+
+    The hashing is the scale story and the reason this is exact: both
+    models live in ``n_buckets`` integers (md5-bucketed bigrams — the
+    engine-portable hash used throughout the catalog), so the entire
+    "model" is a ≤``n_buckets``-row broadcast and scoring is one
+    map-side join over the doc bigrams.  Per-bucket log-probs are
+    micro-integerized per ROW (each ln is one exactly-rounded double op
+    in both engines), so doc sums are exact integers — hash-stable.
+
+    Output: ``(doc_id, n_bigrams, sum_ratio_micros, avg_ratio_micros,
+    selected)`` with ``selected = 1`` iff the summed log-ratio is
+    positive (the doc is more probable under the target model) — the
+    deterministic analogue of DSIR's importance resampling.  Docs with
+    fewer than two tokens have no features and no row."""
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    npairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(arr, 1, npairs).alias("w1"),
+        F.slice(arr, 2, npairs).alias("w2"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(" ", F.col("z.w1"), F.col("z.w2"))), 1, 7
+            ),
+            16,
+            10,
+        ).cast("long")
+        % n_buckets
+    )
+    feats = docs.select(
+        F.col(id_col).alias("doc_id"),
+        target_filter.cast("int").alias("__t"),
+        F.explode(z).alias("z"),
+    ).select("doc_id", "__t", bucket.alias("b"))
+    # the whole model: <= n_buckets rows of (target count, raw count).
+    # Raw = the FULL corpus (target included), per the paper.
+    model = (
+        feats.groupBy("b")
+        .agg(
+            F.sum("__t").alias("ct"),
+            F.count(F.lit(1)).alias("cr"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND the scoring join
+    )
+    tot = model.agg(
+        F.sum("ct").alias("nt"), F.sum("cr").alias("nr")
+    )
+    lp_t = F.round(
+        F.log((F.col("ct") + 1) / (F.col("nt") + n_buckets)) * 1_000_000
+    ).cast("bigint")
+    lp_r = F.round(
+        F.log((F.col("cr") + 1) / (F.col("nr") + n_buckets)) * 1_000_000
+    ).cast("bigint")
+    scored = (
+        feats.join(F.broadcast(model), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", (lp_t - lp_r).alias("ratio_micros"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("ratio_micros").cast("bigint").alias("sum_ratio_micros"),
+        F.round(F.sum("ratio_micros") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_ratio_micros"),
+    )
+    return agg.select(
+        "*",
+        F.when(F.col("sum_ratio_micros") > 0, 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("selected"),
+    )
+
+
 def pii_redact(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """PII redaction — the scrub stage after :func:`pii_pattern_counts`
     triage: every email/URL/phone-shaped span is replaced by a typed

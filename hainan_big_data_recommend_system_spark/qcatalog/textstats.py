@@ -1063,3 +1063,59 @@ def q_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bigram_lm_scores(docs, "doc_id", "text")
+
+
+@register_extra(
+    "dsir_importance_weights",
+    r"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tt,
+               ('0x' || substr(md5(toks[i] || ' ' || toks[i + 1]), 1, 7))::BIGINT
+                   % 1024 AS b
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+    ),
+    model AS (
+        SELECT b, sum(tt) AS ct, count(*) AS cr FROM feats GROUP BY b
+    ),
+    tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt,
+                   CAST(sum(cr) AS BIGINT) AS nr FROM model),
+    scored AS (
+        SELECT f.doc_id,
+               CAST(round(ln((ct + 1) / (nt + 1024)) * 1000000) AS BIGINT)
+               - CAST(round(ln((cr + 1) / (nr + 1024)) * 1000000) AS BIGINT)
+                   AS ratio_micros
+        FROM feats f JOIN model USING (b) CROSS JOIN tot
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(ratio_micros) AS BIGINT) AS sum_ratio_micros,
+               CAST(round(sum(ratio_micros) * 1.0 / count(*)) AS BIGINT)
+                   AS avg_ratio_micros
+        FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, n_bigrams, sum_ratio_micros, avg_ratio_micros,
+           CAST(CASE WHEN sum_ratio_micros > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS selected
+    FROM agg
+    """,
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (operators/textstats.dsir_importance_weights):
+    hashed-bigram importance log-ratios of a target domain (lang='en'
+    stands in for the curated target) against the raw corpus — the
+    Xie et al. 2023 selection signal, exactly integerized so even the
+    learned importance weights hash-match the oracle."""
+    from ..operators.textstats import dsir_importance_weights
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_importance_weights(
+        docs, "doc_id", "text", target_filter=F.col("lang") == "en"
+    )

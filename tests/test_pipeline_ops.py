@@ -515,3 +515,34 @@ def test_bigram_lm_flags_improbable_word_order(spark):
     # docs with < 2 tokens emit no bigram row
     tiny = spark.createDataFrame([Row(doc_id=1, text="word"), Row(doc_id=2, text="")])
     assert bigram_lm_scores(tiny, "doc_id", "text").count() == 0
+
+
+def test_dsir_prefers_target_like_docs(spark):
+    """The selection signal must rank docs built from target-domain
+    phrases above docs of off-target phrases, and a doc of pure target
+    text must come out selected."""
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        dsir_importance_weights,
+    )
+    from pyspark.sql import functions as F
+
+    target_phrase = "the model trains on curated encyclopedic prose"
+    raw_phrase = "click here buy cheap pills now win prizes"
+    rows = []
+    for i in range(30):
+        rows.append(Row(doc_id=i, lang="en", text=target_phrase))
+    for i in range(30, 60):
+        rows.append(Row(doc_id=i, lang="xx", text=raw_phrase))
+    # probe docs: one target-like, one raw-like, both labeled off-target
+    rows.append(Row(doc_id=100, lang="xx", text=target_phrase))
+    rows.append(Row(doc_id=101, lang="xx", text=raw_phrase))
+    docs = spark.createDataFrame(rows)
+    out = {
+        r["doc_id"]: r
+        for r in dsir_importance_weights(
+            docs, "doc_id", "text", target_filter=F.col("lang") == "en"
+        ).collect()
+    }
+    assert out[100]["sum_ratio_micros"] > out[101]["sum_ratio_micros"]
+    assert out[100]["selected"] == 1
+    assert out[101]["selected"] == 0
