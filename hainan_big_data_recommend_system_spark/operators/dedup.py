@@ -372,3 +372,91 @@ def verify_candidate_pairs(
         .filter(jac >= threshold)
         .select("a_id", "b_id", jac.alias("jaccard"))
     )
+
+
+def cdc_chunk_stats(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    gear_mod: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Content-defined chunking dedup statistics — the storage-dedup
+    boundary trick (Muthitacharoen et al., LBFS SOSP'01 / FastCDC)
+    applied at token granularity: a chunk boundary falls AFTER any token
+    whose hash bucket is 0 (expected chunk length = ``gear_mod`` tokens),
+    so boundaries depend only on LOCAL content.  Inserting or deleting a
+    token re-chunks ONLY the edited neighborhood — every other chunk
+    hash survives verbatim, which is what makes chunk-level dedup robust
+    to small edits where fixed windows (``exact_substring_dedup``) see
+    every downstream position shift.  Non-overlapping chunks also cost
+    ~1/w of the sliding-window hash volume.
+
+    Returns per doc: ``(doc_id, n_chunks, n_dup_chunks,
+    dup_token_coverage_bp)`` where a chunk is dup when its exact token
+    string occurs ≥ ``min_docs`` times corpus-wide (across docs or
+    repeated within one).  Shuffles: one doc-length-bounded window pass
+    to assign chunk ids, one chunk-hash groupBy (16-byte rows), one
+    per-doc agg — all map-side combining."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+    pos = base.select(
+        "doc_id", F.posexplode("__toks").alias("pos", "tok")
+    )
+    is_boundary = (
+        F.conv(F.substring(F.md5(F.col("tok")), 1, 7), 16, 10).cast("long")
+        % gear_mod
+        == 0
+    ).cast("int")
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    chunked = pos.select(
+        "doc_id",
+        "pos",
+        "tok",
+        F.coalesce(
+            F.sum(is_boundary).over(
+                wdoc.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("chunk_id"),
+    )
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+            )
+        ).alias("__ch"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    dup = (
+        chunks.groupBy("__ch")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .where(F.col("occ") >= min_docs)
+        .select("__ch", F.lit(1).alias("__dup"))
+    )
+    marked = chunks.join(dup, "__ch", "left")
+    agg = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.coalesce("__dup", F.lit(0))).cast("long").alias("n_dup_chunks"),
+        F.sum("n_tok").alias("__nt"),
+        F.sum(F.when(F.col("__dup").isNotNull(), F.col("n_tok")).otherwise(0)).alias(
+            "__dup_nt"
+        ),
+    )
+    all_ids = base.select("doc_id")
+    return all_ids.join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_chunks", F.lit(0)).cast("long").alias("n_chunks"),
+        F.coalesce("n_dup_chunks", F.lit(0)).cast("long").alias("n_dup_chunks"),
+        F.when(F.coalesce(F.col("__nt"), F.lit(0)) == 0, F.lit(0))
+        .otherwise(F.expr("__dup_nt * 10000L div __nt"))
+        .cast("long")
+        .alias("dup_token_coverage_bp"),
+    )

@@ -849,3 +849,69 @@ def q_exact_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("text"),
     )
     return exact_substring_dedup(aug, "doc_id", "text", w=_ESD_W)
+
+
+@register_extra(
+    "cdc_chunk_stats",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+    ),
+    chunked AS (
+        SELECT doc_id, pos, tok,
+               coalesce(sum(CASE WHEN ('0x' || substr(md5(tok), 1, 7))::BIGINT
+                                      % 8 = 0 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS chunk_id
+        FROM pos
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_id,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS ch,
+               count(*) AS n_tok
+        FROM chunked GROUP BY doc_id, chunk_id
+    ),
+    dup AS (
+        SELECT ch FROM (SELECT ch, count(*) AS occ FROM chunks GROUP BY ch)
+        WHERE occ >= 2
+    ),
+    marked AS (
+        SELECT c.doc_id, c.n_tok, d.ch IS NOT NULL AS is_dup
+        FROM chunks c LEFT JOIN dup d USING (ch)
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_chunks,
+               sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS n_dup_chunks,
+               sum(n_tok) AS nt,
+               sum(CASE WHEN is_dup THEN n_tok ELSE 0 END) AS dup_nt
+        FROM marked GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(coalesce(a.n_chunks, 0) AS BIGINT) AS n_chunks,
+           CAST(coalesce(a.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+           CAST(CASE WHEN coalesce(a.nt, 0) = 0 THEN 0
+                ELSE a.dup_nt * 10000 // a.nt END AS BIGINT)
+               AS dup_token_coverage_bp
+    FROM t LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking dedup stats (operators/dedup.
+    cdc_chunk_stats): token-hash-driven chunk boundaries (the LBFS/
+    FastCDC trick at token granularity) make chunk identity robust to
+    local edits — the non-overlapping, edit-stable complement to the
+    sliding-window scrub.  Exact-dup docs show 100% dup-chunk coverage;
+    the oracle replays the same boundary rule and chunk hashing."""
+    from ..operators.dedup import cdc_chunk_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    return cdc_chunk_stats(docs, "doc_id", "text")

@@ -546,3 +546,50 @@ def test_dsir_prefers_target_like_docs(spark):
     assert out[100]["sum_ratio_micros"] > out[101]["sum_ratio_micros"]
     assert out[100]["selected"] == 1
     assert out[101]["selected"] == 0
+
+
+def test_cdc_chunks_are_edit_stable(spark):
+    """The CDC property: inserting one token re-chunks only the edited
+    neighborhood — every chunk outside it keeps its hash.  A fixed-window
+    scheme would shift every downstream window."""
+    import hashlib
+
+    from hainan_big_data_recommend_system_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    # build a long doc, insert one token mid-way for the twin
+    words = [f"w{i}" for i in range(200)]
+    orig = " ".join(words)
+    edited = " ".join(words[:100] + ["inserted"] + words[100:])
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=orig), Row(doc_id=2, text=edited)]
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_stats(docs, "doc_id", "text").collect()}
+    # most chunks are shared between the twins: dup coverage is high for
+    # both docs even though no window of the edited doc aligns with the
+    # original past the insertion point
+    assert out[1]["dup_token_coverage_bp"] >= 9000
+    assert out[2]["dup_token_coverage_bp"] >= 9000
+    # and the edit really did change SOME chunk (docs are not identical)
+    assert out[2]["n_dup_chunks"] < out[2]["n_chunks"]
+
+
+def test_cdc_exact_dup_docs_fully_covered(spark):
+    from hainan_big_data_recommend_system_spark.operators.dedup import (
+        cdc_chunk_stats,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=2, text="alpha beta gamma delta epsilon zeta"),
+            Row(doc_id=3, text="totally different content here entirely"),
+            Row(doc_id=4, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r for r in cdc_chunk_stats(docs, "doc_id", "text").collect()}
+    assert out[1]["dup_token_coverage_bp"] == 10000
+    assert out[2]["dup_token_coverage_bp"] == 10000
+    assert out[3]["n_dup_chunks"] == 0
+    assert (out[4]["n_chunks"], out[4]["dup_token_coverage_bp"]) == (0, 0)
