@@ -53,3 +53,34 @@ def user_book_sets(parsed: DataFrame) -> DataFrame:
     return parsed.groupBy("userId").agg(
         F.sort_array(F.collect_set("bookId")).alias("books")
     )
+
+
+def parse_jsonl_corpus(
+    df: DataFrame, line_col: str = "line"
+) -> DataFrame:
+    """Corrupt-tolerant JSONL corpus scan — the interchange format LLM
+    corpora actually ship in (one JSON object per line; a multi-TB crawl
+    dump always contains truncated/garbled lines, and one of them must
+    never kill the job).
+
+    ``from_json`` in PERMISSIVE mode parses each line against the corpus
+    schema; a malformed line yields a null struct (or null required
+    fields) and is emitted with ``ok = 0`` and its raw line preserved for
+    quarantine — the S5/S6 robustness discipline on the JSON format.
+    Scan-local, no UDF: JSON parsing is a JVM expression inside
+    whole-stage codegen."""
+    schema = "doc_id bigint, text string, lang string, source string"
+    parsed = F.from_json(F.col(line_col), schema)
+    ok = (
+        parsed.isNotNull()
+        & parsed["doc_id"].isNotNull()
+        & parsed["text"].isNotNull()
+    )
+    return df.select(
+        parsed["doc_id"].alias("doc_id"),
+        parsed["text"].alias("text"),
+        parsed["lang"].alias("lang"),
+        parsed["source"].alias("source"),
+        ok.cast("bigint").alias("ok"),
+        F.when(~ok, F.col(line_col)).alias("quarantined_line"),
+    )

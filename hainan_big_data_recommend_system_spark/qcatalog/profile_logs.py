@@ -361,3 +361,70 @@ def q_recent_orders_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("ids_csv"),
     ).select("kv_key", "ids_csv")
+
+
+_JSONL_LINE_SQL = """
+        SELECT CASE WHEN doc_id % 13 = 0
+               THEN substr(line, 1, length(line) - 8)
+               ELSE line END AS line
+        FROM (
+            SELECT doc_id,
+                   '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+                   || ', "text": "' || text
+                   || '", "lang": "' || lang
+                   || '", "source": "' || source || '"}' AS line
+            FROM documents
+        )
+"""
+
+
+@register_extra(
+    "jsonl_corpus_scan",
+    f"""
+    WITH lines AS ({_JSONL_LINE_SQL}),
+    parsed AS (
+        SELECT line,
+               CASE WHEN json_valid(line)
+                    THEN CAST(json_extract_string(line, '$.doc_id') AS BIGINT)
+                    END AS doc_id,
+               CASE WHEN json_valid(line)
+                    THEN json_extract_string(line, '$.text') END AS text,
+               CASE WHEN json_valid(line)
+                    THEN json_extract_string(line, '$.lang') END AS lang,
+               CASE WHEN json_valid(line)
+                    THEN json_extract_string(line, '$.source') END AS source
+        FROM lines
+    )
+    SELECT doc_id, text, lang, source,
+           CAST(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS ok,
+           CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL THEN NULL
+                ELSE line END AS quarantined_line
+    FROM parsed
+    """,
+)
+def q_jsonl_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-tolerant JSONL corpus source (operators/logparse.
+    parse_jsonl_corpus): documents serialized to JSON lines with 1/13
+    deterministically truncated — the multi-TB-crawl reality — parsed
+    back via PERMISSIVE from_json; good rows round-trip, bad rows emit
+    ok=0 with the raw line quarantined.  The oracle builds byte-identical
+    lines and parses them with DuckDB's JSON functions."""
+    from ..operators.logparse import parse_jsonl_corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    line = F.concat(
+        F.lit('{"doc_id": '), F.col("doc_id").cast("string"),
+        F.lit(', "text": "'), F.col("text"),
+        F.lit('", "lang": "'), F.col("lang"),
+        F.lit('", "source": "'), F.col("source"), F.lit('"}'),
+    )
+    lines = docs.select(
+        F.when(
+            F.col("doc_id") % 13 == 0,
+            F.substring(line, 1, F.length(line) - 8),
+        )
+        .otherwise(line)
+        .alias("line")
+    )
+    return parse_jsonl_corpus(lines, "line")

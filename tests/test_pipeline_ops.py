@@ -593,3 +593,31 @@ def test_cdc_exact_dup_docs_fully_covered(spark):
     assert out[2]["dup_token_coverage_bp"] == 10000
     assert out[3]["n_dup_chunks"] == 0
     assert (out[4]["n_chunks"], out[4]["dup_token_coverage_bp"]) == (0, 0)
+
+
+def test_parse_jsonl_corpus_quarantine(spark):
+    from hainan_big_data_recommend_system_spark.operators.logparse import (
+        parse_jsonl_corpus,
+    )
+
+    lines = spark.createDataFrame(
+        [
+            Row(line='{"doc_id": 1, "text": "hello", "lang": "en", "source": "s"}'),
+            Row(line='{"doc_id": 2, "text": "tr'),          # truncated
+            Row(line='{"text": "no id", "lang": "en", "source": "s"}'),  # missing id
+            Row(line="not json at all"),
+            Row(line='{"doc_id": 5, "lang": "en", "source": "s"}'),  # missing text
+        ]
+    )
+    got = parse_jsonl_corpus(lines, "line").collect()
+    by_ok = {r["quarantined_line"]: r for r in got if r["ok"] == 0}
+    good = [r for r in got if r["ok"] == 1]
+    assert len(good) == 1 and good[0]["doc_id"] == 1 and good[0]["text"] == "hello"
+    assert good[0]["quarantined_line"] is None
+    # every bad line is preserved verbatim for quarantine
+    assert set(by_ok) == {
+        '{"doc_id": 2, "text": "tr',
+        '{"text": "no id", "lang": "en", "source": "s"}',
+        "not json at all",
+        '{"doc_id": 5, "lang": "en", "source": "s"}',
+    }
