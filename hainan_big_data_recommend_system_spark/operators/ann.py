@@ -356,11 +356,14 @@ def choose_ann_strategy(
 
     - **memory first**: when ``max_bytes_per_vector`` is below the raw
       float32 footprint (``dim·4``), only the PQ compressed index fits —
-      the pinned M=16×K=256 geometry stores 16 bytes/vector and measured
-      recall@5 0.776 vs exact L2, so targets above 0.75 are refused
-      rather than silently missed (at deployment scale PQ composes with
-      IVF lists; the budget decides the *storage*, the rest of the table
-      decides the *traversal*);
+      the pinned M=16×K=256 geometry stores 16 bytes/vector.  Targets
+      above 0.75 are refused outright (the BEST measured PQ recall@5 is
+      0.776, on the codebooks' own training corpus); note that PQ recall
+      is corpus-dependent below that ceiling (0.552 measured on the
+      small off-training sf0.001 set), so a passed gate bounds the
+      target against the best case, not a per-corpus guarantee.  (At
+      deployment scale PQ composes with IVF lists; the budget decides
+      the *storage*, the rest of the table decides the *traversal*.);
     - exact brute force whenever it is affordable (``n`` at or under
       ``brute_force_max_n`` — the sharded matmul is cheap there and
       recall is 1.0 by construction) or the recall target demands
@@ -394,8 +397,8 @@ def choose_ann_strategy(
             )
         if recall_target > 0.75:
             raise ValueError(
-                f"recall_target {recall_target} exceeds the measured PQ "
-                "recall (0.776 at the pinned geometry) — no "
+                f"recall_target {recall_target} exceeds the BEST measured "
+                "PQ recall (0.776, on the codebooks' training corpus) — no "
                 "memory-constrained config clears it; raise the budget or "
                 "lower the target"
             )
@@ -431,20 +434,35 @@ def ann_topk_auto(
 ) -> DataFrame:
     """One interface over the ANN family (SURVEY §7.4): counts the corpus
     (unless ``n`` is passed), consults :func:`choose_ann_strategy`, and
-    dispatches.  ``centroids`` implies ``has_quantizer``."""
+    dispatches.  ``centroids`` implies ``has_quantizer``.  When a memory
+    budget is given, the data's actual dimensionality is probed (one
+    non-null row) so the raw-footprint comparison uses this corpus's
+    ``dim·4``, not an assumed width."""
     from .lsh import lsh_topk_pinned
 
     if n is None:
         n = df.filter(F.col(vec_col).isNotNull()).count()
     has_quantizer = has_quantizer or centroids is not None
+    dim_kwargs = {}
+    if max_bytes_per_vector is not None:
+        row = (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.size(F.col(vec_col)).alias("d"))
+            .limit(1)
+            .collect()
+        )
+        if row:
+            dim_kwargs["dim"] = int(row[0]["d"])
     choice = choose_ann_strategy(
         n, has_quantizer, recall_target,
-        max_bytes_per_vector=max_bytes_per_vector,
+        max_bytes_per_vector=max_bytes_per_vector, **dim_kwargs,
     )
     if choice["strategy"] == "pq":
         from .pq import pq_adc_topk
 
-        return pq_adc_topk(df, id_col, vec_col, k, query_filter=query_filter)
+        return pq_adc_topk(
+            df, id_col, vec_col, k, query_filter=query_filter, n=n
+        )
     if choice["strategy"] == "brute":
         return cosine_topk_bruteforce(df, id_col, vec_col, k, query_filter)
     if choice["strategy"] == "ivf":

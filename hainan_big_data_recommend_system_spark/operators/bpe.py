@@ -154,8 +154,16 @@ def bpe_apply(
     Scan-local: each word is delimited, the merge replaces are applied as
     a fixed chain of literal ``replace`` expressions (same semantics the
     trainer used), and the token count is read off the delimiter count —
-    no shuffle, no UDF, whole-stage codegen."""
+    no shuffle, no UDF, whole-stage codegen.
+
+    Docs containing the ``|`` symbol delimiter are un-tokenizable under
+    this scheme (a pipe inside a word forges boundary bytes and corrupts
+    the count); matching the trainer's fail-fast guard would cost a
+    second corpus scan, so the applier stays one-pass and emits
+    ``n_bpe_tokens = NULL`` for those rows instead — explicit and
+    filterable, never a silently wrong count."""
     toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
+    has_sep = F.col(text_col).contains(SEP)
     word_seq = F.transform(
         F.filter(toks, lambda w: w != ""), lambda w: _seq_expr(w)
     )
@@ -176,5 +184,7 @@ def bpe_apply(
     n_words = F.size(F.filter(toks, lambda w: w != ""))
     return docs.select(
         F.col(id_col).alias("doc_id"),
-        (n_inner + n_words).cast("long").alias("n_bpe_tokens"),
+        F.when(has_sep, F.lit(None))
+        .otherwise((n_inner + n_words).cast("long"))
+        .alias("n_bpe_tokens"),
     )

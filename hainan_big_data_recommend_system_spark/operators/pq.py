@@ -48,7 +48,10 @@ def _check_dim(
 ) -> None:
     """Fail fast when the data's dimensionality does not cover the
     codebook grid exactly — silent numpy slicing would otherwise encode
-    truncated subvectors (or die mid-task with a shape error)."""
+    truncated subvectors.  This probes ONE non-null row (cheap driver
+    check for the common all-wrong-dim mistake); a MIXED-dimensionality
+    corpus can slip past it, so the Arrow kernels additionally reject
+    ragged batches (:func:`_to_matrix`) with the same error class."""
     need = len(codebooks) * sub_dim
     row = (
         df.filter(F.col(vec_col).isNotNull())
@@ -69,6 +72,21 @@ def _books_np(codebooks: list[list[list[int]]]):
     import numpy as np
 
     return np.asarray(codebooks, dtype=np.int64)
+
+
+def _to_matrix(series, need_dim: int):
+    """Arrow column of vectors → (n, need_dim) int64 matrix, rejecting
+    ragged rows (mixed dimensionality builds an object-dtype array —
+    the in-kernel backstop behind the one-row driver probe)."""
+    import numpy as np
+
+    x = np.array(series.tolist())
+    if x.dtype == object or x.ndim != 2 or x.shape[1] != need_dim:
+        raise ValueError(
+            f"mixed or wrong vector dimensionality in batch (need "
+            f"{need_dim} per row); clean the corpus or refit codebooks"
+        )
+    return x.astype(np.int64, copy=False)
 
 
 def _encode_np(x, books):
@@ -116,7 +134,7 @@ def pq_encode(
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            x = np.array(pdf["__qv"].tolist(), dtype=np.int64)
+            x = _to_matrix(pdf["__qv"], books.shape[0] * books.shape[2])
             codes = _encode_np(x, books)
             yield pd.DataFrame(
                 {"vid": pdf["vid"].to_numpy(), "codes": list(codes)}
@@ -145,8 +163,8 @@ def _adc_block_topk(k: int, codebooks: list[list[list[int]]]):
         q_rows, c_rows = pdf[qmask], pdf[cmask]
         q_ids = q_rows["vid"].to_numpy()
         c_ids = c_rows["vid"].to_numpy()
-        qx = np.array(q_rows["__qv"].tolist(), dtype=np.int64)
-        codes = np.array(c_rows["codes"].tolist(), dtype=np.int64)
+        qx = _to_matrix(q_rows["__qv"], m * s)
+        codes = _to_matrix(c_rows["codes"], m)
         # LUT[q, j, c] = ||q_j - codeword_jc||^2, exact int64
         lut = np.empty((len(q_ids), m, n_codes), dtype=np.int64)
         for j in range(m):
@@ -186,14 +204,19 @@ def pq_adc_topk(
     scale: int = PQ_SCALE,
     sub_dim: int = PQ_SUB_DIM,
     vectors_per_block: int = 4096,
+    n: int | None = None,
 ) -> DataFrame:
     """Top-k neighbors by PQ asymmetric distance —
     ``(query_id, neighbor_id, adc_dist, rn)``, self-pairs excluded,
-    ascending exact-integer distance, ties broken on neighbor id."""
+    ascending exact-integer distance, ties broken on neighbor id.
+    Pass ``n`` (the non-null vector count) when the caller already knows
+    it — ``ann_topk_auto`` counted the corpus to pick the strategy, and
+    re-counting here would be a second full-scan driver job."""
     if codebooks is None:
         codebooks = PINNED_PQ_CODEBOOKS
     base = df.filter(F.col(vec_col).isNotNull())
-    n = base.count()
+    if n is None:
+        n = base.count()
     n_blocks = max(1, -(-n // vectors_per_block))
     cand = pq_encode(base, id_col, vec_col, codebooks, scale, sub_dim).select(
         "vid",

@@ -46,7 +46,12 @@ def exact_substring_dedup(
             f"window length w={w} must be >= 2: w=1 degenerates into "
             "removing every repeated TOKEN, which is not span removal"
         )
-    toks = F.split(F.trim(F.col(text_col)), _WS)
+    # empty tokens filtered like the sibling operators (cdc_chunk_stats,
+    # bigram_lm_scores): an empty doc must report 0 tokens, not a phantom
+    # ''-token that skews removal-rate statistics
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), _WS), lambda w: w != ""
+    )
     base = docs.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
     # guard: Spark's sequence DESCENDS when stop < start — short docs must
     # yield zero windows (same guard as operators/dedup.shingles)
@@ -100,11 +105,8 @@ def exact_substring_dedup(
     )
     tokens = base.select(
         "doc_id",
-        F.size("__toks").alias("__nt"),
         F.posexplode("__toks").alias("__p0", "__tok"),
-    ).select(
-        "doc_id", "__nt", (F.col("__p0") + 1).alias("pos"), "__tok"
-    )
+    ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "__tok")
     # aliased join keys: tokens and merged share lineage (both derive from
     # base), and accessor-resolved doc_id == doc_id would be the ambiguous
     # self-join case — explicit renames make the containment join sound
@@ -127,7 +129,6 @@ def exact_substring_dedup(
             ),
         ).alias("clean_text"),
         F.count(F.lit(1)).alias("__kc"),
-        F.first("__nt").alias("__nt"),
     )
     all_docs = base.select("doc_id", F.size("__toks").alias("__nt_all"))
     return all_docs.join(rebuilt, "doc_id", "left").select(

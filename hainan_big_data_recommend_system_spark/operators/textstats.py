@@ -537,7 +537,9 @@ def dsir_importance_weights(
     )
     feats = docs.select(
         F.col(id_col).alias("doc_id"),
-        target_filter.cast("int").alias("__t"),
+        # NULL-evaluating filters (e.g. lang == 'en' with NULL lang) must
+        # count as off-target, not NULL-poison the bucket's target sum
+        F.coalesce(target_filter.cast("int"), F.lit(0)).alias("__t"),
         F.explode(z).alias("z"),
     ).select("doc_id", "__t", bucket.alias("b"))
     # the whole model: <= n_buckets rows of (target count, raw count).

@@ -761,7 +761,8 @@ _ESD_ORACLE = f"""
     ),
     t AS (
         SELECT doc_id,
-               string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS toks
+               list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+'),
+                           x -> x <> '') AS toks
         FROM aug
     ),
     occ AS (

@@ -545,13 +545,13 @@ _PQ_ORACLE = f"""
 
 @register("ann_topk_pq", _PQ_ORACLE)
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-compressed ANN (operators/pq.py): encode is a scan-local
-    integer argmin against the pinned codebooks (the 32×-compression
-    index a 100 TB embedding corpus keeps in RAM), search is broadcast
-    LUT + 8 integer lookups per candidate (asymmetric distance).  Every
-    stage exact integers — the whole compressed path hash-checks.  Same
-    probe bounding as the other ANN queries (vec_id % 4 = 0), top-5
-    ascending distance."""
+    """PQ-compressed ANN (operators/pq.py): encode is an Arrow-batched
+    integer argmin against the pinned M=16×K=256 codebooks (16 bytes per
+    vector — the 16×-compression index a 100 TB embedding corpus keeps
+    in RAM), search gathers 16 integer LUT entries per candidate
+    (asymmetric distance).  Every stage exact integers — the whole
+    compressed path hash-checks.  Same probe bounding as the other ANN
+    queries (vec_id % 4 = 0), top-5 ascending distance."""
     from ..operators.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")

@@ -83,3 +83,16 @@ def test_bpe_rejects_delimiter_in_words(spark):
     words = spark.createDataFrame([Row(word="a|b", freq=1), Row(word="ok", freq=1)])
     with pytest.raises(ValueError, match="delimiter"):
         bpe_train(words, "word", "freq", n_merges=1)
+
+
+def test_bpe_apply_nulls_pipe_bearing_docs(spark, tiny_words):
+    merges = bpe_train(tiny_words, "word", "freq", n_merges=1)
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="ab ok"), Row(doc_id=2, text="a|b ok")]
+    )
+    got = {
+        r["doc_id"]: r["n_bpe_tokens"]
+        for r in bpe_apply(docs, "doc_id", "text", merges).collect()
+    }
+    assert got[1] is not None
+    assert got[2] is None  # un-tokenizable under the delimiter scheme

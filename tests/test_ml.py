@@ -252,3 +252,24 @@ def test_ann_topk_auto_pq_dispatch(spark, sf_dir):
         emb, "vec_id", "embedding", k=5, query_filter=probe
     ).collect()}
     assert auto == direct
+
+
+def test_ann_topk_auto_probes_real_dim(spark):
+    """The memory gate must compare the budget against THIS corpus's raw
+    footprint: a 32-dim corpus at 200 B/vector fits raw floats (128 B),
+    so auto must NOT route to PQ (whose codebooks demand 64 dims)."""
+    import pytest as _pytest
+    from pyspark.sql import Row
+
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        ann_topk_auto,
+    )
+
+    emb32 = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 7) / 7 + 0.1] * 32) for i in range(12)],
+        "vec_id long, embedding array<float>",
+    )
+    out = ann_topk_auto(
+        emb32, "vec_id", "embedding", k=2, max_bytes_per_vector=200
+    )
+    assert out.count() > 0  # brute path: runs fine on 32-dim vectors

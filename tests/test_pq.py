@@ -154,3 +154,14 @@ def test_ivfpq_invariants_and_recall(spark, emb):
         iv.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     rec = sum(len(fs[q] & iv.get(q, set())) / len(fs[q]) for q in fs) / len(fs)
     assert rec >= 0.3, f"IVFPQ recall {rec:.3f} below the nprobe=2 floor"
+
+
+def test_ragged_batch_rejected_in_kernel(spark):
+    """The driver probe samples one row; a mixed-dim corpus must still
+    die with the explicit dimensionality error inside the Arrow kernel,
+    never encode truncated garbage."""
+    rows = [Row(vec_id=i, embedding=[0.1] * 64) for i in range(20)]
+    rows.append(Row(vec_id=99, embedding=[0.1] * 32))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="dimensionality"):
+        pq_encode(df, "vec_id", "embedding").collect()
