@@ -64,7 +64,16 @@ def test_interval_join_is_banded_hash_join_not_nested_loop(spark):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_exact", "token_counts", "text_quality_stats", "frame_samples"],
+    [
+        "dedup_exact",
+        "token_counts",
+        "text_quality_stats",
+        "frame_samples",
+        "bigram_lm_scores",
+        "dsir_importance_weights",
+        "cdc_chunk_stats",
+        "jsonl_corpus_scan",
+    ],
 )
 def test_text_pipeline_queries_have_no_python_udfs(spark, name):
     # the hot text path is JVM-side expressions end-to-end: a row-at-a-time
