@@ -416,3 +416,97 @@ def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return training_shards(docs, F.col("doc_id"), n_shards=_N_SHARDS)
+
+
+@register_extra(
+    "span_corruption_pairs",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    tok AS (
+        SELECT doc_id, i AS pos, toks[i] AS tok
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) + 1)) AS i)
+    ),
+    starts AS (
+        SELECT doc_id, pos, pos + 2 AS e
+        FROM tok
+        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+                   || CAST(pos AS VARCHAR) || ':spanv1'), 1, 7))::BIGINT
+              % 20 = 0
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) IS NULL
+                    OR pos > max(e) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    )
+                    THEN 1 ELSE 0 END AS ni
+        FROM starts
+    ),
+    isl2 AS (
+        SELECT doc_id, pos, e,
+               sum(ni) OVER (
+                   PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING
+               ) AS g
+        FROM isl
+    ),
+    m AS (
+        SELECT doc_id, g - 1 AS k, min(pos) AS s, max(e) AS e
+        FROM isl2 GROUP BY doc_id, g
+    ),
+    lab AS (
+        SELECT tk.doc_id, tk.pos, tk.tok, m.k, m.s
+        FROM tok tk LEFT JOIN m
+          ON m.doc_id = tk.doc_id AND tk.pos BETWEEN m.s AND m.e
+    ),
+    inp AS (
+        SELECT doc_id,
+               string_agg(
+                   CASE WHEN k IS NULL THEN tok
+                        WHEN pos = s THEN '<extra_id_' || CAST(k AS VARCHAR) || '>'
+                        END, ' ' ORDER BY pos) AS input_text,
+               sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS n_masked
+        FROM lab GROUP BY doc_id
+    ),
+    spans AS (
+        SELECT doc_id, k,
+               '<extra_id_' || CAST(k AS VARCHAR) || '> '
+               || string_agg(tok, ' ' ORDER BY pos) AS seg
+        FROM lab WHERE k IS NOT NULL GROUP BY doc_id, k
+    ),
+    tgt AS (
+        SELECT doc_id, string_agg(seg, ' ' ORDER BY k) AS tt,
+               count(*) AS n_spans
+        FROM spans GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(i.input_text, array_to_string(t.toks, ' ')) AS input_text,
+           coalesce(g.tt || ' ', '')
+               || '<extra_id_' || CAST(coalesce(g.n_spans, 0) AS VARCHAR) || '>'
+               AS target_text,
+           CAST(coalesce(g.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(coalesce(i.n_masked, 0) AS BIGINT) AS n_masked_tokens
+    FROM t
+    LEFT JOIN inp i USING (doc_id)
+    LEFT JOIN tgt g USING (doc_id)
+    """,
+)
+def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span corruption as a corpus transform (operators/
+    span_corruption.py): salted-hash span seeding, gaps-and-islands
+    merge, sentinel-numbered (input, target) pair construction — the
+    denoising-objective materialization a seq2seq pretraining run
+    consumes, fully deterministic and hash-matched down to every
+    sentinel."""
+    from ..operators.span_corruption import span_corruption_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return span_corruption_pairs(docs, "doc_id", "text")

@@ -621,3 +621,42 @@ def test_parse_jsonl_corpus_quarantine(spark):
         "not json at all",
         '{"doc_id": 5, "lang": "en", "source": "s"}',
     }
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """The defining invariant: splicing each target span back into its
+    input sentinel slot reproduces the original token stream exactly,
+    and sentinel numbering is dense in document order."""
+    import re
+
+    from hainan_big_data_recommend_system_spark.operators.span_corruption import (
+        span_corruption_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"tok{i}x{j}" for j in range(40)))
+         for i in range(25)]
+    )
+    out = span_corruption_pairs(docs, "doc_id", "text").collect()
+    originals = {i: " ".join(f"tok{i}x{j}" for j in range(40)) for i in range(25)}
+    saw_span = False
+    for r in out:
+        # parse target into {sentinel_k: hidden tokens}
+        parts = re.split(r"<extra_id_(\d+)>", r["target_text"])
+        spans = {}
+        ks = [int(k) for k in parts[1::2]]
+        for k, hidden in zip(ks[:-1], parts[2:-1:2]):
+            spans[k] = hidden.strip()
+        assert ks == list(range(len(ks)))  # dense 0..K numbering
+        assert ks[-1] == r["n_spans"]      # terminator sentinel
+        rebuilt = re.sub(
+            r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))],
+            r["input_text"],
+        )
+        assert " ".join(rebuilt.split()) == originals[r["doc_id"]]
+        if r["n_spans"] > 0:
+            saw_span = True
+            assert r["n_masked_tokens"] >= r["n_spans"] * 3 - 2 * (
+                r["n_spans"] - 1
+            )
+    assert saw_span  # the fixture must actually exercise masking
