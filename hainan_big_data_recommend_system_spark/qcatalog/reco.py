@@ -26,7 +26,7 @@ from ..operators.hot import hot_items
 from ..operators.nn1d import nearest_neighbors_1d
 from ..operators.scoring import rank_discounted_score
 from ..operators.topk import topk_per_group
-from . import register
+from . import register, register_extra
 
 
 @register(
@@ -209,3 +209,42 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rec.item").cast("bigint").alias("pid"),
         (F.col("pos") + 1).cast("bigint").alias("rk"),
     )
+
+
+@register_extra(
+    "next_item_examples",
+    """
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
+        FROM events
+        WHERE event_type IN ('click', 'view', 'purchase')
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    ex AS (
+        SELECT user_id, event_id,
+               array_to_string(list(item) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+               ), ',') AS history,
+               CAST(len(list(item) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING
+               )) AS BIGINT) AS n_history,
+               item AS label
+        FROM base
+    )
+    SELECT user_id, event_id, history, n_history, label
+    FROM ex WHERE n_history >= 1
+    """,
+)
+def q_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-reco training examples (operators/reco_examples.py):
+    each click/view/purchase with at least one prior interaction becomes
+    (last-5-items history, next-item label) — the GRU4Rec/SASRec dataset
+    materialization, one user-keyed window pass with a total (ts,
+    event_id) order so both engines pack identical histories."""
+    from ..operators.reco_examples import next_item_examples
+
+    events = load_table(spark, sf_dir, "events")
+    return next_item_examples(events)

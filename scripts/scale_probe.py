@@ -89,6 +89,11 @@ QUERIES = [
     "bpe_merge_training",
     "ann_topk_pq",
     "exact_substring_dedup",
+    "bigram_lm_scores",
+    "dsir_importance_weights",
+    "cdc_chunk_stats",
+    "jsonl_corpus_scan",
+    "span_corruption_pairs",
 ]
 
 
