@@ -185,3 +185,72 @@ def span_corruption_pairs(
         .cast("long")
         .alias("n_masked_tokens"),
     )
+
+
+def _hash_mod(parts: list, mod) -> F.Column:
+    """Engine-portable integer hash: first 7 md5 hex digits mod ``mod``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", *parts)), 1, 7), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
+def fim_transform(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    fim_rate_mod: int = 2,
+    salt: str = "fimv1",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    for a deterministic ``1/fim_rate_mod`` of docs (the paper's 50%
+    default at ``2``), pick two salted-hash cut points, split the token
+    stream into prefix/middle/suffix, and emit the PSM reordering
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M``; the rest pass
+    through unchanged as autoregressive rows (``mode = 'ar'``).
+
+    Cut points are pure functions of ``(doc_id, salt)`` — rerun,
+    replica, and oracle identical; re-salt to re-roll.  Entirely
+    scan-local slice/join expressions: no shuffle, no UDF, the transform
+    streams through the corpus scan at 100 TB.
+
+    ``(doc_id, mode, output_text, n_prefix, n_middle, n_suffix)``;
+    prefix + middle + suffix always reconstructs the original stream
+    (the invariant test's property)."""
+    toks = F.filter(
+        F.split(F.trim(F.col(text_col)), _WS), lambda w: w != ""
+    )
+    n = F.size(toks)
+    is_fim = _hash_mod(
+        [F.col(id_col).cast("string"), F.lit(salt), F.lit("m")], fim_rate_mod
+    ) == 0
+    a = _hash_mod([F.col(id_col).cast("string"), F.lit(salt), F.lit("a")], n + 1)
+    b = _hash_mod([F.col(id_col).cast("string"), F.lit(salt), F.lit("b")], n + 1)
+    lo, hi = F.least(a, b), F.greatest(a, b)
+    prefix = F.slice(toks, 1, lo)
+    middle = F.slice(toks, lo + 1, hi - lo)
+    suffix = F.slice(toks, hi + 1, n - hi)
+    psm = F.concat_ws(
+        " ",
+        F.lit("<fim_prefix>"), F.array_join(prefix, " "),
+        F.lit("<fim_suffix>"), F.array_join(suffix, " "),
+        F.lit("<fim_middle>"), F.array_join(middle, " "),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(is_fim, "fim").otherwise("ar").alias("mode"),
+        F.when(is_fim, psm).otherwise(F.array_join(toks, " ")).alias(
+            "output_text"
+        ),
+        F.when(is_fim, F.size(prefix)).otherwise(n).cast("long").alias(
+            "n_prefix"
+        ),
+        F.when(is_fim, F.size(middle)).otherwise(0).cast("long").alias(
+            "n_middle"
+        ),
+        F.when(is_fim, F.size(suffix)).otherwise(0).cast("long").alias(
+            "n_suffix"
+        ),
+    )

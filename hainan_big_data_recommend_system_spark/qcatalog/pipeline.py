@@ -510,3 +510,54 @@ def q_span_corruption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return span_corruption_pairs(docs, "doc_id", "text")
+
+
+@register_extra(
+    "fim_transform",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    cut AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimv1:m'),
+                               1, 7))::BIGINT % 2 = 0 AS is_fim,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimv1:a'),
+                               1, 7))::BIGINT % (len(toks) + 1) AS a,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':fimv1:b'),
+                               1, 7))::BIGINT % (len(toks) + 1) AS b
+        FROM t
+    ),
+    parts AS (
+        SELECT doc_id, toks, n, is_fim,
+               least(a, b) AS lo, greatest(a, b) AS hi
+        FROM cut
+    )
+    SELECT doc_id,
+           CASE WHEN is_fim THEN 'fim' ELSE 'ar' END AS mode,
+           CASE WHEN is_fim THEN
+               '<fim_prefix> ' || coalesce(array_to_string(toks[1:lo], ' '), '')
+               || ' <fim_suffix> '
+               || coalesce(array_to_string(toks[hi + 1:n], ' '), '')
+               || ' <fim_middle> '
+               || coalesce(array_to_string(toks[lo + 1:hi], ' '), '')
+           ELSE coalesce(array_to_string(toks, ' '), '') END AS output_text,
+           CAST(CASE WHEN is_fim THEN lo ELSE n END AS BIGINT) AS n_prefix,
+           CAST(CASE WHEN is_fim THEN hi - lo ELSE 0 END AS BIGINT) AS n_middle,
+           CAST(CASE WHEN is_fim THEN n - hi ELSE 0 END AS BIGINT) AS n_suffix
+    FROM parts
+    """,
+)
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle corpus transform (operators/span_corruption.
+    fim_transform): half the docs (salted-hash deterministic) get PSM
+    reordering at two hash-derived cut points, half stay autoregressive
+    — the Bavarian et al. 2022 data op, scan-local end to end and
+    hash-matched down to every sentinel and cut."""
+    from ..operators.span_corruption import fim_transform
+
+    docs = load_table(spark, sf_dir, "documents")
+    return fim_transform(docs, "doc_id", "text")

@@ -689,3 +689,35 @@ def test_next_item_examples_windows(spark):
     assert got[1]["history"] == "10" and got[1]["label"] == 20
     assert got[6]["history"] == "20,30,40,50,60" and got[6]["label"] == 70
     assert got[6]["n_history"] == 5
+
+
+def test_fim_reconstructs_original(spark):
+    """P + M + S reassembles the original token stream for every fim row;
+    ar rows pass through untouched; the fim rate is ~1/2."""
+    from hainan_big_data_recommend_system_spark.operators.span_corruption import (
+        fim_transform,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=" ".join(f"q{i}t{j}" for j in range(30)))
+         for i in range(40)] + [Row(doc_id=999, text="")]
+    )
+    out = fim_transform(docs, "doc_id", "text").collect()
+    modes = {r["doc_id"]: r["mode"] for r in out}
+    n_fim = sum(1 for m in modes.values() if m == "fim")
+    assert 10 <= n_fim <= 30  # ~half of 41 docs
+    for r in out:
+        if r["doc_id"] == 999:
+            continue
+        orig = " ".join(f"q{r['doc_id']}t{j}" for j in range(30))
+        if r["mode"] == "ar":
+            assert r["output_text"] == orig
+            assert (r["n_prefix"], r["n_middle"], r["n_suffix"]) == (30, 0, 0)
+        else:
+            body = r["output_text"]
+            assert body.startswith("<fim_prefix> ")
+            pre, rest = body[len("<fim_prefix> "):].split(" <fim_suffix> ")
+            suf, mid = rest.split(" <fim_middle> ")
+            rebuilt = " ".join((pre + " " + mid + " " + suf).split())
+            assert rebuilt == orig
+            assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == 30
