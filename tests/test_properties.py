@@ -183,3 +183,121 @@ def test_repetition_stats_bounds_and_extremes(spark):
         for c in ("top2gram_micros", "dup2gram_micros",
                   "top3gram_micros", "dup3gram_micros"):
             assert 0 <= r[c] <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Round-5 session-2 properties: the distributed BPE trainer and the
+# exact-substring scrub each checked against straightforward pure-Python
+# reference implementations on hypothesis-generated corpora.
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(word_freqs: dict[str, int], n_merges: int):
+    """Textbook sequential BPE (Sennrich et al.): pair counts over symbol
+    sequences, argmax with (count desc, pair asc) tie-break, greedy
+    left-to-right merge."""
+    seqs = {w: list(w) for w in word_freqs}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, f in word_freqs.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+        if not counts:
+            return merges, seqs
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (l, r), c = best
+        merges.append((step, l, r, c))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges, seqs
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    words=st.lists(
+        st.tuples(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            st.integers(min_value=1, max_value=9),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    ),
+    n_merges=st.integers(min_value=1, max_value=3),
+)
+def test_bpe_train_matches_reference(spark, words, n_merges):
+    """The distributed trainer's merge table equals textbook sequential
+    BPE for any corpus — including repeated-symbol overlap cases."""
+    from hainan_big_data_recommend_system_spark.operators.bpe import bpe_train
+
+    wf = dict(words)
+    ref, _ = _bpe_reference(wf, n_merges)
+    df = spark.createDataFrame(list(wf.items()), "word string, freq long")
+    try:
+        got = bpe_train(df, "word", "freq", n_merges)
+    except ValueError:
+        # pair space exhausted mid-way: the reference must agree it ran dry
+        assert len(ref) < n_merges
+        return
+    assert got == ref[: len(got)]
+
+
+def _esd_reference(texts: dict[int, str], w: int):
+    """Direct reimplementation of keep-first window removal."""
+    toks = {d: [t for t in txt.split() if t] for d, txt in texts.items()}
+    first: dict[tuple, tuple] = {}
+    occs: list[tuple] = []
+    for d in sorted(toks):
+        for p in range(len(toks[d]) - w + 1):
+            key = tuple(toks[d][p : p + w])
+            occs.append((d, p, key))
+            first.setdefault(key, (d, p))
+    counts: dict[tuple, int] = {}
+    for _, _, key in occs:
+        counts[key] = counts.get(key, 0) + 1
+    removed = {d: set() for d in toks}
+    for d, p, key in occs:
+        if counts[key] >= 2 and first[key] != (d, p):
+            removed[d].update(range(p, p + w))
+    out = {}
+    for d in toks:
+        kept = [t for i, t in enumerate(toks[d]) if i not in removed[d]]
+        out[d] = (" ".join(kept), len(toks[d]), len(removed[d]))
+    return out
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcde"), min_size=0, max_size=12),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_exact_substring_dedup_matches_reference(spark, docs):
+    """Window removal over a tiny alphabet (dense duplicate structure,
+    overlapping spans, whole-doc wipeouts) equals the direct Python
+    reimplementation for any corpus."""
+    from hainan_big_data_recommend_system_spark.operators.substring_dedup import (
+        exact_substring_dedup,
+    )
+
+    texts = {i: " ".join(d) for i, d in enumerate(docs)}
+    ref = _esd_reference(texts, w=3)
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed_tokens"])
+        for r in exact_substring_dedup(df, "doc_id", "text", w=3).collect()
+    }
+    assert got == ref
