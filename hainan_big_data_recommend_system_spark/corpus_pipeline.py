@@ -1,0 +1,161 @@
+"""End-to-end training-corpus pipeline — the composition the individual
+operators exist for: raw documents → cleaned, deduplicated, decontaminated,
+leakage-safely split, deterministically sharded training data.
+
+Every stage writes its output to ``<out_dir>/<NN_name>`` parquet and the
+next stage reads it back — the deployment shape at 100 TB (each stage is
+a restartable job with a durable artifact; a crashed run resumes at the
+first stage whose ``_SUCCESS`` marker is missing, and finished stages are
+never recomputed).  All stages are the catalog's own operators, so each
+link of this chain is DuckDB-oracle-checked elsewhere; what this module
+adds — and what the test pins — is the COMPOSITION: stage contracts line
+up, counts reconcile, and the whole run is bit-deterministic (same input
+⇒ same final shards, whether resumed or rerun from scratch).
+
+Stage ledger (returned as a stats dict, one row per stage):
+
+1. ``01_clean``      C4 line/page heuristics + PII redaction
+2. ``02_quality``    length/ratio gates + exact-dup survivor selection
+3. ``03_neardup``    MinHash → LSH buckets → candidate pairs →
+                     connected components → canonical-survivor prune
+4. ``04_decontam``   benchmark n-gram overlap gate (optional)
+5. ``05_splits``     leakage-safe train/val/test over the dup graph
+6. ``06_shards``     salted-hash shard/position layout, per split
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .operators.components import connected_components
+from .operators.contamination import benchmark_overlap
+from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures
+from .operators.sampling import training_shards
+from .operators.textstats import (
+    c4_line_filter,
+    corpus_clean_flags,
+    leakage_safe_splits,
+    pii_redact,
+)
+
+
+def _stage(spark: SparkSession, out_dir: str, name: str, build):
+    """Restartable stage: build → parquet once; later runs read back."""
+    path = os.path.join(out_dir, name)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    benchmark: DataFrame | None = None,
+    max_contaminated: int = 0,
+    n_shards: int = 8,
+    use_c4: bool = True,
+) -> dict:
+    """Run the full chain; returns ``{stage: {"rows_in", "rows_out"}}``.
+
+    ``benchmark`` (id/text frame) enables the decontamination gate:
+    docs sharing more than ``max_contaminated`` 5-gram shingles with any
+    benchmark doc are dropped.  ``use_c4=False`` skips line cleaning for
+    corpora without line structure."""
+    stats: dict[str, dict[str, int]] = {}
+
+    def record(name: str, rows_in: int, rows_out: int):
+        stats[name] = {"rows_in": rows_in, "rows_out": rows_out}
+
+    n0 = docs.count()
+
+    def clean():
+        if use_c4:
+            kept = (
+                c4_line_filter(docs, id_col, text_col)
+                .filter((F.col("page_dropped") == 0) & (F.col("n_kept") > 0))
+                .select("doc_id", F.col("cleaned_text").alias("text"))
+            )
+        else:
+            kept = docs.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+        return pii_redact(kept, "doc_id", "text").select(
+            "doc_id", F.col("redacted_text").alias("text")
+        )
+
+    cleaned = _stage(spark, out_dir, "01_clean", clean)
+    record("01_clean", n0, cleaned.count())
+
+    def quality():
+        flags = corpus_clean_flags(cleaned, "doc_id", "text")
+        return (
+            cleaned.join(
+                flags.filter(F.col("keep")).select("doc_id"), "doc_id"
+            )
+        )
+
+    survivors = _stage(spark, out_dir, "02_quality", quality)
+    record("02_quality", stats["01_clean"]["rows_out"], survivors.count())
+
+    def pairs():
+        sigs = minhash_signatures(
+            survivors, "doc_id", "text", num_hashes=16, shingle_n=3
+        )
+        return lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
+
+    dup_pairs = _stage(spark, out_dir, "03a_pairs", pairs)
+
+    def neardup():
+        cc = connected_components(dup_pairs, "a_id", "b_id")
+        # canonical survivor = the component's minimum member; everything
+        # else in the cluster is pruned
+        drop = cc.filter(F.col("node") != F.col("component")).select(
+            F.col("node").alias("doc_id")
+        )
+        return survivors.join(drop, "doc_id", "left_anti")
+
+    pruned = _stage(spark, out_dir, "03_neardup", neardup)
+    record("03_neardup", stats["02_quality"]["rows_out"], pruned.count())
+
+    if benchmark is not None:
+        def decontam():
+            overlap = benchmark_overlap(
+                pruned, benchmark, "doc_id", "text", n=5
+            )
+            dirty = overlap.filter(
+                F.col("n_contaminated") > max_contaminated
+            ).select("doc_id")
+            return pruned.join(dirty, "doc_id", "left_anti")
+
+        final_docs = _stage(spark, out_dir, "04_decontam", decontam)
+    else:
+        final_docs = pruned
+    record(
+        "04_decontam", stats["03_neardup"]["rows_out"], final_docs.count()
+    )
+
+    def splits():
+        return final_docs.join(
+            leakage_safe_splits(final_docs, "doc_id", dup_pairs).select(
+                "doc_id", "split"
+            ),
+            "doc_id",
+        )
+
+    with_split = _stage(spark, out_dir, "05_splits", splits)
+    record("05_splits", stats["04_decontam"]["rows_out"], with_split.count())
+
+    def shards():
+        # training_shards emits the LAYOUT table (doc_id, shard_id,
+        # shard_pos); the shard stage decorates the corpus rows with it
+        layout = training_shards(with_split, F.col("doc_id"), n_shards=n_shards)
+        return with_split.join(layout, "doc_id")
+
+    sharded = _stage(spark, out_dir, "06_shards", shards)
+    record("06_shards", stats["05_splits"]["rows_out"], sharded.count())
+    return stats

@@ -1,0 +1,112 @@
+"""End-to-end corpus-pipeline composition: stage contracts line up,
+counts reconcile, restart is a no-op, and the whole run is
+bit-deterministic."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hainan_big_data_recommend_system_spark.corpus_pipeline import (
+    build_training_corpus,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pages(spark):
+    """Documents wrapped into multi-line pages so the C4 stage has real
+    line structure (same construction idea as the c4 catalog query),
+    plus a couple of crafted rows exercising page-drop and PII."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = F.col("text")
+    page = F.concat(
+        F.substring(t, 1, 120),
+        F.lit(" and that is the whole story here."),
+        F.lit("\nshort."),
+        F.when(F.col("doc_id") % 9 == 0,
+               F.lit("\nlorem ipsum dolor sit amet consectetur."))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit("\nwrite to me at someone@mail.example.com for more details."))
+        .otherwise(F.lit("")),
+    )
+    return docs.select("doc_id", page.alias("text"))
+
+
+@pytest.fixture(scope="module")
+def run(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("corpus_run")
+    docs = _pages(spark)
+    bench = spark.createDataFrame(
+        [(1, "key agg row scan slow fast table value part hash")],
+        "bid long, text string",
+    )
+    stats = build_training_corpus(
+        spark, docs, str(out), benchmark=bench, n_shards=4
+    )
+    return out, docs, stats
+
+
+def test_stage_ledger_reconciles(run):
+    _, docs, stats = run
+    order = ["01_clean", "02_quality", "03_neardup", "04_decontam",
+             "05_splits", "06_shards"]
+    assert list(stats) == order
+    assert stats["01_clean"]["rows_in"] == docs.count()
+    for a, b in zip(order, order[1:]):
+        assert stats[b]["rows_in"] == stats[a]["rows_out"]
+        assert stats[b]["rows_out"] <= stats[b]["rows_in"] or b in (
+            "05_splits", "06_shards"
+        )
+    # the page-drop and dup stages actually fired
+    assert stats["01_clean"]["rows_out"] < stats["01_clean"]["rows_in"]
+    assert stats["03_neardup"]["rows_out"] < stats["03_neardup"]["rows_in"]
+    # splits and shards are 1:1 decorations
+    assert stats["05_splits"]["rows_out"] == stats["05_splits"]["rows_in"]
+    assert stats["06_shards"]["rows_out"] == stats["06_shards"]["rows_in"]
+
+
+def test_final_corpus_invariants(run, spark):
+    out, _, _ = run
+    final = spark.read.parquet(str(out / "06_shards"))
+    n = final.count()
+    # no exact duplicates survive
+    assert final.select("text").distinct().count() == n
+    # PII was scrubbed before anything else saw the text
+    assert final.filter(F.col("text").contains("@mail.example.com")).count() == 0
+    assert final.filter(F.col("text").contains("lorem ipsum")).count() == 0
+    # every row carries a split and a shard assignment in range
+    assert final.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    shard_ids = {r["shard_id"] for r in final.select("shard_id").distinct().collect()}
+    assert shard_ids <= set(range(4))
+    # decontamination dropped docs sharing 5-grams with the benchmark
+    bench_hit = final.filter(
+        F.col("text").contains("key agg row scan slow")
+    ).count()
+    assert bench_hit == 0
+
+
+def test_restart_is_noop_and_rerun_is_identical(run, spark, tmp_path):
+    out, docs, stats = run
+    # resume over the same dir: every stage short-circuits, stats agree
+    bench = spark.createDataFrame(
+        [(1, "key agg row scan slow fast table value part hash")],
+        "bid long, text string",
+    )
+    stats2 = build_training_corpus(
+        spark, docs, str(out), benchmark=bench, n_shards=4
+    )
+    assert stats2 == stats
+    # fresh dir from scratch: bit-identical final content
+    out2 = tmp_path / "fresh"
+    build_training_corpus(spark, docs, str(out2), benchmark=bench, n_shards=4)
+    a = {
+        tuple(r) for r in spark.read.parquet(str(out / "06_shards"))
+        .select("doc_id", "split", "shard_id", "shard_pos").collect()
+    }
+    b = {
+        tuple(r) for r in spark.read.parquet(str(out2 / "06_shards"))
+        .select("doc_id", "split", "shard_id", "shard_pos").collect()
+    }
+    assert a == b
