@@ -19,8 +19,13 @@ Stage ledger (returned as a stats dict, one row per stage):
 3. ``03_neardup``    MinHash → LSH buckets → candidate pairs →
                      connected components → canonical-survivor prune
 4. ``04_decontam``   benchmark n-gram overlap gate (optional)
-5. ``05_splits``     leakage-safe train/val/test over the dup graph
-6. ``06_shards``     salted-hash shard/position layout, per split
+5. ``05_select``     DSIR importance selection toward a target domain
+                     (optional)
+6. ``06_splits``     leakage-safe train/val/test over the dup graph
+7. ``07_objective``  training-objective materialization: ``ar``
+                     (passthrough), ``span`` (T5 span corruption), or
+                     ``fim`` (fill-in-the-middle)
+8. ``08_shards``     salted-hash shard/position layout, per split
 """
 
 from __future__ import annotations
@@ -33,9 +38,11 @@ from .operators.components import connected_components
 from .operators.contamination import benchmark_overlap
 from .operators.dedup import lsh_buckets, lsh_candidate_pairs, minhash_signatures
 from .operators.sampling import training_shards
+from .operators.span_corruption import fim_transform, span_corruption_pairs
 from .operators.textstats import (
     c4_line_filter,
     corpus_clean_flags,
+    dsir_importance_weights,
     leakage_safe_splits,
     pii_redact,
 )
@@ -59,13 +66,22 @@ def build_training_corpus(
     max_contaminated: int = 0,
     n_shards: int = 8,
     use_c4: bool = True,
+    dsir_target=None,
+    objective: str = "ar",
 ) -> dict:
     """Run the full chain; returns ``{stage: {"rows_in", "rows_out"}}``.
 
     ``benchmark`` (id/text frame) enables the decontamination gate:
     docs sharing more than ``max_contaminated`` 5-gram shingles with any
     benchmark doc are dropped.  ``use_c4=False`` skips line cleaning for
-    corpora without line structure."""
+    corpora without line structure.  ``dsir_target`` (a boolean Column
+    over the ORIGINAL docs frame, e.g. ``F.col('lang') == 'en'``)
+    enables DSIR importance selection: only docs whose hashed-bigram
+    log-ratio leans toward the target survive.  ``objective`` picks the
+    final materialization: ``'ar'`` keeps text as-is, ``'span'`` emits
+    T5 (input, target) pairs, ``'fim'`` emits PSM reorderings."""
+    if objective not in ("ar", "span", "fim"):
+        raise ValueError(f"unknown objective {objective!r}")
     stats: dict[str, dict[str, int]] = {}
 
     def record(name: str, rows_in: int, rows_out: int):
@@ -139,23 +155,62 @@ def build_training_corpus(
         "04_decontam", stats["03_neardup"]["rows_out"], final_docs.count()
     )
 
+    if dsir_target is not None:
+        def select():
+            flags = docs.select(
+                F.col(id_col).alias("doc_id"),
+                F.coalesce(dsir_target.cast("int"), F.lit(0)).alias(
+                    "__target"
+                ),
+            )
+            scored_in = final_docs.join(flags, "doc_id")
+            weights = dsir_importance_weights(
+                scored_in, "doc_id", "text",
+                target_filter=F.col("__target") == 1,
+            )
+            return final_docs.join(
+                weights.filter(F.col("selected") == 1).select("doc_id"),
+                "doc_id",
+            )
+
+        selected = _stage(spark, out_dir, "05_select", select)
+    else:
+        selected = final_docs
+    record("05_select", stats["04_decontam"]["rows_out"], selected.count())
+
     def splits():
-        return final_docs.join(
-            leakage_safe_splits(final_docs, "doc_id", dup_pairs).select(
+        return selected.join(
+            leakage_safe_splits(selected, "doc_id", dup_pairs).select(
                 "doc_id", "split"
             ),
             "doc_id",
         )
 
-    with_split = _stage(spark, out_dir, "05_splits", splits)
-    record("05_splits", stats["04_decontam"]["rows_out"], with_split.count())
+    with_split = _stage(spark, out_dir, "06_splits", splits)
+    record("06_splits", stats["05_select"]["rows_out"], with_split.count())
+
+    def materialize():
+        if objective == "ar":
+            return with_split
+        if objective == "span":
+            pairs_df = span_corruption_pairs(with_split, "doc_id", "text")
+            return with_split.select("doc_id", "split").join(pairs_df, "doc_id")
+        fimd = fim_transform(with_split, "doc_id", "text")
+        return with_split.select("doc_id", "split").join(fimd, "doc_id")
+
+    materialized = _stage(spark, out_dir, "07_objective", materialize)
+    record(
+        "07_objective", stats["06_splits"]["rows_out"], materialized.count()
+    )
 
     def shards():
         # training_shards emits the LAYOUT table (doc_id, shard_id,
         # shard_pos); the shard stage decorates the corpus rows with it
-        layout = training_shards(with_split, F.col("doc_id"), n_shards=n_shards)
-        return with_split.join(layout, "doc_id")
+        layout = training_shards(
+            materialized, F.col("doc_id"), n_shards=n_shards
+        )
+        return materialized.join(layout, "doc_id")
 
-    sharded = _stage(spark, out_dir, "06_shards", shards)
-    record("06_shards", stats["05_splits"]["rows_out"], sharded.count())
+    sharded = _stage(spark, out_dir, "08_shards", shards)
+    record("08_shards", stats["07_objective"]["rows_out"], sharded.count())
     return stats

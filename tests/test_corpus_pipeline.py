@@ -51,25 +51,25 @@ def run(spark, tmp_path_factory):
 def test_stage_ledger_reconciles(run):
     _, docs, stats = run
     order = ["01_clean", "02_quality", "03_neardup", "04_decontam",
-             "05_splits", "06_shards"]
+             "05_select", "06_splits", "07_objective", "08_shards"]
     assert list(stats) == order
     assert stats["01_clean"]["rows_in"] == docs.count()
     for a, b in zip(order, order[1:]):
         assert stats[b]["rows_in"] == stats[a]["rows_out"]
         assert stats[b]["rows_out"] <= stats[b]["rows_in"] or b in (
-            "05_splits", "06_shards"
+            "06_splits", "07_objective", "08_shards"
         )
     # the page-drop and dup stages actually fired
     assert stats["01_clean"]["rows_out"] < stats["01_clean"]["rows_in"]
     assert stats["03_neardup"]["rows_out"] < stats["03_neardup"]["rows_in"]
     # splits and shards are 1:1 decorations
-    assert stats["05_splits"]["rows_out"] == stats["05_splits"]["rows_in"]
-    assert stats["06_shards"]["rows_out"] == stats["06_shards"]["rows_in"]
+    assert stats["06_splits"]["rows_out"] == stats["06_splits"]["rows_in"]
+    assert stats["08_shards"]["rows_out"] == stats["08_shards"]["rows_in"]
 
 
 def test_final_corpus_invariants(run, spark):
     out, _, _ = run
-    final = spark.read.parquet(str(out / "06_shards"))
+    final = spark.read.parquet(str(out / "08_shards"))
     n = final.count()
     # no exact duplicates survive
     assert final.select("text").distinct().count() == n
@@ -102,11 +102,45 @@ def test_restart_is_noop_and_rerun_is_identical(run, spark, tmp_path):
     out2 = tmp_path / "fresh"
     build_training_corpus(spark, docs, str(out2), benchmark=bench, n_shards=4)
     a = {
-        tuple(r) for r in spark.read.parquet(str(out / "06_shards"))
+        tuple(r) for r in spark.read.parquet(str(out / "08_shards"))
         .select("doc_id", "split", "shard_id", "shard_pos").collect()
     }
     b = {
-        tuple(r) for r in spark.read.parquet(str(out2 / "06_shards"))
+        tuple(r) for r in spark.read.parquet(str(out2 / "08_shards"))
         .select("doc_id", "split", "shard_id", "shard_pos").collect()
     }
     assert a == b
+
+
+def test_objective_and_dsir_stages(spark, tmp_path):
+    """The optional stages: DSIR selection shrinks the corpus toward the
+    target domain; the span objective emits valid (input, target) rows
+    that still carry splits and shards."""
+    docs = _pages(spark)
+    lang = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    flags = docs.join(lang, "doc_id")
+    out = tmp_path / "span_run"
+    stats = build_training_corpus(
+        spark,
+        flags,
+        str(out),
+        dsir_target=F.col("lang") == "en",
+        objective="span",
+        n_shards=2,
+    )
+    assert stats["05_select"]["rows_out"] < stats["05_select"]["rows_in"]
+    final = spark.read.parquet(str(out / "08_shards"))
+    cols = set(final.columns)
+    assert {"doc_id", "split", "input_text", "target_text",
+            "n_spans", "shard_id", "shard_pos"} <= cols
+    # every target terminates with its count sentinel
+    bad = final.filter(
+        ~F.col("target_text").endswith(
+            F.concat(F.lit("<extra_id_"), F.col("n_spans").cast("string"),
+                     F.lit(">"))
+        )
+    ).count()
+    assert bad == 0
+
+    with pytest.raises(ValueError, match="objective"):
+        build_training_corpus(spark, docs, str(tmp_path / "x"), objective="nope")
