@@ -1119,3 +1119,83 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dsir_importance_weights(
         docs, "doc_id", "text", target_filter=F.col("lang") == "en"
     )
+
+
+@register_extra(
+    "audio_meta",
+    r"""
+    WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+    s AS (
+        SELECT doc_id, n, i,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wavv1:'
+                                   || CAST(i AS VARCHAR)), 1, 4))::BIGINT
+               - 32768 AS v
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS i)
+    ),
+    s2 AS (
+        SELECT doc_id, n, i, v,
+               lag(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+        FROM s
+    ),
+    feat AS (
+        SELECT doc_id, max(n) AS ns,
+               max(abs(v)) AS peak,
+               sum(v * v) AS energy,
+               sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+                        THEN 1 ELSE 0 END) AS zc
+        FROM s2 GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(1 AS BIGINT) AS n_channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(ns AS BIGINT) AS n_samples,
+           CAST(peak AS BIGINT) AS peak_abs,
+           CAST(zc AS BIGINT) AS n_zero_cross,
+           CAST(energy AS BIGINT) AS energy
+    FROM feat
+    """,
+)
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio decode + features (operators/wav.py): every doc gets a REAL
+    16-bit PCM RIFF/WAVE payload (samples generatively pinned to an md5
+    chain of doc_id), Spark parses the actual bytes — chunk walk, fmt
+    geometry, PCM extraction — and computes exact-integer features
+    (peak, zero crossings, energy).  The oracle never sees the bytes: it
+    recomputes the expected features from the generative formula, so
+    only a genuine decode can hash-match.  Same fixture philosophy as
+    the PNG pixel-md5 pin."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.wav import make_wav, wav_features
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                wav = make_wav(f"{did}:wavv1", 64 + did % 64, 8000)
+                rate, ch, bits, ns, peak, zc, energy = wav_features(wav)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "sample_rate": rate,
+                        "n_channels": ch,
+                        "bits": bits,
+                        "n_samples": ns,
+                        "peak_abs": peak,
+                        "n_zero_cross": zc,
+                        "energy": energy,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_decode,
+        "doc_id long, sample_rate long, n_channels long, bits long, "
+        "n_samples long, peak_abs long, n_zero_cross long, energy long",
+    )
