@@ -30,6 +30,7 @@ Stage ledger (returned as a stats dict, one row per stage):
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -61,6 +62,31 @@ def _stage(spark: SparkSession, out_dir: str, name: str, build):
     return spark.read.parquet(path)
 
 
+def _guard_recipe(out_dir: str, recipe: dict) -> None:
+    """A resumed run MUST be the same recipe: stage artifacts are keyed
+    only by name, so resuming with different parameters (objective,
+    thresholds, benchmark presence, ...) would silently serve the OLD
+    configuration's data under the new run's stats ledger.  The recipe
+    manifest is written once per out_dir and compared on every entry;
+    a mismatch is an error, not a shrug — point a new recipe at a new
+    out_dir."""
+    os.makedirs(out_dir, exist_ok=True)
+    manifest = os.path.join(out_dir, "_RECIPE.json")
+    blob = json.dumps(recipe, sort_keys=True)
+    if os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as fh:
+            prior = fh.read()
+        if prior != blob:
+            raise ValueError(
+                f"out_dir {out_dir!r} holds artifacts from a different "
+                f"recipe:\n  existing: {prior}\n  requested: {blob}\n"
+                "use a fresh out_dir (or delete the old artifacts)"
+            )
+    else:
+        with open(manifest, "w", encoding="utf-8") as fh:
+            fh.write(blob)
+
+
 def build_training_corpus(
     spark: SparkSession,
     docs: DataFrame,
@@ -74,6 +100,7 @@ def build_training_corpus(
     dsir_target=None,
     objective: str = "ar",
     jaccard_threshold: float = 0.7,
+    split_jaccard_threshold: float = 0.3,
 ) -> dict:
     """Run the full chain; returns ``{stage: {"rows_in", "rows_out"}}``.
 
@@ -85,9 +112,34 @@ def build_training_corpus(
     enables DSIR importance selection: only docs whose hashed-bigram
     log-ratio leans toward the target survive.  ``objective`` picks the
     final materialization: ``'ar'`` keeps text as-is, ``'span'`` emits
-    T5 (input, target) pairs, ``'fim'`` emits PSM reorderings."""
+    T5 (input, target) pairs, ``'fim'`` emits PSM reorderings.
+
+    Two Jaccard thresholds over the SAME verified pair set:
+    ``jaccard_threshold`` (high) decides what the near-dup stage PRUNES;
+    ``split_jaccard_threshold`` (low) decides what the split stage keeps
+    TOGETHER.  The gap is the point — docs similar enough to leak signal
+    across an eval boundary but not similar enough to delete still move
+    between splits as one group."""
     if objective not in ("ar", "span", "fim"):
         raise ValueError(f"unknown objective {objective!r}")
+    if split_jaccard_threshold > jaccard_threshold:
+        raise ValueError(
+            "split_jaccard_threshold must not exceed jaccard_threshold "
+            "(the split graph is a superset of the prune graph)"
+        )
+    _guard_recipe(
+        out_dir,
+        {
+            "benchmark": benchmark is not None,
+            "max_contaminated": max_contaminated,
+            "n_shards": n_shards,
+            "use_c4": use_c4,
+            "dsir": dsir_target is not None,
+            "objective": objective,
+            "jaccard_threshold": jaccard_threshold,
+            "split_jaccard_threshold": split_jaccard_threshold,
+        },
+    )
     stats: dict[str, dict[str, int]] = {}
 
     def record(name: str, rows_in: int, rows_out: int):
@@ -129,20 +181,25 @@ def build_training_corpus(
         # raw candidates admit false positives by design, and components
         # chain transitively, so clustering unverified pairs can collapse
         # a homogeneous corpus into one giant component (measured: the
-        # synthetic sf0.1 pages went 4344 → 36 docs without this stage)
+        # synthetic sf0.1 pages went 4344 → 36 docs without this stage).
+        # Verified ONCE at the LOWER split threshold; the prune stage
+        # re-filters to its higher bar — one verification serves both.
         sigs = minhash_signatures(
             survivors, "doc_id", "text", num_hashes=16, shingle_n=3
         )
         cand = lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
         return verify_candidate_pairs(
             survivors, cand, "doc_id", "text", n=3,
-            threshold=jaccard_threshold,
-        ).select("a_id", "b_id")
+            threshold=split_jaccard_threshold,
+        )
 
     dup_pairs = _stage(spark, out_dir, "03a_pairs", pairs)
 
     def neardup():
-        cc = connected_components(dup_pairs, "a_id", "b_id")
+        hard = dup_pairs.filter(
+            F.col("jaccard") >= jaccard_threshold
+        ).select("a_id", "b_id")
+        cc = connected_components(hard, "a_id", "b_id")
         # canonical survivor = the component's minimum member; everything
         # else in the cluster is pruned
         drop = cc.filter(F.col("node") != F.col("component")).select(
@@ -194,10 +251,14 @@ def build_training_corpus(
     record("05_select", stats["04_decontam"]["rows_out"], selected.count())
 
     def splits():
+        # the FULL low-threshold graph groups the split assignment: the
+        # surviving member of a pruned hard-dup cluster and its soft
+        # near-twins (below the prune bar, above the split bar) all hash
+        # on one group id, so no near-twin straddles train/eval
         return selected.join(
-            leakage_safe_splits(selected, "doc_id", dup_pairs).select(
-                "doc_id", "split"
-            ),
+            leakage_safe_splits(
+                selected, "doc_id", dup_pairs.select("a_id", "b_id")
+            ).select("doc_id", "split"),
             "doc_id",
         )
 

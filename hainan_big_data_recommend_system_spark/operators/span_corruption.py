@@ -29,6 +29,15 @@ from pyspark.sql import DataFrame, Window, functions as F
 _WS = r"[ \t\n\x0B\f\r]+"
 
 
+def _hash_mod(parts: list, mod) -> F.Column:
+    """Engine-portable integer hash: first 7 md5 hex digits mod ``mod``."""
+    return (
+        F.conv(F.substring(F.md5(F.concat_ws(":", *parts)), 1, 7), 16, 10)
+        .cast("long")
+        % mod
+    )
+
+
 def _sentinel(k):
     return F.concat(F.lit("<extra_id_"), k.cast("string"), F.lit(">"))
 
@@ -55,21 +64,11 @@ def span_corruption_pairs(
         "doc_id", F.posexplode("__toks").alias("__p0", "tok")
     ).select("doc_id", (F.col("__p0") + 1).alias("pos"), "tok")
     seed = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col("doc_id").cast("string"),
-                        F.col("pos").cast("string"), F.lit(salt),
-                    )
-                ),
-                1,
-                7,
-            ),
-            16,
-            10,
-        ).cast("long")
-        % start_mod
+        _hash_mod(
+            [F.col("doc_id").cast("string"), F.col("pos").cast("string"),
+             F.lit(salt)],
+            start_mod,
+        )
         == 0
     )
     starts = tokens.filter(seed).select(
@@ -184,15 +183,6 @@ def span_corruption_pairs(
         F.coalesce("n_masked_tokens", F.lit(0))
         .cast("long")
         .alias("n_masked_tokens"),
-    )
-
-
-def _hash_mod(parts: list, mod) -> F.Column:
-    """Engine-portable integer hash: first 7 md5 hex digits mod ``mod``."""
-    return (
-        F.conv(F.substring(F.md5(F.concat_ws(":", *parts)), 1, 7), 16, 10)
-        .cast("long")
-        % mod
     )
 
 

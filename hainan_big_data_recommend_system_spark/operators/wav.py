@@ -56,15 +56,19 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE stream")
     riff_len = struct.unpack("<I", payload[4:8])[0]
-    if riff_len + 8 > len(payload):
+    end = riff_len + 8
+    if end > len(payload):
         raise ValueError("truncated RIFF payload")
+    # the walk stops at the RIFF boundary, not the payload end: trailing
+    # bytes after the RIFF body (metadata trailers some tools append) are
+    # not chunks and must not be parsed as one
     pos, fmt, data = 12, None, None
-    while pos + 8 <= len(payload):
+    while pos + 8 <= end:
         ctype = payload[pos : pos + 4]
         clen = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        body = payload[pos + 8 : pos + 8 + clen]
-        if len(body) != clen:
+        if pos + 8 + clen > end:
             raise ValueError(f"truncated {ctype!r} chunk")
+        body = payload[pos + 8 : pos + 8 + clen]
         if ctype == b"fmt ":
             if clen < 16:
                 raise ValueError("fmt chunk too short")
@@ -79,6 +83,10 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     _, channels, rate, _, block, bits = fmt
     if bits != 16 or block != channels * 2:
         raise ValueError(f"unsupported geometry: {bits}-bit, block {block}")
+    if channels != 1:
+        # the feature pass treats PCM as one stream; interleaved stereo
+        # would report nonsense crossings — refuse rather than mis-measure
+        raise ValueError(f"unsupported geometry: {channels} channels")
     if len(data) % block:
         raise ValueError("data length not sample-aligned")
     return rate, channels, bits, data

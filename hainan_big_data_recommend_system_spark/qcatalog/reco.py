@@ -215,11 +215,14 @@ def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     "next_item_examples",
     """
     WITH base AS (
-        SELECT user_id, event_id, ts,
-               CAST(json_extract_string(props, '$.k') AS BIGINT) AS item
-        FROM events
-        WHERE event_type IN ('click', 'view', 'purchase')
-          AND json_extract_string(props, '$.k') IS NOT NULL
+        SELECT user_id, event_id, ts, item FROM (
+            SELECT user_id, event_id, ts,
+                   CASE WHEN json_valid(props)
+                        THEN TRY_CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT) END AS item
+            FROM events
+            WHERE event_type IN ('click', 'view', 'purchase')
+        ) WHERE item IS NOT NULL
     ),
     ex AS (
         SELECT user_id, event_id,

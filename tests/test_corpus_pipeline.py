@@ -144,3 +144,40 @@ def test_objective_and_dsir_stages(spark, tmp_path):
 
     with pytest.raises(ValueError, match="objective"):
         build_training_corpus(spark, docs, str(tmp_path / "x"), objective="nope")
+
+
+def test_recipe_guard_refuses_mismatched_resume(spark, tmp_path, run):
+    _, docs, _ = run
+    out = tmp_path / "guarded"
+    build_training_corpus(spark, docs, str(out), n_shards=2)
+    # same recipe resumes fine
+    build_training_corpus(spark, docs, str(out), n_shards=2)
+    with pytest.raises(ValueError, match="different\\s+recipe"):
+        build_training_corpus(spark, docs, str(out), n_shards=2,
+                              objective="fim")
+
+
+def test_soft_near_twins_share_a_split(spark, tmp_path):
+    """The two-threshold design: docs similar enough to leak but not
+    similar enough to prune (split bar <= J < prune bar) both survive
+    AND land in the same split; hard dups prune to one."""
+    # letter-only tokens: digit-heavy tokens would trip the quality
+    # stage's digit-ratio gate before dedup ever saw them
+    base = [f"w{chr(97 + i)}{chr(97 + i)}" for i in range(12)]
+    soft = base[:8] + [f"x{chr(97 + i)}{chr(97 + i)}" for i in range(6)]
+    rows = [
+        (1, " ".join(base)),
+        (2, " ".join(soft)),
+        (3, " ".join(base)),        # exact dup of 1 -> pruned
+        (4, "totally different content with many unique tokens here now"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tmp_path / "twins"
+    stats = build_training_corpus(
+        spark, docs, str(out), use_c4=False, n_shards=2
+    )
+    final = {r["doc_id"]: r for r in
+             spark.read.parquet(str(out / "08_shards")).collect()}
+    assert 3 not in final                      # hard dup pruned
+    assert 1 in final and 2 in final           # soft pair both kept
+    assert final[1]["split"] == final[2]["split"]  # ...and co-split

@@ -76,3 +76,20 @@ def test_generative_samples_are_stable():
     for i in (0, 7):
         h = hashlib.md5(f"5:wavv1:{i}".encode()).hexdigest()
         assert _sample("5:wavv1", i) == int(h[:4], 16) - 32768
+
+
+def test_trailing_bytes_after_riff_body_ok():
+    # metadata trailers appended after the RIFF body are not chunks;
+    # the walk must stop at the RIFF boundary and still decode
+    wav = make_wav("t", 5) + b"JUNKJUNKJUNK"
+    assert wav_features(wav)[3] == 5
+
+
+def test_stereo_rejected():
+    pcm = struct.pack("<hh", 1000, -1000) * 4
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    with pytest.raises(ValueError, match="channels"):
+        wav_features(wav)
