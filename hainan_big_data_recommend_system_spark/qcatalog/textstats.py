@@ -1199,3 +1199,69 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, sample_rate long, n_channels long, bits long, "
         "n_samples long, peak_abs long, n_zero_cross long, energy long",
     )
+
+
+@register_extra(
+    "video_meta",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               2 + doc_id % 3 AS n,
+               16 + (doc_id % 4) * 8 AS w,
+               8 + (doc_id % 3) * 8 AS h
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, sum((doc_id * 31 + i * 17) % 256) AS gray_sum
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS i)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(40000 AS BIGINT) AS us_per_frame,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(g.gray_sum AS BIGINT) AS gray_sum
+    FROM d JOIN g USING (doc_id)
+    """,
+)
+def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video container decode (operators/avi.py): every doc gets a REAL
+    motion-JPEG AVI — RIFF tree with header lists and '00dc' frame
+    chunks — whose flat-gray frames Spark runs through the full baseline
+    JPEG entropy decoder; ``gray_sum`` folds the first decoded pixel of
+    EVERY frame, an exact integer the oracle predicts from the
+    generative formula alone.  A header-only parse cannot produce it —
+    the video leg of the image/audio/video triad, held to the same
+    load-bearing-decode standard as audio_meta and the PNG pixel pin."""
+    import pandas as pd
+
+    from ..operators.avi import avi_features, make_fixture_avi
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n, us, w, h, gs = avi_features(make_fixture_avi(did))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": n,
+                        "us_per_frame": us,
+                        "width": w,
+                        "height": h,
+                        "gray_sum": gs,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_decode,
+        "doc_id long, n_frames long, us_per_frame long, width long, "
+        "height long, gray_sum long",
+    )
