@@ -94,6 +94,10 @@ QUERIES = [
     "cdc_chunk_stats",
     "jsonl_corpus_scan",
     "span_corruption_pairs",
+    "next_item_examples",
+    "fim_transform",
+    "audio_meta",
+    "video_meta",
 ]
 
 
