@@ -1265,3 +1265,52 @@ def q_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, us_per_frame long, width long, "
         "height long, gray_sum long",
     )
+
+
+@register_extra(
+    "source_quality_report",
+    r"""
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct_contents,
+           CAST(sum(len(list_filter(
+               string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+               x -> x <> ''))) AS BIGINT) AS total_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(text)
+                    - length(regexp_replace(text,
+                          '[^A-Za-z0-9 \t\n\x0B\f\r]', '', 'g')))
+                * 1000000
+                // greatest(sum(length(text)), 1) AS BIGINT)
+               AS punct_ratio_micros
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health rollup — the dashboard a 100 TB ingest
+    charts before trusting a crawl source: volume, exact-dup mass
+    (docs vs distinct contents), token volume, corpus-level punctuation
+    ratio.  One scan, one groupBy on the source key, every figure an
+    exact integer."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    toks = F.filter(
+        F.split(F.trim(t), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
+    )
+    punct = F.length(t) - F.length(
+        F.regexp_replace(t, r"[^A-Za-z0-9 \t\n\x0B\f\r]", "")
+    )
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(F.md5(t)).cast("long").alias("n_distinct_contents"),
+        F.sum(F.size(toks)).cast("long").alias("total_tokens"),
+        F.sum(F.length(t)).cast("long").alias("total_chars"),
+        F.expr(
+            "sum(length(text) - length(regexp_replace(text, "
+            "'[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', ''))) * 1000000L "
+            "div greatest(sum(length(text)), 1L)"
+        )
+        .cast("long")
+        .alias("punct_ratio_micros"),
+    )
