@@ -72,26 +72,38 @@ def make_avi(
 
 
 def _walk(payload: bytes, pos: int, end: int, out: dict) -> None:
-    while pos + 8 <= end:
-        ctype = payload[pos : pos + 4]
-        clen = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
-        if pos + 8 + clen > end:
-            raise ValueError(f"truncated {ctype!r} chunk")
-        body_start = pos + 8
-        if ctype == b"LIST":
-            if clen < 4:
-                raise ValueError("LIST chunk too short")
-            _walk(payload, body_start + 4, body_start + clen, out)
-        elif ctype == b"avih":
-            if clen < 56:
-                raise ValueError("avih chunk too short")
-            f = struct.unpack("<14I", payload[body_start : body_start + 56])
-            out["avih"] = f
-        elif ctype == b"00dc":
-            out.setdefault("frames", []).append(
-                payload[body_start : body_start + clen]
-            )
-        pos = body_start + clen + (clen & 1)  # word alignment
+    # iterative with an explicit range stack: a crafted payload of
+    # deeply nested LIST headers must exhaust into a ValueError-class
+    # rejection path, never a RecursionError that escapes the
+    # corrupt-row contract
+    ranges = [(pos, end)]
+    while ranges:
+        pos, end = ranges.pop()
+        while pos + 8 <= end:
+            ctype = payload[pos : pos + 4]
+            clen = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            if pos + 8 + clen > end:
+                raise ValueError(f"truncated {ctype!r} chunk")
+            body_start = pos + 8
+            next_pos = body_start + clen + (clen & 1)  # word alignment
+            if ctype == b"LIST":
+                if clen < 4:
+                    raise ValueError("LIST chunk too short")
+                # resume the current level after the LIST, then descend
+                ranges.append((next_pos, end))
+                pos, end = body_start + 4, body_start + clen
+                continue
+            if ctype == b"avih":
+                if clen < 56:
+                    raise ValueError("avih chunk too short")
+                out["avih"] = struct.unpack(
+                    "<14I", payload[body_start : body_start + 56]
+                )
+            elif ctype == b"00dc":
+                out.setdefault("frames", []).append(
+                    payload[body_start : body_start + clen]
+                )
+            pos = next_pos
 
 
 def parse_avi(payload: bytes) -> tuple[int, int, int, int, list[bytes]]:

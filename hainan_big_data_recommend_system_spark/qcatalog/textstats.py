@@ -1298,19 +1298,25 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.trim(t), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
     )
+    # DataFrame-API regex only: an F.expr string literal here would pass
+    # through Spark SQL's own unescaping and silently turn \x0B / \f
+    # into the letters x0B / f (measured divergence vs the oracle)
     punct = F.length(t) - F.length(
         F.regexp_replace(t, r"[^A-Za-z0-9 \t\n\x0B\f\r]", "")
     )
+    # decimal(38) before the ×1e6: at the 100 TB scale this query is
+    # pitched for, sum(punct) * 1000000 overflows int64 while the
+    # DuckDB oracle's HUGEINT stays exact; both sides are nonnegative,
+    # so floor == truncation == DuckDB's // semantics
+    ratio = F.floor(
+        F.sum(punct).cast("decimal(38,0)")
+        * 1_000_000
+        / F.greatest(F.sum(F.length(t)), F.lit(1))
+    ).cast("long")
     return docs.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.countDistinct(F.md5(t)).cast("long").alias("n_distinct_contents"),
         F.sum(F.size(toks)).cast("long").alias("total_tokens"),
         F.sum(F.length(t)).cast("long").alias("total_chars"),
-        F.expr(
-            "sum(length(text) - length(regexp_replace(text, "
-            "'[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]', ''))) * 1000000L "
-            "div greatest(sum(length(text)), 1L)"
-        )
-        .cast("long")
-        .alias("punct_ratio_micros"),
+        ratio.alias("punct_ratio_micros"),
     )

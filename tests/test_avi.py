@@ -29,9 +29,11 @@ def test_features_decode_every_frame():
 
 
 def test_odd_length_frame_chunks_align():
-    # JPEG payloads of odd length force the word-alignment padding path
+    # payloads of GUARANTEED odd length force the word-alignment padding
+    # path (a trailing byte after EOI is legal and ignored by decoders)
     frames = [make_jpeg(8, 8, bytes([g] * 3), gray=True) for g in (1, 2, 3, 4)]
-    odd = [f + b"" for f in frames]
+    odd = [f if len(f) % 2 == 1 else f + b"\x00" for f in frames]
+    assert all(len(f) % 2 == 1 for f in odd)
     got = parse_avi(make_avi(odd, 8, 8))[4]
     assert got == odd
 
@@ -66,3 +68,15 @@ def test_dim_contradiction_raises():
     avi = make_avi(frames, 16, 16)  # container lies about frame dims
     with pytest.raises(ValueError, match="contradict"):
         avi_features(avi)
+
+
+def test_deeply_nested_lists_no_recursion_error():
+    # ~5000 nested LIST headers: the iterative walk must terminate (and
+    # then fail with the CONTRACT error for the missing avih), never a
+    # RecursionError escaping a corpus decode task
+    inner = b""
+    for _ in range(5000):
+        inner = b"LIST" + struct.pack("<I", 4 + len(inner)) + b"nest" + inner
+    payload = b"RIFF" + struct.pack("<I", 4 + len(inner)) + b"AVI " + inner
+    with pytest.raises(ValueError, match="avih"):
+        parse_avi(payload)

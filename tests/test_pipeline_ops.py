@@ -721,3 +721,43 @@ def test_fim_reconstructs_original(spark):
             rebuilt = " ".join((pre + " " + mid + " " + suf).split())
             assert rebuilt == orig
             assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == 30
+
+
+def test_source_report_vt_ff_are_whitespace_not_punct(spark):
+    """The review-caught escape bug: vertical tab and form feed must
+    count as whitespace (0 punct), not as punctuation — an F.expr string
+    literal would silently eat the \\x0B/\\f escapes."""
+    from hainan_big_data_recommend_system_spark.qcatalog import EXTRA_REGISTRY
+
+    df = spark.createDataFrame(
+        [(1, "a\x0bb\x0cc!", "en", "s1", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("___t")
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        _count_matches,
+    )
+    from pyspark.sql import functions as F
+
+    got = df.select(
+        _count_matches(F.col("text"), r"[^A-Za-z0-9 \t\n\x0B\f\r]").alias("p")
+    ).collect()[0]["p"]
+    assert got == 1  # only '!' is punctuation
+    # and the registered query itself agrees on a crafted frame
+    import hainan_big_data_recommend_system_spark.catalog as cat
+
+    orig = cat.load_table
+    try:
+        cat.load_table = lambda spark_, sf, name: df
+        import hainan_big_data_recommend_system_spark.qcatalog.textstats as qt
+
+        orig2 = qt.load_table
+        qt.load_table = lambda spark_, sf, name: df
+        try:
+            out = EXTRA_REGISTRY["source_quality_report"].fn(spark, "ignored").collect()
+            # 6 chars, 1 punct ('!'); VT and FF count as whitespace
+            assert out[0]["punct_ratio_micros"] == 1_000_000 // 6
+        finally:
+            qt.load_table = orig2
+    finally:
+        cat.load_table = orig
