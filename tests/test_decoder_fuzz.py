@@ -1,0 +1,69 @@
+"""Seeded fuzz regression for every pure-Python decoder: a mutated
+payload must either decode or raise ValueError — never any other
+exception class.  This is the 'one corrupt row never kills a corpus
+decode job' contract made mechanical: the Arrow decode kernels catch
+ValueError for their quarantine paths, so an IndexError/struct.error
+escaping a parser would fail whole Spark tasks on real crawl garbage."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from hainan_big_data_recommend_system_spark.operators.avi import (
+    avi_features,
+    make_fixture_avi,
+)
+from hainan_big_data_recommend_system_spark.operators.jpeg import (
+    make_jpeg,
+    parse_jpeg,
+)
+from hainan_big_data_recommend_system_spark.operators.multimodal import (
+    make_bmp,
+    make_png,
+    parse_bmp_header,
+    parse_png,
+)
+from hainan_big_data_recommend_system_spark.operators.wav import (
+    make_wav,
+    wav_features,
+)
+
+CASES = {
+    "wav": (lambda: make_wav("s", 40), wav_features),
+    "avi": (lambda: make_fixture_avi(3), avi_features),
+    "jpeg": (lambda: make_jpeg(16, 8, b"\x40\x50\x60"), parse_jpeg),
+    "png": (lambda: make_png(12, 9, b"\x11\x22\x33"), parse_png),
+    "bmp": (lambda: make_bmp(10, 7, b"\x01\x02\x03"), parse_bmp_header),
+}
+
+
+def _mutate(b: bytes, rng: random.Random) -> bytes:
+    buf = bytearray(b)
+    op = rng.randrange(3)
+    if op == 0 and len(buf) > 1:  # flip random bytes
+        for _ in range(rng.randrange(1, 8)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+    elif op == 1:  # truncate anywhere
+        buf = buf[: rng.randrange(len(buf))]
+    else:  # splice junk anywhere
+        i = rng.randrange(len(buf))
+        buf[i:i] = bytes(
+            rng.randrange(256) for _ in range(rng.randrange(1, 16))
+        )
+    return bytes(buf)
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_decoder_only_raises_valueerror_under_fuzz(name):
+    make, decode = CASES[name]
+    payload = make()
+    rng = random.Random(1234)  # seeded: deterministic regression, not CI dice
+    for _ in range(300):
+        m = _mutate(payload, rng)
+        try:
+            decode(m)
+        except ValueError:
+            pass  # the contract
+        # any other exception type propagates and fails the test
