@@ -489,6 +489,74 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def kn_bigram_lm_scores(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram log-likelihood per doc — the
+    canonical n-gram smoothing (Kneser & Ney 1995; Chen & Goodman 1999)
+    completing the LM-quality family next to the add-one unigram/bigram
+    facets:
+
+        p(w₂|w₁) = max(c₂ − d, 0)/c₁ + (d·N₁₊(w₁,·)/c₁) · P_cont(w₂)
+        P_cont(w₂) = N₁₊(·,w₂) / |bigram types|,  d = 0.75
+
+    Determinism discipline: every input is an integer count, d = 0.75 is
+    exactly representable, and the per-bigram expression is evaluated in
+    ONE pinned op order (each division/multiply/add a single correctly-
+    rounded IEEE op both engines perform identically), then ln →
+    micro-integerized per row — so even the smoothed model hash-matches
+    the oracle.  Scored bigrams are by construction observed (the model
+    is self-trained), so the discounted term is never zero and ln never
+    sees −inf.
+
+    Scale shape: one bigram shuffle with map-side combine; every model
+    table (continuation counts, following-type counts, the 1-row type
+    total) is vocabulary-sized."""
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    npairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(arr, 1, npairs).alias("w1"),
+        F.slice(arr, 2, npairs).alias("w2"),
+    )
+    big = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(z).alias("z")
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    c2 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=True)  # feeds every model table + scoring
+    )
+    c1 = c2.groupBy("w1").agg(
+        F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    ncont = c2.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    ntypes = c2.agg(F.count(F.lit(1)).alias("ntypes"))
+    # ONE pinned op order, mirrored exactly in the oracle SQL
+    p = (
+        F.greatest(F.col("c2") - 0.75, F.lit(0.0)) / F.col("c1")
+        + (0.75 * F.col("n1f") / F.col("c1"))
+        * (F.col("ncont") / F.col("ntypes"))
+    )
+    lp = F.round(F.log(p) * 1_000_000).cast("bigint")
+    scored = (
+        big.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(ncont, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select("doc_id", lp.alias("lp_micros"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("lp_micros").cast("bigint").alias("sum_lp_micros"),
+        F.round(F.sum("lp_micros") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("avg_lp_micros"),
+    )
+
+
 def dsir_importance_weights(
     docs: DataFrame,
     id_col: str,

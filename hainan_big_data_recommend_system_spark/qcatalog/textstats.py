@@ -1320,3 +1320,51 @@ def q_source_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length(t)).cast("long").alias("total_chars"),
         ratio.alias("punct_ratio_micros"),
     )
+
+
+@register_extra(
+    "kn_bigram_lm_scores",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks))) AS i)
+    ),
+    c2 AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, sum(c2) AS c1, count(*) AS n1f FROM c2 GROUP BY w1),
+    ncont AS (SELECT w2, count(*) AS ncont FROM c2 GROUP BY w2),
+    ntypes AS (SELECT count(*) AS ntypes FROM c2),
+    scored AS (
+        SELECT b.doc_id,
+               CAST(round(ln(
+                   greatest(c2 - 0.75, 0.0) / c1
+                   + (0.75 * n1f / c1) * (ncont / ntypes)
+               ) * 1000000) AS BIGINT) AS lp
+        FROM big b
+        JOIN c2 USING (w1, w2)
+        JOIN c1 USING (w1)
+        JOIN ncont USING (w2)
+        CROSS JOIN ntypes
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(lp) AS BIGINT) AS sum_lp_micros,
+           CAST(round(sum(lp) * 1.0 / count(*)) AS BIGINT) AS avg_lp_micros
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def q_kn_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram likelihood (operators/textstats.
+    kn_bigram_lm_scores) — the canonical smoothing, with the discounted
+    term and the continuation interpolation evaluated in one pinned IEEE
+    op order so even the smoothed model hash-matches."""
+    from ..operators.textstats import kn_bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return kn_bigram_lm_scores(docs, "doc_id", "text")

@@ -761,3 +761,43 @@ def test_source_report_vt_ff_are_whitespace_not_punct(spark):
             qt.load_table = orig2
     finally:
         cat.load_table = orig
+
+
+def test_kn_bigram_matches_python_reference(spark):
+    """Interpolated KN computed directly in Python (same op order) must
+    agree to the micro digit on a small corpus with real continuation
+    structure."""
+    import math
+
+    from hainan_big_data_recommend_system_spark.operators.textstats import (
+        kn_bigram_lm_scores,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the rug",
+        3: "a cat and a dog",
+    }
+    docs = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in kn_bigram_lm_scores(docs, "doc_id", "text").collect()}
+
+    c2, c1, n1f, ncont = {}, {}, {}, {}
+    for t in texts.values():
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    for (a, b), c in c2.items():
+        c1[a] = c1.get(a, 0) + c
+        n1f[a] = n1f.get(a, 0) + 1
+        ncont[b] = ncont.get(b, 0) + 1
+    ntypes = len(c2)
+    for d, t in texts.items():
+        w = t.split()
+        lps = []
+        for a, b in zip(w, w[1:]):
+            p = max(c2[(a, b)] - 0.75, 0.0) / c1[a] + (
+                0.75 * n1f[a] / c1[a]
+            ) * (ncont[b] / ntypes)
+            lps.append(round(math.log(p) * 1_000_000))
+        assert got[d]["n_bigrams"] == len(lps)
+        assert got[d]["sum_lp_micros"] == sum(lps)
