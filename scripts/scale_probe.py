@@ -98,6 +98,8 @@ QUERIES = [
     "fim_transform",
     "audio_meta",
     "video_meta",
+    "kn_bigram_lm_scores",
+    "source_quality_report",
 ]
 
 
