@@ -384,3 +384,87 @@ def compact_ingest_state(
             True,
         )
     return {"compacted_epochs": eligible, "base_epoch": new_base, "rows": n}
+
+
+def forget_docs(
+    spark,
+    corpus_dir: str,
+    index_dir: str,
+    ids,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bucket_dir: str | None = None,
+    shingle_n: int = 3,
+    num_hashes: int = 16,
+    rows_per_band: int = 2,
+) -> int:
+    """Right-to-erasure deletion across the ingest state — the takedown
+    path a production corpus must have: removing a document means
+    removing it from the corpus, AND from the fingerprint index (so
+    identical content offered later is accepted again instead of being
+    deduplicated against a ghost), AND from the LSH bucket index (so it
+    stops killing near-duplicates of itself).
+
+    Only the epoch partitions (positive epochs and compacted negative
+    base generations alike) that actually contain a requested id are
+    rewritten; each one's fingerprint/bucket rows are REBUILT from the
+    surviving docs with the same expressions the writer used, so the
+    state is indistinguishable from one where the docs never arrived.
+    Crash windows mirror the writer's: every rewrite is a per-partition
+    overwrite, and a partially-applied forget re-runs to completion
+    idempotently (rewriting a partition that no longer holds the id is
+    a no-op).
+
+    Returns the number of corpus rows removed."""
+    from ..operators.dedup import lsh_buckets, minhash_signatures
+
+    ids = sorted({int(i) for i in ids})
+    if not ids:
+        return 0
+    corpus = _read_epochs(spark, corpus_dir)
+    if corpus is None:
+        return 0
+    id_df = F.broadcast(
+        spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+    )
+    affected = sorted(
+        r["epoch"]
+        for r in corpus.join(id_df, id_col)
+        .select("epoch")
+        .distinct()
+        .collect()
+    )
+    removed = 0
+    for ep in affected:
+        part = corpus.filter(F.col("epoch") == ep)
+        removed += part.join(id_df, id_col).count()
+        # materialize BEFORE overwriting the files being read
+        remaining = (
+            part.join(id_df, id_col, "left_anti")
+            .drop("epoch")
+            .localCheckpoint(eager=True)
+        )
+        remaining.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"epoch={ep}")
+        )
+        # rebuild the fingerprint rows with the writer's own expression
+        remaining.select(
+            F.coalesce(
+                F.md5(F.col(text_col).cast("binary")), F.lit("__null__")
+            ).alias("fingerprint")
+        ).write.mode("overwrite").parquet(
+            os.path.join(index_dir, f"epoch={ep}")
+        )
+        if bucket_dir is not None:
+            docs = remaining.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            lsh_buckets(
+                minhash_signatures(
+                    docs, "doc_id", "text", num_hashes, shingle_n
+                ),
+                rows_per_band,
+            ).write.mode("overwrite").parquet(
+                os.path.join(bucket_dir, f"epoch={ep}")
+            )
+    return removed

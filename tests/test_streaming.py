@@ -645,3 +645,58 @@ def test_streaming_ingest_with_clean_stage(spark, tmp_path):
     writer(replay, epoch)
     got2 = {r["doc_id"]: r["text"] for r in read_ingested_corpus(spark, corpus).collect()}
     assert got2 == got
+
+
+def test_forget_docs_erasure_semantics(spark, tmp_path):
+    """The takedown path: a forgotten doc leaves the corpus AND both
+    dedup indexes — identical content offered later is ACCEPTED (no
+    ghost dedup), near-twins stop being killed, and re-running the
+    forget is a no-op."""
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        forget_docs,
+        read_ingested_corpus,
+        start_dedup_ingest,
+    )
+
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    buckets = str(tmp_path / "buckets")
+    ckpt = str(tmp_path / "ckpt")
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    near = "alpha beta gamma delta epsilon zeta eta iota"  # near-twin
+    spark.createDataFrame(
+        [(1, base), (2, "totally different text here entirely now")],
+        "doc_id long, text string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f1")
+    q = start_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*"),
+        corpus, index, ckpt, bucket_dir=buckets, jaccard_threshold=0.5,
+    )
+    q.awaitTermination()
+    assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {1, 2}
+
+    n = forget_docs(spark, corpus, index, [1], bucket_dir=buckets)
+    assert n == 1
+    assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {2}
+    # idempotent re-run
+    assert forget_docs(spark, corpus, index, [1], bucket_dir=buckets) == 0
+
+    # identical content AND a near-twin arrive later: both must be
+    # accepted now — neither the fingerprint nor the bucket index may
+    # remember the forgotten doc
+    spark.createDataFrame(
+        [(7, base), (8, near)], "doc_id long, text string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{src}/f2")
+    q2 = start_dedup_ingest(
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(f"{src}/f*"),
+        corpus, index, ckpt, bucket_dir=buckets, jaccard_threshold=0.5,
+    )
+    q2.awaitTermination()
+    got = {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()}
+    # 7 re-enters (no ghost dedup); 8 is a near-twin OF 7 within the same
+    # batch, so exactly one of them survives the in-batch near-dup stage
+    assert 2 in got and 7 in got and 8 not in got
