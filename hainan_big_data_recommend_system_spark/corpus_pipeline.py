@@ -289,4 +289,46 @@ def build_training_corpus(
 
     sharded = _stage(spark, out_dir, "08_shards", shards)
     record("08_shards", stats["07_objective"]["rows_out"], sharded.count())
+
+    # provenance manifest: the dataset card's verifiable core.  The
+    # digest is an order-free integer fold over every row's identity and
+    # placement, so two runs produced the same corpus iff their digests
+    # match — the cheap equality proof for "is this the shard set the
+    # model actually trained on?".  Written LAST: a manifest implies
+    # every stage completed.
+    digest = sharded.agg(
+        F.sum(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("doc_id").cast("string"),
+                            F.col("split"),
+                            F.col("shard_id").cast("string"),
+                            F.col("shard_pos").cast("string"),
+                        )
+                    ),
+                    1,
+                    14,
+                ),
+                16,
+                10,
+            )
+            # decimal(38) fold: 14 hex digits are up to 2^56 per row, so
+            # an int64 sum overflows (ANSI mode raises) on large corpora
+            .cast("decimal(38,0)")
+        )
+    ).collect()[0][0]
+    manifest = {
+        "stats": stats,
+        "corpus_digest": str(int(digest or 0)),
+        "n_rows": stats["08_shards"]["rows_out"],
+        "n_shards": n_shards,
+        "objective": objective,
+    }
+    with open(
+        os.path.join(out_dir, "_MANIFEST.json"), "w", encoding="utf-8"
+    ) as fh:
+        fh.write(json.dumps(manifest, sort_keys=True))
     return stats

@@ -181,3 +181,27 @@ def test_soft_near_twins_share_a_split(spark, tmp_path):
     assert 3 not in final                      # hard dup pruned
     assert 1 in final and 2 in final           # soft pair both kept
     assert final[1]["split"] == final[2]["split"]  # ...and co-split
+
+
+def test_manifest_digest_is_reproducible_and_sensitive(run, spark, tmp_path):
+    """The provenance manifest: identical runs carry identical digests;
+    a different corpus carries a different one."""
+    import json
+
+    out, docs, stats = run
+    m1 = json.loads((out / "_MANIFEST.json").read_text())
+    assert m1["n_rows"] == stats["08_shards"]["rows_out"]
+    # from-scratch rerun of the same recipe: identical digest
+    bench = spark.createDataFrame(
+        [(1, "key agg row scan slow fast table value part hash")],
+        "bid long, text string",
+    )
+    out2 = tmp_path / "again"
+    build_training_corpus(spark, docs, str(out2), benchmark=bench, n_shards=4)
+    m2 = json.loads((out2 / "_MANIFEST.json").read_text())
+    assert m2["corpus_digest"] == m1["corpus_digest"]
+    # a materially different output (another shard layout) diverges
+    out3 = tmp_path / "diff"
+    build_training_corpus(spark, docs, str(out3), benchmark=bench, n_shards=2)
+    m3 = json.loads((out3 / "_MANIFEST.json").read_text())
+    assert m3["corpus_digest"] != m1["corpus_digest"]
