@@ -296,6 +296,14 @@ def build_training_corpus(
     # match — the cheap equality proof for "is this the shard set the
     # model actually trained on?".  Written LAST: a manifest implies
     # every stage completed.
+    # row identity = id + placement + CONTENT (whichever text columns
+    # this objective emitted) — without content, two runs with identical
+    # layouts but divergent cleaning/redaction would share a digest,
+    # defeating the "is this the corpus the model trained on" check
+    content_cols = [
+        c for c in ("text", "input_text", "target_text")
+        if c in sharded.columns
+    ]
     digest = sharded.agg(
         F.sum(
             F.conv(
@@ -307,6 +315,7 @@ def build_training_corpus(
                             F.col("split"),
                             F.col("shard_id").cast("string"),
                             F.col("shard_pos").cast("string"),
+                            *[F.col(c) for c in content_cols],
                         )
                     ),
                     1,

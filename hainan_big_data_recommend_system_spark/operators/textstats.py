@@ -447,16 +447,7 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
         lambda w: w != "",
     )
-    # slice() rejects negative lengths — an empty doc (size 0) must yield
-    # zero bigrams, not a runtime error
-    npairs = F.greatest(F.size(arr) - 1, F.lit(0))
-    z = F.arrays_zip(
-        F.slice(arr, 1, npairs).alias("w1"),
-        F.slice(arr, 2, npairs).alias("w2"),
-    )
-    big = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(z).alias("z")
-    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    big = _doc_bigrams(docs, id_col, text_col)
     uni = docs.select(F.explode(arr).alias("w"))
     # both count tables feed the totals AND the scoring joins — eager
     # checkpoints keep each corpus shuffle at one execution
@@ -489,6 +480,25 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _doc_bigrams(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(doc_id, w1, w2)`` adjacent-token pairs — the shared extraction
+    of the bigram-LM family (including the empty-doc slice guard:
+    slice() rejects negative lengths, so size-0 docs must yield zero
+    pairs, not a runtime error)."""
+    arr = F.filter(
+        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    npairs = F.greatest(F.size(arr) - 1, F.lit(0))
+    z = F.arrays_zip(
+        F.slice(arr, 1, npairs).alias("w1"),
+        F.slice(arr, 2, npairs).alias("w2"),
+    )
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(z).alias("z")
+    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+
+
 def kn_bigram_lm_scores(
     docs: DataFrame, id_col: str, text_col: str
 ) -> DataFrame:
@@ -512,18 +522,7 @@ def kn_bigram_lm_scores(
     Scale shape: one bigram shuffle with map-side combine; every model
     table (continuation counts, following-type counts, the 1-row type
     total) is vocabulary-sized."""
-    arr = F.filter(
-        F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+"),
-        lambda w: w != "",
-    )
-    npairs = F.greatest(F.size(arr) - 1, F.lit(0))
-    z = F.arrays_zip(
-        F.slice(arr, 1, npairs).alias("w1"),
-        F.slice(arr, 2, npairs).alias("w2"),
-    )
-    big = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(z).alias("z")
-    ).select("doc_id", F.col("z.w1").alias("w1"), F.col("z.w2").alias("w2"))
+    big = _doc_bigrams(docs, id_col, text_col)
     c2 = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))

@@ -394,77 +394,117 @@ def forget_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     bucket_dir: str | None = None,
-    shingle_n: int = 3,
-    num_hashes: int = 16,
-    rows_per_band: int = 2,
+    allow_newest_epoch: bool = False,
 ) -> int:
     """Right-to-erasure deletion across the ingest state — the takedown
-    path a production corpus must have: removing a document means
-    removing it from the corpus, AND from the fingerprint index (so
-    identical content offered later is accepted again instead of being
+    path a production corpus must have: removing a document removes it
+    from the corpus, AND from the fingerprint index (so identical
+    content offered later is accepted again instead of being
     deduplicated against a ghost), AND from the LSH bucket index (so it
     stops killing near-duplicates of itself).
 
-    Only the epoch partitions (positive epochs and compacted negative
-    base generations alike) that actually contain a requested id are
-    rewritten; each one's fingerprint/bucket rows are REBUILT from the
-    surviving docs with the same expressions the writer used, so the
-    state is indistinguishable from one where the docs never arrived.
-    Crash windows mirror the writer's: every rewrite is a per-partition
-    overwrite, and a partially-applied forget re-runs to completion
-    idempotently (rewriting a partition that no longer holds the id is
-    a no-op).
+    Design points, each the answer to a real failure mode:
+
+    - **Filter-based removal, never rebuild**: index partitions are
+      purged by anti-joining the forgotten docs' own fingerprints, and
+      bucket partitions by anti-joining their doc ids — so the function
+      needs no knowledge of the writer's LSH geometry, and it works even
+      when ``compact_ingest_state`` has folded the three state dirs into
+      DIFFERENT epoch layouts (each dir's affected partitions are
+      located independently).
+    - **Corpus written LAST**: the affected-epoch scan keys off the
+      corpus, so a crash mid-way leaves the doc still visible there and
+      a re-run heals every index; the reverse order would strand ghost
+      fingerprints no re-run could find.
+    - **Newest-epoch guard**: the newest positive epoch is still
+      replayable under the writer's at-least-once contract — a
+      checkpoint replay would resurrect anything erased from it.  Like
+      ``compact_ingest_state``, this refuses to touch it unless the
+      caller asserts the stream is stopped (``allow_newest_epoch``).
+    - Ids keep the corpus id column's own type (string ids are ingested
+      happily by the writer and must be erasable too).
 
     Returns the number of corpus rows removed."""
-    from ..operators.dedup import lsh_buckets, minhash_signatures
-
-    ids = sorted({int(i) for i in ids})
+    ids = sorted(set(ids))
     if not ids:
         return 0
     corpus = _read_epochs(spark, corpus_dir)
     if corpus is None:
         return 0
+    id_type = corpus.schema[id_col].dataType.simpleString()
     id_df = F.broadcast(
-        spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_type}")
     )
-    affected = sorted(
-        r["epoch"]
-        for r in corpus.join(id_df, id_col)
-        .select("epoch")
-        .distinct()
-        .collect()
+    hits = corpus.join(id_df, id_col).localCheckpoint(eager=True)
+    removed = hits.count()
+    if removed == 0:
+        return 0
+    affected = sorted(r["epoch"] for r in hits.select("epoch").distinct().collect())
+    newest = max(
+        (r["epoch"] for r in corpus.select("epoch").distinct().collect()),
+        default=None,
     )
-    removed = 0
-    for ep in affected:
-        part = corpus.filter(F.col("epoch") == ep)
-        removed += part.join(id_df, id_col).count()
-        # materialize BEFORE overwriting the files being read
-        remaining = (
-            part.join(id_df, id_col, "left_anti")
-            .drop("epoch")
-            .localCheckpoint(eager=True)
+    if not allow_newest_epoch and newest is not None and newest in affected:
+        raise ValueError(
+            f"doc(s) live in the newest epoch {newest}, which a streaming "
+            "checkpoint replay could rewrite and silently resurrect them; "
+            "stop the ingest query first, then pass allow_newest_epoch=True"
         )
-        remaining.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"epoch={ep}")
-        )
-        # rebuild the fingerprint rows with the writer's own expression
-        remaining.select(
+    # the fingerprints to purge — derived from the docs being removed,
+    # independent of where compaction moved them in the index layout
+    fps = F.broadcast(
+        hits.select(
             F.coalesce(
                 F.md5(F.col(text_col).cast("binary")), F.lit("__null__")
             ).alias("fingerprint")
-        ).write.mode("overwrite").parquet(
-            os.path.join(index_dir, f"epoch={ep}")
+        ).distinct()
+    ).localCheckpoint(eager=True)
+
+    def _purge(state_dir: str, state: DataFrame, key_cols: list, victims):
+        """Rewrite only the partitions of ``state_dir`` holding victim
+        rows, filtering those rows out.  Keyed on the state's OWN epoch
+        layout."""
+        marked = state.join(victims, key_cols, "left_semi")
+        eps = sorted(
+            r["epoch"] for r in marked.select("epoch").distinct().collect()
         )
-        if bucket_dir is not None:
-            docs = remaining.select(
-                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        for ep in eps:
+            keep = (
+                state.filter(F.col("epoch") == ep)
+                .join(victims, key_cols, "left_anti")
+                .drop("epoch")
+                .localCheckpoint(eager=True)  # materialize before overwrite
             )
-            lsh_buckets(
-                minhash_signatures(
-                    docs, "doc_id", "text", num_hashes, shingle_n
+            keep.write.mode("overwrite").parquet(
+                os.path.join(state_dir, f"epoch={ep}")
+            )
+
+    index = _read_epochs(spark, index_dir)
+    if index is not None:
+        _purge(index_dir, index, ["fingerprint"], fps)
+    if bucket_dir is not None:
+        buckets = _read_epochs(spark, bucket_dir)
+        if buckets is not None:
+            # bucket rows always carry the writer's canonical "doc_id"
+            # column, whatever the caller's id column is named
+            _purge(
+                bucket_dir,
+                buckets,
+                ["doc_id"],
+                F.broadcast(
+                    hits.select(F.col(id_col).alias("doc_id")).distinct()
                 ),
-                rows_per_band,
-            ).write.mode("overwrite").parquet(
-                os.path.join(bucket_dir, f"epoch={ep}")
             )
+    # corpus last: while the doc is still visible here, a re-run after
+    # any crash above re-locates and re-purges every index
+    for ep in affected:
+        keep = (
+            corpus.filter(F.col("epoch") == ep)
+            .join(id_df, id_col, "left_anti")
+            .drop("epoch")
+            .localCheckpoint(eager=True)
+        )
+        keep.write.mode("overwrite").parquet(
+            os.path.join(corpus_dir, f"epoch={ep}")
+        )
     return removed

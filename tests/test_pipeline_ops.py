@@ -798,6 +798,9 @@ def test_kn_bigram_matches_python_reference(spark):
             p = max(c2[(a, b)] - 0.75, 0.0) / c1[a] + (
                 0.75 * n1f[a] / c1[a]
             ) * (ncont[b] / ntypes)
-            lps.append(round(math.log(p) * 1_000_000))
+            x = math.log(p) * 1_000_000
+            # HALF_UP away-from-zero like Spark's F.round, NOT Python's
+            # banker's round (x is negative here)
+            lps.append(-int(math.floor(abs(x) + 0.5)))
         assert got[d]["n_bigrams"] == len(lps)
         assert got[d]["sum_lp_micros"] == sum(lps)

@@ -678,11 +678,22 @@ def test_forget_docs_erasure_semantics(spark, tmp_path):
     q.awaitTermination()
     assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {1, 2}
 
-    n = forget_docs(spark, corpus, index, [1], bucket_dir=buckets)
+    # the newest-epoch guard: a replayable epoch must refuse erasure
+    # until the caller asserts the stream is stopped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="newest epoch"):
+        forget_docs(spark, corpus, index, [1], bucket_dir=buckets)
+    n = forget_docs(
+        spark, corpus, index, [1], bucket_dir=buckets,
+        allow_newest_epoch=True,  # availableNow query above has terminated
+    )
     assert n == 1
     assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {2}
     # idempotent re-run
-    assert forget_docs(spark, corpus, index, [1], bucket_dir=buckets) == 0
+    assert forget_docs(
+        spark, corpus, index, [1], bucket_dir=buckets, allow_newest_epoch=True
+    ) == 0
 
     # identical content AND a near-twin arrive later: both must be
     # accepted now — neither the fingerprint nor the bucket index may
@@ -700,3 +711,27 @@ def test_forget_docs_erasure_semantics(spark, tmp_path):
     # 7 re-enters (no ghost dedup); 8 is a near-twin OF 7 within the same
     # batch, so exactly one of them survives the in-batch near-dup stage
     assert 2 in got and 7 in got and 8 not in got
+
+
+def test_forget_docs_string_ids(spark, tmp_path):
+    """Erasure must honor the corpus id column's own type — the writer
+    happily ingests string ids, so the takedown path must too."""
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        dedup_ingest_writer,
+        forget_docs,
+        read_ingested_corpus,
+    )
+
+    corpus = str(tmp_path / "c")
+    index = str(tmp_path / "i")
+    writer = dedup_ingest_writer(corpus, index)
+    writer(
+        spark.createDataFrame(
+            [("url-a", "some text"), ("url-b", "other text")],
+            "doc_id string, text string",
+        ),
+        0,
+    )
+    n = forget_docs(spark, corpus, index, ["url-a"], allow_newest_epoch=True)
+    assert n == 1
+    assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {"url-b"}
