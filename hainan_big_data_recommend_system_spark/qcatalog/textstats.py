@@ -1368,3 +1368,79 @@ def q_kn_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return kn_bigram_lm_scores(docs, "doc_id", "text")
+
+
+@register_extra(
+    "ngram_diversity",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'),
+                           x -> x <> '') AS toks
+        FROM documents
+    ),
+    occ AS (
+        SELECT 1 AS n, array_to_string(toks[i:i + 0], ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) - -1)) AS i)
+        UNION ALL
+        SELECT 2 AS n, array_to_string(toks[i:i + 1], ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 0)) AS i)
+        UNION ALL
+        SELECT 3 AS n, array_to_string(toks[i:i + 2], ' ') AS g
+        FROM t, LATERAL (SELECT unnest(range(1, len(toks) - 1)) AS i)
+    ),
+    agg AS (
+        SELECT n, count(*) AS total, count(DISTINCT g) AS n_distinct
+        FROM occ GROUP BY n
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(total AS BIGINT) AS total_ngrams,
+           CAST(n_distinct AS BIGINT) AS distinct_ngrams,
+           CAST(n_distinct * 1000000 // total AS BIGINT)
+               AS distinct_ratio_micros
+    FROM agg
+    """,
+)
+def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus distinct-n diversity (the distinct-1/2/3 metric of
+    text-generation evaluation, applied as a corpus health signal): a
+    repetitive or template-heavy corpus shows a collapsing distinct
+    ratio as n grows slower than a diverse one.  One explode + one
+    groupBy per n, all integer counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"[ \t\n\x0B\f\r]+"),
+        lambda w: w != "",
+    )
+    base = docs.select(toks.alias("__toks"))
+    outs = []
+    for n in (1, 2, 3):
+        idx = F.when(
+            F.size("__toks") >= n,
+            F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        ).otherwise(F.array().cast("array<int>"))
+        grams = base.select(
+            F.explode(idx).alias("__i"), "__toks"
+        ).select(
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("__i"), n)
+            ).alias("g")
+        )
+        outs.append(
+            grams.agg(
+                F.lit(n).cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+                F.countDistinct("g").cast("long").alias("distinct_ngrams"),
+            )
+        )
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), outs)
+    return merged.select(
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.expr("distinct_ngrams * 1000000L div total_ngrams")
+        .cast("long")
+        .alias("distinct_ratio_micros"),
+    )

@@ -804,3 +804,29 @@ def test_kn_bigram_matches_python_reference(spark):
             lps.append(-int(math.floor(abs(x) + 0.5)))
         assert got[d]["n_bigrams"] == len(lps)
         assert got[d]["sum_lp_micros"] == sum(lps)
+
+
+def test_ngram_diversity_separates_template_soup_from_diverse_text(spark):
+    import hainan_big_data_recommend_system_spark.qcatalog.textstats as qt
+
+    diverse = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(20))) for i in range(10)],
+        "doc_id long, text string",
+    )
+    template = spark.createDataFrame(
+        [(i, "the same exact template line repeats again") for i in range(10)],
+        "doc_id long, text string",
+    )
+    orig = qt.load_table
+    try:
+        qt.load_table = lambda s_, sf, name: diverse
+        dv = {r["n"]: r["distinct_ratio_micros"]
+              for r in qt.q_ngram_diversity(spark, "x").collect()}
+        qt.load_table = lambda s_, sf, name: template
+        tp = {r["n"]: r["distinct_ratio_micros"]
+              for r in qt.q_ngram_diversity(spark, "x").collect()}
+    finally:
+        qt.load_table = orig
+    # fully unique corpus: every n-gram distinct; template soup collapses
+    assert dv[2] == 1_000_000 and dv[3] == 1_000_000
+    assert tp[2] < 200_000 and tp[3] < 200_000
