@@ -3,9 +3,11 @@ format on the real-decode ladder (operators/multimodal.py: BMP header
 parse, PNG chunk/inflate/unfilter, now JPEG entropy decode + IDCT).
 
 Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
-samples, 1 component (grayscale) or 3 components with NO chroma
-subsampling (h=v=1 for every component), no restart intervals, no
-progressive/arithmetic coding.  Everything inside that scope is REAL:
+samples, 1 component (grayscale) or 3 components with sampling factors
+h,v <= 2 per component — which covers 4:4:4, 4:2:2 and the 4:2:0 layout
+~90% of real-world JPEGs use (round 6; r5 rejected anything but 4:4:4) —
+no restart intervals, no progressive/arithmetic coding.  Everything
+inside that scope is REAL:
 
 - marker walk (SOI/APP/DQT/SOF0/DHT/SOS/EOI) with length validation;
 - quantization + Huffman tables parsed from the FILE's own DQT/DHT
@@ -13,9 +15,11 @@ progressive/arithmetic coding.  Everything inside that scope is REAL:
   decoder handles any compliant baseline stream in scope, not just this
   encoder's output;
 - entropy decode: DC category + EXTEND, AC run/size with ZRL and EOB,
-  0xFF00 byte-unstuffing;
+  0xFF00 byte-unstuffing, interleaved MCU walk over per-component
+  (h_i, v_i) data units (T.81 §A.2.3) for any factors <= 2;
 - dequantize → inverse zigzag → float IDCT (numpy, separable 8×8
-  transform matrix) → level shift → clamp → YCbCr→RGB (JFIF/BT.601).
+  transform matrix) → level shift → nearest-neighbor chroma upsample to
+  the luma grid → clamp → YCbCr→RGB (JFIF/BT.601).
 
 The encoder (`make_jpeg`) is the matching fixture generator, same
 contract as make_bmp/make_png: a pure function of (width, height,
@@ -187,18 +191,40 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+def _edge_pad(plane, ph: int, pw: int):
+    """Pad a (h, w[, c]) array to (ph, pw[, c]) by edge replication
+    (keeps boundary DCT tame)."""
+    import numpy as np
+
+    h, w = plane.shape[0], plane.shape[1]
+    padded = np.empty((ph, pw) + plane.shape[2:], dtype=np.float64)
+    padded[:h, :w] = plane
+    padded[h:, :w] = plane[h - 1 : h]
+    padded[:, w:] = padded[:, w - 1 : w]
+    return padded
+
+
 def make_jpeg(
-    width: int, height: int, pixel_seed: bytes, gray: bool = False
+    width: int,
+    height: int,
+    pixel_seed: bytes,
+    gray: bool = False,
+    subsampling: str = "444",
 ) -> bytes:
-    """Encode a VALID baseline-sequential JFIF JPEG (YCbCr 4:4:4, or
-    single-component grayscale with ``gray=True``; flat quant tables)
-    whose raw RGB stream is ``pixel_seed`` cycled to ``width·height·3``
-    bytes — the same seed convention as make_bmp / make_png, so fixtures
-    need no image assets."""
+    """Encode a VALID baseline-sequential JFIF JPEG (single-component
+    grayscale with ``gray=True``, else YCbCr — 4:4:4 by default, or the
+    in-the-wild-dominant 4:2:0 with ``subsampling="420"``: luma at
+    sampling factors h=v=2, chroma 2×2-box-averaged to half resolution,
+    interleaved 16×16 MCUs of 4 Y + 1 Cb + 1 Cr data units per T.81
+    §A.2.3; flat quant tables) whose raw RGB stream is ``pixel_seed``
+    cycled to ``width·height·3`` bytes — the same seed convention as
+    make_bmp / make_png, so fixtures need no image assets."""
     import numpy as np
 
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
     seed = pixel_seed or b"\x00"
     n = width * height * 3
     reps = -(-n // len(seed))
@@ -206,13 +232,7 @@ def make_jpeg(
     rgb = np.frombuffer(raw, dtype=np.uint8).reshape(height, width, 3)
     ycc = _rgb_to_ycbcr(rgb)
     ncomp = 1 if gray else 3
-
-    # pad to 8x8 blocks by edge replication (keeps boundary DCT tame)
-    bw, bh = -(-width // 8), -(-height // 8)
-    padded = np.empty((bh * 8, bw * 8, 3), dtype=np.float64)
-    padded[:height, :width] = ycc
-    padded[height:, :width] = ycc[height - 1 : height, :]
-    padded[:, width:] = padded[:, width - 1 : width]
+    sub420 = (not gray) and subsampling == "420"
 
     m = _dct_matrix()
     dc_codes = _build_codes(_DC_BITS, _DC_VALS)
@@ -220,41 +240,76 @@ def make_jpeg(
     quants = [_QUANT_LUMA, _QUANT_CHROMA]
     w = _BitWriter()
     pred = [0, 0, 0]
-    for by in range(bh):
-        for bx in range(bw):
-            for comp in range(ncomp):
-                q = quants[0 if comp == 0 else 1]
-                block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp] - 128.0
-                coef = m @ block @ m.T
-                zz = [
-                    int(round(coef[zi // 8, zi % 8] / q[i]))
-                    for i, zi in enumerate(ZIGZAG)
-                ]
-                diff = zz[0] - pred[comp]
-                pred[comp] = zz[0]
-                t = _category(diff)
-                code, length = dc_codes[t]
+
+    def emit_block(block, comp: int) -> None:
+        q = quants[0 if comp == 0 else 1]
+        coef = m @ block @ m.T
+        zz = [
+            int(round(coef[zi // 8, zi % 8] / q[i]))
+            for i, zi in enumerate(ZIGZAG)
+        ]
+        diff = zz[0] - pred[comp]
+        pred[comp] = zz[0]
+        t = _category(diff)
+        code, length = dc_codes[t]
+        w.write(code, length)
+        if t:
+            w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
                 w.write(code, length)
-                if t:
-                    w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, length = ac_codes[0xF0]  # ZRL
-                        w.write(code, length)
-                        run -= 16
-                    t = _category(zz[i])
-                    code, length = ac_codes[(run << 4) | t]
-                    w.write(code, length)
-                    w.write(zz[i] if zz[i] > 0 else zz[i] + (1 << t) - 1, t)
-                    run = 0
-                if last_nz < 63:
-                    code, length = ac_codes[0x00]  # EOB
-                    w.write(code, length)
+                run -= 16
+            t = _category(zz[i])
+            code, length = ac_codes[(run << 4) | t]
+            w.write(code, length)
+            w.write(zz[i] if zz[i] > 0 else zz[i] + (1 << t) - 1, t)
+            run = 0
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            w.write(code, length)
+
+    if not sub420:
+        # one 8x8 data unit per component per MCU (all factors 1x1)
+        bw, bh = -(-width // 8), -(-height // 8)
+        padded = _edge_pad(ycc, bh * 8, bw * 8)
+        for by in range(bh):
+            for bx in range(bw):
+                for comp in range(ncomp):
+                    emit_block(
+                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
+                        - 128.0,
+                        comp,
+                    )
+        comp_hv = [0x11] * ncomp
+    else:
+        # 16x16 MCU: 4 luma blocks (raster order) + 1 Cb + 1 Cr
+        mcux, mcuy = -(-width // 16), -(-height // 16)
+        padded = _edge_pad(ycc, mcuy * 16, mcux * 16)
+        yplane = padded[..., 0]
+        # 2x2 box average -> half-resolution chroma planes (mcuy*8 x mcux*8)
+        chroma = [
+            padded[..., c].reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+            for c in (1, 2)
+        ]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for vy in range(2):
+                    for hx in range(2):
+                        r0, c0 = (my * 2 + vy) * 8, (mx * 2 + hx) * 8
+                        emit_block(yplane[r0 : r0 + 8, c0 : c0 + 8] - 128.0, 0)
+                for c in (0, 1):
+                    emit_block(
+                        chroma[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
+                        - 128.0,
+                        c + 1,
+                    )
+        comp_hv = [0x22, 0x11, 0x11]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
@@ -262,7 +317,7 @@ def make_jpeg(
         out += _seg(0xDB, bytes([tid]) + bytes(q[i] for i in range(64)))
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for cid in range(ncomp):
-        sof += bytes([cid + 1, 0x11, 0 if cid == 0 else 1])  # h=v=1
+        sof += bytes([cid + 1, comp_hv[cid], 0 if cid == 0 else 1])
     out += _seg(0xC0, sof)
     tables = [(0, 0, _DC_BITS, _DC_VALS), (1, 0, _AC_BITS, _AC_VALS)]
     if not gray:
@@ -312,11 +367,15 @@ class _HuffDecoder:
 def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     """Decode a baseline-sequential JPEG: returns ``(width, height,
     channels, pixel bytes)`` — interleaved RGB8 for 3-component streams,
-    gray8 for 1-component.  Raises ``ValueError`` on anything outside
-    the documented scope (progressive, subsampled, restart-interval,
-    12-bit, arithmetic) or malformed (bad lengths, undefined tables,
-    truncated entropy data) — a decode stage must reject corrupt
-    payloads loudly, never emit garbage pixels.
+    gray8 for 1-component.  Sampling factors h,v <= 2 per component are
+    fully decoded (4:4:4 / 4:2:2 / 4:2:0): the interleaved MCU walk reads
+    h_i·v_i data units per component per MCU (T.81 §A.2.3) and subsampled
+    planes are nearest-neighbor upsampled to the luma grid before color
+    conversion.  Raises ``ValueError`` on anything outside the documented
+    scope (progressive, factors > 2, restart-interval, 12-bit,
+    arithmetic) or malformed (bad lengths, undefined tables, truncated
+    entropy data) — a decode stage must reject corrupt payloads loudly,
+    never emit garbage pixels.
     """
     import numpy as np
 
@@ -376,11 +435,19 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             comps = []
             for i in range(nc):
                 cid, hv, qid = body[6 + 3 * i : 9 + 3 * i]
-                if hv != 0x11:
+                ch, cv = hv >> 4, hv & 0xF
+                if ch not in (1, 2) or cv not in (1, 2):
                     raise ValueError(
-                        f"chroma subsampling unsupported (h/v={hv:#x})"
+                        f"sampling factors unsupported (h={ch}, v={cv}; "
+                        "baseline scope is h,v <= 2)"
                     )
-                comps.append((cid, qid))
+                comps.append((cid, ch, cv, qid))
+            if nc == 1:
+                # single-component scans are non-interleaved (T.81
+                # §A.2.2): one data unit per 8x8 region regardless of
+                # declared factors
+                cid, _, _, qid = comps[0]
+                comps = [(cid, 1, 1, qid)]
             if w <= 0 or h <= 0:
                 raise ValueError(f"bad dimensions {w}x{h}")
             frame = (w, h, comps)
@@ -420,7 +487,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     qtabs = []
     decs = []
     order = {cid: i for i, (cid, _, _) in enumerate(stabs)}
-    for cid, qid in comps:
+    for cid, ch, cv, qid in comps:
         if qid not in quant:
             raise ValueError(f"component references undefined DQT {qid}")
         if cid not in order:
@@ -432,41 +499,73 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         decs.append((huff[(0, td)], huff[(1, ta)]))
 
     m = _dct_matrix()
-    bw, bh = -(-w // 8), -(-h // 8)
     nc = len(comps)
-    planes = np.empty((bh * 8, bw * 8, nc), dtype=np.float64)
+    hmax = max(ch for _, ch, _, _ in comps)
+    vmax = max(cv for _, _, cv, _ in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.empty((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+        for _, ch, cv, _ in comps
+    ]
     pred = [0] * nc
-    for by in range(bh):
-        for bx in range(bw):
-            for ci in range(nc):
-                dc_dec, ac_dec = decs[ci]
-                zz = [0] * 64
-                t = dc_dec.decode(reader)
-                if t > 11:
-                    raise ValueError(f"DC category {t} out of range")
-                diff = _extend(reader.read_bits(t), t) if t else 0
-                pred[ci] += diff
-                zz[0] = pred[ci]
-                i = 1
-                while i < 64:
-                    rs = ac_dec.decode(reader)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:  # ZRL
-                            i += 16
-                            continue
-                        break  # EOB
-                    i += r
-                    if i > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[i] = _extend(reader.read_bits(s), s)
-                    i += 1
-                coef = np.zeros((8, 8), dtype=np.float64)
-                for i, zi in enumerate(ZIGZAG):
-                    coef[zi // 8, zi % 8] = zz[i] * qtabs[ci][i]
-                block = m.T @ coef @ m + 128.0
-                planes[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, ci] = block
-    cropped = planes[:h, :w]
+
+    def decode_block(ci: int):
+        dc_dec, ac_dec = decs[ci]
+        zz = [0] * 64
+        t = dc_dec.decode(reader)
+        if t > 11:
+            raise ValueError(f"DC category {t} out of range")
+        diff = _extend(reader.read_bits(t), t) if t else 0
+        pred[ci] += diff
+        zz[0] = pred[ci]
+        i = 1
+        while i < 64:
+            rs = ac_dec.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:  # ZRL
+                    i += 16
+                    continue
+                break  # EOB
+            i += r
+            if i > 63:
+                raise ValueError("AC run past end of block")
+            zz[i] = _extend(reader.read_bits(s), s)
+            i += 1
+        coef = np.zeros((8, 8), dtype=np.float64)
+        for i, zi in enumerate(ZIGZAG):
+            coef[zi // 8, zi % 8] = zz[i] * qtabs[ci][i]
+        return m.T @ coef @ m + 128.0
+
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (_, ch, cv, _) in enumerate(comps):
+                for vy in range(cv):
+                    for hx in range(ch):
+                        r0 = (my * cv + vy) * 8
+                        c0 = (mx * ch + hx) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = decode_block(ci)
+    if reader.pos < len(reader.data):
+        # T.81 pads only the final partial byte with 1-bits, so a
+        # compliant stream is fully consumed when the last MCU decodes;
+        # whole unread bytes mean the declared sampling geometry does not
+        # match the entropy stream (e.g. a 4:4:4 stream relabeled 4:2:0)
+        # — reject rather than emit garbage pixels
+        raise ValueError(
+            f"{len(reader.data) - reader.pos} trailing entropy bytes after "
+            "final MCU — stream inconsistent with frame sampling geometry"
+        )
+
+    # upsample subsampled planes to the luma grid (nearest-neighbor:
+    # factors are 1 or 2, both exact divisors of hmax/vmax) and crop
+    cropped = np.empty((h, w, nc), dtype=np.float64)
+    for ci, (_, ch, cv, _) in enumerate(comps):
+        p = planes[ci]
+        if cv != vmax:
+            p = np.repeat(p, vmax // cv, axis=0)
+        if ch != hmax:
+            p = np.repeat(p, hmax // ch, axis=1)
+        cropped[..., ci] = p[:h, :w]
     if nc == 3:
         pixels = _ycbcr_to_rgb(cropped).tobytes()
     else:

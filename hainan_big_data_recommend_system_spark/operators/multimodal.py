@@ -544,16 +544,24 @@ def generate_png_media(
 
 
 def generate_jpeg_media(
-    docs: DataFrame, id_col: str, text_col: str, mod_w: int = 23, mod_h: int = 11
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    mod_w: int = 23,
+    mod_h: int = 11,
+    subsampling: str = "444",
 ) -> DataFrame:
     """Fixture-payload generator for the JPEG path (round 5): one valid
     baseline-sequential JFIF JPEG per document (operators/jpeg.py:
-    make_jpeg — YCbCr 4:4:4, flat quant tables, canonical Huffman), sized
-    ``(1 + id % mod_w) × (1 + id % mod_h)`` with the raw RGB stream cycled
-    from the document text.  Dimensions are a pure function of the id, so
-    the oracle pins what the CRC-of-markers-validated decode parses back;
-    pixel values survive the DCT roundtrip only within a small tolerance
-    (IDCT rounding), which tests pin instead of a digest."""
+    make_jpeg — YCbCr 4:4:4 by default or 4:2:0 with
+    ``subsampling="420"`` (round 6: interleaved 16×16 MCUs, box-averaged
+    chroma — the layout most real-world JPEGs use), flat quant tables,
+    canonical Huffman), sized ``(1 + id % mod_w) × (1 + id % mod_h)``
+    with the raw RGB stream cycled from the document text.  Dimensions
+    are a pure function of the id, so the oracle pins what the
+    validated decode parses back; pixel values survive the DCT (and for
+    4:2:0 the chroma) roundtrip only within a small tolerance, which
+    tests pin instead of a digest."""
     import pandas as pd
 
     from .jpeg import make_jpeg
@@ -571,8 +579,9 @@ def generate_jpeg_media(
                             1 + did % mod_w,
                             1 + did % mod_h,
                             str(r[text_col]).encode("utf-8"),
+                            subsampling=subsampling,
                         ),
-                        "source": "synthetic-jpeg",
+                        "source": f"synthetic-jpeg-{subsampling}",
                     }
                 )
             yield pd.DataFrame(rows)

@@ -252,6 +252,9 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 23 AS INT) AS jpeg_w,
            CAST(1 + doc_id % 11 AS INT) AS jpeg_h,
            CAST(3 AS INT) AS jpeg_channels,
+           CAST(1 + doc_id % 19 AS INT) AS jpeg420_w,
+           CAST(1 + doc_id % 21 AS INT) AS jpeg420_h,
+           CAST(3 AS INT) AS jpeg420_channels,
            -- seed mirrors make_png's empty-text fallback (pixel_seed or
            -- b'\\x00'): an empty document must digest a NUL-cycled stream,
            -- not divide by zero in the repeat count (ADVICE r4)
@@ -290,7 +293,18 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_image_features' magic dispatch).  Pixels survive the DCT
     roundtrip only within a small rounding tolerance, so the pixel
     invariant is pinned in tests/test_jpeg.py rather than by digest here
-    — dims/channels are exact and driver-hashed."""
+    — dims/channels are exact and driver-hashed.
+
+    JPEG 4:2:0 (round 6): a FOURTH fixture set per doc is
+    chroma-subsampled (make_jpeg subsampling="420" — luma h=v=2,
+    interleaved 16×16 MCUs, the layout ~90% of real-world JPEGs use);
+    `jpeg420_w`/`jpeg420_h`/`jpeg420_channels` require the generalized
+    MCU walk (4 Y + Cb + Cr data units per MCU) to decode cleanly —
+    a decoder with the wrong MCU geometry raises mid-stream, falls to
+    the fake-dims path and breaks the driver hash.  Dims up to 19×21
+    exercise multi-MCU images and non-multiple-of-16 chroma edges;
+    pixel tolerance vs the analytic box-downsample expectation is
+    pinned in tests/test_jpeg.py."""
     from ..operators.multimodal import (
         decode_image_features,
         generate_bmp_media,
@@ -325,6 +339,16 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("jpeg_h"),
         F.col("channels").alias("jpeg_channels"),
     )
+    jpeg420_feats = decode_image_features(
+        generate_jpeg_media(
+            docs, "doc_id", "text", mod_w=19, mod_h=21, subsampling="420"
+        )
+    ).select(
+        F.col("media_id").alias("doc_id"),
+        F.col("width").alias("jpeg420_w"),
+        F.col("height").alias("jpeg420_h"),
+        F.col("channels").alias("jpeg420_channels"),
+    )
     payload = F.col("text").cast("binary")
     n_bytes = F.length(payload).cast("bigint")
     meta = docs.select(
@@ -337,6 +361,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         meta.join(bmp_feats, "doc_id")
         .join(png_feats, "doc_id")
         .join(jpeg_feats, "doc_id")
+        .join(jpeg420_feats, "doc_id")
     )
 
 

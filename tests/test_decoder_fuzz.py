@@ -34,6 +34,10 @@ CASES = {
     "wav": (lambda: make_wav("s", 40), wav_features),
     "avi": (lambda: make_fixture_avi(3), avi_features),
     "jpeg": (lambda: make_jpeg(16, 8, b"\x40\x50\x60"), parse_jpeg),
+    "jpeg420": (
+        lambda: make_jpeg(19, 21, b"\x40\x50\x60", subsampling="420"),
+        parse_jpeg,
+    ),
     "png": (lambda: make_png(12, 9, b"\x11\x22\x33"), parse_png),
     "bmp": (lambda: make_bmp(10, 7, b"\x01\x02\x03"), parse_bmp_header),
 }

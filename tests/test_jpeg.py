@@ -57,6 +57,96 @@ def test_grayscale_stream_decodes():
 
 def test_encoder_deterministic():
     assert make_jpeg(23, 11, b"abc") == make_jpeg(23, 11, b"abc")
+    assert make_jpeg(19, 21, b"abc", subsampling="420") == make_jpeg(
+        19, 21, b"abc", subsampling="420"
+    )
+
+
+def _expected_420(w: int, h: int, seed: bytes) -> np.ndarray:
+    """Analytic 4:2:0 roundtrip expectation: YCbCr, edge-pad to 16×16
+    MCUs, 2×2 box-average chroma, nearest-neighbor upsample, RGB —
+    exactly the lossy part of the codec, so the decode must land on this
+    within DCT-rounding tolerance."""
+    from hainan_big_data_recommend_system_spark.operators.jpeg import (
+        _edge_pad,
+        _rgb_to_ycbcr,
+        _ycbcr_to_rgb,
+    )
+
+    ycc = _rgb_to_ycbcr(_src_rgb(w, h, seed).astype(np.uint8))
+    mcux, mcuy = -(-w // 16), -(-h // 16)
+    padded = _edge_pad(ycc, mcuy * 16, mcux * 16)
+    out = np.empty((h, w, 3))
+    out[..., 0] = padded[:h, :w, 0]
+    for c in (1, 2):
+        half = padded[..., c].reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        out[..., c] = np.repeat(np.repeat(half, 2, axis=0), 2, axis=1)[:h, :w]
+    return _ycbcr_to_rgb(out).astype(np.int16)
+
+
+def test_420_roundtrip_matches_analytic_subsampling():
+    """4:2:0 exercises the interleaved MCU walk (4 Y + Cb + Cr per MCU),
+    multi-MCU grids, odd-dimension chroma edges, and the upsample path;
+    pixels must match the box-downsample/nearest-upsample expectation
+    within the same DCT tolerance the 4:4:4 path pins."""
+    for w, h, seed in [
+        (1, 1, b"x"),
+        (8, 8, b"hello world"),
+        (16, 16, b"one full mcu"),
+        (19, 21, b"some document text"),  # 2x2 MCUs, odd edges
+        (17, 9, bytes(range(256))),  # full byte range
+        (32, 16, b"edge-aligned"),
+        (5, 3, b""),  # empty seed -> NUL fallback
+    ]:
+        payload = make_jpeg(w, h, seed, subsampling="420")
+        pw, ph, c, px = parse_jpeg(payload)
+        assert (pw, ph, c) == (w, h, 3)
+        got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.int16)
+        err = int(np.abs(_expected_420(w, h, seed) - got).max())
+        assert err <= 3, f"{w}x{h}: max abs pixel error {err} > 3"
+
+
+def test_420_luma_is_not_subsampled():
+    """Luma must come through at full resolution: on a grayscale-content
+    image (r=g=b so chroma is flat), 4:2:0 and 4:4:4 decodes must agree
+    to within rounding — subsampling may only touch chroma."""
+    w, h = 19, 13
+    seed = bytes(b * 3 for b in range(64) for _ in (0, 1, 2))[: w * h * 3]
+    # build an r=g=b source: encode from a seed whose RGB triples repeat
+    gray_seed = b"".join(bytes([b, b, b]) for b in range(97, 119))
+    p444 = parse_jpeg(make_jpeg(w, h, gray_seed))[3]
+    p420 = parse_jpeg(make_jpeg(w, h, gray_seed, subsampling="420"))[3]
+    a = np.frombuffer(p444, dtype=np.uint8).astype(np.int16)
+    b = np.frombuffer(p420, dtype=np.uint8).astype(np.int16)
+    assert int(np.abs(a - b).max()) <= 2
+
+
+def test_420_phash_near_dup_across_subsampling():
+    """The phash near-dup ladder must treat a 4:2:0 re-encode of the
+    same source as a near-duplicate: dHash/aHash over the decoded pixels
+    of both encodings agree within a few bits (they are luma-driven, and
+    luma is full-resolution in both layouts)."""
+    from hainan_big_data_recommend_system_spark.operators.phash import (
+        ahash64,
+        dhash64,
+    )
+
+    for w, h in [(48, 32), (19, 21)]:
+        # full-image seed (cycling is identity): a luma gradient with
+        # real spatial structure, the honest near-dup shape — aHash is
+        # unstable on flat textures where every cell sits at the mean
+        img = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * 255 // max(w - 1, 1) + y * 191 // max(h - 1, 1)) % 256
+                img += bytes([v, (v * 3) % 256, 255 - v])
+        seed = bytes(img)
+        w4, h4, c4, px4 = parse_jpeg(make_jpeg(w, h, seed))
+        w2, h2, c2, px2 = parse_jpeg(make_jpeg(w, h, seed, subsampling="420"))
+        d = bin(dhash64(px4, w4, h4, c4) ^ dhash64(px2, w2, h2, c2)).count("1")
+        a = bin(ahash64(px4, w4, h4, c4) ^ ahash64(px2, w2, h2, c2)).count("1")
+        assert d <= 4, f"dhash hamming {d} across subsampling"
+        assert a <= 4, f"ahash hamming {a} across subsampling"
 
 
 def test_decoder_uses_stream_tables_not_assumptions():
@@ -103,12 +193,20 @@ def test_rejects_out_of_scope_and_corrupt():
     # truncated entropy stream (cut before EOI)
     with pytest.raises(ValueError, match="EOI|exhausted"):
         parse_jpeg(good[:-20])
-    # chroma subsampling out of documented scope: patch SOF h/v for Y
+    # sampling factors beyond baseline-common scope (h or v > 2)
     sub = bytearray(good)
     i = sub.find(b"\xff\xc0")
-    sub[i + 2 + 2 + 6 + 1] = 0x22  # first component h=v=2
-    with pytest.raises(ValueError, match="subsampling"):
+    sub[i + 2 + 2 + 6 + 1] = 0x33  # first component h=v=3
+    with pytest.raises(ValueError, match="sampling factors"):
         parse_jpeg(bytes(sub))
+    # in-scope factors that CONTRADICT the entropy stream (declare 4:2:0
+    # over a 4:4:4 stream): the MCU walk must fail loudly, not emit
+    # garbage pixels
+    lie = bytearray(make_jpeg(23, 11, b"mismatch probe"))
+    i = lie.find(b"\xff\xc0")
+    lie[i + 2 + 2 + 6 + 1] = 0x22
+    with pytest.raises(ValueError):
+        parse_jpeg(bytes(lie))
     # restart intervals: inject a DRI segment with interval 2 before SOS
     j = good.find(b"\xff\xda")
     dri = b"\xff\xdd\x00\x04\x00\x02"
