@@ -150,7 +150,13 @@ def avi_features(payload: bytes) -> tuple[int, int, int, int, int]:
 def make_fixture_avi(doc_id: int) -> bytes:
     """The generative fixture: n, dims and per-frame gray are pure
     integer functions of ``doc_id`` (mirrored in the audio/video oracle
-    SQL), frames are flat-gray baseline JPEGs."""
+    SQL).  Even frames are flat-gray single-component JPEGs; odd frames
+    (round 6) are flat-COLOR 4:2:0-subsampled JPEGs — a flat r=g=b block
+    has exactly-128 chroma and a DC-only DCT, so under the flat quant
+    tables the 4:2:0 roundtrip is bit-exact and the first decoded pixel
+    (R) equals the same gray value: the oracle's generative formula is
+    unchanged, but decoding odd frames now REQUIRES the generalized
+    interleaved-MCU walk (operators/jpeg.py, 4 Y + Cb + Cr per MCU)."""
     n_frames = 2 + doc_id % 3
     width = 16 + (doc_id % 4) * 8
     height = 8 + (doc_id % 3) * 8
@@ -159,7 +165,8 @@ def make_fixture_avi(doc_id: int) -> bytes:
             width,
             height,
             bytes([(doc_id * 31 + i * 17) % 256] * 3),
-            gray=True,
+            gray=(i % 2 == 0),
+            subsampling="444" if i % 2 == 0 else "420",
         )
         for i in range(n_frames)
     ]
