@@ -54,28 +54,48 @@ from .operators.textstats import (
 )
 
 
+def _fs_for(spark: SparkSession, path: str):
+    """Hadoop FileSystem for ``path`` (ADVICE r5: the module pitches the
+    restart contract as the 100 TB deployment shape, so ``_SUCCESS`` /
+    manifest probes must resolve through Hadoop, not ``os.path`` — an
+    object-store or HDFS ``out_dir`` would otherwise never resume and
+    silently rebuild every stage)."""
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return jvm, fs, hpath
+
+
 def _stage(spark: SparkSession, out_dir: str, name: str, build):
     """Restartable stage: build → parquet once; later runs read back."""
     path = os.path.join(out_dir, name)
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    jvm, fs, _ = _fs_for(spark, path)
+    if not fs.exists(jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")):
         build().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
 
 
-def _guard_recipe(out_dir: str, recipe: dict) -> None:
+def _guard_recipe(spark: SparkSession, out_dir: str, recipe: dict) -> None:
     """A resumed run MUST be the same recipe: stage artifacts are keyed
     only by name, so resuming with different parameters (objective,
     thresholds, benchmark presence, ...) would silently serve the OLD
     configuration's data under the new run's stats ledger.  The recipe
     manifest is written once per out_dir and compared on every entry;
     a mismatch is an error, not a shrug — point a new recipe at a new
-    out_dir."""
-    os.makedirs(out_dir, exist_ok=True)
-    manifest = os.path.join(out_dir, "_RECIPE.json")
+    out_dir.  Manifest I/O goes through the Hadoop FileSystem API so the
+    guard holds wherever the artifacts live."""
+    jvm, fs, hdir = _fs_for(spark, out_dir)
+    fs.mkdirs(hdir)
+    manifest = jvm.org.apache.hadoop.fs.Path(out_dir, "_RECIPE.json")
     blob = json.dumps(recipe, sort_keys=True)
-    if os.path.exists(manifest):
-        with open(manifest, encoding="utf-8") as fh:
-            prior = fh.read()
+    if fs.exists(manifest):
+        stream = fs.open(manifest)
+        try:
+            prior = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+            ).decode("utf-8")
+        finally:
+            stream.close()
         if prior != blob:
             raise ValueError(
                 f"out_dir {out_dir!r} holds artifacts from a different "
@@ -83,8 +103,11 @@ def _guard_recipe(out_dir: str, recipe: dict) -> None:
                 "use a fresh out_dir (or delete the old artifacts)"
             )
     else:
-        with open(manifest, "w", encoding="utf-8") as fh:
-            fh.write(blob)
+        stream = fs.create(manifest, False)
+        try:
+            stream.write(bytearray(blob.encode("utf-8")))
+        finally:
+            stream.close()
 
 
 def build_training_corpus(
@@ -128,6 +151,7 @@ def build_training_corpus(
             "(the split graph is a superset of the prune graph)"
         )
     _guard_recipe(
+        spark,
         out_dir,
         {
             "benchmark": benchmark is not None,
@@ -336,8 +360,12 @@ def build_training_corpus(
         "n_shards": n_shards,
         "objective": objective,
     }
-    with open(
-        os.path.join(out_dir, "_MANIFEST.json"), "w", encoding="utf-8"
-    ) as fh:
-        fh.write(json.dumps(manifest, sort_keys=True))
+    jvm, fs, _ = _fs_for(spark, out_dir)
+    stream = fs.create(
+        jvm.org.apache.hadoop.fs.Path(out_dir, "_MANIFEST.json"), True
+    )
+    try:
+        stream.write(bytearray(json.dumps(manifest, sort_keys=True).encode()))
+    finally:
+        stream.close()
     return stats

@@ -358,10 +358,13 @@ def choose_ann_strategy(
       float32 footprint (``dim·4``), only the PQ compressed index fits —
       the pinned M=16×K=256 geometry stores 16 bytes/vector.  Targets
       above 0.75 are refused outright (the BEST measured PQ recall@5 is
-      0.776, on the codebooks' own training corpus); note that PQ recall
-      is corpus-dependent below that ceiling (0.552 measured on the
-      small off-training sf0.001 set), so a passed gate bounds the
-      target against the best case, not a per-corpus guarantee.  (At
+      0.776, on the codebooks' own training corpus); PQ recall is
+      corpus-dependent below that ceiling (0.552 measured on the small
+      off-training sf0.001 set), so the returned dict carries
+      ``recall_estimate`` (the off-training floor) and, for targets in
+      (0.552, 0.75], a ``warning`` field naming the under-delivery risk
+      — the one row of the table that cannot promise its target on
+      unmeasured data says so in its result.  (At
       deployment scale PQ composes with IVF lists; the budget decides
       the *storage*, the rest of the table decides the *traversal*.);
     - exact brute force whenever it is affordable (``n`` at or under
@@ -402,7 +405,18 @@ def choose_ann_strategy(
                 "memory-constrained config clears it; raise the budget or "
                 "lower the target"
             )
-        return {"strategy": "pq"}
+        out = {"strategy": "pq", "recall_estimate": 0.552}
+        if recall_target > 0.552:
+            # corpus-dependent regime (ADVICE r5): PQ clears this target
+            # only on the codebooks' own training corpus — surface the
+            # under-delivery risk in the RESULT, not just the docstring
+            out["warning"] = (
+                f"recall_target {recall_target} exceeds the measured "
+                "off-training PQ floor (0.552; 0.776 on the training "
+                "corpus) — validate recall on this corpus or lower the "
+                "target"
+            )
+        return out
     if n <= brute_force_max_n or recall_target > 0.9:
         return {"strategy": "brute"}
     if has_quantizer and recall_target <= 0.5:

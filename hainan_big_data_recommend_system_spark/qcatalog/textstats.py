@@ -1461,7 +1461,11 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce
 
     merged = reduce(lambda a, b: a.unionByName(b), outs)
-    return merged.select(
+    # drop empty n-gram classes (ADVICE r5: agg over an empty frame
+    # yields a total_ngrams=0 row here, while the oracle's GROUP BY
+    # emits no row for that n — on a degenerate corpus where every doc
+    # has fewer than n tokens the engines must still agree)
+    return merged.filter(F.col("total_ngrams") > 0).select(
         "n",
         "total_ngrams",
         "distinct_ngrams",

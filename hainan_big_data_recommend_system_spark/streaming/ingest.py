@@ -386,6 +386,45 @@ def compact_ingest_state(
     return {"compacted_epochs": eligible, "base_epoch": new_base, "rows": n}
 
 
+def _atomic_epoch_rewrite(spark, state_dir: str, ep, keep_df: DataFrame) -> None:
+    """Crash-safe replacement of one epoch partition (ADVICE r5: a
+    plain ``mode('overwrite')`` deletes the live files before the
+    rewrite lands, so a mid-rewrite crash loses the partition's OTHER
+    rows).  The filtered rows are written to a hidden temp dir first
+    (Spark file listings skip dot-prefixed paths, so a crashed leftover
+    can never be misread as data), then the live dir is moved aside and
+    the temp dir renamed in — at every crash point a complete copy of
+    the surviving rows exists on disk:
+
+    - crash before the first rename: live dir untouched, stray temp
+      dir is inert;
+    - crash between the renames: the full partition still exists under
+      its ``.forget-old`` name — nothing was deleted, a re-run (or the
+      operator) restores it;
+    - crash after the second rename: only the obsolete old copy
+      lingers, harmlessly hidden.
+
+    Renames go through the Hadoop FileSystem API (same as
+    :func:`compact_ingest_state`), so the contract holds on HDFS-like
+    stores, not just the local posix path used in tests."""
+    token = f"{ep}-{os.getpid()}"
+    tmp = os.path.join(state_dir, f".forget-tmp-{token}")
+    old = os.path.join(state_dir, f".forget-old-{token}")
+    live = os.path.join(state_dir, f"epoch={ep}")
+    # the write reads the live dir and lands in tmp — no self-overwrite,
+    # so no eager materialization is needed before it
+    keep_df.write.mode("overwrite").parquet(tmp)
+    jvm, fs, _ = _fs_for(spark, state_dir)
+    path = jvm.org.apache.hadoop.fs.Path
+    if not fs.rename(path(live), path(old)):
+        fs.delete(path(tmp), True)
+        raise ValueError(f"could not move {live} aside for rewrite")
+    if not fs.rename(path(tmp), path(live)):
+        fs.rename(path(old), path(live))  # restore; nothing lost
+        raise ValueError(f"could not install rewritten partition {live}")
+    fs.delete(path(old), True)
+
+
 def forget_docs(
     spark,
     corpus_dir: str,
@@ -473,11 +512,8 @@ def forget_docs(
                 state.filter(F.col("epoch") == ep)
                 .join(victims, key_cols, "left_anti")
                 .drop("epoch")
-                .localCheckpoint(eager=True)  # materialize before overwrite
             )
-            keep.write.mode("overwrite").parquet(
-                os.path.join(state_dir, f"epoch={ep}")
-            )
+            _atomic_epoch_rewrite(spark, state_dir, ep, keep)
 
     index = _read_epochs(spark, index_dir)
     if index is not None:
@@ -502,9 +538,6 @@ def forget_docs(
             corpus.filter(F.col("epoch") == ep)
             .join(id_df, id_col, "left_anti")
             .drop("epoch")
-            .localCheckpoint(eager=True)
         )
-        keep.write.mode("overwrite").parquet(
-            os.path.join(corpus_dir, f"epoch={ep}")
-        )
+        _atomic_epoch_rewrite(spark, corpus_dir, ep, keep)
     return removed

@@ -76,3 +76,38 @@ def test_dispatch_channels_empty_mapping_is_null(spark):
     # default mapping still routes
     routed = dispatch_channels(df).collect()
     assert {r["channel"] for r in routed} == {"u_like"}
+
+
+def test_ngram_diversity_degenerate_corpus_matches_oracle(spark, tmp_path):
+    """ADVICE r5: on a corpus where every doc has fewer than n tokens the
+    Spark agg used to emit a total_ngrams=0 row (NULL ratio) that the
+    oracle's GROUP BY never produces — empty n-gram classes must be
+    dropped so both engines agree."""
+    import duckdb
+
+    from hainan_big_data_recommend_system_spark.qcatalog import EXTRA_REGISTRY
+
+    import pandas as pd
+
+    sf = str(tmp_path)
+    # single parquet FILE, the same layout as /root/testdata tables
+    pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["solo", "one", ""]}
+    ).to_parquet(f"{sf}/documents.parquet", index=False)
+
+    spec = EXTRA_REGISTRY["ngram_diversity"]
+    got = {
+        r["n"]: (r["total_ngrams"], r["distinct_ngrams"])
+        for r in spec.fn(spark, sf).collect()
+    }
+    # only unigrams exist; the n=2 and n=3 classes are EMPTY, not zero
+    assert got == {1: (2, 2)}
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    assert got == want

@@ -182,9 +182,16 @@ def test_choose_ann_strategy_decision_table():
     # regime that fits (16 B codes at the pinned M=16 geometry); targets
     # above the measured PQ recall are refused, budgets below even the
     # code size are refused
-    assert (
-        choose_ann_strategy(10**6, max_bytes_per_vector=32)["strategy"] == "pq"
-    )
+    pq_default = choose_ann_strategy(10**6, max_bytes_per_vector=32)
+    assert pq_default["strategy"] == "pq"
+    # ADVICE r5: default target 0.6 exceeds the off-training floor 0.552
+    # -> the corpus-dependence must be surfaced in the result itself
+    assert pq_default["recall_estimate"] == 0.552
+    assert "off-training" in pq_default["warning"]
+    # at or below the off-training floor the gate clears everywhere
+    # measured: no warning
+    safe = choose_ann_strategy(10**6, max_bytes_per_vector=32, recall_target=0.5)
+    assert safe["strategy"] == "pq" and "warning" not in safe
     assert (
         choose_ann_strategy(500, max_bytes_per_vector=16)["strategy"] == "pq"
     )  # memory outranks the brute-force row

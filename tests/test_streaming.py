@@ -735,3 +735,53 @@ def test_forget_docs_string_ids(spark, tmp_path):
     n = forget_docs(spark, corpus, index, ["url-a"], allow_newest_epoch=True)
     assert n == 1
     assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {"url-b"}
+
+
+def test_forget_docs_atomic_rewrite_no_debris_and_stray_dirs_ignored(
+    spark, tmp_path
+):
+    """ADVICE r5 (medium): the per-epoch rewrite must never delete the
+    live partition before its replacement exists — forget_docs now
+    writes the filtered rows to a hidden temp dir and swaps it in via
+    two renames.  On success no temp/old debris remains, and a crashed
+    leftover (hidden dot-dir from an interrupted earlier run) is
+    invisible to the epoch readers, so recovery is a plain re-run."""
+    import os
+
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        forget_docs,
+        read_ingested_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    docs = {0: [(1, "text one"), (2, "text two"), (3, "text three")],
+            1: [(4, "text four"), (5, "text five")]}
+    for ep, rows in docs.items():
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{corpus}/epoch={ep}")
+        spark.createDataFrame(
+            [(t,) for _, t in rows], "text string"
+        ).select(
+            F.md5(F.col("text").cast("binary")).alias("fingerprint")
+        ).coalesce(1).write.parquet(f"{index}/epoch={ep}")
+
+    # a crashed earlier rewrite left a hidden temp dir with stale rows:
+    # readers must not surface it as data
+    spark.createDataFrame(
+        [(99, "ghost row from crashed rewrite")], "doc_id long, text string"
+    ).coalesce(1).write.parquet(f"{corpus}/.forget-tmp-0-crashed")
+
+    assert forget_docs(spark, corpus, index, [2]) == 1
+
+    remaining = {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()}
+    assert remaining == {1, 3, 4, 5}  # 99 invisible, 2 erased, rest intact
+    # no NEW debris: the only hidden entry is the pre-planted stray
+    debris = sorted(
+        d for d in os.listdir(corpus) if d.startswith(".forget")
+    )
+    assert debris == [".forget-tmp-0-crashed"]
+    assert not [d for d in os.listdir(index) if d.startswith(".forget")]
+    # the untouched epoch-1 partition was not rewritten in place
+    assert sorted(os.listdir(corpus + "/epoch=1"))
