@@ -543,7 +543,7 @@ _PQ_ORACLE = f"""
     """
 
 
-@register("ann_topk_pq", _PQ_ORACLE)
+@register_extra("ann_topk_pq", _PQ_ORACLE)
 def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-compressed ANN (operators/pq.py): encode is an Arrow-batched
     integer argmin against the pinned M=16×K=256 codebooks (16 bytes per
@@ -551,7 +551,13 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     in RAM), search gathers 16 integer LUT entries per candidate
     (asymmetric distance).  Every stage exact integers — the whole
     compressed path hash-checks.  Same probe bounding as the other ANN
-    queries (vec_id % 4 = 0), top-5 ascending distance."""
+    queries (vec_id % 4 = 0), top-5 ascending distance.
+
+    Rotated to EXTRA in round 6 (SURVEY §8): the driver slot went to
+    ``ann_topk_ivfpq``, the deployment-shape composition — its ADC leg
+    runs the SAME codebooks and LUT-gather kernel, so the full-scan-ADC
+    facet rides that driver row while this query keeps the local DuckDB
+    gate."""
     from ..operators.pq import pq_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -627,14 +633,19 @@ _IVFPQ_ORACLE = f"""
     """
 
 
-@register_extra("ann_topk_ivfpq", _IVFPQ_ORACLE)
+@register("ann_topk_ivfpq", _IVFPQ_ORACLE)
 def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFPQ (operators/pq.pq_ivf_adc_topk) — the FAISS composition the
     two pinned indexes exist for: the coarse quantizer bounds WHERE to
     look (nprobe=2 of 8 lists), the PQ codes bound WHAT each visit costs
     (16-byte ADC gathers).  Both prunings are exact integer argmins, so
     the whole two-level index hash-checks.  Same probe bounding as the
-    ANN family (vec_id % 4 = 0), top-5 ascending ADC distance."""
+    ANN family (vec_id % 4 = 0), top-5 ascending ADC distance.
+
+    Promoted to the driver window in round 6 (the r5 verdict's #4):
+    this is the shape `choose_ann_strategy` deploys at scale; the
+    demoted ``ann_topk_pq`` keeps its local oracle and its full-scan-ADC
+    facet rides this row (same codebooks, same ADC kernel)."""
     from ..operators.pq import pq_ivf_adc_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
