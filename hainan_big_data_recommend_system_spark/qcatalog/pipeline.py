@@ -561,3 +561,210 @@ def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return fim_transform(docs, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pipeline composition under the oracle gate (VERDICT r5 #6):
+# run a bounded build_training_corpus configuration and emit its per-stage
+# ledger as rows; the oracle recomputes the SAME ledger from scratch in
+# DuckDB — c4 line rules, PII redaction, quality gates + exact-dup window,
+# minhash -> LSH bands -> exact-Jaccard verify, recursive-CTE connected
+# components, canonical-survivor prune.  A drift anywhere in the chain
+# (wrong stage order, a filter applied to the wrong text generation, a
+# join that drops rows) changes a count and breaks the hash.
+# ---------------------------------------------------------------------------
+
+def _ledger_oracle() -> str:
+    from .dedup import _PAIRS_SQL, _SIGS_SQL
+
+    head = r"""
+    WITH RECURSIVE
+    pages AS (
+        -- deterministic multi-line page per doc (same construction as
+        -- tests/test_corpus_pipeline) so the C4 stage has real line
+        -- structure: a kept lead line, a too-short line, a page-drop
+        -- trigger on 1/9 of docs, a PII-bearing kept line on 1/4
+        SELECT doc_id,
+               substr(text, 1, 120) || ' and that is the whole story here.'
+               || chr(10) || 'short.'
+               || CASE WHEN doc_id % 9 = 0
+                      THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
+                      ELSE '' END
+               || CASE WHEN doc_id % 4 = 0
+                      THEN chr(10)
+                           || 'write to me at someone@mail.example.com for more details.'
+                      ELSE '' END AS text
+        FROM documents
+    ),
+    c4 AS (
+        SELECT doc_id,
+               (contains(lower(text), 'lorem ipsum') OR contains(text, '{'))
+                   AS pd,
+               list_filter(string_split(text, chr(10)), l ->
+                   regexp_matches(l, '[.!?"''][ \t]*$')
+                   AND len(string_split_regex(trim(l), '[ \t]+')) >= 5
+                   AND NOT contains(lower(l), 'javascript')) AS kept
+        FROM pages
+    ),
+    kept1 AS (
+        -- 01_clean: C4 page/line rules, then PII redaction (no row drop)
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(
+                   array_to_string(kept, chr(10)),
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                   '<EMAIL>', 'g'),
+                   'https?://[^ \t\n]+', '<URL>', 'g'),
+                   '[0-9][0-9][0-9]-[0-9][0-9][0-9]-[0-9][0-9][0-9][0-9]',
+                   '<PHONE>', 'g') AS text
+        FROM c4
+        WHERE NOT pd AND len(kept) > 0
+    ),
+    flags AS (
+        -- 02_quality: token/ratio gates + exact-dup survivor window over
+        -- the REDACTED text (stage order is the thing being checked)
+        SELECT doc_id, text,
+               CAST(len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+'))
+                   AS BIGINT) AS nt,
+               CAST(round((length(text)
+                    - length(regexp_replace(text, '[^A-Za-z0-9 \t\n\x0B\f\r]',
+                                            '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT) AS punct,
+               CAST(round((length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g')))
+                   * 1000000 / greatest(length(text), 1)) AS BIGINT) AS digit,
+               row_number() OVER (
+                   PARTITION BY md5(text) ORDER BY doc_id
+               ) AS dup_rank
+        FROM kept1
+    ),
+    survivors AS (
+        SELECT doc_id, text FROM flags
+        WHERE nt >= 5 AND nt <= 2000 AND punct <= 300000
+          AND digit <= 300000 AND dup_rank = 1
+    ),
+    """
+    sigs = (
+        _SIGS_SQL.replace("WITH sh AS", "sh AS", 1)
+        .replace("FROM documents", "FROM survivors")
+    )
+    tail = r""",
+    pairs AS (""" + _PAIRS_SQL + r"""
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT p.a_id, p.b_id, count(*) AS n_inter
+        FROM pairs p
+        JOIN sh sa ON sa.doc_id = p.a_id
+        JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+        GROUP BY p.a_id, p.b_id
+    ),
+    verified AS (
+        SELECT a_id, b_id,
+               n_inter / (sa.n_sh + sb.n_sh - n_inter) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = a_id
+        JOIN sizes sb ON sb.doc_id = b_id
+        WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.3
+    ),
+    hard AS (SELECT a_id, b_id FROM verified WHERE j >= 0.7),
+    edges AS (
+        SELECT a_id AS u, b_id AS v FROM hard
+        UNION ALL SELECT b_id AS u, a_id AS v FROM hard
+    ),
+    reach(node, lbl) AS (
+        SELECT DISTINCT u AS node, u AS lbl FROM edges
+        UNION
+        SELECT e.u AS node, r.lbl FROM edges e JOIN reach r ON e.v = r.node
+    ),
+    comp AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node),
+    dropped AS (SELECT node FROM comp WHERE node <> canon),
+    counts AS (
+        SELECT (SELECT count(*) FROM documents) AS n0,
+               (SELECT count(*) FROM kept1) AS n1,
+               (SELECT count(*) FROM survivors) AS n2,
+               (SELECT count(*) FROM survivors)
+                   - (SELECT count(*) FROM dropped) AS n3
+    )
+    SELECT stage,
+           CAST(rows_in AS BIGINT) AS rows_in,
+           CAST(rows_out AS BIGINT) AS rows_out
+    FROM (
+        SELECT '01_clean' AS stage, n0 AS rows_in, n1 AS rows_out FROM counts
+        UNION ALL SELECT '02_quality', n1, n2 FROM counts
+        UNION ALL SELECT '03_neardup', n2, n3 FROM counts
+        UNION ALL SELECT '04_decontam', n3, n3 FROM counts
+        UNION ALL SELECT '05_select', n3, n3 FROM counts
+        UNION ALL SELECT '06_splits', n3, n3 FROM counts
+        UNION ALL SELECT '07_objective', n3, n3 FROM counts
+        UNION ALL SELECT '08_shards', n3, n3 FROM counts
+    )
+    """
+    return head + sigs + tail
+
+
+#: bump when pipeline stage semantics change — keys the artifact cache
+_LEDGER_VERSION = "r6-ledger-v2"
+
+
+def _ledger_out_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    doc = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(doc)
+        fp = f"{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp = "absent"
+    key = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{fp}:{_LEDGER_VERSION}".encode()
+    ).hexdigest()[:16]
+    return os.path.join(
+        os.environ.get("SPARK_GRAFT_STAGE_DIR", "/tmp/spark_graft_stage"),
+        key,
+        "pipeline_ledger",
+    )
+
+
+@register_extra("corpus_pipeline_ledger", _ledger_oracle())
+def q_corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end composer itself, hash-checked (corpus_pipeline.
+    build_training_corpus): runs the bounded default configuration
+    (c4 cleaning on, no benchmark, no DSIR, autoregressive objective,
+    8 shards, prune at 0.7 / split at 0.3) against the documents table
+    wrapped into deterministic multi-line pages (so every stage fires on
+    real structure), staging artifacts under the shared stage root
+    (keyed by dataset fingerprint + semantics version, so reruns resume
+    and a regenerated fixture rebuilds), and returns the per-stage
+    ledger.  The oracle recomputes every count from first principles in
+    DuckDB — the page construction, C4 line rules, PII redaction,
+    quality gates + exact-dup window, the minhash/LSH/verify chain over
+    the CLEANED text, and the recursive-CTE dup components — so the
+    composition's stage order, text lineage, and row accounting are all
+    under the hash."""
+    from ..catalog import load_table
+    from ..corpus_pipeline import build_training_corpus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    page = F.concat(
+        F.substring(t, 1, 120),
+        F.lit(" and that is the whole story here."),
+        F.lit("\nshort."),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.lit("\nlorem ipsum dolor sit amet consectetur."),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit(
+                "\nwrite to me at someone@mail.example.com for more details."
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = docs.select("doc_id", page.alias("text"))
+    stats = build_training_corpus(spark, pages, _ledger_out_dir(sf_dir))
+    return spark.createDataFrame(
+        [(k, v["rows_in"], v["rows_out"]) for k, v in stats.items()],
+        "stage string, rows_in long, rows_out long",
+    )
