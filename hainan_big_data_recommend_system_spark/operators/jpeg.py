@@ -6,7 +6,9 @@ Scope (documented, enforced): baseline sequential DCT (SOF0), 8-bit
 samples, 1 component (grayscale) or 3 components with sampling factors
 h,v <= 2 per component — which covers 4:4:4, 4:2:2 and the 4:2:0 layout
 ~90% of real-world JPEGs use (round 6; r5 rejected anything but 4:4:4) —
-no restart intervals, no progressive/arithmetic coding.  Everything
+restart intervals (DRI + RSTn markers: byte-aligned resync points that
+reset DC prediction, round 6; the feature camera/encoder pipelines emit
+for error resilience), no progressive/arithmetic coding.  Everything
 inside that scope is REAL:
 
 - marker walk (SOI/APP/DQT/SOF0/DHT/SOS/EOI) with length validation;
@@ -116,6 +118,15 @@ class _BitWriter:
             if byte == 0xFF:  # byte stuffing (T.81 §B.1.1.5)
                 self.out.append(0x00)
 
+    def restart_marker(self, m: int) -> None:
+        """Byte-align (1-bit padding) and emit a bare RSTm marker —
+        never byte-stuffed (T.81 §B.2.1.2: markers stand outside the
+        entropy-coded segments they delimit)."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)
+        self.out += bytes([0xFF, 0xD0 + (m & 7)])
+
     def flush(self) -> bytes:
         if self.nbits:
             pad = 8 - self.nbits
@@ -150,6 +161,24 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+    def expect_restart(self, m: int) -> None:
+        """Consume the byte-aligned RSTm marker that must sit here
+        (T.81 §E.2.4): discard the current byte's padding bits, then
+        require exactly FF D(m&7) — a missing or out-of-sequence marker
+        means the stream lost sync and decoding must stop loudly."""
+        self.nbits = 0  # drop pad bits; markers are byte-aligned
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m & 7)
+        ):
+            got = self.data[self.pos : self.pos + 2].hex() or "EOF"
+            raise ValueError(
+                f"expected restart marker RST{m & 7} at byte {self.pos}, "
+                f"found {got}"
+            )
+        self.pos += 2
 
 
 def _category(v: int) -> int:
@@ -210,6 +239,7 @@ def make_jpeg(
     pixel_seed: bytes,
     gray: bool = False,
     subsampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a VALID baseline-sequential JFIF JPEG (single-component
     grayscale with ``gray=True``, else YCbCr — 4:4:4 by default, or the
@@ -218,13 +248,18 @@ def make_jpeg(
     interleaved 16×16 MCUs of 4 Y + 1 Cb + 1 Cr data units per T.81
     §A.2.3; flat quant tables) whose raw RGB stream is ``pixel_seed``
     cycled to ``width·height·3`` bytes — the same seed convention as
-    make_bmp / make_png, so fixtures need no image assets."""
+    make_bmp / make_png, so fixtures need no image assets.
+    ``restart_interval=N`` emits a DRI segment and a byte-aligned RSTn
+    marker (cycling 0-7, DC predictors reset) after every N MCUs — the
+    T.81 error-resilience feature."""
     import numpy as np
 
     if width <= 0 or height <= 0:
         raise ValueError(f"bad dimensions {width}x{height}")
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if restart_interval < 0:
+        raise ValueError(f"bad restart interval {restart_interval}")
     seed = pixel_seed or b"\x00"
     n = width * height * 3
     reps = -(-n // len(seed))
@@ -275,6 +310,23 @@ def make_jpeg(
             w.write(code, length)
 
     if not sub420:
+        total_mcus = (-(-width // 8)) * (-(-height // 8))
+    else:
+        total_mcus = (-(-width // 16)) * (-(-height // 16))
+    mcu_i = 0
+
+    def mcu_done() -> None:
+        nonlocal mcu_i
+        mcu_i += 1
+        if (
+            restart_interval
+            and mcu_i % restart_interval == 0
+            and mcu_i < total_mcus
+        ):
+            w.restart_marker(mcu_i // restart_interval - 1)
+            pred[0] = pred[1] = pred[2] = 0
+
+    if not sub420:
         # one 8x8 data unit per component per MCU (all factors 1x1)
         bw, bh = -(-width // 8), -(-height // 8)
         padded = _edge_pad(ycc, bh * 8, bw * 8)
@@ -286,6 +338,7 @@ def make_jpeg(
                         - 128.0,
                         comp,
                     )
+                mcu_done()
         comp_hv = [0x11] * ncomp
     else:
         # 16x16 MCU: 4 luma blocks (raster order) + 1 Cb + 1 Cr
@@ -309,12 +362,15 @@ def make_jpeg(
                         - 128.0,
                         c + 1,
                     )
+                mcu_done()
         comp_hv = [0x22, 0x11, 0x11]
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     for tid, q in enumerate(quants[: 1 if gray else 2]):
         out += _seg(0xDB, bytes([tid]) + bytes(q[i] for i in range(64)))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sof = struct.pack(">BHHB", 8, height, width, ncomp)
     for cid in range(ncomp):
         sof += bytes([cid + 1, comp_hv[cid], 0 if cid == 0 else 1])
@@ -371,11 +427,14 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     fully decoded (4:4:4 / 4:2:2 / 4:2:0): the interleaved MCU walk reads
     h_i·v_i data units per component per MCU (T.81 §A.2.3) and subsampled
     planes are nearest-neighbor upsampled to the luma grid before color
-    conversion.  Raises ``ValueError`` on anything outside the documented
-    scope (progressive, factors > 2, restart-interval, 12-bit,
-    arithmetic) or malformed (bad lengths, undefined tables, truncated
-    entropy data) — a decode stage must reject corrupt payloads loudly,
-    never emit garbage pixels.
+    conversion.  Restart intervals are honored (round 6): a DRI of N
+    requires a byte-aligned RSTn marker (cycling 0-7) after every N MCUs,
+    resetting DC prediction — a missing/out-of-sequence marker is a lost
+    stream and raises.  Raises ``ValueError`` on anything outside the
+    documented scope (progressive, factors > 2, 12-bit, arithmetic) or
+    malformed (bad lengths, undefined tables, truncated entropy data) —
+    a decode stage must reject corrupt payloads loudly, never emit
+    garbage pixels.
     """
     import numpy as np
 
@@ -384,8 +443,9 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
     pos = 2
     quant: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], _HuffDecoder] = {}
-    frame = None  # (w, h, [(cid, qid)])
+    frame = None  # (w, h, [(cid, h, v, qid)])
     scan = None  # ([(cid, dc_tid, ac_tid)], entropy_start)
+    restart_interval = 0
     while pos + 2 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError(f"expected marker at offset {pos}")
@@ -457,8 +517,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDD:  # DRI
             if len(body) < 2:
                 raise ValueError("truncated DRI")
-            if struct.unpack_from(">H", body, 0)[0] != 0:
-                raise ValueError("restart intervals unsupported")
+            restart_interval = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:  # SOS
             if not body or len(body) < 1 + 2 * body[0] + 3:
                 raise ValueError("truncated SOS")
@@ -537,6 +596,7 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
             coef[zi // 8, zi % 8] = zz[i] * qtabs[ci][i]
         return m.T @ coef @ m + 128.0
 
+    mcu_i = 0
     for my in range(mcuy):
         for mx in range(mcux):
             for ci, (_, ch, cv, _) in enumerate(comps):
@@ -545,6 +605,16 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                         r0 = (my * cv + vy) * 8
                         c0 = (mx * ch + hx) * 8
                         planes[ci][r0 : r0 + 8, c0 : c0 + 8] = decode_block(ci)
+            mcu_i += 1
+            if (
+                restart_interval
+                and mcu_i % restart_interval == 0
+                and mcu_i < mcux * mcuy
+            ):
+                # byte-aligned resync point: the matching RSTn (cycling
+                # 0-7) must sit exactly here, and DC prediction restarts
+                reader.expect_restart(mcu_i // restart_interval - 1)
+                pred = [0] * nc
     if reader.pos < len(reader.data):
         # T.81 pads only the final partial byte with 1-bits, so a
         # compliant stream is fully consumed when the last MCU decodes;

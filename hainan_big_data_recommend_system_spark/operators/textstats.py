@@ -676,6 +676,7 @@ def leakage_safe_splits(
     salt: str = "splitgv1",
     train_pct: int = 90,
     val_pct: int = 5,
+    components: str = "star",
 ) -> DataFrame:
     """Train/val/test assignment that cannot leak near-duplicates across
     the split boundary: hash the duplicate-CLUSTER id, not the doc id.
@@ -695,10 +696,25 @@ def leakage_safe_splits(
     labels onto the corpus keyed on the doc id (AQE broadcasts it when
     dup density is low; at web-crawl dup rates it is a plain hash join
     on the id — never wider than one long per labeled doc), then the
-    same scan-local md5 bucket as ``split_assignment``."""
-    from .components import connected_components
+    same scan-local md5 bucket as ``split_assignment``.
 
-    cc = connected_components(dup_pairs, a_col, b_col)
+    ``components`` picks the closure algorithm (round 6, VERDICT r5 #8):
+    the default ``"star"`` is alternating large-star/small-star (Kiveris
+    et al. SoCC'14, O(log² n) rounds regardless of diameter) — the right
+    shape for the SPLIT graph, whose low threshold admits stringy
+    chain-of-near-twins components that round-bind plain min-label
+    propagation as dup density grows; ``"minlabel"`` keeps the
+    diameter-bound propagation (fine for near-clique prune graphs).
+    Both converge to identical min-label components, so the choice is
+    invisible to results and oracles."""
+    from .components import connected_components, connected_components_star
+
+    cc_fn = (
+        connected_components_star
+        if components == "star"
+        else connected_components
+    )
+    cc = cc_fn(dup_pairs, a_col, b_col)
     labeled = docs.select(F.col(id_col).alias("doc_id")).join(
         cc.select(F.col("node").alias("doc_id"), "component"),
         "doc_id",

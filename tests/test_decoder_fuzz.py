@@ -38,6 +38,10 @@ CASES = {
         lambda: make_jpeg(19, 21, b"\x40\x50\x60", subsampling="420"),
         parse_jpeg,
     ),
+    "jpeg_rst": (
+        lambda: make_jpeg(24, 16, b"\x40\x50\x60", restart_interval=2),
+        parse_jpeg,
+    ),
     "png": (lambda: make_png(12, 9, b"\x11\x22\x33"), parse_png),
     "bmp": (lambda: make_bmp(10, 7, b"\x01\x02\x03"), parse_bmp_header),
 }

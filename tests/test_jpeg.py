@@ -207,11 +207,15 @@ def test_rejects_out_of_scope_and_corrupt():
     lie[i + 2 + 2 + 6 + 1] = 0x22
     with pytest.raises(ValueError):
         parse_jpeg(bytes(lie))
-    # restart intervals: inject a DRI segment with interval 2 before SOS
-    j = good.find(b"\xff\xda")
+    # a DRI announcing restart markers the entropy stream does not have:
+    # the decoder must detect the lost sync, not free-run past it
+    # (multi-MCU image — on a single-MCU image no marker is ever due and
+    # a spurious DRI is harmless)
+    multi = make_jpeg(24, 16, b"multi mcu")
+    j = multi.find(b"\xff\xda")
     dri = b"\xff\xdd\x00\x04\x00\x02"
-    with pytest.raises(ValueError, match="restart"):
-        parse_jpeg(good[:j] + dri + good[j:])
+    with pytest.raises(ValueError, match="restart marker"):
+        parse_jpeg(multi[:j] + dri + multi[j:])
     # undefined Huffman table: strip the DHT segments
     k = good.find(b"\xff\xc4")
     stripped = bytearray(good)
@@ -259,3 +263,50 @@ def test_jpeg_lookalike_falls_back(spark):
     )
     row = decode_image_features(media).collect()[0]
     assert (row["width"], row["height"], row["channels"]) == _fake_dims(lookalike)
+
+
+def test_restart_interval_roundtrip_and_resync():
+    """DRI/RSTn support (round 6): restart markers are byte-aligned,
+    cycle 0-7, and reset DC prediction — the decode must be identical to
+    the marker-free encoding of the same pixels, for 4:4:4, grayscale,
+    and 4:2:0 layouts and for intervals spanning >8 markers (index
+    wraparound)."""
+    cases = [
+        (24, 16, b"restart 444", {}),  # 6 MCUs, ri=2 -> 2 markers
+        (40, 40, b"wrap around!", {}),  # 25 MCUs, ri=2 -> 12 markers (wraps)
+        (17, 9, b"gray rst", {"gray": True}),
+        (33, 21, b"rst 420", {"subsampling": "420"}),  # 3x2 MCUs
+    ]
+    for w, h, seed, kw in cases:
+        plain = parse_jpeg(make_jpeg(w, h, seed, **kw))
+        with_rst = make_jpeg(w, h, seed, restart_interval=2, **kw)
+        assert b"\xff\xdd" in with_rst  # DRI present
+        assert any(
+            bytes([0xFF, 0xD0 + m]) in with_rst for m in range(8)
+        )
+        assert parse_jpeg(with_rst) == plain, (w, h, kw)
+
+
+def test_restart_marker_out_of_sequence_rejected():
+    """A wrong-index RSTn at a resync point is a lost stream."""
+    payload = bytearray(make_jpeg(24, 16, b"seq check", restart_interval=1))
+    # find the first restart marker (FFD0) after SOS and break its index
+    sos = payload.find(b"\xff\xda")
+    i = payload.find(b"\xff\xd0", sos)
+    assert i > 0
+    payload[i + 1] = 0xD5  # RST0 -> RST5
+    with pytest.raises(ValueError, match="restart marker"):
+        parse_jpeg(bytes(payload))
+
+
+def test_restart_resets_dc_prediction():
+    """If the decoder failed to reset predictors at a marker the DC of
+    every block after the first interval would shift — caught by pixel
+    comparison on an image whose left and right halves differ."""
+    w, h = 32, 8  # 4 MCUs in a row, ri=1 -> marker between every MCU
+    img = bytes([40] * (16 * 8 * 3)) + bytes([200] * (16 * 8 * 3))
+    payload = make_jpeg(w, h, img, restart_interval=1)
+    pw, ph, c, px = parse_jpeg(payload)
+    got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.int16)
+    src = _src_rgb(w, h, img)
+    assert int(np.abs(src - got).max()) <= 3
