@@ -135,6 +135,8 @@ class _BitWriter:
 
 
 class _BitReader:
+    __slots__ = ("data", "pos", "acc", "nbits")
+
     def __init__(self, data: bytes) -> None:
         self.data = data
         self.pos = 0
@@ -157,9 +159,30 @@ class _BitReader:
         return (self.acc >> self.nbits) & 1
 
     def read_bits(self, n: int) -> int:
+        # hot path (one call per nonzero coefficient): same semantics as
+        # n read_bit() calls — incl. 0xFF00 unstuffing and exhaustion
+        # errors — with the loop state held in locals
+        acc, nbits, pos = self.acc, self.nbits, self.pos
+        data = self.data
+        ln = len(data)
         v = 0
         for _ in range(n):
-            v = (v << 1) | self.read_bit()
+            if nbits == 0:
+                if pos >= ln:
+                    raise ValueError("entropy stream exhausted mid-block")
+                b = data[pos]
+                pos += 1
+                if b == 0xFF:
+                    if pos >= ln or data[pos] != 0x00:
+                        raise ValueError(
+                            "unexpected marker inside entropy data"
+                        )
+                    pos += 1
+                acc = b
+                nbits = 8
+            nbits -= 1
+            v = (v << 1) | ((acc >> nbits) & 1)
+        self.acc, self.nbits, self.pos = acc, nbits, pos
         return v
 
     def expect_restart(self, m: int) -> None:
@@ -276,13 +299,26 @@ def make_jpeg(
     w = _BitWriter()
     pred = [0, 0, 0]
 
-    def emit_block(block, comp: int) -> None:
-        q = quants[0 if comp == 0 else 1]
-        coef = m @ block @ m.T
-        zz = [
-            int(round(coef[zi // 8, zi % 8] / q[i]))
-            for i, zi in enumerate(ZIGZAG)
-        ]
+    def quantize_plane(plane, comp: int):
+        """All 8×8 blocks of a (H, W) plane → per-block zigzag-ordered
+        quantized coefficient lists, batched through one numpy DCT pass
+        (the per-block Python list comprehension dominated fixture
+        generation).  Returns a (bh, bw) nested list of 64-int lists in
+        block-raster order."""
+        import numpy as np
+
+        q = np.array(quants[0 if comp == 0 else 1], dtype=np.float64)
+        bh, bw = plane.shape[0] // 8, plane.shape[1] // 8
+        blocks = (
+            plane.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3) - 128.0
+        )
+        coef = np.matmul(np.matmul(m, blocks), m.T)
+        zz = np.rint(
+            coef.reshape(bh, bw, 64)[..., ZIGZAG] / q
+        ).astype(np.int64)
+        return zz.tolist()
+
+    def emit_block(zz, comp: int) -> None:
         diff = zz[0] - pred[comp]
         pred[comp] = zz[0]
         t = _category(diff)
@@ -330,38 +366,35 @@ def make_jpeg(
         # one 8x8 data unit per component per MCU (all factors 1x1)
         bw, bh = -(-width // 8), -(-height // 8)
         padded = _edge_pad(ycc, bh * 8, bw * 8)
+        zzc = [quantize_plane(padded[..., c], c) for c in range(ncomp)]
         for by in range(bh):
             for bx in range(bw):
                 for comp in range(ncomp):
-                    emit_block(
-                        padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8, comp]
-                        - 128.0,
-                        comp,
-                    )
+                    emit_block(zzc[comp][by][bx], comp)
                 mcu_done()
         comp_hv = [0x11] * ncomp
     else:
         # 16x16 MCU: 4 luma blocks (raster order) + 1 Cb + 1 Cr
         mcux, mcuy = -(-width // 16), -(-height // 16)
         padded = _edge_pad(ycc, mcuy * 16, mcux * 16)
-        yplane = padded[..., 0]
+        yzz = quantize_plane(padded[..., 0], 0)
         # 2x2 box average -> half-resolution chroma planes (mcuy*8 x mcux*8)
-        chroma = [
-            padded[..., c].reshape(mcuy * 8, 2, mcux * 8, 2).mean(axis=(1, 3))
+        czz = [
+            quantize_plane(
+                padded[..., c]
+                .reshape(mcuy * 8, 2, mcux * 8, 2)
+                .mean(axis=(1, 3)),
+                c,
+            )
             for c in (1, 2)
         ]
         for my in range(mcuy):
             for mx in range(mcux):
                 for vy in range(2):
                     for hx in range(2):
-                        r0, c0 = (my * 2 + vy) * 8, (mx * 2 + hx) * 8
-                        emit_block(yplane[r0 : r0 + 8, c0 : c0 + 8] - 128.0, 0)
+                        emit_block(yzz[my * 2 + vy][mx * 2 + hx], 0)
                 for c in (0, 1):
-                    emit_block(
-                        chroma[c][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8]
-                        - 128.0,
-                        c + 1,
-                    )
+                    emit_block(czz[c][my][mx], c + 1)
                 mcu_done()
         comp_hv = [0x22, 0x11, 0x11]
 
@@ -412,11 +445,33 @@ class _HuffDecoder:
         self.vals = vals
 
     def decode(self, r: _BitReader) -> int:
+        # hot path (one call per DC diff + per AC run/size symbol): the
+        # bit loop of read_bit() inlined with local state — identical
+        # semantics including unstuffing and exhaustion errors
+        acc, nbits, pos = r.acc, r.nbits, r.pos
+        data = r.data
+        ln = len(data)
+        maxcode, mincode = self.maxcode, self.mincode
         code = 0
         for length in range(1, 17):
-            code = (code << 1) | r.read_bit()
-            if self.maxcode[length] >= code >= self.mincode[length]:
-                return self.vals[self.valptr[length] + code - self.mincode[length]]
+            if nbits == 0:
+                if pos >= ln:
+                    raise ValueError("entropy stream exhausted mid-block")
+                b = data[pos]
+                pos += 1
+                if b == 0xFF:
+                    if pos >= ln or data[pos] != 0x00:
+                        raise ValueError(
+                            "unexpected marker inside entropy data"
+                        )
+                    pos += 1
+                acc = b
+                nbits = 8
+            nbits -= 1
+            code = (code << 1) | ((acc >> nbits) & 1)
+            if maxcode[length] >= code >= mincode[length]:
+                r.acc, r.nbits, r.pos = acc, nbits, pos
+                return self.vals[self.valptr[length] + code - mincode[length]]
         raise ValueError("invalid Huffman code in entropy stream")
 
 
