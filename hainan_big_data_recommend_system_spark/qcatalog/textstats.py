@@ -1473,3 +1473,69 @@ def q_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("distinct_ratio_micros"),
     )
+
+
+@register_extra(
+    "jpeg_progressive_meta",
+    r"""
+    SELECT doc_id,
+           CAST(1 + doc_id % 27 AS INT) AS width,
+           CAST(1 + doc_id % 15 AS INT) AS height,
+           CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 3 END AS INT)
+               AS channels,
+           CASE WHEN doc_id % 5 = 0 THEN 'gray'
+                WHEN doc_id % 2 = 0 THEN '444'
+                ELSE '420' END AS layout
+    FROM documents
+    """,
+)
+def q_jpeg_progressive_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Progressive-JPEG decode under the oracle gate (round 6,
+    operators/jpeg.py SOF2 path): every doc gets a REAL progressive
+    stream — DC first + DC refinement + per-component AC first (EOB-run
+    coded) + AC refinement (correction bits) scans, in 4:4:4, 4:2:0 or
+    grayscale layout by id formula — and ``width``/``height``/
+    ``channels`` are read back from the full multi-scan coefficient
+    accumulation + IDCT.  A decoder that mis-walks any scan type raises
+    mid-stream and the row vanishes (rows_match breaks); wrong geometry
+    breaks the hash.  Bit-exactness of the decode itself is pinned in
+    tests/test_jpeg.py (progressive == sequential pixels)."""
+    import pandas as pd
+
+    from ..operators.jpeg import make_progressive_jpeg, parse_jpeg
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                seed = str(r["text"]).encode("utf-8")
+                gray = did % 5 == 0
+                layout = "gray" if gray else ("444" if did % 2 == 0 else "420")
+                payload = make_progressive_jpeg(
+                    1 + did % 27,
+                    1 + did % 15,
+                    seed,
+                    gray=gray,
+                    subsampling="444" if layout != "420" else "420",
+                )
+                w, h, c, _px = parse_jpeg(payload)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "layout": layout,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_decode,
+        "doc_id long, width int, height int, channels int, layout string",
+    )

@@ -17,6 +17,7 @@ from hainan_big_data_recommend_system_spark.operators.avi import (
 )
 from hainan_big_data_recommend_system_spark.operators.jpeg import (
     make_jpeg,
+    make_progressive_jpeg,
     parse_jpeg,
 )
 from hainan_big_data_recommend_system_spark.operators.multimodal import (
@@ -40,6 +41,10 @@ CASES = {
     ),
     "jpeg_rst": (
         lambda: make_jpeg(24, 16, b"\x40\x50\x60", restart_interval=2),
+        parse_jpeg,
+    ),
+    "jpeg_progressive": (
+        lambda: make_progressive_jpeg(19, 21, b"\x40\x50\x60"),
         parse_jpeg,
     ),
     "png": (lambda: make_png(12, 9, b"\x11\x22\x33"), parse_png),

@@ -186,10 +186,16 @@ def test_rejects_out_of_scope_and_corrupt():
     good = make_jpeg(8, 8, b"seed")
     with pytest.raises(ValueError, match="SOI"):
         parse_jpeg(b"\x89PNG" + good)
-    # progressive SOF2 must be rejected, not mis-decoded
+    # a SEQUENTIAL stream relabeled SOF2 routes to the progressive
+    # walker, whose scan validation must reject it loudly (the sequential
+    # SOS declares Ss=0..Se=63 — an illegal progressive band)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(ValueError, match="non-baseline"):
+    with pytest.raises(ValueError, match="band"):
         parse_jpeg(prog)
+    # genuinely unsupported SOF (extended sequential, SOF1)
+    ext = good.replace(b"\xff\xc0", b"\xff\xc1", 1)
+    with pytest.raises(ValueError, match="non-baseline"):
+        parse_jpeg(ext)
     # truncated entropy stream (cut before EOI)
     with pytest.raises(ValueError, match="EOI|exhausted"):
         parse_jpeg(good[:-20])
@@ -310,3 +316,70 @@ def test_restart_resets_dc_prediction():
     got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3).astype(np.int16)
     src = _src_rgb(w, h, img)
     assert int(np.abs(src - got).max()) <= 3
+
+
+def test_progressive_decode_identical_to_sequential():
+    """Progressive (SOF2) decode — the multi-scan accumulation of
+    spectral-selection + successive-approximation coefficients — must
+    land on BIT-IDENTICAL pixels to the sequential decode of the same
+    source (both coders quantize identically, so any deviation is a
+    decode bug): 4:4:4, 4:2:0, grayscale, single-block, multi-MCU, odd
+    dims, and the all-flat image whose every AC band rides EOB runs."""
+    from hainan_big_data_recommend_system_spark.operators.jpeg import (
+        make_progressive_jpeg,
+    )
+
+    cases = [
+        (8, 8, b"hello", {}),
+        (23, 11, b"some document text", {}),
+        (19, 21, b"progressive 420", {"subsampling": "420"}),
+        (17, 9, b"noninterleaved luma grid", {"subsampling": "420"}),
+        (10, 7, b"gray", {"gray": True}),
+        (1, 1, b"x", {}),
+        (64, 48, bytes(range(256)), {}),
+        (40, 40, b"bigger picture with more blocks", {}),
+    ]
+    for w, h, seed, kw in cases:
+        assert parse_jpeg(make_jpeg(w, h, seed, **kw)) == parse_jpeg(
+            make_progressive_jpeg(w, h, seed, **kw)
+        ), (w, h, kw)
+    flat = bytes([77, 77, 77]) * 64 * 64
+    assert parse_jpeg(make_jpeg(64, 64, flat)) == parse_jpeg(
+        make_progressive_jpeg(64, 64, flat)
+    )
+
+
+def test_progressive_randomized_equivalence():
+    """Seeded randomized sweep: arbitrary dims/content through all three
+    layouts — broad coverage of EOB-run lengths, ZRL-in-refinement
+    interleaving, and correction-bit buffering."""
+    import random
+
+    from hainan_big_data_recommend_system_spark.operators.jpeg import (
+        make_progressive_jpeg,
+    )
+
+    rng = random.Random(20260814)
+    for _ in range(25):
+        w, h = rng.randrange(1, 50), rng.randrange(1, 50)
+        seed = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 200)))
+        kw = rng.choice([{}, {"subsampling": "420"}, {"gray": True}])
+        assert parse_jpeg(make_jpeg(w, h, seed, **kw)) == parse_jpeg(
+            make_progressive_jpeg(w, h, seed, **kw)
+        ), (w, h, kw)
+
+
+def test_progressive_rejects_malformed():
+    from hainan_big_data_recommend_system_spark.operators.jpeg import (
+        make_progressive_jpeg,
+    )
+
+    good = make_progressive_jpeg(16, 16, b"probe")
+    # truncated mid-scan
+    with pytest.raises(ValueError):
+        parse_jpeg(good[:-30])
+    # a DRI with nonzero interval inside a progressive stream
+    j = good.find(b"\xff\xda")
+    dri = b"\xff\xdd\x00\x04\x00\x02"
+    with pytest.raises(ValueError, match="progressive"):
+        parse_jpeg(good[:j] + dri + good[j:])
