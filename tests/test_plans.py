@@ -146,14 +146,14 @@ def test_event_time_windows_one_exchange_per_kind(spark):
 
 
 def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
-    """Three generate→decode chains (BMP + PNG since round 4, JPEG since
-    round 5) stream Arrow batches (MapInPandas ×6); all three metadata
-    joins stay broadcast, and no row-at-a-time Python eval appears
-    anywhere."""
+    """Four generate→decode chains (BMP + PNG since round 4, JPEG since
+    round 5, 4:2:0 JPEG since round 6) stream Arrow batches
+    (MapInPandas ×8); all four metadata joins stay broadcast, and no
+    row-at-a-time Python eval appears anywhere."""
     plan = plan_of(spark, "multimodal_meta")
-    assert plan.count("MapInPandas") == 6, plan
+    assert plan.count("MapInPandas") == 8, plan
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 3, plan
+    assert plan.count("BroadcastHashJoin") == 4, plan
 
 
 # ---------------------------------------------------------------------------
