@@ -512,3 +512,103 @@ def q_sessionized_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("session_seq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HLL (round 6): the sketch family's first fully-ORACLED
+# member — registers and estimate are exact integers (operators/hll.py),
+# so DuckDB recomputes the identical sketch from the same rows.  b=10
+# (1024 registers); per-priority o_orderkey cardinality stays above the
+# 2.5m raw-regime floor at every oracle scale the driver runs.
+# ---------------------------------------------------------------------------
+
+#: mirrored from operators/hll.py: hll_numerator(10) =
+#: alpha_micros(1024) * 1024^2 * 2^51 — the estimate's constant numerator
+_HLL_B = 10
+_HLL_NUMER = "1701329333966688515960864768"
+
+_HLL_SQL = f"""
+    WITH h AS (
+        SELECT o_orderpriority AS priority,
+               ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+                   AS hv
+        FROM orders
+    ),
+    r AS (
+        SELECT priority,
+               hv // {1 << (60 - _HLL_B)} AS bucket,
+               hv % {1 << (60 - _HLL_B)} AS rest
+        FROM h
+    ),
+    regs AS (
+        SELECT priority, bucket,
+               max(CASE WHEN rest = 0 THEN {60 - _HLL_B + 1}
+                        ELSE {60 - _HLL_B} - length(bin(rest)) + 1 END) AS m_j
+        FROM r GROUP BY priority, bucket
+    ),
+    agg AS (
+        SELECT priority,
+               count(*) AS observed,
+               sum(CAST(1 AS HUGEINT) << ({60 - _HLL_B + 1} - m_j)) AS s
+        FROM regs GROUP BY priority
+    ),
+    est AS (
+        SELECT priority,
+               CAST(observed AS BIGINT) AS observed_buckets,
+               CAST({1 << _HLL_B} - observed AS BIGINT) AS n_empty_buckets,
+               CAST(CAST('{_HLL_NUMER}' AS HUGEINT)
+                    // (CAST(1000000 AS HUGEINT)
+                        * (s + (CAST({1 << _HLL_B} AS HUGEINT) - observed)
+                             * (CAST(1 AS HUGEINT) << {60 - _HLL_B + 1})))
+                    AS BIGINT) AS est_distinct
+        FROM agg
+    ),
+    exact AS (
+        SELECT o_orderpriority AS priority,
+               count(DISTINCT o_orderkey) AS exact_distinct
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT e.priority, observed_buckets, n_empty_buckets, est_distinct,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(abs(est_distinct - exact_distinct) * 10000
+                // exact_distinct AS BIGINT) AS err_bp
+    FROM est e JOIN exact x ON x.priority = e.priority
+"""
+
+
+@register_extra("hll_distinct_orders", _HLL_SQL)
+def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct estimate per order priority
+    (operators/hll.py): md5-derived 60-bit hash, 1024 registers via one
+    groupBy-max (the mergeable state a 100 TB rollup re-aggregates with
+    another max), and an exact-integer harmonic mean — no floats
+    anywhere, so the DuckDB oracle rebuilds the SAME registers and the
+    SAME estimate from the same rows; emitted next to the exact count
+    with an integer error in basis points.  Upgrades the sketch family
+    from rows-only (`sketch_event_stats` — engine-internal HLL++
+    registers) to hash-checked."""
+    from ..operators.hll import hll_distinct
+
+    orders = load_table(spark, sf_dir, "orders")
+    est = hll_distinct(
+        orders.select(
+            F.col("o_orderpriority").alias("priority"), "o_orderkey"
+        ),
+        ["priority"],
+        "o_orderkey",
+        b=_HLL_B,
+    )
+    exact = orders.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(F.countDistinct("o_orderkey").cast("bigint").alias("exact_distinct"))
+    return est.join(exact, "priority").select(
+        "priority",
+        "observed_buckets",
+        "n_empty_buckets",
+        "est_distinct",
+        "exact_distinct",
+        F.expr(
+            "cast(abs(est_distinct - exact_distinct) * 10000L"
+            " div exact_distinct as bigint)"
+        ).alias("err_bp"),
+    )

@@ -60,3 +60,72 @@ def test_cms_heavy_hitters_bounds(spark):
     # the probe list is the exact top-10: descending counts
     counts = [r["exact_n"] for r in got]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_hll_deterministic_accuracy_and_merge(spark):
+    """Round-6 deterministic HLL (operators/hll.py): estimates land
+    within ~4 sigma of exact (sigma ~= 1.04/sqrt(1024) ~= 3.3%), and the
+    registers are MERGEABLE state — sketching two halves separately and
+    max-merging the registers must reproduce the whole-corpus sketch
+    exactly (the property that lets a 100 TB rollup re-aggregate
+    per-partition sketches)."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.hll import (
+        hll_distinct,
+        hll_registers,
+    )
+
+    df = spark.range(20000).select(
+        F.concat(F.lit("v"), F.col("id").cast("string")).alias("v"),
+        F.lit(1).alias("g"),
+    )
+    est = hll_distinct(df, ["g"], "v", b=10).collect()[0]["est_distinct"]
+    assert abs(est - 20000) / 20000 < 0.14  # 4 sigma headroom
+
+    whole = {
+        (r["bucket"],): r["m_j"]
+        for r in hll_registers(df, ["g"], "v", 10).collect()
+    }
+    halves = [
+        hll_registers(
+            df.filter(F.expr(f"substr(v, 2) % 2 = {p}")), ["g"], "v", 10
+        )
+        for p in (0, 1)
+    ]
+    merged: dict = {}
+    for h in halves:
+        for r in h.collect():
+            k = (r["bucket"],)
+            merged[k] = max(merged.get(k, 0), r["m_j"])
+    assert merged == whole
+
+
+def test_hll_estimate_exact_integer_reference(spark):
+    """The Spark estimate equals a pure-Python replica of the integer
+    formula digit-for-digit — no floats to drift."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.hll import (
+        hll_distinct,
+        hll_numerator,
+    )
+
+    n, B = 7000, 10
+    M, REST = 1 << B, 60 - B
+    R = REST + 1
+    df = spark.range(n).select(
+        F.concat(F.lit("x"), F.col("id").cast("string")).alias("v"),
+        F.lit(0).alias("g"),
+    )
+    got = hll_distinct(df, ["g"], "v", b=B).collect()[0]["est_distinct"]
+    regs: dict = {}
+    for i in range(n):
+        hv = int(hashlib.md5(f"x{i}".encode()).hexdigest()[:15], 16)
+        b_, rest = hv >> REST, hv & ((1 << REST) - 1)
+        rho = R if rest == 0 else REST - rest.bit_length() + 1
+        regs[b_] = max(regs.get(b_, 0), rho)
+    s = sum(1 << (R - m) for m in regs.values()) + (M - len(regs)) * (1 << R)
+    assert got == hll_numerator(B) // (1_000_000 * s)
