@@ -612,3 +612,82 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div exact_distinct as bigint)"
         ).alias("err_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exponentially-decayed popularity (round 6): the hot-list freshness
+# upgrade — the reference's hot ranking (A7, `log_analyze.py` hot_books)
+# counts all-time occurrences; production hot lists decay by recency.
+# Half-life decay is the classic formulation, and with weights pinned to
+# POWERS OF TWO per whole elapsed half-life it is exact integer math:
+# weight(e) = 2^(kmax - k(e)) at scale 2^kmax, k = whole half-lives
+# before the newest event.  No floats -> the oracle rebuilds identical
+# scores.  Scale shape: one scan computes k, one broadcastable 1-row max,
+# one groupBy sum (decimal(38) — 2^kmax * n stays inside at the pinned
+# 7-day half-life for century-scale spans).
+# ---------------------------------------------------------------------------
+
+_HALFLIFE_US = 7 * 86400 * 1_000_000  # 7 days
+
+_DECAY_SQL = f"""
+    WITH m AS (
+        SELECT max(epoch_us(ts)) AS mx FROM events WHERE ts IS NOT NULL
+    ),
+    k AS (
+        SELECT event_type,
+               (mx - epoch_us(ts)) // {_HALFLIFE_US} AS k
+        FROM events, m WHERE ts IS NOT NULL
+    ),
+    kk AS (SELECT max(k) AS kmax FROM k),
+    s AS (
+        SELECT event_type, kmax,
+               count(*) AS n_events,
+               sum(CAST(1 AS HUGEINT) << CAST(kmax - k AS INT)) AS ssum
+        FROM k, kk GROUP BY event_type, kmax
+    )
+    SELECT event_type,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(kmax AS BIGINT) AS kmax,
+           CAST(ssum * 1000 // (CAST(1 AS HUGEINT) << CAST(kmax AS INT))
+                AS BIGINT) AS decayed_count_milli
+    FROM s
+"""
+
+
+@register_extra("decayed_hot_events", _DECAY_SQL)
+def q_decayed_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Half-life-decayed event popularity per type: every event weighs
+    ``2^-(whole half-lives before the newest event)``, summed at scale
+    ``2^kmax`` in exact integers and reported as milli-scaled effective
+    count (``1000`` = one brand-new event).  The freshness-aware variant
+    of the reference's hot ranking, bit-exact cross-engine."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    us = F.unix_micros("ts")
+    mx = ev.agg(F.max(us).alias("mx"))
+    k = ev.select(
+        "event_type",
+        F.floor((F.broadcast(mx).head()[0] - us) / _HALFLIFE_US)
+        .cast("long")
+        .alias("k"),
+    )
+    kmax = k.agg(F.max("k")).head()[0]
+    if kmax > 62:
+        raise ValueError(
+            f"event span of {kmax} half-lives overflows the int64 per-row "
+            "weight; raise the half-life for this corpus"
+        )
+    s = k.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.expr(f"cast(shiftleft(1L, {kmax} - k) as decimal(38,0))")
+        ).alias("__s"),
+    )
+    return s.select(
+        "event_type",
+        "n_events",
+        F.lit(kmax).cast("bigint").alias("kmax"),
+        F.expr(
+            f"cast((__s * 1000) div cast('{1 << kmax}' as decimal(38,0)) "
+            "as bigint)"
+        ).alias("decayed_count_milli"),
+    )

@@ -1539,3 +1539,61 @@ def q_jpeg_progressive_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen_and_decode,
         "doc_id long, width int, height int, channels int, layout string",
     )
+
+
+@register_extra(
+    "url_canonical_dedup",
+    r"""
+    WITH canon AS (
+        SELECT DISTINCT
+               'https://www.corpus.example/' || source || '/doc/'
+                   || CAST(doc_id % 211 AS VARCHAR) || '?a=1&b=2'
+                   AS canonical_url,
+               doc_id
+        FROM documents
+    )
+    SELECT canonical_url,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) * 2 AS BIGINT) AS n_raw_urls
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-keyed crawl dedup (operators/urlnorm.canonical_url, round 6):
+    every doc contributes TWO messy variants of its logical URL —
+    uppercase scheme/host + default port + utm params + fragment +
+    trailing slash on one, a different param order + another utm on the
+    other — and the canonicalizer must collapse both onto one key per
+    (source, doc_id mod 211) identity.  The oracle derives the expected
+    canonical form ANALYTICALLY (not by mirroring the implementation),
+    so any normalization bug — unsorted params, surviving utm, kept
+    port, kept fragment, kept trailing slash, missed case fold — breaks
+    the hash.  Scan-local expressions end to end; the group-by is the
+    same shuffle an exact-dedup pass pays."""
+    from ..operators.urlnorm import canonical_url
+
+    docs = load_table(spark, sf_dir, "documents")
+    core = F.concat(
+        F.col("source"), F.lit("/doc/"), (F.col("doc_id") % 211).cast("string")
+    )
+    v1 = F.concat(
+        F.lit("HTTPS://WWW.Corpus.EXAMPLE:443/"),
+        core,
+        F.lit("/?utm_source=feed&b=2&a=1#top"),
+    )
+    v2 = F.concat(
+        F.lit("https://www.corpus.example/"),
+        core,
+        F.lit("?a=1&b=2&utm_campaign=x"),
+    )
+    raw = docs.select(
+        "doc_id", F.explode(F.array(v1, v2)).alias("url")
+    )
+    return (
+        raw.select("doc_id", canonical_url("url").alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_raw_urls"),
+        )
+    )
