@@ -98,6 +98,13 @@ QUERIES = [
     "fim_transform",
     "audio_meta",
     "video_meta",
+    # round-6 additions: progressive decode, oracled sketches, URL dedup,
+    # decayed popularity (pipeline-ledger slope is covered by the
+    # corpus_pipeline 10x result in PLANS)
+    "jpeg_progressive_meta",
+    "hll_distinct_orders",
+    "url_canonical_dedup",
+    "decayed_hot_events",
     "kn_bigram_lm_scores",
     "source_quality_report",
 ]
