@@ -691,3 +691,109 @@ def q_decayed_hot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "as bigint)"
         ).alias("decayed_count_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram quantile sketch (round 6): single-pass mergeable quantile
+# estimation pinned to integers.  approx_percentile's GK sketch is
+# engine-internal (rows-only family); a fixed 1024-bucket histogram over
+# the integerized value range is the classic alternative whose STATE
+# (bucket counts) is mergeable by addition and whose estimate is exact
+# integer arithmetic — so the whole sketch is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_HQ_BUCKETS = 1024
+
+_HQ_SQL = f"""
+    WITH v AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS c
+        FROM events WHERE value IS NOT NULL
+    ),
+    mm AS (
+        SELECT min(c) AS mn, max(c) AS mx, count(*) AS n FROM v
+    ),
+    b AS (
+        SELECT (c - mn) * {_HQ_BUCKETS} // (mx - mn + 1) AS bucket,
+               count(*) AS cnt
+        FROM v, mm GROUP BY bucket
+    ),
+    cum AS (
+        SELECT bucket, cnt,
+               sum(cnt) OVER (ORDER BY bucket) AS cum
+        FROM b
+    ),
+    q AS (SELECT unnest([50, 90, 99]) AS q),
+    rk AS (
+        SELECT q, (n * q + 99) // 100 AS rk, mn, mx, n
+        FROM q, mm
+    ),
+    hit AS (
+        SELECT rk.q, rk.rk, rk.mn, rk.mx, rk.n, c.bucket, c.cnt, c.cum
+        FROM rk JOIN cum c
+          ON c.cum >= rk.rk AND c.cum - c.cnt < rk.rk
+    )
+    SELECT q,
+           CAST(n AS BIGINT) AS n,
+           CAST(rk AS BIGINT) AS target_rank,
+           CAST(mn + (bucket * (mx - mn + 1)) // {_HQ_BUCKETS}
+                + (((bucket + 1) * (mx - mn + 1)) // {_HQ_BUCKETS}
+                   - (bucket * (mx - mn + 1)) // {_HQ_BUCKETS})
+                  * (rk - (cum - cnt)) // (cnt + 1)
+                AS BIGINT) AS est_cents
+    FROM hit
+"""
+
+
+@register_extra("histogram_quantiles", _HQ_SQL)
+def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of the event value via a 1024-bucket integer
+    histogram: one scan builds the bucket counts (the mergeable state —
+    re-aggregation is addition), a window over AT MOST 1024 rows
+    cumulates them (the packing-style benign global window), and the
+    estimate interpolates inside the hit bucket with pure integer
+    division.  Accuracy is bounded by the bucket width (range/1024);
+    the estimate itself is bit-exact cross-engine, unlike
+    approx_percentile's engine-internal GK state."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    v = ev.select(F.round(F.col("value") * 100).cast("bigint").alias("c"))
+    mm = v.agg(
+        F.min("c").alias("mn"), F.max("c").alias("mx"), F.count("c").alias("n")
+    ).head()
+    mn, mx, n = int(mm["mn"]), int(mm["mx"]), int(mm["n"])
+    rng = mx - mn + 1
+    b = (
+        v.select(((F.col("c") - mn) * _HQ_BUCKETS / rng).cast("long").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    cum = b.withColumn(
+        "cum", F.sum("cnt").over(Window.orderBy("bucket"))
+    )
+    quants = spark.createDataFrame(
+        [(q, (n * q + 99) // 100) for q in (50, 90, 99)], "q int, rk long"
+    )
+    hit = quants.join(
+        cum,
+        (F.col("cum") >= F.col("rk")) & (F.col("cum") - F.col("cnt") < F.col("rk")),
+    )
+    lo = F.lit(mn) + F.expr(f"bucket * {rng} div {_HQ_BUCKETS}")
+    width = F.expr(
+        f"(bucket + 1) * {rng} div {_HQ_BUCKETS} - bucket * {rng} div {_HQ_BUCKETS}"
+    )
+    return hit.select(
+        "q",
+        F.lit(n).cast("bigint").alias("n"),
+        F.col("rk").cast("bigint").alias("target_rank"),
+        (
+            lo
+            + F.expr(
+                f"((bucket + 1) * {rng} div {_HQ_BUCKETS}"
+                f" - bucket * {rng} div {_HQ_BUCKETS})"
+                " * (rk - (cum - cnt)) div (cnt + 1)"
+            )
+        )
+        .cast("bigint")
+        .alias("est_cents"),
+    )

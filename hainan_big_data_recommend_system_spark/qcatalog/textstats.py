@@ -1597,3 +1597,56 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_raw_urls"),
         )
     )
+
+
+@register_extra(
+    "weighted_sample_docs",
+    r"""
+    WITH pr AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'wsv1'),
+                                    1, 10))::BIGINT * 1000000
+                    // greatest(n_chars, 1) AS BIGINT) AS priority
+        FROM documents
+    )
+    SELECT doc_id, priority,
+           CAST(rn AS BIGINT) AS sample_rank
+    FROM (
+        SELECT doc_id, priority,
+               row_number() OVER (ORDER BY priority, doc_id) AS rn
+        FROM pr
+    )
+    WHERE rn <= 200
+    """,
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    quality-weighted corpus subsample every data-mixing recipe needs
+    (longer/higher-quality docs proportionally likelier).  The classic
+    Efraimidis-Spirakis priority ``u^(1/w)`` needs float pow; the
+    integerized equivalent ranks by ``hash * SCALE div weight`` — a
+    40-bit salted hash keeps the scaled product inside int64, weights
+    enter as exact integers (``n_chars`` here), and the smallest-k
+    priorities win with a total (priority, doc_id) order.  Pure
+    integers: reruns, late shards, and the oracle pick the IDENTICAL
+    sample — the property that makes a 100 TB sampling job restartable.
+    One scan + one top-k; no shuffle beyond the global top-k merge."""
+    docs = load_table(spark, sf_dir, "documents")
+    pr = docs.select(
+        "doc_id",
+        F.expr(
+            "cast(conv(substring(md5(concat(cast(doc_id as string), 'wsv1')),"
+            " 1, 10), 16, 10) as bigint) * 1000000L"
+            " div greatest(n_chars, 1)"
+        ).alias("priority"),
+    )
+    # smallest-k first via orderBy().limit() — per-partition top-k +
+    # driver merge, never a single-partition global window over the
+    # corpus; the rank window then runs over exactly 200 rows
+    from pyspark.sql import Window
+
+    top = pr.orderBy("priority", "doc_id").limit(200)
+    w = Window.orderBy("priority", "doc_id")
+    return top.withColumn(
+        "sample_rank", F.row_number().over(w).cast("bigint")
+    )

@@ -129,3 +129,60 @@ def test_hll_estimate_exact_integer_reference(spark):
         regs[b_] = max(regs.get(b_, 0), rho)
     s = sum(1 << (R - m) for m in regs.values()) + (M - len(regs)) * (1 << R)
     assert got == hll_numerator(B) // (1_000_000 * s)
+
+
+def test_histogram_quantiles_accuracy(spark):
+    """The 1024-bucket estimates must land within one bucket width of
+    the exact discrete quantiles (its oracle gate checks cross-engine
+    equality; this pins that the sketch is also a GOOD estimate)."""
+    import numpy as np
+
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+    from hainan_big_data_recommend_system_spark.qcatalog import EXTRA_REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        r["q"]: r["est_cents"]
+        for r in EXTRA_REGISTRY["histogram_quantiles"].fn(spark, sf).collect()
+    }
+    vals = np.array(
+        [
+            int(round(r["value"] * 100))
+            for r in load_table(spark, sf, "events")
+            .filter("value is not null")
+            .select("value")
+            .collect()
+        ]
+    )
+    vals.sort()
+    n = len(vals)
+    width = (int(vals.max()) - int(vals.min()) + 1) / 1024 + 1
+    for q in (50, 90, 99):
+        exact = int(vals[(n * q + 99) // 100 - 1])
+        assert abs(got[q] - exact) <= width, (q, got[q], exact, width)
+
+
+def test_weighted_sample_favors_heavy_docs(spark):
+    """Weighted priorities must actually bias the sample: the mean
+    n_chars of the 200 selected docs exceeds the corpus mean (weights
+    are n_chars), and the sample is a deterministic function of ids."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+    from hainan_big_data_recommend_system_spark.qcatalog import EXTRA_REGISTRY
+
+    sf = "/root/testdata/sf0.01"
+    spec = EXTRA_REGISTRY["weighted_sample_docs"]
+    a = {r["doc_id"]: r["sample_rank"] for r in spec.fn(spark, sf).collect()}
+    b = {r["doc_id"]: r["sample_rank"] for r in spec.fn(spark, sf).collect()}
+    assert a == b and len(a) == 200
+    docs = load_table(spark, sf, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).head()[0]
+    sample_mean = (
+        docs.join(
+            spark.createDataFrame([(i,) for i in a], "doc_id long"), "doc_id"
+        )
+        .agg(F.avg("n_chars"))
+        .head()[0]
+    )
+    assert sample_mean > corpus_mean
