@@ -1650,3 +1650,74 @@ def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "sample_rank", F.row_number().over(w).cast("bigint")
     )
+
+
+@register_extra(
+    "image_exif_meta",
+    r"""
+    SELECT doc_id,
+           'Cam' || CAST(doc_id % 5 AS VARCHAR) AS make,
+           'M-' || CAST(doc_id % 13 AS VARCHAR) AS model,
+           CAST(1 + doc_id % 8 AS INT) AS orientation,
+           '2024:0' || CAST(1 + doc_id % 9 AS VARCHAR) || ':0'
+               || CAST(1 + doc_id % 9 AS VARCHAR) || ' 0'
+               || CAST(doc_id % 10 AS VARCHAR) || ':00:00' AS datetime,
+           doc_id % 2 = 1 AS big_endian
+    FROM documents
+    """,
+)
+def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXIF metadata extraction (operators/exif.py, round 6): every doc
+    gets a real JPEG with a spliced APP1/TIFF segment — little-endian on
+    even ids, big-endian on odd, out-of-line ASCII values at real
+    offsets — and make/model/orientation/datetime are parsed BACK from
+    the binary IFD walk.  The oracle predicts the fields from the id
+    formulas, so a wrong endianness branch, offset miscalculation, or
+    inline/out-of-line confusion breaks the hash."""
+    import pandas as pd
+
+    from ..operators.exif import add_exif, parse_exif
+    from ..operators.jpeg import make_jpeg
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                payload = add_exif(
+                    make_jpeg(
+                        1 + did % 11,
+                        1 + did % 7,
+                        str(r["text"]).encode("utf-8"),
+                    ),
+                    make=f"Cam{did % 5}",
+                    model=f"M-{did % 13}",
+                    orientation=1 + did % 8,
+                    datetime_str=(
+                        f"2024:0{1 + did % 9}:0{1 + did % 9} "
+                        f"0{did % 10}:00:00"
+                    ),
+                    big_endian=(did % 2 == 1),
+                )
+                meta = parse_exif(payload)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "make": meta["make"],
+                        "model": meta["model"],
+                        "orientation": meta["orientation"],
+                        "datetime": meta["datetime"],
+                        "big_endian": did % 2 == 1,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, make string, model string, orientation int, "
+        "datetime string, big_endian boolean",
+    )
