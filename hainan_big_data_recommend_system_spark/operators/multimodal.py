@@ -425,6 +425,13 @@ def decode_any(payload: bytes) -> tuple[int, int, int, bytes] | None:
             return (w, h, max(bpp // 8, 1), payload[px_off:])
         except ValueError:
             return None
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            from .gif import parse_gif
+
+            return parse_gif(payload)
+        except ValueError:
+            return None
     return None
 
 

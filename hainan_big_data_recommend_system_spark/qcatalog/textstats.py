@@ -1721,3 +1721,91 @@ def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, make string, model string, orientation int, "
         "datetime string, big_endian boolean",
     )
+
+
+@register_extra(
+    "gif_meta",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 21 AS w,
+               1 + doc_id % 13 AS h,
+               CASE WHEN length(text) = 0 THEN chr(0) ELSE text END AS seed
+        FROM documents
+    ),
+    cyc AS (
+        SELECT doc_id, w, h,
+               substr(repeat(seed,
+                             CAST((w * h + length(seed) - 1)
+                                  // length(seed) AS INT)),
+                      1, w * h) AS idxs
+        FROM d
+    ),
+    px AS (
+        -- palette row for index i is (i, 3i mod 256, 255-i): per-pixel
+        -- byte sum = i + (3i mod 256) + (255 - i) = (3i mod 256) + 255
+        SELECT doc_id, w, h, i,
+               (3 * ord(substr(idxs, CAST(i AS INT), 1))) % 256 + 255 AS s
+        FROM cyc, LATERAL (SELECT unnest(range(1, w * h + 1)) AS i)
+    )
+    SELECT doc_id,
+           CAST(max(w) AS INT) AS width,
+           CAST(max(h) AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(sum(s) AS BIGINT) AS px_byte_sum,
+           CAST(sum((i - 1) * s) AS BIGINT) AS px_weighted_sum
+    FROM px GROUP BY doc_id
+    """,
+)
+def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode under the oracle gate (operators/gif.py, round 6):
+    every doc gets a real GIF89a — LZW-compressed formula-palette frame,
+    INTERLACED on odd ids — decoded through decode_image_features' magic
+    dispatch.  Besides driver-predictable dims, two integer pixel folds
+    pin the decode: ``px_byte_sum`` (order-free — wrong LZW output
+    breaks it) and ``px_weighted_sum`` (position-weighted — a wrong
+    interlace pass reordering breaks THIS one even when the byte
+    multiset is right).  GIF is lossless, so both are exact formulas of
+    (doc_id, text) the oracle computes without touching bytes."""
+    import pandas as pd
+
+    from ..operators.gif import make_gif
+    from ..operators.multimodal import _spread, decode_any
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                payload = make_gif(
+                    1 + did % 21,
+                    1 + did % 13,
+                    str(r["text"]).encode("utf-8"),
+                    interlaced=(did % 2 == 1),
+                )
+                decoded = decode_any(payload)
+                if decoded is None:
+                    continue  # corrupt row quarantine: row vanishes
+                w, h, c, px = decoded
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "width": w,
+                        "height": h,
+                        "channels": c,
+                        "px_byte_sum": sum(px),
+                        "px_weighted_sum": sum(
+                            (i // 3) * b for i, b in enumerate(px)
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_decode,
+        "doc_id long, width int, height int, channels int, "
+        "px_byte_sum long, px_weighted_sum long",
+    )

@@ -15,6 +15,10 @@ from hainan_big_data_recommend_system_spark.operators.avi import (
     avi_features,
     make_fixture_avi,
 )
+from hainan_big_data_recommend_system_spark.operators.gif import (
+    make_gif,
+    parse_gif,
+)
 from hainan_big_data_recommend_system_spark.operators.jpeg import (
     make_jpeg,
     make_progressive_jpeg,
@@ -48,6 +52,8 @@ CASES = {
         parse_jpeg,
     ),
     "png": (lambda: make_png(12, 9, b"\x11\x22\x33"), parse_png),
+    "gif": (lambda: make_gif(14, 9, b"\x11\x22\x33", interlaced=True),
+            parse_gif),
     "bmp": (lambda: make_bmp(10, 7, b"\x01\x02\x03"), parse_bmp_header),
 }
 
