@@ -255,6 +255,22 @@ def q_corpus_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(1 + doc_id % 19 AS INT) AS jpeg420_w,
            CAST(1 + doc_id % 21 AS INT) AS jpeg420_h,
            CAST(3 AS INT) AS jpeg420_channels,
+           CAST(1 + doc_id % 21 AS INT) AS gif_w,
+           CAST(1 + doc_id % 13 AS INT) AS gif_h,
+           CAST(3 AS INT) AS gif_channels,
+           -- GIF is lossless with the formula palette (i, 3i%256, 255-i):
+           -- per-pixel byte sum = (3*index)%256 + 255 over the seed
+           -- cycled to w*h bytes -- only a real LZW decode reproduces it
+           (SELECT CAST(sum((3 * ord(substr(
+                       substr(repeat(CASE WHEN length(text) = 0 THEN chr(0)
+                                          ELSE text END,
+                                     CAST(((1 + doc_id % 21) * (1 + doc_id % 13)
+                                           + greatest(length(text), 1) - 1)
+                                          // greatest(length(text), 1) AS INT)),
+                              1, (1 + doc_id % 21) * (1 + doc_id % 13)),
+                       CAST(i AS INT), 1))) % 256 + 255) AS BIGINT)
+            FROM (SELECT unnest(range(1, (1 + doc_id % 21) * (1 + doc_id % 13)
+                                         + 1)) AS i)) AS gif_px_sum,
            -- seed mirrors make_png's empty-text fallback (pixel_seed or
            -- b'\\x00'): an empty document must digest a NUL-cycled stream,
            -- not divide by zero in the repeat count (ADVICE r4)
@@ -349,6 +365,44 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("height").alias("jpeg420_h"),
         F.col("channels").alias("jpeg420_channels"),
     )
+    import pandas as pd
+
+    from ..operators.gif import make_gif
+    from ..operators.multimodal import _spread, decode_any
+
+    def gif_gen_decode(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                decoded = decode_any(
+                    make_gif(
+                        1 + did % 21,
+                        1 + did % 13,
+                        str(r["text"]).encode("utf-8"),
+                        interlaced=(did % 2 == 1),
+                    )
+                )
+                if decoded is None:
+                    continue
+                w, h, c, px = decoded
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "gif_w": w,
+                        "gif_h": h,
+                        "gif_channels": c,
+                        "gif_px_sum": sum(px),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    gif_feats = _spread(docs, "doc_id").mapInPandas(
+        gif_gen_decode,
+        "doc_id long, gif_w int, gif_h int, gif_channels int, "
+        "gif_px_sum long",
+    )
     payload = F.col("text").cast("binary")
     n_bytes = F.length(payload).cast("bigint")
     meta = docs.select(
@@ -362,6 +416,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(png_feats, "doc_id")
         .join(jpeg_feats, "doc_id")
         .join(jpeg420_feats, "doc_id")
+        .join(gif_feats, "doc_id")
     )
 
 

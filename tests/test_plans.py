@@ -146,14 +146,15 @@ def test_event_time_windows_one_exchange_per_kind(spark):
 
 
 def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
-    """Four generate→decode chains (BMP + PNG since round 4, JPEG since
-    round 5, 4:2:0 JPEG since round 6) stream Arrow batches
-    (MapInPandas ×8); all four metadata joins stay broadcast, and no
-    row-at-a-time Python eval appears anywhere."""
+    """Five decode chains (BMP + PNG since round 4, JPEG since round 5,
+    4:2:0 JPEG and GIF since round 6) stream Arrow batches — the three
+    generate->decode pairs are MapInPandas x2 each, the fused GIF
+    generate+decode kernel is x1 (9 total); all five metadata joins stay
+    broadcast, and no row-at-a-time Python eval appears anywhere."""
     plan = plan_of(spark, "multimodal_meta")
-    assert plan.count("MapInPandas") == 8, plan
+    assert plan.count("MapInPandas") == 9, plan
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 4, plan
+    assert plan.count("BroadcastHashJoin") == 5, plan
 
 
 # ---------------------------------------------------------------------------
