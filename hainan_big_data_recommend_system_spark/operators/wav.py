@@ -83,9 +83,7 @@ def parse_wav(payload: bytes) -> tuple[int, int, int, bytes]:
     _, channels, rate, _, block, bits = fmt
     if bits != 16 or block != channels * 2:
         raise ValueError(f"unsupported geometry: {bits}-bit, block {block}")
-    if channels != 1:
-        # the feature pass treats PCM as one stream; interleaved stereo
-        # would report nonsense crossings — refuse rather than mis-measure
+    if channels not in (1, 2):
         raise ValueError(f"unsupported geometry: {channels} channels")
     if len(data) % block:
         raise ValueError("data length not sample-aligned")
@@ -101,6 +99,10 @@ def wav_features(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
     import numpy as np
 
     rate, channels, bits, pcm = parse_wav(payload)
+    if channels != 1:
+        # this feature pass treats PCM as one stream; interleaved stereo
+        # would report nonsense crossings — use wav_features_stereo
+        raise ValueError(f"mono features on a {channels}-channel stream")
     s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
     n = len(s)
     if n == 0:
@@ -116,3 +118,47 @@ def wav_features(payload: bytes) -> tuple[int, int, int, int, int, int, int]:
         crossings,
         int((s * s).sum()),
     )
+
+
+def make_wav_stereo(seed: str, n_samples: int, sample_rate: int = 8000) -> bytes:
+    """Canonical 16-bit STEREO PCM WAV: interleaved L/R frames whose
+    per-channel samples are the same generative md5 chain with a
+    channel-tagged seed (``seed:L`` / ``seed:R``) — so a stereo decode
+    is oracle-checkable exactly like the mono one."""
+    pcm = b"".join(
+        struct.pack("<hh", _sample(f"{seed}:L", i), _sample(f"{seed}:R", i))
+        for i in range(n_samples)
+    )
+    byte_rate = sample_rate * 4
+    fmt = struct.pack("<HHIIHH", 1, 2, sample_rate, byte_rate, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_features_stereo(payload: bytes):
+    """``(sample_rate, n_frames, (peak_l, zc_l, energy_l),
+    (peak_r, zc_r, energy_r))`` — per-channel exact-integer features of
+    an interleaved stereo stream (deinterleave, then the same pinned
+    conventions as :func:`wav_features`)."""
+    import numpy as np
+
+    rate, channels, bits, pcm = parse_wav(payload)
+    if channels != 2:
+        raise ValueError(f"stereo features on a {channels}-channel stream")
+    s = np.frombuffer(pcm, dtype="<i2").astype(np.int64).reshape(-1, 2)
+
+    def feats(ch):
+        if len(ch) == 0:
+            return 0, 0, 0
+        nonneg = ch >= 0
+        return (
+            int(np.abs(ch).max()),
+            int((nonneg[1:] != nonneg[:-1]).sum()),
+            int((ch * ch).sum()),
+        )
+
+    return rate, s.shape[0], feats(s[:, 0]), feats(s[:, 1])

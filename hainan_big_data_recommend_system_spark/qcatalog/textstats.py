@@ -1864,3 +1864,84 @@ def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, width int, height int, channels int, "
         "px_byte_sum long, px_weighted_sum long",
     )
+
+
+@register_extra(
+    "stereo_audio_meta",
+    r"""
+    WITH d AS (SELECT doc_id, 32 + doc_id % 48 AS n FROM documents),
+    s AS (
+        SELECT doc_id, n, i, ch,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':wavst:' || ch
+                                   || ':' || CAST(i AS VARCHAR)), 1, 4))::BIGINT
+               - 32768 AS v
+        FROM d,
+             LATERAL (SELECT unnest(range(0, n)) AS i),
+             LATERAL (SELECT unnest(['L', 'R']) AS ch)
+    ),
+    s2 AS (
+        SELECT doc_id, ch, i, v,
+               lag(v) OVER (PARTITION BY doc_id, ch ORDER BY i) AS pv
+        FROM s
+    ),
+    feat AS (
+        SELECT doc_id, ch,
+               max(abs(v)) AS peak,
+               sum(v * v) AS energy,
+               sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (v >= 0))
+                        THEN 1 ELSE 0 END) AS zc
+        FROM s2 GROUP BY doc_id, ch
+    )
+    SELECT d.doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(d.n AS BIGINT) AS n_frames,
+           CAST(l.peak AS BIGINT) AS peak_l,
+           CAST(l.zc AS BIGINT) AS zc_l,
+           CAST(l.energy AS BIGINT) AS energy_l,
+           CAST(r.peak AS BIGINT) AS peak_r,
+           CAST(r.zc AS BIGINT) AS zc_r,
+           CAST(r.energy AS BIGINT) AS energy_r
+    FROM d
+    JOIN feat l ON l.doc_id = d.doc_id AND l.ch = 'L'
+    JOIN feat r ON r.doc_id = d.doc_id AND r.ch = 'R'
+    """,
+)
+def q_stereo_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo audio decode (operators/wav.py round 6): interleaved-frame
+    deinterleave + per-channel exact-integer features, with the oracle
+    recomputing both channels from the channel-tagged generative formula
+    without seeing bytes — a decoder that mixes channels or mis-strides
+    the interleave breaks the per-channel energies."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.wav import make_wav_stereo, wav_features_stereo
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate, n, L, R = wav_features_stereo(
+                    make_wav_stereo(f"{did}:wavst", 32 + did % 48)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "sample_rate": rate,
+                        "n_frames": n,
+                        "peak_l": L[0], "zc_l": L[1], "energy_l": L[2],
+                        "peak_r": R[0], "zc_r": R[1], "energy_r": R[2],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_decode,
+        "doc_id long, sample_rate long, n_frames long, "
+        "peak_l long, zc_l long, energy_l long, "
+        "peak_r long, zc_r long, energy_r long",
+    )

@@ -32,11 +32,14 @@ from hainan_big_data_recommend_system_spark.operators.multimodal import (
 )
 from hainan_big_data_recommend_system_spark.operators.wav import (
     make_wav,
+    make_wav_stereo,
     wav_features,
+    wav_features_stereo,
 )
 
 CASES = {
     "wav": (lambda: make_wav("s", 40), wav_features),
+    "wav_stereo": (lambda: make_wav_stereo("s", 40), wav_features_stereo),
     "avi": (lambda: make_fixture_avi(3), avi_features),
     "jpeg": (lambda: make_jpeg(16, 8, b"\x40\x50\x60"), parse_jpeg),
     "jpeg420": (

@@ -86,10 +86,56 @@ def test_trailing_bytes_after_riff_body_ok():
 
 
 def test_stereo_rejected():
+    # round 6: stereo streams PARSE now, but the mono feature pass still
+    # refuses them (wav_features_stereo is the stereo path); >2 channels
+    # remain a parse error
     pcm = struct.pack("<hh", 1000, -1000) * 4
     fmt = struct.pack("<HHIIHH", 1, 2, 8000, 8000 * 4, 4, 16)
     body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
             + b"data" + struct.pack("<I", len(pcm)) + pcm)
     wav = b"RIFF" + struct.pack("<I", len(body)) + body
-    with pytest.raises(ValueError, match="channels"):
+    with pytest.raises(ValueError, match="mono features"):
         wav_features(wav)
+    fmt3 = struct.pack("<HHIIHH", 1, 3, 8000, 8000 * 6, 6, 16)
+    body3 = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt3)) + fmt3
+             + b"data" + struct.pack("<I", 0))
+    with pytest.raises(ValueError, match="channels"):
+        wav_features(b"RIFF" + struct.pack("<I", len(body3)) + body3)
+
+
+def test_stereo_roundtrip_and_channel_separation():
+    """Round-6 stereo path: deinterleave must keep channels intact — the
+    per-channel features equal those computed from the generative
+    formula directly, and mixing L into R would break both energies."""
+    import numpy as np
+
+    from hainan_big_data_recommend_system_spark.operators.wav import (
+        _sample,
+        make_wav_stereo,
+        wav_features_stereo,
+    )
+
+    rate, n, L, R = wav_features_stereo(make_wav_stereo("sep", 40))
+    assert (rate, n) == (8000, 40)
+    for ch, got in (("L", L), ("R", R)):
+        s = np.array(
+            [_sample(f"sep:{ch}", i) for i in range(40)], dtype=np.int64
+        )
+        nn = s >= 0
+        assert got == (
+            int(np.abs(s).max()),
+            int((nn[1:] != nn[:-1]).sum()),
+            int((s * s).sum()),
+        )
+
+
+def test_mono_features_refuse_stereo_stream():
+    import pytest as _pytest
+
+    from hainan_big_data_recommend_system_spark.operators.wav import (
+        make_wav_stereo,
+        wav_features,
+    )
+
+    with _pytest.raises(ValueError, match="mono features"):
+        wav_features(make_wav_stereo("x", 8))
