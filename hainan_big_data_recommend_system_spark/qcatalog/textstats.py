@@ -1945,3 +1945,139 @@ def q_stereo_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "peak_l long, zc_l long, energy_l long, "
         "peak_r long, zc_r long, energy_r long",
     )
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (round 6, operators/adpcm.py): compressed audio decoded by a
+# pure-integer state machine — lossy yet bit-exact reproducible, so the
+# oracle replays encoder+decoder as a recursive CTE from the generative
+# samples without ever seeing the encoded bytes.
+# ---------------------------------------------------------------------------
+
+_ADPCM_SQL = rf"""
+    WITH RECURSIVE
+    d AS (SELECT doc_id, 17 + doc_id % 48 AS n FROM documents),
+    src AS (
+        SELECT doc_id, n, i,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':adpcm:'
+                                   || CAST(i AS VARCHAR)), 1, 4))::BIGINT
+               - 32768 AS s
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS i)
+    ),
+    sm(doc_id, i, pred, idx) AS (
+        SELECT doc_id, 0, s, 0 FROM src WHERE i = 0
+        UNION ALL
+        SELECT doc_id, i,
+               CASE WHEN sgn
+                    THEN greatest(pred0 - diffq, -32768)
+                    ELSE least(pred0 + diffq, 32767) END,
+               least(greatest(idx0 + CASE WHEN NOT c4 THEN -1
+                                          WHEN NOT c2 AND NOT c1 THEN 2
+                                          WHEN NOT c2 AND c1 THEN 4
+                                          WHEN c2 AND NOT c1 THEN 6
+                                          ELSE 8 END, 0), 88)
+        FROM (
+            SELECT doc_id, i, pred0, idx0, sgn, step, c4, c2,
+                   ad3 >= step // 4 AS c1,
+                   step // 8
+                   + CASE WHEN c4 THEN step ELSE 0 END
+                   + CASE WHEN c2 THEN step // 2 ELSE 0 END
+                   + CASE WHEN ad3 >= step // 4 THEN step // 4 ELSE 0 END
+                       AS diffq
+            FROM (
+                SELECT doc_id, i, pred0, idx0, sgn, step, c4,
+                       ad2 >= step // 2 AS c2,
+                       ad2 - CASE WHEN ad2 >= step // 2
+                                  THEN step // 2 ELSE 0 END AS ad3
+                FROM (
+                    SELECT doc_id, i, pred0, idx0, sgn, step,
+                           ad >= step AS c4,
+                           ad - CASE WHEN ad >= step THEN step ELSE 0 END
+                               AS ad2
+                    FROM (
+                        SELECT sm.doc_id, sm.i + 1 AS i,
+                               sm.pred AS pred0, sm.idx AS idx0,
+                               src.s - sm.pred < 0 AS sgn,
+                               abs(src.s - sm.pred) AS ad,
+                               ([7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767])[sm.idx + 1] AS step
+                        FROM sm
+                        JOIN src ON src.doc_id = sm.doc_id
+                               AND src.i = sm.i + 1
+                    )
+                )
+            )
+        )
+    ),
+    joined AS (
+        SELECT sm.doc_id, sm.i, sm.pred, src.s,
+               lag(sm.pred) OVER (PARTITION BY sm.doc_id ORDER BY sm.i)
+                   AS pv
+        FROM sm JOIN src ON src.doc_id = sm.doc_id AND src.i = sm.i
+    )
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(max(abs(pred)) AS BIGINT) AS peak_abs,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND ((pv >= 0) <> (pred >= 0))
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_cross,
+           CAST(sum(pred * pred) AS BIGINT) AS energy,
+           CAST(sum((s - pred) * (s - pred)) AS BIGINT) AS noise_energy
+    FROM joined GROUP BY doc_id
+"""
+
+
+@register_extra("adpcm_audio_meta", _ADPCM_SQL)
+def q_adpcm_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-audio decode (operators/adpcm.py): every doc gets a
+    real mono IMA-ADPCM WAV (format tag 0x11 — 4-byte block headers,
+    two 4-bit codes per byte, fact chunk) whose SOURCE samples follow
+    the generative md5 chain; Spark decodes the actual bytes through
+    the block walk + state machine and reports exact-integer features
+    of the RECONSTRUCTED signal plus the quantization noise energy
+    against the source.  The DuckDB oracle replays the identical
+    encoder/decoder state machine as a recursive CTE — any drift in
+    the step tables, clamping, nibble order, or index adaptation
+    breaks the hash."""
+    import pandas as pd
+
+    from ..operators.adpcm import make_adpcm_wav, parse_adpcm_wav
+    from ..operators.multimodal import _spread
+    from ..operators.wav import _sample
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_decode(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 17 + did % 48
+                seed = f"{did}:adpcm"
+                rate, ns, dec = parse_adpcm_wav(make_adpcm_wav(seed, n))
+                src = [_sample(seed, i) for i in range(n)]
+                zc = sum(
+                    1
+                    for a, b in zip(dec, dec[1:])
+                    if (a >= 0) != (b >= 0)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "sample_rate": rate,
+                        "n_samples": ns,
+                        "peak_abs": max(abs(v) for v in dec),
+                        "n_zero_cross": zc,
+                        "energy": sum(v * v for v in dec),
+                        "noise_energy": sum(
+                            (a - b) * (a - b) for a, b in zip(src, dec)
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_decode,
+        "doc_id long, sample_rate long, n_samples long, peak_abs long, "
+        "n_zero_cross long, energy long, noise_energy long",
+    )
