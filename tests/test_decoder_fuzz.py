@@ -30,11 +30,23 @@ from hainan_big_data_recommend_system_spark.operators.multimodal import (
     parse_bmp_header,
     parse_png,
 )
+from hainan_big_data_recommend_system_spark.operators.adpcm import (
+    make_adpcm_wav,
+    parse_adpcm_wav,
+)
+from hainan_big_data_recommend_system_spark.operators.exif import (
+    add_exif,
+    parse_exif,
+)
 from hainan_big_data_recommend_system_spark.operators.wav import (
     make_wav,
     make_wav_stereo,
     wav_features,
     wav_features_stereo,
+)
+from hainan_big_data_recommend_system_spark.sources.warc import (
+    make_warc,
+    parse_warc,
 )
 
 CASES = {
@@ -58,6 +70,17 @@ CASES = {
     "gif": (lambda: make_gif(14, 9, b"\x11\x22\x33", interlaced=True),
             parse_gif),
     "bmp": (lambda: make_bmp(10, 7, b"\x01\x02\x03"), parse_bmp_header),
+    "adpcm": (lambda: make_adpcm_wav("s", 80), parse_adpcm_wav),
+    "exif": (
+        lambda: add_exif(make_jpeg(10, 7, b"\x01\x02"), "M", "X", 3, "T"),
+        parse_exif,
+    ),
+    "warc": (
+        lambda: make_warc(
+            [("u", b"<p>x</p>")], gzip_records=True
+        ),
+        parse_warc,
+    ),
 }
 
 
