@@ -2152,3 +2152,79 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_records long, target_uri string, "
         "http_status long, body_len long, body_md5 string, gzipped boolean",
     )
+
+
+@register_extra(
+    "archive_corpus_scan",
+    r"""
+    SELECT doc_id,
+           CAST(2 AS BIGINT) AS n_members,
+           'docs/' || CAST(doc_id AS VARCHAR) || '.txt' AS text_member,
+           CAST(length(text) AS BIGINT) AS text_len,
+           md5(text) AS text_md5,
+           md5('{"doc_id": ' || CAST(doc_id AS VARCHAR) || '}') AS meta_md5,
+           CASE WHEN doc_id % 3 = 0 THEN 'tar'
+                WHEN doc_id % 3 = 1 THEN 'zip-deflate'
+                ELSE 'zip-stored' END AS container
+    FROM documents
+    """,
+)
+def q_archive_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive ingestion (sources/archives.py, round 6): each doc rides
+    a real container — ustar TAR (checksummed 512-byte headers) on
+    doc_id%3==0, deflated ZIP (central-directory walk + raw-inflate +
+    CRC verify) on 1, stored ZIP on 2 — holding its text plus a JSON
+    metadata member.  Extracted member digests must match the oracle's
+    formula-predicted ones, so octal-field, block-rounding,
+    local-header-offset or CRC bugs all break the hash."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..sources.archives import make_tar, make_zip, parse_tar, parse_zip
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                text = str(r["text"]).encode("utf-8")
+                meta = f'{{"doc_id": {did}}}'.encode("ascii")
+                members = [
+                    (f"docs/{did}.txt", text),
+                    (f"meta/{did}.json", meta),
+                ]
+                kind = did % 3
+                if kind == 0:
+                    got = parse_tar(make_tar(members))
+                    container = "tar"
+                else:
+                    got = parse_zip(make_zip(members, deflate=(kind == 1)))
+                    container = "zip-deflate" if kind == 1 else "zip-stored"
+                by_name = dict(got)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_members": len(got),
+                        "text_member": f"docs/{did}.txt",
+                        "text_len": len(by_name[f"docs/{did}.txt"]),
+                        "text_md5": hashlib.md5(
+                            by_name[f"docs/{did}.txt"]
+                        ).hexdigest(),
+                        "meta_md5": hashlib.md5(
+                            by_name[f"meta/{did}.json"]
+                        ).hexdigest(),
+                        "container": container,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, n_members long, text_member string, text_len long, "
+        "text_md5 string, meta_md5 string, container string",
+    )

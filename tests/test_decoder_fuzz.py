@@ -44,6 +44,12 @@ from hainan_big_data_recommend_system_spark.operators.wav import (
     wav_features,
     wav_features_stereo,
 )
+from hainan_big_data_recommend_system_spark.sources.archives import (
+    make_tar,
+    make_zip,
+    parse_tar,
+    parse_zip,
+)
 from hainan_big_data_recommend_system_spark.sources.warc import (
     make_warc,
     parse_warc,
@@ -75,6 +81,10 @@ CASES = {
         lambda: add_exif(make_jpeg(10, 7, b"\x01\x02"), "M", "X", 3, "T"),
         parse_exif,
     ),
+    "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
+            parse_tar),
+    "zip": (lambda: make_zip([("a.txt", b"abc"), ("b", b"d" * 700)]),
+            parse_zip),
     "warc": (
         lambda: make_warc(
             [("u", b"<p>x</p>")], gzip_records=True
