@@ -73,3 +73,30 @@ def test_orientation_normalization_recovers_display_image():
         got = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)
         assert got.shape == disp.shape, o
         assert np.array_equal(got, disp), f"orientation {o}"
+
+
+def test_orientation_normalized_phash_matches_original():
+    """The dedup-ladder payoff: a rotated re-upload tagged with its EXIF
+    orientation hashes IDENTICALLY to the original after normalization
+    (pure pixel permutation — dHash/aHash over the same display image),
+    while the raw rotated pixels do not."""
+    import numpy as np
+
+    from hainan_big_data_recommend_system_spark.operators.phash import (
+        ahash64,
+        dhash64,
+    )
+
+    rng = np.random.RandomState(11)
+    disp = rng.randint(0, 256, (24, 32, 3), dtype=np.uint8)
+    base_d = dhash64(disp.tobytes(), 32, 24, 3)
+    base_a = ahash64(disp.tobytes(), 32, 24, 3)
+    stored = np.ascontiguousarray(np.rot90(disp, 1))  # needs orientation 6
+    raw_d = dhash64(stored.tobytes(), stored.shape[1], stored.shape[0], 3)
+    assert raw_d != base_d  # un-normalized rotation breaks the hash
+    px, w, h = normalize_orientation(
+        stored.tobytes(), stored.shape[1], stored.shape[0], 3, 6
+    )
+    assert (w, h) == (32, 24)
+    assert dhash64(px, w, h, 3) == base_d
+    assert ahash64(px, w, h, 3) == base_a
