@@ -105,6 +105,14 @@ QUERIES = [
     "hll_distinct_orders",
     "url_canonical_dedup",
     "decayed_hot_events",
+    "gif_meta",
+    "image_exif_meta",
+    "stereo_audio_meta",
+    "adpcm_audio_meta",
+    "warc_corpus_scan",
+    "archive_corpus_scan",
+    "weighted_sample_docs",
+    "histogram_quantiles",
     "kn_bigram_lm_scores",
     "source_quality_report",
 ]
