@@ -1,0 +1,79 @@
+"""robots.txt compliance filter (RFC 9309) — the crawl-side legality
+gate a corpus pipeline applies before (or while auditing) ingestion.
+
+``parse_robots`` extracts the rule group for a user agent (specific
+group wins over ``*``; multiple consecutive ``User-agent`` lines share
+one group), and ``allowed_column`` compiles those rules into a PURE
+column expression: rules sort by pattern length (the RFC's
+longest-match precedence, allow winning ties), each becomes one
+``rlike`` against an anchored regex translation of the robots wildcard
+syntax (``*`` → ``.*``, trailing ``$`` → end anchor), and the first
+match decides.  The rule set is tiny and driver-side; the URL column
+never leaves the scan — no UDF, no join, whole-stage codegen.
+
+Public knowledge: RFC 9309 (Robots Exclusion Protocol).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, functions as F
+
+
+def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
+    """``[(allow, path_pattern), ...]`` for ``agent`` — the specific
+    agent's group when present, else the ``*`` group.  Unknown
+    directives are ignored per the RFC; empty patterns are dropped
+    (an empty Disallow means allow-all and matches nothing)."""
+    groups: dict[str, list[tuple[bool, str]]] = {}
+    current: list[str] = []
+    collecting = False
+    for raw in txt.splitlines():
+        line = raw.split("#", 1)[0].strip()
+        if not line or ":" not in line:
+            continue
+        key, value = (p.strip() for p in line.split(":", 1))
+        key = key.lower()
+        if key == "user-agent":
+            if collecting:
+                current = []  # a new agent list begins
+                collecting = False
+            current.append(value.lower())
+            for a in current:
+                groups.setdefault(a, groups.get(a, []))
+        elif key in ("allow", "disallow"):
+            collecting = True
+            if not value:
+                continue
+            for a in current:
+                groups.setdefault(a, []).append((key == "allow", value))
+    return groups.get(agent.lower(), groups.get("*", []))
+
+
+def _pattern_regex(pattern: str) -> str:
+    """Robots wildcard pattern → anchored Java/RE2-safe regex."""
+    anchored_end = pattern.endswith("$")
+    core = pattern[:-1] if anchored_end else pattern
+    out = "^"
+    for ch in core:
+        out += ".*" if ch == "*" else re.escape(ch)
+    return out + ("$" if anchored_end else "")
+
+
+def allowed_column(rules: list[tuple[bool, str]], path_col) -> Column:
+    """Boolean column: is ``path_col`` allowed under ``rules``?  Rules
+    apply longest-pattern-first (allow before disallow on equal length —
+    the RFC tie-break); no matching rule means allowed."""
+    p = F.col(path_col) if isinstance(path_col, str) else path_col
+    ordered = sorted(
+        rules, key=lambda r: (len(r[1]), r[0]), reverse=True
+    )
+    expr = F.lit(True)  # default: allowed
+    for allow, pattern in reversed(ordered):
+        # build the WHEN-chain inside-out so the longest pattern ends up
+        # outermost (checked first)
+        expr = F.when(p.rlike(_pattern_regex(pattern)), F.lit(allow)).otherwise(
+            expr
+        )
+    return expr

@@ -2228,3 +2228,68 @@ def q_archive_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_members long, text_member string, text_len long, "
         "text_md5 string, meta_md5 string, container string",
     )
+
+
+_ROBOTS_FIXTURE = """
+# corpus crawler policy
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: *
+Disallow: /admin/
+Disallow: /search
+Allow: /search/about
+Disallow: /*.pdf$
+Allow: /archive/*/public
+Disallow: /archive/
+"""
+
+
+@register_extra(
+    "robots_url_filter",
+    r"""
+    SELECT doc_id,
+           CASE doc_id % 8
+               WHEN 0 THEN '/index.html'
+               WHEN 1 THEN '/admin/p' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '/search'
+               WHEN 3 THEN '/search/about'
+               WHEN 4 THEN '/doc/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+               WHEN 5 THEN '/doc/f' || CAST(doc_id AS VARCHAR) || '.pdfx'
+               WHEN 6 THEN '/archive/' || CAST(doc_id AS VARCHAR) || '/public'
+               ELSE '/archive/' || CAST(doc_id AS VARCHAR) || '/secret'
+           END AS path,
+           doc_id % 8 IN (0, 3, 5, 6) AS allowed
+    FROM documents
+    """,
+)
+def q_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt compliance filtering (operators/robots.py, RFC 9309):
+    the fixture policy exercises prefix rules, the allow-overrides-
+    disallow longest-match precedence, ``*`` wildcards and the ``$``
+    end anchor; per-doc paths cover all eight rule outcomes and the
+    verdicts come from the compiled rlike chain — a wrong precedence
+    order, wildcard translation, or anchor handling flips a class and
+    breaks the hash.  Rules stay driver-side (broadcast-tiny); the URL
+    column never leaves the scan."""
+    from ..operators.robots import allowed_column, parse_robots
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    m = F.col("doc_id") % 8
+    did = F.col("doc_id").cast("string")
+    path = (
+        F.when(m == 0, F.lit("/index.html"))
+        .when(m == 1, F.concat(F.lit("/admin/p"), did))
+        .when(m == 2, F.lit("/search"))
+        .when(m == 3, F.lit("/search/about"))
+        .when(m == 4, F.concat(F.lit("/doc/f"), did, F.lit(".pdf")))
+        .when(m == 5, F.concat(F.lit("/doc/f"), did, F.lit(".pdfx")))
+        .when(m == 6, F.concat(F.lit("/archive/"), did, F.lit("/public")))
+        .otherwise(F.concat(F.lit("/archive/"), did, F.lit("/secret")))
+    )
+    rules = parse_robots(_ROBOTS_FIXTURE)
+    return docs.select(
+        "doc_id",
+        path.alias("path"),
+        allowed_column(rules, path).alias("allowed"),
+    )

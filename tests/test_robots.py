@@ -1,0 +1,67 @@
+"""robots.txt filter (operators/robots.py): RFC 9309 group selection,
+longest-match precedence, wildcard/anchor translation.  The catalog
+query is oracle-gated in test_oracle."""
+
+from __future__ import annotations
+
+from hainan_big_data_recommend_system_spark.operators.robots import (
+    allowed_column,
+    parse_robots,
+)
+
+POLICY = """
+User-agent: googlebot
+Disallow: /private/
+
+User-agent: a
+User-agent: b
+Disallow: /shared/
+
+User-agent: *
+Disallow: /admin/
+Allow: /admin/help
+Disallow: /*.pdf$
+Disallow:
+"""
+
+
+def test_group_selection_and_shared_agent_lines():
+    assert parse_robots(POLICY, "googlebot") == [(False, "/private/")]
+    # consecutive User-agent lines share one group
+    assert parse_robots(POLICY, "a") == [(False, "/shared/")]
+    assert parse_robots(POLICY, "b") == [(False, "/shared/")]
+    # unknown agent falls back to *; the empty Disallow is dropped
+    assert parse_robots(POLICY, "nobody") == [
+        (False, "/admin/"), (True, "/admin/help"), (False, "/*.pdf$"),
+    ]
+
+
+def test_column_semantics(spark):
+    rules = parse_robots(POLICY)
+    df = spark.createDataFrame(
+        [
+            ("/admin/secret",), ("/admin/help/page",), ("/x/report.pdf",),
+            ("/x/report.pdfz",), ("/open",),
+        ],
+        "path string",
+    )
+    got = {
+        r["path"]: r["ok"]
+        for r in df.select(
+            "path", allowed_column(rules, "path").alias("ok")
+        ).collect()
+    }
+    assert got == {
+        "/admin/secret": False,
+        "/admin/help/page": True,   # longer allow overrides disallow
+        "/x/report.pdf": False,     # $-anchored wildcard
+        "/x/report.pdfz": True,
+        "/open": True,              # no rule -> allowed
+    }
+
+
+def test_no_rules_allows_everything(spark):
+    df = spark.createDataFrame([("/anything",)], "path string")
+    assert df.select(
+        allowed_column([], "path").alias("ok")
+    ).collect()[0]["ok"]
