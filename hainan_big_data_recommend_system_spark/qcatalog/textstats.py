@@ -2293,3 +2293,71 @@ def q_robots_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         path.alias("path"),
         allowed_column(rules, path).alias("allowed"),
     )
+
+
+@register_extra(
+    "pdf_text_extract",
+    r"""
+    WITH chunked AS (
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN '' ELSE text END AS t,
+               CASE WHEN length(text) = 0 THEN 1
+                    ELSE (length(text) + 59) // 60 END AS n_lines
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_lines AS BIGINT) AS n_runs,
+           CAST(length(t) AS BIGINT) AS n_chars,
+           md5(t) AS text_md5,
+           doc_id % 2 = 0 AS compressed
+    FROM chunked
+    """,
+)
+def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF text extraction (operators/pdftext.py, round 6): each doc is
+    typeset into a real single-page PDF — its text split into 60-char
+    lines shown via alternating Tj strings and TJ arrays with full
+    escape handling, content streams FlateDecode-compressed on even
+    ids — then extracted back through the object walk + inflate + text
+    operators.  The oracle predicts run count and the md5 of the
+    reassembled text from the chunking formula alone: an escaping,
+    framing, inflate, or operator-classification bug breaks the hash."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.pdftext import extract_pdf_text, make_pdf
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_extract(it):
+        for pdf_batch in it:
+            rows = []
+            for _, r in pdf_batch.iterrows():
+                did = int(r["doc_id"])
+                text = str(r["text"])
+                lines = [text[i : i + 60] for i in range(0, len(text), 60)] or [""]
+                runs = extract_pdf_text(
+                    make_pdf(lines, compress=(did % 2 == 0))
+                )
+                joined = "".join(runs)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_runs": len(runs),
+                        "n_chars": len(joined),
+                        "text_md5": hashlib.md5(
+                            joined.encode("utf-8")
+                        ).hexdigest(),
+                        "compressed": did % 2 == 0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_extract,
+        "doc_id long, n_runs long, n_chars long, text_md5 string, "
+        "compressed boolean",
+    )

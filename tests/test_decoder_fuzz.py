@@ -38,6 +38,10 @@ from hainan_big_data_recommend_system_spark.operators.exif import (
     add_exif,
     parse_exif,
 )
+from hainan_big_data_recommend_system_spark.operators.pdftext import (
+    extract_pdf_text,
+    make_pdf,
+)
 from hainan_big_data_recommend_system_spark.operators.wav import (
     make_wav,
     make_wav_stereo,
@@ -81,6 +85,8 @@ CASES = {
         lambda: add_exif(make_jpeg(10, 7, b"\x01\x02"), "M", "X", 3, "T"),
         parse_exif,
     ),
+    "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
+            extract_pdf_text),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
             parse_tar),
     "zip": (lambda: make_zip([("a.txt", b"abc"), ("b", b"d" * 700)]),
