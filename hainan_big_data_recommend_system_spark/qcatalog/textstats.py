@@ -2361,3 +2361,78 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_runs long, n_chars long, text_md5 string, "
         "compressed boolean",
     )
+
+
+@register_extra(
+    "warc_html_text_pipeline",
+    r"""
+    WITH e AS (
+        SELECT doc_id,
+               trim(regexp_replace(text || ' See link text .',
+                                   '[ \t\n\x0B\f\r]+', ' ', 'g')) AS mt
+        FROM documents
+    )
+    SELECT doc_id,
+           md5(mt) AS main_md5,
+           CAST(length(mt) AS BIGINT) AS main_len,
+           CAST(9 AS BIGINT) AS link_chars,
+           CAST(9000000 // greatest(length(mt), 1) AS BIGINT)
+               AS link_density_micros
+    FROM e
+    """,
+)
+def q_warc_html_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Common Crawl chain end to end, hash-checked: WARC record
+    framing (sources/warc.py, gzip members on odd ids) → raw HTTP body →
+    HTML boilerplate removal + link-density signal (operators/html.py:
+    script/nav blocks dropped WITH their anchors, surviving anchor text
+    measured, tags stripped, whitespace collapsed).  The page wraps the
+    doc text with a script, a nav (whose link must NOT count), and one
+    real content link; the oracle recomputes the extracted prose and
+    the exact link accounting from the construction alone."""
+    import pandas as pd
+
+    from ..operators.html import html_extract_text
+    from ..operators.multimodal import _spread
+    from ..sources.warc import make_warc, parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def warc_bodies(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                page = (
+                    "<html><head><script>var x=1;</script></head><body>"
+                    '<nav><a href="/">home</a></nav><p>'
+                    + str(r["text"])
+                    + '</p><p>See <a href="/x">link text</a>.</p>'
+                    "</body></html>"
+                ).encode("utf-8")
+                recs = parse_warc(
+                    make_warc(
+                        [(f"https://c.example/{did}", page)],
+                        gzip_records=(did % 2 == 1),
+                    )
+                )
+                body = [x for x in recs if x["type"] == "response"][0]["body"]
+                rows.append(
+                    {"doc_id": did, "html": body.decode("utf-8")}
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    pages = _spread(docs, "doc_id").mapInPandas(
+        warc_bodies, "doc_id long, html string"
+    )
+    out = html_extract_text(pages, "doc_id", "html")
+    return out.select(
+        "doc_id",
+        F.md5(F.col("main_text").cast("binary")).alias("main_md5"),
+        "main_len",
+        "link_chars",
+        F.expr(
+            "cast(link_chars * 1000000L div greatest(main_len, 1L) as bigint)"
+        ).alias("link_density_micros"),
+    )
