@@ -2436,3 +2436,80 @@ def q_warc_html_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(link_chars * 1000000L div greatest(main_len, 1L) as bigint)"
         ).alias("link_density_micros"),
     )
+
+
+@register_extra(
+    "mp3_audio_meta",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               2 + doc_id % 5 AS n_frames,
+               1 + doc_id % 14 AS bi0,
+               CAST(doc_id % 3 AS INT) AS si,
+               doc_id % 4 = 0 AS has_id3,
+               ([44100, 48000, 32000])[1 + doc_id % 3] AS rate
+    FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n_frames, si, has_id3, rate,
+               sum(([0,32,40,48,56,64,80,96,112,128,160,192,224,256,320]
+                   )[1 + (1 + (doc_id + k) % 14)]) AS bsum
+        FROM d, LATERAL (SELECT unnest(range(0, n_frames)) AS k)
+        GROUP BY doc_id, n_frames, si, has_id3, rate
+    )
+    SELECT doc_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(CASE WHEN has_id3 THEN 10 + 22 ELSE 0 END AS BIGINT)
+               AS id3_bytes,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(bsum AS BIGINT) AS bitrate_sum_kbps,
+           CAST(n_frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+    FROM f
+    """,
+)
+def q_mp3_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 metadata walk (operators/mp3.py, round 6): per doc a real
+    MPEG-1 Layer III stream — frame count, per-frame bitrate index and
+    padding varying by formula, an ID3v2.3 tag (syncsafe size!) on 1/4
+    of docs — walked by the self-framing header parser.  The oracle
+    resolves the same index tables; a frame-length miscalculation,
+    syncsafe-size bug, or table error desynchronizes the walk and the
+    row vanishes or mismatches."""
+    import pandas as pd
+
+    from ..operators.mp3 import make_mp3, parse_mp3
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 5
+                si = did % 3
+                frames = [
+                    (1 + (did + k) % 14, si, (did + k) % 2, 1)
+                    for k in range(n)
+                ]
+                id3 = b"TAG padding bytes here" if did % 4 == 0 else b""
+                m = parse_mp3(make_mp3(frames, id3_payload=id3))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": m["n_frames"],
+                        "id3_bytes": m["id3_bytes"],
+                        "sample_rate": m["sample_rate"],
+                        "bitrate_sum_kbps": m["bitrate_sum_kbps"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, n_frames long, id3_bytes long, sample_rate long, "
+        "bitrate_sum_kbps long, duration_ms long",
+    )

@@ -38,6 +38,10 @@ from hainan_big_data_recommend_system_spark.operators.exif import (
     add_exif,
     parse_exif,
 )
+from hainan_big_data_recommend_system_spark.operators.mp3 import (
+    make_mp3,
+    parse_mp3,
+)
 from hainan_big_data_recommend_system_spark.operators.pdftext import (
     extract_pdf_text,
     make_pdf,
@@ -85,6 +89,8 @@ CASES = {
         lambda: add_exif(make_jpeg(10, 7, b"\x01\x02"), "M", "X", 3, "T"),
         parse_exif,
     ),
+    "mp3": (lambda: make_mp3([(9, 0, 0, 1), (5, 0, 1, 1)],
+                             id3_payload=b"tag"), parse_mp3),
     "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
             extract_pdf_text),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
