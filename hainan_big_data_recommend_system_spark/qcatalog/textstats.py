@@ -2513,3 +2513,85 @@ def q_mp3_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_frames long, id3_bytes long, sample_rate long, "
         "bitrate_sum_kbps long, duration_ms long",
     )
+
+
+@register_extra(
+    "srt_transcripts",
+    r"""
+    WITH chunks AS (
+        SELECT doc_id,
+               CASE WHEN length(text) = 0 THEN 1
+                    ELSE (length(text) + 39) // 40 END AS n_cues,
+               CASE WHEN length(text) = 0 THEN '' ELSE text END AS t
+        FROM documents
+    ),
+    per AS (
+        -- cue text is the RAW 40-char chunk (the parser keeps line
+        -- content verbatim); an all-whitespace chunk yields '' (its
+        -- line is filtered before slicing)
+        SELECT doc_id, n_cues, k,
+               CASE WHEN trim(substr(t, 1 + CAST(k AS INT) * 40, 40)) = ''
+                    THEN ''
+                    ELSE substr(t, 1 + CAST(k AS INT) * 40, 40) END
+                   AS cue_text
+        FROM chunks, LATERAL (SELECT unnest(range(0, n_cues)) AS k)
+    )
+    SELECT doc_id,
+           CAST(max(n_cues) AS BIGINT) AS n_cues,
+           CAST(max(n_cues) * 1500 AS BIGINT) AS covered_ms,
+           md5(string_agg(cue_text, ' ' ORDER BY k)) AS transcript_md5
+    FROM per GROUP BY doc_id
+    """,
+)
+def q_srt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtitle-transcript ingestion (operators/subtitles.py, round 6):
+    each doc is typeset into a real SRT — its text in 40-char cues with
+    formula timecodes (start = i*1700ms, 1500ms long, crossing minute
+    and ms-digit boundaries) — then parsed back by the pure-column cue
+    expressions and reassembled.  The oracle reconstructs the cue
+    chunking analytically; a timecode-grammar, block-split, or
+    line-slicing bug breaks cue counts, covered time, or the transcript
+    digest (cues rejoined in start order, mirrored by the
+    oracle's construction index)."""
+    import pandas as pd  # noqa: F401  (mapInPandas-free: pure columns)
+
+    from ..operators.subtitles import srt_cues, srt_transcript
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _tc(ms):
+        h = ms / 3_600_000
+        return F.format_string(
+            "%02d:%02d:%02d,%03d",
+            (ms / 3_600_000).cast("int"),
+            ((ms / 60_000) % 60).cast("int"),
+            ((ms / 1000) % 60).cast("int"),
+            (ms % 1000).cast("int"),
+        )
+
+    n_cues = F.when(F.length("text") == 0, 1).otherwise(
+        F.ceil(F.length("text") / 40).cast("int")
+    )
+    k = F.sequence(F.lit(0), n_cues - 1)
+    cue_blocks = F.transform(
+        k,
+        lambda i: F.concat(
+            (i + 1).cast("string"),
+            F.lit("\n"),
+            _tc(i.cast("long") * 1700),
+            F.lit(" --> "),
+            _tc(i.cast("long") * 1700 + 1500),
+            F.lit("\n"),
+            F.substring(F.col("text"), (i * 40 + 1).cast("int"), 40),
+        ),
+    )
+    srt = docs.select(
+        "doc_id", F.array_join(cue_blocks, "\n\n").alias("srt")
+    )
+    out = srt_transcript(srt_cues(srt, "doc_id", "srt"))
+    return out.select(
+        "doc_id",
+        "n_cues",
+        "covered_ms",
+        F.md5(F.col("transcript").cast("binary")).alias("transcript_md5"),
+    )

@@ -1,0 +1,65 @@
+"""SRT parsing (operators/subtitles.py): pure-column cue extraction,
+timecode math, malformed-cue quarantine.  srt_transcripts is
+oracle-gated in test_oracle."""
+
+from __future__ import annotations
+
+from hainan_big_data_recommend_system_spark.operators.subtitles import (
+    srt_cues,
+    srt_transcript,
+)
+
+SRT = """1
+00:00:01,250 --> 00:00:03,500
+Hello there
+second line
+
+2
+00:01:02,000 --> 01:00:00,001
+Single line
+
+garbage block
+no timecode here
+
+3
+00:00:10,000 --> 00:00:11,000
+Tail cue
+"""
+
+
+def test_cues_and_timecodes(spark):
+    df = spark.createDataFrame([(1, SRT)], "doc_id long, srt string")
+    rows = {
+        r["cue_index"]: r
+        for r in srt_cues(df, "doc_id", "srt").collect()
+    }
+    assert rows[1]["start_ms"] == 1250 and rows[1]["end_ms"] == 3500
+    assert rows[1]["cue_text"] == "Hello there second line"
+    assert rows[2]["start_ms"] == 62_000
+    assert rows[2]["end_ms"] == 3_600_000 + 1  # hour rollover + 1 ms
+    assert rows[3]["cue_text"] == "Tail cue"
+    # the garbage block quarantines: NULL times, empty text
+    bad = [r for r in rows.values() if r["start_ms"] is None]
+    assert len(bad) == 1 and bad[0]["cue_text"] == ""
+
+
+def test_transcript_orders_by_start(spark):
+    df = spark.createDataFrame([(1, SRT)], "doc_id long, srt string")
+    out = srt_transcript(srt_cues(df, "doc_id", "srt")).collect()[0]
+    assert out["n_cues"] == 4
+    # cue 3 (10s) sorts before cue 2 (62s) in the transcript
+    assert out["transcript"].index("Tail cue") < out["transcript"].index(
+        "Single line"
+    )
+
+
+def test_plan_is_scan_local(spark):
+    df = spark.createDataFrame([(1, SRT)], "doc_id long, srt string")
+    plan = (
+        srt_cues(df, "doc_id", "srt")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan  # explode is scan-local
