@@ -2595,3 +2595,46 @@ def q_srt_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "covered_ms",
         F.md5(F.col("transcript").cast("binary")).alias("transcript_md5"),
     )
+
+
+@register_extra(
+    "markdown_to_text",
+    r"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               'Title ' || CAST(doc_id AS VARCHAR)
+               || ' Some bold and it text. item one link text here quote line '
+               || text,
+               '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS prose_md5,
+           CAST(length(trim(regexp_replace(
+               'Title ' || CAST(doc_id AS VARCHAR)
+               || ' Some bold and it text. item one link text here quote line '
+               || text,
+               '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS BIGINT) AS prose_len
+    FROM documents
+    """,
+)
+def q_markdown_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown prose extraction (operators/markdown.py): each doc is
+    wrapped in a markdown page exercising every rule — header, bold,
+    italics, bullet, link (target must vanish, anchor survive), fenced
+    code block (dropped whole), blockquote, horizontal rule — and the
+    regexp chain must recover exactly the analytic prose the oracle
+    reconstructs.  A greedy fence regex, a link rule that keeps the
+    URL, or an unanchored header strip each corrupts the digest."""
+    from ..operators.markdown import markdown_to_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    md = F.concat(
+        F.lit("# Title "), F.col("doc_id").cast("string"),
+        F.lit("\n\nSome **bold** and *it* text.\n\n- item one\n- "
+              "[link text](http://target.example/x) here\n\n"
+              "```\ncode to drop\n```\n\n> quote line\n\n---\n\n"),
+        F.col("text"),
+    )
+    prose = markdown_to_text(md)
+    return docs.select(
+        "doc_id",
+        F.md5(prose.cast("binary")).alias("prose_md5"),
+        F.length(prose).cast("bigint").alias("prose_len"),
+    )
