@@ -68,7 +68,10 @@ def hll_registers(
     hv = F.conv(
         F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
     ).cast("long")
-    bucket = (hv / (1 << rest_bits)).cast("long")
+    # EXACT integer bucket split: a `/`-then-cast would route the 60-bit
+    # hash through a double (53-bit mantissa) and misassign buckets near
+    # boundaries — invisible at test scale, real at 10^12 rows
+    bucket = F.shiftright(hv, rest_bits)
     rest = hv % (1 << rest_bits)
     rank = (
         F.when(rest == 0, F.lit(r))
