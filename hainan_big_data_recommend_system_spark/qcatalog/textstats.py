@@ -2638,3 +2638,97 @@ def q_markdown_to_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(prose.cast("binary")).alias("prose_md5"),
         F.length(prose).cast("bigint").alias("prose_len"),
     )
+
+
+@register_extra(
+    "sentence_stats",
+    r"""
+    WITH src AS (
+        -- multi-sentence page: an abbreviation trap, a decimal trap,
+        -- three real boundaries with different terminators
+        SELECT doc_id,
+               'Dr. Smith met Mrs. Jones at 3.5 km. '
+               || substr(text, 1, 60)
+               || '. Then what happened next was loud! '
+               || substr(text, 61, 60) || '? The end.' AS page
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id,
+               list_filter(
+                   string_split_regex(
+                       regexp_replace(
+                           regexp_replace(page,
+                               '\b(Mr|Mrs|Dr|St|vs|etc|e\.g|i\.e)\.',
+                               '\1<DOT>', 'g'),
+                           '([0-9])\.([0-9])', '\1<DOT>\2', 'g'),
+                       '[.!?]+[ \t]+'),
+                   s -> trim(s) <> '') AS sents
+        FROM src
+    ),
+    t AS (
+        SELECT doc_id,
+               len(sents) AS n_sentences,
+               list_transform(sents,
+                   s -> len(list_filter(
+                            string_split_regex(trim(s), '[ \t]+'),
+                            w -> w <> ''))) AS tok_counts
+        FROM g
+    )
+    SELECT doc_id,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(CASE WHEN n_sentences = 0 THEN 0
+                ELSE list_sum(tok_counts) * 1000 // n_sentences END
+                AS BIGINT) AS avg_sentence_tokens_milli,
+           CAST(coalesce(list_max(tok_counts), 0) AS BIGINT)
+               AS max_sentence_tokens
+    FROM t
+    """,
+)
+def q_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation stats — the quality signal family's
+    sentence-granularity member (very long or very short average
+    sentences flag boilerplate/OCR noise).  Lookarounds are off the
+    table (the oracle dialect is RE2), so abbreviations are protected
+    by a <DOT> substitution before the terminal-punctuation split and
+    the whole stage stays one scan-local expression chain, exact
+    integers out."""
+    docs = load_table(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit("Dr. Smith met Mrs. Jones at 3.5 km. "),
+        F.substring("text", 1, 60),
+        F.lit(". Then what happened next was loud! "),
+        F.substring("text", 61, 60),
+        F.lit("? The end."),
+    )
+    t = F.regexp_replace(
+        page, r"\b(Mr|Mrs|Dr|St|vs|etc|e\.g|i\.e)\.", "$1<DOT>"
+    )
+    t = F.regexp_replace(t, r"([0-9])\.([0-9])", "$1<DOT>$2")
+    sents = F.filter(
+        F.split(t, r"[.!?]+[ \t]+"), lambda s: F.trim(s) != ""
+    )
+    toks = F.transform(
+        sents,
+        lambda s: F.size(
+            F.filter(F.split(F.trim(s), r"[ \t]+"), lambda w: w != "")
+        ).cast("long"),
+    )
+    n = F.size(sents).cast("long")
+    total = F.aggregate(toks, F.lit(0).cast("long"), lambda a, x: a + x)
+    return docs.select(
+        "doc_id",
+        n.alias("__n"),
+        total.alias("__total"),
+        F.coalesce(F.array_max(toks), F.lit(0))
+        .cast("bigint")
+        .alias("max_sentence_tokens"),
+    ).select(
+        "doc_id",
+        F.col("__n").alias("n_sentences"),
+        F.when(F.col("__n") == 0, F.lit(0))
+        .otherwise(F.expr("__total * 1000L div __n"))
+        .cast("bigint")
+        .alias("avg_sentence_tokens_milli"),
+        "max_sentence_tokens",
+    )
