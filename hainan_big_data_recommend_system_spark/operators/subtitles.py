@@ -1,5 +1,5 @@
-"""SRT subtitle parsing — video-transcript ingestion as pure column
-expressions.
+"""SRT/WebVTT subtitle parsing — video-transcript ingestion as pure
+column expressions.
 
 Subtitle files are how video corpora yield TEXT: cue blocks separated
 by blank lines, each ``index\\ntimecode --> timecode\\nlines…``, with
@@ -13,7 +13,12 @@ Malformed cue handling: blocks whose second line does not match the
 timecode grammar yield NULL times and empty text rather than failing
 the task (quarantine-by-row; a caption dump always has garbage).
 
-Public knowledge: the SubRip (.srt) de-facto format.
+WebVTT streams parse through the same expressions: the timecode
+grammar accepts the '.' millisecond separator, cues may lead with
+the timecode directly (no index line), and the WEBVTT header block
+quarantines like any timecode-less block.
+
+Public knowledge: the SubRip (.srt) de-facto format; W3C WebVTT.
 """
 
 from __future__ import annotations
@@ -51,20 +56,33 @@ def srt_cues(df: DataFrame, id_col: str, srt_col: str) -> DataFrame:
     lines = F.filter(
         F.split(F.col("block"), r"\r?\n"), lambda ln: F.trim(ln) != ""
     )
-    tc_line = F.element_at(lines, 2)
-    idx_line = F.element_at(lines, 1)
+    # WebVTT cues may start with the timecode directly (no index line,
+    # and the WEBVTT header block has no timecode at all): the timecode
+    # is whichever of the first two lines matches the grammar, and the
+    # text starts right after it
+    # F.get is NULL-safe out of bounds (a one-line WEBVTT header block
+    # would make ANSI-mode element_at fail the whole task)
+    l1 = F.get(lines, 0)
+    tc_first = l1.rlike(_LINE)
+    tc_line = F.when(tc_first, l1).otherwise(F.get(lines, 1))
+    text_from = F.when(tc_first, F.lit(2)).otherwise(F.lit(3))
+    idx_line = l1
     return exploded.select(
         "doc_id",
         # digit-guarded cast: ANSI mode would fail the task on a garbage
         # block's non-numeric first line — quarantine wants NULL instead
-        F.when(idx_line.rlike(r"^\s*\d+\s*$"), F.trim(idx_line).cast("long"))
+        # (timecode-first VTT cues have no index either)
+        F.when(
+            ~tc_first & idx_line.rlike(r"^\s*\d+\s*$"),
+            F.trim(idx_line).cast("long"),
+        )
         .otherwise(F.lit(None).cast("long"))
         .alias("cue_index"),
         _tc_ms(tc_line, 1).alias("start_ms"),
         _tc_ms(tc_line, 5).alias("end_ms"),
         F.when(
             tc_line.rlike(_LINE),
-            F.array_join(F.slice(lines, 3, 10_000), " "),
+            F.array_join(F.slice(lines, text_from, 10_000), " "),
         )
         .otherwise(F.lit(""))
         .alias("cue_text"),

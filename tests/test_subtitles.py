@@ -63,3 +63,26 @@ def test_plan_is_scan_local(spark):
     )
     assert "EvalPython" not in plan, plan
     assert "Exchange" not in plan, plan  # explode is scan-local
+
+
+def test_webvtt_timecode_first_cues(spark):
+    """WebVTT: header block quarantines (no timecode), cues may start
+    with the timecode directly, '.' millisecond separator accepted."""
+    vtt = """WEBVTT
+
+00:00:01.250 --> 00:00:03.500
+Hello vtt
+
+named-cue-id
+00:00:05.000 --> 00:00:06.000
+Second cue
+"""
+    df = spark.createDataFrame([(1, vtt)], "doc_id long, srt string")
+    rows = sorted(
+        srt_cues(df, "doc_id", "srt").collect(),
+        key=lambda r: (r["start_ms"] is None, r["start_ms"]),
+    )
+    assert rows[0]["start_ms"] == 1250 and rows[0]["cue_text"] == "Hello vtt"
+    assert rows[0]["cue_index"] is None  # timecode-first cue has no index
+    assert rows[1]["start_ms"] == 5000 and rows[1]["cue_text"] == "Second cue"
+    assert rows[2]["start_ms"] is None  # the WEBVTT header block
