@@ -194,6 +194,15 @@ class _BitReader:
         require exactly FF D(m&7) — a missing or out-of-sequence marker
         means the stream lost sync and decoding must stop loudly."""
         self.nbits = 0  # drop pad bits; markers are byte-aligned
+        # optional 0xFF fill bytes may pad before the marker (§B.1.1.2):
+        # skip leading FFs that are followed by another FF — the final
+        # FF of the run is the marker's own prefix byte
+        while (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and self.data[self.pos + 1] == 0xFF
+        ):
+            self.pos += 1
         if (
             self.pos + 2 > len(self.data)
             or self.data[self.pos] != 0xFF
@@ -678,12 +687,17 @@ def parse_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
                 # 0-7) must sit exactly here, and DC prediction restarts
                 reader.expect_restart(mcu_i // restart_interval - 1)
                 pred = [0] * nc
-    if reader.pos < len(reader.data):
-        # T.81 pads only the final partial byte with 1-bits, so a
-        # compliant stream is fully consumed when the last MCU decodes;
-        # whole unread bytes mean the declared sampling geometry does not
-        # match the entropy stream (e.g. a 4:4:4 stream relabeled 4:2:0)
-        # — reject rather than emit garbage pixels
+    # T.81 pads the final partial byte with 1-bits AND allows optional
+    # 0xFF fill bytes before any marker (§B.1.1.2) — some encoders emit
+    # them before EOI (ADVICE r6: rejecting them quarantined compliant
+    # streams).  Consume the pad bits and any pure-0xFF fill run; only
+    # real unread entropy bytes mean the declared sampling geometry does
+    # not match the stream (e.g. a 4:4:4 stream relabeled 4:2:0) —
+    # reject rather than emit garbage pixels.
+    tail = reader.pos
+    while tail < len(reader.data) and reader.data[tail] == 0xFF:
+        tail += 1
+    if tail < len(reader.data):
         raise ValueError(
             f"{len(reader.data) - reader.pos} trailing entropy bytes after "
             "final MCU — stream inconsistent with frame sampling geometry"

@@ -48,6 +48,13 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
                 continue
             for a in current:
                 groups.setdefault(a, []).append((key == "allow", value))
+        else:
+            # ANY other directive (Crawl-delay, Sitemap, …) ends the
+            # group's user-agent collection phase (ADVICE r6: flipping
+            # only on allow/disallow merged 'User-agent: a /
+            # Crawl-delay: 5 / User-agent: b / Disallow: /x' into one
+            # group, wrongly giving agent a the /x rule)
+            collecting = True
     return groups.get(agent.lower(), groups.get("*", []))
 
 

@@ -14,9 +14,11 @@ timecode grammar yield NULL times and empty text rather than failing
 the task (quarantine-by-row; a caption dump always has garbage).
 
 WebVTT streams parse through the same expressions: the timecode
-grammar accepts the '.' millisecond separator, cues may lead with
-the timecode directly (no index line), and the WEBVTT header block
-quarantines like any timecode-less block.
+grammar accepts the '.' millisecond separator AND hour-optional
+``MM:SS.mmm`` timecodes, trailing cue settings (``position:50%``,
+``align:start``) after the end timecode are consumed as metadata,
+cues may lead with the timecode directly (no index line), and the
+WEBVTT header block quarantines like any timecode-less block.
 
 Public knowledge: the SubRip (.srt) de-facto format; W3C WebVTT.
 """
@@ -25,19 +27,28 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-_TC = r"(\d{2}):(\d{2}):(\d{2})[,.](\d{3})"
-_LINE = rf"^{_TC} --> {_TC}\s*$"
+# Timecode: hours are OPTIONAL (WebVTT allows MM:SS.mmm; ADVICE r6 —
+# the HH-mandatory grammar quarantined very common real-world VTT).
+_TC = r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})"
+# Arrow may be padded by any run of spaces/tabs, and WebVTT cue
+# settings (``position:50%``, ``align:start``, …) may trail the end
+# timecode — they are layout metadata, not text, so the grammar eats
+# them without capturing.
+_LINE = rf"^\s*{_TC}[ \t]+-->[ \t]+{_TC}(?:[ \t]+\S.*)?[ \t]*$"
 
 
 def _tc_ms(line: Column, base: int) -> Column:
     """Milliseconds of the timecode at capture-group offset ``base``
-    (1 = start, 5 = end) of the ``-->`` line; NULL when unmatched."""
-    parts = [
-        F.regexp_extract(line, _LINE, base + i).cast("long")
-        for i in range(4)
-    ]
+    (1 = start, 5 = end) of the ``-->`` line; NULL when unmatched.
+    The hours group is optional — when absent, regexp_extract yields
+    '' and the hour term is 0 (the empty-string guard keeps the cast
+    ANSI-safe)."""
+    def _g(i: int) -> Column:
+        s = F.regexp_extract(line, _LINE, base + i)
+        return F.when(s == "", F.lit(0)).otherwise(s.cast("long"))
+
     ms = (
-        parts[0] * 3_600_000 + parts[1] * 60_000 + parts[2] * 1000 + parts[3]
+        _g(0) * 3_600_000 + _g(1) * 60_000 + _g(2) * 1000 + _g(3)
     )
     return F.when(line.rlike(_LINE), ms).otherwise(F.lit(None).cast("long"))
 

@@ -762,7 +762,11 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn, mx, n = int(mm["mn"]), int(mm["mx"]), int(mm["n"])
     rng = mx - mn + 1
     b = (
-        v.select(((F.col("c") - mn) * _HQ_BUCKETS / rng).cast("long").alias("bucket"))
+        # Integer `div`, not `/`: double division rounds across integers
+        # for ranges near 1e14 cents, silently misassigning buckets; the
+        # oracle uses exact `//` so the cross-engine guarantee needs the
+        # same exact quotient here.
+        v.select(F.expr(f"(c - {mn}) * {_HQ_BUCKETS} div {rng}").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

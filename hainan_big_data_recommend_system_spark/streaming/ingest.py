@@ -399,10 +399,11 @@ def _atomic_epoch_rewrite(spark, state_dir: str, ep, keep_df: DataFrame) -> None
     - crash before the first rename: live dir untouched, stray temp
       dir is inert;
     - crash between the renames: the full partition still exists under
-      its ``.forget-old`` name — nothing was deleted, a re-run (or the
-      operator) restores it;
+      its ``.forget-old`` name — nothing was deleted;
+      :func:`_recover_epoch_rewrites` (run on entry to
+      :func:`forget_docs`) detects the orphan and renames it back;
     - crash after the second rename: only the obsolete old copy
-      lingers, harmlessly hidden.
+      lingers, harmlessly hidden, and the recovery sweep deletes it.
 
     Renames go through the Hadoop FileSystem API (same as
     :func:`compact_ingest_state`), so the contract holds on HDFS-like
@@ -423,6 +424,52 @@ def _atomic_epoch_rewrite(spark, state_dir: str, ep, keep_df: DataFrame) -> None
         fs.rename(path(old), path(live))  # restore; nothing lost
         raise ValueError(f"could not install rewritten partition {live}")
     fs.delete(path(old), True)
+
+
+def _recover_epoch_rewrites(spark, state_dir: str) -> dict:
+    """Heal the crash windows of :func:`_atomic_epoch_rewrite` (ADVICE
+    r6: the between-renames window left an orphaned ``.forget-old-*``
+    dir that no code path restored — the live ``epoch=N`` partition was
+    simply absent and readers silently skipped it, i.e. data appeared
+    erased).  For every leftover ``.forget-old-<ep>-<pid>``:
+
+    - live ``epoch=<ep>`` missing → the crash hit between the renames;
+      rename the complete old copy back into place (nothing was lost);
+    - live dir present → the crash hit after the install (or this is a
+      concurrent run's stray); the hidden copy is obsolete — delete it.
+
+    Stray ``.forget-tmp-*`` dirs (crash before the first rename) are
+    always inert garbage and are deleted.  Returns counts for tests:
+    ``{"restored": [...], "purged_old": n, "purged_tmp": n}``."""
+    jvm, fs, _ = _fs_for(spark, state_dir)
+    path = jvm.org.apache.hadoop.fs.Path
+    root = path(state_dir)
+    if not fs.exists(root):
+        return {"restored": [], "purged_old": 0, "purged_tmp": 0}
+    restored, purged_old, purged_tmp = [], 0, 0
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()
+        if name.startswith(".forget-tmp-"):
+            fs.delete(st.getPath(), True)
+            purged_tmp += 1
+        elif name.startswith(".forget-old-"):
+            ep = name[len(".forget-old-"):].rsplit("-", 1)[0]
+            live = path(os.path.join(state_dir, f"epoch={ep}"))
+            if fs.exists(live):
+                fs.delete(st.getPath(), True)
+                purged_old += 1
+            elif fs.rename(st.getPath(), live):
+                restored.append(ep)
+            else:
+                raise ValueError(
+                    f"orphaned rewrite {name} in {state_dir} could not be "
+                    f"restored to {live}; manual intervention required"
+                )
+    return {
+        "restored": restored,
+        "purged_old": purged_old,
+        "purged_tmp": purged_tmp,
+    }
 
 
 def forget_docs(
@@ -467,6 +514,11 @@ def forget_docs(
     ids = sorted(set(ids))
     if not ids:
         return 0
+    # heal any orphaned rewrite from a previous crashed run FIRST, so the
+    # epoch scan below sees the complete pre-crash state
+    for d in (corpus_dir, index_dir, bucket_dir):
+        if d is not None:
+            _recover_epoch_rewrites(spark, d)
     corpus = _read_epochs(spark, corpus_dir)
     if corpus is None:
         return 0

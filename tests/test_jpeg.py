@@ -383,3 +383,30 @@ def test_progressive_rejects_malformed():
     dri = b"\xff\xdd\x00\x04\x00\x02"
     with pytest.raises(ValueError, match="progressive"):
         parse_jpeg(good[:j] + dri + good[j:])
+
+
+def test_fill_bytes_before_eoi_and_rst_accepted():
+    """ADVICE r6: T.81 §B.1.1.2 allows optional 0xFF fill bytes before
+    any marker; compliant streams from other encoders pad before EOI
+    (and sometimes before RSTn) and must decode, not quarantine."""
+    base = make_jpeg(23, 11, b"fill bytes")
+    assert base.endswith(b"\xff\xd9")
+    padded = base[:-2] + b"\xff" * 5 + b"\xff\xd9"
+    assert parse_jpeg(padded) == parse_jpeg(base)
+
+    # fill byte before a restart marker resyncs identically
+    rst = make_jpeg(48, 16, b"rst fill", restart_interval=2)
+    sos = rst.find(b"\xff\xda")
+    k = rst.find(b"\xff\xd0", sos)
+    assert k > 0, "fixture has no RST0 marker"
+    padded_rst = rst[:k] + b"\xff" + rst[k:]
+    assert parse_jpeg(padded_rst) == parse_jpeg(rst)
+
+
+def test_trailing_real_entropy_bytes_still_rejected():
+    """The fill-byte allowance must not weaken the geometry check:
+    non-FF unread bytes after the final MCU are still an error."""
+    base = make_jpeg(23, 11, b"geometry")
+    bad = base[:-2] + b"\xab\xcd" + b"\xff\xd9"
+    with pytest.raises(ValueError, match="trailing entropy"):
+        parse_jpeg(bad)

@@ -65,3 +65,33 @@ def test_no_rules_allows_everything(spark):
     assert df.select(
         allowed_column([], "path").alias("ok")
     ).collect()[0]["ok"]
+
+
+def test_non_rule_directive_terminates_ua_collection():
+    """ADVICE r6: Crawl-delay (or any non-rule directive) must end the
+    user-agent collection phase — agent 'a' gets NO rules here, and
+    agent 'b' alone owns the /x disallow."""
+    txt = """User-agent: a
+Crawl-delay: 5
+User-agent: b
+Disallow: /x
+"""
+    assert parse_robots(txt, "a") == []
+    assert parse_robots(txt, "b") == [(False, "/x")]
+    # consecutive User-agent lines WITHOUT an intervening directive
+    # still share one group
+    shared = """User-agent: a
+User-agent: b
+Disallow: /y
+"""
+    assert parse_robots(shared, "a") == [(False, "/y")]
+    assert parse_robots(shared, "b") == [(False, "/y")]
+    # Sitemap between groups must not leak the next group's rules either
+    sm = """User-agent: a
+Disallow: /a
+Sitemap: https://example.com/sitemap.xml
+User-agent: b
+Disallow: /b
+"""
+    assert parse_robots(sm, "a") == [(False, "/a")]
+    assert parse_robots(sm, "b") == [(False, "/b")]

@@ -777,11 +777,56 @@ def test_forget_docs_atomic_rewrite_no_debris_and_stray_dirs_ignored(
 
     remaining = {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()}
     assert remaining == {1, 3, 4, 5}  # 99 invisible, 2 erased, rest intact
-    # no NEW debris: the only hidden entry is the pre-planted stray
-    debris = sorted(
-        d for d in os.listdir(corpus) if d.startswith(".forget")
-    )
-    assert debris == [".forget-tmp-0-crashed"]
+    # no debris at all: the recovery sweep (ADVICE r6) purges the
+    # pre-planted stray tmp dir on entry, and the rewrite leaves none
+    assert not [d for d in os.listdir(corpus) if d.startswith(".forget")]
     assert not [d for d in os.listdir(index) if d.startswith(".forget")]
     # the untouched epoch-1 partition was not rewritten in place
     assert sorted(os.listdir(corpus + "/epoch=1"))
+
+
+def test_forget_docs_recovers_orphaned_rewrite(spark, tmp_path):
+    """ADVICE r6: a crash BETWEEN _atomic_epoch_rewrite's two renames
+    leaves the live epoch dir absent and its full contents under
+    .forget-old-<ep>-<pid>; the next forget_docs run must restore the
+    partition before scanning (previously readers silently skipped it —
+    data appeared erased)."""
+    import os
+    import shutil
+
+    from hainan_big_data_recommend_system_spark.streaming.ingest import (
+        _recover_epoch_rewrites,
+        forget_docs,
+        read_ingested_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    for ep, rows in {0: [(1, "one"), (2, "two")], 1: [(3, "three")]}.items():
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(f"{corpus}/epoch={ep}")
+        spark.createDataFrame(
+            [(t,) for _, t in rows], "text string"
+        ).select(
+            F.md5(F.col("text").cast("binary")).alias("fingerprint")
+        ).coalesce(1).write.parquet(f"{index}/epoch={ep}")
+
+    # simulate the between-renames crash on corpus epoch 0
+    shutil.move(f"{corpus}/epoch=0", f"{corpus}/.forget-old-0-4242")
+    assert {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()} == {3}
+
+    # a forget of doc 3 (epoch 1) must first heal epoch 0, then erase 3
+    assert forget_docs(
+        spark, corpus, index, [3], allow_newest_epoch=True
+    ) == 1
+    got = {r["doc_id"] for r in read_ingested_corpus(spark, corpus).collect()}
+    assert got == {1, 2}  # epoch 0 restored, doc 3 gone
+    assert not [d for d in os.listdir(corpus) if d.startswith(".forget")]
+
+    # crash AFTER the install: live dir present, old copy obsolete —
+    # the sweep deletes it without touching the live rows
+    shutil.copytree(f"{corpus}/epoch=1", f"{corpus}/.forget-old-1-777")
+    res = _recover_epoch_rewrites(spark, corpus)
+    assert res == {"restored": [], "purged_old": 1, "purged_tmp": 0}
+    assert not os.path.exists(f"{corpus}/.forget-old-1-777")

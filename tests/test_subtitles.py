@@ -86,3 +86,30 @@ Second cue
     assert rows[0]["cue_index"] is None  # timecode-first cue has no index
     assert rows[1]["start_ms"] == 5000 and rows[1]["cue_text"] == "Second cue"
     assert rows[2]["start_ms"] is None  # the WEBVTT header block
+
+
+def test_webvtt_hour_optional_and_cue_settings(spark):
+    """ADVICE r6: hour-optional MM:SS.mmm timecodes and trailing cue
+    settings (position/align) are very common in real VTT and must
+    parse, not quarantine."""
+    vtt = """WEBVTT
+
+00:01.250 --> 00:03.500 position:50% align:start
+Short timecode with settings
+
+01:02.000 --> 01:05.750
+Minute-second cue
+
+00:00:07.000  -->\t00:00:08.000
+Tab-and-double-space arrow
+"""
+    df = spark.createDataFrame([(1, vtt)], "doc_id long, srt string")
+    rows = sorted(
+        srt_cues(df, "doc_id", "srt").collect(),
+        key=lambda r: (r["start_ms"] is None, r["start_ms"]),
+    )
+    assert rows[0]["start_ms"] == 1250 and rows[0]["end_ms"] == 3500
+    assert rows[0]["cue_text"] == "Short timecode with settings"
+    assert rows[1]["start_ms"] == 7000  # flexible whitespace around -->
+    assert rows[2]["start_ms"] == 62_000 and rows[2]["end_ms"] == 65_750
+    assert all(r["start_ms"] is not None for r in rows[:3])
