@@ -1,0 +1,273 @@
+"""File-granularity container ingestion queries (round 7) — the engine
+reads REAL multi-record WARC / TAR / ZIP files from a directory
+(``binaryFile`` source → per-record explode, :mod:`..sources.files`),
+and every per-record output is DuckDB-oracled.
+
+Fixture discipline: the shard files are generated ONCE per (sf_dir,
+layout-version) into a deterministic temp directory — BY THE ENGINE'S
+OWN DISTRIBUTED WRITER (``write_container_shards``: one applyInPandas
+task per shard, members ordered by zero-padded name, atomic
+temp+rename), so generation itself never loops files on the driver.
+Because the layout is a pure function of the documents table
+(``doc_id % 8`` picks the WARC shard, odd shards per-record-gzipped;
+tar/zip split even/odd docs across 4 shards each), the oracle
+recomputes the expected per-record rows from the table alone.  One
+deliberately-broken file per format exercises the per-file quarantine
+row (a crawl dump always has truncated shards).
+
+Reference analogue: the scraper notebook's paged batch fetch (cell-4)
+is file/batch-shaped ingestion; Common Crawl ships ~1 GB ``.warc.gz``
+shards, which is exactly the read path exercised here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from . import register_extra
+
+#: bump to invalidate previously-generated fixture dirs on layout change
+_LAYOUT_VERSION = "v1"
+
+_WARCINFO_PAYLOAD = "software: hainan_big_data_recommend_system_spark\r\n"
+_WARCINFO_MD5 = hashlib.md5(_WARCINFO_PAYLOAD.encode()).hexdigest()
+_WARC_BROKEN_ERR = "bad WARC version line at offset 0"
+_TAR_BROKEN_ERR = "bad ustar magic at offset 0"
+_ZIP_BROKEN_ERR = "missing ZIP end-of-central-directory"
+
+
+def _fixture_dir(sf_dir: str, kind: str) -> str:
+    digest = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{kind}|{_LAYOUT_VERSION}".encode()
+    ).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), "sgraft-fixtures", f"{kind}-{digest}"
+    )
+
+
+def _ensure_warc_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build the 8-shard WARC fixture dir (idempotent, atomic): shards
+    written by the engine's distributed container sink, plus one
+    unparseable file for the quarantine path."""
+    out = _fixture_dir(sf_dir, "warcdir")
+    if os.path.isdir(out):
+        return out
+    from ..sources.files import write_container_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("doc_id") % 8).alias("shard"),
+        F.format_string("https://corpus.example/%08d", "doc_id").alias(
+            "name"
+        ),
+        F.col("text").cast("binary").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_container_shards(
+        docs, tmp, "warc", n_shards=8, shard_col="shard"
+    ).collect()  # 8 rows — one per written shard
+    with open(os.path.join(tmp, "broken-00099.warc"), "wb") as fh:
+        fh.write(b"this is not a warc file at all, just bytes\n" * 4)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # concurrent builder won
+    return out
+
+
+def _ensure_archive_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """4 tar shards (even docs) + 4 zip shards (odd docs) + one broken
+    file per format."""
+    out = _fixture_dir(sf_dir, "archdir")
+    if os.path.isdir(out):
+        return out
+    from ..sources.files import write_container_shards
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") / 2).cast("long") % 4).alias("shard"),
+        F.format_string("doc-%08d.txt", "doc_id").alias("name"),
+        F.col("text").cast("binary").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_container_shards(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        tmp,
+        "tar",
+        n_shards=4,
+        shard_col="shard",
+    ).collect()
+    write_container_shards(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        tmp,
+        "zip",
+        n_shards=4,
+        shard_col="shard",
+    ).collect()
+    with open(os.path.join(tmp, "broken-00098.tar"), "wb") as fh:
+        fh.write(b"not a tar archive " * 40)  # >512 B, bad magic
+    with open(os.path.join(tmp, "broken-00097.zip"), "wb") as fh:
+        fh.write(b"PK\x03\x04 but no central directory follows")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_WARC_FILE_SQL = f"""
+    WITH resp AS (
+        SELECT CAST(doc_id % 8 AS BIGINT) AS file_idx,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id % 8 ORDER BY doc_id
+               ) AS BIGINT) AS record_index,
+               'response' AS record_type,
+               doc_id,
+               CAST(200 AS INT) AS http_status,
+               (doc_id % 8) % 2 = 1 AS gzipped,
+               CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+               md5(text) AS body_md5,
+               CAST(NULL AS VARCHAR) AS error
+        FROM documents
+    ),
+    info AS (
+        SELECT CAST(f AS BIGINT) AS file_idx,
+               CAST(0 AS BIGINT) AS record_index,
+               'warcinfo' AS record_type,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS INT) AS http_status,
+               f % 2 = 1 AS gzipped,
+               CAST({len(_WARCINFO_PAYLOAD)} AS BIGINT) AS body_len,
+               '{_WARCINFO_MD5}' AS body_md5,
+               CAST(NULL AS VARCHAR) AS error
+        FROM (SELECT unnest(range(0, 8)) AS f)
+    ),
+    broken AS (
+        SELECT CAST(99 AS BIGINT) AS file_idx,
+               CAST(NULL AS BIGINT) AS record_index,
+               CAST(NULL AS VARCHAR) AS record_type,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS INT) AS http_status,
+               FALSE AS gzipped,
+               CAST(NULL AS BIGINT) AS body_len,
+               CAST(NULL AS VARCHAR) AS body_md5,
+               '{_WARC_BROKEN_ERR}' AS error
+    )
+    SELECT * FROM resp
+    UNION ALL SELECT * FROM info
+    UNION ALL SELECT * FROM broken
+"""
+
+
+@register_extra("warc_file_corpus_scan", _WARC_FILE_SQL)
+def q_warc_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-WARC-shards ingestion end to end: the documents
+    table is sharded into 8 real multi-record WARC files (odd shards
+    per-record-gzipped, Common Crawl layout) by the distributed
+    container sink, read back through the ``binaryFile`` source and the
+    per-record ``mapInPandas`` explode, and every record — warcinfo
+    headers included — is reproduced by the oracle from the documents
+    table alone.  The broken shard degrades to exactly one quarantine
+    row.  Parsing work is per-file in executor tasks; the driver never
+    touches a byte."""
+    from ..sources.files import read_container_records
+
+    fixture = _ensure_warc_fixture(spark, sf_dir)
+    recs = read_container_records(spark, fixture, "warc", glob="*.warc*")
+    fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
+    doc_match = F.regexp_extract(
+        F.col("name"), r"corpus\.example/(\d{8})$", 1
+    )
+    return recs.select(
+        F.regexp_extract(fname, r"-(\d{5})\.warc", 1)
+        .cast("bigint")
+        .alias("file_idx"),
+        F.col("record_index").alias("record_index"),
+        "record_type",
+        F.when(doc_match != "", doc_match.cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("doc_id"),
+        F.col("http_status").cast("int").alias("http_status"),
+        fname.endswith(".gz").alias("gzipped"),
+        F.when(
+            F.col("body").isNotNull(), F.length(F.col("body")).cast("bigint")
+        ).alias("body_len"),
+        F.md5(F.col("body")).alias("body_md5"),
+        "error",
+    )
+
+
+_ARCHIVE_FILE_SQL = f"""
+    WITH m AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'tar' ELSE 'zip' END AS fmt,
+               CAST((doc_id // 2) % 4 AS BIGINT) AS file_idx,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id % 2, (doc_id // 2) % 4
+                   ORDER BY doc_id
+               ) - 1 AS BIGINT) AS record_index,
+               doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+               md5(text) AS body_md5,
+               CAST(NULL AS VARCHAR) AS error
+        FROM documents
+    ),
+    broken AS (
+        SELECT 'tar' AS fmt, CAST(98 AS BIGINT) AS file_idx,
+               CAST(NULL AS BIGINT) AS record_index,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS body_len,
+               CAST(NULL AS VARCHAR) AS body_md5,
+               '{_TAR_BROKEN_ERR}' AS error
+        UNION ALL
+        SELECT 'zip', CAST(97 AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+               CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR),
+               '{_ZIP_BROKEN_ERR}'
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM broken
+"""
+
+
+@register_extra("archive_file_corpus_scan", _ARCHIVE_FILE_SQL)
+def q_archive_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-archives ingestion: even docs ride 4 real multi-member
+    tar shards, odd docs 4 zip shards (DEFLATE members, CRC-verified on
+    read); both formats explode through the same binaryFile→mapInPandas
+    path, pruned by pathGlobFilter so each read lists only its own
+    format.  Member rank, payload digest and the per-format broken-file
+    quarantine rows are all recomputed by the oracle from the documents
+    table."""
+    from ..sources.files import read_container_records
+
+    fixture = _ensure_archive_fixture(spark, sf_dir)
+    parts = []
+    for fmt in ("tar", "zip"):
+        recs = read_container_records(
+            spark, fixture, fmt, glob=f"*.{fmt}"
+        )
+        fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
+        doc_match = F.regexp_extract(F.col("name"), r"doc-(\d{8})\.txt$", 1)
+        parts.append(
+            recs.select(
+                F.lit(fmt).alias("fmt"),
+                F.regexp_extract(fname, r"-(\d{5})\.", 1)
+                .cast("bigint")
+                .alias("file_idx"),
+                "record_index",
+                F.when(doc_match != "", doc_match.cast("bigint"))
+                .otherwise(F.lit(None).cast("bigint"))
+                .alias("doc_id"),
+                F.when(
+                    F.col("body").isNotNull(),
+                    F.length(F.col("body")).cast("bigint"),
+                ).alias("body_len"),
+                F.md5(F.col("body")).alias("body_md5"),
+                "error",
+            )
+        )
+    return parts[0].unionByName(parts[1])

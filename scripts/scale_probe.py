@@ -115,7 +115,51 @@ QUERIES = [
     "histogram_quantiles",
     "kn_bigram_lm_scores",
     "source_quality_report",
+    # round-7: file-granularity container ingestion (fixed 8-shard
+    # oracle layout — records/file grows 10x here; the more-FILES axis
+    # is measured separately by filescan_probe below)
+    "warc_file_corpus_scan",
+    "archive_file_corpus_scan",
 ]
+
+
+def filescan_probe(spark) -> dict:
+    """The 10x-more-files axis of container ingestion (VERDICT r6 #1):
+    same records-per-file, 10x the file count — the shape a growing
+    crawl actually has (Common Crawl adds shards, not shard size).
+    Writes n files with ~625 docs each via the distributed sink, then
+    times the binaryFile->mapInPandas record explode.  Linear-or-better
+    slope means the per-file task model holds as the directory grows."""
+    from pyspark.sql import functions as FF
+
+    from hainan_big_data_recommend_system_spark.sources.files import (
+        read_container_records,
+        write_container_shards,
+    )
+
+    out: dict = {}
+    for label, sf_dir, n_shards in [("sf0.1", BASE, 8), ("sf1", OUT, 80)]:
+        docs = load_table(spark, sf_dir, "documents").select(
+            (FF.col("doc_id") % n_shards).alias("shard"),
+            FF.format_string("https://corpus.example/%011d", "doc_id").alias(
+                "name"
+            ),
+            FF.col("text").cast("binary").alias("body"),
+        )
+        d = os.path.join(OUT, f"..{os.sep}filescan_{label}")
+        import shutil as _sh
+
+        _sh.rmtree(d, ignore_errors=True)
+        write_container_shards(
+            docs, d, "warc", n_shards=n_shards, shard_col="shard"
+        ).collect()
+        t0 = time.perf_counter()
+        n = read_container_records(spark, d, "warc").count()
+        out[label] = {"files": n_shards, "records": n,
+                      "sec": round(time.perf_counter() - t0, 2)}
+        print(f"# filescan {label}: {out[label]}", file=sys.stderr)
+    out["slope"] = round(out["sf1"]["sec"] / out["sf0.1"]["sec"], 2)
+    return out
 
 
 def build_replicas(spark) -> None:
@@ -238,6 +282,9 @@ def main() -> None:
         print(f"# {name}: {row}", file=sys.stderr)
     if not sys.argv[1:]:  # knob sweeps only on the full run
         results["knobs"] = knob_probes(spark)
+        results["filescan"] = filescan_probe(spark)
+    elif "warc_file_corpus_scan" in names:
+        results["filescan"] = filescan_probe(spark)
     print(json.dumps(results))
     spark.stop()
 
