@@ -583,9 +583,18 @@ def _ledger_oracle() -> str:
         -- deterministic multi-line page per doc (same construction as
         -- tests/test_corpus_pipeline) so the C4 stage has real line
         -- structure: a kept lead line, a too-short line, a page-drop
-        -- trigger on 1/9 of docs, a PII-bearing kept line on 1/4
+        -- trigger on 1/9 of docs, a PII-bearing kept line on 1/4.
+        -- The lead line's closing sentence carries the DOC ID: a
+        -- corpus-wide shared suffix makes every minhash band collide
+        -- (measured: 5.2M candidate pairs from 5000 docs — the
+        -- degenerate texture the verify stage exists to survive, but
+        -- the wrong thing to pay in the flagship row per round); the
+        -- unique tail leaves the ~250 NATURAL near-dup pairs of the
+        -- synthetic corpus to exercise stages 03a/03 (1096 candidates,
+        -- 217 prune edges at sf0.1)
         SELECT doc_id,
-               substr(text, 1, 120) || ' and that is the whole story here.'
+               substr(text, 1, 120) || ' and story ' || doc_id
+               || ' ends here now.'
                || chr(10) || 'short.'
                || CASE WHEN doc_id % 9 = 0
                       THEN chr(10) || 'lorem ipsum dolor sit amet consectetur.'
@@ -703,7 +712,7 @@ def _ledger_oracle() -> str:
 
 
 #: bump when pipeline stage semantics change — keys the artifact cache
-_LEDGER_VERSION = "r6-ledger-v2"
+_LEDGER_VERSION = "r7-ledger-v3"
 
 
 def _ledger_out_dir(sf_dir: str) -> str:
@@ -726,7 +735,9 @@ def _ledger_out_dir(sf_dir: str) -> str:
     )
 
 
-@register_extra("corpus_pipeline_ledger", _ledger_oracle())
+# promoted to the driver window round 7 (VERDICT r6 #2): the end-to-end
+# composition is the product claim; frame_samples rotated out (SURVEY §8)
+@register("corpus_pipeline_ledger", _ledger_oracle())
 def q_corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end composer itself, hash-checked (corpus_pipeline.
     build_training_corpus): runs the bounded default configuration
@@ -749,7 +760,9 @@ def q_corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     page = F.concat(
         F.substring(t, 1, 120),
-        F.lit(" and that is the whole story here."),
+        F.lit(" and story "),
+        F.col("doc_id").cast("string"),
+        F.lit(" ends here now."),
         F.lit("\nshort."),
         F.when(
             F.col("doc_id") % 9 == 0,

@@ -420,7 +420,11 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(
+    # demoted round 7 (rotation for corpus_pipeline_ledger): the
+    # frame-sampling facet's §2 coverage rides seeded_sample_orders /
+    # mixture_sample_temperature (sampling) and multimodal_meta /
+    # video_meta (media explode shape); the local DuckDB gate stays
     "frame_samples",
     """
     SELECT doc_id AS media_id,
