@@ -380,10 +380,15 @@ def choose_ann_strategy(
       (:func:`..lsh.derive_bits`) and tables as the recall knob
       (16 clears 0.6 on the synthetic embeddings; 4 bottoms out ~0.19).
 
-    Returns ``{"strategy": "brute" | "ivf" | "lsh" | "pq", ...params}``;
-    the params feed :func:`cosine_topk_bruteforce`,
-    :func:`ivf_topk_pinned`, :func:`..lsh.lsh_topk_pinned`, or
-    :func:`..pq.pq_adc_topk` directly.
+    Returns ``{"strategy": "brute" | "ivf" | "lsh" | "pq" |
+    "ivfpq_refine", ...params}``; the params feed
+    :func:`cosine_topk_bruteforce`, :func:`ivf_topk_pinned`,
+    :func:`..lsh.lsh_topk_pinned`, :func:`..pq.pq_adc_topk`, or
+    :func:`..pq.pq_ivf_adc_refined_topk` directly.  The
+    memory-constrained row prefers ``ivfpq_refine`` whenever a trained
+    quantizer exists: same 16 B/vector index, exact re-rank of the ADC
+    shortlist, recall floor scaling with nprobe (0.432/0.712/0.893
+    measured off-training at nprobe 2/4/8 — PLANS §15).
     """
     from .lsh import derive_bits
 
@@ -397,6 +402,29 @@ def choose_ann_strategy(
             raise ValueError(
                 f"budget {max_bytes_per_vector} B/vector is below even the "
                 f"PQ code size ({pq_bytes} B); no strategy fits"
+            )
+        if has_quantizer:
+            # IVFPQ + exact re-rank (round 7): the INDEX stays 16 B/vector
+            # (codes + list ids); raw vectors are streamed from the source
+            # table for the refine_k-candidate shortlist only, so the
+            # memory budget still holds.  Measured off-training recall@5
+            # floors (sf0.001; sf0.01 runs higher — PLANS §15):
+            # nprobe 2 → 0.432, 4 → 0.712, 8 → 0.893.  Exact re-rank
+            # removes the ADC-ordering ceiling, so the promise scales
+            # with probing instead of capping at full-scan PQ's 0.75.
+            table = [(2, 0.432), (4, 0.712), (8, 0.893)]
+            for nprobe, floor in table:
+                if recall_target <= floor:
+                    return {
+                        "strategy": "ivfpq_refine",
+                        "nprobe": nprobe,
+                        "refine_k": 20,
+                        "recall_estimate": floor,
+                    }
+            raise ValueError(
+                f"recall_target {recall_target} exceeds the measured "
+                "ivfpq+refine floor at full probing (0.893 off-training); "
+                "raise the budget for exact search or lower the target"
             )
         if recall_target > 0.75:
             raise ValueError(
@@ -471,6 +499,15 @@ def ann_topk_auto(
         n, has_quantizer, recall_target,
         max_bytes_per_vector=max_bytes_per_vector, **dim_kwargs,
     )
+    if choice["strategy"] == "ivfpq_refine":
+        from .pq import pq_ivf_adc_refined_topk
+
+        return pq_ivf_adc_refined_topk(
+            df, id_col, vec_col, k,
+            refine_k=max(choice["refine_k"], 4 * k),
+            centroids=centroids, nprobe=choice["nprobe"],
+            query_filter=query_filter,
+        )
     if choice["strategy"] == "pq":
         from .pq import pq_adc_topk
 

@@ -339,3 +339,71 @@ def pq_ivf_adc_topk(
             F.col("rn").cast("long").alias("rn"),
         )
     )
+
+
+def pq_ivf_adc_refined_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    refine_k: int | None = None,
+    centroids: list[list[int]] | None = None,
+    nprobe: int = 2,
+    codebooks: list[list[list[int]]] | None = None,
+    query_filter: Column | None = None,
+    scale: int = PQ_SCALE,
+    sub_dim: int = PQ_SUB_DIM,
+) -> DataFrame:
+    """IVFPQ + exact re-rank — the full FAISS deployment recipe
+    (IndexIVFPQ + IndexRefineFlat): the coarse quantizer bounds WHERE,
+    the 16-byte ADC gathers produce a ``refine_k``-candidate shortlist,
+    and ONLY those candidates get exact integer-L2 distances (the raw
+    vectors are joined back for |queries|·refine_k rows — the shuffle up
+    to that point carries ids and 16-byte codes, never vectors, the same
+    discipline as :mod:`.lsh` lines 32-35).  ADC quantization error can
+    misorder close candidates; re-scoring the shortlist exactly fixes
+    the ORDER for free while the candidate set stays index-bounded —
+    recall@k rises toward the shortlist's recall ceiling (measured in
+    tests/test_pq.py; PLANS §15).
+
+    Output: ``(query_id, neighbor_id, adc_dist, l2_dist, rn)``, ascending
+    exact distance, ties on neighbor id, ``rn <= k``."""
+    if refine_k is None:
+        refine_k = 4 * k
+    if refine_k < k:
+        raise ValueError(f"refine_k {refine_k} must be >= k {k}")
+    short = pq_ivf_adc_topk(
+        df, id_col, vec_col, refine_k, centroids, nprobe, codebooks,
+        query_filter, scale, sub_dim,
+    ).select("query_id", "neighbor_id", "adc_dist")
+    base = df.filter(F.col(vec_col).isNotNull())
+    qv = base.select(
+        F.col(id_col).alias("query_id"),
+        quantize_vec(F.col(vec_col), scale).alias("__qv"),
+    )
+    nv = base.select(
+        F.col(id_col).alias("neighbor_id"),
+        quantize_vec(F.col(vec_col), scale).alias("__nv"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("__qv", "__nv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("l2_dist"), F.asc("neighbor_id")
+    )
+    return (
+        short.join(qv, "query_id")
+        .join(nv, "neighbor_id")
+        .select("query_id", "neighbor_id", "adc_dist", d2.alias("l2_dist"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "adc_dist",
+            "l2_dist",
+            F.col("rn").cast("long").alias("rn"),
+        )
+    )

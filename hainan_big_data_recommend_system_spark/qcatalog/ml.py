@@ -567,7 +567,10 @@ def q_ann_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_IVFPQ_ORACLE = f"""
+# shared WITH-prefix of the IVFPQ oracles: pinned centroids + codebooks,
+# exact-integer coarse ranking, probes (nprobe=2, vec_id % 4 = 0 queries),
+# per-subspace code assignment, query LUTs, and the ADC-scored pairs
+_IVFPQ_COMMON = f"""
     WITH cent AS (
         SELECT cid, cv::BIGINT[] AS cv
         FROM (VALUES {_IVF_CENT_VALUES}) v(cid, cv)
@@ -622,12 +625,44 @@ _IVFPQ_ORACLE = f"""
         JOIN lut l ON l.vec_id = p.vec_id AND l.j = cs.j AND l.c = cs.code
         GROUP BY 1, 2
     )
+"""
+
+_IVFPQ_ORACLE = _IVFPQ_COMMON + """
     SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist,
            CAST(rn AS BIGINT) AS rn
     FROM (
         SELECT *, row_number() OVER (
             PARTITION BY query_id ORDER BY adc, neighbor_id
         ) AS rn FROM scored
+    )
+    WHERE rn <= 5
+    """
+
+_IVFPQ_REFINED_ORACLE = _IVFPQ_COMMON + """
+    , shortlist AS (
+        SELECT query_id, neighbor_id, CAST(adc AS BIGINT) AS adc_dist
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc, neighbor_id
+            ) AS srn FROM scored
+        )
+        WHERE srn <= 20
+    ),
+    exact AS (
+        SELECT s.query_id, s.neighbor_id, s.adc_dist,
+               CAST(list_aggregate(list_transform(
+                   list_zip(qq.qv, nq.qv),
+                   z -> (z[1] - z[2]) * (z[1] - z[2])), 'sum') AS BIGINT)
+                   AS l2_dist
+        FROM shortlist s
+        JOIN q qq ON qq.vec_id = s.query_id
+        JOIN q nq ON nq.vec_id = s.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, l2_dist, CAST(rn AS BIGINT) AS rn
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY l2_dist, neighbor_id
+        ) AS rn FROM exact
     )
     WHERE rn <= 5
     """
@@ -651,5 +686,25 @@ def q_ann_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_ivf_adc_topk(
         emb, "vec_id", "embedding", k=5, nprobe=2,
+        query_filter=F.col("query_id") % 4 == 0,
+    )
+
+
+@register_extra("ann_topk_ivfpq_refined", _IVFPQ_REFINED_ORACLE)
+def q_ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ + exact re-rank (operators/pq.pq_ivf_adc_refined_topk,
+    round 7 — the r6 verdict's #3): the full FAISS deployment recipe.
+    The ADC shortlist (refine_k=20) is re-scored with exact integer L2
+    — raw vectors joined back for the shortlist ONLY, ids+codes shuffle
+    everywhere else — and the top-5 re-ranks by the exact distance.
+    Measured recall@5 vs exact L2: 0.341 → 0.432 (sf0.001) and
+    0.475 → 0.512 (sf0.01) over plain IVFPQ (tests/test_pq.py pins the
+    floor; PLANS §15).  The oracle replays coarse probing, code
+    assignment, LUT ADC, the shortlist cut, AND the exact re-rank."""
+    from ..operators.pq import pq_ivf_adc_refined_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_ivf_adc_refined_topk(
+        emb, "vec_id", "embedding", k=5, refine_k=20, nprobe=2,
         query_filter=F.col("query_id") % 4 == 0,
     )

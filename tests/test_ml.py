@@ -280,3 +280,68 @@ def test_ann_topk_auto_probes_real_dim(spark):
         emb32, "vec_id", "embedding", k=2, max_bytes_per_vector=200
     )
     assert out.count() > 0  # brute path: runs fine on 32-dim vectors
+
+
+def test_choose_ann_strategy_ivfpq_refine_row():
+    """Round 7: memory-constrained + trained quantizer -> IVFPQ with
+    exact re-rank; nprobe scales to the target along the measured
+    off-training floors (0.432/0.712/0.893 at nprobe 2/4/8), and targets
+    above the full-probing floor are refused."""
+    import pytest as _pytest
+
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        choose_ann_strategy,
+    )
+
+    lo = choose_ann_strategy(
+        10**6, has_quantizer=True, recall_target=0.4, max_bytes_per_vector=32
+    )
+    assert lo == {
+        "strategy": "ivfpq_refine", "nprobe": 2, "refine_k": 20,
+        "recall_estimate": 0.432,
+    }
+    mid = choose_ann_strategy(
+        10**6, has_quantizer=True, recall_target=0.6, max_bytes_per_vector=32
+    )
+    assert mid["nprobe"] == 4 and mid["recall_estimate"] == 0.712
+    hi = choose_ann_strategy(
+        10**6, has_quantizer=True, recall_target=0.85, max_bytes_per_vector=32
+    )
+    assert hi["nprobe"] == 8
+    # the refine row lifts the old full-scan-PQ 0.75 ceiling...
+    assert hi["strategy"] == "ivfpq_refine"
+    # ...but not past the measured full-probing floor
+    with _pytest.raises(ValueError, match="ivfpq\\+refine floor"):
+        choose_ann_strategy(
+            10**6, has_quantizer=True, recall_target=0.95,
+            max_bytes_per_vector=32,
+        )
+    # without a quantizer the PQ full-scan row is unchanged
+    assert choose_ann_strategy(
+        10**6, has_quantizer=False, max_bytes_per_vector=32,
+        recall_target=0.5,
+    )["strategy"] == "pq"
+
+
+def test_ann_topk_auto_ivfpq_refine_dispatch(spark, sf_dir):
+    """Memory budget + quantizer routes through the refined path —
+    identical to the directly-invoked operator bit for bit."""
+    from hainan_big_data_recommend_system_spark.catalog import load_table
+    from hainan_big_data_recommend_system_spark.operators.ann import (
+        ann_topk_auto,
+    )
+    from hainan_big_data_recommend_system_spark.operators.pq import (
+        pq_ivf_adc_refined_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    probe = F.col("query_id") % 4 == 0
+    auto = {tuple(r) for r in ann_topk_auto(
+        emb, "vec_id", "embedding", k=5, query_filter=probe,
+        has_quantizer=True, max_bytes_per_vector=32, recall_target=0.4,
+    ).collect()}
+    direct = {tuple(r) for r in pq_ivf_adc_refined_topk(
+        emb, "vec_id", "embedding", k=5, refine_k=20, nprobe=2,
+        query_filter=probe,
+    ).collect()}
+    assert auto == direct

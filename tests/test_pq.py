@@ -165,3 +165,74 @@ def test_ragged_batch_rejected_in_kernel(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(Exception, match="dimensionality"):
         pq_encode(df, "vec_id", "embedding").collect()
+
+
+def test_ivfpq_refined_rerank_improves_recall(spark, emb):
+    """The FAISS deployment recipe (IVF probe -> ADC shortlist -> exact
+    re-rank of refine_k candidates): re-scoring fixes ADC misordering
+    inside the shortlist, so recall@5 vs exact L2 must rise above plain
+    IVFPQ (measured 0.341 -> 0.432 at sf0.001, 0.475 -> 0.512 at sf0.01
+    with refine_k=20, nprobe=2; floors pinned below), and the refined
+    ranking must equal the exact-L2 ranking OF the shortlist."""
+    from hainan_big_data_recommend_system_spark.operators.pq import (
+        pq_ivf_adc_refined_topk,
+        pq_ivf_adc_topk,
+    )
+
+    rows = emb.orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    x = np.round(
+        np.array([r["embedding"] for r in rows], dtype=np.float64) * 1000
+    ).astype(np.int64)
+    d2 = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    np.fill_diagonal(d2, np.iinfo(np.int64).max)
+    exact = {}
+    for i in np.nonzero(ids % 4 == 0)[0]:
+        exact[ids[i]] = set(ids[np.lexsort((ids, d2[i]))[:5]])
+
+    probe = F.col("query_id") % 4 == 0
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(len(got.get(q, set()) & exact[q]) / 5 for q in exact) / len(
+            exact
+        )
+
+    plain = pq_ivf_adc_topk(
+        emb, "vec_id", "embedding", k=5, nprobe=2, query_filter=probe
+    )
+    refined = pq_ivf_adc_refined_topk(
+        emb, "vec_id", "embedding", k=5, refine_k=20, nprobe=2,
+        query_filter=probe,
+    )
+    r_plain, r_ref = recall(plain), recall(refined)
+    assert r_ref >= r_plain, (r_ref, r_plain)
+    assert r_ref >= 0.40, f"refined recall {r_ref:.3f} below pinned floor"
+
+    # the l2_dist column IS the exact integer L2 of the pair
+    vec = {int(i): x[n] for n, i in enumerate(ids)}
+    out = refined.collect()
+    for r in out[:50]:
+        want = int(((vec[r["query_id"]] - vec[r["neighbor_id"]]) ** 2).sum())
+        assert r["l2_dist"] == want
+    # rn orders by exact distance (ties on neighbor), never by ADC
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [
+            (r["l2_dist"], r["neighbor_id"]) for r in rs
+        ] == sorted((r["l2_dist"], r["neighbor_id"]) for r in rs)
+
+
+def test_ivfpq_refined_validates_refine_k(spark, emb):
+    from hainan_big_data_recommend_system_spark.operators.pq import (
+        pq_ivf_adc_refined_topk,
+    )
+
+    with pytest.raises(ValueError, match="refine_k"):
+        pq_ivf_adc_refined_topk(
+            emb, "vec_id", "embedding", k=5, refine_k=3
+        )
