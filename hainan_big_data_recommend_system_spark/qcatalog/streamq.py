@@ -615,6 +615,140 @@ def q_hll_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# HLL small-range correction (round 7 — the r6 verdict's #5): the raw
+# estimator is badly biased below ~2.5m distincts; the classic fallback is
+# linear counting m·ln(m/V).  The ln enters as a PINNED integer lookup
+# (operators/hll.linear_counting_estimates — computed once driver-side),
+# so the regime-switched estimate stays bit-exact cross-engine.  b=6
+# (m=64) makes one fixture span BOTH regimes: clicks remapped to 11
+# distinct user buckets (linear), every other event type ~2000 distinct
+# ids (raw).
+# ---------------------------------------------------------------------------
+
+_HLL_SR_B = 6
+#: hll_numerator(6) — mirrored constant, same style as _HLL_NUMER
+_HLL_SR_NUMER = "104680255103913656422760448"
+
+
+def _hll_sr_sql() -> str:
+    from ..operators.hll import linear_counting_values_sql
+
+    m = 1 << _HLL_SR_B
+    rest = 60 - _HLL_SR_B
+    return f"""
+    WITH v AS (
+        SELECT event_type,
+               CASE WHEN event_type = 'click'
+                    THEN 'u' || CAST(user_id % 11 AS VARCHAR)
+                    ELSE CAST(event_id AS VARCHAR) END AS val
+        FROM events
+    ),
+    h AS (
+        SELECT event_type,
+               ('0x' || substr(md5(val), 1, 15))::BIGINT AS hv
+        FROM v
+    ),
+    r AS (
+        SELECT event_type,
+               hv // {1 << rest} AS bucket,
+               hv % {1 << rest} AS rest
+        FROM h
+    ),
+    regs AS (
+        SELECT event_type, bucket,
+               max(CASE WHEN rest = 0 THEN {rest + 1}
+                        ELSE {rest} - length(bin(rest)) + 1 END) AS m_j
+        FROM r GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               count(*) AS observed,
+               sum(CAST(1 AS HUGEINT) << ({rest + 1} - m_j)) AS s
+        FROM regs GROUP BY event_type
+    ),
+    est AS (
+        SELECT event_type,
+               CAST(observed AS BIGINT) AS observed_buckets,
+               CAST({m} - observed AS BIGINT) AS n_empty_buckets,
+               CAST(CAST('{_HLL_SR_NUMER}' AS HUGEINT)
+                    // (CAST(1000000 AS HUGEINT)
+                        * (s + (CAST({m} AS HUGEINT) - observed)
+                             * (CAST(1 AS HUGEINT) << {rest + 1})))
+                    AS BIGINT) AS est_distinct
+        FROM agg
+    ),
+    lc(v_empty, lc_est) AS (VALUES {linear_counting_values_sql(_HLL_SR_B)}),
+    corr AS (
+        SELECT e.*,
+               CASE WHEN n_empty_buckets > 0 AND est_distinct * 2 <= {5 * m}
+                    THEN lc_est ELSE est_distinct END AS est_corrected,
+               CASE WHEN n_empty_buckets > 0 AND est_distinct * 2 <= {5 * m}
+                    THEN 'linear' ELSE 'raw' END AS regime
+        FROM est e LEFT JOIN lc ON lc.v_empty = e.n_empty_buckets
+    ),
+    exact AS (
+        SELECT event_type, count(DISTINCT val) AS exact_distinct
+        FROM v GROUP BY event_type
+    )
+    SELECT c.event_type, observed_buckets, n_empty_buckets, est_distinct,
+           est_corrected, regime,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct,
+           CAST(abs(est_distinct - exact_distinct) * 10000
+                // exact_distinct AS BIGINT) AS err_raw_bp,
+           CAST(abs(est_corrected - exact_distinct) * 10000
+                // exact_distinct AS BIGINT) AS err_corr_bp
+    FROM corr c JOIN exact x ON x.event_type = c.event_type
+    """
+
+
+@register_extra("hll_small_range_distinct", _hll_sr_sql())
+def q_hll_small_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL with the linear-counting small-range fallback
+    (operators/hll.py, round 7): one fixture spans both regimes — click
+    events collapse to 11 distinct user buckets (raw HLL overshoots
+    badly at m=64; linear counting lands within bucket-granularity),
+    every other event type keeps ~2000 distinct ids (raw regime, the
+    correction is a no-op by the exact integer switch 2·est <= 5·m).
+    The pinned m·ln(m/V) lookup keeps both engines evaluating zero
+    transcendentals at query time."""
+    from ..operators.hll import hll_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_type") == "click",
+            F.concat(F.lit("u"), (F.col("user_id") % 11).cast("string")),
+        )
+        .otherwise(F.col("event_id").cast("string"))
+        .alias("val"),
+    )
+    est = hll_distinct(
+        vals, ["event_type"], "val", b=_HLL_SR_B, small_range_correction=True
+    )
+    exact = vals.groupBy("event_type").agg(
+        F.countDistinct("val").cast("bigint").alias("exact_distinct")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type",
+        "observed_buckets",
+        "n_empty_buckets",
+        "est_distinct",
+        "est_corrected",
+        "regime",
+        "exact_distinct",
+        F.expr(
+            "cast(abs(est_distinct - exact_distinct) * 10000L"
+            " div exact_distinct as bigint)"
+        ).alias("err_raw_bp"),
+        F.expr(
+            "cast(abs(est_corrected - exact_distinct) * 10000L"
+            " div exact_distinct as bigint)"
+        ).alias("err_corr_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exponentially-decayed popularity (round 6): the hot-list freshness
 # upgrade — the reference's hot ranking (A7, `log_analyze.py` hot_books)
 # counts all-time occurrences; production hot lists decay by recency.
