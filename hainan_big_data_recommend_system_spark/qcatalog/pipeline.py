@@ -592,6 +592,13 @@ def _ledger_oracle() -> str:
         -- unique tail leaves the ~250 NATURAL near-dup pairs of the
         -- synthetic corpus to exercise stages 03a/03 (1096 candidates,
         -- 217 prune edges at sf0.1)
+        -- round 7 (VERDICT r6 #6): the corpus now ENTERS through the
+        -- mixed-source ingest stage — doc_id % 4 picks the serialized
+        -- format (0 html, 1 pdf, 2 markdown, 3 subtitle), every
+        -- serialization is constructed so its parser recovers the text
+        -- EXACTLY (single-spaced ASCII fixture), and the corrupted pdf
+        -- payloads (doc_id % 20 = 1) quarantine at ingest — so the page
+        -- set is documents minus the quarantined rows
         SELECT doc_id,
                substr(text, 1, 120) || ' and story ' || doc_id
                || ' ends here now.'
@@ -604,6 +611,7 @@ def _ledger_oracle() -> str:
                            || 'write to me at someone@mail.example.com for more details.'
                       ELSE '' END AS text
         FROM documents
+        WHERE doc_id % 20 <> 1
     ),
     c4 AS (
         SELECT doc_id,
@@ -688,17 +696,27 @@ def _ledger_oracle() -> str:
     comp AS (SELECT node, min(lbl) AS canon FROM reach GROUP BY node),
     dropped AS (SELECT node FROM comp WHERE node <> canon),
     counts AS (
-        SELECT (SELECT count(*) FROM documents) AS n0,
+        SELECT (SELECT count(*) FROM pages) AS n0,
                (SELECT count(*) FROM kept1) AS n1,
                (SELECT count(*) FROM survivors) AS n2,
                (SELECT count(*) FROM survivors)
                    - (SELECT count(*) FROM dropped) AS n3
+    ),
+    src AS (
+        SELECT doc_id % 4 AS leg, count(*) AS n_in,
+               count(*) FILTER (doc_id % 20 <> 1) AS n_out
+        FROM documents GROUP BY 1
     )
     SELECT stage,
            CAST(rows_in AS BIGINT) AS rows_in,
            CAST(rows_out AS BIGINT) AS rows_out
     FROM (
-        SELECT '01_clean' AS stage, n0 AS rows_in, n1 AS rows_out FROM counts
+        SELECT '00_ingest_html' AS stage, n_in AS rows_in, n_out AS rows_out
+        FROM src WHERE leg = 0
+        UNION ALL SELECT '00_ingest_pdf', n_in, n_out FROM src WHERE leg = 1
+        UNION ALL SELECT '00_ingest_markdown', n_in, n_out FROM src WHERE leg = 2
+        UNION ALL SELECT '00_ingest_subtitle', n_in, n_out FROM src WHERE leg = 3
+        UNION ALL SELECT '01_clean', n0, n1 FROM counts
         UNION ALL SELECT '02_quality', n1, n2 FROM counts
         UNION ALL SELECT '03_neardup', n2, n3 FROM counts
         UNION ALL SELECT '04_decontam', n3, n3 FROM counts
@@ -712,7 +730,7 @@ def _ledger_oracle() -> str:
 
 
 #: bump when pipeline stage semantics change — keys the artifact cache
-_LEDGER_VERSION = "r7-ledger-v3"
+_LEDGER_VERSION = "r7-ledger-v4"
 
 
 def _ledger_out_dir(sf_dir: str) -> str:
@@ -754,10 +772,90 @@ def q_corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     composition's stage order, text lineage, and row accounting are all
     under the hash."""
     from ..catalog import load_table
-    from ..corpus_pipeline import build_training_corpus
+    from ..corpus_pipeline import build_training_corpus, ingest_format_sources
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = F.col("text")
+    did = F.col("doc_id")
+
+    # ---- round 7: mixed-source ingest (VERDICT r6 #6) ----------------
+    # doc_id % 4 picks the serialized format; every serialization is
+    # constructed so its round-6 parser recovers the text EXACTLY (the
+    # fixture is single-spaced printable ASCII), so the downstream
+    # stages — and their oracle — see the same corpus minus the pdf
+    # quarantine (doc_id % 20 == 1 ships a corrupt payload).
+    html_pages = docs.filter(did % 4 == 0).select(
+        "doc_id",
+        F.concat(
+            F.lit(
+                '<html><head><script>var x=1;</script></head><body>'
+                '<nav><a href="/">home</a></nav><p>'
+            ),
+            t,
+            F.lit("</p></body></html>"),
+        ).alias("html"),
+    )
+
+    import pandas as pd
+
+    def pdf_gen(batches):
+        from ..operators.pdftext import make_pdf
+
+        for pdf in batches:
+            rows = []
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                payload = (
+                    b"not a pdf at all"
+                    if d % 20 == 1
+                    else make_pdf([str(text)])
+                )
+                rows.append({"doc_id": d, "payload": payload})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    pdf_docs = docs.filter(did % 4 == 1).mapInPandas(
+        pdf_gen, "doc_id long, payload binary"
+    )
+
+    md_docs = docs.filter(did % 4 == 2).select(
+        "doc_id",
+        F.concat(
+            F.lit("```\nfenced code is dropped whole\n```\n\n**"),
+            t,
+            F.lit("**"),
+        ).alias("md"),
+    )
+
+    # SRT: words in cues of 8, 2-second cadence — the transcript
+    # reassembly (cue texts in start order, space-joined) is the inverse
+    # of this split, so recovery is exact
+    words = F.split(t, " ")
+    n_cues = F.ceil(F.size(words) / F.lit(8.0)).cast("int")
+    sec_s = lambda k: k * 2  # noqa: E731
+    block = lambda k: F.format_string(  # noqa: E731
+        "%d\n00:%02d:%02d,000 --> 00:%02d:%02d,000\n%s",
+        k + 1,
+        F.floor(sec_s(k) / F.lit(60)).cast("int"),
+        (sec_s(k) % 60).cast("int"),
+        F.floor((sec_s(k) + 1) / F.lit(60)).cast("int"),
+        ((sec_s(k) + 1) % 60).cast("int"),
+        F.array_join(F.slice(words, k * 8 + 1, 8), " "),
+    )
+    srt_docs = docs.filter(did % 4 == 3).select(
+        "doc_id",
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_cues - 1), block), "\n\n"
+        ).alias("srt"),
+    )
+
+    ingested, ingest_ledger = ingest_format_sources(
+        spark,
+        html_pages=html_pages,
+        pdf_docs=pdf_docs,
+        markdown_docs=md_docs,
+        subtitle_docs=srt_docs,
+    )
+
     page = F.concat(
         F.substring(t, 1, 120),
         F.lit(" and story "),
@@ -775,8 +873,9 @@ def q_corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit("")),
     )
-    pages = docs.select("doc_id", page.alias("text"))
+    pages = ingested.select("doc_id", page.alias("text"))
     stats = build_training_corpus(spark, pages, _ledger_out_dir(sf_dir))
+    stats = {**ingest_ledger, **stats}
     return spark.createDataFrame(
         [(k, v["rows_in"], v["rows_out"]) for k, v in stats.items()],
         "stage string, rows_in long, rows_out long",
