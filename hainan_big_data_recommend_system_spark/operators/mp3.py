@@ -10,6 +10,16 @@ An ID3v2 tag (a 'ID3' header with a SYNCSAFE 28-bit size — each byte
 contributes 7 bits, the real-world gotcha) may precede the first frame
 and is skipped, its declared size reported.
 
+Xing/Info (VBR) headers (round 7 — the r6 verdict's #8): in-the-wild
+MP3s are predominantly VBR, carrying a LAME-style metadata frame FIRST
+whose body holds — at the side-info offset (17 bytes mono, 32
+otherwise) — a 'Xing' (VBR) or 'Info' (CBR) tag, a flags word, and the
+declared frame/byte counts.  The parser reads them (pure byte offsets,
+same pattern as the EXIF walk), excludes the tag frame from audio
+accounting, and derives the duration from the DECLARED frame count when
+present — the number a partial read must trust, and the authoritative
+one by convention on a full walk.
+
 The fixture encoder emits spec-shaped frames with formula-chosen index
 fields; the parser validates sync, rejects reserved indexes, and
 accumulates per-frame sample counts into an exact integer duration in
@@ -30,12 +40,44 @@ def frame_length(bitrate_kbps: int, sample_rate: int, padding: int) -> int:
     return (144 * bitrate_kbps * 1000) // sample_rate + padding
 
 
+def _side_info_bytes(mode: int) -> int:
+    """MPEG-1 Layer III side-info size: 17 bytes mono, 32 otherwise —
+    the offset at which a Xing/Info tag sits inside its frame."""
+    return 17 if mode == 3 else 32
+
+
+def _frame_bytes(bi: int, si: int, pad: int, mode: int, fill_seed: int) -> bytes:
+    h = (
+        (0x7FF << 21)      # sync
+        | (0b11 << 19)     # MPEG-1
+        | (0b01 << 17)     # Layer III
+        | (1 << 16)        # no CRC
+        | (bi << 12)
+        | (si << 10)
+        | (pad << 9)
+        | ((mode & 3) << 6)
+    )
+    flen = frame_length(BITRATES[bi], SAMPLE_RATES[si], pad)
+    body = bytearray(h.to_bytes(4, "big"))
+    # deterministic filler: frame index mixed with position
+    body += bytes(((fill_seed + i * 17) % 251) for i in range(flen - 4))
+    return bytes(body)
+
+
 def make_mp3(
     frames: list[tuple[int, int, int, int]],
     id3_payload: bytes = b"",
+    vbr_tag: str | None = None,
 ) -> bytes:
     """Frames as ``(bitrate_idx, samplerate_idx, padding, channel_mode)``
-    tuples; an ID3v2.3 tag wraps ``id3_payload`` when non-empty."""
+    tuples; an ID3v2.3 tag wraps ``id3_payload`` when non-empty.
+
+    ``vbr_tag`` ('Xing' or 'Info') prepends the LAME-style metadata
+    frame real-world VBR files carry: a frame shaped like the first
+    audio frame (padding 0) whose body holds, at the side-info offset,
+    the tag + flags 0x3 + declared FRAME count (audio frames, the tag
+    frame excluded per convention) + declared BYTE count (the whole
+    stream after ID3, tag frame included)."""
     out = bytearray()
     if id3_payload:
         n = len(id3_payload)
@@ -45,24 +87,31 @@ def make_mp3(
             [(n >> 21) & 0x7F, (n >> 14) & 0x7F, (n >> 7) & 0x7F, n & 0x7F]
         )
         out += b"ID3\x03\x00\x00" + ss + id3_payload
+    audio = bytearray()
     for bi, si, pad, mode in frames:
         if BITRATES[bi] is None or SAMPLE_RATES[si] is None:
             raise ValueError(f"reserved index (bitrate {bi}, rate {si})")
-        h = (
-            (0x7FF << 21)      # sync
-            | (0b11 << 19)     # MPEG-1
-            | (0b01 << 17)     # Layer III
-            | (1 << 16)        # no CRC
-            | (bi << 12)
-            | (si << 10)
-            | (pad << 9)
-            | ((mode & 3) << 6)
+        audio += _frame_bytes(bi, si, pad, mode, len(out) + len(audio))
+    if vbr_tag is not None:
+        if vbr_tag not in ("Xing", "Info"):
+            raise ValueError(f"vbr_tag must be 'Xing' or 'Info', not {vbr_tag!r}")
+        if not frames:
+            raise ValueError("vbr_tag needs at least one frame for geometry")
+        bi, si, _, mode = frames[0]
+        tag_frame = bytearray(_frame_bytes(bi, si, 0, mode, 0))
+        off = 4 + _side_info_bytes(mode & 3)
+        declared_bytes = len(tag_frame) + len(audio)
+        blob = (
+            vbr_tag.encode("ascii")
+            + (0x3).to_bytes(4, "big")          # flags: frames | bytes
+            + len(frames).to_bytes(4, "big")    # audio frames
+            + declared_bytes.to_bytes(4, "big")
         )
-        flen = frame_length(BITRATES[bi], SAMPLE_RATES[si], pad)
-        body = bytearray(h.to_bytes(4, "big"))
-        # deterministic filler: frame index mixed with position
-        body += bytes(((len(out) + i * 17) % 251) for i in range(flen - 4))
-        out += body
+        if off + len(blob) > len(tag_frame):
+            raise ValueError("tag frame too small for Xing/Info block")
+        tag_frame[off : off + len(blob)] = blob
+        out += tag_frame
+    out += audio
     return bytes(out)
 
 
@@ -90,6 +139,10 @@ def parse_mp3(payload: bytes) -> dict:
     modes = set()
     bitrate_sum = 0
     samples = 0
+    vbr_tag = None
+    xing_frames = None
+    xing_bytes = None
+    first_frame = True
     while pos < len(payload):
         if pos + 4 > len(payload):
             raise ValueError(f"trailing bytes at offset {pos} are not a frame")
@@ -115,6 +168,27 @@ def parse_mp3(payload: bytes) -> dict:
         flen = frame_length(BITRATES[bi], SAMPLE_RATES[si], pad)
         if pos + flen > len(payload):
             raise ValueError(f"frame at {pos} truncated ({flen} bytes)")
+        if first_frame:
+            # Xing/Info tag (in-the-wild VBR files): sits in the FIRST
+            # frame right after the side-info region — pure byte
+            # offsets, same pattern as the EXIF walk.  The tag frame is
+            # metadata, not audio: it is excluded from duration.
+            off = pos + 4 + _side_info_bytes(mode)
+            tag = payload[off : off + 4]
+            if tag in (b"Xing", b"Info") and off + 8 <= pos + flen:
+                vbr_tag = tag.decode("ascii")
+                flags = int.from_bytes(payload[off + 4 : off + 8], "big")
+                p = off + 8
+                if flags & 1:
+                    if p + 4 > pos + flen:
+                        raise ValueError("Xing frame-count field truncated")
+                    xing_frames = int.from_bytes(payload[p : p + 4], "big")
+                    p += 4
+                if flags & 2:
+                    if p + 4 > pos + flen:
+                        raise ValueError("Xing byte-count field truncated")
+                    xing_bytes = int.from_bytes(payload[p : p + 4], "big")
+            first_frame = False
         n_frames += 1
         bitrate_sum += BITRATES[bi]
         modes.add(mode)
@@ -122,11 +196,25 @@ def parse_mp3(payload: bytes) -> dict:
         pos += flen
     if n_frames == 0:
         raise ValueError("no MP3 frames found")
+    audio_frames = n_frames - (1 if vbr_tag is not None else 0)
+    if vbr_tag is not None and audio_frames == 0:
+        raise ValueError("stream holds only the Xing/Info metadata frame")
+    # when a tag declares the frame count, duration comes from IT (the
+    # header-extrapolation beat: on a partial read the declared count is
+    # all you have; on a full walk the two must agree for well-formed
+    # files and the declared one is still authoritative per convention)
+    dur_frames = (
+        xing_frames if xing_frames is not None else audio_frames
+    )
     return {
         "n_frames": n_frames,
         "id3_bytes": id3_bytes,
         "sample_rate": rate,
         "channel_modes": sorted(modes),
         "bitrate_sum_kbps": bitrate_sum,
-        "duration_ms": (samples * 1000) // rate,
+        "duration_ms": (dur_frames * _SAMPLES_PER_FRAME * 1000) // rate,
+        "vbr_tag": vbr_tag,
+        "xing_frames": xing_frames,
+        "xing_bytes": xing_bytes,
+        "audio_frames": audio_frames,
     }
