@@ -120,6 +120,12 @@ QUERIES = [
     # is measured separately by filescan_probe below)
     "warc_file_corpus_scan",
     "archive_file_corpus_scan",
+    # round-7 session-2 additions: refined ANN, HLL regime switch, VBR
+    # walk, and the ingest-fed pipeline composition
+    "ann_topk_ivfpq_refined",
+    "hll_small_range_distinct",
+    "mp3_vbr_audio_meta",
+    "corpus_pipeline_ledger",
 ]
 
 
