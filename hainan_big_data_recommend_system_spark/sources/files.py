@@ -64,24 +64,9 @@ CONTAINER_RECORD_SCHEMA = (
 )
 
 
-def read_container_records(
-    spark: SparkSession,
-    path: str,
-    fmt: str,
-    glob: str | None = None,
-) -> DataFrame:
-    """Explode every container file under ``path`` into records.
-
-    ``fmt`` is ``"warc"`` (per-record-gzipped or plain streams both
-    parse), ``"tar"`` or ``"zip"``.  ``glob`` prunes the listing
-    (``pathGlobFilter``, e.g. ``"*.warc.gz"``) before any byte is read.
-    """
-    if fmt not in ("warc", "tar", "zip"):
-        raise ValueError(f"unsupported container format {fmt!r}")
-    reader = spark.read.format("binaryFile")
-    if glob is not None:
-        reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(path).select("path", "content")
+def _record_parser(fmt: str):
+    """The mapInPandas generator exploding (path, content) batches into
+    record rows — shared by the batch and streaming readers."""
 
     def parse(batches):
         import pandas as pd
@@ -149,7 +134,65 @@ def read_container_records(
                     ],
                 )
 
-    return files.mapInPandas(parse, CONTAINER_RECORD_SCHEMA)
+    return parse
+
+
+def read_container_records(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    glob: str | None = None,
+) -> DataFrame:
+    """Explode every container file under ``path`` into records.
+
+    ``fmt`` is ``"warc"`` (per-record-gzipped or plain streams both
+    parse), ``"tar"`` or ``"zip"``.  ``glob`` prunes the listing
+    (``pathGlobFilter``, e.g. ``"*.warc.gz"``) before any byte is read.
+    """
+    if fmt not in ("warc", "tar", "zip"):
+        raise ValueError(f"unsupported container format {fmt!r}")
+    reader = spark.read.format("binaryFile")
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_record_parser(fmt), CONTAINER_RECORD_SCHEMA)
+
+
+#: binaryFile's fixed schema — streaming reads must declare it explicitly
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def stream_container_records(
+    spark: SparkSession,
+    path: str,
+    fmt: str,
+    glob: str | None = None,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """STREAMING record explode over a growing container directory —
+    the shape a live crawl actually has: shards land in the directory,
+    each micro-batch picks up the new files (the file-source checkpoint
+    remembers which were processed), and every record flows through the
+    same per-file parser as the batch reader.  Compose with
+    :func:`..streaming.ingest.start_dedup_ingest` for end-to-end
+    crawl-to-deduped-corpus ingestion (``doc_id`` = record name).
+
+    The unit of streaming progress is the FILE (binaryFile never splits
+    one), so ``max_files_per_trigger`` is the batch-size knob — the same
+    per-file task sizing as the batch path, metered per trigger."""
+    if fmt not in ("warc", "tar", "zip"):
+        raise ValueError(f"unsupported container format {fmt!r}")
+    reader = spark.readStream.format("binaryFile").schema(
+        _BINARY_FILE_SCHEMA
+    )
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = reader.load(path).select("path", "content")
+    return files.mapInPandas(_record_parser(fmt), CONTAINER_RECORD_SCHEMA)
 
 
 def _write_file_atomic(dest: str, payload: bytes) -> None:
