@@ -285,3 +285,13 @@ def test_leakage_safe_splits_bucket_is_post_join_projection(spark):
     # components rounds and the label join
     plan = plan_of(spark, "leakage_safe_splits")
     assert "EvalPython" not in plan, plan
+
+
+def test_warc_file_scan_is_single_stage_no_shuffle(spark):
+    """File-granularity ingestion: the record explode and every derived
+    column ride the binaryFile scan task — no Exchange anywhere (the
+    one-task-per-file contract is pinned in test_filescan)."""
+    plan = plan_of(spark, "warc_file_corpus_scan")
+    assert "binaryFile" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "MapInPandas" in plan, plan

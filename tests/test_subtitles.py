@@ -113,3 +113,26 @@ Tab-and-double-space arrow
     assert rows[1]["start_ms"] == 7000  # flexible whitespace around -->
     assert rows[2]["start_ms"] == 62_000 and rows[2]["end_ms"] == 65_750
     assert all(r["start_ms"] is not None for r in rows[:3])
+
+
+def test_webvtt_note_and_style_blocks_quarantine(spark):
+    """NOTE/STYLE metadata blocks carry no timecode: they must land as
+    quarantine rows (NULL times, empty text), never crash the parse or
+    leak into cue text."""
+    vtt = """WEBVTT
+
+NOTE this file was machine translated
+
+STYLE
+::cue { color: lime }
+
+00:00:01.000 --> 00:00:02.000
+Real cue
+"""
+    df = spark.createDataFrame([(1, vtt)], "doc_id long, srt string")
+    rows = srt_cues(df, "doc_id", "srt").collect()
+    good = [r for r in rows if r["start_ms"] is not None]
+    assert len(good) == 1 and good[0]["cue_text"] == "Real cue"
+    quarantined = [r for r in rows if r["start_ms"] is None]
+    assert len(quarantined) == 3  # header, NOTE, STYLE
+    assert all(r["cue_text"] == "" for r in quarantined)
