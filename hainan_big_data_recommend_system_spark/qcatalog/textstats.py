@@ -1286,6 +1286,109 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "audio_fingerprint_dedup",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 3 AND doc_id > 0
+                    THEN doc_id - 1 ELSE doc_id END AS src,
+               doc_id % 7 = 3 AND doc_id > 0 AS twin
+        FROM documents
+    ),
+    geo AS (
+        SELECT doc_id, src,
+               528 + (src % 3) * 16
+                   + CASE WHEN twin THEN 32 ELSE 0 END AS n_samples
+        FROM d
+    ),
+    s AS (
+        SELECT g.doc_id, g.src, i // 16 AS w,
+               ('0x' || substr(md5(CAST(g.src AS VARCHAR) || ':afp1:'
+                                   || CAST(i AS VARCHAR)), 1, 4))::BIGINT
+               - 32768 AS v
+        FROM geo g, LATERAL (SELECT unnest(range(0, 528)) AS i)
+    ),
+    e AS (
+        SELECT doc_id, w, sum(v * v) AS en
+        FROM s GROUP BY doc_id, w
+    ),
+    b AS (
+        SELECT doc_id, w, en,
+               lead(en) OVER (PARTITION BY doc_id ORDER BY w) AS nen
+        FROM e
+    ),
+    fp AS (
+        SELECT doc_id,
+               sum(CASE WHEN w < 32 AND nen > en
+                        THEN CAST(1 AS BIGINT) << w ELSE 0 END) AS fp
+        FROM b GROUP BY doc_id
+    ),
+    ranked AS (
+        SELECT f.doc_id, f.fp, g.n_samples // 16 AS n_windows,
+               count(*) OVER (PARTITION BY f.fp) AS group_size,
+               row_number() OVER (
+                   PARTITION BY f.fp ORDER BY f.doc_id
+               ) AS rn
+        FROM fp f JOIN geo g ON g.doc_id = f.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_windows AS BIGINT) AS n_windows,
+           CAST(fp AS BIGINT) AS fp,
+           CAST(group_size AS BIGINT) AS group_size,
+           rn > 1 AS is_dup
+    FROM ranked
+    """,
+)
+def q_audio_fingerprint_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via energy-delta fingerprints
+    (operators/audiofp.py, round 7): every doc gets a REAL PCM WAV;
+    docs with ``doc_id % 7 == 3`` are a re-issue of the previous doc's
+    track with a longer tail (extra trailing samples — the "same song,
+    different padding" crawl duplicate), which the 32-bit envelope
+    fingerprint collapses while the byte-level payload differs.  Dedup
+    is an O(n) groupBy over (doc_id, fp) — the exact-dedup shuffle shape
+    applied to perceptual identity.  The oracle replays the generative
+    PCM formula, the frame energies, the delta-sign bits, AND the group
+    ranking; a framing bug, wrong window stride, or sign-convention slip
+    breaks the hash."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from ..operators.audiofp import audio_fingerprint
+    from ..operators.multimodal import _spread
+    from ..operators.wav import make_wav
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_fp(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                twin = did % 7 == 3 and did > 0
+                src = did - 1 if twin else did
+                n = 528 + (src % 3) * 16 + (32 if twin else 0)
+                fp, nw = audio_fingerprint(make_wav(f"{src}:afp1", n, 8000))
+                rows.append({"doc_id": did, "n_windows": nw, "fp": fp})
+            if rows:
+                yield pd.DataFrame(rows)
+
+    fps = _spread(docs, "doc_id").mapInPandas(
+        gen_and_fp, "doc_id long, n_windows long, fp long"
+    )
+    grp = Window.partitionBy("fp")
+    rn = Window.partitionBy("fp").orderBy(F.asc("doc_id"))
+    return fps.select(
+        "doc_id",
+        "n_windows",
+        "fp",
+        F.count(F.lit(1)).over(grp).cast("long").alias("group_size"),
+        (F.row_number().over(rn) > 1).alias("is_dup"),
+    )
+
+
+@register_extra(
     "video_meta",
     r"""
     WITH d AS (
