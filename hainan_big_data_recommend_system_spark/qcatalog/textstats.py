@@ -2262,6 +2262,85 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "warc_revisit_scan",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT)
+               AS n_records,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_revisits,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'https://mirror.example/doc/' || CAST(doc_id AS VARCHAR)
+                END AS revisit_uri,
+           CASE WHEN doc_id % 3 = 0
+                THEN 'https://crawl.example/doc/' || CAST(doc_id AS VARCHAR)
+                END AS refers_to,
+           doc_id % 3 = 0 AS refers_resolves
+    FROM documents
+    """,
+)
+def q_warc_revisit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ``revisit`` records (round 7): crawls mark content-identical
+    re-fetches with revisit records instead of shipping the payload
+    again — Common Crawl's ``identical-payload-digest`` profile is the
+    source-side half of the dedup story, and a corpus scan must read the
+    marker (``WARC-Refers-To-Target-URI``) to credit the duplicate to
+    its original capture.  Every third doc's stream carries a mirror
+    URI revisiting the doc's own response; the scan reports the marker
+    and whether the referred-to capture resolves within the stream."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..sources.warc import make_warc, parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                uri = f"https://crawl.example/doc/{did}"
+                revisits = (
+                    [(f"https://mirror.example/doc/{did}", uri)]
+                    if did % 3 == 0
+                    else []
+                )
+                recs = parse_warc(
+                    make_warc(
+                        [(uri, str(r["text"]).encode("utf-8"))],
+                        gzip_records=(did % 2 == 1),
+                        revisits=revisits,
+                    )
+                )
+                seen = {
+                    x["target_uri"] for x in recs if x["type"] == "response"
+                }
+                revs = [x for x in recs if x["type"] == "revisit"]
+                rv = revs[0] if revs else None
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_records": len(recs),
+                        "n_revisits": len(revs),
+                        "revisit_uri": rv["target_uri"] if rv else None,
+                        "refers_to": rv["refers_to"] if rv else None,
+                        "refers_resolves": (
+                            rv["refers_to"] in seen if rv else False
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, n_records long, n_revisits long, revisit_uri string, "
+        "refers_to string, refers_resolves boolean",
+    )
+
+
+@register_extra(
     "archive_corpus_scan",
     r"""
     SELECT doc_id,

@@ -40,9 +40,16 @@ def _record(headers: dict[str, str], payload: bytes) -> bytes:
 def make_warc(
     pages: list[tuple[str, bytes]],
     gzip_records: bool = False,
+    revisits: list[tuple[str, str]] | None = None,
 ) -> bytes:
     """A WARC stream with one ``warcinfo`` record followed by one
-    ``response`` record per ``(target_uri, html_body)`` page."""
+    ``response`` record per ``(target_uri, html_body)`` page.
+
+    ``revisits`` — ``(target_uri, refers_to_uri)`` pairs — appends the
+    crawl-time dedup markers real crawls carry (ISO 28500 §6.7.2 /
+    Common Crawl's ``identical-payload-digest`` profile): a ``revisit``
+    record asserts the fetched payload was identical to an earlier
+    capture of ``refers_to_uri``, shipping only the HTTP headers."""
     records = [
         _record(
             {
@@ -69,6 +76,31 @@ def make_warc(
                     "Content-Type": "application/http; msgtype=response",
                 },
                 http,
+            )
+        )
+    for uri, refers_to in revisits or []:
+        http_head = (
+            b"HTTP/1.1 200 OK\r\n"
+            b"Content-Type: text/html; charset=utf-8\r\n\r\n"
+        )
+        records.append(
+            _record(
+                {
+                    "WARC-Type": "revisit",
+                    "WARC-Record-ID": (
+                        "<urn:uuid:"
+                        + __import__("hashlib").md5(uri.encode()).hexdigest()
+                        + ">"
+                    ),
+                    "WARC-Target-URI": uri,
+                    "WARC-Refers-To-Target-URI": refers_to,
+                    "WARC-Profile": (
+                        "http://netpreserve.org/warc/1.0/revisit/"
+                        "identical-payload-digest"
+                    ),
+                    "Content-Type": "application/http; msgtype=response",
+                },
+                http_head,
             )
         )
     if not gzip_records:
@@ -133,6 +165,9 @@ def parse_warc(payload: bytes) -> list[dict]:
         rec: dict = {
             "type": headers.get("warc-type", ""),
             "target_uri": headers.get("warc-target-uri"),
+            # revisit records (crawl-time dedup markers) point at the
+            # capture whose payload they matched
+            "refers_to": headers.get("warc-refers-to-target-uri"),
             "headers": headers,
             "payload": body,
         }
