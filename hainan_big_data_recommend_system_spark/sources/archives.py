@@ -5,14 +5,20 @@ Both parsers are byte-level and strict (ValueError quarantine):
 
 - TAR: 512-byte ustar headers — octal size fields, the space-substituted
   checksum rule, data rounded to 512-byte blocks, the two-zero-block
-  terminator;
+  terminator; GNU ``L`` longname entries and PAX ``x`` extended headers
+  (``path=``) override the 100-byte name field (round 7 — dataset dumps
+  carry deep paths), and non-file entries (directories, links, PAX
+  globals) are framed + checksum-verified but skipped as members;
 - ZIP: End-Of-Central-Directory located from the tail, central-directory
   walk to each local header (the robust read order — streaming local
   headers breaks on data-descriptor files), STORED and DEFLATE members
-  (raw zlib, wbits=-15), CRC-32 verified against the directory entry.
+  (raw zlib, wbits=-15), CRC-32 verified against the directory entry;
+  ZIP64 (round 7): sentinel EOCD → EOCD64 locator/record for the real
+  64-bit geometry, 0x0001 extra fields for saturated entry sizes —
+  the layout of >4 GiB dumps and of tools that emit it always.
 
-Public knowledge: POSIX.1-1988 ustar; PKWARE APPNOTE.TXT (ZIP); RFC 1951
-(DEFLATE).
+Public knowledge: POSIX.1-1988 ustar + pax(1); GNU tar longname layout;
+PKWARE APPNOTE.TXT §4.5 (ZIP64); RFC 1951 (DEFLATE).
 """
 
 from __future__ import annotations
@@ -45,8 +51,22 @@ def _tar_header(name: str, size: int) -> bytes:
 
 
 def make_tar(members: list[tuple[str, bytes]]) -> bytes:
+    """Names over the ustar 100-byte field ride a GNU ``L`` longname
+    entry (the layout GNU tar emits), so deep dataset paths roundtrip."""
     out = bytearray()
     for name, data in members:
+        nb = name.encode()
+        if len(nb) > 100:
+            ln = nb + b"\x00"
+            hdr = bytearray(_tar_header("././@LongLink", len(ln)))
+            hdr[156] = ord("L")
+            # retotal the checksum after the typeflag change
+            hdr[148:156] = b" " * 8
+            hdr[148:156] = f"{sum(hdr):06o}\x00 ".encode()
+            out += hdr + ln
+            if len(ln) % 512:
+                out += bytes(512 - len(ln) % 512)
+            name = name[:100]
         out += _tar_header(name, len(data))
         out += data
         if len(data) % 512:
@@ -56,9 +76,17 @@ def make_tar(members: list[tuple[str, bytes]]) -> bytes:
 
 
 def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
+    """Regular-file members of a tar stream.
+
+    Beyond plain ustar (round 7): GNU ``L`` long-name entries and PAX
+    ``x`` extended headers (``path=`` keyword) override the next
+    member's 100-byte name field — dataset dumps routinely carry deep
+    paths; directories / links / PAX globals are skipped as members but
+    their blocks are still framed and checksum-verified."""
     members: list[tuple[str, bytes]] = []
     pos = 0
     n = len(payload)
+    pending_name: str | None = None
     while pos + 512 <= n:
         header = payload[pos : pos + 512]
         if header == bytes(512):  # first zero block: end of archive
@@ -83,7 +111,27 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
         data_end = pos + 512 + size
         if data_end > n:
             raise ValueError(f"tar member {name!r} payload truncated")
-        members.append((name, payload[pos + 512 : data_end]))
+        data = payload[pos + 512 : data_end]
+        typeflag = header[156:157]
+        if typeflag == b"L":  # GNU longname: data IS the next member's name
+            pending_name = data.rstrip(b"\x00").decode("utf-8", "replace")
+        elif typeflag == b"x":  # PAX extended header: "len key=value\n"
+            p = 0
+            while p < len(data):
+                sp = data.index(b" ", p)
+                rec_len = int(data[p:sp])
+                rec = data[p + rec_len - 1 : p + rec_len]
+                if rec != b"\n":
+                    raise ValueError("malformed PAX record (missing newline)")
+                key, _, value = data[sp + 1 : p + rec_len - 1].partition(b"=")
+                if key == b"path":
+                    pending_name = value.decode("utf-8", "replace")
+                p += rec_len
+        elif typeflag in (b"0", b"\x00"):  # regular file
+            members.append((pending_name or name, data))
+            pending_name = None
+        # directories ('5'), links ('1','2'), PAX globals ('g'), ...:
+        # framed and verified above, but not corpus members
         pos = data_end + ((512 - size % 512) % 512)
     raise ValueError("tar archive missing zero-block terminator")
 
@@ -92,7 +140,15 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
 # ZIP
 # ---------------------------------------------------------------------------
 
-def make_zip(members: list[tuple[str, bytes]], deflate: bool = True) -> bytes:
+def make_zip(
+    members: list[tuple[str, bytes]],
+    deflate: bool = True,
+    zip64: bool = False,
+) -> bytes:
+    """``zip64=True`` emits the ZIP64 layout tools use for >4 GiB dumps
+    (and that some emit unconditionally): 0xFFFFFFFF sentinels in the
+    central entries with the real sizes/offset in a 0x0001 extra field,
+    plus the EOCD64 record + locator before a sentinel EOCD."""
     locs: list[int] = []
     out = bytearray()
     central = bytearray()
@@ -111,17 +167,63 @@ def make_zip(members: list[tuple[str, bytes]], deflate: bool = True) -> bytes:
             "<IHHHHHIIIHH", 0x04034B50, 20, 0, method, 0, 0, crc,
             len(blob), len(data), len(nb), 0,
         ) + nb + blob
-        central += struct.pack(
-            "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, method, 0, 0,
-            crc, len(blob), len(data), len(nb), 0, 0, 0, 0, 0, locs[-1],
-        ) + nb
+        if zip64:
+            extra = struct.pack(
+                "<HHQQQ", 0x0001, 24, len(data), len(blob), locs[-1]
+            )
+            central += struct.pack(
+                "<IHHHHHHIIIHHHHHII", 0x02014B50, 45, 45, 0, method, 0, 0,
+                crc, 0xFFFFFFFF, 0xFFFFFFFF, len(nb), len(extra), 0, 0, 0,
+                0, 0xFFFFFFFF,
+            ) + nb + extra
+        else:
+            central += struct.pack(
+                "<IHHHHHHIIIHHHHHII", 0x02014B50, 20, 20, 0, method, 0, 0,
+                crc, len(blob), len(data), len(nb), 0, 0, 0, 0, 0, locs[-1],
+            ) + nb
     cd_off = len(out)
     out += central
-    out += struct.pack(
-        "<IHHHHIIH", 0x06054B50, 0, 0, len(members), len(members),
-        len(central), cd_off, 0,
-    )
+    if zip64:
+        eocd64_off = len(out)
+        out += struct.pack(
+            "<IQHHIIQQQQ", 0x06064B50, 44, 45, 45, 0, 0,
+            len(members), len(members), len(central), cd_off,
+        )
+        out += struct.pack("<IIQI", 0x07064B50, 0, eocd64_off, 1)
+        out += struct.pack(
+            "<IHHHHIIH", 0x06054B50, 0, 0, 0xFFFF, 0xFFFF,
+            0xFFFFFFFF, 0xFFFFFFFF, 0,
+        )
+    else:
+        out += struct.pack(
+            "<IHHHHIIH", 0x06054B50, 0, 0, len(members), len(members),
+            len(central), cd_off, 0,
+        )
     return bytes(out)
+
+
+def _zip64_extra(extra: bytes, usize: int, csize: int, loff: int):
+    """Resolve 0xFFFFFFFF sentinels from the ZIP64 extra field (id
+    0x0001): its 8-byte values appear in spec order — uncompressed size,
+    compressed size, local-header offset — but ONLY for the fields that
+    are saturated in the fixed entry."""
+    p = 0
+    while p + 4 <= len(extra):
+        fid, flen = struct.unpack_from("<HH", extra, p)
+        body = extra[p + 4 : p + 4 + flen]
+        if fid == 0x0001:
+            q = 0
+            if usize == 0xFFFFFFFF:
+                usize = struct.unpack_from("<Q", body, q)[0]
+                q += 8
+            if csize == 0xFFFFFFFF:
+                csize = struct.unpack_from("<Q", body, q)[0]
+                q += 8
+            if loff == 0xFFFFFFFF:
+                loff = struct.unpack_from("<Q", body, q)[0]
+            return usize, csize, loff
+        p += 4 + flen
+    raise ValueError("saturated sizes without a ZIP64 extra field")
 
 
 def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
@@ -131,6 +233,30 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
     (_, _, _, n_here, n_total, cd_size, cd_off, _) = struct.unpack_from(
         "<IHHHHIIH", payload, eocd
     )
+    if (
+        n_total == 0xFFFF
+        or cd_off == 0xFFFFFFFF
+        or cd_size == 0xFFFFFFFF
+    ):
+        # ZIP64 (round 7 — >4 GiB dumps, and tools that emit it always):
+        # the EOCD64 LOCATOR sits immediately before the EOCD and points
+        # at the EOCD64 record holding the real 64-bit geometry
+        loc = eocd - 20
+        if loc < 0 or payload[loc : loc + 4] != b"PK\x06\x07":
+            raise ValueError("ZIP64 sentinel EOCD without EOCD64 locator")
+        (_, _, eocd64_off, n_disks) = struct.unpack_from(
+            "<IIQI", payload, loc
+        )
+        if n_disks != 1:
+            raise ValueError("multi-disk ZIP unsupported")
+        if (
+            eocd64_off + 56 > len(payload)
+            or payload[eocd64_off : eocd64_off + 4] != b"PK\x06\x06"
+        ):
+            raise ValueError("EOCD64 record out of bounds or missing")
+        (_, _, _, _, _, _, n_here, n_total, cd_size, cd_off) = (
+            struct.unpack_from("<IQHHIIQQQQ", payload, eocd64_off)
+        )
     if n_here != n_total:
         raise ValueError("multi-disk ZIP unsupported")
     if cd_off + cd_size > len(payload):
@@ -143,6 +269,9 @@ def parse_zip(payload: bytes) -> list[tuple[str, bytes]]:
         (_, _, _, _, method, _, _, crc, csize, usize, nlen, elen, clen,
          _, _, _, loff) = struct.unpack_from("<IHHHHHHIIIHHHHHII", payload, pos)
         name = payload[pos + 46 : pos + 46 + nlen].decode("utf-8", "replace")
+        if 0xFFFFFFFF in (usize, csize, loff):
+            extra = payload[pos + 46 + nlen : pos + 46 + nlen + elen]
+            usize, csize, loff = _zip64_extra(extra, usize, csize, loff)
         pos += 46 + nlen + elen + clen
         if payload[loff : loff + 4] != b"PK\x03\x04":
             raise ValueError(f"bad local header for {name!r}")
