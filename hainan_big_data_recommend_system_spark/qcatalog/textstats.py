@@ -2262,6 +2262,67 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "warc_http_decoding_scan",
+    r"""
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'identity'
+                WHEN 1 THEN 'chunked'
+                ELSE 'gzip' END AS encoding,
+           CAST(length('<p>' || text || '</p>') AS BIGINT) AS body_len,
+           md5('<p>' || text || '</p>') AS body_md5
+    FROM documents
+    """,
+)
+def q_warc_http_decoding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTTP transport decodings inside WARC captures (round 7): real
+    crawls store the response bytes AS SENT — chunked transfer framing
+    and gzip content-coding included — and the corpus pipeline must
+    undo both before any text stage.  Docs cycle identity / chunked /
+    gzip responses; the oracle predicts the DECODED body digest from
+    the page construction alone, so a chunk-framing bug or a
+    mis-negotiated content-coding breaks the hash."""
+    import hashlib
+
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..sources.warc import make_warc, parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                did = int(r["doc_id"])
+                enc = [None, "chunked", "gzip"][did % 3]
+                body = ("<p>" + str(r["text"]) + "</p>").encode("utf-8")
+                recs = parse_warc(
+                    make_warc(
+                        [(f"https://crawl.example/{did}", body)],
+                        http_encoding=enc,
+                    )
+                )
+                resp = [x for x in recs if x["type"] == "response"][0]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "encoding": enc or "identity",
+                        "body_len": len(resp["body"]),
+                        "body_md5": hashlib.md5(resp["body"]).hexdigest(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, encoding string, body_len long, body_md5 string",
+    )
+
+
+@register_extra(
     "warc_revisit_scan",
     r"""
     SELECT doc_id,

@@ -41,6 +41,7 @@ def make_warc(
     pages: list[tuple[str, bytes]],
     gzip_records: bool = False,
     revisits: list[tuple[str, str]] | None = None,
+    http_encoding: str | None = None,
 ) -> bytes:
     """A WARC stream with one ``warcinfo`` record followed by one
     ``response`` record per ``(target_uri, html_body)`` page.
@@ -67,6 +68,30 @@ def make_warc(
             + f"Content-Length: {len(body)}\r\n\r\n".encode("ascii")
             + body
         )
+        if http_encoding == "chunked":
+            # RFC 9112 §7.1: size-in-hex CRLF data CRLF …, 0-chunk last
+            chunks = bytearray()
+            for off in range(0, len(body), 37):  # odd size: uneven chunks
+                part = body[off : off + 37]
+                chunks += f"{len(part):x}\r\n".encode() + part + b"\r\n"
+            chunks += b"0\r\n\r\n"
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Transfer-Encoding: chunked\r\n\r\n" + bytes(chunks)
+            )
+        elif http_encoding == "gzip":
+            co = zlib.compressobj(6, zlib.DEFLATED, 31)
+            gz = co.compress(body) + co.flush()
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                b"Content-Encoding: gzip\r\n"
+                + f"Content-Length: {len(gz)}\r\n\r\n".encode("ascii")
+                + gz
+            )
+        elif http_encoding is not None:
+            raise ValueError(f"unsupported http_encoding {http_encoding!r}")
         records.append(
             _record(
                 {
@@ -130,6 +155,32 @@ def _split_members(payload: bytes) -> bytes:
     return bytes(out)
 
 
+def _dechunk(raw: bytes) -> bytes:
+    """RFC 9112 §7.1 chunked-body decode: hex size CRLF data CRLF …,
+    terminated by a zero chunk (trailers ignored).  Strict ValueError
+    quarantine on bad framing."""
+    out = bytearray()
+    pos = 0
+    while True:
+        nl = raw.find(b"\r\n", pos)
+        if nl < 0:
+            raise ValueError("unterminated chunk-size line")
+        size_tok = raw[pos:nl].split(b";", 1)[0].strip()  # drop extensions
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise ValueError(f"bad chunk size {size_tok!r}") from e
+        pos = nl + 2
+        if size == 0:
+            return bytes(out)
+        if pos + size + 2 > len(raw):
+            raise ValueError("chunk data truncated")
+        out += raw[pos : pos + size]
+        if raw[pos + size : pos + size + 2] != b"\r\n":
+            raise ValueError("missing CRLF after chunk data")
+        pos += size + 2
+
+
 def parse_warc(payload: bytes) -> list[dict]:
     """Parse a (possibly per-record-gzipped) WARC stream into records:
     ``{"type", "target_uri", "headers", "payload"}`` plus, for
@@ -180,7 +231,26 @@ def parse_warc(payload: bytes) -> list[dict]:
             if len(parts) < 2 or not parts[1].isdigit():
                 raise ValueError(f"bad HTTP status line {status_line!r}")
             rec["http_status"] = int(parts[1])
-            rec["body"] = body[he + 4 :]
+            hhdr: dict[str, str] = {}
+            for line in body[:he].decode("latin-1").split("\r\n")[1:]:
+                if ":" in line:
+                    hk, hv = line.split(":", 1)
+                    hhdr[hk.strip().lower()] = hv.strip()
+            raw = body[he + 4 :]
+            # transport decodings real crawl captures carry (round 7):
+            # RFC 9112 chunked framing, then RFC 9110 content-coding
+            if hhdr.get("transfer-encoding", "").lower() == "chunked":
+                raw = _dechunk(raw)
+            if hhdr.get("content-encoding", "").lower() == "gzip":
+                do = zlib.decompressobj(31)
+                try:
+                    raw = do.decompress(raw) + do.flush()
+                except zlib.error as e:
+                    raise ValueError(f"bad gzip HTTP body: {e}") from e
+                if not do.eof:
+                    raise ValueError("truncated gzip HTTP body")
+            rec["http_headers"] = hhdr
+            rec["body"] = raw
         records.append(rec)
         pos = body_start + clen
         if payload[pos : pos + 4] != b"\r\n\r\n":

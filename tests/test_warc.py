@@ -62,3 +62,66 @@ def test_rejects_malformed():
     gz[len(gz) // 2] ^= 0xFF
     with pytest.raises(ValueError):
         parse_warc(bytes(gz))
+
+
+def test_http_chunked_and_gzip_bodies_decode():
+    """Round 7: transport decodings — chunked framing (uneven chunk
+    sizes, extensions-free) and gzip content-coding both recover the
+    original body; malformed framing quarantines."""
+    import pytest as _pytest
+
+    from hainan_big_data_recommend_system_spark.sources.warc import (
+        make_warc,
+        parse_warc,
+    )
+
+    body = b"the quick brown fox jumps over the lazy dog " * 9
+    for enc in ("chunked", "gzip"):
+        recs = parse_warc(
+            make_warc([("https://x.example/a", body)], http_encoding=enc)
+        )
+        resp = [r for r in recs if r["type"] == "response"][0]
+        assert resp["body"] == body
+        if enc == "chunked":
+            assert resp["http_headers"]["transfer-encoding"] == "chunked"
+        else:
+            assert resp["http_headers"]["content-encoding"] == "gzip"
+
+    # identity path unchanged, headers exposed
+    recs = parse_warc(make_warc([("https://x.example/b", b"plain")]))
+    resp = [r for r in recs if r["type"] == "response"][0]
+    assert resp["body"] == b"plain"
+    assert resp["http_headers"]["content-length"] == "5"
+
+    with _pytest.raises(ValueError, match="unsupported http_encoding"):
+        make_warc([("u", b"x")], http_encoding="br")
+
+    # broken chunk framing: size line lies about remaining data
+    import re
+
+    payload = make_warc([("https://x.example/c", body)], http_encoding="chunked")
+    broken = re.sub(rb"\n25\r\n", b"\nff\r\n", payload, count=1)
+    assert broken != payload, "fixture lost its 0x25 chunk-size line"
+    with _pytest.raises(ValueError, match="chunk"):
+        parse_warc(broken)
+
+
+def test_revisit_records_roundtrip():
+    from hainan_big_data_recommend_system_spark.sources.warc import (
+        make_warc,
+        parse_warc,
+    )
+
+    recs = parse_warc(
+        make_warc(
+            [("https://a.example/p", b"content")],
+            revisits=[("https://b.example/p", "https://a.example/p")],
+            gzip_records=True,
+        )
+    )
+    types = [r["type"] for r in recs]
+    assert types == ["warcinfo", "response", "revisit"]
+    rv = recs[2]
+    assert rv["refers_to"] == "https://a.example/p"
+    assert rv["target_uri"] == "https://b.example/p"
+    assert recs[1]["refers_to"] is None
