@@ -126,6 +126,9 @@ QUERIES = [
     "hll_small_range_distinct",
     "mp3_vbr_audio_meta",
     "corpus_pipeline_ledger",
+    "audio_fingerprint_dedup",
+    "warc_revisit_scan",
+    "warc_http_decoding_scan",
 ]
 
 
