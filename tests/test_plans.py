@@ -295,3 +295,13 @@ def test_warc_file_scan_is_single_stage_no_shuffle(spark):
     assert "binaryFile" in plan, plan
     assert "Exchange" not in plan, plan
     assert "MapInPandas" in plan, plan
+
+
+def test_ivfpq_refined_rerank_joins_are_broadcast(spark):
+    """The refine stage joins the tiny ADC shortlist (|queries|*20 id
+    rows) back to the vector table: at shortlist<<corpus scale these
+    must be broadcast joins (the vector table stays in place), never a
+    corpus-wide sort-merge shuffle."""
+    plan = plan_of(spark, "ann_topk_ivfpq_refined")
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
