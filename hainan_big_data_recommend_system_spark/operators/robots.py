@@ -22,10 +22,16 @@ from pyspark.sql import Column, functions as F
 
 
 def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
-    """``[(allow, path_pattern), ...]`` for ``agent`` — the specific
-    agent's group when present, else the ``*`` group.  Unknown
-    directives are ignored per the RFC; empty patterns are dropped
-    (an empty Disallow means allow-all and matches nothing)."""
+    """``[(allow, path_pattern), ...]`` for ``agent``.
+
+    Group selection follows RFC 9309 §2.2.1 (round 7): the crawler's
+    product token matches a group case-insensitively when the group's
+    user-agent value is a PREFIX of the token ('googlebot' matches
+    'Googlebot/2.1' and 'Googlebot-Image'), the LONGEST matching value
+    wins, and ``*`` is the fallback.  Unknown directives are ignored as
+    rules but end a group's user-agent collection phase; empty patterns
+    are dropped (an empty Disallow means allow-all and matches
+    nothing)."""
     groups: dict[str, list[tuple[bool, str]]] = {}
     current: list[str] = []
     collecting = False
@@ -55,7 +61,15 @@ def parse_robots(txt: str, agent: str = "*") -> list[tuple[bool, str]]:
             # Crawl-delay: 5 / User-agent: b / Disallow: /x' into one
             # group, wrongly giving agent a the /x rule)
             collecting = True
-    return groups.get(agent.lower(), groups.get("*", []))
+    want = agent.lower()
+    best = None
+    for name in groups:
+        if name != "*" and want.startswith(name):
+            if best is None or len(name) > len(best):
+                best = name
+    if best is not None:
+        return groups[best]
+    return groups.get("*", [])
 
 
 def _pattern_regex(pattern: str) -> str:

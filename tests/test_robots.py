@@ -95,3 +95,21 @@ Disallow: /b
 """
     assert parse_robots(sm, "a") == [(False, "/a")]
     assert parse_robots(sm, "b") == [(False, "/b")]
+
+
+def test_ua_longest_prefix_match_rfc9309():
+    """RFC 9309 §2.2.1 (round 7): product-token matching is
+    case-insensitive prefix matching, longest group wins, '*' is the
+    fallback only when nothing matches."""
+    txt = """User-agent: googlebot
+Disallow: /general
+User-agent: googlebot-image
+Disallow: /images
+User-agent: *
+Disallow: /everyone
+"""
+    assert parse_robots(txt, "Googlebot/2.1") == [(False, "/general")]
+    assert parse_robots(txt, "Googlebot-Image/1.0") == [(False, "/images")]
+    assert parse_robots(txt, "SomeOtherBot") == [(False, "/everyone")]
+    # exact names keep working, case-insensitively
+    assert parse_robots(txt, "GOOGLEBOT") == [(False, "/general")]
