@@ -2261,6 +2261,90 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _unicode_norm_sql() -> str:
+    from ..functions.unicode_norm import (
+        ASCII_FORMS,
+        FULLWIDTH_FORMS,
+        IDEOGRAPHIC_SPACE,
+        INVISIBLES,
+    )
+
+    a = (ASCII_FORMS + " ").replace("'", "''")
+    w = FULLWIDTH_FORMS + IDEOGRAPHIC_SPACE
+    inv = INVISIBLES
+    return f"""
+    WITH noisy AS (
+        SELECT doc_id,
+               CAST(doc_id % 3 AS INT) AS variant,
+               text,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN translate(text, '{a}', '{w}')
+                    WHEN 1 THEN replace(text, ' ', ' {inv[0]}{inv[7]}')
+                    ELSE text END AS nt
+        FROM documents
+    )
+    SELECT doc_id, variant,
+           CAST(length(nt) AS BIGINT) AS n_chars_noisy,
+           CAST(length(translate(regexp_replace(nt, '[{inv}]', '', 'g'),
+                                 '{w}', '{a}')) AS BIGINT) AS n_chars_norm,
+           md5(translate(regexp_replace(nt, '[{inv}]', '', 'g'),
+                         '{w}', '{a}')) AS norm_md5,
+           translate(regexp_replace(nt, '[{inv}]', '', 'g'),
+                     '{w}', '{a}') = text AS norm_matches_original
+    FROM noisy
+    """
+
+
+@register_extra("unicode_normalize_scan", _unicode_norm_sql())
+def q_unicode_normalize_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode ingest normalization (functions/unicode_norm.py, round 7):
+    a third of the docs are typeset in fullwidth forms (ＡＢＣ with
+    ideographic spaces — the CJK-web mixture), a third carry zero-width
+    spaces + soft hyphens after every space (copy-paste noise), and the
+    pass — strip default-ignorables, fold widths, both scan-local
+    expressions — must recover the original text EXACTLY (digest-pinned)
+    in both engines.  Without this stage, exact-dedup fingerprints and
+    token counts split on visually identical text."""
+    from ..functions.unicode_norm import (
+        ASCII_FORMS,
+        FULLWIDTH_FORMS,
+        IDEOGRAPHIC_SPACE,
+        INVISIBLES,
+        normalize_text,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = F.col("text")
+    noisy = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.translate(
+                t, ASCII_FORMS + " ", FULLWIDTH_FORMS + IDEOGRAPHIC_SPACE
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.regexp_replace(t, " ", f" {INVISIBLES[0]}{INVISIBLES[7]}"),
+        )
+        .otherwise(t)
+    )
+    base = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 3).cast("int").alias("variant"),
+        "text",
+        noisy.alias("nt"),
+    )
+    norm = normalize_text(F.col("nt"))
+    return base.select(
+        "doc_id",
+        "variant",
+        F.length("nt").cast("bigint").alias("n_chars_noisy"),
+        F.length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm.cast("binary")).alias("norm_md5"),
+        (norm == F.col("text")).alias("norm_matches_original"),
+    )
+
+
 @register_extra(
     "warc_http_decoding_scan",
     r"""
