@@ -251,3 +251,64 @@ def q_next_item_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return next_item_examples(events)
+
+
+@register_extra(
+    "negative_samples",
+    r"""
+    WITH inter AS (
+        SELECT DISTINCT o.o_custkey AS user_id, l.l_partkey AS neg_item
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    p AS (SELECT max(p_partkey) AS np FROM part),
+    users AS (SELECT DISTINCT user_id FROM inter),
+    cand AS (
+        SELECT user_id, s AS slot,
+               1 + ('0x' || substr(md5('neg-v1:' || user_id || ':' || s),
+                                   1, 15))::BIGINT % np AS neg_item
+        FROM users, p, LATERAL (SELECT unnest(range(0, 12)) AS s)
+    ),
+    surv AS (
+        SELECT c.user_id, c.slot, c.neg_item
+        FROM cand c
+        LEFT JOIN inter i
+          ON i.user_id = c.user_id AND i.neg_item = c.neg_item
+        WHERE i.user_id IS NULL
+    ),
+    dd AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id, neg_item ORDER BY slot
+        ) AS d FROM surv
+    ),
+    r AS (
+        SELECT user_id, slot, neg_item,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY slot
+               ) AS rk
+        FROM dd WHERE d = 1
+    )
+    SELECT user_id, CAST(rk AS BIGINT) AS neg_rank, neg_item
+    FROM r WHERE rk <= 4
+    """,
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seeded negative sampling (operators/negatives.py, round 7): four
+    reproducible non-purchased parts per customer for BPR/two-tower
+    training — pinned md5 candidate slots, ONE anti-join against the
+    purchase relation (never a |users|x|items| blowup), slot-ordered
+    distinct survivors.  The oracle replays the hash, the anti-join and
+    the ranking; the reference analogue is the serving-side anti-join
+    discipline (P8/P9) applied to training-data generation."""
+    from ..operators.negatives import sample_negatives
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    inter = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("l_partkey").alias("item_id"),
+    )
+    n_items = int(part.agg(F.max("p_partkey")).head()[0])
+    return sample_negatives(inter, k=4, n_items=n_items)

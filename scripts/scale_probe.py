@@ -129,6 +129,8 @@ QUERIES = [
     "audio_fingerprint_dedup",
     "warc_revisit_scan",
     "warc_http_decoding_scan",
+    "unicode_normalize_scan",
+    "negative_samples",
 ]
 
 
