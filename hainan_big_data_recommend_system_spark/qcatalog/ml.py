@@ -264,7 +264,11 @@ _IVF_CENT_VALUES = ", ".join(
 )
 
 
-@register(
+@register_extra(
+    # demoted round 7 (rotation for warc_file_corpus_scan): the IVF
+    # coarse-probing facet rides the ann_topk_ivfpq driver row, which
+    # runs the SAME pinned-centroid ranking as its first stage; the
+    # local DuckDB gate stays
     "ann_topk_ivf",
     f"""
     WITH cent AS (
