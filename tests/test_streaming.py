@@ -830,3 +830,40 @@ def test_forget_docs_recovers_orphaned_rewrite(spark, tmp_path):
     res = _recover_epoch_rewrites(spark, corpus)
     assert res == {"restored": [], "purged_old": 1, "purged_tmp": 0}
     assert not os.path.exists(f"{corpus}/.forget-old-1-777")
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir, stream_dir, tmp_path):
+    """T-surface execution check for gap-based session windows: the
+    same session_counts() over readStream (stateful session_window with
+    watermark, update mode) must produce the batch sessionization."""
+    from hainan_big_data_recommend_system_spark.streaming.events import (
+        read_event_stream,
+        session_counts,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n"]
+        for r in session_counts(ev).collect()
+    }
+
+    # one micro-batch: the 4 replay files scatter event TIME randomly,
+    # so multi-batch replay would (correctly) drop most of them as
+    # later-than-watermark; batch equivalence needs an in-order replay,
+    # which a single batch is trivially
+    stream = read_event_stream(spark, stream_dir, max_files=4)
+    q = (
+        session_counts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sessions_out")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        (r["session_start"], r["session_end"], r["user_id"]): r["n"]
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    assert got == expected
