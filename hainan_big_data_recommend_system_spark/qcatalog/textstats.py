@@ -2261,6 +2261,56 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register_extra(
+    "site_boilerplate_scrub",
+    r"""
+    WITH pages AS (
+        SELECT doc_id, source AS site,
+               'SITE ' || source || ' NAVIGATION MENU' || chr(10)
+               || text || chr(10)
+               || 'copyright ' || source || ' all rights reserved'
+               || chr(10) || 'ref ' || doc_id AS page,
+               text
+        FROM documents
+    )
+    SELECT doc_id, site,
+           CAST(4 AS BIGINT) AS n_lines_in,
+           CAST(2 AS BIGINT) AS n_lines_kept,
+           md5(text || chr(10) || 'ref ' || doc_id) AS clean_md5
+    FROM pages
+    """,
+)
+def q_site_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Site-template removal (operators/boilerplate.py, round 7): every
+    doc's page carries its source-site's navigation header and copyright
+    footer (within-site df = the site's whole doc count) plus the doc
+    text and a doc-unique ref line (df = 1).  The scrub must drop
+    exactly the two template lines per page — across every site — and
+    reassemble the survivors in original order; the oracle predicts the
+    cleaned digest from the construction alone."""
+    from ..operators.boilerplate import scrub_boilerplate
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    page = F.concat(
+        F.lit("SITE "), F.col("source"), F.lit(" NAVIGATION MENU\n"),
+        F.col("text"),
+        F.lit("\ncopyright "), F.col("source"),
+        F.lit(" all rights reserved\nref "),
+        F.col("doc_id").cast("string"),
+    )
+    pages = docs.select("doc_id", F.col("source").alias("site"), page.alias("page"))
+    out = scrub_boilerplate(pages, "doc_id", "site", "page", min_site_df=5)
+    return out.select(
+        "doc_id",
+        "site",
+        "n_lines_in",
+        "n_lines_kept",
+        F.md5(F.col("clean_text").cast("binary")).alias("clean_md5"),
+    )
+
+
 def _unicode_norm_sql() -> str:
     from ..functions.unicode_norm import (
         ASCII_FORMS,

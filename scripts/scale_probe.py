@@ -131,6 +131,7 @@ QUERIES = [
     "warc_http_decoding_scan",
     "unicode_normalize_scan",
     "negative_samples",
+    "site_boilerplate_scrub",
 ]
 
 
