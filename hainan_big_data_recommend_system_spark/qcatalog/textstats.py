@@ -2262,6 +2262,53 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "document_chunks",
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS toks
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, toks, len(toks) AS n,
+               greatest(0, CAST(ceil((len(toks) - 64) / 48.0) AS INT))
+                   AS last
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, toks, n, k AS chunk_index, k * 48 AS start_token
+        FROM g, LATERAL (SELECT unnest(range(0, last + 1)) AS k)
+    )
+    SELECT doc_id,
+           CAST(chunk_index AS BIGINT) AS chunk_index,
+           CAST(start_token AS BIGINT) AS start_token,
+           CAST(least(64, n - start_token) AS BIGINT) AS n_tokens,
+           md5(array_to_string(toks[start_token + 1 : start_token + 64],
+                               ' ')) AS chunk_md5
+    FROM c
+    """,
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG passage chunking (operators/chunking.py, round 7): 64-token
+    windows, 16-token overlap (stride 48), final partial window kept —
+    the document→passage transform of every retrieval pipeline, pure
+    scan-local expressions.  The oracle regenerates the window grid and
+    every chunk's digest; an off-by-one in the stride arithmetic or the
+    slice bounds breaks the hash on every multi-chunk doc."""
+    from ..operators.chunking import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+    return out.select(
+        "doc_id",
+        "chunk_index",
+        "start_token",
+        "n_tokens",
+        F.md5(F.col("chunk_text").cast("binary")).alias("chunk_md5"),
+    )
+
+
+@register_extra(
     "site_boilerplate_scrub",
     r"""
     WITH pages AS (

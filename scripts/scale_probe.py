@@ -132,6 +132,7 @@ QUERIES = [
     "unicode_normalize_scan",
     "negative_samples",
     "site_boilerplate_scrub",
+    "document_chunks",
 ]
 
 
