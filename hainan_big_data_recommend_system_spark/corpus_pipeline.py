@@ -207,6 +207,42 @@ def ingest_format_sources(
     return union, ledger
 
 
+def ingest_crawl_directory(
+    spark: SparkSession,
+    warc_dir: str,
+    glob: str = "*.warc*",
+    min_status: int = 200,
+    max_status: int = 299,
+) -> tuple[DataFrame, dict]:
+    """The composed front door: a directory of multi-record WARC shards
+    (the Common Crawl layout) → per-record explode (binaryFile source,
+    :mod:`.sources.files`) → successful HTML responses →
+    :func:`ingest_format_sources`' html leg → the documents schema
+    ``(doc_id = target URI, text, source)`` ready for
+    :func:`build_training_corpus`.  Returns ``(docs, ledger)`` where the
+    ledger carries the record→page→document accounting
+    (``00_crawl_records``, ``00_crawl_pages``, ``00_ingest_html``)."""
+    from .sources.files import read_container_records
+
+    records = read_container_records(spark, warc_dir, "warc", glob=glob)
+    records = records.localCheckpoint(eager=False)
+    n_records = records.count()
+    pages = records.filter(
+        (F.col("record_type") == "response")
+        & F.col("error").isNull()
+        & F.col("http_status").between(min_status, max_status)
+    ).select(
+        F.col("name").alias("doc_id"),
+        F.col("body").cast("string").alias("html"),
+    )
+    docs, ledger = ingest_format_sources(spark, html_pages=pages)
+    n_pages = ledger["00_ingest_html"]["rows_in"]
+    return docs, {
+        "00_crawl_records": {"rows_in": n_records, "rows_out": n_pages},
+        **ledger,
+    }
+
+
 def build_training_corpus(
     spark: SparkSession,
     docs: DataFrame,

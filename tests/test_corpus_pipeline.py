@@ -297,3 +297,41 @@ def test_ledger_provenance_digest_stable_across_reruns(spark, tmp_path):
         with open(f"{out_dir}/_MANIFEST.json") as fh:
             digests.append(json.load(fh)["corpus_digest"])
     assert digests[0] == digests[1]
+
+
+def test_ingest_crawl_directory_end_to_end(spark, tmp_path):
+    """The composed front door: WARC shard directory -> records ->
+    successful HTML pages -> documents schema, with record/page/doc
+    accounting and non-HTML/broken inputs excluded along the way."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.corpus_pipeline import (
+        ingest_crawl_directory,
+    )
+    from hainan_big_data_recommend_system_spark.sources.files import (
+        write_container_shards,
+    )
+
+    warcs = str(tmp_path / "crawl")
+    pages = spark.range(9).select(
+        F.format_string("https://site.example/%03d", "id").alias("name"),
+        F.concat(
+            F.lit("<html><body><p>page text "),
+            F.col("id").cast("string"),
+            F.lit("</p></body></html>"),
+        ).cast("binary").alias("body"),
+        (F.col("id") % 3).alias("shard"),
+    )
+    write_container_shards(
+        pages, warcs, "warc", n_shards=3, shard_col="shard"
+    ).collect()
+    with open(f"{warcs}/broken-x.warc", "wb") as fh:
+        fh.write(b"garbage, quarantines to one error record\n")
+
+    docs, ledger = ingest_crawl_directory(spark, warcs)
+    rows = {r["doc_id"]: (r["text"], r["source"]) for r in docs.collect()}
+    assert len(rows) == 9
+    assert rows["https://site.example/004"] == ("page text 4", "html")
+    # 9 responses + 3 warcinfo + 1 quarantine row = 13 records seen
+    assert ledger["00_crawl_records"] == {"rows_in": 13, "rows_out": 9}
+    assert ledger["00_ingest_html"] == {"rows_in": 9, "rows_out": 9}
