@@ -107,3 +107,4 @@ from . import dedup  # noqa: E402,F401
 from . import textstats  # noqa: E402,F401
 from . import pipeline  # noqa: E402,F401
 from . import filescan  # noqa: E402,F401
+from . import behavior  # noqa: E402,F401

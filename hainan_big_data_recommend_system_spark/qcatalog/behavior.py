@@ -1,0 +1,197 @@
+"""Behavioral-analytics queries — funnel, cohort retention, SCD2.
+
+The reference system consumes per-user event streams one user at a time
+(guessLike.py:61-108); these queries are the corpus-wide analytics a
+team operating that system would run over the same logs: did users move
+down the view->click->purchase funnel, do signup cohorts come back, and
+how did a dimension attribute evolve over time (type-2 history).  All
+three are pure DataFrame compositions (keyed aggregates + keyed
+windows) — no Python, no unbounded windows — and each is hash-oracled
+against an independent DuckDB formulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..operators.cohort import cohort_retention
+from ..operators.funnel import funnel_steps, funnel_summary
+from ..operators.scd import build_scd2
+from . import register_extra
+
+_FUNNEL_STEPS = ["view", "click", "purchase"]
+_FUNNEL_WITHIN = 7 * 86400  # whole chain within 7 days of the first view
+
+_FUNNEL_USER_SQL = r"""
+    WITH s1 AS (
+        SELECT user_id AS user, min(ts) AS t_step_1
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+        SELECT s1.user, s1.t_step_1, min(e.ts) AS t_step_2
+        FROM s1 LEFT JOIN events e
+          ON e.user_id = s1.user AND e.event_type = 'click'
+         AND e.ts > s1.t_step_1
+         AND e.ts <= s1.t_step_1 + INTERVAL 7 DAY
+        GROUP BY 1, 2
+    ),
+    s3 AS (
+        SELECT s2.user, s2.t_step_1, s2.t_step_2, min(e.ts) AS t_step_3
+        FROM s2 LEFT JOIN events e
+          ON e.user_id = s2.user AND e.event_type = 'purchase'
+         AND e.ts > s2.t_step_2
+         AND e.ts <= s2.t_step_1 + INTERVAL 7 DAY
+        GROUP BY 1, 2, 3
+    )
+    SELECT user,
+           CAST((t_step_1 IS NOT NULL) AS BIGINT)
+           + CAST((t_step_2 IS NOT NULL) AS BIGINT)
+           + CAST((t_step_3 IS NOT NULL) AS BIGINT) AS steps_completed,
+           t_step_1, t_step_2, t_step_3
+    FROM s3
+"""
+
+
+@register_extra("funnel_user_paths", _FUNNEL_USER_SQL)
+def q_funnel_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest strictly-ordered view->click->purchase chain per user,
+    whole chain within 7 days of the first view
+    (operators/funnel.py).  The oracle rebuilds the chain with
+    correlated min-joins; a wrong strictness (>= vs >), a re-anchored
+    deadline, or a missed NULL propagation breaks the hash on the
+    affected users."""
+    ev = load_table(spark, sf_dir, "events")
+    return funnel_steps(
+        ev, "user_id", "ts", "event_type", _FUNNEL_STEPS,
+        within_seconds=_FUNNEL_WITHIN,
+    )
+
+
+@register_extra(
+    "funnel_conversion",
+    f"""
+    WITH per_user AS ({_FUNNEL_USER_SQL}),
+    agg AS (
+        SELECT
+            CAST(sum(CASE WHEN steps_completed >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_1,
+            CAST(sum(CASE WHEN steps_completed >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_2,
+            CAST(sum(CASE WHEN steps_completed >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_3
+        FROM per_user
+    ),
+    steps AS (
+        SELECT * FROM (
+            SELECT CAST(1 AS BIGINT) AS step_index, n_1 AS users_reached,
+                   n_1 AS first_n, NULL::BIGINT AS prev_n FROM agg
+            UNION ALL
+            SELECT 2, n_2, n_1, n_1 FROM agg
+            UNION ALL
+            SELECT 3, n_3, n_1, n_2 FROM agg
+        )
+    )
+    SELECT step_index, users_reached,
+           users_reached * 10000 // first_n AS conv_from_first_bp,
+           coalesce(users_reached * 10000 // prev_n, 10000)
+               AS conv_from_prev_bp
+    FROM steps
+    """,
+)
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel summary with exact-basis-point conversions
+    (integer `div` on both engines — the histogram_quantiles ADVICE
+    class).  3 rows; the bounded 3-row lag window is the packing.py
+    discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = funnel_steps(
+        ev, "user_id", "ts", "event_type", _FUNNEL_STEPS,
+        within_seconds=_FUNNEL_WITHIN,
+    )
+    return funnel_summary(per_user, len(_FUNNEL_STEPS))
+
+
+@register_extra(
+    "cohort_retention_weekly",
+    """
+    WITH anchors AS (
+        SELECT user_id AS user,
+               min((epoch_us(ts) // 86400000000) // 7) AS cohort_period
+        FROM events WHERE event_type = 'signup' GROUP BY 1
+    ),
+    active AS (
+        SELECT DISTINCT user_id AS user,
+               (epoch_us(ts) // 86400000000) // 7 AS p
+        FROM events
+    ),
+    cells AS (
+        SELECT cohort_period, p - cohort_period AS period_offset,
+               CAST(count(DISTINCT a.user) AS BIGINT) AS n_active
+        FROM active a JOIN anchors c ON a.user = c.user
+        WHERE p >= cohort_period
+        GROUP BY 1, 2
+    ),
+    sizes AS (
+        SELECT cohort_period,
+               CAST(count(DISTINCT user) AS BIGINT) AS cohort_size
+        FROM anchors GROUP BY 1
+    )
+    SELECT cells.cohort_period, period_offset, n_active, cohort_size,
+           n_active * 10000 // cohort_size AS retention_bp
+    FROM cells JOIN sizes USING (cohort_period)
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly signup-cohort retention matrix (operators/cohort.py).
+    Cohort bucketing is exact integer epoch-day arithmetic, so the
+    matrix is bit-identical cross-engine; a drifting week convention
+    (date_trunc) or double-division rounding would shift boundary
+    users between cohorts and break the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    return cohort_retention(
+        ev, "user_id", "ts", period_days=7,
+        anchor_filter=F.col("event_type") == "signup",
+    )
+
+
+@register_extra(
+    "scd2_order_priority",
+    """
+    WITH w AS (
+        SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey,
+               o_orderpriority,
+               lag(o_orderpriority) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev_attr,
+               lag(o_orderdate) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev_ts
+        FROM orders
+    ),
+    heads AS (
+        SELECT * FROM w
+        WHERE prev_ts IS NULL OR o_orderpriority IS DISTINCT FROM prev_attr
+    )
+    SELECT key, ts AS effective_from,
+           lead(ts) OVER
+               (PARTITION BY key ORDER BY ts, o_orderkey) AS effective_to,
+           (lead(ts) OVER
+               (PARTITION BY key ORDER BY ts, o_orderkey)) IS NULL
+               AS is_current,
+           CAST(row_number() OVER
+               (PARTITION BY key ORDER BY ts, o_orderkey) AS BIGINT)
+               AS version,
+           o_orderpriority
+    FROM heads
+    """,
+)
+def q_scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 dimension build (operators/scd.py): each customer's
+    order-priority history collapsed to change points with
+    [effective_from, effective_to) validity and an is_current flag —
+    the Kimball SCD2 load.  The oracle is an independent
+    gaps-and-islands formulation; an off-by-one in the island heads or
+    a non-null-safe change test diverges on every collapsed run."""
+    orders = load_table(spark, sf_dir, "orders")
+    return build_scd2(
+        orders, "o_custkey", "o_orderdate", ["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    )
