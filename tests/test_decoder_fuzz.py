@@ -42,6 +42,10 @@ from hainan_big_data_recommend_system_spark.operators.mp3 import (
     make_mp3,
     parse_mp3,
 )
+from hainan_big_data_recommend_system_spark.operators.mp4 import (
+    make_fixture_mp4,
+    parse_mp4,
+)
 from hainan_big_data_recommend_system_spark.operators.pdftext import (
     extract_pdf_text,
     make_pdf,
@@ -91,6 +95,8 @@ CASES = {
     ),
     "mp3": (lambda: make_mp3([(9, 0, 0, 1), (5, 0, 1, 1)],
                              id3_payload=b"tag"), parse_mp3),
+    "mp4": (lambda: make_fixture_mp4(7), parse_mp4),
+    "mp4_v1": (lambda: make_fixture_mp4(3), parse_mp4),
     "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
             extract_pdf_text),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
