@@ -3363,3 +3363,188 @@ def q_mp4_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_audio_samples long, audio_sample_bytes long, mdat_bytes long, "
         "first_byte_fold long",
     )
+
+
+@register_extra(
+    "flac_audio_meta",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               ([8000, 22050, 44100, 48000, 96000])[1 + doc_id % 5] AS rate,
+               1 + doc_id % 3 AS channels,
+               ([16, 24])[1 + doc_id % 2] AS bits,
+               10000 + doc_id * 97 AS total_samples,
+               doc_id % 2 = 0 AS has_tags,
+               (doc_id % 4) * 32 AS padding
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               string_agg(printf('%02x', (doc_id * 17 + i * 13) % 256),
+                          '' ORDER BY i) AS md5_hex
+        FROM d, LATERAL (SELECT unnest(range(0, 16)) AS i)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(bits AS BIGINT) AS bits_per_sample,
+           CAST(total_samples AS BIGINT) AS total_samples,
+           CAST(total_samples * 1000 // rate AS BIGINT) AS duration_ms,
+           m.md5_hex,
+           CAST(1 + CASE WHEN has_tags THEN 1 ELSE 0 END
+                  + CASE WHEN padding > 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS n_blocks,
+           CAST(padding AS BIGINT) AS padding_bytes,
+           CASE WHEN has_tags
+                THEN 'TITLE=doc ' || doc_id || ';LANGUAGE=' ||
+                     coalesce(lang, '')
+                ELSE '' END AS tags_joined
+    FROM d JOIN m USING (doc_id)
+    JOIN documents USING (doc_id)
+    """,
+)
+def q_flac_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC metadata-block walk (operators/flac.py, round 7): docs cycle
+    sample rates/channels/bit depths; even docs carry a Vorbis-comment
+    block (LITTLE-endian lengths inside the big-endian container — the
+    classic trap) and three-quarters carry padding.  The oracle
+    recomputes every STREAMINFO bit field, the 16-byte MD5 hex, the
+    block count, and the tag roundtrip; a bit-offset slip in the packed
+    270-bit STREAMINFO layout breaks nearly every column."""
+    import pandas as pd
+
+    from ..operators.flac import make_flac, parse_flac
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did, lang in zip(pdf["doc_id"], pdf["lang"]):
+                did = int(did)
+                rate = [8000, 22050, 44100, 48000, 96000][did % 5]
+                comments = (
+                    [("title", f"doc {did}"),
+                     ("language", lang if lang is not None else "")]
+                    if did % 2 == 0 else None
+                )
+                payload = make_flac(
+                    rate,
+                    1 + did % 3,
+                    [16, 24][did % 2],
+                    10000 + did * 97,
+                    md5=bytes((did * 17 + i * 13) % 256 for i in range(16)),
+                    comments=comments,
+                    padding=(did % 4) * 32,
+                )
+                out = parse_flac(payload)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "sample_rate": out["sample_rate"],
+                        "channels": out["channels"],
+                        "bits_per_sample": out["bits_per_sample"],
+                        "total_samples": out["total_samples"],
+                        "duration_ms": out["duration_ms"],
+                        "md5_hex": out["md5_hex"],
+                        "n_blocks": out["n_blocks"],
+                        "padding_bytes": out["padding_bytes"],
+                        "tags_joined": ";".join(
+                            f"{k}={v}" for k, v in out["tags"]
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, sample_rate long, channels long, "
+        "bits_per_sample long, total_samples long, duration_ms long, "
+        "md5_hex string, n_blocks long, padding_bytes long, "
+        "tags_joined string",
+    )
+
+
+@register_extra(
+    "webp_image_meta",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               (['vp8', 'vp8l', 'vp8x'])[1 + doc_id % 3] AS variant,
+               16 + (doc_id % 7) * 13 AS w,
+               16 + (doc_id % 5) * 11 AS h,
+               doc_id % 2 = 1 AS want_alpha
+        FROM documents
+    )
+    SELECT doc_id, variant,
+           CAST(CASE WHEN variant = 'vp8x' THEN w * 100 ELSE w END
+                AS BIGINT) AS width,
+           CAST(CASE WHEN variant = 'vp8x' THEN h * 50 ELSE h END
+                AS BIGINT) AS height,
+           want_alpha AND variant <> 'vp8' AS has_alpha,
+           FALSE AS is_animated,
+           CAST(CASE WHEN variant = 'vp8x'
+                     THEN 2 + CASE WHEN want_alpha THEN 1 ELSE 0 END
+                     ELSE 1 END AS BIGINT) AS n_chunks,
+           -- exact container arithmetic, pad byte included: the VP8
+           -- chunk is 8+34, VP8L 8+21+1 (odd payload pads), VP8X head
+           -- 8+10, ALPH 8+8
+           CAST(CASE WHEN variant = 'vp8' THEN 4 + 42
+                     WHEN variant = 'vp8l' THEN 4 + 30
+                     ELSE 4 + 18 + 42
+                          + CASE WHEN want_alpha THEN 16 ELSE 0 END
+                END AS BIGINT) AS riff_size
+    FROM d
+    """,
+)
+def q_webp_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebP RIFF walk (operators/webp.py, round 7): docs cycle the three
+    variants — lossy VP8 (14-bit dims after the start code), lossless
+    VP8L (little-endian bitstream dims), extended VP8X (24-bit canvas +
+    ALPH chunk).  The oracle pins the geometry per encoding AND the
+    exact riff_size including the odd-payload pad byte — a parser that
+    forgets the pad desyncs the chunk walk on every VP8L doc."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.webp import make_webp, parse_webp
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                variant = ["vp8", "vp8l", "vp8x"][did % 3]
+                w = 16 + (did % 7) * 13
+                h = 16 + (did % 5) * 11
+                if variant == "vp8x":
+                    w, h = w * 100, h * 50
+                out = parse_webp(
+                    make_webp(variant, w, h, alpha=did % 2 == 1)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "variant": out["variant"],
+                        "width": out["width"],
+                        "height": out["height"],
+                        "has_alpha": out["has_alpha"],
+                        "is_animated": out["is_animated"],
+                        "n_chunks": out["n_chunks"],
+                        "riff_size": out["riff_size"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, variant string, width long, height long, "
+        "has_alpha boolean, is_animated boolean, n_chunks long, "
+        "riff_size long",
+    )

@@ -42,9 +42,17 @@ from hainan_big_data_recommend_system_spark.operators.mp3 import (
     make_mp3,
     parse_mp3,
 )
+from hainan_big_data_recommend_system_spark.operators.flac import (
+    make_flac,
+    parse_flac,
+)
 from hainan_big_data_recommend_system_spark.operators.mp4 import (
     make_fixture_mp4,
     parse_mp4,
+)
+from hainan_big_data_recommend_system_spark.operators.webp import (
+    make_webp,
+    parse_webp,
 )
 from hainan_big_data_recommend_system_spark.operators.pdftext import (
     extract_pdf_text,
@@ -97,6 +105,11 @@ CASES = {
                              id3_payload=b"tag"), parse_mp3),
     "mp4": (lambda: make_fixture_mp4(7), parse_mp4),
     "mp4_v1": (lambda: make_fixture_mp4(3), parse_mp4),
+    "flac": (lambda: make_flac(44100, 2, 16, 5000,
+                               comments=[("title", "t")], padding=16),
+             parse_flac),
+    "webp": (lambda: make_webp("vp8x", 500, 300, alpha=True), parse_webp),
+    "webp_l": (lambda: make_webp("vp8l", 33, 17), parse_webp),
     "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
             extract_pdf_text),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
