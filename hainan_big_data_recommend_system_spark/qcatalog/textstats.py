@@ -3373,7 +3373,7 @@ def q_mp4_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                ([8000, 22050, 44100, 48000, 96000])[1 + doc_id % 5] AS rate,
                1 + doc_id % 3 AS channels,
                ([16, 24])[1 + doc_id % 2] AS bits,
-               10000 + doc_id * 97 AS total_samples,
+               10000 + (doc_id % 1000000) * 97 AS total_samples,
                doc_id % 2 = 0 AS has_tags,
                (doc_id % 4) * 32 AS padding
         FROM documents
@@ -3434,7 +3434,7 @@ def q_flac_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                     rate,
                     1 + did % 3,
                     [16, 24][did % 2],
-                    10000 + did * 97,
+                    10000 + (did % 1_000_000) * 97,
                     md5=bytes((did * 17 + i * 13) % 256 for i in range(16)),
                     comments=comments,
                     padding=(did % 4) * 32,
@@ -3547,4 +3547,106 @@ def q_webp_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, variant string, width long, height long, "
         "has_alpha boolean, is_animated boolean, n_chunks long, "
         "riff_size long",
+    )
+
+
+@register_extra(
+    "ogg_opus_meta",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               1 + doc_id % 2 AS channels,
+               312 + (doc_id % 4) * 60 AS pre_skip,
+               ([8000, 16000, 44100, 48000])[1 + doc_id % 4] AS input_rate,
+               2 + doc_id % 4 AS n,
+               doc_id % 3 = 0 AS span,
+               doc_id % 2 = 1 AS has_tags
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id,
+               sum(CASE WHEN i = 0 AND span THEN 300
+                        ELSE 40 + (doc_id * 19 + i * 11) % 150 END)
+                   AS audio_bytes
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS i)
+        GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(pre_skip AS BIGINT) AS pre_skip,
+           CAST(input_rate AS BIGINT) AS input_rate,
+           CAST(2 + n + CASE WHEN span THEN 1 ELSE 0 END AS BIGINT)
+               AS n_pages,
+           CAST(n AS BIGINT) AS n_packets,
+           CAST(n * 960 AS BIGINT) AS last_granule,
+           CAST((n * 960 - pre_skip) * 1000 // 48000 AS BIGINT)
+               AS duration_ms,
+           CASE WHEN has_tags THEN 'TITLE=ep ' || doc_id ELSE '' END
+               AS tags_joined,
+           -- OpusHead 19 + OpusTags (8+4+20+4 [+4+9+len(id)]) + audio
+           CAST(19 + 36
+                + CASE WHEN has_tags
+                       THEN 13 + length(CAST(doc_id AS VARCHAR))
+                       ELSE 0 END
+                + audio_bytes AS BIGINT) AS payload_bytes
+    FROM d JOIN f USING (doc_id)
+    """,
+)
+def q_ogg_opus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg/Opus page walk (operators/ogg.py, round 7): docs cycle
+    channel counts, pre-skips, input rates, and frame counts; every
+    third doc's first audio packet SPANS two pages via a 255-lacing
+    continuation, and every page's RFC 3533 CRC (unreflected
+    0x04C11DB7 — not zlib's) is recomputed and enforced, so the walk is
+    load-bearing down to the payload bits.  The oracle predicts page/
+    packet counts, the 48 kHz granule duration, the tag roundtrip, and
+    the exact payload byte count including the spanning split."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.ogg import make_ogg_opus, parse_ogg_opus
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 4
+                payload = make_ogg_opus(
+                    1 + did % 2,
+                    312 + (did % 4) * 60,
+                    [8000, 16000, 44100, 48000][did % 4],
+                    [40 + (did * 19 + i * 11) % 150 for i in range(n)],
+                    comments=(
+                        [("title", f"ep {did}")] if did % 2 == 1 else []
+                    ),
+                    span_pages=did % 3 == 0,
+                )
+                out = parse_ogg_opus(payload)
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "channels": out["channels"],
+                        "pre_skip": out["pre_skip"],
+                        "input_rate": out["input_rate"],
+                        "n_pages": out["n_pages"],
+                        "n_packets": out["n_packets"],
+                        "last_granule": out["last_granule"],
+                        "duration_ms": out["duration_ms"],
+                        "tags_joined": ";".join(
+                            f"{k}={v}" for k, v in out["tags"]
+                        ),
+                        "payload_bytes": out["payload_bytes"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, channels long, pre_skip long, input_rate long, "
+        "n_pages long, n_packets long, last_granule long, "
+        "duration_ms long, tags_joined string, payload_bytes long",
     )

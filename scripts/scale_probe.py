@@ -133,6 +133,14 @@ QUERIES = [
     "negative_samples",
     "site_boilerplate_scrub",
     "document_chunks",
+    # round-7 session-3: behavioral analytics + real-world media formats
+    "funnel_user_paths",
+    "cohort_retention_weekly",
+    "scd2_order_priority",
+    "mp4_video_meta",
+    "flac_audio_meta",
+    "webp_image_meta",
+    "ogg_opus_meta",
 ]
 
 

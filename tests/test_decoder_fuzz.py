@@ -50,6 +50,10 @@ from hainan_big_data_recommend_system_spark.operators.mp4 import (
     make_fixture_mp4,
     parse_mp4,
 )
+from hainan_big_data_recommend_system_spark.operators.ogg import (
+    make_ogg_opus,
+    parse_ogg_opus,
+)
 from hainan_big_data_recommend_system_spark.operators.webp import (
     make_webp,
     parse_webp,
@@ -110,6 +114,9 @@ CASES = {
              parse_flac),
     "webp": (lambda: make_webp("vp8x", 500, 300, alpha=True), parse_webp),
     "webp_l": (lambda: make_webp("vp8l", 33, 17), parse_webp),
+    "ogg": (lambda: make_ogg_opus(2, 312, 44100, [50, 60],
+                                  comments=[("t", "v")], span_pages=True),
+            parse_ogg_opus),
     "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
             extract_pdf_text),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
