@@ -195,3 +195,111 @@ def q_scd2_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders, "o_custkey", "o_orderdate", ["o_orderpriority"],
         tiebreak_col="o_orderkey",
     )
+
+
+_ATTRIB_CREDITS_SQL = r"""
+    WITH conv AS (
+        SELECT user_id AS user, ts AS conv_ts, event_id AS conv_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    tch AS (
+        SELECT user_id AS user, ts AS touch_ts,
+               'ch' || (CAST(json_extract_string(props, '$.k') AS INT) % 4)
+                   AS channel
+        FROM events
+        WHERE event_type = 'click' AND json_valid(props)
+          AND json_extract_string(props, '$.k') IS NOT NULL
+    ),
+    touched AS (
+        SELECT conv_id, channel, touch_ts
+        FROM conv JOIN tch USING (user)
+        WHERE touch_ts < conv_ts
+          AND touch_ts >= conv_ts - INTERVAL 3 DAY
+    ),
+    ranked AS (
+        SELECT conv_id, channel,
+               row_number() OVER
+                   (PARTITION BY conv_id
+                    ORDER BY touch_ts, channel) AS rk,
+               count(*) OVER (PARTITION BY conv_id) AS n
+        FROM touched
+    )
+    SELECT conv_id, channel,
+           CAST(rk AS BIGINT) AS touch_rank,
+           CAST(n AS BIGINT) AS n_touches,
+           CAST(CASE WHEN n = 1 THEN 10000
+                     WHEN n = 2 THEN
+                         CASE WHEN rk = 1 THEN 6000 ELSE 4000 END
+                     WHEN rk = 1 THEN 4000
+                     WHEN rk = n THEN 4000
+                     ELSE 2000 // (n - 2)
+                          + CASE WHEN rk - 1 <= 2000 % (n - 2)
+                                 THEN 1 ELSE 0 END
+                END AS BIGINT) AS credit_bp
+    FROM ranked
+    UNION ALL
+    SELECT conv_id, '(none)', CAST(1 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(10000 AS BIGINT)
+    FROM conv WHERE conv_id NOT IN (SELECT conv_id FROM touched)
+"""
+
+
+def _attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.attribution import position_attribution
+
+    ev = load_table(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("user"),
+        F.col("ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    tch = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("user"),
+        F.col("ts"),
+        F.concat(
+            F.lit("ch"),
+            (F.get_json_object("props", "$.k").cast("int") % 4).cast(
+                "string"
+            ),
+        ).alias("channel"),
+    ).where(F.col("channel").isNotNull())
+    return position_attribution(
+        conv, tch, user_col="user", ts_col="ts", conv_id_col="conv_id",
+        channel_col="channel", lookback_seconds=3 * 86400,
+    )
+
+
+@register_extra("attribution_credits", _ATTRIB_CREDITS_SQL)
+def q_attribution_credits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped multi-touch attribution (operators/attribution.py):
+    every purchase splits exactly 10_000 bp of credit across the clicks
+    in its 3-day lookback — 40/20/40 with the 2000-bp middle share
+    divided by exact integer div/mod (earliest middles get the
+    remainder), windowless purchases credited to '(none)'.  The oracle
+    replays rank, window, and the allocation arithmetic; a float split
+    or an off-by-one in the remainder distribution breaks the hash on
+    every 3+-touch conversion."""
+    return _attribution_credits(spark, sf_dir)
+
+
+@register_extra(
+    "attribution_report",
+    f"""
+    WITH credits AS ({_ATTRIB_CREDITS_SQL})
+    SELECT channel,
+           CAST(sum(CASE WHEN n_touches > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_touches,
+           CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversions,
+           CAST(sum(credit_bp) AS BIGINT) AS credit_bp_total
+    FROM credits GROUP BY channel
+    """,
+)
+def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Channel-level attribution dashboard: credited touches, reached
+    conversions, total exact-integer credit per channel.  Because
+    per-conversion credit always sums to 10_000 bp, total credit ==
+    10_000 x conversions is an accounting identity the aggregation
+    cannot silently violate."""
+    from ..operators.attribution import channel_report
+
+    return channel_report(_attribution_credits(spark, sf_dir))

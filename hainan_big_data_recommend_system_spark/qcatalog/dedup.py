@@ -916,3 +916,68 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return cdc_chunk_stats(docs, "doc_id", "text")
+
+
+@register(
+    # Round-7 rotation #3: promoted into the driver window in the slot
+    # freed by `ann_topk_bruteforce` (see qcatalog/ml.py) — a NEW exact
+    # dedup rung deserves the driver gate more than a third exact-top-k
+    # carrier.
+    "ssjoin_prefix_pairs",
+    r"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, t AS token
+        FROM documents, LATERAL unnest(
+            string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')
+        ) AS u(t)
+        WHERE t <> ''
+    ),
+    df AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
+    sized AS (
+        SELECT doc_id, token,
+               count(*) OVER (PARTITION BY doc_id) AS n,
+               row_number() OVER
+                   (PARTITION BY doc_id ORDER BY d.df, token) AS rk
+        FROM toks JOIN df d USING (token)
+    ),
+    prefix AS (
+        SELECT doc_id, token, n FROM sized
+        WHERE rk <= n - ((n * 900000 + 999999) // 1000000) + 1
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
+               a.n AS n1, b.n AS n2
+        FROM prefix a JOIN prefix b USING (token)
+        WHERE a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc1, doc2, n1, n2, count(*) AS common
+        FROM cands
+        JOIN toks ta ON ta.doc_id = doc1
+        JOIN toks tb ON tb.doc_id = doc2 AND tb.token = ta.token
+        GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc1, doc2,
+           CAST(common AS BIGINT) AS common,
+           CAST(n1 + n2 - common AS BIGINT) AS union_sz,
+           common * 1000000 // (n1 + n2 - common) AS jaccard_micros
+    FROM common
+    WHERE common * 1000000 >= 900000 * (n1 + n2 - common)
+    """,
+)
+def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact set-similarity join via prefix filtering
+    (operators/ssjoin.py — SSJoin/PPJoin family, Chaudhuri et al. 2006 /
+    Xiao et al. 2008): Jaccard >= 0.9 pairs with candidates generated
+    from rare-first token prefixes only, then exact integer
+    verification.  Unlike the MinHash chain this is LOSSLESS — the
+    oracle recomputes the identical pair set from first principles, and
+    the unit suite pins equality with brute force.  All arithmetic is
+    integer (prefix length ceil, cross-multiplied threshold), so the
+    pair list is bit-stable cross-engine."""
+    from ..operators.ssjoin import prefix_filter_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return prefix_filter_pairs(
+        docs, "doc_id", "text", threshold_micros=900_000
+    )

@@ -220,7 +220,11 @@ def q_doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # predicted cluster; quantized dot products → exact cross-engine)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
+    # Round-7 rotation #3: demoted to EXTRA (local DuckDB gate kept).
+    # The exact-top-k facet rides the driver rows `doc_similarity_topk`
+    # (exact all-pairs top-k) and `ann_topk_ivfpq`'s exact-integer
+    # re-rank stage; the freed slot carries `ssjoin_prefix_pairs`.
     "ann_topk_bruteforce",
     """
     WITH q AS (

@@ -141,6 +141,9 @@ QUERIES = [
     "flac_audio_meta",
     "webp_image_meta",
     "ogg_opus_meta",
+    # replica-texture caveat applies (near-dup output grows ~x100 on
+    # duplicated text, like fuzzy_title_pairs): judge vs that baseline
+    "ssjoin_prefix_pairs",
 ]
 
 
