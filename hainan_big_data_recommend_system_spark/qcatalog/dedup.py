@@ -930,7 +930,7 @@ def q_cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents, LATERAL unnest(
             string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')
         ) AS u(t)
-        WHERE t <> ''
+        WHERE t <> '' AND doc_id % 5 = 0
     ),
     df AS (SELECT token, count(*) AS df FROM toks GROUP BY 1),
     sized AS (
@@ -970,14 +970,26 @@ def q_ssjoin_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ssjoin.py — SSJoin/PPJoin family, Chaudhuri et al. 2006 /
     Xiao et al. 2008): Jaccard >= 0.9 pairs with candidates generated
     from rare-first token prefixes only, then exact integer
-    verification.  Unlike the MinHash chain this is LOSSLESS — the
+    verification plus the lossless length-filter and exact-duplicate
+    collapse prunings.  Unlike the MinHash chain this is LOSSLESS — the
     oracle recomputes the identical pair set from first principles, and
     the unit suite pins equality with brute force.  All arithmetic is
     integer (prefix length ceil, cross-multiplied threshold), so the
-    pair list is bit-stable cross-engine."""
+    pair list is bit-stable cross-engine.
+
+    The driver row runs one corpus shard (doc_id % 5 — the same
+    bounded-batch discipline as reco_assembly's uid % 10): the fixture
+    corpus is a deliberate near-dup blob (~12% of ALL doc pairs clear
+    J >= 0.9 at sf0.1), so the unsharded pair list is ~1M rows of
+    OUTPUT — operator working as designed, wrong cost for a 50-query
+    bench window.  The oracle applies the identical shard."""
     from ..operators.ssjoin import prefix_filter_pairs
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 5 == 0)
+        .select("doc_id", "text")
+    )
     return prefix_filter_pairs(
         docs, "doc_id", "text", threshold_micros=900_000
     )

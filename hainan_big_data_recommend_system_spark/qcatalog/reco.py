@@ -312,3 +312,64 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_items = int(part.agg(F.max("p_partkey")).head()[0])
     return sample_negatives(inter, k=4, n_items=n_items)
+
+
+@register_extra(
+    "assoc_rules_lift",
+    """
+    WITH members AS (
+        SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+        FROM lineitem
+    ),
+    sized AS (
+        SELECT basket, item FROM members
+        WHERE basket IN (
+            SELECT basket FROM members GROUP BY 1 HAVING count(*) <= 64
+        )
+    ),
+    pairs AS (
+        SELECT a.item AS item_a, b.item AS item_b, count(*) AS supp_ab
+        FROM sized a
+        JOIN sized b ON a.basket = b.basket AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    rules AS (
+        SELECT item_a AS antecedent, item_b AS consequent, supp_ab
+        FROM pairs
+        UNION ALL
+        SELECT item_b, item_a, supp_ab FROM pairs
+    ),
+    supp AS (SELECT item, count(*) AS s FROM sized GROUP BY 1),
+    tot AS (SELECT count(DISTINCT basket) AS n FROM sized)
+    SELECT antecedent, consequent,
+           CAST(supp_ab AS BIGINT) AS supp_ab,
+           CAST(sa.s AS BIGINT) AS supp_a,
+           CAST(sb.s AS BIGINT) AS supp_b,
+           CAST(supp_ab * 1000000 // sa.s AS BIGINT)
+               AS confidence_micros,
+           CAST(supp_ab * tot.n * 1000000 // (sa.s * sb.s) AS BIGINT)
+               AS lift_micros
+    FROM rules
+    JOIN supp sa ON sa.item = antecedent
+    JOIN supp sb ON sb.item = consequent
+    CROSS JOIN tot
+    """,
+)
+def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules (operators/basket.py): directed
+    support/confidence/lift over order baskets — the "users who bought
+    A also bought B" statistic the reference's profile-similarity
+    recommender (simility_books.py:52-78) implies but never counts.
+    Pair generation self-joins on the basket key with the O(k^2)
+    oversized-basket guard; marginals and the basket total attach via
+    broadcast joins; confidence and lift are exact integer floors
+    (lift through decimal(38,0)), so every row hashes identically to
+    the oracle's replay of the same contingency table."""
+    from ..operators.basket import association_rules
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    return association_rules(
+        lineitem, "l_orderkey", "l_partkey",
+        min_support=2, max_basket_size=64,
+    )

@@ -743,3 +743,55 @@ def q_sql_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("customer", "orders"):
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_SEGMENT_SUMMARY_SQL)
+
+
+@register_extra(
+    "revenue_trend_slopes",
+    """
+    WITH v AS (
+        SELECT o_orderpriority AS priority,
+               CAST(year(o_orderdate) AS BIGINT) AS yr,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS x,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS y
+        FROM orders
+    ),
+    s AS (
+        SELECT priority, yr, count(*) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * y) AS sxy, sum(x * x) AS sxx
+        FROM v GROUP BY 1, 2
+    )
+    SELECT priority, yr, CAST(n AS BIGINT) AS n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST((CASE WHEN n * sxy - sx * sy < 0
+                          THEN -1 ELSE 1 END)
+                    * (abs(n * sxy - sx * sy) * 1000000
+                       // (n * sxx - sx * sx)) AS BIGINT)
+           END AS slope_scaled
+    FROM s
+    """,
+)
+def q_revenue_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact OLS revenue trend per (priority, year)
+    (operators/trend.py): slope of order cents on epoch-day from five
+    decimal(38,0) sufficient statistics in ONE map-side-combined
+    aggregate — no windows, no Python, no doubles.  The sign is
+    handled explicitly (sign x abs-floor) because Spark `div`
+    truncates toward zero while SQL `//` floors; on |num| the two
+    agree, so rising AND falling slopes hash identically against the
+    oracle's hugeint replay."""
+    from ..operators.trend import ols_slopes
+
+    orders = load_table(spark, sf_dir, "orders")
+    v = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
+    )
+    return ols_slopes(v, ["priority", "yr"], "x", "y")

@@ -935,3 +935,86 @@ def q_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("est_cents"),
     )
+
+
+@register_extra(
+    "anomalous_events",
+    """
+    WITH v AS (
+        SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS value_cents
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, value_cents, count(*) AS cnt
+        FROM v GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT event_type, value_cents, cnt,
+               sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY value_cents
+               ) AS cum
+        FROM c
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    med AS (
+        SELECT cc.event_type, value_cents AS median_value_cents
+        FROM cc JOIN n USING (event_type)
+        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+    ),
+    d AS (
+        SELECT v.*, median_value_cents,
+               abs(value_cents - median_value_cents)
+                   AS deviation_value_cents
+        FROM v JOIN med USING (event_type)
+    ),
+    dc AS (
+        SELECT event_type, deviation_value_cents AS dev, count(*) AS cnt
+        FROM d GROUP BY 1, 2
+    ),
+    dcc AS (
+        SELECT event_type, dev, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY dev)
+                   AS cum
+        FROM dc
+    ),
+    mad AS (
+        SELECT dcc.event_type, dev AS mad_value_cents
+        FROM dcc JOIN n USING (event_type)
+        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+    )
+    SELECT event_id, event_type, value_cents, median_value_cents,
+           mad_value_cents, deviation_value_cents
+    FROM d JOIN mad USING (event_type)
+    WHERE deviation_value_cents > 3 * mad_value_cents
+    """,
+)
+def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier screen (operators/anomaly.py): events
+    whose cents value deviates from the type's EXACT lower median by
+    more than 3x the exact MAD.  The median is found by value
+    compression (distinct-value running counts — never a one-task
+    per-group sort), stats join back as one-row-per-group broadcasts,
+    and everything is integer arithmetic, so the oracle's independent
+    window-SQL replay hashes identically.  Reference analogue: the
+    score trust the event loop extends to raw values
+    (guessLike.py:61-108) — this is the screen it was missing."""
+    from ..operators.anomaly import robust_outliers
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100)
+        .cast("bigint")
+        .alias("value_cents"),
+    )
+    return robust_outliers(
+        ev, ["event_type"], "value_cents", k_mads=3
+    ).select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        "median_value_cents",
+        "mad_value_cents",
+        "deviation_value_cents",
+    )

@@ -3650,3 +3650,105 @@ def q_ogg_opus_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pages long, n_packets long, last_granule long, "
         "duration_ms long, tags_joined string, payload_bytes long",
     )
+
+
+_ADTS_RATES = (
+    "[96000,88200,64000,48000,44100,32000,"
+    "24000,22050,16000,12000,11025,8000]"
+)
+
+
+@register_extra(
+    "aac_audio_meta",
+    f"""
+    WITH d AS (
+        SELECT doc_id,
+               2 + doc_id % 5 AS n,
+               CAST(doc_id % 12 AS INT) AS sfi,
+               CAST(1 + doc_id % 7 AS BIGINT) AS channels,
+               CAST(doc_id % 4 AS INT) AS prof,
+               doc_id % 3 = 0 AS crc,
+               doc_id % 2 = 1 AS vbr
+        FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, sfi, channels, prof, crc, vbr,
+               sum((doc_id + k) % 4 + 1) AS blocks,
+               sum((CASE WHEN crc THEN 9 ELSE 7 END)
+                   + 20 + (doc_id * 7 + k * 13) % 101) AS bytes
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS k)
+        GROUP BY ALL
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(({_ADTS_RATES})[1 + sfi] AS BIGINT) AS sample_rate,
+           channels,
+           (['Main','LC','SSR','LTP'])[1 + prof] AS profile,
+           CAST(blocks AS BIGINT) AS total_blocks,
+           CAST(bytes AS BIGINT) AS stream_bytes,
+           CAST(blocks * 1024 * 1000 // ({_ADTS_RATES})[1 + sfi]
+                AS BIGINT) AS duration_ms,
+           CAST(CASE WHEN vbr THEN 1 ELSE 0 END AS BIGINT) AS is_vbr,
+           CAST(CASE WHEN crc THEN 1 ELSE 0 END AS BIGINT) AS has_crc
+    FROM f
+    """,
+)
+def q_aac_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADTS/AAC frame walk (operators/adts.py): per doc a real ADTS
+    stream — frame count, raw-data-block counts, payload lengths, CRC
+    presence and VBR fullness all formula-varied — walked by the
+    self-framing header parser.  Duration uses the per-frame
+    raw-data-block count (rdb+1 blocks x 1024 samples), NOT frames x
+    1024; the oracle recomputes blocks and byte geometry from the same
+    formulas, so a bit-packing error or a frames-x-1024 shortcut
+    mismatches every row with rdb > 0."""
+    import pandas as pd
+
+    from ..operators.adts import make_adts, parse_adts
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 5
+                frames = [
+                    ((did + k) % 4, 20 + (did * 7 + k * 13) % 101)
+                    for k in range(n)
+                ]
+                m = parse_adts(
+                    make_adts(
+                        frames,
+                        profile=did % 4,
+                        sfi=did % 12,
+                        channels=1 + did % 7,
+                        crc=did % 3 == 0,
+                        vbr=did % 2 == 1,
+                    )
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_frames": m["n_frames"],
+                        "sample_rate": m["sample_rate"],
+                        "channels": m["channels"],
+                        "profile": m["profile"],
+                        "total_blocks": m["total_blocks"],
+                        "stream_bytes": m["stream_bytes"],
+                        "duration_ms": m["duration_ms"],
+                        "is_vbr": 1 if m["is_vbr"] else 0,
+                        "has_crc": 1 if m["has_crc"] else 0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, n_frames long, sample_rate long, channels long, "
+        "profile string, total_blocks long, stream_bytes long, "
+        "duration_ms long, is_vbr long, has_crc long",
+    )

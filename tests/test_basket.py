@@ -1,0 +1,107 @@
+"""Market-basket semantics (operators/basket.py): pair counting is
+presence-based and symmetric, the oversized-basket guard excludes (not
+samples), and confidence/lift are exact integer floors.  The composed
+query is hash-oracled in tests/test_oracle.py (`assoc_rules_lift`)."""
+
+from __future__ import annotations
+
+import itertools
+
+from hainan_big_data_recommend_system_spark.operators.basket import (
+    association_rules,
+    basket_pair_counts,
+)
+
+# basket -> items (with deliberate duplicates and one oversized basket)
+_BASKETS = {
+    1: ["a", "b", "c"],
+    2: ["a", "b", "b"],  # duplicate b counts once
+    3: ["b", "c"],
+    4: ["a", "c"],
+    5: ["a", "b"],
+    6: [f"x{i}" for i in range(5)] + ["a"],  # oversized at cap 4
+}
+
+
+def _df(spark):
+    rows = [
+        (bk, it) for bk, items in _BASKETS.items() for it in items
+    ]
+    return spark.createDataFrame(rows, "basket long, item string")
+
+
+def _brute_pairs(cap):
+    counts = {}
+    for items in _BASKETS.values():
+        s = sorted(set(items))
+        if len(s) > cap:
+            continue
+        for a, b in itertools.combinations(s, 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    return counts
+
+
+def test_pair_counts_match_brute_force(spark):
+    got = {
+        (r["item_a"], r["item_b"]): r["supp_ab"]
+        for r in basket_pair_counts(
+            _df(spark), "basket", "item", max_basket_size=4
+        ).collect()
+    }
+    assert got == _brute_pairs(4)
+
+
+def test_oversized_basket_excluded_entirely(spark):
+    # with the cap raised the x-items appear; at cap 4 none of basket
+    # 6's pairs exist, including ("a", "x0")
+    low = _brute_pairs(4)
+    assert not any("x0" in p for p in low)
+    high = {
+        (r["item_a"], r["item_b"]): r["supp_ab"]
+        for r in basket_pair_counts(
+            _df(spark), "basket", "item", max_basket_size=16
+        ).collect()
+    }
+    assert high == _brute_pairs(16)
+    assert ("a", "x0") in high
+
+
+def test_rule_statistics_exact(spark):
+    rules = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(
+            _df(spark), "basket", "item",
+            min_support=2, max_basket_size=4,
+        ).collect()
+    }
+    # marginals post-filter: baskets 1-5 only
+    supp = {"a": 4, "b": 4, "c": 3}
+    n = 5
+    pairs = _brute_pairs(4)
+    expect = {}
+    for (x, y), sab in pairs.items():
+        if sab < 2:
+            continue
+        for ant, con in ((x, y), (y, x)):
+            expect[(ant, con)] = (
+                sab,
+                supp[ant],
+                supp[con],
+                sab * 1_000_000 // supp[ant],
+                sab * n * 1_000_000 // (supp[ant] * supp[con]),
+            )
+    got = {
+        k: (
+            r["supp_ab"],
+            r["supp_a"],
+            r["supp_b"],
+            r["confidence_micros"],
+            r["lift_micros"],
+        )
+        for k, r in rules.items()
+    }
+    assert got == expect
+    # both directions of every pair present, lift symmetric
+    for (ant, con), r in expect.items():
+        assert (con, ant) in expect
+        assert expect[(ant, con)][4] == expect[(con, ant)][4]

@@ -38,6 +38,10 @@ from hainan_big_data_recommend_system_spark.operators.exif import (
     add_exif,
     parse_exif,
 )
+from hainan_big_data_recommend_system_spark.operators.adts import (
+    make_adts,
+    parse_adts,
+)
 from hainan_big_data_recommend_system_spark.operators.mp3 import (
     make_mp3,
     parse_mp3,
@@ -107,6 +111,8 @@ CASES = {
     ),
     "mp3": (lambda: make_mp3([(9, 0, 0, 1), (5, 0, 1, 1)],
                              id3_payload=b"tag"), parse_mp3),
+    "adts": (lambda: make_adts([(0, 30), (3, 45)], profile=1, sfi=4,
+                               channels=2, crc=True), parse_adts),
     "mp4": (lambda: make_fixture_mp4(7), parse_mp4),
     "mp4_v1": (lambda: make_fixture_mp4(3), parse_mp4),
     "flac": (lambda: make_flac(44100, 2, 16, 5000,

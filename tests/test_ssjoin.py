@@ -32,19 +32,28 @@ def _docs(spark, rows):
 
 class TestLossless:
     def test_equals_brute_force(self, spark):
-        # overlapping shingled vocab: many near-dup pairs at varying J
+        # overlapping shingled vocab: many near-dup pairs at varying J,
+        # plus exact-duplicate token sets (docs 200/201/202 == doc 3's
+        # set, reordered/repeated) so the collapse+expand path carries
+        # real cliques.  Both code paths must equal brute force.
         rows = [
             (i, " ".join(f"w{j}" for j in range(i, i + 20)))
             for i in range(30)
-        ] + [(100 + i, f"unique{i} " * 3) for i in range(5)]
+        ] + [(100 + i, f"unique{i} " * 3) for i in range(5)] + [
+            (200, " ".join(f"w{j}" for j in range(22, 2, -1))),
+            (201, " ".join(f"w{j}" for j in range(3, 23)) + " w3 w4"),
+            (202, " ".join(f"w{j}" for j in range(3, 23))),
+        ]
         for t in (500_000, 800_000, 900_000, 1_000_000):
-            got = {
-                (r["doc1"], r["doc2"], r["common"], r["union_sz"])
-                for r in prefix_filter_pairs(
-                    _docs(spark, rows), "doc_id", "text", t
-                ).collect()
-            }
-            assert got == _brute(rows, t), f"threshold {t}"
+            for collapse in (True, False):
+                got = {
+                    (r["doc1"], r["doc2"], r["common"], r["union_sz"])
+                    for r in prefix_filter_pairs(
+                        _docs(spark, rows), "doc_id", "text", t,
+                        collapse_exact=collapse,
+                    ).collect()
+                }
+                assert got == _brute(rows, t), (t, collapse)
 
     def test_exact_duplicates_at_threshold_one(self, spark):
         rows = [(1, "a b c"), (2, "c b a"), (3, "a b d")]
