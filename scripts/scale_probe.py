@@ -144,6 +144,10 @@ QUERIES = [
     # replica-texture caveat applies (near-dup output grows ~x100 on
     # duplicated text, like fuzzy_title_pairs): judge vs that baseline
     "ssjoin_prefix_pairs",
+    "assoc_rules_lift",
+    "anomalous_events",
+    "revenue_trend_slopes",
+    "aac_audio_meta",
 ]
 
 

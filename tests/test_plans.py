@@ -305,3 +305,42 @@ def test_ivfpq_refined_rerank_joins_are_broadcast(spark):
     plan = plan_of(spark, "ann_topk_ivfpq_refined")
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_assoc_rules_marginals_and_total_are_broadcast(spark):
+    plan = plan_of(spark, "assoc_rules_lift")
+    # both support joins and the 1-row basket total attach broadcast —
+    # the pair table (the big side at 100 TB) is never re-shuffled for
+    # them; no cartesian anywhere (the total enters via a 1-row
+    # BroadcastNestedLoopJoin, constant-bounded by construction)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_anomalous_events_windows_are_value_compressed(spark):
+    plan = plan_of(spark, "anomalous_events")
+    # the median windows run over (group, distinct value) — never an
+    # unpartitioned global window, and never a per-row sort window
+    assert "WindowExec: No Partition Defined" not in plan, plan
+    # stats join back as one-row-per-group broadcasts
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Python" not in plan, plan  # pure expressions end to end
+
+
+def test_revenue_trend_is_one_aggregate_no_window(spark):
+    plan = plan_of(spark, "revenue_trend_slopes")
+    # five sufficient statistics in ONE map-side-combined aggregation:
+    # a single exchange on the group key, no windows, no Python
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_ssjoin_prefix_windows_doc_partitioned_no_python(spark):
+    plan = plan_of(spark, "ssjoin_prefix_pairs")
+    # prefix-rank windows partition BY DOCUMENT (bounded rows), the
+    # collapse path is pure expressions (md5 over sort_array), and no
+    # cartesian appears anywhere in candidate generation
+    assert "WindowExec: No Partition Defined" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
