@@ -3752,3 +3752,110 @@ def q_aac_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "profile string, total_blocks long, stream_bytes long, "
         "duration_ms long, is_vbr long, has_crc long",
     )
+
+
+@register_extra(
+    "webm_video_meta",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               (['V_VP9','V_VP8','V_AV1'])[1 + doc_id % 3] AS vcodec,
+               ([1000000, 500000, 2000000])[1 + doc_id % 3] AS scale,
+               CAST(16 * (4 + doc_id % 60) AS BIGINT) AS video_width,
+               CAST(16 * (3 + doc_id % 40) AS BIGINT) AS video_height,
+               doc_id % 2 = 0 AS has_audio,
+               CAST(1 + doc_id % 4 AS BIGINT) AS n_clusters
+        FROM documents
+    ),
+    blocks AS (
+        SELECT doc_id, sum(1 + (doc_id + k) % 3) AS n_blocks
+        FROM d, LATERAL (SELECT unnest(range(0, n_clusters)) AS k)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           'webm' AS doctype,
+           CAST(scale AS BIGINT) AS timestamp_scale,
+           CAST(CASE WHEN has_audio THEN 2 ELSE 1 END AS BIGINT)
+               AS n_tracks,
+           vcodec || CASE WHEN has_audio THEN ',A_OPUS' ELSE '' END
+               AS codec_list,
+           video_width, video_height,
+           CASE WHEN has_audio
+                THEN CAST(1 + d.doc_id % 6 AS BIGINT) END
+               AS audio_channels,
+           n_clusters,
+           CAST(b.n_blocks AS BIGINT) AS n_blocks,
+           CAST(((n_clusters - 1) * 1000 + 16 + d.doc_id % 997
+                 + ((1 + (d.doc_id + n_clusters - 1) % 3) - 1) * 33
+                 - 16) * scale // 1000000 AS BIGINT) AS duration_ms
+    FROM d JOIN blocks b USING (doc_id)
+    """,
+)
+def q_webm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebM/Matroska EBML walk (operators/mkv.py): per doc a real EBML
+    stream — VINT-framed elements (IDs keep the length-marker bit,
+    sizes strip it), nested Segment/Info/Tracks/Cluster masters,
+    signed 16-bit SimpleBlock timestamps — walked by recursive descent
+    with unknown-element skip.  Duration is derived as an exact
+    integer from the last block tick x TimestampScale, never the
+    float Duration element; the oracle replays every formula, so a
+    VINT marker-bit mix-up or signed-timestamp bug mismatches rows."""
+    import pandas as pd
+
+    from ..operators.mkv import make_webm, parse_webm
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                scale = [1_000_000, 500_000, 2_000_000][did % 3]
+                tracks = [
+                    (
+                        1,
+                        ["V_VP9", "V_VP8", "V_AV1"][did % 3],
+                        16 * (4 + did % 60),
+                        16 * (3 + did % 40),
+                    )
+                ]
+                if did % 2 == 0:
+                    tracks.append((2, "A_OPUS", 1 + did % 6, 0))
+                nc = 1 + did % 4
+                clusters = [
+                    (
+                        k * 1000 + 16 + did % 997,
+                        [j * 33 - 16 for j in range(1 + (did + k) % 3)],
+                    )
+                    for k in range(nc)
+                ]
+                m = parse_webm(
+                    make_webm(tracks, clusters, timestamp_scale=scale)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "doctype": m["doctype"],
+                        "timestamp_scale": m["timestamp_scale"],
+                        "n_tracks": m["n_tracks"],
+                        "codec_list": ",".join(m["codecs"]),
+                        "video_width": m["video_width"],
+                        "video_height": m["video_height"],
+                        "audio_channels": m["audio_channels"],
+                        "n_clusters": m["n_clusters"],
+                        "n_blocks": m["n_blocks"],
+                        "duration_ms": m["duration_ms"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, doctype string, timestamp_scale long, "
+        "n_tracks long, codec_list string, video_width long, "
+        "video_height long, audio_channels long, n_clusters long, "
+        "n_blocks long, duration_ms long",
+    )

@@ -42,6 +42,10 @@ from hainan_big_data_recommend_system_spark.operators.adts import (
     make_adts,
     parse_adts,
 )
+from hainan_big_data_recommend_system_spark.operators.mkv import (
+    make_webm,
+    parse_webm,
+)
 from hainan_big_data_recommend_system_spark.operators.mp3 import (
     make_mp3,
     parse_mp3,
@@ -113,6 +117,9 @@ CASES = {
                              id3_payload=b"tag"), parse_mp3),
     "adts": (lambda: make_adts([(0, 30), (3, 45)], profile=1, sfi=4,
                                channels=2, crc=True), parse_adts),
+    "webm": (lambda: make_webm([(1, "V_VP9", 64, 48), (2, "A_OPUS", 2, 0)],
+                               [(100, [0, 33]), (1100, [-16, 0])]),
+             parse_webm),
     "mp4": (lambda: make_fixture_mp4(7), parse_mp4),
     "mp4_v1": (lambda: make_fixture_mp4(3), parse_mp4),
     "flac": (lambda: make_flac(44100, 2, 16, 5000,
