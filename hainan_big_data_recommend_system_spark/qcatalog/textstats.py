@@ -3859,3 +3859,84 @@ def q_webm_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "video_height long, audio_channels long, n_clusters long, "
         "n_blocks long, duration_ms long",
     )
+
+
+@register_extra(
+    "pb_log_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 3 + doc_id % 5 AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n,
+               sum(doc_id * 1000 + k * 37) AS sum_ts,
+               sum((k - 2) * (1 + doc_id % 89)) AS sum_delta,
+               count(DISTINCT (doc_id + k) % 4) AS distinct_users,
+               sum((doc_id + 3 * k) % 17) AS payload_bytes,
+               sum((doc_id * 2654435761 + k * 97) % 4294967296)
+                   AS checksum_sum,
+               sum(CASE WHEN k % 3 = 0 THEN 1 ELSE 0 END) AS n_nested,
+               sum(CASE WHEN k % 3 = 0 THEN doc_id % 97 + k END)
+                   AS nested_sum
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS k)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_records,
+           CAST(sum_ts AS BIGINT) AS sum_ts,
+           CAST(sum_delta AS BIGINT) AS sum_delta,
+           CAST(distinct_users AS BIGINT) AS distinct_users,
+           CAST(payload_bytes AS BIGINT) AS payload_bytes,
+           CAST(checksum_sum AS BIGINT) AS checksum_sum,
+           CAST(n_nested AS BIGINT) AS n_nested,
+           CAST(nested_sum AS BIGINT) AS nested_sum
+    FROM f
+    """,
+)
+def q_pb_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Protobuf wire-format log scan (operators/pbwire.py): per doc a
+    real length-prefixed stream of LogRecord messages — multi-byte
+    varints, BOTH-SIGN zigzag deltas, utf-8 strings, fixed32
+    little-endian checksums, nested submessages, unknown-field skip —
+    decoded schema-light by wire type.  The oracle replays every field
+    formula; a zigzag sign-extension bug or varint continuation error
+    mismatches sum_delta/sum_ts on most rows."""
+    import pandas as pd
+
+    from ..operators.pbwire import make_pb_log, parse_pb_stream
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 5
+                recs = []
+                for j in range(n):
+                    r = {
+                        "ts": did * 1000 + j * 37,
+                        "user": f"u{(did + j) % 4}",
+                        "delta": (j - 2) * (1 + did % 89),
+                        "payload": bytes((did + i) % 251
+                                         for i in range((did + 3 * j) % 17)),
+                        "checksum": (did * 2654435761 + j * 97)
+                        % 4294967296,
+                    }
+                    if j % 3 == 0:
+                        r["nested"] = did % 97 + j
+                    recs.append(r)
+                m = parse_pb_stream(make_pb_log(recs))
+                m["doc_id"] = did
+                rows.append(m)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "n_records long, sum_ts long, sum_delta long, "
+        "distinct_users long, payload_bytes long, checksum_sum long, "
+        "n_nested long, nested_sum long, doc_id long",
+    )

@@ -66,6 +66,10 @@ from hainan_big_data_recommend_system_spark.operators.webp import (
     make_webp,
     parse_webp,
 )
+from hainan_big_data_recommend_system_spark.operators.pbwire import (
+    make_pb_log,
+    parse_pb_stream,
+)
 from hainan_big_data_recommend_system_spark.operators.pdftext import (
     extract_pdf_text,
     make_pdf,
@@ -132,6 +136,12 @@ CASES = {
             parse_ogg_opus),
     "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
             extract_pdf_text),
+    "pbwire": (lambda: make_pb_log([
+        {"ts": 9, "user": "u1", "delta": -3, "payload": b"xyz",
+         "checksum": 7, "nested": 4},
+        {"ts": 300, "user": "u2", "delta": 2, "payload": b"",
+         "checksum": 9},
+    ]), parse_pb_stream),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
             parse_tar),
     "zip": (lambda: make_zip([("a.txt", b"abc"), ("b", b"d" * 700)]),
