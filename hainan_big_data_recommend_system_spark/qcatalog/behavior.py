@@ -303,3 +303,144 @@ def q_attribution_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.attribution import channel_report
 
     return channel_report(_attribution_credits(spark, sf_dir))
+
+
+@register_extra(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type AS from_type,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS to_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT from_type, to_type, count(*) AS n
+        FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT from_type, sum(n) AS t FROM pairs GROUP BY 1
+    )
+    SELECT p.from_type, p.to_type,
+           CAST(p.n AS BIGINT) AS n_transitions,
+           CAST(t.t AS BIGINT) AS from_total,
+           CAST(p.n * 1000000 // t.t AS BIGINT) AS prob_micros
+    FROM pairs p JOIN totals t USING (from_type)
+    """,
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences — the Sankey/path-analysis primitive: for every
+    (from_type, to_type) pair the transition count and the exact
+    integer probability (micros, floor `div`).  One user-partitioned
+    lead window (deterministic (ts, event_id) order), one
+    map-side-combined count, and a broadcast-sized totals join — the
+    reference's per-user event loop (guessLike.py:61-108) never
+    aggregates across users; this is that corpus-wide view."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).where(F.col("to_type").isNotNull())
+    pairs = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    totals = pairs.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("from_total")
+    )
+    return pairs.join(F.broadcast(totals), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.col("from_total").cast("long").alias("from_total"),
+        F.expr("n_transitions * 1000000 div from_total").alias(
+            "prob_micros"
+        ),
+    )
+
+
+@register_extra(
+    "event_interarrival_stats",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               epoch_us(lead(ts) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               )) - epoch_us(ts) AS gap_us
+        FROM events
+    ),
+    gaps AS (SELECT event_type, gap_us FROM seq WHERE gap_us IS NOT NULL),
+    c AS (
+        SELECT event_type, gap_us, count(*) AS cnt
+        FROM gaps GROUP BY 1, 2
+    ),
+    cc AS (
+        SELECT event_type, gap_us, cnt,
+               sum(cnt) OVER (
+                   PARTITION BY event_type ORDER BY gap_us
+               ) AS cum
+        FROM c
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM gaps GROUP BY 1),
+    med AS (
+        SELECT cc.event_type, gap_us AS median_gap_us
+        FROM cc JOIN n USING (event_type)
+        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+    )
+    SELECT g.event_type,
+           CAST(count(*) AS BIGINT) AS n_gaps,
+           CAST(min(g.gap_us) AS BIGINT) AS min_gap_us,
+           CAST(max(g.gap_us) AS BIGINT) AS max_gap_us,
+           CAST(sum(g.gap_us) AS BIGINT) AS total_gap_us,
+           CAST(any_value(m.median_gap_us) AS BIGINT) AS median_gap_us
+    FROM gaps g JOIN med m USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type inter-arrival statistics over per-user event streams:
+    gap extraction is one keyed lead window in exact MICROSECONDS
+    (unix_micros / epoch_us — integer on both engines; per-second
+    truncation diverges on sub-second timestamps); the EXACT median gap
+    reuses the value-compression median (operators/anomaly.py
+    exact_group_median — distinct-second running counts, never a
+    one-task per-type sort), demonstrating the robust-stats operator
+    as a reusable primitive.  All integers; the oracle replays the
+    window and the compressed median independently."""
+    from ..operators.anomaly import exact_group_median
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        ev.select(
+            "event_type",
+            (
+                F.unix_micros(F.lead("ts").over(w))
+                - F.unix_micros("ts")
+            )
+            .cast("long")
+            .alias("gap_us"),
+        )
+        .where(F.col("gap_us").isNotNull())
+    )
+    med = exact_group_median(
+        gaps, ["event_type"], "gap_us", "median_gap_us"
+    )
+    agg = gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.min("gap_us").cast("long").alias("min_gap_us"),
+        F.max("gap_us").cast("long").alias("max_gap_us"),
+        F.sum("gap_us").cast("long").alias("total_gap_us"),
+    )
+    return agg.join(F.broadcast(med), "event_type").select(
+        "event_type", "n_gaps", "min_gap_us", "max_gap_us",
+        "total_gap_us", "median_gap_us",
+    )
