@@ -1,0 +1,261 @@
+"""Avro Object Container File (OCF) reader — the big-data-native row
+format: Kafka archives, warehouse exports and ingestion hand-offs ship
+as ``.avro`` container files, so a corpus/ETL engine meets them right
+after parquet.  Built from the public Apache Avro 1.11 specification
+(avro.apache.org/docs — file container format + binary encoding); no
+avro library exists in this environment, so both the writer (fixture)
+and reader implement the spec directly, the same discipline as every
+other codec here (operators/mp3.py, operators/mkv.py).
+
+Format walked:
+
+- header: magic ``Obj\\x01``, then the file-metadata MAP — avro maps
+  arrive in COUNT-PREFIXED BLOCKS (zigzag-varint count, then that many
+  key/value pairs, repeated until a 0 count; a NEGATIVE count means an
+  explicit byte size follows — both forms handled), carrying
+  ``avro.schema`` (JSON) and ``avro.codec``; then the 16-byte sync
+  marker;
+- data blocks: zigzag-varint record count, zigzag-varint byte size,
+  the serialized records (raw-DEFLATE-compressed when codec is
+  ``deflate`` — RFC 1951, NO zlib wrapper: the classic interop trap),
+  then the sync marker again, which MUST equal the header's;
+- records per the schema: longs/ints are zigzag varints, strings and
+  bytes are length-prefixed, booleans one byte, and nullable fields
+  are avro UNIONS — a zigzag branch index then the branch value.
+
+The reader validates magic, metadata termination, sync-marker equality
+per block, byte-size consistency (a block must decode to exactly its
+declared records consuming exactly its declared bytes), and union
+branch indexes; any violation raises ValueError for the quarantine
+path.  Schema support is scoped to flat records of
+long/int/string/bytes/boolean and ``["null", primitive]`` unions — the
+warehouse-export shape — and unknown schemas fail loudly rather than
+guessing.
+"""
+
+from __future__ import annotations
+
+import json
+import zlib
+
+_MAGIC = b"Obj\x01"
+_PRIMITIVES = {"long", "int", "string", "bytes", "boolean"}
+
+
+def _zz(n: int) -> int:
+    return (n << 1) ^ (n >> 63) if n >= 0 else ((-n) << 1) - 1
+
+
+def _write_varint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def write_long(n: int) -> bytes:
+    """Avro long: zigzag then base-128 varint."""
+    return _write_varint(_zz(n))
+
+
+def read_long(buf: bytes, pos: int) -> tuple[int, int]:
+    result = 0
+    shift = 0
+    while True:
+        if pos >= len(buf):
+            raise ValueError(f"avro long truncated at {pos}")
+        if shift > 63:
+            raise ValueError(f"avro long at {pos} exceeds 64 bits")
+        b = buf[pos]
+        pos += 1
+        result |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return (result >> 1) ^ -(result & 1), pos
+        shift += 7
+
+
+def _write_bytes(b: bytes) -> bytes:
+    return write_long(len(b)) + b
+
+
+def _read_sized(buf: bytes, pos: int) -> tuple[bytes, int]:
+    ln, pos = read_long(buf, pos)
+    if ln < 0 or pos + ln > len(buf):
+        raise ValueError(f"sized value at {pos} truncated or negative")
+    return buf[pos : pos + ln], pos + ln
+
+
+def _encode_field(ftype, value) -> bytes:
+    if isinstance(ftype, list):  # union ["null", X]
+        if value is None:
+            return write_long(ftype.index("null"))
+        branch = 1 - ftype.index("null")
+        return write_long(branch) + _encode_field(ftype[branch], value)
+    if ftype in ("long", "int"):
+        return write_long(int(value))
+    if ftype == "string":
+        return _write_bytes(str(value).encode("utf-8"))
+    if ftype == "bytes":
+        return _write_bytes(bytes(value))
+    if ftype == "boolean":
+        return b"\x01" if value else b"\x00"
+    raise ValueError(f"unsupported avro type {ftype!r}")
+
+
+def _decode_field(ftype, buf: bytes, pos: int):
+    if isinstance(ftype, list):
+        idx, pos = read_long(buf, pos)
+        if not 0 <= idx < len(ftype):
+            raise ValueError(f"union branch {idx} out of range at {pos}")
+        if ftype[idx] == "null":
+            return None, pos
+        return _decode_field(ftype[idx], buf, pos)
+    if ftype in ("long", "int"):
+        return read_long(buf, pos)
+    if ftype == "string":
+        raw, pos = _read_sized(buf, pos)
+        return raw.decode("utf-8", "strict"), pos
+    if ftype == "bytes":
+        return _read_sized(buf, pos)
+    if ftype == "boolean":
+        if pos >= len(buf):
+            raise ValueError(f"boolean truncated at {pos}")
+        if buf[pos] not in (0, 1):
+            raise ValueError(f"boolean byte 0x{buf[pos]:02x} at {pos}")
+        return buf[pos] == 1, pos + 1
+    raise ValueError(f"unsupported avro type {ftype!r}")
+
+
+def _normalize_schema(schema: dict) -> list[tuple[str, object]]:
+    if schema.get("type") != "record" or "fields" not in schema:
+        raise ValueError("only flat record schemas are supported")
+    out = []
+    for f in schema["fields"]:
+        ft = f["type"]
+        if isinstance(ft, list):
+            if (
+                len(ft) != 2
+                or ft.count("null") != 1
+                or next(t for t in ft if t != "null") not in _PRIMITIVES
+            ):
+                raise ValueError(f"unsupported union {ft!r}")
+        elif ft not in _PRIMITIVES:
+            raise ValueError(f"unsupported field type {ft!r}")
+        out.append((f["name"], ft))
+    return out
+
+
+def make_avro(
+    schema: dict,
+    blocks: list[list[dict]],
+    codec: str = "null",
+    sync: bytes = bytes(range(16)),
+) -> bytes:
+    """Spec-shaped OCF: one data block per ``blocks`` entry."""
+    if len(sync) != 16:
+        raise ValueError("sync marker must be 16 bytes")
+    fields = _normalize_schema(schema)
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("ascii"),
+    }
+    out = bytearray(_MAGIC)
+    out += write_long(len(meta))
+    for k, v in sorted(meta.items()):
+        out += _write_bytes(k.encode("utf-8")) + _write_bytes(v)
+    out += write_long(0)  # map terminator
+    out += sync
+    for recs in blocks:
+        body = bytearray()
+        for r in recs:
+            for name, ftype in fields:
+                body += _encode_field(ftype, r.get(name))
+        data = bytes(body)
+        if codec == "deflate":  # raw RFC 1951, no zlib wrapper
+            co = zlib.compressobj(wbits=-15)
+            data = co.compress(data) + co.flush()
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        out += write_long(len(recs)) + write_long(len(data)) + data
+        out += sync
+    return bytes(out)
+
+
+def parse_avro(payload: bytes) -> dict:
+    """``{codec, n_blocks, n_records, records}`` from a full container
+    walk; ``records`` is the decoded list of dicts.  Raises ValueError
+    on any framing, sync, codec, or schema violation."""
+    if payload[:4] != _MAGIC:
+        raise ValueError("not an avro object container (bad magic)")
+    pos = 4
+    meta: dict[str, bytes] = {}
+    while True:
+        count, pos = read_long(payload, pos)
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count -> explicit byte size
+            count = -count
+            _, pos = read_long(payload, pos)
+        for _ in range(count):
+            k, pos = _read_sized(payload, pos)
+            v, pos = _read_sized(payload, pos)
+            meta[k.decode("utf-8", "strict")] = v
+    if "avro.schema" not in meta:
+        raise ValueError("container metadata carries no avro.schema")
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except json.JSONDecodeError as e:
+        raise ValueError(f"avro.schema is not valid JSON: {e}") from None
+    fields = _normalize_schema(schema)
+    codec = meta.get("avro.codec", b"null").decode("ascii", "strict")
+    if codec not in ("null", "deflate"):
+        raise ValueError(f"unsupported codec {codec!r}")
+    if pos + 16 > len(payload):
+        raise ValueError("header sync marker truncated")
+    sync = payload[pos : pos + 16]
+    pos += 16
+
+    records = []
+    n_blocks = 0
+    while pos < len(payload):
+        count, pos = read_long(payload, pos)
+        size, pos = read_long(payload, pos)
+        if count <= 0 or size < 0:
+            raise ValueError(f"block at {pos} declares count {count}")
+        if pos + size > len(payload):
+            raise ValueError(f"block at {pos} truncated ({size} bytes)")
+        data = payload[pos : pos + size]
+        pos += size
+        if codec == "deflate":
+            try:
+                data = zlib.decompress(data, wbits=-15)
+            except zlib.error as e:
+                raise ValueError(f"deflate block corrupt: {e}") from None
+        dp = 0
+        for _ in range(count):
+            rec = {}
+            for name, ftype in fields:
+                rec[name], dp = _decode_field(ftype, data, dp)
+            records.append(rec)
+        if dp != len(data):
+            raise ValueError(
+                f"block decoded {dp} of {len(data)} bytes — count/size "
+                "inconsistent"
+            )
+        n_blocks += 1
+        if pos + 16 > len(payload):
+            raise ValueError("block sync marker truncated")
+        if payload[pos : pos + 16] != sync:
+            raise ValueError(f"sync marker mismatch after block {n_blocks}")
+        pos += 16
+    return {
+        "codec": codec,
+        "n_blocks": n_blocks,
+        "n_records": len(records),
+        "records": records,
+    }

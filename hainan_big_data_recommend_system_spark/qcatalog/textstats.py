@@ -3940,3 +3940,123 @@ def q_pb_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_users long, payload_bytes long, checksum_sum long, "
         "n_nested long, nested_sum long, doc_id long",
     )
+
+
+@register_extra(
+    "avro_container_scan",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 1 THEN 'deflate' ELSE 'null' END
+                   AS codec,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_blocks
+        FROM documents
+    ),
+    sizes AS (
+        SELECT doc_id, sum(1 + (doc_id + b) % 4) AS g
+        FROM d, LATERAL (SELECT unnest(range(0, n_blocks)) AS b)
+        GROUP BY 1
+    ),
+    recs AS (
+        SELECT d.doc_id,
+               sum(d.doc_id * 100 + i * 7) AS sum_id,
+               sum(CASE WHEN i % 3 = 0 THEN 1 ELSE 0 END)
+                   AS n_null_scores,
+               sum(CASE WHEN i % 3 <> 0 THEN d.doc_id % 50 + i
+                        ELSE 0 END) AS sum_score,
+               sum(CASE WHEN i % 2 = 0 THEN 1 ELSE 0 END) AS n_flags,
+               count(DISTINCT (d.doc_id + i) % 5) AS distinct_users
+        FROM d JOIN sizes s USING (doc_id),
+             LATERAL (SELECT unnest(range(0, CAST(s.g AS BIGINT))) AS i)
+        GROUP BY 1
+    )
+    SELECT d.doc_id, d.codec, d.n_blocks,
+           CAST(s.g AS BIGINT) AS n_records,
+           CAST(r.sum_id AS BIGINT) AS sum_id,
+           CAST(r.n_null_scores AS BIGINT) AS n_null_scores,
+           CAST(r.sum_score AS BIGINT) AS sum_score,
+           CAST(r.n_flags AS BIGINT) AS n_flags,
+           CAST(r.distinct_users AS BIGINT) AS distinct_users
+    FROM d JOIN sizes s USING (doc_id) JOIN recs r USING (doc_id)
+    """,
+)
+def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro OCF walk (operators/avrocf.py): per doc a real object
+    container file — zigzag-varint longs (negative ids exercised in
+    unit tests), count-blocked metadata map, nullable-union scores,
+    per-block sync-marker equality, and raw-DEFLATE blocks on half the
+    docs (RFC 1951, no zlib wrapper — the classic interop trap) —
+    decoded against the embedded JSON schema.  The oracle replays the
+    record formulas; a zigzag, union-branch, or block-framing bug
+    mismatches sums on most rows."""
+    import pandas as pd
+
+    from ..operators.avrocf import make_avro, parse_avro
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    schema = {
+        "type": "record",
+        "name": "LogRow",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "user", "type": "string"},
+            {"name": "score", "type": ["null", "long"]},
+            {"name": "flag", "type": "boolean"},
+        ],
+    }
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                codec = "deflate" if did % 2 else "null"
+                nb = 1 + did % 3
+                blocks, g = [], 0
+                for b in range(nb):
+                    m = 1 + (did + b) % 4
+                    recs = []
+                    for _ in range(m):
+                        recs.append(
+                            {
+                                "id": did * 100 + g * 7,
+                                "user": f"u{(did + g) % 5}",
+                                "score": None
+                                if g % 3 == 0
+                                else did % 50 + g,
+                                "flag": g % 2 == 0,
+                            }
+                        )
+                        g += 1
+                    blocks.append(recs)
+                m = parse_avro(make_avro(schema, blocks, codec=codec))
+                rs = m["records"]
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "codec": m["codec"],
+                        "n_blocks": m["n_blocks"],
+                        "n_records": m["n_records"],
+                        "sum_id": sum(r["id"] for r in rs),
+                        "n_null_scores": sum(
+                            1 for r in rs if r["score"] is None
+                        ),
+                        "sum_score": sum(
+                            r["score"] or 0 for r in rs
+                        ),
+                        "n_flags": sum(1 for r in rs if r["flag"]),
+                        "distinct_users": len(
+                            {r["user"] for r in rs}
+                        ),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, codec string, n_blocks long, n_records long, "
+        "sum_id long, n_null_scores long, sum_score long, "
+        "n_flags long, distinct_users long",
+    )

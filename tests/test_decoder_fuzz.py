@@ -11,6 +11,10 @@ import random
 
 import pytest
 
+from hainan_big_data_recommend_system_spark.operators.avrocf import (
+    make_avro,
+    parse_avro,
+)
 from hainan_big_data_recommend_system_spark.operators.avi import (
     avi_features,
     make_fixture_avi,
@@ -136,6 +140,13 @@ CASES = {
             parse_ogg_opus),
     "pdf": (lambda: make_pdf(["line one text", "line two (x)"]),
             extract_pdf_text),
+    "avro": (lambda: make_avro(
+        {"type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "u", "type": "string"},
+            {"name": "s", "type": ["null", "long"]}]},
+        [[{"id": -5, "u": "a", "s": 9}], [{"id": 7, "u": "b", "s": None}]],
+        codec="deflate"), parse_avro),
     "pbwire": (lambda: make_pb_log([
         {"ts": 9, "user": "u1", "delta": -3, "payload": b"xyz",
          "checksum": 7, "nested": 4},
