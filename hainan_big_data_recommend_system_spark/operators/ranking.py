@@ -1,0 +1,75 @@
+"""Distributed global ranking without a per-row global window.
+
+``row_number() OVER (ORDER BY v)`` on a 10^11-row relation is the
+canonical scale collapse: one task sorts everything.  This operator
+computes the identical total-order rank by VALUE COMPRESSION, the same
+decomposition as the exact median (operators/anomaly.py) and the
+packing prefix sum (operators/packing.py):
+
+1. aggregate to ``(value, count)`` — map-side combined, output bounded
+   by the value DOMAIN, not the row count;
+2. a running-sum window over the *distinct values only* yields, for
+   each value, the number of rows strictly below it (``cum_before``);
+   this unpartitioned window is bounded by the distinct-value count —
+   the documented engine discipline for quantized domains (cents,
+   days, counts; quantize first when the domain is unbounded, e.g.
+   cents → dollars for quantile bucketing);
+3. each row's rank is ``cum_before + row_number() within its value
+   partition`` (ordered by the tiebreak) — per-value partitions are
+   the tie groups, bounded by the heaviest tie.
+
+With a total order (value + unique tiebreak) the result equals the
+single-window formulation EXACTLY, so an oracle can replay it with a
+plain ``row_number()``.  ``bucket_of`` then gives deterministic
+equal-width quantile buckets: ``(rank-1)·q div n + 1`` — the integer
+formula shared verbatim with the oracle (ntile's uneven-remainder
+semantics differ; this formula is self-consistent on both engines).
+
+Public knowledge: two-phase ranking is folklore distributed SQL; the
+quantile-bucket formula is elementary arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def distributed_global_rank(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_cols: list[str],
+    rank_col: str = "rank",
+    descending: bool = False,
+) -> DataFrame:
+    """Append a 1-based dense total-order row rank over
+    ``(value_col, *tiebreak_cols)`` without a global per-row window."""
+    v = F.col(value_col).desc() if descending else F.col(value_col)
+    counts = df.groupBy(value_col).agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    wv = Window.orderBy(v)
+    cum = counts.withColumn(
+        "__cum_before", F.sum("__cnt").over(wv) - F.col("__cnt")
+    ).select(value_col, "__cum_before")
+    wt = Window.partitionBy(value_col).orderBy(
+        *[F.col(c).desc() if descending else F.col(c)
+          for c in tiebreak_cols]
+    )
+    return (
+        df.join(cum, value_col)
+        .withColumn("__intra", F.row_number().over(wt))
+        .withColumn(
+            rank_col,
+            (F.col("__cum_before") + F.col("__intra")).cast("long"),
+        )
+        .drop("__cum_before", "__intra", "__cnt")
+    )
+
+
+def quantile_bucket(rank_col: str, total_col: str, q: int):
+    """Deterministic equal-width bucket 1..q for a 1-based rank:
+    ``(rank-1)·q div total + 1`` — exact integers, oracle-replayable.
+    ``total_col`` is a column (join the row count in; never collect)."""
+    return F.expr(
+        f"({rank_col} - 1) * {int(q)} div {total_col} + 1"
+    )

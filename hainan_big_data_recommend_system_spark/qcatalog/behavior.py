@@ -444,3 +444,85 @@ def q_event_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_gaps", "min_gap_us", "max_gap_us",
         "total_gap_us", "median_gap_us",
     )
+
+
+@register_extra(
+    "rfm_segments",
+    """
+    WITH c AS (
+        SELECT o_custkey AS custkey,
+               max(CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                        AS BIGINT)) AS last_day,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    // 100 AS BIGINT) AS monetary_dollars
+        FROM orders GROUP BY 1
+    ),
+    n AS (SELECT count(*) AS n FROM c),
+    r AS (
+        SELECT custkey,
+               row_number() OVER (ORDER BY last_day, custkey) AS rr,
+               row_number() OVER (ORDER BY n_orders, custkey) AS fr,
+               row_number() OVER (ORDER BY monetary_dollars, custkey)
+                   AS mr
+        FROM c
+    )
+    SELECT c.custkey, c.last_day, c.n_orders, c.monetary_dollars,
+           CAST((rr - 1) * 5 // n.n + 1 AS BIGINT) AS r_score,
+           CAST((fr - 1) * 5 // n.n + 1 AS BIGINT) AS f_score,
+           CAST((mr - 1) * 5 // n.n + 1 AS BIGINT) AS m_score,
+           CAST((rr - 1) * 5 // n.n + 1 AS VARCHAR)
+           || CAST((fr - 1) * 5 // n.n + 1 AS VARCHAR)
+           || CAST((mr - 1) * 5 // n.n + 1 AS VARCHAR) AS rfm_segment
+    FROM c JOIN r USING (custkey) CROSS JOIN n
+    """,
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM quintile segmentation (operators/ranking.py): per customer
+    the recency/frequency/monetary quintile scores and the composite
+    segment — the classic retail version of the reference's user
+    profiling (§3.2).  Each score comes from the DISTRIBUTED global
+    rank (value-compressed running counts + per-value tie windows,
+    never a per-row global sort window) and the deterministic bucket
+    formula (rank-1)*5 div n + 1, which the oracle replays with a
+    plain row_number(); monetary is quantized to whole dollars (the
+    bounded-domain discipline the rank decomposition documents)."""
+    from ..operators.ranking import distributed_global_rank, quantile_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max(
+            F.datediff(
+                F.to_date("o_orderdate"),
+                F.lit("1970-01-01").cast("date"),
+            ).cast("long")
+        ).alias("last_day"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) "
+            "div 100 as bigint)"
+        ).alias("monetary_dollars"),
+    )
+    n = F.broadcast(c.agg(F.count(F.lit(1)).alias("__n")))
+    ranked = distributed_global_rank(c, "last_day", ["custkey"], "rr")
+    ranked = distributed_global_rank(ranked, "n_orders", ["custkey"], "fr")
+    ranked = distributed_global_rank(
+        ranked, "monetary_dollars", ["custkey"], "mr"
+    ).crossJoin(n)
+    scored = ranked.select(
+        "custkey",
+        "last_day",
+        "n_orders",
+        "monetary_dollars",
+        quantile_bucket("rr", "__n", 5).cast("long").alias("r_score"),
+        quantile_bucket("fr", "__n", 5).cast("long").alias("f_score"),
+        quantile_bucket("mr", "__n", 5).cast("long").alias("m_score"),
+    )
+    return scored.withColumn(
+        "rfm_segment",
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ),
+    )

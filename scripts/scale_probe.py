@@ -148,6 +148,11 @@ QUERIES = [
     "anomalous_events",
     "revenue_trend_slopes",
     "aac_audio_meta",
+    "webm_video_meta",
+    "pb_log_scan",
+    "avro_container_scan",
+    "event_transition_matrix",
+    "event_interarrival_stats",
 ]
 
 
