@@ -39,18 +39,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
-def exact_group_median(
+def exact_group_quantile(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
-    out_col: str = "median",
+    q_num: int,
+    q_den: int,
+    out_col: str = "quantile",
 ) -> DataFrame:
-    """Exact lower median of an integral column per group.
+    """Exact lower ``q_num/q_den``-quantile of an integral column per
+    group: the value at rank ``ceil(q·n)`` in ascending order —
+    ``q = 1/2`` is the lower median, ``9/10`` is p90.
 
     One row per group: ``(*group_cols, out_col)``.  Shuffles once on
     ``(group, value)`` (pre-aggregated map-side) and once on the group
     key; the ordering window runs over distinct values only.
     """
+    if not 0 < q_num <= q_den:
+        raise ValueError("quantile must be in (0, 1]")
     counts = df.groupBy(*group_cols, value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
@@ -59,7 +65,10 @@ def exact_group_median(
     totals = df.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__n")
     )
-    target = F.expr("(__n + 1) div 2")
+    # rank ceil(q*n), exact integer
+    target = F.expr(
+        f"(__n * {int(q_num)} + {int(q_den)} - 1) div {int(q_den)}"
+    )
     return (
         cum.join(F.broadcast(totals), on=group_cols)
         .where(
@@ -67,6 +76,19 @@ def exact_group_median(
             & (F.col("__cum") - F.col("__cnt") < target)
         )
         .select(*group_cols, F.col(value_col).alias(out_col))
+    )
+
+
+def exact_group_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    out_col: str = "median",
+) -> DataFrame:
+    """Exact lower median — ``exact_group_quantile`` at q = 1/2
+    (``ceil(n/2)`` equals the lower-median rank ``(n+1) div 2``)."""
+    return exact_group_quantile(
+        df, group_cols, value_col, 1, 2, out_col
     )
 
 

@@ -1018,3 +1018,72 @@ def q_anomalous_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mad_value_cents",
         "deviation_value_cents",
     )
+
+
+@register_extra(
+    "event_value_percentiles_exact",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    cc AS (
+        SELECT event_type, c, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY c)
+                   AS cum
+        FROM (SELECT event_type, c, count(*) AS cnt
+              FROM v GROUP BY 1, 2)
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    q AS (
+        SELECT cc.event_type,
+               min(CASE WHEN cum >= (n * 1 + 1) // 2
+                         AND cum - cnt < (n * 1 + 1) // 2
+                        THEN c END) AS p50_cents,
+               min(CASE WHEN cum >= (n * 9 + 9) // 10
+                         AND cum - cnt < (n * 9 + 9) // 10
+                        THEN c END) AS p90_cents,
+               min(CASE WHEN cum >= (n * 99 + 99) // 100
+                         AND cum - cnt < (n * 99 + 99) // 100
+                        THEN c END) AS p99_cents
+        FROM cc JOIN n USING (event_type)
+        GROUP BY 1
+    )
+    SELECT q.event_type,
+           CAST(n.n AS BIGINT) AS n,
+           CAST(p50_cents AS BIGINT) AS p50_cents,
+           CAST(p90_cents AS BIGINT) AS p90_cents,
+           CAST(p99_cents AS BIGINT) AS p99_cents
+    FROM q JOIN n USING (event_type)
+    """,
+)
+def q_event_value_percentiles_exact(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """EXACT per-type p50/p90/p99 — the reproducible alternative to
+    percentile_approx (whose sketch output is neither cross-engine nor
+    run-to-run stable): three lower quantiles at ranks ceil(q*n) via
+    the value-compressed quantile (operators/anomaly.py
+    exact_group_quantile), joined back as one-row-per-group
+    broadcasts.  The oracle replays the compressed cumulative-count
+    window; ceil arithmetic is shared verbatim.  Note the DuckDB ceil
+    spelling (n*k + den-1)//den == Spark's `div` form for positive n."""
+    from ..operators.anomaly import exact_group_quantile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    n = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    out = n
+    for name, (qn, qd) in {
+        "p50_cents": (1, 2),
+        "p90_cents": (9, 10),
+        "p99_cents": (99, 100),
+    }.items():
+        q = exact_group_quantile(ev, ["event_type"], "c", qn, qd, name)
+        out = out.join(F.broadcast(q), "event_type")
+    return out

@@ -62,3 +62,19 @@ def test_zero_mad_flags_any_deviation(spark):
     groups = {"a": [5, 5, 5, 5, 6]}
     out = robust_outliers(_df(spark, groups), ["g"], "v").collect()
     assert [(r["v"], r["deviation_v"]) for r in out] == [(6, 1)]
+
+
+def test_exact_quantiles_match_brute_force(spark):
+    from hainan_big_data_recommend_system_spark.operators.anomaly import (
+        exact_group_quantile,
+    )
+
+    import math
+
+    vals = [7, 1, 9, 9, 3, 5, 11, 2, 8, 6, 4]  # n=11, with a tie
+    df = _df(spark, {"a": vals})
+    s = sorted(vals)
+    for qn, qd in [(1, 2), (9, 10), (99, 100), (1, 100), (1, 1)]:
+        got = exact_group_quantile(df, ["g"], "v", qn, qd, "q").collect()
+        want = s[max(1, math.ceil(qn * len(s) / qd)) - 1]
+        assert [(r["g"], r["q"]) for r in got] == [("a", want)], (qn, qd)
