@@ -526,3 +526,72 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ),
     )
+
+
+@register_extra(
+    "orders_cdc_apply",
+    """
+    WITH log AS (
+        SELECT o_orderkey AS key, j AS seq,
+               CASE WHEN j = 0 THEN 'I'
+                    WHEN j = o_orderkey % 3 AND o_orderkey % 7 = 0
+                    THEN 'D' ELSE 'U' END AS op,
+               (['P', 'S', 'F'])[1 + (o_orderkey + j) % 3] AS status,
+               CAST(round(o_totalprice * 100) AS BIGINT) + j
+                   AS value_cents
+        FROM orders,
+             LATERAL (SELECT unnest(range(0, 1 + o_orderkey % 3)) AS j)
+    ),
+    ranked AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY key ORDER BY seq DESC)
+                   AS rn,
+               count(*) OVER (PARTITION BY key) AS n_versions
+        FROM log
+    )
+    SELECT key, CAST(seq AS BIGINT) AS seq, status, value_cents,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE compaction (operators/cdc.py): a deterministic
+    changelog synthesized from orders (1-3 versions per key; keys
+    divisible by 7 end in a delete) compacts to final state with ONE
+    key-partitioned window — last-writer-wins, terminal deletes drop
+    the row, n_versions audits churn.  The oracle replays generation
+    and compaction; an ordering or delete-handling bug flips rows for
+    every multi-version key."""
+    from ..operators.cdc import cdc_apply
+
+    orders = load_table(spark, sf_dir, "orders")
+    log = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.explode(
+            F.sequence(F.lit(0), (F.col("o_orderkey") % 3).cast("int"))
+        ).alias("seq"),
+        F.col("o_orderkey").alias("__k"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("__cents"),
+    ).select(
+        "key",
+        F.col("seq").cast("long").alias("seq"),
+        F.when(F.col("seq") == 0, F.lit("I"))
+        .when(
+            (F.col("seq") == F.col("__k") % 3)
+            & (F.col("__k") % 7 == 0),
+            F.lit("D"),
+        )
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.element_at(
+            F.array(F.lit("P"), F.lit("S"), F.lit("F")),
+            ((F.col("__k") + F.col("seq")) % 3 + 1).cast("int"),
+        ).alias("status"),
+        (F.col("__cents") + F.col("seq")).alias("value_cents"),
+    )
+    out = cdc_apply(log, ["key"], "seq", "op")
+    return out.select(
+        "key", "seq", "status", "value_cents", "n_versions"
+    )
