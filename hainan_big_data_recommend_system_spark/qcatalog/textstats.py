@@ -4060,3 +4060,75 @@ def q_avro_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum_id long, n_null_scores long, sum_score long, "
         "n_flags long, distinct_users long",
     )
+
+
+@register_extra(
+    "readability_scores",
+    """
+    WITH f AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syllables,
+               CAST(len(regexp_extract_all(lower(text), '[a-z]+'))
+                    AS BIGINT) AS words,
+               CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                    AS BIGINT) AS sentences
+        FROM documents
+    )
+    SELECT doc_id, syllables, words, sentences,
+           CAST(206835000
+                - 1015000 * words // sentences
+                - 84600000 * syllables // words AS BIGINT)
+               AS flesch_micros,
+           CAST(390000 * words // sentences
+                + 11800000 * syllables // words
+                - 15590000 AS BIGINT) AS fk_grade_micros
+    FROM f WHERE words > 0
+    """,
+)
+def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document (the
+    classic readability pair, Kincaid et al. 1975) as EXACT integer
+    micros: vowel-group syllable heuristic, [a-z]+ word count,
+    [.!?]+ sentence groups (floor 1), and the published coefficients
+    applied by integer floor division in a fixed term order — the
+    convention both engines share verbatim, so scores hash-match.
+    Complements the quality/Gopher filters: scan-local expressions
+    only, no shuffle beyond the parquet read."""
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id",
+        F.size(
+            F.expr(
+                "regexp_extract_all(lower(text), '[aeiouy]+', 0)"
+            )
+        )
+        .cast("long")
+        .alias("syllables"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+', 0)")
+        )
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.size(F.expr("regexp_extract_all(text, '[.!?]+', 0)")),
+            F.lit(1),
+        )
+        .cast("long")
+        .alias("sentences"),
+    ).where(F.col("words") > 0)
+    return f.select(
+        "doc_id",
+        "syllables",
+        "words",
+        "sentences",
+        F.expr(
+            "cast(206835000 - 1015000 * words div sentences"
+            " - 84600000 * syllables div words as bigint)"
+        ).alias("flesch_micros"),
+        F.expr(
+            "cast(390000 * words div sentences"
+            " + 11800000 * syllables div words"
+            " - 15590000 as bigint)"
+        ).alias("fk_grade_micros"),
+    )
