@@ -51,6 +51,7 @@ import posixpath
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..operators.avrocf import make_avro, parse_avro
 from .archives import make_tar, make_zip, parse_tar, parse_zip
 from .warc import make_warc, parse_warc
 
@@ -62,6 +63,18 @@ CONTAINER_RECORD_SCHEMA = (
     "file_path string, record_index long, record_type string, "
     "name string, http_status int, body binary, error string"
 )
+
+
+#: the sink's avro record shape — a (name, body) member, same contract
+#: as the tar/zip member list
+_AVRO_MEMBER_SCHEMA = {
+    "type": "record",
+    "name": "Member",
+    "fields": [
+        {"name": "name", "type": "string"},
+        {"name": "body", "type": "bytes"},
+    ],
+}
 
 
 def _record_parser(fmt: str):
@@ -86,6 +99,20 @@ def _record_parser(fmt: str):
                                     "name": r["target_uri"],
                                     "http_status": r.get("http_status"),
                                     "body": r.get("body", r["payload"]),
+                                    "error": None,
+                                }
+                            )
+                    elif fmt == "avro":
+                        parsed = parse_avro(payload)
+                        for i, r in enumerate(parsed["records"]):
+                            rows.append(
+                                {
+                                    "file_path": fpath,
+                                    "record_index": i,
+                                    "record_type": "record",
+                                    "name": str(r.get("name")),
+                                    "http_status": None,
+                                    "body": r.get("body"),
                                     "error": None,
                                 }
                             )
@@ -146,10 +173,11 @@ def read_container_records(
     """Explode every container file under ``path`` into records.
 
     ``fmt`` is ``"warc"`` (per-record-gzipped or plain streams both
-    parse), ``"tar"`` or ``"zip"``.  ``glob`` prunes the listing
+    parse), ``"tar"``, ``"zip"`` or ``"avro"`` (OCF,
+    operators/avrocf.py).  ``glob`` prunes the listing
     (``pathGlobFilter``, e.g. ``"*.warc.gz"``) before any byte is read.
     """
-    if fmt not in ("warc", "tar", "zip"):
+    if fmt not in ("warc", "tar", "zip", "avro"):
         raise ValueError(f"unsupported container format {fmt!r}")
     reader = spark.read.format("binaryFile")
     if glob is not None:
@@ -182,7 +210,7 @@ def stream_container_records(
     The unit of streaming progress is the FILE (binaryFile never splits
     one), so ``max_files_per_trigger`` is the batch-size knob — the same
     per-file task sizing as the batch path, metered per trigger."""
-    if fmt not in ("warc", "tar", "zip"):
+    if fmt not in ("warc", "tar", "zip", "avro"):
         raise ValueError(f"unsupported container format {fmt!r}")
     reader = spark.readStream.format("binaryFile").schema(
         _BINARY_FILE_SCHEMA
@@ -232,7 +260,7 @@ def write_container_shards(
     the write.  Shard size is bounded by construction: rows/shard ≈
     |df|/n_shards, so pick n_shards from the corpus size the way any
     bucketed writer does."""
-    if fmt not in ("warc", "tar", "zip"):
+    if fmt not in ("warc", "tar", "zip", "avro"):
         raise ValueError(f"unsupported container format {fmt!r}")
     shard = (
         F.col(shard_col)
@@ -258,6 +286,17 @@ def write_container_shards(
             payload = make_warc(members, gzip_records=gz)
             fname = f"shard-{s:05d}.warc" + (".gz" if gz else "")
             n_records = len(members) + 1  # + the warcinfo record
+        elif fmt == "avro":
+            # deflate odd shards (mirrors the warc gzip layout): one
+            # container, records in 64-row blocks
+            recs = [{"name": n, "body": b} for n, b in members]
+            blocks = [recs[i:i + 64] for i in range(0, len(recs), 64)]
+            codec = "deflate" if s % 2 == 1 else "null"
+            payload = make_avro(
+                _AVRO_MEMBER_SCHEMA, blocks, codec=codec
+            )
+            fname = f"shard-{s:05d}.avro"
+            n_records = len(members)
         elif fmt == "tar":
             payload = make_tar(members)
             fname = f"shard-{s:05d}.tar"

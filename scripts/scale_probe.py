@@ -153,6 +153,10 @@ QUERIES = [
     "avro_container_scan",
     "event_transition_matrix",
     "event_interarrival_stats",
+    "rfm_segments",
+    "event_value_percentiles_exact",
+    "orders_cdc_apply",
+    "readability_scores",
 ]
 
 

@@ -28,7 +28,7 @@ def _docs(spark, n=20):
     )
 
 
-@pytest.mark.parametrize("fmt", ["warc", "tar", "zip"])
+@pytest.mark.parametrize("fmt", ["warc", "tar", "zip", "avro"])
 def test_roundtrip_write_then_read(spark, tmp_path, fmt):
     out = str(tmp_path / fmt)
     res = {
@@ -231,3 +231,28 @@ def test_streaming_warc_dir_to_dedup_ingest(spark, tmp_path):
     assert rows["https://site.example/0003"] == "page body number 3"
     # survivor = min doc_id per fingerprint: site/0003 sorts first
     assert "https://zmirror.example/copy-of-3" not in rows
+
+
+def test_avro_shard_quarantine_and_deflate_layout(spark, tmp_path):
+    out = str(tmp_path / "avro")
+    write_container_shards(
+        _docs(spark, 9).withColumn("shard", F.col("shard") % 2),
+        out, "avro", n_shards=2, shard_col="shard",
+    ).collect()
+    files = sorted(os.listdir(out))
+    assert files == ["shard-00000.avro", "shard-00001.avro"]
+    # odd shards are deflate-coded (mirrors the warc gzip layout): the
+    # codec name sits in the container metadata map
+    with open(f"{out}/{files[1]}", "rb") as fh:
+        assert b"deflate" in fh.read(300)
+    with open(f"{out}/{files[0]}", "rb") as fh:
+        assert b"deflate" not in fh.read(300)
+    with open(f"{out}/broken.avro", "wb") as fh:
+        fh.write(b"Obj\x01 but then garbage \x00\xff" * 3)
+    recs = read_container_records(spark, out, "avro").collect()
+    errs = [r for r in recs if r["error"] is not None]
+    assert len(errs) == 1 and errs[0]["file_path"].endswith("broken.avro")
+    good = [r for r in recs if r["error"] is None]
+    assert {r["name"] for r in good} == {
+        f"doc-{i:04d}.txt" for i in range(9)
+    }
