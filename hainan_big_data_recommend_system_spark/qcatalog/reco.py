@@ -373,3 +373,50 @@ def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, "l_orderkey", "l_partkey",
         min_support=2, max_basket_size=64,
     )
+
+
+@register_extra(
+    "copurchase_triangles",
+    """
+    WITH members AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    edges AS (
+        SELECT a.i AS u, b2.i AS v
+        FROM members a JOIN members b2
+          ON a.b = b2.b AND a.i < b2.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    tris AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e2.u = e1.v
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    nodes AS (
+        SELECT x AS node FROM tris
+        UNION ALL SELECT y FROM tris
+        UNION ALL SELECT z FROM tris
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY 1
+    """,
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-item triangle counts over the co-purchase graph (edges =
+    item pairs bought together in >= 2 baskets, operators/basket.py;
+    triangles via operators/triangles.py) — the clique-density signal
+    behind 'frequently bought together' bundles.  The Spark side uses
+    DEGREE-ORDERED orientation (Schank & Wagner 2005): every node's
+    out-degree is O(sqrt(m)), so wedge fanout is structurally bounded —
+    hub skew removed by construction, not salted.  The oracle counts
+    the same triangles with a plain three-way join on the canonical
+    u<v edge set; both sides must agree triangle-for-triangle."""
+    from ..operators.basket import basket_pair_counts
+    from ..operators.triangles import count_triangles
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = basket_pair_counts(
+        lineitem, "l_orderkey", "l_partkey", max_basket_size=64
+    ).where(F.col("supp_ab") >= 2)
+    return count_triangles(edges, "item_a", "item_b")
