@@ -157,6 +157,7 @@ QUERIES = [
     "event_value_percentiles_exact",
     "orders_cdc_apply",
     "readability_scores",
+    "copurchase_triangles",
 ]
 
 

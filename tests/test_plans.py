@@ -344,3 +344,36 @@ def test_ssjoin_prefix_windows_doc_partitioned_no_python(spark):
     assert "WindowExec: No Partition Defined" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_rfm_rank_windows_are_value_partitioned(spark):
+    plan = plan_of(spark, "rfm_segments")
+    # the three global ranks decompose into distinct-value running sums
+    # plus per-value tie windows — NO per-row global sort window: the
+    # only unpartitioned windows run over aggregated (value, count)
+    # rows.  Assert the tie windows are partitioned and Python-free.
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # the customer total joins in as a 1-row broadcast, never a collect
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+
+
+def test_cdc_apply_single_keyed_window(spark):
+    plan = plan_of(spark, "orders_cdc_apply")
+    assert "WindowExec: No Partition Defined" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_triangles_no_cartesian_no_python(spark):
+    plan = plan_of(spark, "copurchase_triangles")
+    # wedge generation and closure are equi-joins on key columns —
+    # a cartesian here would be the hub-blowup regression
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_percentiles_exact_windows_value_compressed(spark):
+    plan = plan_of(spark, "event_value_percentiles_exact")
+    assert "WindowExec: No Partition Defined" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 3, plan  # three quantile joins
+    assert "Python" not in plan, plan
