@@ -218,3 +218,69 @@ def parse_mp3(payload: bytes) -> dict:
         "xing_bytes": xing_bytes,
         "audio_frames": audio_frames,
     }
+
+
+# ---------------------------------------------------------------------------
+# ID3v2.3 frame parsing (round 7): the walk above SKIPS the tag; real
+# pipelines also want what's inside it — title/artist/album text frames.
+# Public spec: id3.org ID3v2.3.0 §3.3/§4.2.  v2.3 frame sizes are plain
+# 32-bit big-endian (NOT syncsafe — that is the v2.4 change and the
+# classic cross-version bug); text frames carry an encoding byte:
+# 0 = ISO-8859-1, 1 = UTF-16 with BOM.
+# ---------------------------------------------------------------------------
+
+def make_id3_frames(frames: list[tuple[str, str, int]]) -> bytes:
+    """Serialize ``(frame_id, text, encoding)`` triples into an ID3v2.3
+    tag payload (the bytes :func:`make_mp3` wraps).  ``encoding`` 0
+    writes ISO-8859-1, 1 writes UTF-16-LE with BOM."""
+    out = bytearray()
+    for fid, text, enc in frames:
+        if len(fid) != 4:
+            raise ValueError(f"frame id must be 4 chars, got {fid!r}")
+        if enc == 0:
+            body = b"\x00" + text.encode("latin-1")
+        elif enc == 1:
+            body = b"\x01\xff\xfe" + text.encode("utf-16-le")
+        else:
+            raise ValueError(f"unsupported text encoding {enc}")
+        out += fid.encode("ascii")
+        out += len(body).to_bytes(4, "big")   # v2.3: PLAIN size
+        out += b"\x00\x00"                    # flags
+        out += body
+    return bytes(out)
+
+
+def parse_id3_frames(payload: bytes) -> dict[str, str]:
+    """Decode the text frames of an ID3v2.3 tag payload into
+    ``{frame_id: text}``.  Non-text frames are skipped by size; padding
+    (a 0x00 run) terminates the walk per spec.  Raises ValueError on
+    truncated frames or undeclared text encodings."""
+    pos = 0
+    out: dict[str, str] = {}
+    while pos < len(payload):
+        if payload[pos] == 0:  # padding region
+            break
+        if pos + 10 > len(payload):
+            raise ValueError(f"ID3 frame header truncated at {pos}")
+        fid = payload[pos : pos + 4].decode("ascii", "strict")
+        size = int.from_bytes(payload[pos + 4 : pos + 8], "big")
+        pos += 10
+        if pos + size > len(payload):
+            raise ValueError(f"ID3 frame {fid} truncated ({size} bytes)")
+        body = payload[pos : pos + size]
+        pos += size
+        if not fid.startswith("T") or not body:
+            continue  # non-text frame: skipped by size
+        enc, text = body[0], body[1:]
+        if enc == 0:
+            out[fid] = text.decode("latin-1")
+        elif enc == 1:
+            if text[:2] == b"\xff\xfe":
+                out[fid] = text[2:].decode("utf-16-le", "strict")
+            elif text[:2] == b"\xfe\xff":
+                out[fid] = text[2:].decode("utf-16-be", "strict")
+            else:
+                raise ValueError(f"ID3 frame {fid}: UTF-16 without BOM")
+        else:
+            raise ValueError(f"ID3 frame {fid}: unknown encoding {enc}")
+    return out

@@ -4132,3 +4132,81 @@ def q_readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 15590000 as bigint)"
         ).alias("fk_grade_micros"),
     )
+
+
+@register_extra(
+    "id3_tag_scan",
+    """
+    SELECT doc_id,
+           'Track ' || CAST(doc_id % 97 AS VARCHAR) AS title,
+           'Artist-' || CAST(doc_id % 13 AS VARCHAR)
+               || CASE WHEN doc_id % 2 = 1 THEN ' 測試' ELSE '' END
+               AS artist,
+           'Album ' || CAST(doc_id % 7 AS VARCHAR) AS album,
+           CAST(1 + doc_id % 20 AS VARCHAR) || '/20' AS track,
+           CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END AS BIGINT)
+               AS artist_utf16
+    FROM documents
+    """,
+)
+def q_id3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ID3v2.3 tag extraction (operators/mp3.py parse_id3_frames): per
+    doc a real MP3 whose tag carries TIT2/TPE1/TALB/TRCK frames —
+    artists on odd docs are UTF-16-with-BOM (CJK text), the rest
+    ISO-8859-1; frame sizes are PLAIN 32-bit (v2.3), the syncsafe
+    confusion with v2.4 being the classic bug this pins.  The walk
+    skips a planted non-text frame by size and stops at padding; the
+    oracle regenerates the expected strings directly."""
+    import pandas as pd
+
+    from ..operators.mp3 import (
+        make_id3_frames,
+        make_mp3,
+        parse_id3_frames,
+        parse_mp3,
+    )
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                utf16 = did % 2 == 1
+                artist = f"Artist-{did % 13}" + (" 測試" if utf16 else "")
+                tag = make_id3_frames(
+                    [
+                        ("TIT2", f"Track {did % 97}", 0),
+                        ("TPE1", artist, 1 if utf16 else 0),
+                        ("TALB", f"Album {did % 7}", 0),
+                        ("TRCK", f"{1 + did % 20}/20", 0),
+                    ]
+                )
+                # a non-text frame (APIC-shaped) + padding: both must
+                # be skipped by the walk
+                tag += b"APIC" + (6).to_bytes(4, "big") + b"\x00\x00" + b"binary" + b"\x00" * 8
+                mp3 = make_mp3([(5, 0, 0, 1), (9, 0, 1, 1)], id3_payload=tag)
+                meta = parse_mp3(mp3)
+                frames = parse_id3_frames(
+                    mp3[10 : meta["id3_bytes"]]
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "title": frames["TIT2"],
+                        "artist": frames["TPE1"],
+                        "album": frames["TALB"],
+                        "track": frames["TRCK"],
+                        "artist_utf16": 1 if utf16 else 0,
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, title string, artist string, album string, "
+        "track string, artist_utf16 long",
+    )
