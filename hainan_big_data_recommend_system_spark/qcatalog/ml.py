@@ -716,3 +716,44 @@ def q_ann_topk_ivfpq_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb, "vec_id", "embedding", k=5, refine_k=20, nprobe=2,
         query_filter=F.col("query_id") % 4 == 0,
     )
+
+
+@register_extra(
+    "hashed_features",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, t AS token
+        FROM documents, LATERAL unnest(
+            string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+')
+        ) AS u(t)
+        WHERE t <> ''
+    ),
+    h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5('fh-v1:' || token), 1, 15))::BIGINT
+                   % 1024 AS bucket,
+               CASE WHEN ('0x' || substr(md5('fs-v1:' || token), 1, 15))
+                         ::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT doc_id, bucket, CAST(sum(sign) AS BIGINT) AS weight
+    FROM h GROUP BY 1, 2 HAVING sum(sign) <> 0
+    """,
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization (operators/hashing.py, Weinberger et
+    al. 2009): vocabulary-FREE signed bag-of-words — bucket and ±1 sign
+    from pinned md5 hashes (cross-engine idiom of
+    operators/negatives.py), one scan-local expression pass + one
+    grouped sum, zero-cancelled buckets dropped.  The no-fit
+    counterpart to the CountVectorizer pipeline (ml/vectorize.py): at
+    100 TB there is no vocabulary pass to schedule and no driver-side
+    vocab to hold.  The oracle replays bucket, sign and cancellation
+    exactly."""
+    from ..operators.hashing import hashed_token_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+    return hashed_token_features(docs, "doc_id", "text", n_buckets=1024)
