@@ -795,3 +795,129 @@ def q_revenue_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("y"),
     )
     return ols_slopes(v, ["priority", "yr"], "x", "y")
+
+
+@register_extra(
+    "data_quality_report",
+    """
+    SELECT CAST(1 AS BIGINT) AS rule_id, 'not_null' AS rule,
+           'o_orderdate' AS target,
+           CAST(count(*) AS BIGINT) AS n_checked,
+           CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_violations,
+           CAST(CASE WHEN sum(CASE WHEN o_orderdate IS NULL THEN 1
+                                   ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT) AS passed
+    FROM orders
+    UNION ALL
+    SELECT 2, 'unique', 'o_orderkey',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           CAST(CASE WHEN count(*) = count(DISTINCT o_orderkey)
+                     THEN 1 ELSE 0 END AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 3, 'accepted_values', 'o_orderstatus',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_orderstatus IS NULL
+                          OR o_orderstatus NOT IN ('O','F','P')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN o_orderstatus IS NULL
+                                    OR o_orderstatus NOT IN ('O','F','P')
+                                   THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 4, 'in_range', 'o_totalprice_cents',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN o_totalprice IS NULL
+                          OR CAST(round(o_totalprice*100) AS BIGINT) < 0
+                          OR CAST(round(o_totalprice*100) AS BIGINT)
+                             > 3000000
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN o_totalprice IS NULL
+                          OR CAST(round(o_totalprice*100) AS BIGINT) < 0
+                          OR CAST(round(o_totalprice*100) AS BIGINT)
+                             > 3000000
+                         THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 5, 'foreign_key', 'o_custkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM orders),
+           (SELECT CAST(count(*) AS BIGINT) FROM orders o
+            WHERE o.o_custkey IS NULL OR NOT EXISTS
+                  (SELECT 1 FROM customer c
+                   WHERE c.c_custkey = o.o_custkey)),
+           CAST(CASE WHEN (SELECT count(*) FROM orders o
+                           WHERE o.o_custkey IS NULL OR NOT EXISTS
+                                 (SELECT 1 FROM customer c
+                                  WHERE c.c_custkey = o.o_custkey)) = 0
+                     THEN 1 ELSE 0 END AS BIGINT)
+    UNION ALL
+    SELECT 6, 'foreign_key', 'l_orderkey',
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+            WHERE l.l_orderkey IS NULL OR NOT EXISTS
+                  (SELECT 1 FROM orders o
+                   WHERE o.o_orderkey = l.l_orderkey)),
+           CAST(CASE WHEN (SELECT count(*) FROM lineitem l
+                           WHERE l.l_orderkey IS NULL OR NOT EXISTS
+                                 (SELECT 1 FROM orders o
+                                  WHERE o.o_orderkey = l.l_orderkey)) = 0
+                     THEN 1 ELSE 0 END AS BIGINT)
+    UNION ALL
+    SELECT 7, 'accepted_values', 'l_returnflag',
+           CAST(count(*) AS BIGINT),
+           CAST(sum(CASE WHEN l_returnflag IS NULL
+                          OR l_returnflag NOT IN ('A','N','R')
+                         THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(CASE WHEN sum(CASE WHEN l_returnflag IS NULL
+                                    OR l_returnflag NOT IN ('A','N','R')
+                                   THEN 1 ELSE 0 END) = 0
+                     THEN 1 ELSE 0 END AS BIGINT)
+    FROM lineitem
+    """,
+)
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style expectation suite (operators/expectations.py): seven
+    declarative rules — null, uniqueness, accepted values, cents range,
+    two referential-integrity checks — each ONE aggregate (FK rules:
+    one anti-join), unioned into a single exact-integer report.  Rule 4
+    is deliberately tight (cents <= 30_000_00) so the report carries
+    real violations, not just green rows; the oracle recomputes every
+    count independently."""
+    from ..operators.expectations import (
+        expect_accepted_values,
+        expect_foreign_key,
+        expect_in_range,
+        expect_not_null,
+        expect_unique,
+        run_suite,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_suite(
+        [
+            expect_not_null(1, orders, "o_orderdate"),
+            expect_unique(2, orders, ["o_orderkey"]),
+            expect_accepted_values(
+                3, orders, "o_orderstatus", ["O", "F", "P"]
+            ),
+            expect_in_range(
+                4,
+                orders,
+                F.round(F.col("o_totalprice") * 100).cast("bigint"),
+                "o_totalprice_cents",
+                0,
+                3_000_000,
+            ),
+            expect_foreign_key(5, orders, "o_custkey", customer, "c_custkey"),
+            expect_foreign_key(6, lineitem, "l_orderkey", orders, "o_orderkey"),
+            expect_accepted_values(
+                7, lineitem, "l_returnflag", ["A", "N", "R"]
+            ),
+        ]
+    )
