@@ -158,6 +158,9 @@ QUERIES = [
     "orders_cdc_apply",
     "readability_scores",
     "copurchase_triangles",
+    "hashed_features",
+    "id3_tag_scan",
+    "data_quality_report",
 ]
 
 
