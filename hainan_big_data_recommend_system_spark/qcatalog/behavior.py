@@ -595,3 +595,66 @@ def q_orders_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "key", "seq", "status", "value_cents", "n_versions"
     )
+
+
+@register_extra(
+    "frequent_event_paths",
+    """
+    WITH seq AS (
+        SELECT event_type AS e1,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL GROUP BY 1
+    ),
+    tot AS (SELECT sum(n) AS t FROM paths),
+    ranked AS (
+        SELECT path, n,
+               row_number() OVER (ORDER BY n DESC, path) AS rk
+        FROM paths
+    )
+    SELECT path, CAST(n AS BIGINT) AS n_paths,
+           CAST(rk AS BIGINT) AS rank,
+           CAST(n * 1000000 // t AS BIGINT) AS share_micros
+    FROM ranked CROSS JOIN tot
+    WHERE rk <= 25
+    """,
+)
+def q_frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 3-step event paths across all users (the Sankey/top-paths
+    product view): per-user ordered trigram extraction is ONE keyed
+    window with two leads; counting is a map-side-combined groupBy; the
+    deterministic top-25 ranks by (count desc, path) so ties are
+    engine-stable; shares are exact integer micros.  The final rank
+    window runs over the trigram-type table (|event_types|^3 = 125 rows
+    max here; bounded by the type vocabulary, not the corpus — the
+    documented bounded-window discipline)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).where(F.col("e3").isNotNull())
+    paths = seq.groupBy(
+        F.concat_ws(">", "e1", "e2", "e3").alias("path")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = F.broadcast(paths.agg(F.sum("n").alias("t")))
+    ranked = paths.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("n").desc(), F.col("path"))
+        ),
+    ).where(F.col("rank") <= 25)
+    return ranked.crossJoin(tot).select(
+        "path",
+        F.col("n").cast("long").alias("n_paths"),
+        F.col("rank").cast("long").alias("rank"),
+        F.expr("n * 1000000 div t").alias("share_micros"),
+    )
