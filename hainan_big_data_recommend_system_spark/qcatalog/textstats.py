@@ -4210,3 +4210,103 @@ def q_id3_tag_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, title string, artist string, album string, "
         "track string, artist_utf16 long",
     )
+
+
+@register_extra(
+    "tiff_image_meta",
+    """
+    WITH d AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'II' ELSE 'MM' END
+                   AS endian,
+               CAST(1 + doc_id % 3 AS BIGINT) AS n_pages
+        FROM documents
+    ),
+    pages AS (
+        SELECT doc_id, p,
+               8 + (doc_id + p) % 32 AS w,
+               4 + (doc_id + 3 * p) % 16 AS h
+        FROM d, LATERAL (SELECT unnest(range(0, n_pages)) AS p)
+    ),
+    strips AS (
+        SELECT doc_id, p, w, h, y0,
+               least(4, h - y0) AS rows
+        FROM pages, LATERAL (
+            SELECT unnest(range(0, CAST(h AS BIGINT), 4)) AS y0
+        )
+    ),
+    agg AS (
+        SELECT doc_id,
+               count(*) AS n_strips,
+               sum((doc_id + p * 7 + y0 * w) % 251
+                   + (doc_id + p * 7 + (y0 + rows) * w - 1) % 251)
+                   AS strip_fold
+        FROM strips GROUP BY 1
+    ),
+    pagg AS (
+        SELECT doc_id, sum(w * h) AS pixel_bytes,
+               sum(w) AS total_width, sum(h) AS total_height
+        FROM pages GROUP BY 1
+    )
+    SELECT d.doc_id, d.endian, d.n_pages,
+           CAST(p.total_width AS BIGINT) AS total_width,
+           CAST(p.total_height AS BIGINT) AS total_height,
+           CAST(a.n_strips AS BIGINT) AS n_strips,
+           CAST(p.pixel_bytes AS BIGINT) AS pixel_bytes,
+           CAST(a.strip_fold AS BIGINT) AS strip_fold
+    FROM d JOIN agg a USING (doc_id) JOIN pagg p USING (doc_id)
+    """,
+)
+def q_tiff_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page TIFF walk (operators/tiff.py): per doc a real TIFF —
+    IFD chains across 1-3 pages, both byte orders, strip offsets and
+    byte counts RESOLVED with every strip's first/last byte folded into
+    the result, so an offset-interpretation bug cannot pass.  The
+    oracle recomputes geometry and the fold from the fixture formulas;
+    scope is the archival baseline (uncompressed 8-bit gray) with
+    compressed layouts quarantining loudly."""
+    import pandas as pd
+
+    from ..operators.tiff import make_tiff, parse_tiff
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                np_ = 1 + did % 3
+                pages = []
+                for p in range(np_):
+                    w = 8 + (did + p) % 32
+                    h = 4 + (did + 3 * p) % 16
+                    px = bytes(
+                        (did + p * 7 + i) % 251 for i in range(w * h)
+                    )
+                    pages.append((w, h, px))
+                m = parse_tiff(
+                    make_tiff(pages, little_endian=did % 2 == 0)
+                )
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "endian": m["endian"],
+                        "n_pages": m["n_pages"],
+                        "total_width": sum(m["widths"]),
+                        "total_height": sum(m["heights"]),
+                        "n_strips": m["n_strips"],
+                        "pixel_bytes": m["pixel_bytes"],
+                        "strip_fold": m["strip_fold"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, endian string, n_pages long, total_width long, "
+        "total_height long, n_strips long, pixel_bytes long, "
+        "strip_fold long",
+    )

@@ -70,6 +70,10 @@ from hainan_big_data_recommend_system_spark.operators.webp import (
     make_webp,
     parse_webp,
 )
+from hainan_big_data_recommend_system_spark.operators.tiff import (
+    make_tiff,
+    parse_tiff,
+)
 from hainan_big_data_recommend_system_spark.operators.pbwire import (
     make_pb_log,
     parse_pb_stream,
@@ -128,6 +132,9 @@ CASES = {
     "webm": (lambda: make_webm([(1, "V_VP9", 64, 48), (2, "A_OPUS", 2, 0)],
                                [(100, [0, 33]), (1100, [-16, 0])]),
              parse_webm),
+    "tiff": (lambda: make_tiff(
+        [(8, 6, bytes(range(48))), (5, 9, bytes(range(45)))],
+        little_endian=False), parse_tiff),
     "mp4": (lambda: make_fixture_mp4(7), parse_mp4),
     "mp4_v1": (lambda: make_fixture_mp4(3), parse_mp4),
     "flac": (lambda: make_flac(44100, 2, 16, 5000,
