@@ -658,3 +658,149 @@ def q_frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.expr("n * 1000000 div t").alias("share_micros"),
     )
+
+
+@register_extra(
+    "customer_360",
+    f"""
+    WITH c AS (
+        SELECT o_custkey AS custkey,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    // 100 AS BIGINT) AS monetary_dollars
+        FROM orders GROUP BY 1
+    ),
+    nn AS (SELECT count(*) AS n FROM c),
+    m AS (
+        SELECT custkey,
+               row_number() OVER (ORDER BY monetary_dollars, custkey)
+                   AS mr
+        FROM c
+    ),
+    funnel AS ({_FUNNEL_USER_SQL}),
+    v AS (
+        SELECT user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events
+    ),
+    vc AS (
+        SELECT event_type, cents, count(*) AS cnt FROM v GROUP BY 1, 2
+    ),
+    vcc AS (
+        SELECT event_type, cents, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY cents)
+                   AS cum
+        FROM vc
+    ),
+    vn AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    med AS (
+        SELECT vcc.event_type, cents AS med
+        FROM vcc JOIN vn USING (event_type)
+        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+    ),
+    dev AS (
+        SELECT v.user_id, v.event_type, abs(cents - med) AS d
+        FROM v JOIN med USING (event_type)
+    ),
+    dc AS (
+        SELECT event_type, d, count(*) AS cnt FROM dev GROUP BY 1, 2
+    ),
+    dcc AS (
+        SELECT event_type, d, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY d) AS cum
+        FROM dc
+    ),
+    mad AS (
+        SELECT dcc.event_type, d AS mad
+        FROM dcc JOIN vn USING (event_type)
+        WHERE cum >= (n + 1) // 2 AND cum - cnt < (n + 1) // 2
+    ),
+    anom AS (
+        SELECT dev.user_id, count(*) AS n_anomalous
+        FROM dev JOIN mad USING (event_type)
+        WHERE d > 3 * mad GROUP BY 1
+    )
+    SELECT c.custkey, c.n_orders, c.monetary_dollars,
+           CAST((m.mr - 1) * 5 // nn.n + 1 AS BIGINT) AS m_score,
+           CAST(coalesce(f.steps_completed, 0) AS BIGINT)
+               AS funnel_steps,
+           CAST(coalesce(a.n_anomalous, 0) AS BIGINT)
+               AS n_anomalous_events
+    FROM c
+    JOIN m USING (custkey) CROSS JOIN nn
+    LEFT JOIN funnel f ON f.user = c.custkey
+    LEFT JOIN anom a ON a.user_id = c.custkey
+    """,
+)
+def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mart composition: one row per customer joining the
+    orders-side profile (order count, whole-dollar monetary, monetary
+    quintile via the distributed global rank) with the events-side
+    behavior (funnel steps completed, robust-outlier event count) —
+    REUSING four session operators (ranking, funnel, anomaly,
+    quantile-bucket) in one plan.  Event-side facts left-join onto the
+    customer spine and coalesce to 0 (most customers have no event
+    stream at this SF).  The oracle recomposes every stage
+    independently, so a drift in ANY reused operator breaks the mart
+    row hash."""
+    from ..operators.anomaly import robust_outliers
+    from ..operators.funnel import funnel_steps
+    from ..operators.ranking import distributed_global_rank, quantile_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+
+    c = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.expr(
+            "cast(sum(cast(round(o_totalprice * 100) as bigint)) "
+            "div 100 as bigint)"
+        ).alias("monetary_dollars"),
+    )
+    n = F.broadcast(c.agg(F.count(F.lit(1)).alias("__n")))
+    ranked = distributed_global_rank(
+        c, "monetary_dollars", ["custkey"], "mr"
+    ).crossJoin(n)
+    spine = ranked.select(
+        "custkey",
+        "n_orders",
+        "monetary_dollars",
+        quantile_bucket("mr", "__n", 5).cast("long").alias("m_score"),
+    )
+
+    funnel = funnel_steps(
+        ev, "user_id", "ts", "event_type",
+        ["view", "click", "purchase"], within_seconds=7 * 86400,
+    ).select(
+        F.col("user").alias("custkey"),
+        F.col("steps_completed").alias("funnel_steps"),
+    )
+    flagged = robust_outliers(
+        ev.select(
+            "user_id",
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        ),
+        ["event_type"],
+        "cents",
+        k_mads=3,
+    )
+    anom = flagged.groupBy(F.col("user_id").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_anomalous_events")
+    )
+    return (
+        spine.join(F.broadcast(funnel), "custkey", "left")
+        .join(F.broadcast(anom), "custkey", "left")
+        .select(
+            "custkey",
+            "n_orders",
+            "monetary_dollars",
+            "m_score",
+            F.coalesce("funnel_steps", F.lit(0))
+            .cast("long")
+            .alias("funnel_steps"),
+            F.coalesce("n_anomalous_events", F.lit(0))
+            .cast("long")
+            .alias("n_anomalous_events"),
+        )
+    )

@@ -161,6 +161,8 @@ QUERIES = [
     "hashed_features",
     "id3_tag_scan",
     "data_quality_report",
+    "frequent_event_paths",
+    "tiff_image_meta",
 ]
 
 
