@@ -163,6 +163,7 @@ QUERIES = [
     "data_quality_report",
     "frequent_event_paths",
     "tiff_image_meta",
+    "customer_360",
 ]
 
 

@@ -377,3 +377,13 @@ def test_percentiles_exact_windows_value_compressed(spark):
     assert "WindowExec: No Partition Defined" not in plan, plan
     assert plan.count("BroadcastHashJoin") >= 3, plan  # three quantile joins
     assert "Python" not in plan, plan
+
+
+def test_customer_360_event_facts_broadcast_onto_spine(spark):
+    plan = plan_of(spark, "customer_360")
+    # the (small) event-side facts broadcast onto the customer spine;
+    # no cartesian beyond the 1-row total join; Python-free
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "Python" not in plan, plan
+    # (the rank decomposition's distinct-value running sum is the one
+    # sanctioned unpartitioned window — bounded by the value domain)
