@@ -1087,3 +1087,82 @@ def q_event_value_percentiles_exact(
         q = exact_group_quantile(ev, ["event_type"], "c", qn, qd, name)
         out = out.join(F.broadcast(q), "event_type")
     return out
+
+
+@register_extra(
+    "winsorized_event_stats",
+    """
+    WITH v AS (
+        SELECT event_type,
+               CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    cc AS (
+        SELECT event_type, c, cnt,
+               sum(cnt) OVER (PARTITION BY event_type ORDER BY c)
+                   AS cum
+        FROM (SELECT event_type, c, count(*) AS cnt
+              FROM v GROUP BY 1, 2)
+    ),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY 1),
+    b AS (
+        SELECT cc.event_type,
+               min(CASE WHEN cum >= (n * 1 + 99) // 100
+                         AND cum - cnt < (n * 1 + 99) // 100
+                        THEN c END) AS p01,
+               min(CASE WHEN cum >= (n * 99 + 99) // 100
+                         AND cum - cnt < (n * 99 + 99) // 100
+                        THEN c END) AS p99
+        FROM cc JOIN n USING (event_type) GROUP BY 1
+    )
+    SELECT v.event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(b.p01 AS BIGINT) AS p01_cents,
+           CAST(b.p99 AS BIGINT) AS p99_cents,
+           CAST(sum(CASE WHEN c < p01 OR c > p99 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_clamped,
+           CAST(sum(greatest(least(c, p99), p01)) AS BIGINT)
+               AS winsorized_sum_cents,
+           CAST(sum(c) AS BIGINT) AS raw_sum_cents
+    FROM v JOIN b USING (event_type)
+    GROUP BY 1, b.p01, b.p99
+    """,
+)
+def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized per-type value statistics: clamp to the EXACT
+    [p01, p99] (operators/anomaly.py exact_group_quantile at ceil(q·n)
+    ranks — reproducible, unlike percentile_approx), count the clamped
+    tail, and compare winsorized vs raw sums — the robust-aggregation
+    primitive that makes revenue metrics outlier-tolerant.  Bounds join
+    back as one-row-per-group broadcasts; every number is an exact
+    integer the oracle recomputes."""
+    from ..operators.anomaly import exact_group_quantile
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+    lo = exact_group_quantile(ev, ["event_type"], "c", 1, 100, "p01_cents")
+    hi = exact_group_quantile(ev, ["event_type"], "c", 99, 100, "p99_cents")
+    j = ev.join(F.broadcast(lo), "event_type").join(
+        F.broadcast(hi), "event_type"
+    )
+    clamped = F.greatest(
+        F.least(F.col("c"), F.col("p99_cents")), F.col("p01_cents")
+    )
+    return j.groupBy("event_type", "p01_cents", "p99_cents").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (
+                (F.col("c") < F.col("p01_cents"))
+                | (F.col("c") > F.col("p99_cents"))
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_clamped"),
+        F.sum(clamped).cast("long").alias("winsorized_sum_cents"),
+        F.sum("c").cast("long").alias("raw_sum_cents"),
+    ).select(
+        "event_type", "n", "p01_cents", "p99_cents", "n_clamped",
+        "winsorized_sum_cents", "raw_sum_cents",
+    )
