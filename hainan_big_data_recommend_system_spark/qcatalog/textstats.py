@@ -4310,3 +4310,79 @@ def q_tiff_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_height long, n_strips long, pixel_bytes long, "
         "strip_fold long",
     )
+
+
+@register_extra(
+    "sitemap_scan",
+    """
+    SELECT doc_id,
+           CAST(k AS BIGINT) AS url_rank,
+           'https://site' || CAST(doc_id % 50 AS VARCHAR)
+               || '.example/page' || CAST(doc_id * 7 + k AS VARCHAR)
+               AS loc,
+           'site' || CAST(doc_id % 50 AS VARCHAR) || '.example' AS host,
+           '2024-01-' || CASE WHEN 1 + (doc_id + k) % 28 < 10
+                              THEN '0' ELSE '' END
+               || CAST(1 + (doc_id + k) % 28 AS VARCHAR) AS lastmod,
+           CAST(5 + (doc_id + k) % 5 AS BIGINT) AS priority_deci
+    FROM documents,
+         LATERAL (SELECT unnest(range(0, 1 + doc_id % 5)) AS k)
+    """,
+)
+def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap ingestion (sitemaps.org XML protocol — the crawl
+    frontier's seed format): the query BUILDS a real urlset document
+    per doc and then PARSES it back with scan-local regexp extraction
+    only — loc/lastmod/priority lists, posexplode to one row per URL,
+    host split from the loc, priority as exact deci-units.  No Python
+    anywhere; the oracle emits the formula truth, so any extraction
+    or ordering bug in the parse mismatches per-URL rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    url = (
+        "concat('<url><loc>https://site', cast(doc_id % 50 as string),"
+        " '.example/page', cast(doc_id * 7 + k as string),"
+        " '</loc><lastmod>2024-01-',"
+        " lpad(cast(1 + (doc_id + k) % 28 as string), 2, '0'),"
+        " '</lastmod><priority>0.',"
+        " cast(5 + (doc_id + k) % 5 as string),"
+        " '</priority></url>')"
+    )
+    xml = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit('<?xml version="1.0"?><urlset>'),
+            F.expr(
+                "concat_ws('', transform(sequence(0, doc_id % 5),"
+                f" k -> {url}))"
+            ),
+            F.lit("</urlset>"),
+        ).alias("xml"),
+    )
+    parsed = xml.select(
+        "doc_id",
+        F.expr(
+            "regexp_extract_all(xml, '<loc>([^<]+)</loc>', 1)"
+        ).alias("locs"),
+        F.expr(
+            "regexp_extract_all(xml, '<lastmod>([^<]+)</lastmod>', 1)"
+        ).alias("mods"),
+        F.expr(
+            "regexp_extract_all(xml, '<priority>0\\\\.([0-9])</priority>', 1)"
+        ).alias("prios"),
+    )
+    rows = parsed.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip("locs", "mods", "prios")
+        ).alias("url_rank", "z"),
+    )
+    return rows.select(
+        "doc_id",
+        F.col("url_rank").cast("long").alias("url_rank"),
+        F.col("z.locs").alias("loc"),
+        F.regexp_extract(F.col("z.locs"), "^https://([^/]+)/", 1).alias(
+            "host"
+        ),
+        F.col("z.mods").alias("lastmod"),
+        F.col("z.prios").cast("long").alias("priority_deci"),
+    )
