@@ -164,6 +164,8 @@ QUERIES = [
     "frequent_event_paths",
     "tiff_image_meta",
     "customer_360",
+    "winsorized_event_stats",
+    "sitemap_scan",
 ]
 
 
