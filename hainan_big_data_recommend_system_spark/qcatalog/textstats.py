@@ -4386,3 +4386,85 @@ def q_sitemap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("z.mods").alias("lastmod"),
         F.col("z.prios").cast("long").alias("priority_deci"),
     )
+
+
+@register_extra(
+    "msgpack_log_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 2 + doc_id % 4 AS g FROM documents
+    ),
+    f AS (
+        SELECT doc_id, g,
+               sum((doc_id * 31 + j * 7)
+                   * (CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END))
+                   AS sum_ints,
+               sum(4 + (doc_id + j) % 3) AS n_strings,
+               sum((doc_id + 2 * j) % 9) AS blob_bytes,
+               sum(CASE WHEN j % 3 = 0 THEN 1 ELSE 0 END) AS n_true,
+               sum(CASE WHEN j % 3 <> 0 THEN 1 ELSE 0 END) AS n_nulls
+        FROM d, LATERAL (SELECT unnest(range(0, g)) AS j)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(g AS BIGINT) AS n_records,
+           CAST(sum_ints AS BIGINT) AS sum_ints,
+           CAST(n_strings AS BIGINT) AS n_strings,
+           CAST(g AS BIGINT) AS n_nested,
+           CAST(blob_bytes AS BIGINT) AS blob_bytes,
+           CAST(n_nulls AS BIGINT) AS n_nulls,
+           CAST(n_true AS BIGINT) AS n_true
+    FROM f
+    """,
+)
+def q_msgpack_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MessagePack stream walk (operators/msgpackfmt.py — the Fluentd
+    wire format, third serialization after protobuf/Avro): per doc a
+    real stream of concatenated map objects — negative fixints (0xe0
+    is -32, not 224), mixed-width ints both signs, fixstr/str8 tags,
+    bin blobs, nested arrays, nil/true — decoded by the self-framing
+    first-byte walk.  The oracle replays the per-record formulas; a
+    sign-trap or width-boundary bug mismatches sum_ints on most rows."""
+    import pandas as pd
+
+    from ..operators.msgpackfmt import pack, parse_msgpack_stream
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                recs = []
+                for j in range(2 + did % 4):
+                    recs.append(
+                        {
+                            "id": (did * 31 + j * 7)
+                            * (1 if j % 2 == 0 else -1),
+                            "tags": [
+                                f"t{(did + i) % 6}"
+                                for i in range((did + j) % 3)
+                            ],
+                            "blob": bytes(
+                                (did + i) % 251
+                                for i in range((did + 2 * j) % 9)
+                            ),
+                            "ok": j % 3 == 0 or None,
+                        }
+                    )
+                m = parse_msgpack_stream(
+                    b"".join(pack(r) for r in recs)
+                )
+                m["doc_id"] = did
+                rows.append(m)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "n_records long, sum_ints long, n_strings long, "
+        "n_nested long, blob_bytes long, n_nulls long, n_true long, "
+        "doc_id long",
+    )

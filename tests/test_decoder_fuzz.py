@@ -70,6 +70,10 @@ from hainan_big_data_recommend_system_spark.operators.webp import (
     make_webp,
     parse_webp,
 )
+from hainan_big_data_recommend_system_spark.operators.msgpackfmt import (
+    pack,
+    parse_msgpack_stream,
+)
 from hainan_big_data_recommend_system_spark.operators.tiff import (
     make_tiff,
     parse_tiff,
@@ -132,6 +136,10 @@ CASES = {
     "webm": (lambda: make_webm([(1, "V_VP9", 64, 48), (2, "A_OPUS", 2, 0)],
                                [(100, [0, 33]), (1100, [-16, 0])]),
              parse_webm),
+    "msgpack": (lambda: pack({"id": -7, "tags": ["a", "b"],
+                              "blob": b"xyz", "ok": True})
+                + pack({"id": 2**40, "tags": [], "ok": None}),
+                parse_msgpack_stream),
     "tiff": (lambda: make_tiff(
         [(8, 6, bytes(range(48))), (5, 9, bytes(range(45)))],
         little_endian=False), parse_tiff),
