@@ -166,6 +166,7 @@ QUERIES = [
     "customer_360",
     "winsorized_event_stats",
     "sitemap_scan",
+    "msgpack_log_scan",
 ]
 
 
