@@ -4468,3 +4468,77 @@ def q_msgpack_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_nested long, blob_bytes long, n_nulls long, n_true long, "
         "doc_id long",
     )
+
+
+@register_extra(
+    "compressed_text_scan",
+    """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                ELSE 'xz' END AS codec,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS text_md5
+    FROM documents
+    """,
+)
+def q_compressed_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-codec compressed ingestion: each doc's text round-trips
+    through a REAL stdlib codec (gzip / bz2 / xz by doc rotation), and
+    the reader sniffs the format from the container magic (1f8b / BZh /
+    fd377a585a00) before decompressing — the crawl-dump reality where a
+    directory mixes .gz, .bz2 and .xz shards.  The oracle pins the
+    decompressed text digest against the source column, so a codec
+    mix-up, truncated stream, or sniffing bug mismatches rows.
+    Unrecognized magic raises for the standard quarantine path."""
+    import bz2
+    import gzip
+    import hashlib
+    import lzma
+
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sniff_and_read(payload: bytes) -> bytes:
+        if payload[:2] == b"\x1f\x8b":
+            return gzip.decompress(payload)
+        if payload[:3] == b"BZh":
+            return bz2.decompress(payload)
+        if payload[:6] == b"\xfd7zXZ\x00":
+            return lzma.decompress(payload)
+        raise ValueError(
+            f"unrecognized compression magic {payload[:6]!r}"
+        )
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                raw = str(text).encode("utf-8")
+                codec = ["gzip", "bz2", "xz"][did % 3]
+                comp = {
+                    "gzip": gzip.compress,
+                    "bz2": bz2.compress,
+                    "xz": lzma.compress,
+                }[codec](raw)
+                back = sniff_and_read(comp)
+                if back != raw:
+                    raise ValueError(f"roundtrip mismatch doc {did}")
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "codec": codec,
+                        "n_chars": len(str(text)),
+                        "text_md5": hashlib.md5(back).hexdigest(),
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, codec string, n_chars long, text_md5 string",
+    )

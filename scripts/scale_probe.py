@@ -167,6 +167,7 @@ QUERIES = [
     "winsorized_event_stats",
     "sitemap_scan",
     "msgpack_log_scan",
+    "compressed_text_scan",
 ]
 
 
