@@ -921,3 +921,80 @@ def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ]
     )
+
+
+@register_extra(
+    "shipping_latency_stats",
+    """
+    WITH v AS (
+        SELECT o.o_orderpriority AS priority,
+               CAST(CAST(l.l_shipdate AS DATE)
+                    - CAST(o.o_orderdate AS DATE) AS BIGINT) AS days
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    cc AS (
+        SELECT priority, days, cnt,
+               sum(cnt) OVER (PARTITION BY priority ORDER BY days)
+                   AS cum
+        FROM (SELECT priority, days, count(*) AS cnt
+              FROM v GROUP BY 1, 2)
+    ),
+    n AS (SELECT priority, count(*) AS n FROM v GROUP BY 1),
+    q AS (
+        SELECT cc.priority,
+               min(CASE WHEN cum >= (n + 1) // 2
+                         AND cum - cnt < (n + 1) // 2
+                        THEN days END) AS p50_days,
+               min(CASE WHEN cum >= (n * 9 + 9) // 10
+                         AND cum - cnt < (n * 9 + 9) // 10
+                        THEN days END) AS p90_days
+        FROM cc JOIN n USING (priority) GROUP BY 1
+    )
+    SELECT q.priority,
+           CAST(n.n AS BIGINT) AS n_lineitems,
+           CAST(p50_days AS BIGINT) AS p50_days,
+           CAST(p90_days AS BIGINT) AS p90_days,
+           (SELECT CAST(min(days) AS BIGINT) FROM v v2
+            WHERE v2.priority = q.priority) AS min_days,
+           (SELECT CAST(max(days) AS BIGINT) FROM v v2
+            WHERE v2.priority = q.priority) AS max_days
+    FROM q JOIN n USING (priority)
+    """,
+)
+def q_shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency SLOs per priority: the fact-to-fact join
+    (orders ⋈ lineitem on the order key — co-locatable via bucketing,
+    sources/bucketing.py) feeds exact integer day gaps into the
+    value-compressed quantiles (operators/anomaly.py) — p50/p90 at
+    ceil(q·n) ranks plus min/max, all joined back as one-row-per-group
+    broadcasts.  The operational-analytics complement to
+    order_timeline_analytics; every number exact, oracle-replayed."""
+    from ..operators.anomaly import exact_group_quantile
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    v = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("l_shipdate"), F.to_date("o_orderdate")
+        )
+        .cast("long")
+        .alias("days"),
+    )
+    agg = v.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+        F.min("days").cast("long").alias("min_days"),
+        F.max("days").cast("long").alias("max_days"),
+    )
+    p50 = exact_group_quantile(v, ["priority"], "days", 1, 2, "p50_days")
+    p90 = exact_group_quantile(v, ["priority"], "days", 9, 10, "p90_days")
+    return (
+        agg.join(F.broadcast(p50), "priority")
+        .join(F.broadcast(p90), "priority")
+        .select(
+            "priority", "n_lineitems", "p50_days", "p90_days",
+            "min_days", "max_days",
+        )
+    )

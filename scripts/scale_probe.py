@@ -168,6 +168,7 @@ QUERIES = [
     "sitemap_scan",
     "msgpack_log_scan",
     "compressed_text_scan",
+    "shipping_latency_stats",
 ]
 
 
