@@ -4542,3 +4542,81 @@ def q_compressed_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen_and_parse,
         "doc_id long, codec string, n_chars long, text_md5 string",
     )
+
+
+@register_extra(
+    "bson_log_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 4 AS g FROM documents
+    ),
+    f AS (
+        SELECT doc_id, g,
+               sum((doc_id * 13 + j)
+                   * (CASE WHEN j % 2 = 0 THEN 1 ELSE -1 END)
+                   + doc_id % 7 + doc_id % 11) AS sum_ints,
+               sum((doc_id + j) % 6) AS blob_bytes,
+               sum(CASE WHEN j % 2 = 0 THEN 1 ELSE 0 END) AS n_true
+        FROM d, LATERAL (SELECT unnest(range(0, g)) AS j)
+        GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           CAST(g AS BIGINT) AS n_docs,
+           CAST(sum_ints AS BIGINT) AS sum_ints,
+           CAST(g AS BIGINT) AS n_strings,
+           CAST(g AS BIGINT) AS n_nested,
+           CAST(blob_bytes AS BIGINT) AS blob_bytes,
+           CAST(g - n_true AS BIGINT) AS n_nulls,
+           CAST(n_true AS BIGINT) AS n_true
+    FROM f
+    """,
+)
+def q_bson_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BSON dump walk (operators/bson.py — the mongodump shape,
+    completing the serialization trio with protobuf and MessagePack):
+    per doc a real stream of concatenated BSON documents — total-length
+    framing that INCLUDES the length field and terminator (the
+    off-by-four pinned in tests), little-endian int32/int64 by width,
+    dense-indexed arrays, binary subtypes, bool/null — walked
+    recursively with a depth guard.  The oracle replays the per-doc
+    formulas; doubles and unknown tags quarantine loudly."""
+    import pandas as pd
+
+    from ..operators.bson import pack_document, parse_bson_stream
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ds = []
+                for j in range(1 + did % 4):
+                    ds.append(
+                        {
+                            "id": (did * 13 + j)
+                            * (1 if j % 2 == 0 else -1),
+                            "tag": f"t{(did + j) % 5}",
+                            "items": [did % 7, did % 11],
+                            "blob": bytes(
+                                (did + i) % 251
+                                for i in range((did + j) % 6)
+                            ),
+                            "flag": True if j % 2 == 0 else None,
+                        }
+                    )
+                m = parse_bson_stream(
+                    b"".join(pack_document(x) for x in ds)
+                )
+                m["doc_id"] = did
+                rows.append(m)
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "n_docs long, sum_ints long, n_strings long, n_nested long, "
+        "blob_bytes long, n_nulls long, n_true long, doc_id long",
+    )

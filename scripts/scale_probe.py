@@ -169,6 +169,7 @@ QUERIES = [
     "msgpack_log_scan",
     "compressed_text_scan",
     "shipping_latency_stats",
+    "bson_log_scan",
 ]
 
 

@@ -70,6 +70,10 @@ from hainan_big_data_recommend_system_spark.operators.webp import (
     make_webp,
     parse_webp,
 )
+from hainan_big_data_recommend_system_spark.operators.bson import (
+    pack_document,
+    parse_bson_stream,
+)
 from hainan_big_data_recommend_system_spark.operators.msgpackfmt import (
     pack,
     parse_msgpack_stream,
@@ -136,6 +140,10 @@ CASES = {
     "webm": (lambda: make_webm([(1, "V_VP9", 64, 48), (2, "A_OPUS", 2, 0)],
                                [(100, [0, 33]), (1100, [-16, 0])]),
              parse_webm),
+    "bson": (lambda: pack_document({"id": -7, "t": ["a", {"b": 1}],
+                                    "bin": b"xyz", "ok": None})
+             + pack_document({"id": 2**40, "f": True}),
+             parse_bson_stream),
     "msgpack": (lambda: pack({"id": -7, "tags": ["a", "b"],
                               "blob": b"xyz", "ok": True})
                 + pack({"id": 2**40, "tags": [], "ok": None}),
