@@ -301,3 +301,64 @@ def test_exact_substring_dedup_matches_reference(spark, docs):
         for r in exact_substring_dedup(df, "doc_id", "text", w=3).collect()
     }
     assert got == ref
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=30,
+    ),
+    q=st.sampled_from([(1, 2), (1, 4), (9, 10), (99, 100), (1, 1)]),
+)
+def test_exact_group_quantile_equals_sorted_index(spark, vals, q):
+    """Property: the value-compressed quantile equals the ceil(q*n)-th
+    element of the sorted list — on arbitrary integers with ties."""
+    import math
+
+    from hainan_big_data_recommend_system_spark.operators.anomaly import (
+        exact_group_quantile,
+    )
+
+    qn, qd = q
+    df = spark.createDataFrame(
+        [("g", i, v) for i, v in enumerate(vals)],
+        "g string, i long, v long",
+    )
+    [row] = exact_group_quantile(df, ["g"], "v", qn, qd, "q").collect()
+    want = sorted(vals)[max(1, math.ceil(qn * len(vals) / qd)) - 1]
+    assert row["q"] == want, (vals, q)
+
+
+@_SETTINGS
+@given(
+    vals=st.lists(
+        st.integers(min_value=0, max_value=5),  # heavy ties on purpose
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_distributed_rank_equals_window_rank(spark, vals):
+    """Property: the value-compressed global rank equals row_number()
+    over the same total order, for any tie structure."""
+    from pyspark.sql import Window
+
+    from hainan_big_data_recommend_system_spark.operators.ranking import (
+        distributed_global_rank,
+    )
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v long"
+    )
+    got = {
+        r["id"]: r["rank"]
+        for r in distributed_global_rank(df, "v", ["id"]).collect()
+    }
+    want = {
+        r["id"]: r["rank"]
+        for r in df.withColumn(
+            "rank", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert got == want, vals
