@@ -998,3 +998,76 @@ def q_shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_days", "max_days",
         )
     )
+
+
+@register_extra(
+    "orders_version_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey AS k, o_orderpriority AS pri,
+               o_orderstatus AS st
+        FROM orders
+    ),
+    new AS (
+        SELECT k,
+               CASE WHEN k % 7 = 0 THEN '0-RUSHED' ELSE pri END AS pri,
+               CASE WHEN k % 5 = 0 THEN 'X' ELSE st END AS st
+        FROM old WHERE k % 13 <> 0
+        UNION ALL
+        SELECT k + 10000000, pri, st FROM old WHERE k % 11 = 0
+    ),
+    j AS (
+        SELECT coalesce(o.k, n.k) AS k,
+               o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+               NOT (o.pri IS NOT DISTINCT FROM n.pri) AS dp,
+               NOT (o.st IS NOT DISTINCT FROM n.st) AS ds
+        FROM old o FULL OUTER JOIN new n ON o.k = n.k
+    )
+    SELECT k AS o_orderkey,
+           CASE WHEN NOT in_old THEN 'added'
+                WHEN NOT in_new THEN 'removed'
+                WHEN dp OR ds THEN 'changed'
+                ELSE 'unchanged' END AS change_type,
+           CASE WHEN in_old AND in_new AND (dp OR ds) THEN
+               concat_ws(',',
+                   CASE WHEN dp THEN 'pri' END,
+                   CASE WHEN ds THEN 'st' END)
+           ELSE '' END AS changed_cols
+    FROM j
+    """,
+)
+def q_orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed table reconciliation (operators/diff.py): OLD = orders;
+    NEW = a deterministic mutation (every 13th key removed, every 7th
+    repriced, every 5th restatused, every 11th re-added under an
+    offset key) — the diff classifies every key and names the changed
+    columns, null-safe on both the presence test and the value
+    comparison.  One full-outer join; the oracle rebuilds the mutation
+    and the classification independently."""
+    from ..operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.select(
+        F.col("o_orderkey").alias("o_orderkey"),
+        F.col("o_orderpriority").alias("pri"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    k = F.col("o_orderkey")
+    new = (
+        old.where(k % 13 != 0)
+        .select(
+            "o_orderkey",
+            F.when(k % 7 == 0, F.lit("0-RUSHED"))
+            .otherwise(F.col("pri"))
+            .alias("pri"),
+            F.when(k % 5 == 0, F.lit("X"))
+            .otherwise(F.col("st"))
+            .alias("st"),
+        )
+        .unionByName(
+            old.where(k % 11 == 0).select(
+                (k + 10_000_000).alias("o_orderkey"), "pri", "st"
+            )
+        )
+    )
+    return table_diff(old, new, ["o_orderkey"], ["pri", "st"])

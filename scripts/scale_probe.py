@@ -170,6 +170,7 @@ QUERIES = [
     "compressed_text_scan",
     "shipping_latency_stats",
     "bson_log_scan",
+    "orders_version_diff",
 ]
 
 
