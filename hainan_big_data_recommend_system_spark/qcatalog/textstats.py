@@ -4620,3 +4620,82 @@ def q_bson_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs long, sum_ints long, n_strings long, n_nested long, "
         "blob_bytes long, n_nulls long, n_true long, doc_id long",
     )
+
+
+@register_extra(
+    "uuid7_time_scan",
+    """
+    WITH u AS (
+        SELECT doc_id,
+               lpad(lower(hex(1700000000000 + doc_id * 977)), 12, '0')
+                   AS h12,
+               md5('u7:' || doc_id) AS r
+        FROM documents
+    ),
+    made AS (
+        SELECT doc_id,
+               substr(h12, 1, 8) || '-' || substr(h12, 9, 4)
+               || '-7' || substr(r, 1, 3)
+               || '-8' || substr(r, 4, 3)
+               || '-' || substr(r, 7, 12) AS uuid
+        FROM u
+    )
+    SELECT doc_id, uuid,
+           CAST(('0x' || substr(uuid, 1, 8) || substr(uuid, 10, 4))
+                ::BIGINT AS BIGINT) AS ts_ms,
+           CAST(CASE WHEN substr(uuid, 15, 1) = '7'
+                     THEN 1 ELSE 0 END AS BIGINT) AS version_ok,
+           CAST(CASE WHEN substr(uuid, 20, 1) IN ('8','9','a','b')
+                     THEN 1 ELSE 0 END AS BIGINT) AS variant_ok,
+           CAST(epoch_ms(('0x' || substr(uuid, 1, 8)
+                          || substr(uuid, 10, 4))::BIGINT)
+                AS DATE) AS event_date
+    FROM made
+    """,
+)
+def q_uuid7_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUIDv7 time extraction (RFC 9562): build a spec-shaped v7 UUID
+    per doc (48-bit unix-ms prefix, version nibble 7, variant 10) from
+    deterministic hex, then PARSE the timestamp, version and variant
+    back — entirely scan-local string expressions in BOTH engines (no
+    Python, no UDF).  Time-ordered ids are the modern event-log key;
+    extracting their embedded time without a generator library is the
+    engine-side skill this pins, byte-for-byte against the oracle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    u = docs.select(
+        "doc_id",
+        F.lpad(
+            F.lower(F.hex(F.lit(1_700_000_000_000) + F.col("doc_id") * 977)),
+            12,
+            "0",
+        ).alias("h12"),
+        F.md5(F.concat(F.lit("u7:"), F.col("doc_id").cast("string")).cast("binary")).alias("r"),
+    )
+    made = u.select(
+        "doc_id",
+        F.concat(
+            F.substring("h12", 1, 8), F.lit("-"),
+            F.substring("h12", 9, 4),
+            F.lit("-7"), F.substring("r", 1, 3),
+            F.lit("-8"), F.substring("r", 4, 3),
+            F.lit("-"), F.substring("r", 7, 12),
+        ).alias("uuid"),
+    )
+    ms = F.conv(
+        F.concat(F.substring("uuid", 1, 8), F.substring("uuid", 10, 4)),
+        16,
+        10,
+    ).cast("long")
+    return made.select(
+        "doc_id",
+        "uuid",
+        ms.alias("ts_ms"),
+        (F.substring("uuid", 15, 1) == "7").cast("long").alias(
+            "version_ok"
+        ),
+        F.substring("uuid", 20, 1)
+        .isin("8", "9", "a", "b")
+        .cast("long")
+        .alias("variant_ok"),
+        F.to_date(F.timestamp_millis(ms)).alias("event_date"),
+    )

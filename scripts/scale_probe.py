@@ -171,6 +171,7 @@ QUERIES = [
     "shipping_latency_stats",
     "bson_log_scan",
     "orders_version_diff",
+    "uuid7_time_scan",
 ]
 
 
