@@ -1071,3 +1071,141 @@ def q_orders_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return table_diff(old, new, ["o_orderkey"], ["pri", "st"])
+
+
+@register_extra(
+    "rolling_revenue_7d",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT priority, day,
+           CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(sum(rev_cents) OVER (
+               PARTITION BY priority ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rev_7d_cents,
+           CAST(count(*) OVER (
+               PARTITION BY priority ORDER BY day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS days_in_window
+    FROM daily
+    """,
+)
+def q_rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day revenue per priority — the RANGE-frame window
+    (value-based frame over integer epoch-days, so CALENDAR gaps
+    shrink the window, unlike a 7-ROW frame): daily pre-aggregation
+    first (map-side combined — the window then runs over days, not
+    orders), one keyed window, exact cents.  The rolling-metric
+    primitive every ops dashboard needs; both engines share RANGE
+    semantics on the integer day key."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "priority",
+        "day",
+        "rev_cents",
+        F.sum("rev_cents").over(w).cast("long").alias("rev_7d_cents"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window"),
+    )
+
+
+@register_extra(
+    "order_day_streaks",
+    """
+    WITH days AS (
+        SELECT DISTINCT o_custkey AS custkey,
+               CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                    AS BIGINT) AS day
+        FROM orders
+    ),
+    grp AS (
+        SELECT custkey, day,
+               day - row_number() OVER (
+                   PARTITION BY custkey ORDER BY day
+               ) AS island
+        FROM days
+    ),
+    runs AS (
+        SELECT custkey, island,
+               count(*) AS len, min(day) AS start_day
+        FROM grp GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT custkey, len, start_day,
+               row_number() OVER (
+                   PARTITION BY custkey
+                   ORDER BY len DESC, start_day
+               ) AS rk
+        FROM runs
+    )
+    SELECT custkey,
+           CAST(len AS BIGINT) AS longest_streak_days,
+           CAST(start_day AS BIGINT) AS streak_start_day
+    FROM best WHERE rk = 1 AND len >= 2
+    """,
+)
+def q_order_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-order-day streak per customer — the
+    gaps-and-islands pattern (day minus per-customer row_number is
+    constant within a consecutive run): two keyed windows and one
+    grouped count, deterministic tiebreak (earliest streak wins),
+    customers with only singleton days filtered.  Same decomposition
+    the substring scrub uses internally (operators/substring_dedup.py),
+    here as a user-facing retention metric."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    days = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.datediff(
+            F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("day"),
+    ).distinct()
+    w = Window.partitionBy("custkey").orderBy("day")
+    grp = days.withColumn(
+        "island", F.col("day") - F.row_number().over(w)
+    )
+    runs = grp.groupBy("custkey", "island").agg(
+        F.count(F.lit(1)).alias("len"),
+        F.min("day").alias("start_day"),
+    )
+    best = runs.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("custkey").orderBy(
+                F.col("len").desc(), "start_day"
+            )
+        ),
+    )
+    return best.where((F.col("rk") == 1) & (F.col("len") >= 2)).select(
+        "custkey",
+        F.col("len").cast("long").alias("longest_streak_days"),
+        F.col("start_day").cast("long").alias("streak_start_day"),
+    )

@@ -172,6 +172,8 @@ QUERIES = [
     "bson_log_scan",
     "orders_version_diff",
     "uuid7_time_scan",
+    "rolling_revenue_7d",
+    "order_day_streaks",
 ]
 
 
