@@ -4699,3 +4699,106 @@ def q_uuid7_time_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("variant_ok"),
         F.to_date(F.timestamp_millis(ms)).alias("event_date"),
     )
+
+
+# nine capture groups max: DuckDB regexp_extract rejects index > 9,
+# so the timestamp bracket and protocol are non-capturing
+_CLF_RX = (
+    r'^(\S+) \S+ (\S+) \[(?:[^\]]+)\] '
+    r'"([A-Z]+) ([^ "]+) (?:[^"]+)" (\d{3}) (\d+|-) '
+    r'"([^"]*)" "([^"]*)"$'
+)
+
+
+@register_extra(
+    "access_log_scan",
+    r"""
+    WITH lines AS (
+        SELECT doc_id,
+               '198.51.' || CAST(doc_id % 200 AS VARCHAR) || '.'
+               || CAST(doc_id % 250 AS VARCHAR)
+               || ' - user' || CAST(doc_id % 40 AS VARCHAR)
+               || ' [0' || CAST(1 + doc_id % 9 AS VARCHAR)
+               || '/Jan/2024:12:34:56 +0000] "'
+               || (['GET','POST','PUT'])[1 + doc_id % 3]
+               || ' /p/' || CAST(doc_id * 7 % 500 AS VARCHAR)
+               || '?q=' || CAST(doc_id % 10 AS VARCHAR)
+               || ' HTTP/1.1" '
+               || CAST(([200, 200, 404, 500, 301])[1 + doc_id % 5]
+                       AS VARCHAR)
+               || ' ' || CASE WHEN doc_id % 7 = 0 THEN '-'
+                              ELSE CAST(100 + doc_id % 9000 AS VARCHAR)
+                         END
+               || ' "https://ref' || CAST(doc_id % 6 AS VARCHAR)
+               || '.example/x" "Mozilla/5.0 (bot'
+               || CAST(doc_id % 4 AS VARCHAR) || ')"' AS line
+        FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(line, '{rx}', 1) AS ip,
+           regexp_extract(line, '{rx}', 2) AS user,
+           regexp_extract(line, '{rx}', 3) AS method,
+           regexp_extract(line, '{rx}', 4) AS path,
+           CAST(regexp_extract(line, '{rx}', 5) AS BIGINT) AS status,
+           CAST(CASE WHEN regexp_extract(line, '{rx}', 6) = '-'
+                     THEN 0
+                     ELSE CAST(regexp_extract(line, '{rx}', 6)
+                               AS BIGINT) END AS BIGINT) AS bytes,
+           regexp_extract(regexp_extract(line, '{rx}', 7),
+                          '^https://([^/]+)/', 1) AS referer_host,
+           CAST(CASE WHEN regexp_extract(line, '{rx}', 8)
+                          LIKE '%bot%' THEN 1 ELSE 0 END AS BIGINT)
+               AS is_bot
+    FROM lines
+    """.replace("{rx}", _CLF_RX),
+)
+def q_access_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apache combined access-log parsing (the CLF/combined format of
+    httpd/nginx docs): build a spec-shaped log line per doc, then
+    extract ip/user/method/path/status/bytes/referer-host/bot-flag
+    with ONE anchored regex — scan-local in both engines, '-' byte
+    counts coerced to 0, referer host split in a second pass.  The
+    web-analytics front door the reference's log_analyze.py implies;
+    a group-numbering or anchoring bug mismatches every row."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = F.col("doc_id")
+    methods = F.array(F.lit("GET"), F.lit("POST"), F.lit("PUT"))
+    statuses = F.array(*[F.lit(s) for s in [200, 200, 404, 500, 301]])
+    line = F.concat(
+        F.lit("198.51."), (d % 200).cast("string"), F.lit("."),
+        (d % 250).cast("string"),
+        F.lit(" - user"), (d % 40).cast("string"),
+        F.lit(" [0"), (1 + d % 9).cast("string"),
+        F.lit("/Jan/2024:12:34:56 +0000] \""),
+        F.element_at(methods, (d % 3 + 1).cast("int")),
+        F.lit(" /p/"), (d * 7 % 500).cast("string"),
+        F.lit("?q="), (d % 10).cast("string"),
+        F.lit(" HTTP/1.1\" "),
+        F.element_at(statuses, (d % 5 + 1).cast("int")).cast("string"),
+        F.lit(" "),
+        F.when(d % 7 == 0, F.lit("-")).otherwise(
+            (100 + d % 9000).cast("string")
+        ),
+        F.lit(" \"https://ref"), (d % 6).cast("string"),
+        F.lit(".example/x\" \"Mozilla/5.0 (bot"),
+        (d % 4).cast("string"), F.lit(")\""),
+    )
+    lines = docs.select("doc_id", line.alias("line"))
+    rx = _CLF_RX
+    g = lambda i: F.regexp_extract("line", rx, i)  # noqa: E731
+    return lines.select(
+        "doc_id",
+        g(1).alias("ip"),
+        g(2).alias("user"),
+        g(3).alias("method"),
+        g(4).alias("path"),
+        g(5).cast("long").alias("status"),
+        F.when(g(6) == "-", F.lit(0))
+        .otherwise(g(6).cast("long"))
+        .cast("long")
+        .alias("bytes"),
+        F.regexp_extract(g(7), "^https://([^/]+)/", 1).alias(
+            "referer_host"
+        ),
+        g(8).contains("bot").cast("long").alias("is_bot"),
+    )

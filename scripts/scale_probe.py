@@ -174,6 +174,7 @@ QUERIES = [
     "uuid7_time_scan",
     "rolling_revenue_7d",
     "order_day_streaks",
+    "access_log_scan",
 ]
 
 
