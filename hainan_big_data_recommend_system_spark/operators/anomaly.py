@@ -54,6 +54,12 @@ def exact_group_quantile(
     One row per group: ``(*group_cols, out_col)``.  Shuffles once on
     ``(group, value)`` (pre-aggregated map-side) and once on the group
     key; the ordering window runs over distinct values only.
+
+    The per-group totals join is broadcast-HINTED: correct for the
+    bounded-group shape every caller here has (event types, priorities
+    — dozens of rows).  For a HIGH-cardinality group key (millions of
+    groups) drop the hint and let AQE pick the join — the totals
+    relation is then itself large and must shuffle.
     """
     if not 0 < q_num <= q_den:
         raise ValueError("quantile must be in (0, 1]")
