@@ -4802,3 +4802,92 @@ def q_access_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         g(8).contains("bot").cast("long").alias("is_bot"),
     )
+
+
+@register_extra(
+    "orc_container_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 2 AS ns FROM documents
+    ),
+    sz AS (
+        SELECT doc_id, ns, sum(3 + (doc_id + s) % 5) AS g
+        FROM d, LATERAL (SELECT unnest(range(0, ns)) AS s)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 17 + i)
+                   * (CASE WHEN i % 3 = 0 THEN -1 ELSE 1 END))
+                   AS sum_ids,
+               count(DISTINCT (d.doc_id + i) % 9) AS n_names,
+               sum(1 + length(CAST((d.doc_id + i) % 9 AS VARCHAR)))
+                   AS name_bytes
+        FROM d JOIN sz USING (doc_id),
+             LATERAL (SELECT unnest(range(0, CAST(sz.g AS BIGINT)))
+                      AS i)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(d.ns AS BIGINT) AS n_stripes,
+           CAST(sz.g AS BIGINT) AS n_rows,
+           CAST(r.sum_ids AS BIGINT) AS sum_ids,
+           CAST(r.n_names AS BIGINT) AS n_names,
+           CAST(r.name_bytes AS BIGINT) AS name_bytes
+    FROM d JOIN sz USING (doc_id) JOIN r USING (doc_id)
+    """,
+)
+def q_orc_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC-lite walk (operators/orclite.py): per doc a real mini-ORC
+    file — tail-first postscript, protobuf footers decoded by the
+    pbwire wire walk, stripe stream resolution, RLEv1 runs AND literal
+    groups with zigzag signed ids — read back and aggregated.  The
+    oracle replays the row formulas; a tail-offset, RLE, or
+    stream-geometry bug mismatches rows.  Closes the 'remaining
+    big-data format' note from the round-8 suggestions."""
+    import pandas as pd
+
+    from ..operators.orclite import make_orc, parse_orc
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ns = 1 + did % 2
+                g = 0
+                stripes = []
+                for s in range(ns):
+                    rows_s = []
+                    for _ in range(3 + (did + s) % 5):
+                        rows_s.append(
+                            (
+                                (did * 17 + g)
+                                * (-1 if g % 3 == 0 else 1),
+                                f"n{(did + g) % 9}",
+                            )
+                        )
+                        g += 1
+                    stripes.append(rows_s)
+                m = parse_orc(make_orc(stripes))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_stripes": m["n_stripes"],
+                        "n_rows": m["n_rows"],
+                        "sum_ids": m["sum_ids"],
+                        "n_names": m["n_names"],
+                        "name_bytes": m["name_bytes"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, n_stripes long, n_rows long, sum_ids long, "
+        "n_names long, name_bytes long",
+    )

@@ -175,6 +175,7 @@ QUERIES = [
     "rolling_revenue_7d",
     "order_day_streaks",
     "access_log_scan",
+    "orc_container_scan",
 ]
 
 

@@ -74,6 +74,10 @@ from hainan_big_data_recommend_system_spark.operators.bson import (
     pack_document,
     parse_bson_stream,
 )
+from hainan_big_data_recommend_system_spark.operators.orclite import (
+    make_orc,
+    parse_orc,
+)
 from hainan_big_data_recommend_system_spark.operators.msgpackfmt import (
     pack,
     parse_msgpack_stream,
@@ -140,6 +144,9 @@ CASES = {
     "webm": (lambda: make_webm([(1, "V_VP9", 64, 48), (2, "A_OPUS", 2, 0)],
                                [(100, [0, 33]), (1100, [-16, 0])]),
              parse_webm),
+    "orc": (lambda: make_orc([[(i * 3 - 9, f"n{i % 4}") for i in range(12)],
+                              [(-(2**33) + i, "y" * (i % 3))
+                               for i in range(7)]]), parse_orc),
     "bson": (lambda: pack_document({"id": -7, "t": ["a", {"b": 1}],
                                     "bin": b"xyz", "ok": None})
              + pack_document({"id": 2**40, "f": True}),
