@@ -4891,3 +4891,364 @@ def q_orc_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_stripes long, n_rows long, sum_ids long, "
         "n_names long, name_bytes long",
     )
+
+
+@register_extra(
+    "parquet_footer_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 3 AS ns FROM documents
+    ),
+    sz AS (
+        SELECT doc_id, ns, sum(2 + (doc_id + s) % 4) AS n_rows
+        FROM d, LATERAL (SELECT unnest(range(0, ns)) AS s)
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT d.doc_id,
+               sum((d.doc_id * 13 + g)
+                   * (CASE WHEN g % 4 = 0 THEN -1 ELSE 1 END)) AS sum_ids,
+               count(DISTINCT concat(repeat('x', (d.doc_id + g) % 3), 'n',
+                                     CAST((d.doc_id * 5 + g) % 9
+                                          AS VARCHAR))) AS n_names,
+               sum((d.doc_id + g) % 3 + 2) AS name_bytes
+        FROM d JOIN sz USING (doc_id),
+             LATERAL (SELECT unnest(range(0, CAST(sz.n_rows AS BIGINT)))
+                      AS g)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(d.ns AS BIGINT) AS n_row_groups,
+           CAST(sz.n_rows AS BIGINT) AS n_rows,
+           CAST(r.sum_ids AS BIGINT) AS sum_ids,
+           CAST(r.n_names AS BIGINT) AS n_names,
+           CAST(r.name_bytes AS BIGINT) AS name_bytes,
+           CAST(12 * sz.n_rows + r.name_bytes AS BIGINT) AS data_bytes
+    FROM d JOIN sz USING (doc_id) JOIN r USING (doc_id)
+    """,
+)
+def q_parquet_footer_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet itself, read by hand (operators/parquetfmt.py): per doc
+    a real minimal parquet file — Thrift-compact FileMetaData footer,
+    v1 PLAIN data pages, multiple row groups — written and read back by
+    the module's own codec (the same writer output DuckDB and pyarrow
+    read in tests/test_parquetfmt.py, and the same footer walker that
+    parses the arrow-written testdata files).  ``data_bytes`` pins the
+    chunk size bookkeeping: the footer's total_compressed sums must
+    equal the page bytes actually decoded.  The oracle replays the row
+    formulas; a thrift field-delta, page-geometry, or footer-length bug
+    mismatches rows."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.parquetfmt import make_parquet, parse_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_parse(it):
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ns = 1 + did % 3
+                g = 0
+                groups = []
+                for s in range(ns):
+                    rg = []
+                    for _ in range(2 + (did + s) % 4):
+                        rg.append(
+                            (
+                                (did * 13 + g)
+                                * (-1 if g % 4 == 0 else 1),
+                                "x" * ((did + g) % 3)
+                                + f"n{(did * 5 + g) % 9}",
+                            )
+                        )
+                        g += 1
+                    groups.append(rg)
+                m = parse_parquet(make_parquet(groups))
+                rows.append(
+                    {
+                        "doc_id": did,
+                        "n_row_groups": m["n_row_groups"],
+                        "n_rows": m["n_rows"],
+                        "sum_ids": m["sum_ids"],
+                        "n_names": m["n_names"],
+                        "name_bytes": m["name_bytes"],
+                        "data_bytes": m["data_bytes"],
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_parse,
+        "doc_id long, n_row_groups long, n_rows long, sum_ids long, "
+        "n_names long, name_bytes long, data_bytes long",
+    )
+
+
+@register_extra("parquet_file_stats", None)
+def q_parquet_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lake-audit footer scan over the REAL sf_dir parquet files: list
+    files on the driver, distribute the paths, and range-read ONLY each
+    file's footer tail (operators/parquetfmt.read_footer_tail) — at
+    100 TB this audits a lake by reading tails, never page data.  The
+    local build opens paths directly; on an object store the fetch
+    closure becomes a ranged GET (pyarrow.fs) with the identical walk.
+    No fixed-string oracle (the driver gate cannot parameterize file
+    paths), but tests/test_parquetfmt.py replays this exact output
+    against DuckDB's native parquet_metadata()/parquet_file_metadata()
+    per file — a full value gate, path-parameterized locally."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
+
+    paths = sorted(_glob.glob(os.path.join(sf_dir, "*.parquet")))
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(1, min(len(paths), 32)))
+
+    def walk(it):
+        for batch in it:
+            rows = []
+            for p in batch["path"]:
+                size = os.path.getsize(p)
+                with open(p, "rb") as fh:
+
+                    def fetch(off, ln):
+                        fh.seek(off)
+                        return fh.read(ln)
+
+                    tail = read_footer_tail(fetch, size)
+                m = parse_footer_tail(tail)
+                rows.append(
+                    {
+                        "file_name": os.path.basename(p),
+                        "n_rows": m["n_rows"],
+                        "n_row_groups": m["n_row_groups"],
+                        "n_columns": len(m["column_names"]),
+                        "n_chunks": m["n_chunks"],
+                        "num_values": m["num_values"],
+                        "total_compressed": m["total_compressed"],
+                        "total_uncompressed": m["total_uncompressed"],
+                        "codecs": ",".join(m["codecs"]),
+                        "created_by": m["created_by"] or "",
+                    }
+                )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    return pdf.mapInPandas(
+        walk,
+        "file_name string, n_rows long, n_row_groups long, "
+        "n_columns long, n_chunks long, num_values long, "
+        "total_compressed long, total_uncompressed long, "
+        "codecs string, created_by string",
+    )
+
+
+@register_extra(
+    "delta_snapshot_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+    ),
+    f AS (
+        SELECT d.doc_id, d.n, j,
+               CASE WHEN j = 0 THEN (d.doc_id % 5 = 0)
+                                    OR ((d.doc_id + 1) % 2 <> 0)
+                    WHEN j = d.n - 1 THEN TRUE
+                    ELSE (d.doc_id + j + 1) % 2 <> 0 END AS live,
+               CASE WHEN j = 0 AND d.doc_id % 5 = 0
+                    THEN 999 + d.doc_id % 13
+                    ELSE 100 + (d.doc_id + j) % 50 END AS fsize,
+               CASE WHEN j = 0 AND d.doc_id % 5 = 0
+                    THEN 50 + d.doc_id % 11
+                    ELSE 10 + (d.doc_id * 3 + j) % 7 END AS nrec
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS j)
+    ),
+    rm AS (
+        SELECT d.doc_id,
+               count(*) FILTER (WHERE (d.doc_id + c) % 2 = 0)
+                   AS n_remove_actions
+        FROM d, LATERAL (SELECT unnest(range(1, n)) AS c)
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(d.n - 1 AS BIGINT) AS version,
+           CAST(count(*) FILTER (WHERE f.live) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN f.live THEN f.fsize ELSE 0 END)
+                AS BIGINT) AS live_bytes,
+           CAST(sum(CASE WHEN f.live THEN f.nrec ELSE 0 END)
+                AS BIGINT) AS live_rows,
+           CAST(any_value(rm.n_remove_actions) AS BIGINT)
+               AS n_remove_actions
+    FROM d JOIN f USING (doc_id) JOIN rm USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def q_delta_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-protocol snapshot replay (operators/deltalog.py): per doc
+    a real JSON commit log — protocol/metaData/commitInfo lines, adds,
+    absent-path-legal removes, and a last-commit re-add that must
+    resurrect f0 with NEW file metadata (last-writer-wins, the Delta
+    PROTOCOL.md reconciliation rule).  The kernel builds the log with
+    make_commit (real JSON) and replays it with replay_delta_log; the
+    oracle recomputes the closed-form live set.  A wins-order,
+    tombstone, or re-add bug mismatches rows."""
+    import pandas as pd
+
+    from ..operators.deltalog import make_commit, replay_delta_log
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_replay(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                commits = []
+                for c in range(n):
+                    acts = []
+                    if c == 0:
+                        acts.append({"protocol": {"minReaderVersion": 1}})
+                        acts.append(
+                            {"metaData": {"id": f"tbl-{did}",
+                                          "format": "parquet"}}
+                        )
+                    if c >= 1 and (did + c) % 2 == 0:
+                        acts.append(
+                            {"remove": {"path": f"f{c - 1}",
+                                        "dataChange": True}}
+                        )
+                    acts.append(
+                        {"add": {"path": f"f{c}",
+                                 "size": 100 + (did + c) % 50,
+                                 "numRecords": 10 + (did * 3 + c) % 7,
+                                 "dataChange": True}}
+                    )
+                    if c == n - 1 and did % 5 == 0:
+                        acts.append(
+                            {"add": {"path": "f0",
+                                     "size": 999 + did % 13,
+                                     "numRecords": 50 + did % 11,
+                                     "dataChange": True}}
+                        )
+                    acts.append(
+                        {"commitInfo": {"operation":
+                                        "WRITE" if c == 0 else "MERGE"}}
+                    )
+                    commits.append(make_commit(acts))
+                m = replay_delta_log(commits)
+                out.append(
+                    {
+                        "doc_id": did,
+                        "version": m["version"],
+                        "n_live": m["n_live"],
+                        "live_bytes": m["live_bytes"],
+                        "live_rows": m["live_rows"],
+                        "n_remove_actions": m["n_remove_actions"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_replay,
+        "doc_id long, version long, n_live long, live_bytes long, "
+        "live_rows long, n_remove_actions long",
+    )
+
+
+@register_extra(
+    "delta_log_replay",
+    """
+    WITH a AS (
+        SELECT o_orderkey AS seq,
+               'part-' || CAST(o_orderkey % 211 AS VARCHAR) AS path,
+               o_orderkey % 40 AS version,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'remove'
+                    ELSE 'add' END AS kind,
+               1000 + o_orderkey % 777 AS fsize,
+               10 + o_orderkey % 97 AS nrec
+        FROM orders
+    ),
+    w AS (
+        SELECT *,
+               row_number() OVER (PARTITION BY path
+                                  ORDER BY version DESC, seq DESC) AS rn,
+               count(*) OVER (PARTITION BY path) AS n_actions
+        FROM a
+    )
+    SELECT path,
+           CAST(n_actions AS BIGINT) AS n_actions,
+           CAST(version AS BIGINT) AS last_version,
+           CAST(CASE WHEN kind = 'add' THEN 1 ELSE 0 END AS BIGINT)
+               AS live,
+           CAST(CASE WHEN kind = 'add' THEN fsize ELSE 0 END AS BIGINT)
+               AS live_size,
+           CAST(CASE WHEN kind = 'add' THEN nrec ELSE 0 END AS BIGINT)
+               AS live_rows
+    FROM w WHERE rn = 1
+    """,
+)
+def q_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-native snapshot computation — how Delta actually
+    derives a snapshot distributed: dedup the action log by path
+    keeping the (version, seq)-max action, live = last action is an
+    add.  The action lines round-trip through REAL JSON serde
+    (to_json -> from_json, JVM-side, Python-free) before the replay, so
+    a serde-schema bug mismatches rows.  One hash shuffle on path;
+    at 100 TB the log dedups per-path without ever collecting — the
+    scale path Delta's own Spark implementation takes."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    k = F.col("o_orderkey")
+    a = o.select(
+        k.alias("seq"),
+        F.concat(F.lit("part-"), (k % 211).cast("string")).alias("path"),
+        (k % 40).alias("version"),
+        F.when(k % 3 == 0, F.lit("remove"))
+        .otherwise(F.lit("add"))
+        .alias("kind"),
+        (k % 777 + 1000).alias("fsize"),
+        (k % 97 + 10).alias("nrec"),
+    )
+    line = F.to_json(
+        F.struct("seq", "path", "version", "kind", "fsize", "nrec")
+    )
+    schema = (
+        "seq bigint, path string, version bigint, kind string, "
+        "fsize bigint, nrec bigint"
+    )
+    a = a.select(F.from_json(line, schema).alias("r")).select("r.*")
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(), F.col("seq").desc()
+    )
+    wc = Window.partitionBy("path")
+    return (
+        a.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_actions", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "path",
+            F.col("n_actions").cast("long").alias("n_actions"),
+            F.col("version").cast("long").alias("last_version"),
+            (F.col("kind") == "add").cast("long").alias("live"),
+            F.when(F.col("kind") == "add", F.col("fsize"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("live_size"),
+            F.when(F.col("kind") == "add", F.col("nrec"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("live_rows"),
+        )
+    )

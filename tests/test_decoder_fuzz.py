@@ -86,6 +86,15 @@ from hainan_big_data_recommend_system_spark.operators.tiff import (
     make_tiff,
     parse_tiff,
 )
+from hainan_big_data_recommend_system_spark.operators.deltalog import (
+    make_commit,
+    parse_delta_payload,
+)
+from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+    make_parquet,
+    parse_parquet,
+    parse_parquet_footer,
+)
 from hainan_big_data_recommend_system_spark.operators.pbwire import (
     make_pb_log,
     parse_pb_stream,
@@ -183,6 +192,27 @@ CASES = {
         {"ts": 300, "user": "u2", "delta": 2, "payload": b"",
          "checksum": 9},
     ]), parse_pb_stream),
+    "delta": (
+        lambda: (
+            make_commit([{"protocol": {"minReaderVersion": 1}},
+                         {"add": {"path": "f0", "size": 10,
+                                  "numRecords": 3, "dataChange": True}}])
+            + "\n\n"
+            + make_commit([{"remove": {"path": "f0"}},
+                           {"add": {"path": "f1", "size": 20,
+                                    "numRecords": 5}}])
+        ).encode(),
+        parse_delta_payload,
+    ),
+    "parquet": (lambda: make_parquet([[(i * 3 - 9, f"n{i % 4}")
+                                       for i in range(12)],
+                                      [(-(2**40) + i, "y" * (i % 3))
+                                       for i in range(7)]]),
+                parse_parquet),
+    "parquet_footer": (
+        lambda: open("/root/testdata/sf0.001/region.parquet", "rb").read(),
+        parse_parquet_footer,
+    ),
     "tar": (lambda: make_tar([("a.txt", b"abc"), ("b", b"d" * 700)]),
             parse_tar),
     "zip": (lambda: make_zip([("a.txt", b"abc"), ("b", b"d" * 700)]),

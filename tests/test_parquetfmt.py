@@ -1,0 +1,156 @@
+"""Parquet format walk (operators/parquetfmt.py) — interop-gated in
+BOTH directions: files this writer emits are read by DuckDB and
+pyarrow; footers those engines' writers emit (the arrow-written
+testdata) are walked by this reader and must agree with DuckDB's
+native parquet_metadata()/parquet_file_metadata() cell for cell."""
+
+from __future__ import annotations
+
+import glob
+import os
+import struct
+
+import duckdb
+import pyarrow.parquet as papq
+import pytest
+
+from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+    make_parquet,
+    parse_footer_tail,
+    parse_parquet,
+    parse_parquet_footer,
+    read_footer_tail,
+)
+
+ROWS1 = [(i * 3 - 9, f"n{i % 4}") for i in range(12)]
+ROWS2 = [(-(2**40) + i, "y" * (i % 3)) for i in range(7)]
+
+
+def test_roundtrip_pinned():
+    m = parse_parquet(make_parquet([ROWS1, ROWS2]))
+    assert m["rows"] == ROWS1 + ROWS2
+    assert m["n_row_groups"] == 2 and m["n_rows"] == 19
+    assert m["sum_ids"] == sum(i for i, _ in ROWS1 + ROWS2)
+    # data_bytes is exactly the PLAIN geometry: 8/value + (4+len)/string
+    assert m["data_bytes"] == 12 * 19 + sum(
+        len(n) for _, n in ROWS1 + ROWS2
+    )
+
+
+def test_duckdb_reads_our_file(tmp_path):
+    p = str(tmp_path / "mini.parquet")
+    open(p, "wb").write(make_parquet([ROWS1, ROWS2]))
+    got = duckdb.connect().execute(
+        f"SELECT id, name FROM read_parquet('{p}') ORDER BY id, name"
+    ).fetchall()
+    assert got == sorted(ROWS1 + ROWS2)
+
+
+def test_pyarrow_reads_our_file(tmp_path):
+    p = str(tmp_path / "mini.parquet")
+    open(p, "wb").write(make_parquet([ROWS1, ROWS2]))
+    t = papq.read_table(p)
+    assert t.column("id").to_pylist() == [i for i, _ in ROWS1 + ROWS2]
+    assert t.column("name").to_pylist() == [n for _, n in ROWS1 + ROWS2]
+    assert not t.schema.field("id").nullable
+
+
+@pytest.mark.parametrize(
+    "table", ["orders", "documents", "lineitem", "region"]
+)
+def test_real_footer_matches_duckdb_and_pyarrow(sf_oracle_dir, table):
+    path = os.path.join(sf_oracle_dir, f"{table}.parquet")
+    m = parse_parquet_footer(open(path, "rb").read())
+    con = duckdb.connect()
+    fm = con.execute(
+        "SELECT num_rows, num_row_groups, created_by "
+        f"FROM parquet_file_metadata('{path}')"
+    ).fetchone()
+    assert (m["n_rows"], m["n_row_groups"], m["created_by"]) == fm
+    cm = con.execute(
+        "SELECT count(*), sum(num_values), sum(total_compressed_size), "
+        "       sum(total_uncompressed_size) "
+        f"FROM parquet_metadata('{path}')"
+    ).fetchone()
+    assert (
+        m["n_chunks"],
+        m["num_values"],
+        m["total_compressed"],
+        m["total_uncompressed"],
+    ) == tuple(int(x) for x in cm)
+    md = papq.ParquetFile(path).metadata
+    assert m["column_names"] == [
+        md.schema.column(i).name for i in range(md.num_columns)
+    ]
+    assert m["physical_types"] == [
+        md.schema.column(i).physical_type for i in range(md.num_columns)
+    ]
+    assert m["codecs"] == sorted(
+        {
+            md.row_group(r).column(c).compression
+            for r in range(md.num_row_groups)
+            for c in range(md.num_columns)
+        }
+    )
+
+
+def test_footer_tail_refetches_exactly(sf_oracle_dir):
+    path = os.path.join(sf_oracle_dir, "orders.parquet")
+    raw = open(path, "rb").read()
+    calls = []
+
+    def fetch(off, ln):
+        calls.append((off, ln))
+        return raw[off : off + ln]
+
+    tail = read_footer_tail(fetch, len(raw), probe=64)  # < footer size
+    assert len(calls) == 2  # probe, then one exact ranged re-read
+    flen = struct.unpack("<I", raw[-8:-4])[0]
+    assert len(tail) == flen + 8
+    assert parse_footer_tail(tail) == parse_parquet_footer(raw)
+
+
+def test_out_of_scope_quarantines(sf_oracle_dir):
+    raw = open(
+        os.path.join(sf_oracle_dir, "orders.parquet"), "rb"
+    ).read()
+    with pytest.raises(ValueError):  # snappy + dictionary: footer-only
+        parse_parquet(raw)
+
+
+def test_parquet_file_stats_matches_duckdb(spark, sf_oracle_dir):
+    """The path-parameterized oracle for the rows-only catalog entry:
+    the Spark query's every cell vs DuckDB's native parquet reader."""
+    from hainan_big_data_recommend_system_spark.qcatalog import (
+        EXTRA_REGISTRY,
+    )
+
+    got = {
+        r["file_name"]: r
+        for r in EXTRA_REGISTRY["parquet_file_stats"]
+        .fn(spark, sf_oracle_dir)
+        .collect()
+    }
+    paths = sorted(glob.glob(os.path.join(sf_oracle_dir, "*.parquet")))
+    assert sorted(got) == [os.path.basename(p) for p in paths]
+    con = duckdb.connect()
+    for p in paths:
+        r = got[os.path.basename(p)]
+        fm = con.execute(
+            "SELECT num_rows, num_row_groups, created_by "
+            f"FROM parquet_file_metadata('{p}')"
+        ).fetchone()
+        assert (r["n_rows"], r["n_row_groups"], r["created_by"]) == fm
+        cm = con.execute(
+            "SELECT count(*), count(DISTINCT path_in_schema), "
+            "       sum(num_values), sum(total_compressed_size), "
+            "       sum(total_uncompressed_size) "
+            f"FROM parquet_metadata('{p}')"
+        ).fetchone()
+        assert (
+            r["n_chunks"],
+            r["n_columns"],
+            r["num_values"],
+            r["total_compressed"],
+            r["total_uncompressed"],
+        ) == tuple(int(x) for x in cm)
