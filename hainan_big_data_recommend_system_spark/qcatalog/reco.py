@@ -420,3 +420,61 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         lineitem, "l_orderkey", "l_partkey", max_basket_size=64
     ).where(F.col("supp_ab") >= 2)
     return count_triangles(edges, "item_a", "item_b")
+
+
+@register_extra(
+    "copurchase_bfs_hops",
+    """
+    WITH RECURSIVE members AS (
+        SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem
+    ),
+    edges AS (
+        SELECT a.i AS u, b2.i AS v
+        FROM members a JOIN members b2
+          ON a.b = b2.b AND a.i < b2.i
+        GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    sym AS (
+        SELECT u, v FROM edges
+        UNION ALL
+        SELECT v AS u, u AS v FROM edges
+    ),
+    seeds AS (
+        SELECT DISTINCT u AS node FROM sym WHERE u % 50 = 0
+    ),
+    walk(node, hops) AS (
+        SELECT node, 0 AS hops FROM seeds
+        UNION
+        SELECT s.v AS node, w.hops + 1 AS hops
+        FROM walk w JOIN sym s ON s.u = w.node
+        WHERE w.hops < 3
+    )
+    SELECT node, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY 1
+    """,
+)
+def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-set BFS neighborhoods (operators/bfs.py) over the same
+    co-purchase graph as copurchase_triangles: min hop count (<= 3)
+    from every 'promoted' item (node % 50 = 0) — the "within K
+    co-purchase hops" reach question behind the reference's
+    similar-user expansion (user_recommend.py walks a 2-hop
+    user->item->user neighborhood).  Spark runs pregel-style bounded
+    frontier expansion with first-visit-is-min semantics; the oracle
+    recomputes distances with a recursive CTE and an explicit min() —
+    two entirely different traversal strategies that must agree
+    node-for-node."""
+    from ..operators.basket import basket_pair_counts
+    from ..operators.bfs import bfs_hops
+
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    edges = basket_pair_counts(
+        lineitem, "l_orderkey", "l_partkey", max_basket_size=64
+    ).where(F.col("supp_ab") >= 2)
+    nodes = (
+        edges.select(F.col("item_a").alias("node"))
+        .union(edges.select(F.col("item_b").alias("node")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("node") % 50 == 0)
+    return bfs_hops(edges, "item_a", "item_b", seeds, "node", 3)

@@ -387,3 +387,49 @@ def test_customer_360_event_facts_broadcast_onto_spine(spark):
     assert "Python" not in plan, plan
     # (the rank decomposition's distinct-value running sum is the one
     # sanctioned unpartitioned window — bounded by the value domain)
+
+
+def test_parquet_footer_scan_spread_arrow_kernel(spark):
+    """Generate->write->parse rides ONE Arrow kernel after the width
+    spread (the CPU-heavy per-doc thrift/page walk must not collapse to
+    1 partition under AQE); no row-at-a-time Python eval."""
+    plan = plan_of(spark, "parquet_footer_scan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the _spread only
+    assert "EvalPython" not in plan, plan
+
+
+def test_parquet_file_stats_no_shuffle(spark):
+    """The lake audit is one footer-tail read per file: path list in,
+    MapInPandas out, no Exchange beyond the initial path repartition,
+    and nothing that would pull page data."""
+    plan = plan_of(spark, "parquet_file_stats")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_delta_snapshot_scan_spread_arrow_kernel(spark):
+    plan = plan_of(spark, "delta_snapshot_scan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the _spread only
+    assert "EvalPython" not in plan, plan
+
+
+def test_delta_log_replay_single_path_shuffle_jvm_serde(spark):
+    """The snapshot dedup is one hash shuffle on path (both windows
+    share the partitioning) and the JSON serde stays JVM-side — at
+    100 TB the log replays per-path with no Python and no second
+    exchange."""
+    plan = plan_of(spark, "delta_log_replay")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Python" not in plan, plan
+
+
+def test_bfs_hops_no_python_no_cartesian(spark):
+    """Frontier expansion must stay equi-join shaped (a cartesian here
+    is the reachability blowup); rounds are checkpointed so the plan
+    stays flat — assert the final stitch is clean."""
+    plan = plan_of(spark, "copurchase_bfs_hops")
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
