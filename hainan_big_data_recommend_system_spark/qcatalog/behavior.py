@@ -18,7 +18,7 @@ from ..catalog import load_table
 from ..operators.cohort import cohort_retention
 from ..operators.funnel import funnel_steps, funnel_summary
 from ..operators.scd import build_scd2
-from . import register_extra
+from . import register, register_extra
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 _FUNNEL_WITHIN = 7 * 86400  # whole chain within 7 days of the first view
@@ -660,7 +660,7 @@ def q_frequent_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "customer_360",
     f"""
     WITH c AS (

@@ -155,7 +155,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, "doc_id", "text")
 
 
-@register(
+@register_extra(
     "ngram_jaccard_topk",
     f"""
     WITH sh AS ({_SHINGLES_SQL}),

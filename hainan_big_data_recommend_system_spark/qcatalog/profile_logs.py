@@ -191,7 +191,7 @@ def q_semi_anti_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # replaces the reference's `eval` — code-exec hazard not reproduced)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "events_json_kv",
     """
     SELECT event_id, user_id, event_type,
@@ -298,7 +298,7 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # free in Spark — SURVEY §2.7)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "user_set_ops",
     """
     SELECT uid, src FROM (

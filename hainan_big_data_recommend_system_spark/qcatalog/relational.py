@@ -797,7 +797,7 @@ def q_revenue_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols_slopes(v, ["priority", "yr"], "x", "y")
 
 
-@register_extra(
+@register(
     "data_quality_report",
     """
     SELECT CAST(1 AS BIGINT) AS rule_id, 'not_null' AS rule,

@@ -407,7 +407,7 @@ def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # negotiable.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "event_value_quantiles",
     """
     WITH v AS (

@@ -4893,7 +4893,7 @@ def q_orc_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "parquet_footer_scan",
     """
     WITH d AS (
@@ -5007,7 +5007,14 @@ def q_parquet_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
 
-    paths = sorted(_glob.glob(os.path.join(sf_dir, "*.parquet")))
+    paths = []
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        if os.path.isdir(p):  # a table written as a directory of parts
+            paths.extend(
+                sorted(_glob.glob(os.path.join(p, "part-*.parquet")))
+            )
+        else:
+            paths.append(p)
     pdf = spark.createDataFrame(
         [(p,) for p in paths], "path string"
     ).repartition(max(1, min(len(paths), 32)))
@@ -5027,7 +5034,7 @@ def q_parquet_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 m = parse_footer_tail(tail)
                 rows.append(
                     {
-                        "file_name": os.path.basename(p),
+                        "file_name": os.path.relpath(p, sf_dir),
                         "n_rows": m["n_rows"],
                         "n_row_groups": m["n_row_groups"],
                         "n_columns": len(m["column_names"]),
@@ -5166,7 +5173,7 @@ def q_delta_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "delta_log_replay",
     """
     WITH a AS (

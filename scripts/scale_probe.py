@@ -176,6 +176,12 @@ QUERIES = [
     "order_day_streaks",
     "access_log_scan",
     "orc_container_scan",
+    # round-7 session-5: the lake-format surface + bounded BFS
+    "parquet_footer_scan",
+    "parquet_file_stats",
+    "delta_snapshot_scan",
+    "delta_log_replay",
+    "copurchase_bfs_hops",
 ]
 
 
