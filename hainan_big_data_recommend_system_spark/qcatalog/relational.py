@@ -1209,3 +1209,142 @@ def q_order_day_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("len").cast("long").alias("longest_streak_days"),
         F.col("start_day").cast("long").alias("streak_start_day"),
     )
+
+
+def _geo_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic geodetic coordinates for the customer table:
+    nation-centered clusters (25 centers spread across the globe) with
+    a per-customer sub-degree offset — integer micro-degrees so every
+    downstream step is exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    return c.select(
+        "c_custkey",
+        (
+            F.lit(-60_000_000)
+            + F.col("c_nationkey") * 4_800_000
+            + (F.col("c_custkey") * 7919) % 1_000_000
+        ).cast("long").alias("lat_micro"),
+        (
+            F.lit(-170_000_000)
+            + F.col("c_nationkey") * 13_000_000
+            + (F.col("c_custkey") * 104729) % 1_500_000
+        ).cast("long").alias("lon_micro"),
+    )
+
+
+_GEO_PTS_SQL = """
+        SELECT c_custkey,
+               CAST(-60000000 + c_nationkey * 4800000
+                    + (c_custkey * 7919) % 1000000 AS BIGINT) AS lat_micro,
+               CAST(-170000000 + c_nationkey * 13000000
+                    + (c_custkey * 104729) % 1500000 AS BIGINT) AS lon_micro
+        FROM customer
+"""
+
+
+def _geohash_cells_oracle() -> str:
+    from ..operators.geo import geohash_sql
+
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL})
+    SELECT c_custkey, lat_micro, lon_micro,
+           {geohash_sql("lat_micro", "lon_micro", 3)} AS gh3,
+           {geohash_sql("lat_micro", "lon_micro", 6)} AS gh6
+    FROM pts
+    """
+
+
+@register_extra("geohash_cells", _geohash_cells_oracle())
+def q_geohash_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geohash bucketing (operators/geo.py): the standard spatial
+    data-skipping key, computed as a Morton interleave over integer
+    micro-degrees with base32 encoding — scan-local expressions in both
+    engines, and the Spark Column and oracle SQL are generated from ONE
+    bit walk so the spellings cannot drift.  Verified against the
+    classic interval-bisection geohash algorithm in tests/test_geo.py
+    (618 coordinate fixtures + known landmark hashes)."""
+    from ..operators.geo import geohash_col
+
+    pts = _geo_points(spark, sf_dir)
+    lat, lon = F.col("lat_micro"), F.col("lon_micro")
+    return pts.select(
+        "c_custkey",
+        "lat_micro",
+        "lon_micro",
+        geohash_col(lat, lon, 3).alias("gh3"),
+        geohash_col(lat, lon, 6).alias("gh6"),
+    )
+
+
+def _geo_knn_oracle() -> str:
+    from ..operators.geo import geohash_sql
+
+    return f"""
+    WITH pts AS ({_GEO_PTS_SQL}),
+    cells AS (
+        SELECT *, {geohash_sql("lat_micro", "lon_micro", 3)} AS gh3
+        FROM pts
+    ),
+    pairs AS (
+        SELECT a.c_custkey,
+               b.c_custkey AS neighbor,
+               (a.lat_micro - b.lat_micro) * (a.lat_micro - b.lat_micro)
+               + (a.lon_micro - b.lon_micro) * (a.lon_micro - b.lon_micro)
+                   AS dist2
+        FROM cells a JOIN cells b
+          ON a.gh3 = b.gh3 AND a.c_custkey <> b.c_custkey
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY c_custkey
+                                     ORDER BY dist2, neighbor) AS rn
+        FROM pairs
+    )
+    SELECT c_custkey, neighbor, CAST(dist2 AS BIGINT) AS dist2,
+           CAST(rn AS BIGINT) AS rnk
+    FROM r WHERE rn <= 3
+    """
+
+
+@register_extra("geo_knn_pairs", _geo_knn_oracle())
+def q_geo_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed spatial kNN: top-3 nearest same-gh3-cell neighbors
+    per customer by EXACT integer squared micro-degree distance
+    (deterministic (dist2, neighbor) ranking).  The geohash prefix
+    turns the all-pairs spatial join into cell-local work — the spatial
+    twin of the LSH bucket joins; the single-cell contract (a neighbor
+    just across a boundary is out of scope, remedied at scale by
+    adjacent-cell probes) is pinned by the oracle computing precisely
+    the same bucketing."""
+    from ..operators.geo import geohash_col
+
+    pts = _geo_points(spark, sf_dir)
+    cells = pts.withColumn(
+        "gh3", geohash_col(F.col("lat_micro"), F.col("lon_micro"), 3)
+    )
+    a = cells.alias("a")
+    b = cells.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.gh3") == F.col("b.gh3"))
+        & (F.col("a.c_custkey") != F.col("b.c_custkey")),
+    ).select(
+        F.col("a.c_custkey").alias("c_custkey"),
+        F.col("b.c_custkey").alias("neighbor"),
+        (
+            (F.col("a.lat_micro") - F.col("b.lat_micro"))
+            * (F.col("a.lat_micro") - F.col("b.lat_micro"))
+            + (F.col("a.lon_micro") - F.col("b.lon_micro"))
+            * (F.col("a.lon_micro") - F.col("b.lon_micro"))
+        ).cast("long").alias("dist2"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("c_custkey").orderBy("dist2", "neighbor")
+    return (
+        pairs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_custkey", "neighbor", "dist2",
+                F.col("rnk").cast("long").alias("rnk"))
+    )

@@ -182,6 +182,8 @@ QUERIES = [
     "delta_snapshot_scan",
     "delta_log_replay",
     "copurchase_bfs_hops",
+    "geohash_cells",
+    "geo_knn_pairs",
 ]
 
 

@@ -433,3 +433,21 @@ def test_bfs_hops_no_python_no_cartesian(spark):
     plan = plan_of(spark, "copurchase_bfs_hops")
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_geohash_cells_scan_local(spark):
+    """Geohash is a projection: quantize + interleave + base32 must all
+    ride the customer scan — no Exchange, no Python anywhere."""
+    plan = plan_of(spark, "geohash_cells")
+    assert "Exchange" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_geo_knn_cell_join_is_equi_join(spark):
+    """The spatial kNN must join on the geohash cell key (hash
+    partitioned equi-join) — a cartesian or broadcast-nested-loop here
+    is the all-pairs spatial blowup the bucketing exists to avoid."""
+    plan = plan_of(spark, "geo_knn_pairs")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
