@@ -274,7 +274,8 @@ def parse_parquet_footer(payload: bytes) -> dict:
     nulls = 0
     have_nulls = False
     rg_rows: list[int] = []
-    for rg in _need_list(fmd.get(4), "row_groups"):
+    int64_stats: list[dict] = []
+    for rg_idx, rg in enumerate(_need_list(fmd.get(4), "row_groups")):
         rg = _need_struct(rg, "row group")
         rg_rows.append(_need_int(rg.get(3), "row group num_rows"))
         for ch in _need_list(rg.get(1), "row group columns"):
@@ -299,6 +300,31 @@ def parse_parquet_footer(payload: bytes) -> dict:
                 if 3 in stats:
                     nulls += _need_int(stats[3], "null_count")
                     have_nulls = True
+                # min_value/max_value of INT64 chunks: the row-group
+                # skipping inputs (8-byte LE two's complement)
+                if (
+                    _need_int(md.get(1), "chunk type") == _T_INT64
+                    and isinstance(stats.get(5), bytes)
+                    and isinstance(stats.get(6), bytes)
+                    and len(stats[5]) == 8
+                    and len(stats[6]) == 8
+                ):
+                    path = md.get(3)
+                    col = (
+                        path[0].decode("utf-8", "replace")
+                        if isinstance(path, list)
+                        and path
+                        and isinstance(path[0], bytes)
+                        else "?"
+                    )
+                    int64_stats.append(
+                        {
+                            "rg": rg_idx,
+                            "col": col,
+                            "min": struct.unpack("<q", stats[6])[0],
+                            "max": struct.unpack("<q", stats[5])[0],
+                        }
+                    )
     return {
         "version": version,
         "created_by": created.decode("utf-8", "replace") if created else None,
@@ -314,6 +340,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
         "total_uncompressed": uncomp,
         "null_count": nulls if have_nulls else None,
         "rg_rows": rg_rows,
+        "int64_stats": int64_stats,
     }
 
 
@@ -389,7 +416,7 @@ def make_parquet(row_groups: list[list[tuple[int, str]]]) -> bytes:
             chunks.append((col, off, len(page)))
         cc = []
         for col, off, sz in chunks:
-            md = _tstruct([
+            fields = [
                 (1, _CT_I32, _T_INT64 if col == "id" else _T_BYTE_ARRAY),
                 (2, _CT_LIST, (_CT_I32, [0, 3])),  # PLAIN, RLE
                 (3, _CT_LIST, (_CT_BINARY, [col])),
@@ -398,7 +425,16 @@ def make_parquet(row_groups: list[list[tuple[int, str]]]) -> bytes:
                 (6, _CT_I64, sz),
                 (7, _CT_I64, sz),
                 (9, _CT_I64, off),
-            ])
+            ]
+            if col == "id":
+                # real Statistics: min_value/max_value (8-byte LE) — the
+                # row-group skipping inputs every lake reader prunes by
+                fields.append((12, _CT_STRUCT, _tstruct([
+                    (3, _CT_I64, 0),
+                    (5, _CT_BINARY, struct.pack("<q", max(ids))),
+                    (6, _CT_BINARY, struct.pack("<q", min(ids))),
+                ])))
+            md = _tstruct(fields)
             cc.append(_tstruct([(2, _CT_I64, off), (3, _CT_STRUCT, md)]))
         rg_meta.append(_tstruct([
             (1, _CT_LIST, (_CT_STRUCT, cc)),
@@ -413,12 +449,16 @@ def make_parquet(row_groups: list[list[tuple[int, str]]]) -> bytes:
         _tstruct([(1, _CT_I32, _T_BYTE_ARRAY), (3, _CT_I32, 0),
                   (4, _CT_BINARY, "name"), (6, _CT_I32, 0)]),  # UTF8
     ]
+    # ColumnOrder TYPE_ORDER per leaf: readers (arrow) only trust
+    # min_value/max_value statistics when the order is declared
+    type_order = _tstruct([(1, _CT_STRUCT, _tstruct([]))])
     footer = _tstruct([
         (1, _CT_I32, 1),
         (2, _CT_LIST, (_CT_STRUCT, schema)),
         (3, _CT_I64, total_rows),
         (4, _CT_LIST, (_CT_STRUCT, rg_meta)),
         (6, _CT_BINARY, "hainan-spark parquetfmt"),
+        (7, _CT_LIST, (_CT_STRUCT, [type_order, type_order])),
     ])
     out += footer
     out += struct.pack("<I", len(footer))

@@ -1307,27 +1307,23 @@ def _geo_knn_oracle() -> str:
     """
 
 
-@register_extra("geo_knn_pairs", _geo_knn_oracle())
-def q_geo_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cell-bucketed spatial kNN: top-3 nearest same-gh3-cell neighbors
-    per customer by EXACT integer squared micro-degree distance
-    (deterministic (dist2, neighbor) ranking).  The geohash prefix
-    turns the all-pairs spatial join into cell-local work — the spatial
-    twin of the LSH bucket joins; the single-cell contract (a neighbor
-    just across a boundary is out of scope, remedied at scale by
-    adjacent-cell probes) is pinned by the oracle computing precisely
-    the same bucketing."""
+def geo_knn(spark: SparkSession, sf_dir: str, chars: int = 3) -> DataFrame:
+    """The kNN join with the cell-resolution knob exposed: at 10x the
+    customer density the gh3 cells hold 10x the points and the pair
+    join grows 100x — the fix at scale is FINER cells (chars=4 splits
+    every cell 32 ways), the same data-independent-geometry knob as
+    the LSH `bits` / SemDeDup `nlist` sweeps in scripts/scale_probe.py."""
     from ..operators.geo import geohash_col
 
     pts = _geo_points(spark, sf_dir)
     cells = pts.withColumn(
-        "gh3", geohash_col(F.col("lat_micro"), F.col("lon_micro"), 3)
+        "gh", geohash_col(F.col("lat_micro"), F.col("lon_micro"), chars)
     )
     a = cells.alias("a")
     b = cells.alias("b")
     pairs = a.join(
         b,
-        (F.col("a.gh3") == F.col("b.gh3"))
+        (F.col("a.gh") == F.col("b.gh"))
         & (F.col("a.c_custkey") != F.col("b.c_custkey")),
     ).select(
         F.col("a.c_custkey").alias("c_custkey"),
@@ -1348,3 +1344,16 @@ def q_geo_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "neighbor", "dist2",
                 F.col("rnk").cast("long").alias("rnk"))
     )
+
+
+@register_extra("geo_knn_pairs", _geo_knn_oracle())
+def q_geo_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-bucketed spatial kNN: top-3 nearest same-gh3-cell neighbors
+    per customer by EXACT integer squared micro-degree distance
+    (deterministic (dist2, neighbor) ranking).  The geohash prefix
+    turns the all-pairs spatial join into cell-local work — the spatial
+    twin of the LSH bucket joins; the single-cell contract (a neighbor
+    just across a boundary is out of scope, remedied at scale by
+    adjacent-cell probes) is pinned by the oracle computing precisely
+    the same bucketing."""
+    return geo_knn(spark, sf_dir, chars=3)

@@ -5259,3 +5259,113 @@ def q_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("live_rows"),
         )
     )
+
+
+@register_extra(
+    "rowgroup_skipping_audit",
+    """
+    WITH d AS (
+        SELECT doc_id, 2 + doc_id % 4 AS ns,
+               doc_id * 100 + (doc_id % 3) * 10 + 2 AS lo
+        FROM documents
+    ),
+    g AS (
+        SELECT d.doc_id, d.ns, d.lo, d.lo + 14 AS hi, s,
+               3 + (d.doc_id + s) % 3 AS nrows,
+               d.doc_id * 100 + s * 10 AS mn,
+               d.doc_id * 100 + s * 10 + 3 + (d.doc_id + s) % 3 - 1 AS mx
+        FROM d, LATERAL (SELECT unnest(range(0, ns)) AS s)
+    )
+    SELECT doc_id,
+           CAST(any_value(ns) AS BIGINT) AS n_row_groups,
+           CAST(count(*) FILTER (WHERE mx < lo OR mn > hi) AS BIGINT)
+               AS n_skipped,
+           CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 0
+                         ELSE nrows END) AS BIGINT) AS rows_scanned,
+           CAST(sum(CASE WHEN mx < lo OR mn > hi THEN 0
+                         ELSE greatest(0, least(mx, hi)
+                                          - greatest(mn, lo) + 1) END)
+                AS BIGINT) AS rows_selected
+    FROM g GROUP BY 1
+    """,
+)
+def q_rowgroup_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-group skipping from REAL footer statistics: per doc a
+    multi-row-group parquet file (operators/parquetfmt.py now writes
+    min_value/max_value Statistics + ColumnOrder, which pyarrow and
+    DuckDB both read back); the skip decision uses ONLY the parsed
+    footer stats — exactly how a lake reader prunes — and the audit
+    then decodes the SCANNED groups to count selected rows, proving the
+    pruning lossless.  The oracle replays the interval algebra in
+    closed form; an off-by-one in min/max encoding, interval overlap,
+    or row-group geometry mismatches rows."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.parquetfmt import (
+        make_parquet,
+        parse_parquet,
+        parse_parquet_footer,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def audit(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ns = 2 + did % 4
+                groups = []
+                for s in range(ns):
+                    nrows = 3 + (did + s) % 3
+                    groups.append(
+                        [(did * 100 + s * 10 + j, f"r{s}")
+                         for j in range(nrows)]
+                    )
+                blob = make_parquet(groups)
+                meta = parse_parquet_footer(blob)
+                lo = did * 100 + (did % 3) * 10 + 2
+                hi = lo + 14
+                stats = {
+                    st["rg"]: (st["min"], st["max"])
+                    for st in meta["int64_stats"]
+                    if st["col"] == "id"
+                }
+                if len(stats) != ns:
+                    raise ValueError("missing id stats for a row group")
+                skipped = {
+                    rg for rg, (mn, mx) in stats.items()
+                    if mx < lo or mn > hi
+                }
+                rows_scanned = sum(
+                    n for i, n in enumerate(meta["rg_rows"])
+                    if i not in skipped
+                )
+                full = parse_parquet(blob)["rows"]
+                sel = 0
+                pos = 0
+                for i, n in enumerate(meta["rg_rows"]):
+                    if i not in skipped:
+                        sel += sum(
+                            1 for v, _ in full[pos : pos + n]
+                            if lo <= v <= hi
+                        )
+                    pos += n
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_row_groups": ns,
+                        "n_skipped": len(skipped),
+                        "rows_scanned": rows_scanned,
+                        "rows_selected": sel,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        audit,
+        "doc_id long, n_row_groups long, n_skipped long, "
+        "rows_scanned long, rows_selected long",
+    )

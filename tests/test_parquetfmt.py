@@ -154,3 +154,49 @@ def test_parquet_file_stats_matches_duckdb(spark, sf_oracle_dir):
             r["total_compressed"],
             r["total_uncompressed"],
         ) == tuple(int(x) for x in cm)
+
+
+def test_statistics_roundtrip_and_interop(tmp_path):
+    """min_value/max_value Statistics + ColumnOrder written by
+    make_parquet must round-trip through our own footer walk AND be
+    trusted by pyarrow and DuckDB (arrow ignores stats unless the
+    column order is declared TYPE_ORDER)."""
+    b = make_parquet([ROWS1, ROWS2])
+    st = parse_parquet_footer(b)["int64_stats"]
+    assert st == [
+        {"rg": 0, "col": "id", "min": -9, "max": 24},
+        {"rg": 1, "col": "id", "min": -(2**40), "max": -(2**40) + 6},
+    ]
+    p = str(tmp_path / "s.parquet")
+    open(p, "wb").write(b)
+    pa_st = papq.ParquetFile(p).metadata.row_group(0).column(0).statistics
+    assert (pa_st.min, pa_st.max, pa_st.has_min_max) == (-9, 24, True)
+    got = duckdb.connect().execute(
+        "SELECT row_group_id, stats_min_value, stats_max_value "
+        f"FROM parquet_metadata('{p}') WHERE path_in_schema = 'id' "
+        "ORDER BY row_group_id"
+    ).fetchall()
+    assert got == [(0, "-9", "24"), (1, str(-(2**40)), str(-(2**40) + 6))]
+
+
+def test_real_file_int64_stats_match_pyarrow(sf_oracle_dir):
+    path = os.path.join(sf_oracle_dir, "orders.parquet")
+    ours = {
+        (s["rg"], s["col"]): (s["min"], s["max"])
+        for s in parse_parquet_footer(open(path, "rb").read())["int64_stats"]
+    }
+    md = papq.ParquetFile(path).metadata
+    want = {}
+    for r in range(md.num_row_groups):
+        for c in range(md.num_columns):
+            col = md.row_group(r).column(c)
+            if col.physical_type == "INT64" and col.statistics.has_min_max:
+                want[(r, col.path_in_schema)] = (
+                    col.statistics.min,
+                    col.statistics.max,
+                )
+    # timestamps: pyarrow surfaces logical values; compare raw int64
+    # columns only (o_orderkey / o_custkey style keys)
+    for k, v in want.items():
+        if isinstance(v[0], int):
+            assert ours[k] == v, k

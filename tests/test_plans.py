@@ -451,3 +451,10 @@ def test_geo_knn_cell_join_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_rowgroup_skipping_audit_spread_arrow_kernel(spark):
+    plan = plan_of(spark, "rowgroup_skipping_audit")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan  # the _spread only
+    assert "EvalPython" not in plan, plan
