@@ -5369,3 +5369,236 @@ def q_rowgroup_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_row_groups long, n_skipped long, "
         "rows_scanned long, rows_selected long",
     )
+
+
+@register_extra(
+    "compaction_plan",
+    """
+    WITH a AS (
+        SELECT o_orderkey AS seq,
+               'part-' || CAST(o_orderkey % 211 AS VARCHAR) AS path,
+               o_orderkey % 40 AS version,
+               CASE WHEN o_orderkey % 3 = 0 THEN 'remove'
+                    ELSE 'add' END AS kind,
+               1000 + o_orderkey % 777 AS fsize
+        FROM orders
+    ),
+    w AS (
+        SELECT *, row_number() OVER (PARTITION BY path
+                                     ORDER BY version DESC, seq DESC)
+                      AS rn
+        FROM a
+    ),
+    live AS (
+        SELECT path, fsize FROM w WHERE rn = 1 AND kind = 'add'
+    ),
+    h AS (SELECT path, fsize, md5(path) AS hx FROM live),
+    c AS (
+        SELECT *, coalesce(sum(fsize) OVER (
+                       ORDER BY hx, path
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS cum_before
+        FROM h
+    )
+    SELECT path, CAST(fsize AS BIGINT) AS fsize,
+           CAST(cum_before // 16384 AS BIGINT) AS grp
+    FROM c
+    """,
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning — the lakehouse OPTIMIZE step:
+    bin the delta snapshot's live files into ~16 KiB target groups by
+    an EXCLUSIVE byte prefix sum over a deterministic order (md5(path)
+    — random-order bin fill).  The prefix sum is the DISTRIBUTED
+    two-pass from operators/packing.py (256 hash-range buckets +
+    broadcast offsets — never a single-partition window over the file
+    list, which at 100 TB is billions of rows); the oracle replays it
+    with a plain global window.  Composes on delta_log_replay's live
+    set, so a replay bug ALSO breaks this row."""
+    from ..operators.packing import distributed_prefix_sum
+
+    live = (
+        q_delta_log_replay(spark, sf_dir)
+        .filter(F.col("live") == 1)
+        .select("path", F.col("live_size").alias("fsize"))
+        .withColumn("hx", F.md5(F.col("path")))
+    )
+    c = distributed_prefix_sum(live, "hx", "path", "fsize")
+    return c.select(
+        "path",
+        F.col("fsize").cast("long").alias("fsize"),
+        F.expr("cum_before div 16384").cast("long").alias("grp"),
+    )
+
+
+@register_extra(
+    "delta_time_travel",
+    """
+    WITH d AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+    ),
+    v AS (
+        SELECT d.doc_id, d.n, vv
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS vv)
+    ),
+    fj AS (
+        SELECT v.doc_id, v.n, v.vv, j,
+               CASE WHEN j = 0 THEN
+                        CASE WHEN v.vv = v.n - 1 AND v.doc_id % 5 = 0
+                                 THEN TRUE
+                             WHEN v.vv >= 1 AND (v.doc_id + 1) % 2 = 0
+                                 THEN FALSE
+                             ELSE TRUE END
+                    ELSE NOT (v.vv >= j + 1
+                              AND (v.doc_id + j + 1) % 2 = 0)
+               END AS live,
+               CASE WHEN j = 0 AND v.vv = v.n - 1 AND v.doc_id % 5 = 0
+                    THEN 999 + v.doc_id % 13
+                    ELSE 100 + (v.doc_id + j) % 50 END AS fsize
+        FROM v, LATERAL (SELECT unnest(range(0, vv + 1)) AS j)
+    )
+    SELECT doc_id, CAST(vv AS BIGINT) AS version,
+           CAST(count(*) FILTER (WHERE live) AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN live THEN fsize ELSE 0 END) AS BIGINT)
+               AS live_bytes
+    FROM fj GROUP BY 1, 2
+    """,
+)
+def q_delta_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel: the snapshot AT EVERY VERSION, not just the latest —
+    replaying each commit-log prefix through the identical
+    replay_delta_log kernel (version pinning / `VERSION AS OF` is the
+    lakehouse feature the reference's overwrite-in-place csv flow
+    cannot express).  The oracle reduces every (version, file)
+    liveness to closed form, including the last-commit re-add that
+    resurrects f0 ONLY at the final version."""
+    import pandas as pd
+
+    from ..operators.deltalog import make_commit, replay_delta_log
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def travel(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                commits = []
+                for c in range(n):
+                    acts = []
+                    if c >= 1 and (did + c) % 2 == 0:
+                        acts.append({"remove": {"path": f"f{c - 1}"}})
+                    acts.append(
+                        {"add": {"path": f"f{c}",
+                                 "size": 100 + (did + c) % 50,
+                                 "numRecords": 1}}
+                    )
+                    if c == n - 1 and did % 5 == 0:
+                        acts.append(
+                            {"add": {"path": "f0",
+                                     "size": 999 + did % 13,
+                                     "numRecords": 1}}
+                        )
+                    commits.append(make_commit(acts))
+                for v in range(n):
+                    m = replay_delta_log(commits[: v + 1])
+                    out.append(
+                        {
+                            "doc_id": did,
+                            "version": v,
+                            "n_live": m["n_live"],
+                            "live_bytes": m["live_bytes"],
+                        }
+                    )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        travel,
+        "doc_id long, version long, n_live long, live_bytes long",
+    )
+
+
+@register_extra(
+    "daily_revenue_locf",
+    """
+    WITH daily AS (
+        SELECT o_orderpriority AS priority,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    span AS (
+        SELECT min(day) AS lo, max(day) AS hi FROM daily
+    ),
+    spine AS (
+        SELECT p.priority, s.day
+        FROM (SELECT DISTINCT priority FROM daily) p,
+             LATERAL (SELECT unnest(range(span.lo, span.hi + 1)) AS day
+                      FROM span) s
+    ),
+    filled AS (
+        SELECT sp.priority, sp.day, d.rev_cents,
+               last_value(d.rev_cents IGNORE NULLS) OVER (
+                   PARTITION BY sp.priority ORDER BY sp.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS locf
+        FROM spine sp LEFT JOIN daily d
+          ON d.priority = sp.priority AND d.day = sp.day
+    )
+    SELECT priority, day,
+           CAST(coalesce(locf, 0) AS BIGINT) AS rev_cents,
+           CAST(CASE WHEN rev_cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_filled
+    FROM filled
+    """,
+)
+def q_daily_revenue_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling with last-observation-carried-forward
+    — the time-series reporting primitive (a day with no orders shows
+    yesterday's running value, flagged).  The spine generates from the
+    GLOBAL min/max day (one 1-row broadcast), per-priority windows stay
+    keyed, and revenue is integerized to cents per row before summing
+    (the cross-engine float discipline).  Exercises Spark `sequence` +
+    explode vs DuckDB `range`, and `last(ignorenulls)` vs
+    `last_value(IGNORE NULLS)` — an engine pair with plenty of room to
+    diverge, pinned by the oracle."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    daily = o.groupBy("priority", "day").agg(
+        F.sum("cents").alias("rev_cents")
+    )
+    span = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = (
+        daily.select("priority").distinct()
+        .crossJoin(F.broadcast(span))
+        .select(
+            "priority",
+            F.explode(F.sequence(F.col("lo"), F.col("hi"))).alias("day"),
+        )
+    )
+    from pyspark.sql import Window
+
+    filled = spine.join(daily, ["priority", "day"], "left")
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "priority",
+        "day",
+        F.coalesce(
+            F.last("rev_cents", ignorenulls=True).over(w), F.lit(0)
+        ).cast("long").alias("rev_cents"),
+        F.col("rev_cents").isNull().cast("long").alias("is_filled"),
+    )

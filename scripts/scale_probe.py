@@ -184,6 +184,10 @@ QUERIES = [
     "copurchase_bfs_hops",
     "geohash_cells",
     "geo_knn_pairs",
+    "rowgroup_skipping_audit",
+    "compaction_plan",
+    "delta_time_travel",
+    "daily_revenue_locf",
 ]
 
 

@@ -458,3 +458,32 @@ def test_rowgroup_skipping_audit_spread_arrow_kernel(spark):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan  # the _spread only
     assert "EvalPython" not in plan, plan
+
+
+def test_compaction_plan_no_per_row_global_window(spark):
+    """The byte prefix sum must be the two-pass decomposition: the only
+    unpartitioned window runs over the <=256 bucket offsets, never the
+    file rows (the distributed_prefix_sum contract)."""
+    plan = plan_of(spark, "compaction_plan")
+    assert "Python" not in plan, plan
+    # file-row windows are partitioned by __bkt; a full-relation sort
+    # into one partition would show SinglePartition before a Window
+    assert plan.count("Exchange SinglePartition") <= 1, plan
+
+
+def test_delta_time_travel_spread_arrow_kernel(spark):
+    plan = plan_of(spark, "delta_time_travel")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_daily_locf_keyed_window_broadcast_span(spark):
+    """LOCF must ride per-priority windows (never an unpartitioned
+    per-row window) and the calendar span joins as a broadcast."""
+    plan = plan_of(spark, "daily_revenue_locf")
+    assert "Python" not in plan, plan
+    assert "WindowExec: No Partition Defined" not in plan.replace(
+        "WindowGroupLimit", ""
+    ), plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
