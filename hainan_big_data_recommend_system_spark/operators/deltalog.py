@@ -55,8 +55,9 @@ def replay_delta_log(commits: list[str]) -> dict:
     if not commits:
         raise ValueError("empty delta log")
     live: dict[str, tuple[int, int]] = {}
+    tombstones: dict[str, tuple[int, int]] = {}  # path -> (death_v, size)
     n_removes = 0
-    for text in commits:
+    for version, text in enumerate(commits):
         if not isinstance(text, str):
             raise ValueError("commit content is not text")
         for ln in text.splitlines():
@@ -89,12 +90,15 @@ def replay_delta_log(commits: list[str]) -> dict:
                     if not isinstance(v, int) or isinstance(v, bool) or v < 0:
                         raise ValueError(f"add action bad {what}")
                 live[path] = (size, rows)
+                tombstones.pop(path, None)  # re-add clears the tombstone
             elif kind == "remove":
                 path = body.get("path")
                 if not isinstance(path, str) or not path:
                     raise ValueError("remove action missing path")
                 n_removes += 1
-                live.pop(path, None)  # absent-path removes are legal
+                prior = live.pop(path, None)  # absent-path removes legal
+                if prior is not None:
+                    tombstones[path] = (version, prior[0])
     return {
         "version": len(commits) - 1,
         "n_live": len(live),
@@ -102,6 +106,30 @@ def replay_delta_log(commits: list[str]) -> dict:
         "live_rows": sum(r for _, r in live.values()),
         "n_remove_actions": n_removes,
         "live": dict(sorted(live.items())),
+        "tombstones": dict(sorted(tombstones.items())),
+    }
+
+
+def vacuum_plan(replay: dict, retention_versions: int) -> dict:
+    """Which tombstoned files are safe to physically delete: dead for at
+    least ``retention_versions`` commits before the latest (Delta's
+    VACUUM retention rule, expressed in versions — the wall-clock form
+    maps each version to its commit timestamp).  Time travel back past
+    the horizon is forfeited for vacuumed files; inside the horizon it
+    keeps working — which is exactly why retention gates deletion."""
+    if retention_versions < 0:
+        raise ValueError("retention_versions must be >= 0")
+    horizon = replay["version"] - retention_versions
+    eligible = {
+        p: (v, size)
+        for p, (v, size) in replay["tombstones"].items()
+        if v <= horizon
+    }
+    return {
+        "n_tombstones": len(replay["tombstones"]),
+        "n_eligible": len(eligible),
+        "bytes_reclaimable": sum(s for _, s in eligible.values()),
+        "eligible": dict(sorted(eligible.items())),
     }
 
 

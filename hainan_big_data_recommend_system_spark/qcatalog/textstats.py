@@ -5602,3 +5602,88 @@ def q_daily_revenue_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("rev_cents"),
         F.col("rev_cents").isNull().cast("long").alias("is_filled"),
     )
+
+
+@register_extra(
+    "delta_vacuum_plan",
+    """
+    WITH d AS (
+        SELECT doc_id, 2 + doc_id % 3 AS n FROM documents
+    ),
+    t AS (
+        SELECT d.doc_id, d.n, j,
+               (d.doc_id + j + 1) % 2 = 0
+               AND NOT (j = 0 AND d.doc_id % 5 = 0) AS dead,
+               j + 1 AS death_v,
+               100 + (d.doc_id + j) % 50 AS fsize
+        FROM d, LATERAL (SELECT unnest(range(0, n - 1)) AS j)
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (WHERE dead) AS BIGINT) AS n_tombstones,
+           CAST(count(*) FILTER (WHERE dead AND death_v <= n - 2)
+                AS BIGINT) AS n_eligible,
+           CAST(coalesce(sum(CASE WHEN dead AND death_v <= n - 2
+                                  THEN fsize END), 0) AS BIGINT)
+               AS bytes_reclaimable
+    FROM t GROUP BY 1
+    """,
+)
+def q_delta_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM planning on the same commit logs as delta_snapshot_scan:
+    tombstones carry the version of the remove that killed them (re-add
+    clears the stone — a resurrected file must NEVER be deleted), and
+    only stones dead for >= 1 version before the latest are eligible —
+    the retention rule that keeps time travel working inside the
+    horizon.  The oracle reduces death versions to closed form; an
+    eligibility-horizon or resurrection bug mismatches rows."""
+    import pandas as pd
+
+    from ..operators.deltalog import (
+        make_commit,
+        replay_delta_log,
+        vacuum_plan,
+    )
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def plan(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 2 + did % 3
+                commits = []
+                for c in range(n):
+                    acts = []
+                    if c >= 1 and (did + c) % 2 == 0:
+                        acts.append({"remove": {"path": f"f{c - 1}"}})
+                    acts.append(
+                        {"add": {"path": f"f{c}",
+                                 "size": 100 + (did + c) % 50,
+                                 "numRecords": 1}}
+                    )
+                    if c == n - 1 and did % 5 == 0:
+                        acts.append(
+                            {"add": {"path": "f0",
+                                     "size": 999 + did % 13,
+                                     "numRecords": 1}}
+                        )
+                    commits.append(make_commit(acts))
+                v = vacuum_plan(replay_delta_log(commits), 1)
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_tombstones": v["n_tombstones"],
+                        "n_eligible": v["n_eligible"],
+                        "bytes_reclaimable": v["bytes_reclaimable"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        plan,
+        "doc_id long, n_tombstones long, n_eligible long, "
+        "bytes_reclaimable long",
+    )

@@ -188,6 +188,7 @@ QUERIES = [
     "compaction_plan",
     "delta_time_travel",
     "daily_revenue_locf",
+    "delta_vacuum_plan",
 ]
 
 

@@ -84,3 +84,25 @@ def test_payload_split_and_unicode_gate():
     assert m["version"] == 1 and m["n_live"] == 0
     with pytest.raises(ValueError):
         parse_delta_payload(b"\xff\xfe{bad utf8")
+
+
+def test_tombstones_track_death_version_and_resurrection():
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        vacuum_plan,
+    )
+
+    m = replay_delta_log(_log(
+        [{"add": {"path": "a", "size": 10, "numRecords": 1}},
+         {"add": {"path": "b", "size": 20, "numRecords": 1}}],
+        [{"remove": {"path": "a"}}, {"remove": {"path": "b"}}],
+        [{"add": {"path": "b", "size": 25, "numRecords": 1}}],
+        [{"remove": {"path": "ghost"}}],  # absent: no tombstone
+    ))
+    assert m["tombstones"] == {"a": (1, 10)}  # b resurrected
+    v = vacuum_plan(m, 1)
+    assert (v["n_tombstones"], v["n_eligible"]) == (1, 1)
+    assert v["bytes_reclaimable"] == 10
+    # retention beyond the death keeps the stone
+    assert vacuum_plan(m, 3)["n_eligible"] == 0
+    with pytest.raises(ValueError):
+        vacuum_plan(m, -1)

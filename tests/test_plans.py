@@ -487,3 +487,10 @@ def test_daily_locf_keyed_window_broadcast_span(spark):
         "WindowGroupLimit", ""
     ), plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_delta_vacuum_plan_spread_arrow_kernel(spark):
+    plan = plan_of(spark, "delta_vacuum_plan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
