@@ -1357,3 +1357,56 @@ def q_geo_knn_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent-cell probes) is pinned by the oracle computing precisely
     the same bucketing."""
     return geo_knn(spark, sf_dir, chars=3)
+
+
+@register_extra(
+    "pareto_orders",
+    """
+    WITH o AS (
+        SELECT o_orderkey,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    )
+    SELECT a.o_orderkey, a.day, a.cents
+    FROM o a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM o b
+        WHERE b.day <= a.day AND b.cents <= a.cents
+          AND (b.day < a.day OR b.cents < a.cents)
+    )
+    """,
+)
+def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) on (order day, price): orders not
+    dominated on BOTH dimensions — earliest-cheapest analysis.  The
+    naive formulation is the O(n²) NOT EXISTS the ORACLE runs; the
+    Spark side decomposes dominance into per-day minima plus a strict
+    prefix-min over DISTINCT DAYS: an order survives iff it is its
+    day's minimum AND strictly below every earlier day's minimum —
+    two bounded windows, no self-join, no n² anywhere.  Equal
+    (day, cents) duplicates dominate neither and all survive, which
+    the per-day-min formulation preserves."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+            "div 86400000000 AS BIGINT)"
+        ).alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    day_min = o.groupBy("day").agg(F.min("cents").alias("dmin"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier_days = day_min.withColumn(
+        "prior_min", F.min("dmin").over(w)
+    ).filter(
+        F.col("prior_min").isNull() | (F.col("dmin") < F.col("prior_min"))
+    )
+    return (
+        o.join(F.broadcast(frontier_days), "day")
+        .filter(F.col("cents") == F.col("dmin"))
+        .select("o_orderkey", "day", "cents")
+    )

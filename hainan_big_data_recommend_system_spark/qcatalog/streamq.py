@@ -1166,3 +1166,96 @@ def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n", "p01_cents", "p99_cents", "n_clamped",
         "winsorized_sum_cents", "raw_sum_cents",
     )
+
+
+@register_extra(
+    "cumulative_unique_users",
+    """
+    WITH f AS (
+        SELECT user_id,
+               min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS day
+        FROM events GROUP BY 1
+    ),
+    per AS (SELECT day, count(*) AS new_users FROM f GROUP BY 1)
+    SELECT day, CAST(new_users AS BIGINT) AS new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_users
+    FROM per
+    """,
+)
+def q_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per day — the growth-curve metric —
+    via FIRST-OCCURRENCE decomposition: distinct-so-far(d) is just the
+    count of users whose first event day <= d, so the running sum rides
+    a window over DISTINCT DAYS (calendar-bounded), never a per-row
+    global sort; first-occurrence itself is one map-side-combinable
+    min per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+        ).alias("day"),
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("day"))
+    per = first.groupBy("day").agg(F.count(F.lit(1)).alias("new_users"))
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return per.select(
+        "day",
+        F.col("new_users").cast("long").alias("new_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    )
+
+
+@register_extra(
+    "rolling_active_users_7d",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+        FROM events
+    ),
+    span AS (SELECT max(day) AS hi FROM ud),
+    w AS (
+        SELECT DISTINCT ud.user_id, wd.wd
+        FROM ud, LATERAL (SELECT unnest(range(ud.day, ud.day + 7))
+                          AS wd) wd
+        WHERE wd.wd <= (SELECT hi FROM span)
+    )
+    SELECT wd AS day, CAST(count(*) AS BIGINT) AS active_users_7d
+    FROM w GROUP BY 1
+    """,
+)
+def q_rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-day distinct actives per day (the WAU curve).
+    Sliding DISTINCT does not decompose into per-day counts, so each
+    (user, day) activity contributes itself to the 7 windows it falls
+    in (a bounded 7x explode of the already-distinct user-day pairs)
+    and a distinct+count per window day finishes it — shuffle volume
+    7x the user-day table, never user x day-range.  Windows past the
+    last observed day are cut so every emitted day has full data."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.expr(
+            "CAST(unix_micros(ts) div 86400000000 AS BIGINT)"
+        ).alias("day"),
+    )
+    ud = ev.distinct()
+    hi = ud.agg(F.max("day").alias("hi"))
+    exploded = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.col("day") + 6)
+            ).alias("day"),
+        )
+        .crossJoin(F.broadcast(hi))
+        .filter(F.col("day") <= F.col("hi"))
+        .select("user_id", "day")
+        .distinct()
+    )
+    return exploded.groupBy("day").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users_7d")
+    )

@@ -189,6 +189,9 @@ QUERIES = [
     "delta_time_travel",
     "daily_revenue_locf",
     "delta_vacuum_plan",
+    "cumulative_unique_users",
+    "rolling_active_users_7d",
+    "pareto_orders",
 ]
 
 

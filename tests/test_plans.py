@@ -494,3 +494,29 @@ def test_delta_vacuum_plan_spread_arrow_kernel(spark):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_cumulative_unique_users_day_bounded_window(spark):
+    """First-occurrence decomposition: the only window runs over
+    distinct days (calendar-bounded, the sanctioned shape) and the
+    per-user min is a map-side-combinable aggregate — no per-row
+    global sort, no Python."""
+    plan = plan_of(spark, "cumulative_unique_users")
+    assert "Python" not in plan, plan
+
+
+def test_rolling_actives_bounded_explode_no_cartesian(spark):
+    plan = plan_of(spark, "rolling_active_users_7d")
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_pareto_orders_no_self_join(spark):
+    """The skyline must be the prefix-min decomposition: day-min
+    aggregate + day-bounded window + one broadcast join back — never
+    the O(n²) dominance self-join the oracle runs."""
+    plan = plan_of(spark, "pareto_orders")
+    assert "Python" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "SortMergeJoin" not in plan, plan
