@@ -1410,3 +1410,70 @@ def q_pareto_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cents") == F.col("dmin"))
         .select("o_orderkey", "day", "cents")
     )
+
+
+@register_extra(
+    "capped_running_balance",
+    """
+    WITH RECURSIVE o AS (
+        SELECT o_custkey AS k, o_orderkey,
+               CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+                   AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT)
+               * (CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE -1 END)
+                   AS delta
+        FROM orders
+    ),
+    s AS (
+        SELECT *, row_number() OVER (PARTITION BY k
+                                     ORDER BY day, o_orderkey) AS rn
+        FROM o
+    ),
+    walk(k, rn, o_orderkey, bal) AS (
+        SELECT k, rn, o_orderkey, greatest(0, delta) FROM s WHERE rn = 1
+        UNION ALL
+        SELECT s.k, s.rn, s.o_orderkey, greatest(0, w.bal + s.delta)
+        FROM walk w JOIN s ON s.k = w.k AND s.rn = w.rn + 1
+    )
+    SELECT k AS o_custkey, o_orderkey, CAST(bal AS BIGINT) AS balance
+    FROM walk
+    """,
+)
+def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-capped running balance per customer (credits post, debits
+    cannot overdraw below zero) — the canonical NON-DECOMPOSABLE scan:
+    max(0, prev + delta) is not a window aggregate, so Spark runs it as
+    a keyed Arrow kernel (applyInPandas: per-customer ordered loop,
+    group sizes bounded by orders-per-customer) — tier (b) of the
+    custom-operator ladder, with the state never leaving the executor.
+    The oracle recomputes the recurrence with a recursive CTE — a
+    completely different evaluation strategy that must agree
+    row-for-row."""
+    import pandas as pd
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey"),
+        "o_orderkey",
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+            "div 86400000000 AS BIGINT)"
+        ).alias("day"),
+        (
+            F.round(F.col("o_totalprice") * 100).cast("long")
+            * F.when(F.col("o_orderkey") % 2 == 0, 1).otherwise(-1)
+        ).alias("delta"),
+    )
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["day", "o_orderkey"])
+        bal = 0
+        out = []
+        for d in pdf["delta"]:
+            bal = max(0, bal + int(d))
+            out.append(bal)
+        pdf = pdf.assign(balance=out)
+        return pdf[["o_custkey", "o_orderkey", "balance"]]
+
+    return o.groupBy("o_custkey").applyInPandas(
+        scan, "o_custkey long, o_orderkey long, balance long"
+    )

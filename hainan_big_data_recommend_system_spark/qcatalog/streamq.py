@@ -1259,3 +1259,68 @@ def q_rolling_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("day").agg(
         F.count(F.lit(1)).cast("long").alias("active_users_7d")
     )
+
+
+@register_extra(
+    "ab_test_contingency",
+    """
+    WITH fv AS (
+        SELECT user_id, min(ts) AS first_view
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+        SELECT DISTINCT fv.user_id
+        FROM fv JOIN events e
+          ON e.user_id = fv.user_id
+         AND e.event_type = 'purchase'
+         AND e.ts >= fv.first_view
+    )
+    SELECT CAST(fv.user_id % 2 AS BIGINT) AS variant,
+           CAST(count(*) AS BIGINT) AS n_exposed,
+           CAST(count(conv.user_id) AS BIGINT) AS n_converted,
+           CAST(count(conv.user_id) * 10000 // count(*) AS BIGINT)
+               AS conv_bp
+    FROM fv LEFT JOIN conv USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q_ab_test_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B readout: users split by a deterministic hash bucket
+    (user_id % 2 — the assignment every experimentation system derives
+    from a stable id), exposure = first view, conversion = any purchase
+    AT OR AFTER first exposure (post-exposure discipline — counting
+    pre-exposure purchases is the classic A/B bug), rates as exact
+    integer basis points.  One semi-shaped join per side; the
+    contingency table is the engine-independent artifact downstream
+    significance tests consume."""
+    ev = load_table(spark, sf_dir, "events")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts"
+    )
+    conv = (
+        fv.join(
+            purchases,
+            (fv["user_id"] == purchases["user_id"])
+            & (purchases["ts"] >= fv["first_view"]),
+        )
+        .select(fv["user_id"])
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    return (
+        fv.join(conv, "user_id", "left")
+        .groupBy((F.col("user_id") % 2).cast("long").alias("variant"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_exposed"),
+            F.count("c").cast("long").alias("n_converted"),
+        )
+        .withColumn(
+            "conv_bp",
+            F.expr("n_converted * 10000 div n_exposed").cast("long"),
+        )
+    )

@@ -192,6 +192,8 @@ QUERIES = [
     "cumulative_unique_users",
     "rolling_active_users_7d",
     "pareto_orders",
+    "ab_test_contingency",
+    "capped_running_balance",
 ]
 
 

@@ -520,3 +520,19 @@ def test_pareto_orders_no_self_join(spark):
     assert "Python" not in plan, plan
     assert plan.count("BroadcastHashJoin") == 1, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ab_test_contingency_no_python(spark):
+    plan = plan_of(spark, "ab_test_contingency")
+    assert "Python" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_capped_balance_keyed_arrow_scan(spark):
+    """The non-decomposable recurrence must be ONE keyed Arrow kernel
+    (FlatMapGroupsInPandas) after a single hash shuffle on customer —
+    never a per-row Python eval or a global sort."""
+    plan = plan_of(spark, "capped_running_balance")
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
