@@ -1449,8 +1449,6 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle recomputes the recurrence with a recursive CTE — a
     completely different evaluation strategy that must agree
     row-for-row."""
-    import pandas as pd
-
     o = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey"),
         "o_orderkey",
@@ -1464,16 +1462,32 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("delta"),
     )
 
-    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["day", "o_orderkey"])
-        bal = 0
-        out = []
-        for d in pdf["delta"]:
-            bal = max(0, bal + int(d))
-            out.append(bal)
-        pdf = pdf.assign(balance=out)
-        return pdf[["o_custkey", "o_orderkey", "balance"]]
+    # sort-based groupwise scan: ONE Arrow stream per partition (keys
+    # contiguous after repartition+sort), state carried across chunk
+    # boundaries — orders of magnitude less per-group overhead than a
+    # pandas frame per customer, and the shape that survives billions
+    # of small groups at 100 TB
+    def scan(it):
+        import numpy as np
 
-    return o.groupBy("o_custkey").applyInPandas(
-        scan, "o_custkey long, o_orderkey long, balance long"
+        prev_key = None
+        bal = 0
+        for pdf in it:  # chunks arrive in partition sort order
+            ks = pdf["o_custkey"].to_numpy()
+            ds = pdf["delta"].to_numpy()
+            out = np.empty(len(pdf), dtype="int64")
+            for i in range(len(pdf)):
+                if ks[i] != prev_key:
+                    prev_key = ks[i]
+                    bal = 0
+                bal = max(0, bal + int(ds[i]))
+                out[i] = bal
+            yield pdf.assign(balance=out)[
+                ["o_custkey", "o_orderkey", "balance"]
+            ]
+
+    return (
+        o.repartition(F.col("o_custkey"))
+        .sortWithinPartitions("o_custkey", "day", "o_orderkey")
+        .mapInPandas(scan, "o_custkey long, o_orderkey long, balance long")
     )

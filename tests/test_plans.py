@@ -529,10 +529,12 @@ def test_ab_test_contingency_no_python(spark):
 
 
 def test_capped_balance_keyed_arrow_scan(spark):
-    """The non-decomposable recurrence must be ONE keyed Arrow kernel
-    (FlatMapGroupsInPandas) after a single hash shuffle on customer —
-    never a per-row Python eval or a global sort."""
+    """The non-decomposable recurrence must be a sort-based partition
+    stream (repartition on customer + within-partition sort + ONE
+    MapInPandas with cross-chunk state) — never a pandas frame per
+    tiny group, a per-row Python eval, or a global sort."""
     plan = plan_of(spark, "capped_running_balance")
-    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "MapInPandas" in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Sort" in plan, plan  # within-partition key/time order
     assert "BatchEvalPython" not in plan, plan
