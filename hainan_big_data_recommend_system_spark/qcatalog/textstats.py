@@ -5687,3 +5687,137 @@ def q_delta_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, n_tombstones long, n_eligible long, "
         "bytes_reclaimable long",
     )
+
+
+def _build_eml(did: int, m: int) -> str:
+    """Deterministic fixture message: folded Subject every third, an
+    extra 7bit part every second, UTF-8 text through quoted-printable,
+    binary through base64, and a preamble line starting 'From ' so the
+    mboxrd stuffing layer is load-bearing."""
+    from ..operators.mime import qp_encode
+    import base64 as _b64
+
+    subj = f"Report {(did + m) % 7}"
+    folded = (did + m) % 3 == 0
+    text = f"Price café {did * 3 + m}: total"
+    nbin = 5 + (did + m) % 9
+    bin_data = bytes((did + m + j) % 256 for j in range(nbin))
+    lines = ["From: sender@example.com", "To: list@example.org"]
+    if folded:
+        lines += [f"Subject: {subj}", " extended"]
+    else:
+        lines += [f"Subject: {subj}"]
+    lines += [
+        "MIME-Version: 1.0",
+        'Content-Type: multipart/mixed; boundary="B42"',
+        "",
+        "From the archives (preamble, ignored)",
+        "--B42",
+        "Content-Type: text/plain; charset=utf-8",
+        "Content-Transfer-Encoding: quoted-printable",
+        "",
+        qp_encode(text.encode("utf-8")),
+    ]
+    if (did + m) % 2 == 0:
+        lines += [
+            "--B42",
+            "Content-Type: text/plain",
+            "Content-Transfer-Encoding: 7bit",
+            "",
+            "extra part data",
+        ]
+    lines += [
+        "--B42",
+        "Content-Type: application/octet-stream",
+        "Content-Transfer-Encoding: base64",
+        "",
+        _b64.b64encode(bin_data).decode(),
+        "--B42--",
+        "epilogue ignored",
+    ]
+    return "\n".join(lines)
+
+
+@register_extra(
+    "eml_corpus_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 1 + doc_id % 3 AS n_msgs FROM documents
+    ),
+    m AS (
+        SELECT d.doc_id, d.n_msgs, mm,
+               CASE WHEN (d.doc_id + mm) % 3 = 0 THEN 17 ELSE 8 END
+                   AS subj_chars,
+               18 + length(CAST(d.doc_id * 3 + mm AS VARCHAR))
+                   + CASE WHEN (d.doc_id + mm) % 2 = 0 THEN 15
+                          ELSE 0 END AS text_chars,
+               5 + (d.doc_id + mm) % 9 AS bin_bytes,
+               2 + CASE WHEN (d.doc_id + mm) % 2 = 0 THEN 1 ELSE 0 END
+                   AS n_parts
+        FROM d, LATERAL (SELECT unnest(range(0, n_msgs)) AS mm)
+    )
+    SELECT doc_id,
+           CAST(any_value(n_msgs) AS BIGINT) AS n_msgs,
+           CAST(sum(n_parts) AS BIGINT) AS n_parts_total,
+           CAST(sum(subj_chars) AS BIGINT) AS subject_chars_total,
+           CAST(sum(text_chars) AS BIGINT) AS text_chars_total,
+           CAST(sum(bin_bytes) AS BIGINT) AS bin_bytes_total
+    FROM m GROUP BY 1
+    """,
+)
+def q_eml_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mailing-list archive ingestion (operators/mime.py): per doc a
+    real mboxrd file — envelope framing with From-stuffing actually
+    exercised (the preamble line starts 'From '), RFC 5322 header
+    UNFOLDING (every third Subject folds across lines), multipart
+    boundary splitting with required terminal marker, quoted-printable
+    (non-ASCII é goes through =C3=A9) and base64 decoding.  The oracle
+    replays the closed-form character/byte accounting; an unfolding,
+    boundary, stuffing, or transfer-decoding bug mismatches rows."""
+    import pandas as pd
+
+    from ..operators.mime import make_mbox, parse_mbox
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def scan(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n_msgs = 1 + did % 3
+                msgs = parse_mbox(
+                    make_mbox([_build_eml(did, m) for m in range(n_msgs)])
+                )
+                n_parts = sum(r["n_parts"] for r in msgs)
+                subj = sum(
+                    len(r["headers"]["subject"]) for r in msgs
+                )
+                text_chars = 0
+                bin_bytes = 0
+                for r in msgs:
+                    for ct, body in r["parts"]:
+                        if ct == "text/plain":
+                            text_chars += len(body.decode("utf-8"))
+                        else:
+                            bin_bytes += len(body)
+                out.append(
+                    {
+                        "doc_id": did,
+                        "n_msgs": len(msgs),
+                        "n_parts_total": n_parts,
+                        "subject_chars_total": subj,
+                        "text_chars_total": text_chars,
+                        "bin_bytes_total": bin_bytes,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        scan,
+        "doc_id long, n_msgs long, n_parts_total long, "
+        "subject_chars_total long, text_chars_total long, "
+        "bin_bytes_total long",
+    )

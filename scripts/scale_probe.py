@@ -194,6 +194,7 @@ QUERIES = [
     "pareto_orders",
     "ab_test_contingency",
     "capped_running_balance",
+    "eml_corpus_scan",
 ]
 
 

@@ -90,6 +90,10 @@ from hainan_big_data_recommend_system_spark.operators.deltalog import (
     make_commit,
     parse_delta_payload,
 )
+from hainan_big_data_recommend_system_spark.operators.mime import (
+    make_mbox,
+    parse_mbox,
+)
 from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
     make_parquet,
     parse_parquet,
@@ -203,6 +207,18 @@ CASES = {
                                     "numRecords": 5}}])
         ).encode(),
         parse_delta_payload,
+    ),
+    "mbox": (
+        lambda: make_mbox([
+            "Subject: x\n"
+            'Content-Type: multipart/mixed; boundary="B"\n\n'
+            "From the start\n--B\n"
+            "Content-Transfer-Encoding: quoted-printable\n\n"
+            "caf=C3=A9\n--B\n"
+            "Content-Transfer-Encoding: base64\n\nAAEC/w==\n--B--",
+            "Subject: y\n\nplain body",
+        ]),
+        parse_mbox,
     ),
     "parquet": (lambda: make_parquet([[(i * 3 - 9, f"n{i % 4}")
                                        for i in range(12)],

@@ -538,3 +538,10 @@ def test_capped_balance_keyed_arrow_scan(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Sort" in plan, plan  # within-partition key/time order
     assert "BatchEvalPython" not in plan, plan
+
+
+def test_eml_corpus_scan_spread_arrow_kernel(spark):
+    plan = plan_of(spark, "eml_corpus_scan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
