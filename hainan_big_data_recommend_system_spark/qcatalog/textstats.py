@@ -5821,3 +5821,108 @@ def q_eml_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subject_chars_total long, text_chars_total long, "
         "bin_bytes_total long",
     )
+
+
+@register_extra(
+    "format_sniff_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, doc_id % 8 AS k, 1 + doc_id % 3 AS base
+        FROM documents
+    )
+    SELECT doc_id,
+           CASE k WHEN 0 THEN 'parquet' WHEN 1 THEN 'orc'
+                  WHEN 2 THEN 'avro'    WHEN 3 THEN 'warc'
+                  WHEN 4 THEN 'tar'     WHEN 5 THEN 'zip'
+                  WHEN 6 THEN 'pdf'     ELSE 'mbox' END AS fmt,
+           CAST(CASE WHEN k = 6 THEN 1 + doc_id % 2
+                     ELSE base END AS BIGINT) AS n_records
+    FROM d
+    """,
+)
+def q_format_sniff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-lake ingestion (operators/sniff.py): every doc carries ONE
+    of eight REAL container payloads (parquet, ORC-lite, Avro OCF,
+    WARC, TAR, ZIP, PDF, mbox — each built by this repo's own writer),
+    the kernel identifies it from magic bytes alone and dispatches to
+    the matching parser, and the per-format record count must agree
+    with the build formula — a sniffer misroute fails loudly because
+    no parser accepts another format's framing.  The unified front door
+    for a directory nobody curated."""
+    import pandas as pd
+
+    from ..operators.mime import make_mbox, parse_mbox
+    from ..operators.multimodal import _spread
+    from ..operators.orclite import make_orc, parse_orc
+    from ..operators.avrocf import make_avro, parse_avro
+    from ..operators.parquetfmt import make_parquet, parse_parquet
+    from ..operators.pdftext import extract_pdf_text, make_pdf
+    from ..operators.sniff import detect_format
+    from ..sources.archives import make_tar, make_zip, parse_tar, parse_zip
+    from ..sources.warc import make_warc, parse_warc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def scan(it):
+        for pdf_batch in it:
+            out = []
+            for did in pdf_batch["doc_id"]:
+                did = int(did)
+                k = did % 8
+                base = 1 + did % 3
+                rows = [(did + j, f"n{j}") for j in range(base)]
+                if k == 0:
+                    payload = make_parquet([rows])
+                elif k == 1:
+                    payload = make_orc([rows])
+                elif k == 2:
+                    payload = make_avro(
+                        {"type": "record", "name": "r", "fields": [
+                            {"name": "id", "type": "long"}]},
+                        [[{"id": i} for i, _n in rows]],
+                    )
+                elif k == 3:
+                    payload = make_warc(
+                        [(f"https://x/{i}", b"<p>b</p>") for i, _n in rows]
+                    )
+                elif k == 4:
+                    payload = make_tar([(n, b"x") for _i, n in rows])
+                elif k == 5:
+                    payload = make_zip([(n, b"x") for _i, n in rows])
+                elif k == 6:
+                    payload = make_pdf(
+                        [f"line {j}" for j in range(1 + did % 2)]
+                    )
+                else:
+                    payload = make_mbox(
+                        [_build_eml(did, m) for m in range(base)]
+                    )
+                fmt = detect_format(payload)
+                if fmt == "parquet":
+                    n = parse_parquet(payload)["n_rows"]
+                elif fmt == "orc":
+                    n = parse_orc(payload)["n_rows"]
+                elif fmt == "avro":
+                    n = parse_avro(payload)["n_records"]
+                elif fmt == "warc":
+                    n = sum(
+                        1 for r in parse_warc(payload)
+                        if r["type"] == "response"
+                    )
+                elif fmt == "tar":
+                    n = len(parse_tar(payload))
+                elif fmt == "zip":
+                    n = len(parse_zip(payload))
+                elif fmt == "pdf":
+                    n = len(extract_pdf_text(payload))
+                elif fmt == "mbox":
+                    n = len(parse_mbox(payload))
+                else:
+                    raise ValueError(f"sniffer routed unknown {fmt}")
+                out.append({"doc_id": did, "fmt": fmt, "n_records": n})
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        scan, "doc_id long, fmt string, n_records long"
+    )

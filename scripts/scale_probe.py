@@ -195,6 +195,7 @@ QUERIES = [
     "ab_test_contingency",
     "capped_running_balance",
     "eml_corpus_scan",
+    "format_sniff_scan",
 ]
 
 

@@ -545,3 +545,10 @@ def test_eml_corpus_scan_spread_arrow_kernel(spark):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_format_sniff_scan_spread_arrow_kernel(spark):
+    plan = plan_of(spark, "format_sniff_scan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "EvalPython" not in plan, plan
