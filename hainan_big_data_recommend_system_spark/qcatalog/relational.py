@@ -1491,3 +1491,117 @@ def q_capped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .sortWithinPartitions("o_custkey", "day", "o_orderkey")
         .mapInPandas(scan, "o_custkey long, o_orderkey long, balance long")
     )
+
+
+_BDAY_W = (
+    "(5 * (({d} + 3) div 7) + least(({d} + 3) % 7, 5) - 3)"
+)
+
+
+@register_extra(
+    "business_days_to_ship",
+    """
+    WITH j AS (
+        SELECT o.o_orderpriority AS priority, l.l_returnflag AS rflag,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT)
+                   AS d1,
+               CAST(epoch_us(l.l_shipdate) // 86400000000 AS BIGINT)
+                   AS d2
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    b AS (
+        SELECT priority, rflag,
+               (5 * ((d2 + 3) // 7) + least((d2 + 3) % 7, 5) - 3)
+               - (5 * ((d1 + 3) // 7) + least((d1 + 3) % 7, 5) - 3)
+                   AS bdays
+        FROM j
+    )
+    SELECT priority, rflag,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(bdays) AS BIGINT) AS sum_bdays,
+           CAST(min(bdays) AS BIGINT) AS min_bdays,
+           CAST(max(bdays) AS BIGINT) AS max_bdays
+    FROM b GROUP BY 1, 2
+    """,
+)
+def q_business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order→ship latency in BUSINESS days — calendar logic the SLA
+    reports actually use, computed with NO engine date functions: the
+    weekday test is ((epoch_day + 3) % 7) < 5 (day 0, 1970-01-01, was a
+    Thursday) and the count of weekdays below a day has the closed form
+    5·((d+3) div 7) + least((d+3) % 7, 5) − 3, so bd(d1,d2) is one
+    subtraction — scan-local, skew-free, and identical arithmetic on
+    both engines (dayofweek() conventions differ between them; epoch
+    arithmetic cannot)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+            "div 86400000000 AS BIGINT)"
+        ).alias("d1"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_returnflag").alias("rflag"),
+        F.expr(
+            "CAST(unix_micros(CAST(l_shipdate AS TIMESTAMP)) "
+            "div 86400000000 AS BIGINT)"
+        ).alias("d2"),
+    )
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    bd = F.expr(
+        _BDAY_W.format(d="d2") + " - " + _BDAY_W.format(d="d1")
+    ).alias("bdays")
+    return (
+        j.select("priority", "rflag", bd)
+        .groupBy("priority", "rflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum("bdays").cast("long").alias("sum_bdays"),
+            F.min("bdays").cast("long").alias("min_bdays"),
+            F.max("bdays").cast("long").alias("max_bdays"),
+        )
+    )
+
+
+@register_extra(
+    "grouping_sets_revenue",
+    """
+    SELECT coalesce(o_orderpriority, '(all)') AS priority,
+           coalesce(o_orderstatus, '(all)') AS status,
+           CAST(GROUPING(o_orderpriority) * 2 + GROUPING(o_orderstatus)
+                AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS with GROUPING() disambiguation — the SQL
+    surface between cube (rollup_revenue / cube_priority_status cover
+    those) and hand-unioned aggregates: one shuffle produces the
+    detail, both one-dimension margins, and the grand total, with gid
+    telling a NULL group key from a NULL margin.  Runs through
+    spark.sql — the SQL-text front door — against a DuckDB oracle of
+    the identical text modulo the engines' shared syntax."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_gs_orders"
+    )
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderpriority, '(all)') AS priority,
+               coalesce(o_orderstatus, '(all)') AS status,
+               CAST(GROUPING(o_orderpriority) * 2
+                    + GROUPING(o_orderstatus) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus), ())
+        """
+    )

@@ -196,6 +196,8 @@ QUERIES = [
     "capped_running_balance",
     "eml_corpus_scan",
     "format_sniff_scan",
+    "business_days_to_ship",
+    "grouping_sets_revenue",
 ]
 
 

@@ -552,3 +552,20 @@ def test_format_sniff_scan_spread_arrow_kernel(spark):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 1, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_business_days_scan_local_single_agg(spark):
+    """The weekday closed form must ride the scans (no date-function
+    round trips, no Python); one join + one aggregate."""
+    plan = plan_of(spark, "business_days_to_ship")
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_grouping_sets_single_expand_shuffle(spark):
+    """GROUPING SETS must be one Expand + one aggregation pipeline —
+    not four unioned scans."""
+    plan = plan_of(spark, "grouping_sets_revenue")
+    assert "Expand" in plan, plan
+    assert plan.count("Scan parquet") <= 1, plan
+    assert "Python" not in plan, plan
