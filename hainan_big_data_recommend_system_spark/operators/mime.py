@@ -65,7 +65,9 @@ def qp_decode(text: str) -> bytes:
             except ValueError:
                 raise ValueError(f"bad quoted-printable escape ={hx}")
             i += 3
-        elif c == "\n" or 0x20 <= ord(c) <= 0x7E:
+        elif c in ("\n", "\t") or 0x20 <= ord(c) <= 0x7E:
+            # TAB is legal raw in quoted-printable (RFC 2045 §6.7 rule
+            # 3) and stdlib quopri leaves it unencoded
             out.append(ord(c))
             i += 1
         else:

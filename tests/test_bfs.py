@@ -38,3 +38,41 @@ def test_negative_cap_rejects(spark):
     e = spark.createDataFrame(EDGES, "a long, b long")
     with pytest.raises(ValueError):
         bfs_hops(e, "a", "b", e.select("a"), "a", -1)
+
+
+def test_random_graphs_match_reference_bfs(spark):
+    """Seeded random graphs: the distributed frontier expansion must
+    equal a plain Python BFS (collections.deque) on every graph."""
+    import random
+    from collections import deque
+
+    rng = random.Random(42)
+    for _ in range(4):
+        n = rng.randrange(8, 20)
+        edges = sorted({
+            tuple(sorted(rng.sample(range(n), 2)))
+            for _ in range(rng.randrange(5, 30))
+        })
+        seeds = rng.sample(range(n), rng.randrange(1, 3))
+        k = rng.randrange(0, 4)
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {s: 0 for s in seeds}
+        q = deque((s, 0) for s in seeds)
+        while q:
+            node, d = q.popleft()
+            if d == k:
+                continue
+            for nb in adj.get(node, ()):
+                if nb not in want:
+                    want[nb] = d + 1
+                    q.append((nb, d + 1))
+        e = spark.createDataFrame(edges, "a long, b long")
+        s = spark.createDataFrame([(x,) for x in seeds], "node long")
+        got = {
+            r["node"]: r["hops"]
+            for r in bfs_hops(e, "a", "b", s, "node", k).collect()
+        }
+        assert got == want, (edges, seeds, k)

@@ -48,7 +48,8 @@ def test_unfold_boundaries_and_decodings():
 
 
 def test_qp_roundtrip_matches_stdlib():
-    for s in ["plain", "café = naïve\nline2", "=weird=", "a" * 200]:
+    for s in ["plain", "café = naïve\nline2", "=weird=", "a" * 200,
+              "tab\there = kept\traw"]:
         enc = qp_encode(s.encode())
         assert qp_decode(enc) == s.encode()
         # stdlib decodes our encoding identically (soft breaks included)

@@ -200,3 +200,55 @@ def test_real_file_int64_stats_match_pyarrow(sf_oracle_dir):
     for k, v in want.items():
         if isinstance(v[0], int):
             assert ours[k] == v, k
+
+
+def test_thrift_codec_roundtrip_random_structs():
+    """Seeded-random thrift compact structures (nested structs, lists,
+    binaries, zigzag ints across width boundaries, long-form field-id
+    deltas) must decode back exactly — the generic walk is what every
+    real footer rides."""
+    import random
+
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        _CT_BINARY,
+        _CT_I64,
+        _CT_LIST,
+        _CT_STRUCT,
+        _read_struct,
+        _tstruct,
+    )
+
+    rng = random.Random(99)
+
+    def rand_fields(depth):
+        fields = []
+        fid = 0
+        expect = {}
+        for _ in range(rng.randrange(1, 6)):
+            fid += rng.choice([1, 2, 15, 16, 40])  # exercise long form
+            kind = rng.randrange(4 if depth < 3 else 3)
+            if kind == 0:
+                v = rng.choice(
+                    [0, -1, 1, 2**31, -(2**31), 2**62, -(2**62)]
+                )
+                fields.append((fid, _CT_I64, v))
+                expect[fid] = v
+            elif kind == 1:
+                v = bytes(rng.randrange(256) for _ in range(rng.randrange(9)))
+                fields.append((fid, _CT_BINARY, v))
+                expect[fid] = v
+            elif kind == 2:
+                vs = [rng.randrange(-100, 100) for _ in range(rng.randrange(20))]
+                fields.append((fid, _CT_LIST, (_CT_I64, vs)))
+                expect[fid] = vs
+            else:
+                sub, sub_expect = rand_fields(depth + 1)
+                fields.append((fid, _CT_STRUCT, sub))
+                expect[fid] = sub_expect
+        return _tstruct(fields), expect
+
+    for _ in range(200):
+        blob, want = rand_fields(0)
+        got, pos = _read_struct(blob, 0, 0)
+        assert pos == len(blob)
+        assert got == want
