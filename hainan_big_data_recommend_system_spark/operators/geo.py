@@ -33,6 +33,8 @@ _LON_SPAN = 360_000_000
 
 
 def _bit_counts(chars: int) -> tuple[int, int]:
+    if not 1 <= chars <= 12:  # 12 chars = 60 bits, the int64 ceiling
+        raise ValueError("geohash precision must be 1..12 characters")
     total = 5 * chars
     lon_bits = (total + 1) // 2  # lon leads (even positions from MSB)
     return lon_bits, total - lon_bits
@@ -47,7 +49,10 @@ def quantize_col(v: Column, offset: int, span: int, bits: int) -> Column:
     histogram_quantiles `div` lesson, spelled in the DataFrame API)."""
     raw = ((v + F.lit(offset)).cast("long") * F.lit(1 << bits))
     idx = ((raw - (raw % F.lit(span))) / F.lit(span)).cast("long")
-    return F.least(idx, F.lit((1 << bits) - 1))
+    # clamp BOTH edges: out-of-domain coordinates (bad GPS fixes are
+    # routine in real data) must land in an edge cell, not take bit
+    # ops through a negative index
+    return F.greatest(F.lit(0), F.least(idx, F.lit((1 << bits) - 1)))
 
 
 def geohash_col(lat_micro: Column, lon_micro: Column, chars: int) -> Column:
@@ -83,8 +88,8 @@ def geohash_sql(lat_expr: str, lon_expr: str, chars: int) -> str:
 
     def q(expr: str, off: int, span: int, bits: int) -> str:
         return (
-            f"least((CAST({expr} AS BIGINT) + {off}) * {1 << bits}"
-            f" // {span}, {(1 << bits) - 1})"
+            f"greatest(0, least((CAST({expr} AS BIGINT) + {off})"
+            f" * {1 << bits} // {span}, {(1 << bits) - 1}))"
         )
 
     qlon = q(lon_expr, _LON_SPAN // 2, _LON_SPAN, lon_bits)
