@@ -1605,3 +1605,116 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 (o_orderpriority), (o_orderstatus), ())
         """
     )
+
+
+@register_extra(
+    "hierarchy_paths",
+    """
+    WITH RECURSIVE n AS (
+        SELECT p_partkey AS node,
+               CASE WHEN p_partkey < 10 THEN NULL
+                    ELSE p_partkey // 7 END AS parent
+        FROM part
+    ),
+    walk(node, root, depth) AS (
+        SELECT node, node, 0 FROM n WHERE parent IS NULL
+        UNION ALL
+        SELECT n.node, w.root, w.depth + 1
+        FROM n JOIN walk w ON n.parent = w.node
+    )
+    SELECT node, root, CAST(depth AS BIGINT) AS depth
+    FROM walk
+    """,
+)
+def q_hierarchy_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-tree resolution (operators/hierarchy.py): every part
+    sits in a synthetic 7-ary forest (parts 0..9 are roots, parent =
+    key div 7); pointer DOUBLING resolves root and depth for all nodes
+    in 6 self-joins regardless of tree size — log(depth) rounds where
+    the oracle's recursive CTE walks depth levels.  Two opposite
+    traversal strategies (top-down recursion vs ancestor squaring)
+    that must agree node-for-node."""
+    from ..operators.hierarchy import resolve_roots
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") < 10, F.lit(None).cast("long"))
+        .otherwise(F.expr("p_partkey div 7"))
+        .alias("parent"),
+    )
+    return resolve_roots(part, "node", "parent", rounds=6)
+
+
+@register_extra(
+    "yoy_weekly_revenue",
+    """
+    WITH w AS (
+        SELECT CAST(epoch_us(o_orderdate) // 604800000000 AS BIGINT)
+                   AS week,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                   AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT week, CAST(rev_cents AS BIGINT) AS rev_cents,
+           CAST(lag(rev_cents, 52) OVER (ORDER BY week) AS BIGINT)
+               AS rev_prior_year,
+           CAST(CASE WHEN lag(rev_cents, 52) OVER (ORDER BY week)
+                          IS NULL THEN 0
+                     WHEN rev_cents < lag(rev_cents, 52)
+                              OVER (ORDER BY week) THEN
+                          -((lag(rev_cents, 52) OVER (ORDER BY week)
+                             - rev_cents) * 10000
+                            // lag(rev_cents, 52) OVER (ORDER BY week))
+                     ELSE (rev_cents - lag(rev_cents, 52)
+                               OVER (ORDER BY week)) * 10000
+                          // lag(rev_cents, 52) OVER (ORDER BY week)
+                END AS BIGINT) AS yoy_bp
+    FROM w
+    """,
+)
+def q_yoy_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year weekly revenue — the period-over-period report:
+    lag(52) over epoch weeks, delta as exact integer basis points
+    (0 where no prior-year week exists — the NULL rev_prior_year
+    column disambiguates genuinely-flat weeks).  NOTE the lag is
+    positional over OBSERVED weeks; a calendar-spine variant composes
+    with daily_revenue_locf when weeks can be empty — at catalog
+    density every week has orders, which the oracle verifies
+    implicitly.  The window rides distinct weeks (calendar-bounded)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) "
+            "div 604800000000 AS BIGINT)"
+        ).alias("week"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    w = o.groupBy("week").agg(F.sum("cents").alias("rev_cents"))
+    from pyspark.sql import Window
+
+    win = Window.orderBy("week")
+    prior = F.lag("rev_cents", 52).over(win)
+    return w.select(
+        "week",
+        F.col("rev_cents").cast("long"),
+        prior.cast("long").alias("rev_prior_year"),
+        # sign x abs-floor: Spark `div` truncates toward zero while
+        # DuckDB `//` floors — on negative YoY deltas they differ by 1,
+        # so divide magnitudes and apply the sign separately (the
+        # operators/trend.py truncation discipline)
+        F.when(prior.isNull(), F.lit(0))
+        .when(
+            F.col("rev_cents") < prior,
+            -F.expr(
+                "(lag(rev_cents, 52) OVER (ORDER BY week) - rev_cents)"
+                " * 10000 div lag(rev_cents, 52) OVER (ORDER BY week)"
+            ),
+        )
+        .otherwise(
+            F.expr(
+                "(rev_cents - lag(rev_cents, 52) OVER (ORDER BY week))"
+                " * 10000 div lag(rev_cents, 52) OVER (ORDER BY week)"
+            )
+        )
+        .cast("long")
+        .alias("yoy_bp"),
+    )

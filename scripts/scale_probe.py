@@ -198,6 +198,8 @@ QUERIES = [
     "format_sniff_scan",
     "business_days_to_ship",
     "grouping_sets_revenue",
+    "hierarchy_paths",
+    "yoy_weekly_revenue",
 ]
 
 

@@ -569,3 +569,18 @@ def test_grouping_sets_single_expand_shuffle(spark):
     assert "Expand" in plan, plan
     assert plan.count("Scan parquet") <= 1, plan
     assert "Python" not in plan, plan
+
+
+def test_hierarchy_paths_log_rounds_no_cartesian(spark):
+    """Pointer doubling: six self-joins on the pointer key (hash
+    equi-joins after checkpointed rounds), never a cartesian and never
+    Python."""
+    plan = plan_of(spark, "hierarchy_paths")
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_yoy_weekly_window_rides_distinct_weeks(spark):
+    plan = plan_of(spark, "yoy_weekly_revenue")
+    assert "Python" not in plan, plan
+    assert "HashAggregate" in plan, plan  # weekly pre-aggregation first
