@@ -804,3 +804,98 @@ def q_customer_360(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_anomalous_events"),
         )
     )
+
+
+@register_extra(
+    "pit_priority_at_ship",
+    """
+    WITH w AS (
+        SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey,
+               o_orderpriority,
+               lag(o_orderpriority) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev_attr,
+               lag(o_orderdate) OVER
+                   (PARTITION BY o_custkey
+                    ORDER BY o_orderdate, o_orderkey) AS prev_ts
+        FROM orders
+    ),
+    dim AS (
+        SELECT key, ts AS effective_from, o_orderpriority,
+               row_number() OVER (PARTITION BY key
+                                  ORDER BY ts, o_orderkey) AS version
+        FROM w
+        WHERE prev_ts IS NULL
+           OR o_orderpriority IS DISTINCT FROM prev_attr
+    ),
+    f AS (
+        -- (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        -- lineitem: a synthetic fact id keeps duplicate facts distinct
+        SELECT o.o_custkey AS key, l.l_shipdate AS ts,
+               CAST(round(l.l_quantity) AS BIGINT) AS qty,
+               row_number() OVER () AS fid
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT f.fid, f.qty, d.o_orderpriority,
+               row_number() OVER (
+                   PARTITION BY f.fid
+                   ORDER BY d.effective_from DESC, d.version DESC
+               ) AS rn
+        FROM f LEFT JOIN dim d
+          ON d.key = f.key AND d.effective_from <= f.ts
+    )
+    SELECT coalesce(o_orderpriority, '(none)') AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(sum(qty) AS BIGINT) AS sum_qty
+    FROM ranked WHERE rn = 1
+    GROUP BY 1
+    """,
+)
+def q_pit_priority_at_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time consumption of the SCD2 dimension — the query the
+    Kimball build exists FOR: every shipped lineitem looks up the
+    customer's order-priority version valid AT SHIP TIME via the as-of
+    join (operators/asof.py — one shuffle, latest-version struct-max,
+    never an interval explode), aggregated per resolved priority.  The
+    oracle recomputes the dimension AND the lookup with groupwise
+    argmax over change points — the classic PIT formulation."""
+    from ..operators.asof import asof_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    dim = build_scd2(
+        orders, "o_custkey", "o_orderdate", ["o_orderpriority"],
+        tiebreak_col="o_orderkey",
+    ).select(
+        F.col("key"),
+        F.col("effective_from"),
+        "version",
+        "o_orderpriority",
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.col("l_shipdate").alias("ts"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    okey = orders.select("o_orderkey", F.col("o_custkey").alias("key"))
+    facts = li.join(okey, li["l_orderkey"] == okey["o_orderkey"]).select(
+        "key", "ts", "qty"
+    )
+    matched = asof_join(
+        facts, dim, on="key", left_ts="ts",
+        # version in the payload: same-date versions tie on ts and the
+        # struct max must pick the HIGHEST version (last writer), not
+        # the lexicographically-largest priority string
+        right_ts="effective_from",
+        right_payload=["version", "o_orderpriority"],
+    )
+    # a fact shipped before its customer's first version has no valid
+    # dimension row — surfaced as '(none)', never silently dropped
+    return matched.groupBy(
+        F.coalesce(F.col("o_orderpriority_r"), F.lit("(none)")).alias(
+            "priority_at_ship"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum("qty").cast("long").alias("sum_qty"),
+    )

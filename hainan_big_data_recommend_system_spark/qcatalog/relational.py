@@ -1718,3 +1718,90 @@ def q_yoy_weekly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("yoy_bp"),
     )
+
+
+@register_extra(
+    "hierarchy_revenue_share",
+    """
+    WITH RECURSIVE n AS (
+        SELECT p_partkey AS node,
+               CASE WHEN p_partkey < 10 THEN NULL
+                    ELSE p_partkey // 7 END AS parent
+        FROM part
+    ),
+    walk(node, root) AS (
+        SELECT node, node FROM n WHERE parent IS NULL
+        UNION ALL
+        SELECT n.node, w.root FROM n JOIN walk w ON n.parent = w.node
+    ),
+    rev AS (
+        SELECT l_partkey AS node,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                   AS rev_cents
+        FROM lineitem GROUP BY 1
+    ),
+    per AS (
+        SELECT w.node, w.root, coalesce(r.rev_cents, 0) AS rev_cents
+        FROM walk w LEFT JOIN rev r ON r.node = w.node
+    ),
+    roots AS (
+        SELECT root, sum(rev_cents) AS root_rev FROM per GROUP BY 1
+    )
+    SELECT per.node, per.root,
+           CAST(per.rev_cents AS BIGINT) AS rev_cents,
+           CAST(roots.root_rev AS BIGINT) AS root_rev_cents,
+           CAST(CASE WHEN roots.root_rev = 0 THEN 0
+                     ELSE per.rev_cents * 10000 // roots.root_rev
+                END AS BIGINT) AS share_bp
+    FROM per JOIN roots USING (root)
+    """,
+)
+def q_hierarchy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent rollup — the hierarchy's consumption query:
+    each part's revenue as basis points of its ROOT category's total,
+    composing pointer doubling (operators/hierarchy.py) with the
+    lineitem aggregate; the per-root totals ride a broadcast back onto
+    the node rows (root count is bounded by the forest shape, never by
+    rows).  All quantities non-negative, so `div` and `//` agree."""
+    from ..operators.hierarchy import resolve_roots
+
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("node"),
+        F.when(F.col("p_partkey") < 10, F.lit(None).cast("long"))
+        .otherwise(F.expr("p_partkey div 7"))
+        .alias("parent"),
+    )
+    paths = resolve_roots(part, "node", "parent", rounds=6).select(
+        "node", "root"
+    )
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("node"))
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100).cast("long")
+            ).alias("rev_cents")
+        )
+    )
+    per = paths.join(rev, "node", "left").select(
+        "node", "root",
+        F.coalesce(F.col("rev_cents"), F.lit(0)).alias("rev_cents"),
+    )
+    roots = per.groupBy("root").agg(
+        F.sum("rev_cents").alias("root_rev_cents")
+    )
+    return (
+        per.join(F.broadcast(roots), "root")
+        .select(
+            "node",
+            "root",
+            F.col("rev_cents").cast("long").alias("rev_cents"),
+            F.col("root_rev_cents").cast("long").alias("root_rev_cents"),
+            F.when(F.col("root_rev_cents") == 0, F.lit(0))
+            .otherwise(
+                F.expr("rev_cents * 10000 div root_rev_cents")
+            )
+            .cast("long")
+            .alias("share_bp"),
+        )
+    )

@@ -200,6 +200,8 @@ QUERIES = [
     "grouping_sets_revenue",
     "hierarchy_paths",
     "yoy_weekly_revenue",
+    "pit_priority_at_ship",
+    "hierarchy_revenue_share",
 ]
 
 

@@ -584,3 +584,19 @@ def test_yoy_weekly_window_rides_distinct_weeks(spark):
     plan = plan_of(spark, "yoy_weekly_revenue")
     assert "Python" not in plan, plan
     assert "HashAggregate" in plan, plan  # weekly pre-aggregation first
+
+
+def test_pit_join_no_interval_explode(spark):
+    """The point-in-time lookup must be the as-of struct-max shape —
+    never a fact x versions range explode or a cartesian."""
+    plan = plan_of(spark, "pit_priority_at_ship")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_hierarchy_share_root_totals_broadcast(spark):
+    plan = plan_of(spark, "hierarchy_revenue_share")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Python" not in plan, plan
