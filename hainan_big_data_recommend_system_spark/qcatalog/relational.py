@@ -1805,3 +1805,113 @@ def q_hierarchy_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("share_bp"),
         )
     )
+
+
+@register_extra(
+    "array_ops_pipeline",
+    """
+    WITH t AS (
+        SELECT l_orderkey AS o_orderkey,
+               list_sort(list(CAST(round(l_quantity) AS BIGINT))) AS l
+        FROM lineitem GROUP BY 1
+    ),
+    w AS (
+        SELECT o_orderkey, sum(l[i] * i) AS wsum
+        FROM t, LATERAL (SELECT unnest(range(1, len(l) + 1)) AS i)
+        GROUP BY 1
+    )
+    SELECT t.o_orderkey,
+           CAST(len(t.l) AS BIGINT) AS n_items,
+           CAST(len(list_filter(t.l, x -> x >= 25)) AS BIGINT) AS n_big,
+           CAST(list_aggregate(list_transform(t.l, x -> x * 2), 'sum')
+                AS BIGINT) AS doubled_sum,
+           CAST(w.wsum AS BIGINT) AS wsum
+    FROM t JOIN w USING (o_orderkey)
+    """,
+)
+def q_array_ops_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions end to end — §2.8's lambda surface
+    exercised as one JVM pipeline: sorted collect_list, filter / 
+    transform / zip_with-with-index / aggregate lambdas, all integer.
+    DuckDB's list lambdas replay filter/transform/aggregate and a
+    1-based LATERAL subscript replays zip_with — two lambda dialects
+    that must agree cell-for-cell (Spark arrays are 0-indexed, DuckDB
+    lists 1-indexed: the index weighting exposes any off-by-one)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    t = li.groupBy("o_orderkey").agg(
+        F.sort_array(F.collect_list("qty")).alias("l")
+    )
+    zero = F.lit(0).cast("long")
+    return t.select(
+        "o_orderkey",
+        F.size("l").cast("long").alias("n_items"),
+        F.size(F.filter("l", lambda x: x >= 25)).cast("long").alias(
+            "n_big"
+        ),
+        F.aggregate(
+            F.transform("l", lambda x: x * 2), zero, lambda a, x: a + x
+        ).cast("long").alias("doubled_sum"),
+        F.aggregate(
+            F.zip_with(
+                "l",
+                F.sequence(F.lit(1), F.size("l")),
+                lambda q, i: q * i.cast("long"),
+            ),
+            zero,
+            lambda a, x: a + x,
+        ).cast("long").alias("wsum"),
+    )
+
+
+@register_extra(
+    "unpivot_yearly_revenue",
+    """
+    WITH wide AS (
+        SELECT o_orderpriority AS priority,
+               sum(CASE WHEN year(o_orderdate) = 1995
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS y1995,
+               sum(CASE WHEN year(o_orderdate) = 1996
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS y1996,
+               sum(CASE WHEN year(o_orderdate) = 1997
+                        THEN CAST(round(o_totalprice * 100) AS BIGINT)
+                        ELSE 0 END) AS y1997
+        FROM orders GROUP BY 1
+    )
+    SELECT priority, '1995' AS yr, CAST(y1995 AS BIGINT) AS rev_cents
+    FROM wide
+    UNION ALL
+    SELECT priority, '1996', CAST(y1996 AS BIGINT) FROM wide
+    UNION ALL
+    SELECT priority, '1997', CAST(y1997 AS BIGINT) FROM wide
+    """,
+)
+def q_unpivot_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — the inverse of pivot_priority_status_revenue's wide
+    reshape: melt per-year revenue columns back to long form with ONE
+    `stack()` generator per row (no triple scan; the oracle deliberately
+    uses the naive three-scan UNION to prove the reshape equivalent).
+    Wide-to-long is how hand-built spreadsheet-shaped marts re-enter
+    relational processing."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year(F.col("o_orderdate").cast("timestamp")).alias("yy"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    wide = o.groupBy("priority").agg(
+        *[
+            F.sum(F.when(F.col("yy") == y, F.col("cents")).otherwise(0))
+            .cast("long")
+            .alias(f"y{y}")
+            for y in (1995, 1996, 1997)
+        ]
+    )
+    return wide.selectExpr(
+        "priority",
+        "stack(3, '1995', y1995, '1996', y1996, '1997', y1997) "
+        "AS (yr, rev_cents)",
+    )

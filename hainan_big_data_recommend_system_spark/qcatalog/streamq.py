@@ -1324,3 +1324,47 @@ def q_ab_test_contingency(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("n_converted * 10000 div n_exposed").cast("long"),
         )
     )
+
+
+@register_extra(
+    "debounced_events",
+    """
+    WITH g AS (
+        SELECT event_type,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS gap_us
+        FROM events
+    )
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(*) FILTER (WHERE gap_us IS NULL
+                                    OR gap_us > 60000000)
+                AS BIGINT) AS n_kept,
+           CAST(count(*) FILTER (WHERE gap_us IS NOT NULL
+                                   AND gap_us <= 60000000)
+                AS BIGINT) AS n_dropped
+    FROM g GROUP BY 1
+    """,
+)
+def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce — drop an event arriving within 60s of the
+    previous SAME (user, type) event: one keyed lag window in exact
+    microseconds ((ts, event_id) ordering makes zero-gap duplicates
+    deterministic droppers), reported as kept/dropped per type.  The
+    client-retry dedup every event pipeline needs before counting."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gap = F.unix_micros(F.col("ts")) - F.lag(
+        F.unix_micros(F.col("ts"))
+    ).over(w)
+    g = ev.select("event_type", gap.alias("gap_us"))
+    kept = F.col("gap_us").isNull() | (F.col("gap_us") > 60_000_000)
+    return g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(kept.cast("long")).cast("long").alias("n_kept"),
+        F.sum((~kept).cast("long")).cast("long").alias("n_dropped"),
+    )

@@ -202,6 +202,9 @@ QUERIES = [
     "yoy_weekly_revenue",
     "pit_priority_at_ship",
     "hierarchy_revenue_share",
+    "array_ops_pipeline",
+    "debounced_events",
+    "unpivot_yearly_revenue",
 ]
 
 

@@ -600,3 +600,26 @@ def test_hierarchy_share_root_totals_broadcast(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_array_ops_pipeline_jvm_lambdas(spark):
+    """Higher-order functions must stay whole-stage JVM — a lambda
+    falling back to Python eval is the regression."""
+    plan = plan_of(spark, "array_ops_pipeline")
+    assert "Python" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_debounced_events_one_keyed_window(spark):
+    plan = plan_of(spark, "debounced_events")
+    assert "WindowExec: No Partition Defined" not in plan, plan
+    assert "Python" not in plan, plan
+
+
+def test_unpivot_single_scan_stack(spark):
+    """stack() melts in one pass — the plan must hold ONE parquet scan
+    (the oracle's three-scan UNION is the shape being avoided)."""
+    plan = plan_of(spark, "unpivot_yearly_revenue")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Generate stack" in plan or "Expand" in plan or "Generate" in plan, plan
+    assert "Python" not in plan, plan
