@@ -237,7 +237,9 @@ def parse_parquet_footer(payload: bytes) -> dict:
     codecs/encodings beyond the writer scope are fine.  Returns
     ``{version, created_by, n_rows, n_row_groups, column_names,
     physical_types, codecs, encodings, n_chunks, num_values,
-    total_compressed, total_uncompressed, null_count, rg_rows}``."""
+    total_compressed, total_uncompressed, null_count, rg_rows,
+    int64_stats}`` (per-chunk INT64 min/max, modern min_value/max_value
+    with the legacy max/min fallback)."""
     if len(payload) < 12:
         raise ValueError("parquet file too short")
     if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
@@ -301,13 +303,19 @@ def parse_parquet_footer(payload: bytes) -> dict:
                     nulls += _need_int(stats[3], "null_count")
                     have_nulls = True
                 # min_value/max_value of INT64 chunks: the row-group
-                # skipping inputs (8-byte LE two's complement)
+                # skipping inputs (8-byte LE two's complement).  Older
+                # writers carry only the legacy max/min (fields 1/2),
+                # whose ordering is identical for signed int64
+                mx = stats.get(5) if isinstance(stats.get(5), bytes) \
+                    else stats.get(1)
+                mn = stats.get(6) if isinstance(stats.get(6), bytes) \
+                    else stats.get(2)
                 if (
                     _need_int(md.get(1), "chunk type") == _T_INT64
-                    and isinstance(stats.get(5), bytes)
-                    and isinstance(stats.get(6), bytes)
-                    and len(stats[5]) == 8
-                    and len(stats[6]) == 8
+                    and isinstance(mx, bytes)
+                    and isinstance(mn, bytes)
+                    and len(mx) == 8
+                    and len(mn) == 8
                 ):
                     path = md.get(3)
                     col = (
@@ -321,8 +329,8 @@ def parse_parquet_footer(payload: bytes) -> dict:
                         {
                             "rg": rg_idx,
                             "col": col,
-                            "min": struct.unpack("<q", stats[6])[0],
-                            "max": struct.unpack("<q", stats[5])[0],
+                            "min": struct.unpack("<q", mn)[0],
+                            "max": struct.unpack("<q", mx)[0],
                         }
                     )
     return {
