@@ -16,9 +16,12 @@ page data.  On top of the generic walk:
   full reader for the honest scope ``struct<id:int64 required,
   name:utf8 required>``, UNCOMPRESSED, PLAIN v1 data pages (required
   fields ⇒ max def/rep level 0 ⇒ no level runs).  Writer output is
-  read back by DuckDB and pyarrow in tests; arrow-written in-scope
-  files are NOT readable here (arrow dictionary-encodes) and
-  quarantine loudly — out-of-scope codecs/encodings raise ValueError.
+  read back by DuckDB and pyarrow in tests.
+- :func:`read_int64_column` — REAL arrow-written column chunks decoded
+  end-to-end: snappy blocks (operators/snappy.py), PLAIN dictionary
+  pages + RLE_DICTIONARY indices, hybrid definition levels for
+  optional fields.  Count/sum pinned against DuckDB reading the same
+  files.  Out-of-scope codecs/encodings/page kinds raise ValueError.
 
 Public knowledge: the parquet-format specification
 (github.com/apache/parquet-format: Thrift definitions + Encodings.md)
@@ -570,3 +573,178 @@ def _decode_plain(data: bytes, n: int, ptype: int) -> list:
             raise ValueError("PLAIN byte_array page has trailing bytes")
         return out
     raise ValueError(f"PLAIN decode of type {ptype} out of scope")
+
+
+# ---------------------------------------------------------------------------
+# real data-page decode: snappy + RLE/bit-packed hybrid + dictionary
+# ---------------------------------------------------------------------------
+
+def hybrid_decode(
+    buf: bytes, pos: int, bitwidth: int, count: int
+) -> tuple[list[int], int]:
+    """Parquet's RLE/bit-packed hybrid (Encodings.md): uvarint header,
+    LSB 0 ⇒ an RLE run with a ceil(bw/8)-byte little-endian value,
+    LSB 1 ⇒ (header>>1) groups of 8 values bit-packed LSB-first."""
+    if bitwidth < 0 or bitwidth > 32:
+        raise ValueError("hybrid bit width out of range")
+    out: list[int] = []
+    mask = (1 << bitwidth) - 1
+    while len(out) < count:
+        h, pos = read_varint(buf, pos)
+        if h & 1:
+            groups = h >> 1
+            nbytes = groups * bitwidth
+            if pos + nbytes > len(buf):
+                raise ValueError("hybrid bit-packed group truncated")
+            bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+            pos += nbytes
+            take = min(groups * 8, count - len(out))
+            out.extend(
+                (bits >> (i * bitwidth)) & mask for i in range(take)
+            )
+        else:
+            run = h >> 1
+            if run > count - len(out):
+                raise ValueError("hybrid RLE run overruns value count")
+            nb = (bitwidth + 7) // 8
+            if pos + nb > len(buf):
+                raise ValueError("hybrid RLE value truncated")
+            v = int.from_bytes(buf[pos : pos + nb], "little")
+            pos += nb
+            out.extend([v] * run)
+    return out, pos
+
+
+def read_int64_column(payload: bytes, rg_index: int, column: str) -> dict:
+    """Decode ONE real INT64 column chunk end-to-end — UNCOMPRESSED or
+    SNAPPY pages, PLAIN or dictionary encoding (PLAIN dictionary page +
+    RLE_DICTIONARY indices), v1 data pages with hybrid definition
+    levels for optional fields.  This is the arrow/Spark writer's
+    default layout: tests pin count/sum equality against DuckDB reading
+    the same file.  Returns ``{n_values, n_nulls, values}``."""
+    from .snappy import snappy_decompress
+
+    if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
+        raise ValueError("not a parquet file (bad magic)")
+    flen = struct.unpack("<I", payload[-8:-4])[0]
+    fstart = len(payload) - 8 - flen
+    if fstart < 4:
+        raise ValueError("footer length out of bounds")
+    fmd, _ = _read_struct(payload[fstart : len(payload) - 8], 0, 0)
+    rgs = _need_list(fmd.get(4), "row_groups")
+    if not 0 <= rg_index < len(rgs):
+        raise ValueError("row group index out of range")
+    md = None
+    for ch in _need_list(_need_struct(rgs[rg_index], "rg").get(1), "cols"):
+        m = _need_struct(_need_struct(ch, "chunk").get(3), "metadata")
+        path = m.get(3)
+        if (
+            isinstance(path, list)
+            and len(path) == 1
+            and isinstance(path[0], bytes)
+            and path[0].decode("utf-8", "replace") == column
+        ):
+            md = m
+            break
+    if md is None:
+        raise ValueError(f"column {column!r} not in row group")
+    if _need_int(md.get(1), "type") != _T_INT64:
+        raise ValueError("read_int64_column on a non-INT64 chunk")
+    codec = _need_int(md.get(4), "codec")
+    if codec not in (0, 1):
+        raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
+    nvals = _need_int(md.get(5), "num_values")
+    dict_off = md.get(11)
+    start = dict_off if isinstance(dict_off, int) else _need_int(
+        md.get(9), "data_page_offset"
+    )
+    end = start + _need_int(md.get(7), "total_compressed_size")
+    if not (4 <= start <= end <= fstart):
+        raise ValueError("column chunk overruns the footer")
+    dictionary: tuple | None = None
+    values: list[int] = []
+    n_nulls = 0
+    pos = start
+    while pos < end and len(values) + n_nulls < nvals:
+        hdr, p2 = _read_struct(payload, pos, 0)
+        ptype = _need_int(hdr.get(1), "page type")
+        usz = _need_int(hdr.get(2), "uncompressed_page_size")
+        csz = _need_int(hdr.get(3), "compressed_page_size")
+        if p2 + csz > end:
+            raise ValueError("page overruns its chunk")
+        body = payload[p2 : p2 + csz]
+        if codec == 1:
+            body = snappy_decompress(body)
+        if len(body) != usz:
+            raise ValueError("page size disagrees with header")
+        if ptype == _PAGE_DICT:
+            dph = _need_struct(hdr.get(7), "dictionary page header")
+            nd = _need_int(dph.get(1), "dictionary size")
+            if len(body) < 8 * nd:
+                raise ValueError("dictionary page truncated")
+            dictionary = struct.unpack(f"<{nd}q", body[: 8 * nd])
+        elif ptype == _PAGE_DATA:
+            dph = _need_struct(hdr.get(5), "data page header")
+            pn = _need_int(dph.get(1), "page num_values")
+            enc = _need_int(dph.get(2), "page encoding")
+            q = 0
+            # definition levels: present for optional fields (arrow
+            # writes all fields optional); max level 1 ⇒ bitwidth 1.
+            # A REQUIRED schema (our own writer) has no level section —
+            # detected via the schema element's repetition_type.
+            repetition = _schema_repetition(fmd, column)
+            if repetition == 0:  # REQUIRED: no def levels
+                dls = [1] * pn
+            else:
+                if q + 4 > len(body):
+                    raise ValueError("definition level length truncated")
+                dl_len = int.from_bytes(body[q : q + 4], "little")
+                q += 4
+                if q + dl_len > len(body):
+                    raise ValueError("definition levels truncated")
+                dls, _ = hybrid_decode(body[q : q + dl_len], 0, 1, pn)
+                q += dl_len
+            nnz = sum(dls)
+            n_nulls += pn - nnz
+            if enc == 8 or enc == 2:  # RLE_DICTIONARY / PLAIN_DICTIONARY
+                if dictionary is None:
+                    raise ValueError("dictionary-encoded page before dict")
+                if q >= len(body):
+                    raise ValueError("dictionary index width truncated")
+                bw = body[q]
+                q += 1
+                idxs, _ = hybrid_decode(body, q, bw, nnz)
+                try:
+                    values.extend(dictionary[i] for i in idxs)
+                except IndexError:
+                    raise ValueError("dictionary index out of range")
+            elif enc == 0:  # PLAIN
+                if q + 8 * nnz > len(body):
+                    raise ValueError("PLAIN int64 page truncated")
+                values.extend(
+                    struct.unpack(f"<{nnz}q", body[q : q + 8 * nnz])
+                )
+            else:
+                raise ValueError(
+                    f"encoding {_ENCODINGS.get(enc, enc)} out of scope"
+                )
+        else:
+            raise ValueError("only v1 data/dictionary pages in scope")
+        pos = p2 + csz
+    if len(values) + n_nulls != nvals:
+        raise ValueError("chunk pages disagree with num_values")
+    return {"n_values": len(values), "n_nulls": n_nulls, "values": values}
+
+
+def _schema_repetition(fmd: dict, column: str) -> int:
+    for el in _need_list(fmd.get(2), "schema"):
+        el = _need_struct(el, "schema element")
+        nm = el.get(4)
+        if (
+            1 in el
+            and isinstance(nm, bytes)
+            and nm.decode("utf-8", "replace") == column
+        ):
+            rep = el.get(3)
+            return rep if isinstance(rep, int) else 1
+    raise ValueError(f"column {column!r} not in schema")

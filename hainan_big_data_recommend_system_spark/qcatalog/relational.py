@@ -1915,3 +1915,52 @@ def q_unpivot_yearly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(3, '1995', y1995, '1996', y1996, '1997', y1997) "
         "AS (yr, rev_cents)",
     )
+
+
+@register_extra(
+    "map_ops_pipeline",
+    """
+    WITH s AS (
+        SELECT o_custkey AS custkey, o_orderpriority AS priority,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    )
+    SELECT custkey, priority,
+           CAST(cents * 2 AS BIGINT) AS doubled_cents
+    FROM s WHERE cents * 2 >= 5000000
+    """,
+)
+def q_map_ops_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The §2.8 MAP surface as one JVM pipeline: per customer a
+    priority→cents map built with map_from_entries over a grouped
+    collect, values doubled with transform_values, pruned with
+    map_filter, and exploded back to rows — construction, both map
+    lambdas, and explosion in one plan.  The oracle computes the same
+    relation with a plain group-filter (maps are an execution detail,
+    not a semantic one — which is exactly what the equality proves)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    s = o.groupBy("custkey", "priority").agg(
+        F.sum("cents").alias("cents")
+    )
+    m = s.groupBy("custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("priority", "cents"))
+        ).alias("m")
+    )
+    piped = m.select(
+        "custkey",
+        F.map_filter(
+            F.transform_values("m", lambda k, v: v * 2),
+            lambda k, v: v >= 5_000_000,
+        ).alias("m"),
+    )
+    return piped.select(
+        "custkey", F.explode("m").alias("priority", "doubled_cents")
+    ).select(
+        "custkey", "priority",
+        F.col("doubled_cents").cast("long").alias("doubled_cents"),
+    )

@@ -5926,3 +5926,76 @@ def q_format_sniff_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(docs, "doc_id").mapInPandas(
         scan, "doc_id long, fmt string, n_records long"
     )
+
+
+@register_extra("parquet_page_scan", None)
+def q_parquet_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real column-chunk decode over the lake (operators/parquetfmt.py
+    read_int64_column + operators/snappy.py): every INT64 leaf column
+    of every row group in the sf_dir files — snappy blocks, dictionary
+    pages, RLE_DICTIONARY indices and definition levels all walked by
+    hand — reduced to engine-independent (count, nulls, sum) facts.
+    One task per file; non-INT64 columns are skipped by the footer's
+    type field, never by trial decode.  No fixed-string oracle (paths),
+    but tests/test_parquetfmt.py replays every cell against DuckDB
+    reading the same files."""
+    import glob as _glob
+    import os
+
+    import pandas as pd
+
+    from ..operators.parquetfmt import (
+        parse_parquet_footer,
+        read_int64_column,
+    )
+
+    paths = []
+    for p in sorted(_glob.glob(os.path.join(sf_dir, "*.parquet"))):
+        if os.path.isdir(p):
+            paths.extend(
+                sorted(_glob.glob(os.path.join(p, "part-*.parquet")))
+            )
+        else:
+            paths.append(p)
+    pdf = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(max(1, min(len(paths), 32)))
+
+    def walk(it):
+        for batch in it:
+            rows = []
+            for p in batch["path"]:
+                raw = open(p, "rb").read()
+                meta = parse_parquet_footer(raw)
+                int64_cols = [
+                    n
+                    for n, t in zip(
+                        meta["column_names"], meta["physical_types"]
+                    )
+                    if t == "INT64"
+                ]
+                for rg in range(meta["n_row_groups"]):
+                    for col in int64_cols:
+                        r = read_int64_column(raw, rg, col)
+                        rows.append(
+                            {
+                                "file_name": os.path.relpath(p, sf_dir),
+                                "rg": rg,
+                                "col": col,
+                                "n_values": r["n_values"],
+                                "n_nulls": r["n_nulls"],
+                                # decimal(38): epoch-micro sums overflow
+                                # int64 at ~100k timestamp rows
+                                "sum_values": Decimal(sum(r["values"])),
+                            }
+                        )
+            if rows:
+                yield pd.DataFrame(rows)
+
+    from decimal import Decimal
+
+    return pdf.mapInPandas(
+        walk,
+        "file_name string, rg long, col string, n_values long, "
+        "n_nulls long, sum_values decimal(38,0)",
+    )

@@ -205,6 +205,8 @@ QUERIES = [
     "array_ops_pipeline",
     "debounced_events",
     "unpivot_yearly_revenue",
+    "map_ops_pipeline",
+    "parquet_page_scan",
 ]
 
 

@@ -98,6 +98,10 @@ from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
     make_parquet,
     parse_parquet,
     parse_parquet_footer,
+    read_int64_column,
+)
+from hainan_big_data_recommend_system_spark.operators.snappy import (
+    snappy_decompress,
 )
 from hainan_big_data_recommend_system_spark.operators.pbwire import (
     make_pb_log,
@@ -123,6 +127,22 @@ from hainan_big_data_recommend_system_spark.sources.warc import (
     make_warc,
     parse_warc,
 )
+
+def _real_snappy_page() -> bytes:
+    import struct as _st
+
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        _read_struct,
+    )
+
+    raw = open("/root/testdata/sf0.001/orders.parquet", "rb").read()
+    flen = _st.unpack("<I", raw[-8:-4])[0]
+    fmd, _ = _read_struct(raw[len(raw) - 8 - flen : len(raw) - 8], 0, 0)
+    md = fmd[4][0][1][0][3]  # first row group, first chunk metadata
+    start = md.get(11, md.get(9))
+    hdr, p2 = _read_struct(raw, start, 0)
+    return raw[p2 : p2 + hdr[3]]
+
 
 CASES = {
     "wav": (lambda: make_wav("s", 40), wav_features),
@@ -225,6 +245,17 @@ CASES = {
                                       [(-(2**40) + i, "y" * (i % 3))
                                        for i in range(7)]]),
                 parse_parquet),
+    "snappy": (
+        # a REAL snappy block: the first compressed page body of the
+        # orders testdata (deterministic slice via its page header)
+        lambda: _real_snappy_page(),
+        snappy_decompress,
+    ),
+    "parquet_column": (
+        lambda: open("/root/testdata/sf0.001/orders.parquet",
+                     "rb").read(),
+        lambda b: read_int64_column(b, 0, "o_orderkey"),
+    ),
     "parquet_footer": (
         lambda: open("/root/testdata/sf0.001/region.parquet", "rb").read(),
         parse_parquet_footer,

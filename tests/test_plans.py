@@ -623,3 +623,16 @@ def test_unpivot_single_scan_stack(spark):
     assert plan.count("Scan parquet") == 1, plan
     assert "Generate stack" in plan or "Expand" in plan or "Generate" in plan, plan
     assert "Python" not in plan, plan
+
+
+def test_map_ops_pipeline_jvm_map_lambdas(spark):
+    plan = plan_of(spark, "map_ops_pipeline")
+    assert "Python" not in plan, plan
+    assert "Generate explode" in plan or "Generate" in plan, plan
+
+
+def test_parquet_page_scan_one_task_per_file(spark):
+    plan = plan_of(spark, "parquet_page_scan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") <= 1, plan
+    assert "EvalPython" not in plan, plan
