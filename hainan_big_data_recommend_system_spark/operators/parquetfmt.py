@@ -748,3 +748,113 @@ def _schema_repetition(fmd: dict, column: str) -> int:
             rep = el.get(3)
             return rep if isinstance(rep, int) else 1
     raise ValueError(f"column {column!r} not in schema")
+
+
+def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
+    """BYTE_ARRAY twin of :func:`read_int64_column`: real arrow string
+    chunks — snappy pages, PLAIN (4-byte-length-prefixed) dictionary
+    pages, RLE_DICTIONARY hybrid indices, hybrid definition levels.
+    Returns ``{n_values, n_nulls, values}`` (UTF-8 strings)."""
+    from .snappy import snappy_decompress
+
+    if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
+        raise ValueError("not a parquet file (bad magic)")
+    flen = struct.unpack("<I", payload[-8:-4])[0]
+    fstart = len(payload) - 8 - flen
+    if fstart < 4:
+        raise ValueError("footer length out of bounds")
+    fmd, _ = _read_struct(payload[fstart : len(payload) - 8], 0, 0)
+    rgs = _need_list(fmd.get(4), "row_groups")
+    if not 0 <= rg_index < len(rgs):
+        raise ValueError("row group index out of range")
+    md = None
+    for ch in _need_list(_need_struct(rgs[rg_index], "rg").get(1), "cols"):
+        m = _need_struct(_need_struct(ch, "chunk").get(3), "metadata")
+        path = m.get(3)
+        if (
+            isinstance(path, list)
+            and len(path) == 1
+            and isinstance(path[0], bytes)
+            and path[0].decode("utf-8", "replace") == column
+        ):
+            md = m
+            break
+    if md is None:
+        raise ValueError(f"column {column!r} not in row group")
+    if _need_int(md.get(1), "type") != _T_BYTE_ARRAY:
+        raise ValueError("read_string_column on a non-BYTE_ARRAY chunk")
+    codec = _need_int(md.get(4), "codec")
+    if codec not in (0, 1):
+        raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
+    nvals = _need_int(md.get(5), "num_values")
+    dict_off = md.get(11)
+    start = dict_off if isinstance(dict_off, int) else _need_int(
+        md.get(9), "data_page_offset"
+    )
+    end = start + _need_int(md.get(7), "total_compressed_size")
+    if not (4 <= start <= end <= fstart):
+        raise ValueError("column chunk overruns the footer")
+    repetition = _schema_repetition(fmd, column)
+    dictionary: list[str] | None = None
+    values: list[str] = []
+    n_nulls = 0
+    pos = start
+    while pos < end and len(values) + n_nulls < nvals:
+        hdr, p2 = _read_struct(payload, pos, 0)
+        ptype = _need_int(hdr.get(1), "page type")
+        usz = _need_int(hdr.get(2), "uncompressed_page_size")
+        csz = _need_int(hdr.get(3), "compressed_page_size")
+        if p2 + csz > end:
+            raise ValueError("page overruns its chunk")
+        body = payload[p2 : p2 + csz]
+        if codec == 1:
+            body = snappy_decompress(body)
+        if len(body) != usz:
+            raise ValueError("page size disagrees with header")
+        if ptype == _PAGE_DICT:
+            nd = _need_int(
+                _need_struct(hdr.get(7), "dict header").get(1), "size"
+            )
+            dictionary = _decode_plain(body, nd, _T_BYTE_ARRAY)
+        elif ptype == _PAGE_DATA:
+            dph = _need_struct(hdr.get(5), "data page header")
+            pn = _need_int(dph.get(1), "page num_values")
+            enc = _need_int(dph.get(2), "page encoding")
+            q = 0
+            if repetition == 0:
+                dls = [1] * pn
+            else:
+                if q + 4 > len(body):
+                    raise ValueError("definition level length truncated")
+                dl_len = int.from_bytes(body[q : q + 4], "little")
+                q += 4
+                if q + dl_len > len(body):
+                    raise ValueError("definition levels truncated")
+                dls, _ = hybrid_decode(body[q : q + dl_len], 0, 1, pn)
+                q += dl_len
+            nnz = sum(dls)
+            n_nulls += pn - nnz
+            if enc in (8, 2):
+                if dictionary is None:
+                    raise ValueError("dictionary-encoded page before dict")
+                if q >= len(body):
+                    raise ValueError("dictionary index width truncated")
+                bw = body[q]
+                q += 1
+                idxs, _ = hybrid_decode(body, q, bw, nnz)
+                try:
+                    values.extend(dictionary[i] for i in idxs)
+                except IndexError:
+                    raise ValueError("dictionary index out of range")
+            elif enc == 0:
+                values.extend(_decode_plain(body[q:], nnz, _T_BYTE_ARRAY))
+            else:
+                raise ValueError(
+                    f"encoding {_ENCODINGS.get(enc, enc)} out of scope"
+                )
+        else:
+            raise ValueError("only v1 data/dictionary pages in scope")
+        pos = p2 + csz
+    if len(values) + n_nulls != nvals:
+        raise ValueError("chunk pages disagree with num_values")
+    return {"n_values": len(values), "n_nulls": n_nulls, "values": values}

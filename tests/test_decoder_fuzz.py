@@ -99,6 +99,7 @@ from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
     parse_parquet,
     parse_parquet_footer,
     read_int64_column,
+    read_string_column,
 )
 from hainan_big_data_recommend_system_spark.operators.snappy import (
     snappy_decompress,
@@ -255,6 +256,11 @@ CASES = {
         lambda: open("/root/testdata/sf0.001/orders.parquet",
                      "rb").read(),
         lambda b: read_int64_column(b, 0, "o_orderkey"),
+    ),
+    "parquet_strcol": (
+        lambda: open("/root/testdata/sf0.001/orders.parquet",
+                     "rb").read(),
+        lambda b: read_string_column(b, 0, "o_orderstatus"),
     ),
     "parquet_footer": (
         lambda: open("/root/testdata/sf0.001/region.parquet", "rb").read(),

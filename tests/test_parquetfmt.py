@@ -21,6 +21,7 @@ from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
     parse_parquet_footer,
     read_footer_tail,
     read_int64_column,
+    read_string_column,
 )
 
 ROWS1 = [(i * 3 - 9, f"n{i % 4}") for i in range(12)]
@@ -328,3 +329,42 @@ def test_parquet_page_scan_matches_duckdb(spark, sf_oracle_dir):
             int(n),
             int(s),
         ), r
+
+
+def test_read_string_column_matches_duckdb_digests(sf_oracle_dir):
+    """BYTE_ARRAY chunks: hand-decoded dictionary strings must equal
+    DuckDB's read VALUE-FOR-VALUE — compared via an order-insensitive
+    md5 digest over the full column, not just counts."""
+    import hashlib
+
+    con = duckdb.connect()
+    cases = [
+        ("orders", "o_orderstatus"),
+        ("orders", "o_orderpriority"),
+        ("documents", "lang"),
+        ("lineitem", "l_returnflag"),
+    ]
+    for table, col in cases:
+        path = os.path.join(sf_oracle_dir, f"{table}.parquet")
+        got = read_string_column(open(path, "rb").read(), 0, col)
+        n, blen = con.execute(
+            f"SELECT count({col}), coalesce(sum(strlen({col})), 0) "
+            f"FROM '{path}'"
+        ).fetchone()
+        assert got["n_values"] == int(n)
+        assert sum(len(v.encode()) for v in got["values"]) == int(blen)
+        dd = con.execute(
+            f"SELECT md5(string_agg({col}, chr(1) ORDER BY {col})) "
+            f"FROM '{path}'"
+        ).fetchone()[0]
+        mh = hashlib.md5(
+            "\x01".join(sorted(got["values"])).encode()
+        ).hexdigest()
+        assert dd == mh, (table, col)
+    # own-writer REQUIRED path and the type gate
+    b = make_parquet([ROWS1])
+    assert read_string_column(b, 0, "name")["values"] == [
+        n for _, n in ROWS1
+    ]
+    with pytest.raises(ValueError):
+        read_string_column(b, 0, "id")
