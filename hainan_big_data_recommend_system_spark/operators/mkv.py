@@ -159,7 +159,13 @@ def parse_webm(payload: bytes) -> dict:
     }
     state = {"cluster_ts": 0, "last_tick": 0, "track_type": None}
 
-    def walk(buf: bytes, lo: int, hi: int) -> None:
+    def walk(buf: bytes, lo: int, hi: int, depth: int = 0) -> None:
+        # Nested containers cost ~3 bytes each; an uncapped recursive
+        # walk turns a few-KB crafted file into RecursionError instead
+        # of the ValueError quarantine contract (cap mirrors
+        # parquetfmt._read_struct).
+        if depth > 40:
+            raise ValueError("EBML nesting deeper than 40 levels")
         pos = lo
         while pos < hi:
             eid, pos = _read_vint(buf, pos, keep_marker=True)
@@ -177,7 +183,7 @@ def parse_webm(payload: bytes) -> dict:
             elif eid == _TRACK_ENTRY:
                 out["n_tracks"] += 1
                 state["track_type"] = None
-                walk(buf, pos, pos + size)
+                walk(buf, pos, pos + size, depth + 1)
             elif eid == _TRACK_TYPE:
                 t = int.from_bytes(body, "big")
                 state["track_type"] = t
@@ -196,7 +202,7 @@ def parse_webm(payload: bytes) -> dict:
             elif eid == _CLUSTER:
                 out["n_clusters"] += 1
                 state["cluster_ts"] = 0
-                walk(buf, pos, pos + size)
+                walk(buf, pos, pos + size, depth + 1)
             elif eid == _CLUSTER_TS:
                 state["cluster_ts"] = int.from_bytes(body, "big")
             elif eid == _SIMPLE_BLOCK:
@@ -210,7 +216,7 @@ def parse_webm(payload: bytes) -> dict:
                 tick = state["cluster_ts"] + rel
                 state["last_tick"] = max(state["last_tick"], tick)
             elif eid in _MASTERS:
-                walk(buf, pos, pos + size)
+                walk(buf, pos, pos + size, depth + 1)
             # else: unknown element — skip by size (EBML contract)
             pos += size
 

@@ -236,13 +236,15 @@ def _parse_track(data: bytes, start: int, end: int) -> dict:
                "chunk_offset": None, "deltas": None, "width": None,
                "height": None, "version": None}
 
-    def descend(s, e):
+    def descend(s, e, depth=0):
+        if depth > 40:
+            raise ValueError("MP4 box nesting deeper than 40 levels")
         for btype, ps, pe in _walk(data, s, e):
             if btype in (b"tkhd", b"mdhd", b"stsd", b"stts", b"stsz",
                          b"stco", b"co64", b"hdlr") and pe - ps < 12:
                 raise ValueError(f"full box {btype!r} payload too short")
             if btype in _CONTAINERS:
-                descend(ps, pe)
+                descend(ps, pe, depth + 1)
             elif btype == b"tkhd":
                 ver = data[ps]
                 t["version"] = ver

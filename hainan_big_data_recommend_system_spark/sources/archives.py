@@ -120,6 +120,14 @@ def parse_tar(payload: bytes) -> list[tuple[str, bytes]]:
             while p < len(data):
                 sp = data.index(b" ", p)
                 rec_len = int(data[p:sp])
+                # The record must cover its own length digits, the space,
+                # and the trailing newline, or `p += rec_len` stalls (a
+                # zero/negative length otherwise passes the newline check
+                # via the PREVIOUS record's newline and loops forever).
+                if rec_len <= sp - p + 1:
+                    raise ValueError(
+                        f"malformed PAX record (length {rec_len} too short)"
+                    )
                 rec = data[p + rec_len - 1 : p + rec_len]
                 if rec != b"\n":
                     raise ValueError("malformed PAX record (missing newline)")
@@ -213,14 +221,22 @@ def _zip64_extra(extra: bytes, usize: int, csize: int, loff: int):
         body = extra[p + 4 : p + 4 + flen]
         if fid == 0x0001:
             q = 0
+
+            def read_q(at: int) -> int:
+                # struct.error would escape the ValueError-only decoder
+                # contract; validate remaining body length ourselves.
+                if at + 8 > len(body):
+                    raise ValueError("ZIP64 extra field truncated")
+                return struct.unpack_from("<Q", body, at)[0]
+
             if usize == 0xFFFFFFFF:
-                usize = struct.unpack_from("<Q", body, q)[0]
+                usize = read_q(q)
                 q += 8
             if csize == 0xFFFFFFFF:
-                csize = struct.unpack_from("<Q", body, q)[0]
+                csize = read_q(q)
                 q += 8
             if loff == 0xFFFFFFFF:
-                loff = struct.unpack_from("<Q", body, q)[0]
+                loff = read_q(q)
             return usize, csize, loff
         p += 4 + flen
     raise ValueError("saturated sizes without a ZIP64 extra field")
