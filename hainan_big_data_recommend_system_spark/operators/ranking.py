@@ -8,12 +8,16 @@ packing prefix sum (operators/packing.py):
 
 1. aggregate to ``(value, count)`` — map-side combined, output bounded
    by the value DOMAIN, not the row count;
-2. a running-sum window over the *distinct values only* yields, for
-   each value, the number of rows strictly below it (``cum_before``);
-   this unpartitioned window is bounded by the distinct-value count —
-   the documented engine discipline for quantized domains (cents,
-   days, counts; quantize first when the domain is unbounded, e.g.
-   cents → dollars for quantile bucketing);
+2. the counts table is ``repartitionByRange``-d on the value, a
+   running sum runs WITHIN each range partition (bounded by the
+   partition, never global), per-partition subtotals become a tiny
+   (≤ num_partitions rows) cumulative-offset table computed with a
+   broadcast triangular join, and the offsets are broadcast-joined
+   back — for each value this yields the number of rows strictly
+   below it (``cum_before``) with no unpartitioned window anywhere,
+   so the plan holds even when values are near-unique (monetary
+   totals per customer) and the distinct-value table is as large as
+   the row count;
 3. each row's rank is ``cum_before + row_number() within its value
    partition`` (ordered by the tiebreak) — per-value partitions are
    the tie groups, bounded by the heaviest tie.
@@ -40,17 +44,49 @@ def distributed_global_rank(
     tiebreak_cols: list[str],
     rank_col: str = "rank",
     descending: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """Append a 1-based dense total-order row rank over
-    ``(value_col, *tiebreak_cols)`` without a global per-row window."""
+    ``(value_col, *tiebreak_cols)`` without a global window — not even
+    over the distinct-value counts table (near-unique values would make
+    that single ``WindowExec`` partition scan ~n rows at scale)."""
     v = F.col(value_col).desc() if descending else F.col(value_col)
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
     counts = df.groupBy(value_col).agg(
         F.count(F.lit(1)).alias("__cnt")
     )
-    wv = Window.orderBy(v)
-    cum = counts.withColumn(
-        "__cum_before", F.sum("__cnt").over(wv) - F.col("__cnt")
-    ).select(value_col, "__cum_before")
+    # Range-partition the distinct values: equal keys land in one
+    # partition, partition ids ascend in rank order. The explicit
+    # partition count keeps AQE from coalescing the exchange.
+    parts = counts.repartitionByRange(num_partitions, v).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    wp = Window.partitionBy("__pid").orderBy(v)
+    local = parts.withColumn("__local_cum", F.sum("__cnt").over(wp))
+    # ≤ num_partitions subtotal rows → cumulative offsets via a
+    # broadcast triangular join (no window, no collect).
+    subtot = parts.groupBy("__pid").agg(F.sum("__cnt").alias("__ptot"))
+    offsets = (
+        subtot.alias("a")
+        .join(
+            F.broadcast(subtot.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(F.coalesce(F.sum("b.__ptot"), F.lit(0)).alias("__offset"))
+    )
+    cum = (
+        local.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            "__cum_before",
+            F.col("__offset") + F.col("__local_cum") - F.col("__cnt"),
+        )
+        .select(value_col, "__cum_before")
+    )
     wt = Window.partitionBy(value_col).orderBy(
         *[F.col(c).desc() if descending else F.col(c)
           for c in tiebreak_cols]
