@@ -45,19 +45,31 @@ def make_commit(actions: list[dict]) -> str:
     )
 
 
-def replay_delta_log(commits: list[str]) -> dict:
+def replay_delta_log(
+    commits: list[str],
+    initial_live: dict[str, tuple[int, int]] | None = None,
+    initial_tombstones: dict[str, tuple[int, int]] | None = None,
+    base_version: int = 0,
+) -> dict:
     """Replay ordered commit contents into the live-file snapshot.
 
     Returns ``{version, n_live, live_bytes, live_rows,
     n_remove_actions, live}`` with ``live`` a path-sorted
     ``{path: (size, numRecords)}``.
+
+    ``initial_live`` / ``initial_tombstones`` / ``base_version`` seed the
+    replay from a checkpoint snapshot (commits are then the JSON TAIL,
+    versions ``base_version..base_version+len-1``) — the Delta
+    ``_last_checkpoint`` fast path whose cost is O(tail), not O(log).
+    ``n_remove_actions`` counts removes seen by THIS replay (checkpoints
+    compact history; the all-time counter is not recoverable from one).
     """
-    if not commits:
+    if not commits and initial_live is None:
         raise ValueError("empty delta log")
-    live: dict[str, tuple[int, int]] = {}
-    tombstones: dict[str, tuple[int, int]] = {}  # path -> (death_v, size)
+    live: dict[str, tuple[int, int]] = dict(initial_live or {})
+    tombstones: dict[str, tuple[int, int]] = dict(initial_tombstones or {})
     n_removes = 0
-    for version, text in enumerate(commits):
+    for version, text in enumerate(commits, start=base_version):
         if not isinstance(text, str):
             raise ValueError("commit content is not text")
         for ln in text.splitlines():
@@ -100,7 +112,7 @@ def replay_delta_log(commits: list[str]) -> dict:
                 if prior is not None:
                     tombstones[path] = (version, prior[0])
     return {
-        "version": len(commits) - 1,
+        "version": base_version + len(commits) - 1,
         "n_live": len(live),
         "live_bytes": sum(s for s, _ in live.values()),
         "live_rows": sum(r for _, r in live.values()),
@@ -138,3 +150,134 @@ def parse_delta_payload(payload: bytes) -> dict:
     blank line, UTF-8."""
     text = payload.decode("utf-8", "strict")  # UnicodeDecodeError ⊂ ValueError
     return replay_delta_log(text.split("\n\n"))
+
+
+# ---------------------------------------------------------------------------
+# checkpoints: _last_checkpoint + NN.checkpoint.parquet
+# ---------------------------------------------------------------------------
+# Real Delta tables checkpoint every ~10 commits: the snapshot state is
+# written as ONE parquet file of action rows (an `add` or `remove`
+# struct per row, the other null) and `_last_checkpoint` names its
+# version, so readers replay checkpoint + JSON tail instead of the whole
+# log (delta-io PROTOCOL.md "Checkpoints").  The checkpoint is WRITTEN
+# with pyarrow (as real writers do) and READ BACK with this repo's hand
+# parquet decoder (operators/parquetfmt.read_leaf_column) — struct
+# leaves `add.path` / `add.size` / ... as dotted-path column chunks.
+# One deviation, documented: remove rows carry `deletionVersion` (this
+# module's vacuum planner works in versions), where Delta proper stores
+# `deletionTimestamp` — same role, monotone in commit order.
+
+
+def make_last_checkpoint(version: int, size: int) -> str:
+    """The `_last_checkpoint` JSON body."""
+    return json.dumps(
+        {"version": int(version), "size": int(size)},
+        sort_keys=True, separators=(",", ":"),
+    )
+
+
+def parse_last_checkpoint(text: str) -> dict:
+    obj = json.loads(text)  # JSONDecodeError IS ValueError
+    if not isinstance(obj, dict):
+        raise ValueError("_last_checkpoint is not an object")
+    for k in ("version", "size"):
+        v = obj.get(k)
+        if not isinstance(v, int) or isinstance(v, bool) or v < 0:
+            raise ValueError(f"_last_checkpoint bad {k}")
+    return {"version": obj["version"], "size": obj["size"]}
+
+
+def make_checkpoint_parquet(replay: dict) -> bytes:
+    """Serialize a replay snapshot as a real checkpoint parquet file
+    (pyarrow writer: snappy v1 pages, dictionary encoding — the layout
+    the hand decoder is gated against).  Row count = live adds +
+    unexpired tombstoned removes, path-sorted adds first."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    adds = [
+        {"path": p, "size": s, "numRecords": r}
+        for p, (s, r) in sorted(replay["live"].items())
+    ]
+    removes = [
+        {"path": p, "deletionVersion": v, "size": s}
+        for p, (v, s) in sorted(replay["tombstones"].items())
+    ]
+    n = len(adds) + len(removes)
+    add_col = adds + [None] * len(removes)
+    rm_col = [None] * len(adds) + removes
+    table = pa.table(
+        {
+            "add": pa.array(
+                add_col,
+                type=pa.struct(
+                    [("path", pa.string()), ("size", pa.int64()),
+                     ("numRecords", pa.int64())]
+                ),
+            ),
+            "remove": pa.array(
+                rm_col,
+                type=pa.struct(
+                    [("path", pa.string()), ("deletionVersion", pa.int64()),
+                     ("size", pa.int64())]
+                ),
+            ),
+        }
+    )
+    assert table.num_rows == n
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="snappy")
+    return buf.getvalue()
+
+
+def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
+    """Recover ``(live, tombstones)`` from a checkpoint parquet file via
+    the hand decoder — every row must be exactly one of add/remove."""
+    from .parquetfmt import parse_footer_tail, read_leaf_column
+
+    meta = parse_footer_tail(payload[-min(len(payload), 1 << 16):])
+    live: dict[str, tuple[int, int]] = {}
+    tombstones: dict[str, tuple[int, int]] = {}
+    for rg in range(meta["n_row_groups"]):
+        cols = {
+            name: read_leaf_column(payload, rg, name, with_nulls=True)[
+                "values"
+            ]
+            for name in (
+                "add.path", "add.size", "add.numRecords",
+                "remove.path", "remove.deletionVersion", "remove.size",
+            )
+        }
+        for ap, asz, anr, rp, rdv, rsz in zip(*cols.values()):
+            if ap is not None:
+                if asz is None or anr is None or rp is not None:
+                    raise ValueError("checkpoint row is not a single action")
+                live[ap] = (asz, anr)
+            elif rp is not None:
+                if rdv is None or rsz is None:
+                    raise ValueError("checkpoint remove row incomplete")
+                tombstones[rp] = (rdv, rsz)
+            else:
+                raise ValueError("checkpoint row carries no action")
+    return live, tombstones
+
+
+def replay_from_checkpoint(
+    last_checkpoint_text: str,
+    checkpoint_payload: bytes,
+    tail_commits: list[str],
+) -> dict:
+    """Snapshot = checkpoint state + JSON tail — O(tail) where the full
+    replay is O(log).  Hash-equal to `replay_delta_log` over the whole
+    log on every state field (live set, bytes, rows, tombstones);
+    `n_remove_actions` counts the tail only (see replay_delta_log)."""
+    lc = parse_last_checkpoint(last_checkpoint_text)
+    live, tombstones = read_checkpoint_parquet(checkpoint_payload)
+    return replay_delta_log(
+        tail_commits,
+        initial_live=live,
+        initial_tombstones=tombstones,
+        base_version=lc["version"] + 1,
+    )

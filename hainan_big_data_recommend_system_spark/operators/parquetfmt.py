@@ -615,13 +615,69 @@ def hybrid_decode(
     return out, pos
 
 
-def read_int64_column(payload: bytes, rg_index: int, column: str) -> dict:
-    """Decode ONE real INT64 column chunk end-to-end — UNCOMPRESSED or
+def _schema_leaf_map(fmd: dict) -> dict[str, tuple[int, int, int | None]]:
+    """Dotted leaf path → ``(max_def_level, max_rep_level, ptype)`` from
+    the flattened pre-order schema tree (num_children drives descent).
+    OPTIONAL (1) bumps the definition level, REPEATED (2) bumps both —
+    this is how struct leaves like Delta checkpoints' ``add.path``
+    acquire max_def_level 2 while staying rep-level 0."""
+    els = _need_list(fmd.get(2), "schema")
+    if not els:
+        raise ValueError("empty parquet schema")
+    out: dict[str, tuple[int, int, int | None]] = {}
+
+    def walk(prefix: str, dl: int, rl: int, i: int) -> int:
+        if i >= len(els):
+            raise ValueError("schema tree overruns the element list")
+        el = _need_struct(els[i], "schema element")
+        nm = el.get(4)
+        name = nm.decode("utf-8", "replace") if isinstance(nm, bytes) else ""
+        rep = el.get(3)
+        rep = rep if isinstance(rep, int) else 0
+        if rep == 1:
+            dl += 1
+        elif rep == 2:
+            dl += 1
+            rl += 1
+        path = f"{prefix}.{name}" if prefix else name
+        nchild = el.get(5)
+        if isinstance(nchild, int) and nchild > 0:
+            j = i + 1
+            for _ in range(nchild):
+                j = walk(path, dl, rl, j)
+            return j
+        t = el.get(1)
+        out[path] = (dl, rl, t if isinstance(t, int) else None)
+        return i + 1
+
+    root = _need_struct(els[0], "schema root")
+    n = _need_int(root.get(5), "root num_children")
+    i = 1
+    for _ in range(n):
+        i = walk("", 0, 0, i)
+    return out
+
+
+def _read_leaf_column(
+    payload: bytes,
+    rg_index: int,
+    column: str,
+    expect_type: int | None,
+    fname: str,
+    with_nulls: bool = False,
+) -> dict:
+    """Decode ONE real leaf column chunk end-to-end — UNCOMPRESSED or
     SNAPPY pages, PLAIN or dictionary encoding (PLAIN dictionary page +
     RLE_DICTIONARY indices), v1 data pages with hybrid definition
-    levels for optional fields.  This is the arrow/Spark writer's
-    default layout: tests pin count/sum equality against DuckDB reading
-    the same file.  Returns ``{n_values, n_nulls, values}``."""
+    levels.  ``column`` is the DOTTED leaf path (``add.path`` for a
+    struct member — the layout Delta checkpoint files use); top-level
+    columns are the single-segment case.  Definition levels are decoded
+    at the schema-derived bit width (max_def_level may exceed 1 for
+    struct leaves); a value is present iff its level equals
+    max_def_level.  Repeated fields (lists/maps, max_rep_level > 0) are
+    out of scope and raise.  ``with_nulls=True`` returns values aligned
+    to row positions with ``None`` holes — required to zip sibling
+    struct leaves back into rows."""
     from .snappy import snappy_decompress
 
     if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
@@ -640,16 +696,23 @@ def read_int64_column(payload: bytes, rg_index: int, column: str) -> dict:
         path = m.get(3)
         if (
             isinstance(path, list)
-            and len(path) == 1
-            and isinstance(path[0], bytes)
-            and path[0].decode("utf-8", "replace") == column
+            and all(isinstance(seg, bytes) for seg in path)
+            and ".".join(seg.decode("utf-8", "replace") for seg in path)
+            == column
         ):
             md = m
             break
     if md is None:
         raise ValueError(f"column {column!r} not in row group")
-    if _need_int(md.get(1), "type") != _T_INT64:
-        raise ValueError("read_int64_column on a non-INT64 chunk")
+    ctype = _need_int(md.get(1), "type")
+    if expect_type is not None and ctype != expect_type:
+        raise ValueError(
+            f"{fname} on a non-"
+            + ("INT64" if expect_type == _T_INT64 else "BYTE_ARRAY")
+            + " chunk"
+        )
+    if ctype not in (_T_INT64, _T_BYTE_ARRAY):
+        raise ValueError(f"leaf type {ctype} out of decode scope")
     codec = _need_int(md.get(4), "codec")
     if codec not in (0, 1):
         raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
@@ -661,145 +724,19 @@ def read_int64_column(payload: bytes, rg_index: int, column: str) -> dict:
     end = start + _need_int(md.get(7), "total_compressed_size")
     if not (4 <= start <= end <= fstart):
         raise ValueError("column chunk overruns the footer")
-    dictionary: tuple | None = None
-    values: list[int] = []
+    leaves = _schema_leaf_map(fmd)
+    if column not in leaves:
+        raise ValueError(f"column {column!r} not in schema")
+    max_def, max_rep, _ = leaves[column]
+    if max_rep > 0:
+        raise ValueError("repeated fields (lists/maps) out of scope")
+    dl_bits = max_def.bit_length()
+    dictionary: list | None = None
+    values: list = []
     n_nulls = 0
     pos = start
-    while pos < end and len(values) + n_nulls < nvals:
-        hdr, p2 = _read_struct(payload, pos, 0)
-        ptype = _need_int(hdr.get(1), "page type")
-        usz = _need_int(hdr.get(2), "uncompressed_page_size")
-        csz = _need_int(hdr.get(3), "compressed_page_size")
-        if p2 + csz > end:
-            raise ValueError("page overruns its chunk")
-        body = payload[p2 : p2 + csz]
-        if codec == 1:
-            body = snappy_decompress(body)
-        if len(body) != usz:
-            raise ValueError("page size disagrees with header")
-        if ptype == _PAGE_DICT:
-            dph = _need_struct(hdr.get(7), "dictionary page header")
-            nd = _need_int(dph.get(1), "dictionary size")
-            if len(body) < 8 * nd:
-                raise ValueError("dictionary page truncated")
-            dictionary = struct.unpack(f"<{nd}q", body[: 8 * nd])
-        elif ptype == _PAGE_DATA:
-            dph = _need_struct(hdr.get(5), "data page header")
-            pn = _need_int(dph.get(1), "page num_values")
-            enc = _need_int(dph.get(2), "page encoding")
-            q = 0
-            # definition levels: present for optional fields (arrow
-            # writes all fields optional); max level 1 ⇒ bitwidth 1.
-            # A REQUIRED schema (our own writer) has no level section —
-            # detected via the schema element's repetition_type.
-            repetition = _schema_repetition(fmd, column)
-            if repetition == 0:  # REQUIRED: no def levels
-                dls = [1] * pn
-            else:
-                if q + 4 > len(body):
-                    raise ValueError("definition level length truncated")
-                dl_len = int.from_bytes(body[q : q + 4], "little")
-                q += 4
-                if q + dl_len > len(body):
-                    raise ValueError("definition levels truncated")
-                dls, _ = hybrid_decode(body[q : q + dl_len], 0, 1, pn)
-                q += dl_len
-            nnz = sum(dls)
-            n_nulls += pn - nnz
-            if enc == 8 or enc == 2:  # RLE_DICTIONARY / PLAIN_DICTIONARY
-                if dictionary is None:
-                    raise ValueError("dictionary-encoded page before dict")
-                if q >= len(body):
-                    raise ValueError("dictionary index width truncated")
-                bw = body[q]
-                q += 1
-                idxs, _ = hybrid_decode(body, q, bw, nnz)
-                try:
-                    values.extend(dictionary[i] for i in idxs)
-                except IndexError:
-                    raise ValueError("dictionary index out of range")
-            elif enc == 0:  # PLAIN
-                if q + 8 * nnz > len(body):
-                    raise ValueError("PLAIN int64 page truncated")
-                values.extend(
-                    struct.unpack(f"<{nnz}q", body[q : q + 8 * nnz])
-                )
-            else:
-                raise ValueError(
-                    f"encoding {_ENCODINGS.get(enc, enc)} out of scope"
-                )
-        else:
-            raise ValueError("only v1 data/dictionary pages in scope")
-        pos = p2 + csz
-    if len(values) + n_nulls != nvals:
-        raise ValueError("chunk pages disagree with num_values")
-    return {"n_values": len(values), "n_nulls": n_nulls, "values": values}
-
-
-def _schema_repetition(fmd: dict, column: str) -> int:
-    for el in _need_list(fmd.get(2), "schema"):
-        el = _need_struct(el, "schema element")
-        nm = el.get(4)
-        if (
-            1 in el
-            and isinstance(nm, bytes)
-            and nm.decode("utf-8", "replace") == column
-        ):
-            rep = el.get(3)
-            return rep if isinstance(rep, int) else 1
-    raise ValueError(f"column {column!r} not in schema")
-
-
-def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
-    """BYTE_ARRAY twin of :func:`read_int64_column`: real arrow string
-    chunks — snappy pages, PLAIN (4-byte-length-prefixed) dictionary
-    pages, RLE_DICTIONARY hybrid indices, hybrid definition levels.
-    Returns ``{n_values, n_nulls, values}`` (UTF-8 strings)."""
-    from .snappy import snappy_decompress
-
-    if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
-        raise ValueError("not a parquet file (bad magic)")
-    flen = struct.unpack("<I", payload[-8:-4])[0]
-    fstart = len(payload) - 8 - flen
-    if fstart < 4:
-        raise ValueError("footer length out of bounds")
-    fmd, _ = _read_struct(payload[fstart : len(payload) - 8], 0, 0)
-    rgs = _need_list(fmd.get(4), "row_groups")
-    if not 0 <= rg_index < len(rgs):
-        raise ValueError("row group index out of range")
-    md = None
-    for ch in _need_list(_need_struct(rgs[rg_index], "rg").get(1), "cols"):
-        m = _need_struct(_need_struct(ch, "chunk").get(3), "metadata")
-        path = m.get(3)
-        if (
-            isinstance(path, list)
-            and len(path) == 1
-            and isinstance(path[0], bytes)
-            and path[0].decode("utf-8", "replace") == column
-        ):
-            md = m
-            break
-    if md is None:
-        raise ValueError(f"column {column!r} not in row group")
-    if _need_int(md.get(1), "type") != _T_BYTE_ARRAY:
-        raise ValueError("read_string_column on a non-BYTE_ARRAY chunk")
-    codec = _need_int(md.get(4), "codec")
-    if codec not in (0, 1):
-        raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
-    nvals = _need_int(md.get(5), "num_values")
-    dict_off = md.get(11)
-    start = dict_off if isinstance(dict_off, int) else _need_int(
-        md.get(9), "data_page_offset"
-    )
-    end = start + _need_int(md.get(7), "total_compressed_size")
-    if not (4 <= start <= end <= fstart):
-        raise ValueError("column chunk overruns the footer")
-    repetition = _schema_repetition(fmd, column)
-    dictionary: list[str] | None = None
-    values: list[str] = []
-    n_nulls = 0
-    pos = start
-    while pos < end and len(values) + n_nulls < nvals:
+    n_seen = 0
+    while pos < end and n_seen < nvals:
         hdr, p2 = _read_struct(payload, pos, 0)
         ptype = _need_int(hdr.get(1), "page type")
         usz = _need_int(hdr.get(2), "uncompressed_page_size")
@@ -813,16 +750,17 @@ def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
             raise ValueError("page size disagrees with header")
         if ptype == _PAGE_DICT:
             nd = _need_int(
-                _need_struct(hdr.get(7), "dict header").get(1), "size"
+                _need_struct(hdr.get(7), "dictionary page header").get(1),
+                "dictionary size",
             )
-            dictionary = _decode_plain(body, nd, _T_BYTE_ARRAY)
+            dictionary = _decode_plain(body, nd, ctype)
         elif ptype == _PAGE_DATA:
             dph = _need_struct(hdr.get(5), "data page header")
             pn = _need_int(dph.get(1), "page num_values")
             enc = _need_int(dph.get(2), "page encoding")
             q = 0
-            if repetition == 0:
-                dls = [1] * pn
+            if max_def == 0:  # REQUIRED all the way down: no level section
+                dls = [max_def] * pn
             else:
                 if q + 4 > len(body):
                     raise ValueError("definition level length truncated")
@@ -830,11 +768,11 @@ def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
                 q += 4
                 if q + dl_len > len(body):
                     raise ValueError("definition levels truncated")
-                dls, _ = hybrid_decode(body[q : q + dl_len], 0, 1, pn)
+                dls, _ = hybrid_decode(body[q : q + dl_len], 0, dl_bits, pn)
                 q += dl_len
-            nnz = sum(dls)
+            nnz = sum(1 for d in dls if d == max_def)
             n_nulls += pn - nnz
-            if enc in (8, 2):
+            if enc in (8, 2):  # RLE_DICTIONARY / PLAIN_DICTIONARY
                 if dictionary is None:
                     raise ValueError("dictionary-encoded page before dict")
                 if q >= len(body):
@@ -843,18 +781,61 @@ def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
                 q += 1
                 idxs, _ = hybrid_decode(body, q, bw, nnz)
                 try:
-                    values.extend(dictionary[i] for i in idxs)
+                    page_vals = [dictionary[i] for i in idxs]
                 except IndexError:
                     raise ValueError("dictionary index out of range")
-            elif enc == 0:
-                values.extend(_decode_plain(body[q:], nnz, _T_BYTE_ARRAY))
+            elif enc == 0:  # PLAIN
+                if ctype == _T_INT64:
+                    if q + 8 * nnz > len(body):
+                        raise ValueError("PLAIN int64 page truncated")
+                    page_vals = list(
+                        struct.unpack(f"<{nnz}q", body[q : q + 8 * nnz])
+                    )
+                else:
+                    page_vals = _decode_plain(body[q:], nnz, ctype)
             else:
                 raise ValueError(
                     f"encoding {_ENCODINGS.get(enc, enc)} out of scope"
                 )
+            if with_nulls:
+                it = iter(page_vals)
+                values.extend(
+                    next(it) if d == max_def else None for d in dls
+                )
+            else:
+                values.extend(page_vals)
+            n_seen += pn
         else:
             raise ValueError("only v1 data/dictionary pages in scope")
         pos = p2 + csz
-    if len(values) + n_nulls != nvals:
+    if n_seen != nvals:
         raise ValueError("chunk pages disagree with num_values")
-    return {"n_values": len(values), "n_nulls": n_nulls, "values": values}
+    return {
+        "n_values": n_seen - n_nulls,
+        "n_nulls": n_nulls,
+        "values": values,
+    }
+
+
+def read_int64_column(payload: bytes, rg_index: int, column: str) -> dict:
+    """INT64 leaf chunk (top-level or dotted struct path) — see
+    :func:`_read_leaf_column`.  Returns ``{n_values, n_nulls, values}``
+    with nulls elided (the original round-7 contract)."""
+    return _read_leaf_column(payload, rg_index, column, _T_INT64,
+                             "read_int64_column")
+
+
+def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
+    """BYTE_ARRAY twin of :func:`read_int64_column` (UTF-8 strings)."""
+    return _read_leaf_column(payload, rg_index, column, _T_BYTE_ARRAY,
+                             "read_string_column")
+
+
+def read_leaf_column(
+    payload: bytes, rg_index: int, column: str, with_nulls: bool = False
+) -> dict:
+    """Type-inferred leaf read; ``with_nulls=True`` keeps row alignment
+    (None holes) so sibling struct leaves zip back into rows — the
+    Delta-checkpoint consumption shape (operators/deltalog.py)."""
+    return _read_leaf_column(payload, rg_index, column, None,
+                             "read_leaf_column", with_nulls=with_nulls)

@@ -5999,3 +5999,136 @@ def q_parquet_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "file_name string, rg long, col string, n_values long, "
         "n_nulls long, sum_values decimal(38,0)",
     )
+
+
+@register_extra(
+    "delta_checkpoint_replay",
+    """
+    WITH d AS (
+        SELECT doc_id, 25 + doc_id % 7 AS n FROM documents
+    ),
+    acts AS (
+        SELECT d.doc_id, d.n, c AS version, 0 AS seq,
+               'f' || CAST(c AS VARCHAR) AS path, 'add' AS kind,
+               100 + (d.doc_id + c) % 50 AS fsize,
+               10 + (d.doc_id * 3 + c) % 7 AS nrec
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS c)
+        UNION ALL
+        SELECT d.doc_id, d.n, c, 1,
+               'f' || CAST(c - 1 AS VARCHAR), 'remove', 0, 0
+        FROM d, LATERAL (SELECT unnest(range(1, n)) AS c)
+        WHERE (d.doc_id + c) % 3 = 0
+        UNION ALL
+        SELECT d.doc_id, d.n, c, 2, 'f0', 'add',
+               500 + d.doc_id % 31, 77 + d.doc_id % 13
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS c)
+        WHERE c % 10 = 5
+    ),
+    last AS (
+        SELECT *, row_number() OVER (PARTITION BY doc_id, path
+                                     ORDER BY version DESC, seq DESC) AS rn
+        FROM acts
+    )
+    SELECT doc_id,
+           CAST(any_value(n) - 1 AS BIGINT) AS version,
+           CAST(CASE WHEN any_value(n) >= 30 THEN 29 ELSE 19 END
+                AS BIGINT) AS ck_version,
+           CAST(any_value(n) - 1
+                - CASE WHEN any_value(n) >= 30 THEN 29 ELSE 19 END
+                AS BIGINT) AS n_tail,
+           CAST(count(*) FILTER (WHERE rn = 1 AND kind = 'add')
+                AS BIGINT) AS n_live,
+           CAST(sum(CASE WHEN rn = 1 AND kind = 'add' THEN fsize
+                         ELSE 0 END) AS BIGINT) AS live_bytes,
+           CAST(sum(CASE WHEN rn = 1 AND kind = 'add' THEN nrec
+                         ELSE 0 END) AS BIGINT) AS live_rows
+    FROM last GROUP BY 1
+    """,
+)
+def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed snapshot read (operators/deltalog.py): per doc a
+    25-31-commit JSON log with TWO real parquet checkpoints — version 9,
+    then version 19 (or 29) built by replaying FROM the version-9
+    checkpoint (nested composition), each written by pyarrow
+    (snappy/dictionary, the real writer layout) and read back by the
+    hand parquet decoder's dotted struct-leaf chunks
+    (parquetfmt.read_leaf_column: ``add.path``, ``remove.size``, ...).
+    The emitted snapshot replays `_last_checkpoint` + JSON TAIL ONLY —
+    O(tail), the Delta PROTOCOL.md fast path — while the oracle replays
+    the FULL action history in SQL; hash equality proves checkpoint
+    state + tail == whole-log replay, parquet roundtrip included."""
+    import pandas as pd
+
+    from ..operators.deltalog import (
+        make_checkpoint_parquet,
+        make_commit,
+        make_last_checkpoint,
+        replay_delta_log,
+        replay_from_checkpoint,
+    )
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_replay(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 25 + did % 7
+                commits = []
+                for c in range(n):
+                    acts = []
+                    if c == 0:
+                        acts.append({"protocol": {"minReaderVersion": 1}})
+                    acts.append(
+                        {"add": {"path": f"f{c}",
+                                 "size": 100 + (did + c) % 50,
+                                 "numRecords": 10 + (did * 3 + c) % 7,
+                                 "dataChange": True}}
+                    )
+                    if c >= 1 and (did + c) % 3 == 0:
+                        acts.append(
+                            {"remove": {"path": f"f{c - 1}",
+                                        "dataChange": True}}
+                        )
+                    if c % 10 == 5:
+                        acts.append(
+                            {"add": {"path": "f0",
+                                     "size": 500 + did % 31,
+                                     "numRecords": 77 + did % 13,
+                                     "dataChange": True}}
+                        )
+                    commits.append(make_commit(acts))
+                # checkpoint cadence 10: version 9, then 19/29 — the
+                # second built FROM the first (checkpoint-of-checkpoint)
+                ck9 = make_checkpoint_parquet(replay_delta_log(commits[:10]))
+                ck_v = 29 if n >= 30 else 19
+                mid = replay_from_checkpoint(
+                    make_last_checkpoint(9, len(ck9)), ck9,
+                    commits[10 : ck_v + 1],
+                )
+                ck = make_checkpoint_parquet(mid)
+                m = replay_from_checkpoint(
+                    make_last_checkpoint(ck_v, len(ck)), ck,
+                    commits[ck_v + 1 :],
+                )
+                out.append(
+                    {
+                        "doc_id": did,
+                        "version": m["version"],
+                        "ck_version": ck_v,
+                        "n_tail": n - 1 - ck_v,
+                        "n_live": m["n_live"],
+                        "live_bytes": m["live_bytes"],
+                        "live_rows": m["live_rows"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_replay,
+        "doc_id long, version long, ck_version long, n_tail long, "
+        "n_live long, live_bytes long, live_rows long",
+    )

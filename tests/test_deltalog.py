@@ -106,3 +106,134 @@ def test_tombstones_track_death_version_and_resurrection():
     assert vacuum_plan(m, 3)["n_eligible"] == 0
     with pytest.raises(ValueError):
         vacuum_plan(m, -1)
+
+
+# ---------------------------------------------------------------------------
+# checkpoints (round 8)
+# ---------------------------------------------------------------------------
+
+def _mklog(n: int) -> list[str]:
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_commit,
+    )
+
+    commits = []
+    for c in range(n):
+        acts = [{"protocol": {"minReaderVersion": 1}}] if c == 0 else []
+        acts.append({"add": {"path": f"f{c}", "size": 100 + c,
+                             "numRecords": 10 + c % 7, "dataChange": True}})
+        if c >= 1 and c % 3 == 0:
+            acts.append({"remove": {"path": f"f{c - 2}",
+                                    "dataChange": True}})
+        commits.append(make_commit(acts))
+    return commits
+
+
+def test_checkpoint_plus_tail_equals_full_replay():
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_checkpoint_parquet,
+        make_last_checkpoint,
+        replay_delta_log,
+        replay_from_checkpoint,
+    )
+
+    commits = _mklog(27)
+    full = replay_delta_log(commits)
+    for ck_v in (9, 19, 26):
+        state = replay_delta_log(commits[: ck_v + 1])
+        ck = make_checkpoint_parquet(state)
+        got = replay_from_checkpoint(
+            make_last_checkpoint(ck_v, len(ck)), ck, commits[ck_v + 1 :]
+        )
+        for k in ("version", "n_live", "live_bytes", "live_rows",
+                  "live", "tombstones"):
+            assert got[k] == full[k], (ck_v, k)
+
+
+def test_checkpoint_roundtrip_preserves_tombstone_versions():
+    """VACUUM planning after a checkpointed read must equal planning
+    after a full replay — death versions ride the checkpoint."""
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_checkpoint_parquet,
+        make_last_checkpoint,
+        replay_delta_log,
+        replay_from_checkpoint,
+        vacuum_plan,
+    )
+
+    commits = _mklog(25)
+    full = replay_delta_log(commits)
+    ck = make_checkpoint_parquet(replay_delta_log(commits[:20]))
+    got = replay_from_checkpoint(
+        make_last_checkpoint(19, len(ck)), ck, commits[20:]
+    )
+    assert vacuum_plan(got, 5) == vacuum_plan(full, 5)
+
+
+def test_checkpoint_read_uses_hand_decoder_on_arrow_file():
+    """The checkpoint file is genuinely pyarrow-written parquet with
+    struct columns; the hand decoder must read the dotted leaves."""
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_checkpoint_parquet,
+        read_checkpoint_parquet,
+        replay_delta_log,
+    )
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        read_leaf_column,
+    )
+
+    state = replay_delta_log(_mklog(25))
+    ck = make_checkpoint_parquet(state)
+    live, tombstones = read_checkpoint_parquet(ck)
+    assert live == state["live"]
+    assert tombstones == state["tombstones"]
+    # and pyarrow agrees with the hand decoder on a leaf
+    import io
+
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(io.BytesIO(ck))
+    want = [r["path"] if r is not None else None
+            for r in table.column("add").to_pylist()]
+    got = read_leaf_column(ck, 0, "add.path", with_nulls=True)["values"]
+    assert got == want
+
+
+def test_last_checkpoint_serde_rejects_bad_fields():
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        parse_last_checkpoint,
+    )
+
+    for bad in ('{"version": -1, "size": 3}', '{"version": true, "size": 3}',
+                '{"size": 3}', "[]", "not json"):
+        with pytest.raises(ValueError):
+            parse_last_checkpoint(bad)
+
+
+def test_checkpoint_rejects_conflicting_action_row():
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        read_checkpoint_parquet,
+    )
+
+    both = pa.table({
+        "add": pa.array([{"path": "a", "size": 1, "numRecords": 1}],
+                        type=pa.struct([("path", pa.string()),
+                                        ("size", pa.int64()),
+                                        ("numRecords", pa.int64())])),
+        "remove": pa.array([{"path": "b", "deletionVersion": 1, "size": 1}],
+                           type=pa.struct([("path", pa.string()),
+                                           ("deletionVersion", pa.int64()),
+                                           ("size", pa.int64())])),
+    })
+    buf = io.BytesIO()
+    pq.write_table(both, buf, compression="snappy")
+    with pytest.raises(ValueError, match="single action"):
+        read_checkpoint_parquet(buf.getvalue())
