@@ -714,7 +714,7 @@ def _read_leaf_column(
     if ctype not in (_T_INT64, _T_BYTE_ARRAY):
         raise ValueError(f"leaf type {ctype} out of decode scope")
     codec = _need_int(md.get(4), "codec")
-    if codec not in (0, 1):
+    if codec not in (0, 1, 6):  # UNCOMPRESSED / SNAPPY / ZSTD
         raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
     nvals = _need_int(md.get(5), "num_values")
     dict_off = md.get(11)
@@ -743,18 +743,16 @@ def _read_leaf_column(
         csz = _need_int(hdr.get(3), "compressed_page_size")
         if p2 + csz > end:
             raise ValueError("page overruns its chunk")
-        body = payload[p2 : p2 + csz]
-        if codec == 1:
-            body = snappy_decompress(body)
-        if len(body) != usz:
-            raise ValueError("page size disagrees with header")
+        raw = payload[p2 : p2 + csz]
         if ptype == _PAGE_DICT:
+            body = _decompress_page(raw, codec, usz)
             nd = _need_int(
                 _need_struct(hdr.get(7), "dictionary page header").get(1),
                 "dictionary size",
             )
             dictionary = _decode_plain(body, nd, ctype)
         elif ptype == _PAGE_DATA:
+            body = _decompress_page(raw, codec, usz)
             dph = _need_struct(hdr.get(5), "data page header")
             pn = _need_int(dph.get(1), "page num_values")
             enc = _need_int(dph.get(2), "page encoding")
@@ -772,41 +770,58 @@ def _read_leaf_column(
                 q += dl_len
             nnz = sum(1 for d in dls if d == max_def)
             n_nulls += pn - nnz
-            if enc in (8, 2):  # RLE_DICTIONARY / PLAIN_DICTIONARY
-                if dictionary is None:
-                    raise ValueError("dictionary-encoded page before dict")
-                if q >= len(body):
-                    raise ValueError("dictionary index width truncated")
-                bw = body[q]
-                q += 1
-                idxs, _ = hybrid_decode(body, q, bw, nnz)
-                try:
-                    page_vals = [dictionary[i] for i in idxs]
-                except IndexError:
-                    raise ValueError("dictionary index out of range")
-            elif enc == 0:  # PLAIN
-                if ctype == _T_INT64:
-                    if q + 8 * nnz > len(body):
-                        raise ValueError("PLAIN int64 page truncated")
-                    page_vals = list(
-                        struct.unpack(f"<{nnz}q", body[q : q + 8 * nnz])
-                    )
-                else:
-                    page_vals = _decode_plain(body[q:], nnz, ctype)
+            page_vals = _decode_page_values(
+                body[q:], enc, nnz, ctype, dictionary
+            )
+            values.extend(
+                _interleave(page_vals, dls, max_def)
+                if with_nulls
+                else page_vals
+            )
+            n_seen += pn
+        elif ptype == _PAGE_DATA_V2:
+            # v2 layout: rep + def level runs UNCOMPRESSED at the front
+            # (no 4-byte prefixes — lengths live in the header), the
+            # values section alone compressed when is_compressed.
+            dph = _need_struct(hdr.get(8), "data page v2 header")
+            pn = _need_int(dph.get(1), "page num_values")
+            enc = _need_int(dph.get(4), "page encoding")
+            dl_len = _need_int(dph.get(5), "def level byte length")
+            rl_len = _need_int(dph.get(6), "rep level byte length")
+            is_compressed = dph.get(7)
+            if is_compressed is None:
+                is_compressed = True
+            if rl_len + dl_len > len(raw):
+                raise ValueError("v2 level sections overrun the page")
+            # max_rep == 0 here (enforced above): rep run must be empty
+            if max_def == 0:
+                if dl_len:
+                    raise ValueError("v2 def levels on a REQUIRED column")
+                dls = [0] * pn
             else:
-                raise ValueError(
-                    f"encoding {_ENCODINGS.get(enc, enc)} out of scope"
+                dls, _ = hybrid_decode(
+                    raw[rl_len : rl_len + dl_len], 0, dl_bits, pn
                 )
-            if with_nulls:
-                it = iter(page_vals)
-                values.extend(
-                    next(it) if d == max_def else None for d in dls
+            vals_part = raw[rl_len + dl_len :]
+            if is_compressed:
+                vals_part = _decompress_page(
+                    vals_part, codec, usz - rl_len - dl_len
                 )
-            else:
-                values.extend(page_vals)
+            elif len(vals_part) != usz - rl_len - dl_len:
+                raise ValueError("v2 page size disagrees with header")
+            nnz = sum(1 for d in dls if d == max_def)
+            n_nulls += pn - nnz
+            page_vals = _decode_page_values(
+                vals_part, enc, nnz, ctype, dictionary
+            )
+            values.extend(
+                _interleave(page_vals, dls, max_def)
+                if with_nulls
+                else page_vals
+            )
             n_seen += pn
         else:
-            raise ValueError("only v1 data/dictionary pages in scope")
+            raise ValueError("only data/dictionary pages in scope")
         pos = p2 + csz
     if n_seen != nvals:
         raise ValueError("chunk pages disagree with num_values")
@@ -839,3 +854,158 @@ def read_leaf_column(
     Delta-checkpoint consumption shape (operators/deltalog.py)."""
     return _read_leaf_column(payload, rg_index, column, None,
                              "read_leaf_column", with_nulls=with_nulls)
+
+
+# ---------------------------------------------------------------------------
+# DELTA_* encodings (parquet-format Encodings.md) — the layouts modern
+# writers emit for sorted ids (DELTA_BINARY_PACKED) and string columns
+# (DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY, arrow's v2 defaults)
+# ---------------------------------------------------------------------------
+
+def _decompress_page(raw: bytes, codec: int, usz: int) -> bytes:
+    """Decompress one page section per the chunk codec and verify the
+    header-declared uncompressed size."""
+    if codec == 0:
+        body = raw
+    elif codec == 1:
+        from .snappy import snappy_decompress
+
+        body = snappy_decompress(raw)
+    elif codec == 6:
+        from .zstd import zstd_decompress
+
+        body = zstd_decompress(raw)
+    else:
+        raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
+    if len(body) != usz:
+        raise ValueError("page size disagrees with header")
+    return body
+
+
+def _decode_page_values(
+    body: bytes, enc: int, nnz: int, ctype: int, dictionary: list | None
+) -> list:
+    """The non-null values of one data page, any in-scope encoding."""
+    if enc in (8, 2):  # RLE_DICTIONARY / PLAIN_DICTIONARY
+        if dictionary is None:
+            raise ValueError("dictionary-encoded page before dict")
+        if not body:
+            raise ValueError("dictionary index width truncated")
+        bw = body[0]
+        idxs, _ = hybrid_decode(body, 1, bw, nnz)
+        try:
+            return [dictionary[i] for i in idxs]
+        except IndexError:
+            raise ValueError("dictionary index out of range")
+    if enc == 0:  # PLAIN
+        if ctype == _T_INT64:
+            if 8 * nnz > len(body):
+                raise ValueError("PLAIN int64 page truncated")
+            return list(struct.unpack(f"<{nnz}q", body[: 8 * nnz]))
+        return _decode_plain(body, nnz, ctype)
+    if enc == 5:  # DELTA_BINARY_PACKED
+        if ctype != _T_INT64:
+            raise ValueError("DELTA_BINARY_PACKED on a non-INT64 chunk")
+        vals, _ = delta_binary_unpack(body, 0)
+        if len(vals) != nnz:
+            raise ValueError("delta-binary count disagrees with page")
+        return vals
+    if enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        if ctype != _T_BYTE_ARRAY:
+            raise ValueError("DELTA_LENGTH_BYTE_ARRAY on a non-string chunk")
+        return delta_length_byte_array(body, nnz)
+    if enc == 7:  # DELTA_BYTE_ARRAY
+        if ctype != _T_BYTE_ARRAY:
+            raise ValueError("DELTA_BYTE_ARRAY on a non-string chunk")
+        return delta_byte_array(body, nnz)
+    raise ValueError(f"encoding {_ENCODINGS.get(enc, enc)} out of scope")
+
+
+def _interleave(page_vals: list, dls: list[int], max_def: int) -> list:
+    it = iter(page_vals)
+    return [next(it) if d == max_def else None for d in dls]
+
+
+def delta_binary_unpack(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED: ``<block size> <miniblocks per block>
+    <total count> <first value zigzag>`` then per block ``<min delta
+    zigzag> <bitwidth byte per miniblock> <bit-packed deltas>``.
+    Values per miniblock = block/miniblocks; the last block keeps its
+    full width list but only writes miniblocks that hold values."""
+    block, pos = read_varint(buf, pos)
+    nmini, pos = read_varint(buf, pos)
+    total, pos = read_varint(buf, pos)
+    zz, pos = read_varint(buf, pos)
+    first = zigzag_decode(zz)
+    if block <= 0 or nmini <= 0 or block % nmini != 0:
+        raise ValueError("delta-binary block geometry invalid")
+    per_mini = block // nmini
+    if per_mini % 8 != 0:
+        raise ValueError("delta-binary miniblock not a multiple of 8")
+    if total > 1 << 27:  # allocation guard for crafted counts
+        raise ValueError("delta-binary total count implausible")
+    out = [first]
+    while len(out) < total:
+        zz, pos = read_varint(buf, pos)
+        min_delta = zigzag_decode(zz)
+        if pos + nmini > len(buf):
+            raise ValueError("delta-binary width list truncated")
+        widths = buf[pos : pos + nmini]
+        pos += nmini
+        for w in widths:
+            if len(out) >= total:
+                break  # trailing miniblocks with no values are absent
+            if w > 64:
+                raise ValueError("delta-binary bit width out of range")
+            nbytes = w * per_mini // 8
+            if pos + nbytes > len(buf):
+                raise ValueError("delta-binary miniblock truncated")
+            if w == 0:
+                deltas = [0] * per_mini
+            else:
+                bits = int.from_bytes(buf[pos : pos + nbytes], "little")
+                mask = (1 << w) - 1
+                deltas = [(bits >> (i * w)) & mask for i in range(per_mini)]
+            pos += nbytes
+            prev = out[-1]
+            for d in deltas:
+                if len(out) >= total:
+                    break
+                prev = prev + min_delta + d
+                out.append(prev)
+    return out[:total], pos
+
+
+def delta_length_byte_array(buf: bytes, nnz: int) -> list[str]:
+    """DELTA_LENGTH_BYTE_ARRAY: one DELTA_BINARY_PACKED run of lengths,
+    then the concatenated bytes."""
+    lens, pos = delta_binary_unpack(buf, 0)
+    if len(lens) != nnz:
+        raise ValueError("delta-length count disagrees with page")
+    out = []
+    for ln in lens:
+        if ln < 0 or pos + ln > len(buf):
+            raise ValueError("delta-length string truncated")
+        out.append(buf[pos : pos + ln].decode("utf-8", "strict"))
+        pos += ln
+    return out
+
+
+def delta_byte_array(buf: bytes, nnz: int) -> list[str]:
+    """DELTA_BYTE_ARRAY (incremental/front coding): shared-prefix
+    lengths and suffix lengths as two DELTA_BINARY_PACKED runs, then
+    the suffix bytes."""
+    prefixes, pos = delta_binary_unpack(buf, 0)
+    suffixes, pos = delta_binary_unpack(buf, pos)
+    if len(prefixes) != nnz or len(suffixes) != nnz:
+        raise ValueError("delta-byte-array counts disagree with page")
+    out: list[str] = []
+    prev = b""
+    for pl, sl in zip(prefixes, suffixes):
+        if pl < 0 or sl < 0 or pl > len(prev) or pos + sl > len(buf):
+            raise ValueError("delta-byte-array prefix/suffix invalid")
+        cur = prev[:pl] + buf[pos : pos + sl]
+        pos += sl
+        out.append(cur.decode("utf-8", "strict"))
+        prev = cur
+    return out

@@ -1,0 +1,678 @@
+"""Pure-Python Zstandard decompression (RFC 8878).
+
+Modern lake writers increasingly default to zstd-compressed parquet
+pages (codec 6); this decoder is the missing ingredient that lets the
+hand parquet reader (operators/parquetfmt.py) audit such files the way
+it already audits snappy ones (operators/snappy.py).  Scope: full
+single-segment/windowed frames — raw, RLE, and compressed blocks with
+Huffman-coded literals (direct or FSE-compressed weights, 1- or
+4-stream) and FSE-coded sequences (predefined, RLE, compressed, and
+repeat modes), repeat-offset history, treeless-literals reuse, and
+skippable frames.  Out of scope, rejected loudly: dictionaries
+(Dictionary_ID != 0) and content-checksum *verification* (the 4-byte
+xxhash64 tail is skipped — no xxhash in this container; documented).
+
+Everything here derives from the public RFC 8878 / Zstandard format
+specification (github.com/facebook/zstd doc/zstd_compression_format.md
+and the educational_decoder it documents).  The decode contract matches
+the fleet: malformed input raises ValueError ONLY, so Arrow kernels can
+quarantine per record.
+
+Performance note: this is an AUDIT path (footer/page verification,
+checkpoint reads), not the engine's scan path — Spark's native reader
+serves queries.  Python-level throughput (~1-5 MB/s) is adequate for
+page-sized payloads; the interop tests gate correctness against
+pyarrow's reference codec both directions.
+"""
+
+from __future__ import annotations
+
+_MAGIC = 0xFD2FB528
+_SKIP_MAGIC_LO = 0x184D2A50  # 0x184D2A50..5F are skippable frames
+_MAX_OUTPUT = 1 << 28  # 256 MiB guard against crafted content sizes
+
+# ---------------------------------------------------------------------------
+# bit readers
+# ---------------------------------------------------------------------------
+
+
+class _FwdBits:
+    """Forward LSB-first reader (FSE table descriptions)."""
+
+    def __init__(self, buf: bytes) -> None:
+        self.buf = buf
+        self.pos = 0  # bit position
+
+    def read(self, n: int) -> int:
+        end = self.pos + n
+        if end > 8 * len(self.buf):
+            raise ValueError("zstd: forward bitstream overrun")
+        out = 0
+        for i in range(n):
+            bit = self.pos + i
+            out |= ((self.buf[bit >> 3] >> (bit & 7)) & 1) << i
+        self.pos = end
+        return out
+
+    def rewind(self, n: int) -> None:
+        if n > self.pos:
+            raise ValueError("zstd: forward bitstream rewind underrun")
+        self.pos -= n
+
+    def bytes_consumed(self) -> int:
+        return (self.pos + 7) >> 3
+
+
+class _BackBits:
+    """Backward reader: the stream is read from its END; the last byte
+    carries a 1-bit sentinel at its highest set position (RFC 8878
+    §3.1.1.2 bitstream rules)."""
+
+    def __init__(self, buf: bytes) -> None:
+        if not buf:
+            raise ValueError("zstd: empty backward bitstream")
+        last = buf[-1]
+        if last == 0:
+            raise ValueError("zstd: backward bitstream missing sentinel")
+        self.big = int.from_bytes(buf, "little")
+        self.bits = 8 * len(buf) - (8 - last.bit_length())
+        self.bits -= 1  # drop the sentinel bit itself
+
+    def read(self, n: int) -> int:
+        """Reads saturate at stream end by zero-filling (the spec allows
+        the final state reloads to consume past the start)."""
+        if n == 0:
+            return 0
+        self.bits -= n
+        if self.bits <= -64:
+            raise ValueError("zstd: backward bitstream exhausted")
+        if self.bits < 0:
+            return (self.big << -self.bits) & ((1 << n) - 1)
+        return (self.big >> self.bits) & ((1 << n) - 1)
+
+    def exhausted(self) -> bool:
+        return self.bits <= 0
+
+
+# ---------------------------------------------------------------------------
+# FSE
+# ---------------------------------------------------------------------------
+
+
+def _fse_read_header(
+    buf: bytes, max_symbols: int, max_al: int
+) -> tuple[list[int], int, int]:
+    """Parse an FSE table description: ``(normalized_counts,
+    accuracy_log, bytes_consumed)`` (RFC 8878 §4.1.1)."""
+    bits = _FwdBits(buf)
+    al = bits.read(4) + 5
+    if al > max_al:
+        raise ValueError("zstd: FSE accuracy log too large")
+    remaining = (1 << al) + 1
+    counts: list[int] = []
+    while remaining > 1:
+        if len(counts) >= max_symbols:
+            raise ValueError("zstd: FSE symbol count overflow")
+        nbits = remaining.bit_length()
+        val = bits.read(nbits)
+        lower_mask = (1 << (nbits - 1)) - 1
+        threshold = (1 << nbits) - 1 - remaining
+        if (val & lower_mask) < threshold:
+            bits.rewind(1)
+            val = val & lower_mask
+        elif val > lower_mask:
+            val -= threshold
+        proba = val - 1
+        counts.append(proba)
+        remaining -= -proba if proba < 0 else proba
+        if proba == 0:
+            repeat = bits.read(2)
+            while repeat == 3:
+                counts.extend([0, 0, 0])
+                if len(counts) > max_symbols:
+                    raise ValueError("zstd: FSE zero-run overflow")
+                repeat = bits.read(2)
+            counts.extend([0] * repeat)
+    if remaining != 1:
+        raise ValueError("zstd: FSE counts do not sum to table size")
+    return counts, al, bits.bytes_consumed()
+
+
+def _fse_build(counts: list[int], al: int) -> list[tuple[int, int, int]]:
+    """Decode table: index → ``(symbol, num_bits, new_state_base)``."""
+    size = 1 << al
+    symbols = [0] * size
+    high = size
+    state_desc = [0] * len(counts)
+    for s, c in enumerate(counts):
+        if c == -1:
+            high -= 1
+            symbols[high] = s
+            state_desc[s] = 1
+        elif c > 0:
+            state_desc[s] = c
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            symbols[pos] = s
+            pos = (pos + step) & mask
+            while pos >= high:
+                pos = (pos + step) & mask
+    if pos != 0:
+        raise ValueError("zstd: FSE table spread did not close")
+    table = []
+    for i in range(size):
+        s = symbols[i]
+        x = state_desc[s]
+        state_desc[s] += 1
+        nb = al - (x.bit_length() - 1)
+        table.append((s, nb, (x << nb) - size))
+    return table
+
+
+def _fse_from_mode(
+    mode: int,
+    bits: _FwdBits | None,
+    buf: bytes,
+    pos: int,
+    default: tuple[list[int], int],
+    max_symbols: int,
+    max_al: int,
+    prev: list[tuple[int, int, int]] | None,
+    what: str,
+) -> tuple[list[tuple[int, int, int]], int]:
+    """Resolve one sequence-symbol table per its 2-bit mode: predefined
+    / RLE / FSE-compressed / repeat.  Returns (table, new_pos)."""
+    if mode == 0:  # predefined
+        return _fse_build(*default), pos
+    if mode == 1:  # RLE: one byte = the only symbol, zero bits per read
+        if pos >= len(buf):
+            raise ValueError(f"zstd: {what} RLE symbol truncated")
+        sym = buf[pos]
+        if sym >= max_symbols:
+            raise ValueError(f"zstd: {what} RLE symbol out of range")
+        return [(sym, 0, 0)], pos + 1
+    if mode == 2:  # FSE-compressed description
+        counts, al, consumed = _fse_read_header(
+            buf[pos:], max_symbols, max_al
+        )
+        return _fse_build(counts, al), pos + consumed
+    if prev is None:
+        raise ValueError(f"zstd: {what} repeat mode without a prior table")
+    return prev, pos
+
+
+# ---------------------------------------------------------------------------
+# Huffman
+# ---------------------------------------------------------------------------
+
+
+def _huf_read_weights(buf: bytes, pos: int) -> tuple[list[int], int]:
+    """Huffman tree description → per-symbol weights (last weight
+    implicit)."""
+    if pos >= len(buf):
+        raise ValueError("zstd: Huffman description truncated")
+    hb = buf[pos]
+    pos += 1
+    if hb >= 128:  # direct: 4-bit weights, high nibble first
+        n = hb - 127
+        nbytes = (n + 1) // 2
+        if pos + nbytes > len(buf):
+            raise ValueError("zstd: direct Huffman weights truncated")
+        weights = []
+        for i in range(n):
+            b = buf[pos + (i >> 1)]
+            weights.append((b >> 4) if i % 2 == 0 else (b & 0xF))
+        pos += nbytes
+    else:  # FSE-compressed weights, two interleaved states
+        if pos + hb > len(buf):
+            raise ValueError("zstd: FSE Huffman weights truncated")
+        sub = buf[pos : pos + hb]
+        counts, al, consumed = _fse_read_header(sub, 256, 6)
+        table = _fse_build(counts, al)
+        stream = _BackBits(sub[consumed:])
+        s1 = stream.read(al)
+        s2 = stream.read(al)
+        if stream.bits < 0:
+            raise ValueError("zstd: Huffman weight stream too short")
+        # two alternating FSE states; when a state update overdraws the
+        # stream, the OTHER state emits the final symbol (RFC 8878
+        # §4.2.1.2 interleaved weight stream)
+        weights = []
+        while True:
+            if len(weights) > 254:
+                raise ValueError("zstd: Huffman weight stream too long")
+            sym, nb, base = table[s1]
+            weights.append(sym)
+            s1 = base + stream.read(nb)
+            if stream.bits < 0:
+                weights.append(table[s2][0])
+                break
+            sym, nb, base = table[s2]
+            weights.append(sym)
+            s2 = base + stream.read(nb)
+            if stream.bits < 0:
+                weights.append(table[s1][0])
+                break
+        pos += hb
+    return weights, pos
+
+
+def _huf_build(weights: list[int]) -> tuple[dict[int, tuple[int, int]], int]:
+    """Canonical Huffman decode table from explicit weights (the last
+    symbol's weight is implicit): ``{prefix: (symbol, nbits)}`` keyed by
+    the max_bits-wide code prefix, plus max_bits."""
+    total = sum((1 << (w - 1)) for w in weights if w > 0)
+    if total == 0:
+        raise ValueError("zstd: Huffman weights all zero")
+    max_bits = (total - 1).bit_length() + (
+        0 if total & (total - 1) else 1
+    )
+    # implicit last weight completes the next power of two
+    left = (1 << max_bits) - total
+    if left <= 0 or left & (left - 1):
+        raise ValueError("zstd: Huffman weights do not close the tree")
+    last_w = left.bit_length()  # 2^(w-1) == left
+    weights = weights + [last_w]
+    if len(weights) > 256:
+        raise ValueError("zstd: too many Huffman symbols")
+    # ranked assignment: lower weights (longer codes) occupy the low
+    # table indices first; within a weight, natural symbol order
+    lut: list[tuple[int, int] | None] = [None] * (1 << max_bits)
+    code = 0
+    for w in range(1, max_bits + 1):
+        for sym, sw in enumerate(weights):
+            if sw != w:
+                continue
+            nbits = max_bits + 1 - w
+            span = 1 << (w - 1)
+            if code + span > (1 << max_bits):
+                raise ValueError("zstd: Huffman code overflow")
+            lut[code : code + span] = [(sym, nbits)] * span
+            code += span
+    if code != (1 << max_bits):
+        raise ValueError("zstd: Huffman codes do not fill the tree")
+    return lut, max_bits
+
+
+def _huf_decode_stream(
+    lut: dict[int, tuple[int, int]], max_bits: int, buf: bytes, n: int
+) -> bytes:
+    stream = _BackBits(buf)
+    out = bytearray()
+    while len(out) < n:
+        idx = stream.read(max_bits)
+        sym, nbits = lut[idx]
+        out.append(sym)
+        stream.bits += max_bits - nbits  # consume only the code's bits
+        if stream.bits < -32:
+            raise ValueError("zstd: Huffman stream exhausted early")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# sequences: code → (baseline, extra bits)
+# ---------------------------------------------------------------------------
+
+_LL_BASE = list(range(16)) + [
+    16, 18, 20, 22, 24, 28, 32, 40, 48, 64, 128, 256, 512, 1024, 2048,
+    4096, 8192, 16384, 32768, 65536,
+]
+_LL_BITS = [0] * 16 + [
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+_ML_BASE = list(range(3, 35)) + [
+    35, 37, 39, 41, 43, 47, 51, 59, 67, 83, 99, 131, 259, 515, 1027,
+    2051, 4099, 8195, 16387, 32771, 65539,
+]
+_ML_BITS = [0] * 32 + [
+    1, 1, 1, 1, 2, 2, 3, 3, 4, 4, 5, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16,
+]
+
+# RFC 8878 predefined distributions
+_LL_DEFAULT = (
+    [4, 3, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 1, 1, 1, 2, 2, 2, 2, 2, 2,
+     2, 2, 2, 3, 2, 1, 1, 1, 1, 1, -1, -1, -1, -1],
+    6,
+)
+_OF_DEFAULT = (
+    [1, 1, 1, 1, 1, 1, 2, 2, 2, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+     1, 1, -1, -1, -1, -1, -1],
+    5,
+)
+_ML_DEFAULT = (
+    [1, 4, 3, 2, 2, 2, 2, 2, 2] + [1] * 37 + [-1] * 7,
+    6,
+)
+
+
+class _FrameCtx:
+    """Cross-block state within one frame: Huffman table for treeless
+    literals, FSE tables for repeat modes, repeat-offset history."""
+
+    def __init__(self) -> None:
+        self.huf: tuple[dict, int] | None = None
+        self.ll = None
+        self.of = None
+        self.ml = None
+        self.reps = [1, 4, 8]
+
+
+def _decode_literals(
+    block: bytes, pos: int, ctx: _FrameCtx
+) -> tuple[bytes, int]:
+    if pos >= len(block):
+        raise ValueError("zstd: literals section truncated")
+    b0 = block[pos]
+    ltype = b0 & 3
+    sf = (b0 >> 2) & 3
+    if ltype in (0, 1):  # raw / RLE
+        if sf in (0, 2):
+            rsize = b0 >> 3
+            pos += 1
+        elif sf == 1:
+            if pos + 2 > len(block):
+                raise ValueError("zstd: literals size truncated")
+            rsize = (b0 >> 4) | (block[pos + 1] << 4)
+            pos += 2
+        else:
+            if pos + 3 > len(block):
+                raise ValueError("zstd: literals size truncated")
+            rsize = (b0 >> 4) | (block[pos + 1] << 4) | (
+                block[pos + 2] << 12
+            )
+            pos += 3
+        if ltype == 0:
+            if pos + rsize > len(block):
+                raise ValueError("zstd: raw literals truncated")
+            return block[pos : pos + rsize], pos + rsize
+        if pos >= len(block):
+            raise ValueError("zstd: RLE literal byte truncated")
+        return bytes([block[pos]]) * rsize, pos + 1
+    # compressed (2) / treeless (3)
+    if sf == 0:
+        n_streams = 1
+        if pos + 3 > len(block):
+            raise ValueError("zstd: literals header truncated")
+        b1, b2 = block[pos + 1], block[pos + 2]
+        rsize = (b0 >> 4) | ((b1 & 0x3F) << 4)
+        csize = (b1 >> 6) | (b2 << 2)
+        pos += 3
+    elif sf == 1:
+        n_streams = 4
+        if pos + 3 > len(block):
+            raise ValueError("zstd: literals header truncated")
+        b1, b2 = block[pos + 1], block[pos + 2]
+        rsize = (b0 >> 4) | ((b1 & 0x3F) << 4)
+        csize = (b1 >> 6) | (b2 << 2)
+        pos += 3
+    elif sf == 2:
+        n_streams = 4
+        if pos + 4 > len(block):
+            raise ValueError("zstd: literals header truncated")
+        b1, b2, b3 = block[pos + 1], block[pos + 2], block[pos + 3]
+        rsize = (b0 >> 4) | (b1 << 4) | ((b2 & 3) << 12)
+        csize = (b2 >> 2) | (b3 << 6)
+        pos += 4
+    else:
+        n_streams = 4
+        if pos + 5 > len(block):
+            raise ValueError("zstd: literals header truncated")
+        b1, b2, b3, b4 = (
+            block[pos + 1], block[pos + 2], block[pos + 3], block[pos + 4]
+        )
+        rsize = (b0 >> 4) | (b1 << 4) | ((b2 & 0x3F) << 12)
+        csize = (b2 >> 6) | (b3 << 2) | (b4 << 10)
+        pos += 5
+    if pos + csize > len(block):
+        raise ValueError("zstd: compressed literals truncated")
+    section = block[pos : pos + csize]
+    spos = 0
+    if ltype == 2:
+        weights, spos = _huf_read_weights(section, 0)
+        ctx.huf = _huf_build(weights)
+    elif ctx.huf is None:
+        raise ValueError("zstd: treeless literals without a prior tree")
+    lut, max_bits = ctx.huf
+    if n_streams == 1:
+        out = _huf_decode_stream(lut, max_bits, section[spos:], rsize)
+    else:
+        if spos + 6 > len(section):
+            raise ValueError("zstd: literals jump table truncated")
+        s1 = int.from_bytes(section[spos : spos + 2], "little")
+        s2 = int.from_bytes(section[spos + 2 : spos + 4], "little")
+        s3 = int.from_bytes(section[spos + 4 : spos + 6], "little")
+        spos += 6
+        body = section[spos:]
+        if s1 + s2 + s3 > len(body):
+            raise ValueError("zstd: literals streams truncated")
+        per = (rsize + 3) // 4
+        sizes = [per, per, per, rsize - 3 * per]
+        if sizes[3] < 0:
+            raise ValueError("zstd: literals stream sizes invalid")
+        parts = [
+            body[:s1],
+            body[s1 : s1 + s2],
+            body[s1 + s2 : s1 + s2 + s3],
+            body[s1 + s2 + s3 :],
+        ]
+        out = b"".join(
+            _huf_decode_stream(lut, max_bits, p, n)
+            for p, n in zip(parts, sizes)
+        )
+    if len(out) != rsize:
+        raise ValueError("zstd: literals size mismatch")
+    return out, pos + csize
+
+
+def _decode_sequences(
+    block: bytes, pos: int, literals: bytes, ctx: _FrameCtx, out: bytearray
+) -> None:
+    """Decode + execute the sequences section onto ``out`` (which holds
+    all prior frame output — matches may reach back across blocks)."""
+    if pos >= len(block):
+        raise ValueError("zstd: sequences section truncated")
+    b0 = block[pos]
+    if b0 == 0:
+        out.extend(literals)
+        if pos + 1 != len(block):
+            raise ValueError("zstd: trailing bytes after empty sequences")
+        return
+    if b0 < 128:
+        nbseq = b0
+        pos += 1
+    elif b0 < 255:
+        if pos + 2 > len(block):
+            raise ValueError("zstd: sequence count truncated")
+        nbseq = ((b0 - 128) << 8) | block[pos + 1]
+        pos += 2
+    else:
+        if pos + 3 > len(block):
+            raise ValueError("zstd: sequence count truncated")
+        nbseq = int.from_bytes(block[pos + 1 : pos + 3], "little") + 0x7F00
+        pos += 3
+    if pos >= len(block):
+        raise ValueError("zstd: compression modes truncated")
+    modes = block[pos]
+    pos += 1
+    if modes & 3:
+        raise ValueError("zstd: reserved sequence mode bits set")
+    ll_tab, pos = _fse_from_mode(
+        (modes >> 6) & 3, None, block, pos, _LL_DEFAULT, 36, 9,
+        ctx.ll, "literals-length",
+    )
+    of_tab, pos = _fse_from_mode(
+        (modes >> 4) & 3, None, block, pos, _OF_DEFAULT, 32, 8,
+        ctx.of, "offset",
+    )
+    ml_tab, pos = _fse_from_mode(
+        (modes >> 2) & 3, None, block, pos, _ML_DEFAULT, 53, 9,
+        ctx.ml, "match-length",
+    )
+    ctx.ll, ctx.of, ctx.ml = ll_tab, of_tab, ml_tab
+    stream = _BackBits(block[pos:])
+    ll_al = (len(ll_tab) - 1).bit_length()
+    of_al = (len(of_tab) - 1).bit_length()
+    ml_al = (len(ml_tab) - 1).bit_length()
+    ll_state = stream.read(ll_al)
+    of_state = stream.read(of_al)
+    ml_state = stream.read(ml_al)
+    lit_pos = 0
+    for i in range(nbseq):
+        of_code = of_tab[of_state][0]
+        if of_code > 31:
+            raise ValueError("zstd: offset code out of range")
+        offset_value = (1 << of_code) + stream.read(of_code)
+        ml_code = ml_tab[ml_state][0]
+        if ml_code > 52:
+            raise ValueError("zstd: match-length code out of range")
+        match_len = _ML_BASE[ml_code] + stream.read(_ML_BITS[ml_code])
+        ll_code = ll_tab[ll_state][0]
+        if ll_code > 35:
+            raise ValueError("zstd: literals-length code out of range")
+        lit_len = _LL_BASE[ll_code] + stream.read(_LL_BITS[ll_code])
+        # repeat-offset resolution (RFC 8878 §3.1.1.5)
+        reps = ctx.reps
+        if offset_value > 3:
+            offset = offset_value - 3
+            ctx.reps = [offset, reps[0], reps[1]]
+        else:
+            idx = offset_value - 1 + (1 if lit_len == 0 else 0)
+            if idx == 0:
+                offset = reps[0]
+            elif idx == 1:
+                offset = reps[1]
+                ctx.reps = [offset, reps[0], reps[2]]
+            elif idx == 2:
+                offset = reps[2]
+                ctx.reps = [offset, reps[0], reps[1]]
+            else:
+                offset = reps[0] - 1
+                if offset == 0:
+                    raise ValueError("zstd: zero repeat offset")
+                ctx.reps = [offset, reps[0], reps[1]]
+        if lit_pos + lit_len > len(literals):
+            raise ValueError("zstd: sequence literals overrun")
+        out.extend(literals[lit_pos : lit_pos + lit_len])
+        lit_pos += lit_len
+        if offset > len(out):
+            raise ValueError("zstd: match offset before frame start")
+        if len(out) + match_len > _MAX_OUTPUT:
+            raise ValueError("zstd: output exceeds decoder limit")
+        if offset >= match_len:  # non-overlapping fast path
+            start = len(out) - offset
+            out.extend(out[start : start + match_len])
+        else:
+            for _ in range(match_len):
+                out.append(out[-offset])
+        if i < nbseq - 1:
+            ll_state = ll_tab[ll_state][2] + stream.read(ll_tab[ll_state][1])
+            ml_state = ml_tab[ml_state][2] + stream.read(ml_tab[ml_state][1])
+            of_state = of_tab[of_state][2] + stream.read(of_tab[of_state][1])
+    out.extend(literals[lit_pos:])
+
+
+def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
+    """Decompress a zstd payload (one or more frames, skippable frames
+    ignored).  Raises ValueError on any malformed input."""
+    out = bytearray()
+    pos = 0
+    n = len(payload)
+    while pos < n:
+        if pos + 4 > n:
+            raise ValueError("zstd: truncated frame magic")
+        magic = int.from_bytes(payload[pos : pos + 4], "little")
+        pos += 4
+        if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated skippable frame size")
+            fsize = int.from_bytes(payload[pos : pos + 4], "little")
+            pos += 4
+            if pos + fsize > n:
+                raise ValueError("zstd: skippable frame overruns input")
+            pos += fsize
+            continue
+        if magic != _MAGIC:
+            raise ValueError("zstd: bad frame magic")
+        if pos >= n:
+            raise ValueError("zstd: truncated frame header")
+        fhd = payload[pos]
+        pos += 1
+        if fhd & 0x08:
+            raise ValueError("zstd: reserved frame-header bit set")
+        single_segment = bool(fhd & 0x20)
+        checksum = bool(fhd & 0x04)
+        did_size = (0, 1, 2, 4)[fhd & 3]
+        fcs_flag = fhd >> 6
+        fcs_size = (
+            (1 if single_segment else 0), 2, 4, 8
+        )[fcs_flag]
+        if not single_segment:
+            if pos >= n:
+                raise ValueError("zstd: truncated window descriptor")
+            pos += 1  # window size is advisory for a full-buffer decoder
+        if did_size:
+            if pos + did_size > n:
+                raise ValueError("zstd: truncated dictionary id")
+            did = int.from_bytes(payload[pos : pos + did_size], "little")
+            pos += did_size
+            if did != 0:
+                raise ValueError("zstd: dictionaries not supported")
+        content_size = None
+        if fcs_size:
+            if pos + fcs_size > n:
+                raise ValueError("zstd: truncated content size")
+            content_size = int.from_bytes(
+                payload[pos : pos + fcs_size], "little"
+            )
+            if fcs_size == 2:
+                content_size += 256
+            pos += fcs_size
+            if content_size > max_output:
+                raise ValueError("zstd: declared content size too large")
+        ctx = _FrameCtx()
+        frame_start = len(out)
+        while True:
+            if pos + 3 > n:
+                raise ValueError("zstd: truncated block header")
+            bh = int.from_bytes(payload[pos : pos + 3], "little")
+            pos += 3
+            last = bh & 1
+            btype = (bh >> 1) & 3
+            bsize = bh >> 3
+            if btype == 0:  # raw
+                if pos + bsize > n:
+                    raise ValueError("zstd: raw block truncated")
+                out.extend(payload[pos : pos + bsize])
+                pos += bsize
+            elif btype == 1:  # RLE
+                if pos >= n:
+                    raise ValueError("zstd: RLE block truncated")
+                if len(out) + bsize > max_output:
+                    raise ValueError("zstd: output exceeds decoder limit")
+                out.extend(bytes([payload[pos]]) * bsize)
+                pos += 1
+            elif btype == 2:  # compressed
+                if pos + bsize > n:
+                    raise ValueError("zstd: compressed block truncated")
+                block = payload[pos : pos + bsize]
+                pos += bsize
+                literals, bp = _decode_literals(block, 0, ctx)
+                _decode_sequences(block, bp, literals, ctx, out)
+            else:
+                raise ValueError("zstd: reserved block type")
+            if len(out) > max_output:
+                raise ValueError("zstd: output exceeds decoder limit")
+            if last:
+                break
+        if content_size is not None and len(out) - frame_start != content_size:
+            raise ValueError("zstd: frame content size mismatch")
+        if checksum:
+            if pos + 4 > n:
+                raise ValueError("zstd: truncated content checksum")
+            pos += 4  # xxhash64 low 32 bits — skipped (documented above)
+    return bytes(out)

@@ -6132,3 +6132,129 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, version long, ck_version long, n_tail long, "
         "n_live long, live_bytes long, live_rows long",
     )
+
+
+@register_extra(
+    "parquet_modern_page_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 200 + doc_id % 50 AS n,
+               CASE doc_id % 6
+                    WHEN 0 THEN 'zstd/v1/dict'
+                    WHEN 1 THEN 'zstd/v2/dict'
+                    WHEN 2 THEN 'snappy/v2/dict'
+                    WHEN 3 THEN 'zstd/v2/delta'
+                    WHEN 4 THEN 'raw/v2/delta-length'
+                    ELSE 'zstd/v1/delta' END AS layout
+        FROM documents
+    ),
+    r AS (
+        SELECT d.doc_id, d.n, d.layout, j,
+               d.doc_id * 3 + j * 7 - (j % 5) AS id,
+               'n' || CAST((d.doc_id + j) % 23 AS VARCHAR) AS name,
+               CASE WHEN (d.doc_id + j) % 7 = 0 THEN NULL
+                    ELSE d.doc_id + j * j END AS v
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS j)
+    )
+    SELECT doc_id,
+           any_value(layout) AS layout,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(id) AS BIGINT) AS sum_ids,
+           CAST(count(*) FILTER (WHERE v IS NULL) AS BIGINT) AS n_nulls_v,
+           CAST(coalesce(sum(v), 0) AS BIGINT) AS sum_v,
+           CAST(sum(length(name)) AS BIGINT) AS sum_name_len
+    FROM r GROUP BY 1
+    """,
+)
+def q_parquet_modern_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern-writer page decode (round-8 coverage): per doc a pyarrow
+    file written in one of SIX layouts — zstd pages (hand RFC 8878
+    decode, operators/zstd.py), DataPageV2 headers (uncompressed level
+    runs, separate lengths), DELTA_BINARY_PACKED /
+    DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY encodings — read back
+    cell-for-cell by the hand parquet decoder
+    (parquetfmt.read_leaf_column).  The oracle replays the LOGICAL
+    content, which is layout-independent by construction: a codec,
+    page-header, level-run, or delta-decode bug mismatches exactly the
+    affected doc rows."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.parquetfmt import read_leaf_column
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    _COMBOS = [
+        ("zstd/v1/dict", dict(compression="zstd")),
+        ("zstd/v2/dict", dict(compression="zstd", data_page_version="2.0")),
+        ("snappy/v2/dict",
+         dict(compression="snappy", data_page_version="2.0")),
+        ("zstd/v2/delta",
+         dict(compression="zstd", use_dictionary=False,
+              data_page_version="2.0",
+              column_encoding={"id": "DELTA_BINARY_PACKED",
+                               "name": "DELTA_BYTE_ARRAY",
+                               "v": "DELTA_BINARY_PACKED"})),
+        ("raw/v2/delta-length",
+         dict(compression="none", use_dictionary=False,
+              data_page_version="2.0",
+              column_encoding={"id": "DELTA_BINARY_PACKED",
+                               "name": "DELTA_LENGTH_BYTE_ARRAY",
+                               "v": "PLAIN"})),
+        ("zstd/v1/delta",
+         dict(compression="zstd", use_dictionary=False,
+              data_page_version="1.0",
+              column_encoding={"id": "DELTA_BINARY_PACKED",
+                               "name": "DELTA_BYTE_ARRAY",
+                               "v": "DELTA_BINARY_PACKED"})),
+    ]
+
+    def gen_and_scan(it):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 200 + did % 50
+                ids = [did * 3 + j * 7 - (j % 5) for j in range(n)]
+                names = [f"n{(did + j) % 23}" for j in range(n)]
+                vals = [
+                    None if (did + j) % 7 == 0 else did + j * j
+                    for j in range(n)
+                ]
+                layout, kw = _COMBOS[did % 6]
+                buf = io.BytesIO()
+                pq.write_table(
+                    pa.table({"id": pa.array(ids, pa.int64()),
+                              "name": pa.array(names),
+                              "v": pa.array(vals, pa.int64())}),
+                    buf, **kw,
+                )
+                raw = buf.getvalue()
+                got_ids = read_leaf_column(raw, 0, "id")["values"]
+                got_names = read_leaf_column(raw, 0, "name")["values"]
+                got_v = read_leaf_column(raw, 0, "v", with_nulls=True)
+                out.append(
+                    {
+                        "doc_id": did,
+                        "layout": layout,
+                        "n_rows": len(got_ids),
+                        "sum_ids": sum(got_ids),
+                        "n_nulls_v": got_v["n_nulls"],
+                        "sum_v": sum(x for x in got_v["values"]
+                                     if x is not None),
+                        "sum_name_len": sum(len(s) for s in got_names),
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_scan,
+        "doc_id long, layout string, n_rows long, sum_ids long, "
+        "n_nulls_v long, sum_v long, sum_name_len long",
+    )

@@ -104,6 +104,9 @@ from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
 from hainan_big_data_recommend_system_spark.operators.snappy import (
     snappy_decompress,
 )
+from hainan_big_data_recommend_system_spark.operators.zstd import (
+    zstd_decompress,
+)
 from hainan_big_data_recommend_system_spark.operators.pbwire import (
     make_pb_log,
     parse_pb_stream,
@@ -251,6 +254,14 @@ CASES = {
         # orders testdata (deterministic slice via its page header)
         lambda: _real_snappy_page(),
         snappy_decompress,
+    ),
+    "zstd": (
+        # a REAL zstd frame (pyarrow reference encoder): Huffman
+        # literals + FSE sequences, the full compressed-block path
+        lambda: __import__("pyarrow").Codec("zstd").compress(
+            b"the quick brown fox jumps " * 120, asbytes=True
+        ),
+        zstd_decompress,
     ),
     "parquet_column": (
         lambda: open("/root/testdata/sf0.001/orders.parquet",

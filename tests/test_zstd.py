@@ -1,0 +1,93 @@
+"""zstd decoder (operators/zstd.py) — RFC 8878, interop-gated against
+pyarrow's reference codec (the strongest oracle available here: a
+NATIVE encoder, both levels and shapes varied) plus the fleet fuzz
+contract (malformed input raises ValueError ONLY)."""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pytest
+
+from hainan_big_data_recommend_system_spark.operators.zstd import (
+    zstd_decompress,
+)
+
+
+def _cases() -> list[bytes]:
+    random.seed(42)
+    words = [f"tok{i}" for i in range(500)]
+    return [
+        b"",
+        b"a",
+        b"hello world " * 100,                       # 1 seq, raw literals
+        bytes(range(256)) * 40,                      # long matches
+        os.urandom(5000),                            # raw blocks
+        b"\x00" * 100000,                            # RLE block
+        ("the quick brown fox " * 997).encode(),
+        bytes(random.choices(b"abcd", k=200000)),    # multi-block Huffman
+        bytes(random.choices(bytes(range(64)), k=300000)),
+        " ".join(random.choices(words, k=100000)).encode(),  # 4-stream
+        ("{\"k\":%d}\n" * 5000 % tuple(range(5000))).encode(),
+        os.urandom(100) * 3000,                      # cross-block matches
+    ]
+
+
+@pytest.mark.parametrize("level", [1, 3, 9, 19])
+def test_roundtrip_vs_pyarrow_levels(level):
+    codec = pa.Codec("zstd", compression_level=level)
+    for data in _cases():
+        comp = codec.compress(data, asbytes=True)
+        assert zstd_decompress(comp) == data
+
+
+def test_concatenated_and_skippable_frames():
+    codec = pa.Codec("zstd")
+    a = codec.compress(b"first frame ", asbytes=True)
+    b = codec.compress(b"second frame", asbytes=True)
+    skip = (0x184D2A50).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"xyz"
+    assert zstd_decompress(a + skip + b) == b"first frame second frame"
+
+
+def test_fuzz_valueerror_contract():
+    random.seed(7)
+    codec = pa.Codec("zstd")
+    for _ in range(800):
+        blob = os.urandom(random.randint(0, 200))
+        try:
+            zstd_decompress(blob)
+        except ValueError:
+            pass
+    for _ in range(800):
+        data = bytes(random.choices(b"abcdefgh ", k=random.randint(1, 3000)))
+        comp = bytearray(codec.compress(data, asbytes=True))
+        for _ in range(random.randint(1, 4)):
+            comp[random.randrange(len(comp))] ^= 1 << random.randrange(8)
+        try:
+            zstd_decompress(bytes(comp))
+        except ValueError:
+            pass
+    for _ in range(300):
+        comp = codec.compress(b"hello world " * 200, asbytes=True)
+        cut = comp[: random.randrange(len(comp))]
+        try:
+            zstd_decompress(cut)
+        except ValueError:
+            pass
+
+
+def test_dictionary_frames_rejected():
+    # a frame header declaring a dictionary id must be refused loudly
+    payload = (0xFD2FB528).to_bytes(4, "little") + bytes([0x21, 7]) + b"\x01"
+    with pytest.raises(ValueError, match="dictionar"):
+        zstd_decompress(payload)
+
+
+def test_content_size_guard():
+    # declared content size above the decoder limit is rejected upfront
+    codec = pa.Codec("zstd")
+    comp = bytearray(codec.compress(b"x" * 1000, asbytes=True))
+    with pytest.raises(ValueError):
+        zstd_decompress(bytes(comp), max_output=10)
