@@ -274,3 +274,146 @@ def q_archive_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return parts[0].unionByName(parts[1])
+
+
+def _ensure_parquet_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A lake directory of REAL parquet corpus files from two writers:
+
+    - 4 shards written BY SPARK ITSELF (``coalesce(1)`` +
+      ``sortWithinPartitions`` per shard → one deterministic-content
+      file per ``spark-shard=N/`` directory, snappy v1 pages — the
+      layout a Spark job upstream would hand this engine), and
+    - 4 shards written by pyarrow with round-8 modern layouts (zstd v1
+      dict / zstd v2 dict / zstd v2 DELTA_BYTE_ARRAY / snappy v2) via
+      one distributed ``applyInPandas`` task per shard,
+
+    plus one garbage file for the per-file quarantine row."""
+    out = _fixture_dir(sf_dir, "pqdir")
+    if os.path.isdir(out):
+        return out
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        F.format_string("doc-%08d", "doc_id").alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
+    for s in range(4):
+        (
+            docs.filter(F.col("shard") == s)
+            .select("name", "body")
+            .coalesce(1)
+            .sortWithinPartitions("name")
+            .write.mode("overwrite")
+            .parquet(os.path.join(tmp, f"spark-shard={s}"))
+        )
+
+    _PA_LAYOUTS = [
+        dict(compression="zstd"),
+        dict(compression="zstd", data_page_version="2.0"),
+        dict(compression="zstd", use_dictionary=False,
+             data_page_version="2.0",
+             column_encoding={"name": "DELTA_BYTE_ARRAY",
+                              "body": "DELTA_BYTE_ARRAY"}),
+        dict(compression="snappy", data_page_version="2.0"),
+    ]
+
+    def write_shard(pdf):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        s = int(pdf["shard"].iloc[0])
+        pdf = pdf.sort_values("name")
+        dest = os.path.join(tmp, f"pa-shard-{s:05d}.parquet")
+        part = f"{dest}.inprogress-{os.getpid()}"
+        pq.write_table(
+            pa.table({"name": pa.array(pdf["name"], pa.string()),
+                      "body": pa.array(pdf["body"], pa.string())}),
+            part, **_PA_LAYOUTS[s],
+        )
+        os.replace(part, dest)
+        return pd.DataFrame({"shard": [s], "n": [len(pdf)]})
+
+    docs.select("shard", "name", "body").groupBy("shard").applyInPandas(
+        write_shard, "shard long, n long"
+    ).collect()
+    with open(os.path.join(tmp, "broken-00096.parquet"), "wb") as fh:
+        fh.write(b"PAR1 but nothing real follows" * 10)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_PARQUET_FILE_SQL = """
+    WITH m AS (
+        SELECT src, CAST(doc_id % 4 AS BIGINT) AS shard,
+               CAST(row_number() OVER (
+                   PARTITION BY src, doc_id % 4 ORDER BY doc_id
+               ) - 1 AS BIGINT) AS record_index,
+               doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS body_len,
+               md5(text) AS body_md5,
+               CAST(NULL AS VARCHAR) AS error
+        FROM documents, (SELECT unnest(['spark', 'pyarrow']) AS src)
+    ),
+    broken AS (
+        SELECT 'quarantine' AS src, CAST(96 AS BIGINT) AS shard,
+               CAST(NULL AS BIGINT) AS record_index,
+               CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS body_len,
+               CAST(NULL AS VARCHAR) AS body_md5,
+               'not a parquet file (bad magic)' AS error
+    )
+    SELECT * FROM m UNION ALL SELECT * FROM broken
+"""
+
+
+@register_extra("parquet_file_corpus_scan", _PARQUET_FILE_SQL)
+def q_parquet_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directory-of-parquet lake scan through the container front door
+    (SURVEY §2.1 S1's 100 TB shape): real parquet shards from TWO
+    writers — Spark itself (snappy v1) and pyarrow in the modern
+    layouts (zstd, DataPageV2, DELTA_BYTE_ARRAY) — explode through the
+    same binaryFile → per-file mapInPandas path as WARC/tar/zip, rows
+    decoded by the HAND parquet reader, with per-file quarantine for
+    the garbage file.  The oracle recomputes every record from the
+    documents table; both writers must produce identical logical rows."""
+    from ..sources.files import read_container_records
+
+    fixture = _ensure_parquet_fixture(spark, sf_dir)
+    recs = read_container_records(spark, fixture, "parquet",
+                                  glob="*.parquet", recursive=True)
+    fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
+    dirname = F.element_at(F.split(F.col("file_path"), "/"), -2)
+    doc_match = F.regexp_extract(F.col("name"), r"doc-(\d{8})$", 1)
+    src = (
+        F.when(dirname.startswith("spark-shard="), F.lit("spark"))
+        .when(fname.startswith("pa-shard-"), F.lit("pyarrow"))
+        .otherwise(F.lit("quarantine"))
+    )
+    shard = (
+        F.when(
+            dirname.startswith("spark-shard="),
+            F.regexp_extract(dirname, r"=(\d+)$", 1).cast("bigint"),
+        )
+        .otherwise(
+            F.regexp_extract(fname, r"-(\d{5})\.parquet$", 1).cast("bigint")
+        )
+    )
+    return recs.select(
+        src.alias("src"),
+        shard.alias("shard"),
+        "record_index",
+        F.when(doc_match != "", doc_match.cast("bigint"))
+        .otherwise(F.lit(None).cast("bigint"))
+        .alias("doc_id"),
+        F.when(
+            F.col("body").isNotNull(), F.length(F.col("body")).cast("bigint")
+        ).alias("body_len"),
+        F.md5(F.col("body")).alias("body_md5"),
+        "error",
+    )

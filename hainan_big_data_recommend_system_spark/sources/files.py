@@ -77,6 +77,39 @@ _AVRO_MEMBER_SCHEMA = {
 }
 
 
+def _parquet_members(payload: bytes) -> list[tuple[str, str]]:
+    """Rows of a REAL parquet corpus-exchange file, decoded by the hand
+    reader (operators/parquetfmt.py): the container must carry string
+    columns ``name`` and ``body`` (the layout this engine's own corpus
+    sinks write); every row group walks through
+    :func:`..operators.parquetfmt.read_leaf_column`, so the front door
+    accepts snappy/zstd pages, v1/v2 page headers, dictionary and
+    DELTA_* encodings — whatever a modern writer produced.  Any other
+    schema, codec, or a corrupt file raises ValueError → one quarantine
+    row for the file, same contract as the archive formats."""
+    from ..operators.parquetfmt import parse_footer_tail, read_leaf_column
+
+    meta = parse_footer_tail(payload[-min(len(payload), 1 << 16):])
+    cols = set(meta["column_names"])
+    if not {"name", "body"} <= cols:
+        raise ValueError(
+            "parquet corpus file must carry string columns name and body"
+        )
+    out: list[tuple[str, str]] = []
+    for rg in range(meta["n_row_groups"]):
+        names = read_leaf_column(payload, rg, "name", with_nulls=True)[
+            "values"
+        ]
+        bodies = read_leaf_column(payload, rg, "body", with_nulls=True)[
+            "values"
+        ]
+        for nm, bd in zip(names, bodies):
+            if nm is None or bd is None:
+                raise ValueError("parquet corpus row with null name/body")
+            out.append((nm, bd))
+    return out
+
+
 def _record_parser(fmt: str):
     """The mapInPandas generator exploding (path, content) batches into
     record rows — shared by the batch and streaming readers."""
@@ -99,6 +132,21 @@ def _record_parser(fmt: str):
                                     "name": r["target_uri"],
                                     "http_status": r.get("http_status"),
                                     "body": r.get("body", r["payload"]),
+                                    "error": None,
+                                }
+                            )
+                    elif fmt == "parquet":
+                        for i, (name, body) in enumerate(
+                            _parquet_members(payload)
+                        ):
+                            rows.append(
+                                {
+                                    "file_path": fpath,
+                                    "record_index": i,
+                                    "record_type": "row",
+                                    "name": name,
+                                    "http_status": None,
+                                    "body": body.encode("utf-8"),
                                     "error": None,
                                 }
                             )
@@ -169,19 +217,24 @@ def read_container_records(
     path: str,
     fmt: str,
     glob: str | None = None,
+    recursive: bool = False,
 ) -> DataFrame:
     """Explode every container file under ``path`` into records.
 
     ``fmt`` is ``"warc"`` (per-record-gzipped or plain streams both
-    parse), ``"tar"``, ``"zip"`` or ``"avro"`` (OCF,
-    operators/avrocf.py).  ``glob`` prunes the listing
+    parse), ``"tar"``, ``"zip"``, ``"avro"`` (OCF, operators/avrocf.py)
+    or ``"parquet"`` (corpus-exchange files with string columns
+    name/body, hand-decoded — snappy/zstd, v1/v2 pages, dictionary and
+    DELTA_* encodings; operators/parquetfmt.py).  ``glob`` prunes the listing
     (``pathGlobFilter``, e.g. ``"*.warc.gz"``) before any byte is read.
     """
-    if fmt not in ("warc", "tar", "zip", "avro"):
+    if fmt not in ("warc", "tar", "zip", "avro", "parquet"):
         raise ValueError(f"unsupported container format {fmt!r}")
     reader = spark.read.format("binaryFile")
     if glob is not None:
         reader = reader.option("pathGlobFilter", glob)
+    if recursive:  # lake layouts nest files under partition directories
+        reader = reader.option("recursiveFileLookup", "true")
     files = reader.load(path).select("path", "content")
     return files.mapInPandas(_record_parser(fmt), CONTAINER_RECORD_SCHEMA)
 
@@ -210,7 +263,7 @@ def stream_container_records(
     The unit of streaming progress is the FILE (binaryFile never splits
     one), so ``max_files_per_trigger`` is the batch-size knob — the same
     per-file task sizing as the batch path, metered per trigger."""
-    if fmt not in ("warc", "tar", "zip", "avro"):
+    if fmt not in ("warc", "tar", "zip", "avro", "parquet"):
         raise ValueError(f"unsupported container format {fmt!r}")
     reader = spark.readStream.format("binaryFile").schema(
         _BINARY_FILE_SCHEMA

@@ -256,3 +256,62 @@ def test_avro_shard_quarantine_and_deflate_layout(spark, tmp_path):
     assert {r["name"] for r in good} == {
         f"doc-{i:04d}.txt" for i in range(9)
     }
+
+
+def test_parquet_container_front_door(spark, tmp_path):
+    """fmt="parquet" (round 8): Spark-written and pyarrow-written
+    corpus files explode through the same binaryFile→mapInPandas path,
+    rows decoded by the HAND parquet reader; wrong-schema and garbage
+    files quarantine per file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.sources.files import (
+        read_container_records,
+    )
+
+    lake = tmp_path / "lake"
+    lake.mkdir()
+    # spark-written (snappy v1), under a partition-style subdir
+    spark.createDataFrame(
+        [(f"doc-{i:08d}", f"text body {i}") for i in range(20)],
+        "name string, body string",
+    ).coalesce(1).sortWithinPartitions("name").write.parquet(
+        str(lake / "spark-shard=0")
+    )
+    # pyarrow-written, zstd v2 DELTA_BYTE_ARRAY
+    pq.write_table(
+        pa.table({"name": pa.array([f"doc-{i:08d}" for i in range(20, 30)]),
+                  "body": pa.array([f"text body {i}" for i in range(20, 30)])}),
+        str(lake / "pa-shard-00001.parquet"),
+        compression="zstd", use_dictionary=False, data_page_version="2.0",
+        column_encoding={"name": "DELTA_BYTE_ARRAY",
+                         "body": "DELTA_BYTE_ARRAY"},
+    )
+    # wrong schema -> quarantine (valid parquet, missing name/body)
+    pq.write_table(
+        pa.table({"x": pa.array([1, 2, 3], pa.int64())}),
+        str(lake / "wrong-00002.parquet"),
+    )
+    (lake / "broken-00003.parquet").write_bytes(b"garbage" * 50)
+    recs = read_container_records(
+        spark, str(lake), "parquet", glob="*.parquet", recursive=True
+    )
+    rows = recs.collect()
+    good = [r for r in rows if r["error"] is None]
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(good) == 30
+    assert sorted(r["name"] for r in good) == [
+        f"doc-{i:08d}" for i in range(30)
+    ]
+    assert {bytes(r["body"]).decode() for r in good} == {
+        f"text body {i}" for i in range(30)
+    }
+    assert len(bad) == 2
+    errs = {r["file_path"].rsplit("/", 1)[-1]: r["error"] for r in bad}
+    assert "name and body" in errs["wrong-00002.parquet"]
+    assert "bad magic" in errs["broken-00003.parquet"]
+    # one-task-per-file: no exchange in the plan
+    plan = recs._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -668,3 +668,10 @@ def test_rfm_percentiles_winsorized_no_unpartitioned_window(spark):
     ):
         plan = plan_of(spark, name)
         assert not _unpartitioned_windows(plan), (name, plan)
+
+
+def test_parquet_file_corpus_scan_one_task_per_file(spark):
+    plan = plan_of(spark, "parquet_file_corpus_scan")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 0, plan
+    assert "EvalPython" not in plan, plan
