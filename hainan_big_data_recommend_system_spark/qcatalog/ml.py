@@ -375,7 +375,11 @@ def q_ann_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and centroid init are engine-specific; invariants tested in test_ml.py)
 # ---------------------------------------------------------------------------
 
-@register("doc_clusters", None)
+# demoted round 8 (rotation for doc_clusters_exact): the MLlib fit stays
+# rows-only by nature (float k-means||); its M3/M4 facet now ALSO rides
+# the driver window's exact integer twin, so the float pipeline keeps its
+# invariant gate (tests/test_ml.py) in EXTRA
+@register_extra("doc_clusters", None)
 def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # stop-word removal (S8) ahead of the vectorizer, as in the reference's
@@ -389,6 +393,23 @@ def q_doc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("cluster")
     )
+
+
+from ..operators.kmeans_exact import lloyd_exact, lloyd_exact_oracle_sql
+
+
+@register("doc_clusters_exact", lloyd_exact_oracle_sql())
+def q_doc_clusters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3§/M4§ as a HASH-CHECKED fit (operators/kmeans_exact.py): pinned
+    integer fixed-point Lloyd over the quantized embeddings — md5-seeded
+    centroids, 5 fixed iterations, tie-broken integer argmin, sign-safe
+    truncating centroid means — replayed move-for-move by a generated
+    unrolled DuckDB CTE chain.  The MLlib float pipeline (`doc_clusters`,
+    EXTRA) remains the faithful reference port; this twin puts the
+    CLUSTERING ITSELF inside the correctness gate: a seeding, distance,
+    tie-break, division, or empty-cluster bug mismatches the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lloyd_exact(emb, "vec_id", "embedding", k=8, iters=5)
 
 
 # ---------------------------------------------------------------------------

@@ -31,9 +31,11 @@ def test_kmeans_full_k_and_deterministic_ordering(spark, sf_oracle_dir):
     """At corpus scale (sf0.01, 500 docs) the seeded fit must populate all
     k clusters, and the doc_clusters catalog query must return a stable,
     cluster-ordered result across invocations (SURVEY §5.4 invariants)."""
-    from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY
+    from hainan_big_data_recommend_system_spark.qcatalog import (
+        EXTRA_REGISTRY,
+    )
 
-    fn = REGISTRY["doc_clusters"].fn
+    fn = EXTRA_REGISTRY["doc_clusters"].fn  # rotated to EXTRA round 8
     r1 = fn(spark, sf_oracle_dir).collect()
     r2 = fn(spark, sf_oracle_dir).collect()
     assert [tuple(r) for r in r1] == [tuple(r) for r in r2]  # seed-stable
