@@ -76,20 +76,25 @@ def association_rules(
     transactions: DataFrame,
     basket_col: str,
     item_col: str,
-    min_support: int = 2,
+    min_support: int | None = None,
+    min_support_ppm: int = 200,
     max_basket_size: int = 64,
 ) -> DataFrame:
     """Directed association rules over co-occurring item pairs.
 
-    ``min_support`` is an ABSOLUTE basket count; on a growing corpus
-    pass a value proportional to the basket total (relative support,
-    the Agrawal & Srikant definition) — a fixed absolute threshold
-    admits ever more rules as data grows (measured: 10x-replicated
-    baskets grew the rule list 335x under a fixed min_support=2,
-    PLANS round-7 probes).
+    Support is RELATIVE by default (the Agrawal & Srikant definition):
+    a pair qualifies when its basket count reaches
+    ``max(2, ceil(n_baskets · min_support_ppm / 1e6))`` — the basket
+    total enters as a 1-row broadcast, never a collect.  A fixed
+    ABSOLUTE count (``min_support``, the round-7 default) is kept as an
+    override for known-scale runs, because it is exactly the setting
+    that explodes on growing data: the round-7 10× probe grew the rule
+    list 335× under a fixed min_support=2 (PLANS §15); under relative
+    support the threshold scales with the corpus and the rule list
+    stabilizes.
 
     One row per ordered pair ``(antecedent, consequent)`` whose joint
-    support reaches ``min_support``:
+    support reaches the threshold:
 
     - ``supp_ab`` — baskets containing both items;
     - ``supp_a`` / ``supp_b`` — marginal basket counts (post the
@@ -115,6 +120,11 @@ def association_rules(
         on="__basket",
     )
 
+    totals = F.broadcast(
+        sized.select("__basket")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
     pairs = (
         sized.select("__basket", F.col("__item").alias("item_a"))
         .join(
@@ -124,8 +134,24 @@ def association_rules(
         .where(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("supp_ab"))
-        .where(F.col("supp_ab") >= min_support)
     )
+    if min_support is not None:  # absolute override
+        pairs = pairs.where(F.col("supp_ab") >= min_support)
+    else:  # relative (ceil via integer arithmetic, all positive)
+        pairs = (
+            pairs.crossJoin(totals)
+            .where(
+                F.col("supp_ab")
+                >= F.greatest(
+                    F.lit(2),
+                    F.expr(
+                        f"(__n * {int(min_support_ppm)} + 999999) "
+                        "div 1000000"
+                    ),
+                )
+            )
+            .drop("__n")
+        )
     # both rule directions from each unordered pair
     rules = pairs.select(
         F.col("item_a").alias("antecedent"),
@@ -141,11 +167,6 @@ def association_rules(
 
     supports = sized.groupBy(F.col("__item").alias("__it")).agg(
         F.count(F.lit(1)).alias("__supp")
-    )
-    totals = F.broadcast(
-        sized.select("__basket")
-        .distinct()
-        .agg(F.count(F.lit(1)).alias("__n"))
     )
 
     out = (

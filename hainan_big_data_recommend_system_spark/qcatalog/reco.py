@@ -327,12 +327,15 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT basket FROM members GROUP BY 1 HAVING count(*) <= 64
         )
     ),
+    tot AS (SELECT count(DISTINCT basket) AS n FROM sized),
     pairs AS (
         SELECT a.item AS item_a, b.item AS item_b, count(*) AS supp_ab
         FROM sized a
         JOIN sized b ON a.basket = b.basket AND a.item < b.item
         GROUP BY 1, 2
-        HAVING count(*) >= 2
+        HAVING count(*) >= (
+            SELECT greatest(2, (n * 200 + 999999) // 1000000) FROM tot
+        )
     ),
     rules AS (
         SELECT item_a AS antecedent, item_b AS consequent, supp_ab
@@ -340,8 +343,7 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT item_b, item_a, supp_ab FROM pairs
     ),
-    supp AS (SELECT item, count(*) AS s FROM sized GROUP BY 1),
-    tot AS (SELECT count(DISTINCT basket) AS n FROM sized)
+    supp AS (SELECT item, count(*) AS s FROM sized GROUP BY 1)
     SELECT antecedent, consequent,
            CAST(supp_ab AS BIGINT) AS supp_ab,
            CAST(sa.s AS BIGINT) AS supp_a,
@@ -369,9 +371,10 @@ def q_assoc_rules_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.basket import association_rules
 
     lineitem = load_table(spark, sf_dir, "lineitem")
+    # relative support (the default): threshold scales with the basket
+    # total, so the rule list cannot output-explode on growing data
     return association_rules(
-        lineitem, "l_orderkey", "l_partkey",
-        min_support=2, max_basket_size=64,
+        lineitem, "l_orderkey", "l_partkey", max_basket_size=64,
     )
 
 
