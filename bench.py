@@ -89,6 +89,37 @@ def main() -> None:
                 pass
 
     timings: dict[str, float] = {}
+    # Build the shared staged dedup tables (shingles + LSH buckets) as an
+    # EXPLICIT, separately-reported step.  bench clears the stage dir
+    # above, so without this line the one-time staging cost lands on
+    # whichever dedup-chain query happens to run first — round 7 turned a
+    # 2.5s query into an 8.2s optics problem that took key-order forensics
+    # to adjudicate (PLANS §15 dedup_components).  The underscore key
+    # marks it as a staging line, not a catalog query; it still counts in
+    # the total (the work is real and happens once per cold run).
+    try:
+        from hainan_big_data_recommend_system_spark.qcatalog.dedup import (
+            staged_buckets,
+            staged_shingles,
+        )
+
+        t0 = time.perf_counter()
+        staged_shingles(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        staged_buckets(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        timings["_dedup_staging"] = round(time.perf_counter() - t0, 4)
+        print(
+            f"# _dedup_staging: {timings['_dedup_staging']:.3f}s",
+            file=sys.stderr,
+        )
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception as e:  # staging is an optimization, never a gate
+        print(f"# _dedup_staging skipped: {e}", file=sys.stderr)
+
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
