@@ -53,12 +53,12 @@ def _alpha_micros(m: int) -> int:
     return round(0.7213 / (1.0 + 1.079 / m) * 1_000_000)
 
 
-def hll_numerator(b: int) -> int:
+def hll_numerator(b: int, hash_bits: int = _HASH_BITS) -> int:
     """The constant integer numerator ``alpha_micros * m^2 * 2^R`` of
     the estimate — computed driver-side once (it exceeds int64; both
     engines receive it as a decimal literal)."""
     m = 1 << b
-    r = _HASH_BITS - b + 1
+    r = hash_bits - b + 1
     return _alpha_micros(m) * m * m * (1 << r)
 
 
@@ -81,16 +81,28 @@ def linear_counting_values_sql(b: int) -> str:
 
 
 def hll_registers(
-    df: DataFrame, group_cols: list, value_col: str, b: int = 10
+    df: DataFrame,
+    group_cols: list,
+    value_col: str,
+    b: int = 10,
+    hash_bits: int = _HASH_BITS,
 ) -> DataFrame:
     """Per-group HLL registers ``(…group, bucket, m_j)``: the mergeable
-    sketch state (merging = another max over bucket)."""
+    sketch state (merging = another max over bucket).  ``hash_bits=32``
+    (8 hex digits of md5) is the classic FFGM width where the
+    large-range saturation correction applies; 60 is this module's
+    default (saturation unreachable)."""
     if not 4 <= b <= 16:
         raise ValueError(f"b={b} outside the sane 4..16 register range")
-    rest_bits = _HASH_BITS - b
+    if hash_bits % 4 != 0 or not b < hash_bits <= 60:
+        raise ValueError(f"hash_bits={hash_bits} not a nibble width in range")
+    rest_bits = hash_bits - b
     r = rest_bits + 1
     hv = F.conv(
-        F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10
+        F.substring(
+            F.md5(F.col(value_col).cast("string")), 1, hash_bits // 4
+        ),
+        16, 10,
     ).cast("long")
     # EXACT integer bucket split: a `/`-then-cast would route the 60-bit
     # hash through a double (53-bit mantissa) and misassign buckets near
@@ -115,6 +127,8 @@ def hll_distinct(
     value_col: str,
     b: int = 10,
     small_range_correction: bool = False,
+    hash_bits: int = _HASH_BITS,
+    large_range_correction: bool = False,
 ) -> DataFrame:
     """Per-group deterministic HLL distinct estimate:
     ``(…group, observed_buckets, n_empty_buckets, est_distinct)``.
@@ -124,11 +138,50 @@ def hll_distinct(
     below 2.5·m with empty buckets — exact integer comparison
     ``2·est <= 5·m`` — else the raw estimate) and ``regime``
     (``'linear'``/``'raw'``).  The linear estimate joins the pinned
-    :func:`linear_counting_estimates` table broadcast on V."""
+    :func:`linear_counting_estimates` table broadcast on V.
+    ``large_range_correction=True`` (requires ``hash_bits=32``) adds the
+    FFGM saturation correction — see
+    :func:`hll_estimate_from_registers`."""
+    regs = hll_registers(df, group_cols, value_col, b, hash_bits)
+    return hll_estimate_from_registers(
+        regs, group_cols, b,
+        hash_bits=hash_bits,
+        small_range_correction=small_range_correction,
+        large_range_correction=large_range_correction,
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list,
+    b: int = 10,
+    hash_bits: int = _HASH_BITS,
+    small_range_correction: bool = False,
+    large_range_correction: bool = False,
+) -> DataFrame:
+    """Estimate from the mergeable register state ``(…group, bucket,
+    m_j)`` — the entry point a warehouse actually uses at 100 TB
+    (registers roll up across days/partitions with ``max``; the raw
+    rows are long gone by estimation time).
+
+    Large-range correction (FFGM 2007, 32-bit hashes): when
+    ``E > 2^32/30`` the raw estimate saturates (hash collisions) and
+    ``E* = -2^32·ln(1 - E/2^32)`` de-biases it.  To stay integer-exact
+    cross-engine the curve enters as 256 PINNED knots
+    (:func:`large_range_estimates`) with exact integer piecewise-linear
+    interpolation between them — the same no-transcendentals-at-query-
+    time discipline as the linear-counting table.  E is clamped into
+    the last finite segment (k=254..255; the curve diverges at
+    E = 2^32, where the sketch is saturated beyond repair anyway).
+    ``regime`` gains the value ``'large'``."""
     m = 1 << b
-    r = _HASH_BITS - b + 1
-    numer = hll_numerator(b)
-    regs = hll_registers(df, group_cols, value_col, b)
+    r = hash_bits - b + 1
+    numer = hll_numerator(b, hash_bits)
+    if large_range_correction and hash_bits != 32:
+        raise ValueError(
+            "large_range_correction applies to 32-bit hashes "
+            f"(hash_bits={hash_bits})"
+        )
     # sum(2^-M_j) scaled by 2^R: exact integer via shifts; empty buckets
     # contribute 2^R each.  decimal(38,0) — m * 2^R can reach 2^61 and
     # the 1e6-scaled denominator exceeds int64.
@@ -161,28 +214,90 @@ def hll_distinct(
         "n_empty_buckets",
         F.expr("cast(__n div __d as bigint)").alias("est_distinct"),
     )
-    if not small_range_correction:
+    if not small_range_correction and not large_range_correction:
         return out
-    lc = F.broadcast(
-        df.sparkSession.createDataFrame(
-            linear_counting_estimates(b), "n_empty_buckets long, __lc long"
+    spark = regs.sparkSession
+    est_corr = F.col("est_distinct")
+    regime = F.lit("raw")
+    if small_range_correction:
+        lc = F.broadcast(
+            spark.createDataFrame(
+                linear_counting_estimates(b),
+                "n_empty_buckets long, __lc long",
+            )
         )
-    )
-    is_linear = (F.col("n_empty_buckets") > 0) & (
-        F.col("est_distinct") * 2 <= 5 * m
-    )
-    return (
-        out.join(lc, "n_empty_buckets", "left")
-        .select(
-            *group_cols,
-            "observed_buckets",
-            "n_empty_buckets",
-            "est_distinct",
-            F.when(is_linear, F.col("__lc"))
-            .otherwise(F.col("est_distinct"))
-            .alias("est_corrected"),
-            F.when(is_linear, F.lit("linear"))
-            .otherwise(F.lit("raw"))
-            .alias("regime"),
+        out = out.join(lc, "n_empty_buckets", "left")
+        is_linear = (F.col("n_empty_buckets") > 0) & (
+            F.col("est_distinct") * 2 <= 5 * m
         )
+        est_corr = F.when(is_linear, F.col("__lc")).otherwise(est_corr)
+        regime = F.when(is_linear, F.lit("linear")).otherwise(regime)
+    if large_range_correction:
+        knots = large_range_estimates()
+        lr = F.broadcast(
+            spark.createDataFrame(
+                [(k, c, knots[min(k + 1, 255)][1]) for k, c in knots],
+                "__k long, __c0 long, __c1 long",
+            )
+        )
+        two32 = 1 << 32
+        seg = two32 >> 8  # 2^24 per knot segment
+        is_large = F.col("est_distinct") * 30 > two32
+        k_col = F.least(
+            F.expr(f"est_distinct div {seg}").cast("long"), F.lit(255)
+        )
+        out = out.withColumn("__k", k_col).join(lr, "__k", "left")
+        # exact integer lerp: c0 + (c1-c0) * (E - k*2^24) div 2^24
+        lerp = F.expr(
+            f"__c0 + (__c1 - __c0) * "
+            f"(least(est_distinct, {two32 - 1}) - __k * {seg}) div {seg}"
+        )
+        # small-range takes precedence (regimes are disjoint: linear
+        # fires below 2.5m, large above 2^32/30)
+        already_linear = (
+            regime == F.lit("linear")
+            if small_range_correction
+            else F.lit(False)
+        )
+        est_corr = F.when(
+            is_large & ~already_linear, lerp.cast("long")
+        ).otherwise(est_corr)
+        regime = F.when(
+            is_large & ~already_linear, F.lit("large")
+        ).otherwise(regime)
+    return out.select(
+        *group_cols,
+        "observed_buckets",
+        "n_empty_buckets",
+        "est_distinct",
+        est_corr.cast("long").alias("est_corrected"),
+        regime.alias("regime"),
+    )
+
+
+#: knot count for the pinned large-range curve (k = E div 2^24)
+_LR_KNOTS = 256
+
+
+def large_range_estimates() -> list[tuple[int, int]]:
+    """Pinned large-range knots: ``(k, round(-2^32·ln(1 - k/256)))`` for
+    k in 0..255 — computed once driver-side (build-time pins, the
+    :func:`linear_counting_estimates` style).  k=255 is the last finite
+    knot; estimates are clamped into its segment."""
+    import math
+
+    two32 = 1 << 32
+    return [
+        (k, round(-two32 * math.log(1.0 - k / _LR_KNOTS)))
+        for k in range(_LR_KNOTS)
+    ]
+
+
+def large_range_values_sql() -> str:
+    """``(k, c0, c1)`` VALUES rows for oracles (c1 = next knot,
+    clamped at the last)."""
+    knots = large_range_estimates()
+    return ", ".join(
+        f"({k}, {c}, {knots[min(k + 1, _LR_KNOTS - 1)][1]})"
+        for k, c in knots
     )

@@ -1368,3 +1368,122 @@ def q_debounced_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(kept.cast("long")).cast("long").alias("n_kept"),
         F.sum((~kept).cast("long")).cast("long").alias("n_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL large-range correction (round 8 — the r7 verdict's #8): the FFGM
+# 32-bit-hash saturation regime.  Real rows cannot reach E > 2^32/30 at
+# test scale, so the fixture synthesizes the REGISTER STATE itself from
+# the documents table (deterministic formulas both engines replay) and
+# estimates through hll_estimate_from_registers — which is also the
+# warehouse entry point at 100 TB, where estimates come from rolled-up
+# register tables, not raw rows.
+# ---------------------------------------------------------------------------
+
+_HLL_LR_B = 8
+_HLL_LR_HASH = 32
+
+
+def _hll_lr_sql() -> str:
+    from ..operators.hll import (
+        hll_numerator,
+        large_range_values_sql,
+        linear_counting_values_sql,
+    )
+
+    b, h = _HLL_LR_B, _HLL_LR_HASH
+    m = 1 << b
+    r = h - b + 1
+    numer = hll_numerator(b, h)
+    two32 = 1 << 32
+    seg = two32 >> 8
+    return f"""
+    WITH g AS (
+        SELECT CAST(doc_id % 4 AS BIGINT) AS grp,
+               count(*) % 7 AS salt
+        FROM documents GROUP BY 1
+    ),
+    regs AS (
+        SELECT grp,
+               CASE grp WHEN 0 THEN 2 WHEN 1 THEN 12
+                        WHEN 2 THEN 20 ELSE 24 END
+                   + (j + salt) % 2 AS m_j
+        FROM g, LATERAL (SELECT unnest(range(0, {m})) AS j)
+    ),
+    agg AS (
+        SELECT grp, count(*) AS observed,
+               sum(CAST(1 AS HUGEINT) << ({r} - m_j)) AS s
+        FROM regs GROUP BY grp
+    ),
+    est AS (
+        SELECT grp,
+               CAST(observed AS BIGINT) AS observed_buckets,
+               CAST({m} - observed AS BIGINT) AS n_empty_buckets,
+               CAST(CAST('{numer}' AS HUGEINT)
+                    // (CAST(1000000 AS HUGEINT)
+                        * (s + (CAST({m} AS HUGEINT) - observed)
+                             * (CAST(1 AS HUGEINT) << {r})))
+                    AS BIGINT) AS est_distinct
+        FROM agg
+    ),
+    lc(v_empty, lc_est) AS (VALUES {linear_counting_values_sql(b)}),
+    lr(k, c0, c1) AS (VALUES {large_range_values_sql()}),
+    staged AS (
+        SELECT e.*,
+               least(est_distinct // {seg}, 255) AS kk,
+               n_empty_buckets > 0 AND est_distinct * 2 <= {5 * m}
+                   AS is_linear,
+               est_distinct * 30 > {two32} AS is_large
+        FROM est e
+    )
+    SELECT grp, observed_buckets, n_empty_buckets, est_distinct,
+           CAST(CASE WHEN is_linear THEN lc_est
+                     WHEN is_large THEN
+                         c0 + (c1 - c0)
+                            * (least(est_distinct, {two32 - 1}) - kk * {seg})
+                            // {seg}
+                     ELSE est_distinct END AS BIGINT) AS est_corrected,
+           CASE WHEN is_linear THEN 'linear'
+                WHEN is_large THEN 'large'
+                ELSE 'raw' END AS regime
+    FROM staged
+    LEFT JOIN lc ON lc.v_empty = n_empty_buckets
+    LEFT JOIN lr ON lr.k = kk
+    """
+
+
+@register_extra("hll_large_range_distinct", _hll_lr_sql())
+def q_hll_large_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL with the FFGM large-range saturation correction
+    (operators/hll.py round 8): four synthetic register states derived
+    from the documents table span all three regimes — shallow registers
+    stay 'raw', deep all-full registers push the raw estimate past
+    2^32/30 where ``-2^32·ln(1 - E/2^32)`` de-biases it.  The ln curve
+    enters as 256 pinned knots with exact integer piecewise-linear
+    interpolation (zero transcendentals at query time in either
+    engine); estimation runs from the MERGEABLE register state — the
+    100 TB entry point, where sketches roll up across days before any
+    estimate is taken."""
+    from ..operators.hll import hll_estimate_from_registers
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy((F.col("doc_id") % 4).alias("grp")).agg(
+        (F.count(F.lit(1)) % 7).alias("salt")
+    )
+    base = (
+        F.when(F.col("grp") == 0, 2)
+        .when(F.col("grp") == 1, 12)
+        .when(F.col("grp") == 2, 20)
+        .otherwise(24)
+    )
+    regs = g.select(
+        "grp", "salt", F.explode(F.sequence(F.lit(0), F.lit((1 << _HLL_LR_B) - 1))).alias("j")
+    ).select(
+        "grp",
+        F.col("j").alias("bucket"),
+        (base + (F.col("j") + F.col("salt")) % 2).cast("int").alias("m_j"),
+    )
+    return hll_estimate_from_registers(
+        regs, ["grp"], b=_HLL_LR_B, hash_bits=_HLL_LR_HASH,
+        small_range_correction=True, large_range_correction=True,
+    )

@@ -263,3 +263,95 @@ def test_hll_raw_columns_unchanged_without_correction(spark):
     a = out.collect()[0]["est_distinct"]
     c = corr.collect()[0]
     assert c["est_distinct"] == a
+
+
+# ---------------------------------------------------------------------------
+# large-range correction (round 8)
+# ---------------------------------------------------------------------------
+
+def _estimate_for_registers(spark, m_j: int, b: int = 8):
+    """Estimate from a uniform synthetic register state (all buckets at
+    m_j), 32-bit hash geometry."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.hll import (
+        hll_estimate_from_registers,
+    )
+
+    m = 1 << b
+    regs = spark.createDataFrame(
+        [(0, j, m_j) for j in range(m)], "grp long, bucket long, m_j int"
+    )
+    return hll_estimate_from_registers(
+        regs, ["grp"], b=b, hash_bits=32,
+        small_range_correction=True, large_range_correction=True,
+    ).collect()[0]
+
+
+def test_large_range_boundary_regime_switch(spark):
+    """The regime flips exactly at E*30 > 2^32; below it the corrected
+    estimate IS the raw estimate."""
+    rows = {mj: _estimate_for_registers(spark, mj) for mj in (17, 18, 21)}
+    two32 = 1 << 32
+    for mj, r in rows.items():
+        if r["est_distinct"] * 30 > two32:
+            assert r["regime"] == "large", (mj, r)
+            assert r["est_corrected"] > r["est_distinct"], (mj, r)
+        else:
+            assert r["regime"] == "raw", (mj, r)
+            assert r["est_corrected"] == r["est_distinct"], (mj, r)
+    # the sweep must actually cross the boundary
+    assert {r["regime"] for r in rows.values()} == {"raw", "large"}
+
+
+def test_large_range_interpolation_tracks_the_ln_curve(spark):
+    """The pinned piecewise-linear knots track -2^32·ln(1-E/2^32) to
+    within the documented segment granularity (< 1% until the final
+    clamped segment)."""
+    import math
+
+    two32 = 1 << 32
+    for mj in (19, 20, 21, 22):
+        r = _estimate_for_registers(spark, mj)
+        if r["regime"] != "large":
+            continue
+        e = r["est_distinct"]
+        if e >= two32:  # clamped saturation tail — no float reference
+            continue
+        want = -two32 * math.log(1.0 - e / two32)
+        got = r["est_corrected"]
+        assert abs(got - want) <= max(0.01 * want, 2), (mj, got, want)
+
+
+def test_large_range_requires_32_bit_hash(spark):
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.operators.hll import (
+        hll_estimate_from_registers,
+    )
+
+    regs = spark.createDataFrame([(0, 0, 1)], "grp long, bucket long, m_j int")
+    with pytest.raises(ValueError, match="32-bit"):
+        hll_estimate_from_registers(
+            regs, ["grp"], b=8, hash_bits=60, large_range_correction=True
+        )
+
+
+def test_hll_32_bit_hash_end_to_end_still_estimates(spark):
+    """hash_bits=32 through the row-level entry point stays a sane
+    estimator in the raw regime (sanity for the new geometry)."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.hll import (
+        hll_distinct,
+    )
+
+    df = spark.range(3000).select(
+        F.lit("g").alias("g"), F.col("id").cast("string").alias("v")
+    )
+    r = hll_distinct(
+        df, ["g"], "v", b=10, hash_bits=32,
+        small_range_correction=True, large_range_correction=True,
+    ).collect()[0]
+    assert r["regime"] in ("raw", "linear")
+    assert abs(r["est_corrected"] - 3000) < 3000 * 0.15
