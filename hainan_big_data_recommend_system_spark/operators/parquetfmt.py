@@ -58,6 +58,10 @@ _ENCODINGS = {
     7: "DELTA_BYTE_ARRAY", 8: "RLE_DICTIONARY", 9: "BYTE_STREAM_SPLIT",
 }
 _T_INT64, _T_BYTE_ARRAY = 2, 6
+_T_INT32, _T_FLOAT, _T_DOUBLE = 1, 4, 5
+#: fixed byte widths for the non-BYTE_ARRAY leaf types in decode scope
+_FIXED_WIDTH = {_T_INT32: 4, _T_INT64: 8, _T_FLOAT: 4, _T_DOUBLE: 8}
+_STRUCT_FMT = {_T_INT32: "i", _T_INT64: "q", _T_FLOAT: "f", _T_DOUBLE: "d"}
 _PAGE_DATA, _PAGE_INDEX, _PAGE_DICT, _PAGE_DATA_V2 = 0, 1, 2, 3
 
 
@@ -553,10 +557,11 @@ def parse_parquet(payload: bytes) -> dict:
 
 
 def _decode_plain(data: bytes, n: int, ptype: int) -> list:
-    if ptype == _T_INT64:
-        if len(data) != 8 * n:
-            raise ValueError("PLAIN int64 page size mismatch")
-        return list(struct.unpack(f"<{n}q", data))
+    if ptype in _FIXED_WIDTH:
+        w, f = _FIXED_WIDTH[ptype], _STRUCT_FMT[ptype]
+        if len(data) != w * n:
+            raise ValueError("PLAIN fixed-width page size mismatch")
+        return list(struct.unpack(f"<{n}{f}", data))
     if ptype == _T_BYTE_ARRAY:
         out = []
         pos = 0
@@ -711,10 +716,11 @@ def _read_leaf_column(
             + ("INT64" if expect_type == _T_INT64 else "BYTE_ARRAY")
             + " chunk"
         )
-    if ctype not in (_T_INT64, _T_BYTE_ARRAY):
+    if ctype not in (_T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE,
+                     _T_BYTE_ARRAY):
         raise ValueError(f"leaf type {ctype} out of decode scope")
     codec = _need_int(md.get(4), "codec")
-    if codec not in (0, 1, 6):  # UNCOMPRESSED / SNAPPY / ZSTD
+    if codec not in (0, 1, 2, 6):  # UNCOMPRESSED/SNAPPY/GZIP/ZSTD
         raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
     nvals = _need_int(md.get(5), "num_values")
     dict_off = md.get(11)
@@ -875,6 +881,13 @@ def _decompress_page(raw: bytes, codec: int, usz: int) -> bytes:
         from .zstd import zstd_decompress
 
         body = zstd_decompress(raw)
+    elif codec == 2:  # GZIP: each page is one full gzip member
+        import zlib
+
+        try:
+            body = zlib.decompress(raw, 16 + 15)
+        except zlib.error as e:
+            raise ValueError(f"gzip page: {e}") from e
     else:
         raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
     if len(body) != usz:
@@ -898,18 +911,30 @@ def _decode_page_values(
         except IndexError:
             raise ValueError("dictionary index out of range")
     if enc == 0:  # PLAIN
-        if ctype == _T_INT64:
-            if 8 * nnz > len(body):
-                raise ValueError("PLAIN int64 page truncated")
-            return list(struct.unpack(f"<{nnz}q", body[: 8 * nnz]))
+        if ctype in _FIXED_WIDTH:
+            w, f = _FIXED_WIDTH[ctype], _STRUCT_FMT[ctype]
+            if w * nnz > len(body):
+                raise ValueError("PLAIN fixed-width page truncated")
+            return list(struct.unpack(f"<{nnz}{f}", body[: w * nnz]))
         return _decode_plain(body, nnz, ctype)
     if enc == 5:  # DELTA_BINARY_PACKED
-        if ctype != _T_INT64:
-            raise ValueError("DELTA_BINARY_PACKED on a non-INT64 chunk")
+        if ctype not in (_T_INT32, _T_INT64):
+            raise ValueError("DELTA_BINARY_PACKED on a non-integer chunk")
         vals, _ = delta_binary_unpack(body, 0)
         if len(vals) != nnz:
             raise ValueError("delta-binary count disagrees with page")
         return vals
+    if enc == 9:  # BYTE_STREAM_SPLIT (float/double columns)
+        if ctype not in (_T_FLOAT, _T_DOUBLE):
+            raise ValueError("BYTE_STREAM_SPLIT on a non-float chunk")
+        w, f = _FIXED_WIDTH[ctype], _STRUCT_FMT[ctype]
+        if len(body) != w * nnz:
+            raise ValueError("byte-stream-split page size mismatch")
+        # k-th stream holds byte k of every value; re-interleave
+        joined = bytes(
+            body[k * nnz + i] for i in range(nnz) for k in range(w)
+        )
+        return list(struct.unpack(f"<{nnz}{f}", joined))
     if enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
         if ctype != _T_BYTE_ARRAY:
             raise ValueError("DELTA_LENGTH_BYTE_ARRAY on a non-string chunk")

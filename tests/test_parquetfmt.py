@@ -465,3 +465,56 @@ def test_struct_leaf_columns_delta_checkpoint_shape(tmp_path):
     assert read_leaf_column(raw, 0, "add.size", with_nulls=True)["values"] == want_sz
     with pytest.raises(ValueError):
         read_leaf_column(raw, 0, "add")  # not a leaf
+
+
+def test_full_type_codec_matrix_int32_float_gzip_bss(tmp_path):
+    """Round-8 completion: INT32 (incl. date32 storage), FLOAT, DOUBLE
+    leaf types; GZIP pages (stdlib zlib, full gzip member per page);
+    BYTE_STREAM_SPLIT float encoding — every cell vs DuckDB."""
+    import math
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        read_leaf_column,
+    )
+
+    n = 500
+    i32 = [i * 7 - 300 if i % 11 else None for i in range(n)]
+    f64 = [i / 7.0 for i in range(n)]
+    f32 = [float(f"{math.sin(i):.4f}") for i in range(n)]
+    dates = list(range(19000, 19000 + n))
+    t = pa.table({
+        "i32": pa.array(i32, pa.int32()),
+        "f32": pa.array(f32, pa.float32()),
+        "f64": pa.array(f64, pa.float64()),
+        "d": pa.array(dates, pa.date32()),
+    })
+    con = duckdb.connect()
+    combos = [
+        dict(compression="gzip"),
+        dict(compression="gzip", data_page_version="2.0",
+             use_dictionary=False),
+        dict(compression="zstd", use_dictionary=False,
+             data_page_version="2.0",
+             column_encoding={"i32": "DELTA_BINARY_PACKED",
+                              "f32": "BYTE_STREAM_SPLIT",
+                              "f64": "BYTE_STREAM_SPLIT",
+                              "d": "DELTA_BINARY_PACKED"}),
+    ]
+    for i, kw in enumerate(combos):
+        path = str(tmp_path / f"t{i}.parquet")
+        pq.write_table(t, path, **kw)
+        raw = open(path, "rb").read()
+        want = con.execute(
+            f"SELECT i32, f32, f64, d - DATE '1970-01-01' FROM '{path}'"
+        ).fetchall()
+        wi, wf32, wf64, wd = (list(c) for c in zip(*want))
+        assert read_leaf_column(raw, 0, "i32", with_nulls=True)[
+            "values"
+        ] == wi, kw
+        got32 = read_leaf_column(raw, 0, "f32")["values"]
+        assert all(abs(a - b) < 1e-6 for a, b in zip(got32, wf32)), kw
+        assert read_leaf_column(raw, 0, "f64")["values"] == wf64, kw
+        assert read_leaf_column(raw, 0, "d")["values"] == wd, kw
