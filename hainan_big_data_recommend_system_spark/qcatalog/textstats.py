@@ -6258,3 +6258,133 @@ def q_parquet_modern_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, layout string, n_rows long, sum_ids long, "
         "n_nulls_v long, sum_v long, sum_name_len long",
     )
+
+
+@register_extra(
+    "iceberg_snapshot_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 3 + doc_id % 4 AS n FROM documents
+    ),
+    f AS (
+        SELECT doc_id, n, f,
+               100 + (doc_id + f) % 50 AS sz,
+               10 + (doc_id * 3 + f) % 7 AS rc,
+               f < n AND (doc_id + f) % 3 = 0 AS deleted
+        FROM d, LATERAL (SELECT unnest(range(0, n + 2)) AS f)
+    )
+    SELECT doc_id,
+           CAST(200 AS BIGINT) AS snapshot_id,
+           CAST(2 AS BIGINT) AS n_manifests,
+           CAST(count(*) FILTER (WHERE NOT deleted) AS BIGINT) AS n_live,
+           CAST(count(*) FILTER (WHERE deleted) AS BIGINT)
+               AS n_deleted_entries,
+           CAST(sum(CASE WHEN deleted THEN 0 ELSE sz END) AS BIGINT)
+               AS live_bytes,
+           CAST(sum(CASE WHEN deleted THEN 0 ELSE rc END) AS BIGINT)
+               AS live_rows,
+           CAST(any_value(n) AS BIGINT) AS tt_n_live
+    FROM f GROUP BY 1
+    """,
+)
+def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-shaped metadata-tree resolution (operators/iceberg.py):
+    per doc a 2-snapshot table — snapshot 100 adds n files via one
+    manifest; snapshot 200 carries TWO manifests (originals with
+    EXISTING/DELETED statuses, plus 2 ADDED files) — built as REAL Avro
+    OCF manifest files (operators/avrocf.py) and resolved through the
+    spec's walk: version pointer → snapshot → manifest list → manifests
+    → status filter, with manifest-list counts cross-checked against
+    the manifests.  ``tt_n_live`` time-travels to snapshot 100.  The
+    structural contrast to Delta's replayed log, on the same fixture
+    discipline (everything recomputed by the oracle from the documents
+    table)."""
+    import pandas as pd
+
+    from ..operators.iceberg import (
+        make_manifest,
+        make_manifest_list,
+        make_table_metadata,
+        snapshot_live_files,
+    )
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_scan(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 3 + did % 4
+
+                def entry(f, status):
+                    return {
+                        "status": status,
+                        "file_path": f"f{f}",
+                        "record_count": 10 + (did * 3 + f) % 7,
+                        "file_size": 100 + (did + f) % 50,
+                    }
+
+                orig = [entry(f, 1) for f in range(n)]
+                snap2_orig = [
+                    entry(f, 2 if (did + f) % 3 == 0 else 0)
+                    for f in range(n)
+                ]
+                snap2_added = [entry(f, 1) for f in range(n, n + 2)]
+
+                def counts(es):
+                    return {
+                        "added_files_count": sum(
+                            1 for e in es if e["status"] == 1
+                        ),
+                        "existing_files_count": sum(
+                            1 for e in es if e["status"] == 0
+                        ),
+                        "deleted_files_count": sum(
+                            1 for e in es if e["status"] == 2
+                        ),
+                    }
+
+                files = {
+                    "mA": make_manifest(orig),
+                    "mB1": make_manifest(snap2_orig),
+                    "mB2": make_manifest(snap2_added),
+                    "ml100": make_manifest_list(
+                        [{"manifest_path": "mA", **counts(orig)}]
+                    ),
+                    "ml200": make_manifest_list(
+                        [
+                            {"manifest_path": "mB1", **counts(snap2_orig)},
+                            {"manifest_path": "mB2", **counts(snap2_added)},
+                        ]
+                    ),
+                }
+                meta = make_table_metadata(
+                    {100: "ml100", 200: "ml200"}, current=200
+                )
+                snap = snapshot_live_files(meta, files.__getitem__)
+                tt = snapshot_live_files(
+                    meta, files.__getitem__, snapshot_id=100
+                )
+                out.append(
+                    {
+                        "doc_id": did,
+                        "snapshot_id": snap["snapshot_id"],
+                        "n_manifests": snap["n_manifests"],
+                        "n_live": snap["n_live"],
+                        "n_deleted_entries": snap["n_deleted_entries"],
+                        "live_bytes": snap["live_bytes"],
+                        "live_rows": snap["live_rows"],
+                        "tt_n_live": tt["n_live"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_scan,
+        "doc_id long, snapshot_id long, n_manifests long, n_live long, "
+        "n_deleted_entries long, live_bytes long, live_rows long, "
+        "tt_n_live long",
+    )

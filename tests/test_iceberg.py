@@ -1,0 +1,94 @@
+"""Iceberg-shaped snapshot resolution (operators/iceberg.py) — the
+metadata-tree walk, time travel, and the count cross-check contract.
+The cross-engine gate lives in test_oracle.py (iceberg_snapshot_scan)."""
+
+from __future__ import annotations
+
+import pytest
+
+from hainan_big_data_recommend_system_spark.operators.iceberg import (
+    make_manifest,
+    make_manifest_list,
+    make_table_metadata,
+    parse_table_metadata,
+    snapshot_live_files,
+)
+
+
+def _fixture():
+    m1 = make_manifest([
+        {"status": 1, "file_path": "f0", "record_count": 10,
+         "file_size": 100},
+        {"status": 1, "file_path": "f1", "record_count": 20,
+         "file_size": 200},
+    ])
+    m2 = make_manifest([
+        {"status": 0, "file_path": "f0", "record_count": 10,
+         "file_size": 100},
+        {"status": 2, "file_path": "f1", "record_count": 20,
+         "file_size": 200},
+        {"status": 1, "file_path": "f2", "record_count": 30,
+         "file_size": 300},
+    ])
+    files = {
+        "m1": m1,
+        "m2": m2,
+        "ml1": make_manifest_list([
+            {"manifest_path": "m1", "added_files_count": 2,
+             "existing_files_count": 0, "deleted_files_count": 0}
+        ]),
+        "ml2": make_manifest_list([
+            {"manifest_path": "m2", "added_files_count": 1,
+             "existing_files_count": 1, "deleted_files_count": 1}
+        ]),
+    }
+    meta = make_table_metadata({100: "ml1", 200: "ml2"}, current=200)
+    return meta, files
+
+
+def test_current_snapshot_and_time_travel():
+    meta, files = _fixture()
+    snap = snapshot_live_files(meta, files.__getitem__)
+    assert snap["snapshot_id"] == 200
+    assert snap["live"] == {"f0": (100, 10), "f2": (300, 30)}
+    assert snap["n_deleted_entries"] == 1
+    tt = snapshot_live_files(meta, files.__getitem__, snapshot_id=100)
+    assert tt["live"] == {"f0": (100, 10), "f1": (200, 20)}
+
+
+def test_manifest_list_count_cross_check_fails_loudly():
+    meta, files = _fixture()
+    files["ml2"] = make_manifest_list([
+        {"manifest_path": "m2", "added_files_count": 2,  # wrong
+         "existing_files_count": 1, "deleted_files_count": 1}
+    ])
+    with pytest.raises(ValueError, match="counts disagree"):
+        snapshot_live_files(meta, files.__getitem__)
+
+
+def test_metadata_validation():
+    with pytest.raises(ValueError):
+        parse_table_metadata("not json")
+    with pytest.raises(ValueError, match="format-version"):
+        parse_table_metadata(
+            '{"format-version": 9, "current-snapshot-id": 1,'
+            ' "snapshots": [{"snapshot-id": 1, "manifest-list": "x"}]}'
+        )
+    with pytest.raises(ValueError, match="not in the snapshot"):
+        parse_table_metadata(
+            '{"format-version": 2, "current-snapshot-id": 7,'
+            ' "snapshots": [{"snapshot-id": 1, "manifest-list": "x"}]}'
+        )
+    meta, files = _fixture()
+    with pytest.raises(ValueError, match="snapshot 999"):
+        snapshot_live_files(meta, files.__getitem__, snapshot_id=999)
+
+
+def test_unknown_status_quarantines():
+    meta, files = _fixture()
+    files["m2"] = make_manifest([
+        {"status": 7, "file_path": "f0", "record_count": 1,
+         "file_size": 1}
+    ])
+    with pytest.raises(ValueError, match="status"):
+        snapshot_live_files(meta, files.__getitem__)
