@@ -59,6 +59,7 @@ _ENCODINGS = {
 }
 _T_INT64, _T_BYTE_ARRAY = 2, 6
 _T_INT32, _T_FLOAT, _T_DOUBLE = 1, 4, 5
+_T_BOOLEAN = 0
 #: fixed byte widths for the non-BYTE_ARRAY leaf types in decode scope
 _FIXED_WIDTH = {_T_INT32: 4, _T_INT64: 8, _T_FLOAT: 4, _T_DOUBLE: 8}
 _STRUCT_FMT = {_T_INT32: "i", _T_INT64: "q", _T_FLOAT: "f", _T_DOUBLE: "d"}
@@ -716,11 +717,13 @@ def _read_leaf_column(
             + ("INT64" if expect_type == _T_INT64 else "BYTE_ARRAY")
             + " chunk"
         )
-    if ctype not in (_T_INT32, _T_INT64, _T_FLOAT, _T_DOUBLE,
-                     _T_BYTE_ARRAY):
+    if ctype not in (_T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT,
+                     _T_DOUBLE, _T_BYTE_ARRAY):
         raise ValueError(f"leaf type {ctype} out of decode scope")
     codec = _need_int(md.get(4), "codec")
-    if codec not in (0, 1, 2, 6):  # UNCOMPRESSED/SNAPPY/GZIP/ZSTD
+    # UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW (5 = deprecated
+    # Hadoop-framed LZ4, 3/4 = LZO/Brotli: still loud quarantines)
+    if codec not in (0, 1, 2, 6, 7):
         raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
     nvals = _need_int(md.get(5), "num_values")
     dict_off = md.get(11)
@@ -888,6 +891,10 @@ def _decompress_page(raw: bytes, codec: int, usz: int) -> bytes:
             body = zlib.decompress(raw, 16 + 15)
         except zlib.error as e:
             raise ValueError(f"gzip page: {e}") from e
+    elif codec == 7:  # LZ4_RAW: one lz4 block per page, no framing
+        from .lz4 import lz4_block_decompress
+
+        body = lz4_block_decompress(raw)
     else:
         raise ValueError(f"codec {_CODECS.get(codec, codec)} out of scope")
     if len(body) != usz:
@@ -911,6 +918,12 @@ def _decode_page_values(
         except IndexError:
             raise ValueError("dictionary index out of range")
     if enc == 0:  # PLAIN
+        if ctype == _T_BOOLEAN:  # bit-packed LSB-first
+            if (nnz + 7) // 8 > len(body):
+                raise ValueError("PLAIN boolean page truncated")
+            return [
+                bool((body[i >> 3] >> (i & 7)) & 1) for i in range(nnz)
+            ]
         if ctype in _FIXED_WIDTH:
             w, f = _FIXED_WIDTH[ctype], _STRUCT_FMT[ctype]
             if w * nnz > len(body):
@@ -924,6 +937,13 @@ def _decode_page_values(
         if len(vals) != nnz:
             raise ValueError("delta-binary count disagrees with page")
         return vals
+    if enc == 3:  # RLE: v2 boolean pages (4-byte length + hybrid runs)
+        if ctype != _T_BOOLEAN:
+            raise ValueError("RLE value encoding on a non-boolean chunk")
+        if len(body) < 4:
+            raise ValueError("RLE boolean page truncated")
+        bits, _ = hybrid_decode(body, 4, 1, nnz)
+        return [bool(b) for b in bits]
     if enc == 9:  # BYTE_STREAM_SPLIT (float/double columns)
         if ctype not in (_T_FLOAT, _T_DOUBLE):
             raise ValueError("BYTE_STREAM_SPLIT on a non-float chunk")

@@ -107,6 +107,9 @@ from hainan_big_data_recommend_system_spark.operators.snappy import (
 from hainan_big_data_recommend_system_spark.operators.zstd import (
     zstd_decompress,
 )
+from hainan_big_data_recommend_system_spark.operators.lz4 import (
+    lz4_block_decompress,
+)
 from hainan_big_data_recommend_system_spark.operators.pbwire import (
     make_pb_log,
     parse_pb_stream,
@@ -254,6 +257,12 @@ CASES = {
         # orders testdata (deterministic slice via its page header)
         lambda: _real_snappy_page(),
         snappy_decompress,
+    ),
+    "lz4": (
+        lambda: __import__("pyarrow").Codec("lz4_raw").compress(
+            b"abc abc abc repeated content " * 80, asbytes=True
+        ),
+        lz4_block_decompress,
     ),
     "zstd": (
         # a REAL zstd frame (pyarrow reference encoder): Huffman
