@@ -9,8 +9,8 @@ Huffman-coded literals (direct or FSE-compressed weights, 1- or
 4-stream) and FSE-coded sequences (predefined, RLE, compressed, and
 repeat modes), repeat-offset history, treeless-literals reuse, and
 skippable frames.  Out of scope, rejected loudly: dictionaries
-(Dictionary_ID != 0) and content-checksum *verification* (the 4-byte
-xxhash64 tail is skipped — no xxhash in this container; documented).
+(Dictionary_ID != 0).  Content checksums are VERIFIED (low 32 bits of
+XXH64 — operators/xxhash.py, spec-vector-pinned).
 
 Everything here derives from the public RFC 8878 / Zstandard format
 specification (github.com/facebook/zstd doc/zstd_compression_format.md
@@ -674,5 +674,14 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
         if checksum:
             if pos + 4 > n:
                 raise ValueError("zstd: truncated content checksum")
-            pos += 4  # xxhash64 low 32 bits — skipped (documented above)
+            want = int.from_bytes(payload[pos : pos + 4], "little")
+            pos += 4
+            from .xxhash import xxh64
+
+            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            if got != want:
+                raise ValueError(
+                    f"zstd: content checksum mismatch "
+                    f"(got {got:08x}, frame says {want:08x})"
+                )
     return bytes(out)

@@ -91,3 +91,33 @@ def test_content_size_guard():
     comp = bytearray(codec.compress(b"x" * 1000, asbytes=True))
     with pytest.raises(ValueError):
         zstd_decompress(bytes(comp), max_output=10)
+
+
+def test_xxh64_spec_vectors():
+    from hainan_big_data_recommend_system_spark.operators.xxhash import (
+        xxh64,
+    )
+
+    # canonical vectors from the xxHash specification
+    assert xxh64(b"") == 0xEF46DB3751D8E999
+    assert xxh64(b"a") == 0xD24EC4F1A98C6E5B
+    assert xxh64(b"abc") == 0x44BC2CF5AD770999
+    assert xxh64(b"", 1) == 0xD5AFBA1336A3BE4B
+    # >32-byte path (4-lane accumulation + merge)
+    assert xxh64(bytes(range(101))) == 0xE99038495F85381E
+
+
+def test_content_checksum_verified():
+    from hainan_big_data_recommend_system_spark.operators.xxhash import (
+        xxh64,
+    )
+
+    data = b"checksummed content " * 64
+    comp = bytearray(pa.Codec("zstd").compress(data, asbytes=True))
+    assert not (comp[4] & 0x04)
+    comp[4] |= 0x04  # declare a content checksum
+    tail = (xxh64(data) & 0xFFFFFFFF).to_bytes(4, "little")
+    assert zstd_decompress(bytes(comp) + tail) == data
+    bad = ((xxh64(data) ^ 1) & 0xFFFFFFFF).to_bytes(4, "little")
+    with pytest.raises(ValueError, match="checksum mismatch"):
+        zstd_decompress(bytes(comp) + bad)
