@@ -81,60 +81,79 @@ def lloyd_exact(
         raise ValueError(f"need at least {k} vectors to seed {k} clusters")
     centroids = [list(r["v"]) for r in seed_rows]  # cid = seed rank
 
-    def make_assigner(cents: list[list[int]]):
+    def make_partial_agg(cents: list[list[int]]):
+        """Assignment + MAP-SIDE-COMBINED sufficient statistics in one
+        Arrow kernel: each partition emits k·(dim+2) partial rows
+        (per-cluster dim sums, counts, and squared-distance sums) —
+        never the n·dim explode a groupBy-over-dims would shuffle.
+        All accumulation stays in int64 (exact regardless of order;
+        a float path would lose inertia exactness past 2^53)."""
         carr = np.asarray(cents, dtype=np.int64)  # (k, dim)
 
-        def assign(it):
+        def agg(it):
+            counts = np.zeros(k, dtype=np.int64)
+            dsum = np.zeros(k, dtype=np.int64)
+            vsum = np.zeros((k, dim), dtype=np.int64)
             for pdf in it:
                 vs = np.asarray(list(pdf["v"]), dtype=np.int64)  # (n, dim)
                 # (n, k) squared distances; argmin ties -> lowest cid
                 d = ((vs[:, None, :] - carr[None, :, :]) ** 2).sum(axis=2)
                 cid = d.argmin(axis=1)
-                yield pd.DataFrame(
-                    {
-                        "id": pdf["id"],
-                        "v": pdf["v"],
-                        "cluster": cid.astype("int64"),
-                        "dist": d[np.arange(len(cid)), cid].astype("int64"),
-                    }
+                counts += np.bincount(cid, minlength=k)
+                best = d[np.arange(len(cid)), cid]
+                for c in range(k):
+                    sel = cid == c
+                    if sel.any():
+                        dsum[c] += int(best[sel].sum())
+                        vsum[c] += vs[sel].sum(axis=0)
+            rows = {"cluster": [], "j": [], "s": []}
+            for c in range(k):
+                rows["cluster"] += [c, c] + [c] * dim
+                rows["j"] += [-1, -2] + list(range(dim))
+                rows["s"] += (
+                    [int(counts[c]), int(dsum[c])]
+                    + [int(x) for x in vsum[c]]
                 )
+            yield pd.DataFrame(rows)
 
-        return assign
+        return agg
 
-    schema = "id long, v array<long>, cluster long, dist long"
-    assigned = None
+    schema = "cluster long, j long, s long"
+    counts = inertia = None
     for _ in range(iters):
-        assigned = pts.mapInPandas(make_assigner(centroids), schema)
-        # update: one shuffle keyed (cluster, dim); k*dim output rows
+        # one job per iteration: partials → (cluster, j) sum → k·(dim+2)
+        # rows collected (bounded, documented)
         sums = (
-            assigned.select("cluster", F.posexplode("v").alias("j", "x"))
+            pts.mapInPandas(make_partial_agg(centroids), schema)
             .groupBy("cluster", "j")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # bounded: k*dim rows (8*64), documented
+            .agg(F.sum("s").alias("s"))
+            .collect()
         )
-        new_c = [list(c) for c in centroids]  # empty clusters keep theirs
+        counts = {c: 0 for c in range(k)}
+        inertia = {c: 0 for c in range(k)}
+        dim_sums: dict[tuple[int, int], int] = {}
         for r in sums:
-            new_c[r["cluster"]][r["j"]] = _floor_safe_div(
-                int(r["s"]), int(r["n"])
-            )
+            if r["j"] == -1:
+                counts[r["cluster"]] = int(r["s"])
+            elif r["j"] == -2:
+                inertia[r["cluster"]] = int(r["s"])
+            else:
+                dim_sums[(r["cluster"], r["j"])] = int(r["s"])
+        new_c = [list(c) for c in centroids]  # empty clusters keep theirs
+        for c in range(k):
+            if counts[c] > 0:
+                for j in range(dim):
+                    new_c[c][j] = _floor_safe_div(
+                        dim_sums[(c, j)], counts[c]
+                    )
         centroids = new_c
-    csum = {cid: sum(c) for cid, c in enumerate(centroids)}
-    csum_df = spark.createDataFrame(
-        [(cid, s) for cid, s in csum.items()], "cluster long, c_sum long"
-    )
-    return (
-        assigned.groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.sum("dist").alias("inertia"),
-        )
-        .join(F.broadcast(csum_df), "cluster")
-        .select(
-            "cluster",
-            F.col("n_vecs").cast("long").alias("n_vecs"),
-            F.col("inertia").cast("long").alias("inertia"),
-            F.col("c_sum").cast("long").alias("centroid_sum"),
-        )
+    return spark.createDataFrame(
+        [
+            (c, counts[c], inertia[c], sum(centroids[c]))
+            for c in range(k)
+            if counts[c] > 0
+        ],
+        "cluster long, n_vecs long, inertia long, centroid_sum long",
     )
 
 
