@@ -235,9 +235,16 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
 def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
     """Recover ``(live, tombstones)`` from a checkpoint parquet file via
     the hand decoder — every row must be exactly one of add/remove."""
-    from .parquetfmt import parse_footer_tail, read_leaf_column
+    from .parquetfmt import (
+        parse_footer_tail,
+        read_footer_tail,
+        read_leaf_column,
+    )
 
-    meta = parse_footer_tail(payload[-min(len(payload), 1 << 16):])
+    def _fetch(off: int, ln: int) -> bytes:
+        return payload[off : off + ln]
+
+    meta = parse_footer_tail(read_footer_tail(_fetch, len(payload)))
     live: dict[str, tuple[int, int]] = {}
     tombstones: dict[str, tuple[int, int]] = {}
     for rg in range(meta["n_row_groups"]):

@@ -87,9 +87,18 @@ def _parquet_members(payload: bytes) -> list[tuple[str, str]]:
     DELTA_* encodings — whatever a modern writer produced.  Any other
     schema, codec, or a corrupt file raises ValueError → one quarantine
     row for the file, same contract as the archive formats."""
-    from ..operators.parquetfmt import parse_footer_tail, read_leaf_column
+    from ..operators.parquetfmt import (
+        parse_footer_tail,
+        read_footer_tail,
+        read_leaf_column,
+    )
 
-    meta = parse_footer_tail(payload[-min(len(payload), 1 << 16):])
+    def _fetch(off: int, ln: int) -> bytes:
+        return payload[off : off + ln]
+
+    # read_footer_tail refetches when the footer exceeds the probe —
+    # wide-schema files have >64 KiB footers
+    meta = parse_footer_tail(read_footer_tail(_fetch, len(payload)))
     cols = set(meta["column_names"])
     if not {"name", "body"} <= cols:
         raise ValueError(
