@@ -417,3 +417,142 @@ def q_parquet_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("body")).alias("body_md5"),
         "error",
     )
+
+
+def _ensure_delta_table_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An on-disk Delta-shaped TABLE: 6 Spark-written parquet data files
+    + a `_delta_log/` with 3 JSON commits, a real checkpoint parquet at
+    version 1, and `_last_checkpoint` — so the read path exercises the
+    checkpoint fast path against real files.  Live at v2: shards
+    2,3,4,5 (f1 and f0 are removed by commits 1 and 2)."""
+    out = _fixture_dir(sf_dir, "deltatbl")
+    if os.path.isdir(out):
+        return out
+    import glob as _glob
+    import json as _json
+
+    from ..operators.deltalog import (
+        make_checkpoint_parquet,
+        make_commit,
+        make_last_checkpoint,
+        replay_delta_log,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 6).alias("shard"),
+        F.format_string("doc-%08d", "doc_id").alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    os.makedirs(os.path.join(tmp, "_delta_log"), exist_ok=True)
+    sizes: dict[int, tuple[int, int]] = {}
+    for sh in range(6):
+        part_dir = os.path.join(tmp, f"__build-{sh}")
+        shard_docs = docs.filter(F.col("shard") == sh).select("name", "body")
+        n = shard_docs.count()
+        (
+            shard_docs.coalesce(1)
+            .sortWithinPartitions("name")
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(tmp, f"f{sh}.parquet")
+        os.replace(part_file, dest)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        sizes[sh] = (os.path.getsize(dest), n)
+
+    def add(sh):
+        return {"add": {"path": f"f{sh}.parquet", "size": sizes[sh][0],
+                        "numRecords": sizes[sh][1], "dataChange": True}}
+
+    commits = [
+        make_commit([{"protocol": {"minReaderVersion": 1}},
+                     add(0), add(1), add(2), add(3)]),
+        make_commit([add(4),
+                     {"remove": {"path": "f1.parquet",
+                                 "dataChange": True}}]),
+        make_commit([add(5),
+                     {"remove": {"path": "f0.parquet",
+                                 "dataChange": True}}]),
+    ]
+    log = os.path.join(tmp, "_delta_log")
+    for v, c in enumerate(commits):
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write(c)
+    ck = make_checkpoint_parquet(replay_delta_log(commits[:2]))
+    with open(
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"), "wb"
+    ) as fh:
+        fh.write(ck)
+    with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
+        fh.write(make_last_checkpoint(1, len(ck)))
+    # a stale leftover file a correct reader must NOT scan: f0/f1 stay
+    # on disk (not yet vacuumed) — reading them would double-count
+    _json  # (imported for symmetry with other builders)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_DELTA_TABLE_SQL = """
+    WITH live AS (
+        SELECT doc_id, CAST(doc_id % 6 AS BIGINT) AS shard,
+               md5(text) AS body_md5,
+               CAST(row_number() OVER (
+                   PARTITION BY doc_id % 6 ORDER BY doc_id
+               ) - 1 AS BIGINT) AS record_index
+        FROM documents
+        WHERE doc_id % 6 IN (2, 3, 4, 5)
+    )
+    SELECT shard, record_index, doc_id, body_md5 FROM live
+"""
+
+
+@register_extra("delta_table_read", _DELTA_TABLE_SQL)
+def q_delta_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE Delta read path against an on-disk table: resolve the
+    snapshot from `_last_checkpoint` + the real checkpoint parquet (hand
+    struct-leaf decode) + the JSON tail, then scan ONLY the live data
+    files through the one-task-per-file front door — the not-yet-
+    vacuumed tombstoned files sit in the same directory and MUST NOT be
+    read (a naive directory glob would double-count their rows; the log
+    is the source of truth, which is the entire point of a lakehouse
+    table format).  The oracle recomputes the live rows from the
+    documents table."""
+    from ..operators.deltalog import replay_from_checkpoint
+    from ..sources.files import read_container_records
+
+    fixture = _ensure_delta_table_fixture(spark, sf_dir)
+    log = os.path.join(fixture, "_delta_log")
+    with open(os.path.join(log, "_last_checkpoint")) as fh:
+        lc_text = fh.read()
+    ck = open(
+        os.path.join(log, f"{1:020d}.checkpoint.parquet"), "rb"
+    ).read()
+    tail = [
+        open(os.path.join(log, f"{2:020d}.json")).read()
+    ]
+    snap = replay_from_checkpoint(lc_text, ck, tail)
+    live_paths = sorted(snap["live"])  # bounded: the table's file list
+    # scan exactly the live files (comma-separated load list keeps the
+    # one-task-per-file binaryFile shape)
+    recs = read_container_records(
+        spark,
+        [os.path.join(fixture, p) for p in live_paths],
+        "parquet",
+    )
+    fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
+    return recs.select(
+        F.regexp_extract(fname, r"f(\d+)\.parquet$", 1)
+        .cast("bigint")
+        .alias("shard"),
+        "record_index",
+        F.regexp_extract(F.col("name"), r"doc-(\d{8})$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.md5(F.col("body")).alias("body_md5"),
+    )

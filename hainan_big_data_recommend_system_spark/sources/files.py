@@ -223,12 +223,15 @@ def _record_parser(fmt: str):
 
 def read_container_records(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     fmt: str,
     glob: str | None = None,
     recursive: bool = False,
 ) -> DataFrame:
     """Explode every container file under ``path`` into records.
+    ``path`` may be an explicit LIST of files — the shape a lakehouse
+    log resolution hands the scanner (live files only, tombstoned
+    neighbors in the same directory skipped).
 
     ``fmt`` is ``"warc"`` (per-record-gzipped or plain streams both
     parse), ``"tar"``, ``"zip"``, ``"avro"`` (OCF, operators/avrocf.py)

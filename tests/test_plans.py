@@ -675,3 +675,9 @@ def test_parquet_file_corpus_scan_one_task_per_file(spark):
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 0, plan
     assert "EvalPython" not in plan, plan
+
+
+def test_delta_table_read_one_task_per_live_file(spark):
+    plan = plan_of(spark, "delta_table_read")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 0, plan
