@@ -429,7 +429,6 @@ def _ensure_delta_table_fixture(spark: SparkSession, sf_dir: str) -> str:
     if os.path.isdir(out):
         return out
     import glob as _glob
-    import json as _json
 
     from ..operators.deltalog import (
         make_checkpoint_parquet,
@@ -488,9 +487,8 @@ def _ensure_delta_table_fixture(spark: SparkSession, sf_dir: str) -> str:
         fh.write(ck)
     with open(os.path.join(log, "_last_checkpoint"), "w") as fh:
         fh.write(make_last_checkpoint(1, len(ck)))
-    # a stale leftover file a correct reader must NOT scan: f0/f1 stay
-    # on disk (not yet vacuumed) — reading them would double-count
-    _json  # (imported for symmetry with other builders)
+    # f0/f1 stay on disk (not yet vacuumed): the read path must skip
+    # them by consulting the log, never a directory glob
     try:
         os.rename(tmp, out)
     except OSError:
