@@ -184,7 +184,7 @@ def q_warc_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     recs = read_container_records(spark, fixture, "warc", glob="*.warc*")
     fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
     doc_match = F.regexp_extract(
-        F.col("name"), r"corpus\.example/(\d{8})$", 1
+        F.col("name"), r"corpus\.example/(\d+)$", 1
     )
     return recs.select(
         F.regexp_extract(fname, r"-(\d{5})\.warc", 1)
@@ -254,7 +254,7 @@ def q_archive_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, fixture, fmt, glob=f"*.{fmt}"
         )
         fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
-        doc_match = F.regexp_extract(F.col("name"), r"doc-(\d{8})\.txt$", 1)
+        doc_match = F.regexp_extract(F.col("name"), r"doc-(\d+)\.txt$", 1)
         parts.append(
             recs.select(
                 F.lit(fmt).alias("fmt"),
@@ -389,7 +389,7 @@ def q_parquet_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   glob="*.parquet", recursive=True)
     fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
     dirname = F.element_at(F.split(F.col("file_path"), "/"), -2)
-    doc_match = F.regexp_extract(F.col("name"), r"doc-(\d{8})$", 1)
+    doc_match = F.regexp_extract(F.col("name"), r"doc-(\d+)$", 1)
     src = (
         F.when(dirname.startswith("spark-shard="), F.lit("spark"))
         .when(fname.startswith("pa-shard-"), F.lit("pyarrow"))
@@ -549,7 +549,7 @@ def q_delta_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("shard"),
         "record_index",
-        F.regexp_extract(F.col("name"), r"doc-(\d{8})$", 1)
+        F.regexp_extract(F.col("name"), r"doc-(\d+)$", 1)
         .cast("bigint")
         .alias("doc_id"),
         F.md5(F.col("body")).alias("body_md5"),
