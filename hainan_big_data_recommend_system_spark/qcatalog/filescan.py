@@ -372,7 +372,7 @@ _PARQUET_FILE_SQL = """
 """
 
 
-@register_extra("parquet_file_corpus_scan", _PARQUET_FILE_SQL)
+@register("parquet_file_corpus_scan", _PARQUET_FILE_SQL)
 def q_parquet_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directory-of-parquet lake scan through the container front door
     (SURVEY §2.1 S1's 100 TB shape): real parquet shards from TWO

@@ -137,7 +137,7 @@ def q_robust_log_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
 #  — unseeded there; deterministic md5 ranking here, SURVEY §7.4.3)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "seeded_sample_orders",
     """
     SELECT o_custkey, o_orderkey, CAST(rn AS BIGINT) AS rn

@@ -573,7 +573,7 @@ def q_nearest_balance_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # omitting the list would add a distinct-values job at 100 TB.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(
     "pivot_priority_status_revenue",
     """
     SELECT o_orderpriority,

@@ -190,7 +190,7 @@ def q_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_profile(docs, "doc_id", "text")
 
 
-@register(
+@register_extra(
     "corpus_clean",
     r"""
     WITH flagged AS (
@@ -6001,7 +6001,7 @@ def q_parquet_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "delta_checkpoint_replay",
     """
     WITH d AS (
@@ -6134,7 +6134,7 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(
     "parquet_modern_page_scan",
     """
     WITH d AS (
