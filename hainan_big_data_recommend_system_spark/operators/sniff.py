@@ -39,6 +39,8 @@ _PREFIXES: list[tuple[bytes, str]] = [
     (b"BM", "bmp"),
     (b"BZh", "bzip2"),
     (b"\xfd7zXZ\x00", "xz"),
+    (b"\x28\xb5\x2f\xfd", "zstd"),
+    (b"\x04\x22\x4d\x18", "lz4"),  # lz4 FRAME magic (not raw blocks)
 ]
 
 

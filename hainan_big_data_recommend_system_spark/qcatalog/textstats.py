@@ -4474,8 +4474,8 @@ def q_msgpack_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "compressed_text_scan",
     """
     SELECT doc_id,
-           CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
-                ELSE 'xz' END AS codec,
+           CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'bz2'
+                WHEN 2 THEN 'xz' ELSE 'zstd' END AS codec,
            CAST(length(text) AS BIGINT) AS n_chars,
            md5(text) AS text_md5
     FROM documents
@@ -4483,11 +4483,13 @@ def q_msgpack_log_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_compressed_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-codec compressed ingestion: each doc's text round-trips
-    through a REAL stdlib codec (gzip / bz2 / xz by doc rotation), and
-    the reader sniffs the format from the container magic (1f8b / BZh /
-    fd377a585a00) before decompressing — the crawl-dump reality where a
-    directory mixes .gz, .bz2 and .xz shards.  The oracle pins the
-    decompressed text digest against the source column, so a codec
+    through a REAL codec (gzip / bz2 / xz by stdlib, zstd ENCODED by
+    pyarrow's reference implementation and DECODED by this repo's own
+    RFC 8878 decoder — operators/zstd.py), and the reader sniffs the
+    format from the container magic (1f8b / BZh / fd377a585a00 /
+    28b52ffd) before decompressing — the crawl-dump reality where a
+    directory mixes .gz, .bz2, .xz and .zst shards.  The oracle pins
+    the decompressed text digest against the source column, so a codec
     mix-up, truncated stream, or sniffing bug mismatches rows.
     Unrecognized magic raises for the standard quarantine path."""
     import bz2
@@ -4498,6 +4500,7 @@ def q_compressed_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     from ..operators.multimodal import _spread
+    from ..operators.zstd import zstd_decompress
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
 
@@ -4508,6 +4511,8 @@ def q_compressed_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             return bz2.decompress(payload)
         if payload[:6] == b"\xfd7zXZ\x00":
             return lzma.decompress(payload)
+        if payload[:4] == b"\x28\xb5\x2f\xfd":
+            return zstd_decompress(payload)
         raise ValueError(
             f"unrecognized compression magic {payload[:6]!r}"
         )
@@ -4518,12 +4523,17 @@ def q_compressed_text_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 did = int(did)
                 raw = str(text).encode("utf-8")
-                codec = ["gzip", "bz2", "xz"][did % 3]
-                comp = {
-                    "gzip": gzip.compress,
-                    "bz2": bz2.compress,
-                    "xz": lzma.compress,
-                }[codec](raw)
+                codec = ["gzip", "bz2", "xz", "zstd"][did % 4]
+                if codec == "zstd":
+                    import pyarrow as pa
+
+                    comp = pa.Codec("zstd").compress(raw, asbytes=True)
+                else:
+                    comp = {
+                        "gzip": gzip.compress,
+                        "bz2": bz2.compress,
+                        "xz": lzma.compress,
+                    }[codec](raw)
                 back = sniff_and_read(comp)
                 if back != raw:
                     raise ValueError(f"roundtrip mismatch doc {did}")
