@@ -315,3 +315,58 @@ def test_parquet_container_front_door(spark, tmp_path):
     # one-task-per-file: no exchange in the plan
     plan = recs._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_streaming_parquet_records_match_batch(spark, tmp_path):
+    """fmt="parquet" through the STREAMING front door: files landing in
+    a watched directory explode through the same per-file parser, and
+    the accumulated stream equals the batch read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hainan_big_data_recommend_system_spark.sources.files import (
+        read_container_records,
+        stream_container_records,
+    )
+
+    lake = tmp_path / "stream_lake"
+    lake.mkdir()
+
+    def write_shard(i):
+        pq.write_table(
+            pa.table({
+                "name": pa.array([f"doc-{i}-{j}" for j in range(5)]),
+                "body": pa.array([f"body {i} {j}" for j in range(5)]),
+            }),
+            str(lake / f"s{i:03d}.parquet"),
+            compression="zstd",
+        )
+
+    write_shard(0)
+    stream = stream_container_records(
+        spark, str(lake), "parquet", max_files_per_trigger=1
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("pq_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_shard(1)  # a new shard lands mid-stream
+        q.processAllAvailable()
+        got = {
+            (r["name"], bytes(r["body"]).decode())
+            for r in spark.sql("SELECT * FROM pq_stream").collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView("pq_stream")
+    want = {
+        (r["name"], bytes(r["body"]).decode())
+        for r in read_container_records(
+            spark, str(lake), "parquet"
+        ).collect()
+    }
+    assert got == want and len(got) == 10
