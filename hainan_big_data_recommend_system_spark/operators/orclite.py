@@ -312,3 +312,350 @@ def parse_orc(payload: bytes) -> dict:
         "name_bytes": sum(len(n.encode()) for _, n in rows),
         "rows": rows,
     }
+
+
+# ---------------------------------------------------------------------------
+# real-ORC surface (round 8): RLEv2, PRESENT streams, chunked
+# compression — what pyarrow/Hive writers actually emit
+# ---------------------------------------------------------------------------
+
+#: RLEv2 5-bit width codes (ORCv1 spec "Direct" table)
+_FBS = [1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16, 17, 18,
+        19, 20, 21, 22, 23, 24, 26, 28, 30, 32, 40, 48, 56, 64]
+
+
+def _bits_be(buf: bytes, bit_pos: int, width: int) -> int:
+    """Big-endian bit-packed read (RLEv2 packs MSB-first)."""
+    out = 0
+    for _ in range(width):
+        byte = bit_pos >> 3
+        if byte >= len(buf):
+            raise ValueError("RLEv2 bit-packed run truncated")
+        out = (out << 1) | ((buf[byte] >> (7 - (bit_pos & 7))) & 1)
+        bit_pos += 1
+    return out
+
+
+def rle_v2_decode(buf: bytes, count: int, signed: bool) -> list[int]:
+    """ORC RLEv2: SHORT_REPEAT / DIRECT / PATCHED_BASE / DELTA
+    sub-encodings (ORCv1 spec §Run-length encoding v2)."""
+    out: list[int] = []
+    pos = 0
+    while len(out) < count:
+        if pos >= len(buf):
+            raise ValueError("RLEv2 stream truncated")
+        h = buf[pos]
+        enc = h >> 6
+        if enc == 0:  # SHORT_REPEAT
+            w = ((h >> 3) & 7) + 1
+            rep = (h & 7) + 3
+            if pos + 1 + w > len(buf):
+                raise ValueError("RLEv2 short-repeat truncated")
+            v = int.from_bytes(buf[pos + 1 : pos + 1 + w], "big")
+            if signed:
+                v = zigzag_decode(v)
+            out.extend([v] * rep)
+            pos += 1 + w
+        elif enc == 1:  # DIRECT
+            if pos + 2 > len(buf):
+                raise ValueError("RLEv2 direct header truncated")
+            w = _FBS[(h >> 1) & 0x1F]
+            ln = (((h & 1) << 8) | buf[pos + 1]) + 1
+            pos += 2
+            bit = pos * 8
+            for _ in range(ln):
+                v = _bits_be(buf, bit, w)
+                bit += w
+                out.append(zigzag_decode(v) if signed else v)
+            pos = (bit + 7) >> 3
+        elif enc == 2:  # PATCHED_BASE
+            if pos + 4 > len(buf):
+                raise ValueError("RLEv2 patched-base header truncated")
+            w = _FBS[(h >> 1) & 0x1F]
+            ln = (((h & 1) << 8) | buf[pos + 1]) + 1
+            b3, b4 = buf[pos + 2], buf[pos + 3]
+            bw = ((b3 >> 5) & 7) + 1          # base value bytes
+            pw = _FBS[b3 & 0x1F]              # patch value width
+            pgw = ((b4 >> 5) & 7) + 1         # patch gap width (bits)
+            pl = b4 & 0x1F                    # patch list length
+            pos += 4
+            if pos + bw > len(buf):
+                raise ValueError("RLEv2 patched base truncated")
+            base = int.from_bytes(buf[pos : pos + bw], "big")
+            sign_mask = 1 << (bw * 8 - 1)
+            if base & sign_mask:  # MSB is a sign bit (sign-magnitude)
+                base = -(base & (sign_mask - 1))
+            pos += bw
+            bit = pos * 8
+            vals = []
+            for _ in range(ln):
+                vals.append(_bits_be(buf, bit, w))
+                bit += w
+            pos = (bit + 7) >> 3
+            # patch entries are (gap << pw) | patch pairs, each packed
+            # at closestFixedBits(pgw + pw) bits, continuous MSB-first
+            # (the Java/C++ readers' rule — NOT per-entry byte padding)
+            pwidth = pgw + pw
+            entry_w = next(b for b in _FBS if b >= pwidth)
+            bit = pos * 8
+            idx = 0
+            for _ in range(pl):
+                entry = _bits_be(buf, bit, entry_w)
+                bit += entry_w
+                gap = entry >> pw
+                patch = entry & ((1 << pw) - 1)
+                idx += gap
+                if idx >= ln:
+                    raise ValueError("RLEv2 patch index out of range")
+                vals[idx] |= patch << w
+            pos = (bit + 7) >> 3
+            out.extend(base + v for v in vals)
+        else:  # DELTA
+            w_code = (h >> 1) & 0x1F
+            w = 0 if w_code == 0 else _FBS[w_code]
+            if pos + 2 > len(buf):
+                raise ValueError("RLEv2 delta header truncated")
+            ln = (((h & 1) << 8) | buf[pos + 1]) + 1
+            pos += 2
+            if signed:
+                raw, pos = read_varint(buf, pos)
+                base = zigzag_decode(raw)
+            else:
+                base, pos = read_varint(buf, pos)
+            draw, pos = read_varint(buf, pos)
+            delta_base = zigzag_decode(draw)
+            seq = [base]
+            if ln > 1:
+                seq.append(base + delta_base)
+            if w == 0:
+                while len(seq) < ln:
+                    seq.append(seq[-1] + delta_base)
+            else:
+                bit = pos * 8
+                sign = -1 if delta_base < 0 else 1
+                while len(seq) < ln:
+                    d = _bits_be(buf, bit, w)
+                    bit += w
+                    seq.append(seq[-1] + sign * d)
+                pos = (bit + 7) >> 3
+            out.extend(seq)
+    if len(out) != count:
+        raise ValueError("RLEv2 run overran the value count")
+    return out
+
+
+def _byte_rle_decode(buf: bytes, n: int) -> bytes:
+    """ORC byte-RLE (PRESENT streams ride it): header 0..127 → run of
+    header+3 copies of the next byte; 128..255 → 256-header literals."""
+    out = bytearray()
+    pos = 0
+    while len(out) < n:
+        if pos >= len(buf):
+            raise ValueError("byte-RLE stream truncated")
+        h = buf[pos]
+        pos += 1
+        if h < 128:
+            if pos >= len(buf):
+                raise ValueError("byte-RLE run value truncated")
+            out.extend(bytes([buf[pos]]) * (h + 3))
+            pos += 1
+        else:
+            lit = 256 - h
+            if pos + lit > len(buf):
+                raise ValueError("byte-RLE literals truncated")
+            out.extend(buf[pos : pos + lit])
+            pos += lit
+    return bytes(out[:n])
+
+
+def _bool_decode(buf: bytes, n: int) -> list[bool]:
+    """PRESENT stream: byte-RLE over bit-packed bytes, MSB first."""
+    raw = _byte_rle_decode(buf, (n + 7) // 8)
+    return [bool((raw[i >> 3] >> (7 - (i & 7))) & 1) for i in range(n)]
+
+
+def _orc_decompress(buf: bytes, kind: int) -> bytes:
+    """ORC chunked stream compression: 3-byte LE header per chunk,
+    ``(length << 1) | is_original``.  Kinds: 1 ZLIB (raw deflate),
+    2 SNAPPY, 4 LZ4 (raw block), 5 ZSTD — the snappy/lz4/zstd chunks
+    decode through this repo's own codecs."""
+    if kind == 0:
+        return buf
+    out = bytearray()
+    pos = 0
+    while pos < len(buf):
+        if pos + 3 > len(buf):
+            raise ValueError("ORC compression chunk header truncated")
+        h = int.from_bytes(buf[pos : pos + 3], "little")
+        orig, ln = h & 1, h >> 1
+        pos += 3
+        if pos + ln > len(buf):
+            raise ValueError("ORC compression chunk truncated")
+        body = buf[pos : pos + ln]
+        pos += ln
+        if orig:
+            out += body
+        elif kind == 1:
+            import zlib
+
+            try:
+                out += zlib.decompress(body, -15)
+            except zlib.error as e:
+                raise ValueError(f"ORC zlib chunk: {e}") from e
+        elif kind == 2:
+            from .snappy import snappy_decompress
+
+            out += snappy_decompress(body)
+        elif kind == 4:
+            from .lz4 import lz4_block_decompress
+
+            out += lz4_block_decompress(body)
+        elif kind == 5:
+            from .zstd import zstd_decompress
+
+            out += zstd_decompress(body)
+        else:
+            raise ValueError(f"ORC compression kind {kind} out of scope")
+    return bytes(out)
+
+
+def parse_orc_file(payload: bytes) -> dict:
+    """REAL-writer ORC walk (pyarrow/Hive layout): chunked compression
+    (NONE/ZLIB/SNAPPY/LZ4/ZSTD), index sections skipped by
+    indexLength, PRESENT streams for nullable columns, and both integer
+    encodings (DIRECT → RLEv1, DIRECT_V2 → RLEv2).  Scope stays
+    ``struct<id:bigint, name:string>`` (nullable); dictionary-encoded
+    strings quarantine loudly.  Returns the :func:`parse_orc` dict with
+    ``rows`` as ``(id | None, name | None)`` and ``n_nulls``."""
+    if payload[:3] != _MAGIC:
+        raise ValueError("not an ORC file (bad magic)")
+    if len(payload) < 5:
+        raise ValueError("ORC file too short")
+    ps_len = payload[-1]
+    ps_start = len(payload) - 1 - ps_len
+    if ps_start <= 3:
+        raise ValueError("postscript length out of bounds")
+    ps = _decode_msg(payload[ps_start : len(payload) - 1])
+    footer_len = _uint(ps, 1)
+    compression = _uint(ps, 2, 0)
+    if footer_len is None:
+        raise ValueError("postscript missing footer length")
+    f_start = ps_start - footer_len
+    if f_start < 3:
+        raise ValueError("footer length out of bounds")
+    footer = _decode_msg(
+        _orc_decompress(payload[f_start:ps_start], compression)
+    )
+    total_rows = _uint(footer, 6, 0)
+    traw = footer.get(4, [])
+    if any(not isinstance(x, bytes) for x in traw):
+        raise ValueError("type entry is not a message")
+    types = [_decode_msg(t) for t in traw]
+    if (
+        len(types) != 3
+        or _uint(types[0], 1) != _KIND_STRUCT
+        or _uint(types[1], 1) != _KIND_LONG
+        or _uint(types[2], 1) != _KIND_STRING
+    ):
+        raise ValueError("only struct<id:bigint,name:string> in scope")
+    rows: list[tuple[int | None, str | None]] = []
+    n_stripes = n_nulls = 0
+    for s in footer.get(3, []):
+        if not isinstance(s, bytes):
+            raise ValueError("stripe information field is not a message")
+        info = _decode_msg(s)
+        off = _uint(info, 1)
+        ilen = _uint(info, 2, 0)
+        dlen = _uint(info, 3)
+        flen = _uint(info, 4)
+        nrows = _uint(info, 5)
+        if None in (off, dlen, flen, nrows):
+            raise ValueError("stripe information incomplete")
+        if off + ilen + dlen + flen > f_start:
+            raise ValueError("stripe overruns the footer")
+        sfooter = _decode_msg(
+            _orc_decompress(
+                payload[off + ilen + dlen : off + ilen + dlen + flen],
+                compression,
+            )
+        )
+        encodings = [
+            _uint(_decode_msg(raw), 1, 0) for raw in sfooter.get(2, [])
+        ]
+        if len(encodings) != 3:
+            raise ValueError("stripe missing column encodings")
+        for e in encodings[1:]:
+            if e not in (0, 2):  # DIRECT / DIRECT_V2
+                raise ValueError(
+                    f"column encoding {e} (dictionary) out of scope"
+                )
+
+        def ints(data: bytes, n: int, col: int, signed: bool) -> list[int]:
+            dec = rle_v1_decode if encodings[col] == 0 else rle_v2_decode
+            return dec(data, n, signed)
+
+        streams: dict[tuple[int, int], bytes] = {}
+        p = off + ilen  # data section starts after the index section
+        for raw in sfooter.get(1, []):
+            st = _decode_msg(raw)
+            kind = _uint(st, 1, 0)
+            col = _uint(st, 2, 0)
+            ln = _uint(st, 3, 0)
+            if kind in (6, 7, 8):  # ROW_INDEX / bloom: index section
+                continue
+            streams[(col, kind)] = _orc_decompress(
+                payload[p : p + ln], compression
+            )
+            p += ln
+        if p != off + ilen + dlen:
+            raise ValueError("stream sizes disagree with stripe dataLength")
+        pres_id = (
+            _bool_decode(streams[(1, 0)], nrows)
+            if (1, 0) in streams
+            else [True] * nrows
+        )
+        pres_nm = (
+            _bool_decode(streams[(2, 0)], nrows)
+            if (2, 0) in streams
+            else [True] * nrows
+        )
+        if (1, _STREAM_DATA) not in streams or (
+            2, _STREAM_LENGTH
+        ) not in streams:
+            raise ValueError("stripe missing required streams")
+        ids = ints(
+            streams[(1, _STREAM_DATA)], sum(pres_id), 1, signed=True
+        )
+        lens = ints(
+            streams[(2, _STREAM_LENGTH)], sum(pres_nm), 2, signed=False
+        )
+        d_str = streams.get((2, _STREAM_DATA), b"")
+        if sum(lens) != len(d_str):
+            raise ValueError("string lengths disagree with data stream")
+        names: list[str] = []
+        q = 0
+        for ln2 in lens:
+            names.append(d_str[q : q + ln2].decode("utf-8", "strict"))
+            q += ln2
+        it_id, it_nm = iter(ids), iter(names)
+        for ok_i, ok_n in zip(pres_id, pres_nm):
+            i = next(it_id) if ok_i else None
+            nm = next(it_nm) if ok_n else None
+            n_nulls += (not ok_i) + (not ok_n)
+            rows.append((i, nm))
+        n_stripes += 1
+    if len(rows) != total_rows:
+        raise ValueError(
+            f"footer declares {total_rows} rows, stripes held {len(rows)}"
+        )
+    return {
+        "n_stripes": n_stripes,
+        "n_rows": len(rows),
+        "n_nulls": n_nulls,
+        "sum_ids": sum(i for i, _ in rows if i is not None),
+        "n_names": len({n for _, n in rows if n is not None}),
+        "name_bytes": sum(
+            len(n.encode()) for _, n in rows if n is not None
+        ),
+        "rows": rows,
+    }

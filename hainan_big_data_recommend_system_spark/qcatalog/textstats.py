@@ -6398,3 +6398,102 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_deleted_entries long, live_bytes long, live_rows long, "
         "tt_n_live long",
     )
+
+
+@register_extra(
+    "orc_modern_scan",
+    """
+    WITH d AS (
+        SELECT doc_id, 150 + doc_id % 40 AS n,
+               CASE doc_id % 5 WHEN 0 THEN 'uncompressed'
+                    WHEN 1 THEN 'zlib' WHEN 2 THEN 'snappy'
+                    WHEN 3 THEN 'lz4' ELSE 'zstd' END AS codec
+        FROM documents
+    ),
+    r AS (
+        SELECT d.doc_id, d.n, d.codec, j,
+               CASE WHEN (d.doc_id + j) % 9 = 0 THEN NULL
+                    ELSE d.doc_id * 13 + j * 7 - 400 END AS id,
+               CASE WHEN (d.doc_id + j) % 11 = 0 THEN NULL
+                    ELSE 'n' || CAST((d.doc_id + j) % 37 AS VARCHAR)
+                    END AS name
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS j)
+    )
+    SELECT doc_id,
+           any_value(codec) AS codec,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) FILTER (WHERE id IS NULL)
+                + count(*) FILTER (WHERE name IS NULL) AS BIGINT)
+               AS n_nulls,
+           CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_ids,
+           CAST(count(DISTINCT name) AS BIGINT) AS n_names,
+           CAST(coalesce(sum(length(name)), 0) AS BIGINT) AS name_bytes
+    FROM r GROUP BY 1
+    """,
+)
+def q_orc_modern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real-writer ORC decode (operators/orclite.py round 8): per doc a
+    pyarrow/liborc ORC file — RLEv2 integer runs (short-repeat, direct,
+    delta, patched-base), PRESENT streams for nullable columns, and the
+    writer's chunked compression rotated over all five kinds (NONE /
+    ZLIB / SNAPPY / LZ4 / ZSTD — the last three decoded by this repo's
+    own codecs) — parsed cell-for-cell by `parse_orc_file`.  The oracle
+    replays the layout-independent logical content; a RLEv2
+    sub-encoding, PRESENT, or chunk-framing bug mismatches exactly the
+    affected docs."""
+    import pandas as pd
+
+    from ..operators.multimodal import _spread
+    from ..operators.orclite import parse_orc_file
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    _CODECS5 = ["uncompressed", "zlib", "snappy", "lz4", "zstd"]
+
+    def gen_and_scan(it):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.orc as po
+
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 150 + did % 40
+                ids = [
+                    None if (did + j) % 9 == 0 else did * 13 + j * 7 - 400
+                    for j in range(n)
+                ]
+                names = [
+                    None if (did + j) % 11 == 0 else f"n{(did + j) % 37}"
+                    for j in range(n)
+                ]
+                codec = _CODECS5[did % 5]
+                buf = io.BytesIO()
+                po.write_table(
+                    pa.table({"id": pa.array(ids, pa.int64()),
+                              "name": pa.array(names)}),
+                    buf, compression=codec,
+                )
+                m = parse_orc_file(buf.getvalue())
+                if m["rows"] != list(zip(ids, names)):
+                    raise ValueError(f"orc decode mismatch doc {did}")
+                out.append(
+                    {
+                        "doc_id": did,
+                        "codec": codec,
+                        "n_rows": m["n_rows"],
+                        "n_nulls": m["n_nulls"],
+                        "sum_ids": m["sum_ids"],
+                        "n_names": m["n_names"],
+                        "name_bytes": m["name_bytes"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_scan,
+        "doc_id long, codec string, n_rows long, n_nulls long, "
+        "sum_ids long, n_names long, name_bytes long",
+    )

@@ -110,6 +110,29 @@ from hainan_big_data_recommend_system_spark.operators.zstd import (
 from hainan_big_data_recommend_system_spark.operators.lz4 import (
     lz4_block_decompress,
 )
+from hainan_big_data_recommend_system_spark.operators.orclite import (
+    parse_orc_file,
+)
+
+
+def _arrow_orc_fixture() -> bytes:
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    buf = io.BytesIO()
+    po.write_table(
+        pa.table({
+            "id": pa.array(
+                [None if i % 9 == 0 else i * 3 for i in range(200)],
+                pa.int64(),
+            ),
+            "name": pa.array([f"n{i % 23}" for i in range(200)]),
+        }),
+        buf, compression="zstd",
+    )
+    return buf.getvalue()
 from hainan_big_data_recommend_system_spark.operators.pbwire import (
     make_pb_log,
     parse_pb_stream,
@@ -257,6 +280,11 @@ CASES = {
         # orders testdata (deterministic slice via its page header)
         lambda: _real_snappy_page(),
         snappy_decompress,
+    ),
+    "orc_arrow": (
+        # a REAL pyarrow/liborc file: RLEv2 + PRESENT + zstd chunks
+        lambda: _arrow_orc_fixture(),
+        parse_orc_file,
     ),
     "lz4": (
         lambda: __import__("pyarrow").Codec("lz4_raw").compress(
