@@ -236,27 +236,28 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
     """Recover ``(live, tombstones)`` from a checkpoint parquet file via
     the hand decoder — every row must be exactly one of add/remove."""
     from .parquetfmt import (
+        footer_ctx,
         parse_footer_tail,
         read_footer_tail,
-        read_leaf_column,
+        read_leaf_columns,
     )
 
     def _fetch(off: int, ln: int) -> bytes:
         return payload[off : off + ln]
 
     meta = parse_footer_tail(read_footer_tail(_fetch, len(payload)))
+    ctx = footer_ctx(payload)  # ONE footer parse for all 6 leaf reads
     live: dict[str, tuple[int, int]] = {}
     tombstones: dict[str, tuple[int, int]] = {}
+    leaf_names = (
+        "add.path", "add.size", "add.numRecords",
+        "remove.path", "remove.deletionVersion", "remove.size",
+    )
     for rg in range(meta["n_row_groups"]):
-        cols = {
-            name: read_leaf_column(payload, rg, name, with_nulls=True)[
-                "values"
-            ]
-            for name in (
-                "add.path", "add.size", "add.numRecords",
-                "remove.path", "remove.deletionVersion", "remove.size",
-            )
-        }
+        got = read_leaf_columns(
+            payload, rg, list(leaf_names), with_nulls=True, ctx=ctx
+        )
+        cols = {name: got[name]["values"] for name in leaf_names}
         for ap, asz, anr, rp, rdv, rsz in zip(*cols.values()):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:

@@ -671,6 +671,7 @@ def _read_leaf_column(
     expect_type: int | None,
     fname: str,
     with_nulls: bool = False,
+    ctx: dict | None = None,
 ) -> dict:
     """Decode ONE real leaf column chunk end-to-end — UNCOMPRESSED or
     SNAPPY pages, PLAIN or dictionary encoding (PLAIN dictionary page +
@@ -683,17 +684,12 @@ def _read_leaf_column(
     max_def_level.  Repeated fields (lists/maps, max_rep_level > 0) are
     out of scope and raise.  ``with_nulls=True`` returns values aligned
     to row positions with ``None`` holes — required to zip sibling
-    struct leaves back into rows."""
-    from .snappy import snappy_decompress
-
-    if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
-        raise ValueError("not a parquet file (bad magic)")
-    flen = struct.unpack("<I", payload[-8:-4])[0]
-    fstart = len(payload) - 8 - flen
-    if fstart < 4:
-        raise ValueError("footer length out of bounds")
-    fmd, _ = _read_struct(payload[fstart : len(payload) - 8], 0, 0)
-    rgs = _need_list(fmd.get(4), "row_groups")
+    struct leaves back into rows.  ``ctx`` (from :func:`footer_ctx`)
+    reuses one footer parse across many column/row-group reads."""
+    if ctx is None:
+        ctx = footer_ctx(payload)
+    fmd, fstart = ctx["fmd"], ctx["fstart"]
+    rgs = ctx["rgs"]
     if not 0 <= rg_index < len(rgs):
         raise ValueError("row group index out of range")
     md = None
@@ -733,7 +729,7 @@ def _read_leaf_column(
     end = start + _need_int(md.get(7), "total_compressed_size")
     if not (4 <= start <= end <= fstart):
         raise ValueError("column chunk overruns the footer")
-    leaves = _schema_leaf_map(fmd)
+    leaves = ctx["leaves"]
     if column not in leaves:
         raise ValueError(f"column {column!r} not in schema")
     max_def, max_rep, _ = leaves[column]
@@ -865,6 +861,43 @@ def read_leaf_column(
                              "read_leaf_column", with_nulls=with_nulls)
 
 
+def footer_ctx(payload: bytes) -> dict:
+    """Parse a file's footer + schema leaf map ONCE for reuse across
+    per-column reads (``read_leaf_columns``): the per-call footer
+    re-parse is O(cols × row_groups × footer size) on wide files."""
+    if payload[:4] != _MAGIC or payload[-4:] != _MAGIC:
+        raise ValueError("not a parquet file (bad magic)")
+    flen = struct.unpack("<I", payload[-8:-4])[0]
+    fstart = len(payload) - 8 - flen
+    if fstart < 4:
+        raise ValueError("footer length out of bounds")
+    fmd, _ = _read_struct(payload[fstart : len(payload) - 8], 0, 0)
+    return {
+        "fmd": fmd,
+        "fstart": fstart,
+        "rgs": _need_list(fmd.get(4), "row_groups"),
+        "leaves": _schema_leaf_map(fmd),
+    }
+
+
+def read_leaf_columns(
+    payload: bytes,
+    rg_index: int,
+    columns: list[str],
+    with_nulls: bool = False,
+    ctx: dict | None = None,
+) -> dict[str, dict]:
+    """Several leaves of one row group with a single footer parse."""
+    if ctx is None:
+        ctx = footer_ctx(payload)
+    return {
+        c: _read_leaf_column(payload, rg_index, c, None,
+                             "read_leaf_columns", with_nulls=with_nulls,
+                             ctx=ctx)
+        for c in columns
+    }
+
+
 # ---------------------------------------------------------------------------
 # DELTA_* encodings (parquet-format Encodings.md) — the layouts modern
 # writers emit for sorted ids (DELTA_BINARY_PACKED) and string columns
@@ -971,6 +1004,13 @@ def _interleave(page_vals: list, dls: list[int], max_def: int) -> list:
     return [next(it) if d == max_def else None for d in dls]
 
 
+def _wrap64(v: int) -> int:
+    """Signed-int64 wrapping (the mod-2^64 arithmetic Encodings.md
+    specifies for DELTA_BINARY_PACKED accumulation)."""
+    v &= (1 << 64) - 1
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def delta_binary_unpack(buf: bytes, pos: int) -> tuple[list[int], int]:
     """DELTA_BINARY_PACKED: ``<block size> <miniblocks per block>
     <total count> <first value zigzag>`` then per block ``<min delta
@@ -981,9 +1021,11 @@ def delta_binary_unpack(buf: bytes, pos: int) -> tuple[list[int], int]:
     nmini, pos = read_varint(buf, pos)
     total, pos = read_varint(buf, pos)
     zz, pos = read_varint(buf, pos)
-    first = zigzag_decode(zz)
+    first = _wrap64(zigzag_decode(zz))
     if block <= 0 or nmini <= 0 or block % nmini != 0:
         raise ValueError("delta-binary block geometry invalid")
+    if block > 1 << 20:  # writers use 128..4096; cap crafted headers
+        raise ValueError("delta-binary block size implausible")
     per_mini = block // nmini
     if per_mini % 8 != 0:
         raise ValueError("delta-binary miniblock not a multiple of 8")
@@ -1016,7 +1058,9 @@ def delta_binary_unpack(buf: bytes, pos: int) -> tuple[list[int], int]:
             for d in deltas:
                 if len(out) >= total:
                     break
-                prev = prev + min_delta + d
+                # Encodings.md defines the accumulation mod 2^64 —
+                # int64 extremes must wrap, not escape the domain
+                prev = _wrap64(prev + min_delta + d)
                 out.append(prev)
     return out[:total], pos
 

@@ -133,6 +133,8 @@ def _fse_read_header(
                     raise ValueError("zstd: FSE zero-run overflow")
                 repeat = bits.read(2)
             counts.extend([0] * repeat)
+            if len(counts) > max_symbols:
+                raise ValueError("zstd: FSE zero-run overflow")
     if remaining != 1:
         raise ValueError("zstd: FSE counts do not sum to table size")
     return counts, al, bits.bytes_consumed()
@@ -176,7 +178,6 @@ def _fse_build(counts: list[int], al: int) -> list[tuple[int, int, int]]:
 
 def _fse_from_mode(
     mode: int,
-    bits: _FwdBits | None,
     buf: bytes,
     pos: int,
     default: tuple[list[int], int],
@@ -266,12 +267,16 @@ def _huf_build(weights: list[int]) -> tuple[dict[int, tuple[int, int]], int]:
     """Canonical Huffman decode table from explicit weights (the last
     symbol's weight is implicit): ``{prefix: (symbol, nbits)}`` keyed by
     the max_bits-wide code prefix, plus max_bits."""
+    if any(w > 11 for w in weights):  # RFC 8878: Max_Number_of_Bits 11
+        raise ValueError("zstd: Huffman weight exceeds the 11-bit cap")
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ValueError("zstd: Huffman weights all zero")
     max_bits = (total - 1).bit_length() + (
         0 if total & (total - 1) else 1
     )
+    if max_bits > 11:
+        raise ValueError("zstd: Huffman tree deeper than the 11-bit cap")
     # implicit last weight completes the next power of two
     left = (1 << max_bits) - total
     if left <= 0 or left & (left - 1):
@@ -470,7 +475,13 @@ def _decode_literals(
 
 
 def _decode_sequences(
-    block: bytes, pos: int, literals: bytes, ctx: _FrameCtx, out: bytearray
+    block: bytes,
+    pos: int,
+    literals: bytes,
+    ctx: _FrameCtx,
+    out: bytearray,
+    frame_start: int,
+    max_output: int,
 ) -> None:
     """Decode + execute the sequences section onto ``out`` (which holds
     all prior frame output — matches may reach back across blocks)."""
@@ -502,15 +513,15 @@ def _decode_sequences(
     if modes & 3:
         raise ValueError("zstd: reserved sequence mode bits set")
     ll_tab, pos = _fse_from_mode(
-        (modes >> 6) & 3, None, block, pos, _LL_DEFAULT, 36, 9,
+        (modes >> 6) & 3, block, pos, _LL_DEFAULT, 36, 9,
         ctx.ll, "literals-length",
     )
     of_tab, pos = _fse_from_mode(
-        (modes >> 4) & 3, None, block, pos, _OF_DEFAULT, 32, 8,
+        (modes >> 4) & 3, block, pos, _OF_DEFAULT, 32, 8,
         ctx.of, "offset",
     )
     ml_tab, pos = _fse_from_mode(
-        (modes >> 2) & 3, None, block, pos, _ML_DEFAULT, 53, 9,
+        (modes >> 2) & 3, block, pos, _ML_DEFAULT, 53, 9,
         ctx.ml, "match-length",
     )
     ctx.ll, ctx.of, ctx.ml = ll_tab, of_tab, ml_tab
@@ -559,9 +570,11 @@ def _decode_sequences(
             raise ValueError("zstd: sequence literals overrun")
         out.extend(literals[lit_pos : lit_pos + lit_len])
         lit_pos += lit_len
-        if offset > len(out):
+        # offsets reach back only within the CURRENT frame: a corrupt
+        # multi-frame payload must not splice bytes from a prior frame
+        if offset > len(out) - frame_start:
             raise ValueError("zstd: match offset before frame start")
-        if len(out) + match_len > _MAX_OUTPUT:
+        if len(out) + match_len > max_output:
             raise ValueError("zstd: output exceeds decoder limit")
         if offset >= match_len:  # non-overlapping fast path
             start = len(out) - offset
@@ -662,7 +675,9 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
                 block = payload[pos : pos + bsize]
                 pos += bsize
                 literals, bp = _decode_literals(block, 0, ctx)
-                _decode_sequences(block, bp, literals, ctx, out)
+                _decode_sequences(
+                    block, bp, literals, ctx, out, frame_start, max_output
+                )
             else:
                 raise ValueError("zstd: reserved block type")
             if len(out) > max_output:

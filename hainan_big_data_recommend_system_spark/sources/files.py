@@ -88,9 +88,10 @@ def _parquet_members(payload: bytes) -> list[tuple[str, str]]:
     schema, codec, or a corrupt file raises ValueError → one quarantine
     row for the file, same contract as the archive formats."""
     from ..operators.parquetfmt import (
+        footer_ctx,
         parse_footer_tail,
         read_footer_tail,
-        read_leaf_column,
+        read_leaf_columns,
     )
 
     def _fetch(off: int, ln: int) -> bytes:
@@ -104,14 +105,14 @@ def _parquet_members(payload: bytes) -> list[tuple[str, str]]:
         raise ValueError(
             "parquet corpus file must carry string columns name and body"
         )
+    ctx = footer_ctx(payload)  # ONE footer parse for all column reads
     out: list[tuple[str, str]] = []
     for rg in range(meta["n_row_groups"]):
-        names = read_leaf_column(payload, rg, "name", with_nulls=True)[
-            "values"
-        ]
-        bodies = read_leaf_column(payload, rg, "body", with_nulls=True)[
-            "values"
-        ]
+        got = read_leaf_columns(
+            payload, rg, ["name", "body"], with_nulls=True, ctx=ctx
+        )
+        names = got["name"]["values"]
+        bodies = got["body"]["values"]
         for nm, bd in zip(names, bodies):
             if nm is None or bd is None:
                 raise ValueError("parquet corpus row with null name/body")
