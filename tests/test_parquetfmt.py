@@ -518,3 +518,48 @@ def test_full_type_codec_matrix_int32_float_gzip_bss(tmp_path):
         assert all(abs(a - b) < 1e-6 for a, b in zip(got32, wf32)), kw
         assert read_leaf_column(raw, 0, "f64")["values"] == wf64, kw
         assert read_leaf_column(raw, 0, "d")["values"] == wd, kw
+
+
+def test_delta_binary_packed_int64_extremes_wrap(tmp_path):
+    """Round-8 self-review #1: Encodings.md defines DELTA accumulation
+    mod 2^64 — int64-extreme columns must decode exactly, never escape
+    the domain."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        read_leaf_column,
+    )
+
+    vals = [2**63 - 1, -(2**63), 5, -7, 2**63 - 2, 0, -(2**63) + 1]
+    sch = pa.schema([pa.field("id", pa.int64(), nullable=False)])
+    path = str(tmp_path / "x.parquet")
+    pq.write_table(
+        pa.table({"id": pa.array(vals, pa.int64())}, schema=sch), path,
+        use_dictionary=False, compression="none",
+        column_encoding={"id": "DELTA_BINARY_PACKED"},
+    )
+    raw = open(path, "rb").read()
+    got = read_leaf_column(raw, 0, "id")["values"]
+    assert got == vals
+    want = duckdb.connect().execute(
+        f"SELECT id FROM '{path}'"
+    ).fetchall()
+    assert got == [r[0] for r in want]
+
+
+def test_delta_binary_packed_crafted_block_size_rejected():
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        delta_binary_unpack,
+    )
+    from hainan_big_data_recommend_system_spark.operators.pbwire import (
+        write_varint,
+        zigzag_encode,
+    )
+
+    bomb = (
+        write_varint(1 << 40) + write_varint(1) + write_varint(2)
+        + write_varint(zigzag_encode(0))
+    )
+    with pytest.raises(ValueError, match="implausible"):
+        delta_binary_unpack(bytes(bomb) + b"\x00" * 16, 0)

@@ -121,3 +121,36 @@ def test_content_checksum_verified():
     bad = ((xxh64(data) ^ 1) & 0xFFFFFFFF).to_bytes(4, "little")
     with pytest.raises(ValueError, match="checksum mismatch"):
         zstd_decompress(bytes(comp) + bad)
+
+
+def test_crafted_huffman_weights_rejected_not_crash():
+    """Round-8 self-review #3: weights past the RFC's 11-bit cap must
+    raise ValueError before any table allocation."""
+    from hainan_big_data_recommend_system_spark.operators.zstd import (
+        _huf_build,
+    )
+
+    for w in (12, 30, 64, 255):
+        with pytest.raises(ValueError):
+            _huf_build([w])
+
+
+def test_multi_frame_offsets_do_not_cross_frames():
+    """Round-8 self-review #4: a frame's match offsets may only reach
+    back within THAT frame."""
+    codec = pa.Codec("zstd")
+    a = codec.compress(b"AAAA first frame content", asbytes=True)
+    b = codec.compress(b"xy" * 300, asbytes=True)
+    # both frames valid -> concatenation decodes fine
+    assert zstd_decompress(a + b) == (
+        b"AAAA first frame content" + b"xy" * 300
+    )
+
+
+def test_max_output_enforced_inside_blocks():
+    """Round-8 self-review #5: the caller's cap binds DURING sequence
+    execution, not only between blocks."""
+    codec = pa.Codec("zstd")
+    comp = codec.compress(b"z" * 2_000_000, asbytes=True)
+    with pytest.raises(ValueError, match="limit|large"):
+        zstd_decompress(comp, max_output=10_000)
