@@ -554,3 +554,128 @@ def q_delta_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.md5(F.col("body")).alias("body_md5"),
     )
+
+
+def _ensure_iceberg_table_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """An on-disk Iceberg-shaped TABLE: 6 Spark-written parquet data
+    files + a `metadata/` tree (metadata.json version pointer,
+    manifest-list Avro, manifest Avro files) with two snapshots —
+    snapshot 200's manifests mark f0/f1 DELETED, f4/f5 ADDED.  Same
+    live set as the Delta twin (shards 2..5), different resolution
+    mechanism (tree walk, not log replay)."""
+    out = _fixture_dir(sf_dir, "icebergtbl")
+    if os.path.isdir(out):
+        return out
+    import glob as _glob
+
+    from ..operators.iceberg import (
+        make_manifest,
+        make_manifest_list,
+        make_table_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 6).alias("shard"),
+        F.format_string("doc-%08d", "doc_id").alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    os.makedirs(os.path.join(tmp, "metadata"), exist_ok=True)
+    sizes: dict[int, tuple[int, int]] = {}
+    for sh in range(6):
+        part_dir = os.path.join(tmp, f"__build-{sh}")
+        shard_docs = docs.filter(F.col("shard") == sh).select("name", "body")
+        n = shard_docs.count()
+        (
+            shard_docs.coalesce(1)
+            .sortWithinPartitions("name")
+            .write.mode("overwrite")
+            .parquet(part_dir)
+        )
+        (part_file,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(tmp, f"f{sh}.parquet")
+        os.replace(part_file, dest)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        sizes[sh] = (os.path.getsize(dest), n)
+
+    def entry(sh, status):
+        return {"status": status, "file_path": f"f{sh}.parquet",
+                "record_count": sizes[sh][1], "file_size": sizes[sh][0]}
+
+    def counts(es):
+        return {
+            "added_files_count": sum(1 for e in es if e["status"] == 1),
+            "existing_files_count": sum(1 for e in es if e["status"] == 0),
+            "deleted_files_count": sum(1 for e in es if e["status"] == 2),
+        }
+
+    m_v1 = [entry(s, 1) for s in range(4)]
+    m_v2a = [entry(s, 2 if s < 2 else 0) for s in range(4)]
+    m_v2b = [entry(s, 1) for s in (4, 5)]
+    meta_dir = os.path.join(tmp, "metadata")
+    for name, blob in [
+        ("m-v1.avro", make_manifest(m_v1)),
+        ("m-v2a.avro", make_manifest(m_v2a)),
+        ("m-v2b.avro", make_manifest(m_v2b)),
+        ("ml-100.avro", make_manifest_list(
+            [{"manifest_path": "metadata/m-v1.avro", **counts(m_v1)}]
+        )),
+        ("ml-200.avro", make_manifest_list(
+            [{"manifest_path": "metadata/m-v2a.avro", **counts(m_v2a)},
+             {"manifest_path": "metadata/m-v2b.avro", **counts(m_v2b)}]
+        )),
+    ]:
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(blob)
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        fh.write(make_table_metadata(
+            {100: "metadata/ml-100.avro", 200: "metadata/ml-200.avro"},
+            current=200,
+        ))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra("iceberg_table_read", _DELTA_TABLE_SQL)
+def q_iceberg_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE Iceberg read path against an on-disk table: the
+    metadata TREE (version-pointer json → manifest-list Avro →
+    manifest Avro, counts cross-checked) resolves the current
+    snapshot's live files, and ONLY those scan through the
+    one-task-per-file front door — the two DELETED-but-present data
+    files in the same directory are skipped.  Same live set and oracle
+    as `delta_table_read` BY CONSTRUCTION: the two lakehouse formats
+    must agree on the same logical table, which is itself the
+    cross-format invariant this row pins."""
+    from ..operators.iceberg import snapshot_live_files
+    from ..sources.files import read_container_records
+
+    fixture = _ensure_iceberg_table_fixture(spark, sf_dir)
+    meta_text = open(
+        os.path.join(fixture, "metadata", "v2.metadata.json")
+    ).read()
+
+    def fetch(path: str) -> bytes:
+        return open(os.path.join(fixture, path), "rb").read()
+
+    snap = snapshot_live_files(meta_text, fetch)
+    recs = read_container_records(
+        spark,
+        [os.path.join(fixture, p) for p in sorted(snap["live"])],
+        "parquet",
+    )
+    fname = F.element_at(F.split(F.col("file_path"), "/"), -1)
+    return recs.select(
+        F.regexp_extract(fname, r"f(\d+)\.parquet$", 1)
+        .cast("bigint")
+        .alias("shard"),
+        "record_index",
+        F.regexp_extract(F.col("name"), r"doc-(\d+)$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.md5(F.col("body")).alias("body_md5"),
+    )

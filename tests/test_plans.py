@@ -681,3 +681,9 @@ def test_delta_table_read_one_task_per_live_file(spark):
     plan = plan_of(spark, "delta_table_read")
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 0, plan
+
+
+def test_iceberg_table_read_one_task_per_live_file(spark):
+    plan = plan_of(spark, "iceberg_table_read")
+    assert "MapInPandas" in plan, plan
+    assert plan.count("Exchange") == 0, plan
