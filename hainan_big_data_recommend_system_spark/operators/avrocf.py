@@ -17,7 +17,10 @@ Format walked:
   marker;
 - data blocks: zigzag-varint record count, zigzag-varint byte size,
   the serialized records (raw-DEFLATE-compressed when codec is
-  ``deflate`` — RFC 1951, NO zlib wrapper: the classic interop trap),
+  ``deflate`` — RFC 1951, NO zlib wrapper: the classic interop trap;
+  ``snappy`` — raw block + 4-byte big-endian CRC32 suffix of the
+  UNCOMPRESSED bytes per the Avro spec; ``zstd`` — both decoded by
+  this repo's own codecs),
   then the sync marker again, which MUST equal the header's;
 - records per the schema: longs/ints are zigzag varints, strings and
   bytes are length-prefixed, booleans one byte, and nullable fields
@@ -179,6 +182,19 @@ def make_avro(
         if codec == "deflate":  # raw RFC 1951, no zlib wrapper
             co = zlib.compressobj(wbits=-15)
             data = co.compress(data) + co.flush()
+        elif codec == "snappy":
+            # Avro spec: snappy blocks carry a 4-byte BIG-ENDIAN CRC32
+            # of the UNCOMPRESSED data as a suffix
+            import pyarrow as pa
+
+            crc = zlib.crc32(data) & 0xFFFFFFFF
+            data = pa.Codec("snappy").compress(data, asbytes=True) + (
+                crc.to_bytes(4, "big")
+            )
+        elif codec == "zstd":
+            import pyarrow as pa
+
+            data = pa.Codec("zstd").compress(data, asbytes=True)
         elif codec != "null":
             raise ValueError(f"unsupported codec {codec!r}")
         out += write_long(len(recs)) + write_long(len(data)) + data
@@ -213,7 +229,7 @@ def parse_avro(payload: bytes) -> dict:
         raise ValueError(f"avro.schema is not valid JSON: {e}") from None
     fields = _normalize_schema(schema)
     codec = meta.get("avro.codec", b"null").decode("ascii", "strict")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy", "zstd"):
         raise ValueError(f"unsupported codec {codec!r}")
     if pos + 16 > len(payload):
         raise ValueError("header sync marker truncated")
@@ -236,6 +252,18 @@ def parse_avro(payload: bytes) -> dict:
                 data = zlib.decompress(data, wbits=-15)
             except zlib.error as e:
                 raise ValueError(f"deflate block corrupt: {e}") from None
+        elif codec == "snappy":
+            from .snappy import snappy_decompress
+
+            if len(data) < 4:
+                raise ValueError("snappy block missing its CRC suffix")
+            data, want = snappy_decompress(data[:-4]), data[-4:]
+            if (zlib.crc32(data) & 0xFFFFFFFF).to_bytes(4, "big") != want:
+                raise ValueError("snappy block CRC mismatch")
+        elif codec == "zstd":
+            from .zstd import zstd_decompress
+
+            data = zstd_decompress(data)
         dp = 0
         for _ in range(count):
             rec = {}

@@ -77,6 +77,39 @@ _AVRO_MEMBER_SCHEMA = {
 }
 
 
+def _outer_decompress(payload: bytes) -> bytes:
+    """Whole-file compression sniffed off a container payload — the
+    `.tar.gz` / `.tar.zst` / `.tar.bz2` / `.tar.xz` shard layouts a
+    crawl dump actually ships (zstd via this repo's own decoder).
+    Plain payloads pass through untouched."""
+    if payload[:2] == b"\x1f\x8b":
+        import gzip
+
+        try:
+            return gzip.decompress(payload)
+        except (OSError, EOFError) as e:
+            raise ValueError(f"gzip container: {e}") from e
+    if payload[:4] == b"\x28\xb5\x2f\xfd":
+        from ..operators.zstd import zstd_decompress
+
+        return zstd_decompress(payload)
+    if payload[:3] == b"BZh":
+        import bz2
+
+        try:
+            return bz2.decompress(payload)
+        except (OSError, ValueError) as e:
+            raise ValueError(f"bz2 container: {e}") from e
+    if payload[:6] == b"\xfd7zXZ\x00":
+        import lzma
+
+        try:
+            return lzma.decompress(payload)
+        except lzma.LZMAError as e:
+            raise ValueError(f"xz container: {e}") from e
+    return payload
+
+
 def _parquet_members(payload: bytes) -> list[tuple[str, str]]:
     """Rows of a REAL parquet corpus-exchange file, decoded by the hand
     reader (operators/parquetfmt.py): the container must carry string
@@ -175,11 +208,10 @@ def _record_parser(fmt: str):
                                 }
                             )
                     else:
-                        members = (
-                            parse_tar(payload)
-                            if fmt == "tar"
-                            else parse_zip(payload)
-                        )
+                        if fmt == "tar":
+                            members = parse_tar(_outer_decompress(payload))
+                        else:
+                            members = parse_zip(payload)
                         for i, (name, data) in enumerate(members):
                             rows.append(
                                 {

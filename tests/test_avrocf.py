@@ -129,3 +129,29 @@ def test_boolean_byte_strictness():
     raw[-17] = 2
     with pytest.raises(ValueError, match="boolean byte"):
         parse_avro(bytes(raw))
+
+
+def test_snappy_and_zstd_codecs_roundtrip_and_crc():
+    """Avro spec codecs beyond deflate: snappy blocks carry a 4-byte
+    big-endian CRC32 of the UNCOMPRESSED bytes; zstd frames decode
+    through the repo's own decoder."""
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.operators.avrocf import (
+        make_avro,
+        parse_avro,
+    )
+
+    schema = {"type": "record", "name": "M",
+              "fields": [{"name": "name", "type": "string"},
+                         {"name": "n", "type": "long"}]}
+    recs = [[{"name": f"r{i}", "n": i * 3} for i in range(50)],
+            [{"name": "x", "n": -9}]]
+    for codec in ("snappy", "zstd"):
+        m = parse_avro(make_avro(schema, recs, codec=codec))
+        assert m["codec"] == codec and m["n_records"] == 51
+        assert m["records"][-1] == {"name": "x", "n": -9}
+    blob = bytearray(make_avro(schema, recs, codec="snappy"))
+    blob[-21] ^= 1
+    with pytest.raises(ValueError):
+        parse_avro(bytes(blob))

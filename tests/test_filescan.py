@@ -370,3 +370,40 @@ def test_streaming_parquet_records_match_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) == 10
+
+
+def test_tar_outer_compression_variants(spark, tmp_path):
+    """.tar.gz / .tar.zst / .tar.bz2 shards explode like plain tar —
+    whole-file compression is sniffed and undone before the member
+    walk (zstd through the repo's own decoder)."""
+    import bz2
+    import gzip
+
+    import pyarrow as pa
+
+    from hainan_big_data_recommend_system_spark.sources.archives import (
+        make_tar,
+    )
+    from hainan_big_data_recommend_system_spark.sources.files import (
+        read_container_records,
+    )
+
+    d = tmp_path / "tars"
+    d.mkdir()
+    members = [(f"m{i}.txt", f"content {i}".encode() * 3) for i in range(6)]
+    tar = make_tar(members)
+    (d / "a.tar").write_bytes(tar)
+    (d / "b.tar.gz").write_bytes(gzip.compress(tar))
+    (d / "c.tar.zst").write_bytes(
+        pa.Codec("zstd").compress(tar, asbytes=True)
+    )
+    (d / "d.tar.bz2").write_bytes(bz2.compress(tar))
+    rows = read_container_records(spark, str(d), "tar", glob="*.tar*").collect()
+    good = [r for r in rows if r["error"] is None]
+    assert len(good) == 4 * 6
+    assert {bytes(r["body"]) for r in good} == {b for _, b in members}
+    # a corrupt compressed shard still quarantines per file
+    (d / "e.tar.zst").write_bytes(b"\x28\xb5\x2f\xfdgarbage")
+    rows = read_container_records(spark, str(d), "tar", glob="*.tar*").collect()
+    bad = [r for r in rows if r["error"] is not None]
+    assert len(bad) == 1 and "zstd" in bad[0]["error"]
