@@ -1487,3 +1487,128 @@ def q_hll_large_range_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         regs, ["grp"], b=_HLL_LR_B, hash_bits=_HLL_LR_HASH,
         small_range_correction=True, large_range_correction=True,
     )
+
+
+# ---------------------------------------------------------------------------
+# exact count-min sketch (round 8): the hash-checked twin of
+# cms_heavy_hitters, same discipline as hll_distinct vs HLL++ — pinned
+# md5 row hashes make the WHOLE sketch (tables, estimates, overcount)
+# reproducible in any engine, and CMS updates are order-free integer
+# sums, so the result hash-matches under any partitioning.
+# ---------------------------------------------------------------------------
+
+_CMS_D, _CMS_W = 4, 256
+
+
+def _cms_sql() -> str:
+    d, w = _CMS_D, _CMS_W
+    return f"""
+    WITH ev AS (SELECT user_id FROM events),
+    exact AS (
+        SELECT user_id, count(*) AS exact_cnt FROM ev GROUP BY 1
+    ),
+    probes AS (
+        SELECT user_id, exact_cnt, 'heavy' AS probe_kind FROM exact
+        ORDER BY exact_cnt DESC, user_id LIMIT 10
+    ),
+    light AS (
+        SELECT user_id, exact_cnt, 'light' AS probe_kind FROM exact
+        ORDER BY user_id LIMIT 5
+    ),
+    allp AS (SELECT * FROM probes UNION ALL SELECT * FROM light),
+    rows_ AS (SELECT unnest(range(0, {d})) AS i),
+    cms AS (
+        SELECT i,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || '|'
+                                   || CAST(user_id AS VARCHAR)), 1, 15)
+               )::BIGINT % {w} AS bucket,
+               count(*) AS cnt
+        FROM ev, rows_ GROUP BY 1, 2
+    ),
+    est AS (
+        SELECT p.user_id, p.probe_kind, p.exact_cnt,
+               min(coalesce(c.cnt, 0)) AS est_cnt
+        FROM allp p
+        JOIN rows_ r ON TRUE
+        LEFT JOIN cms c
+          ON c.i = r.i
+         AND c.bucket = ('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|'
+                         || CAST(p.user_id AS VARCHAR)), 1, 15)
+                        )::BIGINT % {w}
+        GROUP BY 1, 2, 3
+    )
+    SELECT user_id, probe_kind,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+    FROM est
+    """
+
+
+@register_extra("cms_exact_heavy_hitters", _cms_sql())
+def q_cms_exact_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-twin count-min sketch: d=4 rows × w=256 buckets with
+    pinned md5 row hashes — updates are order-free integer sums, so
+    unlike the engine-internal `cms_heavy_hitters` sketch the whole
+    pipeline (table build, point queries for the top-10 heavy hitters
+    plus 5 light probes, and the CMS one-sided overcount) hash-matches
+    the DuckDB replay.  The sketch table is the mergeable 100 TB state:
+    d·w integers re-aggregating across partitions/days with plain
+    sums."""
+    d, w = _CMS_D, _CMS_W
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    heavy = (
+        exact.orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(10)
+        .withColumn("probe_kind", F.lit("heavy"))
+    )
+    light = (
+        exact.orderBy("user_id")
+        .limit(5)
+        .withColumn("probe_kind", F.lit("light"))
+    )
+    probes = heavy.unionByName(light)
+
+    def bucket(i_col, user_col):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            i_col.cast("string"),
+                            F.lit("|"),
+                            user_col.cast("string"),
+                        )
+                    ),
+                    1, 15,
+                ),
+                16, 10,
+            ).cast("long")
+            % w
+        )
+
+    rows_i = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("i")
+    cms = (
+        ev.select("user_id", rows_i)
+        .select("i", bucket(F.col("i"), F.col("user_id")).alias("bucket"))
+        .groupBy("i", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probe_rows = probes.select(
+        "user_id", "probe_kind", "exact_cnt", rows_i
+    ).withColumn("bucket", bucket(F.col("i"), F.col("user_id")))
+    return (
+        probe_rows.join(F.broadcast(cms), ["i", "bucket"], "left")
+        .groupBy("user_id", "probe_kind", "exact_cnt")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_cnt"))
+        .select(
+            "user_id",
+            "probe_kind",
+            F.col("exact_cnt").cast("long").alias("exact_cnt"),
+            F.col("est_cnt").cast("long").alias("est_cnt"),
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )

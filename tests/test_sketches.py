@@ -355,3 +355,23 @@ def test_hll_32_bit_hash_end_to_end_still_estimates(spark):
     ).collect()[0]
     assert r["regime"] in ("raw", "linear")
     assert abs(r["est_corrected"] - 3000) < 3000 * 0.15
+
+
+def test_cms_exact_one_sided_and_bounded(spark):
+    """CMS guarantees: est >= exact always (one-sided), and the
+    expected overcount is ~N/w per row — with d=4 rows the min is far
+    below N."""
+    from hainan_big_data_recommend_system_spark.qcatalog import (
+        EXTRA_REGISTRY,
+    )
+
+    rows = (
+        EXTRA_REGISTRY["cms_exact_heavy_hitters"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert len(rows) == 15
+    n_stream = 20_000  # sf0.01 events ~20k
+    for r in rows:
+        assert r["overcount"] >= 0, r
+        assert r["overcount"] <= n_stream // 16, r  # << eN at w=256
