@@ -1,0 +1,213 @@
+"""Exact fixed-point rank-1 ALS — the oracle-checkable twin of the
+MLlib factorization (qcatalog/reco.py `als_recommendations`).
+
+MLlib ALS is rows-only by nature (float Cholesky solves, block
+geometry).  The rank-1 alternating update has a CLOSED FORM per side —
+
+    u_i = Σ_j r_ij·v_j / Σ_j v_j²      (over i's observed items)
+    v_j = Σ_i r_ij·u_i / Σ_i u_i²      (over j's observed users)
+
+— which is the alternating power method for the dominant singular
+direction of the (sparse) interaction matrix.  Pinning it exactly:
+
+- factors are fixed-point integers at SCALE=1000 (v initialized to
+  SCALE for every item — a deterministic all-ones direction);
+- each update computes ``num·SCALE div den`` in decimal(38,0) —
+  truncating integer division, all quantities non-negative (counts ×
+  non-negative factors), so Spark ``div`` and DuckDB ``//`` agree;
+- each side is MAX-NORMALIZED back to SCALE after its update (the
+  alternating updates are homogeneous of degree −1, so unnormalized
+  fixed-point magnitudes oscillate and truncate to zero — the exact
+  analogue of the float power method's renormalization step); the max
+  is an order-free aggregate, broadcast back as one row;
+- a FIXED number of alternations (default 3);
+- scoring ranks unseen items per user by the exact integer product
+  ``u_i·v_j`` (ties to the lowest item id).
+
+Every stage is order-free integer arithmetic over groupBy sums, so a
+generated unrolled SQL chain replays the whole fit — the same
+discipline as operators/kmeans_exact.py (Lloyd) and the pinned CMS/HLL
+twins.  The MLlib rank-8 row remains the faithful reference port; this
+twin puts a collaborative-filtering FIT inside the hash gate.
+
+Scale shape: each iteration is two groupBy-sum shuffles over the
+interaction table joined with a BROADCAST factor side (|users| and
+|items| rows of (id, int) — the small side by construction at any
+scale where rank-1 fits make sense); nothing collects.
+
+Public knowledge: alternating least squares (Koren/Bell/Volinsky 2009)
+and the power method; fixed-point determinism is elementary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_SCALE = 1000
+_DEC = "decimal(38,0)"
+
+
+def als_rank1_exact(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    iters: int = 3,
+    top_k: int = 3,
+) -> DataFrame:
+    """Run the pinned fixed-point rank-1 fit and return the top-k
+    UNSEEN items per user: ``(user, rec_rank, item, score)`` with
+    ``score = u_i·v_j`` (exact integers)."""
+    r = ratings.select(
+        F.col(user_col).cast("long").alias("u"),
+        F.col(item_col).cast("long").alias("i"),
+        F.col(rating_col).cast("long").alias("r"),
+    )
+    # v starts as the all-ones direction at fixed-point scale
+    v = r.select("i").distinct().withColumn("v", F.lit(_SCALE))
+    u = None
+    for _ in range(iters):
+        ru = r.join(F.broadcast(v), "i").groupBy("u").agg(
+            F.expr(f"cast(sum(cast(r as {_DEC}) * v) as {_DEC})").alias(
+                "__num"
+            ),
+            F.expr(f"cast(sum(cast(v as {_DEC}) * v) as {_DEC})").alias(
+                "__den"
+            ),
+        )
+        u = ru.select(
+            "u",
+            F.expr(f"cast(__num * {_SCALE} div __den as long)").alias("uf"),
+        )
+        u = u.crossJoin(
+            F.broadcast(u.agg(F.max("uf").alias("__m")))
+        ).select(
+            "u",
+            F.expr(
+                f"cast(cast(uf as {_DEC}) * {_SCALE} "
+                f"div greatest(__m, 1) as long)"
+            ).alias("uf"),
+        )
+        # truncate the per-iteration lineage (the normalization
+        # references its own input, so the unchecked plan tree grows
+        # ~4x per alternation — the classic iterative-algorithm trap;
+        # MLlib ALS checkpoints for the same reason)
+        u = u.localCheckpoint(eager=True)
+        rv = r.join(F.broadcast(u), "u").groupBy("i").agg(
+            F.expr(f"cast(sum(cast(r as {_DEC}) * uf) as {_DEC})").alias(
+                "__num"
+            ),
+            F.expr(f"cast(sum(cast(uf as {_DEC}) * uf) as {_DEC})").alias(
+                "__den"
+            ),
+        )
+        v = rv.select(
+            "i",
+            F.expr(f"cast(__num * {_SCALE} div __den as long)").alias("v"),
+        )
+        v = v.crossJoin(
+            F.broadcast(v.agg(F.max("v").alias("__m")))
+        ).select(
+            "i",
+            F.expr(
+                f"cast(cast(v as {_DEC}) * {_SCALE} "
+                f"div greatest(__m, 1) as long)"
+            ).alias("v"),
+        )
+        v = v.localCheckpoint(eager=True)
+    # Top-k unseen per user WITHOUT a users×items cross join: with a
+    # rank-1 model the per-user item ordering (score desc, i) is the
+    # GLOBAL ordering (v desc, i) whenever uf > 0, and plain (i) when
+    # uf == 0 — so the exact top-k lives inside the first k + d_u items
+    # of those two global rankings (a user skips at most its d_u seen
+    # items).  Candidates = both prunes unioned: Σ(k + d_u) × 2 rows,
+    # linear in |R|.  Both global ranks ride the range-partitioned
+    # distributed_global_rank (no single-task window over the item
+    # dim).
+    from .ranking import distributed_global_rank
+
+    vr = distributed_global_rank(
+        v, "v", ["i"], rank_col="rank_v", descending=True
+    )
+    vr = distributed_global_rank(
+        vr, "i", ["v"], rank_col="rank_i"  # i unique: tiebreak unused
+    ).select("i", "v", "rank_v", "rank_i")
+    seen = r.groupBy("u").agg(F.count(F.lit(1)).alias("d_u"))
+    uu = u.join(seen, "u")
+    cap = F.col("d_u") + top_k
+    cand = (
+        uu.join(F.broadcast(vr), F.col("rank_v") <= cap)
+        .unionByName(uu.join(F.broadcast(vr), F.col("rank_i") <= cap))
+        .dropDuplicates(["u", "i"])
+        .join(r.select("u", "i"), ["u", "i"], "left_anti")
+    )
+    w = Window.partitionBy("u").orderBy(
+        F.expr("uf * v").desc(), F.col("i")
+    )
+    return (
+        cand.withColumn("rec_rank", F.row_number().over(w))
+        .filter(F.col("rec_rank") <= top_k)
+        .select(
+            F.col("u").alias("user"),
+            F.col("rec_rank").cast("long").alias("rec_rank"),
+            F.col("i").alias("item"),
+            F.expr("cast(uf * v as long)").alias("score"),
+        )
+    )
+
+
+def als_rank1_oracle_sql(iters: int = 3, top_k: int = 3) -> str:
+    """Unrolled DuckDB replay on the orders/lineitem interaction
+    matrix (user = o_custkey, item = l_partkey, rating = basket
+    count — the same matrix `als_recommendations` factorizes)."""
+    parts = [f"""
+    WITH r AS (
+        SELECT o.o_custkey AS u, l.l_partkey AS i,
+               count(*) AS rr
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    v0 AS (SELECT DISTINCT i, CAST({_SCALE} AS HUGEINT) AS v FROM r)"""]
+    for t in range(1, iters + 1):
+        parts.append(f""",
+    u{t}raw AS (
+        SELECT r.u,
+               sum(CAST(r.rr AS HUGEINT) * v.v) * {_SCALE}
+                   // sum(v.v * v.v) AS uf
+        FROM r JOIN v{t - 1} v USING (i) GROUP BY 1
+    ),
+    u{t} AS (
+        SELECT u, uf * {_SCALE}
+                  // greatest((SELECT max(uf) FROM u{t}raw), 1) AS uf
+        FROM u{t}raw
+    ),
+    v{t}raw AS (
+        SELECT r.i,
+               sum(CAST(r.rr AS HUGEINT) * u.uf) * {_SCALE}
+                   // sum(u.uf * u.uf) AS v
+        FROM r JOIN u{t} u USING (u) GROUP BY 1
+    ),
+    v{t} AS (
+        SELECT i, v * {_SCALE}
+                  // greatest((SELECT max(v) FROM v{t}raw), 1) AS v
+        FROM v{t}raw
+    )""")
+    parts.append(f""",
+    cand AS (
+        SELECT u.u, v.i, u.uf * v.v AS score
+        FROM u{iters} u CROSS JOIN v{iters} v
+        WHERE NOT EXISTS (
+            SELECT 1 FROM r WHERE r.u = u.u AND r.i = v.i
+        )
+    ),
+    ranked AS (
+        SELECT u, i, score,
+               row_number() OVER (
+                   PARTITION BY u ORDER BY score DESC, i
+               ) AS rec_rank
+        FROM cand
+    )
+    SELECT u AS user, CAST(rec_rank AS BIGINT) AS rec_rank,
+           i AS item, CAST(score AS BIGINT) AS score
+    FROM ranked WHERE rec_rank <= {top_k}""")
+    return "".join(parts)

@@ -481,3 +481,36 @@ def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = nodes.where(F.col("node") % 50 == 0)
     return bfs_hops(edges, "item_a", "item_b", seeds, "node", 3)
+
+
+from ..operators.als_exact import als_rank1_exact, als_rank1_oracle_sql
+
+
+@register_extra("als_rank1_exact_recs", als_rank1_oracle_sql())
+def q_als_rank1_exact_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hash-checked collaborative-filtering twin
+    (operators/als_exact.py): pinned fixed-point rank-1 ALS — the
+    alternating power method with truncating integer updates at
+    SCALE=1000 over the SAME basket-count interaction matrix the MLlib
+    row factorizes — replayed move-for-move by a generated unrolled
+    DuckDB chain.  Top-3 unseen items per user are produced WITHOUT a
+    users×items cross join (the rank-1 ordering is global, so bounded
+    rank prunes are exact — see the operator docstring).  MLlib's
+    rank-8 `als_recommendations` remains the faithful reference port;
+    with this twin every ML family in the catalog (clustering,
+    sketching, factorization) has a fit inside the correctness gate."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    ratings = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("user"),
+            F.col("l_partkey").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("rating"))
+    )
+    return als_rank1_exact(ratings, iters=3, top_k=3)
