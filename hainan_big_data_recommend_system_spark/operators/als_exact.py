@@ -133,11 +133,30 @@ def als_rank1_exact(
         vr, "i", ["v"], rank_col="rank_i"  # i unique: tiebreak unused
     ).select("i", "v", "rank_v", "rank_i")
     seen = r.groupBy("u").agg(F.count(F.lit(1)).alias("d_u"))
-    uu = u.join(seen, "u")
-    cap = F.col("d_u") + top_k
+    # explode each user to its candidate RANK SLOTS 1..k+d_u, then
+    # equi-join the two global rankings — Σ(k+d_u) rows per ranking,
+    # linear in |R|, hash-partitioned (a `rank <= cap` theta join would
+    # compile to a BroadcastNestedLoopJoin scanning |U|·|I| pairs)
+    slots = u.join(seen, "u").select(
+        "u", "uf",
+        F.explode(
+            F.sequence(F.lit(1), F.col("d_u") + F.lit(top_k))
+        ).alias("__slot"),
+    )
+    by_v = slots.join(
+        F.broadcast(vr.withColumnRenamed("rank_v", "__slot")).drop(
+            "rank_i"
+        ),
+        "__slot",
+    ).select("u", "uf", "i", "v")
+    by_i = slots.join(
+        F.broadcast(vr.withColumnRenamed("rank_i", "__slot")).drop(
+            "rank_v"
+        ),
+        "__slot",
+    ).select("u", "uf", "i", "v")
     cand = (
-        uu.join(F.broadcast(vr), F.col("rank_v") <= cap)
-        .unionByName(uu.join(F.broadcast(vr), F.col("rank_i") <= cap))
+        by_v.unionByName(by_i)
         .dropDuplicates(["u", "i"])
         .join(r.select("u", "i"), ["u", "i"], "left_anti")
     )
