@@ -59,7 +59,8 @@ _ENCODINGS = {
 }
 _T_INT64, _T_BYTE_ARRAY = 2, 6
 _T_INT32, _T_FLOAT, _T_DOUBLE = 1, 4, 5
-_T_BOOLEAN = 0
+_T_BOOLEAN, _T_INT96, _T_FLBA = 0, 3, 7
+_JULIAN_EPOCH_DAY = 2440588  # 1970-01-01 as a Julian day number
 #: fixed byte widths for the non-BYTE_ARRAY leaf types in decode scope
 _FIXED_WIDTH = {_T_INT32: 4, _T_INT64: 8, _T_FLOAT: 4, _T_DOUBLE: 8}
 _STRUCT_FMT = {_T_INT32: "i", _T_INT64: "q", _T_FLOAT: "f", _T_DOUBLE: "d"}
@@ -557,7 +558,34 @@ def parse_parquet(payload: bytes) -> dict:
     }
 
 
-def _decode_plain(data: bytes, n: int, ptype: int) -> list:
+def _decode_plain(
+    data: bytes, n: int, ptype: int, type_length: int = 0
+) -> list:
+    if ptype == _T_INT96:
+        # legacy Spark/Hive timestamps: 8-byte LE nanos-of-day then
+        # 4-byte LE Julian day — decoded to EPOCH MICROS
+        if len(data) < 12 * n:
+            raise ValueError("PLAIN int96 page truncated")
+        out96 = []
+        for k in range(n):
+            nanos = int.from_bytes(data[12 * k : 12 * k + 8], "little")
+            jd = int.from_bytes(data[12 * k + 8 : 12 * k + 12], "little")
+            out96.append(
+                (jd - _JULIAN_EPOCH_DAY) * 86_400_000_000 + nanos // 1_000
+            )
+        return out96
+    if ptype == _T_FLBA:
+        # fixed-len byte array: DECIMAL's physical layout — big-endian
+        # two's-complement unscaled integers of type_length bytes
+        w = type_length
+        if w <= 0:
+            raise ValueError("FLBA leaf missing its type_length")
+        if len(data) < w * n:
+            raise ValueError("PLAIN fixed-len-byte-array page truncated")
+        return [
+            int.from_bytes(data[w * k : w * (k + 1)], "big", signed=True)
+            for k in range(n)
+        ]
     if ptype in _FIXED_WIDTH:
         w, f = _FIXED_WIDTH[ptype], _STRUCT_FMT[ptype]
         if len(data) != w * n:
@@ -621,8 +649,11 @@ def hybrid_decode(
     return out, pos
 
 
-def _schema_leaf_map(fmd: dict) -> dict[str, tuple[int, int, int | None]]:
-    """Dotted leaf path → ``(max_def_level, max_rep_level, ptype)`` from
+def _schema_leaf_map(
+    fmd: dict,
+) -> dict[str, tuple[int, int, int | None, int]]:
+    """Dotted leaf path → ``(max_def_level, max_rep_level, ptype,
+    type_length)`` from
     the flattened pre-order schema tree (num_children drives descent).
     OPTIONAL (1) bumps the definition level, REPEATED (2) bumps both —
     this is how struct leaves like Delta checkpoints' ``add.path``
@@ -630,7 +661,7 @@ def _schema_leaf_map(fmd: dict) -> dict[str, tuple[int, int, int | None]]:
     els = _need_list(fmd.get(2), "schema")
     if not els:
         raise ValueError("empty parquet schema")
-    out: dict[str, tuple[int, int, int | None]] = {}
+    out: dict[str, tuple[int, int, int | None, int]] = {}
 
     def walk(prefix: str, dl: int, rl: int, i: int) -> int:
         if i >= len(els):
@@ -653,7 +684,12 @@ def _schema_leaf_map(fmd: dict) -> dict[str, tuple[int, int, int | None]]:
                 j = walk(path, dl, rl, j)
             return j
         t = el.get(1)
-        out[path] = (dl, rl, t if isinstance(t, int) else None)
+        tl = el.get(2)
+        out[path] = (
+            dl, rl,
+            t if isinstance(t, int) else None,
+            tl if isinstance(tl, int) else 0,
+        )
         return i + 1
 
     root = _need_struct(els[0], "schema root")
@@ -713,8 +749,8 @@ def _read_leaf_column(
             + ("INT64" if expect_type == _T_INT64 else "BYTE_ARRAY")
             + " chunk"
         )
-    if ctype not in (_T_BOOLEAN, _T_INT32, _T_INT64, _T_FLOAT,
-                     _T_DOUBLE, _T_BYTE_ARRAY):
+    if ctype not in (_T_BOOLEAN, _T_INT32, _T_INT64, _T_INT96,
+                     _T_FLOAT, _T_DOUBLE, _T_BYTE_ARRAY, _T_FLBA):
         raise ValueError(f"leaf type {ctype} out of decode scope")
     codec = _need_int(md.get(4), "codec")
     # UNCOMPRESSED / SNAPPY / GZIP / ZSTD / LZ4_RAW (5 = deprecated
@@ -732,7 +768,7 @@ def _read_leaf_column(
     leaves = ctx["leaves"]
     if column not in leaves:
         raise ValueError(f"column {column!r} not in schema")
-    max_def, max_rep, _ = leaves[column]
+    max_def, max_rep, _, type_length = leaves[column]
     if max_rep > 0:
         raise ValueError("repeated fields (lists/maps) out of scope")
     dl_bits = max_def.bit_length()
@@ -755,7 +791,7 @@ def _read_leaf_column(
                 _need_struct(hdr.get(7), "dictionary page header").get(1),
                 "dictionary size",
             )
-            dictionary = _decode_plain(body, nd, ctype)
+            dictionary = _decode_plain(body, nd, ctype, type_length)
         elif ptype == _PAGE_DATA:
             body = _decompress_page(raw, codec, usz)
             dph = _need_struct(hdr.get(5), "data page header")
@@ -776,7 +812,7 @@ def _read_leaf_column(
             nnz = sum(1 for d in dls if d == max_def)
             n_nulls += pn - nnz
             page_vals = _decode_page_values(
-                body[q:], enc, nnz, ctype, dictionary
+                body[q:], enc, nnz, ctype, dictionary, type_length
             )
             values.extend(
                 _interleave(page_vals, dls, max_def)
@@ -817,7 +853,7 @@ def _read_leaf_column(
             nnz = sum(1 for d in dls if d == max_def)
             n_nulls += pn - nnz
             page_vals = _decode_page_values(
-                vals_part, enc, nnz, ctype, dictionary
+                vals_part, enc, nnz, ctype, dictionary, type_length
             )
             values.extend(
                 _interleave(page_vals, dls, max_def)
@@ -936,7 +972,12 @@ def _decompress_page(raw: bytes, codec: int, usz: int) -> bytes:
 
 
 def _decode_page_values(
-    body: bytes, enc: int, nnz: int, ctype: int, dictionary: list | None
+    body: bytes,
+    enc: int,
+    nnz: int,
+    ctype: int,
+    dictionary: list | None,
+    type_length: int = 0,
 ) -> list:
     """The non-null values of one data page, any in-scope encoding."""
     if enc in (8, 2):  # RLE_DICTIONARY / PLAIN_DICTIONARY
@@ -951,6 +992,8 @@ def _decode_page_values(
         except IndexError:
             raise ValueError("dictionary index out of range")
     if enc == 0:  # PLAIN
+        if ctype in (_T_INT96, _T_FLBA):
+            return _decode_plain(body, nnz, ctype, type_length)
         if ctype == _T_BOOLEAN:  # bit-packed LSB-first
             if (nnz + 7) // 8 > len(body):
                 raise ValueError("PLAIN boolean page truncated")

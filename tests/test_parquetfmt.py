@@ -563,3 +563,55 @@ def test_delta_binary_packed_crafted_block_size_rejected():
     )
     with pytest.raises(ValueError, match="implausible"):
         delta_binary_unpack(bytes(bomb) + b"\x00" * 16, 0)
+
+
+def test_decimal_flba_and_int96_timestamps(tmp_path):
+    """Round-8: DECIMAL's FLBA physical layout (big-endian
+    two's-complement unscaled ints) and legacy INT96 timestamps
+    (Julian day + nanos → epoch micros) — gated against DuckDB reading
+    the same files."""
+    import datetime
+    import decimal
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from hainan_big_data_recommend_system_spark.operators.parquetfmt import (
+        read_leaf_column,
+    )
+
+    decs = [
+        None if i % 13 == 0 else decimal.Decimal(f"{i * 7 - 300}.{i % 100:02d}")
+        for i in range(300)
+    ]
+    ts = [
+        datetime.datetime(2021, 1, 1)
+        + datetime.timedelta(seconds=i * 12345, microseconds=i * 7)
+        for i in range(300)
+    ]
+    t = pa.table({
+        "d": pa.array(decs, pa.decimal128(12, 2)),
+        "ts": pa.array(ts, pa.timestamp("us")),
+    })
+    con = duckdb.connect()
+    for i, kw in enumerate([
+        dict(compression="zstd", use_deprecated_int96_timestamps=True),
+        dict(compression="snappy", data_page_version="2.0",
+             use_deprecated_int96_timestamps=True),
+    ]):
+        path = str(tmp_path / f"d{i}.parquet")
+        pq.write_table(t, path, **kw)
+        raw = open(path, "rb").read()
+        want_d = [
+            None if r[0] is None else int(r[0] * 100)
+            for r in con.execute(f"SELECT d FROM '{path}'").fetchall()
+        ]
+        got_d = read_leaf_column(raw, 0, "d", with_nulls=True)["values"]
+        assert got_d == want_d, kw
+        want_ts = [
+            int(r[0])
+            for r in con.execute(
+                f"SELECT epoch_us(ts) FROM '{path}'"
+            ).fetchall()
+        ]
+        assert read_leaf_column(raw, 0, "ts")["values"] == want_ts, kw
