@@ -1141,3 +1141,24 @@ def delta_byte_array(buf: bytes, nnz: int) -> list[str]:
         out.append(cur.decode("utf-8", "strict"))
         prev = cur
     return out
+
+
+def hand_read_table(payload: bytes) -> dict[str, list]:
+    """Read EVERY leaf column of EVERY row group by hand — the audit
+    capstone: column name → null-aligned values across the whole file,
+    any supported codec/page-version/encoding/physical type (INT96 as
+    epoch micros, FLBA as unscaled integers).  One footer parse total."""
+    ctx = footer_ctx(payload)
+    leaves = [
+        name for name, (_, rl, t, _) in ctx["leaves"].items() if rl == 0
+    ]
+    if not leaves:
+        raise ValueError("no non-repeated leaf columns to read")
+    out: dict[str, list] = {name: [] for name in leaves}
+    for rg in range(len(ctx["rgs"])):
+        got = read_leaf_columns(
+            payload, rg, leaves, with_nulls=True, ctx=ctx
+        )
+        for name in leaves:
+            out[name].extend(got[name]["values"])
+    return out
