@@ -47,17 +47,17 @@ _SCALE = 1000
 _DEC = "decimal(38,0)"
 
 
-def als_rank1_exact(
+def als_rank1_factors(
     ratings: DataFrame,
     user_col: str = "user",
     item_col: str = "item",
     rating_col: str = "rating",
     iters: int = 3,
-    top_k: int = 3,
-) -> DataFrame:
-    """Run the pinned fixed-point rank-1 fit and return the top-k
-    UNSEEN items per user: ``(user, rec_rank, item, score)`` with
-    ``score = u_i·v_j`` (exact integers)."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Run the pinned fixed-point alternations and return the fitted
+    factor sides ``(u(u, uf), v(i, v), r(u, i, r))`` — exposed so tests
+    can cross-join them as a brute-force oracle for the bounded
+    candidate prune in :func:`als_rank1_exact`."""
     r = ratings.select(
         F.col(user_col).cast("long").alias("u"),
         F.col(item_col).cast("long").alias("i"),
@@ -115,6 +115,33 @@ def als_rank1_exact(
             ).alias("v"),
         )
         v = v.localCheckpoint(eager=True)
+    return u, v, r
+
+
+def als_rank1_exact(
+    ratings: DataFrame,
+    user_col: str = "user",
+    item_col: str = "item",
+    rating_col: str = "rating",
+    iters: int = 3,
+    top_k: int = 3,
+) -> DataFrame:
+    """Run the pinned fixed-point rank-1 fit and return the top-k
+    UNSEEN items per user: ``(user, rec_rank, item, score)`` with
+    ``score = u_i·v_j`` (exact integers)."""
+    u, v, r = als_rank1_factors(
+        ratings, user_col, item_col, rating_col, iters
+    )
+    return topk_unseen_from_factors(u, v, r, top_k)
+
+
+def topk_unseen_from_factors(
+    u: DataFrame, v: DataFrame, r: DataFrame, top_k: int = 3
+) -> DataFrame:
+    """Exact top-k unseen items per user from rank-1 factor sides
+    ``u(u, uf ≥ 0)``, ``v(i, v ≥ 0)`` and interactions ``r(u, i)`` —
+    the bounded candidate prune, exposed so tests can drive it with
+    hand-built tied factors (ADVICE r8)."""
     # Top-k unseen per user WITHOUT a users×items cross join: with a
     # rank-1 model the per-user item ordering (score desc, i) is the
     # GLOBAL ordering (v desc, i) whenever uf > 0, and plain (i) when
@@ -126,8 +153,14 @@ def als_rank1_exact(
     # dim).
     from .ranking import distributed_global_rank
 
+    # Rank order MUST be (v DESC, i ASC) — the per-user/oracle order.
+    # With an (i DESC) tiebreak a v-tie group straddling the k + d_u
+    # slot cutoff (near-certain at scale: v is quantized to ≤1001
+    # values) would exclude the correct smallest-i unseen item from
+    # by_v while by_i only covers globally-small ids (ADVICE r8).
     vr = distributed_global_rank(
-        v, "v", ["i"], rank_col="rank_v", descending=True
+        v, "v", ["i"], rank_col="rank_v", descending=True,
+        tiebreak_descending=[False],
     )
     vr = distributed_global_rank(
         vr, "i", ["v"], rank_col="rank_i"  # i unique: tiebreak unused

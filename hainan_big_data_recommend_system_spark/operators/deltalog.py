@@ -163,9 +163,13 @@ def parse_delta_payload(payload: bytes) -> dict:
 # with pyarrow (as real writers do) and READ BACK with this repo's hand
 # parquet decoder (operators/parquetfmt.read_leaf_column) — struct
 # leaves `add.path` / `add.size` / ... as dotted-path column chunks.
-# One deviation, documented: remove rows carry `deletionVersion` (this
-# module's vacuum planner works in versions), where Delta proper stores
-# `deletionTimestamp` — same role, monotone in commit order.
+# This module's own writer emits `deletionVersion` on remove rows (the
+# vacuum planner works in versions), but the READER also accepts Delta
+# proper's `remove.deletionTimestamp` as the tombstone ordinal (same
+# role, monotone in commit order) and tolerates an absent or null
+# `remove.size` (delta-io writers often omit it) by falling back to 0 —
+# so Spark/delta-io-written checkpoints decode, not just our fixtures
+# (ADVICE r8).
 
 
 def make_last_checkpoint(version: int, size: int) -> str:
@@ -246,27 +250,42 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
         return payload[off : off + ln]
 
     meta = parse_footer_tail(read_footer_tail(_fetch, len(payload)))
-    ctx = footer_ctx(payload)  # ONE footer parse for all 6 leaf reads
+    ctx = footer_ctx(payload)  # ONE footer parse for all leaf reads
     live: dict[str, tuple[int, int]] = {}
     tombstones: dict[str, tuple[int, int]] = {}
-    leaf_names = (
+    # tombstone ordinal: our own writer's deletionVersion, or Delta
+    # proper's deletionTimestamp (both monotone in commit order)
+    if "remove.deletionVersion" in ctx["leaves"]:
+        ordinal_leaf = "remove.deletionVersion"
+    elif "remove.deletionTimestamp" in ctx["leaves"]:
+        ordinal_leaf = "remove.deletionTimestamp"
+    else:
+        raise ValueError(
+            "checkpoint remove struct carries neither deletionVersion "
+            "nor deletionTimestamp"
+        )
+    has_rm_size = "remove.size" in ctx["leaves"]
+    leaf_names = [
         "add.path", "add.size", "add.numRecords",
-        "remove.path", "remove.deletionVersion", "remove.size",
-    )
+        "remove.path", ordinal_leaf,
+    ] + (["remove.size"] if has_rm_size else [])
     for rg in range(meta["n_row_groups"]):
         got = read_leaf_columns(
-            payload, rg, list(leaf_names), with_nulls=True, ctx=ctx
+            payload, rg, leaf_names, with_nulls=True, ctx=ctx
         )
-        cols = {name: got[name]["values"] for name in leaf_names}
-        for ap, asz, anr, rp, rdv, rsz in zip(*cols.values()):
+        cols = [got[name]["values"] for name in leaf_names]
+        if not has_rm_size:
+            cols.append([None] * len(cols[0]))
+        for ap, asz, anr, rp, rdv, rsz in zip(*cols):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
                     raise ValueError("checkpoint row is not a single action")
                 live[ap] = (asz, anr)
             elif rp is not None:
-                if rdv is None or rsz is None:
+                if rdv is None:
                     raise ValueError("checkpoint remove row incomplete")
-                tombstones[rp] = (rdv, rsz)
+                # delta-io writers often omit remove.size — fall back 0
+                tombstones[rp] = (rdv, rsz if rsz is not None else 0)
             else:
                 raise ValueError("checkpoint row carries no action")
     return live, tombstones

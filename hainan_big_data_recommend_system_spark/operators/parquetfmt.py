@@ -995,15 +995,21 @@ def _decode_page_values(
         if ctype in (_T_INT96, _T_FLBA):
             return _decode_plain(body, nnz, ctype, type_length)
         if ctype == _T_BOOLEAN:  # bit-packed LSB-first
-            if (nnz + 7) // 8 > len(body):
-                raise ValueError("PLAIN boolean page truncated")
+            # exact-consumption gate, mirroring _decode_plain: trailing
+            # bytes mask page-size or level-count bugs (ADVICE r8)
+            if (nnz + 7) // 8 != len(body):
+                raise ValueError(
+                    "PLAIN boolean page size disagrees with value count"
+                )
             return [
                 bool((body[i >> 3] >> (i & 7)) & 1) for i in range(nnz)
             ]
         if ctype in _FIXED_WIDTH:
             w, f = _FIXED_WIDTH[ctype], _STRUCT_FMT[ctype]
-            if w * nnz > len(body):
-                raise ValueError("PLAIN fixed-width page truncated")
+            if w * nnz != len(body):
+                raise ValueError(
+                    "PLAIN fixed-width page size disagrees with value count"
+                )
             return list(struct.unpack(f"<{nnz}{f}", body[: w * nnz]))
         return _decode_plain(body, nnz, ctype)
     if enc == 5:  # DELTA_BINARY_PACKED

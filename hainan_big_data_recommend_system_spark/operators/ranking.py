@@ -45,11 +45,17 @@ def distributed_global_rank(
     rank_col: str = "rank",
     descending: bool = False,
     num_partitions: int | None = None,
+    tiebreak_descending: list[bool] | None = None,
 ) -> DataFrame:
     """Append a 1-based dense total-order row rank over
     ``(value_col, *tiebreak_cols)`` without a global window — not even
     over the distinct-value counts table (near-unique values would make
-    that single ``WindowExec`` partition scan ~n rows at scale)."""
+    that single ``WindowExec`` partition scan ~n rows at scale).
+
+    ``tiebreak_descending`` gives a per-column direction for the
+    tiebreaks; when None each tiebreak inherits ``descending``.  A
+    mixed order like (score DESC, id ASC) — the usual top-k order —
+    needs ``descending=True, tiebreak_descending=[False]``."""
     v = F.col(value_col).desc() if descending else F.col(value_col)
     if num_partitions is None:
         num_partitions = int(
@@ -87,9 +93,11 @@ def distributed_global_rank(
         )
         .select(value_col, "__cum_before")
     )
+    if tiebreak_descending is None:
+        tiebreak_descending = [descending] * len(tiebreak_cols)
     wt = Window.partitionBy(value_col).orderBy(
-        *[F.col(c).desc() if descending else F.col(c)
-          for c in tiebreak_cols]
+        *[F.col(c).desc() if d else F.col(c)
+          for c, d in zip(tiebreak_cols, tiebreak_descending)]
     )
     return (
         df.join(cum, value_col)

@@ -316,6 +316,14 @@ def _huf_decode_stream(
         stream.bits += max_bits - nbits  # consume only the code's bits
         if stream.bits < -32:
             raise ValueError("zstd: Huffman stream exhausted early")
+    # exact-consumption gate (ADVICE r8): after n symbols every payload
+    # bit must be spent — zero-filled overreads or leftover bits mean a
+    # corrupt stream that would otherwise decode to plausible bytes
+    if stream.bits != 0:
+        raise ValueError(
+            "zstd: Huffman stream not exactly consumed "
+            f"({stream.bits} bits left after {n} symbols)"
+        )
     return bytes(out)
 
 

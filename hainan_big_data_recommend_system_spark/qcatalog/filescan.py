@@ -198,7 +198,7 @@ def q_warc_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("http_status").cast("int").alias("http_status"),
         fname.endswith(".gz").alias("gzipped"),
         F.when(
-            F.col("body").isNotNull(), F.length(F.col("body")).cast("bigint")
+            F.col("body").isNotNull(), F.octet_length(F.col("body")).cast("bigint")
         ).alias("body_len"),
         F.md5(F.col("body")).alias("body_md5"),
         "error",
@@ -267,7 +267,7 @@ def q_archive_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("doc_id"),
                 F.when(
                     F.col("body").isNotNull(),
-                    F.length(F.col("body")).cast("bigint"),
+                    F.octet_length(F.col("body")).cast("bigint"),
                 ).alias("body_len"),
                 F.md5(F.col("body")).alias("body_md5"),
                 "error",
@@ -412,7 +412,7 @@ def q_parquet_file_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("bigint"))
         .alias("doc_id"),
         F.when(
-            F.col("body").isNotNull(), F.length(F.col("body")).cast("bigint")
+            F.col("body").isNotNull(), F.octet_length(F.col("body")).cast("bigint")
         ).alias("body_len"),
         F.md5(F.col("body")).alias("body_md5"),
         "error",
