@@ -50,14 +50,19 @@ def replay_delta_log(
     initial_live: dict[str, tuple[int, int]] | None = None,
     initial_tombstones: dict[str, tuple[int, int]] | None = None,
     base_version: int = 0,
+    initial_pv: dict[str, dict] | None = None,
 ) -> dict:
     """Replay ordered commit contents into the live-file snapshot.
 
     Returns ``{version, n_live, live_bytes, live_rows,
-    n_remove_actions, live}`` with ``live`` a path-sorted
-    ``{path: (size, numRecords)}``.
+    n_remove_actions, live, tombstones, partition_values}`` with
+    ``live`` a path-sorted ``{path: (size, numRecords)}`` and
+    ``partition_values`` the NON-EMPTY ``add.partitionValues`` maps per
+    live path (Delta writes ``{}`` for unpartitioned tables; empty and
+    absent collapse to absent so the checkpoint roundtrip is exact).
 
-    ``initial_live`` / ``initial_tombstones`` / ``base_version`` seed the
+    ``initial_live`` / ``initial_tombstones`` / ``initial_pv`` /
+    ``base_version`` seed the
     replay from a checkpoint snapshot (commits are then the JSON TAIL,
     versions ``base_version..base_version+len-1``) — the Delta
     ``_last_checkpoint`` fast path whose cost is O(tail), not O(log).
@@ -68,6 +73,7 @@ def replay_delta_log(
         raise ValueError("empty delta log")
     live: dict[str, tuple[int, int]] = dict(initial_live or {})
     tombstones: dict[str, tuple[int, int]] = dict(initial_tombstones or {})
+    pv: dict[str, dict] = dict(initial_pv or {})
     n_removes = 0
     for version, text in enumerate(commits, start=base_version):
         if not isinstance(text, str):
@@ -101,6 +107,18 @@ def replay_delta_log(
                 for v, what in ((size, "size"), (rows, "numRecords")):
                     if not isinstance(v, int) or isinstance(v, bool) or v < 0:
                         raise ValueError(f"add action bad {what}")
+                pvals = body.get("partitionValues")
+                if pvals is not None:
+                    if not isinstance(pvals, dict) or any(
+                        not isinstance(k, str)
+                        or not (v is None or isinstance(v, str))
+                        for k, v in pvals.items()
+                    ):
+                        raise ValueError("add action bad partitionValues")
+                if pvals:
+                    pv[path] = dict(pvals)
+                else:  # absent or {}: the last-writer-wins add has none
+                    pv.pop(path, None)
                 live[path] = (size, rows)
                 tombstones.pop(path, None)  # re-add clears the tombstone
             elif kind == "remove":
@@ -109,6 +127,7 @@ def replay_delta_log(
                     raise ValueError("remove action missing path")
                 n_removes += 1
                 prior = live.pop(path, None)  # absent-path removes legal
+                pv.pop(path, None)
                 if prior is not None:
                     tombstones[path] = (version, prior[0])
     return {
@@ -119,6 +138,7 @@ def replay_delta_log(
         "n_remove_actions": n_removes,
         "live": dict(sorted(live.items())),
         "tombstones": dict(sorted(tombstones.items())),
+        "partition_values": dict(sorted(pv.items())),
     }
 
 
@@ -195,14 +215,19 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
     """Serialize a replay snapshot as a real checkpoint parquet file
     (pyarrow writer: snappy v1 pages, dictionary encoding — the layout
     the hand decoder is gated against).  Row count = live adds +
-    unexpired tombstoned removes, path-sorted adds first."""
+    unexpired tombstoned removes, path-sorted adds first.
+    ``add.partitionValues`` is a REAL parquet MAP column (the delta-io
+    checkpoint layout — PROTOCOL.md "Checkpoint Schema"), decoded back
+    through the hand reader's repeated-leaf Dremel reassembly."""
     import io
 
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    pv = replay.get("partition_values", {})
     adds = [
-        {"path": p, "size": s, "numRecords": r}
+        {"path": p, "size": s, "numRecords": r,
+         "partitionValues": pv.get(p, {})}
         for p, (s, r) in sorted(replay["live"].items())
     ]
     removes = [
@@ -218,7 +243,9 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
                 add_col,
                 type=pa.struct(
                     [("path", pa.string()), ("size", pa.int64()),
-                     ("numRecords", pa.int64())]
+                     ("numRecords", pa.int64()),
+                     ("partitionValues",
+                      pa.map_(pa.string(), pa.string()))]
                 ),
             ),
             "remove": pa.array(
@@ -236,14 +263,19 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
     return buf.getvalue()
 
 
-def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
-    """Recover ``(live, tombstones)`` from a checkpoint parquet file via
-    the hand decoder — every row must be exactly one of add/remove."""
+def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict, dict]:
+    """Recover ``(live, tombstones, partition_values)`` from a
+    checkpoint parquet file via the hand decoder — every row must be
+    exactly one of add/remove.  ``add.partitionValues`` (a parquet MAP
+    column, the delta-io layout) decodes through the repeated-leaf
+    Dremel reassembly when present; empty maps collapse to absent
+    (matching the JSON replay's tracking)."""
     from .parquetfmt import (
         footer_ctx,
         parse_footer_tail,
         read_footer_tail,
         read_leaf_columns,
+        read_map_column,
     )
 
     def _fetch(off: int, ln: int) -> bytes:
@@ -265,6 +297,8 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
             "nor deletionTimestamp"
         )
     has_rm_size = "remove.size" in ctx["leaves"]
+    has_pv = "add.partitionValues.key_value.key" in ctx["leaves"]
+    pv: dict[str, dict] = {}
     leaf_names = [
         "add.path", "add.size", "add.numRecords",
         "remove.path", ordinal_leaf,
@@ -276,11 +310,18 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
         cols = [got[name]["values"] for name in leaf_names]
         if not has_rm_size:
             cols.append([None] * len(cols[0]))
-        for ap, asz, anr, rp, rdv, rsz in zip(*cols):
+        pv_rows = (
+            read_map_column(payload, rg, "add.partitionValues", ctx=ctx)
+            if has_pv
+            else [None] * len(cols[0])
+        )
+        for ap, asz, anr, rp, rdv, rsz, apv in zip(*cols, pv_rows):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
                     raise ValueError("checkpoint row is not a single action")
                 live[ap] = (asz, anr)
+                if apv:  # non-empty map only (see replay_delta_log)
+                    pv[ap] = apv
             elif rp is not None:
                 if rdv is None:
                     raise ValueError("checkpoint remove row incomplete")
@@ -288,7 +329,7 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict]:
                 tombstones[rp] = (rdv, rsz if rsz is not None else 0)
             else:
                 raise ValueError("checkpoint row carries no action")
-    return live, tombstones
+    return live, tombstones, pv
 
 
 def replay_from_checkpoint(
@@ -298,13 +339,15 @@ def replay_from_checkpoint(
 ) -> dict:
     """Snapshot = checkpoint state + JSON tail — O(tail) where the full
     replay is O(log).  Hash-equal to `replay_delta_log` over the whole
-    log on every state field (live set, bytes, rows, tombstones);
-    `n_remove_actions` counts the tail only (see replay_delta_log)."""
+    log on every state field (live set, bytes, rows, tombstones,
+    partition values); `n_remove_actions` counts the tail only (see
+    replay_delta_log)."""
     lc = parse_last_checkpoint(last_checkpoint_text)
-    live, tombstones = read_checkpoint_parquet(checkpoint_payload)
+    live, tombstones, pv = read_checkpoint_parquet(checkpoint_payload)
     return replay_delta_log(
         tail_commits,
         initial_live=live,
         initial_tombstones=tombstones,
         base_version=lc["version"] + 1,
+        initial_pv=pv,
     )

@@ -651,19 +651,30 @@ def hybrid_decode(
 
 def _schema_leaf_map(
     fmd: dict,
-) -> dict[str, tuple[int, int, int | None, int]]:
-    """Dotted leaf path → ``(max_def_level, max_rep_level, ptype,
-    type_length)`` from
-    the flattened pre-order schema tree (num_children drives descent).
-    OPTIONAL (1) bumps the definition level, REPEATED (2) bumps both —
-    this is how struct leaves like Delta checkpoints' ``add.path``
-    acquire max_def_level 2 while staying rep-level 0."""
+) -> tuple[
+    dict[str, tuple[int, int, int | None, int, tuple[int, ...]]],
+    dict[str, tuple[int | None, int]],
+]:
+    """``(leaves, groups)`` from the flattened pre-order schema tree
+    (num_children drives descent).  ``leaves``: dotted leaf path →
+    ``(max_def_level, max_rep_level, ptype, type_length, rep_defs)``
+    where ``rep_defs`` is the definition level AT each REPEATED
+    ancestor in path order — the Dremel reassembly thresholds for
+    list/map columns.  ``groups``: dotted group path →
+    ``(converted_type, repetition_type)`` so readers can recognize
+    LIST (3) / MAP (1) / MAP_KEY_VALUE (2) annotations.  OPTIONAL (1)
+    bumps the definition level, REPEATED (2) bumps both — this is how
+    struct leaves like Delta checkpoints' ``add.path`` acquire
+    max_def_level 2 while staying rep-level 0."""
     els = _need_list(fmd.get(2), "schema")
     if not els:
         raise ValueError("empty parquet schema")
-    out: dict[str, tuple[int, int, int | None, int]] = {}
+    out: dict[str, tuple[int, int, int | None, int, tuple[int, ...]]] = {}
+    groups: dict[str, tuple[int | None, int]] = {}
 
-    def walk(prefix: str, dl: int, rl: int, i: int) -> int:
+    def walk(
+        prefix: str, dl: int, rl: int, i: int, rep_defs: tuple[int, ...]
+    ) -> int:
         if i >= len(els):
             raise ValueError("schema tree overruns the element list")
         el = _need_struct(els[i], "schema element")
@@ -676,12 +687,15 @@ def _schema_leaf_map(
         elif rep == 2:
             dl += 1
             rl += 1
+            rep_defs = rep_defs + (dl,)
         path = f"{prefix}.{name}" if prefix else name
         nchild = el.get(5)
         if isinstance(nchild, int) and nchild > 0:
+            conv = el.get(6)
+            groups[path] = (conv if isinstance(conv, int) else None, rep)
             j = i + 1
             for _ in range(nchild):
-                j = walk(path, dl, rl, j)
+                j = walk(path, dl, rl, j, rep_defs)
             return j
         t = el.get(1)
         tl = el.get(2)
@@ -689,6 +703,7 @@ def _schema_leaf_map(
             dl, rl,
             t if isinstance(t, int) else None,
             tl if isinstance(tl, int) else 0,
+            rep_defs,
         )
         return i + 1
 
@@ -696,8 +711,8 @@ def _schema_leaf_map(
     n = _need_int(root.get(5), "root num_children")
     i = 1
     for _ in range(n):
-        i = walk("", 0, 0, i)
-    return out
+        i = walk("", 0, 0, i, ())
+    return out, groups
 
 
 def _read_leaf_column(
@@ -708,6 +723,7 @@ def _read_leaf_column(
     fname: str,
     with_nulls: bool = False,
     ctx: dict | None = None,
+    with_levels: bool = False,
 ) -> dict:
     """Decode ONE real leaf column chunk end-to-end — UNCOMPRESSED or
     SNAPPY pages, PLAIN or dictionary encoding (PLAIN dictionary page +
@@ -717,11 +733,15 @@ def _read_leaf_column(
     columns are the single-segment case.  Definition levels are decoded
     at the schema-derived bit width (max_def_level may exceed 1 for
     struct leaves); a value is present iff its level equals
-    max_def_level.  Repeated fields (lists/maps, max_rep_level > 0) are
-    out of scope and raise.  ``with_nulls=True`` returns values aligned
-    to row positions with ``None`` holes — required to zip sibling
-    struct leaves back into rows.  ``ctx`` (from :func:`footer_ctx`)
-    reuses one footer parse across many column/row-group reads."""
+    max_def_level.  Repeated fields (lists/maps, max_rep_level > 0)
+    require ``with_levels=True`` — the result then carries entry-aligned
+    ``dls``/``rls`` lists for Dremel reassembly (see
+    :func:`read_list_column` / :func:`read_map_column`); without it
+    they raise, preserving the scalar contract.  ``with_nulls=True``
+    returns values aligned to entry positions with ``None`` holes —
+    required to zip sibling struct leaves back into rows.  ``ctx``
+    (from :func:`footer_ctx`) reuses one footer parse across many
+    column/row-group reads."""
     if ctx is None:
         ctx = footer_ctx(payload)
     fmd, fstart = ctx["fmd"], ctx["fstart"]
@@ -768,12 +788,18 @@ def _read_leaf_column(
     leaves = ctx["leaves"]
     if column not in leaves:
         raise ValueError(f"column {column!r} not in schema")
-    max_def, max_rep, _, type_length = leaves[column]
-    if max_rep > 0:
-        raise ValueError("repeated fields (lists/maps) out of scope")
+    max_def, max_rep, _, type_length = leaves[column][:4]
+    if max_rep > 0 and not with_levels:
+        raise ValueError(
+            "repeated fields (lists/maps) need with_levels=True "
+            "(read_list_column / read_map_column assemble rows)"
+        )
     dl_bits = max_def.bit_length()
+    rl_bits = max_rep.bit_length()
     dictionary: list | None = None
     values: list = []
+    dls_all: list[int] = []
+    rls_all: list[int] = []
     n_nulls = 0
     pos = start
     n_seen = 0
@@ -798,6 +824,17 @@ def _read_leaf_column(
             pn = _need_int(dph.get(1), "page num_values")
             enc = _need_int(dph.get(2), "page encoding")
             q = 0
+            if max_rep == 0:
+                rls = [0] * pn
+            else:  # v1 layout: rep level section FIRST (4-byte length)
+                if q + 4 > len(body):
+                    raise ValueError("repetition level length truncated")
+                rl_len = int.from_bytes(body[q : q + 4], "little")
+                q += 4
+                if q + rl_len > len(body):
+                    raise ValueError("repetition levels truncated")
+                rls, _ = hybrid_decode(body[q : q + rl_len], 0, rl_bits, pn)
+                q += rl_len
             if max_def == 0:  # REQUIRED all the way down: no level section
                 dls = [max_def] * pn
             else:
@@ -816,9 +853,12 @@ def _read_leaf_column(
             )
             values.extend(
                 _interleave(page_vals, dls, max_def)
-                if with_nulls
+                if with_nulls or with_levels
                 else page_vals
             )
+            if with_levels:
+                dls_all.extend(dls)
+                rls_all.extend(rls)
             n_seen += pn
         elif ptype == _PAGE_DATA_V2:
             # v2 layout: rep + def level runs UNCOMPRESSED at the front
@@ -834,7 +874,12 @@ def _read_leaf_column(
                 is_compressed = True
             if rl_len + dl_len > len(raw):
                 raise ValueError("v2 level sections overrun the page")
-            # max_rep == 0 here (enforced above): rep run must be empty
+            if max_rep == 0:
+                if rl_len:
+                    raise ValueError("v2 rep levels on a non-repeated column")
+                rls = [0] * pn
+            else:  # v2: rep level run first, NO 4-byte length prefix
+                rls, _ = hybrid_decode(raw[:rl_len], 0, rl_bits, pn)
             if max_def == 0:
                 if dl_len:
                     raise ValueError("v2 def levels on a REQUIRED column")
@@ -857,20 +902,27 @@ def _read_leaf_column(
             )
             values.extend(
                 _interleave(page_vals, dls, max_def)
-                if with_nulls
+                if with_nulls or with_levels
                 else page_vals
             )
+            if with_levels:
+                dls_all.extend(dls)
+                rls_all.extend(rls)
             n_seen += pn
         else:
             raise ValueError("only data/dictionary pages in scope")
         pos = p2 + csz
     if n_seen != nvals:
         raise ValueError("chunk pages disagree with num_values")
-    return {
+    out = {
         "n_values": n_seen - n_nulls,
         "n_nulls": n_nulls,
         "values": values,
     }
+    if with_levels:
+        out["dls"] = dls_all
+        out["rls"] = rls_all
+    return out
 
 
 def read_int64_column(payload: bytes, rg_index: int, column: str) -> dict:
@@ -885,6 +937,157 @@ def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
     """BYTE_ARRAY twin of :func:`read_int64_column` (UTF-8 strings)."""
     return _read_leaf_column(payload, rg_index, column, _T_BYTE_ARRAY,
                              "read_string_column")
+
+
+# ---------------------------------------------------------------------------
+# repeated (list/map) leaves — Dremel record reassembly
+# (parquet-format LogicalTypes.md "Lists"/"Maps"; Melnik et al. 2010 §4)
+# ---------------------------------------------------------------------------
+
+# ConvertedType ids (parquet.thrift): MAP=1, MAP_KEY_VALUE=2, LIST=3
+_CONV_MAP, _CONV_MAP_KV, _CONV_LIST = 1, 2, 3
+
+
+def _assemble_repeated(
+    values: list, dls: list[int], rls: list[int], max_def: int, dl_rep: int
+) -> list[list | None]:
+    """One-level Dremel reassembly: entry-aligned ``(value, def, rep)``
+    triples → per-ROW lists.  ``dl_rep`` is the definition level AT the
+    repeated node: ``d < dl_rep-1`` → the list (or an ancestor) is
+    null, ``d == dl_rep-1`` → empty list, ``d >= dl_rep`` → one entry
+    whose value is present iff ``d == max_def``.  ``r == 0`` starts a
+    new row; ``r == 1`` continues the current list."""
+    rows: list[list | None] = []
+    cur: list | None = None
+    started = False
+    for v, d, r in zip(values, dls, rls):
+        if r == 0:
+            if started:
+                rows.append(cur)
+            started = True
+            if d < dl_rep - 1:
+                cur = None
+            elif d == dl_rep - 1:
+                cur = []
+            else:
+                cur = [v if d == max_def else None]
+        else:
+            if cur is None:
+                raise ValueError(
+                    "repetition level continues a null/empty list"
+                )
+            cur.append(v if d == max_def else None)
+    if started:
+        rows.append(cur)
+    return rows
+
+
+def _logical_root(ctx: dict, leaf: str) -> tuple[str, str]:
+    """``(root_path, kind)`` for a max_rep==1 leaf: the nearest
+    LIST/MAP-annotated ancestor group (kind ``list``/``map``), or the
+    leaf itself for a legacy bare ``repeated`` primitive field (kind
+    ``list``)."""
+    groups = ctx["groups"]
+    segs = leaf.split(".")
+    for k in range(len(segs) - 1, 0, -1):
+        path = ".".join(segs[:k])
+        conv, _rep = groups.get(path, (None, 0))
+        if conv == _CONV_LIST:
+            return path, "list"
+        if conv == _CONV_MAP or conv == _CONV_MAP_KV:
+            # MAP annotates the outer group; legacy MAP_KEY_VALUE may
+            # annotate the repeated key_value group itself — the outer
+            # name is the logical column either way
+            root = ".".join(segs[: k - 1]) if conv == _CONV_MAP_KV else path
+            if conv == _CONV_MAP_KV and not root:
+                root = path  # key_value at top level (degenerate)
+            return root, "map"
+    return leaf, "list"  # bare repeated primitive
+
+
+def _repeated_leaves_under(ctx: dict, root: str) -> list[str]:
+    pref = root + "."
+    return sorted(
+        n for n, meta in ctx["leaves"].items()
+        if meta[1] >= 1 and (n == root or n.startswith(pref))
+    )
+
+
+def _read_assembled(
+    payload: bytes, rg_index: int, leaf: str, ctx: dict
+) -> list[list | None]:
+    meta = ctx["leaves"][leaf]
+    max_def, max_rep, _ptype, _tl, rep_defs = meta
+    if max_rep != 1 or len(rep_defs) != 1:
+        raise ValueError(
+            "nested repetition (lists of lists) out of decode scope"
+        )
+    got = _read_leaf_column(
+        payload, rg_index, leaf, None, "read_list_column",
+        ctx=ctx, with_levels=True,
+    )
+    return _assemble_repeated(
+        got["values"], got["dls"], got["rls"], max_def, rep_defs[0]
+    )
+
+
+def read_list_column(
+    payload: bytes, rg_index: int, column: str, ctx: dict | None = None
+) -> list[list | None]:
+    """Per-row values of an ``array<…>`` column (standard 3-level LIST
+    layout or a legacy bare repeated primitive): row → list of element
+    values (``None`` holes for null elements), ``None`` for a null
+    list, ``[]`` for an empty one."""
+    if ctx is None:
+        ctx = footer_ctx(payload)
+    leaves = _repeated_leaves_under(ctx, column)
+    if column in ctx["leaves"] and ctx["leaves"][column][1] == 1:
+        leaves = [column]  # bare repeated primitive leaf
+    if len(leaves) != 1:
+        raise ValueError(
+            f"column {column!r} does not resolve to one repeated leaf "
+            f"(found {leaves})"
+        )
+    return _read_assembled(payload, rg_index, leaves[0], ctx)
+
+
+def read_map_column(
+    payload: bytes, rg_index: int, column: str, ctx: dict | None = None
+) -> list[dict | None]:
+    """Per-row entries of a ``map<…,…>`` column (standard LIST-shaped
+    MAP layout): row → dict (``None`` for a null map, ``{}`` for an
+    empty one).  Duplicate keys within one row are quarantined — the
+    spec leaves their semantics to the writer and a silent last-wins
+    would mask corruption."""
+    if ctx is None:
+        ctx = footer_ctx(payload)
+    leaves = _repeated_leaves_under(ctx, column)
+    key_leaf = [n for n in leaves if n.rsplit(".", 1)[-1] == "key"]
+    val_leaf = [n for n in leaves if n.rsplit(".", 1)[-1] == "value"]
+    if len(key_leaf) != 1 or len(val_leaf) != 1:
+        raise ValueError(
+            f"column {column!r} does not resolve to map key/value leaves"
+        )
+    keys = _read_assembled(payload, rg_index, key_leaf[0], ctx)
+    vals = _read_assembled(payload, rg_index, val_leaf[0], ctx)
+    if len(keys) != len(vals):
+        raise ValueError("map key/value leaves disagree on row count")
+    out: list[dict | None] = []
+    for ks, vs in zip(keys, vals):
+        if (ks is None) != (vs is None):
+            raise ValueError("map key/value leaves disagree on null rows")
+        if ks is None:
+            out.append(None)
+            continue
+        if len(ks) != len(vs):
+            raise ValueError("map key/value leaves disagree on entry count")
+        if any(k is None for k in ks):
+            raise ValueError("map with a null key")
+        d = dict(zip(ks, vs))
+        if len(d) != len(ks):
+            raise ValueError("map with duplicate keys")
+        out.append(d)
+    return out
 
 
 def read_leaf_column(
@@ -908,11 +1111,13 @@ def footer_ctx(payload: bytes) -> dict:
     if fstart < 4:
         raise ValueError("footer length out of bounds")
     fmd, _ = _read_struct(payload[fstart : len(payload) - 8], 0, 0)
+    leaves, groups = _schema_leaf_map(fmd)
     return {
         "fmd": fmd,
         "fstart": fstart,
         "rgs": _need_list(fmd.get(4), "row_groups"),
-        "leaves": _schema_leaf_map(fmd),
+        "leaves": leaves,
+        "groups": groups,
     }
 
 
@@ -1153,18 +1358,43 @@ def hand_read_table(payload: bytes) -> dict[str, list]:
     """Read EVERY leaf column of EVERY row group by hand — the audit
     capstone: column name → null-aligned values across the whole file,
     any supported codec/page-version/encoding/physical type (INT96 as
-    epoch micros, FLBA as unscaled integers).  One footer parse total."""
+    epoch micros, FLBA as unscaled integers).  Repeated leaves assemble
+    into per-row lists (LIST columns / bare repeated primitives) and
+    dicts (MAP columns) under the logical column name; deeper nesting
+    (lists of lists) stays a loud quarantine.  One footer parse
+    total."""
     ctx = footer_ctx(payload)
-    leaves = [
-        name for name, (_, rl, t, _) in ctx["leaves"].items() if rl == 0
+    scalars = [
+        name for name, meta in ctx["leaves"].items() if meta[1] == 0
     ]
-    if not leaves:
-        raise ValueError("no non-repeated leaf columns to read")
-    out: dict[str, list] = {name: [] for name in leaves}
-    for rg in range(len(ctx["rgs"])):
-        got = read_leaf_columns(
-            payload, rg, leaves, with_nulls=True, ctx=ctx
+    rep1 = [name for name, meta in ctx["leaves"].items() if meta[1] == 1]
+    deeper = [name for name, meta in ctx["leaves"].items() if meta[1] > 1]
+    if deeper:
+        raise ValueError(
+            f"nested repetition out of decode scope: {sorted(deeper)}"
         )
-        for name in leaves:
-            out[name].extend(got[name]["values"])
+    if not scalars and not rep1:
+        raise ValueError("no leaf columns to read")
+    roots: dict[str, str] = {}  # logical column → kind
+    for leaf in rep1:
+        root, kind = _logical_root(ctx, leaf)
+        if roots.setdefault(root, kind) != kind:
+            raise ValueError(f"column {root!r} mixes list and map leaves")
+    out: dict[str, list] = {name: [] for name in scalars}
+    for name in roots:
+        out[name] = []
+    for rg in range(len(ctx["rgs"])):
+        if scalars:
+            got = read_leaf_columns(
+                payload, rg, scalars, with_nulls=True, ctx=ctx
+            )
+            for name in scalars:
+                out[name].extend(got[name]["values"])
+        for name, kind in roots.items():
+            rows = (
+                read_map_column(payload, rg, name, ctx=ctx)
+                if kind == "map"
+                else read_list_column(payload, rg, name, ctx=ctx)
+            )
+            out[name].extend(rows)
     return out

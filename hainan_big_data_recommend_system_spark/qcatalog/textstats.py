@@ -6021,16 +6021,18 @@ def q_parquet_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, d.n, c AS version, 0 AS seq,
                'f' || CAST(c AS VARCHAR) AS path, 'add' AS kind,
                100 + (d.doc_id + c) % 50 AS fsize,
-               10 + (d.doc_id * 3 + c) % 7 AS nrec
+               10 + (d.doc_id * 3 + c) % 7 AS nrec,
+               (d.doc_id + c) % 4 AS dt_ord
         FROM d, LATERAL (SELECT unnest(range(0, n)) AS c)
         UNION ALL
         SELECT d.doc_id, d.n, c, 1,
-               'f' || CAST(c - 1 AS VARCHAR), 'remove', 0, 0
+               'f' || CAST(c - 1 AS VARCHAR), 'remove', 0, 0, NULL
         FROM d, LATERAL (SELECT unnest(range(1, n)) AS c)
         WHERE (d.doc_id + c) % 3 = 0
         UNION ALL
         SELECT d.doc_id, d.n, c, 2, 'f0', 'add',
-               500 + d.doc_id % 31, 77 + d.doc_id % 13
+               500 + d.doc_id % 31, 77 + d.doc_id % 13,
+               (d.doc_id + c) % 4
         FROM d, LATERAL (SELECT unnest(range(0, n)) AS c)
         WHERE c % 10 = 5
     ),
@@ -6051,7 +6053,12 @@ def q_parquet_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN rn = 1 AND kind = 'add' THEN fsize
                          ELSE 0 END) AS BIGINT) AS live_bytes,
            CAST(sum(CASE WHEN rn = 1 AND kind = 'add' THEN nrec
-                         ELSE 0 END) AS BIGINT) AS live_rows
+                         ELSE 0 END) AS BIGINT) AS live_rows,
+           CAST(count(DISTINCT dt_ord)
+                    FILTER (WHERE rn = 1 AND kind = 'add')
+                AS BIGINT) AS n_live_dt,
+           CAST(sum(CASE WHEN rn = 1 AND kind = 'add' THEN dt_ord
+                         ELSE 0 END) AS BIGINT) AS sum_dt_ord
     FROM last GROUP BY 1
     """,
 )
@@ -6062,7 +6069,12 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint (nested composition), each written by pyarrow
     (snappy/dictionary, the real writer layout) and read back by the
     hand parquet decoder's dotted struct-leaf chunks
-    (parquetfmt.read_leaf_column: ``add.path``, ``remove.size``, ...).
+    (parquetfmt.read_leaf_column: ``add.path``, ``remove.size``, ...)
+    and — round 9 — a REAL ``add.partitionValues`` parquet MAP column
+    (the delta-io checkpoint schema), Dremel-reassembled by
+    parquetfmt.read_map_column.  Every add carries a ``dt`` partition
+    value; ``n_live_dt``/``sum_dt_ord`` surface the LIVE snapshot's
+    partition map so a pv-roundtrip bug hash-mismatches.
     The emitted snapshot replays `_last_checkpoint` + JSON TAIL ONLY —
     O(tail), the Delta PROTOCOL.md fast path — while the oracle replays
     the FULL action history in SQL; hash equality proves checkpoint
@@ -6095,6 +6107,8 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         {"add": {"path": f"f{c}",
                                  "size": 100 + (did + c) % 50,
                                  "numRecords": 10 + (did * 3 + c) % 7,
+                                 "partitionValues":
+                                     {"dt": f"d{(did + c) % 4}"},
                                  "dataChange": True}}
                     )
                     if c >= 1 and (did + c) % 3 == 0:
@@ -6107,6 +6121,8 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                             {"add": {"path": "f0",
                                      "size": 500 + did % 31,
                                      "numRecords": 77 + did % 13,
+                                     "partitionValues":
+                                         {"dt": f"d{(did + c) % 4}"},
                                      "dataChange": True}}
                         )
                     commits.append(make_commit(acts))
@@ -6123,6 +6139,10 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                     make_last_checkpoint(ck_v, len(ck)), ck,
                     commits[ck_v + 1 :],
                 )
+                dts = [
+                    int(m["partition_values"][p]["dt"][1:])
+                    for p in m["live"]
+                ]  # every live add carries dt — a pv loss KeyErrors
                 out.append(
                     {
                         "doc_id": did,
@@ -6132,6 +6152,8 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_live": m["n_live"],
                         "live_bytes": m["live_bytes"],
                         "live_rows": m["live_rows"],
+                        "n_live_dt": len(set(dts)),
+                        "sum_dt_ord": sum(dts),
                     }
                 )
             if out:
@@ -6140,7 +6162,8 @@ def q_delta_checkpoint_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(docs, "doc_id").mapInPandas(
         gen_and_replay,
         "doc_id long, version long, ck_version long, n_tail long, "
-        "n_live long, live_bytes long, live_rows long",
+        "n_live long, live_bytes long, live_rows long, "
+        "n_live_dt long, sum_dt_ord long",
     )
 
 
