@@ -30,10 +30,11 @@ The reader validates magic, metadata termination, sync-marker equality
 per block, byte-size consistency (a block must decode to exactly its
 declared records consuming exactly its declared bytes), and union
 branch indexes; any violation raises ValueError for the quarantine
-path.  Schema support is scoped to flat records of
-long/int/string/bytes/boolean and ``["null", primitive]`` unions — the
-warehouse-export shape — and unknown schemas fail loudly rather than
-guessing.
+path.  Schema support covers records of long/int/string/bytes/boolean,
+``["null", X]`` unions, and NESTED record fields to any depth (decoded
+as nested dicts) — the shape Iceberg manifests use for their
+``data_file`` struct and partition tuple (operators/iceberg.py); maps,
+arrays, enums and named-type references stay loud quarantines.
 """
 
 from __future__ import annotations
@@ -94,11 +95,19 @@ def _read_sized(buf: bytes, pos: int) -> tuple[bytes, int]:
 
 
 def _encode_field(ftype, value) -> bytes:
-    if isinstance(ftype, list):  # union ["null", X]
+    if isinstance(ftype, list):  # union ["null", X] (compiled, 2-branch)
+        null_idx = ftype.index("null")
         if value is None:
-            return write_long(ftype.index("null"))
-        branch = 1 - ftype.index("null")
+            return write_long(null_idx)
+        branch = 1 - null_idx
         return write_long(branch) + _encode_field(ftype[branch], value)
+    if isinstance(ftype, tuple):  # ("record", [(name, ctype), ...])
+        if not isinstance(value, dict):
+            raise ValueError("record value is not a dict")
+        out = bytearray()
+        for name, ct in ftype[1]:
+            out += _encode_field(ct, value.get(name))
+        return bytes(out)
     if ftype in ("long", "int"):
         return write_long(int(value))
     if ftype == "string":
@@ -118,6 +127,11 @@ def _decode_field(ftype, buf: bytes, pos: int):
         if ftype[idx] == "null":
             return None, pos
         return _decode_field(ftype[idx], buf, pos)
+    if isinstance(ftype, tuple):  # nested record → dict
+        rec = {}
+        for name, ct in ftype[1]:
+            rec[name], pos = _decode_field(ct, buf, pos)
+        return rec, pos
     if ftype in ("long", "int"):
         return read_long(buf, pos)
     if ftype == "string":
@@ -134,23 +148,49 @@ def _decode_field(ftype, buf: bytes, pos: int):
     raise ValueError(f"unsupported avro type {ftype!r}")
 
 
-def _normalize_schema(schema: dict) -> list[tuple[str, object]]:
-    if schema.get("type") != "record" or "fields" not in schema:
-        raise ValueError("only flat record schemas are supported")
-    out = []
-    for f in schema["fields"]:
-        ft = f["type"]
-        if isinstance(ft, list):
-            if (
-                len(ft) != 2
-                or ft.count("null") != 1
-                or next(t for t in ft if t != "null") not in _PRIMITIVES
-            ):
-                raise ValueError(f"unsupported union {ft!r}")
-        elif ft not in _PRIMITIVES:
+_MAX_SCHEMA_DEPTH = 40  # same walk cap as mp4/mkv — no hostile recursion
+
+
+def _compile_type(ft, depth: int = 0):
+    """JSON schema type → compiled form: primitive name, 2-branch union
+    list, or ``("record", [(name, compiled), ...])``."""
+    if depth > _MAX_SCHEMA_DEPTH:
+        raise ValueError("avro schema nests deeper than the walk cap")
+    if isinstance(ft, str):
+        if ft not in _PRIMITIVES:
             raise ValueError(f"unsupported field type {ft!r}")
-        out.append((f["name"], ft))
-    return out
+        return ft
+    if isinstance(ft, list):
+        if len(ft) != 2 or ft.count("null") != 1:
+            raise ValueError(f"unsupported union {ft!r}")
+        return [
+            "null" if t == "null" else _compile_type(t, depth + 1)
+            for t in ft
+        ]
+    if isinstance(ft, dict):
+        t = ft.get("type")
+        if t == "record":
+            fields = ft.get("fields")
+            if not isinstance(fields, list):
+                raise ValueError("record schema missing fields")
+            return (
+                "record",
+                [
+                    (f["name"], _compile_type(f["type"], depth + 1))
+                    for f in fields
+                ],
+            )
+        if isinstance(t, str) and t in _PRIMITIVES:
+            return t  # {"type": "long"} wrapper form
+        raise ValueError(f"unsupported complex type {t!r}")
+    raise ValueError(f"unsupported field type {ft!r}")
+
+
+def _normalize_schema(schema: dict) -> list[tuple[str, object]]:
+    compiled = _compile_type(schema)
+    if not isinstance(compiled, tuple):
+        raise ValueError("top-level schema must be a record")
+    return compiled[1]
 
 
 def make_avro(

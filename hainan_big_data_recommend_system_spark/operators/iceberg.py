@@ -18,13 +18,19 @@ module implements that walk on top of the repo's own Avro OCF decoder
 (operators/avrocf.py) with a fetch callback per path (local file /
 ranged GET on an object store).
 
-Scope, honestly: manifests here are FLAT Avro records
-``(status int, file_path string, record_count long, file_size long)``
-— real Iceberg nests the ``data_file`` struct and adds partition
-tuples/column stats; the avrocf decoder is flat-record scoped, so the
-nesting is flattened and documented as the deviation.  The resolution
-ALGORITHM (version pointer → snapshot → manifest list → manifests →
-status filter) is the spec's (iceberg.apache.org/spec/ — public).
+Manifests use the SPEC's nested layout (round 9, closing the round-8
+flattened-record deviation): each ``manifest_entry`` record carries
+``status`` / optional ``snapshot_id`` and a nested ``data_file`` struct
+(``content``, ``file_path``, ``file_format``, a ``partition`` tuple
+record ``r102`` with one optional-string field per partition column,
+``record_count``, ``file_size_in_bytes``) — decoded by avrocf's
+nested-record support.  Manifest-list entries carry ``manifest_path``,
+``manifest_length`` (VERIFIED against the fetched bytes),
+``partition_spec_id``, ``added_snapshot_id`` and the three file counts.
+Column-stat maps stay out of scope (loudly absent, not guessed).  The
+resolution ALGORITHM (version pointer → snapshot → manifest list →
+manifests → status filter) is the spec's (iceberg.apache.org/spec/ —
+public).
 
 ValueError-only decode contract, like every decoder in the fleet.
 """
@@ -34,22 +40,54 @@ from __future__ import annotations
 import json
 from collections.abc import Callable
 
-_MANIFEST_SCHEMA = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "file_path", "type": "string"},
-        {"name": "record_count", "type": "long"},
-        {"name": "file_size", "type": "long"},
-    ],
-}
+
+def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
+    """The spec's manifest_entry schema for a table partitioned by
+    ``partition_fields`` (identity string transforms — the `r102`
+    partition tuple has one optional field per column)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {
+                "name": "data_file",
+                "type": {
+                    "type": "record",
+                    "name": "data_file",
+                    "fields": [
+                        {"name": "content", "type": "int"},
+                        {"name": "file_path", "type": "string"},
+                        {"name": "file_format", "type": "string"},
+                        {
+                            "name": "partition",
+                            "type": {
+                                "type": "record",
+                                "name": "r102",
+                                "fields": [
+                                    {"name": f, "type": ["null", "string"]}
+                                    for f in partition_fields
+                                ],
+                            },
+                        },
+                        {"name": "record_count", "type": "long"},
+                        {"name": "file_size_in_bytes", "type": "long"},
+                    ],
+                },
+            },
+        ],
+    }
+
 
 _MANIFEST_LIST_SCHEMA = {
     "type": "record",
     "name": "manifest_file",
     "fields": [
         {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "added_files_count", "type": "int"},
         {"name": "existing_files_count", "type": "int"},
         {"name": "deleted_files_count", "type": "int"},
@@ -107,10 +145,13 @@ def snapshot_live_files(
     for time travel) to its live file set.
 
     Returns ``{snapshot_id, n_manifests, n_live, n_deleted_entries,
-    live_bytes, live_rows, live}`` with ``live`` a path-sorted
-    ``{path: (size, rows)}``.  Manifest-list counts are CROSS-CHECKED
-    against the manifests they describe (a stale or truncated manifest
-    fails loudly instead of under-reporting the table)."""
+    live_bytes, live_rows, live, partition_values}`` with ``live`` a
+    path-sorted ``{path: (size, rows)}`` and ``partition_values`` the
+    non-empty partition tuples per live path (None-valued columns
+    kept — a null partition value is data).  Manifest-list counts AND
+    ``manifest_length`` are CROSS-CHECKED against the manifests they
+    describe (a stale or truncated manifest fails loudly instead of
+    under-reporting the table)."""
     from .avrocf import parse_avro
 
     meta = parse_table_metadata(metadata_text)
@@ -120,30 +161,49 @@ def snapshot_live_files(
         raise ValueError(f"snapshot {sid} not in the table metadata")
     ml = parse_avro(fetch(ml_path))
     live: dict[str, tuple[int, int]] = {}
+    pv: dict[str, dict] = {}
     n_deleted = 0
     for mf in ml["records"]:
-        for k in ("manifest_path", "added_files_count",
+        for k in ("manifest_path", "manifest_length",
+                  "added_files_count",
                   "existing_files_count", "deleted_files_count"):
             if k not in mf:
                 raise ValueError("manifest-list entry missing " + k)
-        m = parse_avro(fetch(mf["manifest_path"]))
+        m_bytes = fetch(mf["manifest_path"])
+        if len(m_bytes) != mf["manifest_length"]:
+            raise ValueError(
+                f"manifest {mf['manifest_path']!r} is {len(m_bytes)} "
+                f"bytes; its manifest-list entry declares "
+                f"{mf['manifest_length']}"
+            )
+        m = parse_avro(m_bytes)
         counts = {_STATUS_EXISTING: 0, _STATUS_ADDED: 0, _STATUS_DELETED: 0}
         for e in m["records"]:
             st = e.get("status")
             if st not in counts:
                 raise ValueError(f"manifest entry bad status {st!r}")
             counts[st] += 1
-            path = e.get("file_path")
+            df = e.get("data_file")
+            if not isinstance(df, dict):
+                raise ValueError("manifest entry missing data_file struct")
+            path = df.get("file_path")
             if not isinstance(path, str) or not path:
                 raise ValueError("manifest entry missing file_path")
             if st == _STATUS_DELETED:
                 n_deleted += 1
                 live.pop(path, None)
+                pv.pop(path, None)
             else:
-                size, rows = e.get("file_size"), e.get("record_count")
+                size = df.get("file_size_in_bytes")
+                rows = df.get("record_count")
                 if not isinstance(size, int) or not isinstance(rows, int):
                     raise ValueError("manifest entry missing size/rows")
                 live[path] = (size, rows)
+                part = df.get("partition")
+                if part:
+                    pv[path] = dict(part)
+                else:
+                    pv.pop(path, None)
         if (
             counts[_STATUS_ADDED] != mf["added_files_count"]
             or counts[_STATUS_EXISTING] != mf["existing_files_count"]
@@ -161,21 +221,64 @@ def snapshot_live_files(
         "live_bytes": sum(s for s, _ in live.values()),
         "live_rows": sum(r for _, r in live.values()),
         "live": dict(sorted(live.items())),
+        "partition_values": dict(sorted(pv.items())),
     }
 
 
-def make_manifest(entries: list[dict]) -> bytes:
-    """A manifest Avro file (test/fixture writer, spec-shaped OCF)."""
+def make_manifest(
+    entries: list[dict], partition_fields: tuple[str, ...] = ()
+) -> bytes:
+    """A spec-layout manifest Avro file (fixture writer).  ``entries``
+    are the ergonomic flat form ``{status, file_path, record_count,
+    file_size[, snapshot_id, partition]}``; this builder nests them
+    into the spec's ``manifest_entry``/``data_file`` records."""
     from .avrocf import make_avro
 
-    return make_avro(_MANIFEST_SCHEMA, [entries] if entries else [[]])
+    nested = [
+        {
+            "status": e["status"],
+            "snapshot_id": e.get("snapshot_id"),
+            "data_file": {
+                "content": e.get("content", 0),
+                "file_path": e["file_path"],
+                "file_format": e.get("file_format", "PARQUET"),
+                "partition": {
+                    f: (e.get("partition") or {}).get(f)
+                    for f in partition_fields
+                },
+                "record_count": e["record_count"],
+                "file_size_in_bytes": e["file_size"],
+            },
+        }
+        for e in entries
+    ]
+    return make_avro(
+        _manifest_schema(partition_fields),
+        [nested] if nested else [[]],
+    )
 
 
 def make_manifest_list(manifests: list[dict]) -> bytes:
+    """Spec-layout manifest list.  Each entry must carry
+    ``manifest_length`` (the reader verifies it against the fetched
+    manifest bytes); ``partition_spec_id``/``added_snapshot_id``
+    default to 0/None."""
     from .avrocf import make_avro
 
+    full = [
+        {
+            "manifest_path": m["manifest_path"],
+            "manifest_length": m["manifest_length"],
+            "partition_spec_id": m.get("partition_spec_id", 0),
+            "added_snapshot_id": m.get("added_snapshot_id"),
+            "added_files_count": m["added_files_count"],
+            "existing_files_count": m["existing_files_count"],
+            "deleted_files_count": m["deleted_files_count"],
+        }
+        for m in manifests
+    ]
     return make_avro(
-        _MANIFEST_LIST_SCHEMA, [manifests] if manifests else [[]]
+        _MANIFEST_LIST_SCHEMA, [full] if full else [[]]
     )
 
 

@@ -33,7 +33,7 @@ from ..catalog import load_table
 from . import register, register_extra
 
 #: bump to invalidate previously-generated fixture dirs on layout change
-_LAYOUT_VERSION = "v1"
+_LAYOUT_VERSION = "v2"  # r9: spec-nested Iceberg manifests
 
 _WARCINFO_PAYLOAD = "software: hainan_big_data_recommend_system_spark\r\n"
 _WARCINFO_MD5 = hashlib.md5(_WARCINFO_PAYLOAD.encode()).hexdigest()
@@ -600,8 +600,10 @@ def _ensure_iceberg_table_fixture(spark: SparkSession, sf_dir: str) -> str:
         sizes[sh] = (os.path.getsize(dest), n)
 
     def entry(sh, status):
+        # spec layout: the partition tuple rides the data_file struct
         return {"status": status, "file_path": f"f{sh}.parquet",
-                "record_count": sizes[sh][1], "file_size": sizes[sh][0]}
+                "record_count": sizes[sh][1], "file_size": sizes[sh][0],
+                "partition": {"shard": str(sh)}}
 
     def counts(es):
         return {
@@ -613,19 +615,24 @@ def _ensure_iceberg_table_fixture(spark: SparkSession, sf_dir: str) -> str:
     m_v1 = [entry(s, 1) for s in range(4)]
     m_v2a = [entry(s, 2 if s < 2 else 0) for s in range(4)]
     m_v2b = [entry(s, 1) for s in (4, 5)]
+    blobs = {
+        "m-v1.avro": make_manifest(m_v1, partition_fields=("shard",)),
+        "m-v2a.avro": make_manifest(m_v2a, partition_fields=("shard",)),
+        "m-v2b.avro": make_manifest(m_v2b, partition_fields=("shard",)),
+    }
+
+    def ml_entry(mname, es):
+        return {"manifest_path": f"metadata/{mname}",
+                "manifest_length": len(blobs[mname]), **counts(es)}
+
+    blobs["ml-100.avro"] = make_manifest_list(
+        [ml_entry("m-v1.avro", m_v1)]
+    )
+    blobs["ml-200.avro"] = make_manifest_list(
+        [ml_entry("m-v2a.avro", m_v2a), ml_entry("m-v2b.avro", m_v2b)]
+    )
     meta_dir = os.path.join(tmp, "metadata")
-    for name, blob in [
-        ("m-v1.avro", make_manifest(m_v1)),
-        ("m-v2a.avro", make_manifest(m_v2a)),
-        ("m-v2b.avro", make_manifest(m_v2b)),
-        ("ml-100.avro", make_manifest_list(
-            [{"manifest_path": "metadata/m-v1.avro", **counts(m_v1)}]
-        )),
-        ("ml-200.avro", make_manifest_list(
-            [{"manifest_path": "metadata/m-v2a.avro", **counts(m_v2a)},
-             {"manifest_path": "metadata/m-v2b.avro", **counts(m_v2b)}]
-        )),
-    ]:
+    for name, blob in blobs.items():
         with open(os.path.join(meta_dir, name), "wb") as fh:
             fh.write(blob)
     with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:

@@ -6316,6 +6316,8 @@ def q_parquet_modern_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS live_bytes,
            CAST(sum(CASE WHEN deleted THEN 0 ELSE rc END) AS BIGINT)
                AS live_rows,
+           CAST(count(DISTINCT (doc_id + f) % 3)
+                    FILTER (WHERE NOT deleted) AS BIGINT) AS n_live_dt,
            CAST(any_value(n) AS BIGINT) AS tt_n_live
     FROM f GROUP BY 1
     """,
@@ -6325,10 +6327,14 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc a 2-snapshot table — snapshot 100 adds n files via one
     manifest; snapshot 200 carries TWO manifests (originals with
     EXISTING/DELETED statuses, plus 2 ADDED files) — built as REAL Avro
-    OCF manifest files (operators/avrocf.py) and resolved through the
-    spec's walk: version pointer → snapshot → manifest list → manifests
-    → status filter, with manifest-list counts cross-checked against
-    the manifests.  ``tt_n_live`` time-travels to snapshot 100.  The
+    OCF manifest files in the SPEC's nested layout (round 9: a
+    ``data_file`` record with a ``dt`` partition tuple, decoded by
+    avrocf's nested-record support; manifest_length verified) and
+    resolved through the spec's walk: version pointer → snapshot →
+    manifest list → manifests → status filter, with manifest-list
+    counts cross-checked against the manifests.  ``n_live_dt`` counts
+    distinct live partition values, so a partition-tuple decode bug
+    hash-mismatches; ``tt_n_live`` time-travels to snapshot 100.  The
     structural contrast to Delta's replayed log, on the same fixture
     discipline (everything recomputed by the oracle from the documents
     table)."""
@@ -6357,6 +6363,7 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "file_path": f"f{f}",
                         "record_count": 10 + (did * 3 + f) % 7,
                         "file_size": 100 + (did + f) % 50,
+                        "partition": {"dt": f"d{(did + f) % 3}"},
                     }
 
                 orig = [entry(f, 1) for f in range(n)]
@@ -6380,19 +6387,29 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
 
                 files = {
-                    "mA": make_manifest(orig),
-                    "mB1": make_manifest(snap2_orig),
-                    "mB2": make_manifest(snap2_added),
-                    "ml100": make_manifest_list(
-                        [{"manifest_path": "mA", **counts(orig)}]
+                    "mA": make_manifest(orig, partition_fields=("dt",)),
+                    "mB1": make_manifest(
+                        snap2_orig, partition_fields=("dt",)
                     ),
-                    "ml200": make_manifest_list(
-                        [
-                            {"manifest_path": "mB1", **counts(snap2_orig)},
-                            {"manifest_path": "mB2", **counts(snap2_added)},
-                        ]
+                    "mB2": make_manifest(
+                        snap2_added, partition_fields=("dt",)
                     ),
                 }
+                files["ml100"] = make_manifest_list(
+                    [{"manifest_path": "mA",
+                      "manifest_length": len(files["mA"]),
+                      **counts(orig)}]
+                )
+                files["ml200"] = make_manifest_list(
+                    [
+                        {"manifest_path": "mB1",
+                         "manifest_length": len(files["mB1"]),
+                         **counts(snap2_orig)},
+                        {"manifest_path": "mB2",
+                         "manifest_length": len(files["mB2"]),
+                         **counts(snap2_added)},
+                    ]
+                )
                 meta = make_table_metadata(
                     {100: "ml100", 200: "ml200"}, current=200
                 )
@@ -6400,6 +6417,9 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 tt = snapshot_live_files(
                     meta, files.__getitem__, snapshot_id=100
                 )
+                dts = {
+                    v["dt"] for v in snap["partition_values"].values()
+                }
                 out.append(
                     {
                         "doc_id": did,
@@ -6409,6 +6429,7 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "n_deleted_entries": snap["n_deleted_entries"],
                         "live_bytes": snap["live_bytes"],
                         "live_rows": snap["live_rows"],
+                        "n_live_dt": len(dts),
                         "tt_n_live": tt["n_live"],
                     }
                 )
@@ -6419,7 +6440,7 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         gen_and_scan,
         "doc_id long, snapshot_id long, n_manifests long, n_live long, "
         "n_deleted_entries long, live_bytes long, live_rows long, "
-        "tt_n_live long",
+        "n_live_dt long, tt_n_live long",
     )
 
 

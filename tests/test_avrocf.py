@@ -108,10 +108,18 @@ def test_count_size_inconsistency_rejected():
 def test_bad_magic_missing_schema_bad_union():
     with pytest.raises(ValueError, match="magic"):
         parse_avro(b"NOPE" + bytes(20))
-    with pytest.raises(ValueError, match="unsupported union"):
+    with pytest.raises(ValueError, match="unsupported field type"):
+        # bare "record" is not a type — a union branch must be a full
+        # record schema object (nested records ARE supported)
         make_avro(
             {"type": "record", "name": "r",
              "fields": [{"name": "x", "type": ["null", "record"]}]},
+            [[]],
+        )
+    with pytest.raises(ValueError, match="unsupported union"):
+        make_avro(
+            {"type": "record", "name": "r",
+             "fields": [{"name": "x", "type": ["null", "long", "int"]}]},
             [[]],
         )
     with pytest.raises(ValueError, match="unsupported field type"):

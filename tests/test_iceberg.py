@@ -18,27 +18,30 @@ from hainan_big_data_recommend_system_spark.operators.iceberg import (
 def _fixture():
     m1 = make_manifest([
         {"status": 1, "file_path": "f0", "record_count": 10,
-         "file_size": 100},
+         "file_size": 100, "snapshot_id": 100,
+         "partition": {"dt": "2024-01-01"}},
         {"status": 1, "file_path": "f1", "record_count": 20,
-         "file_size": 200},
-    ])
+         "file_size": 200, "partition": {"dt": "2024-01-02"}},
+    ], partition_fields=("dt",))
     m2 = make_manifest([
         {"status": 0, "file_path": "f0", "record_count": 10,
-         "file_size": 100},
+         "file_size": 100, "partition": {"dt": "2024-01-01"}},
         {"status": 2, "file_path": "f1", "record_count": 20,
-         "file_size": 200},
+         "file_size": 200, "partition": {"dt": "2024-01-02"}},
         {"status": 1, "file_path": "f2", "record_count": 30,
-         "file_size": 300},
-    ])
+         "file_size": 300, "partition": {"dt": None}},
+    ], partition_fields=("dt",))
     files = {
         "m1": m1,
         "m2": m2,
         "ml1": make_manifest_list([
-            {"manifest_path": "m1", "added_files_count": 2,
+            {"manifest_path": "m1", "manifest_length": len(m1),
+             "added_files_count": 2,
              "existing_files_count": 0, "deleted_files_count": 0}
         ]),
         "ml2": make_manifest_list([
-            {"manifest_path": "m2", "added_files_count": 1,
+            {"manifest_path": "m2", "manifest_length": len(m2),
+             "added_files_count": 1,
              "existing_files_count": 1, "deleted_files_count": 1}
         ]),
     }
@@ -52,14 +55,46 @@ def test_current_snapshot_and_time_travel():
     assert snap["snapshot_id"] == 200
     assert snap["live"] == {"f0": (100, 10), "f2": (300, 30)}
     assert snap["n_deleted_entries"] == 1
+    # partition tuples ride the nested data_file struct (null kept)
+    assert snap["partition_values"] == {
+        "f0": {"dt": "2024-01-01"}, "f2": {"dt": None},
+    }
     tt = snapshot_live_files(meta, files.__getitem__, snapshot_id=100)
     assert tt["live"] == {"f0": (100, 10), "f1": (200, 20)}
+    assert tt["partition_values"]["f1"] == {"dt": "2024-01-02"}
+
+
+def test_manifest_length_cross_check_fails_loudly():
+    meta, files = _fixture()
+    files["m2"] = files["m2"] + b"\x00"  # corrupt: one trailing byte
+    with pytest.raises(ValueError, match="manifest-list entry declares"):
+        snapshot_live_files(meta, files.__getitem__)
+
+
+def test_manifest_is_spec_nested_layout():
+    """The manifest's embedded schema must nest data_file (record) and
+    a partition tuple record — not flat fields."""
+    import json
+
+    from hainan_big_data_recommend_system_spark.operators.avrocf import (
+        parse_avro,
+    )
+
+    meta, files = _fixture()
+    out = parse_avro(files["m1"])
+    assert set(out["records"][0]) == {"status", "snapshot_id", "data_file"}
+    df = out["records"][0]["data_file"]
+    assert df["file_path"] == "f0" and df["file_format"] == "PARQUET"
+    assert df["partition"] == {"dt": "2024-01-01"}
+    assert out["records"][0]["snapshot_id"] == 100
+    assert out["records"][1]["snapshot_id"] is None
 
 
 def test_manifest_list_count_cross_check_fails_loudly():
     meta, files = _fixture()
     files["ml2"] = make_manifest_list([
-        {"manifest_path": "m2", "added_files_count": 2,  # wrong
+        {"manifest_path": "m2", "manifest_length": len(files["m2"]),
+         "added_files_count": 2,  # wrong
          "existing_files_count": 1, "deleted_files_count": 1}
     ])
     with pytest.raises(ValueError, match="counts disagree"):
@@ -89,6 +124,11 @@ def test_unknown_status_quarantines():
     files["m2"] = make_manifest([
         {"status": 7, "file_path": "f0", "record_count": 1,
          "file_size": 1}
+    ])
+    files["ml2"] = make_manifest_list([
+        {"manifest_path": "m2", "manifest_length": len(files["m2"]),
+         "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0}
     ])
     with pytest.raises(ValueError, match="status"):
         snapshot_live_files(meta, files.__getitem__)
