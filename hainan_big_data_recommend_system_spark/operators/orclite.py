@@ -519,14 +519,178 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
     return bytes(out)
 
 
+# ORC type kinds in decode scope (ORCv1 spec Types message; DATE=15 —
+# 9 is TIMESTAMP, which stays a loud quarantine)
+_SCALAR_KINDS = {
+    0: "boolean", 2: "short", 3: "int", 4: "long", 5: "float",
+    6: "double", 7: "string", 15: "date",
+}
+_STREAM_PRESENT, _STREAM_DICT_DATA = 0, 3
+# ColumnEncoding kinds: DIRECT, DICTIONARY (RLEv1), DIRECT_V2,
+# DICTIONARY_V2 (RLEv2)
+_ENC_DIRECT, _ENC_DICT, _ENC_DIRECT_V2, _ENC_DICT_V2 = 0, 1, 2, 3
+
+
+def _decode_string_column(
+    streams: dict, enc: int, col: int, nnz: int, dict_size: int
+) -> list[str]:
+    """DIRECT strings (LENGTH + DATA) or DICTIONARY strings
+    (DATA = indices into the dictionary; DICTIONARY_DATA + LENGTH
+    describe the ``dict_size`` sorted entries — the size rides the
+    ColumnEncoding message, field 2) — ORCv1 spec §String Columns.
+    Hive/Java writers emit DICTIONARY_V2 for low-cardinality strings
+    by default; liborc never does, so the dictionary path is
+    interop-pinned the other way round (hand writer → pyarrow reads
+    it, tests/test_orclite.py)."""
+    v1 = enc in (_ENC_DIRECT, _ENC_DICT)
+    ints = rle_v1_decode if v1 else rle_v2_decode
+    if enc in (_ENC_DIRECT, _ENC_DIRECT_V2):
+        lens = ints(streams.get((col, _STREAM_LENGTH), b""), nnz, False)
+        blob = streams.get((col, _STREAM_DATA), b"")
+        if sum(lens) != len(blob):
+            raise ValueError("string lengths disagree with data stream")
+        out, q = [], 0
+        for ln in lens:
+            out.append(blob[q : q + ln].decode("utf-8", "strict"))
+            q += ln
+        return out
+    blob = streams.get((col, _STREAM_DICT_DATA), b"")
+    lens = ints(streams.get((col, _STREAM_LENGTH), b""), dict_size, False)
+    if sum(lens) != len(blob):
+        raise ValueError("dictionary lengths disagree with its blob")
+    entries, q = [], 0
+    for ln in lens:
+        entries.append(blob[q : q + ln].decode("utf-8", "strict"))
+        q += ln
+    idxs = ints(streams.get((col, _STREAM_DATA), b""), nnz, False)
+    try:
+        return [entries[i] for i in idxs]
+    except IndexError:
+        raise ValueError("dictionary index out of range") from None
+
+
+def rle_v2_encode_direct(values: list[int], signed: bool) -> bytes:
+    """RLEv2 encoder emitting only DIRECT runs (≤512 values, MSB-first
+    bit packing at the closest _FBS width; signed values zigzagged) —
+    enough to WRITE dictionary-encoded fixtures that liborc reads
+    back, since liborc itself never emits dictionary encodings."""
+    out = bytearray()
+    i = 0
+    while i < len(values):
+        chunk = values[i : i + 512]
+        enc_vals = [zigzag_encode(v) if signed else v for v in chunk]
+        maxb = max(1, max(v.bit_length() for v in enc_vals))
+        w = next(b for b in _FBS if b >= maxb)
+        wcode = _FBS.index(w)
+        ln = len(chunk) - 1
+        out.append((1 << 6) | (wcode << 1) | (ln >> 8))
+        out.append(ln & 0xFF)
+        bitbuf = nbits = 0
+        for v in enc_vals:
+            bitbuf = (bitbuf << w) | v
+            nbits += w
+            while nbits >= 8:
+                nbits -= 8
+                out.append((bitbuf >> nbits) & 0xFF)
+                bitbuf &= (1 << nbits) - 1
+        if nbits:
+            out.append((bitbuf << (8 - nbits)) & 0xFF)
+        i += 512
+    return bytes(out)
+
+
+def make_orc_dict_strings(stripes: list[list[tuple[int, str]]]) -> bytes:
+    """A real ORC file of ``struct<id:bigint, name:string>`` whose
+    string column is DICTIONARY_V2-encoded (sorted dictionary,
+    RLEv2-DIRECT index/length runs) — the layout Hive/Java writers emit
+    for low-cardinality strings by default, which liborc never writes.
+    NONE compression; liborc reads it back cell-for-cell
+    (tests/test_orclite.py)."""
+    out = bytearray(_MAGIC)
+    stripe_infos = []
+    total_rows = 0
+    for rows in stripes:
+        if not rows:
+            raise ValueError("empty stripe")
+        offset = len(out)
+        ids = [r[0] for r in rows]
+        names = [r[1] for r in rows]
+        entries = sorted(set(names))
+        lookup = {s: i for i, s in enumerate(entries)}
+        d_id = rle_v2_encode_direct(ids, signed=True)
+        d_idx = rle_v2_encode_direct([lookup[s] for s in names], False)
+        blob = "".join(entries).encode("utf-8")
+        d_len = rle_v2_encode_direct(
+            [len(s.encode("utf-8")) for s in entries], False
+        )
+        data = d_id + d_idx + d_len + blob
+        streams = _msg(
+            [(1, _msg([(1, _STREAM_DATA), (2, 1), (3, len(d_id))]))]
+        )
+        streams += _msg(
+            [(1, _msg([(1, _STREAM_DATA), (2, 2), (3, len(d_idx))]))]
+        )
+        streams += _msg(
+            [(1, _msg([(1, _STREAM_LENGTH), (2, 2), (3, len(d_len))]))]
+        )
+        streams += _msg(
+            [(1, _msg([(1, _STREAM_DICT_DATA), (2, 2), (3, len(blob))]))]
+        )
+        encodings = _msg([(2, _msg([(1, _ENC_DIRECT)]))])  # struct
+        encodings += _msg([(2, _msg([(1, _ENC_DIRECT_V2)]))])  # id
+        encodings += _msg(
+            [(2, _msg([(1, _ENC_DICT_V2), (2, len(entries))]))]
+        )
+        sfooter = streams + encodings
+        out += data + sfooter
+        stripe_infos.append((offset, len(data), len(sfooter), len(rows)))
+        total_rows += len(rows)
+    content_len = len(out)
+    types = (
+        _msg([(4, _msg([(1, _KIND_STRUCT), (2, 1), (2, 2),
+                        (3, "id"), (3, "name")]))])
+        + _msg([(4, _msg([(1, _KIND_LONG)]))])
+        + _msg([(4, _msg([(1, _KIND_STRING)]))])
+    )
+    stripes_pb = b"".join(
+        _msg([(3, _msg([(1, off), (2, 0), (3, dl), (4, fl), (5, nr)]))])
+        for off, dl, fl, nr in stripe_infos
+    )
+    footer = (
+        _msg([(1, 3), (2, content_len), (6, total_rows)])
+        + stripes_pb
+        + types
+    )
+    out += footer
+    # postscript: footerLength, NONE compression, version [0,12],
+    # writerVersion, magic — the fields liborc checks on open
+    postscript = (
+        _msg([(1, len(footer)), (2, 0)])
+        + _emit(4, 0) + write_varint(0)
+        + _emit(4, 0) + write_varint(12)
+        + _msg([(6, 1)])
+        + _msg([(8000, "ORC")])
+    )
+    out += postscript
+    if len(postscript) > 255:
+        raise ValueError("postscript too large")
+    out.append(len(postscript))
+    return bytes(out)
+
+
 def parse_orc_file(payload: bytes) -> dict:
     """REAL-writer ORC walk (pyarrow/Hive layout): chunked compression
     (NONE/ZLIB/SNAPPY/LZ4/ZSTD), index sections skipped by
-    indexLength, PRESENT streams for nullable columns, and both integer
-    encodings (DIRECT → RLEv1, DIRECT_V2 → RLEv2).  Scope stays
-    ``struct<id:bigint, name:string>`` (nullable); dictionary-encoded
-    strings quarantine loudly.  Returns the :func:`parse_orc` dict with
-    ``rows`` as ``(id | None, name | None)`` and ``n_nulls``."""
+    indexLength, PRESENT streams for nullable columns, both integer
+    encodings (DIRECT → RLEv1, DIRECT_V2 → RLEv2), and — round 9 —
+    DICTIONARY/DICTIONARY_V2 strings plus boolean/short/int/long/
+    float/double/date columns over any flat struct schema.  Deeper
+    nesting (struct/list/map/union children), timestamps and decimals
+    quarantine loudly.  Returns ``{n_stripes, n_rows, n_nulls,
+    names, columns}`` (``columns`` name → null-aligned values; dates
+    as epoch days, floats as Python floats) plus, for the legacy
+    ``struct<id:bigint, name:string>`` schema, the original summary
+    fields and ``rows``."""
     if payload[:3] != _MAGIC:
         raise ValueError("not an ORC file (bad magic)")
     if len(payload) < 5:
@@ -551,15 +715,26 @@ def parse_orc_file(payload: bytes) -> dict:
     if any(not isinstance(x, bytes) for x in traw):
         raise ValueError("type entry is not a message")
     types = [_decode_msg(t) for t in traw]
-    if (
-        len(types) != 3
-        or _uint(types[0], 1) != _KIND_STRUCT
-        or _uint(types[1], 1) != _KIND_LONG
-        or _uint(types[2], 1) != _KIND_STRING
-    ):
-        raise ValueError("only struct<id:bigint,name:string> in scope")
-    rows: list[tuple[int | None, str | None]] = []
-    n_stripes = n_nulls = 0
+    if not types or _uint(types[0], 1) != _KIND_STRUCT:
+        raise ValueError("root type is not a struct")
+    field_names = [
+        n.decode("utf-8", "strict") if isinstance(n, bytes) else str(n)
+        for n in types[0].get(3, [])
+    ]
+    ncols = len(types) - 1
+    if len(field_names) != ncols or ncols == 0:
+        raise ValueError("struct field names disagree with subtypes")
+    kinds: list[str] = []
+    for t in types[1:]:
+        k = _uint(t, 1, 0)
+        if k not in _SCALAR_KINDS:
+            raise ValueError(
+                f"ORC type kind {k} out of decode scope (flat scalar "
+                "structs only)"
+            )
+        kinds.append(_SCALAR_KINDS[k])
+    columns: dict[str, list] = {n: [] for n in field_names}
+    n_stripes = n_nulls = n_total = 0
     for s in footer.get(3, []):
         if not isinstance(s, bytes):
             raise ValueError("stripe information field is not a message")
@@ -579,21 +754,11 @@ def parse_orc_file(payload: bytes) -> dict:
                 compression,
             )
         )
-        encodings = [
-            _uint(_decode_msg(raw), 1, 0) for raw in sfooter.get(2, [])
-        ]
-        if len(encodings) != 3:
+        enc_msgs = [_decode_msg(raw) for raw in sfooter.get(2, [])]
+        encodings = [_uint(m, 1, 0) for m in enc_msgs]
+        dict_sizes = [_uint(m, 2, 0) for m in enc_msgs]
+        if len(encodings) != ncols + 1:
             raise ValueError("stripe missing column encodings")
-        for e in encodings[1:]:
-            if e not in (0, 2):  # DIRECT / DIRECT_V2
-                raise ValueError(
-                    f"column encoding {e} (dictionary) out of scope"
-                )
-
-        def ints(data: bytes, n: int, col: int, signed: bool) -> list[int]:
-            dec = rle_v1_decode if encodings[col] == 0 else rle_v2_decode
-            return dec(data, n, signed)
-
         streams: dict[tuple[int, int], bytes] = {}
         p = off + ilen  # data section starts after the index section
         for raw in sfooter.get(1, []):
@@ -609,53 +774,67 @@ def parse_orc_file(payload: bytes) -> dict:
             p += ln
         if p != off + ilen + dlen:
             raise ValueError("stream sizes disagree with stripe dataLength")
-        pres_id = (
-            _bool_decode(streams[(1, 0)], nrows)
-            if (1, 0) in streams
-            else [True] * nrows
-        )
-        pres_nm = (
-            _bool_decode(streams[(2, 0)], nrows)
-            if (2, 0) in streams
-            else [True] * nrows
-        )
-        if (1, _STREAM_DATA) not in streams or (
-            2, _STREAM_LENGTH
-        ) not in streams:
-            raise ValueError("stripe missing required streams")
-        ids = ints(
-            streams[(1, _STREAM_DATA)], sum(pres_id), 1, signed=True
-        )
-        lens = ints(
-            streams[(2, _STREAM_LENGTH)], sum(pres_nm), 2, signed=False
-        )
-        d_str = streams.get((2, _STREAM_DATA), b"")
-        if sum(lens) != len(d_str):
-            raise ValueError("string lengths disagree with data stream")
-        names: list[str] = []
-        q = 0
-        for ln2 in lens:
-            names.append(d_str[q : q + ln2].decode("utf-8", "strict"))
-            q += ln2
-        it_id, it_nm = iter(ids), iter(names)
-        for ok_i, ok_n in zip(pres_id, pres_nm):
-            i = next(it_id) if ok_i else None
-            nm = next(it_nm) if ok_n else None
-            n_nulls += (not ok_i) + (not ok_n)
-            rows.append((i, nm))
+        for c in range(1, ncols + 1):
+            kind = kinds[c - 1]
+            enc = encodings[c]
+            pres = (
+                _bool_decode(streams[(c, _STREAM_PRESENT)], nrows)
+                if (c, _STREAM_PRESENT) in streams
+                else [True] * nrows
+            )
+            nnz = sum(pres)
+            v1 = enc in (_ENC_DIRECT, _ENC_DICT)
+            ints = rle_v1_decode if v1 else rle_v2_decode
+            if kind == "string":
+                vals: list = _decode_string_column(
+                    streams, enc, c, nnz, dict_sizes[c]
+                )
+            elif enc not in (_ENC_DIRECT, _ENC_DIRECT_V2):
+                raise ValueError(
+                    f"dictionary encoding on a non-string column {c}"
+                )
+            elif kind in ("short", "int", "long", "date"):
+                vals = ints(
+                    streams.get((c, _STREAM_DATA), b""), nnz, True
+                )
+            elif kind in ("float", "double"):
+                import struct as _struct
+
+                w, f = (4, "f") if kind == "float" else (8, "d")
+                raw = streams.get((c, _STREAM_DATA), b"")
+                if len(raw) != w * nnz:
+                    raise ValueError(
+                        f"{kind} stream size disagrees with value count"
+                    )
+                vals = list(_struct.unpack(f"<{nnz}{f}", raw))
+            else:  # boolean
+                vals = _bool_decode(streams.get((c, _STREAM_DATA), b""),
+                                    nnz)
+            it = iter(vals)
+            got = [next(it) if ok else None for ok in pres]
+            n_nulls += nrows - nnz
+            columns[field_names[c - 1]].extend(got)
+        n_total += nrows
         n_stripes += 1
-    if len(rows) != total_rows:
+    if n_total != total_rows:
         raise ValueError(
-            f"footer declares {total_rows} rows, stripes held {len(rows)}"
+            f"footer declares {total_rows} rows, stripes held {n_total}"
         )
-    return {
+    out: dict = {
         "n_stripes": n_stripes,
-        "n_rows": len(rows),
+        "n_rows": n_total,
         "n_nulls": n_nulls,
-        "sum_ids": sum(i for i, _ in rows if i is not None),
-        "n_names": len({n for _, n in rows if n is not None}),
-        "name_bytes": sum(
-            len(n.encode()) for _, n in rows if n is not None
-        ),
-        "rows": rows,
+        "names": field_names,
+        "columns": columns,
     }
+    if field_names == ["id", "name"] and kinds == ["long", "string"]:
+        rows = list(zip(columns["id"], columns["name"]))
+        out.update(
+            rows=rows,
+            sum_ids=sum(i for i, _ in rows if i is not None),
+            n_names=len({n for _, n in rows if n is not None}),
+            name_bytes=sum(
+                len(n.encode()) for _, n in rows if n is not None
+            ),
+        )
+    return out

@@ -6460,35 +6460,60 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE d.doc_id * 13 + j * 7 - 400 END AS id,
                CASE WHEN (d.doc_id + j) % 11 = 0 THEN NULL
                     ELSE 'n' || CAST((d.doc_id + j) % 37 AS VARCHAR)
-                    END AS name
+                    END AS name,
+               CASE WHEN (d.doc_id + j) % 8 = 1 THEN NULL
+                    ELSE (d.doc_id * 7 + j * 11) % 100001 - 50000
+                    END AS i32,
+               CASE WHEN (d.doc_id + j) % 13 = 4 THEN NULL
+                    ELSE (d.doc_id + j) * 25 END AS dbl_c,
+               CASE WHEN (d.doc_id + j) % 17 = 2 THEN NULL
+                    ELSE (d.doc_id * 3 + j) % 20000 - 3000 END AS days,
+               CASE WHEN (d.doc_id + j) % 13 = 7 THEN NULL
+                    ELSE CASE WHEN (d.doc_id + j) % 3 = 0
+                              THEN 1 ELSE 0 END END AS bl
         FROM d, LATERAL (SELECT unnest(range(0, n)) AS j)
     )
     SELECT doc_id,
            any_value(codec) AS codec,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(*) FILTER (WHERE id IS NULL)
-                + count(*) FILTER (WHERE name IS NULL) AS BIGINT)
+                + count(*) FILTER (WHERE name IS NULL)
+                + count(*) FILTER (WHERE i32 IS NULL)
+                + count(*) FILTER (WHERE dbl_c IS NULL)
+                + count(*) FILTER (WHERE days IS NULL)
+                + count(*) FILTER (WHERE bl IS NULL) AS BIGINT)
                AS n_nulls,
            CAST(coalesce(sum(id), 0) AS BIGINT) AS sum_ids,
            CAST(count(DISTINCT name) AS BIGINT) AS n_names,
-           CAST(coalesce(sum(length(name)), 0) AS BIGINT) AS name_bytes
+           CAST(coalesce(sum(length(name)), 0) AS BIGINT) AS name_bytes,
+           CAST(coalesce(sum(i32), 0) AS BIGINT) AS sum_i32,
+           CAST(coalesce(sum(dbl_c), 0) AS BIGINT) AS sum_dbl_c,
+           CAST(coalesce(sum(days), 0) AS BIGINT) AS sum_days,
+           CAST(count(*) FILTER (WHERE bl = 1) AS BIGINT) AS n_true,
+           CAST(count(DISTINCT (doc_id + j) % 7) AS BIGINT)
+               AS n_dict_names,
+           CAST(sum(j * 3 + doc_id % 50) AS BIGINT) AS sum_dict_ids
     FROM r GROUP BY 1
     """,
 )
 def q_orc_modern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real-writer ORC decode (operators/orclite.py round 8): per doc a
-    pyarrow/liborc ORC file — RLEv2 integer runs (short-repeat, direct,
-    delta, patched-base), PRESENT streams for nullable columns, and the
-    writer's chunked compression rotated over all five kinds (NONE /
-    ZLIB / SNAPPY / LZ4 / ZSTD — the last three decoded by this repo's
-    own codecs) — parsed cell-for-cell by `parse_orc_file`.  The oracle
-    replays the layout-independent logical content; a RLEv2
-    sub-encoding, PRESENT, or chunk-framing bug mismatches exactly the
-    affected docs."""
+    """Real-writer ORC decode (operators/orclite.py, widened round 9):
+    per doc a pyarrow/liborc ORC file over the FULL in-scope type set —
+    long/string plus int32, double, date32 and boolean columns — RLEv2
+    integer runs (short-repeat, direct, delta, patched-base), PRESENT
+    streams for every nullable column, the writer's chunked compression
+    rotated over all five kinds (NONE / ZLIB / SNAPPY / LZ4 / ZSTD —
+    the last three decoded by this repo's own codecs) — parsed
+    cell-for-cell by `parse_orc_file`.  A SECOND per-doc file exercises
+    DICTIONARY_V2 strings (the Hive-writer default that liborc never
+    emits): hand-written by `make_orc_dict_strings`, read back by BOTH
+    parse_orc_file and the formula-replaying oracle
+    (``n_dict_names``/``sum_dict_ids``).  Doubles are integerized
+    per-row (exact .25 multiples ×100) so the hash is float-safe."""
     import pandas as pd
 
     from ..operators.multimodal import _spread
-    from ..operators.orclite import parse_orc_file
+    from ..operators.orclite import make_orc_dict_strings, parse_orc_file
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     _CODECS5 = ["uncompressed", "zlib", "snappy", "lz4", "zstd"]
@@ -6512,25 +6537,74 @@ def q_orc_modern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                     None if (did + j) % 11 == 0 else f"n{(did + j) % 37}"
                     for j in range(n)
                 ]
+                i32 = [
+                    None if (did + j) % 8 == 1
+                    else (did * 7 + j * 11) % 100001 - 50000
+                    for j in range(n)
+                ]
+                dbl = [
+                    None if (did + j) % 13 == 4 else (did + j) * 0.25
+                    for j in range(n)
+                ]
+                days = [
+                    None if (did + j) % 17 == 2
+                    else (did * 3 + j) % 20000 - 3000
+                    for j in range(n)
+                ]
+                bl = [
+                    None if (did + j) % 13 == 7 else (did + j) % 3 == 0
+                    for j in range(n)
+                ]
                 codec = _CODECS5[did % 5]
                 buf = io.BytesIO()
                 po.write_table(
-                    pa.table({"id": pa.array(ids, pa.int64()),
-                              "name": pa.array(names)}),
+                    pa.table({
+                        "id": pa.array(ids, pa.int64()),
+                        "name": pa.array(names),
+                        "i32": pa.array(i32, pa.int32()),
+                        "dbl": pa.array(dbl, pa.float64()),
+                        "dt": pa.array(days, pa.date32()),
+                        "bl": pa.array(bl, pa.bool_()),
+                    }),
                     buf, compression=codec,
                 )
                 m = parse_orc_file(buf.getvalue())
-                if m["rows"] != list(zip(ids, names)):
+                c = m["columns"]
+                if (
+                    c["id"] != ids or c["name"] != names
+                    or c["i32"] != i32 or c["dbl"] != dbl
+                    or c["dt"] != days or c["bl"] != bl
+                ):
                     raise ValueError(f"orc decode mismatch doc {did}")
+                # dictionary leg: hand-written DICTIONARY_V2 strings
+                drows = [
+                    (j * 3 + did % 50, f"c{(did + j) % 7}")
+                    for j in range(n)
+                ]
+                dm = parse_orc_file(make_orc_dict_strings([drows]))
+                if dm["rows"] != drows:
+                    raise ValueError(f"orc dict decode mismatch doc {did}")
                 out.append(
                     {
                         "doc_id": did,
                         "codec": codec,
                         "n_rows": m["n_rows"],
                         "n_nulls": m["n_nulls"],
-                        "sum_ids": m["sum_ids"],
-                        "n_names": m["n_names"],
-                        "name_bytes": m["name_bytes"],
+                        "sum_ids": sum(v for v in ids if v is not None),
+                        "n_names": len({v for v in names
+                                        if v is not None}),
+                        "name_bytes": sum(len(v) for v in names
+                                          if v is not None),
+                        "sum_i32": sum(v for v in c["i32"]
+                                       if v is not None),
+                        "sum_dbl_c": sum(int(round(v * 100))
+                                         for v in c["dbl"]
+                                         if v is not None),
+                        "sum_days": sum(v for v in c["dt"]
+                                        if v is not None),
+                        "n_true": sum(1 for v in c["bl"] if v is True),
+                        "n_dict_names": dm["n_names"],
+                        "sum_dict_ids": dm["sum_ids"],
                     }
                 )
             if out:
@@ -6539,5 +6613,7 @@ def q_orc_modern_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(docs, "doc_id").mapInPandas(
         gen_and_scan,
         "doc_id long, codec string, n_rows long, n_nulls long, "
-        "sum_ids long, n_names long, name_bytes long",
+        "sum_ids long, n_names long, name_bytes long, sum_i32 long, "
+        "sum_dbl_c long, sum_days long, n_true long, "
+        "n_dict_names long, sum_dict_ids long",
     )
