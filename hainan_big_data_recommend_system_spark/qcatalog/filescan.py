@@ -510,7 +510,7 @@ _DELTA_TABLE_SQL = """
 """
 
 
-@register_extra("delta_table_read", _DELTA_TABLE_SQL)
+@register("delta_table_read", _DELTA_TABLE_SQL)  # promoted r9 (#7)
 def q_delta_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE Delta read path against an on-disk table: resolve the
     snapshot from `_last_checkpoint` + the real checkpoint parquet (hand
@@ -647,7 +647,7 @@ def _ensure_iceberg_table_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register_extra("iceberg_table_read", _DELTA_TABLE_SQL)
+@register("iceberg_table_read", _DELTA_TABLE_SQL)  # promoted r9 (#7)
 def q_iceberg_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE Iceberg read path against an on-disk table: the
     metadata TREE (version-pointer json → manifest-list Avro →

@@ -4903,7 +4903,8 @@ def q_orc_container_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(  # demoted by rotation #7 (r9): footer-walk facet rides
+    # parquet_modern_page_scan + parquet_file_corpus_scan driver rows
     "parquet_footer_scan",
     """
     WITH d AS (
@@ -5183,7 +5184,8 @@ def q_delta_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
+@register_extra(  # demoted by rotation #7 (r9): subsumed by
+    # delta_checkpoint_replay's checkpoint+tail == full-replay equivalence
     "delta_log_replay",
     """
     WITH a AS (
