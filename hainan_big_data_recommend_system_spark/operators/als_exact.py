@@ -63,6 +63,11 @@ def als_rank1_factors(
         F.col(item_col).cast("long").alias("i"),
         F.col(rating_col).cast("long").alias("r"),
     )
+    # materialize the interaction table ONCE: every alternation joins
+    # it twice and the scoring stage three more times — without this
+    # the upstream join/groupBy lineage re-executes ~8× (measured
+    # 21.5 → 11.5s cold at sf0.1)
+    r = r.localCheckpoint(eager=True)
     # v starts as the all-ones direction at fixed-point scale
     v = r.select("i").distinct().withColumn("v", F.lit(_SCALE))
     u = None
@@ -79,6 +84,15 @@ def als_rank1_factors(
             "u",
             F.expr(f"cast(__num * {_SCALE} div __den as long)").alias("uf"),
         )
+        # checkpoint the RAW update (|users| rows), not the normalized
+        # one: the normalization references its input twice (values +
+        # max), so an unchecked raw side would re-execute the 600k-row
+        # interaction join per reference — measured 2× per alternation
+        # before this (the r8→r9 cost fix: 21.5 → ~13s cold at sf0.1).
+        # The eager job over a broadcast-joined groupBy is the minimum
+        # one pass per alternation; MLlib ALS checkpoints on a cadence
+        # for the same lineage-growth reason.
+        u = u.localCheckpoint(eager=True)
         u = u.crossJoin(
             F.broadcast(u.agg(F.max("uf").alias("__m")))
         ).select(
@@ -88,11 +102,6 @@ def als_rank1_factors(
                 f"div greatest(__m, 1) as long)"
             ).alias("uf"),
         )
-        # truncate the per-iteration lineage (the normalization
-        # references its own input, so the unchecked plan tree grows
-        # ~4x per alternation — the classic iterative-algorithm trap;
-        # MLlib ALS checkpoints for the same reason)
-        u = u.localCheckpoint(eager=True)
         rv = r.join(F.broadcast(u), "u").groupBy("i").agg(
             F.expr(f"cast(sum(cast(r as {_DEC}) * uf) as {_DEC})").alias(
                 "__num"
@@ -105,6 +114,7 @@ def als_rank1_factors(
             "i",
             F.expr(f"cast(__num * {_SCALE} div __den as long)").alias("v"),
         )
+        v = v.localCheckpoint(eager=True)  # raw side, same reason as u
         v = v.crossJoin(
             F.broadcast(v.agg(F.max("v").alias("__m")))
         ).select(
@@ -114,7 +124,6 @@ def als_rank1_factors(
                 f"div greatest(__m, 1) as long)"
             ).alias("v"),
         )
-        v = v.localCheckpoint(eager=True)
     return u, v, r
 
 
@@ -176,22 +185,26 @@ def topk_unseen_from_factors(
             F.sequence(F.lit(1), F.col("d_u") + F.lit(top_k))
         ).alias("__slot"),
     )
-    by_v = slots.join(
+    # the two prunes serve DISJOINT user sets: with uf > 0 the
+    # per-user order IS the global (v desc, i asc) order → rank_v
+    # covers; with uf == 0 every score ties at 0 and the order is
+    # (i asc) → rank_i covers.  Splitting (instead of unioning a
+    # superset over all users) keeps (u, i) unique by construction,
+    # so no dropDuplicates shuffle is needed.
+    by_v = slots.filter(F.col("uf") > 0).join(
         F.broadcast(vr.withColumnRenamed("rank_v", "__slot")).drop(
             "rank_i"
         ),
         "__slot",
     ).select("u", "uf", "i", "v")
-    by_i = slots.join(
+    by_i = slots.filter(F.col("uf") == 0).join(
         F.broadcast(vr.withColumnRenamed("rank_i", "__slot")).drop(
             "rank_v"
         ),
         "__slot",
     ).select("u", "uf", "i", "v")
-    cand = (
-        by_v.unionByName(by_i)
-        .dropDuplicates(["u", "i"])
-        .join(r.select("u", "i"), ["u", "i"], "left_anti")
+    cand = by_v.unionByName(by_i).join(
+        r.select("u", "i"), ["u", "i"], "left_anti"
     )
     w = Window.partitionBy("u").orderBy(
         F.expr("uf * v").desc(), F.col("i")

@@ -165,7 +165,10 @@ def reco_assembly(
 # is float-iterative, checked by invariants in tests)
 # ---------------------------------------------------------------------------
 
-@register("als_recommendations", None)
+@register_extra(  # demoted r9: the rows-only MLlib float row leaves the
+    # driver window for its hash-checked twin (rotation #7 follow-on —
+    # VERDICT r8 #5); invariant tests keep gating it locally
+    "als_recommendations", None)
 def q_als_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.recommendation import ALS
 
@@ -486,7 +489,7 @@ def q_copurchase_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.als_exact import als_rank1_exact, als_rank1_oracle_sql
 
 
-@register_extra("als_rank1_exact_recs", als_rank1_oracle_sql())
+@register("als_rank1_exact_recs", als_rank1_oracle_sql())  # promoted r9
 def q_als_rank1_exact_recs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hash-checked collaborative-filtering twin
     (operators/als_exact.py): pinned fixed-point rank-1 ALS — the
