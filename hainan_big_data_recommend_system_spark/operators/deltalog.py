@@ -51,15 +51,23 @@ def replay_delta_log(
     initial_tombstones: dict[str, tuple[int, int]] | None = None,
     base_version: int = 0,
     initial_pv: dict[str, dict] | None = None,
+    initial_schema: str | None = None,
 ) -> dict:
     """Replay ordered commit contents into the live-file snapshot.
 
     Returns ``{version, n_live, live_bytes, live_rows,
-    n_remove_actions, live, tombstones, partition_values}`` with
-    ``live`` a path-sorted ``{path: (size, numRecords)}`` and
+    n_remove_actions, live, tombstones, partition_values,
+    schema_json, schema_version}`` with
+    ``live`` a path-sorted ``{path: (size, numRecords)}``,
     ``partition_values`` the NON-EMPTY ``add.partitionValues`` maps per
     live path (Delta writes ``{}`` for unpartitioned tables; empty and
-    absent collapse to absent so the checkpoint roundtrip is exact).
+    absent collapse to absent so the checkpoint roundtrip is exact),
+    and ``schema_json`` the LAST ``metaData.schemaString`` seen —
+    schema evolution is last-writer-wins like the file set, so the
+    snapshot surfaces the CURRENT schema and a prefix replay (time
+    travel) surfaces the schema as of that version.
+    ``schema_version`` is the commit that set it (None when seeded
+    from a checkpoint, whose compaction drops the history).
 
     ``initial_live`` / ``initial_tombstones`` / ``initial_pv`` /
     ``base_version`` seed the
@@ -74,6 +82,8 @@ def replay_delta_log(
     live: dict[str, tuple[int, int]] = dict(initial_live or {})
     tombstones: dict[str, tuple[int, int]] = dict(initial_tombstones or {})
     pv: dict[str, dict] = dict(initial_pv or {})
+    schema_json = initial_schema
+    schema_version: int | None = None
     n_removes = 0
     for version, text in enumerate(commits, start=base_version):
         if not isinstance(text, str):
@@ -89,7 +99,14 @@ def replay_delta_log(
                 raise ValueError(f"unknown action kind {kind!r}")
             if not isinstance(body, dict):
                 raise ValueError(f"{kind} body is not an object")
-            if kind == "protocol":
+            if kind == "metaData":
+                ss = body.get("schemaString")
+                if ss is not None:
+                    if not isinstance(ss, str) or not ss:
+                        raise ValueError("metaData bad schemaString")
+                    schema_json = ss
+                    schema_version = version
+            elif kind == "protocol":
                 mrv = body.get("minReaderVersion", 1)
                 if not isinstance(mrv, int) or isinstance(mrv, bool):
                     raise ValueError("minReaderVersion is not an integer")
@@ -139,6 +156,8 @@ def replay_delta_log(
         "live": dict(sorted(live.items())),
         "tombstones": dict(sorted(tombstones.items())),
         "partition_values": dict(sorted(pv.items())),
+        "schema_json": schema_json,
+        "schema_version": schema_version,
     }
 
 
@@ -234,9 +253,17 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
         {"path": p, "deletionVersion": v, "size": s}
         for p, (v, s) in sorted(replay["tombstones"].items())
     ]
-    n = len(adds) + len(removes)
-    add_col = adds + [None] * len(removes)
-    rm_col = [None] * len(adds) + removes
+    # real checkpoints carry the table's metaData as its own action
+    # row — the snapshot schema must survive checkpoint compaction
+    metas = (
+        [{"schemaString": replay["schema_json"]}]
+        if replay.get("schema_json")
+        else []
+    )
+    n = len(adds) + len(removes) + len(metas)
+    add_col = adds + [None] * (len(removes) + len(metas))
+    rm_col = [None] * len(adds) + removes + [None] * len(metas)
+    md_col = [None] * (len(adds) + len(removes)) + metas
     table = pa.table(
         {
             "add": pa.array(
@@ -255,6 +282,10 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
                      ("size", pa.int64())]
                 ),
             ),
+            "metaData": pa.array(
+                md_col,
+                type=pa.struct([("schemaString", pa.string())]),
+            ),
         }
     )
     assert table.num_rows == n
@@ -263,13 +294,16 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
     return buf.getvalue()
 
 
-def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict, dict]:
-    """Recover ``(live, tombstones, partition_values)`` from a
-    checkpoint parquet file via the hand decoder — every row must be
-    exactly one of add/remove.  ``add.partitionValues`` (a parquet MAP
-    column, the delta-io layout) decodes through the repeated-leaf
-    Dremel reassembly when present; empty maps collapse to absent
-    (matching the JSON replay's tracking)."""
+def read_checkpoint_parquet(
+    payload: bytes,
+) -> tuple[dict, dict, dict, str | None]:
+    """Recover ``(live, tombstones, partition_values, schema_json)``
+    from a checkpoint parquet file via the hand decoder — every row
+    must be exactly one of add/remove/metaData.  ``add.partitionValues``
+    (a parquet MAP column, the delta-io layout) decodes through the
+    repeated-leaf Dremel reassembly when present; empty maps collapse
+    to absent (matching the JSON replay's tracking).  The metaData row
+    carries the snapshot schema across checkpoint compaction."""
     from .parquetfmt import (
         footer_ctx,
         parse_footer_tail,
@@ -298,7 +332,9 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict, dict]:
         )
     has_rm_size = "remove.size" in ctx["leaves"]
     has_pv = "add.partitionValues.key_value.key" in ctx["leaves"]
+    has_md = "metaData.schemaString" in ctx["leaves"]
     pv: dict[str, dict] = {}
+    schema_json: str | None = None
     leaf_names = [
         "add.path", "add.size", "add.numRecords",
         "remove.path", ordinal_leaf,
@@ -315,7 +351,17 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict, dict]:
             if has_pv
             else [None] * len(cols[0])
         )
-        for ap, asz, anr, rp, rdv, rsz, apv in zip(*cols, pv_rows):
+        md_rows = (
+            read_leaf_columns(
+                payload, rg, ["metaData.schemaString"],
+                with_nulls=True, ctx=ctx,
+            )["metaData.schemaString"]["values"]
+            if has_md
+            else [None] * len(cols[0])
+        )
+        for ap, asz, anr, rp, rdv, rsz, apv, mds in zip(
+            *cols, pv_rows, md_rows
+        ):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
                     raise ValueError("checkpoint row is not a single action")
@@ -327,9 +373,15 @@ def read_checkpoint_parquet(payload: bytes) -> tuple[dict, dict, dict]:
                     raise ValueError("checkpoint remove row incomplete")
                 # delta-io writers often omit remove.size — fall back 0
                 tombstones[rp] = (rdv, rsz if rsz is not None else 0)
+            elif mds is not None:
+                if schema_json is not None:
+                    raise ValueError(
+                        "checkpoint carries more than one metaData row"
+                    )
+                schema_json = mds
             else:
                 raise ValueError("checkpoint row carries no action")
-    return live, tombstones, pv
+    return live, tombstones, pv, schema_json
 
 
 def replay_from_checkpoint(
@@ -343,11 +395,14 @@ def replay_from_checkpoint(
     partition values); `n_remove_actions` counts the tail only (see
     replay_delta_log)."""
     lc = parse_last_checkpoint(last_checkpoint_text)
-    live, tombstones, pv = read_checkpoint_parquet(checkpoint_payload)
+    live, tombstones, pv, schema = read_checkpoint_parquet(
+        checkpoint_payload
+    )
     return replay_delta_log(
         tail_commits,
         initial_live=live,
         initial_tombstones=tombstones,
         base_version=lc["version"] + 1,
         initial_pv=pv,
+        initial_schema=schema,
     )

@@ -6447,6 +6447,106 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "delta_schema_evolution",
+    """
+    WITH d AS (
+        SELECT doc_id, 12 + doc_id % 6 AS n,
+               (12 + doc_id % 6) // 2 AS chg,
+               3 + doc_id % 3 AS new_fields
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(n - 1 AS BIGINT) AS version,
+           CAST(n AS BIGINT) AS n_live,
+           CAST(new_fields AS BIGINT) AS cur_n_fields,
+           CAST(chg AS BIGINT) AS schema_version,
+           CAST(2 AS BIGINT) AS tt_n_fields,
+           CAST(0 AS BIGINT) AS tt_schema_version
+    FROM d
+    """,
+)
+def q_delta_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta schema evolution on replay (VERDICT r8 #7): per doc a log
+    whose commit 0 sets a 2-field schema and whose MID-LOG commit
+    (version n//2) carries an add-column ``metaData`` action growing it
+    to 3 + doc_id%3 fields.  The snapshot surfaces the CURRENT schema
+    (field count + the version that set it) while a prefix replay
+    (time travel to just before the change) surfaces the ORIGINAL
+    per-version schema — last-writer-wins for metaData exactly like
+    the file set (delta-io PROTOCOL.md; `replay_delta_log`
+    schema_json/schema_version)."""
+    import json as _json
+
+    import pandas as pd
+
+    from ..operators.deltalog import make_commit, replay_delta_log
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def schema_str(nf):
+        return _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": f"c{k}", "type": "long"} for k in range(nf)
+            ],
+        }, sort_keys=True, separators=(",", ":"))
+
+    def gen_and_replay(it):
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 12 + did % 6
+                chg = n // 2
+                commits = []
+                for c in range(n):
+                    acts = []
+                    if c == 0:
+                        acts += [
+                            {"protocol": {"minReaderVersion": 1}},
+                            {"metaData": {"id": f"t{did}",
+                                          "schemaString": schema_str(2)}},
+                        ]
+                    if c == chg:
+                        acts.append(
+                            {"metaData": {"id": f"t{did}",
+                                          "schemaString":
+                                              schema_str(3 + did % 3)}}
+                        )
+                    acts.append(
+                        {"add": {"path": f"f{c}", "size": 10 + c,
+                                 "numRecords": 1, "dataChange": True}}
+                    )
+                    commits.append(make_commit(acts))
+                full = replay_delta_log(commits)
+                tt = replay_delta_log(commits[:chg])
+                out.append(
+                    {
+                        "doc_id": did,
+                        "version": full["version"],
+                        "n_live": full["n_live"],
+                        "cur_n_fields": len(
+                            _json.loads(full["schema_json"])["fields"]
+                        ),
+                        "schema_version": full["schema_version"],
+                        "tt_n_fields": len(
+                            _json.loads(tt["schema_json"])["fields"]
+                        ),
+                        "tt_schema_version": tt["schema_version"],
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_replay,
+        "doc_id long, version long, n_live long, cur_n_fields long, "
+        "schema_version long, tt_n_fields long, tt_schema_version long",
+    )
+
+
+@register_extra(
     "orc_modern_scan",
     """
     WITH d AS (

@@ -257,7 +257,7 @@ def test_checkpoint_read_uses_hand_decoder_on_arrow_file():
 
     state = replay_delta_log(_mklog(25))
     ck = make_checkpoint_parquet(state)
-    live, tombstones, pv = read_checkpoint_parquet(ck)
+    live, tombstones, pv, schema = read_checkpoint_parquet(ck)
     assert live == state["live"]
     assert tombstones == state["tombstones"]
     # and pyarrow agrees with the hand decoder on a leaf
@@ -310,3 +310,96 @@ def test_checkpoint_rejects_conflicting_action_row():
     pq.write_table(both, buf, compression="snappy")
     with pytest.raises(ValueError, match="single action"):
         read_checkpoint_parquet(buf.getvalue())
+
+
+# ---------------------------------------------------------------------------
+# schema evolution (round 9, VERDICT r8 #7)
+# ---------------------------------------------------------------------------
+
+_SCHEMA_A = ('{"type":"struct","fields":[{"name":"id","type":"long"},'
+             '{"name":"v","type":"string"}]}')
+_SCHEMA_B = ('{"type":"struct","fields":[{"name":"id","type":"long"},'
+             '{"name":"v","type":"string"},'
+             '{"name":"added_col","type":"integer"}]}')
+
+
+def _mklog_evolving(n: int, change_at: int) -> list[str]:
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_commit,
+    )
+
+    commits = []
+    for c in range(n):
+        acts = []
+        if c == 0:
+            acts += [{"protocol": {"minReaderVersion": 1}},
+                     {"metaData": {"id": "t", "schemaString": _SCHEMA_A}}]
+        if c == change_at:  # add-column evolution mid-log
+            acts.append(
+                {"metaData": {"id": "t", "schemaString": _SCHEMA_B}}
+            )
+        acts.append({"add": {"path": f"f{c}", "size": 10 + c,
+                             "numRecords": 1, "dataChange": True}})
+        commits.append(make_commit(acts))
+    return commits
+
+
+def test_schema_evolution_snapshot_and_time_travel():
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        replay_delta_log,
+    )
+
+    commits = _mklog_evolving(12, change_at=7)
+    full = replay_delta_log(commits)
+    assert full["schema_json"] == _SCHEMA_B
+    assert full["schema_version"] == 7
+    # time travel: a prefix replay surfaces the schema AS OF then
+    tt = replay_delta_log(commits[:7])
+    assert tt["schema_json"] == _SCHEMA_A
+    assert tt["schema_version"] == 0
+    at_change = replay_delta_log(commits[:8])
+    assert at_change["schema_json"] == _SCHEMA_B
+
+
+def test_schema_rides_the_checkpoint():
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_checkpoint_parquet,
+        make_last_checkpoint,
+        replay_delta_log,
+        replay_from_checkpoint,
+    )
+
+    commits = _mklog_evolving(12, change_at=4)
+    full = replay_delta_log(commits)
+    # checkpoint AFTER the change: the schema must survive compaction
+    # (the metaData action itself is gone from the tail)
+    state = replay_delta_log(commits[:10])
+    ck = make_checkpoint_parquet(state)
+    got = replay_from_checkpoint(
+        make_last_checkpoint(9, len(ck)), ck, commits[10:]
+    )
+    assert got["schema_json"] == full["schema_json"] == _SCHEMA_B
+    assert got["live"] == full["live"]
+    # checkpoint BEFORE the change: the tail's metaData wins
+    commits2 = _mklog_evolving(12, change_at=8)
+    state2 = replay_delta_log(commits2[:5])
+    ck2 = make_checkpoint_parquet(state2)
+    got2 = replay_from_checkpoint(
+        make_last_checkpoint(4, len(ck2)), ck2, commits2[5:]
+    )
+    assert got2["schema_json"] == _SCHEMA_B
+
+
+def test_bad_schema_string_quarantines():
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_commit,
+        replay_delta_log,
+    )
+
+    with pytest.raises(ValueError, match="schemaString"):
+        replay_delta_log([make_commit(
+            [{"metaData": {"schemaString": 7}},
+             {"add": {"path": "a", "size": 1, "numRecords": 1}}]
+        )])
