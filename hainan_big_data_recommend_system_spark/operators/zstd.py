@@ -597,9 +597,63 @@ def _decode_sequences(
     out.extend(literals[lit_pos:])
 
 
-def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dictionary(blob: bytes) -> dict:
+    """Parse a trained zstd dictionary (RFC 8878 §5): magic,
+    Dictionary_ID, entropy tables in the spec's order (Huffman
+    literals, then FSE Offsets / Match_Lengths / Literals_Lengths),
+    three 4-byte repeat offsets, then the raw content that frames may
+    match into.  Raw content-only dictionaries (no magic) are out of
+    scope and raise."""
+    if len(blob) < 8:
+        raise ValueError("zstd: dictionary too short")
+    if int.from_bytes(blob[:4], "little") != _DICT_MAGIC:
+        raise ValueError("zstd: bad dictionary magic")
+    did = int.from_bytes(blob[4:8], "little")
+    if did == 0:
+        raise ValueError("zstd: dictionary id 0 is reserved")
+    weights, pos = _huf_read_weights(blob, 8)
+    huf = _huf_build(weights)
+    of_counts, of_al, c = _fse_read_header(blob[pos:], 32, 8)
+    of = _fse_build(of_counts, of_al)
+    pos += c
+    ml_counts, ml_al, c = _fse_read_header(blob[pos:], 53, 9)
+    ml = _fse_build(ml_counts, ml_al)
+    pos += c
+    ll_counts, ll_al, c = _fse_read_header(blob[pos:], 36, 9)
+    ll = _fse_build(ll_counts, ll_al)
+    pos += c
+    if pos + 12 > len(blob):
+        raise ValueError("zstd: dictionary repcodes truncated")
+    reps = [
+        int.from_bytes(blob[pos + 4 * k : pos + 4 * k + 4], "little")
+        for k in range(3)
+    ]
+    if any(r == 0 for r in reps):
+        raise ValueError("zstd: dictionary repcode is zero")
+    pos += 12
+    content = blob[pos:]
+    if any(r > len(content) for r in reps):
+        raise ValueError("zstd: dictionary repcode beyond its content")
+    return {
+        "id": did, "huf": huf, "of": of, "ml": ml, "ll": ll,
+        "reps": reps, "content": content,
+    }
+
+
+def zstd_decompress(
+    payload: bytes,
+    max_output: int = _MAX_OUTPUT,
+    dictionary: dict | None = None,
+) -> bytes:
     """Decompress a zstd payload (one or more frames, skippable frames
-    ignored).  Raises ValueError on any malformed input."""
+    ignored).  Frames with Dictionary_ID != 0 require ``dictionary``
+    (from :func:`parse_zstd_dictionary`) with a MATCHING id: the
+    dictionary seeds the entropy tables, the repeat offsets, and a
+    content prefix that matches may reach into (RFC 8878 §5).
+    Raises ValueError on any malformed input."""
     out = bytearray()
     pos = 0
     n = len(payload)
@@ -636,13 +690,12 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
             if pos >= n:
                 raise ValueError("zstd: truncated window descriptor")
             pos += 1  # window size is advisory for a full-buffer decoder
+        did = 0
         if did_size:
             if pos + did_size > n:
                 raise ValueError("zstd: truncated dictionary id")
             did = int.from_bytes(payload[pos : pos + did_size], "little")
             pos += did_size
-            if did != 0:
-                raise ValueError("zstd: dictionaries not supported")
         content_size = None
         if fcs_size:
             if pos + fcs_size > n:
@@ -656,7 +709,30 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
             if content_size > max_output:
                 raise ValueError("zstd: declared content size too large")
         ctx = _FrameCtx()
-        frame_start = len(out)
+        # the frame decodes into its own buffer seeded with the
+        # dictionary CONTENT as a match-reachable prefix; entropy
+        # tables and repcodes seed the cross-block context (RFC 8878
+        # §5 — a first block may use Repeat/treeless modes directly)
+        if did != 0:
+            if dictionary is None:
+                raise ValueError(
+                    f"zstd: frame requires dictionary id {did}"
+                )
+            if dictionary["id"] != did:
+                raise ValueError(
+                    f"zstd: frame wants dictionary {did}, "
+                    f"got {dictionary['id']}"
+                )
+            ctx.huf = dictionary["huf"]
+            ctx.ll = dictionary["ll"]
+            ctx.of = dictionary["of"]
+            ctx.ml = dictionary["ml"]
+            ctx.reps = list(dictionary["reps"])
+            fout = bytearray(dictionary["content"])
+        else:
+            fout = bytearray()
+        prefix_len = len(fout)
+        budget = max_output - len(out) + prefix_len
         while True:
             if pos + 3 > n:
                 raise ValueError("zstd: truncated block header")
@@ -668,14 +744,14 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
             if btype == 0:  # raw
                 if pos + bsize > n:
                     raise ValueError("zstd: raw block truncated")
-                out.extend(payload[pos : pos + bsize])
+                fout.extend(payload[pos : pos + bsize])
                 pos += bsize
             elif btype == 1:  # RLE
                 if pos >= n:
                     raise ValueError("zstd: RLE block truncated")
-                if len(out) + bsize > max_output:
+                if len(fout) + bsize > budget:
                     raise ValueError("zstd: output exceeds decoder limit")
-                out.extend(bytes([payload[pos]]) * bsize)
+                fout.extend(bytes([payload[pos]]) * bsize)
                 pos += 1
             elif btype == 2:  # compressed
                 if pos + bsize > n:
@@ -684,15 +760,16 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
                 pos += bsize
                 literals, bp = _decode_literals(block, 0, ctx)
                 _decode_sequences(
-                    block, bp, literals, ctx, out, frame_start, max_output
+                    block, bp, literals, ctx, fout, 0, budget
                 )
             else:
                 raise ValueError("zstd: reserved block type")
-            if len(out) > max_output:
+            if len(fout) > budget:
                 raise ValueError("zstd: output exceeds decoder limit")
             if last:
                 break
-        if content_size is not None and len(out) - frame_start != content_size:
+        data = bytes(fout[prefix_len:])
+        if content_size is not None and len(data) != content_size:
             raise ValueError("zstd: frame content size mismatch")
         if checksum:
             if pos + 4 > n:
@@ -701,10 +778,11 @@ def zstd_decompress(payload: bytes, max_output: int = _MAX_OUTPUT) -> bytes:
             pos += 4
             from .xxhash import xxh64
 
-            got = xxh64(bytes(out[frame_start:])) & 0xFFFFFFFF
+            got = xxh64(data) & 0xFFFFFFFF
             if got != want:
                 raise ValueError(
                     f"zstd: content checksum mismatch "
                     f"(got {got:08x}, frame says {want:08x})"
                 )
+        out.extend(data)
     return bytes(out)

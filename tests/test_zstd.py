@@ -154,3 +154,110 @@ def test_max_output_enforced_inside_blocks():
     comp = codec.compress(b"z" * 2_000_000, asbytes=True)
     with pytest.raises(ValueError, match="limit|large"):
         zstd_decompress(comp, max_output=10_000)
+
+
+# ---------------------------------------------------------------------------
+# dictionary frames (round 9, VERDICT r8 #9)
+# ---------------------------------------------------------------------------
+
+def _zstd_cli():
+    import shutil
+
+    return shutil.which("zstd")
+
+
+def _train_and_compress(tmp_path, n_docs=120, picks=(3, 57, 119)):
+    import random
+    import subprocess
+
+    random.seed(7)
+    words = ["alpha", "beta", "gamma", "delta", "query", "spark",
+             "lake", "shard", "tensor", "corpus"]
+    samples = []
+    for i in range(n_docs):
+        txt = " ".join(random.choice(words) for _ in range(250))
+        body = ('{"level":"INFO","service":"ingest","msg":"'
+                + txt + f' doc={i}"}}').encode()
+        p = tmp_path / f"s{i:03d}.txt"
+        p.write_bytes(body)
+        samples.append(p)
+    dict_path = tmp_path / "dict.bin"
+    subprocess.run(
+        [_zstd_cli(), "--train", *map(str, samples), "-o",
+         str(dict_path), "-f", "-q"],
+        check=True, capture_output=True,
+    )
+    outs = []
+    for i in picks:
+        src = tmp_path / f"s{i:03d}.txt"
+        dst = tmp_path / f"c{i:03d}.zst"
+        subprocess.run(
+            [_zstd_cli(), "-9", "-D", str(dict_path), str(src), "-o",
+             str(dst), "-f", "-q"],
+            check=True, capture_output=True,
+        )
+        outs.append((dst.read_bytes(), src.read_bytes()))
+    return dict_path.read_bytes(), outs
+
+
+def test_dictionary_frames_match_reference_cli(tmp_path):
+    import pytest
+
+    if not _zstd_cli():
+        pytest.skip("zstd CLI unavailable")
+    from hainan_big_data_recommend_system_spark.operators.zstd import (
+        parse_zstd_dictionary,
+        zstd_decompress,
+    )
+
+    dict_blob, outs = _train_and_compress(tmp_path)
+    d = parse_zstd_dictionary(dict_blob)
+    assert d["id"] != 0 and len(d["content"]) > 0
+    for comp, want in outs:
+        assert zstd_decompress(comp, dictionary=d) == want
+
+
+def test_dictionary_id_mismatch_and_missing_rejected(tmp_path):
+    import pytest
+
+    if not _zstd_cli():
+        pytest.skip("zstd CLI unavailable")
+    from hainan_big_data_recommend_system_spark.operators.zstd import (
+        parse_zstd_dictionary,
+        zstd_decompress,
+    )
+
+    dict_blob, outs = _train_and_compress(tmp_path, picks=(3,))
+    comp, _ = outs[0]
+    with pytest.raises(ValueError, match="requires dictionary"):
+        zstd_decompress(comp)
+    d = parse_zstd_dictionary(dict_blob)
+    d_wrong = dict(d, id=d["id"] ^ 1)
+    with pytest.raises(ValueError, match="wants dictionary"):
+        zstd_decompress(comp, dictionary=d_wrong)
+
+
+def test_dictionary_parse_quarantines():
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.operators.zstd import (
+        parse_zstd_dictionary,
+    )
+
+    with pytest.raises(ValueError, match="magic"):
+        parse_zstd_dictionary(b"\x00" * 32)
+    with pytest.raises(ValueError, match="too short"):
+        parse_zstd_dictionary(b"\x37\xa4\x30\xec")
+
+
+def test_non_dictionary_frames_unchanged(tmp_path):
+    # plain frames still decode with no dictionary argument
+    import pyarrow as pa
+
+    from hainan_big_data_recommend_system_spark.operators.zstd import (
+        zstd_decompress,
+    )
+
+    data = b"plain frame after the dictionary change " * 100
+    comp = pa.compress(data, codec="zstd", asbytes=True)
+    assert zstd_decompress(comp) == data
