@@ -22,6 +22,13 @@ page data.  On top of the generic walk:
   pages + RLE_DICTIONARY indices, hybrid definition levels for
   optional fields.  Count/sum pinned against DuckDB reading the same
   files.  Out-of-scope codecs/encodings/page kinds raise ValueError.
+- :func:`read_list_column` / :func:`read_map_column` /
+  :func:`hand_read_table` — repeated (list/map) leaves via Dremel
+  record reassembly (round 9): repetition levels decode in v1 AND v2
+  pages, ``array<T>`` / ``map<K,V>`` columns rebuild per row across
+  page boundaries, audited cell-for-cell against DuckDB on pyarrow-
+  and Spark-written fixtures.  Nested repetition (lists of lists)
+  stays a loud quarantine.
 
 Public knowledge: the parquet-format specification
 (github.com/apache/parquet-format: Thrift definitions + Encodings.md)
