@@ -25,10 +25,10 @@ page data.  On top of the generic walk:
 - :func:`read_list_column` / :func:`read_map_column` /
   :func:`hand_read_table` — repeated (list/map) leaves via Dremel
   record reassembly (round 9): repetition levels decode in v1 AND v2
-  pages, ``array<T>`` / ``map<K,V>`` columns rebuild per row across
-  page boundaries, audited cell-for-cell against DuckDB on pyarrow-
-  and Spark-written fixtures.  Nested repetition (lists of lists)
-  stays a loud quarantine.
+  pages, ``array<T>`` (nested to ANY depth) and ``map<K,V>`` columns
+  rebuild per row across page boundaries, audited cell-for-cell
+  against DuckDB on pyarrow- and Spark-written fixtures.  Maps under
+  repetition and structs inside lists stay loud quarantines.
 
 Public knowledge: the parquet-format specification
 (github.com/apache/parquet-format: Thrift definitions + Encodings.md)
@@ -955,48 +955,74 @@ def read_string_column(payload: bytes, rg_index: int, column: str) -> dict:
 _CONV_MAP, _CONV_MAP_KV, _CONV_LIST = 1, 2, 3
 
 
-def _assemble_repeated(
-    values: list, dls: list[int], rls: list[int], max_def: int, dl_rep: int
-) -> list[list | None]:
-    """One-level Dremel reassembly: entry-aligned ``(value, def, rep)``
-    triples → per-ROW lists.  ``dl_rep`` is the definition level AT the
-    repeated node: ``d < dl_rep-1`` → the list (or an ancestor) is
-    null, ``d == dl_rep-1`` → empty list, ``d >= dl_rep`` → one entry
-    whose value is present iff ``d == max_def``.  ``r == 0`` starts a
-    new row; ``r == 1`` continues the current list."""
-    rows: list[list | None] = []
-    cur: list | None = None
-    started = False
-    for v, d, r in zip(values, dls, rls):
-        if r == 0:
-            if started:
-                rows.append(cur)
-            started = True
-            if d < dl_rep - 1:
-                cur = None
-            elif d == dl_rep - 1:
-                cur = []
-            else:
-                cur = [v if d == max_def else None]
-        else:
-            if cur is None:
+def _assemble_nested(
+    values: list,
+    dls: list[int],
+    rls: list[int],
+    max_def: int,
+    rep_defs: tuple[int, ...],
+) -> list:
+    """Arbitrary-depth Dremel reassembly (Melnik et al. 2010 §4):
+    ``rep_defs[k-1]`` is the definition level AT the k-th repeated
+    ancestor.  A row starts at ``r == 0``; an entry with ``r == k``
+    starts a new element of the level-k list; deeper ``r`` continues a
+    nested list inside the current element.  Per level k the first
+    entry's def level decides: ``d < rep_defs[k-1]-1`` → null list,
+    ``== rep_defs[k-1]-1`` → empty, else elements."""
+    R = len(rep_defs)
+
+    def build(entries: list, k: int):
+        d0 = entries[0][1]
+        if d0 < rep_defs[k - 1] - 1:
+            return None
+        if d0 == rep_defs[k - 1] - 1:
+            if len(entries) != 1:
                 raise ValueError(
                     "repetition level continues a null/empty list"
                 )
-            cur.append(v if d == max_def else None)
-    if started:
-        rows.append(cur)
+            return []
+        items: list[list] = []
+        for e in entries:
+            if not items or e[2] == k:
+                items.append([e])
+            else:
+                items[-1].append(e)
+        out = []
+        for item in items:
+            if k == R:
+                if len(item) != 1:
+                    raise ValueError(
+                        "repetition level deeper than the schema"
+                    )
+                v, d, _ = item[0]
+                out.append(v if d == max_def else None)
+            else:
+                out.append(build(item, k + 1))
+        return out
+
+    rows: list = []
+    cur: list = []
+    for triple in zip(values, dls, rls):
+        if triple[2] == 0 and cur:
+            rows.append(build(cur, 1))
+            cur = []
+        elif triple[2] != 0 and not cur:
+            raise ValueError("repetition level continues a null/empty list")
+        cur.append(triple)
+    if cur:
+        rows.append(build(cur, 1))
     return rows
 
 
 def _logical_root(ctx: dict, leaf: str) -> tuple[str, str]:
-    """``(root_path, kind)`` for a max_rep==1 leaf: the nearest
-    LIST/MAP-annotated ancestor group (kind ``list``/``map``), or the
-    leaf itself for a legacy bare ``repeated`` primitive field (kind
+    """``(root_path, kind)`` for a repeated leaf: the OUTERMOST
+    LIST/MAP-annotated ancestor group (kind ``list``/``map`` — the
+    logical column; nested lists keep the top name), or the leaf
+    itself for a legacy bare ``repeated`` primitive field (kind
     ``list``)."""
     groups = ctx["groups"]
     segs = leaf.split(".")
-    for k in range(len(segs) - 1, 0, -1):
+    for k in range(1, len(segs)):
         path = ".".join(segs[:k])
         conv, _rep = groups.get(path, (None, 0))
         if conv == _CONV_LIST:
@@ -1021,20 +1047,24 @@ def _repeated_leaves_under(ctx: dict, root: str) -> list[str]:
 
 
 def _read_assembled(
-    payload: bytes, rg_index: int, leaf: str, ctx: dict
+    payload: bytes, rg_index: int, leaf: str, ctx: dict,
+    max_rep_allowed: int | None = None,
 ) -> list[list | None]:
     meta = ctx["leaves"][leaf]
     max_def, max_rep, _ptype, _tl, rep_defs = meta
-    if max_rep != 1 or len(rep_defs) != 1:
+    if max_rep < 1 or len(rep_defs) != max_rep:
+        raise ValueError(f"leaf {leaf!r} is not repeated")
+    if max_rep_allowed is not None and max_rep > max_rep_allowed:
         raise ValueError(
-            "nested repetition (lists of lists) out of decode scope"
+            f"leaf {leaf!r} nests {max_rep} repetition levels; "
+            f"only {max_rep_allowed} supported here"
         )
     got = _read_leaf_column(
         payload, rg_index, leaf, None, "read_list_column",
         ctx=ctx, with_levels=True,
     )
-    return _assemble_repeated(
-        got["values"], got["dls"], got["rls"], max_def, rep_defs[0]
+    return _assemble_nested(
+        got["values"], got["dls"], got["rls"], max_def, rep_defs
     )
 
 
@@ -1042,9 +1072,10 @@ def read_list_column(
     payload: bytes, rg_index: int, column: str, ctx: dict | None = None
 ) -> list[list | None]:
     """Per-row values of an ``array<…>`` column (standard 3-level LIST
-    layout or a legacy bare repeated primitive): row → list of element
-    values (``None`` holes for null elements), ``None`` for a null
-    list, ``[]`` for an empty one."""
+    layout, nested to ANY depth — ``array<array<…>>`` rebuilds as
+    nested Python lists — or a legacy bare repeated primitive): row →
+    list of element values (``None`` holes for null elements),
+    ``None`` for a null list, ``[]`` for an empty one."""
     if ctx is None:
         ctx = footer_ctx(payload)
     leaves = _repeated_leaves_under(ctx, column)
@@ -1075,8 +1106,14 @@ def read_map_column(
         raise ValueError(
             f"column {column!r} does not resolve to map key/value leaves"
         )
-    keys = _read_assembled(payload, rg_index, key_leaf[0], ctx)
-    vals = _read_assembled(payload, rg_index, val_leaf[0], ctx)
+    # maps nested inside lists (or with list/map values) stay out of
+    # scope: key/value leaves must sit at exactly one repetition level
+    keys = _read_assembled(
+        payload, rg_index, key_leaf[0], ctx, max_rep_allowed=1
+    )
+    vals = _read_assembled(
+        payload, rg_index, val_leaf[0], ctx, max_rep_allowed=1
+    )
     if len(keys) != len(vals):
         raise ValueError("map key/value leaves disagree on row count")
     out: list[dict | None] = []
@@ -1366,20 +1403,15 @@ def hand_read_table(payload: bytes) -> dict[str, list]:
     capstone: column name → null-aligned values across the whole file,
     any supported codec/page-version/encoding/physical type (INT96 as
     epoch micros, FLBA as unscaled integers).  Repeated leaves assemble
-    into per-row lists (LIST columns / bare repeated primitives) and
-    dicts (MAP columns) under the logical column name; deeper nesting
-    (lists of lists) stays a loud quarantine.  One footer parse
-    total."""
+    into per-row values under the logical column name: LIST columns
+    (nested to any depth) and bare repeated primitives become (nested)
+    lists, MAP columns become dicts; maps under repetition and structs
+    inside lists stay loud quarantines.  One footer parse total."""
     ctx = footer_ctx(payload)
     scalars = [
         name for name, meta in ctx["leaves"].items() if meta[1] == 0
     ]
-    rep1 = [name for name, meta in ctx["leaves"].items() if meta[1] == 1]
-    deeper = [name for name, meta in ctx["leaves"].items() if meta[1] > 1]
-    if deeper:
-        raise ValueError(
-            f"nested repetition out of decode scope: {sorted(deeper)}"
-        )
+    rep1 = [name for name, meta in ctx["leaves"].items() if meta[1] >= 1]
     if not scalars and not rep1:
         raise ValueError("no leaf columns to read")
     roots: dict[str, str] = {}  # logical column → kind
