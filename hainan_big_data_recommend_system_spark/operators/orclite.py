@@ -519,12 +519,15 @@ def _orc_decompress(buf: bytes, kind: int) -> bytes:
     return bytes(out)
 
 
-# ORC type kinds in decode scope (ORCv1 spec Types message; DATE=15 —
-# 9 is TIMESTAMP, which stays a loud quarantine)
+# ORC type kinds in decode scope (ORCv1 spec Types message; DATE=15)
 _SCALAR_KINDS = {
     0: "boolean", 2: "short", 3: "int", 4: "long", 5: "float",
-    6: "double", 7: "string", 15: "date",
+    6: "double", 7: "string", 9: "timestamp", 15: "date",
 }
+#: ORC timestamps count seconds from 2015-01-01 00:00:00 (spec §
+#: Timestamp Columns), not the unix epoch
+_ORC_TS_EPOCH = 1420070400
+_STREAM_SECONDARY = 5
 _STREAM_PRESENT, _STREAM_DICT_DATA = 0, 3
 # ColumnEncoding kinds: DIRECT, DICTIONARY (RLEv1), DIRECT_V2,
 # DICTIONARY_V2 (RLEv2)
@@ -797,6 +800,42 @@ def parse_orc_file(payload: bytes) -> dict:
                 vals = ints(
                     streams.get((c, _STREAM_DATA), b""), nnz, True
                 )
+            elif kind == "timestamp":
+                # DATA = signed seconds from the 2015 base; SECONDARY =
+                # nanos with the trailing-zero trick (low 3 bits k != 0
+                # → k+1 decimal zeros were removed).  liborc truncates
+                # seconds toward ZERO and carries SIGNED nanos for the
+                # (-1s, 0) range (e.g. -1µs ships as secs=0, encoded
+                # nanos -6 → -1000ns), so the nominally-unsigned
+                # SECONDARY stream is reinterpreted signed-64 here —
+                # pinned by the pyarrow interop tests on pre-1970
+                # values.  Emitted as unix epoch MICROS, the same
+                # convention as the INT96 parquet path.
+                secs = ints(
+                    streams.get((c, _STREAM_DATA), b""), nnz, True
+                )
+                raw_nanos = ints(
+                    streams.get((c, _STREAM_SECONDARY), b""), nnz, False
+                )
+                vals = []
+                for sec, rn in zip(secs, raw_nanos):
+                    if rn >= 1 << 63:
+                        rn -= 1 << 64
+                    k = rn & 7
+                    nanos = rn >> 3
+                    if k:
+                        nanos *= 10 ** (k + 1)
+                    if not -999_999_999 <= nanos <= 999_999_999:
+                        raise ValueError("timestamp nanos out of range")
+                    base = sec + _ORC_TS_EPOCH
+                    micros, rem = divmod(base * 1_000_000_000
+                                         + nanos, 1000)
+                    if rem:
+                        raise ValueError(
+                            "timestamp finer than microseconds out of "
+                            "decode scope"
+                        )
+                    vals.append(micros)
             elif kind in ("float", "double"):
                 import struct as _struct
 

@@ -239,7 +239,9 @@ def test_dictionary_strings_both_readers():
     assert got == rows1 + rows2
 
 
-def test_timestamp_kind_quarantines():
+def test_decimal_kind_quarantines():
+    # timestamps decode since round 9; DECIMAL stays a loud quarantine
+    import decimal
     import io
 
     import pyarrow as pa
@@ -252,7 +254,8 @@ def test_timestamp_kind_quarantines():
 
     buf = io.BytesIO()
     po.write_table(
-        pa.table({"ts": pa.array([0, 1_000_000], pa.timestamp("us"))}),
+        pa.table({"d": pa.array([decimal.Decimal("1.23")],
+                                pa.decimal128(10, 2))}),
         buf, compression="zstd",
     )
     with pytest.raises(ValueError, match="out of decode scope"):
@@ -289,3 +292,32 @@ def test_dictionary_index_out_of_range_quarantines():
     assert rle_v2_decode(
         rle_v2_encode_direct(svals, True), len(svals), True
     ) == svals
+
+
+def test_timestamp_columns_match_pyarrow():
+    """ORC TIMESTAMP decode (round 9): seconds-from-2015 + SECONDARY
+    nanos with the trailing-zero trick; liborc's truncate-toward-zero /
+    signed-nanos convention for the (-1s, 0) range pinned on pre-1970
+    values.  Emitted as unix epoch micros."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.orc as po
+
+    from hainan_big_data_recommend_system_spark.operators.orclite import (
+        parse_orc_file,
+    )
+
+    base = [-100_000_000_000_000, -1, 0, 1_000_000_000_000_000,
+            1_420_070_399_999_999, 1_420_070_400_000_000,
+            1_700_000_000_123_456, 1_700_000_000_120_000,
+            1_700_000_000_000_000]
+    ts = []
+    for i in range(2000):
+        v = base[i % len(base)] + i * 7_777_777
+        ts.append(None if i % 11 == 3 else v)
+    table = pa.table({"ts": pa.array(ts, pa.timestamp("us"))})
+    for comp in ("UNCOMPRESSED", "ZLIB", "SNAPPY", "LZ4", "ZSTD"):
+        buf = io.BytesIO()
+        po.write_table(table, buf, compression=comp)
+        assert parse_orc_file(buf.getvalue())["columns"]["ts"] == ts, comp
