@@ -26,8 +26,17 @@ record ``r102`` with one optional-string field per partition column,
 ``record_count``, ``file_size_in_bytes``) — decoded by avrocf's
 nested-record support.  Manifest-list entries carry ``manifest_path``,
 ``manifest_length`` (VERIFIED against the fetched bytes),
-``partition_spec_id``, ``added_snapshot_id`` and the three file counts.
-Column-stat maps stay out of scope (loudly absent, not guessed).  The
+``partition_spec_id``, ``added_snapshot_id``, ``content`` (0 data /
+1 deletes) and ``sequence_number``, plus the three file counts.
+
+Format-v2 row-level deletes (round 9): a DELETE manifest
+(``content == 1``) lists POSITION DELETE files
+(``data_file.content == 1``) — real parquet files of
+``(file_path, pos)`` rows, fetched and decoded by the repo's own hand
+parquet reader — and a delete applies to a data file exactly when
+``delete.sequence_number >= data.sequence_number`` (the spec's
+sequence-number rule, §Scan Planning).  Equality deletes and
+column-stat maps stay out of scope (loudly absent, not guessed).  The
 resolution ALGORITHM (version pointer → snapshot → manifest list →
 manifests → status filter) is the spec's (iceberg.apache.org/spec/ —
 public).
@@ -87,12 +96,16 @@ _MANIFEST_LIST_SCHEMA = {
         {"name": "manifest_path", "type": "string"},
         {"name": "manifest_length", "type": "long"},
         {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},  # 0 data / 1 deletes
+        {"name": "sequence_number", "type": "long"},
         {"name": "added_snapshot_id", "type": ["null", "long"]},
         {"name": "added_files_count", "type": "int"},
         {"name": "existing_files_count", "type": "int"},
         {"name": "deleted_files_count", "type": "int"},
     ],
 }
+
+_CONTENT_DATA, _CONTENT_POSITION_DELETES = 0, 1
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 _MAX_FORMAT_VERSION = 2
@@ -145,10 +158,15 @@ def snapshot_live_files(
     for time travel) to its live file set.
 
     Returns ``{snapshot_id, n_manifests, n_live, n_deleted_entries,
-    live_bytes, live_rows, live, partition_values}`` with ``live`` a
-    path-sorted ``{path: (size, rows)}`` and ``partition_values`` the
+    live_bytes, live_rows, live, partition_values, position_deletes,
+    n_position_deletes, live_rows_after_deletes}`` with ``live`` a
+    path-sorted ``{path: (size, rows)}``, ``partition_values`` the
     non-empty partition tuples per live path (None-valued columns
-    kept — a null partition value is data).  Manifest-list counts AND
+    kept — a null partition value is data), and ``position_deletes``
+    the applied row positions per live data path (delete files from
+    ``content == 1`` manifests, decoded by the hand parquet reader,
+    applied only when ``delete.sequence_number >=
+    data.sequence_number``).  Manifest-list counts AND
     ``manifest_length`` are CROSS-CHECKED against the manifests they
     describe (a stale or truncated manifest fails loudly instead of
     under-reporting the table)."""
@@ -162,6 +180,9 @@ def snapshot_live_files(
     ml = parse_avro(fetch(ml_path))
     live: dict[str, tuple[int, int]] = {}
     pv: dict[str, dict] = {}
+    data_seq: dict[str, int] = {}
+    # live delete FILES: path -> (sequence_number, record_count)
+    live_deletes: dict[str, tuple[int, int]] = {}
     n_deleted = 0
     for mf in ml["records"]:
         for k in ("manifest_path", "manifest_length",
@@ -169,6 +190,13 @@ def snapshot_live_files(
                   "existing_files_count", "deleted_files_count"):
             if k not in mf:
                 raise ValueError("manifest-list entry missing " + k)
+        content = mf.get("content", _CONTENT_DATA) or _CONTENT_DATA
+        seq = mf.get("sequence_number", 0) or 0
+        if content not in (_CONTENT_DATA, _CONTENT_POSITION_DELETES):
+            raise ValueError(
+                f"manifest content {content} out of scope "
+                "(equality deletes unsupported)"
+            )
         m_bytes = fetch(mf["manifest_path"])
         if len(m_bytes) != mf["manifest_length"]:
             raise ValueError(
@@ -189,16 +217,37 @@ def snapshot_live_files(
             path = df.get("file_path")
             if not isinstance(path, str) or not path:
                 raise ValueError("manifest entry missing file_path")
+            file_content = df.get("content", 0)
+            if content == _CONTENT_POSITION_DELETES:
+                if file_content != _CONTENT_POSITION_DELETES:
+                    raise ValueError(
+                        "delete manifest lists a non-delete file"
+                    )
+                if st == _STATUS_DELETED:
+                    n_deleted += 1
+                    live_deletes.pop(path, None)
+                else:
+                    rows = df.get("record_count")
+                    if not isinstance(rows, int):
+                        raise ValueError(
+                            "delete-file entry missing record_count"
+                        )
+                    live_deletes[path] = (seq, rows)
+                continue
+            if file_content != _CONTENT_DATA:
+                raise ValueError("data manifest lists a delete file")
             if st == _STATUS_DELETED:
                 n_deleted += 1
                 live.pop(path, None)
                 pv.pop(path, None)
+                data_seq.pop(path, None)
             else:
                 size = df.get("file_size_in_bytes")
                 rows = df.get("record_count")
                 if not isinstance(size, int) or not isinstance(rows, int):
                     raise ValueError("manifest entry missing size/rows")
                 live[path] = (size, rows)
+                data_seq[path] = seq
                 part = df.get("partition")
                 if part:
                     pv[path] = dict(part)
@@ -213,15 +262,51 @@ def snapshot_live_files(
                 f"manifest {mf['manifest_path']!r} counts disagree with "
                 "its manifest-list entry"
             )
+    # apply live position-delete files (spec §Scan Planning: a delete
+    # applies to data files with sequence_number <= the delete's)
+    pos_del: dict[str, set[int]] = {}
+    for dpath, (dseq, drows) in sorted(live_deletes.items()):
+        from .parquetfmt import hand_read_table
+
+        cols = hand_read_table(fetch(dpath))
+        if "file_path" not in cols or "pos" not in cols:
+            raise ValueError(
+                f"position-delete file {dpath!r} lacks file_path/pos"
+            )
+        if len(cols["pos"]) != drows:
+            raise ValueError(
+                f"position-delete file {dpath!r} row count disagrees "
+                "with its manifest entry"
+            )
+        for target, pos in zip(cols["file_path"], cols["pos"]):
+            if target not in live:
+                continue  # deletes for vanished files are inert
+            if dseq < data_seq[target]:
+                continue  # older delete cannot touch a newer data file
+            if not isinstance(pos, int) or not (
+                0 <= pos < live[target][1]
+            ):
+                raise ValueError(
+                    f"position delete {pos!r} out of range for "
+                    f"{target!r}"
+                )
+            pos_del.setdefault(target, set()).add(pos)
+    n_pos = sum(len(s) for s in pos_del.values())
+    live_rows = sum(r for _, r in live.values())
     return {
         "snapshot_id": sid,
         "n_manifests": ml["n_records"],
         "n_live": len(live),
         "n_deleted_entries": n_deleted,
         "live_bytes": sum(s for s, _ in live.values()),
-        "live_rows": sum(r for _, r in live.values()),
+        "live_rows": live_rows,
         "live": dict(sorted(live.items())),
         "partition_values": dict(sorted(pv.items())),
+        "position_deletes": {
+            p: sorted(s) for p, s in sorted(pos_del.items())
+        },
+        "n_position_deletes": n_pos,
+        "live_rows_after_deletes": live_rows - n_pos,
     }
 
 
@@ -262,7 +347,8 @@ def make_manifest_list(manifests: list[dict]) -> bytes:
     """Spec-layout manifest list.  Each entry must carry
     ``manifest_length`` (the reader verifies it against the fetched
     manifest bytes); ``partition_spec_id``/``added_snapshot_id``
-    default to 0/None."""
+    default to 0/None, ``content`` to 0 (data) and
+    ``sequence_number`` to 0."""
     from .avrocf import make_avro
 
     full = [
@@ -270,6 +356,8 @@ def make_manifest_list(manifests: list[dict]) -> bytes:
             "manifest_path": m["manifest_path"],
             "manifest_length": m["manifest_length"],
             "partition_spec_id": m.get("partition_spec_id", 0),
+            "content": m.get("content", _CONTENT_DATA),
+            "sequence_number": m.get("sequence_number", 0),
             "added_snapshot_id": m.get("added_snapshot_id"),
             "added_files_count": m["added_files_count"],
             "existing_files_count": m["existing_files_count"],
@@ -280,6 +368,28 @@ def make_manifest_list(manifests: list[dict]) -> bytes:
     return make_avro(
         _MANIFEST_LIST_SCHEMA, [full] if full else [[]]
     )
+
+
+def make_position_delete_parquet(
+    deletes: list[tuple[str, int]]
+) -> bytes:
+    """A spec-shaped POSITION DELETE file: real parquet with
+    ``(file_path, pos)`` rows (pyarrow writer — the reader side is the
+    repo's hand decoder)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa.table({
+            "file_path": pa.array([p for p, _ in deletes], pa.string()),
+            "pos": pa.array([x for _, x in deletes], pa.int64()),
+        }),
+        buf, compression="snappy",
+    )
+    return buf.getvalue()
 
 
 def make_table_metadata(

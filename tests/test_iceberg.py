@@ -132,3 +132,105 @@ def test_unknown_status_quarantines():
     ])
     with pytest.raises(ValueError, match="status"):
         snapshot_live_files(meta, files.__getitem__)
+
+
+# ---------------------------------------------------------------------------
+# format-v2 positional deletes (round 9)
+# ---------------------------------------------------------------------------
+
+def _pos_delete_fixture():
+    from hainan_big_data_recommend_system_spark.operators.iceberg import (
+        make_position_delete_parquet,
+    )
+
+    m_data = make_manifest([
+        {"status": 1, "file_path": "d0", "record_count": 10,
+         "file_size": 100},
+        {"status": 1, "file_path": "d1", "record_count": 10,
+         "file_size": 100},
+        {"status": 1, "file_path": "d2", "record_count": 10,
+         "file_size": 100},
+    ])
+    m_data2 = make_manifest([
+        {"status": 1, "file_path": "d1", "record_count": 12,
+         "file_size": 120},  # rewritten AFTER the delete below
+    ])
+    dfile = make_position_delete_parquet(
+        [("d0", 0), ("d0", 7), ("d1", 3), ("gone", 1)]
+    )
+    m_del = make_manifest([
+        {"status": 1, "file_path": "del-1.parquet", "record_count": 4,
+         "file_size": len(dfile), "content": 1},
+    ])
+    files = {"m_data": m_data, "m_data2": m_data2, "m_del": m_del,
+             "del-1.parquet": dfile}
+    files["ml"] = make_manifest_list([
+        {"manifest_path": "m_data", "manifest_length": len(m_data),
+         "sequence_number": 1, "added_files_count": 3,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del", "manifest_length": len(m_del),
+         "content": 1, "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_data2", "manifest_length": len(m_data2),
+         "sequence_number": 3, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    return make_table_metadata({200: "ml"}, current=200), files
+
+
+def test_position_deletes_apply_with_sequence_rule():
+    meta, files = _pos_delete_fixture()
+    snap = snapshot_live_files(meta, files.__getitem__)
+    # d0's deletes apply; d1 was REWRITTEN at sequence 3 > delete
+    # sequence 2, so its stale delete is suppressed; deletes aimed at
+    # vanished files are inert
+    assert snap["position_deletes"] == {"d0": [0, 7]}
+    assert snap["n_position_deletes"] == 2
+    assert snap["live_rows"] == 32
+    assert snap["live_rows_after_deletes"] == 30
+
+
+def test_delete_manifest_listing_data_file_rejected():
+    meta, files = _pos_delete_fixture()
+    bad = make_manifest([
+        {"status": 1, "file_path": "d9", "record_count": 1,
+         "file_size": 1},  # content 0 inside a content-1 manifest
+    ])
+    files["m_del"] = bad
+    files["ml"] = make_manifest_list([
+        {"manifest_path": "m_data",
+         "manifest_length": len(files["m_data"]),
+         "sequence_number": 1, "added_files_count": 3,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del", "manifest_length": len(bad),
+         "content": 1, "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    with pytest.raises(ValueError, match="non-delete file"):
+        snapshot_live_files(meta, files.__getitem__)
+
+
+def test_position_out_of_range_rejected():
+    from hainan_big_data_recommend_system_spark.operators.iceberg import (
+        make_position_delete_parquet,
+    )
+
+    meta, files = _pos_delete_fixture()
+    bad = make_position_delete_parquet([("d2", 10)])  # rows are 0..9
+    files["del-1.parquet"] = bad
+    files["m_del"] = make_manifest([
+        {"status": 1, "file_path": "del-1.parquet", "record_count": 1,
+         "file_size": len(bad), "content": 1},
+    ])
+    files["ml"] = make_manifest_list([
+        {"manifest_path": "m_data",
+         "manifest_length": len(files["m_data"]),
+         "sequence_number": 1, "added_files_count": 3,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del",
+         "manifest_length": len(files["m_del"]),
+         "content": 1, "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    with pytest.raises(ValueError, match="out of range"):
+        snapshot_live_files(meta, files.__getitem__)
