@@ -687,3 +687,27 @@ def test_iceberg_table_read_one_task_per_live_file(spark):
     plan = plan_of(spark, "iceberg_table_read")
     assert "MapInPandas" in plan, plan
     assert plan.count("Exchange") == 0, plan
+
+
+def test_als_rank1_exact_recs_plan_is_scale_safe(spark):
+    """The promoted ALS twin (round 9): no cartesian product, no
+    unpartitioned window (the global item ranks ride the
+    range-partitioned distributed_global_rank; the final top-k window
+    is user-partitioned).  BroadcastNestedLoopJoin appears ONLY as the
+    broadcast-scalar normalization pattern (1-row max side), never a
+    |U|x|I| scan — pinned by bounding its count to the two final
+    factor normalizations visible post-checkpoint."""
+    plan = plan_of(spark, "als_rank1_exact_recs")
+    assert "CartesianProduct" not in plan, plan
+    assert not _unpartitioned_windows(plan), plan
+    # every nested-loop join must be the scalar-max normalization
+    # (its condition references the broadcast 1-row __m aggregate) —
+    # the r8 accident this pin guards against was a rank-bound theta
+    # join compiling to a |U|x|I| BNLJ scan
+    # bounded exceptions: bare crossJoins (1-row scalar-max sides),
+    # __m normalizations, and distributed_global_rank's triangular
+    # offsets join over ≤P partition-id rows (__pid)
+    for line in plan.splitlines():
+        if "BroadcastNestedLoopJoin" in line:
+            bare_cross = line.rstrip().endswith("Cross")
+            assert bare_cross or "__m" in line or "__pid" in line, line
