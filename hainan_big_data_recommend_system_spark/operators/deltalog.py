@@ -52,12 +52,16 @@ def replay_delta_log(
     base_version: int = 0,
     initial_pv: dict[str, dict] | None = None,
     initial_schema: str | None = None,
+    initial_dv: dict[str, dict] | None = None,
 ) -> dict:
     """Replay ordered commit contents into the live-file snapshot.
 
     Returns ``{version, n_live, live_bytes, live_rows,
     n_remove_actions, live, tombstones, partition_values,
-    schema_json, schema_version}`` with
+    schema_json, schema_version, deletion_vectors, dv_cardinality,
+    live_rows_after_dv}`` (deletion-vector descriptors ride adds
+    last-writer-wins; a re-add WITHOUT one clears it — the rewrite
+    semantics of PROTOCOL.md "Deletion Vectors") with
     ``live`` a path-sorted ``{path: (size, numRecords)}``,
     ``partition_values`` the NON-EMPTY ``add.partitionValues`` maps per
     live path (Delta writes ``{}`` for unpartitioned tables; empty and
@@ -82,6 +86,7 @@ def replay_delta_log(
     live: dict[str, tuple[int, int]] = dict(initial_live or {})
     tombstones: dict[str, tuple[int, int]] = dict(initial_tombstones or {})
     pv: dict[str, dict] = dict(initial_pv or {})
+    dvs: dict[str, dict] = dict(initial_dv or {})
     schema_json = initial_schema
     schema_version: int | None = None
     n_removes = 0
@@ -136,6 +141,20 @@ def replay_delta_log(
                     pv[path] = dict(pvals)
                 else:  # absent or {}: the last-writer-wins add has none
                     pv.pop(path, None)
+                dvd = body.get("deletionVector")
+                if dvd is not None:
+                    if (
+                        not isinstance(dvd, dict)
+                        or dvd.get("storageType") not in ("i", "p", "u")
+                        or not isinstance(dvd.get("pathOrInlineDv"), str)
+                        or not isinstance(dvd.get("sizeInBytes"), int)
+                        or not isinstance(dvd.get("cardinality"), int)
+                        or not 0 <= dvd["cardinality"] <= rows
+                    ):
+                        raise ValueError("add action bad deletionVector")
+                    dvs[path] = dict(dvd)
+                else:  # a re-add without a DV clears it (rewrite)
+                    dvs.pop(path, None)
                 live[path] = (size, rows)
                 tombstones.pop(path, None)  # re-add clears the tombstone
             elif kind == "remove":
@@ -145,6 +164,7 @@ def replay_delta_log(
                 n_removes += 1
                 prior = live.pop(path, None)  # absent-path removes legal
                 pv.pop(path, None)
+                dvs.pop(path, None)
                 if prior is not None:
                     tombstones[path] = (version, prior[0])
     return {
@@ -158,6 +178,12 @@ def replay_delta_log(
         "partition_values": dict(sorted(pv.items())),
         "schema_json": schema_json,
         "schema_version": schema_version,
+        "deletion_vectors": dict(sorted(dvs.items())),
+        "dv_cardinality": sum(d["cardinality"] for d in dvs.values()),
+        "live_rows_after_dv": (
+            sum(r for _, r in live.values())
+            - sum(d["cardinality"] for d in dvs.values())
+        ),
     }
 
 
@@ -244,9 +270,11 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
     import pyarrow.parquet as pq
 
     pv = replay.get("partition_values", {})
+    dvs = replay.get("deletion_vectors", {})
     adds = [
         {"path": p, "size": s, "numRecords": r,
-         "partitionValues": pv.get(p, {})}
+         "partitionValues": pv.get(p, {}),
+         "deletionVector": dvs.get(p)}
         for p, (s, r) in sorted(replay["live"].items())
     ]
     removes = [
@@ -272,7 +300,14 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
                     [("path", pa.string()), ("size", pa.int64()),
                      ("numRecords", pa.int64()),
                      ("partitionValues",
-                      pa.map_(pa.string(), pa.string()))]
+                      pa.map_(pa.string(), pa.string())),
+                     ("deletionVector", pa.struct(
+                         [("storageType", pa.string()),
+                          ("pathOrInlineDv", pa.string()),
+                          ("offset", pa.int64()),
+                          ("sizeInBytes", pa.int64()),
+                          ("cardinality", pa.int64())]
+                     ))]
                 ),
             ),
             "remove": pa.array(
@@ -296,14 +331,17 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
 
 def read_checkpoint_parquet(
     payload: bytes,
-) -> tuple[dict, dict, dict, str | None]:
-    """Recover ``(live, tombstones, partition_values, schema_json)``
+) -> tuple[dict, dict, dict, str | None, dict]:
+    """Recover ``(live, tombstones, partition_values, schema_json,
+    deletion_vectors)``
     from a checkpoint parquet file via the hand decoder — every row
     must be exactly one of add/remove/metaData.  ``add.partitionValues``
     (a parquet MAP column, the delta-io layout) decodes through the
     repeated-leaf Dremel reassembly when present; empty maps collapse
     to absent (matching the JSON replay's tracking).  The metaData row
-    carries the snapshot schema across checkpoint compaction."""
+    carries the snapshot schema across checkpoint compaction;
+    ``add.deletionVector`` struct leaves carry the row-level delete
+    descriptors."""
     from .parquetfmt import (
         footer_ctx,
         parse_footer_tail,
@@ -333,8 +371,12 @@ def read_checkpoint_parquet(
     has_rm_size = "remove.size" in ctx["leaves"]
     has_pv = "add.partitionValues.key_value.key" in ctx["leaves"]
     has_md = "metaData.schemaString" in ctx["leaves"]
+    has_dv = "add.deletionVector.storageType" in ctx["leaves"]
     pv: dict[str, dict] = {}
+    dvs: dict[str, dict] = {}
     schema_json: str | None = None
+    _DV_LEAVES = ("storageType", "pathOrInlineDv", "offset",
+                  "sizeInBytes", "cardinality")
     leaf_names = [
         "add.path", "add.size", "add.numRecords",
         "remove.path", ordinal_leaf,
@@ -359,8 +401,24 @@ def read_checkpoint_parquet(
             if has_md
             else [None] * len(cols[0])
         )
-        for ap, asz, anr, rp, rdv, rsz, apv, mds in zip(
-            *cols, pv_rows, md_rows
+        if has_dv:
+            got_dv = read_leaf_columns(
+                payload, rg,
+                [f"add.deletionVector.{f}" for f in _DV_LEAVES],
+                with_nulls=True, ctx=ctx,
+            )
+            dv_rows = [
+                dict(zip(_DV_LEAVES, vals))
+                if vals[0] is not None else None
+                for vals in zip(*[
+                    got_dv[f"add.deletionVector.{f}"]["values"]
+                    for f in _DV_LEAVES
+                ])
+            ]
+        else:
+            dv_rows = [None] * len(cols[0])
+        for ap, asz, anr, rp, rdv, rsz, apv, mds, adv in zip(
+            *cols, pv_rows, md_rows, dv_rows
         ):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
@@ -368,6 +426,11 @@ def read_checkpoint_parquet(
                 live[ap] = (asz, anr)
                 if apv:  # non-empty map only (see replay_delta_log)
                     pv[ap] = apv
+                if adv is not None:
+                    if adv["offset"] is None:
+                        adv = {k: v for k, v in adv.items()
+                               if k != "offset"}
+                    dvs[ap] = adv
             elif rp is not None:
                 if rdv is None:
                     raise ValueError("checkpoint remove row incomplete")
@@ -381,7 +444,7 @@ def read_checkpoint_parquet(
                 schema_json = mds
             else:
                 raise ValueError("checkpoint row carries no action")
-    return live, tombstones, pv, schema_json
+    return live, tombstones, pv, schema_json, dvs
 
 
 def replay_from_checkpoint(
@@ -392,10 +455,10 @@ def replay_from_checkpoint(
     """Snapshot = checkpoint state + JSON tail — O(tail) where the full
     replay is O(log).  Hash-equal to `replay_delta_log` over the whole
     log on every state field (live set, bytes, rows, tombstones,
-    partition values); `n_remove_actions` counts the tail only (see
-    replay_delta_log)."""
+    partition values, schema, deletion vectors); `n_remove_actions`
+    counts the tail only (see replay_delta_log)."""
     lc = parse_last_checkpoint(last_checkpoint_text)
-    live, tombstones, pv, schema = read_checkpoint_parquet(
+    live, tombstones, pv, schema, dvs = read_checkpoint_parquet(
         checkpoint_payload
     )
     return replay_delta_log(
@@ -405,4 +468,160 @@ def replay_from_checkpoint(
         base_version=lc["version"] + 1,
         initial_pv=pv,
         initial_schema=schema,
+        initial_dv=dvs,
     )
+
+
+# ---------------------------------------------------------------------------
+# deletion vectors (round 9) — Delta's row-level deletes
+# (delta-io PROTOCOL.md "Deletion Vectors": a DV descriptor on the add
+# action names a roaring bitmap of dead row indexes, stored inline
+# (z85 text in the log) or in a .bin sidecar file)
+# ---------------------------------------------------------------------------
+
+_DV_MAGIC = 1681511377  # PROTOCOL.md "Deletion Vector Format"
+_Z85 = ("0123456789abcdefghijklmnopqrstuvwxyz"
+        "ABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#")
+_Z85_REV = {c: i for i, c in enumerate(_Z85)}
+
+
+def z85_encode(data: bytes) -> str:
+    """ZeroMQ Z85 (spec 32/Z85): 4 bytes → 5 chars, length % 4 == 0."""
+    if len(data) % 4:
+        raise ValueError("z85 input length must be a multiple of 4")
+    out = []
+    for i in range(0, len(data), 4):
+        v = int.from_bytes(data[i : i + 4], "big")
+        chunk = []
+        for _ in range(5):
+            v, r = divmod(v, 85)
+            chunk.append(_Z85[r])
+        out.extend(reversed(chunk))
+    return "".join(out)
+
+
+def z85_decode(text: str) -> bytes:
+    if len(text) % 5:
+        raise ValueError("z85 text length must be a multiple of 5")
+    out = bytearray()
+    for i in range(0, len(text), 5):
+        v = 0
+        for c in text[i : i + 5]:
+            if c not in _Z85_REV:
+                raise ValueError(f"z85 bad character {c!r}")
+            v = v * 85 + _Z85_REV[c]
+        if v >= 1 << 32:
+            raise ValueError("z85 group overflows 32 bits")
+        out += v.to_bytes(4, "big")
+    return bytes(out)
+
+
+def make_deletion_vector(positions: list[int]) -> bytes:
+    """Serialized DV: 4-byte LE magic + the 64-bit RoaringBitmapArray
+    portable form of the dead row indexes."""
+    from .roaring import roaring64_serialize
+
+    import struct
+
+    return struct.pack("<I", _DV_MAGIC) + roaring64_serialize(
+        sorted(set(positions))
+    )
+
+
+def decode_deletion_vector(data: bytes) -> list[int]:
+    import struct
+
+    from .roaring import roaring64_deserialize
+
+    if len(data) < 4 or struct.unpack_from("<I", data)[0] != _DV_MAGIC:
+        raise ValueError("deletion vector bad magic")
+    return roaring64_deserialize(data[4:])
+
+
+def make_dv_file(dvs: list[bytes]) -> tuple[bytes, list[int]]:
+    """A format-1 DV sidecar file: 1-byte version, then per DV a
+    4-byte BIG-endian size, the DV bytes, and a 4-byte big-endian
+    CRC-32 of them.  Returns ``(payload, offsets)`` with each offset
+    pointing at its size field — what the descriptor records."""
+    import struct
+    import zlib
+
+    out = bytearray(b"\x01")
+    offsets = []
+    for dv in dvs:
+        offsets.append(len(out))
+        out += struct.pack(">I", len(dv))
+        out += dv
+        out += struct.pack(">I", zlib.crc32(dv) & 0xFFFFFFFF)
+    return bytes(out), offsets
+
+
+def make_dv_descriptor_inline(positions: list[int]) -> dict:
+    dv = make_deletion_vector(positions)
+    pad = (-len(dv)) % 4
+    return {
+        "storageType": "i",
+        "pathOrInlineDv": z85_encode(dv + b"\x00" * pad),
+        "sizeInBytes": len(dv),
+        "cardinality": len(set(positions)),
+    }
+
+
+def resolve_deletion_vector(desc: dict, fetch=None) -> list[int]:
+    """Descriptor → sorted dead row indexes.  ``storageType``: ``i``
+    inline (z85 payload in the log), ``p`` absolute path, ``u``
+    z85-UUID-derived relative path (``[prefix/]deletion_vector_<uuid>
+    .bin``); file forms need ``fetch`` and verify the frame size, the
+    descriptor's sizeInBytes/cardinality and the CRC-32."""
+    import struct
+    import uuid as _uuid
+    import zlib
+
+    st = desc.get("storageType")
+    size = desc.get("sizeInBytes")
+    card = desc.get("cardinality")
+    if not isinstance(size, int) or not isinstance(card, int):
+        raise ValueError("deletion vector descriptor missing size/card")
+    if st == "i":
+        data = z85_decode(desc.get("pathOrInlineDv", ""))[:size]
+        if len(data) != size:
+            raise ValueError("inline deletion vector shorter than size")
+    elif st in ("p", "u"):
+        if fetch is None:
+            raise ValueError("file deletion vector without a fetcher")
+        if st == "p":
+            path = desc.get("pathOrInlineDv", "")
+        else:
+            enc = desc.get("pathOrInlineDv", "")
+            if len(enc) < 20:
+                raise ValueError("u-form deletion vector id too short")
+            prefix, uid85 = enc[:-20], enc[-20:]
+            uid = _uuid.UUID(bytes=z85_decode(uid85))
+            path = (f"{prefix}/" if prefix else "") + (
+                f"deletion_vector_{uid}.bin"
+            )
+        blob = fetch(path)
+        if not blob or blob[0] != 1:
+            raise ValueError("deletion vector file bad version")
+        off = desc.get("offset")
+        if not isinstance(off, int) or not (
+            1 <= off and off + 8 + size <= len(blob)
+        ):
+            raise ValueError("deletion vector offset out of bounds")
+        (dsz,) = struct.unpack_from(">I", blob, off)
+        if dsz != size:
+            raise ValueError(
+                "deletion vector frame size disagrees with descriptor"
+            )
+        data = blob[off + 4 : off + 4 + size]
+        (crc,) = struct.unpack_from(">I", blob, off + 4 + size)
+        if crc != (zlib.crc32(data) & 0xFFFFFFFF):
+            raise ValueError("deletion vector checksum mismatch")
+    else:
+        raise ValueError(f"deletion vector storageType {st!r} unsupported")
+    positions = decode_deletion_vector(data)
+    if len(positions) != card:
+        raise ValueError(
+            "deletion vector cardinality disagrees with descriptor"
+        )
+    return positions

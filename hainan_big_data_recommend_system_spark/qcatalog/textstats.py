@@ -6447,6 +6447,174 @@ def q_iceberg_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register_extra(
+    "delta_deletion_vectors",
+    """
+    WITH d AS (
+        SELECT doc_id, 10 + doc_id % 5 AS n FROM documents
+    ),
+    rows_f AS (
+        SELECT d.doc_id, d.n, j, 15 + (d.doc_id + j) % 6 AS r
+        FROM d, LATERAL (SELECT unnest(range(0, n)) AS j)
+    ),
+    dead AS (
+        SELECT DISTINCT doc_id, j, p FROM (
+            SELECT doc_id, j,
+                   unnest([doc_id % r, (doc_id + 1) % r,
+                           (doc_id + 7) % r]) AS p
+            FROM rows_f WHERE j = 0
+            UNION ALL
+            SELECT doc_id, c - 2 AS j,
+                   unnest([(doc_id + c) % r, (doc_id * 3 + c) % r]) AS p
+            FROM (
+                SELECT d.doc_id, c, 15 + (d.doc_id + c - 2) % 6 AS r
+                FROM d, LATERAL (SELECT unnest(range(6, n)) AS c)
+                WHERE c % 4 = 2
+            )
+        )
+    ),
+    agg AS (
+        SELECT doc_id, count(*) AS card, sum(p) AS sum_dead
+        FROM dead GROUP BY 1
+    )
+    SELECT r.doc_id,
+           CAST(any_value(r.n) - 1 AS BIGINT) AS version,
+           CAST(any_value(r.n) AS BIGINT) AS n_live,
+           CAST(sum(r.r) AS BIGINT) AS live_rows,
+           CAST(any_value(a.card) AS BIGINT) AS dv_cardinality,
+           CAST(sum(r.r) - any_value(a.card) AS BIGINT)
+               AS rows_after_dv,
+           CAST(any_value(a.sum_dead) AS BIGINT) AS sum_dead_pos
+    FROM rows_f r JOIN agg a USING (doc_id) GROUP BY 1
+    """,
+)
+def q_delta_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta deletion vectors end to end (round 9): per doc a log whose
+    adds carry DV descriptors — INLINE (z85-encoded roaring bitmap in
+    the action line) and FILE-based (a format-1 ``.bin`` sidecar with
+    big-endian frames + CRC-32, u-form z85 UUID path) — replayed
+    last-writer-wins: f0's early inline DV is SUPERSEDED by the final
+    file DV, f2's DV is CLEARED by a rewrite without one.  Every live
+    descriptor is then RESOLVED to its actual row positions (roaring
+    decode, operators/roaring.py), so ``sum_dead_pos`` pins the bitmap
+    bytes themselves, not just the descriptor accounting
+    (delta-io PROTOCOL.md "Deletion Vectors"; RoaringFormatSpec)."""
+    import pandas as pd
+
+    from ..operators.deltalog import (
+        make_commit,
+        make_deletion_vector,
+        make_dv_descriptor_inline,
+        make_dv_file,
+        replay_delta_log,
+        resolve_deletion_vector,
+        z85_encode,
+    )
+    from ..operators.multimodal import _spread
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def gen_and_replay(it):
+        import uuid as _uuid
+
+        for pdf in it:
+            out = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                n = 10 + did % 5
+
+                def rows(j):
+                    return 15 + (did + j) % 6
+
+                commits = []
+                for c in range(n):
+                    acts = []
+                    if c == 0:
+                        acts.append({"protocol": {"minReaderVersion": 1}})
+                    if c >= 2 and c % 4 == 2:
+                        j = c - 2
+                        r = rows(j)
+                        acts.append({"add": {
+                            "path": f"f{j}", "size": 90 + j,
+                            "numRecords": r,
+                            "deletionVector": make_dv_descriptor_inline(
+                                [(did + c) % r, (did * 3 + c) % r]
+                            ),
+                            "dataChange": False,
+                        }})
+                    acts.append({"add": {
+                        "path": f"f{c}", "size": 100 + c,
+                        "numRecords": rows(c), "dataChange": True,
+                    }})
+                    commits.append(make_commit(acts))
+                # final commit: file-based DV on f0 (supersedes its
+                # inline one) + a DV-free rewrite of f2 (clears its DV)
+                r0 = rows(0)
+                dv0 = make_deletion_vector(sorted({
+                    did % r0, (did + 1) % r0, (did + 7) % r0
+                }))
+                blob, offs = make_dv_file([dv0])
+                uid = _uuid.UUID(int=did * 7919 + 13)
+                files = {f"deletion_vector_{uid}.bin": blob}
+                final = [
+                    {"add": {"path": "f0", "size": 100,
+                             "numRecords": r0,
+                             "deletionVector": {
+                                 "storageType": "u",
+                                 "pathOrInlineDv": z85_encode(uid.bytes),
+                                 "offset": offs[0],
+                                 "sizeInBytes": len(dv0),
+                                 "cardinality": len({
+                                     did % r0, (did + 1) % r0,
+                                     (did + 7) % r0,
+                                 }),
+                             },
+                             "dataChange": False}},
+                    {"add": {"path": "f2", "size": 102,
+                             "numRecords": rows(2),
+                             "dataChange": False}},
+                ]
+                commits[n - 1] = make_commit(
+                    [_a for _a in
+                     [*_commit_actions(commits[n - 1])] + final]
+                )
+                m = replay_delta_log(commits)
+                sum_dead = 0
+                card = 0
+                for p, desc in m["deletion_vectors"].items():
+                    pos = resolve_deletion_vector(
+                        desc, files.__getitem__
+                    )
+                    sum_dead += sum(pos)
+                    card += len(pos)
+                assert card == m["dv_cardinality"]
+                out.append(
+                    {
+                        "doc_id": did,
+                        "version": m["version"],
+                        "n_live": m["n_live"],
+                        "live_rows": m["live_rows"],
+                        "dv_cardinality": m["dv_cardinality"],
+                        "rows_after_dv": m["live_rows_after_dv"],
+                        "sum_dead_pos": sum_dead,
+                    }
+                )
+            if out:
+                yield pd.DataFrame(out)
+
+    return _spread(docs, "doc_id").mapInPandas(
+        gen_and_replay,
+        "doc_id long, version long, n_live long, live_rows long, "
+        "dv_cardinality long, rows_after_dv long, sum_dead_pos long",
+    )
+
+
+def _commit_actions(text: str) -> list[dict]:
+    import json as _json
+
+    return [_json.loads(ln) for ln in text.splitlines() if ln.strip()]
+
+
+@register_extra(
     "iceberg_positional_deletes",
     """
     WITH d AS (

@@ -324,6 +324,29 @@ CASES = {
         ),
         parse_warc,
     ),
+    "roaring64": (
+        lambda: __import__(
+            "hainan_big_data_recommend_system_spark.operators.roaring",
+            fromlist=["roaring64_serialize"],
+        ).roaring64_serialize(
+            sorted(set(list(range(64)) + [2**33 + i * 3
+                                          for i in range(300)]))
+        ),
+        lambda b: __import__(
+            "hainan_big_data_recommend_system_spark.operators.roaring",
+            fromlist=["roaring64_deserialize"],
+        ).roaring64_deserialize(b),
+    ),
+    "deletion_vector": (
+        lambda: __import__(
+            "hainan_big_data_recommend_system_spark.operators.deltalog",
+            fromlist=["make_deletion_vector"],
+        ).make_deletion_vector(list(range(0, 5000, 7))),
+        lambda b: __import__(
+            "hainan_big_data_recommend_system_spark.operators.deltalog",
+            fromlist=["decode_deletion_vector"],
+        ).decode_deletion_vector(b),
+    ),
 }
 
 
