@@ -25,10 +25,12 @@ page data.  On top of the generic walk:
 - :func:`read_list_column` / :func:`read_map_column` /
   :func:`hand_read_table` — repeated (list/map) leaves via Dremel
   record reassembly (round 9): repetition levels decode in v1 AND v2
-  pages, ``array<T>`` (nested to ANY depth) and ``map<K,V>`` columns
-  rebuild per row across page boundaries, audited cell-for-cell
-  against DuckDB on pyarrow- and Spark-written fixtures.  Maps under
-  repetition and structs inside lists stay loud quarantines.
+  pages, ``array<T>`` (nested to ANY depth), ``array<struct<…>>``
+  (field leaves zipped per element, null elements distinguished from
+  all-null fields by def level) and ``map<K,V>`` columns rebuild per
+  row across page boundaries, audited cell-for-cell against DuckDB on
+  pyarrow- and Spark-written fixtures.  Maps under repetition and
+  repeated fields INSIDE a list's struct stay loud quarantines.
 
 Public knowledge: the parquet-format specification
 (github.com/apache/parquet-format: Thrift definitions + Encodings.md)
@@ -668,8 +670,10 @@ def _schema_leaf_map(
     where ``rep_defs`` is the definition level AT each REPEATED
     ancestor in path order — the Dremel reassembly thresholds for
     list/map columns.  ``groups``: dotted group path →
-    ``(converted_type, repetition_type)`` so readers can recognize
-    LIST (3) / MAP (1) / MAP_KEY_VALUE (2) annotations.  OPTIONAL (1)
+    ``(converted_type, repetition_type, def_level, rep_level)`` so
+    readers can recognize LIST (3) / MAP (1) / MAP_KEY_VALUE (2)
+    annotations and tell a null struct ELEMENT (def below the group's
+    level) from a present element with null fields.  OPTIONAL (1)
     bumps the definition level, REPEATED (2) bumps both — this is how
     struct leaves like Delta checkpoints' ``add.path`` acquire
     max_def_level 2 while staying rep-level 0."""
@@ -677,7 +681,7 @@ def _schema_leaf_map(
     if not els:
         raise ValueError("empty parquet schema")
     out: dict[str, tuple[int, int, int | None, int, tuple[int, ...]]] = {}
-    groups: dict[str, tuple[int | None, int]] = {}
+    groups: dict[str, tuple[int | None, int, int, int]] = {}
 
     def walk(
         prefix: str, dl: int, rl: int, i: int, rep_defs: tuple[int, ...]
@@ -699,7 +703,9 @@ def _schema_leaf_map(
         nchild = el.get(5)
         if isinstance(nchild, int) and nchild > 0:
             conv = el.get(6)
-            groups[path] = (conv if isinstance(conv, int) else None, rep)
+            groups[path] = (
+                conv if isinstance(conv, int) else None, rep, dl, rl
+            )
             j = i + 1
             for _ in range(nchild):
                 j = walk(path, dl, rl, j, rep_defs)
@@ -961,6 +967,7 @@ def _assemble_nested(
     rls: list[int],
     max_def: int,
     rep_defs: tuple[int, ...],
+    raw: bool = False,
 ) -> list:
     """Arbitrary-depth Dremel reassembly (Melnik et al. 2010 §4):
     ``rep_defs[k-1]`` is the definition level AT the k-th repeated
@@ -995,7 +1002,10 @@ def _assemble_nested(
                         "repetition level deeper than the schema"
                     )
                 v, d, _ = item[0]
-                out.append(v if d == max_def else None)
+                if raw:
+                    out.append((v, d))
+                else:
+                    out.append(v if d == max_def else None)
             else:
                 out.append(build(item, k + 1))
         return out
@@ -1024,7 +1034,7 @@ def _logical_root(ctx: dict, leaf: str) -> tuple[str, str]:
     segs = leaf.split(".")
     for k in range(1, len(segs)):
         path = ".".join(segs[:k])
-        conv, _rep = groups.get(path, (None, 0))
+        conv = groups.get(path, (None, 0, 0, 0))[0]
         if conv == _CONV_LIST:
             return path, "list"
         if conv == _CONV_MAP or conv == _CONV_MAP_KV:
@@ -1073,7 +1083,8 @@ def read_list_column(
 ) -> list[list | None]:
     """Per-row values of an ``array<…>`` column (standard 3-level LIST
     layout, nested to ANY depth — ``array<array<…>>`` rebuilds as
-    nested Python lists — or a legacy bare repeated primitive): row →
+    nested Python lists, ``array<struct<…>>`` as lists of dicts — or a
+    legacy bare repeated primitive): row →
     list of element values (``None`` holes for null elements),
     ``None`` for a null list, ``[]`` for an empty one."""
     if ctx is None:
@@ -1081,12 +1092,99 @@ def read_list_column(
     leaves = _repeated_leaves_under(ctx, column)
     if column in ctx["leaves"] and ctx["leaves"][column][1] == 1:
         leaves = [column]  # bare repeated primitive leaf
-    if len(leaves) != 1:
+    if len(leaves) == 1:
+        return _read_assembled(payload, rg_index, leaves[0], ctx)
+    if not leaves:
         raise ValueError(
-            f"column {column!r} does not resolve to one repeated leaf "
-            f"(found {leaves})"
+            f"column {column!r} has no repeated leaves"
         )
-    return _read_assembled(payload, rg_index, leaves[0], ctx)
+    return _read_struct_list(payload, rg_index, column, leaves, ctx)
+
+
+def _read_struct_list(
+    payload: bytes, rg_index: int, column: str, leaves: list[str],
+    ctx: dict,
+) -> list[list | None]:
+    """``array<struct<…>>``: every field leaf shares the list's
+    repetition structure, so each assembles independently and the
+    elements zip into dicts.  A null ELEMENT (def level below the
+    element group's) is distinguished from a present element whose
+    fields are all null — the distinction lives in the def levels, not
+    the values (Dremel §4.2)."""
+    groups = ctx["groups"]
+    rep_group = None
+    for g, meta in groups.items():
+        if (
+            meta[1] == 2
+            and g.startswith(column + ".")
+            and "." not in g[len(column) + 1 :]
+        ):
+            rep_group = g
+    if rep_group is None:
+        raise ValueError(
+            f"column {column!r} has no repeated child group"
+        )
+    elems = set()
+    for lf in leaves:
+        if not lf.startswith(rep_group + "."):
+            raise ValueError(
+                f"leaf {lf!r} outside the repeated group {rep_group!r}"
+            )
+        rest = lf[len(rep_group) + 1 :]
+        if "." not in rest:
+            raise ValueError(
+                f"column {column!r} mixes scalar and struct elements"
+            )
+        elems.add(rest.split(".", 1)[0])
+    if len(elems) != 1:
+        raise ValueError(
+            f"column {column!r} does not have a single element group"
+        )
+    elem_prefix = f"{rep_group}.{elems.pop()}"
+    dl_elem = groups[elem_prefix][2]
+    field_rows: dict[str, list] = {}
+    for lf in leaves:
+        meta = ctx["leaves"][lf]
+        if meta[1] != 1:
+            raise ValueError(
+                "list<struct> fields with their own repetition "
+                "(nested lists/maps inside the struct) out of scope"
+            )
+        got = _read_leaf_column(
+            payload, rg_index, lf, None, "read_list_column",
+            ctx=ctx, with_levels=True,
+        )
+        field_rows[lf[len(elem_prefix) + 1 :]] = _assemble_nested(
+            got["values"], got["dls"], got["rls"], meta[0], meta[4],
+            raw=True,
+        )
+    names = sorted(field_rows)
+    base = field_rows[names[0]]
+    for f in names[1:]:
+        other = field_rows[f]
+        if len(other) != len(base) or any(
+            (a is None) != (b is None)
+            or (a is not None and len(a) != len(b))
+            for a, b in zip(base, other)
+        ):
+            raise ValueError(
+                "list<struct> field leaves disagree on list shape"
+            )
+    out: list[list | None] = []
+    for r, row in enumerate(base):
+        if row is None:
+            out.append(None)
+            continue
+        elems_out = []
+        for i, (_, d0) in enumerate(row):
+            if d0 < dl_elem:
+                elems_out.append(None)  # the struct element is null
+            else:
+                elems_out.append(
+                    {f: field_rows[f][r][i][0] for f in names}
+                )
+        out.append(elems_out)
+    return out
 
 
 def read_map_column(
@@ -1405,8 +1503,9 @@ def hand_read_table(payload: bytes) -> dict[str, list]:
     epoch micros, FLBA as unscaled integers).  Repeated leaves assemble
     into per-row values under the logical column name: LIST columns
     (nested to any depth) and bare repeated primitives become (nested)
-    lists, MAP columns become dicts; maps under repetition and structs
-    inside lists stay loud quarantines.  One footer parse total."""
+    lists (structs inside them become per-element dicts), MAP columns
+    become dicts; maps under repetition stay loud quarantines.  One
+    footer parse total."""
     ctx = footer_ctx(payload)
     scalars = [
         name for name, meta in ctx["leaves"].items() if meta[1] == 0

@@ -231,17 +231,77 @@ def test_map_under_repetition_quarantined():
         hand_read_table(raw)
 
 
-def test_struct_in_list_quarantined():
+def test_list_of_structs_decodes():
+    """array<struct<…>> zips field leaves into per-element dicts:
+    null ELEMENTS (def below the element group) are distinguished from
+    present elements with null fields; nested struct members flatten
+    to dotted names — audited against DuckDB on the same bytes."""
+    import os
+    import tempfile
+
+    import duckdb
+    import pyarrow as pa
+
+    ls = []
+    for i in range(300):
+        if i % 13 == 4:
+            ls.append(None)
+        elif i % 13 == 8:
+            ls.append([])
+        else:
+            ls.append([
+                None if (i + j) % 7 == 3 else
+                {"x": None if (i + j) % 5 == 0 else i * 10 + j,
+                 "y": None if (i + j) % 6 == 1 else f"s{i}-{j}",
+                 "z": ({"a": (i + j) % 2 == 0} if (i + j) % 4
+                       else None)}
+                for j in range(i % 4 + 1)
+            ])
+    typ = pa.list_(pa.struct([
+        ("x", pa.int64()), ("y", pa.string()),
+        ("z", pa.struct([("a", pa.bool_())])),
+    ]))
+    table = pa.table({"id": pa.array(range(300), pa.int64()),
+                      "ls": pa.array(ls, typ)})
+    raw = _write(table, compression="snappy", row_group_size=47,
+                 data_page_size=256)
+    got = hand_read_table(raw)["ls"]
+    assert read_list_column(raw, 0, "ls") == got[:47]
+    fd, path = tempfile.mkstemp(suffix=".parquet")
+    try:
+        with os.fdopen(fd, "wb") as fh:
+            fh.write(raw)
+        rows = duckdb.connect().execute(
+            f"SELECT id, ls FROM '{path}' ORDER BY id"
+        ).fetchall()
+    finally:
+        os.unlink(path)
+    for rid, wls in rows:
+        if wls is None:
+            assert got[rid] is None
+            continue
+        flat = [
+            None if e is None else {
+                "x": e["x"], "y": e["y"],
+                "z.a": None if e["z"] is None else e["z"]["a"],
+            }
+            for e in wls
+        ]
+        assert got[rid] == flat, (rid, got[rid], flat)
+
+
+def test_struct_list_with_inner_repetition_quarantined():
     import pyarrow as pa
 
     table = pa.table({
         "ls": pa.array(
-            [[{"x": 1, "y": "a"}]],
-            pa.list_(pa.struct([("x", pa.int64()), ("y", pa.string())])),
+            [[{"x": 1, "tags": ["a"]}]],
+            pa.list_(pa.struct([("x", pa.int64()),
+                                ("tags", pa.list_(pa.string()))])),
         )
     })
     raw = _write(table, compression="snappy")
-    with pytest.raises(ValueError, match="one repeated leaf"):
+    with pytest.raises(ValueError, match="out of scope"):
         read_list_column(raw, 0, "ls")
 
 
