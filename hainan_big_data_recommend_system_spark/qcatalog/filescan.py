@@ -686,3 +686,92 @@ def q_iceberg_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("doc_id"),
         F.md5(F.col("body")).alias("body_md5"),
     )
+
+
+def _ensure_delta_sink_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A table BUILT BY THE SINK (sources/delta_sink.py): commit 0
+    appends doc_id%3==0, commit 1 appends %3==1, commit 2 OVERWRITES
+    with %3==2 only — so the current snapshot is the overwrite's rows
+    while both earlier generations' parquet files still sit in the
+    directory un-vacuumed."""
+    out = _fixture_dir(sf_dir, "deltasink")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("doc-%08d", "doc_id").alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(
+        docs.filter(F.col("doc_id") % 3 == 0).repartition(2), tmp
+    )
+    write_delta(
+        docs.filter(F.col("doc_id") % 3 == 1).repartition(2), tmp
+    )
+    write_delta(
+        docs.filter(F.col("doc_id") % 3 == 2).repartition(3), tmp,
+        mode="overwrite",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_sink_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(2 AS BIGINT) AS version,
+           doc_id % 3 = 2 AS in_current,
+           doc_id % 3 IN (0, 1) AS in_v1
+    FROM documents
+    """,
+)
+def q_delta_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side lake parity (round 9): the table is BUILT by the
+    engine's transactional Delta sink — Spark parquet data files,
+    put-if-absent commit claims, metaData.schemaString from the real
+    Spark schema, per-file numRecords from the hand footer reader —
+    then read back by the same log resolution the table-read queries
+    use.  Append/append/overwrite semantics are pinned per row:
+    ``in_current`` (only the overwrite's rows survive the snapshot)
+    and ``in_v1`` (time travel to version 1 sees every appended row).
+    The oracle recomputes both memberships from the documents table,
+    so a sink that dropped removes, miswrote numRecords, or leaked
+    stale files into the snapshot hash-mismatches."""
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import read_log_commits
+
+    fixture = _ensure_delta_sink_fixture(spark, sf_dir)
+    commits = read_log_commits(fixture)
+    cur = replay_delta_log(commits)
+    v1 = replay_delta_log(commits[:2])
+
+    def scan(live: dict) -> DataFrame:
+        paths = [os.path.join(fixture, p) for p in sorted(live)]
+        return spark.read.parquet(*paths).select("doc_id")
+
+    cur_df = scan(cur["live"]).withColumn("in_current", F.lit(True))
+    v1_df = scan(v1["live"]).withColumn("in_v1", F.lit(True))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("body_md5")
+    )
+    # every doc lands in v1 (appends) or the current snapshot
+    # (overwrite), so the doc spine joins both memberships; booleans
+    # coalesce to FALSE (nullable booleans hash-diverge cross-engine)
+    return (
+        docs.join(cur_df, "doc_id", "left")
+        .join(v1_df, "doc_id", "left")
+        .select(
+            "doc_id", "body_md5",
+            F.lit(2).cast("long").alias("version"),
+            F.coalesce(F.col("in_current"), F.lit(False))
+            .alias("in_current"),
+            F.coalesce(F.col("in_v1"), F.lit(False)).alias("in_v1"),
+        )
+    )
