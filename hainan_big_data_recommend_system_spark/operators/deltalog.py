@@ -53,13 +53,18 @@ def replay_delta_log(
     initial_pv: dict[str, dict] | None = None,
     initial_schema: str | None = None,
     initial_dv: dict[str, dict] | None = None,
+    initial_stats: dict[str, dict] | None = None,
 ) -> dict:
     """Replay ordered commit contents into the live-file snapshot.
 
     Returns ``{version, n_live, live_bytes, live_rows,
     n_remove_actions, live, tombstones, partition_values,
-    schema_json, schema_version, deletion_vectors, dv_cardinality,
-    live_rows_after_dv}`` (deletion-vector descriptors ride adds
+    schema_json, schema_version, deletion_vectors, file_stats,
+    dv_cardinality, live_rows_after_dv}`` — ``file_stats`` the parsed
+    ``add.stats`` JSON per live path (PROTOCOL.md "Per-file
+    Statistics": numRecords/minValues/maxValues; last-writer-wins,
+    cross-checked against ``add.numRecords``, the data-skipping
+    inputs) — (deletion-vector descriptors ride adds
     last-writer-wins; a re-add WITHOUT one clears it — the rewrite
     semantics of PROTOCOL.md "Deletion Vectors") with
     ``live`` a path-sorted ``{path: (size, numRecords)}``,
@@ -87,6 +92,7 @@ def replay_delta_log(
     tombstones: dict[str, tuple[int, int]] = dict(initial_tombstones or {})
     pv: dict[str, dict] = dict(initial_pv or {})
     dvs: dict[str, dict] = dict(initial_dv or {})
+    fstats: dict[str, dict] = dict(initial_stats or {})
     schema_json = initial_schema
     schema_version: int | None = None
     n_removes = 0
@@ -155,6 +161,22 @@ def replay_delta_log(
                     dvs[path] = dict(dvd)
                 else:  # a re-add without a DV clears it (rewrite)
                     dvs.pop(path, None)
+                st = body.get("stats")
+                if st is not None:
+                    if not isinstance(st, str):
+                        raise ValueError("add action stats is not a string")
+                    parsed = json.loads(st)
+                    if not isinstance(parsed, dict):
+                        raise ValueError("add action stats is not an object")
+                    snr = parsed.get("numRecords")
+                    if snr is not None and snr != rows:
+                        raise ValueError(
+                            f"add stats numRecords {snr} disagrees with "
+                            f"add.numRecords {rows}"
+                        )
+                    fstats[path] = parsed
+                else:  # re-add without stats clears them (rewrite)
+                    fstats.pop(path, None)
                 live[path] = (size, rows)
                 tombstones.pop(path, None)  # re-add clears the tombstone
             elif kind == "remove":
@@ -165,6 +187,7 @@ def replay_delta_log(
                 prior = live.pop(path, None)  # absent-path removes legal
                 pv.pop(path, None)
                 dvs.pop(path, None)
+                fstats.pop(path, None)
                 if prior is not None:
                     tombstones[path] = (version, prior[0])
     return {
@@ -179,11 +202,59 @@ def replay_delta_log(
         "schema_json": schema_json,
         "schema_version": schema_version,
         "deletion_vectors": dict(sorted(dvs.items())),
+        "file_stats": dict(sorted(fstats.items())),
         "dv_cardinality": sum(d["cardinality"] for d in dvs.values()),
         "live_rows_after_dv": (
             sum(r for _, r in live.values())
             - sum(d["cardinality"] for d in dvs.values())
         ),
+    }
+
+
+def prune_live_files(
+    replay: dict,
+    column: str,
+    lo: int | None = None,
+    hi: int | None = None,
+) -> dict:
+    """DATA SKIPPING: which live files can a range predicate
+    ``lo <= column <= hi`` (either bound optional) actually touch?
+
+    A file is skipped only when its ``add.stats`` min/max PROVE no row
+    matches (``max < lo`` or ``min > hi``); files without stats, or
+    without bounds for ``column``, are kept — pruning is an
+    optimization and must never change results.  At 100 TB this is the
+    first lever that matters: a time- or key-clustered table answers a
+    narrow range scan by OPENING a handful of files out of millions,
+    before any executor reads a byte.  O(live files) driver-side walk
+    over the already-resolved snapshot — the same cost class as
+    building the scan's file list at all.
+
+    Returns ``{kept, n_kept, n_skipped, n_no_stats, rows_kept_max}``
+    (``rows_kept_max``: an upper bound on surviving rows — the sum of
+    kept files' numRecords)."""
+    if lo is None and hi is None:
+        raise ValueError("prune needs at least one bound")
+    kept: dict[str, tuple[int, int]] = {}
+    n_no_stats = 0
+    fstats = replay.get("file_stats", {})
+    for path, (size, rows) in replay["live"].items():
+        st = fstats.get(path)
+        mn = (st or {}).get("minValues", {}).get(column)
+        mx = (st or {}).get("maxValues", {}).get(column)
+        if mn is None or mx is None:
+            n_no_stats += 1
+            kept[path] = (size, rows)  # no proof → must scan
+            continue
+        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+            continue  # provably disjoint: skip without opening
+        kept[path] = (size, rows)
+    return {
+        "kept": dict(sorted(kept.items())),
+        "n_kept": len(kept),
+        "n_skipped": len(replay["live"]) - len(kept),
+        "n_no_stats": n_no_stats,
+        "rows_kept_max": sum(r for _, r in kept.values()),
     }
 
 
@@ -271,10 +342,16 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
 
     pv = replay.get("partition_values", {})
     dvs = replay.get("deletion_vectors", {})
+    fstats = replay.get("file_stats", {})
     adds = [
         {"path": p, "size": s, "numRecords": r,
          "partitionValues": pv.get(p, {}),
-         "deletionVector": dvs.get(p)}
+         "deletionVector": dvs.get(p),
+         "stats": (
+             json.dumps(fstats[p], sort_keys=True,
+                        separators=(",", ":"))
+             if p in fstats else None
+         )}
         for p, (s, r) in sorted(replay["live"].items())
     ]
     removes = [
@@ -307,7 +384,8 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
                           ("offset", pa.int64()),
                           ("sizeInBytes", pa.int64()),
                           ("cardinality", pa.int64())]
-                     ))]
+                     )),
+                     ("stats", pa.string())]
                 ),
             ),
             "remove": pa.array(
@@ -331,9 +409,9 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
 
 def read_checkpoint_parquet(
     payload: bytes,
-) -> tuple[dict, dict, dict, str | None, dict]:
+) -> tuple[dict, dict, dict, str | None, dict, dict]:
     """Recover ``(live, tombstones, partition_values, schema_json,
-    deletion_vectors)``
+    deletion_vectors, file_stats)``
     from a checkpoint parquet file via the hand decoder — every row
     must be exactly one of add/remove/metaData.  ``add.partitionValues``
     (a parquet MAP column, the delta-io layout) decodes through the
@@ -372,8 +450,10 @@ def read_checkpoint_parquet(
     has_pv = "add.partitionValues.key_value.key" in ctx["leaves"]
     has_md = "metaData.schemaString" in ctx["leaves"]
     has_dv = "add.deletionVector.storageType" in ctx["leaves"]
+    has_stats = "add.stats" in ctx["leaves"]
     pv: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
+    fstats: dict[str, dict] = {}
     schema_json: str | None = None
     _DV_LEAVES = ("storageType", "pathOrInlineDv", "offset",
                   "sizeInBytes", "cardinality")
@@ -417,8 +497,15 @@ def read_checkpoint_parquet(
             ]
         else:
             dv_rows = [None] * len(cols[0])
-        for ap, asz, anr, rp, rdv, rsz, apv, mds, adv in zip(
-            *cols, pv_rows, md_rows, dv_rows
+        st_rows = (
+            read_leaf_columns(
+                payload, rg, ["add.stats"], with_nulls=True, ctx=ctx
+            )["add.stats"]["values"]
+            if has_stats
+            else [None] * len(cols[0])
+        )
+        for ap, asz, anr, rp, rdv, rsz, apv, mds, adv, ast in zip(
+            *cols, pv_rows, md_rows, dv_rows, st_rows
         ):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
@@ -431,6 +518,13 @@ def read_checkpoint_parquet(
                         adv = {k: v for k, v in adv.items()
                                if k != "offset"}
                     dvs[ap] = adv
+                if ast is not None:
+                    parsed = json.loads(ast)
+                    if not isinstance(parsed, dict):
+                        raise ValueError(
+                            "checkpoint add.stats is not an object"
+                        )
+                    fstats[ap] = parsed
             elif rp is not None:
                 if rdv is None:
                     raise ValueError("checkpoint remove row incomplete")
@@ -444,7 +538,7 @@ def read_checkpoint_parquet(
                 schema_json = mds
             else:
                 raise ValueError("checkpoint row carries no action")
-    return live, tombstones, pv, schema_json, dvs
+    return live, tombstones, pv, schema_json, dvs, fstats
 
 
 def replay_from_checkpoint(
@@ -458,7 +552,7 @@ def replay_from_checkpoint(
     partition values, schema, deletion vectors); `n_remove_actions`
     counts the tail only (see replay_delta_log)."""
     lc = parse_last_checkpoint(last_checkpoint_text)
-    live, tombstones, pv, schema, dvs = read_checkpoint_parquet(
+    live, tombstones, pv, schema, dvs, fstats = read_checkpoint_parquet(
         checkpoint_payload
     )
     return replay_delta_log(
@@ -469,6 +563,7 @@ def replay_from_checkpoint(
         initial_pv=pv,
         initial_schema=schema,
         initial_dv=dvs,
+        initial_stats=fstats,
     )
 
 

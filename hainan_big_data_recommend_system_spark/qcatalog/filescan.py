@@ -23,6 +23,7 @@ shards, which is exactly the read path exercised here.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -774,4 +775,175 @@ def q_delta_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("in_current"),
             F.coalesce(F.col("in_v1"), F.lit(False)).alias("in_v1"),
         )
+    )
+
+
+def _ensure_iceberg_sink_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A table BUILT BY THE ICEBERG SINK (sources/iceberg_sink.py):
+    snapshot 1 appends doc_id%3==0, snapshot 2 appends %3==1 (reusing
+    snapshot 1's manifest verbatim), snapshot 3 OVERWRITES with %3==2
+    — earlier generations' data files still sit under data/."""
+    out = _fixture_dir(sf_dir, "icebergsink")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import write_iceberg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("doc-%08d", "doc_id").alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_iceberg(
+        docs.filter(F.col("doc_id") % 3 == 0).repartition(2), tmp
+    )
+    write_iceberg(
+        docs.filter(F.col("doc_id") % 3 == 1).repartition(2), tmp
+    )
+    write_iceberg(
+        docs.filter(F.col("doc_id") % 3 == 2).repartition(3), tmp,
+        mode="overwrite",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "iceberg_sink_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(2 AS BIGINT) AS version,
+           doc_id % 3 = 2 AS in_current,
+           doc_id % 3 IN (0, 1) AS in_v1,
+           CAST(1 AS BIGINT) AS v1_reused_manifests
+    FROM documents
+    """,
+)
+def q_iceberg_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WRITE-side parity for lake format #2 (round 10): the table is
+    BUILT by the engine's transactional Iceberg sink — Spark parquet
+    data files, immutable manifest/manifest-list blobs, put-if-absent
+    metadata-pointer claims, v2 sequence numbers — then read back
+    through the same metadata-tree walk the table-read queries use.
+    Append/append/overwrite memberships are pinned per row exactly as
+    in `delta_sink_roundtrip` (the two sinks must agree on the same
+    logical table), and `v1_reused_manifests` hash-pins the append
+    path's MANIFEST REUSE: snapshot 2's manifest list must carry
+    snapshot 1's manifest verbatim — per-commit metadata is O(files
+    added), not O(table), which is what makes million-file tables
+    writable at all."""
+    from ..operators.avrocf import parse_avro
+    from ..sources.iceberg_sink import read_table
+
+    fixture = _ensure_iceberg_sink_fixture(spark, sf_dir)
+    cur = read_table(fixture)
+    v1 = read_table(fixture, snapshot_id=2)
+
+    def ml_paths(version: int) -> list[str]:
+        meta = json.loads(open(os.path.join(
+            fixture, "metadata", f"v{version}.metadata.json"
+        )).read())
+        (ml,) = [s["manifest-list"] for s in meta["snapshots"]
+                 if s["snapshot-id"] == meta["current-snapshot-id"]]
+        recs = parse_avro(open(os.path.join(fixture, ml), "rb").read())
+        return [e["manifest_path"] for e in recs["records"]]
+
+    reused = len(set(ml_paths(0)) & set(ml_paths(1)))
+
+    def scan(live: dict) -> DataFrame:
+        paths = [os.path.join(fixture, p) for p in sorted(live)]
+        return spark.read.parquet(*paths).select("doc_id")
+
+    cur_df = scan(cur["live"]).withColumn("in_current", F.lit(True))
+    v1_df = scan(v1["live"]).withColumn("in_v1", F.lit(True))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("body_md5")
+    )
+    return (
+        docs.join(cur_df, "doc_id", "left")
+        .join(v1_df, "doc_id", "left")
+        .select(
+            "doc_id", "body_md5",
+            F.lit(2).cast("long").alias("version"),
+            F.coalesce(F.col("in_current"), F.lit(False))
+            .alias("in_current"),
+            F.coalesce(F.col("in_v1"), F.lit(False)).alias("in_v1"),
+            F.lit(reused).cast("long").alias("v1_reused_manifests"),
+        )
+    )
+
+
+def _ensure_delta_skipping_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A doc_id-CLUSTERED sink table: five appends over disjoint
+    doc_id quintiles, one file each — so every data file's
+    ``add.stats`` min/max covers one contiguous key range.  The
+    clustered-write + stats + prune triple is the data-skipping shape
+    a 100 TB time/key-partitioned lake table has."""
+    out = _fixture_dir(sf_dir, "deltaskip")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    m = docs.agg(F.max("doc_id")).first()[0] + 1
+    tmp = f"{out}.build-{os.getpid()}"
+    for k in range(5):
+        write_delta(
+            docs.filter(F.expr(f"doc_id * 5 DIV {m}") == k)
+            .coalesce(1)
+            .sortWithinPartitions("doc_id"),
+            tmp,
+        )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_data_skipping",
+    """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+    SELECT d.doc_id, md5(d.text) AS body_md5,
+           CAST(5 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_kept,
+           CAST(0 AS BIGINT) AS n_files_no_stats
+    FROM documents d, m
+    WHERE d.doc_id * 5 // m.m IN (1, 2)
+    """,
+)
+def q_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING end-to-end (round 10): the sink stamps
+    ``add.stats`` min/max from its own footer reads, the replay tracks
+    them, and `prune_live_files` answers a doc_id range scan by
+    OPENING 2 of the table's 5 files — proven by the hash gate, which
+    pins `n_files_kept`/`n_files_no_stats` alongside the row values
+    (a sink that stopped writing stats, or a pruner that kept or
+    dropped the wrong files, mismatches).  At 100 TB this is the first
+    lever that matters: file-level skipping happens on the driver from
+    O(live-files) metadata before any executor reads a byte."""
+    from ..operators.deltalog import prune_live_files, replay_delta_log
+    from ..sources.delta_sink import read_log_commits
+
+    fixture = _ensure_delta_skipping_fixture(spark, sf_dir)
+    snap = replay_delta_log(read_log_commits(fixture))
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id")).first()[0] + 1
+    lo, hi = (m + 4) // 5, (3 * m - 1) // 5  # quintiles 1..2, exactly
+    pr = prune_live_files(snap, "doc_id", lo=lo, hi=hi)
+    kept = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(pr["kept"])]
+    )
+    return kept.filter(F.col("doc_id").between(lo, hi)).select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(snap["n_live"]).cast("long").alias("n_files_total"),
+        F.lit(pr["n_kept"]).cast("long").alias("n_files_kept"),
+        F.lit(pr["n_no_stats"]).cast("long").alias("n_files_no_stats"),
     )

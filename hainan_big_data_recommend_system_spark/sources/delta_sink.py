@@ -85,6 +85,29 @@ def snapshot(table_dir: str) -> dict:
     return replay_delta_log(commits)
 
 
+def _file_stats(footer_meta: dict) -> str:
+    """``add.stats`` JSON (PROTOCOL.md "Per-file Statistics") from the
+    hand-parsed footer: numRecords always; minValues/maxValues for
+    every INT64 column whose chunk statistics cover ALL row groups —
+    a partial min is not a file min, so partially-covered columns are
+    omitted rather than guessed.  These are the data-skipping inputs
+    `prune_live_files` consumes: at scale, a key-clustered table
+    answers a narrow range scan by opening a handful of files."""
+    n_rgs = footer_meta["n_row_groups"]
+    per_col: dict[str, list[tuple[int, int]]] = {}
+    for st in footer_meta["int64_stats"]:
+        per_col.setdefault(st["col"], []).append((st["min"], st["max"]))
+    mins = {c: min(m for m, _ in v) for c, v in per_col.items()
+            if len(v) == n_rgs}
+    maxs = {c: max(m for _, m in v) for c, v in per_col.items()
+            if len(v) == n_rgs}
+    stats: dict = {"numRecords": footer_meta["n_rows"]}
+    if mins:
+        stats["minValues"] = dict(sorted(mins.items()))
+        stats["maxValues"] = dict(sorted(maxs.items()))
+    return json.dumps(stats, sort_keys=True, separators=(",", ":"))
+
+
 def write_delta(
     df: DataFrame,
     table_dir: str,
@@ -125,7 +148,8 @@ def write_delta(
             meta = parse_footer_tail(read_footer_tail(_fetch, flen))
         os.replace(src, os.path.join(table_dir, name))
         adds.append({"path": name, "size": flen,
-                     "numRecords": meta["n_rows"]})
+                     "numRecords": meta["n_rows"],
+                     "stats": _file_stats(meta)})
     shutil.rmtree(stage, ignore_errors=True)
 
     schema_string = df.schema.json()
