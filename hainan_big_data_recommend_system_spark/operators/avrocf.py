@@ -31,10 +31,12 @@ per block, byte-size consistency (a block must decode to exactly its
 declared records consuming exactly its declared bytes), and union
 branch indexes; any violation raises ValueError for the quarantine
 path.  Schema support covers records of long/int/string/bytes/boolean,
-``["null", X]`` unions, and NESTED record fields to any depth (decoded
-as nested dicts) — the shape Iceberg manifests use for their
-``data_file`` struct and partition tuple (operators/iceberg.py); maps,
-arrays, enums and named-type references stay loud quarantines.
+``["null", X]`` unions, NESTED record fields to any depth (decoded as
+nested dicts) — the shape Iceberg manifests use for their
+``data_file`` struct and partition tuple (operators/iceberg.py) — and
+ARRAYS (block-encoded per the spec, negative-count byte-size prefix
+accepted; round 10, for the manifest ``equality_ids`` list); maps,
+enums and named-type references stay loud quarantines.
 """
 
 from __future__ import annotations
@@ -101,6 +103,16 @@ def _encode_field(ftype, value) -> bytes:
             return write_long(null_idx)
         branch = 1 - null_idx
         return write_long(branch) + _encode_field(ftype[branch], value)
+    if isinstance(ftype, tuple) and ftype[0] == "array":
+        if not isinstance(value, (list, tuple)):
+            raise ValueError("array value is not a list")
+        out = bytearray()
+        if value:
+            out += write_long(len(value))
+            for item in value:
+                out += _encode_field(ftype[1], item)
+        out += write_long(0)  # block terminator
+        return bytes(out)
     if isinstance(ftype, tuple):  # ("record", [(name, ctype), ...])
         if not isinstance(value, dict):
             raise ValueError("record value is not a dict")
@@ -127,6 +139,22 @@ def _decode_field(ftype, buf: bytes, pos: int):
         if ftype[idx] == "null":
             return None, pos
         return _decode_field(ftype[idx], buf, pos)
+    if isinstance(ftype, tuple) and ftype[0] == "array":
+        items = []
+        while True:
+            count, pos = read_long(buf, pos)
+            if count == 0:
+                return items, pos
+            if count < 0:  # block with byte-size prefix (spec allows)
+                count = -count
+                size, pos = read_long(buf, pos)
+                if size < 0 or pos + size > len(buf):
+                    raise ValueError(f"array block size bad at {pos}")
+            if count > len(buf) - pos + 1:
+                raise ValueError(f"array count {count} overruns buffer")
+            for _ in range(count):
+                item, pos = _decode_field(ftype[1], buf, pos)
+                items.append(item)
     if isinstance(ftype, tuple):  # nested record → dict
         rec = {}
         for name, ct in ftype[1]:
@@ -180,6 +208,8 @@ def _compile_type(ft, depth: int = 0):
                     for f in fields
                 ],
             )
+        if t == "array":
+            return ("array", _compile_type(ft.get("items"), depth + 1))
         if isinstance(t, str) and t in _PRIMITIVES:
             return t  # {"type": "long"} wrapper form
         raise ValueError(f"unsupported complex type {t!r}")

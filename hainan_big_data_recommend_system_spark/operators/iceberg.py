@@ -35,8 +35,12 @@ Format-v2 row-level deletes (round 9): a DELETE manifest
 ``(file_path, pos)`` rows, fetched and decoded by the repo's own hand
 parquet reader — and a delete applies to a data file exactly when
 ``delete.sequence_number >= data.sequence_number`` (the spec's
-sequence-number rule, §Scan Planning).  Equality deletes and
-column-stat maps stay out of scope (loudly absent, not guessed).  The
+sequence-number rule, §Scan Planning).  EQUALITY DELETES (round 10):
+``data_file.content == 2`` entries with an ``equality_ids`` int list
+(Avro array) name value-predicates the SCAN applies by anti-join to
+every data file with ``sequence_number`` STRICTLY below the delete's
+— the spec's asymmetric rule.  Column-stat maps stay out of scope
+(loudly absent, not guessed).  The
 resolution ALGORITHM (version pointer → snapshot → manifest list →
 manifests → status filter) is the spec's (iceberg.apache.org/spec/ —
 public).
@@ -82,6 +86,11 @@ def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
                         },
                         {"name": "record_count", "type": "long"},
                         {"name": "file_size_in_bytes", "type": "long"},
+                        {
+                            "name": "equality_ids",
+                            "type": ["null",
+                                     {"type": "array", "items": "int"}],
+                        },
                     ],
                 },
             },
@@ -106,6 +115,7 @@ _MANIFEST_LIST_SCHEMA = {
 }
 
 _CONTENT_DATA, _CONTENT_POSITION_DELETES = 0, 1
+_CONTENT_EQUALITY_DELETES = 2
 
 _STATUS_EXISTING, _STATUS_ADDED, _STATUS_DELETED = 0, 1, 2
 _MAX_FORMAT_VERSION = 2
@@ -183,6 +193,8 @@ def snapshot_live_files(
     data_seq: dict[str, int] = {}
     # live delete FILES: path -> (sequence_number, record_count)
     live_deletes: dict[str, tuple[int, int]] = {}
+    # equality deletes: path -> (sequence_number, record_count, ids)
+    live_eq_deletes: dict[str, tuple[int, int, list[int]]] = {}
     n_deleted = 0
     for mf in ml["records"]:
         for k in ("manifest_path", "manifest_length",
@@ -219,19 +231,32 @@ def snapshot_live_files(
                 raise ValueError("manifest entry missing file_path")
             file_content = df.get("content", 0)
             if content == _CONTENT_POSITION_DELETES:
-                if file_content != _CONTENT_POSITION_DELETES:
+                if file_content not in (_CONTENT_POSITION_DELETES,
+                                        _CONTENT_EQUALITY_DELETES):
                     raise ValueError(
                         "delete manifest lists a non-delete file"
                     )
                 if st == _STATUS_DELETED:
                     n_deleted += 1
                     live_deletes.pop(path, None)
-                else:
-                    rows = df.get("record_count")
-                    if not isinstance(rows, int):
+                    live_eq_deletes.pop(path, None)
+                    continue
+                rows = df.get("record_count")
+                if not isinstance(rows, int):
+                    raise ValueError(
+                        "delete-file entry missing record_count"
+                    )
+                if file_content == _CONTENT_EQUALITY_DELETES:
+                    ids = df.get("equality_ids")
+                    if not isinstance(ids, list) or not ids or any(
+                        not isinstance(i, int) for i in ids
+                    ):
                         raise ValueError(
-                            "delete-file entry missing record_count"
+                            "equality-delete entry needs non-empty "
+                            "equality_ids"
                         )
+                    live_eq_deletes[path] = (seq, rows, list(ids))
+                else:
                     live_deletes[path] = (seq, rows)
                 continue
             if file_content != _CONTENT_DATA:
@@ -293,6 +318,11 @@ def snapshot_live_files(
             pos_del.setdefault(target, set()).add(pos)
     n_pos = sum(len(s) for s in pos_del.values())
     live_rows = sum(r for _, r in live.values())
+    eq_deletes = [
+        {"path": p, "sequence_number": s, "record_count": r,
+         "equality_ids": ids}
+        for p, (s, r, ids) in sorted(live_eq_deletes.items())
+    ]
     return {
         "snapshot_id": sid,
         "n_manifests": ml["n_records"],
@@ -307,6 +337,15 @@ def snapshot_live_files(
         },
         "n_position_deletes": n_pos,
         "live_rows_after_deletes": live_rows - n_pos,
+        # equality deletes are value-predicates, not row lists: the
+        # SCAN applies them (anti-join on the named columns) to every
+        # data file whose sequence number is STRICTLY LESS than the
+        # delete's (spec §Scan Planning — note the asymmetry with
+        # position deletes' >=: an equality delete never applies to
+        # files committed with it in the same snapshot)
+        "equality_deletes": eq_deletes,
+        "n_equality_delete_files": len(eq_deletes),
+        "data_sequence_numbers": dict(sorted(data_seq.items())),
     }
 
 
@@ -333,6 +372,7 @@ def make_manifest(
                 },
                 "record_count": e["record_count"],
                 "file_size_in_bytes": e["file_size"],
+                "equality_ids": e.get("equality_ids"),
             },
         }
         for e in entries
@@ -368,6 +408,21 @@ def make_manifest_list(manifests: list[dict]) -> bytes:
     return make_avro(
         _MANIFEST_LIST_SCHEMA, [full] if full else [[]]
     )
+
+
+def make_equality_delete_parquet(columns: dict[str, list]) -> bytes:
+    """A spec-shaped EQUALITY DELETE file: real parquet whose columns
+    are the equality columns' values, one row per deleted key (pyarrow
+    writer — the scan reads it back through Spark or the hand
+    decoder)."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(pa.table(columns), buf, compression="snappy")
+    return buf.getvalue()
 
 
 def make_position_delete_parquet(

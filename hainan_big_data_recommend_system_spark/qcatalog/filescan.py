@@ -947,3 +947,149 @@ def q_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(pr["n_kept"]).cast("long").alias("n_files_kept"),
         F.lit(pr["n_no_stats"]).cast("long").alias("n_files_no_stats"),
     )
+
+
+def _ensure_iceberg_eqdel_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A format-v2 table exercising EQUALITY DELETES: snapshot 100
+    (seq 1) adds f0 (even docs) + f1 (odd docs); snapshot 200 (seq 2)
+    adds an equality-delete file on ``name`` tombstoning every doc
+    with doc_id%5<2 AND a data file f2 re-adding the doc_id%10==0
+    rows — committed at the delete's own sequence number, so the
+    delete must NOT touch it (the spec's strictly-less rule)."""
+    out = _fixture_dir(sf_dir, "icebergeq")
+    if os.path.isdir(out):
+        return out
+    import glob as _glob
+
+    from ..operators.iceberg import (
+        make_manifest,
+        make_manifest_list,
+        make_table_metadata,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.format_string("doc-%08d", "doc_id").alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    os.makedirs(os.path.join(tmp, "metadata"), exist_ok=True)
+
+    def spark_file(df, dest_rel):
+        part_dir = os.path.join(tmp, f"__build-{dest_rel.replace('/', '_')}")
+        n = df.count()
+        (df.coalesce(1).sortWithinPartitions(df.columns[0])
+         .write.mode("overwrite").parquet(part_dir))
+        (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dest = os.path.join(tmp, dest_rel)
+        os.replace(pf, dest)
+        shutil.rmtree(part_dir, ignore_errors=True)
+        return {"file_path": dest_rel, "record_count": n,
+                "file_size": os.path.getsize(dest)}
+
+    f0 = spark_file(docs.filter(F.col("doc_id") % 2 == 0), "f0.parquet")
+    f1 = spark_file(docs.filter(F.col("doc_id") % 2 == 1), "f1.parquet")
+    f2 = spark_file(docs.filter(F.col("doc_id") % 10 == 0), "f2.parquet")
+    eq = spark_file(
+        docs.filter(F.col("doc_id") % 5 < 2).select("name"),
+        "eq-1.parquet",
+    )
+
+    m_v1 = make_manifest([{"status": 1, **f0}, {"status": 1, **f1}])
+    m_v2 = make_manifest([{"status": 1, **f2}])
+    # field id 2 = `name` (schema position, 1-based: doc_id, name, body)
+    m_del = make_manifest([
+        {"status": 1, "content": 2, "equality_ids": [2], **eq}
+    ])
+    blobs = {"m-v1.avro": m_v1, "m-v2.avro": m_v2, "m-del.avro": m_del}
+
+    def ml_entry(mname, seq, n_add, content=0):
+        return {"manifest_path": f"metadata/{mname}",
+                "manifest_length": len(blobs[mname]),
+                "sequence_number": seq, "content": content,
+                "added_files_count": n_add,
+                "existing_files_count": 0, "deleted_files_count": 0}
+
+    blobs["ml-100.avro"] = make_manifest_list([ml_entry("m-v1.avro", 1, 2)])
+    blobs["ml-200.avro"] = make_manifest_list([
+        ml_entry("m-v1.avro", 1, 2),
+        ml_entry("m-del.avro", 2, 1, content=1),
+        ml_entry("m-v2.avro", 2, 1),
+    ])
+    meta_dir = os.path.join(tmp, "metadata")
+    for name, blob in blobs.items():
+        with open(os.path.join(meta_dir, name), "wb") as fh:
+            fh.write(blob)
+    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
+        fh.write(make_table_metadata(
+            {100: "metadata/ml-100.avro", 200: "metadata/ml-200.avro"},
+            current=200,
+        ))
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+#: field-id → column-name mapping for the fixture's schema
+_EQDEL_FIELD_NAMES = {1: "doc_id", 2: "name", 3: "body"}
+
+
+@register_extra(
+    "iceberg_equality_deletes",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(1 AS BIGINT) AS n_eq_delete_files
+    FROM documents
+    WHERE doc_id % 5 >= 2 OR doc_id % 10 = 0
+    """,
+)
+def q_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-v2 EQUALITY DELETES end to end: the metadata tree
+    resolves data files WITH their sequence numbers plus the live
+    equality-delete files; the scan applies each delete as a
+    broadcast anti-join on the named key columns to exactly the data
+    files whose sequence number is STRICTLY below the delete's —
+    f0/f1 (seq 1) lose their doc_id%5<2 rows, while f2, committed in
+    the same snapshot as the delete (seq 2), keeps its re-added
+    doc_id%10==0 rows.  A reader using >= instead of > (the position-
+    delete rule) or applying deletes file-blind hash-mismatches."""
+    from ..operators.iceberg import snapshot_live_files
+
+    fixture = _ensure_iceberg_eqdel_fixture(spark, sf_dir)
+    meta_text = open(
+        os.path.join(fixture, "metadata", "v2.metadata.json")
+    ).read()
+
+    def fetch(path: str) -> bytes:
+        return open(os.path.join(fixture, path), "rb").read()
+
+    snap = snapshot_live_files(meta_text, fetch)
+    seqs = snap["data_sequence_numbers"]
+    # one Spark read per distinct sequence number (bounded: snapshots)
+    by_seq: dict[int, list[str]] = {}
+    for p in sorted(snap["live"]):
+        by_seq.setdefault(seqs[p], []).append(p)
+    data = None
+    for seq, paths in sorted(by_seq.items()):
+        part = spark.read.parquet(
+            *[os.path.join(fixture, p) for p in paths]
+        ).withColumn("__seq", F.lit(seq))
+        data = part if data is None else data.unionByName(part)
+    for eq in snap["equality_deletes"]:
+        keys = [_EQDEL_FIELD_NAMES[i] for i in eq["equality_ids"]]
+        dels = spark.read.parquet(
+            os.path.join(fixture, eq["path"])
+        ).select(*keys)
+        affected = data.filter(
+            F.col("__seq") < eq["sequence_number"]
+        ).join(F.broadcast(dels), on=keys, how="left_anti")
+        untouched = data.filter(F.col("__seq") >= eq["sequence_number"])
+        data = affected.unionByName(untouched)
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(snap["n_equality_delete_files"]).cast("long")
+        .alias("n_eq_delete_files"),
+    )

@@ -163,3 +163,73 @@ def test_snappy_and_zstd_codecs_roundtrip_and_crc():
     blob[-21] ^= 1
     with pytest.raises(ValueError):
         parse_avro(bytes(blob))
+
+
+# ---------------------------------------------------------------------------
+# arrays (round 10 — the manifest equality_ids list)
+# ---------------------------------------------------------------------------
+
+def test_array_roundtrip():
+    from hainan_big_data_recommend_system_spark.operators.avrocf import (
+        make_avro,
+        parse_avro,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "ids", "type": {"type": "array", "items": "int"}},
+            {"name": "opt",
+             "type": ["null", {"type": "array", "items": "string"}]},
+        ],
+    }
+    recs = [
+        {"ids": [1, 2, 3], "opt": ["x"]},
+        {"ids": [], "opt": None},
+        {"ids": [-7], "opt": []},
+    ]
+    out = parse_avro(make_avro(schema, [recs]))
+    assert out["records"] == recs
+
+
+def test_array_negative_count_block_decodes():
+    """Spec: a negative item count is followed by the block byte size."""
+    from hainan_big_data_recommend_system_spark.operators.avrocf import (
+        _compile_type,
+        _decode_field,
+        write_long,
+    )
+
+    ctype = _compile_type({"type": "array", "items": "int"})
+    items = write_long(5) + write_long(6)
+    neg = write_long(-2) + write_long(len(items)) + items + write_long(0)
+    val, pos = _decode_field(ctype, neg, 0)
+    assert val == [5, 6] and pos == len(neg)
+    # bad declared size is loud
+    import pytest
+
+    broken = write_long(-2) + write_long(10 ** 6) + items + write_long(0)
+    with pytest.raises(ValueError, match="block size"):
+        _decode_field(ctype, broken, 0)
+
+
+def test_array_overrun_count_rejected():
+    from hainan_big_data_recommend_system_spark.operators.avrocf import (
+        make_avro,
+        parse_avro,
+        write_long,
+    )
+
+    schema = {
+        "type": "record", "name": "r",
+        "fields": [{"name": "ids",
+                    "type": {"type": "array", "items": "int"}}],
+    }
+    base = make_avro(schema, [[{"ids": [5]}]])
+    plain = write_long(1) + write_long(5) + write_long(0)
+    evil = write_long(1 << 40) + write_long(5) + write_long(0)
+    assert plain in base
+    import pytest
+
+    with pytest.raises(ValueError):
+        parse_avro(base.replace(plain, evil))

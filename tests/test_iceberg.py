@@ -234,3 +234,111 @@ def test_position_out_of_range_rejected():
     ])
     with pytest.raises(ValueError, match="out of range"):
         snapshot_live_files(meta, files.__getitem__)
+
+
+# ---------------------------------------------------------------------------
+# format-v2 equality deletes (round 10)
+# ---------------------------------------------------------------------------
+
+def _eq_delete_fixture():
+    from hainan_big_data_recommend_system_spark.operators.iceberg import (
+        make_equality_delete_parquet,
+    )
+
+    m_data = make_manifest([
+        {"status": 1, "file_path": "d0", "record_count": 10,
+         "file_size": 100},
+        {"status": 1, "file_path": "d1", "record_count": 10,
+         "file_size": 100},
+    ])
+    # a data file committed WITH the delete (same sequence): untouched
+    m_data2 = make_manifest([
+        {"status": 1, "file_path": "d2", "record_count": 5,
+         "file_size": 50},
+    ])
+    efile = make_equality_delete_parquet({"name": ["a", "b"]})
+    m_del = make_manifest([
+        {"status": 1, "file_path": "eq-1.parquet", "record_count": 2,
+         "file_size": len(efile), "content": 2, "equality_ids": [2]},
+    ])
+    files = {"m_data": m_data, "m_data2": m_data2, "m_del": m_del,
+             "eq-1.parquet": efile}
+    files["ml"] = make_manifest_list([
+        {"manifest_path": "m_data", "manifest_length": len(m_data),
+         "sequence_number": 1, "added_files_count": 2,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del", "manifest_length": len(m_del),
+         "content": 1, "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_data2", "manifest_length": len(m_data2),
+         "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    return make_table_metadata({300: "ml"}, current=300), files
+
+
+def test_equality_deletes_resolved():
+    meta, files = _eq_delete_fixture()
+    snap = snapshot_live_files(meta, files.__getitem__)
+    assert snap["n_equality_delete_files"] == 1
+    (eq,) = snap["equality_deletes"]
+    assert eq["path"] == "eq-1.parquet"
+    assert eq["sequence_number"] == 2
+    assert eq["equality_ids"] == [2]
+    # the scan applies them with the STRICT rule: d0/d1 (seq 1 < 2)
+    # affected, d2 (seq 2) not
+    seqs = snap["data_sequence_numbers"]
+    assert seqs == {"d0": 1, "d1": 1, "d2": 2}
+    affected = [p for p, s in seqs.items()
+                if s < eq["sequence_number"]]
+    assert affected == ["d0", "d1"]
+
+
+def test_equality_delete_needs_ids():
+    meta, files = _eq_delete_fixture()
+    bad = make_manifest([
+        {"status": 1, "file_path": "eq-1.parquet", "record_count": 2,
+         "file_size": 10, "content": 2},  # no equality_ids
+    ])
+    files["m_del"] = bad
+    files["ml"] = make_manifest_list([
+        {"manifest_path": "m_data",
+         "manifest_length": len(files["m_data"]),
+         "sequence_number": 1, "added_files_count": 2,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del", "manifest_length": len(bad),
+         "content": 1, "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+    ])
+    with pytest.raises(ValueError, match="equality_ids"):
+        snapshot_live_files(meta, files.__getitem__)
+
+
+def test_deleted_equality_file_dropped():
+    from hainan_big_data_recommend_system_spark.operators.iceberg import (
+        make_equality_delete_parquet,
+    )
+
+    meta, files = _eq_delete_fixture()
+    # a later delete manifest tombstones the equality-delete file
+    m_del2 = make_manifest([
+        {"status": 2, "file_path": "eq-1.parquet", "record_count": 2,
+         "file_size": len(files["eq-1.parquet"]), "content": 2,
+         "equality_ids": [2]},
+    ])
+    files["m_del2"] = m_del2
+    files["ml"] = make_manifest_list([
+        {"manifest_path": "m_data",
+         "manifest_length": len(files["m_data"]),
+         "sequence_number": 1, "added_files_count": 2,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del",
+         "manifest_length": len(files["m_del"]),
+         "content": 1, "sequence_number": 2, "added_files_count": 1,
+         "existing_files_count": 0, "deleted_files_count": 0},
+        {"manifest_path": "m_del2", "manifest_length": len(m_del2),
+         "content": 1, "sequence_number": 3, "added_files_count": 0,
+         "existing_files_count": 0, "deleted_files_count": 1},
+    ])
+    snap = snapshot_live_files(meta, files.__getitem__)
+    assert snap["equality_deletes"] == []
