@@ -1093,3 +1093,82 @@ def q_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(snap["n_equality_delete_files"]).cast("long")
         .alias("n_eq_delete_files"),
     )
+
+
+def _ensure_delta_optimize_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Six tiny single-file appends (doc_id%6 shards) then OPTIMIZE
+    into 2 files — the small-file accretion + compaction lifecycle a
+    streaming-ingest table lives."""
+    out = _fixture_dir(sf_dir, "deltaopt")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import optimize_delta, write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    for k in range(6):
+        write_delta(
+            docs.filter(F.col("doc_id") % 6 == k).coalesce(1), tmp
+        )
+    optimize_delta(spark, tmp, target_partitions=2)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_optimize_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(6 AS BIGINT) AS files_before,
+           CAST(2 AS BIGINT) AS files_after,
+           CAST(2 AS BIGINT) AS files_with_stats,
+           TRUE AS rows_unchanged
+    FROM documents
+    """,
+)
+def q_delta_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPTIMIZE as a transaction (round 10): six tiny appends compact
+    into 2 files via adds+removes with ``dataChange: false`` — the
+    hash gate pins that EVERY row survives byte-identical (doc spine
+    join), the file count drops 6 → 2, the rewritten files carry
+    fresh footer-derived stats (data skipping keeps working after
+    compaction), and time travel to the pre-OPTIMIZE version still
+    resolves the original 6 files (``rows_unchanged`` compares both
+    snapshots' row counts).  Small files are what a streaming table
+    accretes; compaction without row changes is the repair."""
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import read_log_commits
+
+    fixture = _ensure_delta_optimize_fixture(spark, sf_dir)
+    commits = read_log_commits(fixture)
+    cur = replay_delta_log(commits)
+    pre = replay_delta_log(commits[:6])
+
+    def scan(live: dict) -> DataFrame:
+        return spark.read.parquet(
+            *[os.path.join(fixture, p) for p in sorted(live)]
+        )
+
+    unchanged = (
+        pre["n_live"] == 6
+        and cur["live_rows"] == pre["live_rows"]
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("body_md5")
+    )
+    return (
+        docs.join(scan(cur["live"]).select("doc_id"), "doc_id", "inner")
+        .select(
+            "doc_id", "body_md5",
+            F.lit(pre["n_live"]).cast("long").alias("files_before"),
+            F.lit(cur["n_live"]).cast("long").alias("files_after"),
+            F.lit(len(cur["file_stats"])).cast("long")
+            .alias("files_with_stats"),
+            F.lit(unchanged).alias("rows_unchanged"),
+        )
+    )

@@ -108,22 +108,15 @@ def _file_stats(footer_meta: dict) -> str:
     return json.dumps(stats, sort_keys=True, separators=(",", ":"))
 
 
-def write_delta(
-    df: DataFrame,
-    table_dir: str,
-    mode: str = "append",
-    checkpoint_interval: int = 10,
-    max_retries: int = 10,
-) -> dict:
-    """Commit ``df`` to the table.  Returns ``{version, n_files,
-    n_records, n_removed}``.  Retries version claims on conflict
-    (another writer committed first) up to ``max_retries`` times —
-    the data files are written ONCE; only the log claim retries."""
+def _stage_data_files(
+    df: DataFrame, table_dir: str, token: str
+) -> list[dict]:
+    """Write ``df`` as parquet into a staging dir, move each part into
+    the table root under a token-versioned name, and return add-action
+    bodies with per-file numRecords + data-skipping stats from the
+    hand footer reader."""
     from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
 
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unsupported write mode {mode!r}")
-    os.makedirs(_log_dir(table_dir), exist_ok=True)
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     parts = sorted(
@@ -132,7 +125,6 @@ def write_delta(
     )
     if not parts:
         raise ValueError("write produced no parquet part files")
-    token = uuid.uuid4().hex[:12]
     adds = []
     for i, f in enumerate(parts):
         name = f"part-{token}-{i:05d}.parquet"
@@ -151,6 +143,61 @@ def write_delta(
                      "numRecords": meta["n_rows"],
                      "stats": _file_stats(meta)})
     shutil.rmtree(stage, ignore_errors=True)
+    return adds
+
+
+def _claim_version(table_dir: str, version: int, body: str,
+                   token: str) -> bool:
+    """Put-if-absent commit claim: link(2) fails atomically if another
+    writer claimed this version first (the local-FS analogue of the
+    object-store conditional put PROTOCOL.md requires)."""
+    tmp = _commit_path(table_dir, version) + f".tmp-{token}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(body)
+    try:
+        os.link(tmp, _commit_path(table_dir, version))
+    except FileExistsError:
+        os.unlink(tmp)
+        return False
+    os.unlink(tmp)
+    return True
+
+
+def _maybe_checkpoint(table_dir: str, version: int,
+                      checkpoint_interval: int) -> None:
+    if not checkpoint_interval or (version + 1) % checkpoint_interval:
+        return
+    state = replay_delta_log(read_log_commits(table_dir))
+    ck = make_checkpoint_parquet(state)
+    ck_path = os.path.join(
+        _log_dir(table_dir), f"{version:020d}.checkpoint.parquet"
+    )
+    with open(ck_path + ".tmp", "wb") as fh:
+        fh.write(ck)
+    os.replace(ck_path + ".tmp", ck_path)
+    with open(
+        os.path.join(_log_dir(table_dir), "_last_checkpoint"),
+        "w", encoding="utf-8",
+    ) as fh:
+        fh.write(make_last_checkpoint(version, len(ck)))
+
+
+def write_delta(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    checkpoint_interval: int = 10,
+    max_retries: int = 10,
+) -> dict:
+    """Commit ``df`` to the table.  Returns ``{version, n_files,
+    n_records, n_removed}``.  Retries version claims on conflict
+    (another writer committed first) up to ``max_retries`` times —
+    the data files are written ONCE; only the log claim retries."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported write mode {mode!r}")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    adds = _stage_data_files(df, table_dir, token)
 
     schema_string = df.schema.json()
     for _ in range(max_retries):
@@ -180,36 +227,80 @@ def write_delta(
         acts.append({"commitInfo": {
             "operation": "WRITE", "mode": mode,
         }})
-        body = make_commit(acts)
-        tmp = _commit_path(table_dir, version) + f".tmp-{token}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(body)
-        try:
-            # put-if-absent: link(2) fails with EEXIST if another
-            # writer claimed this version — the optimistic-concurrency
-            # primitive PROTOCOL.md requires of a commit store
-            os.link(tmp, _commit_path(table_dir, version))
-        except FileExistsError:
-            os.unlink(tmp)
+        if not _claim_version(table_dir, version, make_commit(acts),
+                              token):
             continue  # lost the race: re-read the log, retry
-        os.unlink(tmp)
-        if checkpoint_interval and (version + 1) % checkpoint_interval == 0:
-            state = replay_delta_log(read_log_commits(table_dir))
-            ck = make_checkpoint_parquet(state)
-            ck_path = os.path.join(
-                _log_dir(table_dir), f"{version:020d}.checkpoint.parquet"
-            )
-            with open(ck_path + ".tmp", "wb") as fh:
-                fh.write(ck)
-            os.replace(ck_path + ".tmp", ck_path)
-            with open(
-                os.path.join(_log_dir(table_dir), "_last_checkpoint"),
-                "w", encoding="utf-8",
-            ) as fh:
-                fh.write(make_last_checkpoint(version, len(ck)))
+        _maybe_checkpoint(table_dir, version, checkpoint_interval)
         return {"version": version, "n_files": len(adds),
                 "n_records": sum(a["numRecords"] for a in adds),
                 "n_removed": len(removed)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def optimize_delta(
+    spark,
+    table_dir: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_partitions: int = 1,
+    checkpoint_interval: int = 10,
+    max_retries: int = 10,
+) -> dict:
+    """OPTIMIZE: bin-pack live files smaller than ``small_file_bytes``
+    into ``target_partitions`` rewritten files, committed as adds +
+    removes with ``dataChange: false`` — the table's ROWS are
+    untouched, only its file geometry changes (delta-io OPTIMIZE
+    semantics).  Small files are the scale killer a streaming or
+    many-writer table accretes (every task opens are O(files), not
+    O(bytes)); compaction restores scan efficiency without a reader
+    ever seeing a row-level change.  Rewritten files get fresh
+    footer-derived stats, so data skipping keeps working.
+
+    Conflict discipline: the rewrite happens ONCE; the commit claim
+    retries, but if a concurrent writer REMOVED one of the source
+    files first the compaction aborts (its rewrite would resurrect
+    dead rows) — the same logical-conflict rule delta-io applies.
+
+    Returns ``{version, n_compacted, n_files, n_records}``;
+    no-op (too few small files) returns ``{"version": None,
+    "n_compacted": 0, ...}``."""
+    snap = snapshot(table_dir)
+    small = sorted(
+        p for p, (sz, _) in snap["live"].items() if sz < small_file_bytes
+    )
+    if len(small) <= target_partitions:
+        return {"version": None, "n_compacted": 0, "n_files": 0,
+                "n_records": 0}
+    df = spark.read.parquet(
+        *[os.path.join(table_dir, p) for p in small]
+    ).repartition(target_partitions)
+    token = uuid.uuid4().hex[:12]
+    adds = _stage_data_files(df, table_dir, token)
+    for _ in range(max_retries):
+        cur = snapshot(table_dir)
+        gone = [p for p in small if p not in cur["live"]]
+        if gone:
+            raise ValueError(
+                f"optimize conflict: source files removed concurrently "
+                f"({gone[:3]}...)" if len(gone) > 3 else
+                f"optimize conflict: source files removed concurrently "
+                f"({gone})"
+            )
+        version = cur["version"] + 1
+        acts = (
+            [{"remove": {"path": p, "dataChange": False}} for p in small]
+            + [{"add": {**a, "partitionValues": {}, "dataChange": False}}
+               for a in adds]
+            + [{"commitInfo": {"operation": "OPTIMIZE",
+                               "numRemovedFiles": len(small),
+                               "numAddedFiles": len(adds)}}]
+        )
+        if _claim_version(table_dir, version, make_commit(acts), token):
+            _maybe_checkpoint(table_dir, version, checkpoint_interval)
+            return {"version": version, "n_compacted": len(small),
+                    "n_files": len(adds),
+                    "n_records": sum(a["numRecords"] for a in adds)}
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )

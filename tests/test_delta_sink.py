@@ -121,3 +121,118 @@ def test_version_gap_rejected(tmp_path):
             fh.write('{"add": {"path": "x", "size": 1, "numRecords": 1}}')
     with pytest.raises(ValueError, match="gap"):
         read_log_commits(t)
+
+
+# ---------------------------------------------------------------------------
+# OPTIMIZE — dataChange:false compaction (round 10)
+# ---------------------------------------------------------------------------
+
+def test_optimize_compacts_without_changing_rows(spark, tmp_path):
+    import json as _json
+
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        optimize_delta,
+        read_log_commits,
+        snapshot,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 900).selectExpr("id", "id * 2 AS v")
+    for k in range(6):  # six tiny single-file commits
+        write_delta(
+            df.where(f"id >= {k * 150} AND id < {(k + 1) * 150}")
+            .coalesce(1),
+            tbl,
+        )
+    before = snapshot(tbl)
+    rows_before = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(
+            *[os.path.join(tbl, p) for p in before["live"]]
+        ).collect()
+    )
+    res = optimize_delta(spark, tbl, target_partitions=2)
+    assert res["version"] == 6 and res["n_compacted"] == 6
+    after = snapshot(tbl)
+    assert after["n_live"] == 2
+    assert after["live_rows"] == before["live_rows"] == 900
+    rows_after = sorted(
+        (r.id, r.v)
+        for r in spark.read.parquet(
+            *[os.path.join(tbl, p) for p in after["live"]]
+        ).collect()
+    )
+    assert rows_after == rows_before
+    # every OPTIMIZE action is dataChange:false
+    last = read_log_commits(tbl)[-1]
+    for ln in last.splitlines():
+        obj = _json.loads(ln)
+        ((kind, body),) = obj.items()
+        if kind in ("add", "remove"):
+            assert body["dataChange"] is False
+    # rewritten files carry fresh stats → skipping still works
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+        replay_delta_log,
+    )
+
+    snap = replay_delta_log(read_log_commits(tbl))
+    assert len(snap["file_stats"]) == 2
+    pr = prune_live_files(snap, "id", lo=0, hi=0)
+    assert pr["n_no_stats"] == 0
+    # time travel to the pre-OPTIMIZE version still sees 6 files
+    v5 = replay_delta_log(read_log_commits(tbl)[:6])
+    assert v5["n_live"] == 6 and v5["live_rows"] == 900
+
+
+def test_optimize_noop_when_nothing_small(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        optimize_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(10).selectExpr("id"), tbl)
+    res = optimize_delta(spark, tbl, small_file_bytes=1)
+    assert res == {"version": None, "n_compacted": 0, "n_files": 0,
+                   "n_records": 0}
+
+
+def test_optimize_conflict_on_concurrent_remove(spark, tmp_path):
+    """A concurrent overwrite removes a source file between the
+    rewrite and the claim → the compaction must abort, not resurrect
+    dead rows."""
+    from hainan_big_data_recommend_system_spark.sources import delta_sink
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        optimize_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 300).selectExpr("id")
+    for k in range(3):
+        write_delta(
+            df.where(f"id >= {k * 100} AND id < {(k + 1) * 100}")
+            .coalesce(1),
+            tbl,
+        )
+
+    real_stage = delta_sink._stage_data_files
+    raced = []
+
+    def stage_then_race(d, t, tok):
+        adds = real_stage(d, t, tok)
+        if not raced:  # fire once (the racer itself stages files too)
+            raced.append(True)
+            # another writer overwrites the table before our claim
+            write_delta(spark.range(5).selectExpr("id"), tbl,
+                        mode="overwrite")
+        return adds
+
+    delta_sink._stage_data_files = stage_then_race
+    try:
+        with pytest.raises(ValueError, match="optimize conflict"):
+            optimize_delta(spark, tbl)
+    finally:
+        delta_sink._stage_data_files = real_stage
