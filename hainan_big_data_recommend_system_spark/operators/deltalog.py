@@ -258,6 +258,37 @@ def prune_live_files(
     }
 
 
+def prune_by_partition(replay: dict, wanted: dict[str, set]) -> dict:
+    """PARTITION PRUNING: keep live files whose ``partitionValues``
+    match every ``{column: allowed-values}`` constraint.  A file with
+    no recorded value for a constrained column is kept (an
+    unpartitioned or differently-partitioned file might contain
+    matching rows — pruning must never change results).  Same return
+    shape as :func:`prune_live_files`; the two compose (partition
+    prune first, stats prune inside the survivors)."""
+    if not wanted:
+        raise ValueError("prune needs at least one partition constraint")
+    pv = replay.get("partition_values", {})
+    kept: dict[str, tuple[int, int]] = {}
+    n_no_pv = 0
+    for path, (size, rows) in replay["live"].items():
+        vals = pv.get(path, {})
+        missing = [c for c in wanted if c not in vals]
+        if missing:
+            n_no_pv += 1
+            kept[path] = (size, rows)
+            continue
+        if all(vals[c] in allowed for c, allowed in wanted.items()):
+            kept[path] = (size, rows)
+    return {
+        "kept": dict(sorted(kept.items())),
+        "n_kept": len(kept),
+        "n_skipped": len(replay["live"]) - len(kept),
+        "n_no_stats": n_no_pv,
+        "rows_kept_max": sum(r for _, r in kept.values()),
+    }
+
+
 def vacuum_plan(replay: dict, retention_versions: int) -> dict:
     """Which tombstoned files are safe to physically delete: dead for at
     least ``retention_versions`` commits before the latest (Delta's

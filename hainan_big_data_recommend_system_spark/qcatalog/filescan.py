@@ -1172,3 +1172,68 @@ def q_delta_optimize_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(unchanged).alias("rows_unchanged"),
         )
     )
+
+
+def _ensure_delta_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Documents written by the sink PARTITIONED BY lang: one data
+    file per language under Hive-style ``lang=xx/`` dirs, partition
+    values on the add actions (NOT in the file contents — Delta's
+    partitioned-table shape)."""
+    out = _fixture_dir(sf_dir, "deltapart")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text").alias("body")
+    ).repartition(1)
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(docs, tmp, partition_by=["lang"])
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_partition_pruning",
+    """
+    SELECT doc_id, md5(text) AS body_md5, lang,
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+               AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_kept
+    FROM documents
+    WHERE lang = 'zh'
+    """,
+)
+def q_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARTITION PRUNING end to end (round 10): the sink writes a
+    lang-partitioned table (Hive dirs, ``add.partitionValues``,
+    ``metaData.partitionColumns``), and a lang='zh' scan opens exactly
+    ONE of the table's files — `prune_by_partition` proves the rest
+    disjoint from the log alone.  The partition column is NOT in the
+    data files; the scan re-attaches it from partitionValues, which
+    the hash gate verifies (a reader that forgot the re-attach loses
+    the lang column; one that mis-parsed the Hive dir mislabels every
+    row).  The 100 TB shape: date-partitioned event lakes answer
+    yesterday's query by never listing the other 3,650 days."""
+    from ..operators.deltalog import prune_by_partition, replay_delta_log
+    from ..sources.delta_sink import read_log_commits
+
+    fixture = _ensure_delta_partitioned_fixture(spark, sf_dir)
+    snap = replay_delta_log(read_log_commits(fixture))
+    pr = prune_by_partition(snap, {"lang": {"zh"}})
+    pv = snap["partition_values"]
+    data = None
+    for path in sorted(pr["kept"]):
+        part = spark.read.parquet(os.path.join(fixture, path)) \
+            .withColumn("lang", F.lit(pv[path]["lang"]))
+        data = part if data is None else data.unionByName(part)
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        "lang",
+        F.lit(snap["n_live"]).cast("long").alias("n_files_total"),
+        F.lit(pr["n_kept"]).cast("long").alias("n_files_kept"),
+    )

@@ -109,26 +109,58 @@ def _file_stats(footer_meta: dict) -> str:
 
 
 def _stage_data_files(
-    df: DataFrame, table_dir: str, token: str
+    df: DataFrame,
+    table_dir: str,
+    token: str,
+    partition_by: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as parquet into a staging dir, move each part into
-    the table root under a token-versioned name, and return add-action
+    the table root under a token-versioned name (Hive-style
+    ``col=value/`` subdirs when partitioned), and return add-action
     bodies with per-file numRecords + data-skipping stats from the
-    hand footer reader."""
+    hand footer reader and ``partitionValues`` parsed back from the
+    directory layout — exactly what Delta stores on the add action
+    (the partition columns themselves are NOT in the data files;
+    readers re-attach them from partitionValues)."""
+    from urllib.parse import unquote
+
     from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
 
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
-    parts = sorted(
-        f for f in os.listdir(stage)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    parts: list[str] = []  # stage-relative paths
+    for root, _dirs, fnames in os.walk(stage):
+        rel_root = os.path.relpath(root, stage)
+        for f in fnames:
+            if f.startswith("part-") and f.endswith(".parquet"):
+                parts.append(
+                    f if rel_root == "." else os.path.join(rel_root, f)
+                )
+    parts.sort()
     if not parts:
         raise ValueError("write produced no parquet part files")
     adds = []
-    for i, f in enumerate(parts):
-        name = f"part-{token}-{i:05d}.parquet"
-        src = os.path.join(stage, f)
+    for i, relf in enumerate(parts):
+        pvals: dict[str, str] = {}
+        comps = relf.split(os.sep)[:-1]
+        for comp in comps:
+            if "=" not in comp:
+                raise ValueError(
+                    f"staged file under non-partition dir {comp!r}"
+                )
+            k, _, v = comp.partition("=")
+            pvals[unquote(k)] = unquote(v)
+        if set(pvals) != set(partition_by or []):
+            raise ValueError(
+                f"staged partition dirs {sorted(pvals)} disagree with "
+                f"partition_by {sorted(partition_by or [])}"
+            )
+        name = os.path.join(*comps, f"part-{token}-{i:05d}.parquet") \
+            if comps else f"part-{token}-{i:05d}.parquet"
+        src = os.path.join(stage, relf)
         with open(src, "rb") as fh:
             fh.seek(0, 2)
             flen = fh.tell()
@@ -138,9 +170,12 @@ def _stage_data_files(
                 return _fh.read(ln)
 
             meta = parse_footer_tail(read_footer_tail(_fetch, flen))
-        os.replace(src, os.path.join(table_dir, name))
-        adds.append({"path": name, "size": flen,
+        dest = os.path.join(table_dir, name)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(src, dest)
+        adds.append({"path": name.replace(os.sep, "/"), "size": flen,
                      "numRecords": meta["n_rows"],
+                     "partitionValues": pvals,
                      "stats": _file_stats(meta)})
     shutil.rmtree(stage, ignore_errors=True)
     return adds
@@ -188,16 +223,22 @@ def write_delta(
     mode: str = "append",
     checkpoint_interval: int = 10,
     max_retries: int = 10,
+    partition_by: list[str] | None = None,
 ) -> dict:
     """Commit ``df`` to the table.  Returns ``{version, n_files,
     n_records, n_removed}``.  Retries version claims on conflict
     (another writer committed first) up to ``max_retries`` times —
-    the data files are written ONCE; only the log claim retries."""
+    the data files are written ONCE; only the log claim retries.
+    ``partition_by`` writes Hive-layout partition dirs and stamps
+    ``add.partitionValues`` + ``metaData.partitionColumns`` (Delta's
+    partitioned-table shape; the partition columns live on the add
+    actions, not in the data files)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported write mode {mode!r}")
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
-    adds = _stage_data_files(df, table_dir, token)
+    adds = _stage_data_files(df, table_dir, token,
+                             partition_by=partition_by)
 
     schema_string = df.schema.json()
     for _ in range(max_retries):
@@ -211,7 +252,7 @@ def write_delta(
             "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
-            "partitionColumns": [],
+            "partitionColumns": list(partition_by or []),
         }})
         removed = []
         if mode == "overwrite":
@@ -221,7 +262,7 @@ def write_delta(
                 for p in removed
             )
         acts.extend(
-            {"add": {**a, "partitionValues": {}, "dataChange": True}}
+            {"add": {**a, "dataChange": True}}
             for a in adds
         )
         acts.append({"commitInfo": {
@@ -269,6 +310,13 @@ def optimize_delta(
     small = sorted(
         p for p, (sz, _) in snap["live"].items() if sz < small_file_bytes
     )
+    pv = snap.get("partition_values", {})
+    partitioned = [p for p in small if pv.get(p)]
+    if partitioned:
+        raise ValueError(
+            "optimize of partitioned tables must compact per partition "
+            f"— not implemented (files: {partitioned[:3]})"
+        )
     if len(small) <= target_partitions:
         return {"version": None, "n_compacted": 0, "n_files": 0,
                 "n_records": 0}
@@ -290,7 +338,7 @@ def optimize_delta(
         version = cur["version"] + 1
         acts = (
             [{"remove": {"path": p, "dataChange": False}} for p in small]
-            + [{"add": {**a, "partitionValues": {}, "dataChange": False}}
+            + [{"add": {**a, "dataChange": False}}
                for a in adds]
             + [{"commitInfo": {"operation": "OPTIMIZE",
                                "numRemovedFiles": len(small),

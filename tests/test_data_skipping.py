@@ -133,3 +133,87 @@ def test_sink_writes_footer_derived_stats(spark, tmp_path):
     # the v column prunes independently (v = 3*id)
     prv = prune_live_files(snap, "v", lo=900, hi=1000)
     assert prv["n_kept"] == 1
+
+
+# ---------------------------------------------------------------------------
+# partitioned writes + partition pruning (round 10)
+# ---------------------------------------------------------------------------
+
+def test_partitioned_write_and_prune(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_by_partition,
+    )
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        read_log_commits,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 300).selectExpr(
+        "id", "CASE WHEN id % 3 = 0 THEN 'a' WHEN id % 3 = 1 "
+        "THEN 'b' ELSE 'c' END AS cat"
+    ).repartition(1)
+    r = write_delta(df, tbl, partition_by=["cat"])
+    assert r["n_files"] == 3  # one per partition value
+    snap = replay_delta_log(read_log_commits(tbl))
+    pv = snap["partition_values"]
+    assert sorted(v["cat"] for v in pv.values()) == ["a", "b", "c"]
+    # data files live under Hive dirs and do NOT contain the column
+    (a_path,) = [p for p, v in pv.items() if v["cat"] == "a"]
+    assert a_path.startswith("cat=a/")
+    cols = spark.read.parquet(os.path.join(tbl, a_path)).columns
+    assert cols == ["id"]
+    # metaData records the partition columns
+    assert '"partitionColumns": ["cat"]' in read_log_commits(tbl)[0] \
+        or '"partitionColumns":["cat"]' in read_log_commits(tbl)[0]
+    # pruning keeps exactly the wanted partition
+    pr = prune_by_partition(snap, {"cat": {"b"}})
+    assert pr["n_kept"] == 1 and pr["n_skipped"] == 2
+    (b_path,) = pr["kept"]
+    got = spark.read.parquet(os.path.join(tbl, b_path))
+    assert got.count() == 100
+    # stats prune composes inside the survivors
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+    )
+
+    sub = dict(snap)
+    sub["live"] = pr["kept"]
+    pr2 = prune_live_files(sub, "id", lo=0, hi=10)
+    assert pr2["n_kept"] == 1  # id range spans all partitions
+
+
+def test_partition_prune_keeps_unconstrained_files():
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_by_partition,
+    )
+
+    snap = {
+        "live": {"p.parquet": (1, 1), "q.parquet": (1, 1)},
+        "partition_values": {"p.parquet": {"cat": "a"}},
+    }
+    pr = prune_by_partition(snap, {"cat": {"zzz"}})
+    # q has no cat value → must be kept; p provably mismatches
+    assert set(pr["kept"]) == {"q.parquet"}
+    assert pr["n_no_stats"] == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="constraint"):
+        prune_by_partition(snap, {})
+
+
+def test_optimize_rejects_partitioned_files(spark, tmp_path):
+    import pytest
+
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        optimize_delta,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 10).selectExpr(
+        "id", "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS cat"
+    )
+    write_delta(df, tbl, partition_by=["cat"])
+    with pytest.raises(ValueError, match="per partition"):
+        optimize_delta(spark, tbl)

@@ -221,8 +221,8 @@ def test_optimize_conflict_on_concurrent_remove(spark, tmp_path):
     real_stage = delta_sink._stage_data_files
     raced = []
 
-    def stage_then_race(d, t, tok):
-        adds = real_stage(d, t, tok)
+    def stage_then_race(d, t, tok, **kw):
+        adds = real_stage(d, t, tok, **kw)
         if not raced:  # fire once (the racer itself stages files too)
             raced.append(True)
             # another writer overwrites the table before our claim
