@@ -54,6 +54,7 @@ def replay_delta_log(
     initial_schema: str | None = None,
     initial_dv: dict[str, dict] | None = None,
     initial_stats: dict[str, dict] | None = None,
+    initial_txn: dict[str, int] | None = None,
 ) -> dict:
     """Replay ordered commit contents into the live-file snapshot.
 
@@ -93,6 +94,7 @@ def replay_delta_log(
     pv: dict[str, dict] = dict(initial_pv or {})
     dvs: dict[str, dict] = dict(initial_dv or {})
     fstats: dict[str, dict] = dict(initial_stats or {})
+    app_versions: dict[str, int] = dict(initial_txn or {})
     schema_json = initial_schema
     schema_version: int | None = None
     n_removes = 0
@@ -190,6 +192,17 @@ def replay_delta_log(
                 fstats.pop(path, None)
                 if prior is not None:
                     tombstones[path] = (version, prior[0])
+            elif kind == "txn":
+                app = body.get("appId")
+                tv = body.get("version")
+                if not isinstance(app, str) or not app:
+                    raise ValueError("txn action missing appId")
+                if not isinstance(tv, int) or isinstance(tv, bool):
+                    raise ValueError("txn action bad version")
+                # PROTOCOL.md "Transaction Identifiers": the latest
+                # version per appId is the streaming-restart watermark
+                if tv > app_versions.get(app, -(1 << 62)):
+                    app_versions[app] = tv
     return {
         "version": base_version + len(commits) - 1,
         "n_live": len(live),
@@ -203,6 +216,7 @@ def replay_delta_log(
         "schema_version": schema_version,
         "deletion_vectors": dict(sorted(dvs.items())),
         "file_stats": dict(sorted(fstats.items())),
+        "app_versions": dict(sorted(app_versions.items())),
         "dv_cardinality": sum(d["cardinality"] for d in dvs.values()),
         "live_rows_after_dv": (
             sum(r for _, r in live.values())
@@ -396,10 +410,17 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
         if replay.get("schema_json")
         else []
     )
-    n = len(adds) + len(removes) + len(metas)
-    add_col = adds + [None] * (len(removes) + len(metas))
-    rm_col = [None] * len(adds) + removes + [None] * len(metas)
-    md_col = [None] * (len(adds) + len(removes)) + metas
+    txns = [
+        {"appId": app, "version": v}
+        for app, v in sorted(replay.get("app_versions", {}).items())
+    ]
+    n = len(adds) + len(removes) + len(metas) + len(txns)
+    add_col = adds + [None] * (len(removes) + len(metas) + len(txns))
+    rm_col = ([None] * len(adds) + removes
+              + [None] * (len(metas) + len(txns)))
+    md_col = ([None] * (len(adds) + len(removes)) + metas
+              + [None] * len(txns))
+    txn_col = [None] * (len(adds) + len(removes) + len(metas)) + txns
     table = pa.table(
         {
             "add": pa.array(
@@ -430,6 +451,11 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
                 md_col,
                 type=pa.struct([("schemaString", pa.string())]),
             ),
+            "txn": pa.array(
+                txn_col,
+                type=pa.struct([("appId", pa.string()),
+                                ("version", pa.int64())]),
+            ),
         }
     )
     assert table.num_rows == n
@@ -440,9 +466,9 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
 
 def read_checkpoint_parquet(
     payload: bytes,
-) -> tuple[dict, dict, dict, str | None, dict, dict]:
+) -> tuple[dict, dict, dict, str | None, dict, dict, dict]:
     """Recover ``(live, tombstones, partition_values, schema_json,
-    deletion_vectors, file_stats)``
+    deletion_vectors, file_stats, app_versions)``
     from a checkpoint parquet file via the hand decoder — every row
     must be exactly one of add/remove/metaData.  ``add.partitionValues``
     (a parquet MAP column, the delta-io layout) decodes through the
@@ -482,9 +508,11 @@ def read_checkpoint_parquet(
     has_md = "metaData.schemaString" in ctx["leaves"]
     has_dv = "add.deletionVector.storageType" in ctx["leaves"]
     has_stats = "add.stats" in ctx["leaves"]
+    has_txn = "txn.appId" in ctx["leaves"]
     pv: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
     fstats: dict[str, dict] = {}
+    app_versions: dict[str, int] = {}
     schema_json: str | None = None
     _DV_LEAVES = ("storageType", "pathOrInlineDv", "offset",
                   "sizeInBytes", "cardinality")
@@ -535,8 +563,17 @@ def read_checkpoint_parquet(
             if has_stats
             else [None] * len(cols[0])
         )
-        for ap, asz, anr, rp, rdv, rsz, apv, mds, adv, ast in zip(
-            *cols, pv_rows, md_rows, dv_rows, st_rows
+        if has_txn:
+            got_txn = read_leaf_columns(
+                payload, rg, ["txn.appId", "txn.version"],
+                with_nulls=True, ctx=ctx,
+            )
+            txn_rows = list(zip(got_txn["txn.appId"]["values"],
+                                got_txn["txn.version"]["values"]))
+        else:
+            txn_rows = [(None, None)] * len(cols[0])
+        for ap, asz, anr, rp, rdv, rsz, apv, mds, adv, ast, txn in zip(
+            *cols, pv_rows, md_rows, dv_rows, st_rows, txn_rows
         ):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
@@ -567,9 +604,18 @@ def read_checkpoint_parquet(
                         "checkpoint carries more than one metaData row"
                     )
                 schema_json = mds
+            elif txn[0] is not None:
+                if txn[1] is None:
+                    raise ValueError("checkpoint txn row incomplete")
+                if txn[0] in app_versions:
+                    raise ValueError(
+                        f"checkpoint carries duplicate txn appId {txn[0]!r}"
+                    )
+                app_versions[txn[0]] = txn[1]
             else:
                 raise ValueError("checkpoint row carries no action")
-    return live, tombstones, pv, schema_json, dvs, fstats
+    return (live, tombstones, pv, schema_json, dvs, fstats,
+            app_versions)
 
 
 def replay_from_checkpoint(
@@ -583,9 +629,8 @@ def replay_from_checkpoint(
     partition values, schema, deletion vectors); `n_remove_actions`
     counts the tail only (see replay_delta_log)."""
     lc = parse_last_checkpoint(last_checkpoint_text)
-    live, tombstones, pv, schema, dvs, fstats = read_checkpoint_parquet(
-        checkpoint_payload
-    )
+    (live, tombstones, pv, schema, dvs, fstats,
+     app_versions) = read_checkpoint_parquet(checkpoint_payload)
     return replay_delta_log(
         tail_commits,
         initial_live=live,
@@ -595,6 +640,7 @@ def replay_from_checkpoint(
         initial_schema=schema,
         initial_dv=dvs,
         initial_stats=fstats,
+        initial_txn=app_versions,
     )
 
 

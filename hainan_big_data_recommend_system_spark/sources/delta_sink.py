@@ -224,6 +224,7 @@ def write_delta(
     checkpoint_interval: int = 10,
     max_retries: int = 10,
     partition_by: list[str] | None = None,
+    txn: tuple[str, int] | None = None,
 ) -> dict:
     """Commit ``df`` to the table.  Returns ``{version, n_files,
     n_records, n_removed}``.  Retries version claims on conflict
@@ -232,9 +233,30 @@ def write_delta(
     ``partition_by`` writes Hive-layout partition dirs and stamps
     ``add.partitionValues`` + ``metaData.partitionColumns`` (Delta's
     partitioned-table shape; the partition columns live on the add
-    actions, not in the data files)."""
+    actions, not in the data files).
+
+    ``txn=(appId, version)`` makes the commit IDEMPOTENT (PROTOCOL.md
+    "Transaction Identifiers"): if the snapshot already records this
+    appId at >= version, the write is a no-op returning
+    ``{"version": None, "skipped": True}`` — exactly-once semantics
+    for streaming foreachBatch writers, whose batches redeliver on
+    restart.  The check runs BEFORE staging and again inside every
+    claim retry, so a concurrent duplicate writer cannot double-apply
+    a batch; a skip discovered after staging unlinks the orphaned
+    data files (they were never referenced by any commit)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported write mode {mode!r}")
+
+    def _txn_done(snap: dict) -> bool:
+        return (
+            txn is not None
+            and snap.get("app_versions", {}).get(txn[0], -(1 << 62))
+            >= txn[1]
+        )
+
+    if _txn_done(snapshot(table_dir)):
+        return {"version": None, "skipped": True, "n_files": 0,
+                "n_records": 0, "n_removed": 0}
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
@@ -243,6 +265,14 @@ def write_delta(
     schema_string = df.schema.json()
     for _ in range(max_retries):
         snap = snapshot(table_dir)
+        if _txn_done(snap):  # a duplicate writer beat us to the claim
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(table_dir, a["path"]))
+                except OSError:
+                    pass
+            return {"version": None, "skipped": True, "n_files": 0,
+                    "n_records": 0, "n_removed": 0}
         version = snap["version"] + 1
         acts: list[dict] = []
         if version == 0:
@@ -265,6 +295,8 @@ def write_delta(
             {"add": {**a, "dataChange": True}}
             for a in adds
         )
+        if txn is not None:
+            acts.append({"txn": {"appId": txn[0], "version": txn[1]}})
         acts.append({"commitInfo": {
             "operation": "WRITE", "mode": mode,
         }})

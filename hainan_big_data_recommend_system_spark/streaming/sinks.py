@@ -63,3 +63,22 @@ def start_kv_query(
     if available_now:
         q = q.trigger(availableNow=True)
     return q.start()
+
+
+def delta_table_writer(table_dir: str, app_id: str):
+    """EXACTLY-ONCE streaming → Delta (round 10): a ``foreachBatch``
+    writer that appends each micro-batch to a transactional Delta
+    table (sources/delta_sink.py) stamped with the protocol's ``txn``
+    action ``(appId=app_id, version=epoch_id)``.  ``foreachBatch`` is
+    at-least-once — after a restart Spark REDELIVERS the last
+    uncommitted batch — and the txn watermark is what turns that into
+    exactly-once: a redelivered epoch finds its (appId, version)
+    already recorded in the snapshot and skips without writing a row.
+    This is the same mechanism delta-io's own streaming sink uses
+    (PROTOCOL.md "Transaction Identifiers")."""
+    from ..sources.delta_sink import write_delta
+
+    def write(batch_df: DataFrame, epoch_id: int) -> None:
+        write_delta(batch_df, table_dir, txn=(app_id, int(epoch_id)))
+
+    return write

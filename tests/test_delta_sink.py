@@ -236,3 +236,108 @@ def test_optimize_conflict_on_concurrent_remove(spark, tmp_path):
             optimize_delta(spark, tbl)
     finally:
         delta_sink._stage_data_files = real_stage
+
+
+# ---------------------------------------------------------------------------
+# txn idempotence + exactly-once streaming (round 10)
+# ---------------------------------------------------------------------------
+
+def test_txn_makes_commits_idempotent(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        snapshot,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 50).selectExpr("id").coalesce(1)
+    r1 = write_delta(df, tbl, txn=("app-1", 0))
+    assert r1["version"] == 0
+    # redelivery of the same epoch: no-op, no rows doubled
+    r2 = write_delta(df, tbl, txn=("app-1", 0))
+    assert r2 == {"version": None, "skipped": True, "n_files": 0,
+                  "n_records": 0, "n_removed": 0}
+    snap = snapshot(tbl)
+    assert snap["live_rows"] == 50
+    assert snap["app_versions"] == {"app-1": 0}
+    # an OLDER epoch than the watermark is also skipped
+    r3 = write_delta(df, tbl, txn=("app-1", -5))
+    assert r3["skipped"] is True
+    # the next epoch commits; another app has its own watermark
+    r4 = write_delta(df, tbl, txn=("app-1", 1))
+    assert r4["version"] == 1
+    r5 = write_delta(df, tbl, txn=("app-2", 0))
+    assert r5["version"] == 2
+    snap = snapshot(tbl)
+    assert snap["app_versions"] == {"app-1": 1, "app-2": 0}
+    assert snap["live_rows"] == 150
+    # no orphaned data files from the skipped writes
+    n_parquet = sum(
+        1 for f in os.listdir(tbl) if f.endswith(".parquet")
+    )
+    assert n_parquet == snap["n_live"] == 3
+
+
+def test_txn_watermark_survives_checkpoint(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        make_checkpoint_parquet,
+        make_last_checkpoint,
+        replay_from_checkpoint,
+    )
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        read_log_commits,
+        snapshot,
+        write_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for ep in range(4):
+        write_delta(
+            spark.range(ep * 10, ep * 10 + 10).selectExpr("id"),
+            tbl, txn=("s", ep),
+        )
+    full = snapshot(tbl)
+    ck = make_checkpoint_parquet(full)
+    got = replay_from_checkpoint(
+        make_last_checkpoint(3, len(ck)), ck, []
+    )
+    assert got["app_versions"] == full["app_versions"] == {"s": 3}
+
+
+def test_streaming_delta_sink_exactly_once(spark, tmp_path):
+    """Drive a real file-source stream into the Delta sink twice with
+    the SAME epochs (simulating post-restart redelivery): the second
+    pass must be a pure no-op."""
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        snapshot,
+    )
+    from hainan_big_data_recommend_system_spark.streaming.sinks import (
+        delta_table_writer,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    spark.range(0, 40).selectExpr("id").coalesce(1) \
+        .write.mode("overwrite").json(str(src))
+    tbl = str(tmp_path / "tbl")
+    writer = delta_table_writer(tbl, "stream-app")
+
+    def run(checkpoint):
+        stream = (
+            spark.readStream.schema("id LONG").json(str(src))
+        )
+        q = (
+            stream.writeStream.foreachBatch(writer)
+            .option("checkpointLocation", str(tmp_path / checkpoint))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("ck1")
+    first = snapshot(tbl)
+    assert first["live_rows"] == 40
+    # fresh stream checkpoint → Spark redelivers epoch 0
+    run("ck2")
+    second = snapshot(tbl)
+    assert second["live_rows"] == 40  # txn watermark absorbed the replay
+    assert second["app_versions"] == {"stream-app": 0}
