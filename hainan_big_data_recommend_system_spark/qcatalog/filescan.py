@@ -511,7 +511,7 @@ _DELTA_TABLE_SQL = """
 """
 
 
-@register("delta_table_read", _DELTA_TABLE_SQL)  # promoted r9 (#7)
+@register_extra("delta_table_read", _DELTA_TABLE_SQL)  # demoted r10 (#8): facet rides the sink-built driver rows + delta_checkpoint_replay
 def q_delta_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE Delta read path against an on-disk table: resolve the
     snapshot from `_last_checkpoint` + the real checkpoint parquet (hand
@@ -648,7 +648,7 @@ def _ensure_iceberg_table_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register("iceberg_table_read", _DELTA_TABLE_SQL)  # promoted r9 (#7)
+@register_extra("iceberg_table_read", _DELTA_TABLE_SQL)  # demoted r10 (#8): facet rides iceberg_sink_roundtrip's tree-walk read-back
 def q_iceberg_table_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WHOLE Iceberg read path against an on-disk table: the
     metadata TREE (version-pointer json → manifest-list Avro →
@@ -811,7 +811,7 @@ def _ensure_iceberg_sink_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register_extra(
+@register(  # promoted r10 (#8): write-side lake parity, format #2
     "iceberg_sink_roundtrip",
     """
     SELECT doc_id, md5(text) AS body_md5,
@@ -906,7 +906,7 @@ def _ensure_delta_skipping_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register_extra(
+@register(  # promoted r10 (#8): the stats-prune scale lever
     "delta_data_skipping",
     """
     WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
@@ -1196,7 +1196,7 @@ def _ensure_delta_partitioned_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register_extra(
+@register(  # promoted r10 (#8): the partition-prune scale lever
     "delta_partition_pruning",
     """
     SELECT doc_id, md5(text) AS body_md5, lang,

@@ -264,7 +264,7 @@ def q_recent3_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # top 10% most-similar users within the predicted cluster)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(  # demoted r10 (#8): window-rank facet rides customer_360 + order_timeline_analytics
     "top_decile_per_segment",
     """
     SELECT c_mktsegment, c_custkey, c_acctbal, round(pr, 6) AS pr
