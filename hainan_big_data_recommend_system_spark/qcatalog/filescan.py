@@ -1237,3 +1237,88 @@ def q_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(snap["n_live"]).cast("long").alias("n_files_total"),
         F.lit(pr["n_kept"]).cast("long").alias("n_files_kept"),
     )
+
+
+def _ensure_dv_delete_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A sink-written documents table with a DV-based DELETE applied:
+    doc_id%7==3 rows are tombstoned by deletion vectors — zero data
+    files rewritten."""
+    out = _fixture_dir(sf_dir, "deltadvdel")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import delete_where_delta, write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(docs.repartition(3), tmp)
+    delete_where_delta(spark, tmp, "doc_id % 7 = 3",
+                       inline_threshold=64)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_dv_delete_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(3 AS BIGINT) AS n_files,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3)
+                AS BIGINT) AS dv_cardinality,
+           TRUE AS files_untouched
+    FROM documents
+    WHERE doc_id % 7 <> 3
+    """,
+)
+def q_delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE without rewrite (round 10): the write half of the
+    r9 deletion-vector read path.  A distributed
+    ``_metadata.row_index`` scan finds doc_id%7==3 positions, roaring
+    DVs ride re-adds (sidecar .bin here — inline_threshold forces the
+    CRC-verified file form), and the scan applies them as a position
+    anti-join.  The hash gate pins the surviving rows, the DV
+    cardinality, the file count, and ``files_untouched`` — the
+    snapshot's live (path, size) set must be BYTE-IDENTICAL before and
+    after the delete, which is the entire point: at 100 TB a DELETE
+    touches kilobytes of bitmaps, not terabytes of parquet."""
+    from ..operators.deltalog import (
+        replay_delta_log,
+        resolve_deletion_vector,
+    )
+    from ..sources.delta_sink import read_log_commits
+
+    fixture = _ensure_dv_delete_fixture(spark, sf_dir)
+    commits = read_log_commits(fixture)
+    cur = replay_delta_log(commits)
+    pre = replay_delta_log(commits[:1])
+    untouched = cur["live"] == pre["live"]
+
+    def fetch(p: str) -> bytes:
+        return open(os.path.join(fixture, p), "rb").read()
+
+    dead_rows = [
+        ("file:" + os.path.abspath(os.path.join(fixture, p)), int(ri))
+        for p, d in cur["deletion_vectors"].items()
+        for ri in resolve_deletion_vector(d, fetch)
+    ]
+    dead = spark.createDataFrame(dead_rows, "fp string, ri long")
+    data = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(cur["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+        "doc_id", "body",
+    )
+    alive = data.join(F.broadcast(dead), ["fp", "ri"], "left_anti")
+    return alive.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(cur["n_live"]).cast("long").alias("n_files"),
+        F.lit(cur["dv_cardinality"]).cast("long")
+        .alias("dv_cardinality"),
+        F.lit(untouched).alias("files_untouched"),
+    )
