@@ -542,3 +542,162 @@ def delete_where_delta(
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+def merge_delta(
+    spark,
+    source: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    inline_threshold: int = 512,
+    checkpoint_interval: int = 10,
+    max_retries: int = 10,
+) -> dict:
+    """MERGE (upsert): every source row lands in the table; target
+    rows sharing a key are superseded — in ONE atomic commit, without
+    rewriting any existing data file.
+
+    The classic upsert decomposes as (a) a distributed key-match scan
+    (``_metadata.row_index`` positions of target rows whose key
+    appears in the source — the source keys broadcast, so the scan
+    reads only the key columns of the target), (b) deletion vectors
+    over the matched positions (merged with existing DVs), and (c)
+    the source staged as new data files.  All three land in a single
+    claimed commit: remove+re-add-with-DV for each touched file, adds
+    for the new files, ``commitInfo.operation = "MERGE"`` — a reader
+    replays either the whole upsert or none of it.
+
+    Returns ``{version, n_files_touched, n_rows_updated,
+    n_files_added, n_records_added}``."""
+    from pyspark.sql import functions as F
+
+    from ..operators.deltalog import (
+        make_deletion_vector,
+        make_dv_descriptor_inline,
+        make_dv_file,
+        resolve_deletion_vector,
+    )
+
+    if not key_cols:
+        raise ValueError("merge needs at least one key column")
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    snap = snapshot(table_dir)
+    token = uuid.uuid4().hex[:12]
+    adds = _stage_data_files(source, table_dir, token)
+
+    descs: dict[str, dict] = {}
+    n_updated = 0
+    pv = snap.get("partition_values", {})
+    fstats = snap.get("file_stats", {})
+    if snap["live"]:
+        if any(pv.get(p) for p in snap["live"]):
+            raise ValueError(
+                "merge into partitioned tables is not implemented"
+            )
+        paths = sorted(snap["live"])
+        target = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in paths]
+        ).select(
+            F.col("_metadata.file_path").alias("__fp"),
+            F.col("_metadata.row_index").alias("__ri"),
+            *key_cols,
+        )
+        matched = (
+            target.join(
+                F.broadcast(source.select(*key_cols).distinct()),
+                key_cols, "inner",
+            )
+            .groupBy("__fp")
+            .agg(F.sort_array(F.collect_list("__ri")).alias("pos"))
+            .collect()
+        )
+        abs_to_rel = {
+            "file:" + os.path.abspath(os.path.join(table_dir, p)): p
+            for p in paths
+        }
+        old_dvs = snap.get("deletion_vectors", {})
+
+        def fetch(path: str) -> bytes:
+            return open(os.path.join(table_dir, path), "rb").read()
+
+        new_positions: dict[str, list[int]] = {}
+        for row in matched:
+            rel = abs_to_rel.get(row["__fp"])
+            if rel is None:
+                raise ValueError(
+                    f"scan returned unknown file {row['__fp']!r}"
+                )
+            pos = [int(x) for x in row["pos"]]
+            prior = set(
+                resolve_deletion_vector(old_dvs[rel], fetch)
+                if rel in old_dvs else ()
+            )
+            fresh = [p for p in pos if p not in prior]
+            n_updated += len(fresh)
+            if fresh:
+                new_positions[rel] = sorted(prior.union(pos))
+        sidecar: list[tuple[str, bytes]] = []
+        for rel in sorted(new_positions):
+            dv = make_deletion_vector(new_positions[rel])
+            if len(dv) <= inline_threshold:
+                descs[rel] = make_dv_descriptor_inline(
+                    new_positions[rel]
+                )
+            else:
+                sidecar.append((rel, dv))
+        if sidecar:
+            payload, offsets = make_dv_file([dv for _, dv in sidecar])
+            dv_name = f"deletion_vector_{token}.bin"
+            with open(os.path.join(table_dir, dv_name), "wb") as fh:
+                fh.write(payload)
+            for (rel, dv), off in zip(sidecar, offsets):
+                descs[rel] = {
+                    "storageType": "p", "pathOrInlineDv": dv_name,
+                    "offset": off, "sizeInBytes": len(dv),
+                    "cardinality": len(new_positions[rel]),
+                }
+
+    schema_string = source.schema.json()
+    for _ in range(max_retries):
+        cur = snapshot(table_dir)
+        stale = [p for p in descs if p not in cur["live"]]
+        if stale:
+            raise ValueError(
+                f"merge conflict: files removed concurrently ({stale[:3]})"
+            )
+        version = cur["version"] + 1
+        acts: list[dict] = []
+        if version == 0:
+            acts.append({"protocol": {"minReaderVersion": 1,
+                                      "minWriterVersion": 2}})
+        acts.append({"metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": [],
+        }})
+        for rel in sorted(descs):
+            size, rows = cur["live"][rel]
+            acts.append({"remove": {"path": rel, "dataChange": True}})
+            add = {"path": rel, "size": size, "numRecords": rows,
+                   "partitionValues": {},
+                   "deletionVector": descs[rel], "dataChange": True}
+            if rel in fstats:
+                add["stats"] = json.dumps(
+                    fstats[rel], sort_keys=True, separators=(",", ":")
+                )
+            acts.append({"add": add})
+        acts.extend({"add": {**a, "dataChange": True}} for a in adds)
+        acts.append({"commitInfo": {"operation": "MERGE",
+                                    "matchedOn": key_cols}})
+        if _claim_version(table_dir, version, make_commit(acts), token):
+            _maybe_checkpoint(table_dir, version, checkpoint_interval)
+            return {"version": version,
+                    "n_files_touched": len(descs),
+                    "n_rows_updated": n_updated,
+                    "n_files_added": len(adds),
+                    "n_records_added": sum(
+                        a["numRecords"] for a in adds)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )

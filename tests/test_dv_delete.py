@@ -121,3 +121,101 @@ def test_delete_by_partition_column(spark, tmp_path):
         i for i in range(90) if not (i % 3 == 1 and i < 40)
     )
     assert res["n_files_touched"] == 1  # only cat=b's file
+
+
+# ---------------------------------------------------------------------------
+# MERGE (upsert) — DV delete + insert in one commit (round 10)
+# ---------------------------------------------------------------------------
+
+def _all_rows(spark, tbl):
+    """(id, v) pairs of the live table with DVs applied."""
+    from pyspark.sql import functions as F
+
+    snap = snapshot(tbl)
+
+    def fetch(p):
+        return open(os.path.join(tbl, p), "rb").read()
+
+    dead = {
+        "file:" + os.path.abspath(os.path.join(tbl, p)):
+            set(resolve_deletion_vector(d, fetch))
+        for p, d in snap.get("deletion_vectors", {}).items()
+    }
+    df = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"),
+        "id", "v",
+    )
+    return sorted(
+        (r["id"], r["v"]) for r in df.collect()
+        if r["ri"] not in dead.get(r["fp"], ())
+    ), snap
+
+
+def test_merge_upserts_atomically(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        merge_delta,
+        read_log_commits,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.range(0, 100).selectExpr("id", "id AS v").repartition(2),
+        tbl,
+    )
+    files_before = dict(snapshot(tbl)["live"])
+    # updates: ids 0..19 get v = -id; inserts: ids 100..109
+    source = spark.range(0, 20).selectExpr("id", "-id AS v").union(
+        spark.range(100, 110).selectExpr("id", "id AS v")
+    ).coalesce(1)
+    res = merge_delta(spark, source, tbl, ["id"])
+    assert res["version"] == 1
+    assert res["n_rows_updated"] == 20
+    assert res["n_records_added"] == 30
+    rows, snap = _all_rows(spark, tbl)
+    want = sorted(
+        [(i, -i) for i in range(20)]
+        + [(i, i) for i in range(20, 100)]
+        + [(i, i) for i in range(100, 110)]
+    )
+    assert rows == want
+    # the original files are untouched, only re-added with DVs
+    for p, meta in files_before.items():
+        assert snap["live"][p] == meta
+    # ONE commit carries the whole upsert
+    assert len(read_log_commits(tbl)) == 2
+    # a half-replay (time travel) sees the pre-merge table intact
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        replay_delta_log,
+    )
+
+    pre = replay_delta_log(read_log_commits(tbl)[:1])
+    assert pre["live_rows"] == 100 and pre["dv_cardinality"] == 0
+
+
+def test_merge_into_empty_table_is_insert(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        merge_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    res = merge_delta(
+        spark,
+        spark.range(0, 5).selectExpr("id", "id AS v").coalesce(1),
+        tbl, ["id"],
+    )
+    assert res["version"] == 0 and res["n_rows_updated"] == 0
+    rows, _ = _all_rows(spark, tbl)
+    assert rows == [(i, i) for i in range(5)]
+
+
+def test_merge_needs_keys(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        merge_delta,
+    )
+
+    with pytest.raises(ValueError, match="key column"):
+        merge_delta(spark, spark.range(1).selectExpr("id", "id AS v"),
+                    str(tmp_path / "t"), [])
