@@ -34,7 +34,8 @@ from __future__ import annotations
 
 import json
 
-_KNOWN_ACTIONS = {"add", "remove", "metaData", "protocol", "commitInfo", "txn"}
+_KNOWN_ACTIONS = {"add", "remove", "metaData", "protocol", "commitInfo",
+                  "txn", "cdc"}
 _MAX_READER_VERSION = 1
 
 
@@ -192,6 +193,19 @@ def replay_delta_log(
                 fstats.pop(path, None)
                 if prior is not None:
                     tombstones[path] = (version, prior[0])
+            elif kind == "cdc":
+                # Change Data Files (PROTOCOL.md): row-level change
+                # descriptions for CDF readers.  They never alter the
+                # live-file snapshot — validate and move on; the CDF
+                # reader (sources/delta_sink.read_changes) consumes
+                # them per-commit, not from the replayed state.
+                cpath = body.get("path")
+                if not isinstance(cpath, str) or not cpath:
+                    raise ValueError("cdc action missing path")
+                csize = body.get("size")
+                if not isinstance(csize, int) or isinstance(csize, bool) \
+                        or csize < 0:
+                    raise ValueError("cdc action bad size")
             elif kind == "txn":
                 app = body.get("appId")
                 tv = body.get("version")
@@ -260,7 +274,19 @@ def prune_live_files(
             n_no_stats += 1
             kept[path] = (size, rows)  # no proof → must scan
             continue
-        if (lo is not None and mx < lo) or (hi is not None and mn > hi):
+        try:
+            disjoint = (lo is not None and mx < lo) or (
+                hi is not None and mn > hi
+            )
+        except TypeError:
+            # replay ingests ANY add.stats JSON: string (or otherwise
+            # incomparable) bounds are not proof of disjointness —
+            # pruning must never abort a scan, so treat them like
+            # missing stats and keep the file (ADVICE r10)
+            n_no_stats += 1
+            kept[path] = (size, rows)
+            continue
+        if disjoint:
             continue  # provably disjoint: skip without opening
         kept[path] = (size, rows)
     return {
@@ -729,13 +755,21 @@ def make_dv_file(dvs: list[bytes]) -> tuple[bytes, list[int]]:
 
 
 def make_dv_descriptor_inline(positions: list[int]) -> dict:
-    dv = make_deletion_vector(positions)
+    return make_dv_descriptor_inline_bytes(
+        make_deletion_vector(positions), len(set(positions))
+    )
+
+
+def make_dv_descriptor_inline_bytes(dv: bytes, cardinality: int) -> dict:
+    """Inline descriptor straight from serialized DV bytes — the form
+    the executor-side DV build hands the driver (the driver never
+    sees row positions, only O(touched files) opaque bitmaps)."""
     pad = (-len(dv)) % 4
     return {
         "storageType": "i",
         "pathOrInlineDv": z85_encode(dv + b"\x00" * pad),
         "sizeInBytes": len(dv),
-        "cardinality": len(set(positions)),
+        "cardinality": cardinality,
     }
 
 

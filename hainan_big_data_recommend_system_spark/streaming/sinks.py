@@ -65,7 +65,11 @@ def start_kv_query(
     return q.start()
 
 
-def delta_table_writer(table_dir: str, app_id: str):
+def delta_table_writer(
+    table_dir: str,
+    app_id: str,
+    partition_by: list[str] | None = None,
+):
     """EXACTLY-ONCE streaming → Delta (round 10): a ``foreachBatch``
     writer that appends each micro-batch to a transactional Delta
     table (sources/delta_sink.py) stamped with the protocol's ``txn``
@@ -75,10 +79,17 @@ def delta_table_writer(table_dir: str, app_id: str):
     exactly-once: a redelivered epoch finds its (appId, version)
     already recorded in the snapshot and skips without writing a row.
     This is the same mechanism delta-io's own streaming sink uses
-    (PROTOCOL.md "Transaction Identifiers")."""
+    (PROTOCOL.md "Transaction Identifiers").
+
+    ``partition_by`` lands each batch in the table's Hive partition
+    layout (round 11) — the 100 TB shape: a streaming event feed
+    accretes into a date-partitioned lake table whose historical
+    partitions the per-batch appends never touch, so downstream range
+    scans keep partition-pruning against add.partitionValues."""
     from ..sources.delta_sink import write_delta
 
     def write(batch_df: DataFrame, epoch_id: int) -> None:
-        write_delta(batch_df, table_dir, txn=(app_id, int(epoch_id)))
+        write_delta(batch_df, table_dir, txn=(app_id, int(epoch_id)),
+                    partition_by=partition_by)
 
     return write
