@@ -54,10 +54,33 @@ import json
 from collections.abc import Callable
 
 
+def _bounds_type(rec_name: str) -> list:
+    """The spec's column-bounds map layout in Avro manifests: an
+    optional array of (key: field-id, value: serialized bound)
+    records — Iceberg's own ``k126_v127``-style map encoding."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": rec_name,
+                "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "bytes"},
+                ],
+            },
+        },
+    ]
+
+
 def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
     """The spec's manifest_entry schema for a table partitioned by
     ``partition_fields`` (identity string transforms — the `r102`
-    partition tuple has one optional field per column)."""
+    partition tuple has one optional field per column).
+    ``lower_bounds``/``upper_bounds`` (round 11) are the per-column
+    data-skipping inputs: field-id-keyed single-value serializations
+    (8-byte little-endian for longs) the scan planner prunes on."""
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -91,6 +114,10 @@ def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
                             "type": ["null",
                                      {"type": "array", "items": "int"}],
                         },
+                        {"name": "lower_bounds",
+                         "type": _bounds_type("k126_v127")},
+                        {"name": "upper_bounds",
+                         "type": _bounds_type("k128_v129")},
                     ],
                 },
             },
@@ -123,7 +150,11 @@ _MAX_FORMAT_VERSION = 2
 
 def parse_table_metadata(text: str) -> dict:
     """metadata.json → ``{format_version, current_snapshot_id,
-    snapshots: {id: manifest_list_path}}`` with loud validation."""
+    snapshots: {id: manifest_list_path}, field_names, field_ids}``
+    with loud validation.  ``field_names`` maps the current schema's
+    field ids → column names (empty when the metadata carries no
+    schema — older fixtures): the key the manifest bounds maps and
+    ``equality_ids`` are resolved through."""
     obj = json.loads(text)  # JSONDecodeError IS ValueError
     if not isinstance(obj, dict):
         raise ValueError("table metadata is not an object")
@@ -152,10 +183,30 @@ def parse_table_metadata(text: str) -> dict:
         out[sid] = ml
     if cur not in out:
         raise ValueError("current-snapshot-id not in the snapshot list")
+    field_names: dict[int, str] = {}
+    schemas = obj.get("schemas")
+    if schemas is not None:
+        if not isinstance(schemas, list):
+            raise ValueError("schemas is not a list")
+        want_id = obj.get("current-schema-id", 0)
+        for sc in schemas:
+            if not isinstance(sc, dict) or not isinstance(
+                sc.get("fields"), list
+            ):
+                raise ValueError("schema entry missing fields")
+            if sc.get("schema-id", 0) != want_id:
+                continue
+            for f in sc["fields"]:
+                fid, name = f.get("id"), f.get("name")
+                if not isinstance(fid, int) or not isinstance(name, str):
+                    raise ValueError("schema field missing id/name")
+                field_names[fid] = name
     return {
         "format_version": fv,
         "current_snapshot_id": cur,
         "snapshots": out,
+        "field_names": field_names,
+        "field_ids": {n: i for i, n in field_names.items()},
     }
 
 
@@ -169,20 +220,39 @@ def snapshot_live_files(
 
     Returns ``{snapshot_id, n_manifests, n_live, n_deleted_entries,
     live_bytes, live_rows, live, partition_values, position_deletes,
-    n_position_deletes, live_rows_after_deletes}`` with ``live`` a
+    n_position_deletes, live_rows_after_deletes, file_stats,
+    field_names, position_delete_files}`` with ``live`` a
     path-sorted ``{path: (size, rows)}``, ``partition_values`` the
     non-empty partition tuples per live path (None-valued columns
     kept — a null partition value is data), and ``position_deletes``
     the applied row positions per live data path (delete files from
     ``content == 1`` manifests, decoded by the hand parquet reader,
     applied only when ``delete.sequence_number >=
-    data.sequence_number``).  Manifest-list counts AND
+    data.sequence_number``).  ``file_stats`` (round 11) carries the
+    manifests' ``lower_bounds``/``upper_bounds`` decoded to
+    ``{path: {minValues: {col: int}, maxValues: ...}}`` — the SAME
+    shape as the Delta replay's, so ``deltalog.prune_live_files``
+    data-skips either format's snapshot; ids resolve through the
+    metadata schema's ``field_names`` and undecodable or unmapped
+    bounds are SKIPPED, never guessed.  Manifest-list counts AND
     ``manifest_length`` are CROSS-CHECKED against the manifests they
     describe (a stale or truncated manifest fails loudly instead of
     under-reporting the table)."""
     from .avrocf import parse_avro
 
     meta = parse_table_metadata(metadata_text)
+    field_names = meta["field_names"]
+
+    def _decode_bounds(raw) -> dict[str, int]:
+        out: dict[str, int] = {}
+        for kv in raw or ():
+            name = field_names.get(kv.get("key"))
+            val = kv.get("value")
+            if name is None or not isinstance(val, (bytes, bytearray)):
+                continue  # unmapped/undecodable: no stats, not wrong stats
+            if len(val) in (4, 8):  # int32/int64 single-value form
+                out[name] = int.from_bytes(val, "little", signed=True)
+        return out
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
     ml_path = meta["snapshots"].get(sid)
     if ml_path is None:
@@ -190,6 +260,7 @@ def snapshot_live_files(
     ml = parse_avro(fetch(ml_path))
     live: dict[str, tuple[int, int]] = {}
     pv: dict[str, dict] = {}
+    fstats: dict[str, dict] = {}
     data_seq: dict[str, int] = {}
     # live delete FILES: path -> (sequence_number, record_count)
     live_deletes: dict[str, tuple[int, int]] = {}
@@ -265,6 +336,7 @@ def snapshot_live_files(
                 n_deleted += 1
                 live.pop(path, None)
                 pv.pop(path, None)
+                fstats.pop(path, None)
                 data_seq.pop(path, None)
             else:
                 size = df.get("file_size_in_bytes")
@@ -278,6 +350,14 @@ def snapshot_live_files(
                     pv[path] = dict(part)
                 else:
                     pv.pop(path, None)
+                mins = _decode_bounds(df.get("lower_bounds"))
+                maxs = _decode_bounds(df.get("upper_bounds"))
+                if mins or maxs:
+                    fstats[path] = {"numRecords": rows,
+                                    "minValues": mins,
+                                    "maxValues": maxs}
+                else:  # a re-listed entry without bounds clears them
+                    fstats.pop(path, None)
         if (
             counts[_STATUS_ADDED] != mf["added_files_count"]
             or counts[_STATUS_EXISTING] != mf["existing_files_count"]
@@ -346,16 +426,33 @@ def snapshot_live_files(
         "equality_deletes": eq_deletes,
         "n_equality_delete_files": len(eq_deletes),
         "data_sequence_numbers": dict(sorted(data_seq.items())),
+        "file_stats": dict(sorted(fstats.items())),
+        "field_names": dict(field_names),
+        "position_delete_files": sorted(live_deletes),
     }
+
+
+def _encode_bounds(bounds: dict | None) -> list[dict] | None:
+    """``{field_id: int}`` → the manifest's bounds-map rows with the
+    spec's single-value serialization (8-byte little-endian longs)."""
+    if not bounds:
+        return None
+    return [
+        {"key": int(fid),
+         "value": int(v).to_bytes(8, "little", signed=True)}
+        for fid, v in sorted(bounds.items())
+    ]
 
 
 def make_manifest(
     entries: list[dict], partition_fields: tuple[str, ...] = ()
 ) -> bytes:
-    """A spec-layout manifest Avro file (fixture writer).  ``entries``
-    are the ergonomic flat form ``{status, file_path, record_count,
-    file_size[, snapshot_id, partition]}``; this builder nests them
-    into the spec's ``manifest_entry``/``data_file`` records."""
+    """A spec-layout manifest Avro file (fixture + sink writer).
+    ``entries`` are the ergonomic flat form ``{status, file_path,
+    record_count, file_size[, snapshot_id, partition, lower_bounds,
+    upper_bounds]}`` (bounds as ``{field_id: int}``); this builder
+    nests them into the spec's ``manifest_entry``/``data_file``
+    records."""
     from .avrocf import make_avro
 
     nested = [
@@ -373,6 +470,8 @@ def make_manifest(
                 "record_count": e["record_count"],
                 "file_size_in_bytes": e["file_size"],
                 "equality_ids": e.get("equality_ids"),
+                "lower_bounds": _encode_bounds(e.get("lower_bounds")),
+                "upper_bounds": _encode_bounds(e.get("upper_bounds")),
             },
         }
         for e in entries
@@ -448,17 +547,31 @@ def make_position_delete_parquet(
 
 
 def make_table_metadata(
-    snapshots: dict[int, str], current: int, format_version: int = 2
+    snapshots: dict[int, str],
+    current: int,
+    format_version: int = 2,
+    schema_fields: list[dict] | None = None,
 ) -> str:
-    return json.dumps(
-        {
-            "format-version": format_version,
-            "current-snapshot-id": current,
-            "snapshots": [
-                {"snapshot-id": sid, "manifest-list": ml}
-                for sid, ml in sorted(snapshots.items())
+    """``schema_fields`` (round 11) is the spec's schema block —
+    ``[{id, name, type}, ...]`` — recorded so readers can resolve
+    manifest bounds keys and ``equality_ids`` back to column names."""
+    obj: dict = {
+        "format-version": format_version,
+        "current-snapshot-id": current,
+        "snapshots": [
+            {"snapshot-id": sid, "manifest-list": ml}
+            for sid, ml in sorted(snapshots.items())
+        ],
+    }
+    if schema_fields:
+        obj["current-schema-id"] = 0
+        obj["schemas"] = [{
+            "type": "struct",
+            "schema-id": 0,
+            "fields": [
+                {"id": f["id"], "name": f["name"],
+                 "required": False, "type": f.get("type", "string")}
+                for f in schema_fields
             ],
-        },
-        sort_keys=True,
-        separators=(",", ":"),
-    )
+        }]
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"))

@@ -133,14 +133,12 @@ def snapshot(table_dir: str) -> dict:
     return replay_delta_log(commits)
 
 
-def _file_stats(footer_meta: dict) -> str:
-    """``add.stats`` JSON (PROTOCOL.md "Per-file Statistics") from the
-    hand-parsed footer: numRecords always; minValues/maxValues for
-    every INT64 column whose chunk statistics cover ALL row groups —
-    a partial min is not a file min, so partially-covered columns are
-    omitted rather than guessed.  These are the data-skipping inputs
-    `prune_live_files` consumes: at scale, a key-clustered table
-    answers a narrow range scan by opening a handful of files."""
+def footer_int64_bounds(footer_meta: dict) -> tuple[dict, dict]:
+    """Per-column file-level (min, max) for every INT64 column whose
+    chunk statistics cover ALL row groups — a partial min is not a
+    file min, so partially-covered columns are omitted rather than
+    guessed.  Shared by both lake sinks (Delta ``add.stats``, Iceberg
+    manifest ``lower_bounds``/``upper_bounds``)."""
     n_rgs = footer_meta["n_row_groups"]
     per_col: dict[str, list[tuple[int, int]]] = {}
     for st in footer_meta["int64_stats"]:
@@ -149,6 +147,16 @@ def _file_stats(footer_meta: dict) -> str:
             if len(v) == n_rgs}
     maxs = {c: max(m for _, m in v) for c, v in per_col.items()
             if len(v) == n_rgs}
+    return mins, maxs
+
+
+def _file_stats(footer_meta: dict) -> str:
+    """``add.stats`` JSON (PROTOCOL.md "Per-file Statistics") from the
+    hand-parsed footer: numRecords always; minValues/maxValues from
+    `footer_int64_bounds`.  These are the data-skipping inputs
+    `prune_live_files` consumes: at scale, a key-clustered table
+    answers a narrow range scan by opening a handful of files."""
+    mins, maxs = footer_int64_bounds(footer_meta)
     stats: dict = {"numRecords": footer_meta["n_rows"]}
     if mins:
         stats["minValues"] = dict(sorted(mins.items()))

@@ -8,9 +8,12 @@ model — Iceberg swaps an immutable metadata-file POINTER instead of
 appending a log entry:
 
 1. data files: the DataFrame writes real parquet via Spark into a
-   staging directory, then each part moves under ``data/``; per-file
-   ``record_count`` comes from the repo's own footer reader
-   (operators/parquetfmt.py) — the sink dogfoods its decode surface;
+   staging directory, then each part moves under ``data/`` (Hive-style
+   ``col=value/`` subdirs when partitioned); per-file ``record_count``
+   AND per-column ``lower_bounds``/``upper_bounds`` come from the
+   repo's own footer reader (operators/parquetfmt.py) — the sink
+   dogfoods its decode surface and stamps the spec's data-skipping
+   inputs on every manifest entry;
 2. metadata blobs: a new manifest Avro (ADDED entries for this
    commit's files) and a new manifest-list Avro, written with
    unique names — immutable, conflict-free by construction;
@@ -30,13 +33,26 @@ appending a log entry:
 5. sequence numbers are v2-spec: each snapshot gets
    ``last-sequence-number + 1``, stamped on its manifest-list entry,
    so the positional-delete sequencing rule keeps working on tables
-   this sink wrote.
+   this sink wrote;
+6. the table schema (field ids → names/types) is recorded in
+   metadata.json, which is how readers resolve bounds keys and
+   ``equality_ids`` back to columns.
+
+Row-level deletes (round 11): `delete_where_iceberg` commits POSITION
+DELETE files — ``(file_path, pos)`` parquet written BY SPARK on
+executors (never a driver collect of positions), listed by a
+``content=1`` delete manifest at the new sequence number; the read
+side applies them under the spec's ``>=`` rule.  `merge_iceberg`
+commits an upsert as the spec intends for format v2: the source lands
+as new data files AND an EQUALITY DELETE file on the merge keys, both
+at the SAME sequence number — the delete applies to every older file
+(strictly-less rule) and never to the rows it rides in with.
 
 Public knowledge: iceberg.apache.org/spec/ (metadata versioning,
-manifest lists, sequence numbers, HadoopCatalog file layout).
-Reference parity: the reference overwrites csv/pickle outputs in place
-(data_clean.py:153); versioned snapshot commits are the lake-scale
-replacement, here in both major table formats.
+manifest lists, sequence numbers, row-level deletes, HadoopCatalog
+file layout).  Reference parity: the reference overwrites csv/pickle
+outputs in place (data_clean.py:153); versioned snapshot commits are
+the lake-scale replacement, here in both major table formats.
 """
 
 from __future__ import annotations
@@ -52,6 +68,7 @@ from ..operators.iceberg import (
     make_manifest,
     make_manifest_list,
     make_table_metadata,
+    parse_table_metadata,
     snapshot_live_files,
 )
 
@@ -98,22 +115,22 @@ def read_table(table_dir: str, snapshot_id: int | None = None) -> dict:
 def _prev_state(table_dir: str) -> dict:
     """What the claim loop needs from the current tree: version,
     snapshot pointer map, the current snapshot's manifest-list entries
-    (for reuse) and live files (for overwrite removes), and the max
-    sequence number."""
+    (for reuse) and live files (for overwrite removes), the max
+    sequence number, the recorded schema, and the live delete files."""
     from ..operators.avrocf import parse_avro
 
     v = current_version(table_dir)
     if v < 0:
         return {"version": -1, "snapshots": {}, "current": None,
                 "manifest_entries": [], "live": {}, "partition_values": {},
-                "last_seq": 0}
+                "last_seq": 0, "field_names": {}, "field_ids": {},
+                "position_delete_files": [],
+                "data_sequence_numbers": {}}
     md = os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")
     meta_text = open(md, encoding="utf-8").read()
 
     def fetch(path: str) -> bytes:
         return open(os.path.join(table_dir, path), "rb").read()
-
-    from ..operators.iceberg import parse_table_metadata
 
     meta = parse_table_metadata(meta_text)
     ml_path = meta["snapshots"][meta["current_snapshot_id"]]
@@ -130,39 +147,67 @@ def _prev_state(table_dir: str) -> dict:
             (e.get("sequence_number", 0) or 0 for e in entries),
             default=0,
         ),
+        "field_names": meta["field_names"],
+        "field_ids": meta["field_ids"],
+        "position_delete_files": snap["position_delete_files"],
+        "data_sequence_numbers": snap["data_sequence_numbers"],
     }
 
 
-def write_iceberg(
+def _schema_fields(df: DataFrame) -> list[dict]:
+    """The spec's schema block from a DataFrame: 1-based field ids in
+    schema position order (identity mapping — this sink never
+    renames/reorders, so position IS identity)."""
+    return [
+        {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
+        for i, f in enumerate(df.schema.fields)
+    ]
+
+
+def _stage_iceberg_files(
     df: DataFrame,
     table_dir: str,
-    mode: str = "append",
-    max_retries: int = 10,
-) -> dict:
-    """Commit ``df`` as a new snapshot.  Returns ``{version,
-    snapshot_id, n_files, n_records, n_removed, n_manifests_reused}``.
-    Data files and manifest blobs are written ONCE; only the
-    metadata-pointer claim retries on conflict."""
+    token: str,
+    partition_by: list[str] | None = None,
+) -> list[dict]:
+    """Write ``df`` as parquet into a staging dir, move each part
+    under ``data/`` (Hive-style subdirs when partitioned), and return
+    flat manifest-entry bodies: path, size, record_count, the
+    partition tuple parsed back from the directory layout, and
+    name-keyed int64 bounds from the hand footer reader (the caller
+    translates names → field ids)."""
     from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
-
-    if mode not in ("append", "overwrite"):
-        raise ValueError(f"unsupported write mode {mode!r}")
-    os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    os.makedirs(os.path.join(table_dir, "data"), exist_ok=True)
+    from .delta_sink import _parse_hive_partition_dirs, footer_int64_bounds
 
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-    df.write.mode("overwrite").parquet(stage)
-    parts = sorted(
-        f for f in os.listdir(stage)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(stage)
+    parts: list[str] = []
+    for root, _dirs, fnames in os.walk(stage):
+        rel_root = os.path.relpath(root, stage)
+        for f in fnames:
+            if f.startswith("part-") and f.endswith(".parquet"):
+                parts.append(
+                    f if rel_root == "." else os.path.join(rel_root, f)
+                )
+    parts.sort()
     if not parts:
         raise ValueError("write produced no parquet part files")
-    token = uuid.uuid4().hex[:12]
     adds: list[dict] = []
-    for i, f in enumerate(parts):
-        rel = f"data/part-{token}-{i:05d}.parquet"
-        src = os.path.join(stage, f)
+    for i, relf in enumerate(parts):
+        comps = relf.split(os.sep)[:-1]
+        pvals = _parse_hive_partition_dirs(comps)
+        if set(pvals) != set(partition_by or []):
+            raise ValueError(
+                f"staged partition dirs {sorted(pvals)} disagree with "
+                f"partition_by {sorted(partition_by or [])}"
+            )
+        name = os.path.join(
+            "data", *comps, f"part-{token}-{i:05d}.parquet"
+        )
+        src = os.path.join(stage, relf)
         with open(src, "rb") as fh:
             fh.seek(0, 2)
             flen = fh.tell()
@@ -172,12 +217,96 @@ def write_iceberg(
                 return _fh.read(ln)
 
             meta = parse_footer_tail(read_footer_tail(_fetch, flen))
-        os.replace(src, os.path.join(table_dir, rel))
-        adds.append({"file_path": rel, "file_size": flen,
-                     "record_count": meta["n_rows"]})
+        mins, maxs = footer_int64_bounds(meta)
+        dest = os.path.join(table_dir, name)
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        os.replace(src, dest)
+        adds.append({
+            "file_path": name.replace(os.sep, "/"),
+            "file_size": flen,
+            "record_count": meta["n_rows"],
+            "partition": pvals or None,
+            "bounds_by_name": (mins, maxs),
+        })
     shutil.rmtree(stage, ignore_errors=True)
+    return adds
 
+
+def _ids_bounds(add: dict, field_ids: dict[str, int]) -> dict:
+    """Flat staged entry → manifest-entry kwargs with bounds keyed by
+    field id (columns without a recorded id are omitted, not guessed)."""
+    mins, maxs = add.get("bounds_by_name", ({}, {}))
+    return {
+        "file_path": add["file_path"],
+        "file_size": add["file_size"],
+        "record_count": add["record_count"],
+        "partition": add.get("partition"),
+        "lower_bounds": {
+            field_ids[c]: v for c, v in mins.items() if c in field_ids
+        } or None,
+        "upper_bounds": {
+            field_ids[c]: v for c, v in maxs.items() if c in field_ids
+        } or None,
+    }
+
+
+def _claim_metadata(
+    table_dir: str,
+    version: int,
+    meta_text: str,
+    token: str,
+    blobs: dict[str, bytes],
+) -> bool:
+    """Put-if-absent pointer swap; on a lost race this attempt's blobs
+    are unlinked (they were never referenced)."""
     md = _meta_dir(table_dir)
+    final = os.path.join(md, f"v{version}.metadata.json")
+    tmp = final + f".tmp-{token}"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(meta_text)
+    try:
+        os.link(tmp, final)
+    except FileExistsError:
+        os.unlink(tmp)
+        for rel in blobs:
+            try:
+                os.unlink(os.path.join(table_dir, rel))
+            except OSError:
+                pass
+        return False
+    os.unlink(tmp)
+    hint = os.path.join(md, "version-hint.text")
+    with open(hint + f".tmp-{token}", "w", encoding="utf-8") as fh:
+        fh.write(str(version))
+    os.replace(hint + f".tmp-{token}", hint)
+    return True
+
+
+def write_iceberg(
+    df: DataFrame,
+    table_dir: str,
+    mode: str = "append",
+    max_retries: int = 10,
+    partition_by: list[str] | None = None,
+) -> dict:
+    """Commit ``df`` as a new snapshot.  Returns ``{version,
+    snapshot_id, n_files, n_records, n_removed, n_manifests_reused}``.
+    Data files and manifest blobs are written ONCE; only the
+    metadata-pointer claim retries on conflict.  ``partition_by``
+    writes Hive-layout dirs under ``data/`` and stamps the spec's
+    partition tuple on every manifest entry; every entry also carries
+    footer-derived ``lower_bounds``/``upper_bounds`` so scan planners
+    data-skip (mirroring the Delta sink's add.stats)."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported write mode {mode!r}")
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    token = uuid.uuid4().hex[:12]
+    adds = _stage_iceberg_files(df, table_dir, token,
+                                partition_by=partition_by)
+    schema_fields = _schema_fields(df)
+    field_ids = {f["name"]: f["id"] for f in schema_fields}
+    part_fields = tuple(partition_by or ())
+
     for _ in range(max_retries):
         prev = _prev_state(table_dir)
         version = prev["version"] + 1
@@ -185,16 +314,18 @@ def write_iceberg(
         seq = prev["last_seq"] + 1
 
         added_manifest = make_manifest(
-            [{"status": 1, "snapshot_id": sid, **a} for a in adds]
+            [{"status": 1, "snapshot_id": sid,
+              **_ids_bounds(a, field_ids)} for a in adds],
+            partition_fields=part_fields,
         )
-        blobs: dict[str, bytes] = {
-            f"metadata/m-{token}-{version}-add.avro": added_manifest
-        }
+        add_path = f"metadata/m-{token}-{version}-add.avro"
+        blobs: dict[str, bytes] = {add_path: added_manifest}
 
         def ml_entry(path: str, blob: bytes, n_add=0, n_exist=0,
-                     n_del=0) -> dict:
+                     n_del=0, content=0) -> dict:
             return {"manifest_path": path, "manifest_length": len(blob),
                     "sequence_number": seq, "added_snapshot_id": sid,
+                    "content": content,
                     "added_files_count": n_add,
                     "existing_files_count": n_exist,
                     "deleted_files_count": n_del}
@@ -212,18 +343,21 @@ def write_iceberg(
             removed = len(live)
             if live:
                 pv = prev["partition_values"]
-                del_manifest = make_manifest([
-                    {"status": 2, "snapshot_id": sid, "file_path": p,
-                     "record_count": rows, "file_size": size,
-                     "partition": pv.get(p)}
-                    for p, (size, rows) in sorted(live.items())
-                ])
+                prior_part = tuple(sorted(
+                    {c for v in pv.values() for c in v}
+                ))
+                del_manifest = make_manifest(
+                    [{"status": 2, "snapshot_id": sid, "file_path": p,
+                      "record_count": rows, "file_size": size,
+                      "partition": pv.get(p)}
+                     for p, (size, rows) in sorted(live.items())],
+                    partition_fields=prior_part,
+                )
                 del_path = f"metadata/m-{token}-{version}-del.avro"
                 blobs[del_path] = del_manifest
                 entries.append(
                     ml_entry(del_path, del_manifest, n_del=removed)
                 )
-        add_path = f"metadata/m-{token}-{version}-add.avro"
         entries.append(
             ml_entry(add_path, added_manifest, n_add=len(adds))
         )
@@ -235,32 +369,303 @@ def write_iceberg(
                 fh.write(blob)
 
         snapshots = {**prev["snapshots"], sid: ml_path}
-        meta_text = make_table_metadata(snapshots, current=sid)
-        final = os.path.join(md, f"v{version}.metadata.json")
-        tmp = final + f".tmp-{token}"
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write(meta_text)
-        try:
-            # put-if-absent: the catalog pointer swap.  link(2) fails
-            # EEXIST if another writer claimed this version first.
-            os.link(tmp, final)
-        except FileExistsError:
-            os.unlink(tmp)
-            for rel in blobs:  # this attempt's blobs are dead weight
-                try:
-                    os.unlink(os.path.join(table_dir, rel))
-                except OSError:
-                    pass
-            continue  # lost the race: re-read the tree, retry
-        os.unlink(tmp)
-        hint = os.path.join(md, "version-hint.text")
-        with open(hint + f".tmp-{token}", "w", encoding="utf-8") as fh:
-            fh.write(str(version))
-        os.replace(hint + f".tmp-{token}", hint)
-        return {"version": version, "snapshot_id": sid,
-                "n_files": len(adds),
-                "n_records": sum(a["record_count"] for a in adds),
-                "n_removed": removed, "n_manifests_reused": reused}
+        meta_text = make_table_metadata(snapshots, current=sid,
+                                        schema_fields=schema_fields)
+        if _claim_metadata(table_dir, version, meta_text, token, blobs):
+            return {"version": version, "snapshot_id": sid,
+                    "n_files": len(adds),
+                    "n_records": sum(a["record_count"] for a in adds),
+                    "n_removed": removed, "n_manifests_reused": reused}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def delete_where_iceberg(
+    spark,
+    table_dir: str,
+    condition: str,
+    max_retries: int = 10,
+) -> dict:
+    """DELETE WHERE via format-v2 POSITION DELETE files — no data file
+    rewritten, no positions on the driver.
+
+    One distributed scan finds matching ``(file, row)`` positions via
+    ``_metadata.row_index`` (partition columns re-attached from the
+    manifests' partition tuples by broadcast join), positions already
+    dead under the spec's sequence rule are anti-joined away, and the
+    survivors are written AS A PARQUET DELETE FILE BY SPARK — sorted
+    by (file_path, pos) as the spec requires.  The commit adds one
+    ``content=1`` delete manifest at the next sequence number on top
+    of the prior manifest list (reuse: O(1) metadata, not O(table)).
+
+    Returns ``{version, snapshot_id, n_rows_deleted}`` (``version
+    None`` when nothing new matched)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
+    from .delta_sink import (
+        _abs_uri,
+        _attach_partition_columns,
+        _scan_with_positions,
+    )
+
+    prev = _prev_state(table_dir)
+    if not prev["live"]:
+        return {"version": None, "snapshot_id": None,
+                "n_rows_deleted": 0}
+    paths = sorted(prev["live"])
+    df, _ = _attach_partition_columns(
+        spark, _scan_with_positions(spark, table_dir, paths),
+        table_dir, paths, prev["partition_values"], None,
+    )
+    mapping = spark.createDataFrame(
+        [(_abs_uri(table_dir, p), p) for p in paths],
+        "__fp string, file_path string",
+    )
+    dels = (
+        df.filter(condition)
+        .join(F.broadcast(mapping), "__fp")
+        .select("file_path", F.col("__ri").alias("pos"))
+    )
+    # subtract positions already dead UNDER THE SEQUENCE RULE: a prior
+    # delete row counts only against a data file it actually applies
+    # to (dseq >= data_seq) — a rewritten file shrugs off old deletes
+    if prev["position_delete_files"]:
+        seq_map = spark.createDataFrame(
+            [(p, s) for p, s in
+             sorted(prev["data_sequence_numbers"].items())],
+            "file_path string, __dataseq long",
+        )
+        prior = None
+        for dp in prev["position_delete_files"]:
+            dseq = _delete_file_seq(table_dir, dp, prev)
+            part = spark.read.parquet(
+                os.path.join(table_dir, dp)
+            ).select("file_path", "pos").withColumn(
+                "__dseq", F.lit(dseq)
+            )
+            prior = part if prior is None else prior.unionByName(part)
+        valid = (
+            prior.join(F.broadcast(seq_map), "file_path")
+            .filter(F.col("__dseq") >= F.col("__dataseq"))
+            .select("file_path", "pos")
+        )
+        dels = dels.join(valid, ["file_path", "pos"], "left_anti")
+
+    token = uuid.uuid4().hex[:12]
+    stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
+    (
+        dels.coalesce(1)
+        .sortWithinPartitions("file_path", "pos")
+        .write.mode("overwrite").parquet(stage)
+    )
+    parts = sorted(
+        f for f in os.listdir(stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    if not parts:
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"version": None, "snapshot_id": None,
+                "n_rows_deleted": 0}
+    (pf,) = parts
+    src = os.path.join(stage, pf)
+    with open(src, "rb") as fh:
+        fh.seek(0, 2)
+        flen = fh.tell()
+
+        def _fetch(off, ln, _fh=fh):
+            _fh.seek(off)
+            return _fh.read(ln)
+
+        meta = parse_footer_tail(read_footer_tail(_fetch, flen))
+    n_del = meta["n_rows"]
+    if not n_del:
+        shutil.rmtree(stage, ignore_errors=True)
+        return {"version": None, "snapshot_id": None,
+                "n_rows_deleted": 0}
+    del_rel = f"data/pos-del-{token}.parquet"
+    os.replace(src, os.path.join(table_dir, del_rel))
+    shutil.rmtree(stage, ignore_errors=True)
+
+    for _ in range(max_retries):
+        cur = _prev_state(table_dir)
+        version = cur["version"] + 1
+        sid = (max(cur["snapshots"], default=0)) + 1
+        seq = cur["last_seq"] + 1
+        del_manifest = make_manifest([
+            {"status": 1, "snapshot_id": sid, "content": 1,
+             "file_path": del_rel, "record_count": n_del,
+             "file_size": flen},
+        ])
+        del_mpath = f"metadata/m-{token}-{version}-posdel.avro"
+        entries = [dict(e) for e in cur["manifest_entries"]]
+        entries.append({
+            "manifest_path": del_mpath,
+            "manifest_length": len(del_manifest),
+            "sequence_number": seq, "added_snapshot_id": sid,
+            "content": 1, "added_files_count": 1,
+            "existing_files_count": 0, "deleted_files_count": 0,
+        })
+        ml_blob = make_manifest_list(entries)
+        ml_path = f"metadata/ml-{token}-{version}.avro"
+        blobs = {del_mpath: del_manifest, ml_path: ml_blob}
+        for rel, blob in blobs.items():
+            with open(os.path.join(table_dir, rel), "wb") as fh:
+                fh.write(blob)
+        snapshots = {**cur["snapshots"], sid: ml_path}
+        schema_fields = [
+            {"id": i, "name": n}
+            for i, n in sorted(cur["field_names"].items())
+        ] or None
+        meta_text = make_table_metadata(snapshots, current=sid,
+                                        schema_fields=schema_fields)
+        if _claim_metadata(table_dir, version, meta_text, token, blobs):
+            return {"version": version, "snapshot_id": sid,
+                    "n_rows_deleted": n_del}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def _delete_file_seq(table_dir: str, delete_path: str,
+                     prev: dict) -> int:
+    """The sequence number a live delete file was committed at —
+    looked up from the manifest-list entries (each delete manifest
+    carries its snapshot's sequence number)."""
+    from ..operators.avrocf import parse_avro
+
+    for mf in prev["manifest_entries"]:
+        if (mf.get("content", 0) or 0) != 1:
+            continue
+        m = parse_avro(
+            open(os.path.join(table_dir, mf["manifest_path"]),
+                 "rb").read()
+        )
+        for e in m["records"]:
+            dfile = e.get("data_file") or {}
+            if dfile.get("file_path") == delete_path:
+                return mf.get("sequence_number", 0) or 0
+    raise ValueError(
+        f"live delete file {delete_path!r} not found in any manifest"
+    )
+
+
+def merge_iceberg(
+    spark,
+    source: DataFrame,
+    table_dir: str,
+    key_cols: list[str],
+    max_retries: int = 10,
+) -> dict:
+    """MERGE (upsert) the format-v2 way: ONE snapshot carrying the
+    source as new data files AND an EQUALITY DELETE file on the merge
+    keys — both at the same sequence number, so the delete supersedes
+    every key occurrence in OLDER files (the spec's strictly-less
+    rule) and never touches the rows it rides in with.  No target
+    file is read, rewritten, or even opened: an upsert's write cost
+    is O(source), the defining property of equality deletes at 100 TB
+    (position deletes would need a key-match scan of the target).
+
+    Returns ``{version, snapshot_id, n_files_added, n_records_added,
+    n_delete_keys}``."""
+    from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
+
+    if not key_cols:
+        raise ValueError("merge needs at least one key column")
+    os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    schema_fields = _schema_fields(source)
+    field_ids = {f["name"]: f["id"] for f in schema_fields}
+    missing = [c for c in key_cols if c not in field_ids]
+    if missing:
+        raise ValueError(f"merge keys not in source schema: {missing}")
+    eq_ids = [field_ids[c] for c in key_cols]
+    token = uuid.uuid4().hex[:12]
+    prev0 = _prev_state(table_dir)
+    part_cols = sorted({
+        c for v in prev0["partition_values"].values() for c in v
+    })
+    adds = _stage_iceberg_files(source, table_dir, token,
+                                partition_by=part_cols or None)
+
+    eq_rel = None
+    n_keys = 0
+    eq_size = 0
+    if prev0["live"]:
+        stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
+        (
+            source.select(*key_cols).distinct().coalesce(1)
+            .sortWithinPartitions(*key_cols)
+            .write.mode("overwrite").parquet(stage)
+        )
+        (pf,) = [f for f in sorted(os.listdir(stage))
+                 if f.startswith("part-") and f.endswith(".parquet")]
+        src = os.path.join(stage, pf)
+        with open(src, "rb") as fh:
+            fh.seek(0, 2)
+            eq_size = fh.tell()
+
+            def _fetch(off, ln, _fh=fh):
+                _fh.seek(off)
+                return _fh.read(ln)
+
+            meta = parse_footer_tail(read_footer_tail(_fetch, eq_size))
+        n_keys = meta["n_rows"]
+        eq_rel = f"data/eq-del-{token}.parquet"
+        os.replace(src, os.path.join(table_dir, eq_rel))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    part_fields = tuple(part_cols)
+    for _ in range(max_retries):
+        cur = _prev_state(table_dir)
+        version = cur["version"] + 1
+        sid = (max(cur["snapshots"], default=0)) + 1
+        seq = cur["last_seq"] + 1
+        add_manifest = make_manifest(
+            [{"status": 1, "snapshot_id": sid,
+              **_ids_bounds(a, field_ids)} for a in adds],
+            partition_fields=part_fields,
+        )
+        add_mpath = f"metadata/m-{token}-{version}-add.avro"
+        blobs: dict[str, bytes] = {add_mpath: add_manifest}
+        entries = [dict(e) for e in cur["manifest_entries"]]
+        if eq_rel is not None and n_keys:
+            del_manifest = make_manifest([
+                {"status": 1, "snapshot_id": sid, "content": 2,
+                 "equality_ids": eq_ids, "file_path": eq_rel,
+                 "record_count": n_keys, "file_size": eq_size},
+            ])
+            del_mpath = f"metadata/m-{token}-{version}-eqdel.avro"
+            blobs[del_mpath] = del_manifest
+            entries.append({
+                "manifest_path": del_mpath,
+                "manifest_length": len(del_manifest),
+                "sequence_number": seq, "added_snapshot_id": sid,
+                "content": 1, "added_files_count": 1,
+                "existing_files_count": 0, "deleted_files_count": 0,
+            })
+        entries.append({
+            "manifest_path": add_mpath,
+            "manifest_length": len(add_manifest),
+            "sequence_number": seq, "added_snapshot_id": sid,
+            "content": 0, "added_files_count": len(adds),
+            "existing_files_count": 0, "deleted_files_count": 0,
+        })
+        ml_blob = make_manifest_list(entries)
+        ml_path = f"metadata/ml-{token}-{version}.avro"
+        blobs[ml_path] = ml_blob
+        for rel, blob in blobs.items():
+            with open(os.path.join(table_dir, rel), "wb") as fh:
+                fh.write(blob)
+        snapshots = {**cur["snapshots"], sid: ml_path}
+        meta_text = make_table_metadata(snapshots, current=sid,
+                                        schema_fields=schema_fields)
+        if _claim_metadata(table_dir, version, meta_text, token, blobs):
+            return {"version": version, "snapshot_id": sid,
+                    "n_files_added": len(adds),
+                    "n_records_added": sum(
+                        a["record_count"] for a in adds),
+                    "n_delete_keys": n_keys}
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )

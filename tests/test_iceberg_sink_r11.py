@@ -1,0 +1,225 @@
+"""Round-11 Iceberg sink parity (VERDICT r10 missing #1 / next #2-3):
+partitioned writes, manifest column bounds feeding the shared pruner,
+sink-emitted position-delete files, and equality-delete MERGE.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hainan_big_data_recommend_system_spark.operators.deltalog import (
+    prune_by_partition,
+    prune_live_files,
+)
+from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+    delete_where_iceberg,
+    merge_iceberg,
+    read_table,
+    write_iceberg,
+)
+
+
+def _logical_rows(spark, tbl, cols=("id",)):
+    """Scan live data files applying position deletes AND equality
+    deletes under the spec's sequence rules — the reference scan the
+    sink output must satisfy."""
+    from pyspark.sql import functions as F
+
+    snap = read_table(tbl)
+    seqs = snap["data_sequence_numbers"]
+    by_seq: dict[int, list[str]] = {}
+    for p in sorted(snap["live"]):
+        by_seq.setdefault(seqs[p], []).append(p)
+    data = None
+    for seq, paths in sorted(by_seq.items()):
+        part = spark.read.parquet(
+            *[os.path.join(tbl, p) for p in paths]
+        ).select(
+            F.col("_metadata.row_index").alias("__ri"),
+            F.lit(seq).alias("__seq"),
+            F.input_file_name().alias("__f"), "*",
+        )
+        data = part if data is None else data.unionByName(part)
+    # position deletes (already seq-filtered by the reader)
+    if snap["position_deletes"]:
+        dead = spark.createDataFrame(
+            [(p, int(ri)) for p, poss in snap["position_deletes"].items()
+             for ri in poss],
+            "rel string, __ri long",
+        )
+        mapping = spark.createDataFrame(
+            [(p,) for p in sorted(snap["live"])], "rel string"
+        ).withColumn(
+            "__f",
+            F.concat(F.lit("file://" + os.path.abspath(tbl) + "/"),
+                     F.col("rel")),
+        )
+        dead = dead.join(mapping, "rel").select("__f", "__ri")
+        data = data.join(dead, ["__f", "__ri"], "left_anti")
+    fields = snap["field_names"]
+    for eq in snap["equality_deletes"]:
+        keys = [fields[i] for i in eq["equality_ids"]]
+        dels = spark.read.parquet(os.path.join(tbl, eq["path"])) \
+            .select(*keys)
+        touched = data.filter(
+            F.col("__seq") < eq["sequence_number"]
+        ).join(F.broadcast(dels), keys, "left_anti")
+        data = touched.unionByName(
+            data.filter(F.col("__seq") >= eq["sequence_number"])
+        )
+    return sorted(
+        tuple(r[c] for c in cols) for r in
+        data.select(*cols).collect()
+    ), snap
+
+
+def test_partitioned_write_and_partition_pruning(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd") for i in range(20)],
+        "id long, cat string",
+    ).coalesce(1)
+    write_iceberg(df, tbl, partition_by=["cat"])
+    snap = read_table(tbl)
+    assert snap["n_live"] == 2
+    assert all(set(v) == {"cat"} for v in
+               snap["partition_values"].values())
+    # prune_by_partition (shared with Delta) works on this snapshot
+    pr = prune_by_partition(snap, {"cat": {"even"}})
+    assert pr["n_kept"] == 1 and pr["n_skipped"] == 1
+    (kept,) = pr["kept"]
+    assert snap["partition_values"][kept] == {"cat": "even"}
+    rows = spark.read.parquet(os.path.join(tbl, kept)).collect()
+    assert sorted(r["id"] for r in rows) == list(range(0, 20, 2))
+
+
+def test_manifest_bounds_feed_shared_pruner(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for k in range(4):
+        write_iceberg(
+            spark.range(k * 100, (k + 1) * 100).selectExpr("id")
+            .coalesce(1).sortWithinPartitions("id"),
+            tbl,
+        )
+    snap = read_table(tbl)
+    assert len(snap["file_stats"]) == 4
+    for st in snap["file_stats"].values():
+        assert set(st["minValues"]) == {"id"}
+    pr = prune_live_files(snap, "id", lo=150, hi=249)
+    assert pr["n_kept"] == 2 and pr["n_skipped"] == 2
+    assert pr["n_no_stats"] == 0
+    kept = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(pr["kept"])]
+    )
+    got = sorted(r["id"] for r in
+                 kept.filter("id BETWEEN 150 AND 249").collect())
+    assert got == list(range(150, 250))
+
+
+def test_delete_where_emits_position_deletes(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 300).selectExpr("id").repartition(3),
+                  tbl)
+    files_before = dict(read_table(tbl)["live"])
+    res = delete_where_iceberg(spark, tbl, "id % 10 = 3")
+    assert res["n_rows_deleted"] == 30
+    rows, snap = _logical_rows(spark, tbl)
+    assert [r[0] for r in rows] == sorted(
+        i for i in range(300) if i % 10 != 3
+    )
+    # data files untouched; ONE sorted delete file appeared
+    assert {p: s for p, s in snap["live"].items()} == files_before
+    assert snap["n_position_deletes"] == 30
+    assert len(snap["position_delete_files"]) == 1
+    dels = spark.read.parquet(
+        os.path.join(tbl, snap["position_delete_files"][0])
+    ).collect()
+    pairs = [(r["file_path"], r["pos"]) for r in dels]
+    assert pairs == sorted(pairs)  # spec-required sort order
+
+
+def test_second_delete_skips_already_dead(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 100).selectExpr("id").coalesce(1), tbl)
+    delete_where_iceberg(spark, tbl, "id < 10")
+    res = delete_where_iceberg(spark, tbl, "id < 20")
+    assert res["n_rows_deleted"] == 10  # only the fresh ones
+    rows, snap = _logical_rows(spark, tbl)
+    assert [r[0] for r in rows] == list(range(20, 100))
+    assert snap["n_position_deletes"] == 20
+    # a delete matching nothing new is a no-op, no snapshot burned
+    res2 = delete_where_iceberg(spark, tbl, "id = 5")
+    assert res2["version"] is None
+    assert read_table(tbl)["snapshot_id"] == snap["snapshot_id"]
+
+
+def test_merge_upserts_via_equality_deletes(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 50).selectExpr("id", "id AS v").repartition(2),
+        tbl,
+    )
+    files_before = dict(read_table(tbl)["live"])
+    source = spark.range(0, 10).selectExpr("id", "-id AS v").union(
+        spark.range(100, 105).selectExpr("id", "id AS v")
+    ).coalesce(1)
+    res = merge_iceberg(spark, source, tbl, ["id"])
+    assert res["n_delete_keys"] == 15
+    assert res["n_records_added"] == 15
+    rows, snap = _logical_rows(spark, tbl, cols=("id", "v"))
+    want = sorted(
+        [(i, -i) for i in range(10)]
+        + [(i, i) for i in range(10, 50)]
+        + [(i, i) for i in range(100, 105)]
+    )
+    assert rows == want
+    # no pre-existing data file was touched (equality deletes are
+    # write-only: O(source), never a target scan)
+    for p, meta in files_before.items():
+        assert snap["live"][p] == meta
+    # the delete never bites the files it rode in with (strictly-less)
+    assert snap["n_equality_delete_files"] == 1
+    eq = snap["equality_deletes"][0]
+    assert snap["field_names"][eq["equality_ids"][0]] == "id"
+
+
+def test_merge_then_delete_compose(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 30).selectExpr("id", "id AS v")
+                  .coalesce(1), tbl)
+    merge_iceberg(
+        spark,
+        spark.range(0, 5).selectExpr("id", "-id AS v").coalesce(1),
+        tbl, ["id"],
+    )
+    delete_where_iceberg(spark, tbl, "v >= 25")
+    rows, _ = _logical_rows(spark, tbl, cols=("id", "v"))
+    want = sorted(
+        [(i, -i) for i in range(5)] + [(i, i) for i in range(5, 25)]
+    )
+    assert rows == want
+
+
+def test_merge_into_empty_table(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    res = merge_iceberg(
+        spark,
+        spark.range(0, 5).selectExpr("id", "id AS v").coalesce(1),
+        tbl, ["id"],
+    )
+    assert res["version"] == 0 and res["n_delete_keys"] == 0
+    rows, snap = _logical_rows(spark, tbl, cols=("id", "v"))
+    assert rows == [(i, i) for i in range(5)]
+    assert snap["n_equality_delete_files"] == 0
+
+
+def test_schema_recorded_in_metadata(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(3).selectExpr("id", "CAST(id AS STRING) AS name"),
+        tbl,
+    )
+    snap = read_table(tbl)
+    assert snap["field_names"] == {1: "id", 2: "name"}
