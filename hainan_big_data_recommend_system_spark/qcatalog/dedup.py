@@ -342,7 +342,7 @@ def q_leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return leakage_safe_splits(docs, "doc_id", pairs)
 
 
-@register(
+@register_extra(  # demoted rotation #9 (r11): facet coverage rides driver rows
     "simhash_fingerprints",
     r"""
     WITH tf AS (

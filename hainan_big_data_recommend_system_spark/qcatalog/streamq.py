@@ -74,7 +74,7 @@ def q_sliding_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # because the sliding aggregate only counts.
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(  # demoted rotation #9 (r11): facet coverage rides driver rows
     "event_time_windows",
     """
     SELECT 'tumbling' AS win_kind,
