@@ -1238,11 +1238,12 @@ def q_delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot's live (path, size) set must be BYTE-IDENTICAL before and
     after the delete, which is the entire point: at 100 TB a DELETE
     touches kilobytes of bitmaps, not terabytes of parquet."""
-    from ..operators.deltalog import (
-        replay_delta_log,
-        resolve_deletion_vector,
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import (
+        _abs_uri,
+        _dead_positions_df,
+        read_log_commits,
     )
-    from ..sources.delta_sink import read_log_commits
 
     fixture = _ensure_dv_delete_fixture(spark, sf_dir)
     commits = read_log_commits(fixture)
@@ -1250,15 +1251,14 @@ def q_delta_dv_delete_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     pre = replay_delta_log(commits[:1])
     untouched = cur["live"] == pre["live"]
 
-    def fetch(p: str) -> bytes:
-        return open(os.path.join(fixture, p), "rb").read()
-
-    dead_rows = [
-        ("file:" + os.path.abspath(os.path.join(fixture, p)), int(ri))
-        for p, d in cur["deletion_vectors"].items()
-        for ri in resolve_deletion_vector(d, fetch)
-    ]
-    dead = spark.createDataFrame(dead_rows, "fp string, ri long")
+    # DV positions expand ON EXECUTORS from O(files) descriptor rows
+    # (round 11 — the read path mirrors the write path's discipline:
+    # the driver never materializes row positions)
+    dead = _dead_positions_df(
+        spark, fixture,
+        {_abs_uri(fixture, p): d
+         for p, d in cur["deletion_vectors"].items()},
+    ).withColumnsRenamed({"__fp": "fp", "__ri": "ri"})
     data = spark.read.parquet(
         *[os.path.join(fixture, p) for p in sorted(cur["live"])]
     ).select(

@@ -696,6 +696,15 @@ def optimize_delta(
     DELETE/MERGE had tombstoned (delta-io's OPTIMIZE materializes DVs
     the same way).
 
+    PARTITIONED tables compact PER PARTITION (round 11, replacing the
+    loud guard): only partitions holding ≥2 small files participate,
+    partition columns re-attach by broadcast join, one shuffle routes
+    each partition's rows to one task, and the staged Hive layout
+    re-stamps ``partitionValues`` — each partition compacts to one
+    file (``target_partitions`` applies to unpartitioned tables).
+    Rows never migrate across partition dirs: the partition tuple is
+    carried by the row itself through the rewrite.
+
     Conflict discipline: the rewrite happens ONCE; the commit claim
     retries, but if a concurrent writer removed, resized, or
     RE-TOMBSTONED one of the source files first the compaction aborts
@@ -706,36 +715,49 @@ def optimize_delta(
     n_dv_rows_dropped}``; no-op (too few small files) returns
     ``{"version": None, "n_compacted": 0, ...}``."""
     snap = snapshot(table_dir)
+    noop = {"version": None, "n_compacted": 0, "n_files": 0,
+            "n_records": 0, "n_dv_rows_dropped": 0}
     small = sorted(
         p for p, (sz, _) in snap["live"].items() if sz < small_file_bytes
     )
     pv = snap.get("partition_values", {})
-    partitioned = [p for p in small if pv.get(p)]
-    if partitioned:
-        raise ValueError(
-            "optimize of partitioned tables must compact per partition "
-            f"— not implemented (files: {partitioned[:3]})"
+    part_cols = sorted({c for p in snap["live"] for c in pv.get(p, {})})
+    if part_cols:
+        by_part: dict[tuple, list[str]] = {}
+        for p in small:
+            key = tuple(sorted((pv.get(p) or {}).items()))
+            by_part.setdefault(key, []).append(p)
+        small = sorted(
+            p for ps in by_part.values() if len(ps) >= 2 for p in ps
         )
-    if len(small) <= target_partitions:
-        return {"version": None, "n_compacted": 0, "n_files": 0,
-                "n_records": 0, "n_dv_rows_dropped": 0}
+    elif len(small) <= target_partitions:
+        small = []
+    if not small:
+        return noop
     dvs = snap.get("deletion_vectors", {})
     dv_small = {_abs_uri(table_dir, p): dvs[p] for p in small if p in dvs}
     n_dv_rows = sum(d["cardinality"] for d in dv_small.values())
-    if dv_small:
-        scan = _scan_with_positions(spark, table_dir, small)
+    if dv_small or part_cols:
+        df = _scan_with_positions(spark, table_dir, small)
         dead = _dead_positions_df(spark, table_dir, dv_small)
-        df = (
-            scan.join(dead, ["__fp", "__ri"], "left_anti")
-            .drop("__fp", "__ri")
-        )
+        if dead is not None:
+            df = df.join(dead, ["__fp", "__ri"], "left_anti")
+        if part_cols:
+            df, _ = _attach_partition_columns(
+                spark, df, table_dir, small, pv,
+            )
+        df = df.drop("__fp", "__ri")
     else:
         df = spark.read.parquet(
             *[os.path.join(table_dir, p) for p in small]
         )
-    df = df.repartition(target_partitions)
+    df = (
+        df.repartition(*part_cols) if part_cols
+        else df.repartition(target_partitions)
+    )
     token = uuid.uuid4().hex[:12]
-    adds = _stage_data_files(df, table_dir, token)
+    adds = _stage_data_files(df, table_dir, token,
+                             partition_by=part_cols or None)
     for _ in range(max_retries):
         cur = snapshot(table_dir)
         conflicts = _conflicting_paths(snap, cur, small)

@@ -669,3 +669,100 @@ def merge_iceberg(
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+def expire_snapshots_plan(table_dir: str, retain_last: int = 1) -> dict:
+    """Which blobs can snapshot expiration physically delete — the
+    Iceberg twin of `deltalog.vacuum_plan`: an O(metadata) driver-side
+    plan, no data read.  The newest ``retain_last`` snapshots are
+    retained; a data/delete file is reclaimable only when NO retained
+    snapshot references it, and a manifest/manifest-list blob only
+    when no retained snapshot's tree walks through it — manifest
+    REUSE means an old manifest is usually still live in the current
+    snapshot, and expiration must never break the retained tree
+    (iceberg.apache.org/spec — snapshot expiration semantics).  Time
+    travel to expired snapshots is forfeited; retained ones keep
+    working, which is exactly why retention gates deletion.
+
+    Returns ``{retained, expired, reclaimable_files,
+    reclaimable_manifests, reclaimable_metadata, bytes_reclaimable}``."""
+    from ..operators.avrocf import parse_avro
+
+    if retain_last < 1:
+        raise ValueError("retain_last must be >= 1")
+    v = current_version(table_dir)
+    if v < 0:
+        return {"retained": [], "expired": [], "reclaimable_files": [],
+                "reclaimable_manifests": [], "reclaimable_metadata": [],
+                "bytes_reclaimable": 0}
+    meta_text = open(
+        os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json"),
+        encoding="utf-8",
+    ).read()
+    meta = parse_table_metadata(meta_text)
+
+    def fetch(path: str) -> bytes:
+        return open(os.path.join(table_dir, path), "rb").read()
+
+    sids = sorted(meta["snapshots"])
+    retained = sids[-retain_last:]
+    expired = sids[:-retain_last]
+    if meta["current_snapshot_id"] not in retained:
+        raise ValueError(
+            "retention would expire the current snapshot"
+        )
+
+    def refs(sid: int) -> tuple[set, set, dict]:
+        """(file paths, manifest paths, file sizes) one snapshot's
+        tree references — every entry of every manifest, regardless
+        of status (a DELETED entry still names the file; the blob
+        holding it must survive for this snapshot to replay)."""
+        ml = meta["snapshots"][sid]
+        files: set[str] = set()
+        manifests: set[str] = {ml}
+        sizes: dict[str, int] = {}
+        for mf in parse_avro(fetch(ml))["records"]:
+            manifests.add(mf["manifest_path"])
+            for e in parse_avro(fetch(mf["manifest_path"]))["records"]:
+                dfile = e.get("data_file") or {}
+                p = dfile.get("file_path")
+                if isinstance(p, str) and p:
+                    files.add(p)
+                    sz = dfile.get("file_size_in_bytes")
+                    if isinstance(sz, int):
+                        sizes[p] = sz
+        return files, manifests, sizes
+
+    keep_files: set[str] = set()
+    keep_manifests: set[str] = set()
+    dead_files: set[str] = set()
+    dead_manifests: set[str] = set()
+    sizes_all: dict[str, int] = {}
+    for sid in retained:
+        f, m, sz = refs(sid)
+        keep_files |= f
+        keep_manifests |= m
+        sizes_all.update(sz)
+    for sid in expired:
+        f, m, sz = refs(sid)
+        dead_files |= f
+        dead_manifests |= m
+        sizes_all.update(sz)
+    reclaim_files = sorted(dead_files - keep_files)
+    reclaim_manifests = sorted(dead_manifests - keep_manifests)
+    reclaim_meta = sorted(
+        f"metadata/v{i}.metadata.json" for i in range(v)
+        if os.path.exists(
+            os.path.join(_meta_dir(table_dir), f"v{i}.metadata.json")
+        )
+    ) if expired else []
+    return {
+        "retained": retained,
+        "expired": expired,
+        "reclaimable_files": reclaim_files,
+        "reclaimable_manifests": reclaim_manifests,
+        "reclaimable_metadata": reclaim_meta,
+        "bytes_reclaimable": sum(
+            sizes_all.get(p, 0) for p in reclaim_files
+        ),
+    }

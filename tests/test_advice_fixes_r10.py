@@ -291,3 +291,57 @@ def test_dv_build_unions_prior_dv_on_executors(spark, tmp_path):
     alive, snap = _alive_ids(spark, tbl)
     assert alive == list(range(25, 100))
     assert snap["dv_cardinality"] == 25
+
+
+# ---------------------------------------------------------------------------
+# round 11: per-partition OPTIMIZE (replacing the loud guard)
+# ---------------------------------------------------------------------------
+
+def test_optimize_partitioned_compacts_per_partition(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    # 3 partitions × 4 tiny appends each
+    for k in range(4):
+        df = spark.createDataFrame(
+            [(k * 30 + i, f"p{i % 3}") for i in range(30)],
+            "id long, cat string",
+        ).repartition(1)
+        write_delta(df, tbl, partition_by=["cat"])
+    delete_where_delta(spark, tbl, "id % 10 = 0", change_data=False)
+    res = optimize_delta(spark, tbl)
+    assert res["n_compacted"] == 12
+    assert res["n_files"] == 3  # one per partition
+    snap = snapshot(tbl)
+    assert snap["n_live"] == 3
+    assert snap["deletion_vectors"] == {}  # materialized
+    # every file sits in its partition dir with partitionValues stamped
+    pv = snap["partition_values"]
+    assert sorted(v["cat"] for v in pv.values()) == ["p0", "p1", "p2"]
+    for p in snap["live"]:
+        assert p.split("/")[0] == f"cat={pv[p]['cat']}"
+    alive, _ = _alive_ids(spark, tbl)
+    assert alive == sorted(i for i in range(120) if i % 10 != 0)
+    # rows_after_dv preserved: dataChange:false stayed honest
+    assert snap["live_rows"] == len(alive)
+
+
+def test_optimize_partitioned_skips_singleton_partitions(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    # cat=a gets 3 small files, cat=b gets 1 — only a compacts
+    for k in range(3):
+        write_delta(
+            spark.createDataFrame([(k, "a")], "id long, cat string")
+            .coalesce(1),
+            tbl, partition_by=["cat"],
+        )
+    write_delta(
+        spark.createDataFrame([(99, "b")], "id long, cat string")
+        .coalesce(1),
+        tbl, partition_by=["cat"],
+    )
+    b_files = [p for p in snapshot(tbl)["live"] if p.startswith("cat=b")]
+    res = optimize_delta(spark, tbl)
+    assert res["n_compacted"] == 3 and res["n_files"] == 1
+    snap = snapshot(tbl)
+    assert [p for p in snap["live"] if p.startswith("cat=b")] == b_files
+    alive, _ = _alive_ids(spark, tbl)
+    assert alive == [0, 1, 2, 99]

@@ -223,3 +223,64 @@ def test_schema_recorded_in_metadata(spark, tmp_path):
     )
     snap = read_table(tbl)
     assert snap["field_names"] == {1: "id", 2: "name"}
+
+
+def test_expire_snapshots_plan_respects_manifest_reuse(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        expire_snapshots_plan,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    write_iceberg(spark.range(10, 20).selectExpr("id").coalesce(1), tbl)
+    # overwrite: snapshot 3 drops both earlier generations' files
+    write_iceberg(spark.range(20, 25).selectExpr("id").coalesce(1),
+                  tbl, mode="overwrite")
+    plan = expire_snapshots_plan(tbl, retain_last=1)
+    assert plan["retained"] == [3] and plan["expired"] == [1, 2]
+    # current snapshot's delete manifest still NAMES the old files
+    # (status=2 entries), so they are NOT reclaimable — the retained
+    # tree must stay replayable
+    assert plan["reclaimable_files"] == []
+    assert plan["bytes_reclaimable"] == 0
+    # but with the two appends retained too, nothing expires
+    assert expire_snapshots_plan(tbl, retain_last=3)["expired"] == []
+
+    # append-only table: expiration reclaims nothing (manifest reuse
+    # keeps every old manifest live in the current snapshot)
+    tbl2 = str(tmp_path / "tbl2")
+    write_iceberg(spark.range(0, 5).selectExpr("id").coalesce(1), tbl2)
+    write_iceberg(spark.range(5, 9).selectExpr("id").coalesce(1), tbl2)
+    plan2 = expire_snapshots_plan(tbl2, retain_last=1)
+    assert plan2["expired"] == [1]
+    assert plan2["reclaimable_files"] == []
+    # snapshot 1's own manifest LIST is dead weight; its manifest is
+    # reused by snapshot 2 and survives
+    assert len(plan2["reclaimable_manifests"]) == 1
+    assert plan2["reclaimable_manifests"][0].startswith("metadata/ml-")
+
+
+def test_expire_snapshots_reclaims_fully_orphaned_generation(
+    spark, tmp_path
+):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        expire_snapshots_plan,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    write_iceberg(spark.range(20, 25).selectExpr("id").coalesce(1),
+                  tbl, mode="overwrite")
+    write_iceberg(spark.range(30, 35).selectExpr("id").coalesce(1),
+                  tbl, mode="overwrite")
+    # retain only snapshot 3: snapshot 1's data file is referenced by
+    # snapshot 2's delete manifest, which expires too → reclaimable
+    plan = expire_snapshots_plan(tbl, retain_last=1)
+    assert plan["expired"] == [1, 2]
+    reclaimed = plan["reclaimable_files"]
+    snap1_files = sorted(read_table(tbl, snapshot_id=1)["live"])
+    for p in snap1_files:
+        assert p in reclaimed
+    assert plan["bytes_reclaimable"] > 0
+    with pytest.raises(ValueError, match="retain_last"):
+        expire_snapshots_plan(tbl, retain_last=0)
