@@ -284,3 +284,44 @@ def test_expire_snapshots_reclaims_fully_orphaned_generation(
     assert plan["bytes_reclaimable"] > 0
     with pytest.raises(ValueError, match="retain_last"):
         expire_snapshots_plan(tbl, retain_last=0)
+
+
+def test_partitioned_merge_and_overwrite(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        read_table as _rt,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, "even" if i % 2 == 0 else "odd", i) for i in range(20)],
+        "id long, cat string, v long",
+    ).coalesce(1)
+    write_iceberg(base, tbl, partition_by=["cat"])
+    # merge into the partitioned table: source stages into the SAME
+    # Hive layout, partition tuples stamped
+    src = spark.createDataFrame(
+        [(0, "even", -1), (1, "odd", -2), (100, "even", 100)],
+        "id long, cat string, v long",
+    ).coalesce(1)
+    merge_iceberg(spark, src, tbl, ["id"])
+    rows, snap = _logical_rows(spark, tbl, cols=("id", "v"))
+    want = sorted(
+        [(0, -1), (1, -2), (100, 100)]
+        + [(i, i) for i in range(2, 20)]
+    )
+    assert rows == want
+    new_files = set(snap["live"]) - set(_rt(tbl, snapshot_id=1)["live"])
+    assert new_files and all(
+        snap["partition_values"][p].get("cat") in ("even", "odd")
+        for p in new_files
+    )
+    # partitioned overwrite drops everything and re-partitions
+    write_iceberg(
+        spark.createDataFrame([(7, "x", 7)], "id long, cat string, v long")
+        .coalesce(1),
+        tbl, mode="overwrite", partition_by=["cat"],
+    )
+    rows2, snap2 = _logical_rows(spark, tbl, cols=("id", "v"))
+    assert rows2 == [(7, 7)]
+    assert all(v == {"cat": "x"} for v in
+               snap2["partition_values"].values())
