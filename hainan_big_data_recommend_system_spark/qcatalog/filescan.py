@@ -1615,9 +1615,18 @@ def q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_change_type").isin("insert", "update_postimage")
     ).select("doc_id", "body")
     replayed = base.exceptAll(gone).unionAll(arrived)
+    # exact multiset equality in ONE shuffle: +1/-1 weights per side,
+    # any group with a nonzero net count breaks the equation
+    tagged = replayed.withColumn("__w", F.lit(1)).unionAll(
+        v2.withColumn("__w", F.lit(-1))
+    )
     consistent = (
-        replayed.exceptAll(v2).count() == 0
-        and v2.exceptAll(replayed).count() == 0
+        tagged.groupBy("doc_id", "body")
+        .agg(F.sum("__w").alias("__d"))
+        .filter("__d <> 0")
+        .limit(1)
+        .count()
+        == 0
     )
     return changes.select(
         "doc_id",
