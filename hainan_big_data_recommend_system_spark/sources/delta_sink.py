@@ -969,6 +969,7 @@ def merge_delta(
     descs: dict[str, dict] = {}
     n_updated = 0
     cdc_acts: list[dict] = []
+    paths: list[str] = []
     if snap["live"]:
         # partition pruning first: merge keys that ARE partition
         # columns constrain which files can hold a match at all —
@@ -986,6 +987,7 @@ def merge_delta(
             prune_by_partition(snap, wanted)["kept"] if wanted
             else snap["live"]
         )
+    if paths:
         abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
         target, _ = _attach_partition_columns(
             spark, _scan_with_positions(spark, table_dir, paths),

@@ -263,3 +263,26 @@ def test_merge_into_empty_table_with_partitioning(spark, tmp_path):
     ))
     got = _changes(spark, tbl, -1, 0)
     assert got == [(0, "insert", 1, 1), (0, "insert", 2, 2)]
+
+
+def test_partitioned_merge_into_untouched_partitions_is_insert_only(
+    spark, tmp_path
+):
+    """A CDC batch whose keys prune away EVERY existing partition must
+    not scan (or crash on) the empty kept set — it is an insert."""
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.createDataFrame([(1, "a", 1)], "id long, cat string, v long")
+        .coalesce(1),
+        tbl, partition_by=["cat"],
+    )
+    res = merge_delta(
+        spark,
+        spark.createDataFrame([(9, "zz", 9)],
+                              "id long, cat string, v long").coalesce(1),
+        tbl, ["cat", "id"],
+    )
+    assert res["n_files_touched"] == 0 and res["n_records_added"] == 1
+    assert snapshot(tbl)["live_rows"] == 2
+    got = _changes(spark, tbl, 0, 1)
+    assert got == [(1, "insert", 9, 9)]
