@@ -194,8 +194,6 @@ def _stage_data_files(
                     f if rel_root == "." else os.path.join(rel_root, f)
                 )
     parts.sort()
-    if not parts:
-        raise ValueError("write produced no parquet part files")
     adds = []
     for i, relf in enumerate(parts):
         comps = relf.split(os.sep)[:-1]
@@ -217,6 +215,8 @@ def _stage_data_files(
                 return _fh.read(ln)
 
             meta = parse_footer_tail(read_footer_tail(_fetch, flen))
+        if not meta["n_rows"]:
+            continue  # an empty micro-batch's part adds nothing
         dest = os.path.join(table_dir, name)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.replace(src, dest)
@@ -617,6 +617,12 @@ def write_delta(
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
                              partition_by=partition_by)
+    if not adds and mode == "append":
+        # an empty batch appends nothing — no version burned (the
+        # streaming writer's empty micro-batch path; a redelivery is
+        # equally empty, so skipping the txn watermark stays safe)
+        return {"version": None, "skipped": True, "n_files": 0,
+                "n_records": 0, "n_removed": 0}
 
     schema_string = df.schema.json()
     for _ in range(max_retries):
@@ -1038,6 +1044,11 @@ def merge_delta(
             source.withColumn("_change_type", F.lit("insert")),
             table_dir, token, "merge",
         )
+    if not adds and not descs:
+        # empty source touching nothing: no commit to make
+        return {"version": None, "n_files_touched": 0,
+                "n_rows_updated": 0, "n_files_added": 0,
+                "n_records_added": 0}
 
     schema_string = source.schema.json()
     for _ in range(max_retries):

@@ -193,8 +193,6 @@ def _stage_iceberg_files(
                     f if rel_root == "." else os.path.join(rel_root, f)
                 )
     parts.sort()
-    if not parts:
-        raise ValueError("write produced no parquet part files")
     adds: list[dict] = []
     for i, relf in enumerate(parts):
         comps = relf.split(os.sep)[:-1]
@@ -217,6 +215,8 @@ def _stage_iceberg_files(
                 return _fh.read(ln)
 
             meta = parse_footer_tail(read_footer_tail(_fetch, flen))
+        if not meta["n_rows"]:
+            continue  # an empty batch's part adds nothing
         mins, maxs = footer_int64_bounds(meta)
         dest = os.path.join(table_dir, name)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
@@ -303,6 +303,10 @@ def write_iceberg(
     token = uuid.uuid4().hex[:12]
     adds = _stage_iceberg_files(df, table_dir, token,
                                 partition_by=partition_by)
+    if not adds and mode == "append":
+        return {"version": None, "snapshot_id": None, "n_files": 0,
+                "n_records": 0, "n_removed": 0,
+                "n_manifests_reused": 0, "skipped": True}
     schema_fields = _schema_fields(df)
     field_ids = {f["name"]: f["id"] for f in schema_fields}
     part_fields = tuple(partition_by or ())
@@ -587,6 +591,10 @@ def merge_iceberg(
     })
     adds = _stage_iceberg_files(source, table_dir, token,
                                 partition_by=part_cols or None)
+    if not adds:  # empty source: nothing lands, nothing is deleted
+        return {"version": None, "snapshot_id": None,
+                "n_files_added": 0, "n_records_added": 0,
+                "n_delete_keys": 0}
 
     eq_rel = None
     n_keys = 0

@@ -202,11 +202,13 @@ def test_partition_prune_keeps_unconstrained_files():
         prune_by_partition(snap, {})
 
 
-def test_optimize_rejects_partitioned_files(spark, tmp_path):
-    import pytest
-
+def test_optimize_partitioned_keeps_partition_values(spark, tmp_path):
+    """Round 11 (superseding the r10 loud guard): partitioned tables
+    compact PER PARTITION — values preserved, no cross-partition
+    file."""
     from hainan_big_data_recommend_system_spark.sources.delta_sink import (
         optimize_delta,
+        snapshot,
         write_delta,
     )
 
@@ -215,5 +217,12 @@ def test_optimize_rejects_partitioned_files(spark, tmp_path):
         "id", "CASE WHEN id % 2 = 0 THEN 'x' ELSE 'y' END AS cat"
     )
     write_delta(df, tbl, partition_by=["cat"])
-    with pytest.raises(ValueError, match="per partition"):
-        optimize_delta(spark, tbl)
+    write_delta(df.selectExpr("id + 10 AS id", "cat"), tbl,
+                partition_by=["cat"])
+    res = optimize_delta(spark, tbl)
+    assert res["n_compacted"] >= 4 and res["n_files"] == 2
+    snap = snapshot(tbl)
+    assert sorted(
+        v["cat"] for v in snap["partition_values"].values()
+    ) == ["x", "y"]
+    assert snap["live_rows"] == 20

@@ -397,3 +397,36 @@ def test_streaming_into_partitioned_delta_exactly_once(spark, tmp_path):
         second["partition_values"][p]["day"] == "d1" for p in pr["kept"]
     )
     assert pr["rows_kept_max"] == 20
+
+
+def test_empty_batch_appends_are_noops(spark, tmp_path):
+    """An empty micro-batch (streaming delivers them) must not burn a
+    version or land a 0-row file in either format."""
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        merge_delta,
+    )
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        merge_iceberg,
+        read_table,
+        write_iceberg,
+    )
+
+    empty = spark.range(0).selectExpr("id", "id AS v")
+    tbl = str(tmp_path / "d")
+    write_delta(spark.range(3).selectExpr("id", "id AS v").coalesce(1),
+                tbl)
+    assert write_delta(empty, tbl)["version"] is None
+    assert merge_delta(spark, empty, tbl, ["id"])["version"] is None
+    assert snapshot(tbl)["version"] == 0
+    assert snapshot(tbl)["live_rows"] == 3
+
+    itbl = str(tmp_path / "i")
+    write_iceberg(spark.range(3).selectExpr("id", "id AS v").coalesce(1),
+                  itbl)
+    assert write_iceberg(empty, itbl)["version"] is None
+    assert merge_iceberg(spark, empty, itbl, ["id"])["version"] is None
+    snap = read_table(itbl)
+    assert snap["snapshot_id"] == 1 and snap["live_rows"] == 3
+    # overwrite with an empty frame is a legitimate TRUNCATE
+    assert write_delta(empty, tbl, mode="overwrite")["n_removed"] == 1
+    assert snapshot(tbl)["live_rows"] == 0
