@@ -286,3 +286,79 @@ def test_partitioned_merge_into_untouched_partitions_is_insert_only(
     assert snapshot(tbl)["live_rows"] == 2
     got = _changes(spark, tbl, 0, 1)
     assert got == [(1, "insert", 9, 9)]
+
+
+def test_merge_agrees_across_formats(spark, tmp_path):
+    """Cross-format agreement: the SAME upsert through the Delta sink
+    (deletion vectors) and the Iceberg sink (equality deletes) must
+    resolve to the SAME logical table — two commit models, one
+    semantics."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        resolve_deletion_vector,
+    )
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        merge_iceberg,
+        read_table,
+        write_iceberg,
+    )
+
+    base = spark.range(0, 40).selectExpr("id", "id AS v").repartition(2)
+    src = spark.range(0, 7).selectExpr("id", "-id AS v").union(
+        spark.range(100, 103).selectExpr("id", "id AS v")
+    ).coalesce(1)
+
+    dtbl = str(tmp_path / "d")
+    write_delta(base, dtbl)
+    merge_delta(spark, src, dtbl, ["id"], change_data=False)
+    snap = snapshot(dtbl)
+
+    def fetch(p):
+        return open(os.path.join(dtbl, p), "rb").read()
+
+    dead = {
+        delta_sink._abs_uri(dtbl, p): set(resolve_deletion_vector(d, fetch))
+        for p, d in snap["deletion_vectors"].items()
+    }
+    ddf = spark.read.parquet(
+        *[os.path.join(dtbl, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"), "id", "v",
+    )
+    delta_rows = sorted(
+        (r["id"], r["v"]) for r in ddf.collect()
+        if r["ri"] not in dead.get(r["fp"], ())
+    )
+
+    itbl = str(tmp_path / "i")
+    write_iceberg(base, itbl)
+    merge_iceberg(spark, src, itbl, ["id"])
+    isnap = read_table(itbl)
+    seqs = isnap["data_sequence_numbers"]
+    fields = isnap["field_names"]
+    data = None
+    for p in sorted(isnap["live"]):
+        part = spark.read.parquet(os.path.join(itbl, p)).withColumn(
+            "__seq", F.lit(seqs[p])
+        )
+        data = part if data is None else data.unionByName(part)
+    for eq in isnap["equality_deletes"]:
+        keys = [fields[i] for i in eq["equality_ids"]]
+        dels = spark.read.parquet(os.path.join(itbl, eq["path"])) \
+            .select(*keys)
+        data = data.filter(
+            F.col("__seq") < eq["sequence_number"]
+        ).join(F.broadcast(dels), keys, "left_anti").unionByName(
+            data.filter(F.col("__seq") >= eq["sequence_number"])
+        )
+    iceberg_rows = sorted(
+        (r["id"], r["v"]) for r in data.select("id", "v").collect()
+    )
+    assert delta_rows == iceberg_rows
+    want = sorted(
+        [(i, -i) for i in range(7)] + [(i, i) for i in range(7, 40)]
+        + [(i, i) for i in range(100, 103)]
+    )
+    assert delta_rows == want
