@@ -581,6 +581,7 @@ def write_delta(
     max_retries: int = 10,
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Commit ``df`` to the table.  Returns ``{version, n_files,
     n_records, n_removed}``.  Retries version claims on conflict
@@ -599,7 +600,14 @@ def write_delta(
     restart.  The check runs BEFORE staging and again inside every
     claim retry, so a concurrent duplicate writer cannot double-apply
     a batch; a skip discovered after staging unlinks the orphaned
-    data files (they were never referenced by any commit)."""
+    data files (they were never referenced by any commit).
+
+    SCHEMA DISCIPLINE (round 11): an append whose DataFrame schema
+    differs from the table's current ``metaData.schemaString`` fails
+    loudly unless ``merge_schema=True`` — silently overwriting the
+    recorded schema would leave older files unreadable under the new
+    contract (Delta's own writers enforce the same check; overwrite
+    mode replaces the data, so it may always change the schema)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported write mode {mode!r}")
 
@@ -610,9 +618,20 @@ def write_delta(
             >= txn[1]
         )
 
-    if _txn_done(snapshot(table_dir)):
+    pre = snapshot(table_dir)
+    if _txn_done(pre):
         return {"version": None, "skipped": True, "n_files": 0,
                 "n_records": 0, "n_removed": 0}
+    if (
+        mode == "append"
+        and not merge_schema
+        and pre.get("schema_json")
+        and json.loads(pre["schema_json"]) != json.loads(df.schema.json())
+    ):
+        raise ValueError(
+            "append schema differs from the table schema; pass "
+            "merge_schema=True to evolve it (Delta schema enforcement)"
+        )
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
@@ -1229,3 +1248,174 @@ def read_changes(
            StructField("_commit_version", LongType())]
     )
     return spark.createDataFrame([], schema)
+
+
+def restore_delta(
+    table_dir: str,
+    version: int,
+    checkpoint_interval: int = 10,
+    max_retries: int = 10,
+) -> dict:
+    """RESTORE TABLE TO VERSION AS OF ``version`` — a NEW commit that
+    makes the current snapshot equal the historical one while keeping
+    the history (delta-io RESTORE semantics: time travel that writes).
+    Metadata-only: files live then but dropped since RE-ADD with their
+    original size/rows/partitionValues/stats/deletion-vector
+    descriptors (the un-vacuumed bytes are still on disk — which is
+    exactly why VACUUM retention gates restore depth), files added
+    since are REMOVED.  O(restored files) actions, no data read.
+
+    Returns ``{version, restored_to, n_readds, n_removes}``."""
+    commits = read_log_commits(table_dir)
+    if not 0 <= version < len(commits):
+        raise ValueError(
+            f"restore target {version} outside versions 0..{len(commits) - 1}"
+        )
+    target = replay_delta_log(commits[: version + 1])
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        cur = replay_delta_log(read_log_commits(table_dir))
+        t_dvs = target.get("deletion_vectors", {})
+        t_pv = target.get("partition_values", {})
+        t_stats = target.get("file_stats", {})
+        c_dvs = cur.get("deletion_vectors", {})
+        readds = [
+            p for p, meta in target["live"].items()
+            if cur["live"].get(p) != meta
+            or c_dvs.get(p) != t_dvs.get(p)
+            or cur.get("partition_values", {}).get(p) != t_pv.get(p)
+        ]
+        removes = sorted(set(cur["live"]) - set(target["live"]))
+        if not readds and not removes:
+            return {"version": None, "restored_to": version,
+                    "n_readds": 0, "n_removes": 0}
+        acts: list[dict] = [{"metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": target["schema_json"],
+            "partitionColumns": sorted({
+                c for v in t_pv.values() for c in v
+            }),
+        }}]
+        acts.extend(
+            {"remove": {"path": p, "dataChange": True}} for p in removes
+        )
+        for p in sorted(readds):
+            size, rows = target["live"][p]
+            if not os.path.exists(os.path.join(table_dir, p)):
+                raise ValueError(
+                    f"restore needs vacuumed file {p!r} — version "
+                    f"{version} is beyond the vacuum horizon"
+                )
+            add = {"path": p, "size": size, "numRecords": rows,
+                   "partitionValues": t_pv.get(p, {}),
+                   "dataChange": True}
+            if p in t_dvs:
+                add["deletionVector"] = t_dvs[p]
+            if p in t_stats:
+                add["stats"] = json.dumps(
+                    t_stats[p], sort_keys=True, separators=(",", ":")
+                )
+            acts.append({"add": add})
+        acts.append({"commitInfo": {"operation": "RESTORE",
+                                    "version": version}})
+        new_version = cur["version"] + 1
+        if _claim_version(table_dir, new_version, make_commit(acts),
+                          token):
+            _maybe_checkpoint(table_dir, new_version,
+                              checkpoint_interval)
+            return {"version": new_version, "restored_to": version,
+                    "n_readds": len(readds), "n_removes": len(removes)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def vacuum_delta(table_dir: str, retention_versions: int) -> dict:
+    """Execute VACUUM: physically delete (a) tombstoned data files
+    dead for more than ``retention_versions`` commits
+    (`deltalog.vacuum_plan` decides — time travel and RESTORE past the
+    horizon are forfeited, inside it they keep working), (b) deletion-
+    vector sidecars no snapshot INSIDE the retention window references,
+    and (c) change-data files of commits at or before the horizon
+    (CDF reads within the window keep working).  O(retention × log)
+    driver-side metadata walk + unlinks; no data read.
+
+    Returns ``{n_files_deleted, n_sidecars_deleted, n_cdc_deleted,
+    bytes_reclaimed}``."""
+    import uuid as _uuid
+
+    from ..operators.deltalog import vacuum_plan, z85_decode
+
+    commits = read_log_commits(table_dir)
+    if not commits:
+        return {"n_files_deleted": 0, "n_sidecars_deleted": 0,
+                "n_cdc_deleted": 0, "bytes_reclaimed": 0}
+    cur = replay_delta_log(commits)
+    plan = vacuum_plan(cur, retention_versions)
+    horizon = cur["version"] - retention_versions
+
+    def _sidecar_path(desc: dict) -> str | None:
+        st = desc.get("storageType")
+        if st == "p":
+            return desc.get("pathOrInlineDv")
+        if st == "u":
+            enc = desc.get("pathOrInlineDv", "")
+            prefix, uid85 = enc[:-20], enc[-20:]
+            uid = _uuid.UUID(bytes=z85_decode(uid85))
+            return (f"{prefix}/" if prefix else "") + (
+                f"deletion_vector_{uid}.bin"
+            )
+        return None
+
+    keep_sidecars: set[str] = set()
+    for v in range(max(0, horizon), len(commits)):
+        st = replay_delta_log(commits[: v + 1])
+        for d in st.get("deletion_vectors", {}).values():
+            p = _sidecar_path(d)
+            if p:
+                keep_sidecars.add(p)
+    disk_sidecars = {
+        f for f in os.listdir(table_dir)
+        if f.startswith("deletion_vector_") and f.endswith(".bin")
+    }
+    dead_sidecars = sorted(disk_sidecars - keep_sidecars)
+
+    dead_cdc: list[str] = []
+    for v in range(0, max(0, horizon) + 1 if horizon >= 0 else 0):
+        for ln in commits[v].splitlines():
+            if not ln.strip():
+                continue
+            obj = json.loads(ln)
+            if "cdc" in obj:
+                dead_cdc.append(obj["cdc"]["path"])
+
+    reclaimed = 0
+    n_files = 0
+    for p in plan["eligible"]:
+        full = os.path.join(table_dir, p)
+        try:
+            reclaimed += os.path.getsize(full)
+            os.unlink(full)
+            n_files += 1
+        except OSError:
+            pass  # already gone: vacuum is idempotent
+    n_side = 0
+    for p in dead_sidecars:
+        try:
+            reclaimed += os.path.getsize(os.path.join(table_dir, p))
+            os.unlink(os.path.join(table_dir, p))
+            n_side += 1
+        except OSError:
+            pass
+    n_cdc = 0
+    for p in sorted(set(dead_cdc)):
+        full = os.path.join(table_dir, p)
+        try:
+            reclaimed += os.path.getsize(full)
+            os.unlink(full)
+            n_cdc += 1
+        except OSError:
+            pass
+    return {"n_files_deleted": n_files, "n_sidecars_deleted": n_side,
+            "n_cdc_deleted": n_cdc, "bytes_reclaimed": reclaimed}

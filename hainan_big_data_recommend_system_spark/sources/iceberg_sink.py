@@ -774,3 +774,36 @@ def expire_snapshots_plan(table_dir: str, retain_last: int = 1) -> dict:
             sizes_all.get(p, 0) for p in reclaim_files
         ),
     }
+
+
+def rollback_iceberg(table_dir: str, snapshot_id: int,
+                     max_retries: int = 10) -> dict:
+    """ROLLBACK: point the table back at an earlier snapshot — a NEW
+    metadata version whose current-snapshot-id is ``snapshot_id``
+    (Iceberg's rollback_to_snapshot: metadata-only, history kept,
+    O(1) blobs written).  The target's manifest tree is untouched and
+    un-expired, so the rollback is instant at any table size.
+
+    Returns ``{version, snapshot_id}``."""
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        prev = _prev_state(table_dir)
+        if snapshot_id not in prev["snapshots"]:
+            raise ValueError(
+                f"snapshot {snapshot_id} not in the table "
+                f"(have {sorted(prev['snapshots'])})"
+            )
+        version = prev["version"] + 1
+        schema_fields = [
+            {"id": i, "name": n}
+            for i, n in sorted(prev["field_names"].items())
+        ] or None
+        meta_text = make_table_metadata(
+            prev["snapshots"], current=snapshot_id,
+            schema_fields=schema_fields,
+        )
+        if _claim_metadata(table_dir, version, meta_text, token, {}):
+            return {"version": version, "snapshot_id": snapshot_id}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )

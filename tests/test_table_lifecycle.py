@@ -1,0 +1,189 @@
+"""Round-11 table-lifecycle completions: schema enforcement on
+append, RESTORE TO VERSION, executable VACUUM (data + DV sidecars +
+change-data), and Iceberg snapshot rollback — write → delete →
+optimize → restore → vacuum, end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from hainan_big_data_recommend_system_spark.operators.deltalog import (
+    resolve_deletion_vector,
+)
+from hainan_big_data_recommend_system_spark.sources import delta_sink
+from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+    delete_where_delta,
+    merge_delta,
+    read_changes,
+    restore_delta,
+    snapshot,
+    vacuum_delta,
+    write_delta,
+)
+
+
+def _alive(spark, tbl):
+    from pyspark.sql import functions as F
+
+    snap = snapshot(tbl)
+
+    def fetch(p):
+        return open(os.path.join(tbl, p), "rb").read()
+
+    dead = {
+        delta_sink._abs_uri(tbl, p): set(resolve_deletion_vector(d, fetch))
+        for p, d in snap.get("deletion_vectors", {}).items()
+    }
+    df = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"), "id",
+    )
+    return sorted(
+        r["id"] for r in df.collect()
+        if r["ri"] not in dead.get(r["fp"], ())
+    )
+
+
+def test_append_schema_is_enforced(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(3).selectExpr("id", "id AS v").coalesce(1),
+                tbl)
+    widened = spark.range(3, 6).selectExpr(
+        "id", "id AS v", "CAST(id AS STRING) AS extra"
+    ).coalesce(1)
+    with pytest.raises(ValueError, match="merge_schema"):
+        write_delta(widened, tbl)
+    # explicit evolution works and updates the recorded schema
+    res = write_delta(widened, tbl, merge_schema=True)
+    assert res["version"] == 1
+    assert "extra" in snapshot(tbl)["schema_json"]
+    # overwrite may always change the schema
+    write_delta(spark.range(1).selectExpr("id").coalesce(1), tbl,
+                mode="overwrite")
+    assert "extra" not in snapshot(tbl)["schema_json"]
+
+
+def test_restore_undoes_delete_and_merge(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 30).selectExpr("id").repartition(2), tbl)
+    delete_where_delta(spark, tbl, "id % 3 = 0")
+    merge_delta(
+        spark, spark.range(100, 105).selectExpr("id").coalesce(1),
+        tbl, ["id"],
+    )
+    assert _alive(spark, tbl) == sorted(
+        [i for i in range(30) if i % 3] + list(range(100, 105))
+    )
+    res = restore_delta(tbl, 0)
+    assert res["restored_to"] == 0 and res["version"] == 3
+    assert _alive(spark, tbl) == list(range(30))
+    snap = snapshot(tbl)
+    assert snap["deletion_vectors"] == {}
+    assert snap["dv_cardinality"] == 0
+    # restoring to the state we are already in is a no-op
+    assert restore_delta(tbl, 3)["version"] is None
+    # and history is intact: time travel still sees the merge state
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        replay_delta_log,
+    )
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        read_log_commits,
+    )
+
+    mid = replay_delta_log(read_log_commits(tbl)[:3])
+    assert mid["dv_cardinality"] == 10
+
+
+def test_restore_reinstates_deletion_vectors(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 20).selectExpr("id").coalesce(1), tbl)
+    delete_where_delta(spark, tbl, "id < 5", change_data=False)
+    delete_where_delta(spark, tbl, "id < 10", change_data=False)
+    restore_delta(tbl, 1)  # back to the first delete only
+    assert _alive(spark, tbl) == list(range(5, 20))
+    assert snapshot(tbl)["dv_cardinality"] == 5
+
+
+def test_vacuum_deletes_data_sidecars_and_cdc(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 50).selectExpr("id").coalesce(1), tbl)
+    # v1: sidecar DV (threshold 0 forces the file form) + cdc files
+    delete_where_delta(spark, tbl, "id % 2 = 0", inline_threshold=0)
+    # v2: overwrite tombstones the original file
+    write_delta(spark.range(100, 103).selectExpr("id").coalesce(1),
+                tbl, mode="overwrite")
+    sidecars = [f for f in os.listdir(tbl)
+                if f.startswith("deletion_vector_")]
+    cdc = os.listdir(os.path.join(tbl, "_change_data"))
+    assert sidecars and cdc
+    # retention 2 keeps everything reachable: nothing deleted
+    res = vacuum_delta(tbl, retention_versions=2)
+    assert res == {"n_files_deleted": 0, "n_sidecars_deleted": 0,
+                   "n_cdc_deleted": 0, "bytes_reclaimed": 0}
+    # retention 0: the tombstoned file, its sidecar, and v<=2 cdc go
+    res = vacuum_delta(tbl, retention_versions=0)
+    assert res["n_files_deleted"] == 1
+    assert res["n_sidecars_deleted"] == 1
+    assert res["n_cdc_deleted"] == len(cdc)
+    assert res["bytes_reclaimed"] > 0
+    # the live table still reads fine
+    assert _alive(spark, tbl) == [100, 101, 102]
+    # restore past the vacuum horizon fails loudly instead of lying
+    with pytest.raises(ValueError, match="vacuum"):
+        restore_delta(tbl, 0)
+    # vacuum is idempotent
+    res2 = vacuum_delta(tbl, retention_versions=0)
+    assert res2["n_files_deleted"] == 0
+
+
+def test_vacuum_keeps_sidecars_inside_retention(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 40).selectExpr("id").coalesce(1), tbl)
+    delete_where_delta(spark, tbl, "id < 20", inline_threshold=0,
+                       change_data=False)
+    res = vacuum_delta(tbl, retention_versions=0)
+    # the DV is LIVE (current snapshot references it): never deleted
+    assert res["n_sidecars_deleted"] == 0
+    assert _alive(spark, tbl) == list(range(20, 40))
+
+
+def test_iceberg_rollback_is_metadata_only(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        read_table,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    write_iceberg(spark.range(10, 20).selectExpr("id").coalesce(1), tbl)
+    assert read_table(tbl)["live_rows"] == 20
+    res = rollback_iceberg(tbl, snapshot_id=1)
+    assert res["version"] == 2
+    snap = read_table(tbl)
+    assert snap["snapshot_id"] == 1 and snap["live_rows"] == 10
+    # schema survived the rollback metadata rewrite
+    assert snap["field_names"] == {1: "id"}
+    # rolling forward again works too (the snapshot map is intact)
+    rollback_iceberg(tbl, snapshot_id=2)
+    assert read_table(tbl)["live_rows"] == 20
+    with pytest.raises(ValueError, match="not in the table"):
+        rollback_iceberg(tbl, snapshot_id=99)
+
+
+def test_cdf_still_reads_inside_retention_after_vacuum(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    delete_where_delta(spark, tbl, "id = 3")
+    delete_where_delta(spark, tbl, "id = 4")
+    vacuum_delta(tbl, retention_versions=1)  # horizon = v1
+    # v2's change data survived (inside retention)
+    rows = read_changes(spark, tbl, 1, 2).collect()
+    assert [(r["id"], r["_change_type"]) for r in rows] == [
+        (4, "delete")
+    ]
