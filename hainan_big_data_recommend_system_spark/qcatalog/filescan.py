@@ -1635,3 +1635,86 @@ def q_delta_cdf_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("_commit_version").alias("commit_version"),
         F.lit(consistent).alias("diff_consistent"),
     )
+
+
+def _ensure_delta_restore_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """The full lifecycle: v0 write, v1 DV-delete doc_id%6==1, v2
+    overwrite with the doc_id%4==0 slice, v3 RESTORE to v1 — the
+    snapshot must be byte-equal to the post-delete state, deletion
+    vectors reinstated."""
+    out = _fixture_dir(sf_dir, "deltarestore")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import (
+        delete_where_delta,
+        restore_delta,
+        write_delta,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(docs.repartition(2), tmp)
+    delete_where_delta(spark, tmp, "doc_id % 6 = 1", change_data=False)
+    write_delta(docs.filter(F.col("doc_id") % 4 == 0).coalesce(1),
+                tmp, mode="overwrite")
+    restore_delta(tmp, 1)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_restore_roundtrip",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           CAST(3 AS BIGINT) AS version,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 6 = 1)
+                AS BIGINT) AS dv_cardinality
+    FROM documents
+    WHERE doc_id % 6 <> 1
+    """,
+)
+def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESTORE TO VERSION as a write (round 11): after an overwrite
+    clobbered the table, a metadata-only RESTORE re-adds the earlier
+    files WITH their deletion vectors — the oracle recomputes the
+    post-delete state from the documents table, so a restore that
+    dropped the DVs (resurrecting the deleted rows), missed a file, or
+    failed to remove the overwrite's files hash-mismatches.  History
+    stays intact: the restore is version 3 of a 4-commit log."""
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import (
+        _abs_uri,
+        _dead_positions_df,
+        read_log_commits,
+    )
+
+    fixture = _ensure_delta_restore_fixture(spark, sf_dir)
+    commits = read_log_commits(fixture)
+    cur = replay_delta_log(commits)
+    dead = _dead_positions_df(
+        spark, fixture,
+        {_abs_uri(fixture, p): d
+         for p, d in cur["deletion_vectors"].items()},
+    )
+    data = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(cur["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+        "doc_id", "body",
+    )
+    if dead is not None:
+        data = data.join(F.broadcast(dead), ["__fp", "__ri"],
+                         "left_anti")
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(cur["version"]).cast("long").alias("version"),
+        F.lit(cur["dv_cardinality"]).cast("long")
+        .alias("dv_cardinality"),
+    )
