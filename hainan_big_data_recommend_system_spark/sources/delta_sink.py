@@ -693,6 +693,43 @@ def write_delta(
     )
 
 
+def _with_zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Attach ``__zval``: the Morton interleave of the (broadcast
+    min/max-quantized) dimensions for 2 columns, or the column itself
+    for 1 — the clustering key OPTIMIZE ZORDER BY sorts the rewrite
+    on (operators/zorder.py holds the oracle-checked twin)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.zorder import GRID_BITS, _interleave
+
+    if len(cols) == 1:
+        return df.withColumn("__zval", F.col(cols[0]).cast("long"))
+    if len(cols) != 2:
+        raise ValueError("zorder_by supports 1 or 2 columns")
+    a, b = cols
+    grid_max = (1 << GRID_BITS) - 1
+    stats = df.agg(
+        F.min(F.col(a).cast("long")).alias("__alo"),
+        F.max(F.col(a).cast("long")).alias("__ahi"),
+        F.min(F.col(b).cast("long")).alias("__blo"),
+        F.max(F.col(b).cast("long")).alias("__bhi"),
+    )
+    return (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn("__qa", F.expr(
+            f"(({a} - __alo) * {grid_max}L)"
+            f" div greatest(__ahi - __alo, 1L)"
+        ))
+        .withColumn("__qb", F.expr(
+            f"(({b} - __blo) * {grid_max}L)"
+            f" div greatest(__bhi - __blo, 1L)"
+        ))
+        .withColumn("__zval",
+                    _interleave(F.col("__qa"), F.col("__qb"), GRID_BITS))
+        .drop("__alo", "__ahi", "__blo", "__bhi", "__qa", "__qb")
+    )
+
+
 def optimize_delta(
     spark,
     table_dir: str,
@@ -700,6 +737,7 @@ def optimize_delta(
     target_partitions: int = 1,
     checkpoint_interval: int = 10,
     max_retries: int = 10,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """OPTIMIZE: bin-pack live files smaller than ``small_file_bytes``
     into ``target_partitions`` rewritten files, committed as adds +
@@ -755,7 +793,10 @@ def optimize_delta(
         small = sorted(
             p for ps in by_part.values() if len(ps) >= 2 for p in ps
         )
-    elif len(small) <= target_partitions:
+    elif len(small) <= target_partitions and not zorder_by:
+        # without a clustering request, <= target files is already
+        # compact; ZORDER still has work to do (the point is layout,
+        # not file count)
         small = []
     if not small:
         return noop
@@ -776,10 +817,28 @@ def optimize_delta(
         df = spark.read.parquet(
             *[os.path.join(table_dir, p) for p in small]
         )
-    df = (
-        df.repartition(*part_cols) if part_cols
-        else df.repartition(target_partitions)
-    )
+    if zorder_by:
+        # OPTIMIZE ZORDER BY: the rewrite is range-partitioned and
+        # sorted by the Morton code, so every output file covers a
+        # small bounding box in the clustered dimensions and the
+        # footer-derived add.stats prune on EITHER one — compaction
+        # that IMPROVES skipping instead of destroying it
+        df = _with_zorder_value(df, list(zorder_by))
+        if part_cols:
+            df = (
+                df.repartition(*part_cols)
+                .sortWithinPartitions("__zval")
+            )
+        else:
+            df = (
+                df.repartitionByRange(target_partitions, "__zval")
+                .sortWithinPartitions("__zval")
+            )
+        df = df.drop("__zval")
+    elif part_cols:
+        df = df.repartition(*part_cols)
+    else:
+        df = df.repartition(target_partitions)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
                              partition_by=part_cols or None)
@@ -1419,3 +1478,124 @@ def vacuum_delta(table_dir: str, retention_versions: int) -> dict:
             pass
     return {"n_files_deleted": n_files, "n_sidecars_deleted": n_side,
             "n_cdc_deleted": n_cdc, "bytes_reclaimed": reclaimed}
+
+
+def update_where_delta(
+    spark,
+    table_dir: str,
+    condition: str,
+    assignments: dict[str, str],
+    inline_threshold: int = 512,
+    checkpoint_interval: int = 10,
+    max_retries: int = 10,
+    change_data: bool = True,
+) -> dict:
+    """UPDATE ... SET col = expr WHERE condition — the third DML verb,
+    composed from the same primitives as DELETE and MERGE: the matched
+    LIVE rows are tombstoned by deletion vectors (serialized on
+    executors, O(touched files) at the driver) and their updated
+    versions append as new data files — ONE atomic commit, no existing
+    file rewritten.  ``assignments`` maps column name → Spark SQL
+    expression (evaluated against the matched row, so
+    ``{"v": "v + 1"}`` works).  Updating a partition column moves the
+    row to its new partition directory naturally, because the updated
+    rows restage through the table's Hive layout.
+
+    ``change_data=True`` writes update_preimage/update_postimage rows
+    (PROTOCOL.md "Change Data Files") in the same commit.
+
+    Returns ``{version, n_files_touched, n_rows_updated,
+    n_files_added}``."""
+    from pyspark.sql import functions as F
+
+    for c in assignments:
+        if not isinstance(c, str) or not c:
+            raise ValueError("assignment target must be a column name")
+    snap = snapshot(table_dir)
+    if not snap["live"]:
+        return {"version": None, "n_files_touched": 0,
+                "n_rows_updated": 0, "n_files_added": 0}
+    paths = sorted(snap["live"])
+    abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
+    pv = snap.get("partition_values", {})
+    old_dvs = snap.get("deletion_vectors", {})
+    fstats = snap.get("file_stats", {})
+    part_cols = sorted({c for p in paths for c in pv.get(p, {})})
+    df, _ = _attach_partition_columns(
+        spark, _scan_with_positions(spark, table_dir, paths),
+        table_dir, paths, pv, snap.get("schema_json"),
+    )
+    dead = _dead_positions_df(
+        spark, table_dir,
+        {_abs_uri(table_dir, p): old_dvs[p]
+         for p in paths if p in old_dvs},
+    )
+    alive = (
+        df.join(dead, ["__fp", "__ri"], "left_anti")
+        if dead is not None else df
+    )
+    matched = alive.filter(condition)
+    token = uuid.uuid4().hex[:12]
+    updates = _build_dv_updates(
+        spark, matched.select("__fp", "__ri"), table_dir,
+        abs_to_rel, {p: old_dvs[p] for p in paths if p in old_dvs},
+    )
+    if not updates:
+        return {"version": None, "n_files_touched": 0,
+                "n_rows_updated": 0, "n_files_added": 0}
+    n_updated = sum(fresh for _, _, fresh in updates.values())
+    descs = _dv_descriptors(updates, table_dir, inline_threshold, token)
+
+    preimage = matched.drop("__fp", "__ri")
+    postimage = preimage
+    for c, expr in assignments.items():
+        postimage = postimage.withColumn(c, F.expr(expr))
+    adds = _stage_data_files(postimage, table_dir, token,
+                             partition_by=part_cols or None)
+    cdc_acts: list[dict] = []
+    if change_data:
+        cdc_acts = _stage_cdc_files(
+            preimage.withColumn("_change_type",
+                                F.lit("update_preimage"))
+            .unionByName(
+                postimage.withColumn("_change_type",
+                                     F.lit("update_postimage")),
+                allowMissingColumns=True,
+            ),
+            table_dir, token, "upd",
+        )
+
+    for _ in range(max_retries):
+        cur = snapshot(table_dir)
+        conflicts = _conflicting_paths(snap, cur, sorted(descs))
+        if conflicts:
+            raise ValueError(
+                f"update conflict: files changed concurrently "
+                f"({conflicts[:3]})"
+            )
+        version = cur["version"] + 1
+        acts: list[dict] = []
+        for rel in sorted(descs):
+            size, rows = cur["live"][rel]
+            acts.append({"remove": {"path": rel, "dataChange": True}})
+            add = {"path": rel, "size": size, "numRecords": rows,
+                   "partitionValues": pv.get(rel, {}),
+                   "deletionVector": descs[rel], "dataChange": True}
+            if rel in fstats:
+                add["stats"] = json.dumps(
+                    fstats[rel], sort_keys=True, separators=(",", ":")
+                )
+            acts.append({"add": add})
+        acts.extend({"add": {**a, "dataChange": True}} for a in adds)
+        acts.extend(cdc_acts)
+        acts.append({"commitInfo": {"operation": "UPDATE",
+                                    "predicate": condition}})
+        if _claim_version(table_dir, version, make_commit(acts), token):
+            _maybe_checkpoint(table_dir, version, checkpoint_interval)
+            return {"version": version,
+                    "n_files_touched": len(descs),
+                    "n_rows_updated": n_updated,
+                    "n_files_added": len(adds)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )

@@ -252,3 +252,146 @@ def test_concurrent_iceberg_appends_all_land(spark, tmp_path):
     snap = read_table(tbl)
     assert snap["live_rows"] == 300
     assert snap["n_live"] == 6
+
+
+# ---------------------------------------------------------------------------
+# UPDATE (the third DML verb) + OPTIMIZE ZORDER BY
+# ---------------------------------------------------------------------------
+
+def test_update_where_rewrites_matched_rows(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        update_where_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.range(0, 50).selectExpr("id", "id AS v").repartition(2),
+        tbl,
+    )
+    res = update_where_delta(spark, tbl, "id % 10 = 0", {"v": "v + 1000"})
+    assert res["n_rows_updated"] == 5
+    assert res["n_files_touched"] == 2
+    snap = snapshot(tbl)
+    # old rows tombstoned, new versions appended — originals untouched
+    assert snap["dv_cardinality"] == 5
+    rows = sorted(
+        (r["id"], r["v"]) for r in _alive_rows(spark, tbl)
+    )
+    want = sorted(
+        (i, i + 1000 if i % 10 == 0 else i) for i in range(50)
+    )
+    assert rows == want
+    # CDF carries the pre/post pair
+    ch = read_changes(spark, tbl, 0, 1).collect()
+    got = sorted((r["_change_type"], r["id"], r["v"]) for r in ch)
+    assert got == sorted(
+        [("update_preimage", i, i) for i in range(0, 50, 10)]
+        + [("update_postimage", i, i + 1000) for i in range(0, 50, 10)]
+    )
+
+
+def _alive_rows(spark, tbl):
+    from pyspark.sql import functions as F
+
+    snap = snapshot(tbl)
+
+    def fetch(p):
+        return open(os.path.join(tbl, p), "rb").read()
+
+    dead = {
+        delta_sink._abs_uri(tbl, p): set(resolve_deletion_vector(d, fetch))
+        for p, d in snap.get("deletion_vectors", {}).items()
+    }
+    df = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"), "id", "v",
+    )
+    return [
+        r for r in df.collect()
+        if r["ri"] not in dead.get(r["fp"], ())
+    ]
+
+
+def test_update_moves_rows_across_partitions(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        update_where_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame(
+        [(i, "a" if i < 5 else "b", i) for i in range(10)],
+        "id long, cat string, v long",
+    ).coalesce(1)
+    write_delta(df, tbl, partition_by=["cat"])
+    update_where_delta(spark, tbl, "id = 2", {"cat": "'b'"},
+                       change_data=False)
+    snap = snapshot(tbl)
+    moved = [
+        p for p in snap["live"]
+        if p not in snap["deletion_vectors"]
+        and snap["partition_values"][p]["cat"] == "b"
+        and "part-" in p
+    ]
+    # the updated row landed in cat=b's directory
+    assert any(
+        2 in [r["id"] for r in
+              spark.read.parquet(os.path.join(tbl, p)).collect()]
+        for p in moved
+    )
+
+
+def test_update_skips_already_dead_rows(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        update_where_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 20).selectExpr("id", "id AS v")
+                .coalesce(1), tbl)
+    delete_where_delta(spark, tbl, "id < 5", change_data=False)
+    res = update_where_delta(spark, tbl, "id < 8", {"v": "-v"},
+                             change_data=False)
+    assert res["n_rows_updated"] == 3  # 5,6,7 — dead rows are not rows
+    rows = sorted((r["id"], r["v"]) for r in _alive_rows(spark, tbl))
+    assert rows == sorted(
+        [(i, -i) for i in (5, 6, 7)] + [(i, i) for i in range(8, 20)]
+    )
+
+
+def test_optimize_zorder_improves_both_dimension_skipping(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+    )
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        optimize_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # 8 appends clustered by NEITHER dimension (round-robin ids)
+    for k in range(8):
+        write_delta(
+            spark.range(0, 4096).selectExpr(
+                f"id * 8 + {k} AS a", f"pmod(id * 2654435761, 32768) AS b"
+            ).coalesce(1),
+            tbl,
+        )
+    before = snapshot(tbl)
+    # pre-ZORDER: every file spans the full range of BOTH dimensions —
+    # a narrow range prunes nothing
+    assert prune_live_files(before, "a", lo=0, hi=4095)["n_skipped"] == 0
+    assert prune_live_files(before, "b", lo=0, hi=4095)["n_skipped"] == 0
+    res = optimize_delta(spark, tbl, target_partitions=8,
+                         zorder_by=["a", "b"])
+    assert res["n_compacted"] == 8 and res["n_files"] == 8
+    snap = snapshot(tbl)
+    # post-ZORDER every file covers a small (a, b) bounding box: the
+    # same 1/8-range probe now skips files on EITHER dimension (the
+    # 8-file z-curve yields ~2-bit boxes in one dim, ~1-bit in the
+    # other, so ≥half skip on one axis and ≥a quarter on the other)
+    pr_a = prune_live_files(snap, "a", lo=0, hi=4095)
+    pr_b = prune_live_files(snap, "b", lo=0, hi=4095)
+    assert pr_a["n_skipped"] >= 4, pr_a
+    assert pr_b["n_skipped"] >= 2, pr_b
+    assert snap["live_rows"] == 8 * 4096
