@@ -1718,3 +1718,87 @@ def q_delta_restore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(cur["dv_cardinality"]).cast("long")
         .alias("dv_cardinality"),
     )
+
+
+def _ensure_delta_update_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A sink-written table with an UPDATE applied: doc_id%9==0 rows
+    get '-upd' bodies — old versions DV-tombstoned, new versions
+    appended, one commit."""
+    out = _fixture_dir(sf_dir, "deltaupdate")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import update_where_delta, write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(docs.repartition(2), tmp)
+    update_where_delta(
+        spark, tmp, "doc_id % 9 = 0",
+        {"body": "concat(body, '-upd')"},
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_update_roundtrip",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 9 = 0 THEN md5(text || '-upd')
+                ELSE md5(text) END AS body_md5,
+           CAST((SELECT COUNT(*) FROM documents WHERE doc_id % 9 = 0)
+                AS BIGINT) AS dv_cardinality,
+           TRUE AS originals_untouched
+    FROM documents
+    """,
+)
+def q_delta_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE ... SET via deletion vectors (round 11): the matched
+    rows' old versions tombstone by DV (executor-serialized), the
+    updated versions append, one commit — zero pre-existing files
+    rewritten, which ``originals_untouched`` pins (the v0 live set's
+    (path, size) pairs must survive byte-identical).  The oracle
+    recomputes every body from the documents table: an update that
+    missed rows, double-applied, or resurrected old versions
+    hash-mismatches."""
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import (
+        _abs_uri,
+        _dead_positions_df,
+        read_log_commits,
+    )
+
+    fixture = _ensure_delta_update_fixture(spark, sf_dir)
+    commits = read_log_commits(fixture)
+    cur = replay_delta_log(commits)
+    pre = replay_delta_log(commits[:1])
+    untouched = all(
+        cur["live"].get(p) == meta for p, meta in pre["live"].items()
+    )
+    dead = _dead_positions_df(
+        spark, fixture,
+        {_abs_uri(fixture, p): d
+         for p, d in cur["deletion_vectors"].items()},
+    )
+    data = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(cur["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("__fp"),
+        F.col("_metadata.row_index").alias("__ri"),
+        "doc_id", "body",
+    )
+    if dead is not None:
+        data = data.join(F.broadcast(dead), ["__fp", "__ri"],
+                         "left_anti")
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(cur["dv_cardinality"]).cast("long")
+        .alias("dv_cardinality"),
+        F.lit(untouched).alias("originals_untouched"),
+    )

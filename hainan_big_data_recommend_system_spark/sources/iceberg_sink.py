@@ -807,3 +807,60 @@ def rollback_iceberg(table_dir: str, snapshot_id: int,
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+def expire_snapshots_iceberg(
+    table_dir: str,
+    retain_last: int = 1,
+    max_retries: int = 10,
+) -> dict:
+    """EXECUTE snapshot expiration: commit a new metadata version
+    whose snapshot list keeps only the newest ``retain_last``
+    snapshots, then physically delete what `expire_snapshots_plan`
+    proved unreferenced — reclaimable data/delete files, manifests and
+    manifest lists, and the superseded metadata.json versions.  The
+    metadata rewrite comes FIRST (readers can no longer resolve the
+    expired snapshots) and the unlinks after, so a crash between the
+    two leaves only harmless orphans, never a dangling pointer.
+
+    Returns the plan's counts plus ``{version}`` of the new metadata."""
+    plan = expire_snapshots_plan(table_dir, retain_last=retain_last)
+    if not plan["expired"]:
+        return {**plan, "version": None}
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        prev = _prev_state(table_dir)
+        snapshots = {
+            sid: ml for sid, ml in prev["snapshots"].items()
+            if sid in set(plan["retained"])
+        }
+        if prev["current"] not in snapshots:
+            raise ValueError(
+                "concurrent commit moved the current snapshot; re-plan"
+            )
+        version = prev["version"] + 1
+        schema_fields = [
+            {"id": i, "name": n}
+            for i, n in sorted(prev["field_names"].items())
+        ] or None
+        meta_text = make_table_metadata(
+            snapshots, current=prev["current"],
+            schema_fields=schema_fields,
+        )
+        if not _claim_metadata(table_dir, version, meta_text, token, {}):
+            continue
+        reclaimed = 0
+        for rel in (plan["reclaimable_files"]
+                    + plan["reclaimable_manifests"]
+                    + plan["reclaimable_metadata"]):
+            full = os.path.join(table_dir, rel)
+            try:
+                reclaimed += os.path.getsize(full)
+                os.unlink(full)
+            except OSError:
+                pass  # already gone: expiration is idempotent
+        return {**plan, "version": version,
+                "bytes_reclaimed": reclaimed}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )

@@ -395,3 +395,38 @@ def test_optimize_zorder_improves_both_dimension_skipping(spark, tmp_path):
     assert pr_a["n_skipped"] >= 4, pr_a
     assert pr_b["n_skipped"] >= 2, pr_b
     assert snap["live_rows"] == 8 * 4096
+
+
+def test_expire_snapshots_execution(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        expire_snapshots_iceberg,
+        read_table,
+        rollback_iceberg,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    write_iceberg(spark.range(20, 25).selectExpr("id").coalesce(1),
+                  tbl, mode="overwrite")
+    write_iceberg(spark.range(30, 35).selectExpr("id").coalesce(1),
+                  tbl, mode="overwrite")
+    snap1_files = sorted(read_table(tbl, snapshot_id=1)["live"])
+    res = expire_snapshots_iceberg(tbl, retain_last=1)
+    assert res["expired"] == [1, 2] and res["version"] == 3
+    assert res["bytes_reclaimed"] > 0
+    # the fully-orphaned generation is physically gone
+    for p in snap1_files:
+        assert not os.path.exists(os.path.join(tbl, p))
+    # the current snapshot still reads
+    snap = read_table(tbl)
+    assert snap["live_rows"] == 5
+    rows = spark.read.parquet(*[
+        os.path.join(tbl, p) for p in sorted(snap["live"])
+    ]).collect()
+    assert sorted(r["id"] for r in rows) == list(range(30, 35))
+    # expired snapshots are no longer resolvable — rollback refuses
+    with pytest.raises(ValueError, match="not in the table"):
+        rollback_iceberg(tbl, snapshot_id=1)
+    # idempotent: nothing left to expire
+    assert expire_snapshots_iceberg(tbl, retain_last=1)["version"] is None
