@@ -1248,14 +1248,17 @@ def read_changes(
                 "wrote no change data files; CDF cannot reconstruct it"
             )
         prev = replay_delta_log(commits[:v]) if removes else None
+        # the schema AS OF this commit types the re-attached partition
+        # columns for adds too (an adds-only commit has no prev replay)
+        at_v = replay_delta_log(commits[: v + 1])
 
         def _file_rows(paths: list[str], pvals: dict[str, dict],
                        dv_map: dict[str, dict], change: str,
-                       version: int) -> DataFrame:
+                       version: int, schema_json: str | None) -> DataFrame:
             df = _scan_with_positions(spark, table_dir, paths)
             df, _ = _attach_partition_columns(
                 spark, df, table_dir, paths, pvals,
-                (prev or {}).get("schema_json"),
+                schema_json,
             )
             dead = _dead_positions_df(
                 spark, table_dir,
@@ -1276,7 +1279,7 @@ def read_changes(
                 [a["path"] for a in adds],
                 {a["path"]: a.get("partitionValues") or {}
                  for a in adds},
-                {}, "insert", v,
+                {}, "insert", v, at_v.get("schema_json"),
             ))
         if removes:
             rm_paths = [r["path"] for r in removes]
@@ -1285,6 +1288,7 @@ def read_changes(
                 {p: prev.get("partition_values", {}).get(p, {})
                  for p in rm_paths},
                 prev.get("deletion_vectors", {}), "delete", v,
+                prev.get("schema_json"),
             ))
     if out is not None:
         return out
