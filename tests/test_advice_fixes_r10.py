@@ -245,7 +245,11 @@ def test_dv_build_collects_bitmaps_not_positions(spark, tmp_path):
     # the plan pin: neither DELETE nor MERGE materializes row
     # positions driver-side — no collect_list anywhere, the shared
     # builder groups per file and serializes inside applyInPandas
-    for fn in (delete_where_delta, merge_delta):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        update_where_delta,
+    )
+
+    for fn in (delete_where_delta, merge_delta, update_where_delta):
         assert "collect_list" not in inspect.getsource(fn)
         assert "_build_dv_updates" in inspect.getsource(fn)
     src = inspect.getsource(delta_sink._build_dv_updates)
