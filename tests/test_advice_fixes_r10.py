@@ -349,3 +349,29 @@ def test_optimize_partitioned_skips_singleton_partitions(spark, tmp_path):
     assert [p for p in snap["live"] if p.startswith("cat=b")] == b_files
     alive, _ = _alive_ids(spark, tbl)
     assert alive == [0, 1, 2, 99]
+
+
+def _spark_escape_path_name(s: str) -> str:
+    """Test-side mirror of Spark's ExternalCatalogUtils.escapePathName
+    (the char set from the public Spark source): used to prove
+    `unescape_path_name` is its exact inverse on arbitrary input."""
+    needs = set('"#%\'*/:=?\\{[]^')
+    out = []
+    for c in s:
+        if c in needs or ord(c) < 0x20 or ord(c) == 0x7F:
+            out.append(f"%{ord(c):02X}")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
+def test_unescape_inverts_spark_escaping_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=40))
+    def roundtrip(s):
+        assert unescape_path_name(_spark_escape_path_name(s)) == s
+
+    roundtrip()
