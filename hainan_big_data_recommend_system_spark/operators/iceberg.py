@@ -184,6 +184,7 @@ def parse_table_metadata(text: str) -> dict:
     if cur not in out:
         raise ValueError("current-snapshot-id not in the snapshot list")
     field_names: dict[int, str] = {}
+    field_types: dict[int, str] = {}
     schemas = obj.get("schemas")
     if schemas is not None:
         if not isinstance(schemas, list):
@@ -201,12 +202,16 @@ def parse_table_metadata(text: str) -> dict:
                 if not isinstance(fid, int) or not isinstance(name, str):
                     raise ValueError("schema field missing id/name")
                 field_names[fid] = name
+                t = f.get("type")
+                if isinstance(t, str):
+                    field_types[fid] = t
     return {
         "format_version": fv,
         "current_snapshot_id": cur,
         "snapshots": out,
         "field_names": field_names,
         "field_ids": {n: i for i, n in field_names.items()},
+        "field_types": field_types,
     }
 
 
@@ -242,15 +247,23 @@ def snapshot_live_files(
 
     meta = parse_table_metadata(metadata_text)
     field_names = meta["field_names"]
+    field_types = meta.get("field_types", {})
 
-    def _decode_bounds(raw) -> dict[str, int]:
-        out: dict[str, int] = {}
+    def _decode_bounds(raw) -> dict[str, int | str]:
+        out: dict[str, int | str] = {}
         for kv in raw or ():
-            name = field_names.get(kv.get("key"))
+            fid = kv.get("key")
+            name = field_names.get(fid)
             val = kv.get("value")
             if name is None or not isinstance(val, (bytes, bytearray)):
                 continue  # unmapped/undecodable: no stats, not wrong stats
-            if len(val) in (4, 8):  # int32/int64 single-value form
+            ftype = field_types.get(fid, "")
+            if ftype.startswith("string"):
+                try:
+                    out[name] = bytes(val).decode("utf-8", "strict")
+                except UnicodeDecodeError:
+                    continue
+            elif len(val) in (4, 8):  # int32/int64 single-value form
                 out[name] = int.from_bytes(val, "little", signed=True)
         return out
     sid = meta["current_snapshot_id"] if snapshot_id is None else snapshot_id
@@ -433,13 +446,15 @@ def snapshot_live_files(
 
 
 def _encode_bounds(bounds: dict | None) -> list[dict] | None:
-    """``{field_id: int}`` → the manifest's bounds-map rows with the
-    spec's single-value serialization (8-byte little-endian longs)."""
+    """``{field_id: int | str}`` → the manifest's bounds-map rows with
+    the spec's single-value serialization (8-byte little-endian longs;
+    UTF-8 bytes for strings)."""
     if not bounds:
         return None
     return [
         {"key": int(fid),
-         "value": int(v).to_bytes(8, "little", signed=True)}
+         "value": (v.encode("utf-8") if isinstance(v, str)
+                   else int(v).to_bytes(8, "little", signed=True))}
         for fid, v in sorted(bounds.items())
     ]
 

@@ -295,6 +295,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
     have_nulls = False
     rg_rows: list[int] = []
     int64_stats: list[dict] = []
+    binary_stats: list[dict] = []
     for rg_idx, rg in enumerate(_need_list(fmd.get(4), "row_groups")):
         rg = _need_struct(rg, "row group")
         rg_rows.append(_need_int(rg.get(3), "row group num_rows"))
@@ -328,21 +329,22 @@ def parse_parquet_footer(payload: bytes) -> dict:
                     else stats.get(1)
                 mn = stats.get(6) if isinstance(stats.get(6), bytes) \
                     else stats.get(2)
+                path = md.get(3)
+                col = (
+                    path[0].decode("utf-8", "replace")
+                    if isinstance(path, list)
+                    and path
+                    and isinstance(path[0], bytes)
+                    else "?"
+                )
+                ctype = _need_int(md.get(1), "chunk type")
                 if (
-                    _need_int(md.get(1), "chunk type") == _T_INT64
+                    ctype == _T_INT64
                     and isinstance(mx, bytes)
                     and isinstance(mn, bytes)
                     and len(mx) == 8
                     and len(mn) == 8
                 ):
-                    path = md.get(3)
-                    col = (
-                        path[0].decode("utf-8", "replace")
-                        if isinstance(path, list)
-                        and path
-                        and isinstance(path[0], bytes)
-                        else "?"
-                    )
                     int64_stats.append(
                         {
                             "rg": rg_idx,
@@ -351,6 +353,18 @@ def parse_parquet_footer(payload: bytes) -> dict:
                             "max": struct.unpack("<q", mx)[0],
                         }
                     )
+                elif ctype == _T_BYTE_ARRAY:
+                    # BYTE_ARRAY bounds: ONLY the modern
+                    # min_value/max_value fields (5/6) — the legacy
+                    # max/min (1/2) used signed-byte ordering for
+                    # binary, which is wrong for UTF-8 ranges, so
+                    # they are never trusted here
+                    mxm, mnm = stats.get(5), stats.get(6)
+                    if isinstance(mxm, bytes) and isinstance(mnm, bytes):
+                        binary_stats.append(
+                            {"rg": rg_idx, "col": col,
+                             "min": mnm, "max": mxm}
+                        )
     return {
         "version": version,
         "created_by": created.decode("utf-8", "replace") if created else None,
@@ -367,6 +381,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
         "null_count": nulls if have_nulls else None,
         "rg_rows": rg_rows,
         "int64_stats": int64_stats,
+        "binary_stats": binary_stats,
     }
 
 

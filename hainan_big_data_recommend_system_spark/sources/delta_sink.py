@@ -150,13 +150,38 @@ def footer_int64_bounds(footer_meta: dict) -> tuple[dict, dict]:
     return mins, maxs
 
 
+def footer_string_bounds(footer_meta: dict) -> tuple[dict, dict]:
+    """Per-column file-level (min, max) for every BYTE_ARRAY column
+    whose MODERN min_value/max_value stats cover all row groups and
+    decode as strict UTF-8 — string keys (dates, ids, languages) are
+    the other half of the 100 TB skipping story (round 11)."""
+    n_rgs = footer_meta["n_row_groups"]
+    per_col: dict[str, list[tuple[str, str]]] = {}
+    for st in footer_meta.get("binary_stats", ()):
+        try:
+            mn = st["min"].decode("utf-8", "strict")
+            mx = st["max"].decode("utf-8", "strict")
+        except UnicodeDecodeError:
+            continue  # non-text binary: no proof, no stats
+        per_col.setdefault(st["col"], []).append((mn, mx))
+    mins = {c: min(m for m, _ in v) for c, v in per_col.items()
+            if len(v) == n_rgs}
+    maxs = {c: max(m for _, m in v) for c, v in per_col.items()
+            if len(v) == n_rgs}
+    return mins, maxs
+
+
 def _file_stats(footer_meta: dict) -> str:
     """``add.stats`` JSON (PROTOCOL.md "Per-file Statistics") from the
     hand-parsed footer: numRecords always; minValues/maxValues from
-    `footer_int64_bounds`.  These are the data-skipping inputs
-    `prune_live_files` consumes: at scale, a key-clustered table
-    answers a narrow range scan by opening a handful of files."""
+    `footer_int64_bounds` + `footer_string_bounds`.  These are the
+    data-skipping inputs `prune_live_files` consumes: at scale, a
+    key-clustered table answers a narrow range scan by opening a
+    handful of files."""
     mins, maxs = footer_int64_bounds(footer_meta)
+    smins, smaxs = footer_string_bounds(footer_meta)
+    mins = {**mins, **smins}
+    maxs = {**maxs, **smaxs}
     stats: dict = {"numRecords": footer_meta["n_rows"]}
     if mins:
         stats["minValues"] = dict(sorted(mins.items()))

@@ -217,7 +217,12 @@ def _stage_iceberg_files(
             meta = parse_footer_tail(read_footer_tail(_fetch, flen))
         if not meta["n_rows"]:
             continue  # an empty batch's part adds nothing
+        from .delta_sink import footer_string_bounds
+
         mins, maxs = footer_int64_bounds(meta)
+        smins, smaxs = footer_string_bounds(meta)
+        mins = {**mins, **smins}
+        maxs = {**maxs, **smaxs}
         dest = os.path.join(table_dir, name)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.replace(src, dest)

@@ -226,3 +226,44 @@ def test_optimize_partitioned_keeps_partition_values(spark, tmp_path):
         v["cat"] for v in snap["partition_values"].values()
     ) == ["x", "y"]
     assert snap["live_rows"] == 20
+
+
+def test_string_column_bounds_prune_both_formats(spark, tmp_path):
+    """Round 11: string keys (dates, languages, ids) skip too — both
+    sinks stamp BYTE_ARRAY bounds from the modern footer
+    min_value/max_value fields (legacy byte-array stats are never
+    trusted: their signed ordering is wrong for UTF-8), and the shared
+    pruner compares them lexicographically."""
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+        replay_delta_log,
+    )
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        read_log_commits,
+        write_delta,
+    )
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        read_table,
+        write_iceberg,
+    )
+
+    days = [f"2024-01-{d:02d}" for d in range(1, 9)]
+    dtbl = str(tmp_path / "d")
+    itbl = str(tmp_path / "i")
+    for day in days:
+        df = spark.createDataFrame(
+            [(day, i) for i in range(20)], "day string, v long"
+        ).coalesce(1)
+        write_delta(df, dtbl)
+        write_iceberg(df, itbl)
+
+    dsnap = replay_delta_log(read_log_commits(dtbl))
+    isnap = read_table(itbl)
+    for snap in (dsnap, isnap):
+        pr = prune_live_files(snap, "day",
+                              lo="2024-01-03", hi="2024-01-04")
+        assert pr["n_kept"] == 2 and pr["n_skipped"] == 6, pr
+        assert pr["n_no_stats"] == 0
+    # a half-open probe works too
+    pr = prune_live_files(dsnap, "day", lo="2024-01-07")
+    assert pr["n_kept"] == 2
