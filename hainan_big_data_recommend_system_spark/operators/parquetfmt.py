@@ -296,6 +296,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
     rg_rows: list[int] = []
     int64_stats: list[dict] = []
     binary_stats: list[dict] = []
+    bloom_offsets: list[dict] = []
     for rg_idx, rg in enumerate(_need_list(fmd.get(4), "row_groups")):
         rg = _need_struct(rg, "row group")
         rg_rows.append(_need_int(rg.get(3), "row group num_rows"))
@@ -365,6 +366,23 @@ def parse_parquet_footer(payload: bytes) -> dict:
                             {"rg": rg_idx, "col": col,
                              "min": mnm, "max": mxm}
                         )
+            bf_off = md.get(14)  # bloom_filter_offset
+            if isinstance(bf_off, int) and not isinstance(bf_off, bool):
+                path = md.get(3)
+                bcol = (
+                    path[0].decode("utf-8", "replace")
+                    if isinstance(path, list)
+                    and path
+                    and isinstance(path[0], bytes)
+                    else "?"
+                )
+                entry = {"rg": rg_idx, "col": bcol, "offset": bf_off}
+                bf_len = md.get(15)  # bloom_filter_length (newer)
+                if isinstance(bf_len, int) and not isinstance(
+                    bf_len, bool
+                ):
+                    entry["length"] = bf_len
+                bloom_offsets.append(entry)
     return {
         "version": version,
         "created_by": created.decode("utf-8", "replace") if created else None,
@@ -382,6 +400,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
         "rg_rows": rg_rows,
         "int64_stats": int64_stats,
         "binary_stats": binary_stats,
+        "bloom_offsets": bloom_offsets,
     }
 
 

@@ -1802,3 +1802,76 @@ def q_delta_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dv_cardinality"),
         F.lit(untouched).alias("originals_untouched"),
     )
+
+
+def _ensure_delta_bloom_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Three sink-written files (doc_id%3 shards) with split-block
+    bloom filters on ``name`` — a point-lookup column that is
+    UNSORTED, so min/max stats cannot prune it."""
+    out = _fixture_dir(sf_dir, "deltabloom")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.concat(F.lit("n"), F.col("doc_id").cast("string")))
+        .alias("name"),
+        F.col("text").alias("body"),
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    for k in range(3):
+        write_delta(
+            docs.filter(F.col("doc_id") % 3 == k).coalesce(1), tmp,
+            bloom_filter_cols=["name"],
+        )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_bloom_point_lookup",
+    """
+    SELECT doc_id, md5('n' || CAST(doc_id AS VARCHAR)) AS name,
+           md5(text) AS body_md5,
+           TRUE AS bloom_kept_match,
+           TRUE AS bloom_pruned_some
+    FROM documents
+    WHERE doc_id = 42
+    """,
+)
+def q_delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-LOOKUP file skipping via parquet split-block bloom
+    filters (round 11): the sink writes per-column SBBFs
+    (parquet-mr's own writer), and the hand decoder
+    (operators/bloom.py — xxHash64 + the spec's salted block probe)
+    answers ``name = <hash>`` by opening ONLY the files whose filter
+    cannot rule the value out.  ``bloom_kept_match`` pins the
+    no-false-negative law (the matching file is always kept);
+    ``bloom_pruned_some`` pins that at least one of the other two
+    files was PROVEN clean from kilobytes of bitset — the lever that
+    answers "which of a million files holds user X" without a scan.
+    The row values themselves are oracled from the documents table."""
+    from ..operators.bloom import prune_files_by_bloom
+    from ..sources.delta_sink import snapshot
+
+    fixture = _ensure_delta_bloom_fixture(spark, sf_dir)
+    snap = snapshot(fixture)
+    probe = __import__("hashlib").md5(b"n42").hexdigest()
+    pr = prune_files_by_bloom(fixture, snap["live"], "name", probe)
+    kept = spark.read.parquet(
+        *[os.path.join(fixture, p) for p in sorted(pr["kept"])]
+    ).filter(F.col("name") == probe)
+    # doc 42 lives in the %3==0 shard; the other shards should prove
+    # themselves clean (each bloom check is deterministic for the
+    # fixture's bytes; >=1 of 2 guards against a false positive)
+    return kept.select(
+        "doc_id", "name",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(pr["n_kept"] >= 1 and pr["n_skipped"] + pr["n_kept"] == 3
+              and pr["n_no_stats"] == 0).alias("bloom_kept_match"),
+        F.lit(pr["n_skipped"] >= 1).alias("bloom_pruned_some"),
+    )

@@ -194,6 +194,7 @@ def _stage_data_files(
     table_dir: str,
     token: str,
     partition_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as parquet into a staging dir, move each part into
     the table root under a token-versioned name (Hive-style
@@ -209,6 +210,11 @@ def _stage_data_files(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for c in bloom_filter_cols or ():
+        # parquet-mr's per-column split-block bloom filters — the
+        # point-lookup skipping lever operators/bloom.py decodes
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
+                               "true")
     writer.parquet(stage)
     parts: list[str] = []  # stage-relative paths
     for root, _dirs, fnames in os.walk(stage):
@@ -607,6 +613,7 @@ def write_delta(
     partition_by: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    bloom_filter_cols: list[str] | None = None,
 ) -> dict:
     """Commit ``df`` to the table.  Returns ``{version, n_files,
     n_records, n_removed}``.  Retries version claims on conflict
@@ -660,7 +667,8 @@ def write_delta(
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
-                             partition_by=partition_by)
+                             partition_by=partition_by,
+                             bloom_filter_cols=bloom_filter_cols)
     if not adds and mode == "append":
         # an empty batch appends nothing — no version burned (the
         # streaming writer's empty micro-batch path; a redelivery is
