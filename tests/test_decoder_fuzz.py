@@ -347,6 +347,18 @@ CASES = {
             fromlist=["decode_deletion_vector"],
         ).decode_deletion_vector(b),
     ),
+    # parquet bloom filter: hand-built thrift BloomFilterHeader
+    # (numBytes=64, BLOCK/XXHASH/UNCOMPRESSED unions) + 64-byte bitset
+    "bloom_filter": (
+        lambda: (
+            b"\x15" + bytes([0x80, 0x01])
+            + b"\x1c\x1c\x00\x00" * 3 + b"\x00" + bytes(64)
+        ),
+        lambda b: __import__(
+            "hainan_big_data_recommend_system_spark.operators.bloom",
+            fromlist=["read_bloom_filter"],
+        ).read_bloom_filter(lambda off, ln: b[off : off + ln], 0),
+    ),
 }
 
 
