@@ -169,6 +169,7 @@ def _stage_iceberg_files(
     table_dir: str,
     token: str,
     partition_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
 ) -> list[dict]:
     """Write ``df`` as parquet into a staging dir, move each part
     under ``data/`` (Hive-style subdirs when partitioned), and return
@@ -183,6 +184,9 @@ def _stage_iceberg_files(
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    for c in bloom_filter_cols or ():
+        writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
+                               "true")
     writer.parquet(stage)
     parts: list[str] = []
     for root, _dirs, fnames in os.walk(stage):
@@ -293,6 +297,7 @@ def write_iceberg(
     mode: str = "append",
     max_retries: int = 10,
     partition_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
 ) -> dict:
     """Commit ``df`` as a new snapshot.  Returns ``{version,
     snapshot_id, n_files, n_records, n_removed, n_manifests_reused}``.
@@ -307,7 +312,8 @@ def write_iceberg(
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     adds = _stage_iceberg_files(df, table_dir, token,
-                                partition_by=partition_by)
+                                partition_by=partition_by,
+                                bloom_filter_cols=bloom_filter_cols)
     if not adds and mode == "append":
         return {"version": None, "snapshot_id": None, "n_files": 0,
                 "n_records": 0, "n_removed": 0,

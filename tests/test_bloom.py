@@ -128,3 +128,26 @@ def test_delta_sink_bloom_point_lookup_prunes_files(spark, tmp_path):
     snap2 = snapshot(tbl2)
     pr2 = prune_files_by_bloom(tbl2, snap2["live"], "user_id", "u0")
     assert pr2["n_skipped"] == 0 and pr2["n_no_stats"] == 1
+
+
+def test_iceberg_sink_bloom_point_lookup(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        read_table,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(3):
+        write_iceberg(
+            spark.range(k * 300, (k + 1) * 300).selectExpr(
+                "concat('u', pmod(id * 2654435761, 1000000)) AS user_id"
+            ).coalesce(1),
+            tbl, bloom_filter_cols=["user_id"],
+        )
+    snap = read_table(tbl)
+    probe_file = sorted(snap["live"])[1]
+    probe = spark.read.parquet(os.path.join(tbl, probe_file)) \
+        .select("user_id").first()[0]
+    pr = prune_files_by_bloom(tbl, snap["live"], "user_id", probe)
+    assert probe_file in pr["kept"]
+    assert pr["n_skipped"] >= 1
