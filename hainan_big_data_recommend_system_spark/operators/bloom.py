@@ -122,14 +122,26 @@ def sbbf_might_contain(bitset: bytes, h: int) -> bool:
     return True
 
 
-def plain_encode(value) -> bytes:
+def plain_encode(value, physical_type: str = "INT64") -> bytes | None:
     """The parquet PLAIN encoding the spec says to hash: LE
-    2's-complement int64 for Python ints, raw UTF-8/bytes (no length
-    prefix) for strings/bytes — what parquet-mr hashes."""
+    2's-complement at the COLUMN'S physical width for ints (an INT32
+    column hashes 4 bytes — hashing 8 would false-negative every
+    probe), raw UTF-8/bytes (no length prefix) for strings/bytes —
+    what parquet-mr hashes.  Returns None when the value cannot exist
+    in the column at all (out of the type's range), which is proof of
+    absence without touching the filter."""
     if isinstance(value, bool):
         raise ValueError("bloom probes on booleans are pointless")
     if isinstance(value, int):
-        return struct.pack("<q", value)
+        width = 4 if physical_type == "INT32" else 8
+        if physical_type not in ("INT32", "INT64"):
+            raise ValueError(
+                f"bloom int probe against {physical_type} column"
+            )
+        lo, hi = -(1 << (8 * width - 1)), (1 << (8 * width - 1)) - 1
+        if not lo <= value <= hi:
+            return None  # cannot exist in this column: proven absent
+        return value.to_bytes(width, "little", signed=True)
     if isinstance(value, str):
         return value.encode("utf-8")
     if isinstance(value, (bytes, bytearray)):
@@ -181,7 +193,15 @@ def bloom_might_contain_file(path: str, column: str, value) -> bool | None:
             return None
         if len(offs) < meta["n_row_groups"]:
             return True  # some chunk lacks a filter: no proof
-        h = xxhash64(plain_encode(value))
+        try:
+            idx = meta["column_names"].index(column)
+            ptype = meta["physical_types"][idx]
+        except ValueError:
+            ptype = "INT64"  # nested path: default width
+        encoded = plain_encode(value, ptype)
+        if encoded is None:
+            return False  # out of the column type's range entirely
+        h = xxhash64(encoded)
         for b in offs:
             if sbbf_might_contain(
                 read_bloom_filter(fetch, b["offset"]), h

@@ -82,6 +82,15 @@ def unescape_path_name(s: str) -> str:
     return "".join(out)
 
 
+def _spark_partition_str(v) -> str:
+    """A partition value as Spark prints it into the Hive dir name —
+    NOT Python ``str()``: booleans are lowercase ('flag=true'), so a
+    prune keyed off ``str(True)`` would silently miss the partition."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 def _parse_hive_partition_dirs(comps: list[str]) -> dict[str, str | None]:
     """``col=value`` directory components → partition values, with
     Spark's escaping undone and the null sentinel mapped to JSON null
@@ -189,21 +198,21 @@ def _file_stats(footer_meta: dict) -> str:
     return json.dumps(stats, sort_keys=True, separators=(",", ":"))
 
 
-def _stage_data_files(
+def stage_parquet_parts(
     df: DataFrame,
     table_dir: str,
     token: str,
     partition_by: list[str] | None = None,
     bloom_filter_cols: list[str] | None = None,
+    dest_prefix: str = "",
 ) -> list[dict]:
-    """Write ``df`` as parquet into a staging dir, move each part into
-    the table root under a token-versioned name (Hive-style
-    ``col=value/`` subdirs when partitioned), and return add-action
-    bodies with per-file numRecords + data-skipping stats from the
-    hand footer reader and ``partitionValues`` parsed back from the
-    directory layout — exactly what Delta stores on the add action
-    (the partition columns themselves are NOT in the data files;
-    readers re-attach them from partitionValues)."""
+    """The shared staging pipeline BOTH lake sinks build on: write
+    ``df`` as parquet into a staging dir, move each non-empty part
+    under ``dest_prefix`` (Hive-style ``col=value/`` subdirs when
+    partitioned), and return per-file facts — relative path, size,
+    row count, the partition values parsed back from the directory
+    layout, and the footer meta (the bounds/stats inputs).  Zero-row
+    parts (empty micro-batches) are dropped."""
     from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
 
     stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
@@ -225,7 +234,7 @@ def _stage_data_files(
                     f if rel_root == "." else os.path.join(rel_root, f)
                 )
     parts.sort()
-    adds = []
+    out: list[dict] = []
     for i, relf in enumerate(parts):
         comps = relf.split(os.sep)[:-1]
         pvals = _parse_hive_partition_dirs(comps)
@@ -234,8 +243,10 @@ def _stage_data_files(
                 f"staged partition dirs {sorted(pvals)} disagree with "
                 f"partition_by {sorted(partition_by or [])}"
             )
-        name = os.path.join(*comps, f"part-{token}-{i:05d}.parquet") \
-            if comps else f"part-{token}-{i:05d}.parquet"
+        name = os.path.join(
+            *([dest_prefix] if dest_prefix else []), *comps,
+            f"part-{token}-{i:05d}.parquet",
+        )
         src = os.path.join(stage, relf)
         with open(src, "rb") as fh:
             fh.seek(0, 2)
@@ -251,12 +262,58 @@ def _stage_data_files(
         dest = os.path.join(table_dir, name)
         os.makedirs(os.path.dirname(dest), exist_ok=True)
         os.replace(src, dest)
-        adds.append({"path": name.replace(os.sep, "/"), "size": flen,
-                     "numRecords": meta["n_rows"],
-                     "partitionValues": pvals,
-                     "stats": _file_stats(meta)})
+        out.append({"path": name.replace(os.sep, "/"), "size": flen,
+                    "n_rows": meta["n_rows"], "partition_values": pvals,
+                    "footer": meta})
     shutil.rmtree(stage, ignore_errors=True)
-    return adds
+    return out
+
+
+def stage_single_parquet(
+    df: DataFrame, table_dir: str, dest_rel: str,
+    sort_cols: list[str] | None = None,
+) -> tuple[int, int]:
+    """Stage ``df`` as EXACTLY ONE parquet file at ``dest_rel``
+    (optionally sorted) and return ``(size, n_rows)`` from the footer
+    — the shape delete-file writers need."""
+    out = df.coalesce(1)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    parts = stage_parquet_parts(
+        out, table_dir, uuid.uuid4().hex[:12]
+    )
+    if not parts:
+        return (0, 0)
+    (p,) = parts
+    dest = os.path.join(table_dir, dest_rel)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    os.replace(os.path.join(table_dir, p["path"]), dest)
+    return (p["size"], p["n_rows"])
+
+
+def _stage_data_files(
+    df: DataFrame,
+    table_dir: str,
+    token: str,
+    partition_by: list[str] | None = None,
+    bloom_filter_cols: list[str] | None = None,
+) -> list[dict]:
+    """Delta add-action bodies from the shared staging pipeline:
+    per-file numRecords + data-skipping stats from the hand footer
+    reader and ``partitionValues`` parsed back from the directory
+    layout — exactly what Delta stores on the add action (the
+    partition columns themselves are NOT in the data files; readers
+    re-attach them from partitionValues)."""
+    return [
+        {"path": p["path"], "size": p["size"],
+         "numRecords": p["n_rows"],
+         "partitionValues": p["partition_values"],
+         "stats": _file_stats(p["footer"])}
+        for p in stage_parquet_parts(
+            df, table_dir, token, partition_by=partition_by,
+            bloom_filter_cols=bloom_filter_cols,
+        )
+    ]
 
 
 #: RFC-3986 path characters Hadoop's Path URI keeps raw (probed
@@ -664,6 +721,19 @@ def write_delta(
             "append schema differs from the table schema; pass "
             "merge_schema=True to evolve it (Delta schema enforcement)"
         )
+    if mode == "append" and pre.get("live"):
+        # an append must land in the table's existing partition layout
+        # — a mismatched layout would mix partitioned and flat files
+        # and clobber metaData.partitionColumns
+        table_parts = sorted({
+            c for v in pre.get("partition_values", {}).values() for c in v
+        })
+        if sorted(partition_by or []) != table_parts:
+            raise ValueError(
+                f"append partition_by {sorted(partition_by or [])} "
+                f"disagrees with the table's partition columns "
+                f"{table_parts}"
+            )
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
@@ -1096,7 +1166,7 @@ def merge_delta(
         for c in key_cols:
             if c in part_cols:
                 wanted[c] = {
-                    str(r[c]) for r in
+                    _spark_partition_str(r[c]) for r in
                     source.select(c).distinct().collect()
                     if r[c] is not None
                 }
@@ -1584,9 +1654,12 @@ def update_where_delta(
     descs = _dv_descriptors(updates, table_dir, inline_threshold, token)
 
     preimage = matched.drop("__fp", "__ri")
-    postimage = preimage
-    for c, expr in assignments.items():
-        postimage = postimage.withColumn(c, F.expr(expr))
+    # ALL right-hand sides evaluate against the PRE-update row (SQL
+    # UPDATE semantics): one simultaneous projection, so
+    # {"a": "b", "b": "a"} swaps instead of copying
+    postimage = preimage.withColumns(
+        {c: F.expr(expr) for c, expr in assignments.items()}
+    )
     adds = _stage_data_files(postimage, table_dir, token,
                              partition_by=part_cols or None)
     cdc_acts: list[dict] = []

@@ -124,6 +124,7 @@ def _prev_state(table_dir: str) -> dict:
         return {"version": -1, "snapshots": {}, "current": None,
                 "manifest_entries": [], "live": {}, "partition_values": {},
                 "last_seq": 0, "field_names": {}, "field_ids": {},
+                "field_types": {},
                 "position_delete_files": [],
                 "data_sequence_numbers": {}}
     md = os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")
@@ -149,9 +150,42 @@ def _prev_state(table_dir: str) -> dict:
         ),
         "field_names": meta["field_names"],
         "field_ids": meta["field_ids"],
+        "field_types": meta.get("field_types", {}),
         "position_delete_files": snap["position_delete_files"],
         "data_sequence_numbers": snap["data_sequence_numbers"],
     }
+
+
+def _carry_schema_fields(prev: dict) -> list[dict] | None:
+    """Re-emit the table's RECORDED schema block (ids, names, AND
+    types) on metadata rewrites that have no DataFrame to derive it
+    from (deletes, rollback, expiration) — dropping the types would
+    silently misdecode every manifest bound afterwards."""
+    if not prev["field_names"]:
+        return None
+    types = prev.get("field_types", {})
+    return [
+        {"id": i, "name": n, "type": types.get(i, "string")}
+        for i, n in sorted(prev["field_names"].items())
+    ]
+
+
+def _check_schema_against_table(df: DataFrame, prev: dict,
+                                what: str) -> None:
+    """Iceberg's positional field-id mapping means a reordered or
+    renamed DataFrame would silently remap the ids every existing
+    manifest's bounds and equality_ids are keyed by — refuse
+    (mirroring the Delta sink's append-schema enforcement)."""
+    if not prev["field_names"]:
+        return
+    recorded = [n for _, n in sorted(prev["field_names"].items())]
+    incoming = [f.name for f in df.schema.fields]
+    if recorded != incoming:
+        raise ValueError(
+            f"{what} schema {incoming} disagrees with the table's "
+            f"recorded fields {recorded} (field ids are positional; "
+            "overwrite the table to change its schema)"
+        )
 
 
 def _schema_fields(df: DataFrame) -> list[dict]:
@@ -171,73 +205,32 @@ def _stage_iceberg_files(
     partition_by: list[str] | None = None,
     bloom_filter_cols: list[str] | None = None,
 ) -> list[dict]:
-    """Write ``df`` as parquet into a staging dir, move each part
-    under ``data/`` (Hive-style subdirs when partitioned), and return
-    flat manifest-entry bodies: path, size, record_count, the
-    partition tuple parsed back from the directory layout, and
-    name-keyed int64 bounds from the hand footer reader (the caller
-    translates names → field ids)."""
-    from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
-    from .delta_sink import _parse_hive_partition_dirs, footer_int64_bounds
+    """Flat manifest-entry bodies from the SHARED staging pipeline
+    (sources/delta_sink.stage_parquet_parts — one implementation, two
+    sinks): parts land under ``data/``, partition tuples parse back
+    from the Hive layout, and name-keyed int64 + string bounds come
+    from the hand footer reader (the caller translates names → field
+    ids)."""
+    from .delta_sink import (
+        footer_int64_bounds,
+        footer_string_bounds,
+        stage_parquet_parts,
+    )
 
-    stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-    writer = df.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    for c in bloom_filter_cols or ():
-        writer = writer.option(f"parquet.bloom.filter.enabled#{c}",
-                               "true")
-    writer.parquet(stage)
-    parts: list[str] = []
-    for root, _dirs, fnames in os.walk(stage):
-        rel_root = os.path.relpath(root, stage)
-        for f in fnames:
-            if f.startswith("part-") and f.endswith(".parquet"):
-                parts.append(
-                    f if rel_root == "." else os.path.join(rel_root, f)
-                )
-    parts.sort()
     adds: list[dict] = []
-    for i, relf in enumerate(parts):
-        comps = relf.split(os.sep)[:-1]
-        pvals = _parse_hive_partition_dirs(comps)
-        if set(pvals) != set(partition_by or []):
-            raise ValueError(
-                f"staged partition dirs {sorted(pvals)} disagree with "
-                f"partition_by {sorted(partition_by or [])}"
-            )
-        name = os.path.join(
-            "data", *comps, f"part-{token}-{i:05d}.parquet"
-        )
-        src = os.path.join(stage, relf)
-        with open(src, "rb") as fh:
-            fh.seek(0, 2)
-            flen = fh.tell()
-
-            def _fetch(off, ln, _fh=fh):
-                _fh.seek(off)
-                return _fh.read(ln)
-
-            meta = parse_footer_tail(read_footer_tail(_fetch, flen))
-        if not meta["n_rows"]:
-            continue  # an empty batch's part adds nothing
-        from .delta_sink import footer_string_bounds
-
-        mins, maxs = footer_int64_bounds(meta)
-        smins, smaxs = footer_string_bounds(meta)
-        mins = {**mins, **smins}
-        maxs = {**maxs, **smaxs}
-        dest = os.path.join(table_dir, name)
-        os.makedirs(os.path.dirname(dest), exist_ok=True)
-        os.replace(src, dest)
+    for p in stage_parquet_parts(
+        df, table_dir, token, partition_by=partition_by,
+        bloom_filter_cols=bloom_filter_cols, dest_prefix="data",
+    ):
+        mins, maxs = footer_int64_bounds(p["footer"])
+        smins, smaxs = footer_string_bounds(p["footer"])
         adds.append({
-            "file_path": name.replace(os.sep, "/"),
-            "file_size": flen,
-            "record_count": meta["n_rows"],
-            "partition": pvals or None,
-            "bounds_by_name": (mins, maxs),
+            "file_path": p["path"],
+            "file_size": p["size"],
+            "record_count": p["n_rows"],
+            "partition": p["partition_values"] or None,
+            "bounds_by_name": ({**mins, **smins}, {**maxs, **smaxs}),
         })
-    shutil.rmtree(stage, ignore_errors=True)
     return adds
 
 
@@ -310,6 +303,9 @@ def write_iceberg(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported write mode {mode!r}")
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
+    if mode == "append":
+        _check_schema_against_table(df, _prev_state(table_dir),
+                                    "append")
     token = uuid.uuid4().hex[:12]
     adds = _stage_iceberg_files(df, table_dir, token,
                                 partition_by=partition_by,
@@ -418,11 +414,11 @@ def delete_where_iceberg(
     None`` when nothing new matched)."""
     from pyspark.sql import functions as F
 
-    from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
     from .delta_sink import (
         _abs_uri,
         _attach_partition_columns,
         _scan_with_positions,
+        stage_single_parquet,
     )
 
     prev = _prev_state(table_dir)
@@ -430,78 +426,75 @@ def delete_where_iceberg(
         return {"version": None, "snapshot_id": None,
                 "n_rows_deleted": 0}
     paths = sorted(prev["live"])
+    seqs = prev["data_sequence_numbers"]
     df, _ = _attach_partition_columns(
         spark, _scan_with_positions(spark, table_dir, paths),
         table_dir, paths, prev["partition_values"], None,
     )
     mapping = spark.createDataFrame(
-        [(_abs_uri(table_dir, p), p) for p in paths],
-        "__fp string, file_path string",
+        [(_abs_uri(table_dir, p), p, seqs.get(p, 0)) for p in paths],
+        "__fp string, file_path string, __dataseq long",
     )
-    dels = (
-        df.filter(condition)
-        .join(F.broadcast(mapping), "__fp")
-        .select("file_path", F.col("__ri").alias("pos"))
-    )
+    rows = df.filter(condition).join(F.broadcast(mapping), "__fp")
+    # rows already dead via LIVE EQUALITY DELETES are not rows: a
+    # delete must neither re-tombstone nor re-count them (each delete
+    # applies only to data files with seq STRICTLY below its own)
+    meta_text = open(os.path.join(
+        _meta_dir(table_dir), f"v{prev['version']}.metadata.json"
+    ), encoding="utf-8").read()
+
+    def _fetch_blob(path: str) -> bytes:
+        return open(os.path.join(table_dir, path), "rb").read()
+
+    snap = snapshot_live_files(meta_text, _fetch_blob)
+    for eq in snap["equality_deletes"]:
+        keys = [snap["field_names"][i] for i in eq["equality_ids"]]
+        eq_keys = spark.read.parquet(
+            os.path.join(table_dir, eq["path"])
+        ).select(*keys)
+        affected = rows.filter(
+            F.col("__dataseq") < eq["sequence_number"]
+        ).join(F.broadcast(eq_keys), keys, "left_anti")
+        rows = affected.unionByName(
+            rows.filter(F.col("__dataseq") >= eq["sequence_number"])
+        )
+    dels = rows.select("file_path", F.col("__ri").alias("pos"),
+                       "__dataseq")
     # subtract positions already dead UNDER THE SEQUENCE RULE: a prior
     # delete row counts only against a data file it actually applies
-    # to (dseq >= data_seq) — a rewritten file shrugs off old deletes
+    # to (dseq >= data_seq) — a rewritten file shrugs off old deletes.
+    # One pass over the manifest-list entries maps delete file → seq.
     if prev["position_delete_files"]:
-        seq_map = spark.createDataFrame(
-            [(p, s) for p, s in
-             sorted(prev["data_sequence_numbers"].items())],
-            "file_path string, __dataseq long",
-        )
+        del_seq = _delete_file_seqs(table_dir, prev)
         prior = None
         for dp in prev["position_delete_files"]:
-            dseq = _delete_file_seq(table_dir, dp, prev)
             part = spark.read.parquet(
                 os.path.join(table_dir, dp)
             ).select("file_path", "pos").withColumn(
-                "__dseq", F.lit(dseq)
+                "__dseq", F.lit(del_seq[dp])
             )
             prior = part if prior is None else prior.unionByName(part)
         valid = (
-            prior.join(F.broadcast(seq_map), "file_path")
+            prior.join(
+                F.broadcast(
+                    dels.select("file_path", "__dataseq").distinct()
+                ),
+                "file_path",
+            )
             .filter(F.col("__dseq") >= F.col("__dataseq"))
             .select("file_path", "pos")
         )
         dels = dels.join(valid, ["file_path", "pos"], "left_anti")
+    dels = dels.select("file_path", "pos")
 
     token = uuid.uuid4().hex[:12]
-    stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-    (
-        dels.coalesce(1)
-        .sortWithinPartitions("file_path", "pos")
-        .write.mode("overwrite").parquet(stage)
-    )
-    parts = sorted(
-        f for f in os.listdir(stage)
-        if f.startswith("part-") and f.endswith(".parquet")
-    )
-    if not parts:
-        shutil.rmtree(stage, ignore_errors=True)
-        return {"version": None, "snapshot_id": None,
-                "n_rows_deleted": 0}
-    (pf,) = parts
-    src = os.path.join(stage, pf)
-    with open(src, "rb") as fh:
-        fh.seek(0, 2)
-        flen = fh.tell()
-
-        def _fetch(off, ln, _fh=fh):
-            _fh.seek(off)
-            return _fh.read(ln)
-
-        meta = parse_footer_tail(read_footer_tail(_fetch, flen))
-    n_del = meta["n_rows"]
-    if not n_del:
-        shutil.rmtree(stage, ignore_errors=True)
-        return {"version": None, "snapshot_id": None,
-                "n_rows_deleted": 0}
     del_rel = f"data/pos-del-{token}.parquet"
-    os.replace(src, os.path.join(table_dir, del_rel))
-    shutil.rmtree(stage, ignore_errors=True)
+    flen, n_del = stage_single_parquet(
+        dels, table_dir, del_rel, sort_cols=["file_path", "pos"]
+    )
+    if not n_del:
+        return {"version": None, "snapshot_id": None,
+                "n_rows_deleted": 0}
 
     for _ in range(max_retries):
         cur = _prev_state(table_dir)
@@ -529,12 +522,10 @@ def delete_where_iceberg(
             with open(os.path.join(table_dir, rel), "wb") as fh:
                 fh.write(blob)
         snapshots = {**cur["snapshots"], sid: ml_path}
-        schema_fields = [
-            {"id": i, "name": n}
-            for i, n in sorted(cur["field_names"].items())
-        ] or None
-        meta_text = make_table_metadata(snapshots, current=sid,
-                                        schema_fields=schema_fields)
+        meta_text = make_table_metadata(
+            snapshots, current=sid,
+            schema_fields=_carry_schema_fields(cur),
+        )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
                     "n_rows_deleted": n_del}
@@ -543,27 +534,27 @@ def delete_where_iceberg(
     )
 
 
-def _delete_file_seq(table_dir: str, delete_path: str,
-                     prev: dict) -> int:
-    """The sequence number a live delete file was committed at —
-    looked up from the manifest-list entries (each delete manifest
-    carries its snapshot's sequence number)."""
+def _delete_file_seqs(table_dir: str, prev: dict) -> dict[str, int]:
+    """``{delete_file_path: sequence_number}`` in ONE pass over the
+    delete manifests (each carries its snapshot's sequence number) —
+    not a rescan per delete file."""
     from ..operators.avrocf import parse_avro
 
+    out: dict[str, int] = {}
     for mf in prev["manifest_entries"]:
         if (mf.get("content", 0) or 0) != 1:
             continue
+        seq = mf.get("sequence_number", 0) or 0
         m = parse_avro(
             open(os.path.join(table_dir, mf["manifest_path"]),
                  "rb").read()
         )
         for e in m["records"]:
             dfile = e.get("data_file") or {}
-            if dfile.get("file_path") == delete_path:
-                return mf.get("sequence_number", 0) or 0
-    raise ValueError(
-        f"live delete file {delete_path!r} not found in any manifest"
-    )
+            p = dfile.get("file_path")
+            if isinstance(p, str) and p:
+                out[p] = seq
+    return out
 
 
 def merge_iceberg(
@@ -584,8 +575,6 @@ def merge_iceberg(
 
     Returns ``{version, snapshot_id, n_files_added, n_records_added,
     n_delete_keys}``."""
-    from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
-
     if not key_cols:
         raise ValueError("merge needs at least one key column")
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
@@ -597,6 +586,7 @@ def merge_iceberg(
     eq_ids = [field_ids[c] for c in key_cols]
     token = uuid.uuid4().hex[:12]
     prev0 = _prev_state(table_dir)
+    _check_schema_against_table(source, prev0, "merge source")
     part_cols = sorted({
         c for v in prev0["partition_values"].values() for c in v
     })
@@ -611,28 +601,15 @@ def merge_iceberg(
     n_keys = 0
     eq_size = 0
     if prev0["live"]:
-        stage = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
-        (
-            source.select(*key_cols).distinct().coalesce(1)
-            .sortWithinPartitions(*key_cols)
-            .write.mode("overwrite").parquet(stage)
-        )
-        (pf,) = [f for f in sorted(os.listdir(stage))
-                 if f.startswith("part-") and f.endswith(".parquet")]
-        src = os.path.join(stage, pf)
-        with open(src, "rb") as fh:
-            fh.seek(0, 2)
-            eq_size = fh.tell()
+        from .delta_sink import stage_single_parquet
 
-            def _fetch(off, ln, _fh=fh):
-                _fh.seek(off)
-                return _fh.read(ln)
-
-            meta = parse_footer_tail(read_footer_tail(_fetch, eq_size))
-        n_keys = meta["n_rows"]
         eq_rel = f"data/eq-del-{token}.parquet"
-        os.replace(src, os.path.join(table_dir, eq_rel))
-        shutil.rmtree(stage, ignore_errors=True)
+        eq_size, n_keys = stage_single_parquet(
+            source.select(*key_cols).distinct(), table_dir, eq_rel,
+            sort_cols=list(key_cols),
+        )
+        if not n_keys:
+            eq_rel = None
 
     part_fields = tuple(part_cols)
     for _ in range(max_retries):
@@ -805,13 +782,9 @@ def rollback_iceberg(table_dir: str, snapshot_id: int,
                 f"(have {sorted(prev['snapshots'])})"
             )
         version = prev["version"] + 1
-        schema_fields = [
-            {"id": i, "name": n}
-            for i, n in sorted(prev["field_names"].items())
-        ] or None
         meta_text = make_table_metadata(
             prev["snapshots"], current=snapshot_id,
-            schema_fields=schema_fields,
+            schema_fields=_carry_schema_fields(prev),
         )
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version, "snapshot_id": snapshot_id}
@@ -850,13 +823,9 @@ def expire_snapshots_iceberg(
                 "concurrent commit moved the current snapshot; re-plan"
             )
         version = prev["version"] + 1
-        schema_fields = [
-            {"id": i, "name": n}
-            for i, n in sorted(prev["field_names"].items())
-        ] or None
         meta_text = make_table_metadata(
             snapshots, current=prev["current"],
-            schema_fields=schema_fields,
+            schema_fields=_carry_schema_fields(prev),
         )
         if not _claim_metadata(table_dir, version, meta_text, token, {}):
             continue

@@ -1,0 +1,185 @@
+"""Regression pins for the round-11 self-review findings — each test
+fails under the pre-fix behavior.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+    delete_where_delta,
+    merge_delta,
+    snapshot,
+    update_where_delta,
+    write_delta,
+)
+from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+    delete_where_iceberg,
+    merge_iceberg,
+    read_table,
+    rollback_iceberg,
+    write_iceberg,
+)
+
+
+def test_bloom_int32_columns_hash_at_their_width(spark, tmp_path):
+    """An INT32 column's filter hashes 4-byte plain encodings — an
+    8-byte probe would false-negative every present value and wrongly
+    prune the file holding it."""
+    from hainan_big_data_recommend_system_spark.operators.bloom import (
+        bloom_might_contain_file,
+    )
+
+    d = str(tmp_path / "p")
+    (
+        spark.range(0, 500)
+        .selectExpr("CAST(id AS INT) AS small")
+        .coalesce(1)
+        .write.option("parquet.bloom.filter.enabled#small", "true")
+        .mode("overwrite").parquet(d)
+    )
+    (pf,) = glob.glob(os.path.join(d, "part-*.parquet"))
+    for i in (0, 7, 123, 499):
+        assert bloom_might_contain_file(pf, "small", i) is True
+    # a value outside int32's range cannot exist: proven absent, and
+    # it must raise ValueError-only per the fleet contract, never
+    # struct.error
+    assert bloom_might_contain_file(pf, "small", 2**40) is False
+    from hainan_big_data_recommend_system_spark.operators.bloom import (
+        plain_encode,
+    )
+
+    assert plain_encode(2**63, "INT64") is None  # out of range: absent
+    with pytest.raises(ValueError):
+        plain_encode(1, "DOUBLE")
+
+
+def test_iceberg_append_schema_is_enforced(spark, tmp_path):
+    """Field ids are positional: a reordered append would remap the
+    ids every manifest bound and equality_ids are keyed by."""
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(3).selectExpr("id", "id AS v")
+                  .coalesce(1), tbl)
+    reordered = spark.range(3, 6).selectExpr("id AS v", "id")
+    with pytest.raises(ValueError, match="positional"):
+        write_iceberg(reordered.coalesce(1), tbl)
+    with pytest.raises(ValueError, match="positional"):
+        merge_iceberg(spark, reordered.coalesce(1), tbl, ["id"])
+    # overwrite may change the schema
+    write_iceberg(reordered.coalesce(1), tbl, mode="overwrite")
+    assert read_table(tbl)["field_names"] == {1: "v", 2: "id"}
+
+
+def test_iceberg_metadata_rewrites_preserve_field_types(spark, tmp_path):
+    """A delete/rollback metadata rewrite must carry the recorded
+    TYPES — clobbering them to 'string' would misdecode every int
+    bound and silently kill data skipping."""
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(3):
+        write_iceberg(
+            spark.range(k * 100, (k + 1) * 100).selectExpr("id")
+            .coalesce(1).sortWithinPartitions("id"), tbl,
+        )
+    delete_where_iceberg(spark, tbl, "id = 5")
+    rollback_iceberg(tbl, snapshot_id=read_table(tbl)["snapshot_id"])
+    snap = read_table(tbl)
+    # bounds still decode as ints and still prune
+    assert all(
+        isinstance(st["minValues"]["id"], int)
+        for st in snap["file_stats"].values()
+    )
+    pr = prune_live_files(snap, "id", lo=250, hi=260)
+    assert pr["n_kept"] == 1 and pr["n_no_stats"] == 0
+
+
+def test_delta_append_partition_layout_is_enforced(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    df = spark.createDataFrame([(1, "a")], "id long, cat string") \
+        .coalesce(1)
+    write_delta(df, tbl, partition_by=["cat"])
+    with pytest.raises(ValueError, match="partition columns"):
+        write_delta(df, tbl)  # flat append into a partitioned table
+    with pytest.raises(ValueError, match="partition columns"):
+        write_delta(df, tbl, partition_by=["id"])
+    # the matching layout still appends
+    write_delta(df, tbl, partition_by=["cat"])
+    assert snapshot(tbl)["live_rows"] == 2
+
+
+def test_update_assignments_are_simultaneous(spark, tmp_path):
+    """SQL UPDATE evaluates all right-hand sides against the
+    PRE-update row: {'a': 'b', 'b': 'a'} swaps."""
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.range(0, 10).selectExpr("id", "id AS a", "id * 100 AS b")
+        .coalesce(1), tbl,
+    )
+    update_where_delta(spark, tbl, "id = 3", {"a": "b", "b": "a"},
+                       change_data=False)
+    import hainan_big_data_recommend_system_spark.sources.delta_sink as ds
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        resolve_deletion_vector,
+    )
+
+    snap = snapshot(tbl)
+    dead = {
+        ds._abs_uri(tbl, p): set(resolve_deletion_vector(
+            d, lambda q: open(os.path.join(tbl, q), "rb").read()
+        ))
+        for p, d in snap["deletion_vectors"].items()
+    }
+    rows = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"), "id", "a", "b",
+    ).collect()
+    got = {r["id"]: (r["a"], r["b"]) for r in rows
+           if r["ri"] not in dead.get(r["fp"], ())}
+    assert got[3] == (300, 3)  # swapped, not copied
+
+
+def test_merge_prunes_boolean_partitions_correctly(spark, tmp_path):
+    """Partition dirs print booleans lowercase ('flag=true'); a prune
+    keyed off Python str(True) would miss the partition and leave
+    duplicate keys."""
+    tbl = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(i, i % 2 == 0, i) for i in range(10)],
+        "id long, flag boolean, v long",
+    ).coalesce(1)
+    write_delta(base, tbl, partition_by=["flag"])
+    src = spark.createDataFrame(
+        [(0, True, -1)], "id long, flag boolean, v long"
+    ).coalesce(1)
+    res = merge_delta(spark, src, tbl, ["flag", "id"],
+                      change_data=False)
+    assert res["n_rows_updated"] == 1  # the old row WAS tombstoned
+    assert res["n_files_touched"] == 1
+
+
+def test_iceberg_delete_ignores_equality_dead_rows(spark, tmp_path):
+    """Rows tombstoned by a live equality delete are not rows: a
+    later DELETE must not re-count them."""
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 20).selectExpr("id", "id AS v")
+                  .coalesce(1), tbl)
+    merge_iceberg(
+        spark,
+        spark.range(0, 5).selectExpr("id", "-id AS v").coalesce(1),
+        tbl, ["id"],
+    )
+    # ids 0..4's OLD rows (v=0..4) are equality-dead and must NOT
+    # count; the matches are live ids 5..9 plus id 0's NEW row (v=0)
+    # — a reader that scanned equality-dead rows would report 10
+    res = delete_where_iceberg(spark, tbl, "v >= 0 AND id < 10")
+    assert res["n_rows_deleted"] == 6
