@@ -1875,3 +1875,65 @@ def q_delta_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
               and pr["n_no_stats"] == 0).alias("bloom_kept_match"),
         F.lit(pr["n_skipped"] >= 1).alias("bloom_pruned_some"),
     )
+
+
+@register_extra(
+    "iceberg_files_table",
+    """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+    SELECT CAST(k + 1 AS BIGINT) AS sequence_number,
+           CAST(cnt AS BIGINT) AS record_count,
+           TRUE AS has_bounds
+    FROM (
+        SELECT d.doc_id * 5 // m.m AS k, COUNT(*) AS cnt
+        FROM documents d, m GROUP BY 1
+    )
+    """,
+)
+def q_iceberg_files_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``table$files`` METADATA TABLE (round 11): one row per
+    live data file straight from the resolved metadata tree —
+    sequence numbers, record counts, bounds presence — over the
+    clustered 5-append fixture, whose per-file counts the oracle
+    recomputes as doc quintiles.  A metadata table that miscounted a
+    file, lost a sequence number, or dropped its bounds
+    hash-mismatches; no data file is opened to answer it."""
+    from ..sources.iceberg_sink import inspect_iceberg
+
+    fixture = _ensure_iceberg_skipping_fixture(spark, sf_dir)
+    return inspect_iceberg(spark, fixture, "files").select(
+        "sequence_number",
+        "record_count",
+        "has_bounds",
+    )
+
+
+@register_extra(
+    "delta_table_history",
+    """
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), 'WRITE',  CAST(2 AS BIGINT), CAST(0 AS BIGINT), FALSE),
+        (CAST(1 AS BIGINT), 'DELETE', CAST(2 AS BIGINT), CAST(2 AS BIGINT), TRUE),
+        (CAST(2 AS BIGINT), 'MERGE',  CAST(3 AS BIGINT), CAST(2 AS BIGINT), TRUE)
+    ) AS t(version, operation, n_adds, n_removes, has_change_data)
+    """,
+)
+def q_delta_table_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY as a metadata table (round 11): one row per
+    commit of the CDF fixture's write→delete→merge lifecycle, with
+    the operation and action counts replayed from the log alone.
+    The delete re-adds both files with DVs (2 adds / 2 removes); the
+    merge re-adds the two touched files AND lands the source file
+    (3 adds / 2 removes); both row-changing commits carry change
+    data.  A history that misattributed an operation or miscounted
+    the atomic commit's actions hash-mismatches."""
+    from ..sources.delta_sink import inspect_delta
+
+    fixture = _ensure_delta_cdf_fixture(spark, sf_dir)
+    hist = inspect_delta(spark, fixture, "history")
+    return hist.select(
+        "version", "operation",
+        F.col("n_adds").cast("long").alias("n_adds"),
+        F.col("n_removes").cast("long").alias("n_removes"),
+        (F.col("n_cdc") > 0).alias("has_change_data"),
+    )

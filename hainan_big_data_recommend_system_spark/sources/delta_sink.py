@@ -1709,3 +1709,63 @@ def update_where_delta(
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+def inspect_delta(spark, table_dir: str, kind: str):
+    """METADATA TABLES — the DESCRIBE HISTORY / DETAIL surface as
+    DataFrames: ``files`` (live adds + skipping stats + DV state),
+    ``history`` (one row per commit with its operation), and
+    ``tombstones`` (removed files awaiting VACUUM).  O(log) driver
+    metadata, no data file opened."""
+    if kind not in ("files", "history", "tombstones"):
+        raise ValueError(f"unknown metadata table {kind!r}")
+    commits = read_log_commits(table_dir)
+    snap = replay_delta_log(commits) if commits else None
+
+    if kind == "files":
+        fstats = (snap or {}).get("file_stats", {})
+        dvs = (snap or {}).get("deletion_vectors", {})
+        pv = (snap or {}).get("partition_values", {})
+        rows = [
+            (p, size, nrows,
+             json.dumps(pv.get(p, {}), sort_keys=True),
+             p in fstats,
+             int(dvs.get(p, {}).get("cardinality", 0)))
+            for p, (size, nrows) in sorted((snap or {}).get(
+                "live", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "path string, size long, num_records long, "
+                  "partition string, has_stats boolean, "
+                  "dv_cardinality long",
+        )
+    if kind == "history":
+        rows = []
+        for v, text in enumerate(commits):
+            op = None
+            n_adds = n_removes = n_cdc = 0
+            for ln in text.splitlines():
+                if not ln.strip():
+                    continue
+                obj = json.loads(ln)
+                if "commitInfo" in obj:
+                    op = obj["commitInfo"].get("operation")
+                elif "add" in obj:
+                    n_adds += 1
+                elif "remove" in obj:
+                    n_removes += 1
+                elif "cdc" in obj:
+                    n_cdc += 1
+            rows.append((v, op, n_adds, n_removes, n_cdc))
+        return spark.createDataFrame(
+            rows, "version long, operation string, n_adds int, "
+                  "n_removes int, n_cdc int",
+        )
+    rows = [
+        (p, int(v), int(size))
+        for p, (v, size) in sorted((snap or {}).get(
+            "tombstones", {}).items())
+    ]
+    return spark.createDataFrame(
+        rows, "path string, deletion_version long, size long",
+    )

@@ -844,3 +844,72 @@ def expire_snapshots_iceberg(
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+def inspect_iceberg(spark, table_dir: str, kind: str):
+    """METADATA TABLES — Iceberg's ``table$files`` / ``$snapshots`` /
+    ``$manifests`` / ``$deletes`` surface as DataFrames: the operator
+    a user points dashboards and maintenance jobs at.  Everything
+    derives from the already-resolved metadata tree (O(metadata),
+    no data file opened); the DataFrame is built from those driver
+    rows — the same cost class as planning any scan of the table."""
+    if kind not in ("files", "snapshots", "manifests", "deletes"):
+        raise ValueError(f"unknown metadata table {kind!r}")
+    prev = _prev_state(table_dir)
+    snap = read_table(table_dir) if prev["version"] >= 0 else None
+    import json as _json
+
+    if kind == "files":
+        rows = [
+            (p, size, nrows,
+             int(snap["data_sequence_numbers"].get(p, 0)),
+             _json.dumps(snap["partition_values"].get(p, {}),
+                         sort_keys=True),
+             p in snap["file_stats"])
+            for p, (size, nrows) in sorted((snap or {}).get(
+                "live", {}).items())
+        ]
+        return spark.createDataFrame(
+            rows, "file_path string, file_size_in_bytes long, "
+                  "record_count long, sequence_number long, "
+                  "partition string, has_bounds boolean",
+        )
+    if kind == "snapshots":
+        rows = [
+            (int(sid), ml, sid == prev["current"])
+            for sid, ml in sorted(prev["snapshots"].items())
+        ]
+        return spark.createDataFrame(
+            rows, "snapshot_id long, manifest_list string, "
+                  "is_current boolean",
+        )
+    if kind == "manifests":
+        rows = [
+            (e["manifest_path"], int(e["manifest_length"]),
+             int(e.get("sequence_number", 0) or 0),
+             int(e.get("content", 0) or 0),
+             int(e["added_files_count"]),
+             int(e["existing_files_count"]),
+             int(e["deleted_files_count"]))
+            for e in prev["manifest_entries"]
+        ]
+        return spark.createDataFrame(
+            rows, "path string, length long, sequence_number long, "
+                  "content int, added_files_count int, "
+                  "existing_files_count int, deleted_files_count int",
+        )
+    # deletes: live position- and equality-delete files
+    del_seq = _delete_file_seqs(table_dir, prev)
+    rows = [
+        (p, "position", int(del_seq.get(p, 0)), None)
+        for p in (snap or {}).get("position_delete_files", [])
+    ] + [
+        (eq["path"], "equality", int(eq["sequence_number"]),
+         _json.dumps([snap["field_names"][i]
+                      for i in eq["equality_ids"]]))
+        for eq in (snap or {}).get("equality_deletes", [])
+    ]
+    return spark.createDataFrame(
+        rows, "file_path string, delete_type string, "
+              "sequence_number long, equality_columns string",
+    )

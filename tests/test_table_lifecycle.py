@@ -430,3 +430,71 @@ def test_expire_snapshots_execution(spark, tmp_path):
         rollback_iceberg(tbl, snapshot_id=1)
     # idempotent: nothing left to expire
     assert expire_snapshots_iceberg(tbl, retain_last=1)["version"] is None
+
+
+def test_inspect_delta_metadata_tables(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        inspect_delta,
+        optimize_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 30).selectExpr("id").repartition(2), tbl)
+    delete_where_delta(spark, tbl, "id % 3 = 0")
+    optimize_delta(spark, tbl, target_partitions=1)
+
+    hist = inspect_delta(spark, tbl, "history").collect()
+    assert [(r["version"], r["operation"]) for r in hist] == [
+        (0, "WRITE"), (1, "DELETE"), (2, "OPTIMIZE"),
+    ]
+    assert hist[1]["n_cdc"] >= 1
+
+    files = inspect_delta(spark, tbl, "files").collect()
+    assert len(files) == 1  # compacted
+    assert files[0]["num_records"] == 20  # DVs materialized
+    assert files[0]["dv_cardinality"] == 0
+    assert files[0]["has_stats"]
+
+    tombs = inspect_delta(spark, tbl, "tombstones").collect()
+    assert len(tombs) == 2  # the two original files
+    with pytest.raises(ValueError, match="unknown metadata table"):
+        inspect_delta(spark, tbl, "nope")
+
+
+def test_inspect_iceberg_metadata_tables(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        delete_where_iceberg,
+        inspect_iceberg,
+        merge_iceberg,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 20).selectExpr("id", "id AS v")
+                  .coalesce(1), tbl)
+    write_iceberg(spark.range(20, 40).selectExpr("id", "id AS v")
+                  .coalesce(1), tbl)
+    merge_iceberg(
+        spark, spark.range(0, 3).selectExpr("id", "-id AS v")
+        .coalesce(1), tbl, ["id"],
+    )
+    delete_where_iceberg(spark, tbl, "id = 30")
+
+    files = inspect_iceberg(spark, tbl, "files").collect()
+    assert len(files) == 3  # two appends + the merge's data file
+    assert sorted(r["sequence_number"] for r in files) == [1, 2, 3]
+    assert all(r["has_bounds"] for r in files)
+
+    snaps = inspect_iceberg(spark, tbl, "snapshots").collect()
+    assert len(snaps) == 4
+    assert sum(1 for r in snaps if r["is_current"]) == 1
+
+    dels = inspect_iceberg(spark, tbl, "deletes").collect()
+    kinds = sorted((r["delete_type"], r["sequence_number"])
+                   for r in dels)
+    assert kinds == [("equality", 3), ("position", 4)]
+    eq = [r for r in dels if r["delete_type"] == "equality"][0]
+    assert eq["equality_columns"] == '["id"]'
+
+    mans = inspect_iceberg(spark, tbl, "manifests").collect()
+    assert sum(r["content"] == 1 for r in mans) == 2  # both deletes
