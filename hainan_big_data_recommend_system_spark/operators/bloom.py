@@ -197,7 +197,10 @@ def bloom_might_contain_file(path: str, column: str, value) -> bool | None:
             idx = meta["column_names"].index(column)
             ptype = meta["physical_types"][idx]
         except ValueError:
-            ptype = "INT64"  # nested path: default width
+            # cannot resolve the column's physical type (nested
+            # path): a GUESSED width could hash wrong and fabricate
+            # proof of absence — no proof, must scan
+            return True
         encoded = plain_encode(value, ptype)
         if encoded is None:
             return False  # out of the column type's range entirely

@@ -584,8 +584,12 @@ def make_table_metadata(
             "type": "struct",
             "schema-id": 0,
             "fields": [
-                {"id": f["id"], "name": f["name"],
-                 "required": False, "type": f.get("type", "string")}
+                {"id": f["id"], "name": f["name"], "required": False,
+                 # an UNKNOWN type is omitted, never guessed: stamping
+                 # 'string' on a legacy int column would flip its
+                 # bound decoding to garbage (typeless fields fall
+                 # back to the length-based int heuristic)
+                 **({"type": f["type"]} if f.get("type") else {})}
                 for f in schema_fields
             ],
         }]

@@ -159,11 +159,41 @@ def footer_int64_bounds(footer_meta: dict) -> tuple[dict, dict]:
     return mins, maxs
 
 
+#: string bounds longer than this truncate (Delta's own stats default
+#: is 32 chars) — a free-text column must not embed whole documents
+#: into every add action / manifest entry.
+_STRING_BOUND_CHARS = 32
+
+
+def _truncate_upper(s: str, limit: int) -> str | None:
+    """A valid UPPER bound at most ``limit+``: the prefix with its
+    last character incremented (so it still sorts >= every string it
+    covers — Iceberg's truncate-up rule).  None when untruncatable
+    (all prefix chars at the max code point)."""
+    if len(s) <= limit:
+        return s
+    chars = list(s[:limit])
+    for j in range(len(chars) - 1, -1, -1):
+        cp = ord(chars[j])
+        if cp < 0x10FFFF:
+            ncp = cp + 1
+            if 0xD800 <= ncp <= 0xDFFF:
+                ncp = 0xE000  # never step into the surrogate gap
+            chars[j] = chr(ncp)
+            return "".join(chars[: j + 1])
+    return None
+
+
 def footer_string_bounds(footer_meta: dict) -> tuple[dict, dict]:
     """Per-column file-level (min, max) for every BYTE_ARRAY column
     whose MODERN min_value/max_value stats cover all row groups and
     decode as strict UTF-8 — string keys (dates, ids, languages) are
-    the other half of the 100 TB skipping story (round 11)."""
+    the other half of the 100 TB skipping story (round 11).  Long
+    values TRUNCATE the way real writers do: the min to a prefix
+    (still a valid lower bound), the max to a prefix with its last
+    character incremented (still a valid upper bound) — pruning stays
+    conservative while the metadata stays O(32 chars), not O(largest
+    document)."""
     n_rgs = footer_meta["n_row_groups"]
     per_col: dict[str, list[tuple[str, str]]] = {}
     for st in footer_meta.get("binary_stats", ()):
@@ -173,10 +203,16 @@ def footer_string_bounds(footer_meta: dict) -> tuple[dict, dict]:
         except UnicodeDecodeError:
             continue  # non-text binary: no proof, no stats
         per_col.setdefault(st["col"], []).append((mn, mx))
-    mins = {c: min(m for m, _ in v) for c, v in per_col.items()
-            if len(v) == n_rgs}
-    maxs = {c: max(m for _, m in v) for c, v in per_col.items()
-            if len(v) == n_rgs}
+    mins = {}
+    maxs = {}
+    for c, v in per_col.items():
+        if len(v) != n_rgs:
+            continue
+        hi = _truncate_upper(max(m for _, m in v), _STRING_BOUND_CHARS)
+        if hi is None:
+            continue  # untruncatable upper: no stats, not wrong stats
+        mins[c] = min(m for m, _ in v)[:_STRING_BOUND_CHARS]
+        maxs[c] = hi
     return mins, maxs
 
 

@@ -126,7 +126,8 @@ def _prev_state(table_dir: str) -> dict:
                 "last_seq": 0, "field_names": {}, "field_ids": {},
                 "field_types": {},
                 "position_delete_files": [],
-                "data_sequence_numbers": {}}
+                "data_sequence_numbers": {},
+                "equality_deletes": []}
     md = os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")
     meta_text = open(md, encoding="utf-8").read()
 
@@ -153,6 +154,7 @@ def _prev_state(table_dir: str) -> dict:
         "field_types": meta.get("field_types", {}),
         "position_delete_files": snap["position_delete_files"],
         "data_sequence_numbers": snap["data_sequence_numbers"],
+        "equality_deletes": snap["equality_deletes"],
     }
 
 
@@ -165,7 +167,8 @@ def _carry_schema_fields(prev: dict) -> list[dict] | None:
         return None
     types = prev.get("field_types", {})
     return [
-        {"id": i, "name": n, "type": types.get(i, "string")}
+        {"id": i, "name": n,
+         **({"type": types[i]} if i in types else {})}
         for i, n in sorted(prev["field_names"].items())
     ]
 
@@ -178,9 +181,22 @@ def _check_schema_against_table(df: DataFrame, prev: dict,
     (mirroring the Delta sink's append-schema enforcement)."""
     if not prev["field_names"]:
         return
-    recorded = [n for _, n in sorted(prev["field_names"].items())]
-    incoming = [f.name for f in df.schema.fields]
-    if recorded != incoming:
+    types = prev.get("field_types", {})
+    recorded = [
+        (n, types.get(i)) for i, n in sorted(prev["field_names"].items())
+    ]
+    incoming = [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    # legacy metadata without recorded types compares names only
+    mismatch = (
+        [n for n, _ in recorded] != [n for n, _ in incoming]
+        or any(
+            rt is not None and rt != it
+            for (_, rt), (_, it) in zip(recorded, incoming)
+        )
+    )
+    if mismatch:
         raise ValueError(
             f"{what} schema {incoming} disagrees with the table's "
             f"recorded fields {recorded} (field ids are positional; "
@@ -438,17 +454,10 @@ def delete_where_iceberg(
     rows = df.filter(condition).join(F.broadcast(mapping), "__fp")
     # rows already dead via LIVE EQUALITY DELETES are not rows: a
     # delete must neither re-tombstone nor re-count them (each delete
-    # applies only to data files with seq STRICTLY below its own)
-    meta_text = open(os.path.join(
-        _meta_dir(table_dir), f"v{prev['version']}.metadata.json"
-    ), encoding="utf-8").read()
-
-    def _fetch_blob(path: str) -> bytes:
-        return open(os.path.join(table_dir, path), "rb").read()
-
-    snap = snapshot_live_files(meta_text, _fetch_blob)
-    for eq in snap["equality_deletes"]:
-        keys = [snap["field_names"][i] for i in eq["equality_ids"]]
+    # applies only to data files with seq STRICTLY below its own);
+    # _prev_state already resolved the tree once — reuse it
+    for eq in prev["equality_deletes"]:
+        keys = [prev["field_names"][i] for i in eq["equality_ids"]]
         eq_keys = spark.read.parquet(
             os.path.join(table_dir, eq["path"])
         ).select(*keys)
@@ -468,6 +477,10 @@ def delete_where_iceberg(
         del_seq = _delete_file_seqs(table_dir, prev)
         prior = None
         for dp in prev["position_delete_files"]:
+            if dp not in del_seq:
+                raise ValueError(
+                    f"live delete file {dp!r} not found in any manifest"
+                )
             part = spark.read.parquet(
                 os.path.join(table_dir, dp)
             ).select("file_path", "pos").withColumn(

@@ -183,3 +183,79 @@ def test_iceberg_delete_ignores_equality_dead_rows(spark, tmp_path):
     # — a reader that scanned equality-dead rows would report 10
     res = delete_where_iceberg(spark, tbl, "v >= 0 AND id < 10")
     assert res["n_rows_deleted"] == 6
+
+
+def test_string_bounds_truncate_like_real_writers(spark, tmp_path):
+    """Free-text columns must not embed whole documents into the
+    metadata: bounds truncate to a 32-char prefix (min) / incremented
+    prefix (max) and pruning stays conservative."""
+    import json as _json
+
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+    )
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        _truncate_upper,
+    )
+
+    assert _truncate_upper("abc", 32) == "abc"
+    assert _truncate_upper("a" * 100, 4) == "aaab"
+    assert _truncate_upper("ab" + chr(0x10FFFF) * 40, 3) == "ac"
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.range(0, 50).selectExpr(
+            "id", "repeat(concat('text-', id), 20) AS body"
+        ).coalesce(1),
+        tbl,
+    )
+    st = list(snapshot(tbl)["file_stats"].values())[0]
+    assert len(st["minValues"]["body"]) <= 32
+    assert len(st["maxValues"]["body"]) <= 33
+    # the add action itself stays small
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        read_log_commits,
+    )
+
+    assert len(read_log_commits(tbl)[0]) < 4000
+    # truncated bounds still prune CONSERVATIVELY: a probe inside the
+    # true range is kept, one past the truncated max is skipped
+    snap = snapshot(tbl)
+    assert prune_live_files(snap, "body", lo="text-3")["n_kept"] == 1
+    assert prune_live_files(snap, "body", lo="tfzz")["n_skipped"] == 1
+
+
+def test_iceberg_append_type_change_is_refused(spark, tmp_path):
+    """Same names but a changed TYPE would silently remap how every
+    existing manifest bound decodes — refused like a rename."""
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(3).selectExpr("id", "CAST(id AS STRING) AS day")
+        .coalesce(1), tbl,
+    )
+    retyped = spark.range(3, 6).selectExpr("id", "id AS day")
+    with pytest.raises(ValueError, match="positional"):
+        write_iceberg(retyped.coalesce(1), tbl)
+
+
+def test_bloom_unresolvable_column_type_keeps_file():
+    """A bloom offset whose column type cannot be resolved must keep
+    the file (no proof), never guess a width and fabricate absence."""
+    from hainan_big_data_recommend_system_spark.operators import bloom
+
+    meta = {"bloom_offsets": [{"rg": 0, "col": "user", "offset": 4}],
+            "n_row_groups": 1,
+            "column_names": ["user.id"],  # flattened leaf ≠ path[0]
+            "physical_types": ["INT32"]}
+    import unittest.mock as mock
+
+    with mock.patch.object(bloom, "xxhash64") as xh, \
+            mock.patch(
+                "hainan_big_data_recommend_system_spark.operators."
+                "parquetfmt.parse_footer_tail", return_value=meta
+            ), mock.patch(
+                "hainan_big_data_recommend_system_spark.operators."
+                "parquetfmt.read_footer_tail", return_value=b""
+            ), mock.patch("builtins.open", mock.mock_open(read_data=b"")):
+        assert bloom.bloom_might_contain_file("/nope", "user", 5) is True
+        xh.assert_not_called()
