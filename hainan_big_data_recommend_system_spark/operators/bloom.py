@@ -201,7 +201,14 @@ def bloom_might_contain_file(path: str, column: str, value) -> bool | None:
             # path): a GUESSED width could hash wrong and fabricate
             # proof of absence — no proof, must scan
             return True
-        encoded = plain_encode(value, ptype)
+        try:
+            encoded = plain_encode(value, ptype)
+        except ValueError:
+            # unsupported value/physical-type combination (e.g. an int
+            # probe against a FLOAT/FIXED_LEN_BYTE_ARRAY column): not
+            # proof of absence — pruning must never abort a scan, so
+            # keep the file like the stats pruners do (ADVICE r11)
+            return True
         if encoded is None:
             return False  # out of the column type's range entirely
         h = xxhash64(encoded)

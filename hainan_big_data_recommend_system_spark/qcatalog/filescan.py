@@ -1027,10 +1027,18 @@ def q_iceberg_equality_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         keys = [fields[i] for i in eq["equality_ids"]]
         dels = spark.read.parquet(
             os.path.join(fixture, eq["path"])
-        ).select(*keys)
+        ).select(
+            *[F.col(c).alias(f"__eq_{c}") for c in keys]
+        ).distinct()
+        # null-safe: the spec treats null as equal when applying
+        # equality deletes; SQL join semantics never match NULL keys
+        cond = None
+        for c in keys:
+            clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            cond = clause if cond is None else cond & clause
         affected = data.filter(
             F.col("__seq") < eq["sequence_number"]
-        ).join(F.broadcast(dels), on=keys, how="left_anti")
+        ).join(F.broadcast(dels), on=cond, how="left_anti")
         untouched = data.filter(F.col("__seq") >= eq["sequence_number"])
         data = affected.unionByName(untouched)
     return data.select(

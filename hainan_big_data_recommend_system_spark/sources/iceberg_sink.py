@@ -320,8 +320,22 @@ def write_iceberg(
         raise ValueError(f"unsupported write mode {mode!r}")
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     if mode == "append":
-        _check_schema_against_table(df, _prev_state(table_dir),
-                                    "append")
+        prev0 = _prev_state(table_dir)
+        _check_schema_against_table(df, prev0, "append")
+        if prev0["live"]:
+            # an append must land in the table's existing partition
+            # layout — a mismatched layout would silently mix flat and
+            # Hive-layout files and quietly degrade partition pruning
+            # (mirrors write_delta's append check; ADVICE r11)
+            table_parts = sorted({
+                c for v in prev0["partition_values"].values() for c in v
+            })
+            if sorted(partition_by or []) != table_parts:
+                raise ValueError(
+                    f"append partition_by {sorted(partition_by or [])} "
+                    f"disagrees with the table's partition columns "
+                    f"{table_parts}"
+                )
     token = uuid.uuid4().hex[:12]
     adds = _stage_iceberg_files(df, table_dir, token,
                                 partition_by=partition_by,
@@ -460,10 +474,20 @@ def delete_where_iceberg(
         keys = [prev["field_names"][i] for i in eq["equality_ids"]]
         eq_keys = spark.read.parquet(
             os.path.join(table_dir, eq["path"])
-        ).select(*keys)
+        ).select(
+            *[F.col(c).alias(f"__eq_{c}") for c in keys]
+        ).distinct()
+        # the spec applies equality deletes with null == null (unlike
+        # SQL join semantics, which never match NULL keys) — a plain
+        # key-column anti-join would leave null-keyed rows alive
+        # alongside their replacements (ADVICE r11)
+        cond = None
+        for c in keys:
+            clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+            cond = clause if cond is None else cond & clause
         affected = rows.filter(
             F.col("__dataseq") < eq["sequence_number"]
-        ).join(F.broadcast(eq_keys), keys, "left_anti")
+        ).join(F.broadcast(eq_keys), cond, "left_anti")
         rows = affected.unionByName(
             rows.filter(F.col("__dataseq") >= eq["sequence_number"])
         )
@@ -511,6 +535,15 @@ def delete_where_iceberg(
 
     for _ in range(max_retries):
         cur = _prev_state(table_dir)
+        conflicts = _iceberg_conflicts(prev, cur, paths)
+        if (conflicts
+                or cur["position_delete_files"]
+                != prev["position_delete_files"]
+                or cur["equality_deletes"] != prev["equality_deletes"]):
+            raise ValueError(
+                "delete conflict: table changed concurrently since "
+                f"the position scan ({conflicts[:3] or 'delete files'})"
+            )
         version = cur["version"] + 1
         sid = (max(cur["snapshots"], default=0)) + 1
         seq = cur["last_seq"] + 1
@@ -545,6 +578,23 @@ def delete_where_iceberg(
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+def _iceberg_conflicts(prev: dict, cur: dict, paths) -> list[str]:
+    """The retry loop's logical-conflict rule (ADVICE r11 medium),
+    mirroring the Delta sink's `_conflicting_paths`: this writer's
+    positions were computed against ``prev``'s scan, so a scanned path
+    conflicts when it is no longer live, its (size, rows) moved, or
+    its data sequence number changed (a rewrite at a new sequence
+    shrugs off this writer's position deletes — committing them anyway
+    would report rows deleted while deleting nothing)."""
+    return [
+        p for p in paths
+        if p not in cur["live"]
+        or cur["live"][p] != prev["live"].get(p)
+        or cur["data_sequence_numbers"].get(p)
+        != prev["data_sequence_numbers"].get(p)
+    ]
 
 
 def _delete_file_seqs(table_dir: str, prev: dict) -> dict[str, int]:
@@ -627,6 +677,28 @@ def merge_iceberg(
     part_fields = tuple(part_cols)
     for _ in range(max_retries):
         cur = _prev_state(table_dir)
+        # logical-conflict rule (ADVICE r11 medium): the equality
+        # delete was sized against prev0 — a concurrent writer
+        # populating a then-empty table would escape the (unwritten)
+        # delete and duplicate every shared key; a concurrent
+        # overwrite changing the schema or partition layout would
+        # invalidate the staged files' layout
+        if cur["live"] and not prev0["live"] and eq_rel is None:
+            raise ValueError(
+                "merge conflict: a concurrent writer populated the "
+                "table this merge read as empty; its rows would "
+                "escape the equality delete — re-run the merge"
+            )
+        if cur["live"]:
+            _check_schema_against_table(source, cur, "merge source")
+            cur_parts = sorted({
+                c for v in cur["partition_values"].values() for c in v
+            })
+            if cur_parts != part_cols:
+                raise ValueError(
+                    f"merge conflict: partition layout moved to "
+                    f"{cur_parts} (staged for {part_cols}) concurrently"
+                )
         version = cur["version"] + 1
         sid = (max(cur["snapshots"], default=0)) + 1
         seq = cur["last_seq"] + 1
