@@ -170,18 +170,22 @@ def test_iceberg_delete_aborts_on_concurrent_overwrite(
     tbl = str(tmp_path / "tbl")
     write_iceberg(spark.range(0, 100).selectExpr("id"), tbl)
 
-    orig = delta_sink.stage_single_parquet
+    orig = iceberg_sink._stage_position_delete_files
 
-    def wrapper(df, table_dir, dest_rel, sort_cols=None):
-        res = orig(df, table_dir, dest_rel, sort_cols=sort_cols)
-        monkeypatch.setattr(delta_sink, "stage_single_parquet", orig)
+    def wrapper(*args, **kwargs):
+        res = orig(*args, **kwargs)
+        monkeypatch.setattr(
+            iceberg_sink, "_stage_position_delete_files", orig
+        )
         # a concurrent overwrite lands between the position scan and
         # the metadata claim
         write_iceberg(spark.range(100, 200).selectExpr("id"), tbl,
                       mode="overwrite")
         return res
 
-    monkeypatch.setattr(delta_sink, "stage_single_parquet", wrapper)
+    monkeypatch.setattr(
+        iceberg_sink, "_stage_position_delete_files", wrapper
+    )
     with pytest.raises(ValueError, match="delete conflict"):
         delete_where_iceberg(spark, tbl, "id < 10")
     # the concurrent overwrite's rows are intact, nothing deleted
