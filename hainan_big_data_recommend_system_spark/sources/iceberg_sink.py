@@ -423,13 +423,15 @@ def write_iceberg(
 
 
 def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
-                               condition: str | None = None):
+                               condition: str | None = None,
+                               paths: list[str] | None = None):
     """The table's LIVE rows (equality AND position deletes applied
     under the spec's sequence rules) with ``file_path`` / ``__ri`` /
     ``__dataseq`` attached — the shared distributed scan every
     row-level verb (DELETE, UPDATE, compaction) starts from.  An
     optional ``condition`` filters FIRST (deletes only remove rows, so
-    the filter commutes and the scan stays narrow)."""
+    the filter commutes and the scan stays narrow); ``paths`` narrows
+    the scan to a subset of the live files (compaction groups)."""
     from pyspark.sql import functions as F
 
     from .delta_sink import (
@@ -438,7 +440,8 @@ def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
         _scan_with_positions,
     )
 
-    paths = sorted(prev["live"])
+    if paths is None:
+        paths = sorted(prev["live"])
     seqs = prev["data_sequence_numbers"]
     df, _ = _attach_partition_columns(
         spark, _scan_with_positions(spark, table_dir, paths),
@@ -950,6 +953,214 @@ def merge_iceberg(
                     "n_records_added": sum(
                         a["record_count"] for a in adds),
                     "n_delete_keys": n_keys}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def rewrite_data_files_iceberg(
+    spark,
+    table_dir: str,
+    small_file_bytes: int = 32 * 1024 * 1024,
+    target_partitions: int = 1,
+    max_retries: int = 10,
+) -> dict:
+    """COMPACTION — Iceberg's ``rewrite_data_files``, the
+    `optimize_delta` twin for format #2 (VERDICT r11 What's missing
+    #1): bin-pack live files smaller than ``small_file_bytes`` into
+    fewer rewritten files, APPLYING every live position/equality
+    delete during the rewrite, and DROP delete files the rewrite fully
+    applied.  Without it a table accreting equality-delete files from
+    `merge_iceberg` pays every delete on every read, forever.
+
+    Spec mechanics this leans on:
+
+    - the rewritten files commit at a NEW sequence number, so older
+      deletes shrug off of them by both sequence rules (position:
+      ``delete_seq >= data_seq`` fails; equality: ``data_seq <
+      delete_seq`` fails) — no delete is ever double-applied;
+    - liveness resolves manifest-by-manifest in manifest-list order,
+      so the commit appends DELETED-entries manifests (status=2) that
+      tombstone the compacted data files and fully-applied delete
+      files out of the PRIOR manifests' entries — prior manifests ride
+      along verbatim (O(changed) metadata, not O(table));
+    - a position-delete file is fully applied when every live data
+      file it references was compacted; an equality-delete file when
+      NO surviving data file's sequence is below its own.
+
+    Partitioned tables compact PER PARTITION (rows never migrate
+    across partition dirs); a partition participates when it holds ≥2
+    small files OR any of its small files carries applicable deletes
+    (compacting a single deleted-from file materializes the delete).
+    Time travel to pre-compaction snapshots keeps working — old
+    manifest lists are untouched.
+
+    Returns ``{version, snapshot_id, n_compacted, n_files, n_records,
+    n_deletes_applied, n_delete_files_dropped}`` (``version None``
+    no-op when nothing qualifies)."""
+    from pyspark.sql import functions as F
+
+    prev = _prev_state(table_dir)
+    noop = {"version": None, "snapshot_id": None, "n_compacted": 0,
+            "n_files": 0, "n_records": 0, "n_deletes_applied": 0,
+            "n_delete_files_dropped": 0}
+    if not prev["live"]:
+        return noop
+    snap = read_table(table_dir)  # per-target applied-delete map
+    seqs = prev["data_sequence_numbers"]
+    pv = prev["partition_values"]
+
+    def _affected(p: str) -> bool:
+        if snap["position_deletes"].get(p):
+            return True
+        return any(
+            seqs.get(p, 0) < eq["sequence_number"]
+            for eq in prev["equality_deletes"]
+        )
+
+    small = sorted(
+        p for p, (sz, _) in prev["live"].items() if sz < small_file_bytes
+    )
+    part_cols = sorted({c for p in prev["live"] for c in pv.get(p, {})})
+    if part_cols:
+        by_part: dict[tuple, list[str]] = {}
+        for p in small:
+            key = tuple(sorted((pv.get(p) or {}).items()))
+            by_part.setdefault(key, []).append(p)
+        small = sorted(
+            p for ps in by_part.values()
+            if len(ps) >= 2 or any(_affected(p) for p in ps)
+            for p in ps
+        )
+    elif len(small) <= target_partitions and not any(
+        _affected(p) for p in small
+    ):
+        small = []
+    if not small:
+        return noop
+    compacted = set(small)
+    n_applied = sum(
+        len(snap["position_deletes"].get(p, ())) for p in small
+    )
+
+    # which live delete files does this rewrite fully apply?
+    drop_deletes: list[str] = []
+    for dp in prev["position_delete_files"]:
+        targets = {
+            r["file_path"] for r in spark.read.parquet(
+                os.path.join(table_dir, dp)
+            ).select("file_path").distinct().collect()
+        }
+        if all(t not in prev["live"] or t in compacted
+               for t in targets):
+            drop_deletes.append(dp)
+    survivors_min_seq = min(
+        (seqs.get(p, 0) for p in prev["live"] if p not in compacted),
+        default=None,
+    )
+    for eq in prev["equality_deletes"]:
+        if survivors_min_seq is None or \
+                survivors_min_seq >= eq["sequence_number"]:
+            drop_deletes.append(eq["path"])
+
+    rows = _alive_rows_with_positions(spark, table_dir, prev,
+                                      paths=small)
+    df = rows.drop("__fp", "__ri", "file_path", "__dataseq")
+    if prev["field_names"]:
+        df = df.select(
+            *[n for _, n in sorted(prev["field_names"].items())]
+        )
+    if part_cols:
+        df = df.repartition(*part_cols)
+    else:
+        df = df.repartition(target_partitions)
+    token = uuid.uuid4().hex[:12]
+    adds = _stage_iceberg_files(df, table_dir, token,
+                                partition_by=part_cols or None)
+    field_ids = prev["field_ids"] or {
+        f.name: i + 1 for i, f in enumerate(df.schema.fields)
+    }
+    part_fields = tuple(part_cols)
+    eq_paths = {e["path"] for e in prev["equality_deletes"]}
+
+    for _ in range(max_retries):
+        cur = _prev_state(table_dir)
+        conflicts = _iceberg_conflicts(prev, cur, small)
+        if (conflicts
+                or cur["position_delete_files"]
+                != prev["position_delete_files"]
+                or cur["equality_deletes"] != prev["equality_deletes"]):
+            raise ValueError(
+                "rewrite conflict: table changed concurrently since "
+                f"the compaction scan ({conflicts[:3] or 'delete files'})"
+            )
+        version = cur["version"] + 1
+        sid = (max(cur["snapshots"], default=0)) + 1
+        seq = cur["last_seq"] + 1
+        entries = [dict(e) for e in cur["manifest_entries"]]
+        blobs: dict[str, bytes] = {}
+
+        def ml_entry(path: str, blob: bytes, content=0, n_add=0,
+                     n_del=0) -> dict:
+            return {"manifest_path": path, "manifest_length": len(blob),
+                    "sequence_number": seq, "added_snapshot_id": sid,
+                    "content": content, "added_files_count": n_add,
+                    "existing_files_count": 0,
+                    "deleted_files_count": n_del}
+
+        # tombstone the compacted data files out of prior manifests
+        del_data_manifest = make_manifest(
+            [{"status": 2, "snapshot_id": sid, "file_path": p,
+              "record_count": prev["live"][p][1],
+              "file_size": prev["live"][p][0],
+              "partition": pv.get(p)}
+             for p in small],
+            partition_fields=part_fields,
+        )
+        dd_path = f"metadata/m-{token}-{version}-compact-del.avro"
+        blobs[dd_path] = del_data_manifest
+        entries.append(ml_entry(dd_path, del_data_manifest,
+                                n_del=len(small)))
+        # tombstone fully-applied delete files
+        if drop_deletes:
+            del_del_manifest = make_manifest([
+                {"status": 2, "snapshot_id": sid, "file_path": p,
+                 "record_count": 0, "file_size": 0,
+                 **({"content": 2, "equality_ids": [1]}
+                    if p in eq_paths else {"content": 1})}
+                for p in sorted(drop_deletes)
+            ])
+            ddl_path = f"metadata/m-{token}-{version}-drop-dels.avro"
+            blobs[ddl_path] = del_del_manifest
+            entries.append(ml_entry(ddl_path, del_del_manifest,
+                                    content=1,
+                                    n_del=len(drop_deletes)))
+        add_manifest = make_manifest(
+            [{"status": 1, "snapshot_id": sid,
+              **_ids_bounds(a, field_ids)} for a in adds],
+            partition_fields=part_fields,
+        )
+        add_path = f"metadata/m-{token}-{version}-compact-add.avro"
+        blobs[add_path] = add_manifest
+        entries.append(ml_entry(add_path, add_manifest,
+                                n_add=len(adds)))
+        ml_blob = make_manifest_list(entries)
+        ml_path = f"metadata/ml-{token}-{version}.avro"
+        blobs[ml_path] = ml_blob
+        for rel, blob in blobs.items():
+            with open(os.path.join(table_dir, rel), "wb") as fh:
+                fh.write(blob)
+        snapshots = {**cur["snapshots"], sid: ml_path}
+        meta_text = make_table_metadata(
+            snapshots, current=sid,
+            schema_fields=_carry_schema_fields(cur),
+        )
+        if _claim_metadata(table_dir, version, meta_text, token, blobs):
+            return {"version": version, "snapshot_id": sid,
+                    "n_compacted": len(small), "n_files": len(adds),
+                    "n_records": sum(a["record_count"] for a in adds),
+                    "n_deletes_applied": n_applied,
+                    "n_delete_files_dropped": len(drop_deletes)}
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
