@@ -205,6 +205,12 @@ def parse_table_metadata(text: str) -> dict:
                 t = f.get("type")
                 if isinstance(t, str):
                     field_types[fid] = t
+    props = obj.get("properties") or {}
+    if not isinstance(props, dict) or any(
+        not isinstance(k, str) or not isinstance(v, str)
+        for k, v in props.items()
+    ):
+        raise ValueError("table properties must be a string map")
     return {
         "format_version": fv,
         "current_snapshot_id": cur,
@@ -212,6 +218,7 @@ def parse_table_metadata(text: str) -> dict:
         "field_names": field_names,
         "field_ids": {n: i for i, n in field_names.items()},
         "field_types": field_types,
+        "properties": dict(props),
     }
 
 
@@ -442,6 +449,9 @@ def snapshot_live_files(
         "file_stats": dict(sorted(fstats.items())),
         "field_names": dict(field_names),
         "position_delete_files": sorted(live_deletes),
+        "position_delete_seqs": {
+            p: s for p, (s, _) in sorted(live_deletes.items())
+        },
     }
 
 
@@ -566,10 +576,15 @@ def make_table_metadata(
     current: int,
     format_version: int = 2,
     schema_fields: list[dict] | None = None,
+    properties: dict[str, str] | None = None,
 ) -> str:
     """``schema_fields`` (round 11) is the spec's schema block —
     ``[{id, name, type}, ...]`` — recorded so readers can resolve
-    manifest bounds keys and ``equality_ids`` back to column names."""
+    manifest bounds keys and ``equality_ids`` back to column names.
+    ``properties`` (round 12) is the spec's string-map table
+    properties block — the streaming sink's exactly-once txn
+    watermarks live there and every metadata rewrite carries them
+    forward."""
     obj: dict = {
         "format-version": format_version,
         "current-snapshot-id": current,
@@ -578,6 +593,8 @@ def make_table_metadata(
             for sid, ml in sorted(snapshots.items())
         ],
     }
+    if properties:
+        obj["properties"] = dict(sorted(properties.items()))
     if schema_fields:
         obj["current-schema-id"] = 0
         obj["schemas"] = [{
