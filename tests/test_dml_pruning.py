@@ -1,0 +1,206 @@
+"""DML scan planning composes the repo's pruning levers (VERDICT r11
+What's wrong #3): DELETE/UPDATE WHERE prune the file list with
+partition tuples, min/max stats, and bloom filters BEFORE the
+distributed scan — files proven match-free are neither scanned nor
+re-added, and results stay byte-identical to the unpruned path.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from hainan_big_data_recommend_system_spark.sources import delta_sink
+from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+    _prune_dml_paths,
+    analyze_condition,
+    delete_where_delta,
+    read_log_commits,
+    snapshot,
+    update_where_delta,
+    write_delta,
+)
+
+
+# ---------------------------------------------------------------------------
+# the conservative condition analyzer
+# ---------------------------------------------------------------------------
+
+def test_analyze_condition_reads_sound_conjuncts():
+    got = analyze_condition("dt = '2024-01-02' AND id >= 5 AND id < 9")
+    assert got["dt"]["eq"] == {"2024-01-02"}
+    assert got["id"]["lo"] == 5 and got["id"]["hi"] == 9
+    assert analyze_condition("x IN (1, 2, 3)")["x"]["eq"] == {1, 2, 3}
+    # unreadable conjuncts contribute nothing; readable ones survive
+    got = analyze_condition("upper(name) = 'A' AND k = 7")
+    assert list(got) == ["k"]
+
+
+def test_analyze_condition_bails_on_disjunction_and_tricks():
+    assert analyze_condition("a = 1 OR b = 2") == {}
+    # OR binds looser than AND: the whole predicate is unsound
+    assert analyze_condition("a = 1 AND b = 2 OR c = 3") == {}
+    # a parenthesized OR is just an unreadable conjunct
+    got = analyze_condition("a = 1 AND (b = 2 OR c = 3)")
+    assert list(got) == ["a"]
+    # '<>' must not parse as '<'
+    assert analyze_condition("a <> 5") == {}
+    # 'AND'/'OR' inside string literals are not operators
+    got = analyze_condition("name = 'x AND y' AND k = 1")
+    assert got["name"]["eq"] == {"x AND y"} and got["k"]["eq"] == {1}
+    # NULL / column-ref right-hand sides are not literals
+    assert analyze_condition("a = NULL") == {}
+    assert analyze_condition("a = b") == {}
+
+
+# ---------------------------------------------------------------------------
+# partition-pruned DELETE: 1 of N partitions scanned
+# ---------------------------------------------------------------------------
+
+def _scan_capture(monkeypatch):
+    seen = {}
+    orig = delta_sink._scan_with_positions
+
+    def wrapper(spark, table_dir, paths):
+        seen["paths"] = list(paths)
+        return orig(spark, table_dir, paths)
+
+    monkeypatch.setattr(delta_sink, "_scan_with_positions", wrapper)
+    return seen
+
+
+def test_partitioned_delete_scans_one_partition(
+    spark, tmp_path, monkeypatch
+):
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 300).selectExpr(
+        "id",
+        "CASE WHEN id < 100 THEN 'd1' WHEN id < 200 THEN 'd2' "
+        "ELSE 'd3' END AS dt",
+    )
+    write_delta(df, tbl, partition_by=["dt"])
+    snap = snapshot(tbl)
+    n_d2 = sum(
+        1 for p, v in snap["partition_values"].items() if v["dt"] == "d2"
+    )
+    assert 0 < n_d2 < len(snap["live"])
+
+    kept, counts = _prune_dml_paths(tbl, snap, "dt = 'd2' AND id < 150")
+    assert len(kept) <= n_d2
+    assert counts["n_partition_skipped"] == len(snap["live"]) - n_d2
+    assert all(snap["partition_values"][p]["dt"] == "d2" for p in kept)
+
+    seen = _scan_capture(monkeypatch)
+    res = delete_where_delta(spark, tbl, "dt = 'd2' AND id < 150",
+                             change_data=False)
+    assert res["n_rows_deleted"] == 50
+    # the scan received ONLY the pruned file list
+    assert set(seen["paths"]) == set(kept)
+    # untouched partitions' files never re-added in the commit
+    acts = [json.loads(ln) for ln in read_log_commits(tbl)[-1].splitlines()]
+    touched = {a["add"]["path"] for a in acts if "add" in a}
+    assert all(snap["partition_values"][p]["dt"] == "d2"
+               for p in touched)
+    # results byte-identical to ground truth
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        resolve_deletion_vector,
+    )
+    import os
+
+    cur = snapshot(tbl)
+    dead = {
+        delta_sink._abs_uri(tbl, p): set(resolve_deletion_vector(
+            d, lambda q: open(os.path.join(tbl, q), "rb").read()))
+        for p, d in cur["deletion_vectors"].items()
+    }
+    rows = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(cur["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"),
+        F.col("_metadata.row_index").alias("ri"), "id",
+    ).collect()
+    alive = sorted(r["id"] for r in rows
+                   if r["ri"] not in dead.get(r["fp"], ()))
+    assert alive == sorted(i for i in range(300) if not (100 <= i < 150))
+
+
+def test_stats_pruned_update_skips_disjoint_files(
+    spark, tmp_path, monkeypatch
+):
+    tbl = str(tmp_path / "tbl")
+    # 4 key-clustered files: ids 0-99, 100-199, ...
+    for k in range(4):
+        write_delta(
+            spark.range(k * 100, (k + 1) * 100).selectExpr("id")
+            .coalesce(1).sortWithinPartitions("id"),
+            tbl,
+        )
+    snap = snapshot(tbl)
+    kept, counts = _prune_dml_paths(tbl, snap, "id >= 150 AND id <= 249")
+    assert len(kept) == 2 and counts["n_stats_skipped"] == 2
+
+    seen = _scan_capture(monkeypatch)
+    res = update_where_delta(
+        spark, tbl, "id >= 150 AND id <= 249", {"id": "id + 10000"},
+        change_data=False,
+    )
+    assert res["n_rows_updated"] == 100
+    assert set(seen["paths"]) == set(kept)
+    assert res["n_files_touched"] == 2
+
+
+def test_pruned_to_nothing_is_noop(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.range(0, 100).selectExpr("id").coalesce(1), tbl,
+    )
+    before = snapshot(tbl)["version"]
+    res = delete_where_delta(spark, tbl, "id = 5000", change_data=False)
+    assert res["version"] is None
+    assert snapshot(tbl)["version"] == before
+
+
+def test_bloom_pruned_delete(spark, tmp_path, monkeypatch):
+    tbl = str(tmp_path / "tbl")
+    # two files with OVERLAPPING id ranges (stats can't skip) but
+    # disjoint membership — only bloom proves absence
+    write_delta(
+        spark.range(0, 100).selectExpr("id * 2 AS id").coalesce(1),
+        tbl, bloom_filter_cols=["id"],
+    )
+    write_delta(
+        spark.range(0, 100).selectExpr("id * 2 + 1 AS id").coalesce(1),
+        tbl, bloom_filter_cols=["id"],
+    )
+    snap = snapshot(tbl)
+    kept, counts = _prune_dml_paths(tbl, snap, "id = 42")
+    assert len(kept) == 1 and counts["n_bloom_skipped"] == 1
+
+    seen = _scan_capture(monkeypatch)
+    res = delete_where_delta(spark, tbl, "id = 42", change_data=False)
+    assert res["n_rows_deleted"] == 1
+    assert set(seen["paths"]) == set(kept)
+
+
+def test_cross_type_literals_never_skip(spark, tmp_path):
+    """'5' on an int column / 5 on a string column: Spark's typed
+    filter coerces, so textual pruning must keep everything."""
+    tbl = str(tmp_path / "tbl")
+    write_delta(
+        spark.range(0, 50).selectExpr(
+            "id", "cast(id % 3 as string) AS p"
+        ),
+        tbl, partition_by=["p"], bloom_filter_cols=["id"],
+    )
+    snap = snapshot(tbl)
+    # int literal against the STRING partition column: no pruning
+    kept, _ = _prune_dml_paths(tbl, snap, "p = 1")
+    assert set(kept) == set(snap["live"])
+    # string literal against the INT column: stats+bloom keep all
+    kept, _ = _prune_dml_paths(tbl, snap, "id = '7'")
+    assert set(kept) == set(snap["live"])
+    # and the actual delete still works (Spark coerces)
+    res = delete_where_delta(spark, tbl, "id = '7'", change_data=False)
+    assert res["n_rows_deleted"] == 1
