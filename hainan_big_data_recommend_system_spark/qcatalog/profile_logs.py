@@ -163,7 +163,7 @@ def q_seeded_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (reference membership filters `guessLike_u_like.py:109,126`)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(  # demoted rotation #10 (r12): facet coverage rides driver rows
     "semi_anti_parts",
     """
     WITH hot AS (

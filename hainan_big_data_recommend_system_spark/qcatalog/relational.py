@@ -734,7 +734,8 @@ _SEGMENT_SUMMARY_SQL = """
 """
 
 
-@register("sql_segment_summary", _SEGMENT_SUMMARY_SQL)
+@register_extra(  # demoted rotation #10 (r12)
+    "sql_segment_summary", _SEGMENT_SUMMARY_SQL)
 def q_sql_segment_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The oracle string IS the implementation: same text, two engines.
     Only the referenced tables are registered — re-registering all ten

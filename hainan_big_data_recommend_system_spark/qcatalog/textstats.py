@@ -452,7 +452,7 @@ def q_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_bytes=256)
 
 
-@register(
+@register_extra(  # demoted rotation #10 (r12): facet coverage rides driver rows
     "bm25_scores",
     r"""
     WITH toks AS (
