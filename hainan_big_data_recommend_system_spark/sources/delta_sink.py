@@ -675,6 +675,7 @@ def analyze_condition(cond: str) -> dict[str, dict]:
 
 def _prune_dml_paths(
     table_dir: str, snap: dict, condition: str, use_bloom: bool = True,
+    declared: dict[str, str] | None = None,
 ) -> tuple[list[str], dict]:
     """Compose the repo's three pruning levers into DML scan planning
     (VERDICT r11 What's wrong #3): partition pruning for equality/IN
@@ -703,11 +704,12 @@ def _prune_dml_paths(
     # string columns do, float/date/timestamp may not (Spark's typed
     # filter coerces; a spelling mismatch would wrongly skip), so
     # those columns simply don't partition-prune here
-    declared: dict[str, str] = {}
-    if snap.get("schema_json"):
-        for f in json.loads(snap["schema_json"]).get("fields", []):
-            if isinstance(f.get("type"), str):
-                declared[f["name"]] = f["type"]
+    if declared is None:
+        declared = {}
+        if snap.get("schema_json"):
+            for f in json.loads(snap["schema_json"]).get("fields", []):
+                if isinstance(f.get("type"), str):
+                    declared[f["name"]] = f["type"]
     _INT_TYPES = {"byte", "short", "integer", "long"}
 
     def _partition_spellings(col: str, vals: set) -> set[str] | None:

@@ -127,7 +127,8 @@ def _prev_state(table_dir: str) -> dict:
                 "field_types": {},
                 "position_delete_files": [],
                 "data_sequence_numbers": {},
-                "equality_deletes": [], "properties": {}}
+                "equality_deletes": [], "properties": {},
+                "file_stats": {}, "position_delete_seqs": {}}
     md = os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")
     meta_text = open(md, encoding="utf-8").read()
 
@@ -156,6 +157,8 @@ def _prev_state(table_dir: str) -> dict:
         "data_sequence_numbers": snap["data_sequence_numbers"],
         "equality_deletes": snap["equality_deletes"],
         "properties": dict(meta.get("properties", {})),
+        "file_stats": snap["file_stats"],
+        "position_delete_seqs": snap["position_delete_seqs"],
     }
 
 
@@ -646,12 +649,24 @@ def delete_where_iceberg(
     n_delete_files}`` (``version None`` when nothing new matched)."""
     from pyspark.sql import functions as F
 
+    from .delta_sink import _prune_dml_paths
+
     prev = _prev_state(table_dir)
     if not prev["live"]:
         return {"version": None, "snapshot_id": None,
                 "n_rows_deleted": 0, "n_delete_files": 0}
-    paths = sorted(prev["live"])
-    rows = _alive_rows_with_positions(spark, table_dir, prev, condition)
+    # compose the pruning levers into the scan plan (round 12 — the
+    # format-#2 half of VERDICT r11 #3): partition tuples, manifest
+    # lower/upper bounds, and parquet bloom filters prove files
+    # match-free before a byte is read
+    paths, _prune_counts = _prune_dml_paths(
+        table_dir, prev, condition, declared=_declared_types(prev),
+    )
+    if not paths:
+        return {"version": None, "snapshot_id": None,
+                "n_rows_deleted": 0, "n_delete_files": 0}
+    rows = _alive_rows_with_positions(spark, table_dir, prev, condition,
+                                      paths=paths)
     dels = rows.select("file_path", F.col("__ri").alias("pos"))
 
     token = uuid.uuid4().hex[:12]
@@ -734,12 +749,20 @@ def update_where_iceberg(
         return {"version": None, "snapshot_id": None,
                 "n_rows_updated": 0, "n_files_added": 0,
                 "n_delete_files": 0}
-    paths = sorted(prev["live"])
+    from .delta_sink import _prune_dml_paths
+
+    paths, _prune_counts = _prune_dml_paths(
+        table_dir, prev, condition, declared=_declared_types(prev),
+    )
+    if not paths:
+        return {"version": None, "snapshot_id": None,
+                "n_rows_updated": 0, "n_files_added": 0,
+                "n_delete_files": 0}
     part_cols = sorted({
         c for v in prev["partition_values"].values() for c in v
     })
     matched = _alive_rows_with_positions(spark, table_dir, prev,
-                                         condition)
+                                         condition, paths=paths)
     token = uuid.uuid4().hex[:12]
     del_files = _stage_position_delete_files(
         spark,
@@ -823,6 +846,25 @@ def update_where_iceberg(
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
+
+
+#: Spark simpleString → schema-JSON type names (what the shared
+#: `_prune_dml_paths` gates its textual partition pruning on)
+_SIMPLE_TO_JSON = {"tinyint": "byte", "smallint": "short",
+                   "int": "integer", "bigint": "long",
+                   "string": "string"}
+
+
+def _declared_types(prev: dict) -> dict[str, str]:
+    """``{column: schema-JSON type}`` from the recorded Iceberg schema
+    (field_types carry Spark simpleStrings) — the typed-coercion gate
+    for partition pruning."""
+    out: dict[str, str] = {}
+    for fid, name in prev.get("field_names", {}).items():
+        t = _SIMPLE_TO_JSON.get(prev.get("field_types", {}).get(fid))
+        if t:
+            out[name] = t
+    return out
 
 
 def _iceberg_conflicts(prev: dict, cur: dict, paths) -> list[str]:

@@ -204,3 +204,91 @@ def test_cross_type_literals_never_skip(spark, tmp_path):
     # and the actual delete still works (Spark coerces)
     res = delete_where_delta(spark, tbl, "id = '7'", change_data=False)
     assert res["n_rows_deleted"] == 1
+
+
+# ---------------------------------------------------------------------------
+# the same composition on lake format #2 (round 12)
+# ---------------------------------------------------------------------------
+
+def test_iceberg_delete_prunes_partitions(spark, tmp_path, monkeypatch):
+    from hainan_big_data_recommend_system_spark.sources import iceberg_sink
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        delete_where_iceberg,
+        read_table,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 300).selectExpr("id", "id % 3 as p").coalesce(1),
+        tbl, partition_by=["p"],
+    )
+    snap = read_table(tbl)
+    assert snap["n_live"] == 3
+
+    seen = {}
+    orig = iceberg_sink._alive_rows_with_positions
+
+    def wrapper(spark_, table_dir, prev, condition=None, paths=None):
+        seen["paths"] = list(paths or sorted(prev["live"]))
+        return orig(spark_, table_dir, prev, condition, paths)
+
+    monkeypatch.setattr(
+        iceberg_sink, "_alive_rows_with_positions", wrapper
+    )
+    res = delete_where_iceberg(spark, tbl, "p = 1 AND id < 100")
+    assert res["n_rows_deleted"] == 33
+    # only the p=1 partition's file was scanned
+    assert len(seen["paths"]) == 1 and "p=1" in seen["paths"][0]
+
+
+def test_iceberg_update_prunes_by_stats(spark, tmp_path, monkeypatch):
+    from hainan_big_data_recommend_system_spark.sources import iceberg_sink
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        update_where_iceberg,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(4):
+        write_iceberg(
+            spark.range(k * 100, (k + 1) * 100)
+            .selectExpr("id", "id as v").coalesce(1)
+            .sortWithinPartitions("id"),
+            tbl,
+        )
+    seen = {}
+    orig = iceberg_sink._alive_rows_with_positions
+
+    def wrapper(spark_, table_dir, prev, condition=None, paths=None):
+        seen["paths"] = list(paths or sorted(prev["live"]))
+        return orig(spark_, table_dir, prev, condition, paths)
+
+    monkeypatch.setattr(
+        iceberg_sink, "_alive_rows_with_positions", wrapper
+    )
+    res = update_where_iceberg(
+        spark, tbl, "id >= 150 AND id <= 249", {"v": "v + 1000"},
+    )
+    assert res["n_rows_updated"] == 100
+    # manifest lower/upper bounds proved 2 of 4 files disjoint
+    assert len(seen["paths"]) == 2
+
+
+def test_iceberg_pruned_to_nothing_is_noop(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        delete_where_iceberg,
+        read_table,
+        write_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 100).selectExpr("id").coalesce(1)
+        .sortWithinPartitions("id"),
+        tbl,
+    )
+    before = read_table(tbl)["snapshot_id"]
+    res = delete_where_iceberg(spark, tbl, "id = 5000")
+    assert res["version"] is None
+    assert read_table(tbl)["snapshot_id"] == before
