@@ -260,6 +260,25 @@ def snapshot_as_of(table_dir: str, version: int) -> dict:
     return replay_delta_log(commits[: version + 1])
 
 
+def _advance_replay(state: dict | None, text: str, version: int) -> dict:
+    """Advance a replay state by ONE commit — the incremental step
+    CDF and VACUUM carry version to version (O(1) per commit where a
+    prefix replay is O(version))."""
+    if state is None:
+        return replay_delta_log([text], base_version=version)
+    return replay_delta_log(
+        [text],
+        initial_live=state["live"],
+        initial_tombstones=state["tombstones"],
+        base_version=version,
+        initial_pv=state["partition_values"],
+        initial_schema=state.get("schema_json"),
+        initial_dv=state.get("deletion_vectors"),
+        initial_stats=state.get("file_stats"),
+        initial_txn=state.get("app_versions"),
+    )
+
+
 def footer_int64_bounds(footer_meta: dict) -> tuple[dict, dict]:
     """Per-column file-level (min, max) for every INT64 column whose
     chunk statistics cover ALL row groups — a partial min is not a
@@ -1508,7 +1527,7 @@ def merge_delta(
     n_files_added, n_records_added}``."""
     from pyspark.sql import functions as F
 
-    from ..operators.deltalog import prune_by_partition
+    from ..operators.deltalog import prune_by_partition, prune_live_files
 
     if not key_cols:
         raise ValueError("merge needs at least one key column")
@@ -1547,10 +1566,27 @@ def merge_delta(
                     source.select(c).distinct().collect()
                     if r[c] is not None
                 }
-        paths = sorted(
-            prune_by_partition(snap, wanted)["kept"] if wanted
-            else snap["live"]
-        )
+        kept = (prune_by_partition(snap, wanted)["kept"] if wanted
+                else dict(snap["live"]))
+        # key-RANGE pruning (round 12): the source keys' min/max bound
+        # which target files can hold a match — ONE tiny agg over the
+        # source, then the same stats pruner the read path uses (files
+        # without bounds, or with incomparable types, are kept).  A
+        # CDC batch of recent keys on a key-clustered 100 TB table
+        # opens the recent files, not all of them.
+        aggs = []
+        for c in key_cols:
+            aggs.append(F.min(c).alias(f"__lo_{c}"))
+            aggs.append(F.max(c).alias(f"__hi_{c}"))
+        bounds = source.agg(*aggs).collect()[0]
+        for c in key_cols:
+            lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+            if lo is None and hi is None:
+                continue  # all-null keys match nothing, but stay safe
+            kept = prune_live_files(
+                {**snap, "live": kept}, c, lo=lo, hi=hi
+            )["kept"]
+        paths = sorted(kept)
     if paths:
         abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
         target, _ = _attach_partition_columns(
@@ -1710,21 +1746,6 @@ def read_changes(
     def _actions(text: str) -> list[dict]:
         return [json.loads(ln) for ln in text.splitlines() if ln.strip()]
 
-    def _advance(state: dict | None, text: str, version: int) -> dict:
-        if state is None:
-            return replay_delta_log([text], base_version=version)
-        return replay_delta_log(
-            [text],
-            initial_live=state["live"],
-            initial_tombstones=state["tombstones"],
-            base_version=version,
-            initial_pv=state["partition_values"],
-            initial_schema=state.get("schema_json"),
-            initial_dv=state.get("deletion_vectors"),
-            initial_stats=state.get("file_stats"),
-            initial_txn=state.get("app_versions"),
-        )
-
     out: DataFrame | None = None
 
     def _accumulate(df: DataFrame) -> None:
@@ -1739,7 +1760,7 @@ def read_changes(
         text = texts[v - (v_from + 1)]
         acts = _actions(text)
         prev = state
-        state = _advance(state, text, v)
+        state = _advance_replay(state, text, v)
         cdc_paths = [a["cdc"]["path"] for a in acts if "cdc" in a]
         if cdc_paths:
             _accumulate(
@@ -1941,11 +1962,10 @@ def vacuum_delta(table_dir: str, retention_versions: int) -> dict:
 
     from ..operators.deltalog import vacuum_plan, z85_decode
 
-    commits = read_log_commits(table_dir)
-    if not commits:
+    cur = snapshot(table_dir)
+    if cur["version"] < 0:
         return {"n_files_deleted": 0, "n_sidecars_deleted": 0,
                 "n_cdc_deleted": 0, "bytes_reclaimed": 0}
-    cur = replay_delta_log(commits)
     plan = vacuum_plan(cur, retention_versions)
     horizon = cur["version"] - retention_versions
 
@@ -1962,22 +1982,45 @@ def vacuum_delta(table_dir: str, retention_versions: int) -> dict:
             )
         return None
 
-    keep_sidecars: set[str] = set()
-    for v in range(max(0, horizon), len(commits)):
-        st = replay_delta_log(commits[: v + 1])
-        for d in st.get("deletion_vectors", {}).values():
-            p = _sidecar_path(d)
-            if p:
-                keep_sidecars.add(p)
+    # one INCREMENTAL walk over the retention window (round 12): seed
+    # the state once at the horizon (checkpoint-aware) and advance
+    # commit by commit — O(seed + window), not O(window × log).  A
+    # window whose states cannot be resolved (JSON cleaned below every
+    # checkpoint) deletes NO sidecars — conservative, never dangling.
+    lo = max(0, horizon)
+    keep_sidecars: set[str] | None = set()
+    try:
+        state = snapshot_as_of(table_dir, lo)
+        tail = read_log_commits_from(table_dir, lo + 1)
+        versions_states = [state]
+        for i, v in enumerate(range(lo + 1, cur["version"] + 1)):
+            state = _advance_replay(state, tail[i], v)
+            versions_states.append(state)
+        for st in versions_states:
+            for d in st.get("deletion_vectors", {}).values():
+                p = _sidecar_path(d)
+                if p:
+                    keep_sidecars.add(p)
+    except ValueError:
+        keep_sidecars = None  # unresolvable window: keep everything
     disk_sidecars = {
         f for f in os.listdir(table_dir)
         if f.startswith("deletion_vector_") and f.endswith(".bin")
     }
-    dead_sidecars = sorted(disk_sidecars - keep_sidecars)
+    dead_sidecars = (
+        sorted(disk_sidecars - keep_sidecars)
+        if keep_sidecars is not None else []
+    )
 
+    # change-data files of commits at or before the horizon: walk the
+    # AVAILABLE JSON commits only (cleaned ones took their cdc
+    # discovery with them — their files leak rather than dangle)
     dead_cdc: list[str] = []
-    for v in range(0, max(0, horizon) + 1 if horizon >= 0 else 0):
-        for ln in commits[v].splitlines():
+    for v in _json_versions(table_dir):
+        if v > horizon:
+            break
+        for ln in open(_commit_path(table_dir, v),
+                       encoding="utf-8").read().splitlines():
             if not ln.strip():
                 continue
             obj = json.loads(ln)

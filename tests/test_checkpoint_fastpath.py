@@ -119,3 +119,55 @@ def test_cdf_seed_below_cleaned_prefix_raises(spark, tmp_path):
     _clean_below(tbl, 4)
     with pytest.raises(ValueError, match="missing commits|version gaps"):
         read_changes(spark, tbl, 2, 6).collect()
+
+
+def test_vacuum_on_checkpoint_cleaned_log(spark, tmp_path):
+    """VACUUM resolves through the checkpoint fast path and walks only
+    available JSON commits — conservative where history is gone."""
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        vacuum_delta,
+        write_delta as wd,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # overwrites tombstone the prior file each time
+    for k in range(7):
+        wd(spark.range(10 * k, 10 * (k + 1)).selectExpr("id")
+           .coalesce(1), tbl, mode="overwrite", checkpoint_interval=5)
+    _clean_below(tbl, 4)
+    res = vacuum_delta(tbl, retention_versions=1)
+    assert res["n_files_deleted"] > 0
+    # the table still reads after vacuum on the cleaned log
+    snap = snapshot(tbl)
+    assert snap["live_rows"] == 10
+
+
+def test_vacuum_window_walk_matches_full_replay(spark, tmp_path):
+    """The incremental window walk must keep exactly the sidecars the
+    old O(window x log) per-version replays kept."""
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        delete_where_delta,
+        vacuum_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    # big inline_threshold=0 forces sidecar DVs
+    write_delta(spark.range(0, 200).selectExpr("id").coalesce(1), tbl)
+    delete_where_delta(spark, tbl, "id < 50", inline_threshold=0,
+                       change_data=False)
+    delete_where_delta(spark, tbl, "id < 100", inline_threshold=0,
+                       change_data=False)
+    import os
+
+    sidecars = [f for f in os.listdir(tbl)
+                if f.startswith("deletion_vector_")]
+    assert len(sidecars) == 2
+    # retention 0: only the CURRENT state's sidecar survives
+    res = vacuum_delta(tbl, retention_versions=0)
+    assert res["n_sidecars_deleted"] == 1
+    left = [f for f in os.listdir(tbl)
+            if f.startswith("deletion_vector_")]
+    assert len(left) == 1
+    # the surviving DV still resolves
+    snap = snapshot(tbl)
+    assert snap["live_rows_after_dv"] == 100

@@ -292,3 +292,32 @@ def test_iceberg_pruned_to_nothing_is_noop(spark, tmp_path):
     res = delete_where_iceberg(spark, tbl, "id = 5000")
     assert res["version"] is None
     assert read_table(tbl)["snapshot_id"] == before
+
+
+def test_merge_prunes_target_by_source_key_range(
+    spark, tmp_path, monkeypatch
+):
+    """A CDC batch of recent keys opens only the key-range-matching
+    target files (round 12: the stats half of merge pruning)."""
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        merge_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(4):
+        write_delta(
+            spark.range(k * 100, (k + 1) * 100)
+            .selectExpr("id", "id AS v").coalesce(1)
+            .sortWithinPartitions("id"),
+            tbl,
+        )
+    seen = _scan_capture(monkeypatch)
+    res = merge_delta(
+        spark,
+        spark.range(350, 360).selectExpr("id", "-id AS v").coalesce(1),
+        tbl, ["id"], change_data=False,
+    )
+    assert res["n_rows_updated"] == 10
+    # the source keys 350..359 bound the scan to ONE of 4 files
+    assert len(seen["paths"]) == 1
+    assert res["n_files_touched"] == 1
