@@ -573,16 +573,28 @@ _CMP_RE = re.compile(
 _IN_RE = re.compile(
     rf"^\s*{_IDENT}\s+IN\s*\((.*)\)\s*$", re.IGNORECASE
 )
+_BETWEEN_RE = re.compile(
+    rf"^\s*{_IDENT}\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
+    re.IGNORECASE,
+)
 
 
 def _parse_sql_literal(tok: str):
     """``(ok, value)`` for a bare int/float/string SQL literal;
-    anything else (column refs, functions, NULL) is not a literal."""
+    anything else (column refs, functions, NULL, concatenations like
+    ``'a' || 'b'``) is not a literal — an expression mistaken for a
+    literal would prune files that DO match."""
     tok = tok.strip()
     if len(tok) >= 2 and tok[0] == tok[-1] == "'":
-        return True, tok[1:-1].replace("''", "'")
+        inner = tok[1:-1]
+        if "'" in inner.replace("''", ""):
+            return False, None  # unescaped quote: not one literal
+        return True, inner.replace("''", "'")
     if len(tok) >= 2 and tok[0] == tok[-1] == '"':
-        return True, tok[1:-1]
+        inner = tok[1:-1]
+        if '"' in inner:
+            return False, None
+        return True, inner
     try:
         return True, int(tok)
     except ValueError:
@@ -599,6 +611,7 @@ def _top_level_conjuncts(cond: str) -> list[str] | None:
     analysis would be unsound)."""
     out: list[str] = []
     depth = 0
+    between_pending = 0
     i = start = 0
     n = len(cond)
     in_str: str | None = None
@@ -630,7 +643,15 @@ def _top_level_conjuncts(cond: str) -> list[str] | None:
             depth -= 1
         elif depth == 0 and _is_word(i, "OR"):
             return None  # top-level disjunction: no sound conjuncts
+        elif depth == 0 and _is_word(i, "BETWEEN"):
+            between_pending += 1
+            i += 7
+            continue
         elif depth == 0 and _is_word(i, "AND"):
+            if between_pending:  # BETWEEN lo AND hi owns this AND
+                between_pending -= 1
+                i += 3
+                continue
             out.append(cond[start:i])
             start = i + 3
             i += 3
@@ -659,6 +680,21 @@ def analyze_condition(cond: str) -> dict[str, dict]:
         return out.setdefault(col, {"eq": None, "lo": None, "hi": None})
 
     for c in conjuncts:
+        m = _BETWEEN_RE.match(c)
+        if m:
+            col = m.group(1)
+            ok_lo, lo = _parse_sql_literal(m.group(2))
+            ok_hi, hi = _parse_sql_literal(m.group(3))
+            if ok_lo and ok_hi:
+                s_ = slot(col)
+                try:
+                    s_["lo"] = (lo if s_["lo"] is None
+                                else max(s_["lo"], lo))
+                    s_["hi"] = (hi if s_["hi"] is None
+                                else min(s_["hi"], hi))
+                except TypeError:
+                    pass  # mixed-type bounds: keep the prior ones
+            continue
         m = _IN_RE.match(c)
         if m:
             col, body = m.group(1), m.group(2)

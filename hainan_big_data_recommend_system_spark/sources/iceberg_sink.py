@@ -340,12 +340,12 @@ def write_iceberg(
         )
 
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
-    if txn is not None and _txn_done(_prev_state(table_dir)):
+    prev0 = _prev_state(table_dir)  # ONE tree read for all pre-checks
+    if txn is not None and _txn_done(prev0):
         return {"version": None, "snapshot_id": None, "n_files": 0,
                 "n_records": 0, "n_removed": 0,
                 "n_manifests_reused": 0, "skipped": True}
     if mode == "append":
-        prev0 = _prev_state(table_dir)
         _check_schema_against_table(df, prev0, "append")
         if prev0["live"]:
             # an append must land in the table's existing partition
@@ -1164,7 +1164,8 @@ def rewrite_data_files_iceberg(
         f.name: i + 1 for i, f in enumerate(df.schema.fields)
     }
     part_fields = tuple(part_cols)
-    eq_paths = {e["path"] for e in prev["equality_deletes"]}
+    eq_ids_of = {e["path"]: list(e["equality_ids"])
+                 for e in prev["equality_deletes"]}
 
     for _ in range(max_retries):
         cur = _prev_state(table_dir)
@@ -1209,8 +1210,8 @@ def rewrite_data_files_iceberg(
             del_del_manifest = make_manifest([
                 {"status": 2, "snapshot_id": sid, "file_path": p,
                  "record_count": 0, "file_size": 0,
-                 **({"content": 2, "equality_ids": [1]}
-                    if p in eq_paths else {"content": 1})}
+                 **({"content": 2, "equality_ids": eq_ids_of[p]}
+                    if p in eq_ids_of else {"content": 1})}
                 for p in sorted(drop_deletes)
             ])
             ddl_path = f"metadata/m-{token}-{version}-drop-dels.avro"

@@ -321,3 +321,18 @@ def test_merge_prunes_target_by_source_key_range(
     # the source keys 350..359 bound the scan to ONE of 4 files
     assert len(seen["paths"]) == 1
     assert res["n_files_touched"] == 1
+
+
+def test_analyze_condition_between_and_expression_literals():
+    """Round-12 self-review pins: BETWEEN owns its AND; a string
+    concatenation must not parse as one literal (it would prune files
+    that DO match)."""
+    got = analyze_condition("id BETWEEN 5 AND 9 AND dt = 'd'")
+    assert got["id"]["lo"] == 5 and got["id"]["hi"] == 9
+    assert got["dt"]["eq"] == {"d"}
+    assert analyze_condition("id between 1 and 3")["id"]["hi"] == 3
+    # expressions on the right-hand side are NOT literals
+    assert analyze_condition("x = 'abc' || 'd'") == {}
+    assert analyze_condition("x = 'it''s'")["x"]["eq"] == {"it's"}
+    # NOT BETWEEN is an unreadable conjunct, not a wrong constraint
+    assert analyze_condition("id NOT BETWEEN 5 AND 9") == {}

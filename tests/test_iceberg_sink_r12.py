@@ -467,3 +467,42 @@ def test_read_changes_iceberg_across_compaction(spark, tmp_path):
     alive = Counter((i, i) for i in range(5, 60))
     ins, dels = _feed(spark, tbl, s_before, s_after)
     assert alive + ins - dels == alive
+
+
+def test_rewrite_tombstones_carry_real_equality_ids(spark, tmp_path):
+    """Round-12 self-review pin: the compaction's delete-file
+    tombstone entries re-state the REAL equality_ids, not a
+    placeholder."""
+    from hainan_big_data_recommend_system_spark.operators.avrocf import (
+        parse_avro,
+    )
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        _prev_state,
+        rewrite_data_files_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 30).selectExpr("id", "id as v").coalesce(1), tbl
+    )
+    merge_iceberg(
+        spark, spark.range(0, 3).selectExpr("id", "-id as v").coalesce(1),
+        tbl, ["id"],
+    )
+    eq_before = _prev_state(tbl)["equality_deletes"]
+    assert eq_before and eq_before[0]["equality_ids"] == [1]  # id = field 1
+    res = rewrite_data_files_iceberg(spark, tbl)
+    assert res["n_delete_files_dropped"] == 1
+    # find the drop-dels manifest and check its entry
+    prev = _prev_state(tbl)
+    for mf in prev["manifest_entries"]:
+        if "drop-dels" not in mf["manifest_path"]:
+            continue
+        m = parse_avro(open(
+            os.path.join(tbl, mf["manifest_path"]), "rb").read())
+        (entry,) = m["records"]
+        assert entry["status"] == 2
+        assert entry["data_file"]["equality_ids"] == [1]
+        break
+    else:
+        raise AssertionError("drop-dels manifest not found")
