@@ -87,6 +87,10 @@ def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
         "fields": [
             {"name": "status", "type": "int"},
             {"name": "snapshot_id", "type": ["null", "long"]},
+            # spec v2 sequence-number inheritance: null inherits the
+            # manifest-list entry's sequence number; an explicit value
+            # (rewrite_manifests' consolidated EXISTING entries) wins
+            {"name": "sequence_number", "type": ["null", "long"]},
             {
                 "name": "data_file",
                 "type": {
@@ -314,6 +318,10 @@ def snapshot_live_files(
             if st not in counts:
                 raise ValueError(f"manifest entry bad status {st!r}")
             counts[st] += 1
+            # sequence-number inheritance (spec v2): an explicit
+            # per-entry value wins over the manifest-list entry's
+            eseq = e.get("sequence_number")
+            eff_seq = eseq if isinstance(eseq, int) else seq
             df = e.get("data_file")
             if not isinstance(df, dict):
                 raise ValueError("manifest entry missing data_file struct")
@@ -346,9 +354,9 @@ def snapshot_live_files(
                             "equality-delete entry needs non-empty "
                             "equality_ids"
                         )
-                    live_eq_deletes[path] = (seq, rows, list(ids))
+                    live_eq_deletes[path] = (eff_seq, rows, list(ids))
                 else:
-                    live_deletes[path] = (seq, rows)
+                    live_deletes[path] = (eff_seq, rows)
                 continue
             if file_content != _CONTENT_DATA:
                 raise ValueError("data manifest lists a delete file")
@@ -364,7 +372,7 @@ def snapshot_live_files(
                 if not isinstance(size, int) or not isinstance(rows, int):
                     raise ValueError("manifest entry missing size/rows")
                 live[path] = (size, rows)
-                data_seq[path] = seq
+                data_seq[path] = eff_seq
                 part = df.get("partition")
                 if part:
                     pv[path] = dict(part)
@@ -452,6 +460,9 @@ def snapshot_live_files(
         "position_delete_seqs": {
             p: s for p, (s, _) in sorted(live_deletes.items())
         },
+        "position_delete_rows": {
+            p: r for p, (_, r) in sorted(live_deletes.items())
+        },
     }
 
 
@@ -484,6 +495,7 @@ def make_manifest(
         {
             "status": e["status"],
             "snapshot_id": e.get("snapshot_id"),
+            "sequence_number": e.get("sequence_number"),
             "data_file": {
                 "content": e.get("content", 0),
                 "file_path": e["file_path"],

@@ -128,7 +128,8 @@ def _prev_state(table_dir: str) -> dict:
                 "position_delete_files": [],
                 "data_sequence_numbers": {},
                 "equality_deletes": [], "properties": {},
-                "file_stats": {}, "position_delete_seqs": {}}
+                "file_stats": {}, "position_delete_seqs": {},
+                "position_delete_rows": {}}
     md = os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json")
     meta_text = open(md, encoding="utf-8").read()
 
@@ -159,6 +160,7 @@ def _prev_state(table_dir: str) -> dict:
         "properties": dict(meta.get("properties", {})),
         "file_stats": snap["file_stats"],
         "position_delete_seqs": snap["position_delete_seqs"],
+        "position_delete_rows": snap["position_delete_rows"],
     }
 
 
@@ -900,10 +902,13 @@ def _delete_file_seqs(table_dir: str, prev: dict) -> dict[str, int]:
                  "rb").read()
         )
         for e in m["records"]:
+            if e.get("status") == 2:
+                continue  # tombstoned delete file: not live
             dfile = e.get("data_file") or {}
             p = dfile.get("file_path")
+            eseq = e.get("sequence_number")
             if isinstance(p, str) and p:
-                out[p] = seq
+                out[p] = eseq if isinstance(eseq, int) else seq
     return out
 
 
@@ -1342,6 +1347,132 @@ def read_changes_iceberg(
         ).limit(0)
         return _clean(sample, "insert").limit(0)
     return base
+
+
+def rewrite_manifests_iceberg(
+    table_dir: str,
+    max_retries: int = 10,
+) -> dict:
+    """MANIFEST COMPACTION — Iceberg's ``rewrite_manifests`` (round
+    12): consolidate the manifest LIST down to one data manifest (+
+    one delete manifest when delete files are live).  Manifest REUSE
+    keeps per-commit metadata O(files added), but the flip side is a
+    manifest-list entry PER COMMIT: a 10⁵-commit table walks 10⁵
+    manifest blobs per scan plan.  Consolidation restores O(1)
+    manifests while preserving per-file semantics via the spec's
+    sequence-number INHERITANCE: every consolidated entry is
+    re-emitted with status=EXISTING and an EXPLICIT ``sequence_number``
+    (its effective sequence under the old tree), so the
+    position-delete ``>=`` rule and the equality-delete strictly-less
+    rule keep resolving exactly as before.  Bounds, partition tuples,
+    and equality ids are re-stated verbatim; data bytes are untouched
+    and time travel to prior snapshots keeps working (their manifest
+    lists are immutable).
+
+    Returns ``{version, snapshot_id, n_manifests_before,
+    n_manifests_after, n_entries}`` (no-op when already ≤2)."""
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        prev = _prev_state(table_dir)
+        if len(prev["manifest_entries"]) <= 2:
+            return {"version": None, "snapshot_id": None,
+                    "n_manifests_before": len(prev["manifest_entries"]),
+                    "n_manifests_after": len(prev["manifest_entries"]),
+                    "n_entries": len(prev["live"])}
+        version = prev["version"] + 1
+        sid = (max(prev["snapshots"], default=0)) + 1
+        pv = prev["partition_values"]
+        seqs = prev["data_sequence_numbers"]
+        fstats = prev["file_stats"]
+        fids = prev["field_ids"]
+        part_cols = sorted({c for v in pv.values() for c in v})
+
+        def _bounds_ids(p: str) -> dict:
+            st = fstats.get(p)
+            if not st:
+                return {}
+            return {
+                "lower_bounds": {
+                    fids[c]: v for c, v in st.get("minValues", {}).items()
+                    if c in fids
+                } or None,
+                "upper_bounds": {
+                    fids[c]: v for c, v in st.get("maxValues", {}).items()
+                    if c in fids
+                } or None,
+            }
+
+        data_entries = [
+            {"status": 0, "snapshot_id": sid,
+             "sequence_number": seqs.get(p, 0),
+             "file_path": p, "file_size": size, "record_count": rows,
+             "partition": pv.get(p), **_bounds_ids(p)}
+            for p, (size, rows) in sorted(prev["live"].items())
+        ]
+        data_manifest = make_manifest(
+            data_entries, partition_fields=tuple(part_cols),
+        )
+        dm_path = f"metadata/m-{token}-{version}-consolidated.avro"
+        blobs = {dm_path: data_manifest}
+        entries = [{
+            "manifest_path": dm_path,
+            "manifest_length": len(data_manifest),
+            "sequence_number": prev["last_seq"],
+            "added_snapshot_id": sid, "content": 0,
+            "added_files_count": 0,
+            "existing_files_count": len(data_entries),
+            "deleted_files_count": 0,
+        }]
+        del_entries = [
+            {"status": 0, "snapshot_id": sid, "content": 1,
+             "sequence_number": prev["position_delete_seqs"].get(p, 0),
+             "file_path": p,
+             "file_size": os.path.getsize(os.path.join(table_dir, p)),
+             "record_count": prev["position_delete_rows"].get(p, 0)}
+            for p in prev["position_delete_files"]
+        ] + [
+            {"status": 0, "snapshot_id": sid, "content": 2,
+             "sequence_number": eq["sequence_number"],
+             "equality_ids": list(eq["equality_ids"]),
+             "file_path": eq["path"],
+             "file_size": os.path.getsize(
+                 os.path.join(table_dir, eq["path"])),
+             "record_count": eq["record_count"]}
+            for eq in prev["equality_deletes"]
+        ]
+        if del_entries:
+            del_manifest = make_manifest(del_entries)
+            dlm_path = f"metadata/m-{token}-{version}-consol-del.avro"
+            blobs[dlm_path] = del_manifest
+            entries.append({
+                "manifest_path": dlm_path,
+                "manifest_length": len(del_manifest),
+                "sequence_number": prev["last_seq"],
+                "added_snapshot_id": sid, "content": 1,
+                "added_files_count": 0,
+                "existing_files_count": len(del_entries),
+                "deleted_files_count": 0,
+            })
+        ml_blob = make_manifest_list(entries)
+        ml_path = f"metadata/ml-{token}-{version}.avro"
+        blobs[ml_path] = ml_blob
+        for rel, blob in blobs.items():
+            with open(os.path.join(table_dir, rel), "wb") as fh:
+                fh.write(blob)
+        snapshots = {**prev["snapshots"], sid: ml_path}
+        meta_text = make_table_metadata(
+            snapshots, current=sid,
+            schema_fields=_carry_schema_fields(prev),
+            properties=prev.get("properties"),
+        )
+        if _claim_metadata(table_dir, version, meta_text, token, blobs):
+            return {"version": version, "snapshot_id": sid,
+                    "n_manifests_before": len(prev["manifest_entries"]),
+                    "n_manifests_after": len(entries),
+                    "n_entries": len(data_entries) + len(del_entries)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
 
 
 def expire_snapshots_plan(table_dir: str, retain_last: int = 1) -> dict:

@@ -82,7 +82,9 @@ def test_manifest_is_spec_nested_layout():
 
     meta, files = _fixture()
     out = parse_avro(files["m1"])
-    assert set(out["records"][0]) == {"status", "snapshot_id", "data_file"}
+    assert set(out["records"][0]) == {
+        "status", "snapshot_id", "sequence_number", "data_file",
+    }
     df = out["records"][0]["data_file"]
     assert df["file_path"] == "f0" and df["file_format"] == "PARQUET"
     assert df["partition"] == {"dt": "2024-01-01"}

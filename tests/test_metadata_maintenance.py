@@ -1,0 +1,153 @@
+"""Round-12 metadata maintenance verbs:
+
+- `cleanup_delta_log`: physical log retention (JSON commits +
+  superseded checkpoints below the newest at-or-below-horizon
+  checkpoint), enabled by the sink's checkpoint fast path;
+- `rewrite_manifests_iceberg`: manifest-list consolidation via the
+  spec's per-entry sequence-number inheritance — O(1) manifests per
+  scan plan with delete-application semantics preserved exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+    cleanup_delta_log,
+    delete_where_delta,
+    read_changes,
+    snapshot,
+    write_delta,
+)
+from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+    delete_where_iceberg,
+    merge_iceberg,
+    read_table,
+    rewrite_manifests_iceberg,
+    update_where_iceberg,
+    write_iceberg,
+)
+
+
+def test_cleanup_delta_log_keeps_table_readable(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for k in range(12):
+        write_delta(
+            spark.range(10 * k, 10 * (k + 1)).selectExpr("id")
+            .coalesce(1),
+            tbl, checkpoint_interval=5,
+        )
+    before = snapshot(tbl)
+    res = cleanup_delta_log(tbl, retain_versions=3)
+    # checkpoints at v4, v9; horizon = 11-3 = 8 → anchor v4
+    assert res["anchor"] == 4
+    assert res["n_json_deleted"] == 5  # commits 0..4
+    after = snapshot(tbl)
+    assert after["version"] == before["version"]
+    assert after["live"] == before["live"]
+    # DML and CDF inside the window keep working
+    assert delete_where_delta(spark, tbl, "id < 5")["n_rows_deleted"] == 5
+    feed = read_changes(spark, tbl, 11, 12).collect()
+    assert len(feed) == 5
+    # a second cleanup is idempotent and can advance with the horizon
+    res2 = cleanup_delta_log(tbl, retain_versions=3)
+    assert res2["anchor"] == 9
+    assert snapshot(tbl)["version"] == 12
+
+
+def test_cleanup_noop_without_checkpoint_below_horizon(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for k in range(3):
+        write_delta(
+            spark.range(10 * k, 10 * (k + 1)).selectExpr("id")
+            .coalesce(1),
+            tbl, checkpoint_interval=10,
+        )
+    res = cleanup_delta_log(tbl, retain_versions=1)
+    assert res["anchor"] is None and res["n_json_deleted"] == 0
+    assert snapshot(tbl)["version"] == 2
+
+
+def test_rewrite_manifests_consolidates_and_preserves_semantics(
+    spark, tmp_path
+):
+    tbl = str(tmp_path / "tbl")
+    for k in range(5):
+        write_iceberg(
+            spark.range(k * 20, (k + 1) * 20)
+            .selectExpr("id", "id as v").coalesce(1),
+            tbl,
+        )
+    delete_where_iceberg(spark, tbl, "id % 10 = 3")
+    merge_iceberg(
+        spark, spark.range(0, 4).selectExpr("id", "-id as v").coalesce(1),
+        tbl, ["id"],
+    )
+    before = read_table(tbl)
+    res = rewrite_manifests_iceberg(tbl)
+    assert res["n_manifests_before"] > res["n_manifests_after"] <= 2
+    after = read_table(tbl)
+    # snapshot state EXACTLY preserved: live set, per-file sequences,
+    # applied position deletes, equality deletes, stats
+    assert after["live"] == before["live"]
+    assert after["data_sequence_numbers"] == \
+        before["data_sequence_numbers"]
+    assert after["position_deletes"] == before["position_deletes"]
+    assert after["equality_deletes"] == before["equality_deletes"]
+    assert after["file_stats"] == before["file_stats"]
+    # and time travel to the pre-consolidation snapshot still works
+    old = read_table(tbl, snapshot_id=before["snapshot_id"])
+    assert old["live"] == before["live"]
+
+
+def test_rewrite_manifests_then_dml_still_sequence_correct(
+    spark, tmp_path
+):
+    """A post-consolidation MERGE's equality delete must apply to the
+    consolidated entries by their PRESERVED sequences: the old rows
+    die, the merge's own rows survive."""
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 30).selectExpr("id", "id as v").coalesce(1), tbl
+    )
+    write_iceberg(
+        spark.range(30, 60).selectExpr("id", "id as v").coalesce(1), tbl
+    )
+    rewrite_manifests_iceberg(tbl)
+    merge_iceberg(
+        spark,
+        spark.range(25, 35).selectExpr("id", "-id as v").coalesce(1),
+        tbl, ["id"],
+    )
+    res = delete_where_iceberg(spark, tbl, "v < 0")
+    assert res["n_rows_deleted"] == 10  # exactly the merged versions
+    # and the superseded originals were NOT double-counted: deleting
+    # their values finds nothing
+    assert delete_where_iceberg(
+        spark, tbl, "v = 27"
+    )["n_rows_deleted"] == 0
+    # UPDATE across consolidated manifests works too
+    res = update_where_iceberg(spark, tbl, "id = 40", {"v": "v + 1"})
+    assert res["n_rows_updated"] == 1
+
+
+def test_rewrite_manifests_partitioned(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    for k in range(3):
+        write_iceberg(
+            spark.range(k * 20, (k + 1) * 20)
+            .selectExpr("id", "id % 2 as p").coalesce(1),
+            tbl, partition_by=["p"],
+        )
+    before = read_table(tbl)
+    rewrite_manifests_iceberg(tbl)
+    after = read_table(tbl)
+    assert after["partition_values"] == before["partition_values"]
+    assert after["live"] == before["live"]
+
+
+def test_rewrite_manifests_noop_when_small(spark, tmp_path):
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
+    res = rewrite_manifests_iceberg(tbl)
+    assert res["version"] is None
