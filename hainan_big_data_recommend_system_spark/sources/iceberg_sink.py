@@ -1052,6 +1052,7 @@ def rewrite_data_files_iceberg(
     small_file_bytes: int = 32 * 1024 * 1024,
     target_partitions: int = 1,
     max_retries: int = 10,
+    zorder_by: list[str] | None = None,
 ) -> dict:
     """COMPACTION — Iceberg's ``rewrite_data_files``, the
     `optimize_delta` twin for format #2 (VERDICT r11 What's missing
@@ -1120,9 +1121,12 @@ def rewrite_data_files_iceberg(
             if len(ps) >= 2 or any(_affected(p) for p in ps)
             for p in ps
         )
-    elif len(small) <= target_partitions and not any(
+    elif len(small) <= target_partitions and not zorder_by and not any(
         _affected(p) for p in small
     ):
+        # without a clustering request, <= target files with no
+        # applicable deletes is already compact; ZORDER still has
+        # work to do (the point is layout, not file count)
         small = []
     if not small:
         return noop
@@ -1158,7 +1162,23 @@ def rewrite_data_files_iceberg(
         df = df.select(
             *[n for _, n in sorted(prev["field_names"].items())]
         )
-    if part_cols:
+    if zorder_by:
+        # OPTIMIZE ZORDER BY parity with the Delta sink: the rewrite
+        # is range-partitioned and sorted by the Morton code, so every
+        # output file covers a small bounding box in the clustered
+        # dimensions and the manifest bounds prune on EITHER one
+        from .delta_sink import _with_zorder_value
+
+        df = _with_zorder_value(df, list(zorder_by))
+        if part_cols:
+            df = df.repartition(*part_cols).sortWithinPartitions("__zval")
+        else:
+            df = (
+                df.repartitionByRange(target_partitions, "__zval")
+                .sortWithinPartitions("__zval")
+            )
+        df = df.drop("__zval")
+    elif part_cols:
         df = df.repartition(*part_cols)
     else:
         df = df.repartition(target_partitions)

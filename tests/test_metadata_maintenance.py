@@ -151,3 +151,37 @@ def test_rewrite_manifests_noop_when_small(spark, tmp_path):
     write_iceberg(spark.range(0, 10).selectExpr("id").coalesce(1), tbl)
     res = rewrite_manifests_iceberg(tbl)
     assert res["version"] is None
+
+
+def test_rewrite_data_files_zorder(spark, tmp_path):
+    """ZORDER compaction on format #2: the rewritten files cover small
+    bounding boxes in BOTH clustered dimensions, so manifest bounds
+    prune on either (the optimize_delta zorder_by twin)."""
+    from hainan_big_data_recommend_system_spark.operators.deltalog import (
+        prune_live_files,
+    )
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        rewrite_data_files_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 4096).selectExpr(
+            "id % 64 AS x", "cast(id / 64 as long) AS y", "id"
+        ).repartition(4),
+        tbl,
+    )
+    res = rewrite_data_files_iceberg(
+        spark, tbl, target_partitions=4, zorder_by=["x", "y"],
+    )
+    assert res["n_files"] == 4
+    snap = read_table(tbl)
+    # a narrow range on EITHER dimension prunes at least one file
+    for col in ("x", "y"):
+        pr = prune_live_files(snap, col, lo=0, hi=7)
+        assert pr["n_skipped"] >= 1, col
+    # rows byte-identical
+    total = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).count()
+    assert total == 4096
