@@ -2284,9 +2284,6 @@ def inspect_delta(spark, table_dir: str, kind: str):
     metadata, no data file opened."""
     if kind not in ("files", "history", "tombstones"):
         raise ValueError(f"unknown metadata table {kind!r}")
-    # files/tombstones resolve through the checkpoint fast path;
-    # history is the one view that genuinely needs every JSON commit
-    commits = read_log_commits(table_dir) if kind == "history" else []
     s = snapshot(table_dir)
     snap = s if s["version"] >= 0 else None
 
@@ -2308,8 +2305,13 @@ def inspect_delta(spark, table_dir: str, kind: str):
                   "dv_cardinality long",
         )
     if kind == "history":
+        # history walks the AVAILABLE JSON commits (a retention-cleaned
+        # prefix simply has no history to describe — the versions keep
+        # their true numbers)
         rows = []
-        for v, text in enumerate(commits):
+        for v in _json_versions(table_dir):
+            text = open(_commit_path(table_dir, v),
+                        encoding="utf-8").read()
             op = None
             n_adds = n_removes = n_cdc = 0
             for ln in text.splitlines():

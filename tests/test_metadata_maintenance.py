@@ -185,3 +185,22 @@ def test_rewrite_data_files_zorder(spark, tmp_path):
         *[os.path.join(tbl, p) for p in sorted(snap["live"])]
     ).count()
     assert total == 4096
+
+
+def test_inspect_history_on_cleaned_log(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        inspect_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(12):
+        write_delta(
+            spark.range(10 * k, 10 * (k + 1)).selectExpr("id")
+            .coalesce(1),
+            tbl, checkpoint_interval=5,
+        )
+    cleanup_delta_log(tbl, retain_versions=3)
+    hist = inspect_delta(spark, tbl, "history").collect()
+    # versions keep their TRUE numbers; the cleaned prefix is absent
+    assert sorted(r["version"] for r in hist) == list(range(5, 12))
+    assert all(r["operation"] == "WRITE" for r in hist)
