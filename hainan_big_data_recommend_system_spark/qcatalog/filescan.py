@@ -2139,3 +2139,146 @@ def q_iceberg_changelog_roundtrip(
         F.md5(F.col("body").cast("binary")).alias("body_md5"),
         F.col("_change_type").alias("change_type"),
     )
+
+
+def _ensure_iceberg_consol_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A sink-written Iceberg table whose manifest list accreted one
+    manifest per commit (4 appends + DELETE + MERGE = 7 manifests),
+    then CONSOLIDATED to ≤2 by rewrite_manifests (round 12)."""
+    out = _fixture_dir(sf_dir, "icebergconsol")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import (
+        delete_where_iceberg,
+        merge_iceberg,
+        rewrite_manifests_iceberg,
+        write_iceberg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    for k in range(4):
+        write_iceberg(
+            docs.filter(F.col("doc_id") % 4 == k).coalesce(1), tmp
+        )
+    delete_where_iceberg(spark, tmp, "doc_id % 7 = 3")
+    merge_iceberg(
+        spark,
+        docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+            "body", F.concat(F.col("body"), F.lit("-v2"))
+        ).coalesce(1),
+        tmp,
+        ["doc_id"],
+    )
+    rewrite_manifests_iceberg(tmp)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "iceberg_manifest_consolidation",
+    """
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN md5(text || '-v2')
+                ELSE md5(text) END AS body_md5,
+           TRUE AS consolidated
+    FROM documents
+    WHERE doc_id % 7 <> 3 OR doc_id % 5 = 0
+    """,
+)
+def q_iceberg_manifest_consolidation(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """MANIFEST CONSOLIDATION (round 12): manifest reuse accretes one
+    manifest-list entry per commit — rewrite_manifests re-emits every
+    live entry with an EXPLICIT per-entry sequence number (the spec v2
+    inheritance field) into ≤2 consolidated manifests.  The hash gate
+    pins that the DELETE's position tombstones and the MERGE's
+    equality delete still apply EXACTLY (their sequence relations ride
+    the per-entry numbers, not the rewritten manifest list's), and
+    that the list really consolidated."""
+    from ..sources.iceberg_sink import (
+        _alive_rows_with_positions,
+        _prev_state,
+    )
+
+    fixture = _ensure_iceberg_consol_fixture(spark, sf_dir)
+    prev = _prev_state(fixture)
+    consolidated = len(prev["manifest_entries"]) <= 2
+    alive = _alive_rows_with_positions(spark, fixture, prev)
+    return alive.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(consolidated).alias("consolidated"),
+    )
+
+
+def _ensure_delta_cleaned_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """A sink-written Delta table of 12 commits with checkpoints every
+    5, then `cleanup_delta_log(retain=3)` — the pre-checkpoint JSON
+    prefix is physically gone (round 12)."""
+    out = _fixture_dir(sf_dir, "deltacleaned")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import cleanup_delta_log, write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    for k in range(12):
+        write_delta(
+            docs.filter(F.col("doc_id") % 12 == k).coalesce(1), tmp,
+            checkpoint_interval=5,
+        )
+    cleanup_delta_log(tmp, retain_versions=3)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_log_retention_read",
+    """
+    SELECT doc_id, md5(text) AS body_md5,
+           TRUE AS prefix_cleaned,
+           CAST(11 AS BIGINT) AS version
+    FROM documents
+    """,
+)
+def q_delta_log_retention_read(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """LOG RETENTION roundtrip (round 12): after `cleanup_delta_log`
+    physically deleted the JSON commits at and below the anchor
+    checkpoint, the snapshot resolves through the checkpoint fast path
+    alone and every row is still there — a reader that needed the full
+    0..N JSON log would raise on the gap instead."""
+    import os as _os
+
+    from ..sources.delta_sink import snapshot
+
+    fixture = _ensure_delta_cleaned_fixture(spark, sf_dir)
+    ld = _os.path.join(fixture, "_delta_log")
+    have = sorted(
+        int(f[:-5]) for f in _os.listdir(ld)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    cleaned = bool(have) and have[0] > 0
+    snap = snapshot(fixture)
+    data = spark.read.parquet(
+        *[_os.path.join(fixture, p) for p in sorted(snap["live"])]
+    )
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(cleaned).alias("prefix_cleaned"),
+        F.lit(snap["version"]).cast("long").alias("version"),
+    )
