@@ -28,6 +28,16 @@ removes for every file live in the snapshot the writer read — the
 read-modify-claim window is exactly what the put-if-absent rename
 protects.
 
+Round 12: the sink READS ITS OWN CHECKPOINTS — `snapshot()` /
+`snapshot_as_of` seed from the newest checkpoint parquet and replay
+only the JSON tail (O(tail) per resolution; DML/CDF/RESTORE work on
+retention-cleaned logs, and `cleanup_delta_log` performs that
+retention), `read_changes` replays its range in ONE incremental pass
+and synthesizes file-level rows for RESTORE commits, DELETE/UPDATE
+compose the partition/stats/bloom pruning levers before scanning
+(`_prune_dml_paths` over `analyze_condition`'s sound conjuncts), and
+MERGE bounds its key scan by the source keys' min/max.
+
 Public knowledge: delta-io PROTOCOL.md (commit files, actions,
 checkpoints, optimistic concurrency).  Reference parity: the reference
 overwrites csv/pickle outputs in place (data_clean.py); versioned

@@ -48,6 +48,20 @@ as new data files AND an EQUALITY DELETE file on the merge keys, both
 at the SAME sequence number — the delete applies to every older file
 (strictly-less rule) and never to the rows it rides in with.
 
+Round 12 closes verb parity with the Delta sink: the delete write is
+DISTRIBUTED (one spec-sorted delete file per partition tuple or
+file-group shard — `_stage_position_delete_files`),
+`update_where_iceberg` completes the DML triple,
+`rewrite_data_files_iceberg` compacts small files while APPLYING live
+deletes and dropping the fully-applied delete files (optionally
+ZORDER-clustered), `read_changes_iceberg` serves the row-level feed
+between two snapshots, `rewrite_manifests_iceberg` consolidates the
+manifest list via the spec's per-entry sequence-number inheritance,
+``write_iceberg(txn=...)`` records exactly-once watermarks in the
+spec's table properties (the streaming sink rides it), DELETE/UPDATE
+compose the partition/stats/bloom pruning levers before scanning, and
+the retry loops carry logical-conflict checks.
+
 Public knowledge: iceberg.apache.org/spec/ (metadata versioning,
 manifest lists, sequence numbers, row-level deletes, HadoopCatalog
 file layout).  Reference parity: the reference overwrites csv/pickle
