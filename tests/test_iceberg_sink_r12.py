@@ -506,3 +506,45 @@ def test_rewrite_tombstones_carry_real_equality_ids(spark, tmp_path):
         break
     else:
         raise AssertionError("drop-dels manifest not found")
+
+
+def test_read_changes_scans_only_changed_common_files(
+    spark, tmp_path, monkeypatch
+):
+    """Round 12: an adjacent-snapshot incremental read scans only the
+    common files whose delete state moved — O(changed), not O(table)."""
+    import pytest as _pytest
+
+    from hainan_big_data_recommend_system_spark.sources import iceberg_sink
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        read_changes_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(4):
+        write_iceberg(
+            spark.range(k * 50, (k + 1) * 50)
+            .selectExpr("id", "id as v").coalesce(1),
+            tbl,
+        )
+    s1 = read_table(tbl)["snapshot_id"]
+    s2 = delete_where_iceberg(spark, tbl, "id < 10")["snapshot_id"]
+
+    scanned: list[list[str]] = []
+    orig = iceberg_sink._alive_rows_with_positions
+
+    def wrapper(spark_, table_dir, prev, condition=None, paths=None):
+        scanned.append(list(paths or []))
+        return orig(spark_, table_dir, prev, condition, paths)
+
+    monkeypatch.setattr(
+        iceberg_sink, "_alive_rows_with_positions", wrapper
+    )
+    feed = read_changes_iceberg(spark, tbl, s1, s2).collect()
+    assert sorted(r["id"] for r in feed) == list(range(10))
+    assert all(r["_change_type"] == "delete" for r in feed)
+    # only the ONE deleted-from file was scanned (both sides)
+    assert all(len(ps) == 1 for ps in scanned)
+    # and a backwards range is refused
+    with _pytest.raises(ValueError, match="backwards"):
+        read_changes_iceberg(spark, tbl, s2, s1)
