@@ -829,13 +829,30 @@ def _prune_dml_paths(
     return sorted(live), counts
 
 
-def _scan_with_positions(spark, table_dir: str, paths: list[str]) -> DataFrame:
+def _scan_with_positions(spark, table_dir: str, paths: list[str],
+                         schema_json: str | None = None,
+                         part_cols=()) -> DataFrame:
     """The table's physical rows with ``__fp``/``__ri`` file-position
     columns (parquet ``_metadata``) materialized up front, so joins
-    downstream can't lose the hidden metadata column."""
+    downstream can't lose the hidden metadata column.
+
+    ``schema_json`` (round 12): read with the TABLE's declared schema
+    (minus its partition columns, which live in the layout, not the
+    files) — on a schema-EVOLVED table the files' schemas differ and a
+    bare multi-file read takes one file's schema, dropping (or failing
+    on) columns the other generation carries; the declared schema is
+    the read contract and fills missing columns with nulls."""
     from pyspark.sql import functions as F
 
-    return spark.read.parquet(
+    reader = spark.read
+    if schema_json:
+        from pyspark.sql.types import StructType
+
+        declared = StructType.fromJson(json.loads(schema_json))
+        data_fields = [f for f in declared.fields
+                       if f.name not in set(part_cols)]
+        reader = reader.schema(StructType(data_fields))
+    return reader.parquet(
         *[os.path.join(table_dir, p) for p in paths]
     ).select(
         F.col("_metadata.file_path").alias("__fp"),
@@ -1398,7 +1415,8 @@ def optimize_delta(
     dv_small = {_abs_uri(table_dir, p): dvs[p] for p in small if p in dvs}
     n_dv_rows = sum(d["cardinality"] for d in dv_small.values())
     if dv_small or part_cols:
-        df = _scan_with_positions(spark, table_dir, small)
+        df = _scan_with_positions(spark, table_dir, small,
+                                  snap.get("schema_json"), part_cols)
         dead = _dead_positions_df(spark, table_dir, dv_small)
         if dead is not None:
             df = df.join(dead, ["__fp", "__ri"], "left_anti")
@@ -1514,8 +1532,11 @@ def delete_where_delta(
                 "n_rows_deleted": 0}
     abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
     pv = snap.get("partition_values", {})
+    part_cols = sorted({c for p in paths for c in pv.get(p, {})})
     df, _part_cols = _attach_partition_columns(
-        spark, _scan_with_positions(spark, table_dir, paths),
+        spark,
+        _scan_with_positions(spark, table_dir, paths,
+                             snap.get("schema_json"), part_cols),
         table_dir, paths, pv, snap.get("schema_json"),
     )
     cond_rows = df.filter(condition)
@@ -1691,7 +1712,9 @@ def merge_delta(
     if paths:
         abs_to_rel = {_abs_uri(table_dir, p): p for p in paths}
         target, _ = _attach_partition_columns(
-            spark, _scan_with_positions(spark, table_dir, paths),
+            spark,
+            _scan_with_positions(spark, table_dir, paths,
+                                 snap.get("schema_json"), part_cols),
             table_dir, paths, pv, snap.get("schema_json"),
         )
         dead = _dead_positions_df(
@@ -1890,7 +1913,9 @@ def read_changes(
         def _file_rows(paths: list[str], pvals: dict[str, dict],
                        dv_map: dict[str, dict], change: str,
                        version: int, schema_json: str | None) -> DataFrame:
-            df = _scan_with_positions(spark, table_dir, paths)
+            pc = sorted({c for p in paths for c in pvals.get(p, {})})
+            df = _scan_with_positions(spark, table_dir, paths,
+                                      schema_json, pc)
             df, _ = _attach_partition_columns(
                 spark, df, table_dir, paths, pvals,
                 schema_json,
@@ -2204,7 +2229,9 @@ def update_where_delta(
     fstats = snap.get("file_stats", {})
     part_cols = sorted({c for p in paths for c in pv.get(p, {})})
     df, _ = _attach_partition_columns(
-        spark, _scan_with_positions(spark, table_dir, paths),
+        spark,
+        _scan_with_positions(spark, table_dir, paths,
+                             snap.get("schema_json"), part_cols),
         table_dir, paths, pv, snap.get("schema_json"),
     )
     dead = _dead_positions_df(

@@ -224,6 +224,34 @@ def _check_schema_against_table(df: DataFrame, prev: dict,
         )
 
 
+def _check_schema_is_evolution(df: DataFrame, prev: dict) -> None:
+    """``merge_schema=True`` append rule (round 12): the table's
+    recorded fields must be an exact PREFIX (names AND types, in
+    order) of the incoming schema — new columns append at the end, so
+    the positional field ids of existing columns are preserved and
+    every manifest bound / equality_ids keyed by them stays valid.
+    Old files simply read the added columns as null (the declared
+    schema is the read contract).  Anything else — renames, retypes,
+    reorders, drops — is refused loudly."""
+    if not prev["field_names"]:
+        return
+    types = prev.get("field_types", {})
+    recorded = [
+        (n, types.get(i)) for i, n in sorted(prev["field_names"].items())
+    ]
+    incoming = [
+        (f.name, f.dataType.simpleString()) for f in df.schema.fields
+    ]
+    if len(incoming) < len(recorded) or any(
+        rn != inn or (rt is not None and rt != it)
+        for (rn, rt), (inn, it) in zip(recorded, incoming)
+    ):
+        raise ValueError(
+            f"merge_schema append must keep the recorded fields "
+            f"{recorded} as an exact prefix; got {incoming}"
+        )
+
+
 def _schema_fields(df: DataFrame) -> list[dict]:
     """The spec's schema block from a DataFrame: 1-based field ids in
     schema position order (identity mapping — this sink never
@@ -328,6 +356,7 @@ def write_iceberg(
     partition_by: list[str] | None = None,
     bloom_filter_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> dict:
     """Commit ``df`` as a new snapshot.  Returns ``{version,
     snapshot_id, n_files, n_records, n_removed, n_manifests_reused}``.
@@ -362,7 +391,10 @@ def write_iceberg(
                 "n_records": 0, "n_removed": 0,
                 "n_manifests_reused": 0, "skipped": True}
     if mode == "append":
-        _check_schema_against_table(df, prev0, "append")
+        if merge_schema:
+            _check_schema_is_evolution(df, prev0)
+        else:
+            _check_schema_against_table(df, prev0, "append")
         if prev0["live"]:
             # an append must land in the table's existing partition
             # layout — a mismatched layout would silently mix flat and
@@ -498,8 +530,44 @@ def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
     if paths is None:
         paths = sorted(prev["live"])
     seqs = prev["data_sequence_numbers"]
+    # the RECORDED schema (minus partition columns) is the read
+    # contract: files from before a schema evolution fill the added
+    # columns with nulls instead of hijacking the scan schema.  The
+    # recorded types are Spark simpleStrings; translate the scalar
+    # ones to schema-JSON names and BAIL (no declared schema, plain
+    # read) on anything unmapped rather than guess.
+    _JSON_TYPE = {"bigint": "long", "int": "integer",
+                  "smallint": "short", "tinyint": "byte",
+                  "string": "string", "double": "double",
+                  "float": "float", "boolean": "boolean",
+                  "date": "date", "timestamp": "timestamp",
+                  "binary": "binary"}
+    schema_json = None
+    names = prev.get("field_names", {})
+    types = prev.get("field_types", {})
+    if names and all(
+        types.get(i) in _JSON_TYPE for i in names
+    ):
+        part = {
+            c for v in prev["partition_values"].values() for c in v
+        }
+        import json as _json
+
+        schema_json = _json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": n, "type": _JSON_TYPE[types[i]],
+                 "nullable": True, "metadata": {}}
+                for i, n in sorted(names.items())
+            ],
+        })
+        part_cols_scan = sorted(part)
+    else:
+        part_cols_scan = ()
     df, _ = _attach_partition_columns(
-        spark, _scan_with_positions(spark, table_dir, paths),
+        spark,
+        _scan_with_positions(spark, table_dir, paths, schema_json,
+                             part_cols_scan),
         table_dir, paths, prev["partition_values"], None,
     )
     mapping = spark.createDataFrame(

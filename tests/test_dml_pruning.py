@@ -63,9 +63,9 @@ def _scan_capture(monkeypatch):
     seen = {}
     orig = delta_sink._scan_with_positions
 
-    def wrapper(spark, table_dir, paths):
+    def wrapper(spark, table_dir, paths, *args, **kwargs):
         seen["paths"] = list(paths)
-        return orig(spark, table_dir, paths)
+        return orig(spark, table_dir, paths, *args, **kwargs)
 
     monkeypatch.setattr(delta_sink, "_scan_with_positions", wrapper)
     return seen
