@@ -1426,9 +1426,12 @@ def optimize_delta(
             )
         df = df.drop("__fp", "__ri")
     else:
-        df = spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in small]
-        )
+        # still read with the DECLARED schema: compacting files from
+        # both sides of a schema evolution must not drop the added
+        # column from the older generation's rows
+        df = _scan_with_positions(
+            spark, table_dir, small, snap.get("schema_json"), (),
+        ).drop("__fp", "__ri")
     if zorder_by:
         # OPTIMIZE ZORDER BY: the rewrite is range-partitioned and
         # sorted by the Morton code, so every output file covers a

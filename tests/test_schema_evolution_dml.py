@@ -115,3 +115,26 @@ def test_iceberg_merge_schema_append_and_dml(spark, tmp_path):
     assert res["n_rows_deleted"] == 1  # the old-generation row
     res = delete_where_iceberg(spark, tbl, "v = 31")
     assert res["n_rows_deleted"] == 1  # the new-generation row
+
+
+def test_optimize_compacts_across_schema_evolution(spark, tmp_path):
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        optimize_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    _evolved_delta(spark, tbl)
+    res = optimize_delta(spark, tbl, target_partitions=1)
+    assert res["n_compacted"] == 2 and res["n_records"] == 20
+    snap = snapshot(tbl)
+    assert snap["n_live"] == 1
+    import os
+
+    rows = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).collect()
+    got = sorted((r["id"], r["v"]) for r in rows)
+    assert got == sorted(
+        [(i, None) for i in range(10)]
+        + [(i, 2 * i) for i in range(10, 20)]
+    )
