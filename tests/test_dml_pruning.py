@@ -336,3 +336,84 @@ def test_analyze_condition_between_and_expression_literals():
     assert analyze_condition("x = 'it''s'")["x"]["eq"] == {"it's"}
     # NOT BETWEEN is an unreadable conjunct, not a wrong constraint
     assert analyze_condition("id NOT BETWEEN 5 AND 9") == {}
+
+
+def test_pruning_soundness_randomized(spark, tmp_path):
+    """PROPERTY: for any condition, every file holding at least one
+    matching row SURVIVES `_prune_dml_paths` — pruning may keep too
+    much, never too little.  Seeded random conditions over a grammar
+    mixing readable conjuncts, unreadable ones, ORs, BETWEENs, IN
+    lists, cross-type literals, and string predicates."""
+    import os
+    import random
+
+    from pyspark.sql import functions as F
+
+    tbl = str(tmp_path / "tbl")
+    df = spark.range(0, 400).selectExpr(
+        "id",
+        "CASE WHEN id < 100 THEN 'd1' WHEN id < 250 THEN 'd2' "
+        "ELSE 'd3' END AS dt",
+        "cast(id % 7 as string) AS tag",
+    )
+    write_delta(df, tbl, partition_by=["dt"],
+                bloom_filter_cols=["id"])
+    snap = snapshot(tbl)
+
+    rng = random.Random(0xC0FFEE)
+
+    def gen_atom():
+        kind = rng.randrange(8)
+        k = rng.randrange(0, 450)
+        if kind == 0:
+            return f"id = {k}"
+        if kind == 1:
+            op = rng.choice(["<", "<=", ">", ">="])
+            return f"id {op} {k}"
+        if kind == 2:
+            return f"dt = 'd{rng.randrange(1, 5)}'"
+        if kind == 3:
+            vals = ", ".join(
+                str(rng.randrange(0, 450)) for _ in range(3)
+            )
+            return f"id IN ({vals})"
+        if kind == 4:
+            lo = rng.randrange(0, 400)
+            return f"id BETWEEN {lo} AND {lo + rng.randrange(0, 60)}"
+        if kind == 5:
+            return f"tag = '{rng.randrange(0, 9)}'"
+        if kind == 6:
+            return f"id % {rng.randrange(2, 5)} = 1"  # unreadable
+        return f"id = '{k}'"  # cross-type literal (Spark coerces)
+
+    scan = spark.read.parquet(
+        *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+    ).select(
+        F.col("_metadata.file_path").alias("fp"), "id", "tag",
+    )
+    abs_of = {delta_sink._abs_uri(tbl, p): p for p in snap["live"]}
+    pv = snap["partition_values"]
+
+    for trial in range(25):
+        n = rng.randrange(1, 4)
+        joiner = " OR " if rng.random() < 0.25 else " AND "
+        cond = joiner.join(gen_atom() for _ in range(n))
+        kept, _ = _prune_dml_paths(tbl, snap, cond)
+        # ground truth: files with >= 1 matching row (partition column
+        # re-attached the way the DML scan does)
+        matched = scan
+        part_vals = spark.createDataFrame(
+            [(delta_sink._abs_uri(tbl, p), pv[p]["dt"])
+             for p in snap["live"]],
+            "fp string, dt string",
+        )
+        matched = matched.join(F.broadcast(part_vals), "fp")
+        must_keep = {
+            abs_of[r["fp"]]
+            for r in matched.filter(cond).select("fp").distinct()
+            .collect()
+        }
+        missing = must_keep - set(kept)
+        assert not missing, (
+            f"condition {cond!r} pruned files with matches: {missing}"
+        )
