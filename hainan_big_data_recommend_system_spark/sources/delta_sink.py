@@ -226,15 +226,27 @@ def snapshot(table_dir: str) -> dict:
     log retention.  Hash-equal to the full replay by
     `replay_from_checkpoint`'s contract (pinned in
     tests/test_deltalog.py)."""
-    cks = _checkpoint_versions(table_dir)
-    if cks:
-        ck = cks[-1]
-        tail = read_log_commits_from(table_dir, ck + 1)
-        return replay_delta_log(tail, **_seed_from_checkpoint(table_dir, ck))
-    commits = read_log_commits(table_dir)
-    if not commits:
-        return {"version": -1, "live": {}, "n_live": 0, "live_rows": 0}
-    return replay_delta_log(commits)
+    for attempt in (0, 1):
+        try:
+            cks = _checkpoint_versions(table_dir)
+            if cks:
+                ck = cks[-1]
+                tail = read_log_commits_from(table_dir, ck + 1)
+                return replay_delta_log(
+                    tail, **_seed_from_checkpoint(table_dir, ck)
+                )
+            commits = read_log_commits(table_dir)
+            if not commits:
+                return {"version": -1, "live": {}, "n_live": 0,
+                        "live_rows": 0}
+            return replay_delta_log(commits)
+        except FileNotFoundError:
+            # a concurrent cleanup_delta_log moved the log floor
+            # between the listing and the read — re-list once (the
+            # post-cleanup tree is self-consistent by construction)
+            if attempt:
+                raise
+    raise AssertionError("unreachable")
 
 
 def snapshot_as_of(table_dir: str, version: int) -> dict:

@@ -204,3 +204,31 @@ def test_inspect_history_on_cleaned_log(spark, tmp_path):
     # versions keep their TRUE numbers; the cleaned prefix is absent
     assert sorted(r["version"] for r in hist) == list(range(5, 12))
     assert all(r["operation"] == "WRITE" for r in hist)
+
+
+def test_snapshot_retries_once_on_concurrent_cleanup(
+    spark, tmp_path, monkeypatch
+):
+    """A reader racing cleanup_delta_log between the log listing and
+    the commit read re-lists once instead of surfacing the race."""
+    from hainan_big_data_recommend_system_spark.sources import delta_sink
+
+    tbl = str(tmp_path / "tbl")
+    for k in range(7):
+        write_delta(
+            spark.range(10 * k, 10 * (k + 1)).selectExpr("id")
+            .coalesce(1),
+            tbl, checkpoint_interval=5,
+        )
+    orig = delta_sink.read_log_commits_from
+    calls = {"n": 0}
+
+    def flaky(table_dir, from_version):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise FileNotFoundError("commit vanished mid-read")
+        return orig(table_dir, from_version)
+
+    monkeypatch.setattr(delta_sink, "read_log_commits_from", flaky)
+    snap = delta_sink.snapshot(tbl)
+    assert snap["version"] == 6 and calls["n"] == 2
