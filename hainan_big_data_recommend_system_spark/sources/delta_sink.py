@@ -1126,6 +1126,104 @@ def _maybe_checkpoint(table_dir: str, version: int,
         fh.write(make_last_checkpoint(version, len(ck)))
 
 
+def parse_replace_where(
+    condition: str,
+    part_cols: set[str],
+    declared: dict[str, str],
+) -> dict[str, set[str]]:
+    """Validate a ``replace_where`` predicate for PARTITION-scoped
+    overwrite (round 12): it must be a top-level conjunction of
+    ``col = literal`` / ``col IN (literals)`` over PARTITION columns
+    whose declared types spell values exactly (int-family / string) —
+    the shape real writers accept for dynamic partition replacement.
+    Anything looser is REFUSED: silently narrowing the predicate would
+    leave rows alive that the caller asked to replace.  Returns
+    ``{partition_col: {dir-name spellings}}``."""
+    conjuncts = _top_level_conjuncts(condition)
+    if conjuncts is None:
+        raise ValueError(
+            "replace_where must be a conjunction of partition-column "
+            "equalities (top-level OR is not supported)"
+        )
+    _INT_TYPES = {"byte", "short", "integer", "long"}
+
+    def spell(col: str, v) -> str:
+        t = declared.get(col)
+        if isinstance(v, bool):
+            raise ValueError(
+                "replace_where on boolean literals is unsupported"
+            )
+        if t == "string" and isinstance(v, str):
+            return v
+        if t in _INT_TYPES and isinstance(v, int):
+            return str(v)
+        raise ValueError(
+            f"replace_where literal {v!r} cannot be matched exactly "
+            f"against partition column {col!r} of type {t!r}"
+        )
+
+    out: dict[str, set[str]] = {}
+    for c in conjuncts:
+        m = _IN_RE.match(c)
+        if m:
+            col, body = m.group(1), m.group(2)
+            vals = []
+            for tok in body.split(","):
+                ok, v = _parse_sql_literal(tok)
+                if not ok:
+                    raise ValueError(
+                        f"replace_where IN list holds a non-literal: "
+                        f"{tok.strip()!r}"
+                    )
+                vals.append(v)
+        else:
+            m = _CMP_RE.match(c)
+            if not m or m.group(2) not in ("=", "=="):
+                raise ValueError(
+                    f"replace_where conjunct {c.strip()!r} is not a "
+                    "partition-column equality or IN list"
+                )
+            col = m.group(1)
+            ok, v = _parse_sql_literal(m.group(3))
+            if not ok:
+                raise ValueError(
+                    f"replace_where right-hand side {m.group(3)!r} is "
+                    "not a literal"
+                )
+            vals = [v]
+        if col not in part_cols:
+            raise ValueError(
+                f"replace_where references {col!r}, which is not a "
+                f"partition column ({sorted(part_cols)})"
+            )
+        spellings = {spell(col, v) for v in vals}
+        out[col] = (out.get(col, spellings) & spellings
+                    if col in out else spellings)
+    if not out:
+        raise ValueError("replace_where carries no constraints")
+    return out
+
+
+def _matching_partition_files(
+    live: dict, pv: dict[str, dict], wanted: dict[str, set[str]],
+) -> list[str]:
+    """Live files whose partition tuple satisfies EVERY constraint —
+    the replacement set.  A file missing a constrained column cannot
+    be proven in or out; replace_where refuses such layouts."""
+    out = []
+    for p in live:
+        vals = pv.get(p, {})
+        missing = [c for c in wanted if c not in vals]
+        if missing:
+            raise ValueError(
+                f"file {p!r} has no partition value for {missing}; "
+                "replace_where needs a uniformly partitioned table"
+            )
+        if all(vals[c] in allowed for c, allowed in wanted.items()):
+            out.append(p)
+    return sorted(out)
+
+
 def write_delta(
     df: DataFrame,
     table_dir: str,
@@ -1136,6 +1234,7 @@ def write_delta(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     bloom_filter_cols: list[str] | None = None,
+    replace_where: str | None = None,
 ) -> dict:
     """Commit ``df`` to the table.  Returns ``{version, n_files,
     n_records, n_removed}``.  Retries version claims on conflict
@@ -1164,6 +1263,8 @@ def write_delta(
     mode replaces the data, so it may always change the schema)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported write mode {mode!r}")
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
 
     def _txn_done(snap: dict) -> bool:
         return (
@@ -1199,11 +1300,64 @@ def write_delta(
                 f"disagrees with the table's partition columns "
                 f"{table_parts}"
             )
+    wanted_replace: dict[str, set[str]] | None = None
+    if replace_where is not None:
+        # PARTITION-SCOPED overwrite (round 12): only files in the
+        # named partitions are replaced — the daily-reload pattern.
+        # The predicate must be exactly partition-expressible and the
+        # layout must agree; the staged data is VALIDATED to land
+        # only inside the named partitions.
+        if pre.get("live"):
+            table_parts = sorted({
+                c for v in pre.get("partition_values", {}).values()
+                for c in v
+            })
+            if sorted(partition_by or []) != table_parts:
+                raise ValueError(
+                    f"replace_where partition_by "
+                    f"{sorted(partition_by or [])} disagrees with the "
+                    f"table's partition columns {table_parts}"
+                )
+        if (
+            pre.get("schema_json")
+            and not merge_schema
+            and json.loads(pre["schema_json"])
+            != json.loads(df.schema.json())
+        ):
+            raise ValueError(
+                "replace_where keeps the other partitions' files, so "
+                "the schema must match the table's (merge_schema=True "
+                "to evolve it)"
+            )
+        declared = {f.name: f.dataType.typeName()
+                    for f in df.schema.fields}
+        wanted_replace = parse_replace_where(
+            replace_where, set(partition_by or []), declared,
+        )
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
                              partition_by=partition_by,
                              bloom_filter_cols=bloom_filter_cols)
+    if wanted_replace is not None:
+        stray = [
+            a["path"] for a in adds
+            if not all(
+                (a["partitionValues"] or {}).get(c) in allowed
+                for c, allowed in wanted_replace.items()
+            )
+        ]
+        if stray:
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(table_dir, a["path"]))
+                except OSError:
+                    pass
+            raise ValueError(
+                f"replace_where data lands outside the named "
+                f"partitions ({stray[:3]}); the predicate must cover "
+                "every written row"
+            )
     if not adds and mode == "append":
         # an empty batch appends nothing — no version burned (the
         # streaming writer's empty micro-batch path; a redelivery is
@@ -1235,7 +1389,13 @@ def write_delta(
         }})
         removed = []
         if mode == "overwrite":
-            removed = sorted(snap["live"])
+            if wanted_replace is not None:
+                removed = _matching_partition_files(
+                    snap.get("live", {}),
+                    snap.get("partition_values", {}), wanted_replace,
+                )
+            else:
+                removed = sorted(snap["live"])
             acts.extend(
                 {"remove": {"path": p, "dataChange": True}}
                 for p in removed

@@ -357,6 +357,7 @@ def write_iceberg(
     bloom_filter_cols: list[str] | None = None,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    replace_where: str | None = None,
 ) -> dict:
     """Commit ``df`` as a new snapshot.  Returns ``{version,
     snapshot_id, n_files, n_records, n_removed, n_manifests_reused}``.
@@ -376,6 +377,8 @@ def write_iceberg(
     at-least-once delivery."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported write mode {mode!r}")
+    if replace_where is not None and mode != "overwrite":
+        raise ValueError("replace_where requires mode='overwrite'")
 
     def _txn_done(state: dict) -> bool:
         return (
@@ -409,10 +412,55 @@ def write_iceberg(
                     f"disagrees with the table's partition columns "
                     f"{table_parts}"
                 )
+    wanted_replace = None
+    if replace_where is not None:
+        # PARTITION-SCOPED overwrite (round 12): the other partitions'
+        # files ride along untouched, so schema and layout agreement
+        # are enforced exactly like an append
+        from .delta_sink import parse_replace_where
+
+        if merge_schema:
+            _check_schema_is_evolution(df, prev0)
+        else:
+            _check_schema_against_table(df, prev0, "replace_where")
+        if prev0["live"]:
+            table_parts = sorted({
+                c for v in prev0["partition_values"].values() for c in v
+            })
+            if sorted(partition_by or []) != table_parts:
+                raise ValueError(
+                    f"replace_where partition_by "
+                    f"{sorted(partition_by or [])} disagrees with the "
+                    f"table's partition columns {table_parts}"
+                )
+        declared = {f.name: f.dataType.typeName()
+                    for f in df.schema.fields}
+        wanted_replace = parse_replace_where(
+            replace_where, set(partition_by or []), declared,
+        )
     token = uuid.uuid4().hex[:12]
     adds = _stage_iceberg_files(df, table_dir, token,
                                 partition_by=partition_by,
                                 bloom_filter_cols=bloom_filter_cols)
+    if wanted_replace is not None:
+        stray = [
+            a["file_path"] for a in adds
+            if not all(
+                (a["partition"] or {}).get(c) in allowed
+                for c, allowed in wanted_replace.items()
+            )
+        ]
+        if stray:
+            for a in adds:
+                try:
+                    os.unlink(os.path.join(table_dir, a["file_path"]))
+                except OSError:
+                    pass
+            raise ValueError(
+                f"replace_where data lands outside the named "
+                f"partitions ({stray[:3]}); the predicate must cover "
+                "every written row"
+            )
     if not adds and mode == "append":
         return {"version": None, "snapshot_id": None, "n_files": 0,
                 "n_records": 0, "n_removed": 0,
@@ -464,6 +512,33 @@ def write_iceberg(
             # their sequence numbers and counts are already correct
             entries.extend(dict(e) for e in prev["manifest_entries"])
             reused = len(entries)
+        elif wanted_replace is not None:
+            # partition-scoped: prior manifests ride along; a later
+            # DELETED-entries manifest tombstones just the replaced
+            # partitions' files (liveness resolves in list order)
+            from .delta_sink import _matching_partition_files
+
+            entries.extend(dict(e) for e in prev["manifest_entries"])
+            reused = len(entries)
+            pv = prev["partition_values"]
+            matching = _matching_partition_files(
+                prev["live"], pv, wanted_replace,
+            )
+            removed = len(matching)
+            if matching:
+                del_manifest = make_manifest(
+                    [{"status": 2, "snapshot_id": sid, "file_path": p,
+                      "record_count": prev["live"][p][1],
+                      "file_size": prev["live"][p][0],
+                      "partition": pv.get(p)}
+                     for p in matching],
+                    partition_fields=part_fields,
+                )
+                del_path = f"metadata/m-{token}-{version}-rdel.avro"
+                blobs[del_path] = del_manifest
+                entries.append(
+                    ml_entry(del_path, del_manifest, n_del=removed)
+                )
         else:
             live = prev["live"]
             removed = len(live)
