@@ -2282,3 +2282,86 @@ def q_delta_log_retention_read(
         F.lit(cleaned).alias("prefix_cleaned"),
         F.lit(snap["version"]).cast("long").alias("version"),
     )
+
+
+def _ensure_delta_replacewhere_fixture(
+    spark: SparkSession, sf_dir: str,
+) -> str:
+    """A lang-partitioned Delta table whose 'zh' partition was
+    atomically RELOADED via replace_where (round 12): the daily
+    partition-reload pattern."""
+    out = _fixture_dir(sf_dir, "deltareplace")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import write_delta
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body"), "lang"
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(docs, tmp, partition_by=["lang"])
+    write_delta(
+        docs.filter(F.col("lang") == "zh").withColumn(
+            "body", F.concat(F.col("body"), F.lit("-reloaded"))
+        ).coalesce(1),
+        tmp, mode="overwrite", partition_by=["lang"],
+        replace_where="lang = 'zh'",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_replace_where_roundtrip",
+    """
+    SELECT doc_id,
+           CASE WHEN lang = 'zh' THEN md5(text || '-reloaded')
+                ELSE md5(text) END AS body_md5,
+           lang,
+           TRUE AS others_untouched
+    FROM documents
+    """,
+)
+def q_delta_replace_where_roundtrip(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """PARTITION-SCOPED OVERWRITE (round 12): ``replace_where`` swaps
+    exactly the named partition's files in one atomic commit — the
+    oracle recomputes the reload from the raw documents table, so a
+    replace that touched another partition, left old 'zh' files live,
+    or dropped rows hash-mismatches.  ``others_untouched`` pins that
+    every non-zh file's (path, size) survived the reload
+    byte-identical."""
+    from ..operators.deltalog import replay_delta_log
+    from ..sources.delta_sink import read_log_commits, snapshot
+
+    fixture = _ensure_delta_replacewhere_fixture(spark, sf_dir)
+    commits = read_log_commits(fixture)
+    v0 = replay_delta_log(commits[:1])
+    snap = snapshot(fixture)
+    untouched = all(
+        snap["live"].get(p) == meta
+        for p, meta in v0["live"].items()
+        if v0["partition_values"][p]["lang"] != "zh"
+    ) and not any(  # no pre-reload zh file survived
+        p in snap["live"]
+        for p in v0["live"]
+        if v0["partition_values"][p]["lang"] == "zh"
+    )
+    paths = sorted(snap["live"])
+    pv = snap["partition_values"]
+    data = None
+    for p in paths:
+        part = spark.read.parquet(os.path.join(fixture, p)).select(
+            "doc_id", "body"
+        ).withColumn("lang", F.lit(pv[p]["lang"]))
+        data = part if data is None else data.unionByName(part)
+    return data.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        "lang",
+        F.lit(untouched).alias("others_untouched"),
+    )
