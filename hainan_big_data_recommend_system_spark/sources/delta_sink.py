@@ -1476,6 +1476,93 @@ def cleanup_delta_log(table_dir: str, retain_versions: int) -> dict:
             "bytes_reclaimed": reclaimed}
 
 
+def remove_orphan_files_delta(
+    table_dir: str,
+    grace_seconds: int = 86400,
+) -> dict:
+    """ORPHAN FILE CLEANUP for the Delta layout (round 12): delete
+    files the available log (checkpoint seeds + JSON tail) never
+    names — data files, DV sidecars, change-data files — older than
+    ``grace_seconds``.  CONSERVATIVE by construction: every path named
+    by ANY action of any available commit (adds, removes, cdc) plus
+    every DV sidecar any replayable state references is kept, so
+    tombstones awaiting VACUUM and CDF files inside their window
+    survive; only stage-and-die leftovers go.
+
+    Returns ``{n_deleted, bytes_reclaimed, n_referenced}``."""
+    import time
+    import uuid as _uuid
+
+    from ..operators.deltalog import z85_decode
+
+    cur = snapshot(table_dir)
+    if cur["version"] < 0:
+        return {"n_deleted": 0, "bytes_reclaimed": 0, "n_referenced": 0}
+    referenced: set[str] = set()
+
+    def _note_sidecar(desc: dict) -> None:
+        st = desc.get("storageType")
+        if st == "p":
+            referenced.add(desc.get("pathOrInlineDv", ""))
+        elif st == "u":
+            enc = desc.get("pathOrInlineDv", "")
+            try:
+                prefix, uid85 = enc[:-20], enc[-20:]
+                uid = _uuid.UUID(bytes=z85_decode(uid85))
+                referenced.add(
+                    (f"{prefix}/" if prefix else "")
+                    + f"deletion_vector_{uid}.bin"
+                )
+            except ValueError:
+                pass
+
+    # every path any AVAILABLE commit names, regardless of liveness
+    for v in _json_versions(table_dir):
+        for ln in open(_commit_path(table_dir, v),
+                       encoding="utf-8").read().splitlines():
+            if not ln.strip():
+                continue
+            obj = json.loads(ln)
+            for kind in ("add", "remove", "cdc"):
+                body = obj.get(kind)
+                if isinstance(body, dict):
+                    pth = body.get("path")
+                    if isinstance(pth, str) and pth:
+                        referenced.add(pth)
+                    dv = body.get("deletionVector")
+                    if isinstance(dv, dict):
+                        _note_sidecar(dv)
+    # checkpoint seeds (cleaned prefixes survive only through these)
+    for ck in _checkpoint_versions(table_dir):
+        st = replay_delta_log([], **_seed_from_checkpoint(table_dir, ck))
+        referenced.update(st["live"])
+        referenced.update(st["tombstones"])
+        for d in st.get("deletion_vectors", {}).values():
+            _note_sidecar(d)
+    horizon = time.time() - grace_seconds
+    n_del = 0
+    reclaimed = 0
+    for root, dirs, files in os.walk(table_dir):
+        if os.path.basename(root) == "_delta_log":
+            dirs[:] = []
+            continue  # the log itself is the protocol, never orphaned
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir).replace(os.sep, "/")
+            if rel in referenced or rel.startswith("_delta_log/"):
+                continue
+            try:
+                if os.path.getmtime(full) >= horizon:
+                    continue
+                reclaimed += os.path.getsize(full)
+                os.unlink(full)
+                n_del += 1
+            except OSError:
+                pass
+    return {"n_deleted": n_del, "bytes_reclaimed": reclaimed,
+            "n_referenced": len(referenced)}
+
+
 def _with_zorder_value(df: DataFrame, cols: list[str]) -> DataFrame:
     """Attach ``__zval``: the Morton interleave of the (broadcast
     min/max-quantized) dimensions for 2 columns, or the column itself

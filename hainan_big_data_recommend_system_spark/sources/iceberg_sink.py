@@ -1863,6 +1863,72 @@ def expire_snapshots_iceberg(
     )
 
 
+def remove_orphan_files_iceberg(
+    table_dir: str,
+    grace_seconds: int = 86400,
+) -> dict:
+    """ORPHAN FILE CLEANUP — Iceberg's ``remove_orphan_files`` (round
+    12): physically delete files under the table that NO snapshot of
+    the current metadata references and that are older than
+    ``grace_seconds`` (the grace window protects a concurrent writer's
+    staged-but-not-yet-committed files — the same rule the real
+    procedure applies).  Orphans are what a writer that dies between
+    staging and claiming leaves behind; nothing else reclaims them
+    (snapshot expiration only deletes files a snapshot once
+    referenced).
+
+    Returns ``{n_deleted, bytes_reclaimed, n_referenced}``."""
+    import time
+
+    from ..operators.avrocf import parse_avro
+
+    v = current_version(table_dir)
+    if v < 0:
+        return {"n_deleted": 0, "bytes_reclaimed": 0, "n_referenced": 0}
+    meta_text = open(
+        os.path.join(_meta_dir(table_dir), f"v{v}.metadata.json"),
+        encoding="utf-8",
+    ).read()
+    meta = parse_table_metadata(meta_text)
+    referenced: set[str] = set()
+    for sid, ml in meta["snapshots"].items():
+        referenced.add(ml)
+        for mf in parse_avro(
+            open(os.path.join(table_dir, ml), "rb").read()
+        )["records"]:
+            referenced.add(mf["manifest_path"])
+            for e in parse_avro(
+                open(os.path.join(table_dir, mf["manifest_path"]),
+                     "rb").read()
+            )["records"]:
+                pth = (e.get("data_file") or {}).get("file_path")
+                if isinstance(pth, str) and pth:
+                    referenced.add(pth)
+    horizon = time.time() - grace_seconds
+    n_del = 0
+    reclaimed = 0
+    for root, _dirs, files in os.walk(table_dir):
+        for f in files:
+            full = os.path.join(root, f)
+            rel = os.path.relpath(full, table_dir).replace(os.sep, "/")
+            if rel in referenced:
+                continue
+            if rel.startswith("metadata/"):
+                # metadata versions / hints are the commit protocol's
+                # own files, never orphans to this procedure
+                continue
+            try:
+                if os.path.getmtime(full) >= horizon:
+                    continue  # inside the grace window: maybe in flight
+                reclaimed += os.path.getsize(full)
+                os.unlink(full)
+                n_del += 1
+            except OSError:
+                pass  # concurrently removed: idempotent
+    return {"n_deleted": n_del, "bytes_reclaimed": reclaimed,
+            "n_referenced": len(referenced)}
+
+
 def inspect_iceberg(spark, table_dir: str, kind: str):
     """METADATA TABLES — Iceberg's ``table$files`` / ``$snapshots`` /
     ``$manifests`` / ``$deletes`` surface as DataFrames: the operator

@@ -232,3 +232,78 @@ def test_snapshot_retries_once_on_concurrent_cleanup(
     monkeypatch.setattr(delta_sink, "read_log_commits_from", flaky)
     snap = delta_sink.snapshot(tbl)
     assert snap["version"] == 6 and calls["n"] == 2
+
+
+def test_remove_orphans_iceberg(spark, tmp_path):
+    import os
+    import time
+
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        remove_orphan_files_iceberg,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_iceberg(
+        spark.range(0, 40).selectExpr("id", "id as v").coalesce(1), tbl
+    )
+    delete_where_iceberg(spark, tbl, "id < 5")
+    before = read_table(tbl)
+    # a stage-and-die leftover, old enough to pass the grace window
+    orphan = os.path.join(tbl, "data", "part-dead-00000.parquet")
+    open(orphan, "wb").write(b"leftover")
+    old = time.time() - 100_000
+    os.utime(orphan, (old, old))
+    # a RECENT unreferenced file must survive (maybe in flight)
+    recent = os.path.join(tbl, "data", "part-inflight-00000.parquet")
+    open(recent, "wb").write(b"staged")
+
+    res = remove_orphan_files_iceberg(tbl, grace_seconds=3600)
+    assert res["n_deleted"] == 1
+    assert not os.path.exists(orphan)
+    assert os.path.exists(recent)
+    after = read_table(tbl)
+    assert after["live"] == before["live"]
+    assert after["position_delete_files"] == \
+        before["position_delete_files"]
+
+
+def test_remove_orphans_delta_keeps_tombstones_and_sidecars(
+    spark, tmp_path
+):
+    import os
+    import time
+
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        remove_orphan_files_delta,
+        vacuum_delta,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    write_delta(spark.range(0, 100).selectExpr("id").coalesce(1), tbl)
+    # sidecar DV + an overwrite tombstoning the first file
+    delete_where_delta(spark, tbl, "id < 10", inline_threshold=0,
+                       change_data=False)
+    write_delta(spark.range(100, 150).selectExpr("id").coalesce(1),
+                tbl, mode="overwrite")
+    orphan = os.path.join(tbl, "part-dead-00000.parquet")
+    open(orphan, "wb").write(b"leftover")
+    old = time.time() - 100_000
+    os.utime(orphan, (old, old))
+    # age every real file too: referenced-ness, not age, must save them
+    for f in os.listdir(tbl):
+        full = os.path.join(tbl, f)
+        if os.path.isfile(full):
+            os.utime(full, (old, old))
+
+    res = remove_orphan_files_delta(tbl, grace_seconds=3600)
+    assert res["n_deleted"] == 1
+    assert not os.path.exists(orphan)
+    # tombstoned-but-unvacuumed files and DV sidecars survived:
+    # time travel + a later VACUUM still work
+    from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+        snapshot_as_of,
+    )
+
+    assert snapshot_as_of(tbl, 1)["live_rows"] == 100
+    v = vacuum_delta(tbl, retention_versions=0)
+    assert v["n_files_deleted"] >= 1  # the tombstone was still there
