@@ -627,6 +627,40 @@ def _parse_sql_literal(tok: str):
         return False, None
 
 
+def _split_in_list(body: str) -> list[str]:
+    """Split an IN-list body on TOP-LEVEL commas, quote- and
+    paren-aware (ADVICE r12 low): ``'a,b','c'`` is two literals, not
+    three tokens.  Same scanning rules as `_top_level_conjuncts`
+    (doubled ``''`` escapes inside single quotes)."""
+    out: list[str] = []
+    depth = 0
+    i = start = 0
+    n = len(body)
+    in_str: str | None = None
+    while i < n:
+        ch = body[i]
+        if in_str:
+            if ch == in_str:
+                if ch == "'" and i + 1 < n and body[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(body[start:i])
+            start = i + 1
+        i += 1
+    out.append(body[start:])
+    return out
+
+
 def _top_level_conjuncts(cond: str) -> list[str] | None:
     """Split on top-level AND, quote- and paren-aware.  Returns None
     when a top-level OR exists (OR binds looser than AND, so conjunct
@@ -722,7 +756,7 @@ def analyze_condition(cond: str) -> dict[str, dict]:
             col, body = m.group(1), m.group(2)
             vals = []
             ok_all = True
-            for tok in body.split(","):
+            for tok in _split_in_list(body):
                 ok, v = _parse_sql_literal(tok)
                 if not ok:
                     ok_all = False
@@ -748,6 +782,46 @@ def analyze_condition(cond: str) -> dict[str, dict]:
         elif op in (">", ">="):
             s["lo"] = v if s["lo"] is None else max(s["lo"], v)
     return out
+
+
+#: Declared Spark types whose recorded footer stats / bloom hashes ARE
+#: the logical values: int-family (INT32/INT64 physical == logical
+#: value) and string (UTF-8 BYTE_ARRAY).  decimal(p<=18, s>0) columns
+#: store UNSCALED ints (5.50 -> 550) and timestamps store epoch
+#: micros, so comparing SQL literals against those raw encodings would
+#: prune files that DO contain matches (ADVICE r12 high) — such
+#: columns never stats- or bloom-prune.
+_STATS_SAFE_INT = frozenset({"byte", "short", "integer", "long"})
+
+
+def _declared_from_snap(snap: dict) -> dict[str, str]:
+    """``{column: schema-JSON type string}`` from the snapshot's
+    declared Delta schema — the typed-coercion gate every pruning
+    lever shares (complex struct types are skipped: never prunable)."""
+    declared: dict[str, str] = {}
+    if snap.get("schema_json"):
+        for f in json.loads(snap["schema_json"]).get("fields", []):
+            if isinstance(f.get("type"), str):
+                declared[f["name"]] = f["type"]
+    return declared
+
+
+def _stats_prunable(declared_type, value) -> bool:
+    """May ``value`` be range-compared against the raw footer-derived
+    min/max recorded for a column of ``declared_type``?  Mirrors the
+    `_partition_spellings` gate: int-family columns accept numeric
+    literals (the stats are the logical ints), string columns accept
+    string literals; every other declared type (decimal, timestamp,
+    date, float, unknown) is NOT prunable — no proof, must scan."""
+    if isinstance(value, bool):
+        return False
+    if declared_type in _STATS_SAFE_INT:
+        return isinstance(value, (int, float)) or (
+            type(value).__name__ == "Decimal"
+        )
+    if declared_type == "string":
+        return isinstance(value, str)
+    return False
 
 
 def _prune_dml_paths(
@@ -782,11 +856,7 @@ def _prune_dml_paths(
     # filter coerces; a spelling mismatch would wrongly skip), so
     # those columns simply don't partition-prune here
     if declared is None:
-        declared = {}
-        if snap.get("schema_json"):
-            for f in json.loads(snap["schema_json"]).get("fields", []):
-                if isinstance(f.get("type"), str):
-                    declared[f["name"]] = f["type"]
+        declared = _declared_from_snap(snap)
     _INT_TYPES = {"byte", "short", "integer", "long"}
 
     def _partition_spellings(col: str, vals: set) -> set[str] | None:
@@ -826,6 +896,9 @@ def _prune_dml_paths(
             continue  # mixed-type IN list: no sound bounds
         if lo is None and hi is None:
             continue
+        if not all(_stats_prunable(declared.get(c), v)
+                   for v in (lo, hi) if v is not None):
+            continue  # decimal/timestamp/... stats are raw encodings
         r = prune_live_files({**snap, "live": live}, c, lo=lo, hi=hi)
         counts["n_stats_skipped"] += r["n_skipped"]
         live = r["kept"]
@@ -835,6 +908,15 @@ def _prune_dml_paths(
                 (v,) = cc["eq"]
                 if isinstance(v, bool) or not isinstance(v, (int, str)):
                     continue  # float/bool probes can't use the filter
+                t = declared.get(c)
+                # the written bloom hashes the PHYSICAL encoding: an
+                # int probe is sound only against an int-family column,
+                # a string probe only against a string column — a
+                # decimal column hashes unscaled ints, so a logical
+                # probe would wrongly prove absence (ADVICE r12 high)
+                if not ((t in _STATS_SAFE_INT and isinstance(v, int))
+                        or (t == "string" and isinstance(v, str))):
+                    continue
                 r = prune_files_by_bloom(table_dir, live, c, v)
                 counts["n_bloom_skipped"] += r["n_skipped"]
                 live = r["kept"]
@@ -1112,6 +1194,15 @@ def _maybe_checkpoint(table_dir: str, version: int,
     if not checkpoint_interval or (version + 1) % checkpoint_interval:
         return
     state = snapshot(table_dir)  # itself checkpoint-seeded: O(tail)
+    if state.get("version") != version:
+        # a concurrent writer's version+1 commit landed between our
+        # claim and this snapshot — folding it into a checkpoint named
+        # {version} would mislabel history (snapshot_as_of would seed
+        # time travel from the wrong state and the tail replay would
+        # double-apply the first extra commit).  Skip; the NEXT
+        # multiple-of-interval commit writes a correct checkpoint
+        # (ADVICE r12 medium).
+        return
     ck = make_checkpoint_parquet(state)
     ck_path = os.path.join(
         _log_dir(table_dir), f"{version:020d}.checkpoint.parquet"
@@ -1168,7 +1259,7 @@ def parse_replace_where(
         if m:
             col, body = m.group(1), m.group(2)
             vals = []
-            for tok in body.split(","):
+            for tok in _split_in_list(body):
                 ok, v = _parse_sql_literal(tok)
                 if not ok:
                     raise ValueError(
@@ -1963,10 +2054,14 @@ def merge_delta(
             aggs.append(F.min(c).alias(f"__lo_{c}"))
             aggs.append(F.max(c).alias(f"__hi_{c}"))
         bounds = source.agg(*aggs).collect()[0]
+        declared_types = _declared_from_snap(snap)
         for c in key_cols:
             lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
             if lo is None and hi is None:
                 continue  # all-null keys match nothing, but stay safe
+            if not all(_stats_prunable(declared_types.get(c), v)
+                       for v in (lo, hi) if v is not None):
+                continue  # decimal/timestamp keys: raw-encoded stats
             kept = prune_live_files(
                 {**snap, "live": kept}, c, lo=lo, hi=hi
             )["kept"]
