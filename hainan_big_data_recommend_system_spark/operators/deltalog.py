@@ -581,11 +581,17 @@ def make_checkpoint_parquet(replay: dict) -> bytes:
 
 def read_checkpoint_parquet(
     payload: bytes,
-) -> tuple[dict, dict, dict, str | None, dict, dict, dict]:
+) -> tuple[dict, dict, dict, str | None, dict, dict, dict, dict]:
     """Recover ``(live, tombstones, partition_values, schema_json,
-    deletion_vectors, file_stats, app_versions)``
-    from a checkpoint parquet file via the hand decoder — every row
-    must be exactly one of add/remove/metaData.  ``add.partitionValues``
+    deletion_vectors, file_stats, app_versions, extras)`` from a
+    checkpoint parquet file via the hand decoder — every row must be
+    exactly one of add/remove/metaData/txn/protocol.  ``extras`` is
+    ``{"protocol": dict | None, "configuration": dict,
+    "partition_columns": list | None}`` — the table's feature
+    declaration and configuration must survive checkpoint compaction
+    (a DV table's ``minReaderVersion: 3`` dropped by a checkpoint
+    would let a spec reader resurrect deleted rows; round 13).
+    ``add.partitionValues``
     (a parquet MAP column, the delta-io layout) decodes through the
     repeated-leaf Dremel reassembly when present; empty maps collapse
     to absent (matching the JSON replay's tracking).  The metaData row
@@ -597,6 +603,7 @@ def read_checkpoint_parquet(
         parse_footer_tail,
         read_footer_tail,
         read_leaf_columns,
+        read_list_column,
         read_map_column,
     )
 
@@ -624,11 +631,21 @@ def read_checkpoint_parquet(
     has_dv = "add.deletionVector.storageType" in ctx["leaves"]
     has_stats = "add.stats" in ctx["leaves"]
     has_txn = "txn.appId" in ctx["leaves"]
+    has_proto = "protocol.minReaderVersion" in ctx["leaves"]
+    has_md_cfg = any(
+        lf.startswith("metaData.configuration.") for lf in ctx["leaves"]
+    )
+    has_md_pc = any(
+        lf.startswith("metaData.partitionColumns.") for lf in ctx["leaves"]
+    )
     pv: dict[str, dict] = {}
     dvs: dict[str, dict] = {}
     fstats: dict[str, dict] = {}
     app_versions: dict[str, int] = {}
     schema_json: str | None = None
+    protocol: dict | None = None
+    md_config: dict[str, str] = {}
+    md_part_cols: list[str] | None = None
     _DV_LEAVES = ("storageType", "pathOrInlineDv", "offset",
                   "sizeInBytes", "cardinality")
     leaf_names = [
@@ -687,8 +704,50 @@ def read_checkpoint_parquet(
                                 got_txn["txn.version"]["values"]))
         else:
             txn_rows = [(None, None)] * len(cols[0])
-        for ap, asz, anr, rp, rdv, rsz, apv, mds, adv, ast, txn in zip(
-            *cols, pv_rows, md_rows, dv_rows, st_rows, txn_rows
+        if has_proto:
+            got_pr = read_leaf_columns(
+                payload, rg,
+                ["protocol.minReaderVersion",
+                 "protocol.minWriterVersion"],
+                with_nulls=True, ctx=ctx,
+            )
+            rf_rows = (
+                read_list_column(payload, rg, "protocol.readerFeatures",
+                                 ctx=ctx)
+                if any(lf.startswith("protocol.readerFeatures.")
+                       for lf in ctx["leaves"])
+                else [None] * len(cols[0])
+            )
+            wf_rows = (
+                read_list_column(payload, rg, "protocol.writerFeatures",
+                                 ctx=ctx)
+                if any(lf.startswith("protocol.writerFeatures.")
+                       for lf in ctx["leaves"])
+                else [None] * len(cols[0])
+            )
+            proto_rows = list(zip(
+                got_pr["protocol.minReaderVersion"]["values"],
+                got_pr["protocol.minWriterVersion"]["values"],
+                rf_rows, wf_rows,
+            ))
+        else:
+            proto_rows = [(None, None, None, None)] * len(cols[0])
+        md_cfg_rows = (
+            read_map_column(payload, rg, "metaData.configuration",
+                            ctx=ctx)
+            if has_md_cfg
+            else [None] * len(cols[0])
+        )
+        md_pc_rows = (
+            read_list_column(payload, rg, "metaData.partitionColumns",
+                             ctx=ctx)
+            if has_md_pc
+            else [None] * len(cols[0])
+        )
+        for (ap, asz, anr, rp, rdv, rsz, apv, mds, adv, ast, txn,
+             proto, mcfg, mpc) in zip(
+            *cols, pv_rows, md_rows, dv_rows, st_rows, txn_rows,
+            proto_rows, md_cfg_rows, md_pc_rows,
         ):
             if ap is not None:
                 if asz is None or anr is None or rp is not None:
@@ -719,6 +778,18 @@ def read_checkpoint_parquet(
                         "checkpoint carries more than one metaData row"
                     )
                 schema_json = mds
+                if mcfg:
+                    if any(
+                        not isinstance(k, str) or not isinstance(v, str)
+                        for k, v in mcfg.items()
+                    ):
+                        raise ValueError(
+                            "checkpoint metaData.configuration is not "
+                            "a string map"
+                        )
+                    md_config = dict(mcfg)
+                if mpc is not None:
+                    md_part_cols = list(mpc)
             elif txn[0] is not None:
                 if txn[1] is None:
                     raise ValueError("checkpoint txn row incomplete")
@@ -727,10 +798,25 @@ def read_checkpoint_parquet(
                         f"checkpoint carries duplicate txn appId {txn[0]!r}"
                     )
                 app_versions[txn[0]] = txn[1]
+            elif proto[0] is not None:
+                if protocol is not None:
+                    raise ValueError(
+                        "checkpoint carries more than one protocol row"
+                    )
+                body = {"minReaderVersion": proto[0],
+                        "minWriterVersion": proto[1]}
+                if proto[2] is not None:
+                    body["readerFeatures"] = list(proto[2])
+                if proto[3] is not None:
+                    body["writerFeatures"] = list(proto[3])
+                validate_protocol(body)
+                protocol = body
             else:
                 raise ValueError("checkpoint row carries no action")
     return (live, tombstones, pv, schema_json, dvs, fstats,
-            app_versions)
+            app_versions,
+            {"protocol": protocol, "configuration": md_config,
+             "partition_columns": md_part_cols})
 
 
 def replay_from_checkpoint(
@@ -745,7 +831,7 @@ def replay_from_checkpoint(
     counts the tail only (see replay_delta_log)."""
     lc = parse_last_checkpoint(last_checkpoint_text)
     (live, tombstones, pv, schema, dvs, fstats,
-     app_versions) = read_checkpoint_parquet(checkpoint_payload)
+     app_versions, extras) = read_checkpoint_parquet(checkpoint_payload)
     return replay_delta_log(
         tail_commits,
         initial_live=live,
@@ -756,6 +842,9 @@ def replay_from_checkpoint(
         initial_dv=dvs,
         initial_stats=fstats,
         initial_txn=app_versions,
+        initial_protocol=extras["protocol"],
+        initial_config=extras["configuration"],
+        initial_part_cols=extras["partition_columns"],
     )
 
 

@@ -58,7 +58,7 @@ def test_checkpoint_accepts_deletion_timestamp_without_size():
         [("path", pa.string()), ("deletionTimestamp", pa.int64())],
         [{"path": "old.parquet", "deletionTimestamp": 1690000000000}],
     )
-    live, tombstones, pv, schema, dvs, _, _ = read_checkpoint_parquet(payload)
+    live, tombstones, pv, schema, dvs, _, _, _ = read_checkpoint_parquet(payload)
     assert live == {"part-0.parquet": (64, 7)}
     # absent remove.size falls back to 0; the timestamp is the ordinal
     assert tombstones == {"old.parquet": (1690000000000, 0)}
@@ -76,7 +76,7 @@ def test_checkpoint_accepts_null_remove_size():
          ("size", pa.int64())],
         [{"path": "old.parquet", "deletionTimestamp": 42, "size": None}],
     )
-    _, tombstones, _, _, _, _, _ = read_checkpoint_parquet(payload)
+    _, tombstones, _, _, _, _, _, _ = read_checkpoint_parquet(payload)
     assert tombstones == {"old.parquet": (42, 0)}
 
 

@@ -97,7 +97,7 @@ def test_checkpoint_roundtrips_stats():
                 _add("b.parquet", 10, stats=False)),
     ])
     ck = make_checkpoint_parquet(snap)
-    live, _, _, _, _, fstats, _ = read_checkpoint_parquet(ck)
+    live, _, _, _, _, fstats, _, _ = read_checkpoint_parquet(ck)
     assert live == snap["live"]
     assert fstats == snap["file_stats"]
     assert "b.parquet" not in fstats

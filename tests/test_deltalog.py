@@ -257,7 +257,7 @@ def test_checkpoint_read_uses_hand_decoder_on_arrow_file():
 
     state = replay_delta_log(_mklog(25))
     ck = make_checkpoint_parquet(state)
-    live, tombstones, pv, schema, dvs, fstats, _ = read_checkpoint_parquet(ck)
+    live, tombstones, pv, schema, dvs, fstats, _, _ = read_checkpoint_parquet(ck)
     assert live == state["live"]
     assert tombstones == state["tombstones"]
     # and pyarrow agrees with the hand decoder on a leaf
