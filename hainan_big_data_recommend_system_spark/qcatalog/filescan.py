@@ -906,7 +906,8 @@ def _ensure_delta_skipping_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register(  # promoted r10 (#8): the stats-prune scale lever
+@register_extra(  # extra since rotation #11: the stats-prune lever
+    # rides delta_bloom_point_lookup + iceberg_data_skipping (driver)
     "delta_data_skipping",
     """
     WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
@@ -2011,7 +2012,7 @@ _ICEBERG_LIFECYCLE_STATE_SQL = """
 """
 
 
-@register_extra(
+@register(  # promoted r13 (rotation #11): format-#2 DML triple
     "iceberg_update_roundtrip",
     f"""
     SELECT doc_id, body_md5,
@@ -2054,7 +2055,7 @@ def q_iceberg_update_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_extra(
+@register(  # promoted r13 (rotation #11): format-#2 compaction
     "iceberg_optimize_roundtrip",
     f"""
     SELECT doc_id, body_md5,
@@ -2105,7 +2106,7 @@ def q_iceberg_optimize_roundtrip(
     )
 
 
-@register_extra(
+@register(  # promoted r13 (rotation #11): format-#2 change feed
     "iceberg_changelog_roundtrip",
     """
     SELECT doc_id, md5(text) AS body_md5, 'delete' AS change_type

@@ -129,7 +129,8 @@ def q_event_time_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (Spark session windows are [start, last+gap), end-exclusive)
 # ---------------------------------------------------------------------------
 
-@register(
+@register_extra(  # extra since rotation #11: sessionization rides
+    # temporal_join_click_view (driver) + sessionized_events (local)
     "session_event_counts",
     """
     WITH flagged AS (
