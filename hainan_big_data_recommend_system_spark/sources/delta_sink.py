@@ -2366,7 +2366,9 @@ def read_changes(
             _accumulate(
                 spark.read.parquet(
                     *[os.path.join(table_dir, p) for p in cdc_paths]
-                ).withColumn("_commit_version", F.lit(v).cast("long"))
+                ).withColumn("_commit_version",
+                             F.nullif(F.lit(v).cast("long"),
+                                      F.lit(-1).cast("long")))
             )
             continue
         adds = [a["add"] for a in acts
@@ -2405,9 +2407,18 @@ def read_changes(
                 df = df.join(dead, ["__fp", "__ri"], "left_anti")
             return (
                 df.drop("__fp", "__ri")
-                .withColumn("_change_type", F.lit(change))
+                # nullif() makes both CDF columns NULLABLE (a bare
+                # lit() is non-nullable and when(true, ...) folds) so
+                # synthesized commits carry the same schema as the
+                # cdc-file commits (whose parquet reads are nullable)
+                # — a per-commit consumer appending batches must see
+                # ONE schema (round 13, the streaming source); the
+                # sentinels never occur, so values are unchanged
+                .withColumn("_change_type",
+                            F.nullif(F.lit(change), F.lit("")))
                 .withColumn("_commit_version",
-                            F.lit(version).cast("long"))
+                            F.nullif(F.lit(version).cast("long"),
+                                     F.lit(-1).cast("long")))
             )
 
         if adds:
