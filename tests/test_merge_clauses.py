@@ -1,0 +1,278 @@
+"""Conditional MERGE clauses on both sinks (round 13, VERDICT r12
+What's missing #2 / next-round #4):
+
+- ``WHEN MATCHED [AND cond] THEN DELETE`` / ``UPDATE``,
+  ``WHEN NOT MATCHED [AND cond] THEN INSERT`` (Delta),
+  ``WHEN NOT MATCHED BY SOURCE THEN DELETE`` — on both sinks,
+  reusing the DV / position-delete machinery;
+- the CDC-apply equivalence the verdict pins: an
+  `orders_cdc_apply`-shaped event batch (upserts + terminal deletes)
+  applied through ONE merge call yields exactly the state the
+  relational compaction (`operators/cdc.cdc_apply`) computes.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from hainan_big_data_recommend_system_spark.operators.cdc import cdc_apply
+from hainan_big_data_recommend_system_spark.operators.deltalog import (
+    resolve_deletion_vector,
+)
+from hainan_big_data_recommend_system_spark.sources import delta_sink
+from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+    merge_delta,
+    snapshot,
+    write_delta,
+)
+from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+    merge_iceberg,
+    read_table,
+    write_iceberg,
+)
+
+
+def _delta_live(spark, tbl, cols):
+    snap = snapshot(tbl)
+    if not snap["live"]:
+        return []
+
+    def fetch(p):
+        return open(os.path.join(tbl, p), "rb").read()
+
+    dead = {
+        delta_sink._abs_uri(tbl, p): set(resolve_deletion_vector(d, fetch))
+        for p, d in snap.get("deletion_vectors", {}).items()
+    }
+    df = (
+        spark.read.parquet(
+            *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+        )
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    return sorted(
+        tuple(r[c] for c in cols)
+        for r in df.collect()
+        if r["__ri"] not in dead.get(r["__fp"], ())
+    )
+
+
+def _iceberg_live(spark, tbl, cols):
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        _alive_rows_with_positions,
+        _prev_state,
+    )
+
+    prev = _prev_state(tbl)
+    if not prev["live"]:
+        return []
+    rows = _alive_rows_with_positions(spark, tbl, prev)
+    return sorted(tuple(r[c] for c in cols) for r in rows.collect())
+
+
+BASE = [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, "d", 40)]
+SCHEMA = "id long, name string, qty long"
+# CDC batch: update 2, delete 3, insert 5, delete-for-absent-key 9
+EVENTS = [
+    (2, "B", 200, "U"),
+    (3, None, None, "D"),
+    (5, "e", 50, "I"),
+    (9, None, None, "D"),
+]
+EV_SCHEMA = "id long, name string, qty long, _op string"
+WANT = [(1, "a", 10), (2, "B", 200), (4, "d", 40), (5, "e", 50)]
+
+
+class TestDeltaClauses:
+    def test_cdc_apply_through_one_merge(self, spark, tmp_path):
+        tbl = str(tmp_path / "cdc")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        events = spark.createDataFrame(EVENTS, EV_SCHEMA)
+        res = merge_delta(
+            spark, events, tbl, key_cols=["id"],
+            matched_delete="_op = 'delete' OR _op = 'D'",
+            not_matched_insert="_op NOT IN ('delete', 'D')",
+        )
+        assert res["n_rows_updated"] == 1   # id 2 superseded
+        assert res["n_rows_deleted"] == 1   # id 3; id 9 was absent
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        assert got == WANT
+
+    def test_equals_relational_cdc_apply(self, spark, tmp_path):
+        """The verdict's equivalence pin: ONE merge call == cdc_apply
+        over base-as-inserts + events."""
+        tbl = str(tmp_path / "cdc_eq")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        events = spark.createDataFrame(EVENTS, EV_SCHEMA)
+        merge_delta(
+            spark, events, tbl, key_cols=["id"],
+            matched_delete="_op = 'D'",
+            not_matched_insert="_op <> 'D'",
+        )
+        changelog = (
+            spark.createDataFrame(BASE, SCHEMA)
+            .select("id", "name", "qty", F.lit("I").alias("_op"),
+                    F.lit(0).alias("_seq"))
+            .unionByName(
+                spark.createDataFrame(EVENTS, EV_SCHEMA)
+                .withColumn("_seq", F.lit(1)))
+        )
+        want = sorted(
+            (r["id"], r["name"], r["qty"])
+            for r in cdc_apply(changelog, ["id"], "_seq", "_op")
+            .collect()
+        )
+        assert _delta_live(spark, tbl, ["id", "name", "qty"]) == want
+
+    def test_matched_update_condition(self, spark, tmp_path):
+        tbl = str(tmp_path / "upd_cond")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame(
+            [(1, "A", 100, True), (2, "B", 200, False)],
+            "id long, name string, qty long, apply boolean",
+        )
+        res = merge_delta(spark, src, tbl, key_cols=["id"],
+                          matched_update="apply")
+        assert res["n_rows_updated"] == 1
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        # id 1 updated; id 2 untouched (its condition failed)
+        assert got == [(1, "A", 100), (2, "b", 20), (3, "c", 30),
+                       (4, "d", 40)]
+
+    def test_not_matched_by_source_delete(self, spark, tmp_path):
+        tbl = str(tmp_path / "nmbs")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(1, "A", 100)], SCHEMA)
+        res = merge_delta(
+            spark, src, tbl, key_cols=["id"],
+            not_matched_by_source_delete="qty >= 30",
+        )
+        assert res["n_rows_updated"] == 1   # id 1
+        assert res["n_rows_deleted"] == 2   # ids 3, 4 (qty 30, 40)
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        assert got == [(1, "A", 100), (2, "b", 20)]
+
+    def test_conflicting_clause_routing_rejected(self, spark, tmp_path):
+        tbl = str(tmp_path / "dupkey")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame(
+            [(2, "x", 1, "D"), (2, "y", 2, "U")], EV_SCHEMA)
+        with pytest.raises(ValueError, match="clause conflict"):
+            merge_delta(spark, src, tbl, key_cols=["id"],
+                        matched_delete="_op = 'D'")
+
+    def test_cdf_records_clause_changes(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+            read_changes,
+        )
+
+        tbl = str(tmp_path / "cdc_cdf")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        events = spark.createDataFrame(EVENTS, EV_SCHEMA)
+        merge_delta(spark, events, tbl, key_cols=["id"],
+                    matched_delete="_op = 'D'",
+                    not_matched_insert="_op <> 'D'")
+        feed = read_changes(spark, tbl, 0, 1)
+        by_type = {
+            r["_change_type"]: r["id"] for r in feed.collect()
+        }
+        kinds = sorted(
+            r["_change_type"] for r in feed.collect()
+        )
+        assert kinds == ["delete", "insert", "update_postimage",
+                         "update_preimage"]
+        assert by_type["delete"] == 3
+        assert by_type["insert"] == 5
+
+    def test_no_clauses_still_pure_upsert(self, spark, tmp_path):
+        tbl = str(tmp_path / "plain")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(2, "B", 200), (5, "e", 50)],
+                                    SCHEMA)
+        res = merge_delta(spark, src, tbl, key_cols=["id"])
+        assert res["n_rows_updated"] == 1
+        assert res["n_rows_deleted"] == 0
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30),
+                       (4, "d", 40), (5, "e", 50)]
+
+
+class TestIcebergClauses:
+    def test_cdc_apply_through_one_merge(self, spark, tmp_path):
+        tbl = str(tmp_path / "icdc")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        events = spark.createDataFrame(EVENTS, EV_SCHEMA)
+        res = merge_iceberg(
+            spark, events, tbl, key_cols=["id"],
+            matched_delete="_op = 'D'",
+        )
+        assert res["version"] is not None
+        got = _iceberg_live(spark, tbl, ["id", "name", "qty"])
+        assert got == WANT
+        # the staged files carry the TABLE schema, not _op
+        st = read_table(tbl)
+        assert "_op" not in [
+            f.name for f in spark.read.parquet(
+                *[os.path.join(tbl, p) for p in sorted(st["live"])]
+            ).schema.fields
+        ]
+
+    def test_delete_only_batch(self, spark, tmp_path):
+        tbl = str(tmp_path / "idel")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        events = spark.createDataFrame(
+            [(1, None, None, "D"), (4, None, None, "D")], EV_SCHEMA)
+        res = merge_iceberg(spark, events, tbl, key_cols=["id"],
+                            matched_delete="_op = 'D'")
+        assert res["version"] is not None
+        assert res["n_files_added"] == 0
+        got = _iceberg_live(spark, tbl, ["id", "name", "qty"])
+        assert got == [(2, "b", 20), (3, "c", 30)]
+
+    def test_not_matched_by_source_delete(self, spark, tmp_path):
+        tbl = str(tmp_path / "inmbs")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(1, "A", 100)], SCHEMA)
+        res = merge_iceberg(
+            spark, src, tbl, key_cols=["id"],
+            not_matched_by_source_delete="qty >= 30",
+        )
+        assert res["n_rows_deleted"] == 2
+        got = _iceberg_live(spark, tbl, ["id", "name", "qty"])
+        assert got == [(1, "A", 100), (2, "b", 20)]
+
+    def test_equals_relational_cdc_apply(self, spark, tmp_path):
+        tbl = str(tmp_path / "icdc_eq")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        events = spark.createDataFrame(EVENTS, EV_SCHEMA)
+        merge_iceberg(spark, events, tbl, key_cols=["id"],
+                      matched_delete="_op = 'D'")
+        changelog = (
+            spark.createDataFrame(BASE, SCHEMA)
+            .select("id", "name", "qty", F.lit("I").alias("_op"),
+                    F.lit(0).alias("_seq"))
+            .unionByName(
+                spark.createDataFrame(EVENTS, EV_SCHEMA)
+                .withColumn("_seq", F.lit(1)))
+        )
+        want = sorted(
+            (r["id"], r["name"], r["qty"])
+            for r in cdc_apply(changelog, ["id"], "_seq", "_op")
+            .collect()
+        )
+        assert _iceberg_live(spark, tbl, ["id", "name", "qty"]) == want
+
+    def test_no_clauses_still_pure_upsert(self, spark, tmp_path):
+        tbl = str(tmp_path / "iplain")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(2, "B", 200), (5, "e", 50)],
+                                    SCHEMA)
+        res = merge_iceberg(spark, src, tbl, key_cols=["id"])
+        assert res["n_delete_keys"] == 2
+        got = _iceberg_live(spark, tbl, ["id", "name", "qty"])
+        assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30),
+                       (4, "d", 40), (5, "e", 50)]
