@@ -215,6 +215,36 @@ def parse_table_metadata(text: str) -> dict:
         for k, v in props.items()
     ):
         raise ValueError("table properties must be a string map")
+    partition_spec: list[dict] = []
+    specs = obj.get("partition-specs")
+    if specs is not None:
+        if not isinstance(specs, list):
+            raise ValueError("partition-specs is not a list")
+        want_spec = obj.get("default-spec-id", 0)
+        for sp in specs:
+            if not isinstance(sp, dict) or not isinstance(
+                sp.get("fields"), list
+            ):
+                raise ValueError("partition spec missing fields")
+            if sp.get("spec-id", 0) != want_spec:
+                continue
+            for f in sp["fields"]:
+                name = f.get("name")
+                tr = f.get("transform")
+                src = f.get("source-name")
+                if not isinstance(name, str) or not isinstance(tr, str):
+                    raise ValueError(
+                        "partition field missing name/transform")
+                param = f.get("param")
+                if param is not None and (
+                    not isinstance(param, int) or isinstance(param, bool)
+                ):
+                    raise ValueError("partition field bad param")
+                partition_spec.append({
+                    "name": name, "transform": tr,
+                    "source": src if isinstance(src, str) else name,
+                    "param": param,
+                })
     return {
         "format_version": fv,
         "current_snapshot_id": cur,
@@ -223,6 +253,7 @@ def parse_table_metadata(text: str) -> dict:
         "field_ids": {n: i for i, n in field_names.items()},
         "field_types": field_types,
         "properties": dict(props),
+        "partition_spec": partition_spec,
     }
 
 
@@ -589,6 +620,7 @@ def make_table_metadata(
     format_version: int = 2,
     schema_fields: list[dict] | None = None,
     properties: dict[str, str] | None = None,
+    partition_spec: list[dict] | None = None,
 ) -> str:
     """``schema_fields`` (round 11) is the spec's schema block —
     ``[{id, name, type}, ...]`` — recorded so readers can resolve
@@ -607,6 +639,24 @@ def make_table_metadata(
     }
     if properties:
         obj["properties"] = dict(sorted(properties.items()))
+    if partition_spec:
+        # the spec's partition-specs block (round 13 — HIDDEN
+        # partitioning): each field names its transform and source
+        # column so readers can map predicates on the source column
+        # onto partition-tuple pruning.  field-ids start at 1000 per
+        # the spec's partition-field-id convention.
+        obj["default-spec-id"] = 0
+        obj["partition-specs"] = [{
+            "spec-id": 0,
+            "fields": [
+                {"name": f["name"], "transform": f["transform"],
+                 "source-name": f["source"],
+                 "field-id": 1000 + i,
+                 **({"param": f["param"]}
+                    if f.get("param") is not None else {})}
+                for i, f in enumerate(partition_spec)
+            ],
+        }]
     if schema_fields:
         obj["current-schema-id"] = 0
         obj["schemas"] = [{

@@ -2137,6 +2137,106 @@ def _ensure_iceberg_lifecycle_fixture(
 #: the state every lifecycle verb leaves behind, recomputed by DuckDB
 #: from the raw documents table: %7==3 deleted (unless merged back),
 #: %5==0 merged to '-v2', then-%9==0 updated with '-upd'
+def _ensure_iceberg_hidden_part_fixture(
+    spark: SparkSession, sf_dir: str,
+) -> str:
+    """A days(ts) hidden-partitioned Iceberg events table with a
+    timestamp-range DELETE applied: one data file per day (the writer
+    coalesces first, so the kept/skipped file counts are exactly the
+    kept/skipped DAY counts the oracle recomputes)."""
+    out = _fixture_dir(sf_dir, "iceberghiddenpart")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import delete_where_iceberg, write_iceberg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_iceberg(events.repartition(1), tmp,
+                  partition_by=["days(ts)"])
+    delete_where_iceberg(
+        spark, tmp,
+        "ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "iceberg_hidden_partitioning",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+         kept AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k FROM days
+           WHERE d >= DATE '2024-01-10' AND d <= DATE '2024-01-13'
+         ),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days),
+         gone AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS g FROM events
+           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             AND ts < TIMESTAMP '2024-01-13 00:00:00'
+         )
+    SELECT e.event_id, e.event_type,
+           kept.k AS n_files_kept,
+           tot.t - kept.k AS n_files_skipped,
+           gone.g AS n_rows_deleted
+    FROM events e, kept, tot, gone
+    WHERE NOT (e.ts >= TIMESTAMP '2024-01-10 00:00:00'
+               AND e.ts < TIMESTAMP '2024-01-13 00:00:00')
+    """,
+)
+def q_iceberg_hidden_partitioning(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """HIDDEN PARTITIONING (round 13, VERDICT r12 missing #3): the
+    events table written under a ``days(ts)`` partition transform —
+    the derived day lives in the partition spec and the Hive layout,
+    never in the data files — then a timestamp-range DELETE whose
+    scan plan opens ONLY the matching day partitions
+    (`transform_constraint_spellings` maps the ts-range onto day
+    spellings).  The kept/skipped file counts are recomputed on the
+    pre-delete snapshot and pinned INSIDE the hash gate: a pruner
+    that opened every partition, or skipped one holding matches,
+    hash-mismatches; the surviving rows replay against the events
+    table directly."""
+    from ..sources.delta_sink import _prune_dml_paths
+    from ..sources.iceberg_sink import (
+        _alive_rows_with_positions,
+        _declared_types,
+        _prev_state,
+        read_table,
+    )
+
+    fixture = _ensure_iceberg_hidden_part_fixture(spark, sf_dir)
+    cur = _prev_state(fixture)
+    assert cur["partition_spec"] and \
+        cur["partition_spec"][0]["transform"] == "day"
+    pre = read_table(fixture, snapshot_id=1)  # before the DELETE
+    pseudo = {**cur, "live": pre["live"],
+              "partition_values": pre["partition_values"],
+              "file_stats": pre["file_stats"]}
+    paths, counts = _prune_dml_paths(
+        fixture, pseudo,
+        "ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'",
+        declared=_declared_types(cur),
+        transforms=cur["partition_spec"],
+    )
+    n_kept = len(paths)
+    n_skipped = counts["n_partition_skipped"]
+    n_deleted = sum(cur["position_delete_rows"].values())
+    rows = _alive_rows_with_positions(spark, fixture, cur)
+    return rows.select(
+        "event_id", "event_type",
+        F.lit(n_kept).cast("long").alias("n_files_kept"),
+        F.lit(n_skipped).cast("long").alias("n_files_skipped"),
+        F.lit(n_deleted).cast("long").alias("n_rows_deleted"),
+    )
+
+
 _ICEBERG_LIFECYCLE_STATE_SQL = """
     SELECT doc_id,
            CASE

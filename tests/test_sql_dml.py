@@ -1,0 +1,223 @@
+"""SQL-text DML front door (round 13, VERDICT r12 What's missing #4 /
+next-round #7): DELETE FROM / UPDATE ... SET / MERGE INTO strings
+dispatch onto the sink verbs.  The core pin is the verdict's Done
+criterion: the SAME SQL string runs on a sink-written table AND on
+the DuckDB oracle's copy of the data, and the final states are
+hash-equal.
+"""
+
+from __future__ import annotations
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from hainan_big_data_recommend_system_spark.operators.deltalog import (
+    resolve_deletion_vector,
+)
+from hainan_big_data_recommend_system_spark.sources import delta_sink
+from hainan_big_data_recommend_system_spark.sources.delta_sink import (
+    snapshot,
+    write_delta,
+)
+from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+    _alive_rows_with_positions,
+    _prev_state,
+    write_iceberg,
+)
+from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+    parse_merge,
+    run_dml,
+)
+
+ROWS = [(i, f"n{i}", (i * 7) % 50) for i in range(40)]
+SCHEMA = "id long, name string, qty long"
+
+
+def _delta_state(spark, tbl):
+    snap = snapshot(tbl)
+    if not snap["live"]:
+        return []
+
+    def fetch(p):
+        return open(os.path.join(tbl, p), "rb").read()
+
+    dead = {
+        delta_sink._abs_uri(tbl, p): set(resolve_deletion_vector(d, fetch))
+        for p, d in snap.get("deletion_vectors", {}).items()
+    }
+    df = (
+        spark.read.parquet(
+            *[os.path.join(tbl, p) for p in sorted(snap["live"])]
+        )
+        .withColumn("__fp", F.col("_metadata.file_path"))
+        .withColumn("__ri", F.col("_metadata.row_index"))
+    )
+    return sorted(
+        (r["id"], r["name"], r["qty"])
+        for r in df.collect()
+        if r["__ri"] not in dead.get(r["__fp"], ())
+    )
+
+
+def _duck_state(con):
+    return sorted(
+        tuple(r) for r in
+        con.execute("SELECT id, name, qty FROM t ORDER BY id").fetchall()
+    )
+
+
+@pytest.fixture
+def duck():
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(id BIGINT, name VARCHAR, qty BIGINT)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?)", ROWS)
+    yield con
+    con.close()
+
+
+class TestSameStatementBothEngines:
+    """The SAME SQL text mutates the sink table and the DuckDB copy;
+    final states must be equal."""
+
+    @pytest.mark.parametrize("stmt", [
+        "DELETE FROM t WHERE qty >= 30",
+        "DELETE FROM t WHERE id IN (3, 5, 8) OR name = 'n11'",
+        "UPDATE t SET qty = qty * 2 WHERE id % 3 = 0",
+        "UPDATE t SET name = concat(name, '-x'), qty = qty + 1 "
+        "WHERE qty < 10",
+    ])
+    def test_delta(self, spark, tmp_path, duck, stmt):
+        tbl = str(tmp_path / "d")
+        write_delta(spark.createDataFrame(ROWS, SCHEMA), tbl)
+        run_dml(spark, stmt, {"t": tbl})
+        duck.execute(stmt)
+        assert _delta_state(spark, tbl) == _duck_state(duck)
+
+    @pytest.mark.parametrize("stmt", [
+        "DELETE FROM t WHERE qty >= 30",
+        "UPDATE t SET qty = qty * 2 WHERE id % 3 = 0",
+    ])
+    def test_iceberg(self, spark, tmp_path, duck, stmt):
+        tbl = str(tmp_path / "i")
+        write_iceberg(spark.createDataFrame(ROWS, SCHEMA), tbl)
+        run_dml(spark, stmt, {"t": tbl}, fmt="iceberg")
+        duck.execute(stmt)
+        got = sorted(
+            (r["id"], r["name"], r["qty"])
+            for r in _alive_rows_with_positions(
+                spark, tbl, _prev_state(tbl)
+            ).select("id", "name", "qty").collect()
+        )
+        assert got == _duck_state(duck)
+
+
+class TestMergeStatement:
+    MERGE = (
+        "MERGE INTO t USING ev ON t.id = ev.id "
+        "WHEN MATCHED AND ev._op = 'D' THEN DELETE "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED AND ev._op <> 'D' THEN INSERT *"
+    )
+    EVENTS = [(2, "B", 200, "U"), (3, None, None, "D"),
+              (55, "new", 5, "I"), (99, None, None, "D")]
+    EV_SCHEMA = "id long, name string, qty long, _op string"
+
+    def test_parse(self):
+        spec = parse_merge(self.MERGE)
+        assert spec["target"] == "t" and spec["source"] == "ev"
+        assert spec["key_cols"] == ["id"]
+        assert spec["matched_delete"] == "_op = 'D'"
+        assert spec["matched_update"] is None
+        assert spec["not_matched_insert"] == "_op <> 'D'"
+
+    def test_delta_merge_statement(self, spark, tmp_path):
+        tbl = str(tmp_path / "m")
+        write_delta(spark.createDataFrame(ROWS, SCHEMA), tbl)
+        ev = spark.createDataFrame(self.EVENTS, self.EV_SCHEMA)
+        run_dml(spark, self.MERGE, {"t": tbl}, sources={"ev": ev})
+        got = dict(
+            (i, (n, q)) for i, n, q in _delta_state(spark, tbl)
+        )
+        assert 3 not in got            # terminal delete
+        assert got[2] == ("B", 200)    # update
+        assert got[55] == ("new", 5)   # insert
+        assert 99 not in got           # ghost delete no-op
+        assert len(got) == 40          # 40 - 1 + 1
+
+    def test_merge_without_update_clause_leaves_matched(self, spark,
+                                                        tmp_path):
+        tbl = str(tmp_path / "m2")
+        write_delta(spark.createDataFrame(ROWS, SCHEMA), tbl)
+        ev = spark.createDataFrame(self.EVENTS, self.EV_SCHEMA)
+        stmt = ("MERGE INTO t USING ev ON t.id = ev.id "
+                "WHEN MATCHED AND ev._op = 'D' THEN DELETE "
+                "WHEN NOT MATCHED AND ev._op <> 'D' THEN INSERT *")
+        run_dml(spark, stmt, {"t": tbl}, sources={"ev": ev})
+        got = dict((i, (n, q)) for i, n, q in _delta_state(spark, tbl))
+        assert 3 not in got
+        assert got[2] == ("n2", 14)    # matched U row UNTOUCHED
+        assert got[55] == ("new", 5)
+
+    def test_nmbs_statement(self, spark, tmp_path):
+        tbl = str(tmp_path / "m3")
+        write_delta(spark.createDataFrame(ROWS[:6], SCHEMA), tbl)
+        ev = spark.createDataFrame([(1, "A", 1)], SCHEMA)
+        stmt = ("MERGE INTO t AS tg USING src AS s ON tg.id = s.id "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED BY SOURCE AND tg.qty >= 21 "
+                "THEN DELETE")
+        run_dml(spark, stmt, {"t": tbl}, sources={"src": ev})
+        got = dict((i, (n, q)) for i, n, q in _delta_state(spark, tbl))
+        # qty = (i*7)%50: ids 3,4,5 have qty 21,28,35 -> deleted
+        assert sorted(got) == [0, 1, 2]
+        assert got[1] == ("A", 1)
+
+
+class TestRefusals:
+    def test_unknown_table(self, spark):
+        with pytest.raises(ValueError, match="unknown table"):
+            run_dml(spark, "DELETE FROM nope WHERE x = 1", {"t": "/x"})
+
+    def test_unsupported_statement(self, spark):
+        with pytest.raises(ValueError, match="unsupported DML"):
+            run_dml(spark, "TRUNCATE TABLE t", {"t": "/x"})
+
+    def test_non_equi_on(self):
+        with pytest.raises(ValueError, match="not\\s"):
+            parse_merge("MERGE INTO t USING s ON t.id > s.id "
+                        "WHEN MATCHED THEN DELETE")
+
+    def test_update_set_assignments_refused(self):
+        with pytest.raises(ValueError, match="unparseable MERGE clause"):
+            parse_merge("MERGE INTO t USING s ON t.id = s.id "
+                        "WHEN MATCHED THEN UPDATE SET qty = 1")
+
+    def test_cross_alias_condition_refused(self):
+        with pytest.raises(ValueError, match="references"):
+            parse_merge("MERGE INTO t USING s ON t.id = s.id "
+                        "WHEN MATCHED AND t.qty > s.qty THEN DELETE")
+
+    def test_unconditional_delete_shadowing_update(self):
+        with pytest.raises(ValueError, match="shadows"):
+            parse_merge("MERGE INTO t USING s ON t.id = s.id "
+                        "WHEN MATCHED THEN DELETE "
+                        "WHEN MATCHED THEN UPDATE SET *")
+
+    def test_duplicate_set_target(self, spark, tmp_path):
+        tbl = str(tmp_path / "dup")
+        write_delta(spark.createDataFrame(ROWS[:2], SCHEMA), tbl)
+        with pytest.raises(ValueError, match="duplicate SET"):
+            run_dml(spark, "UPDATE t SET qty = 1, qty = 2 WHERE id = 0",
+                    {"t": tbl})
+
+    def test_quoted_comma_in_in_list(self, spark, tmp_path):
+        tbl = str(tmp_path / "q")
+        write_delta(
+            spark.createDataFrame([(1, "a,b", 0), (2, "c", 0)], SCHEMA),
+            tbl)
+        run_dml(spark, "DELETE FROM t WHERE name IN ('a,b')", {"t": tbl})
+        assert [r[0] for r in _delta_state(spark, tbl)] == [2]
