@@ -2195,7 +2195,8 @@ def rewrite_manifests_iceberg(
     )
 
 
-def expire_snapshots_plan(table_dir: str, retain_last: int = 1) -> dict:
+def expire_snapshots_plan(table_dir: str, retain_last: int = 1,
+                          older_than_hours: float | None = None) -> dict:
     """Which blobs can snapshot expiration physically delete — the
     Iceberg twin of `deltalog.vacuum_plan`: an O(metadata) driver-side
     plan, no data read.  The newest ``retain_last`` snapshots are
@@ -2231,6 +2232,24 @@ def expire_snapshots_plan(table_dir: str, retain_last: int = 1) -> dict:
     sids = sorted(meta["snapshots"])
     retained = sids[-retain_last:]
     expired = sids[:-retain_last]
+    if older_than_hours is not None:
+        # AGE horizon (round 13, VERDICT r12 next-round #9 — the
+        # spec's expire_snapshots(older_than=...) semantics): only
+        # snapshots whose manifest list landed before the cutoff
+        # expire; the newest retain_last stay regardless of age
+        import time
+
+        if older_than_hours < 0:
+            raise ValueError("older_than_hours must be >= 0")
+        cutoff = time.time() - older_than_hours * 3600.0
+        young = {
+            sid for sid in expired
+            if os.path.getmtime(
+                os.path.join(table_dir, meta["snapshots"][sid])
+            ) >= cutoff
+        }
+        retained = sorted(set(retained) | young)
+        expired = [s for s in expired if s not in young]
     if meta["current_snapshot_id"] not in retained:
         raise ValueError(
             "retention would expire the current snapshot"
@@ -2327,6 +2346,7 @@ def expire_snapshots_iceberg(
     table_dir: str,
     retain_last: int = 1,
     max_retries: int = 10,
+    older_than_hours: float | None = None,
 ) -> dict:
     """EXECUTE snapshot expiration: commit a new metadata version
     whose snapshot list keeps only the newest ``retain_last``
@@ -2338,7 +2358,8 @@ def expire_snapshots_iceberg(
     two leaves only harmless orphans, never a dangling pointer.
 
     Returns the plan's counts plus ``{version}`` of the new metadata."""
-    plan = expire_snapshots_plan(table_dir, retain_last=retain_last)
+    plan = expire_snapshots_plan(table_dir, retain_last=retain_last,
+                                 older_than_hours=older_than_hours)
     if not plan["expired"]:
         return {**plan, "version": None}
     token = uuid.uuid4().hex[:12]
