@@ -1672,6 +1672,34 @@ def merge_iceberg(
     )
 
 
+def read_iceberg_table(spark, table_dir: str) -> DataFrame:
+    """The table's LIVE rows as a DataFrame — the one-call read path
+    (round 13, `read_delta_table`'s format-#2 twin): resolve the
+    manifest tree, scan only the live data files with the DECLARED
+    schema, apply position AND equality deletes under the spec's
+    sequence rules, and return the recorded columns in order (hidden
+    partition fields stay metadata; identity partition columns
+    re-attach from the layout)."""
+    prev = _prev_state(table_dir)
+    if not prev["live"]:
+        if prev["field_names"]:
+            types = prev.get("field_types", {})
+            names = ", ".join(
+                f"`{n}` {types.get(i, 'string')}"
+                for i, n in sorted(prev["field_names"].items())
+            )
+            return spark.createDataFrame([], names)
+        raise ValueError(f"{table_dir!r} has no live files and no "
+                         "recorded schema")
+    rows = _alive_rows_with_positions(spark, table_dir, prev)
+    rows = rows.drop("__fp", "__ri", "file_path", "__dataseq")
+    if prev["field_names"]:
+        rows = rows.select(
+            *[n for _, n in sorted(prev["field_names"].items())]
+        )
+    return rows
+
+
 def _posdel_targets(
     spark, table_dir: str, delete_files: list[str],
 ) -> dict[str, set[str]] | None:

@@ -245,13 +245,20 @@ def run_dml(
         if sources and src_name in sources:
             source_df = sources[src_name]
         elif src_name in tables:
-            raise ValueError(
-                "MERGE USING a lake table is not wired yet; pass the "
-                f"source as a DataFrame via sources[{src_name!r}]"
-            )
+            # MERGE USING another lake table: read its live rows
+            # through the one-call reader for the statement's format
+            if fmt == "delta":
+                from .delta_sink import read_delta_table
+
+                source_df = read_delta_table(spark, tables[src_name])
+            else:
+                from .iceberg_sink import read_iceberg_table
+
+                source_df = read_iceberg_table(spark, tables[src_name])
         else:
             raise ValueError(
-                f"MERGE source {src_name!r} not found in sources"
+                f"MERGE source {src_name!r} not found in sources or "
+                f"tables"
             )
         if fmt == "delta":
             from .delta_sink import merge_delta

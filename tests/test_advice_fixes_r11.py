@@ -256,8 +256,20 @@ def test_iceberg_append_partition_layout_must_agree(spark, tmp_path):
     tbl = str(tmp_path / "tbl")
     df = spark.range(0, 20).selectExpr("id", "id % 2 as p")
     write_iceberg(df, tbl, partition_by=["p"])
-    with pytest.raises(ValueError, match="partition"):
-        write_iceberg(df, tbl)  # flat append into a partitioned table
+    # round 13 (hidden partitioning): an append naming NO layout
+    # INHERITS the table's recorded partition spec — it lands IN the
+    # partitioned layout, which is a stronger guarantee than the old
+    # refusal (the r11 danger was silently writing FLAT files; that
+    # can no longer happen)
+    res = write_iceberg(df, tbl)
+    assert res["n_records"] == 20
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        _prev_state,
+    )
+
+    pv = _prev_state(tbl)["partition_values"]
+    assert all(set(v) == {"p"} for v in pv.values())
+    # a MISMATCHED explicit layout still refuses
     with pytest.raises(ValueError, match="partition"):
         write_iceberg(df, tbl, partition_by=["id"])
     # the agreeing layout still appends
