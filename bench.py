@@ -120,6 +120,30 @@ def main() -> None:
     except Exception as e:  # staging is an optimization, never a gate
         print(f"# _dedup_staging skipped: {e}", file=sys.stderr)
 
+    # Same honesty for the lake lifecycle fixture the three promoted
+    # Iceberg rows share (rotation #11): build it ONCE as its own
+    # reported line, so a cold fixture dir doesn't land its full
+    # write+DML+compaction cost on whichever of the three runs first
+    # (the same optics problem _dedup_staging solved for the dedup
+    # chain).  A warm fixture dir makes this a no-op stat call.
+    try:
+        from hainan_big_data_recommend_system_spark.qcatalog.filescan import (
+            _ensure_iceberg_lifecycle_fixture,
+        )
+
+        t0 = time.perf_counter()
+        _ensure_iceberg_lifecycle_fixture(spark, SF_DIR)
+        dt = round(time.perf_counter() - t0, 4)
+        if dt >= 0.05:  # only report a real (cold) build
+            timings["_iceberg_lifecycle_staging"] = dt
+            print(f"# _iceberg_lifecycle_staging: {dt:.3f}s",
+                  file=sys.stderr)
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+    except Exception as e:
+        print(f"# _iceberg_lifecycle_staging skipped: {e}",
+              file=sys.stderr)
+
     for name, spec in REGISTRY.items():
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
