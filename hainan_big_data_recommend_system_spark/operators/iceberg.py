@@ -51,6 +51,7 @@ ValueError-only decode contract, like every decoder in the fleet.
 from __future__ import annotations
 
 import json
+import re
 from collections.abc import Callable
 
 
@@ -240,6 +241,12 @@ def parse_table_metadata(text: str) -> dict:
                     not isinstance(param, int) or isinstance(param, bool)
                 ):
                     raise ValueError("partition field bad param")
+                if param is None:
+                    # spec-faithful metadata carries the width only
+                    # inside the transform string ("bucket[16]")
+                    pm = re.match(r"^(?:bucket|truncate)\[(\d+)\]$", tr)
+                    if pm:
+                        param = int(pm.group(1))
                 partition_spec.append({
                     "name": name, "transform": tr,
                     "source": src if isinstance(src, str) else name,
