@@ -2346,6 +2346,102 @@ def q_iceberg_hidden_partitioning(
     )
 
 
+def _ensure_delta_genpart_fixture(spark: SparkSession,
+                                  sf_dir: str) -> str:
+    """A days(ts) generated-column-partitioned Delta events table
+    with a timestamp-range DELETE applied — `iceberghiddenpart`'s
+    format-#1 twin; one data file per day so kept/skipped file counts
+    equal kept/skipped day counts."""
+    out = _fixture_dir(sf_dir, "deltagenpart")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import delete_where_delta, write_delta
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(events.repartition(1), tmp,
+                partition_by=["days(ts)"])
+    delete_where_delta(
+        spark, tmp,
+        "ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra(
+    "delta_generated_partitioning",
+    """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+         kept AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS k FROM days
+           WHERE d >= DATE '2024-01-10' AND d <= DATE '2024-01-13'
+         ),
+         tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM days),
+         gone AS (
+           SELECT CAST(COUNT(*) AS BIGINT) AS g FROM events
+           WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+             AND ts < TIMESTAMP '2024-01-13 00:00:00'
+         )
+    SELECT e.event_id, e.event_type,
+           STRFTIME(CAST(e.ts AS DATE), '%Y-%m-%d') AS ts_day,
+           kept.k AS n_files_kept,
+           tot.t - kept.k AS n_files_skipped,
+           gone.g AS n_rows_deleted
+    FROM events e, kept, tot, gone
+    WHERE NOT (e.ts >= TIMESTAMP '2024-01-10 00:00:00'
+               AND e.ts < TIMESTAMP '2024-01-13 00:00:00')
+    """,
+)
+def q_delta_generated_partitioning(
+    spark: SparkSession, sf_dir: str,
+) -> DataFrame:
+    """GENERATED-COLUMN partitioning on Delta (round 13 — the
+    `iceberg_hidden_partitioning` twin): the events table written
+    under ``days(ts)``, realized as a ``ts_day`` generated column
+    whose expression lives in the schema metadata
+    (``delta.generationExpression``), then a timestamp-range DELETE
+    whose scan opens ONLY the matching day partitions through the
+    SAME transform lever the Iceberg spec drives.  Kept/skipped file
+    counts recompute on the pre-delete snapshot and ride the hash
+    gate; the oracle recomputes every surviving row AND its derived
+    ``ts_day`` value independently, so a wrong generation expression
+    hash-mismatches too."""
+    from ..sources.delta_sink import (
+        _generated_transforms,
+        _prune_dml_paths,
+        read_delta_table,
+        snapshot,
+        snapshot_as_of,
+    )
+
+    fixture = _ensure_delta_genpart_fixture(spark, sf_dir)
+    cur = snapshot(fixture)
+    transforms = _generated_transforms(cur)
+    assert transforms and transforms[0]["transform"] == "day"
+    pre = snapshot_as_of(fixture, 0)  # before the DELETE
+    paths, counts = _prune_dml_paths(
+        fixture, pre,
+        "ts >= '2024-01-10 00:00:00' AND ts < '2024-01-13 00:00:00'",
+        transforms=transforms,
+    )
+    n_kept = len(paths)
+    n_skipped = counts["n_partition_skipped"]
+    n_deleted = cur["dv_cardinality"]
+    rows = read_delta_table(spark, fixture)
+    return rows.select(
+        "event_id", "event_type", "ts_day",
+        F.lit(n_kept).cast("long").alias("n_files_kept"),
+        F.lit(n_skipped).cast("long").alias("n_files_skipped"),
+        F.lit(n_deleted).cast("long").alias("n_rows_deleted"),
+    )
+
+
 _ICEBERG_LIFECYCLE_STATE_SQL = """
     SELECT doc_id,
            CASE

@@ -307,6 +307,117 @@ def _advance_replay(state: dict | None, text: str, version: int) -> dict:
     )
 
 
+# ---------------------------------------------------------------------------
+# GENERATED-COLUMN partitioning (round 13) — the Delta twin of Iceberg's
+# hidden partitioning: a time/prefix-partitioned table partitions on a
+# column GENERATED from a source column, with the expression recorded in
+# the schema field's metadata under ``delta.generationExpression``
+# (delta-io PROTOCOL.md "Generated Columns" / the public Delta docs).
+# Writers derive the column; readers map predicates on the SOURCE column
+# onto partition pruning through the same transform lever the Iceberg
+# spec drives (`transform_constraint_spellings`).
+# ---------------------------------------------------------------------------
+
+_GEN_EXPR_KEY = "delta.generationExpression"
+_GEN_DAY_RE = re.compile(
+    r"^date_format\(\s*`?(\w+)`?\s*,\s*'yyyy-MM-dd'\s*\)$")
+_GEN_TRUNC_STR_RE = re.compile(
+    r"^substring\(\s*`?(\w+)`?\s*,\s*1\s*,\s*(\d+)\s*\)$")
+_GEN_TRUNC_INT_RE = re.compile(
+    r"^`?(\w+)`?\s*-\s*pmod\(\s*`?(\w+)`?\s*,\s*(\d+)\s*\)$")
+
+
+def _generated_transforms(snap: dict) -> list[dict]:
+    """Transform specs recovered from the recorded schema's
+    ``delta.generationExpression`` metadata — only the canonical
+    expression spellings THIS sink writes are recognized (anything
+    else contributes no pruning, never a wrong prune)."""
+    out: list[dict] = []
+    if not snap.get("schema_json"):
+        return out
+    for f in json.loads(snap["schema_json"]).get("fields", []):
+        e = (f.get("metadata") or {}).get(_GEN_EXPR_KEY)
+        if not isinstance(e, str):
+            continue
+        m = _GEN_DAY_RE.match(e)
+        if m:
+            out.append({"name": f["name"], "transform": "day",
+                        "source": m.group(1), "param": None})
+            continue
+        m = _GEN_TRUNC_STR_RE.match(e)
+        if m:
+            w = int(m.group(2))
+            out.append({"name": f["name"],
+                        "transform": f"truncate[{w}]",
+                        "source": m.group(1), "param": w})
+            continue
+        m = _GEN_TRUNC_INT_RE.match(e)
+        if m and m.group(1) == m.group(2):
+            w = int(m.group(3))
+            out.append({"name": f["name"],
+                        "transform": f"truncate[{w}]",
+                        "source": m.group(1), "param": w})
+    return out
+
+
+def _generation_expression_text(field: dict, df: DataFrame) -> str:
+    """The canonical expression string recorded in the schema metadata
+    for a partition transform — exactly what `_generated_transforms`
+    parses back and `_apply_generated_columns` evaluates."""
+    from pyspark.sql.types import IntegerType, LongType, ShortType, StringType
+
+    src, t = field["source"], field["transform"]
+    if t == "day":
+        return f"date_format({src}, 'yyyy-MM-dd')"
+    if t.startswith("truncate["):
+        w = field["param"]
+        dtype = dict((f.name, f.dataType) for f in df.schema.fields
+                     ).get(src)
+        if isinstance(dtype, StringType):
+            return f"substring({src}, 1, {w})"
+        if isinstance(dtype, (LongType, IntegerType, ShortType)):
+            return f"{src} - pmod({src}, {w})"
+        raise ValueError(
+            f"truncate[{w}] supports string/int-family columns; "
+            f"{src!r} is "
+            f"{dtype.simpleString() if dtype else 'missing'}"
+        )
+    raise ValueError(
+        f"the Delta sink supports days()/truncate() generated-column "
+        f"partitioning; {t!r} (bucket) is the Iceberg sink's transform"
+    )
+
+
+def _apply_generated_columns(df: DataFrame,
+                             gen_specs: list[dict]) -> DataFrame:
+    """(Re)compute each generated partition column from its source —
+    write-time derivation, and the UPDATE-path recompute that moves a
+    row whose source column changed to its new partition."""
+    from pyspark.sql import functions as F
+
+    for f in gen_specs:
+        df = df.withColumn(
+            f["name"], F.expr(_generation_expression_text(f, df))
+        )
+    return df
+
+
+def _patched_schema_string(df: DataFrame,
+                           gen_specs: list[dict]) -> str:
+    """``df.schema.json()`` with ``delta.generationExpression``
+    stamped into each generated field's metadata — the schema contract
+    appends are enforced against."""
+    sch = json.loads(df.schema.json())
+    exprs = {
+        f["name"]: _generation_expression_text(f, df) for f in gen_specs
+    }
+    for fld in sch.get("fields", []):
+        if fld["name"] in exprs:
+            fld["metadata"] = {**(fld.get("metadata") or {}),
+                               _GEN_EXPR_KEY: exprs[fld["name"]]}
+    return json.dumps(sch)
+
+
 def read_delta_table(spark, table_dir: str,
                      version: int | None = None) -> DataFrame:
     """The table's LIVE rows as a DataFrame — the one-call read path
@@ -1544,11 +1655,42 @@ def write_delta(
     if _txn_done(pre):
         return {"version": None, "skipped": True, "n_files": 0,
                 "n_records": 0, "n_removed": 0}
+    # GENERATED-COLUMN partitioning (round 13): partition_by entries
+    # may be transforms — days(ts) / truncate(W, col) — realized as
+    # generated columns whose expression lands in the schema metadata.
+    # An append naming no layout INHERITS the table's generated
+    # columns (partitioning stays hidden from the writer).
+    gen_specs: list[dict] = []
+    if partition_by and any("(" in str(p) for p in partition_by):
+        from .iceberg_sink import parse_partition_transforms
+
+        pspec = parse_partition_transforms(list(partition_by))
+        gen_specs = [f for f in pspec if f["transform"] != "identity"]
+        overlap = [f["name"] for f in gen_specs
+                   if f["name"] in df.columns]
+        if overlap:
+            raise ValueError(
+                f"generated partition columns {overlap} already exist "
+                "in the DataFrame; drop them or rename the transform "
+                "sources"
+            )
+        partition_by = [f["name"] for f in pspec]
+    elif mode == "append":
+        inherited = _generated_transforms(pre)
+        if inherited and all(f["name"] not in df.columns
+                             for f in inherited):
+            gen_specs = inherited
+            if not partition_by:
+                partition_by = pre.get("partition_columns") or None
+    if gen_specs:
+        df = _apply_generated_columns(df, gen_specs)
+    schema_string = (_patched_schema_string(df, gen_specs)
+                     if gen_specs else df.schema.json())
     if (
         mode == "append"
         and not merge_schema
         and pre.get("schema_json")
-        and json.loads(pre["schema_json"]) != json.loads(df.schema.json())
+        and json.loads(pre["schema_json"]) != json.loads(schema_string)
     ):
         raise ValueError(
             "append schema differs from the table schema; pass "
@@ -1589,7 +1731,7 @@ def write_delta(
             pre.get("schema_json")
             and not merge_schema
             and json.loads(pre["schema_json"])
-            != json.loads(df.schema.json())
+            != json.loads(schema_string)
         ):
             raise ValueError(
                 "replace_where keeps the other partitions' files, so "
@@ -1632,7 +1774,8 @@ def write_delta(
         return {"version": None, "skipped": True, "n_files": 0,
                 "n_records": 0, "n_removed": 0}
 
-    schema_string = df.schema.json()
+    # schema_string computed above (patched with generation
+    # expressions when partition transforms are in play)
     for _ in range(max_retries):
         snap = snapshot(table_dir)
         if _txn_done(snap):  # a duplicate writer beat us to the claim
@@ -2061,7 +2204,10 @@ def delete_where_delta(
     # compose the pruning levers into the scan plan (VERDICT r11 #3):
     # files whose partition tuple / stats / bloom filters prove no
     # match are neither scanned nor re-added
-    paths, _prune_counts = _prune_dml_paths(table_dir, snap, condition)
+    paths, _prune_counts = _prune_dml_paths(
+        table_dir, snap, condition,
+        transforms=_generated_transforms(snap),
+    )
     if not paths:
         return {"version": None, "n_files_touched": 0,
                 "n_rows_deleted": 0}
@@ -2236,6 +2382,12 @@ def merge_delta(
             )
     else:
         part_cols = sorted(partition_by or [])
+    # generated-column partitioning: the source is the post-merge row
+    # set, so its generated columns derive here (round 13)
+    gen_specs = _generated_transforms(snap)
+    if gen_specs and all(f["name"] not in source.columns
+                         for f in gen_specs):
+        source = _apply_generated_columns(source, gen_specs)
     clauses = any(c is not None for c in (
         matched_delete, matched_update, not_matched_insert,
         not_matched_by_source_delete,
@@ -2484,10 +2636,12 @@ def merge_delta(
 
     # clause mode projects staged rows to the table's declared schema,
     # so the re-emitted metaData must keep that schema, not the
-    # source's (which may carry CDC bookkeeping columns)
+    # source's (which may carry CDC bookkeeping columns); generated-
+    # column tables likewise keep the recorded schema — re-deriving it
+    # from the source would WIPE the generation expressions
     schema_string = (
         snap["schema_json"]
-        if clauses and snap.get("schema_json")
+        if snap.get("schema_json") and (clauses or gen_specs)
         else source.schema.json()
     )
     for _ in range(max_retries):
@@ -2983,7 +3137,10 @@ def update_where_delta(
     if not snap["live"]:
         return {"version": None, "n_files_touched": 0,
                 "n_rows_updated": 0, "n_files_added": 0}
-    paths, _prune_counts = _prune_dml_paths(table_dir, snap, condition)
+    paths, _prune_counts = _prune_dml_paths(
+        table_dir, snap, condition,
+        transforms=_generated_transforms(snap),
+    )
     if not paths:
         return {"version": None, "n_files_touched": 0,
                 "n_rows_updated": 0, "n_files_added": 0}
@@ -3023,9 +3180,20 @@ def update_where_delta(
     # ALL right-hand sides evaluate against the PRE-update row (SQL
     # UPDATE semantics): one simultaneous projection, so
     # {"a": "b", "b": "a"} swaps instead of copying
+    gen_specs = _generated_transforms(snap)
+    bad = [f["name"] for f in gen_specs if f["name"] in assignments]
+    if bad:
+        raise ValueError(
+            f"cannot assign generated columns {bad}; update their "
+            "source columns instead"
+        )
     postimage = preimage.withColumns(
         {c: F.expr(expr) for c, expr in assignments.items()}
     )
+    if gen_specs:
+        # an UPDATE touching a generated column's SOURCE must move
+        # the row to its new partition — recompute, never keep stale
+        postimage = _apply_generated_columns(postimage, gen_specs)
     adds = _stage_data_files(postimage, table_dir, token,
                              partition_by=part_cols or None)
     cdc_acts: list[dict] = []
