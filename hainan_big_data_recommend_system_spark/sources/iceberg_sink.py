@@ -350,13 +350,132 @@ def murmur3_32(data: bytes, seed: int = 0) -> int:
 
 
 def bucket_value(v, n: int) -> int:
-    """The spec's bucket transform for an int-family value: murmur3 of
-    the 8-byte little-endian long, then ``(hash & MAX_INT) % n``."""
+    """The spec's bucket transform: murmur3 of the value's spec
+    encoding — 8-byte little-endian for int-family, raw UTF-8 bytes
+    for strings — then ``(hash & MAX_INT) % n``."""
+    if isinstance(v, str):
+        return (murmur3_32(v.encode("utf-8")) & 0x7FFFFFFF) % n
     if isinstance(v, bool) or not isinstance(v, int):
-        raise ValueError(f"bucket[] supports int-family values, got "
-                         f"{type(v).__name__}")
+        raise ValueError(f"bucket[] supports int-family/string values, "
+                         f"got {type(v).__name__}")
     h = murmur3_32(int(v).to_bytes(8, "little", signed=True))
     return (h & 0x7FFFFFFF) % n
+
+
+def _mm_mul32(c, k: int):
+    """32-bit modular multiply as a column expression — split so no
+    intermediate exceeds 2^49 (Spark 4 runs ANSI mode: a 64-bit
+    overflow raises, not wraps)."""
+    from pyspark.sql import functions as F
+
+    hi = F.shiftright(c, 16) * F.lit(k)
+    lo = c.bitwiseAND(F.lit(65535)) * F.lit(k)
+    return ((hi.bitwiseAND(F.lit(65535)) * F.lit(65536) + lo)
+            % F.lit(4294967296))
+
+
+def _mm_rotl(c, r: int):
+    from pyspark.sql import functions as F
+
+    return ((c * F.lit(1 << r)).bitwiseAND(F.lit(4294967295))
+            .bitwiseOR(F.shiftright(c, 32 - r)))
+
+
+def _mm_block(h, k):
+    """One murmur3_x86_32 4-byte block merge (values stay in
+    [0, 2^32) throughout)."""
+    from pyspark.sql import functions as F
+
+    k = _mm_mul32(k, 0xCC9E2D51)
+    k = _mm_rotl(k, 15)
+    k = _mm_mul32(k, 0x1B873593)
+    h = h.bitwiseXOR(k)
+    h = _mm_rotl(h, 13)
+    return (_mm_mul32(h, 5) + F.lit(0xE6546B64)) % F.lit(4294967296)
+
+
+def _add_bucket_column_str(df: DataFrame, src: str, n: int,
+                           out: str) -> DataFrame:
+    """``bucket[n]`` over a STRING column, JVM-side: murmur3_x86_32 of
+    the raw UTF-8 bytes (the spec's string encoding) with the 4-byte
+    blocks folded by an ``aggregate()`` lambda over the block indices
+    — variable-length input, zero Python in the hot path.  Byte
+    extraction is ``conv(hex(substring(bytes, pos, 1)), 16, 10)``;
+    the lambda body is constant-size, so the plan stays linear.
+    Matches `bucket_value` bit for bit (property-tested)."""
+    from pyspark.sql import functions as F
+
+    p = f"__mmS_{out}"
+    M32 = F.lit(4294967296)
+    steps: list[tuple[str, object]] = []
+    steps.append((f"{p}_b", F.encode(F.col(src), "UTF-8")))
+    b = F.col(f"{p}_b")
+    steps.append((f"{p}_len", F.length(b).cast("long")))
+    ln = F.col(f"{p}_len")
+    steps.append((f"{p}_nb", F.floor(ln / F.lit(4)).cast("long")))
+    nb = F.col(f"{p}_nb")
+
+    def byte_at(pos):
+        return F.coalesce(
+            F.conv(F.hex(F.substring(b, pos, F.lit(1))), 16, 10)
+            .cast("long"),
+            F.lit(0),
+        )
+
+    def k_at(i):
+        pos = (i * F.lit(4) + F.lit(1)).cast("int")
+        return (byte_at(pos)
+                + byte_at(pos + F.lit(1)) * F.lit(256)
+                + byte_at(pos + F.lit(2)) * F.lit(65536)
+                + byte_at(pos + F.lit(3)) * F.lit(16777216))
+
+    body = F.aggregate(
+        F.sequence(F.lit(0).cast("long"), nb - F.lit(1)),
+        F.lit(0).cast("long"),
+        lambda h, i: _mm_block(h, k_at(i)),
+    )
+    steps.append((
+        f"{p}_hb",
+        F.when(nb > 0, body).otherwise(F.lit(0).cast("long")),
+    ))
+    hb = F.col(f"{p}_hb")
+    tail_len = ln % F.lit(4)
+    tpos = (nb * F.lit(4) + F.lit(1)).cast("int")
+    tk = (
+        F.when(tail_len >= 1, byte_at(tpos)).otherwise(F.lit(0))
+        + F.when(tail_len >= 2,
+                 byte_at(tpos + F.lit(1)) * F.lit(256)).otherwise(F.lit(0))
+        + F.when(tail_len >= 3,
+                 byte_at(tpos + F.lit(2)) * F.lit(65536))
+        .otherwise(F.lit(0))
+    )
+    steps.append((f"{p}_tk", tk))
+    tkc = F.col(f"{p}_tk")
+    tk1 = _mm_mul32(tkc, 0xCC9E2D51)
+    tk2 = _mm_rotl(tk1, 15)
+    steps.append((f"{p}_tkm", _mm_mul32(tk2, 0x1B873593)))
+    steps.append((
+        f"{p}_ht",
+        F.when(tail_len > 0, hb.bitwiseXOR(F.col(f"{p}_tkm")))
+        .otherwise(hb),
+    ))
+    steps.append((f"{p}_f0", F.col(f"{p}_ht").bitwiseXOR(ln)))
+    c0 = F.col(f"{p}_f0")
+    steps.append((f"{p}_f1", c0.bitwiseXOR(F.shiftright(c0, 16))))
+    steps.append((f"{p}_f2", _mm_mul32(F.col(f"{p}_f1"), 0x85EBCA6B)))
+    c2 = F.col(f"{p}_f2")
+    steps.append((f"{p}_f3", c2.bitwiseXOR(F.shiftright(c2, 13))))
+    steps.append((f"{p}_f4", _mm_mul32(F.col(f"{p}_f3"), 0xC2B2AE35)))
+    c4 = F.col(f"{p}_f4")
+    steps.append((f"{p}_f5", c4.bitwiseXOR(F.shiftright(c4, 16))))
+    for name, col in steps:
+        df = df.withColumn(name, col)
+    df = df.withColumn(
+        out,
+        ((F.col(f"{p}_f5") % F.lit(2147483648)) % F.lit(n))
+        .cast("int").cast("string"),
+    )
+    return df.drop(*[name for name, _ in steps])
 
 
 def _add_bucket_column(df: DataFrame, src: str, n: int,
@@ -367,8 +486,15 @@ def _add_bucket_column(df: DataFrame, src: str, n: int,
     `murmur3_32`/`bucket_value` bit for bit (property-tested).  All
     intermediates stay below 2^49, so Spark 4's ANSI mode never sees
     a 64-bit overflow; values are non-negative throughout, so
-    shiftright IS the floor-divide."""
+    shiftright IS the floor-divide.  STRING columns dispatch to the
+    UTF-8 variant (`_add_bucket_column_str`)."""
     from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    dtype = dict((f.name, f.dataType) for f in df.schema.fields
+                 ).get(src)
+    if isinstance(dtype, StringType):
+        return _add_bucket_column_str(df, src, n, out)
 
     M32 = F.lit(4294967296)
     MASK32 = F.lit(4294967295)
@@ -484,7 +610,7 @@ def transform_spelling(field: dict, v) -> str | None:
             return m.group(1) if m else None
         return None
     if t.startswith("bucket["):
-        if isinstance(v, bool) or not isinstance(v, int):
+        if isinstance(v, bool) or not isinstance(v, (int, str)):
             return None
         return str(bucket_value(v, field["param"]))
     if t.startswith("truncate["):

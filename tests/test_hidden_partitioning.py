@@ -213,6 +213,40 @@ class TestDayPartitionedLifecycle:
         assert alive(tbl) == before
 
 
+class TestStringBucket:
+    def test_jvm_matches_python_on_strings(self, spark):
+        vals = ["", "a", "iceberg", "doc-12345", "日本語", "emoji😀",
+                "abc", "abcd", "abcde", "x" * 33]
+        df = spark.createDataFrame([(v,) for v in vals], "v string")
+        got = [r["b"] for r in
+               _add_bucket_column(df, "v", 16, "b").collect()]
+        assert got == [str(bucket_value(v, 16)) for v in vals]
+        # the spec's own string known-answer: hash("iceberg")
+        assert murmur3_32("iceberg".encode()) == 1210000089
+
+    def test_string_bucket_table_prunes(self, spark, tmp_path):
+        tbl = str(tmp_path / "sbt")
+        df = spark.createDataFrame(
+            [(f"doc-{i}", i) for i in range(64)],
+            "doc_id string, n long")
+        write_iceberg(df, tbl, partition_by=["bucket(8, doc_id)"])
+        st = _prev_state(tbl)
+        paths, counts = _prune_dml_paths(
+            tbl, st, "doc_id = 'doc-34'",
+            declared=_declared_types(st),
+            transforms=st["partition_spec"],
+        )
+        want = str(bucket_value("doc-34", 8))
+        assert all(
+            st["partition_values"][p]["doc_id_bucket"] == want
+            for p in paths
+        )
+        assert counts["n_partition_skipped"] > 0
+        res = delete_where_iceberg(spark, tbl, "doc_id = 'doc-34'")
+        assert res["n_rows_deleted"] == 1
+        assert read_table(tbl)["live_rows_after_deletes"] == 63
+
+
 class TestBucketPartitionedTable:
     def test_point_lookup_prunes_buckets(self, spark, tmp_path):
         tbl = str(tmp_path / "bt")
