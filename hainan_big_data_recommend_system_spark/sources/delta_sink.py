@@ -2301,6 +2301,7 @@ def merge_delta(
     matched_update: str | None = None,
     not_matched_insert: str | None = None,
     not_matched_by_source_delete: str | None = None,
+    matched_set: dict[str, str] | None = None,
 ) -> dict:
     """MERGE (upsert): every source row lands in the table; LIVE
     target rows sharing a key are superseded — in ONE atomic commit,
@@ -2334,6 +2335,15 @@ def merge_delta(
     declared schema (dropping CDC bookkeeping columns like ``_op``
     that the conditions reference), mirroring SQL MERGE's
     ``INSERT *`` / ``UPDATE SET *`` name alignment.
+
+    ``matched_set`` (round 13): per-column ``UPDATE SET`` assignments
+    evaluated over the matched PAIR — the target row as alias ``t``,
+    the source row as alias ``s`` (``{"qty": "t.qty + s.qty"}``).
+    Unassigned columns keep the TARGET value (SQL UPDATE semantics);
+    merge keys cannot be assigned; with assignments the source must
+    resolve each key to ONE update row.  Requires a target scan per
+    pair, so it is Delta-only (the Iceberg merge's O(source) property
+    forbids reading the target).
 
     The classic upsert decomposes as (a) a distributed key-match scan
     over the target's live rows (existing DVs applied — a dead row is
@@ -2390,8 +2400,21 @@ def merge_delta(
         source = _apply_generated_columns(source, gen_specs)
     clauses = any(c is not None for c in (
         matched_delete, matched_update, not_matched_insert,
-        not_matched_by_source_delete,
+        not_matched_by_source_delete, matched_set,
     ))
+    if matched_set is not None:
+        bad_keys = [c for c in matched_set if c in key_cols]
+        if bad_keys:
+            raise ValueError(
+                f"matched_set cannot assign merge keys {bad_keys}"
+            )
+        gen_names = {f["name"] for f in gen_specs}
+        bad_gen = [c for c in matched_set if c in gen_names]
+        if bad_gen:
+            raise ValueError(
+                f"matched_set cannot assign generated columns "
+                f"{bad_gen}; assign their source columns instead"
+            )
     del_src = upd_src = ins_src = None
     declared_cols: list[str] | None = None
     if clauses:
@@ -2577,22 +2600,60 @@ def merge_delta(
             )
             upd_m = upd_src.join(matched_keys, key_cols, "left_semi")
             ins_rows = ins_src.join(matched_keys, key_cols, "left_anti")
-            to_stage = upd_m.unionByName(ins_rows)
-            if declared_cols is not None:
-                to_stage = to_stage.select(*declared_cols)
+
+            def _proj(d):
+                return (d.select(*declared_cols)
+                        if declared_cols is not None else d)
+
+            if matched_set is not None:
+                # per-column UPDATE SET: new versions compute from the
+                # matched PAIR (target alias t, source alias s); the
+                # USING-join flattens the keys, unassigned columns
+                # keep the target value
+                dup = (upd_m.groupBy(*key_cols).count()
+                       .filter("count > 1").limit(1).count())
+                if dup:
+                    raise ValueError(
+                        "matched_set needs exactly ONE update row per "
+                        "key; compact the source first"
+                    )
+                tcols = declared_cols or [
+                    c for c in upd_targets.columns
+                    if c not in ("__fp", "__ri")
+                ]
+                unknown = [c for c in matched_set if c not in tcols]
+                if unknown:
+                    raise ValueError(
+                        f"matched_set assigns unknown columns "
+                        f"{unknown} (table columns: {tcols})"
+                    )
+                pairs = (
+                    upd_targets.drop("__fp", "__ri").alias("t")
+                    .join(F.broadcast(upd_m.alias("s")), key_cols,
+                          "inner")
+                )
+                upd_staged = pairs.select(*[
+                    F.col(c) if c in key_cols
+                    else (F.expr(matched_set[c]).alias(c)
+                          if c in matched_set
+                          else F.col(f"t.`{c}`").alias(c))
+                    for c in tcols
+                ])
+                if gen_specs:
+                    upd_staged = _apply_generated_columns(
+                        upd_staged, gen_specs)
+            else:
+                upd_staged = _proj(upd_m)
+            to_stage = upd_staged.unionByName(_proj(ins_rows))
             adds = _stage_data_files(to_stage, table_dir, token,
                                      partition_by=part_cols or None)
             if change_data:
-                def _proj(df):
-                    return (df.select(*declared_cols)
-                            if declared_cols is not None else df)
-
                 changes = (
                     upd_targets.drop("__fp", "__ri")
                     .withColumn("_change_type",
                                 F.lit("update_preimage"))
                     .unionByName(
-                        _proj(upd_m).withColumn(
+                        upd_staged.withColumn(
                             "_change_type", F.lit("update_postimage")),
                         allowMissingColumns=True,
                     )

@@ -1568,6 +1568,7 @@ def merge_iceberg(
     matched_delete: str | None = None,
     matched_update: str | None = None,
     not_matched_by_source_delete: str | None = None,
+    matched_set: dict[str, str] | None = None,
 ) -> dict:
     """MERGE (upsert) the format-v2 way: ONE snapshot carrying the
     source as new data files AND an EQUALITY DELETE file on the merge
@@ -1607,6 +1608,13 @@ def merge_iceberg(
 
     if not key_cols:
         raise ValueError("merge needs at least one key column")
+    if matched_set is not None:
+        raise ValueError(
+            "per-column UPDATE SET needs a target scan per matched "
+            "pair, which breaks the equality-delete merge's O(source) "
+            "write cost — use the Delta sink's matched_set, or "
+            "restage full rows"
+        )
     os.makedirs(_meta_dir(table_dir), exist_ok=True)
     token = uuid.uuid4().hex[:12]
     prev0 = _prev_state(table_dir)

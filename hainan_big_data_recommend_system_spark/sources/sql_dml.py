@@ -55,10 +55,16 @@ _MERGE_HEAD_RE = re.compile(
 _ASSIGN_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$", re.DOTALL,
 )
+_ASSIGN_SET_RE = re.compile(
+    r"^\s*(?:([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$",
+    re.DOTALL,
+)
 _WHEN_RE = re.compile(
     r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
     r"\s*(?:AND\s+(.*?))?\s*THEN\s+"
-    r"(DELETE|UPDATE\s+SET\s+\*|INSERT\s+\*)\s*",
+    r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*"
+    r"(?=WHEN\s|$)",
     re.IGNORECASE | re.DOTALL,
 )
 _ON_KEY_RE = re.compile(
@@ -66,6 +72,15 @@ _ON_KEY_RE = re.compile(
     r"\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
     r"\s*$"
 )
+
+
+def _rewrite_pair_aliases(expr: str, t_alias: str, s_alias: str) -> str:
+    """Rewrite the statement's target/source aliases to the canonical
+    ``t``/``s`` the merge verbs' pair evaluation exposes (two-phase so
+    a statement whose aliases ARE 't'/'s' swapped still maps)."""
+    e = re.sub(rf"\b{re.escape(t_alias)}\s*\.\s*", "\x00T.", expr)
+    e = re.sub(rf"\b{re.escape(s_alias)}\s*\.\s*", "\x00S.", e)
+    return e.replace("\x00T.", "t.").replace("\x00S.", "s.")
 
 
 def _strip_alias(expr: str, alias: str, other: str | None) -> str:
@@ -120,7 +135,7 @@ def parse_merge(sql: str) -> dict:
         key_cols.append(pair[t_alias])
     out = {"target": target, "source": source, "key_cols": key_cols,
            "matched_delete": None, "matched_update": None,
-           "not_matched_insert": None,
+           "matched_set": None, "not_matched_insert": None,
            "not_matched_by_source_delete": None, "has_insert": False}
     pos = 0
     seen = set()
@@ -133,8 +148,9 @@ def parse_merge(sql: str) -> dict:
             )
         kind = re.sub(r"\s+", " ", wm.group(1).upper())
         cond = wm.group(2)
-        action = re.sub(r"\s+", " ", wm.group(3).upper())
-        key = (kind, action)
+        raw_action = wm.group(3)
+        action = re.sub(r"\s+", " ", raw_action.upper())
+        key = (kind, action.split(" SET ")[0])
         if key in seen:
             raise ValueError(f"duplicate MERGE clause {key}")
         seen.add(key)
@@ -143,12 +159,34 @@ def parse_merge(sql: str) -> dict:
                 _strip_alias(cond, s_alias, t_alias)
                 if cond else "true"
             )
-        elif kind == "MATCHED" and action == "UPDATE SET *":
+        elif kind == "MATCHED" and action.startswith("UPDATE SET"):
             out["matched_update"] = (
                 _strip_alias(cond, s_alias, t_alias)
                 if cond else None
             )
             out["has_update"] = True
+            set_body = re.sub(r"^\s*UPDATE\s+SET\s+", "", raw_action,
+                              flags=re.IGNORECASE | re.DOTALL).strip()
+            if set_body != "*":
+                assignments = {}
+                for part in _split_in_list(set_body):
+                    am = _ASSIGN_SET_RE.match(part)
+                    if not am:
+                        raise ValueError(
+                            f"unparseable UPDATE SET assignment "
+                            f"{part.strip()!r}"
+                        )
+                    lhs_alias, col, rhs = am.groups()
+                    if lhs_alias and lhs_alias != t_alias:
+                        raise ValueError(
+                            f"UPDATE SET target {lhs_alias}.{col} is "
+                            f"not the merge target {t_alias!r}"
+                        )
+                    if col in assignments:
+                        raise ValueError(f"duplicate SET target {col!r}")
+                    assignments[col] = _rewrite_pair_aliases(
+                        rhs, t_alias, s_alias)
+                out["matched_set"] = assignments
         elif kind == "NOT MATCHED" and action == "INSERT *":
             out["has_insert"] = True
             out["not_matched_insert"] = (
@@ -271,6 +309,7 @@ def run_dml(
                 not_matched_insert=spec["not_matched_insert"],
                 not_matched_by_source_delete=spec[
                     "not_matched_by_source_delete"],
+                matched_set=spec["matched_set"],
             )
         from .iceberg_sink import merge_iceberg
 
@@ -292,6 +331,7 @@ def run_dml(
             matched_update=spec["matched_update"],
             not_matched_by_source_delete=spec[
                 "not_matched_by_source_delete"],
+            matched_set=spec["matched_set"],
         )
     raise ValueError(
         f"unsupported DML statement (DELETE FROM / UPDATE ... SET / "

@@ -201,6 +201,71 @@ class TestDeltaClauses:
                        (4, "d", 40), (5, "e", 50)]
 
 
+class TestMatchedSet:
+    def test_per_column_assignments(self, spark, tmp_path):
+        tbl = str(tmp_path / "mset")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame(
+            [(1, "ignored", 5), (2, "ignored", 7)], SCHEMA)
+        res = merge_delta(
+            spark, src, tbl, key_cols=["id"],
+            matched_set={"qty": "t.qty + s.qty"},
+            not_matched_insert="false",
+        )
+        assert res["n_rows_updated"] == 2
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        # qty accumulates; name keeps the TARGET value (SQL UPDATE)
+        assert got == [(1, "a", 15), (2, "b", 27), (3, "c", 30),
+                       (4, "d", 40)]
+
+    def test_assigning_key_refused(self, spark, tmp_path):
+        tbl = str(tmp_path / "msetk")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(1, "x", 1)], SCHEMA)
+        with pytest.raises(ValueError, match="merge keys"):
+            merge_delta(spark, src, tbl, key_cols=["id"],
+                        matched_set={"id": "s.id + 1"})
+
+    def test_duplicate_update_keys_refused(self, spark, tmp_path):
+        tbl = str(tmp_path / "msetd")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame(
+            [(1, "x", 1), (1, "y", 2)], SCHEMA)
+        with pytest.raises(ValueError, match="ONE update row"):
+            merge_delta(spark, src, tbl, key_cols=["id"],
+                        matched_set={"qty": "s.qty"},
+                        not_matched_insert="false")
+
+    def test_iceberg_refuses_matched_set(self, spark, tmp_path):
+        tbl = str(tmp_path / "mseti")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(1, "x", 1)], SCHEMA)
+        with pytest.raises(ValueError, match="O\\(source\\)"):
+            merge_iceberg(spark, src, tbl, key_cols=["id"],
+                          matched_set={"qty": "s.qty"})
+
+    def test_sql_statement_with_set_assignments(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+            run_dml,
+        )
+
+        tbl = str(tmp_path / "msetq")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        ev = spark.createDataFrame([(2, "B", 100), (9, "new", 1)],
+                                   SCHEMA)
+        run_dml(
+            spark,
+            "MERGE INTO t AS tgt USING ev AS e ON tgt.id = e.id "
+            "WHEN MATCHED THEN UPDATE SET qty = tgt.qty + e.qty, "
+            "name = upper(e.name) "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"t": tbl}, sources={"ev": ev},
+        )
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        assert got == [(1, "a", 10), (2, "B", 120), (3, "c", 30),
+                       (4, "d", 40), (9, "new", 1)]
+
+
 class TestIcebergClauses:
     def test_cdc_apply_through_one_merge(self, spark, tmp_path):
         tbl = str(tmp_path / "icdc")

@@ -711,3 +711,30 @@ def test_als_rank1_exact_recs_plan_is_scale_safe(spark):
         if "BroadcastNestedLoopJoin" in line:
             bare_cross = line.rstrip().endswith("Cross")
             assert bare_cross or "__m" in line or "__pid" in line, line
+
+
+def test_transform_partition_derivation_is_jvm_side(spark):
+    """Hidden-partitioning derivation (round 13) — day/truncate/bucket
+    including the murmur3 aggregate-lambda string fold — is JVM
+    expressions end-to-end: no Python eval node, one narrow
+    projection chain (no Exchange introduced by the derivation)."""
+    from pyspark.sql import functions as F
+
+    from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+        parse_partition_transforms,
+        with_transform_columns,
+    )
+
+    df = spark.range(0, 100).select(
+        F.col("id"),
+        F.to_timestamp(F.lit("2026-01-02 03:04:05")).alias("ts"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("doc_id"),
+    )
+    spec = parse_partition_transforms(
+        ["days(ts)", "bucket(16, id)", "bucket(8, doc_id)",
+         "truncate(10, id)"]
+    )
+    out = with_transform_columns(df, spec)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan
+    assert "Exchange" not in plan, plan

@@ -191,10 +191,18 @@ class TestRefusals:
             parse_merge("MERGE INTO t USING s ON t.id > s.id "
                         "WHEN MATCHED THEN DELETE")
 
-    def test_update_set_assignments_refused(self):
-        with pytest.raises(ValueError, match="unparseable MERGE clause"):
-            parse_merge("MERGE INTO t USING s ON t.id = s.id "
-                        "WHEN MATCHED THEN UPDATE SET qty = 1")
+    def test_update_set_assignments_parse(self):
+        spec = parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET qty = t.qty + s.qty, "
+            "name = upper(s.name)")
+        assert spec["matched_set"] == {
+            "qty": "t.qty + s.qty", "name": "upper(s.name)"}
+
+    def test_update_set_star_has_no_assignments(self):
+        spec = parse_merge("MERGE INTO t USING s ON t.id = s.id "
+                           "WHEN MATCHED THEN UPDATE SET *")
+        assert spec["matched_set"] is None
 
     def test_cross_alias_condition_refused(self):
         with pytest.raises(ValueError, match="references"):
