@@ -957,6 +957,28 @@ def analyze_condition(cond: str) -> dict[str, dict]:
 _STATS_SAFE_INT = frozenset({"byte", "short", "integer", "long"})
 
 
+def _schema_accepts(table_json: str, incoming_json: str) -> bool:
+    """May rows of ``incoming_json``'s schema append under
+    ``table_json``'s contract without evolving it?  Same fields, same
+    types, same metadata — but an incoming NON-nullable field under a
+    nullable contract is accepted (it is strictly safer; SQL INSERT
+    literals arrive non-nullable), while nullable data under a
+    non-nullable contract is not."""
+    t = json.loads(table_json)
+    i = json.loads(incoming_json)
+    tf, inf = t.get("fields", []), i.get("fields", [])
+    if len(tf) != len(inf):
+        return False
+    for a, b in zip(tf, inf):
+        if a.get("name") != b.get("name") or a.get("type") != b.get("type"):
+            return False
+        if (a.get("metadata") or {}) != (b.get("metadata") or {}):
+            return False
+        if not a.get("nullable", True) and b.get("nullable", True):
+            return False
+    return True
+
+
 def _declared_from_snap(snap: dict) -> dict[str, str]:
     """``{column: schema-JSON type string}`` from the snapshot's
     declared Delta schema — the typed-coercion gate every pruning
@@ -1686,16 +1708,18 @@ def write_delta(
         df = _apply_generated_columns(df, gen_specs)
     schema_string = (_patched_schema_string(df, gen_specs)
                      if gen_specs else df.schema.json())
-    if (
-        mode == "append"
-        and not merge_schema
-        and pre.get("schema_json")
-        and json.loads(pre["schema_json"]) != json.loads(schema_string)
-    ):
-        raise ValueError(
-            "append schema differs from the table schema; pass "
-            "merge_schema=True to evolve it (Delta schema enforcement)"
-        )
+    if (mode == "append" and not merge_schema
+            and pre.get("schema_json")):
+        if not _schema_accepts(pre["schema_json"], schema_string):
+            raise ValueError(
+                "append schema differs from the table schema; pass "
+                "merge_schema=True to evolve it (Delta schema "
+                "enforcement)"
+            )
+        # the recorded schema stays the contract — an accepted append
+        # whose fields are merely STRICTER (non-nullable literals from
+        # an INSERT ... VALUES) must not tighten it
+        schema_string = pre["schema_json"]
     if mode == "append" and pre.get("live"):
         # an append must land in the table's existing partition layout
         # — a mismatched layout would mix partitioned and flat files
@@ -1727,17 +1751,14 @@ def write_delta(
                     f"{sorted(partition_by or [])} disagrees with the "
                     f"table's partition columns {table_parts}"
                 )
-        if (
-            pre.get("schema_json")
-            and not merge_schema
-            and json.loads(pre["schema_json"])
-            != json.loads(schema_string)
-        ):
-            raise ValueError(
-                "replace_where keeps the other partitions' files, so "
-                "the schema must match the table's (merge_schema=True "
-                "to evolve it)"
-            )
+        if pre.get("schema_json") and not merge_schema:
+            if not _schema_accepts(pre["schema_json"], schema_string):
+                raise ValueError(
+                    "replace_where keeps the other partitions' files, "
+                    "so the schema must match the table's "
+                    "(merge_schema=True to evolve it)"
+                )
+            schema_string = pre["schema_json"]
         declared = {f.name: f.dataType.typeName()
                     for f in df.schema.fields}
         wanted_replace = parse_replace_where(

@@ -35,6 +35,21 @@ import re
 
 from .delta_sink import _split_in_list, _top_level_conjuncts
 
+_INSERT_RE = re.compile(
+    r"^\s*INSERT\s+INTO\s+([A-Za-z_][A-Za-z0-9_.]*)\s+"
+    r"((?:SELECT|VALUES|WITH)\b.+?)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_VACUUM_RE = re.compile(
+    r"^\s*VACUUM\s+([A-Za-z_][A-Za-z0-9_.]*)"
+    r"\s+RETAIN\s+(\d+(?:\.\d+)?)\s+HOURS\s*;?\s*$",
+    re.IGNORECASE,
+)
+_OPTIMIZE_RE = re.compile(
+    r"^\s*OPTIMIZE\s+([A-Za-z_][A-Za-z0-9_.]*)"
+    r"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z0-9_,\s]+?)\s*\))?\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -219,6 +234,50 @@ def parse_merge(sql: str) -> dict:
     return out
 
 
+def _align_insert_columns(spark, rows, table_dir: str | None,
+                          fmt: str):
+    """SQL INSERT INTO aligns the query's columns to the target
+    schema BY POSITION (a VALUES list has no names at all): rename
+    and cast to the table's declared non-generated columns when the
+    arity matches; pass through untouched otherwise (write-side
+    schema enforcement stays the loud gate)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    if table_dir is None:
+        return rows
+    declared: list[tuple[str, object]] = []
+    gen: set[str] = set()
+    if fmt == "delta":
+        from .delta_sink import _generated_transforms, snapshot
+
+        snap = snapshot(table_dir)
+        if snap.get("schema_json"):
+            declared = [
+                (f["name"], f["type"])
+                for f in _json.loads(snap["schema_json"])["fields"]
+                if isinstance(f.get("type"), str)
+            ]
+            gen = {f["name"] for f in _generated_transforms(snap)}
+    else:
+        from .iceberg_sink import _prev_state
+
+        prev = _prev_state(table_dir)
+        types = prev.get("field_types", {})
+        declared = [
+            (n, types.get(i))
+            for i, n in sorted(prev.get("field_names", {}).items())
+        ]
+    expected = [(n, t) for n, t in declared if n not in gen]
+    if not expected or len(rows.columns) != len(expected):
+        return rows
+    return rows.select(*[
+        (F.col(c).cast(t) if t else F.col(c)).alias(n)
+        for c, (n, t) in zip(rows.columns, expected)
+    ])
+
+
 def run_dml(
     spark,
     sql: str,
@@ -243,6 +302,51 @@ def run_dml(
             )
         return tables[name]
 
+    m = _INSERT_RE.match(sql)
+    if m:
+        # INSERT INTO t <select|values|with>: the query half runs in
+        # Spark SQL with every sources[] DataFrame registered as a
+        # temp view; the result appends transactionally
+        name, select_text = m.group(1), m.group(2)
+        for vname, vdf in (sources or {}).items():
+            vdf.createOrReplaceTempView(vname)
+        rows = spark.sql(
+            select_text if not select_text.upper().startswith("VALUES")
+            else f"SELECT * FROM ({select_text})"
+        )
+        rows = _align_insert_columns(spark, rows, tables[name]
+                                     if name in tables else None, fmt)
+        if fmt == "delta":
+            from .delta_sink import write_delta
+
+            return write_delta(rows, _dir(name))
+        from .iceberg_sink import write_iceberg
+
+        return write_iceberg(rows, _dir(name))
+    m = _VACUUM_RE.match(sql)
+    if m:
+        if fmt != "delta":
+            from .iceberg_sink import expire_snapshots_iceberg
+
+            return expire_snapshots_iceberg(
+                _dir(m.group(1)), older_than_hours=float(m.group(2)))
+        from .delta_sink import vacuum_delta
+
+        return vacuum_delta(_dir(m.group(1)),
+                            retention_hours=float(m.group(2)))
+    m = _OPTIMIZE_RE.match(sql)
+    if m:
+        zorder = ([c.strip() for c in m.group(2).split(",")]
+                  if m.group(2) else None)
+        if fmt == "delta":
+            from .delta_sink import optimize_delta
+
+            return optimize_delta(spark, _dir(m.group(1)),
+                                  zorder_by=zorder)
+        from .iceberg_sink import rewrite_data_files_iceberg
+
+        return rewrite_data_files_iceberg(spark, _dir(m.group(1)),
+                                          zorder_by=zorder)
     m = _DELETE_RE.match(sql)
     if m:
         if fmt == "delta":

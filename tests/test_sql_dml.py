@@ -177,6 +177,83 @@ class TestMergeStatement:
         assert got[1] == ("A", 1)
 
 
+class TestUtilityStatements:
+    def test_insert_into_select(self, spark, tmp_path):
+        tbl = str(tmp_path / "ins")
+        write_delta(spark.createDataFrame(ROWS[:3], SCHEMA), tbl)
+        src = spark.createDataFrame(ROWS[3:6], SCHEMA)
+        res = run_dml(
+            spark, "INSERT INTO t SELECT * FROM batch WHERE qty >= 0",
+            {"t": tbl}, sources={"batch": src},
+        )
+        assert res["n_records"] == 3
+        assert len(_delta_state(spark, tbl)) == 6
+
+    def test_insert_into_values(self, spark, tmp_path):
+        tbl = str(tmp_path / "insv")
+        write_delta(spark.createDataFrame(ROWS[:2], SCHEMA), tbl)
+        run_dml(
+            spark,
+            "INSERT INTO t VALUES (CAST(77 AS BIGINT), 'x', "
+            "CAST(1 AS BIGINT))",
+            {"t": tbl},
+        )
+        assert (77, "x", 1) in _delta_state(spark, tbl)
+
+    def test_vacuum_retain_hours(self, spark, tmp_path):
+        import os as _os
+        import time as _time
+
+        tbl = str(tmp_path / "vac")
+        df = spark.createDataFrame(ROWS[:2], SCHEMA)
+        write_delta(df.coalesce(1), tbl)
+        write_delta(df.coalesce(1), tbl, mode="overwrite")
+        log = _os.path.join(tbl, "_delta_log")
+        for v in (0, 1):
+            t = _time.time() - 7200
+            _os.utime(_os.path.join(log, f"{v:020d}.json"), (t, t))
+        res = run_dml(spark, "VACUUM t RETAIN 1 HOURS", {"t": tbl})
+        assert res["n_files_deleted"] == 1
+
+    def test_optimize_statement(self, spark, tmp_path):
+        tbl = str(tmp_path / "opt")
+        for k in range(3):
+            write_delta(
+                spark.createDataFrame(ROWS[k::3], SCHEMA).coalesce(1),
+                tbl)
+        res = run_dml(spark, "OPTIMIZE t", {"t": tbl})
+        assert res["n_compacted"] == 3
+        assert sorted(_delta_state(spark, tbl)) == sorted(ROWS[:40])
+
+    def test_optimize_zorder_statement(self, spark, tmp_path):
+        tbl = str(tmp_path / "optz")
+        for k in range(2):
+            write_delta(
+                spark.createDataFrame(ROWS[k::2], SCHEMA).coalesce(1),
+                tbl)
+        res = run_dml(spark, "OPTIMIZE t ZORDER BY (id, qty)",
+                      {"t": tbl})
+        assert res["n_compacted"] == 2
+
+    def test_iceberg_vacuum_maps_to_expire(self, spark, tmp_path):
+        import os as _os
+        import time as _time
+
+        tbl = str(tmp_path / "ivac")
+        for k in range(3):
+            write_iceberg(
+                spark.createDataFrame([(k, "x", 0)], SCHEMA), tbl)
+        st = _prev_state(tbl)
+        for sid in (1, 2):
+            p = _os.path.join(tbl, st["snapshots"][sid])
+            t = _time.time() - 7200
+            _os.utime(p, (t, t))
+        res = run_dml(spark, "VACUUM t RETAIN 1 HOURS", {"t": tbl},
+                      fmt="iceberg")
+        assert res["version"] is not None
+        assert sorted(_prev_state(tbl)["snapshots"]) == [3]
+
+
 class TestRefusals:
     def test_unknown_table(self, spark):
         with pytest.raises(ValueError, match="unknown table"):
