@@ -50,6 +50,21 @@ _OPTIMIZE_RE = re.compile(
     r"(?:\s+ZORDER\s+BY\s*\(\s*([A-Za-z0-9_,\s]+?)\s*\))?\s*;?\s*$",
     re.IGNORECASE,
 )
+_RESTORE_RE = re.compile(
+    r"^\s*RESTORE\s+TABLE\s+([A-Za-z_][A-Za-z0-9_.]*)"
+    r"\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DESCRIBE_RE = re.compile(
+    r"^\s*DESCRIBE\s+"
+    r"(HISTORY|FILES|TOMBSTONES|SNAPSHOTS|MANIFESTS|DELETES)\s+"
+    r"([A-Za-z_][A-Za-z0-9_.]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_TIME_TRAVEL_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b",
+    re.IGNORECASE,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -323,6 +338,32 @@ def run_dml(
         from .iceberg_sink import write_iceberg
 
         return write_iceberg(rows, _dir(name))
+    m = _RESTORE_RE.match(sql)
+    if m:
+        if fmt == "delta":
+            from .delta_sink import restore_delta
+
+            return restore_delta(_dir(m.group(1)), int(m.group(2)))
+        from .iceberg_sink import rollback_iceberg
+
+        # Iceberg versions its snapshots; the statement's number is
+        # the snapshot id (the rollback verb's own addressing)
+        return rollback_iceberg(_dir(m.group(1)), int(m.group(2)))
+    m = _DESCRIBE_RE.match(sql)
+    if m:
+        kind = m.group(1).lower()
+        if fmt == "delta":
+            from .delta_sink import inspect_delta
+
+            return inspect_delta(spark, _dir(m.group(2)), kind)
+        from .iceberg_sink import inspect_iceberg
+
+        # DESCRIBE HISTORY is Delta spelling; Iceberg's commit
+        # history lives in its snapshots metadata table
+        return inspect_iceberg(
+            spark, _dir(m.group(2)),
+            "snapshots" if kind == "history" else kind,
+        )
     m = _VACUUM_RE.match(sql)
     if m:
         if fmt != "delta":
@@ -441,3 +482,60 @@ def run_dml(
         f"unsupported DML statement (DELETE FROM / UPDATE ... SET / "
         f"MERGE INTO): {sql[:80]!r}"
     )
+
+
+def run_query(
+    spark,
+    sql: str,
+    tables: dict[str, str],
+    fmt: str = "delta",
+    sources: dict | None = None,
+):
+    """SELECT over lake tables (round 13): every ``tables[name]``
+    registers as a temp view of its LIVE rows through the one-call
+    readers, ``name VERSION AS OF n`` time-travels the Delta view to
+    that version (rewritten to the bare name before Spark SQL sees
+    it), ``sources`` DataFrames register alongside, and Catalyst runs
+    the query.  The lake resolution work is O(metadata); the query
+    itself is an ordinary Spark plan over the live-file scan."""
+    if fmt not in ("delta", "iceberg"):
+        raise ValueError(f"unknown table format {fmt!r}")
+    versions: dict[str, int] = {}
+
+    def _claim(m: re.Match) -> str:
+        name = m.group(1)
+        if name in versions and versions[name] != int(m.group(2)):
+            raise ValueError(
+                f"table {name!r} time-traveled to two versions in one "
+                "query; register a second name for the older view"
+            )
+        versions[name] = int(m.group(2))
+        return name
+
+    text = _TIME_TRAVEL_RE.sub(_claim, sql)
+    unknown = sorted(set(versions) - set(tables))
+    if unknown:
+        raise ValueError(
+            f"VERSION AS OF names unknown tables {unknown} "
+            f"(known: {sorted(tables)})"
+        )
+    for name, table_dir in tables.items():
+        if fmt == "delta":
+            from .delta_sink import read_delta_table
+
+            df = read_delta_table(spark, table_dir,
+                                  version=versions.get(name))
+        else:
+            if name in versions:
+                raise ValueError(
+                    "Iceberg time travel rides snapshot ids, not "
+                    "versions; read the snapshot explicitly via "
+                    "operators/iceberg.snapshot_live_files"
+                )
+            from .iceberg_sink import read_iceberg_table
+
+            df = read_iceberg_table(spark, table_dir)
+        df.createOrReplaceTempView(name)
+    for vname, vdf in (sources or {}).items():
+        vdf.createOrReplaceTempView(vname)
+    return spark.sql(text)

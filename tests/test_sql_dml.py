@@ -254,6 +254,79 @@ class TestUtilityStatements:
         assert sorted(_prev_state(tbl)["snapshots"]) == [3]
 
 
+class TestRestoreDescribeSelect:
+    def test_restore_statement(self, spark, tmp_path):
+        tbl = str(tmp_path / "rst")
+        write_delta(spark.createDataFrame(ROWS[:5], SCHEMA), tbl)
+        run_dml(spark, "DELETE FROM t WHERE id < 3", {"t": tbl})
+        assert len(_delta_state(spark, tbl)) == 2
+        res = run_dml(spark, "RESTORE TABLE t TO VERSION AS OF 0",
+                      {"t": tbl})
+        assert res["restored_to"] == 0
+        assert len(_delta_state(spark, tbl)) == 5
+
+    def test_describe_history(self, spark, tmp_path):
+        tbl = str(tmp_path / "hist")
+        write_delta(spark.createDataFrame(ROWS[:3], SCHEMA), tbl)
+        run_dml(spark, "DELETE FROM t WHERE id = 1", {"t": tbl})
+        hist = run_dml(spark, "DESCRIBE HISTORY t", {"t": tbl})
+        ops = [r["operation"] for r in hist.collect()]
+        assert "WRITE" in ops and "DELETE" in ops
+
+    def test_describe_iceberg_snapshots(self, spark, tmp_path):
+        tbl = str(tmp_path / "isnap")
+        write_iceberg(spark.createDataFrame(ROWS[:3], SCHEMA), tbl)
+        write_iceberg(spark.createDataFrame(ROWS[3:5], SCHEMA), tbl)
+        snaps = run_dml(spark, "DESCRIBE HISTORY t", {"t": tbl},
+                        fmt="iceberg")
+        assert snaps.count() == 2
+
+    def test_select_with_time_travel(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+            run_query,
+        )
+
+        tbl = str(tmp_path / "tt")
+        write_delta(spark.createDataFrame(ROWS[:5], SCHEMA), tbl)
+        run_dml(spark, "DELETE FROM t WHERE id < 3", {"t": tbl})
+        now = run_query(spark, "SELECT COUNT(*) AS n FROM t",
+                        {"t": tbl}).collect()[0]["n"]
+        then = run_query(
+            spark,
+            "SELECT COUNT(*) AS n FROM t VERSION AS OF 0",
+            {"t": tbl},
+        ).collect()[0]["n"]
+        assert (now, then) == (2, 5)
+
+    def test_select_join_lake_and_source(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+            run_query,
+        )
+
+        tbl = str(tmp_path / "tj")
+        write_delta(spark.createDataFrame(ROWS[:5], SCHEMA), tbl)
+        dim = spark.createDataFrame([(0, "x"), (1, "y")],
+                                    "id long, tag string")
+        got = run_query(
+            spark,
+            "SELECT t.id, d.tag FROM t JOIN dim d ON t.id = d.id "
+            "ORDER BY t.id",
+            {"t": tbl}, sources={"dim": dim},
+        ).collect()
+        assert [(r["id"], r["tag"]) for r in got] == [(0, "x"), (1, "y")]
+
+    def test_iceberg_time_travel_refused(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+            run_query,
+        )
+
+        tbl = str(tmp_path / "itt")
+        write_iceberg(spark.createDataFrame(ROWS[:2], SCHEMA), tbl)
+        with pytest.raises(ValueError, match="snapshot ids"):
+            run_query(spark, "SELECT * FROM t VERSION AS OF 1",
+                      {"t": tbl}, fmt="iceberg")
+
+
 class TestRefusals:
     def test_unknown_table(self, spark):
         with pytest.raises(ValueError, match="unknown table"):
