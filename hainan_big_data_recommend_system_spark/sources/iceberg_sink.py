@@ -1806,15 +1806,41 @@ def merge_iceberg(
     )
 
 
-def read_iceberg_table(spark, table_dir: str) -> DataFrame:
+def read_iceberg_table(spark, table_dir: str,
+                       snapshot_id: int | None = None) -> DataFrame:
     """The table's LIVE rows as a DataFrame — the one-call read path
     (round 13, `read_delta_table`'s format-#2 twin): resolve the
     manifest tree, scan only the live data files with the DECLARED
     schema, apply position AND equality deletes under the spec's
     sequence rules, and return the recorded columns in order (hidden
     partition fields stay metadata; identity partition columns
-    re-attach from the layout)."""
+    re-attach from the layout).
+
+    ``snapshot_id`` time-travels: the file set, sequence numbers and
+    delete files resolve from THAT snapshot's manifest list; columns
+    read under the CURRENT declared schema (the spec tracks a
+    per-snapshot schema-id — this sink only evolves schemas
+    append-only, so the current schema is a superset and older
+    snapshots surface nulls in later columns)."""
     prev = _prev_state(table_dir)
+    if snapshot_id is not None and snapshot_id != prev.get("current"):
+        if snapshot_id not in prev.get("snapshots", {}):
+            raise ValueError(
+                f"snapshot {snapshot_id} not in the table's snapshot "
+                f"list {sorted(prev.get('snapshots', {}))}"
+            )
+        snap = read_table(table_dir, snapshot_id=snapshot_id)
+        prev = {
+            **prev,
+            "live": snap["live"],
+            "partition_values": snap["partition_values"],
+            "data_sequence_numbers": snap["data_sequence_numbers"],
+            "equality_deletes": snap["equality_deletes"],
+            "position_delete_files": snap["position_delete_files"],
+            "position_delete_seqs": snap["position_delete_seqs"],
+            "position_delete_rows": snap["position_delete_rows"],
+            "file_stats": snap["file_stats"],
+        }
     if not prev["live"]:
         if prev["field_names"]:
             types = prev.get("field_types", {})

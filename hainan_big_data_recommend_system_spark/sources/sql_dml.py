@@ -526,15 +526,12 @@ def run_query(
             df = read_delta_table(spark, table_dir,
                                   version=versions.get(name))
         else:
-            if name in versions:
-                raise ValueError(
-                    "Iceberg time travel rides snapshot ids, not "
-                    "versions; read the snapshot explicitly via "
-                    "operators/iceberg.snapshot_live_files"
-                )
             from .iceberg_sink import read_iceberg_table
 
-            df = read_iceberg_table(spark, table_dir)
+            # VERSION AS OF on format #2 addresses the SNAPSHOT ID
+            # (Iceberg's own time-travel key)
+            df = read_iceberg_table(spark, table_dir,
+                                    snapshot_id=versions.get(name))
         df.createOrReplaceTempView(name)
     for vname, vdf in (sources or {}).items():
         vdf.createOrReplaceTempView(vname)

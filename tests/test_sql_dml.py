@@ -315,16 +315,73 @@ class TestRestoreDescribeSelect:
         ).collect()
         assert [(r["id"], r["tag"]) for r in got] == [(0, "x"), (1, "y")]
 
-    def test_iceberg_time_travel_refused(self, spark, tmp_path):
+    def test_iceberg_time_travel_by_snapshot_id(self, spark, tmp_path):
         from hainan_big_data_recommend_system_spark.sources.sql_dml import (
             run_query,
         )
 
         tbl = str(tmp_path / "itt")
         write_iceberg(spark.createDataFrame(ROWS[:2], SCHEMA), tbl)
-        with pytest.raises(ValueError, match="snapshot ids"):
-            run_query(spark, "SELECT * FROM t VERSION AS OF 1",
+        write_iceberg(spark.createDataFrame(ROWS[2:5], SCHEMA), tbl)
+        run_dml(spark, "DELETE FROM t WHERE id = 0", {"t": tbl},
+                fmt="iceberg")
+        now = run_query(spark, "SELECT COUNT(*) AS n FROM t",
+                        {"t": tbl}, fmt="iceberg").collect()[0]["n"]
+        snap1 = run_query(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 1",
+            {"t": tbl}, fmt="iceberg").collect()[0]["n"]
+        snap2 = run_query(
+            spark, "SELECT COUNT(*) AS n FROM t VERSION AS OF 2",
+            {"t": tbl}, fmt="iceberg").collect()[0]["n"]
+        assert (now, snap1, snap2) == (4, 2, 5)
+
+    def test_iceberg_unknown_snapshot_refused(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+            run_query,
+        )
+
+        tbl = str(tmp_path / "itt2")
+        write_iceberg(spark.createDataFrame(ROWS[:2], SCHEMA), tbl)
+        with pytest.raises(ValueError, match="not in the table"):
+            run_query(spark, "SELECT * FROM t VERSION AS OF 9",
                       {"t": tbl}, fmt="iceberg")
+
+
+class TestParserFuzz:
+    def test_mutated_statements_raise_or_parse_never_crash(self):
+        """Property: random mutations of valid DML text either parse
+        to a spec or raise ValueError — no other exception type, no
+        silent None (the decoder-fleet quarantine contract)."""
+        import random
+
+        random.seed(99)
+        base = ("MERGE INTO t AS a USING s AS b ON a.id = b.id "
+                "WHEN MATCHED AND b._op = 'D' THEN DELETE "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *")
+        for _ in range(300):
+            txt = list(base)
+            for _ in range(random.randint(1, 6)):
+                op = random.random()
+                i = random.randrange(len(txt))
+                if op < 0.4:
+                    txt[i] = random.choice(" ()=.*';_ABWHENSET")
+                elif op < 0.7:
+                    del txt[i]
+                else:
+                    txt.insert(i, random.choice(" ()=.*';WHEN"))
+            s = "".join(txt)
+            try:
+                spec = parse_merge(s)
+                assert isinstance(spec, dict) and spec["key_cols"]
+            except ValueError:
+                pass  # loud refusal is the contract
+
+    def test_condition_with_quoted_keywords_survives(self):
+        spec = parse_merge(
+            "MERGE INTO t USING s ON t.id = s.id "
+            "WHEN MATCHED AND s.note = 'WHEN THEN DELETE' THEN DELETE")
+        assert spec["matched_delete"] == "note = 'WHEN THEN DELETE'"
 
 
 class TestRefusals:
