@@ -2734,6 +2734,19 @@ def merge_delta(
                 f"merge conflict: files changed concurrently "
                 f"({conflicts[:3]})"
             )
+        if (not_matched_by_source_delete is not None
+                and cur["live"] != snap["live"]):
+            # the NMBS clause's read-set is the WHOLE table (rows to
+            # delete are defined by key ABSENCE), so ANY concurrent
+            # file-set change — even an append this writer never
+            # touched — invalidates the scan: its new rows escaped
+            # the delete decision (write skew).  Delta's own
+            # serializable MERGE aborts the same way.
+            raise ValueError(
+                "merge conflict: the file set changed since the "
+                "NOT MATCHED BY SOURCE scan (its read-set is the "
+                "whole table) — re-run the merge"
+            )
         version = cur["version"] + 1
         acts: list[dict] = []
         if version == 0:

@@ -1729,9 +1729,13 @@ def merge_iceberg(
                 )
         if nmbs_del_files:
             # the NMBS positions were computed against prev0's scan —
-            # the same conflict rule the DELETE verb applies
+            # the same conflict rule the DELETE verb applies, PLUS a
+            # whole-file-set check: the clause's read-set is the whole
+            # table (deletion by key ABSENCE), so a concurrent append
+            # this writer never scanned is write skew
             conflicts = _iceberg_conflicts(prev0, cur, nmbs_paths)
             if (conflicts
+                    or cur["live"] != prev0["live"]
                     or cur["position_delete_files"]
                     != prev0["position_delete_files"]
                     or cur["equality_deletes"]
@@ -1739,7 +1743,7 @@ def merge_iceberg(
                 raise ValueError(
                     "merge conflict: table changed concurrently since "
                     "the NOT MATCHED BY SOURCE scan "
-                    f"({conflicts[:3] or 'delete files'})"
+                    f"({conflicts[:3] or 'file set'})"
                 )
         version = cur["version"] + 1
         sid = (max(cur["snapshots"], default=0)) + 1

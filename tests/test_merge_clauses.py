@@ -266,6 +266,71 @@ class TestMatchedSet:
                        (4, "d", 40), (9, "new", 1)]
 
 
+class TestNmbsConcurrencyGuard:
+    def test_concurrent_append_aborts_nmbs_merge(self, spark, tmp_path,
+                                                 monkeypatch):
+        """A concurrent append between the NMBS scan and the claim is
+        WRITE SKEW (the appended rows escaped the key-absence delete
+        decision) — the merge must abort, not commit."""
+        tbl = str(tmp_path / "nmbs_race")
+        write_delta(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(1, "A", 100)], SCHEMA)
+
+        real_claim = delta_sink._claim_version
+        fired = {"done": False}
+
+        def racing_claim(table_dir, version, body, token):
+            if not fired["done"]:
+                fired["done"] = True
+                # a concurrent writer lands an append FIRST
+                write_delta(
+                    spark.createDataFrame([(99, "late", 35)], SCHEMA),
+                    tbl)
+            return real_claim(table_dir, version, body, token)
+
+        monkeypatch.setattr(delta_sink, "_claim_version", racing_claim)
+        with pytest.raises(ValueError, match="whole table"):
+            merge_delta(spark, src, tbl, key_cols=["id"],
+                        not_matched_by_source_delete="qty >= 30")
+        # nothing committed by the merge: the late row is intact and
+        # no NMBS delete applied
+        got = _delta_live(spark, tbl, ["id", "name", "qty"])
+        assert (99, "late", 35) in got
+        assert (3, "c", 30) in got
+
+    def test_concurrent_append_aborts_iceberg_nmbs(self, spark,
+                                                   tmp_path,
+                                                   monkeypatch):
+        from hainan_big_data_recommend_system_spark.sources import (
+            iceberg_sink,
+        )
+
+        tbl = str(tmp_path / "inmbs_race")
+        write_iceberg(spark.createDataFrame(BASE, SCHEMA), tbl)
+        src = spark.createDataFrame([(1, "A", 100)], SCHEMA)
+
+        real_claim = iceberg_sink._claim_metadata
+        fired = {"done": False}
+
+        def racing_claim(table_dir, version, meta_text, token, blobs):
+            if not fired["done"]:
+                fired["done"] = True
+                write_iceberg(
+                    spark.createDataFrame([(99, "late", 35)], SCHEMA),
+                    tbl)
+            return real_claim(table_dir, version, meta_text, token,
+                              blobs)
+
+        monkeypatch.setattr(iceberg_sink, "_claim_metadata",
+                            racing_claim)
+        with pytest.raises(ValueError, match="NOT MATCHED BY SOURCE"):
+            merge_iceberg(spark, src, tbl, key_cols=["id"],
+                          not_matched_by_source_delete="qty >= 30")
+        got = _iceberg_live(spark, tbl, ["id", "name", "qty"])
+        assert (99, "late", 35) in got
+        assert (3, "c", 30) in got
+
+
 class TestIcebergClauses:
     def test_cdc_apply_through_one_merge(self, spark, tmp_path):
         tbl = str(tmp_path / "icdc")
