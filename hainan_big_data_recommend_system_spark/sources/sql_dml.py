@@ -512,7 +512,14 @@ def run_query(
         versions[name] = int(m.group(2))
         return name
 
-    text = _TIME_TRAVEL_RE.sub(_claim, sql)
+    # quote-aware rewrite: VERSION AS OF inside a string literal is
+    # data, not time travel (the same discipline as the conjunct
+    # scanner) — substitute only in the unquoted segments
+    parts = re.split(r"('(?:[^']|'')*')", sql)
+    text = "".join(
+        p if i % 2 else _TIME_TRAVEL_RE.sub(_claim, p)
+        for i, p in enumerate(parts)
+    )
     unknown = sorted(set(versions) - set(tables))
     if unknown:
         raise ValueError(

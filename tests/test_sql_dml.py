@@ -335,6 +335,21 @@ class TestRestoreDescribeSelect:
             {"t": tbl}, fmt="iceberg").collect()[0]["n"]
         assert (now, snap1, snap2) == (4, 2, 5)
 
+    def test_time_travel_inside_string_literal_is_data(self, spark,
+                                                       tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (
+            run_query,
+        )
+
+        tbl = str(tmp_path / "ttq")
+        write_delta(spark.createDataFrame(ROWS[:2], SCHEMA), tbl)
+        got = run_query(
+            spark,
+            "SELECT 't VERSION AS OF 9' AS lit, COUNT(*) AS n FROM t",
+            {"t": tbl},
+        ).collect()[0]
+        assert got["lit"] == "t VERSION AS OF 9" and got["n"] == 2
+
     def test_iceberg_unknown_snapshot_refused(self, spark, tmp_path):
         from hainan_big_data_recommend_system_spark.sources.sql_dml import (
             run_query,
