@@ -178,6 +178,7 @@ def parse_table_metadata(text: str) -> dict:
     if not isinstance(snaps, list) or not snaps:
         raise ValueError("snapshots list missing")
     out: dict[int, str] = {}
+    snap_ops: dict[int, str] = {}
     for s in snaps:
         if not isinstance(s, dict):
             raise ValueError("snapshot entry is not an object")
@@ -186,6 +187,9 @@ def parse_table_metadata(text: str) -> dict:
         if not isinstance(sid, int) or not isinstance(ml, str) or not ml:
             raise ValueError("snapshot entry missing id/manifest-list")
         out[sid] = ml
+        op = (s.get("summary") or {}).get("operation")
+        if isinstance(op, str):
+            snap_ops[sid] = op
     if cur not in out:
         raise ValueError("current-snapshot-id not in the snapshot list")
     field_names: dict[int, str] = {}
@@ -261,6 +265,7 @@ def parse_table_metadata(text: str) -> dict:
         "field_types": field_types,
         "properties": dict(props),
         "partition_spec": partition_spec,
+        "snapshot_ops": snap_ops,
     }
 
 
@@ -628,6 +633,7 @@ def make_table_metadata(
     schema_fields: list[dict] | None = None,
     properties: dict[str, str] | None = None,
     partition_spec: list[dict] | None = None,
+    snapshot_ops: dict[int, str] | None = None,
 ) -> str:
     """``schema_fields`` (round 11) is the spec's schema block —
     ``[{id, name, type}, ...]`` — recorded so readers can resolve
@@ -640,7 +646,12 @@ def make_table_metadata(
         "format-version": format_version,
         "current-snapshot-id": current,
         "snapshots": [
-            {"snapshot-id": sid, "manifest-list": ml}
+            {"snapshot-id": sid, "manifest-list": ml,
+             # the spec's snapshot summary: changelog consumers skip
+             # 'replace' snapshots (compaction rewrites no logical
+             # rows — round 13)
+             **({"summary": {"operation": snapshot_ops[sid]}}
+                if snapshot_ops and sid in snapshot_ops else {})}
             for sid, ml in sorted(snapshots.items())
         ],
     }

@@ -139,6 +139,7 @@ def _prev_state(table_dir: str) -> dict:
                 "manifest_entries": [], "live": {}, "partition_values": {},
                 "last_seq": 0, "field_names": {}, "field_ids": {},
                 "field_types": {}, "partition_spec": [],
+                "snapshot_ops": {},
                 "position_delete_files": [],
                 "data_sequence_numbers": {},
                 "equality_deletes": [], "properties": {},
@@ -169,6 +170,7 @@ def _prev_state(table_dir: str) -> dict:
         "field_ids": meta["field_ids"],
         "field_types": meta.get("field_types", {}),
         "partition_spec": meta.get("partition_spec", []),
+        "snapshot_ops": meta.get("snapshot_ops", {}),
         "position_delete_files": snap["position_delete_files"],
         "data_sequence_numbers": snap["data_sequence_numbers"],
         "equality_deletes": snap["equality_deletes"],
@@ -1051,6 +1053,7 @@ def write_iceberg(
             properties=props,
             partition_spec=(pspec or prev.get("partition_spec")
                             or None),
+            snapshot_ops={**prev.get("snapshot_ops", {}), sid: ("append" if mode == "append" else "overwrite")},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1347,6 +1350,7 @@ def delete_where_iceberg(
             schema_fields=_carry_schema_fields(cur),
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
+            snapshot_ops={**cur.get("snapshot_ops", {}), sid: "delete"},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1486,6 +1490,7 @@ def update_where_iceberg(
             schema_fields=_carry_schema_fields(cur) or schema_fields,
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
+            snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1797,6 +1802,7 @@ def merge_iceberg(
             snapshots, current=sid, schema_fields=schema_fields,
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
+            snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2125,6 +2131,7 @@ def rewrite_data_files_iceberg(
             schema_fields=_carry_schema_fields(cur),
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
+            snapshot_ops={**cur.get("snapshot_ops", {}), sid: "replace"},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2376,6 +2383,7 @@ def rewrite_manifests_iceberg(
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
             partition_spec=prev.get("partition_spec") or None,
+            snapshot_ops={**cur.get("snapshot_ops", {}), sid: "replace"},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2526,6 +2534,7 @@ def rollback_iceberg(table_dir: str, snapshot_id: int,
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
             partition_spec=prev.get("partition_spec") or None,
+            snapshot_ops=prev.get("snapshot_ops") or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version, "snapshot_id": snapshot_id}
@@ -2571,6 +2580,11 @@ def expire_snapshots_iceberg(
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
             partition_spec=prev.get("partition_spec") or None,
+            snapshot_ops={
+                sid: op
+                for sid, op in (prev.get("snapshot_ops") or {}).items()
+                if sid in snapshots
+            } or None,
         )
         if not _claim_metadata(table_dir, version, meta_text, token, {}):
             continue

@@ -140,10 +140,19 @@ class _IcebergFeed:
     def available(self, after: int) -> list[int]:
         from ..sources.iceberg_sink import _prev_state
 
-        return sorted(
-            s for s in _prev_state(self.table_dir)["snapshots"]
-            if s > after
-        )
+        prev = _prev_state(self.table_dir)
+        self._ops = prev.get("snapshot_ops", {})
+        return sorted(s for s in prev["snapshots"] if s > after)
+
+    def skip(self, sid: int) -> bool:
+        """'replace' snapshots (compaction / manifest rewrites) change
+        no logical rows — reading one through the file-level diff
+        would push the WHOLE rewritten file set through the feed as
+        delete+insert noise (a 100 TB compaction must not replay the
+        table).  The spec's changelog skips them the same way; the
+        checkpoint still advances PAST them so ranges never straddle
+        the rewrite."""
+        return getattr(self, "_ops", {}).get(sid) == "replace"
 
     def read(self, v_from: int, v_to: int) -> DataFrame:
         from ..sources.iceberg_sink import read_changes_iceberg
@@ -172,7 +181,10 @@ def stream_changes(
     ``_commit_version`` on Delta), and composing with the txn-watermark
     table writers gives exactly-once end to end.
 
-    Returns ``{n_batches, n_redelivered, last_version}``."""
+    Returns ``{n_batches, n_redelivered, n_skipped, last_version}``
+    (``n_skipped``: no-logical-change versions — Iceberg 'replace'
+    compaction snapshots — the checkpoint advanced past without
+    reading)."""
     if fmt == "delta":
         feed = _DeltaFeed(spark, table_dir)
     elif fmt == "iceberg":
@@ -185,25 +197,43 @@ def stream_changes(
     batch_id, dangling = _last_state(checkpoint_dir)
     n_batches = 0
     n_redelivered = 0
+    n_skipped = 0
     last_consumed = None
     if dangling is not None:
         # crash window: the intent was logged but never committed —
         # rerun the SAME range under the SAME batch_id (downstream
-        # watermarks dedup the at-least-once replay)
-        batch_fn(feed.read(dangling["v_from"], dangling["v_to"]),
-                 batch_id)
+        # watermarks dedup the at-least-once replay); a skipped
+        # intent just re-commits its marker
+        if not dangling.get("skipped"):
+            batch_fn(feed.read(dangling["v_from"], dangling["v_to"]),
+                     batch_id)
+            n_batches += 1
+            n_redelivered += 1
         _write_commit(checkpoint_dir, batch_id)
         last_consumed = dangling["v_to"]
         batch_id += 1
-        n_batches += 1
-        n_redelivered += 1
     if last_consumed is None:
         floor = _committed_floor(checkpoint_dir)
         last_consumed = floor if floor is not None else feed.origin
+    skip_fn = getattr(feed, "skip", lambda v: False)
     pending = feed.available(last_consumed)
     while pending:
-        chunk = pending[:max_versions_per_batch]
-        pending = pending[max_versions_per_batch:]
+        if skip_fn(pending[0]):
+            # advance the checkpoint PAST a no-logical-change version
+            # without reading it (compaction snapshots)
+            v = pending.pop(0)
+            _write_offset(checkpoint_dir, batch_id,
+                          {"v_from": last_consumed, "v_to": v,
+                           "skipped": True})
+            _write_commit(checkpoint_dir, batch_id)
+            last_consumed = v
+            batch_id += 1
+            n_skipped += 1
+            continue
+        chunk = []
+        while (pending and len(chunk) < max_versions_per_batch
+               and not skip_fn(pending[0])):
+            chunk.append(pending.pop(0))
         intent = {"v_from": last_consumed, "v_to": chunk[-1]}
         _write_offset(checkpoint_dir, batch_id, intent)
         batch_fn(feed.read(intent["v_from"], intent["v_to"]), batch_id)
@@ -212,4 +242,4 @@ def stream_changes(
         batch_id += 1
         n_batches += 1
     return {"n_batches": n_batches, "n_redelivered": n_redelivered,
-            "last_version": last_consumed}
+            "n_skipped": n_skipped, "last_version": last_consumed}

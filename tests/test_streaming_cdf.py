@@ -211,6 +211,39 @@ class TestIcebergStream:
             diff[key] += 1 if r["_change_type"] == "insert" else -1
         assert net == Counter({k: n for k, n in diff.items() if n})
 
+    def test_compaction_snapshot_skipped(self, spark, tmp_path):
+        """A rewrite_data_files snapshot changes no logical rows: the
+        stream must advance PAST it without pushing the rewritten
+        file set through the feed as delete+insert noise."""
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
+            rewrite_data_files_iceberg,
+        )
+
+        tbl = str(tmp_path / "icecomp")
+        ck = str(tmp_path / "ickc")
+        self._build(spark, tbl)                              # sids 1-3
+        stream_changes(spark, tbl, ck, lambda df, bid: None,
+                       fmt="iceberg")
+        r = rewrite_data_files_iceberg(spark, tbl)           # sid 4
+        assert r["version"] is not None
+        write_iceberg(
+            spark.createDataFrame([(50, "v50")], "id long, v string"),
+            tbl,
+        )                                                    # sid 5
+        seen = []
+        res = stream_changes(
+            spark, tbl, ck,
+            lambda df, bid: seen.extend(df.collect()),
+            fmt="iceberg",
+        )
+        assert res["n_skipped"] == 1
+        assert res["n_batches"] == 1
+        assert sorted((x["id"], x["_change_type"]) for x in seen) == [
+            (50, "insert")
+        ]
+        # the checkpoint advanced past the replace snapshot
+        assert res["last_version"] == 5
+
     def test_restart_continuation(self, spark, tmp_path):
         tbl = str(tmp_path / "ice2")
         ck = str(tmp_path / "ick2")
