@@ -2383,7 +2383,8 @@ def rewrite_manifests_iceberg(
             schema_fields=_carry_schema_fields(prev),
             properties=prev.get("properties"),
             partition_spec=prev.get("partition_spec") or None,
-            snapshot_ops={**cur.get("snapshot_ops", {}), sid: "replace"},
+            snapshot_ops={**prev.get("snapshot_ops", {}),
+                          sid: "replace"},
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
