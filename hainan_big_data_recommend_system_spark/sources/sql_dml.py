@@ -14,15 +14,25 @@ Supported forms (case-insensitive keywords)::
     UPDATE t SET col = expr [, ...] WHERE <cond>
     MERGE INTO t [AS] a USING s [AS] b ON a.k = b.k [AND ...]
       [WHEN MATCHED [AND <cond over b>] THEN DELETE]
-      [WHEN MATCHED [AND <cond over b>] THEN UPDATE SET *]
+      [WHEN MATCHED [AND <cond over b>] THEN UPDATE SET *
+                                           | UPDATE SET c = expr, ...]
       [WHEN NOT MATCHED [AND <cond over b>] THEN INSERT *]
       [WHEN NOT MATCHED BY SOURCE [AND <cond over a>] THEN DELETE]
+    INSERT INTO t SELECT ... | VALUES (...)        -- positional
+    RESTORE TABLE t TO VERSION AS OF n
+    VACUUM t RETAIN n HOURS
+    OPTIMIZE t [ZORDER BY (c, ...)]
+    DESCRIBE HISTORY|FILES|TOMBSTONES|SNAPSHOTS|MANIFESTS|DELETES t
 
-``UPDATE SET *`` / ``INSERT *`` are the whole-row forms the merge
-verbs implement (name-aligned, SQL MERGE's ``*`` shorthand); clause
-conditions reference the source alias (target alias for NOT MATCHED
-BY SOURCE), whose prefix is stripped before handing the bare-column
-expression to the verb.
+plus `run_query` for SELECT over lake tables with quote-aware
+``name VERSION AS OF n`` time travel (Delta versions / Iceberg
+snapshot ids).  ``UPDATE SET *`` / ``INSERT *`` are the whole-row
+forms (name-aligned, SQL MERGE's ``*`` shorthand); per-column
+``UPDATE SET c = expr`` assignments evaluate over the matched pair
+with the statement's aliases rewritten onto the verbs' ``t``/``s``
+(Delta only).  Clause conditions reference the source alias (target
+alias for NOT MATCHED BY SOURCE), whose prefix is stripped before
+handing the bare-column expression to the verb.
 
 Reference parity: the reference mutates its tables with pandas
 assignments and ad-hoc scripts (e.g. data_clean.py); at lake scale
