@@ -296,6 +296,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
     rg_rows: list[int] = []
     int64_stats: list[dict] = []
     binary_stats: list[dict] = []
+    null_stats: list[dict] = []
     bloom_offsets: list[dict] = []
     for rg_idx, rg in enumerate(_need_list(fmd.get(4), "row_groups")):
         rg = _need_struct(rg, "row group")
@@ -320,8 +321,23 @@ def parse_parquet_footer(payload: bytes) -> dict:
             if stats is not None:
                 stats = _need_struct(stats, "statistics")
                 if 3 in stats:
-                    nulls += _need_int(stats[3], "null_count")
+                    nc = _need_int(stats[3], "null_count")
+                    nulls += nc
                     have_nulls = True
+                    # per-column null counts (round 13): the
+                    # add.stats nullCount input — recorded even for
+                    # chunks with NO min/max (an all-null chunk has
+                    # a null_count and nothing else)
+                    _p = md.get(3)
+                    null_stats.append({
+                        "rg": rg_idx,
+                        "col": (
+                            _p[0].decode("utf-8", "replace")
+                            if isinstance(_p, list) and _p
+                            and isinstance(_p[0], bytes) else "?"
+                        ),
+                        "nulls": nc,
+                    })
                 # min_value/max_value of INT64 chunks: the row-group
                 # skipping inputs (8-byte LE two's complement).  Older
                 # writers carry only the legacy max/min (fields 1/2),
@@ -397,6 +413,7 @@ def parse_parquet_footer(payload: bytes) -> dict:
         "total_compressed": comp,
         "total_uncompressed": uncomp,
         "null_count": nulls if have_nulls else None,
+        "null_stats": null_stats,
         "rg_rows": rg_rows,
         "int64_stats": int64_stats,
         "binary_stats": binary_stats,

@@ -538,13 +538,27 @@ def footer_string_bounds(footer_meta: dict) -> tuple[dict, dict]:
     return mins, maxs
 
 
+def footer_null_counts(footer_meta: dict) -> dict[str, int]:
+    """Per-column file-level null counts for every column whose chunk
+    statistics cover ALL row groups (partial coverage is not a file
+    count, so partially-covered columns are omitted) — the spec's
+    ``add.stats.nullCount`` input and the IS [NOT] NULL pruning
+    lever's proof (round 13)."""
+    n_rgs = footer_meta["n_row_groups"]
+    per_col: dict[str, list[int]] = {}
+    for st in footer_meta.get("null_stats", ()):
+        per_col.setdefault(st["col"], []).append(st["nulls"])
+    return {c: sum(v) for c, v in per_col.items() if len(v) == n_rgs}
+
+
 def _file_stats(footer_meta: dict) -> str:
     """``add.stats`` JSON (PROTOCOL.md "Per-file Statistics") from the
     hand-parsed footer: numRecords always; minValues/maxValues from
-    `footer_int64_bounds` + `footer_string_bounds`.  These are the
-    data-skipping inputs `prune_live_files` consumes: at scale, a
-    key-clustered table answers a narrow range scan by opening a
-    handful of files."""
+    `footer_int64_bounds` + `footer_string_bounds`; nullCount from
+    `footer_null_counts` (round 13).  These are the data-skipping
+    inputs `prune_live_files` consumes: at scale, a key-clustered
+    table answers a narrow range scan by opening a handful of
+    files."""
     mins, maxs = footer_int64_bounds(footer_meta)
     smins, smaxs = footer_string_bounds(footer_meta)
     mins = {**mins, **smins}
@@ -553,6 +567,9 @@ def _file_stats(footer_meta: dict) -> str:
     if mins:
         stats["minValues"] = dict(sorted(mins.items()))
         stats["maxValues"] = dict(sorted(maxs.items()))
+    nulls = footer_null_counts(footer_meta)
+    if nulls:
+        stats["nullCount"] = dict(sorted(nulls.items()))
     return json.dumps(stats, sort_keys=True, separators=(",", ":"))
 
 
@@ -762,6 +779,9 @@ _BETWEEN_RE = re.compile(
     rf"^\s*{_IDENT}\s+BETWEEN\s+(.+?)\s+AND\s+(.+?)\s*$",
     re.IGNORECASE,
 )
+_ISNULL_RE = re.compile(
+    rf"^\s*{_IDENT}\s+IS\s+(NOT\s+)?NULL\s*$", re.IGNORECASE
+)
 
 
 def _parse_sql_literal(tok: str):
@@ -896,9 +916,16 @@ def analyze_condition(cond: str) -> dict[str, dict]:
     out: dict[str, dict] = {}
 
     def slot(col: str) -> dict:
-        return out.setdefault(col, {"eq": None, "lo": None, "hi": None})
+        return out.setdefault(
+            col, {"eq": None, "lo": None, "hi": None, "null": None}
+        )
 
     for c in conjuncts:
+        m = _ISNULL_RE.match(c)
+        if m:
+            # col IS [NOT] NULL — the nullCount pruning lever's input
+            slot(m.group(1))["null"] = m.group(2) is None
+            continue
         m = _BETWEEN_RE.match(c)
         if m:
             col = m.group(1)
@@ -1029,7 +1056,8 @@ def _prune_dml_paths(
     cons = analyze_condition(condition)
     live = snap["live"]
     counts = {"n_candidates": len(live), "n_partition_skipped": 0,
-              "n_stats_skipped": 0, "n_bloom_skipped": 0}
+              "n_stats_skipped": 0, "n_bloom_skipped": 0,
+              "n_null_skipped": 0}
     if not cons:
         return sorted(live), counts
     part_cols = {
@@ -1107,6 +1135,28 @@ def _prune_dml_paths(
         r = prune_live_files({**snap, "live": live}, c, lo=lo, hi=hi)
         counts["n_stats_skipped"] += r["n_skipped"]
         live = r["kept"]
+    # nullCount lever (round 13): IS NULL skips files recording zero
+    # nulls for the column, IS NOT NULL skips all-null files — the
+    # spec's add.stats.nullCount made load-bearing.  Files without the
+    # stat are kept (no proof, must scan).
+    fstats = snap.get("file_stats", {})
+    for c, cc in cons.items():
+        if cc.get("null") is None:
+            continue
+        kept_n: dict[str, tuple[int, int]] = {}
+        for path, meta in live.items():
+            st = fstats.get(path) or {}
+            nc = (st.get("nullCount") or {}).get(c)
+            nr = st.get("numRecords")
+            if nc is None:
+                kept_n[path] = meta
+            elif cc["null"] and nc == 0:
+                counts["n_null_skipped"] += 1
+            elif not cc["null"] and nr is not None and nc == nr:
+                counts["n_null_skipped"] += 1
+            else:
+                kept_n[path] = meta
+        live = kept_n
     if use_bloom:
         for c, cc in cons.items():
             if cc["eq"] and len(cc["eq"]) == 1:
