@@ -355,6 +355,8 @@ def test_pruning_soundness_randomized(spark, tmp_path):
         "CASE WHEN id < 100 THEN 'd1' WHEN id < 250 THEN 'd2' "
         "ELSE 'd3' END AS dt",
         "cast(id % 7 as string) AS tag",
+        "CASE WHEN id % 5 = 0 THEN NULL ELSE cast(id % 7 as string) "
+        "END AS ntag",
     )
     write_delta(df, tbl, partition_by=["dt"],
                 bloom_filter_cols=["id"])
@@ -363,7 +365,7 @@ def test_pruning_soundness_randomized(spark, tmp_path):
     rng = random.Random(0xC0FFEE)
 
     def gen_atom():
-        kind = rng.randrange(8)
+        kind = rng.randrange(10)
         k = rng.randrange(0, 450)
         if kind == 0:
             return f"id = {k}"
@@ -384,12 +386,16 @@ def test_pruning_soundness_randomized(spark, tmp_path):
             return f"tag = '{rng.randrange(0, 9)}'"
         if kind == 6:
             return f"id % {rng.randrange(2, 5)} = 1"  # unreadable
+        if kind == 7:
+            return "ntag IS NULL"     # nullCount lever (round 13)
+        if kind == 8:
+            return "ntag IS NOT NULL"
         return f"id = '{k}'"  # cross-type literal (Spark coerces)
 
     scan = spark.read.parquet(
         *[os.path.join(tbl, p) for p in sorted(snap["live"])]
     ).select(
-        F.col("_metadata.file_path").alias("fp"), "id", "tag",
+        F.col("_metadata.file_path").alias("fp"), "id", "tag", "ntag",
     )
     abs_of = {delta_sink._abs_uri(tbl, p): p for p in snap["live"]}
     pv = snap["partition_values"]
