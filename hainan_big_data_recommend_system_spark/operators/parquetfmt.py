@@ -327,17 +327,21 @@ def parse_parquet_footer(payload: bytes) -> dict:
                     # per-column null counts (round 13): the
                     # add.stats nullCount input — recorded even for
                     # chunks with NO min/max (an all-null chunk has
-                    # a null_count and nothing else)
+                    # a null_count and nothing else).  Nested leaves
+                    # (path_in_schema longer than 1) are SKIPPED, not
+                    # attributed to the root (ADVICE r13 low: a
+                    # struct a<b>'s leaf nulls are nulls(a.b), not
+                    # nulls(a) — naming them 'a' would let the
+                    # IS NOT NULL lever skip files whose a is
+                    # everywhere non-null but a.b all-null)
                     _p = md.get(3)
-                    null_stats.append({
-                        "rg": rg_idx,
-                        "col": (
-                            _p[0].decode("utf-8", "replace")
-                            if isinstance(_p, list) and _p
-                            and isinstance(_p[0], bytes) else "?"
-                        ),
-                        "nulls": nc,
-                    })
+                    if (isinstance(_p, list) and len(_p) == 1
+                            and isinstance(_p[0], bytes)):
+                        null_stats.append({
+                            "rg": rg_idx,
+                            "col": _p[0].decode("utf-8", "replace"),
+                            "nulls": nc,
+                        })
                 # min_value/max_value of INT64 chunks: the row-group
                 # skipping inputs (8-byte LE two's complement).  Older
                 # writers carry only the legacy max/min (fields 1/2),

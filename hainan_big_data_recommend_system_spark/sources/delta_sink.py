@@ -1109,7 +1109,8 @@ def _prune_dml_paths(
                 by_source.setdefault(f["source"], []).append(f)
         for c, cc in cons.items():
             for f in by_source.get(c, ()):
-                sp = transform_constraint_spellings(f, cc)
+                sp = transform_constraint_spellings(
+                    f, cc, src_type=declared.get(c))
                 if sp is not None:
                     wanted[f["name"]] = (
                         wanted[f["name"]] & sp

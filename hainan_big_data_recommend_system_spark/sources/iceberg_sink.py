@@ -625,18 +625,66 @@ def transform_spelling(field: dict, v) -> str | None:
     return None
 
 
-def transform_constraint_spellings(field: dict, cc: dict) -> set[str] | None:
+#: schema-JSON int-family type names — a bucket/truncate spelling of
+#: an int literal is provably the one the writer derived only when the
+#: source column really holds ints
+_XFORM_INT_TYPES = {"byte", "short", "integer", "long"}
+
+
+def _transform_literals_typed(t: str, src_type: str | None,
+                              values) -> bool:
+    """Declared-type gate for the transform pruning lever (ADVICE r13
+    high): a literal whose Python type mismatches the declared SOURCE
+    column type spells a DIFFERENT partition value than the one the
+    writer derived — e.g. ``id = '42'`` on a ``bucket[16]`` long
+    column spells the string hash's bucket while the data was hashed
+    as int64, so files holding rows Spark's coercing filter WOULD
+    match get silently skipped.  True only when every literal's type
+    matches the declared source type; unknown declared type is never
+    provable."""
+    import datetime
+
+    if t == "day":
+        # day sources are timestamp/date; string literals are parsed
+        # as ISO date prefixes (the coercion Spark itself applies)
+        if src_type not in ("timestamp", "timestamp_ntz", "date"):
+            return False
+        return all(
+            isinstance(v, (datetime.date, datetime.datetime, str))
+            for v in values
+        )
+    # bucket[N] / truncate[W]
+    if src_type in _XFORM_INT_TYPES:
+        return all(isinstance(v, int) and not isinstance(v, bool)
+                   for v in values)
+    if src_type == "string":
+        return all(isinstance(v, str) for v in values)
+    return False
+
+
+def transform_constraint_spellings(
+    field: dict, cc: dict, src_type: str | None = None,
+) -> set[str] | None:
     """The partition spellings a predicate constraint on a transform's
     SOURCE column allows — the transform-aware pruning lever
     (`_prune_dml_paths` consumes this): equality sets spell directly;
     a bounded range enumerates day / truncate-multiple spellings (a
     ``ts >= X AND ts < Y`` DELETE opens only the matching day
-    partitions).  Returns None when no sound finite spelling set
-    exists (unbounded ranges, oversized spans, unspellable values) —
-    the caller must then skip this lever, never guess."""
+    partitions).  ``src_type`` is the declared schema-JSON type of the
+    SOURCE column; literals whose Python type mismatches it are not
+    provably spellable (ADVICE r13 high — a type-coerced comparison
+    would match rows the mismatched spelling skips).  Returns None
+    when no sound finite spelling set exists (type mismatch, unbounded
+    ranges, oversized spans, unspellable values) — the caller must
+    then skip this lever, never guess."""
     import datetime
 
     t = field["transform"]
+    lits = list(cc["eq"]) if cc["eq"] else [
+        v for v in (cc["lo"], cc["hi"]) if v is not None
+    ]
+    if not _transform_literals_typed(t, src_type, lits):
+        return None
     if cc["eq"]:
         out = set()
         for v in cc["eq"]:
@@ -1506,7 +1554,13 @@ def update_where_iceberg(
 #: `_prune_dml_paths` gates its textual partition pruning on)
 _SIMPLE_TO_JSON = {"tinyint": "byte", "smallint": "short",
                    "int": "integer", "bigint": "long",
-                   "string": "string"}
+                   "string": "string",
+                   # temporal types feed ONLY the day-transform lever
+                   # (its type gate); the textual partition / stats /
+                   # bloom levers each reject them explicitly
+                   "timestamp": "timestamp",
+                   "timestamp_ntz": "timestamp_ntz",
+                   "date": "date"}
 
 
 def _declared_types(prev: dict) -> dict[str, str]:

@@ -104,25 +104,62 @@ class TestSpellings:
     def test_day_range_enumerates(self):
         sp = transform_constraint_spellings(
             self.FIELD_DAY,
-            {"eq": None, "lo": "2026-01-02", "hi": "2026-01-04"})
+            {"eq": None, "lo": "2026-01-02", "hi": "2026-01-04"},
+            src_type="timestamp")
         assert sp == {"2026-01-02", "2026-01-03", "2026-01-04"}
 
     def test_day_unbounded_range_skips(self):
         assert transform_constraint_spellings(
             self.FIELD_DAY,
-            {"eq": None, "lo": "2026-01-02", "hi": None}) is None
+            {"eq": None, "lo": "2026-01-02", "hi": None},
+            src_type="timestamp") is None
 
     def test_truncate_range(self):
         sp = transform_constraint_spellings(
-            self.FIELD_T, {"eq": None, "lo": 150, "hi": 310})
+            self.FIELD_T, {"eq": None, "lo": 150, "hi": 310},
+            src_type="long")
         assert sp == {"100", "200", "300"}
 
     def test_bucket_eq_only(self):
         sp = transform_constraint_spellings(
-            self.FIELD_B, {"eq": {34}, "lo": None, "hi": None})
+            self.FIELD_B, {"eq": {34}, "lo": None, "hi": None},
+            src_type="long")
         assert sp == {str(bucket_value(34, 8))}
         assert transform_constraint_spellings(
-            self.FIELD_B, {"eq": None, "lo": 1, "hi": 5}) is None
+            self.FIELD_B, {"eq": None, "lo": 1, "hi": 5},
+            src_type="long") is None
+
+    def test_type_mismatch_abstains(self):
+        """ADVICE r13 high: a literal whose Python type mismatches the
+        declared source type must yield NO spelling (keep the file) —
+        '42' on a bucketed long column hashes into a different bucket
+        than the int64 the writer derived."""
+        # string literal against an int-family bucket source
+        assert transform_constraint_spellings(
+            self.FIELD_B, {"eq": {"42"}, "lo": None, "hi": None},
+            src_type="long") is None
+        # int literal against a string bucket source
+        assert transform_constraint_spellings(
+            self.FIELD_B, {"eq": {42}, "lo": None, "hi": None},
+            src_type="string") is None
+        # string literal against an int truncate source ('123' would
+        # spell '123' while the true spelling is '120')
+        assert transform_constraint_spellings(
+            self.FIELD_T, {"eq": {"123"}, "lo": None, "hi": None},
+            src_type="long") is None
+        # unknown declared type: never provable
+        assert transform_constraint_spellings(
+            self.FIELD_B, {"eq": {34}, "lo": None, "hi": None}) is None
+        # day transform on a non-temporal source: abstain
+        assert transform_constraint_spellings(
+            self.FIELD_DAY,
+            {"eq": {"2026-01-02"}, "lo": None, "hi": None},
+            src_type="string") is None
+        # matched types still spell
+        assert transform_constraint_spellings(
+            self.FIELD_DAY,
+            {"eq": {"2026-01-02"}, "lo": None, "hi": None},
+            src_type="date") == {"2026-01-02"}
 
 
 class TestDayPartitionedLifecycle:
@@ -266,6 +303,30 @@ class TestBucketPartitionedTable:
         )
         assert counts["n_partition_skipped"] > 0
         res = delete_where_iceberg(spark, tbl, "id = 34")
+        assert res["n_rows_deleted"] == 1
+        assert read_table(tbl)["live_rows_after_deletes"] == 63
+
+    def test_string_literal_on_long_bucket_not_mispruned(
+            self, spark, tmp_path):
+        """ADVICE r13 high, end-to-end: DELETE WHERE id = '42' on a
+        bucket[8](id) LONG column.  Spark's coercing filter matches
+        the id=42 row; the pruner must NOT spell '42' as a string
+        bucket (a different bucket than int64 42's) and skip the
+        file holding it."""
+        tbl = str(tmp_path / "bt2")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(64)], "id long, v string")
+        write_iceberg(df, tbl, partition_by=["bucket(8, id)"])
+        st = _prev_state(tbl)
+        # the pruner abstains entirely on the mistyped literal: every
+        # live file stays a candidate
+        paths, counts = _prune_dml_paths(
+            tbl, st, "id = '42'", declared=_declared_types(st),
+            transforms=st["partition_spec"],
+        )
+        assert counts["n_partition_skipped"] == 0
+        assert set(paths) == set(st["live"])
+        res = delete_where_iceberg(spark, tbl, "id = '42'")
         assert res["n_rows_deleted"] == 1
         assert read_table(tbl)["live_rows_after_deletes"] == 63
 

@@ -100,3 +100,28 @@ class TestPruning:
         got = sorted(r["id"] for r in
                      read_delta_table(spark, tbl).collect())
         assert got == [1, 2, 3, 4]
+
+
+class TestNestedNullStatsSkipped:
+    def test_struct_leaf_nulls_not_attributed_to_root(
+            self, spark, tmp_path):
+        """ADVICE r13 low: a struct column ``a: struct<b>`` whose
+        every ``a`` is non-null but every ``a.b`` is null must NOT
+        record ``nullCount['a'] = nulls(a.b)`` — that would let the
+        IS NOT NULL lever skip a file full of matching rows.  Nested
+        leaves (path_in_schema longer than 1) are out of stats scope;
+        the file simply carries no 'a' nullCount and is kept."""
+        tbl = str(tmp_path / "nested")
+        df = spark.createDataFrame(
+            [(1, (None,)), (2, (None,))],
+            "id long, a struct<b: string>")
+        write_delta(df.coalesce(1), tbl)
+        snap = snapshot(tbl)
+        (st,) = snap["file_stats"].values()
+        assert "a" not in (st.get("nullCount") or {})
+        # no proof -> no pruning: the single file stays a candidate
+        paths, counts = _prune_dml_paths(tbl, snap, "a IS NOT NULL")
+        assert counts["n_null_skipped"] == 0
+        assert len(paths) == 1
+        res = delete_where_delta(spark, tbl, "a IS NOT NULL")
+        assert res["n_rows_deleted"] == 2
