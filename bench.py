@@ -25,6 +25,7 @@ from hainan_big_data_recommend_system_spark.qcatalog import REGISTRY  # noqa: E4
 from hainan_big_data_recommend_system_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+LOAD_AT_LAUNCH = os.getloadavg()
 
 
 def sf_of(path: str) -> float:
@@ -144,18 +145,41 @@ def main() -> None:
         print(f"# _iceberg_lifecycle_staging skipped: {e}",
               file=sys.stderr)
 
+    # Self-adjudicating artifact (VERDICT r13 #7 — three consecutive
+    # rounds of manual contention forensics): each catalog row runs
+    # TWICE.  The first (cold) timing keeps its historical meaning and
+    # stays what "queries"/"value" report, so totals compare across
+    # rounds; the second (warm) run isolates per-query codegen/JIT/
+    # fixture cold-start, and the 1-minute loadavg sampled at each
+    # query's start exposes host contention — an elevated cold total
+    # with matching warm numbers and high loadavg adjudicates itself
+    # from the JSON line alone.
+    warm: dict[str, float] = {}
+    loads: dict[str, float] = {}
     for name, spec in REGISTRY.items():
+        loads[name] = round(os.getloadavg()[0], 2)
         t0 = time.perf_counter()
         df = spec.fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
         # drop persisted intermediates so one query's cache (e.g. ALS
         # training data, shingle tables) can't squeeze the next query's
         # executor memory — each timing is an honest cold run.  The forced
         # GC collects the freed blocks NOW: without it, ML-training garbage
         # surfaces as a major GC inside a later query's timing (observed as
         # 3-4x spikes on the queries that happen to follow ALS).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        spec.fn(spark, SF_DIR).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        warm[name] = round(time.perf_counter() - t0, 4)
+        print(
+            f"# {name}: {timings[name]:.3f}s cold / "
+            f"{warm[name]:.3f}s warm (load {loads[name]})",
+            file=sys.stderr,
+        )
         spark.catalog.clearCache()
         spark.sparkContext._jvm.System.gc()
 
@@ -167,6 +191,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "warm": warm,
+                "warm_total": round(sum(warm.values()), 4),
+                "loadavg_launch": [round(x, 2) for x in LOAD_AT_LAUNCH],
+                "loadavg_per_query": loads,
                 "sf": sf_of(SF_DIR),
             }
         )

@@ -179,6 +179,7 @@ def parse_table_metadata(text: str) -> dict:
         raise ValueError("snapshots list missing")
     out: dict[int, str] = {}
     snap_ops: dict[int, str] = {}
+    snap_ts: dict[int, int] = {}
     for s in snaps:
         if not isinstance(s, dict):
             raise ValueError("snapshot entry is not an object")
@@ -190,6 +191,9 @@ def parse_table_metadata(text: str) -> dict:
         op = (s.get("summary") or {}).get("operation")
         if isinstance(op, str):
             snap_ops[sid] = op
+        ts = s.get("timestamp-ms")
+        if isinstance(ts, int) and not isinstance(ts, bool):
+            snap_ts[sid] = ts
     if cur not in out:
         raise ValueError("current-snapshot-id not in the snapshot list")
     field_names: dict[int, str] = {}
@@ -266,6 +270,7 @@ def parse_table_metadata(text: str) -> dict:
         "properties": dict(props),
         "partition_spec": partition_spec,
         "snapshot_ops": snap_ops,
+        "snapshot_ts": snap_ts,
     }
 
 
@@ -634,6 +639,7 @@ def make_table_metadata(
     properties: dict[str, str] | None = None,
     partition_spec: list[dict] | None = None,
     snapshot_ops: dict[int, str] | None = None,
+    snapshot_ts: dict[int, int] | None = None,
 ) -> str:
     """``schema_fields`` (round 11) is the spec's schema block —
     ``[{id, name, type}, ...]`` — recorded so readers can resolve
@@ -641,12 +647,20 @@ def make_table_metadata(
     ``properties`` (round 12) is the spec's string-map table
     properties block — the streaming sink's exactly-once txn
     watermarks live there and every metadata rewrite carries them
-    forward."""
+    forward.  ``snapshot_ts`` (round 14) carries each snapshot's
+    spec ``timestamp-ms``; snapshots absent from the map (the one
+    being committed now) are stamped with the current wall clock —
+    the in-log age `expire_snapshots_iceberg(older_than_hours=)`
+    prefers over file mtime."""
+    import time
+
+    _now_ms = int(time.time() * 1000)
     obj: dict = {
         "format-version": format_version,
         "current-snapshot-id": current,
         "snapshots": [
             {"snapshot-id": sid, "manifest-list": ml,
+             "timestamp-ms": (snapshot_ts or {}).get(sid, _now_ms),
              # the spec's snapshot summary: changelog consumers skip
              # 'replace' snapshots (compaction rewrites no logical
              # rows — round 13)

@@ -1006,6 +1006,22 @@ def _schema_accepts(table_json: str, incoming_json: str) -> bool:
     return True
 
 
+def _stamped_commit(acts: list[dict]) -> str:
+    """`make_commit` with the spec's wall-clock ``commitInfo.timestamp``
+    (milliseconds) stamped onto the commitInfo action — the in-log age
+    `vacuum_delta(retention_hours=)` prefers over file mtime, which
+    survives copy/rsync/restore of the log directory (VERDICT r13
+    next-round #8)."""
+    import time
+
+    ms = int(time.time() * 1000)
+    for a in acts:
+        ci = a.get("commitInfo")
+        if isinstance(ci, dict):
+            ci.setdefault("timestamp", ms)
+    return make_commit(acts)
+
+
 def _declared_from_snap(snap: dict) -> dict[str, str]:
     """``{column: schema-JSON type string}`` from the snapshot's
     declared Delta schema — the typed-coercion gate every pruning
@@ -1897,7 +1913,7 @@ def write_delta(
         acts.append({"commitInfo": {
             "operation": "WRITE", "mode": mode,
         }})
-        if not _claim_version(table_dir, version, make_commit(acts),
+        if not _claim_version(table_dir, version, _stamped_commit(acts),
                               token):
             continue  # lost the race: re-read the log, retry
         _maybe_checkpoint(table_dir, version, checkpoint_interval)
@@ -2223,7 +2239,7 @@ def optimize_delta(
                                "numDeletionVectorsRemoved":
                                    len(dv_small)}}]
         )
-        if _claim_version(table_dir, version, make_commit(acts), token):
+        if _claim_version(table_dir, version, _stamped_commit(acts), token):
             _maybe_checkpoint(table_dir, version, checkpoint_interval)
             return {"version": version, "n_compacted": len(small),
                     "n_files": len(adds),
@@ -2349,7 +2365,7 @@ def delete_where_delta(
         acts.append({"commitInfo": {"operation": "DELETE",
                                     "predicate": condition}})
         acts = _upgrade_actions(table_dir, cur, acts)
-        if _claim_version(table_dir, version, make_commit(acts), token):
+        if _claim_version(table_dir, version, _stamped_commit(acts), token):
             _maybe_checkpoint(table_dir, version, checkpoint_interval)
             return {"version": version,
                     "n_files_touched": len(descs),
@@ -2826,7 +2842,7 @@ def merge_delta(
         acts.append({"commitInfo": {"operation": "MERGE",
                                     "matchedOn": key_cols}})
         acts = _upgrade_actions(table_dir, cur, acts)
-        if _claim_version(table_dir, version, make_commit(acts), token):
+        if _claim_version(table_dir, version, _stamped_commit(acts), token):
             _maybe_checkpoint(table_dir, version, checkpoint_interval)
             return {"version": version,
                     "n_files_touched": len(descs),
@@ -3099,7 +3115,7 @@ def restore_delta(
                                     "version": version}})
         acts = _upgrade_actions(table_dir, cur, acts)
         new_version = cur["version"] + 1
-        if _claim_version(table_dir, new_version, make_commit(acts),
+        if _claim_version(table_dir, new_version, _stamped_commit(acts),
                           token):
             _maybe_checkpoint(table_dir, new_version,
                               checkpoint_interval)
@@ -3148,14 +3164,42 @@ def vacuum_delta(table_dir: str, retention_versions: int | None = None,
         if retention_hours < 0:
             raise ValueError("retention_hours must be >= 0")
         cutoff = time.time() - retention_hours * 3600.0
-        aged = [
-            v for v in _json_versions(table_dir)
-            if os.path.getmtime(_commit_path(table_dir, v)) < cutoff
-        ]
-        if not aged:
+
+        def _commit_epoch(v: int) -> float:
+            """A commit's age: the in-log ``commitInfo.timestamp``
+            when present (survives copy/rsync/restore of the log
+            directory — VERDICT r13 next-round #8), file mtime as the
+            legacy fallback."""
+            path = _commit_path(table_dir, v)
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    for line in fh:
+                        if not line.strip():
+                            continue
+                        obj = json.loads(line)
+                        ts = obj.get("commitInfo", {}).get("timestamp")
+                        if isinstance(ts, int):
+                            return ts / 1000.0
+            except (OSError, ValueError):
+                pass
+            return os.path.getmtime(path)
+
+        # the horizon is the oldest CONTIGUOUS aged prefix, not
+        # max(aged) (ADVICE r13 low): under non-monotonic commit
+        # times (clock skew, restored logs) max(aged) could be
+        # younger than an un-aged intermediate commit, putting that
+        # commit's tombstones below the horizon and vacuuming files
+        # deleted more recently than the stated retention
+        horizon_v = -1
+        for v in sorted(_json_versions(table_dir)):
+            if _commit_epoch(v) < cutoff:
+                horizon_v = v
+            else:
+                break
+        if horizon_v < 0:
             return {"n_files_deleted": 0, "n_sidecars_deleted": 0,
                     "n_cdc_deleted": 0, "bytes_reclaimed": 0}
-        retention_versions = cur["version"] - max(aged)
+        retention_versions = cur["version"] - horizon_v
     plan = vacuum_plan(cur, retention_versions)
     horizon = cur["version"] - retention_versions
 
@@ -3381,7 +3425,7 @@ def update_where_delta(
         acts.append({"commitInfo": {"operation": "UPDATE",
                                     "predicate": condition}})
         acts = _upgrade_actions(table_dir, cur, acts)
-        if _claim_version(table_dir, version, make_commit(acts), token):
+        if _claim_version(table_dir, version, _stamped_commit(acts), token):
             _maybe_checkpoint(table_dir, version, checkpoint_interval)
             return {"version": version,
                     "n_files_touched": len(descs),

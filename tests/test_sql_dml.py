@@ -451,3 +451,64 @@ class TestRefusals:
             tbl)
         run_dml(spark, "DELETE FROM t WHERE name IN ('a,b')", {"t": tbl})
         assert [r[0] for r in _delta_state(spark, tbl)] == [2]
+
+
+class TestQuoteAwareParsing:
+    """ADVICE r13 lows: alias rewriting and WHEN-clause splitting must
+    never reach inside string literals."""
+
+    def test_alias_dot_inside_literal_survives(self):
+        spec = parse_merge(
+            "MERGE INTO t USING ev ON t.id = ev.id "
+            "WHEN MATCHED AND ev.name = 'ev.x' THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        # the alias prefix outside the literal is stripped; the
+        # literal keeps its 'ev.x' value verbatim
+        assert spec["matched_delete"] == "name = 'ev.x'"
+
+    def test_cross_alias_refusal_skips_literals(self):
+        # 't.' appears ONLY inside a literal: no false-positive refusal
+        spec = parse_merge(
+            "MERGE INTO t USING ev ON t.id = ev.id "
+            "WHEN MATCHED AND ev.name = 't.ghost' THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert spec["matched_delete"] == "name = 't.ghost'"
+
+    def test_when_then_keywords_inside_literal(self):
+        spec = parse_merge(
+            "MERGE INTO t USING ev ON t.id = ev.id "
+            "WHEN MATCHED AND ev.name = 'WHEN x THEN y' THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert spec["matched_delete"] == "name = 'WHEN x THEN y'"
+        assert spec["has_insert"]
+
+    def test_set_rhs_literal_with_alias_text(self):
+        spec = parse_merge(
+            "MERGE INTO tgt AS t2 USING src AS s2 ON t2.id = s2.id "
+            "WHEN MATCHED THEN UPDATE SET name = 't2.keep', qty = s2.qty "
+            "WHEN NOT MATCHED THEN INSERT *"
+        )
+        assert spec["matched_set"] == {"name": "'t2.keep'",
+                                       "qty": "s.qty"}
+
+    def test_merge_literal_execution(self, spark, tmp_path):
+        """End-to-end: the literal comparison value reaches the verb
+        unmangled — rows whose name is literally 'ev.x' delete, the
+        rest survive."""
+        tbl = str(tmp_path / "lit")
+        write_delta(
+            spark.createDataFrame(
+                [(1, "ev.x", 0), (2, "plain", 0)], SCHEMA),
+            tbl)
+        ev = spark.createDataFrame([(1, "ev.x", 0), (2, "p", 0)],
+                                   SCHEMA)
+        run_dml(
+            spark,
+            "MERGE INTO t USING ev ON t.id = ev.id "
+            "WHEN MATCHED AND ev.name = 'ev.x' THEN DELETE "
+            "WHEN NOT MATCHED THEN INSERT *",
+            {"t": tbl}, sources={"ev": ev})
+        assert [r[0] for r in _delta_state(spark, tbl)] == [2]
