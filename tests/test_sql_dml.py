@@ -201,17 +201,16 @@ class TestUtilityStatements:
         assert (77, "x", 1) in _delta_state(spark, tbl)
 
     def test_vacuum_retain_hours(self, spark, tmp_path):
-        import os as _os
-        import time as _time
+        # age by the IN-LOG commitInfo.timestamp (round 14 — in-log
+        # beats file mtime)
+        from tests.test_time_retention import _edit_delta_commit
 
         tbl = str(tmp_path / "vac")
         df = spark.createDataFrame(ROWS[:2], SCHEMA)
         write_delta(df.coalesce(1), tbl)
         write_delta(df.coalesce(1), tbl, mode="overwrite")
-        log = _os.path.join(tbl, "_delta_log")
         for v in (0, 1):
-            t = _time.time() - 7200
-            _os.utime(_os.path.join(log, f"{v:020d}.json"), (t, t))
+            _edit_delta_commit(tbl, v, hours=2)
         res = run_dml(spark, "VACUUM t RETAIN 1 HOURS", {"t": tbl})
         assert res["n_files_deleted"] == 1
 
@@ -236,18 +235,14 @@ class TestUtilityStatements:
         assert res["n_compacted"] == 2
 
     def test_iceberg_vacuum_maps_to_expire(self, spark, tmp_path):
-        import os as _os
-        import time as _time
+        # age by the IN-LOG snapshot timestamp-ms (round 14)
+        from tests.test_time_retention import _edit_iceberg_snap_ts
 
         tbl = str(tmp_path / "ivac")
         for k in range(3):
             write_iceberg(
                 spark.createDataFrame([(k, "x", 0)], SCHEMA), tbl)
-        st = _prev_state(tbl)
-        for sid in (1, 2):
-            p = _os.path.join(tbl, st["snapshots"][sid])
-            t = _time.time() - 7200
-            _os.utime(p, (t, t))
+        _edit_iceberg_snap_ts(tbl, {1, 2}, hours=2)
         res = run_dml(spark, "VACUUM t RETAIN 1 HOURS", {"t": tbl},
                       fmt="iceberg")
         assert res["version"] is not None
