@@ -75,6 +75,26 @@ def _bounds_type(rec_name: str) -> list:
     ]
 
 
+def _counts_type(rec_name: str) -> list:
+    """The spec's per-column counts map layout (``null_value_counts``
+    field 110, ``k121_v122``): an optional array of (key: field-id,
+    value: long) records."""
+    return [
+        "null",
+        {
+            "type": "array",
+            "items": {
+                "type": "record",
+                "name": rec_name,
+                "fields": [
+                    {"name": "key", "type": "int"},
+                    {"name": "value", "type": "long"},
+                ],
+            },
+        },
+    ]
+
+
 def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
     """The spec's manifest_entry schema for a table partitioned by
     ``partition_fields`` (identity string transforms — the `r102`
@@ -119,6 +139,8 @@ def _manifest_schema(partition_fields: tuple[str, ...]) -> dict:
                             "type": ["null",
                                      {"type": "array", "items": "int"}],
                         },
+                        {"name": "null_value_counts",
+                         "type": _counts_type("k121_v122")},
                         {"name": "lower_bounds",
                          "type": _bounds_type("k126_v127")},
                         {"name": "upper_bounds",
@@ -428,11 +450,25 @@ def snapshot_live_files(
                     pv.pop(path, None)
                 mins = _decode_bounds(df.get("lower_bounds"))
                 maxs = _decode_bounds(df.get("upper_bounds"))
+                # spec field 110 null_value_counts -> the shared
+                # file_stats nullCount shape the IS [NOT] NULL
+                # pruning lever consumes (round 14 — format parity
+                # with Delta's add.stats.nullCount)
+                ncs = {
+                    field_names[kv["key"]]: kv["value"]
+                    for kv in (df.get("null_value_counts") or ())
+                    if kv.get("key") in field_names
+                    and isinstance(kv.get("value"), int)
+                }
+                st: dict = {"numRecords": rows}
                 if mins or maxs:
-                    fstats[path] = {"numRecords": rows,
-                                    "minValues": mins,
-                                    "maxValues": maxs}
-                else:  # a re-listed entry without bounds clears them
+                    st["minValues"] = mins
+                    st["maxValues"] = maxs
+                if ncs:
+                    st["nullCount"] = ncs
+                if len(st) > 1:
+                    fstats[path] = st
+                else:  # a re-listed entry without stats clears them
                     fstats.pop(path, None)
         if (
             counts[_STATUS_ADDED] != mf["added_files_count"]
@@ -528,6 +564,15 @@ def _encode_bounds(bounds: dict | None) -> list[dict] | None:
     ]
 
 
+def _encode_counts(counts: dict | None) -> list[dict] | None:
+    """``{field_id: int}`` → the manifest's counts-map rows (spec
+    ``null_value_counts``, field 110)."""
+    if not counts:
+        return None
+    return [{"key": int(fid), "value": int(v)}
+            for fid, v in sorted(counts.items())]
+
+
 def make_manifest(
     entries: list[dict], partition_fields: tuple[str, ...] = ()
 ) -> bytes:
@@ -555,6 +600,8 @@ def make_manifest(
                 "record_count": e["record_count"],
                 "file_size_in_bytes": e["file_size"],
                 "equality_ids": e.get("equality_ids"),
+                "null_value_counts": _encode_counts(
+                    e.get("null_value_counts")),
                 "lower_bounds": _encode_bounds(e.get("lower_bounds")),
                 "upper_bounds": _encode_bounds(e.get("upper_bounds")),
             },

@@ -2810,3 +2810,139 @@ def q_delta_replace_where_roundtrip(
         "lang",
         F.lit(untouched).alias("others_untouched"),
     )
+
+
+def _ensure_iceberg_dayreload_fixture(spark: SparkSession,
+                                      sf_dir: str) -> str:
+    """A days(ts)-partitioned Iceberg events table with ONE day
+    reloaded through ``replace_where`` (round 14, VERDICT r13
+    next-round #4): the daily-reload pattern on the partitioning real
+    tables use — the predicate is a whole-partition-aligned ts range,
+    accepted because `_transform_replace_spellings` proves it names
+    exactly the 2024-01-11 partition.  One data file per day, so
+    file counts equal day counts."""
+    out = _fixture_dir(sf_dir, "icebergdayreload")
+    if os.path.isdir(out):
+        return out
+    from ..sources.iceberg_sink import write_iceberg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_iceberg(events.repartition(1), tmp,
+                  partition_by=["days(ts)"])
+    reload_df = events.filter(
+        "ts >= '2024-01-11 00:00:00' AND ts < '2024-01-12 00:00:00'"
+    ).withColumn("event_type", F.lit("RELOADED")).repartition(1)
+    write_iceberg(
+        reload_df, tmp, mode="overwrite",
+        replace_where="ts >= '2024-01-11' AND ts < '2024-01-12'",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_DAYRELOAD_SQL = """
+    WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+         untouched AS (
+           SELECT CAST(COUNT(*) AS BIGINT) - 1 AS u FROM days
+         )
+    SELECT e.event_id,
+           CASE WHEN e.ts >= TIMESTAMP '2024-01-11 00:00:00'
+                 AND e.ts < TIMESTAMP '2024-01-12 00:00:00'
+                THEN 'RELOADED' ELSE e.event_type END AS event_type,
+           untouched.u AS n_files_untouched,
+           CAST(1 AS BIGINT) AS n_files_replaced
+    FROM events e, untouched
+"""
+
+
+@register_extra("iceberg_dayreload_replace_where", _DAYRELOAD_SQL)
+def q_iceberg_dayreload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``replace_where`` over HIDDEN partitioning (round 14): a daily
+    reload of the 2024-01-11 partition on a ``days(ts)`` Iceberg
+    table.  Pinned INSIDE the hash gate: every other partition's file
+    is BYTE-UNTOUCHED (same path, size, row count as the pre-reload
+    snapshot) and exactly one file was replaced — a replace_where
+    that leaked outside the named day, or rewrote a ride-along
+    partition, hash-mismatches.  Every row replays against the oracle
+    (other days verbatim, the reloaded day re-derived)."""
+    from ..sources.iceberg_sink import (
+        _prev_state,
+        read_iceberg_table,
+        read_table,
+    )
+
+    fixture = _ensure_iceberg_dayreload_fixture(spark, sf_dir)
+    pre = read_table(fixture, snapshot_id=1)["live"]
+    post = _prev_state(fixture)["live"]
+    untouched = sum(
+        1 for p, meta in pre.items() if post.get(p) == meta
+    )
+    replaced = len(pre) - untouched
+    rows = read_iceberg_table(spark, fixture)
+    return rows.select(
+        "event_id", "event_type",
+        F.lit(untouched).cast("long").alias("n_files_untouched"),
+        F.lit(replaced).cast("long").alias("n_files_replaced"),
+    )
+
+
+def _ensure_delta_dayreload_fixture(spark: SparkSession,
+                                    sf_dir: str) -> str:
+    """The format-#1 twin: a days(ts) generated-column-partitioned
+    Delta events table with the 2024-01-11 partition reloaded through
+    ``replace_where`` (the generated transforms are INHERITED — the
+    reload caller re-declares nothing)."""
+    out = _fixture_dir(sf_dir, "deltadayreload")
+    if os.path.isdir(out):
+        return out
+    from ..sources.delta_sink import write_delta
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type"
+    )
+    tmp = f"{out}.build-{os.getpid()}"
+    write_delta(events.repartition(1), tmp, partition_by=["days(ts)"])
+    reload_df = events.filter(
+        "ts >= '2024-01-11 00:00:00' AND ts < '2024-01-12 00:00:00'"
+    ).withColumn("event_type", F.lit("RELOADED")).repartition(1)
+    write_delta(
+        reload_df, tmp, mode="overwrite",
+        replace_where="ts >= '2024-01-11' AND ts < '2024-01-12'",
+    )
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra("delta_dayreload_replace_where", _DAYRELOAD_SQL)
+def q_delta_dayreload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`iceberg_dayreload_replace_where`'s format-#1 twin: the same
+    daily reload through Delta generated-column partitioning, same
+    byte-untouched / exactly-one-replaced pins."""
+    from ..sources.delta_sink import (
+        read_delta_table,
+        snapshot,
+        snapshot_as_of,
+    )
+
+    fixture = _ensure_delta_dayreload_fixture(spark, sf_dir)
+    pre = snapshot_as_of(fixture, 0)["live"]
+    post = snapshot(fixture)["live"]
+    untouched = sum(
+        1 for p, meta in pre.items() if post.get(p) == meta
+    )
+    replaced = len(pre) - untouched
+    rows = read_delta_table(spark, fixture)
+    return rows.select(
+        "event_id", "event_type",
+        F.lit(untouched).cast("long").alias("n_files_untouched"),
+        F.lit(replaced).cast("long").alias("n_files_replaced"),
+    )

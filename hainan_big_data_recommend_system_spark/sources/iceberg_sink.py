@@ -738,6 +738,7 @@ def _stage_iceberg_files(
     ids)."""
     from .delta_sink import (
         footer_int64_bounds,
+        footer_null_counts,
         footer_string_bounds,
         stage_parquet_parts,
     )
@@ -755,6 +756,7 @@ def _stage_iceberg_files(
             "record_count": p["n_rows"],
             "partition": p["partition_values"] or None,
             "bounds_by_name": ({**mins, **smins}, {**maxs, **smaxs}),
+            "null_counts_by_name": footer_null_counts(p["footer"]),
         })
     return adds
 
@@ -773,6 +775,11 @@ def _ids_bounds(add: dict, field_ids: dict[str, int]) -> dict:
         } or None,
         "upper_bounds": {
             field_ids[c]: v for c, v in maxs.items() if c in field_ids
+        } or None,
+        "null_value_counts": {
+            field_ids[c]: v
+            for c, v in (add.get("null_counts_by_name") or {}).items()
+            if c in field_ids
         } or None,
     }
 
@@ -860,7 +867,10 @@ def write_iceberg(
     # spec (partitioning is hidden: writers don't re-declare it).
     if partition_by:
         pspec = parse_partition_transforms(list(partition_by))
-    elif mode == "append" and prev0.get("partition_spec"):
+    elif ((mode == "append" or replace_where is not None)
+          and prev0.get("partition_spec")):
+        # replace_where inherits too (round 14): the daily-reload
+        # caller shouldn't re-declare hidden partitioning
         pspec = list(prev0["partition_spec"])
     else:
         pspec = []
@@ -908,14 +918,16 @@ def write_iceberg(
                 )
         declared = {f.name: f.dataType.typeName()
                     for f in df.schema.fields}
-        # replace_where names IDENTITY partition columns only — a
-        # predicate over a transform's SOURCE column doesn't spell a
-        # partition exactly (use the DML verbs for row-level ranges)
+        # identity columns spell directly; a transform SOURCE column
+        # is accepted when the predicate is a whole-partition-aligned
+        # half-open range (round 14 — the daily-reload pattern on a
+        # days(ts) table)
         wanted_replace = parse_replace_where(
             replace_where,
             {f["name"] for f in pspec
              if f["transform"] == "identity"},
             declared,
+            transforms=pspec,
         )
     token = uuid.uuid4().hex[:12]
     adds = _stage_iceberg_files(
@@ -2376,6 +2388,11 @@ def rewrite_manifests_iceberg(
                 } or None,
                 "upper_bounds": {
                     fids[c]: v for c, v in st.get("maxValues", {}).items()
+                    if c in fids
+                } or None,
+                "null_value_counts": {
+                    fids[c]: v
+                    for c, v in st.get("nullCount", {}).items()
                     if c in fids
                 } or None,
             }

@@ -30,6 +30,7 @@ from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (
     delete_where_iceberg,
     merge_iceberg,
     murmur3_32,
+    read_iceberg_table,
     parse_partition_transforms,
     read_table,
     rewrite_data_files_iceberg,
@@ -349,3 +350,135 @@ class TestTruncatePartitionedTable:
             st["partition_values"][p]["s_trunc"] == "a" for p in paths
         )
         assert counts["n_partition_skipped"] > 0
+
+
+class TestReplaceWhereOverTransforms:
+    """Round 14 (VERDICT r13 next-round #5): ``replace_where`` accepts
+    whole-partition-aligned SOURCE-column ranges on transform
+    partitioning — the daily-reload pattern — and refuses anything not
+    provably partition-exact."""
+
+    def _day_tbl(self, spark, tmp_path, name):
+        import datetime
+
+        rows = [(i, datetime.datetime(2026, 1, 2 + d, 10, 0), f"o{i}")
+                for d in range(3) for i in range(4)]
+        df = spark.createDataFrame(rows,
+                                   "id long, ts timestamp, v string")
+        tbl = str(tmp_path / name)
+        write_iceberg(df.repartition(1), tbl,
+                      partition_by=["days(ts)"])
+        return tbl
+
+    def test_daily_reload_replaces_one_day(self, spark, tmp_path):
+        import datetime
+
+        tbl = self._day_tbl(spark, tmp_path, "dr")
+        st0 = _prev_state(tbl)
+        before, before_pv = dict(st0["live"]), st0["partition_values"]
+        new = spark.createDataFrame(
+            [(99, datetime.datetime(2026, 1, 3, 5, 0), "NEW")],
+            "id long, ts timestamp, v string")
+        res = write_iceberg(
+            new, tbl, mode="overwrite",
+            replace_where="ts >= '2026-01-03' AND ts < '2026-01-04'")
+        assert res["n_removed"] == 1
+        after = _prev_state(tbl)
+        # every other partition's file is byte-untouched
+        others = {p: m for p, m in before.items()
+                  if before_pv.get(p, {}).get("ts_day")
+                  != "2026-01-03"}
+        assert others and all(after["live"].get(p) == m
+                              for p, m in others.items())
+        got = sorted(
+            (r["id"], r["v"])
+            for r in read_iceberg_table(spark, tbl).collect()
+            if r["ts"].day == 3)
+        assert got == [(99, "NEW")]
+
+    def test_misaligned_range_refused(self, spark, tmp_path):
+        import datetime
+
+        tbl = self._day_tbl(spark, tmp_path, "mis")
+        new = spark.createDataFrame(
+            [(99, datetime.datetime(2026, 1, 3, 5, 0), "NEW")],
+            "id long, ts timestamp, v string")
+        with pytest.raises(ValueError, match="midnight"):
+            write_iceberg(
+                new, tbl, mode="overwrite",
+                replace_where=("ts >= '2026-01-03 06:00:00' "
+                               "AND ts < '2026-01-04'"))
+        with pytest.raises(ValueError, match="half-open"):
+            write_iceberg(
+                new, tbl, mode="overwrite",
+                replace_where=("ts > '2026-01-03' "
+                               "AND ts < '2026-01-04'"))
+        with pytest.raises(ValueError, match="equality"):
+            write_iceberg(
+                new, tbl, mode="overwrite",
+                replace_where="ts = '2026-01-03'")
+        with pytest.raises(ValueError, match="bounded"):
+            write_iceberg(
+                new, tbl, mode="overwrite",
+                replace_where="ts >= '2026-01-03'")
+
+    def test_bucket_refused_truncate_aligned(self, spark, tmp_path):
+        tbl = str(tmp_path / "tr")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(40)], "id long, v string")
+        write_iceberg(df.repartition(1), tbl,
+                      partition_by=["truncate(10, id)"])
+        new = spark.createDataFrame([(15, "NEW")],
+                                    "id long, v string")
+        res = write_iceberg(
+            new, tbl, mode="overwrite",
+            replace_where="id >= 10 AND id < 20")
+        assert res["n_removed"] == 1
+        got = sorted(
+            r["id"] for r in read_iceberg_table(spark, tbl).collect()
+            if 10 <= r["id"] < 20)
+        assert got == [15]
+        # unaligned truncate range refused
+        with pytest.raises(ValueError, match="aligned"):
+            write_iceberg(new, tbl, mode="overwrite",
+                          replace_where="id >= 12 AND id < 20")
+        # bucket never aligns
+        tblb = str(tmp_path / "bk")
+        write_iceberg(df, tblb, partition_by=["bucket(4, id)"])
+        with pytest.raises(ValueError, match="bucket"):
+            write_iceberg(new, tblb, mode="overwrite",
+                          replace_where="id >= 10 AND id < 20")
+
+    def test_delta_generated_twin(self, spark, tmp_path):
+        import datetime
+
+        from hainan_big_data_recommend_system_spark.sources.delta_sink import (  # noqa: E501
+            read_delta_table,
+            snapshot,
+            snapshot_as_of,
+            write_delta,
+        )
+
+        rows = [(i, datetime.datetime(2026, 1, 2 + d, 10, 0), f"o{i}")
+                for d in range(3) for i in range(4)]
+        df = spark.createDataFrame(rows,
+                                   "id long, ts timestamp, v string")
+        tbl = str(tmp_path / "ddr")
+        write_delta(df.repartition(1), tbl, partition_by=["days(ts)"])
+        new = spark.createDataFrame(
+            [(99, datetime.datetime(2026, 1, 3, 5, 0), "NEW")],
+            "id long, ts timestamp, v string")
+        # the generated partitioning is INHERITED: no partition_by
+        res = write_delta(
+            new, tbl, mode="overwrite",
+            replace_where="ts >= '2026-01-03' AND ts < '2026-01-04'")
+        assert res["n_removed"] == 1
+        pre = snapshot_as_of(tbl, 0)["live"]
+        post = snapshot(tbl)["live"]
+        assert sum(1 for p, m in pre.items()
+                   if post.get(p) == m) == len(pre) - 1
+        got = sorted(
+            (r["id"], r["v"])
+            for r in read_delta_table(spark, tbl).collect()
+            if r["ts"].day == 3)
+        assert got == [(99, "NEW")]
