@@ -1075,7 +1075,8 @@ def _ensure_delta_optimize_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register(  # promoted r11 (rotation #9): compaction without row changes
+@register_extra(  # demoted r14 (rotation #12): compaction rides
+    # iceberg_optimize_roundtrip (driver) + the skipping rows
     "delta_optimize_roundtrip",
     """
     SELECT doc_id, md5(text) AS body_md5,
@@ -1676,7 +1677,8 @@ def _ensure_delta_restore_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register(  # promoted rotation #10 (r12): the r11 lifecycle verbs into the judged window
+@register_extra(  # demoted r14 (rotation #12): time travel rides
+    # delta_checkpoint_replay + delta_cdf_roundtrip (driver)
     "delta_restore_roundtrip",
     """
     SELECT doc_id, md5(text) AS body_md5,
@@ -1864,7 +1866,7 @@ def _ensure_delta_merge_clauses_fixture(
     return out
 
 
-@register_extra(
+@register(  # promoted r14 (rotation #12): conditional-clause MERGE — the CDC apply path
     "delta_merge_clauses_roundtrip",
     """
     WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
@@ -2275,7 +2277,7 @@ def _ensure_iceberg_hidden_part_fixture(
     return out
 
 
-@register_extra(
+@register(  # promoted r14 (rotation #12): transform-aware pruning, kept/skipped pinned
     "iceberg_hidden_partitioning",
     """
     WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
@@ -2374,7 +2376,7 @@ def _ensure_delta_genpart_fixture(spark: SparkSession,
     return out
 
 
-@register_extra(
+@register(  # promoted r14 (rotation #12): the format-#1 twin
     "delta_generated_partitioning",
     """
     WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),

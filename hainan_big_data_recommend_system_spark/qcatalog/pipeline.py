@@ -129,7 +129,9 @@ FROM c
 """
 
 
-@register("sequence_packing", _PACKING_SQL)
+@register_extra(  # demoted r14 (rotation #12): the packing facet
+    # rides corpus_pipeline_ledger's stage ledger (driver)
+    "sequence_packing", _PACKING_SQL)
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming-concat sequence packing at a 256-token budget over the
     md5-shuffled corpus.  The oracle is the single-partition window
