@@ -2948,3 +2948,117 @@ def q_delta_dayreload(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(untouched).cast("long").alias("n_files_untouched"),
         F.lit(replaced).cast("long").alias("n_files_replaced"),
     )
+
+
+def _residual_merge_events(spark: SparkSession, sf_dir: str):
+    """(base, events) for the non-equi-ON merge fixtures: a versioned
+    documents table plus a CDC batch holding NEWER updates
+    (doc_id%3==0, must apply), STALE updates (doc_id%5==1 others,
+    must no-op without inserting), and brand-new keys."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 97).cast("long").alias("ver"),
+        F.col("text").alias("body"),
+    )
+    m = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    newer = docs.filter("doc_id % 3 = 0").select(
+        "doc_id", (F.col("ver") + 10).alias("ver"),
+        F.concat("body", F.lit("-new")).alias("body"),
+    )
+    stale = docs.filter("doc_id % 3 <> 0 AND doc_id % 5 = 1").select(
+        "doc_id", (F.col("ver") - 1).alias("ver"),
+        F.concat("body", F.lit("-stale")).alias("body"),
+    )
+    ins = docs.filter("doc_id % 11 = 5").select(
+        (F.col("doc_id") + F.lit(m)).alias("doc_id"),
+        F.lit(0).cast("long").alias("ver"),
+        F.concat("body", F.lit("-ins")).alias("body"),
+    )
+    return docs, newer.unionByName(stale).unionByName(ins)
+
+
+_RESIDUAL_MERGE_STMT = (
+    "MERGE INTO t USING ev ON t.doc_id = ev.doc_id "
+    "AND ev.ver > t.ver "
+    "WHEN MATCHED THEN UPDATE SET * "
+    "WHEN NOT MATCHED THEN INSERT *"
+)
+
+_RESIDUAL_MERGE_SQL = """
+    WITH m AS (SELECT MAX(doc_id) + 1 AS m FROM documents)
+    SELECT d.doc_id,
+           CAST(CASE WHEN d.doc_id % 3 = 0 THEN (d.doc_id % 97) + 10
+                     ELSE d.doc_id % 97 END AS BIGINT) AS ver,
+           CASE WHEN d.doc_id % 3 = 0 THEN md5(d.text || '-new')
+                ELSE md5(d.text) END AS body_md5
+    FROM documents d
+    UNION ALL
+    SELECT d.doc_id + m.m, CAST(0 AS BIGINT), md5(d.text || '-ins')
+    FROM documents d, m
+    WHERE d.doc_id % 11 = 5
+"""
+
+
+def _ensure_residual_merge_fixture(spark: SparkSession, sf_dir: str,
+                                   fmt: str) -> str:
+    """A versioned table with the non-equi MERGE applied through the
+    SQL front door (round 14, VERDICT r13 next-round #6):
+    ``ON t.doc_id = ev.doc_id AND ev.ver > t.ver`` — the equi
+    conjunct stays the join key, the residual gates the MATCHED
+    action pair-wise."""
+    out = _fixture_dir(sf_dir, f"{fmt}residualmerge")
+    if os.path.isdir(out):
+        return out
+    from ..sources.sql_dml import run_dml
+
+    base, events = _residual_merge_events(spark, sf_dir)
+    tmp = f"{out}.build-{os.getpid()}"
+    if fmt == "delta":
+        from ..sources.delta_sink import write_delta
+
+        write_delta(base.repartition(2), tmp)
+    else:
+        from ..sources.iceberg_sink import write_iceberg
+
+        write_iceberg(base.repartition(2), tmp)
+    run_dml(spark, _RESIDUAL_MERGE_STMT, {"t": tmp},
+            sources={"ev": events}, fmt=fmt)
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra("delta_merge_residual_roundtrip", _RESIDUAL_MERGE_SQL)
+def q_delta_merge_residual(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """Non-equi MERGE ON (round 14): only NEWER events supersede their
+    rows; stale events are matched-but-untouched and never insert (no
+    duplicate keys), new keys insert.  The oracle re-derives every
+    row's version and body from the documents table, so a residual
+    applied as key-only matching, or a stale event leaking through to
+    INSERT, hash-mismatches."""
+    from ..sources.delta_sink import read_delta_table
+
+    fixture = _ensure_residual_merge_fixture(spark, sf_dir, "delta")
+    return read_delta_table(spark, fixture).select(
+        "doc_id", "ver",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+    )
+
+
+@register_extra("iceberg_merge_residual_roundtrip",
+                _RESIDUAL_MERGE_SQL)
+def q_iceberg_merge_residual(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """`delta_merge_residual_roundtrip`'s format-#2 twin: the residual
+    forces the OPT-IN target scan (`_merge_iceberg_scan` — position
+    deletes + restaged rows, cost explicit), same oracle."""
+    from ..sources.iceberg_sink import read_iceberg_table
+
+    fixture = _ensure_residual_merge_fixture(spark, sf_dir, "iceberg")
+    return read_iceberg_table(spark, fixture).select(
+        "doc_id", "ver",
+        F.md5(F.col("body").cast("binary")).alias("body_md5"),
+    )

@@ -219,13 +219,18 @@ def parse_merge(sql: str) -> dict:
     if conjuncts is None:
         raise ValueError("MERGE ON must be a conjunction of equalities")
     key_cols = []
+    residuals = []
     for c in conjuncts:
         km = _ON_KEY_RE.match(c)
         if not km:
-            raise ValueError(
-                f"MERGE ON conjunct {c.strip()!r} is not "
-                "alias.col = alias.col"
-            )
+            # NON-EQUI residual (round 14, VERDICT r13 next-round
+            # #6): the standard decomposition — equi conjuncts stay
+            # the join key, the rest becomes a pair-evaluated
+            # matched_residual (aliases rewritten to the canonical
+            # t/s the verbs expose)
+            residuals.append(
+                _rewrite_pair_aliases(c.strip(), t_alias, s_alias))
+            continue
         a1, c1, a2, c2 = km.groups()
         pair = {a1: c1, a2: c2}
         if set(pair) != {t_alias, s_alias} or c1 != c2:
@@ -234,7 +239,15 @@ def parse_merge(sql: str) -> dict:
                 f"same column across {t_alias!r} and {s_alias!r}"
             )
         key_cols.append(pair[t_alias])
+    if not key_cols:
+        raise ValueError(
+            "MERGE ON carries no equi-key conjunct; at least one "
+            "alias.col = alias.col equality is required"
+        )
     out = {"target": target, "source": source, "key_cols": key_cols,
+           "matched_residual": (" AND ".join(f"({r})"
+                                             for r in residuals)
+                                or None),
            "matched_delete": None, "matched_update": None,
            "matched_set": None, "not_matched_insert": None,
            "not_matched_by_source_delete": None, "has_insert": False}
@@ -551,6 +564,7 @@ def run_dml(
                 not_matched_by_source_delete=spec[
                     "not_matched_by_source_delete"],
                 matched_set=spec["matched_set"],
+                matched_residual=spec.get("matched_residual"),
             )
         from .iceberg_sink import merge_iceberg
 
@@ -573,6 +587,13 @@ def run_dml(
             not_matched_by_source_delete=spec[
                 "not_matched_by_source_delete"],
             matched_set=spec["matched_set"],
+            matched_residual=spec.get("matched_residual"),
+            # SQL-text callers asked for the statement's semantics;
+            # the scan cost is accepted on their behalf only when a
+            # residual forces it (matched_set/insert-gate keep their
+            # loud refusals above)
+            accept_target_scan=spec.get("matched_residual")
+            is not None,
         )
     raise ValueError(
         f"unsupported DML statement (DELETE FROM / UPDATE ... SET / "

@@ -406,3 +406,159 @@ class TestIcebergClauses:
         got = _iceberg_live(spark, tbl, ["id", "name", "qty"])
         assert got == [(1, "a", 10), (2, "B", 200), (3, "c", 30),
                        (4, "d", 40), (5, "e", 50)]
+
+
+SCH_TS = "id long, ts long, v string"
+BASE_TS = [(1, 10, "old1"), (2, 20, "old2"), (3, 30, "old3")]
+SRC_TS = [(1, 15, "newer1"), (2, 5, "stale2"), (9, 1, "ins9")]
+WANT_TS = [(1, 15, "newer1"), (2, 20, "old2"), (3, 30, "old3"),
+           (9, 1, "ins9")]
+
+
+class TestNonEquiResidual:
+    """Round 14 (VERDICT r13 next-round #6): MERGE ON's non-equi
+    conjuncts as a pair-evaluated matched_residual — the standard
+    decomposition.  ``ON t.id = s.id AND s.ts > t.ts`` applies only
+    NEWER updates; a stale CDC row is matched-but-untouched and never
+    falls through to INSERT (no duplicate keys)."""
+
+    def test_delta_residual_api(self, spark, tmp_path):
+        tbl = str(tmp_path / "nr")
+        write_delta(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        merge_delta(spark, spark.createDataFrame(SRC_TS, SCH_TS), tbl,
+                    key_cols=["id"], matched_residual="s.ts > t.ts")
+        assert _delta_live(spark, tbl, ("id", "ts", "v")) == WANT_TS
+
+    def test_iceberg_residual_needs_opt_in(self, spark, tmp_path):
+        tbl = str(tmp_path / "nri")
+        write_iceberg(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        src = spark.createDataFrame(SRC_TS, SCH_TS)
+        with pytest.raises(ValueError, match="O\\(source\\)"):
+            merge_iceberg(spark, src, tbl, key_cols=["id"],
+                          matched_residual="s.ts > t.ts")
+        merge_iceberg(spark, src, tbl, key_cols=["id"],
+                      matched_residual="s.ts > t.ts",
+                      accept_target_scan=True)
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            read_iceberg_table,
+        )
+
+        got = sorted(tuple(r) for r in
+                     read_iceberg_table(spark, tbl).collect())
+        assert got == WANT_TS
+
+    def test_sql_statement_both_formats(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            read_iceberg_table,
+        )
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (  # noqa: E501
+            run_dml,
+        )
+
+        stmt = ("MERGE INTO t USING s ON t.id = s.id AND s.ts > t.ts "
+                "WHEN MATCHED THEN UPDATE SET * "
+                "WHEN NOT MATCHED THEN INSERT *")
+        src = spark.createDataFrame(SRC_TS, SCH_TS)
+        tbl = str(tmp_path / "sqd")
+        write_delta(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        run_dml(spark, stmt, {"t": tbl}, sources={"s": src})
+        assert _delta_live(spark, tbl, ("id", "ts", "v")) == WANT_TS
+        tbl = str(tmp_path / "sqi")
+        write_iceberg(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        run_dml(spark, stmt, {"t": tbl}, sources={"s": src},
+                fmt="iceberg")
+        got = sorted(tuple(r) for r in
+                     read_iceberg_table(spark, tbl).collect())
+        assert got == WANT_TS
+
+    def test_residual_partial_pass_per_target_row(self, spark,
+                                                  tmp_path):
+        """Two target rows share a key; the residual passes for one:
+        only THAT row is superseded (per-row MATCHED semantics)."""
+        tbl = str(tmp_path / "pp")
+        write_delta(spark.createDataFrame(
+            [(1, 10, "low"), (1, 50, "high")], SCH_TS), tbl)
+        merge_delta(spark,
+                    spark.createDataFrame([(1, 20, "mid")], SCH_TS),
+                    tbl, key_cols=["id"],
+                    matched_residual="s.ts > t.ts")
+        got = _delta_live(spark, tbl, ("id", "ts", "v"))
+        assert got == [(1, 20, "mid"), (1, 50, "high")]
+
+    def test_requires_equi_key(self):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (  # noqa: E501
+            parse_merge,
+        )
+
+        with pytest.raises(ValueError, match="equi-key"):
+            parse_merge("MERGE INTO t USING s ON t.ts < s.ts "
+                        "WHEN MATCHED THEN DELETE")
+
+    def test_residual_with_delete_clause(self, spark, tmp_path):
+        """Terminal deletes gate on the residual too: only a NEWER
+        delete event tombstones its target row."""
+        tbl = str(tmp_path / "rd")
+        write_delta(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        src = spark.createDataFrame(
+            [(1, 15, "D"), (2, 5, "D")], SCH_TS)
+        merge_delta(spark, src, tbl, key_cols=["id"],
+                    matched_delete="v = 'D'",
+                    matched_residual="s.ts > t.ts")
+        got = _delta_live(spark, tbl, ("id", "ts", "v"))
+        # id=1's delete is newer (applies); id=2's is stale (no-op)
+        assert got == [(2, 20, "old2"), (3, 30, "old3")]
+
+
+class TestIcebergTargetScanOptIn:
+    """Round 14 (VERDICT r13 next-round #9): the refusals stay the
+    default; accept_target_scan=True unlocks matched_set and the
+    NOT-MATCHED insert gate by paying the scan explicitly, pinned
+    equal to the Delta clause merge on the same fixture."""
+
+    def test_matched_set_parity_with_delta(self, spark, tmp_path):
+        src = spark.createDataFrame(
+            [(1, 5, "s1"), (9, 7, "s9")], SCH_TS)
+        dtbl = str(tmp_path / "d")
+        write_delta(spark.createDataFrame(BASE_TS, SCH_TS), dtbl)
+        merge_delta(spark, src, dtbl, key_cols=["id"],
+                    matched_set={"ts": "t.ts + s.ts"})
+        want = _delta_live(spark, dtbl, ("id", "ts", "v"))
+        itbl = str(tmp_path / "i")
+        write_iceberg(spark.createDataFrame(BASE_TS, SCH_TS), itbl)
+        merge_iceberg(spark, src, itbl, key_cols=["id"],
+                      matched_set={"ts": "t.ts + s.ts"},
+                      accept_target_scan=True)
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            read_iceberg_table,
+        )
+
+        got = sorted(tuple(r) for r in
+                     read_iceberg_table(spark, itbl).collect())
+        assert got == want
+        assert (1, 15, "old1") in got  # unassigned cols keep target
+
+    def test_insert_gate(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            read_iceberg_table,
+        )
+
+        tbl = str(tmp_path / "ig")
+        write_iceberg(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        src = spark.createDataFrame(
+            [(8, 1, "keep"), (9, 1, "drop")], SCH_TS)
+        merge_iceberg(spark, src, tbl, key_cols=["id"],
+                      not_matched_insert="v = 'keep'",
+                      accept_target_scan=True)
+        got = sorted(r["id"] for r in
+                     read_iceberg_table(spark, tbl).collect())
+        assert got == [1, 2, 3, 8]
+
+    def test_default_refusals_unchanged(self, spark, tmp_path):
+        tbl = str(tmp_path / "rf")
+        write_iceberg(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
+        src = spark.createDataFrame([(1, 5, "x")], SCH_TS)
+        for kw in ({"matched_set": {"v": "s.v"}},
+                   {"not_matched_insert": "v <> 'D'"},
+                   {"matched_residual": "s.ts > t.ts"}):
+            with pytest.raises(ValueError, match="O\\(source\\)"):
+                merge_iceberg(spark, src, tbl, key_cols=["id"], **kw)
