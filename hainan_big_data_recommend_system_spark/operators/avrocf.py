@@ -244,6 +244,12 @@ def make_avro(
     out += write_long(0)  # map terminator
     out += sync
     for recs in blocks:
+        if not recs:
+            # zero-record blocks are skipped, not written: the reader
+            # (and real readers) reject a block declaring count 0, and
+            # a file with no data blocks is spec-legal — the empty
+            # CREATE TABLE manifest-list shape (round 14)
+            continue
         body = bytearray()
         for r in recs:
             for name, ftype in fields:

@@ -41,6 +41,7 @@ those maintenance edits arrive as DML statements.
 
 from __future__ import annotations
 
+import os
 import re
 
 from .delta_sink import _split_in_list, _top_level_conjuncts
@@ -402,28 +403,178 @@ def _align_insert_columns(spark, rows, table_dir: str | None,
     ])
 
 
+_CREATE_HEAD_RE = re.compile(
+    r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*",
+    re.IGNORECASE,
+)
+_USING_RE = re.compile(r"^USING\s+(delta|iceberg)\b\s*",
+                       re.IGNORECASE)
+_PARTBY_RE = re.compile(r"^PARTITIONED\s+BY\s*\(", re.IGNORECASE)
+
+
+def _matched_paren(text: str, start: int) -> int:
+    """Index just past the ')' matching the '(' at ``start`` —
+    quote-aware, so a DEFAULT 'x)' literal can't end the block."""
+    depth = 0
+    in_str: str | None = None
+    i, n = start, len(text)
+    while i < n:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                if ch == "'" and i + 1 < n and text[i + 1] == "'":
+                    i += 2
+                    continue
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError(f"unbalanced parentheses in: {text[start:start+60]!r}")
+
+
+def parse_create(sql: str) -> dict | None:
+    """``CREATE TABLE [IF NOT EXISTS] name [(schema)] USING
+    delta|iceberg [PARTITIONED BY (col | days(ts) | bucket(N, c) |
+    truncate(W, c), ...)] [AS <query>]`` → ``{name, if_not_exists,
+    schema_ddl, fmt, partition_by, as_query}`` (round 14, VERDICT r13
+    next-round #5 — the DDL front door).  Returns None when the text
+    is not a CREATE TABLE statement; raises on a malformed one."""
+    hm = _CREATE_HEAD_RE.match(sql)
+    if not hm:
+        return None
+    if_not_exists = hm.group(1) is not None
+    name = hm.group(2)
+    rest = sql[hm.end():].strip()
+    schema_ddl = None
+    if rest.startswith("("):
+        end = _matched_paren(rest, 0)
+        schema_ddl = rest[1:end - 1].strip()
+        rest = rest[end:].strip()
+    um = _USING_RE.match(rest)
+    if not um:
+        raise ValueError(
+            f"CREATE TABLE needs USING delta|iceberg: {sql[:80]!r}"
+        )
+    fmt = um.group(1).lower()
+    rest = rest[um.end():].strip()
+    partition_by: list[str] = []
+    pm = _PARTBY_RE.match(rest)
+    if pm:
+        end = _matched_paren(rest, pm.end() - 1)
+        body = rest[pm.end():end - 1]
+        partition_by = [t.strip() for t in _split_in_list(body)
+                        if t.strip()]
+        rest = rest[end:].strip()
+    as_query = None
+    am = re.match(r"^AS\s+(.+?)\s*;?\s*$", rest,
+                  re.IGNORECASE | re.DOTALL)
+    if am:
+        as_query = am.group(1)
+    elif rest.strip().rstrip(";").strip():
+        raise ValueError(
+            f"unparseable CREATE TABLE tail: {rest[:60]!r}"
+        )
+    if schema_ddl is None and as_query is None:
+        raise ValueError(
+            "CREATE TABLE needs a (schema) or an AS <query>"
+        )
+    return {"name": name, "if_not_exists": if_not_exists,
+            "schema_ddl": schema_ddl, "fmt": fmt,
+            "partition_by": partition_by or None,
+            "as_query": as_query}
+
+
+def _detect_fmt(table_dir: str, fallback: str) -> str:
+    """Per-table format from the on-disk layout (round 14 — a
+    CREATE-TABLE-grown catalog can hold BOTH formats): a
+    ``_delta_log`` dir is Delta, a ``metadata`` dir is Iceberg, an
+    uncreated dir keeps the caller's format."""
+    if os.path.isdir(os.path.join(table_dir, "_delta_log")):
+        return "delta"
+    if os.path.isdir(os.path.join(table_dir, "metadata")):
+        return "iceberg"
+    return fallback
+
+
 def run_dml(
     spark,
     sql: str,
     tables: dict[str, str],
     fmt: str = "delta",
     sources: dict | None = None,
+    base_dir: str | None = None,
 ) -> dict:
-    """Execute one DML statement against sink-written tables.
+    """Execute one DML or DDL statement against sink-written tables.
 
     ``tables`` maps statement table names to table directories;
     ``sources`` maps MERGE source names to DataFrames (a source name
     present in ``tables`` instead is read from that lake table).
-    Returns the underlying verb's result dict."""
+    ``CREATE TABLE`` statements EXTEND ``tables`` in place (round 14
+    — the statements themselves grow the catalog): the new table's
+    directory is ``tables[name]`` when pre-wired, else
+    ``base_dir/name``.  The statement's ``USING delta|iceberg``
+    overrides ``fmt`` for that table.  Returns the underlying verb's
+    result dict."""
     if fmt not in ("delta", "iceberg"):
         raise ValueError(f"unknown table format {fmt!r}")
+    cr = parse_create(sql)
+    if cr is not None:
+        name, cfmt = cr["name"], cr["fmt"]
+        exists = name in tables and os.path.isdir(tables[name])
+        if exists:
+            if cr["if_not_exists"]:
+                return {"table": name, "dir": tables[name],
+                        "skipped": True}
+            raise ValueError(f"table {name!r} already exists")
+        if name in tables:
+            tdir = tables[name]
+        elif base_dir is not None:
+            tdir = os.path.join(base_dir, name)
+        else:
+            raise ValueError(
+                f"CREATE TABLE {name!r} needs base_dir= (or a "
+                "pre-wired tables[name] directory)"
+            )
+        if cr["as_query"] is not None:
+            df = run_query(spark, cr["as_query"], tables, fmt=cfmt,
+                           sources=sources)
+            if cr["schema_ddl"] is not None:
+                want = spark.createDataFrame([], cr["schema_ddl"])
+                df = df.toDF(*want.columns)
+        else:
+            df = spark.createDataFrame([], cr["schema_ddl"])
+        if cfmt == "delta":
+            from .delta_sink import write_delta
+
+            res = write_delta(df, tdir, mode="overwrite",
+                              partition_by=cr["partition_by"])
+        else:
+            from .iceberg_sink import write_iceberg
+
+            res = write_iceberg(df, tdir, mode="overwrite",
+                                partition_by=cr["partition_by"])
+        tables[name] = tdir
+        return {"table": name, "dir": tdir, "fmt": cfmt, **res}
 
     def _dir(name: str) -> str:
+        nonlocal fmt
         if name not in tables:
             raise ValueError(
                 f"statement references unknown table {name!r} "
                 f"(known: {sorted(tables)})"
             )
+        # a CREATE-TABLE-grown catalog can hold BOTH formats: the
+        # statement's verb dispatches on the TARGET table's on-disk
+        # layout, with the fmt argument as the fallback for
+        # not-yet-created directories (round 14)
+        fmt = _detect_fmt(tables[name], fmt)
         return tables[name]
 
     m = _INSERT_RE.match(sql)
@@ -438,17 +589,18 @@ def run_dml(
             select_text if not select_text.upper().startswith("VALUES")
             else f"SELECT * FROM ({select_text})"
         )
-        rows = _align_insert_columns(spark, rows, tables[name]
-                                     if name in tables else None, fmt)
+        tdir = _dir(name)  # resolves fmt from the layout too
+        rows = _align_insert_columns(spark, rows, tdir, fmt)
         if fmt == "delta":
             from .delta_sink import write_delta
 
-            return write_delta(rows, _dir(name))
+            return write_delta(rows, tdir)
         from .iceberg_sink import write_iceberg
 
-        return write_iceberg(rows, _dir(name))
+        return write_iceberg(rows, tdir)
     m = _RESTORE_RE.match(sql)
     if m:
+        _dir(m.group(1))
         if fmt == "delta":
             from .delta_sink import restore_delta
 
@@ -461,6 +613,7 @@ def run_dml(
     m = _DESCRIBE_RE.match(sql)
     if m:
         kind = m.group(1).lower()
+        _dir(m.group(2))
         if fmt == "delta":
             from .delta_sink import inspect_delta
 
@@ -475,6 +628,7 @@ def run_dml(
         )
     m = _VACUUM_RE.match(sql)
     if m:
+        _dir(m.group(1))
         if fmt != "delta":
             from .iceberg_sink import expire_snapshots_iceberg
 
@@ -488,6 +642,7 @@ def run_dml(
     if m:
         zorder = ([c.strip() for c in m.group(2).split(",")]
                   if m.group(2) else None)
+        _dir(m.group(1))
         if fmt == "delta":
             from .delta_sink import optimize_delta
 
@@ -499,6 +654,7 @@ def run_dml(
                                           zorder_by=zorder)
     m = _DELETE_RE.match(sql)
     if m:
+        _dir(m.group(1))
         if fmt == "delta":
             from .delta_sink import delete_where_delta
 
@@ -522,6 +678,7 @@ def run_dml(
                     f"duplicate SET target {am.group(1)!r}"
                 )
             assignments[am.group(1)] = am.group(2)
+        _dir(m.group(1))
         if fmt == "delta":
             from .delta_sink import update_where_delta
 
@@ -533,13 +690,14 @@ def run_dml(
                                     m.group(3), assignments)
     if re.match(r"^\s*MERGE\b", sql, re.IGNORECASE):
         spec = parse_merge(sql)
+        _dir(spec["target"])
         src_name = spec["source"]
         if sources and src_name in sources:
             source_df = sources[src_name]
         elif src_name in tables:
             # MERGE USING another lake table: read its live rows
             # through the one-call reader for the statement's format
-            if fmt == "delta":
+            if _detect_fmt(tables[src_name], fmt) == "delta":
                 from .delta_sink import read_delta_table
 
                 source_df = read_delta_table(spark, tables[src_name])
@@ -644,7 +802,7 @@ def run_query(
             f"(known: {sorted(tables)})"
         )
     for name, table_dir in tables.items():
-        if fmt == "delta":
+        if _detect_fmt(table_dir, fmt) == "delta":
             from .delta_sink import read_delta_table
 
             df = read_delta_table(spark, table_dir,
