@@ -405,9 +405,16 @@ class TestRefusals:
             run_dml(spark, "TRUNCATE TABLE t", {"t": "/x"})
 
     def test_non_equi_on(self):
-        with pytest.raises(ValueError, match="not\\s"):
+        # round 14: non-equi conjuncts decompose into a residual, but
+        # at least one equi-key conjunct is still required
+        with pytest.raises(ValueError, match="equi-key"):
             parse_merge("MERGE INTO t USING s ON t.id > s.id "
                         "WHEN MATCHED THEN DELETE")
+        spec = parse_merge("MERGE INTO t USING s ON t.id = s.id "
+                           "AND s.ts > t.ts "
+                           "WHEN MATCHED THEN DELETE")
+        assert spec["key_cols"] == ["id"]
+        assert spec["matched_residual"] == "(s.ts > t.ts)"
 
     def test_update_set_assignments_parse(self):
         spec = parse_merge(
