@@ -8,8 +8,9 @@ can now compose the table's change feed with watermarks, stream-static
 joins, triggers, and ``foreachBatch`` under Spark's own
 MicroBatchExecution, whose offsets/commits WAL replaces the
 hand-rolled checkpoint `cdf_source.stream_changes` keeps (that
-availableNow drain loop remains the non-streaming fallback and the
-Iceberg path).
+availableNow drain loop remains the non-streaming fallback).  The
+Iceberg changelog gets the same treatment further down
+(`IcebergChangelogDataSource` — offsets are snapshot ids).
 
 Execution model — offsets are commit VERSIONS:
 
@@ -335,5 +336,315 @@ def open_change_stream(spark, table_dir: str,
     return (
         spark.readStream.format("delta_cdf")
         .option("startingVersion", str(starting_version))
+        .load(table_dir)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg changelog as a spark.readStream source (round 14): the
+# format-#2 twin.  Offsets are SNAPSHOT IDS; per micro-batch the
+# driver plans file-level change tasks between adjacent snapshots by
+# the SAME derivation `read_changes_iceberg`
+# (sources/iceberg_sink.py:2493) proves:
+#   - files live only in B: their B-alive rows are inserts;
+#   - files live only in A: their A-alive rows are deletes;
+#   - common files whose delete state moved: rows alive under A but
+#     dead under B are deletes (deletes only accrete).
+# 'replace' (compaction) snapshots advance the base without emitting —
+# a 100 TB compaction must not replay the table through the feed.
+# ---------------------------------------------------------------------------
+
+
+def _applicable_eqs(snap: dict, path: str) -> list[dict]:
+    """Equality deletes applying to ``path`` under ``snap`` — the
+    spec's strictly-less rule (delete seq > the file's data seq)."""
+    seq = snap.get("data_sequence_numbers", {}).get(path, 0)
+    names = snap.get("field_names", {})
+    out = []
+    for e in snap.get("equality_deletes", []):
+        if e["sequence_number"] > seq:
+            cols = [names.get(i) for i in e.get("equality_ids", [])]
+            if any(c is None for c in cols):
+                raise ValueError(
+                    f"equality delete {e['path']!r} names unmapped "
+                    "field ids; cannot stream this changelog"
+                )
+            out.append({"path": e["path"], "key_cols": cols})
+    return out
+
+
+def plan_changelog_tasks(table_dir: str, from_sid: int | None,
+                         to_sid: int) -> list[dict]:
+    """File-level change tasks between two snapshots (A exclusive, B
+    inclusive) — the pure-Python planning half of
+    `read_changes_iceberg`.  Task shapes (all metadata-sized except
+    position lists, which this repo's reader resolves driver-side
+    everywhere):
+
+    - ``{"kind": "ins", "path", "dead": [pos...], "eqs": [...],
+      "pv": {...}}`` — a file added in B: its B-alive rows are
+      inserts;
+    - ``{"kind": "del", ...}`` — a file dropped since A: its A-alive
+      rows are deletes;
+    - ``{"kind": "chg", "path", "dead_a", "eqs_a", "dead_b",
+      "new_eqs", "pv"}`` — a common file whose delete state moved:
+      rows alive under A and dead under B are deletes.
+    """
+    from ..sources.iceberg_sink import read_table
+
+    snapB = read_table(table_dir, snapshot_id=to_sid)
+    if from_sid is None:
+        snapA = {"live": {}, "position_deletes": {},
+                 "equality_deletes": [],
+                 "data_sequence_numbers": {}, "field_names": {}}
+    else:
+        snapA = read_table(table_dir, snapshot_id=from_sid)
+    live_a, live_b = set(snapA["live"]), set(snapB["live"])
+    pos_a = snapA.get("position_deletes", {})
+    pos_b = snapB.get("position_deletes", {})
+    pv_a = snapA.get("partition_values", {})
+    pv_b = snapB.get("partition_values", {})
+    tasks: list[dict] = []
+    for p in sorted(live_b - live_a):
+        tasks.append({"kind": "ins", "path": p,
+                      "dead": sorted(pos_b.get(p, ())),
+                      "eqs": _applicable_eqs(snapB, p),
+                      "pv": pv_b.get(p, {})})
+    for p in sorted(live_a - live_b):
+        tasks.append({"kind": "del", "path": p,
+                      "dead": sorted(pos_a.get(p, ())),
+                      "eqs": _applicable_eqs(snapA, p),
+                      "pv": pv_a.get(p, {})})
+    eqs_a_set = {
+        (e["path"], e["sequence_number"])
+        for e in snapA.get("equality_deletes", [])
+    }
+    for p in sorted(live_a & live_b):
+        eqs_b = _applicable_eqs(snapB, p)
+        new_eqs = [
+            e for e in eqs_b
+            if not any(e["path"] == ap for ap, _ in eqs_a_set)
+        ]
+        if pos_a.get(p) == pos_b.get(p) and not new_eqs:
+            continue  # delete state unchanged: no feed rows
+        tasks.append({"kind": "chg", "path": p,
+                      "dead_a": sorted(pos_a.get(p, ())),
+                      "eqs_a": _applicable_eqs(snapA, p),
+                      "dead_b": sorted(pos_b.get(p, ())),
+                      "new_eqs": new_eqs,
+                      "pv": pv_a.get(p, {})})
+    return tasks
+
+
+def _eq_matchers(table_dir: str,
+                 eqs: list[dict]) -> list[tuple[list[str], set]]:
+    """Per key-column-set (cols, key-tuple set) matchers for the named
+    equality-delete files — read on the EXECUTOR (metadata-sized key
+    files; the task ships paths).  Grouped by column set: two delete
+    files keying different columns must never share a tuple space."""
+    import pyarrow.parquet as pq
+
+    grouped: dict[tuple, set] = {}
+    for e in eqs:
+        cols = tuple(e["key_cols"])
+        keys = grouped.setdefault(cols, set())
+        t = pq.read_table(os.path.join(table_dir, e["path"]),
+                          columns=list(cols))
+        for row in t.to_pylist():
+            keys.add(tuple(row[c] for c in cols))
+    return [(list(c), k) for c, k in grouped.items()]
+
+
+def _eq_dead(row: dict, matchers: list[tuple[list[str], set]]) -> bool:
+    return any(tuple(row.get(c) for c in cols) in keys
+               for cols, keys in matchers)
+
+
+def read_changelog_task(table_dir: str, task: dict,
+                        fields: list[tuple[str, str]],
+                        ) -> Iterator[tuple]:
+    """EXECUTOR-side data plane for one changelog task: a pyarrow scan
+    with position-delete and equality-delete states applied per the
+    task kind.  ``fields`` is the feed schema (table columns +
+    ``_change_type``)."""
+    import pyarrow.parquet as pq
+
+    if task.get("kind") == "empty":
+        return
+    kind = task["kind"]
+    pv = task.get("pv") or {}
+    if kind in ("ins", "del"):
+        dead = set(task["dead"])
+        eq_m = _eq_matchers(table_dir, task["eqs"])
+        change = "insert" if kind == "ins" else "delete"
+    else:
+        dead_a = set(task["dead_a"])
+        dead_b = set(task["dead_b"])
+        eq_m_a = _eq_matchers(table_dir, task["eqs_a"])
+        eq_m_new = _eq_matchers(table_dir, task["new_eqs"])
+        change = "delete"
+    pf = pq.ParquetFile(os.path.join(table_dir, task["path"]))
+    file_cols = set(pf.schema_arrow.names)
+    ri = 0
+    for batch in pf.iter_batches():
+        for row in batch.to_pylist():
+            idx = ri
+            ri += 1
+            if kind in ("ins", "del"):
+                if idx in dead or _eq_dead(row, eq_m):
+                    continue
+            else:
+                # alive under A ...
+                if idx in dead_a or _eq_dead(row, eq_m_a):
+                    continue
+                # ... and dead under B
+                if not (idx in dead_b or _eq_dead(row, eq_m_new)):
+                    continue
+            out = []
+            for name, type_str in fields:
+                if name == "_change_type":
+                    out.append(change)
+                elif name in file_cols:
+                    out.append(row.get(name))
+                elif name in pv:
+                    out.append(_typed_partition_value(pv[name],
+                                                      type_str))
+                else:
+                    out.append(None)
+            yield tuple(out)
+
+
+#: simpleString -> DataType for the scalar types the sink records
+#: (StructType.fromDDL needs a live SparkContext, which the
+#: DataSource's driver-side Python worker does not have)
+def _dtype_of(simple: str):
+    from pyspark.sql import types as T
+
+    return {
+        "tinyint": T.ByteType(), "smallint": T.ShortType(),
+        "int": T.IntegerType(), "bigint": T.LongType(),
+        "float": T.FloatType(), "double": T.DoubleType(),
+        "boolean": T.BooleanType(), "date": T.DateType(),
+        "timestamp": T.TimestampType(),
+        "timestamp_ntz": T.TimestampNTZType(),
+        "binary": T.BinaryType(),
+    }.get(simple, T.StringType())
+
+
+def changelog_schema(table_dir: str) -> "StructType":
+    """Table declared columns + ``_change_type`` (matching
+    `read_changes_iceberg`'s output shape)."""
+    from pyspark.sql.types import (
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from ..sources.iceberg_sink import _prev_state
+
+    prev = _prev_state(table_dir)
+    types = prev.get("field_types", {})
+    fields = [
+        StructField(n, _dtype_of(types.get(i, "string")))
+        for i, n in sorted(prev["field_names"].items())
+    ]
+    return StructType(
+        fields + [StructField("_change_type", StringType())]
+    )
+
+
+class _IcebergChangelogStreamReader(DataSourceStreamReader):
+    """Offsets are snapshot ids; 'replace' snapshots advance the base
+    without emitting (the checkpoint must move PAST a compaction so
+    ranges never straddle the rewrite — `cdf_source._IcebergFeed`'s
+    rule under Spark's own WAL)."""
+
+    def __init__(self, table_dir: str, starting_sid: int,
+                 fields: list[tuple[str, str]]):
+        self._table_dir = table_dir
+        self._starting = starting_sid
+        self._fields = fields
+
+    def initialOffset(self) -> dict:
+        return {"sid": self._starting}
+
+    def latestOffset(self) -> dict:
+        from ..sources.iceberg_sink import _prev_state
+
+        prev = _prev_state(self._table_dir)
+        last = max(prev["snapshots"], default=0)
+        return {"sid": max(last, self._starting)}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        if end["sid"] <= start["sid"]:
+            return [InputPartition({"kind": "empty"})]
+        from ..sources.iceberg_sink import _prev_state
+
+        prev = _prev_state(self._table_dir)
+        ops = prev.get("snapshot_ops", {})
+        sids = sorted(s for s in prev["snapshots"]
+                      if start["sid"] < s <= end["sid"])
+        tasks: list[dict] = []
+        base = start["sid"] if start["sid"] > 0 else None
+        for s in sids:
+            if ops.get(s) == "replace":
+                base = s  # advance past the compaction, emit nothing
+                continue
+            tasks.extend(plan_changelog_tasks(self._table_dir, base, s))
+            base = s
+        if not tasks:
+            return [InputPartition({"kind": "empty"})]
+        return [InputPartition(t) for t in tasks]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        return read_changelog_task(self._table_dir, partition.value,
+                                   self._fields)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class IcebergChangelogDataSource(DataSource):
+    """``spark.readStream.format("iceberg_changelog").load(table_dir)``
+    after ``spark.dataSource.register(IcebergChangelogDataSource)``.
+    Options: ``path`` and ``startingSnapshotId`` (default 0: the full
+    history)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "iceberg_changelog"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError(
+                "iceberg_changelog requires a table directory: "
+                ".load(table_dir) or .option('path', table_dir)"
+            )
+        return path
+
+    def schema(self) -> "StructType":
+        return changelog_schema(self._table_dir())
+
+    def streamReader(self, schema: "StructType"):
+        fields = [(f.name, f.dataType.simpleString())
+                  for f in schema.fields]
+        return _IcebergChangelogStreamReader(
+            self._table_dir(),
+            int(self.options.get("startingsnapshotid",
+                                 self.options.get("startingSnapshotId",
+                                                  0))),
+            fields,
+        )
+
+
+def open_changelog_stream(spark, table_dir: str,
+                          starting_snapshot_id: int = 0):
+    """Register (idempotent) and open the Iceberg changelog streaming
+    DataFrame — `open_change_stream`'s format-#2 twin."""
+    spark.dataSource.register(IcebergChangelogDataSource)
+    return (
+        spark.readStream.format("iceberg_changelog")
+        .option("startingSnapshotId", str(starting_snapshot_id))
         .load(table_dir)
     )

@@ -256,3 +256,120 @@ class TestOnlineRecommendLoop:
         }
         assert store == want2
         assert all(v for v in store.values())
+
+
+class TestIcebergChangelogStream:
+    """Round 14: the Iceberg changelog as a REAL ``spark.readStream``
+    source (`open_changelog_stream`) — the Delta source's format-#2
+    twin.  Offsets are snapshot ids; 'replace' (compaction) snapshots
+    advance the base without emitting."""
+
+    def _lifecycle_table(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            delete_where_iceberg,
+            merge_iceberg,
+            rewrite_data_files_iceberg,
+            update_where_iceberg,
+            write_iceberg,
+        )
+
+        tbl = str(tmp_path / "t")
+        write_iceberg(spark.createDataFrame(
+            [(i, f"v{i}") for i in range(10)], "id long, v string")
+            .repartition(2), tbl)                          # s1
+        delete_where_iceberg(spark, tbl, "id = 3")         # s2 posdel
+        merge_iceberg(
+            spark,
+            spark.createDataFrame([(4, "V4"), (40, "v40")],
+                                  "id long, v string"),
+            tbl, key_cols=["id"])                          # s3 eqdel
+        rewrite_data_files_iceberg(spark, tbl)             # s4 replace
+        update_where_iceberg(spark, tbl, "id = 7",
+                             {"v": "'seven'"})             # s5
+        return tbl
+
+    def _batch_feed(self, spark, tbl):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            _prev_state,
+            read_changes_iceberg,
+        )
+
+        st = _prev_state(tbl)
+        ops = st["snapshot_ops"]
+        frames, base = None, None
+        for s in sorted(st["snapshots"]):
+            if ops.get(s) == "replace":
+                base = s
+                continue
+            f = read_changes_iceberg(spark, tbl, base, s)
+            frames = f if frames is None else frames.unionByName(f)
+            base = s
+        return frames
+
+    def test_stream_equals_batch_with_compaction(self, spark,
+                                                 tmp_path):
+        from hainan_big_data_recommend_system_spark.streaming.readstream_cdf import (  # noqa: E501
+            open_changelog_stream,
+        )
+
+        tbl = self._lifecycle_table(spark, tmp_path)
+        _drain(spark, open_changelog_stream(spark, tbl), "icl",
+               str(tmp_path / "ck"))
+        got = _rows(_mem(spark, "icl"))
+        assert got == _rows(self._batch_feed(spark, tbl))
+        # the compaction snapshot emitted NOTHING: the feed holds no
+        # spurious rewrite noise (every delete has a matching state)
+        assert len(got) == 16
+
+    def test_restart_consumes_only_new_snapshots(self, spark,
+                                                 tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            _prev_state,
+            delete_where_iceberg,
+            read_changes_iceberg,
+            write_iceberg,
+        )
+        from hainan_big_data_recommend_system_spark.streaming.readstream_cdf import (  # noqa: E501
+            open_changelog_stream,
+        )
+
+        tbl = str(tmp_path / "t")
+        ck = str(tmp_path / "ck")
+        write_iceberg(spark.createDataFrame(
+            [(i, "x") for i in range(6)], "id long, v string"), tbl)
+        first: list = []
+        _drain_collect(spark, open_changelog_stream(spark, tbl), ck,
+                       first)
+        assert len(first) == 6
+        s0 = max(_prev_state(tbl)["snapshots"])
+        delete_where_iceberg(spark, tbl, "id = 0")
+        write_iceberg(spark.createDataFrame(
+            [(100, "y")], "id long, v string"), tbl)
+        second: list = []
+        _drain_collect(spark, open_changelog_stream(spark, tbl), ck,
+                       second)
+        want = _rows(read_changes_iceberg(
+            spark, tbl, s0, max(_prev_state(tbl)["snapshots"])))
+        assert sorted(second) == want
+
+    def test_starting_snapshot_tails(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            _prev_state,
+            write_iceberg,
+        )
+        from hainan_big_data_recommend_system_spark.streaming.readstream_cdf import (  # noqa: E501
+            open_changelog_stream,
+        )
+
+        tbl = str(tmp_path / "t")
+        write_iceberg(spark.createDataFrame(
+            [(i, "x") for i in range(6)], "id long, v string"), tbl)
+        s0 = max(_prev_state(tbl)["snapshots"])
+        write_iceberg(spark.createDataFrame(
+            [(7, "y")], "id long, v string"), tbl)
+        _drain(spark,
+               open_changelog_stream(spark, tbl,
+                                     starting_snapshot_id=s0),
+               "itail", str(tmp_path / "ck"))
+        got = _rows(_mem(spark, "itail"))
+        assert [r[0] for r in got] == [7]
