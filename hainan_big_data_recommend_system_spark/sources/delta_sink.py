@@ -2895,9 +2895,12 @@ def merge_delta(
                     .join(F.broadcast(upd_m.alias("s")), key_cols,
                           "inner")
                 )
+                set_t = _declared_from_snap(snap)
                 upd_staged = pairs.select(*[
                     F.col(c) if c in key_cols
-                    else (F.expr(matched_set[c]).alias(c)
+                    else ((F.expr(matched_set[c]).cast(set_t[c])
+                           if c in set_t
+                           else F.expr(matched_set[c])).alias(c)
                           if c in matched_set
                           else F.col(f"t.`{c}`").alias(c))
                     for c in tcols
@@ -3301,6 +3304,75 @@ def restore_delta(
     )
 
 
+#: SQL type spelling -> Delta schema-JSON type name (scalars only —
+#: the disciplined subset the pruning/stats machinery understands)
+_SQL_TO_JSON_TYPE = {
+    "tinyint": "byte", "byte": "byte",
+    "smallint": "short", "short": "short",
+    "int": "integer", "integer": "integer",
+    "bigint": "long", "long": "long",
+    "float": "float", "real": "float",
+    "double": "double",
+    "string": "string", "varchar": "string", "text": "string",
+    "boolean": "boolean", "bool": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz", "binary": "binary",
+}
+
+
+def add_columns_delta(table_dir: str, columns: dict[str, str],
+                      max_retries: int = 10) -> dict:
+    """ALTER TABLE ADD COLUMNS (round 14): a metaData-only commit
+    appending nullable columns to the declared schema — old files
+    simply surface NULLs for them (the declared schema is the read
+    contract, `_scan_with_positions`), no data rewrite.  ``columns``
+    maps name -> SQL type spelling (scalars only; unknown types are
+    refused loudly).
+
+    Returns ``{version, n_columns_added}``."""
+    if not columns:
+        raise ValueError("ADD COLUMNS needs at least one column")
+    typed = {}
+    for name, t in columns.items():
+        jt = _SQL_TO_JSON_TYPE.get(t.strip().lower())
+        if jt is None:
+            raise ValueError(
+                f"unsupported column type {t!r} for {name!r} "
+                f"(supported: {sorted(set(_SQL_TO_JSON_TYPE))})"
+            )
+        typed[name] = jt
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap["version"] < 0 or not snap.get("schema_json"):
+            raise ValueError("cannot ALTER a table with no schema")
+        schema = json.loads(snap["schema_json"])
+        have = {f["name"] for f in schema.get("fields", [])}
+        dup = sorted(set(typed) & have)
+        if dup:
+            raise ValueError(f"columns already exist: {dup}")
+        schema["fields"] = list(schema.get("fields", [])) + [
+            {"name": n, "type": jt, "nullable": True, "metadata": {}}
+            for n, jt in typed.items()
+        ]
+        version = snap["version"] + 1
+        acts = [{"metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema, sort_keys=True,
+                                       separators=(",", ":")),
+            "partitionColumns": snap.get("partition_columns") or [],
+            "configuration": snap.get("metadata_configuration") or {},
+        }}, {"commitInfo": {"operation": "ADD COLUMNS"}}]
+        if _claim_version(table_dir, version, _stamped_commit(acts),
+                          token):
+            return {"version": version,
+                    "n_columns_added": len(typed)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
 def vacuum_delta(table_dir: str, retention_versions: int | None = None,
                  retention_hours: float | None = None) -> dict:
     """Execute VACUUM: physically delete (a) tombstoned data files
@@ -3552,9 +3624,16 @@ def update_where_delta(
             f"cannot assign generated columns {bad}; update their "
             "source columns instead"
         )
-    postimage = preimage.withColumns(
-        {c: F.expr(expr) for c, expr in assignments.items()}
-    )
+    # assignment expressions CAST to the column's declared type
+    # (round 14): a literal like 9.0 is decimal(2,1) — staging it raw
+    # into a double column writes a decimal-physical file that a
+    # declared-schema read then decodes UNSCALED (90.0, not 9.0)
+    declared_t = _declared_from_snap(snap)
+    postimage = preimage.withColumns({
+        c: (F.expr(expr).cast(declared_t[c]) if c in declared_t
+            else F.expr(expr))
+        for c, expr in assignments.items()
+    })
     if gen_specs:
         # an UPDATE touching a generated column's SOURCE must move
         # the row to its new partition — recompute, never keep stale

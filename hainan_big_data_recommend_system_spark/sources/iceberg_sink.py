@@ -1482,9 +1482,18 @@ def update_where_iceberg(
                 "n_rows_updated": 0, "n_files_added": 0,
                 "n_delete_files": 0}
     preimage = matched.drop("__fp", "__ri", "file_path", "__dataseq")
-    postimage = preimage.withColumns(
-        {c: F.expr(expr) for c, expr in assignments.items()}
-    )
+    # assignment expressions CAST to the column's declared type
+    # (round 14): a decimal-typed literal staged raw into a double
+    # column would decode unscaled under the declared-schema read
+    _upd_t = {
+        n: prev.get("field_types", {}).get(i)
+        for i, n in prev.get("field_names", {}).items()
+    }
+    postimage = preimage.withColumns({
+        c: (F.expr(expr).cast(_upd_t[c]) if _upd_t.get(c)
+            else F.expr(expr))
+        for c, expr in assignments.items()
+    })
     # restage in the table's RECORDED column order — the scan
     # re-attaches partition columns at the end, and Iceberg's field
     # ids are positional in this sink
@@ -1791,9 +1800,15 @@ def _merge_iceberg_scan(
                 .join(F.broadcast(upd_m.alias("s")), key_cols,
                       "inner")
             )
+            set_t = {
+                n: prev0.get("field_types", {}).get(i)
+                for i, n in prev0.get("field_names", {}).items()
+            }
             upd_staged = pairs.select(*[
                 F.col(c) if c in key_cols
-                else (F.expr(matched_set[c]).alias(c)
+                else ((F.expr(matched_set[c]).cast(set_t[c])
+                       if set_t.get(c)
+                       else F.expr(matched_set[c])).alias(c)
                       if c in matched_set
                       else F.col(f"t.`{c}`").alias(c))
                 for c in tcols
@@ -2743,6 +2758,74 @@ def rewrite_manifests_iceberg(
                     "n_manifests_before": len(prev["manifest_entries"]),
                     "n_manifests_after": len(entries),
                     "n_entries": len(data_entries) + len(del_entries)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+#: SQL type spelling -> Spark simpleString (the schema block's
+#: recorded type names)
+_SQL_TO_SIMPLE = {
+    "tinyint": "tinyint", "byte": "tinyint",
+    "smallint": "smallint", "short": "smallint",
+    "int": "int", "integer": "int",
+    "bigint": "bigint", "long": "bigint",
+    "float": "float", "real": "float",
+    "double": "double",
+    "string": "string", "varchar": "string", "text": "string",
+    "boolean": "boolean", "bool": "boolean",
+    "date": "date", "timestamp": "timestamp",
+    "timestamp_ntz": "timestamp_ntz", "binary": "binary",
+}
+
+
+def add_columns_iceberg(table_dir: str, columns: dict[str, str],
+                        max_retries: int = 10) -> dict:
+    """ALTER TABLE ADD COLUMNS (round 14, `add_columns_delta`'s
+    format-#2 twin): a metadata-only version bump appending fields
+    with FRESH ids past the current maximum (the spec's append-only
+    evolution rule — ids are never reused, so manifest bounds keyed
+    by old ids keep decoding); the snapshot pointer is untouched and
+    old files surface NULLs for the new columns.
+
+    Returns ``{version, n_columns_added}``."""
+    if not columns:
+        raise ValueError("ADD COLUMNS needs at least one column")
+    typed = {}
+    for name, t in columns.items():
+        st = _SQL_TO_SIMPLE.get(t.strip().lower())
+        if st is None:
+            raise ValueError(
+                f"unsupported column type {t!r} for {name!r} "
+                f"(supported: {sorted(set(_SQL_TO_SIMPLE))})"
+            )
+        typed[name] = st
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        prev = _prev_state(table_dir)
+        if prev["version"] < 0 or not prev["field_names"]:
+            raise ValueError("cannot ALTER a table with no schema")
+        have = set(prev["field_names"].values())
+        dup = sorted(set(typed) & have)
+        if dup:
+            raise ValueError(f"columns already exist: {dup}")
+        fields = _carry_schema_fields(prev) or []
+        next_id = max((f["id"] for f in fields), default=0) + 1
+        for n, st in typed.items():
+            fields.append({"id": next_id, "name": n, "type": st})
+            next_id += 1
+        version = prev["version"] + 1
+        meta_text = make_table_metadata(
+            prev["snapshots"], current=prev["current"],
+            schema_fields=fields,
+            properties=prev.get("properties"),
+            partition_spec=prev.get("partition_spec") or None,
+            snapshot_ops=prev.get("snapshot_ops") or None,
+            snapshot_ts=prev.get("snapshot_ts"),
+        )
+        if _claim_metadata(table_dir, version, meta_text, token, {}):
+            return {"version": version,
+                    "n_columns_added": len(typed)}
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )

@@ -403,6 +403,23 @@ def _align_insert_columns(spark, rows, table_dir: str | None,
     ])
 
 
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SHOW_RE = re.compile(r"^\s*SHOW\s+TABLES\s*;?\s*$", re.IGNORECASE)
+_COLDEF_RE = re.compile(
+    r"^\s*([A-Za-z_][A-Za-z0-9_]*)\s+([A-Za-z_][A-Za-z0-9_]*"
+    r"(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$",
+)
+
+
 _CREATE_HEAD_RE = re.compile(
     r"^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*)\s*",
@@ -563,6 +580,44 @@ def run_dml(
         tables[name] = tdir
         return {"table": name, "dir": tdir, "fmt": cfmt, **res}
 
+    m = _SHOW_RE.match(sql)
+    if m:
+        return {"tables": {
+            name: {"dir": d, "fmt": _detect_fmt(d, fmt)}
+            for name, d in sorted(tables.items())
+        }}
+    m = _DROP_RE.match(sql)
+    if m:
+        import shutil as _shutil
+
+        name = m.group(2)
+        if name not in tables:
+            if m.group(1):
+                return {"table": name, "skipped": True}
+            raise ValueError(
+                f"DROP TABLE references unknown table {name!r} "
+                f"(known: {sorted(tables)})"
+            )
+        tdir = tables.pop(name)
+        _shutil.rmtree(tdir, ignore_errors=True)
+        return {"table": name, "dir": tdir, "dropped": True}
+    m = _ALTER_RE.match(sql)
+    if m:
+        name = m.group(1)
+        cols: dict[str, str] = {}
+        for part in _split_in_list(m.group(2)):
+            cm = _COLDEF_RE.match(part)
+            if not cm:
+                raise ValueError(
+                    f"unparseable column definition {part.strip()!r}"
+                )
+            if cm.group(1) in cols:
+                raise ValueError(
+                    f"duplicate column {cm.group(1)!r} in ADD COLUMNS"
+                )
+            cols[cm.group(1)] = cm.group(2)
+        tdir = None  # resolve via _dir below (sets fmt from layout)
+
     def _dir(name: str) -> str:
         nonlocal fmt
         if name not in tables:
@@ -577,6 +632,16 @@ def run_dml(
         fmt = _detect_fmt(tables[name], fmt)
         return tables[name]
 
+    m = _ALTER_RE.match(sql)
+    if m:
+        tdir = _dir(m.group(1))
+        if fmt == "delta":
+            from .delta_sink import add_columns_delta
+
+            return add_columns_delta(tdir, cols)
+        from .iceberg_sink import add_columns_iceberg
+
+        return add_columns_iceberg(tdir, cols)
     m = _INSERT_RE.match(sql)
     if m:
         # INSERT INTO t <select|values|with>: the query half runs in

@@ -613,3 +613,103 @@ class TestCreateTable:
         with pytest.raises(ValueError, match="base_dir"):
             run_dml(spark, "CREATE TABLE t (id BIGINT) USING delta",
                     {})
+
+
+class TestAlterDropShow:
+    """Round 14: the remaining DDL verbs — ALTER TABLE ADD COLUMNS
+    (metadata-only schema evolution on BOTH sinks; old rows surface
+    NULLs, no data rewrite), DROP TABLE, SHOW TABLES — hash-equal to
+    DuckDB running the same DDL+DML."""
+
+    @pytest.mark.parametrize("fmt", ["delta", "iceberg"])
+    def test_add_columns_matches_duckdb(self, spark, tmp_path, duck,
+                                        fmt):
+        tables: dict = {}
+        run_dml(spark,
+                f"CREATE TABLE t (id BIGINT, v STRING) USING {fmt}",
+                tables, base_dir=str(tmp_path))
+        run_dml(spark, "INSERT INTO t VALUES (1, 'a'), (2, 'b')",
+                tables)
+        run_dml(spark, "ALTER TABLE t ADD COLUMNS (score DOUBLE)",
+                tables)
+        run_dml(spark, "INSERT INTO t VALUES (3, 'c', 1.5)", tables)
+        run_dml(spark,
+                "UPDATE t SET score = 9.0 WHERE id = 1", tables)
+        got = sorted(tuple(r) for r in run_query(
+            spark, "SELECT id, v, score FROM t", tables).collect())
+        dt = f"t_{fmt}"  # the duck fixture is shared across params
+        duck.execute(f"CREATE TABLE {dt} (id BIGINT, v VARCHAR)")
+        duck.execute(f"INSERT INTO {dt} VALUES (1, 'a'), (2, 'b')")
+        duck.execute(f"ALTER TABLE {dt} ADD COLUMN score DOUBLE")
+        duck.execute(f"INSERT INTO {dt} VALUES (3, 'c', 1.5)")
+        duck.execute(f"UPDATE {dt} SET score = 9.0 WHERE id = 1")
+        want = sorted(tuple(r) for r in duck.execute(
+            f"SELECT id, v, score FROM {dt}").fetchall())
+        assert got == want
+
+    def test_add_columns_is_metadata_only(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.delta_sink import (  # noqa: E501
+            snapshot,
+        )
+
+        tables: dict = {}
+        run_dml(spark,
+                "CREATE TABLE t (id BIGINT) USING delta",
+                tables, base_dir=str(tmp_path))
+        run_dml(spark, "INSERT INTO t VALUES (1), (2)", tables)
+        pre = snapshot(tables["t"])["live"]
+        run_dml(spark, "ALTER TABLE t ADD COLUMNS (x BIGINT)", tables)
+        post = snapshot(tables["t"])
+        assert post["live"] == pre  # no file touched
+        names = [f["name"] for f in __import__("json").loads(
+            post["schema_json"])["fields"]]
+        assert names == ["id", "x"]
+
+    def test_alter_refusals(self, spark, tmp_path):
+        tables: dict = {}
+        run_dml(spark, "CREATE TABLE t (id BIGINT) USING iceberg",
+                tables, base_dir=str(tmp_path))
+        with pytest.raises(ValueError, match="already exist"):
+            run_dml(spark, "ALTER TABLE t ADD COLUMNS (id BIGINT)",
+                    tables)
+        with pytest.raises(ValueError, match="unsupported column"):
+            run_dml(spark,
+                    "ALTER TABLE t ADD COLUMNS (m MAP)", tables)
+
+    def test_iceberg_new_field_ids_are_fresh(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            _prev_state,
+        )
+
+        tables: dict = {}
+        run_dml(spark,
+                "CREATE TABLE t (id BIGINT, v STRING) USING iceberg",
+                tables, base_dir=str(tmp_path))
+        run_dml(spark, "INSERT INTO t VALUES (5, 'x')", tables)
+        run_dml(spark, "ALTER TABLE t ADD COLUMNS (w STRING)", tables)
+        st = _prev_state(tables["t"])
+        assert st["field_names"] == {1: "id", 2: "v", 3: "w"}
+        # old manifest bounds still decode under the evolved schema
+        assert any(
+            s.get("minValues", {}).get("id") == 5
+            for s in st["file_stats"].values()
+        )
+
+    def test_drop_and_show(self, spark, tmp_path):
+        import os as _os
+
+        tables: dict = {}
+        run_dml(spark, "CREATE TABLE a (id BIGINT) USING delta",
+                tables, base_dir=str(tmp_path))
+        run_dml(spark, "CREATE TABLE b (id BIGINT) USING iceberg",
+                tables, base_dir=str(tmp_path))
+        show = run_dml(spark, "SHOW TABLES", tables)
+        assert {k: v["fmt"] for k, v in show["tables"].items()} == {
+            "a": "delta", "b": "iceberg"}
+        adir = tables["a"]
+        run_dml(spark, "DROP TABLE a", tables)
+        assert "a" not in tables and not _os.path.isdir(adir)
+        assert run_dml(spark, "DROP TABLE IF EXISTS a",
+                       tables)["skipped"]
+        with pytest.raises(ValueError, match="unknown table"):
+            run_dml(spark, "DROP TABLE ghost", tables)
