@@ -616,7 +616,6 @@ def run_dml(
                     f"duplicate column {cm.group(1)!r} in ADD COLUMNS"
                 )
             cols[cm.group(1)] = cm.group(2)
-        tdir = None  # resolve via _dir below (sets fmt from layout)
 
     def _dir(name: str) -> str:
         nonlocal fmt

@@ -388,6 +388,42 @@ class TestParserFuzz:
             except ValueError:
                 pass  # loud refusal is the contract
 
+    def test_mutated_create_statements_raise_or_parse(self):
+        """The same quarantine contract for the DDL parser (round
+        14): mutations of valid CREATE TABLE text parse or raise
+        ValueError — never crash, never silently mis-parse to a
+        different table name."""
+        import random
+
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (  # noqa: E501
+            parse_create,
+        )
+
+        random.seed(1414)
+        base = ("CREATE TABLE IF NOT EXISTS ev (eid BIGINT, "
+                "ts TIMESTAMP, kind STRING) USING iceberg "
+                "PARTITIONED BY (days(ts), bucket(4, eid)) ")
+        for _ in range(300):
+            txt = list(base)
+            for _ in range(random.randint(1, 6)):
+                op = random.random()
+                i = random.randrange(len(txt))
+                if op < 0.4:
+                    txt[i] = random.choice(" (),'_ABUSINGTABLE")
+                elif op < 0.7:
+                    del txt[i]
+                else:
+                    txt.insert(i, random.choice(" (),USING"))
+            t = "".join(txt)
+            try:
+                spec = parse_create(t)
+                assert spec is None or (
+                    isinstance(spec, dict) and spec["name"]
+                    and spec["fmt"] in ("delta", "iceberg")
+                )
+            except ValueError:
+                pass  # loud refusal is the contract
+
     def test_condition_with_quoted_keywords_survives(self):
         spec = parse_merge(
             "MERGE INTO t USING s ON t.id = s.id "
