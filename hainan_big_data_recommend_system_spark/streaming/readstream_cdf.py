@@ -374,7 +374,8 @@ def _applicable_eqs(snap: dict, path: str) -> list[dict]:
 
 
 def plan_changelog_tasks(table_dir: str, from_sid: int | None,
-                         to_sid: int) -> list[dict]:
+                         to_sid: int,
+                         snap_cache: dict | None = None) -> list[dict]:
     """File-level change tasks between two snapshots (A exclusive, B
     inclusive) — the pure-Python planning half of
     `read_changes_iceberg`.  Task shapes (all metadata-sized except
@@ -389,16 +390,29 @@ def plan_changelog_tasks(table_dir: str, from_sid: int | None,
     - ``{"kind": "chg", "path", "dead_a", "eqs_a", "dead_b",
       "new_eqs", "pv"}`` — a common file whose delete state moved:
       rows alive under A and dead under B are deletes.
+
+    ``snap_cache`` memoizes snapshot resolutions across ADJACENT
+    pairs (pair i's B is pair i+1's A): a micro-batch spanning N
+    snapshots resolves the tree N+1 times, not 2N.
     """
     from ..sources.iceberg_sink import read_table
 
-    snapB = read_table(table_dir, snapshot_id=to_sid)
+    snapB = snap_cache.get(to_sid) if snap_cache is not None else None
+    if snapB is None:
+        snapB = read_table(table_dir, snapshot_id=to_sid)
+        if snap_cache is not None:
+            snap_cache[to_sid] = snapB
     if from_sid is None:
         snapA = {"live": {}, "position_deletes": {},
                  "equality_deletes": [],
                  "data_sequence_numbers": {}, "field_names": {}}
     else:
-        snapA = read_table(table_dir, snapshot_id=from_sid)
+        snapA = (snap_cache.get(from_sid)
+                 if snap_cache is not None else None)
+        if snapA is None:
+            snapA = read_table(table_dir, snapshot_id=from_sid)
+            if snap_cache is not None:
+                snap_cache[from_sid] = snapA
     live_a, live_b = set(snapA["live"]), set(snapB["live"])
     pos_a = snapA.get("position_deletes", {})
     pos_b = snapB.get("position_deletes", {})
@@ -586,11 +600,13 @@ class _IcebergChangelogStreamReader(DataSourceStreamReader):
                       if start["sid"] < s <= end["sid"])
         tasks: list[dict] = []
         base = start["sid"] if start["sid"] > 0 else None
+        cache: dict = {}
         for s in sids:
             if ops.get(s) == "replace":
                 base = s  # advance past the compaction, emit nothing
                 continue
-            tasks.extend(plan_changelog_tasks(self._table_dir, base, s))
+            tasks.extend(plan_changelog_tasks(self._table_dir, base, s,
+                                              snap_cache=cache))
             base = s
         if not tasks:
             return [InputPartition({"kind": "empty"})]
