@@ -647,12 +647,18 @@ def run_dml(
         # Spark SQL with every sources[] DataFrame registered as a
         # temp view; the result appends transactionally
         name, select_text = m.group(1), m.group(2)
-        for vname, vdf in (sources or {}).items():
-            vdf.createOrReplaceTempView(vname)
-        rows = spark.sql(
-            select_text if not select_text.upper().startswith("VALUES")
-            else f"SELECT * FROM ({select_text})"
-        )
+        if select_text.upper().startswith("VALUES"):
+            for vname, vdf in (sources or {}).items():
+                vdf.createOrReplaceTempView(vname)
+            rows = spark.sql(f"SELECT * FROM ({select_text})")
+        else:
+            # the query half runs through run_query so it can read
+            # LAKE tables by name (round 14), not just sources views
+            rows = run_query(
+                spark, select_text,
+                {k: v for k, v in tables.items() if k != name},
+                fmt=fmt, sources=sources,
+            )
         tdir = _dir(name)  # resolves fmt from the layout too
         rows = _align_insert_columns(spark, rows, tdir, fmt)
         if fmt == "delta":

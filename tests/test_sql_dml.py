@@ -749,3 +749,22 @@ class TestAlterDropShow:
                        tables)["skipped"]
         with pytest.raises(ValueError, match="unknown table"):
             run_dml(spark, "DROP TABLE ghost", tables)
+
+
+class TestInsertSelectFromLakeTables:
+    def test_insert_select_reads_lake_table(self, spark, tmp_path):
+        """Round 14: INSERT INTO t SELECT ... routes through
+        run_query, so the query half reads LAKE tables by name (not
+        just pre-registered sources views) — cross-format too."""
+        tables: dict = {}
+        run_dml(spark, "CREATE TABLE a (id BIGINT) USING delta",
+                tables, base_dir=str(tmp_path))
+        run_dml(spark, "INSERT INTO a VALUES (1), (2), (3)", tables)
+        run_dml(spark, "CREATE TABLE b (id BIGINT) USING iceberg",
+                tables, base_dir=str(tmp_path))
+        run_dml(spark,
+                "INSERT INTO b SELECT id * 10 FROM a WHERE id < 3",
+                tables)
+        got = sorted(r["id"] for r in run_query(
+            spark, "SELECT * FROM b", tables).collect())
+        assert got == [10, 20]
