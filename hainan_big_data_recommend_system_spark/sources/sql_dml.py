@@ -654,9 +654,13 @@ def run_dml(
         else:
             # the query half runs through run_query so it can read
             # LAKE tables by name (round 14), not just sources views
+            # — including the TARGET itself (a self-insert reads the
+            # pre-insert snapshot; the read resolves before the
+            # append commits).  Not-yet-created dirs are skipped.
             rows = run_query(
                 spark, select_text,
-                {k: v for k, v in tables.items() if k != name},
+                {k: v for k, v in tables.items()
+                 if os.path.isdir(v)},
                 fmt=fmt, sources=sources,
             )
         tdir = _dir(name)  # resolves fmt from the layout too
