@@ -269,10 +269,15 @@ class _DeltaCDFStreamReader(DataSourceStreamReader):
         return {"version": self._starting}
 
     def latestOffset(self) -> dict:
-        from ..sources.delta_sink import snapshot
+        # a LIGHT version probe (one log-dir listing), not a full
+        # state resolution — latestOffset runs on EVERY trigger, and
+        # resolving live files per trigger would make idle polling
+        # O(table metadata)
+        from ..sources.delta_sink import _json_versions
 
-        return {"version": max(snapshot(self._table_dir)["version"],
-                               self._starting)}
+        versions = _json_versions(self._table_dir)
+        last = versions[-1] if versions else -1
+        return {"version": max(last, self._starting)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if end["version"] <= start["version"]:
@@ -567,6 +572,22 @@ def changelog_schema(table_dir: str) -> "StructType":
     )
 
 
+def _light_iceberg_meta(table_dir: str) -> dict:
+    """The current metadata JSON parsed — snapshots + ops only, NO
+    manifest walk (the per-trigger probe; `read_table` resolves full
+    state only for the ranges that actually planned tasks)."""
+    from ..sources.iceberg_sink import _meta_dir, current_version
+    from ..operators.iceberg import parse_table_metadata
+
+    v = current_version(table_dir)
+    if v < 0:
+        return {"snapshots": {}, "snapshot_ops": {}}
+    text = open(os.path.join(_meta_dir(table_dir),
+                             f"v{v}.metadata.json"),
+                encoding="utf-8").read()
+    return parse_table_metadata(text)
+
+
 class _IcebergChangelogStreamReader(DataSourceStreamReader):
     """Offsets are snapshot ids; 'replace' snapshots advance the base
     without emitting (the checkpoint must move PAST a compaction so
@@ -583,20 +604,18 @@ class _IcebergChangelogStreamReader(DataSourceStreamReader):
         return {"sid": self._starting}
 
     def latestOffset(self) -> dict:
-        from ..sources.iceberg_sink import _prev_state
-
-        prev = _prev_state(self._table_dir)
-        last = max(prev["snapshots"], default=0)
+        # LIGHT probe: metadata JSON only (no manifest walk) — this
+        # runs every trigger
+        last = max(_light_iceberg_meta(self._table_dir)["snapshots"],
+                   default=0)
         return {"sid": max(last, self._starting)}
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         if end["sid"] <= start["sid"]:
             return [InputPartition({"kind": "empty"})]
-        from ..sources.iceberg_sink import _prev_state
-
-        prev = _prev_state(self._table_dir)
-        ops = prev.get("snapshot_ops", {})
-        sids = sorted(s for s in prev["snapshots"]
+        meta = _light_iceberg_meta(self._table_dir)
+        ops = meta.get("snapshot_ops", {})
+        sids = sorted(s for s in meta["snapshots"]
                       if start["sid"] < s <= end["sid"])
         tasks: list[dict] = []
         base = start["sid"] if start["sid"] > 0 else None
