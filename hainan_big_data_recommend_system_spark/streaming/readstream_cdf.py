@@ -40,6 +40,15 @@ parallelizes across the cluster; executors read only the files the
 range names.  The table directory must be reachable from executors
 (the same shared-filesystem contract every path in this repo
 assumes).
+
+ADMISSION CONTROL: each micro-batch takes EVERYTHING between the
+checkpointed offset and the current version (the Python
+DataSourceStreamReader API has no maxFilesPerTrigger-style
+negotiation — latestOffset cannot see the committed start, so a
+reader-side cap could stall a restarted query behind its own
+checkpoint).  For a bounded-batch BACKFILL over a deep history, use
+`cdf_source.stream_changes(max_versions_per_batch=N)` to drain up to
+the present, then hand the checkpointed tail to this source.
 """
 
 from __future__ import annotations
