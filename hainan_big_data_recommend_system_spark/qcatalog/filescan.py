@@ -3143,3 +3143,120 @@ def q_sql_ddl_lifecycle_iceberg(spark: SparkSession,
         "flag, score FROM t",
         {"t": os.path.join(fixture, "t")},
     )
+
+
+_NULL_PRUNE_SQL = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b'
+                  ELSE 'c' END AS grp,
+             CASE WHEN doc_id % 3 = 0 THEN md5(text)
+                  WHEN doc_id % 3 = 1 AND doc_id % 2 = 0
+                       THEN md5(text) END AS v
+      FROM documents)
+    SELECT doc_id, grp, v,
+           CAST(2 AS BIGINT) AS n_files_kept,
+           CAST(1 AS BIGINT) AS n_null_skipped
+    FROM base WHERE v IS NOT NULL
+"""
+
+
+def _null_prune_base(spark: SparkSession, sf_dir: str):
+    """One file per grp partition: 'a' null-free, 'b' half-null,
+    'c' all-null — the three nullCount shapes the IS [NOT] NULL
+    lever distinguishes."""
+    return load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CASE doc_id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' "
+        "ELSE 'c' END AS grp",
+        "CASE WHEN doc_id % 3 = 0 THEN md5(text) "
+        "WHEN doc_id % 3 = 1 AND doc_id % 2 = 0 THEN md5(text) "
+        "END AS v",
+    ).repartition(1)
+
+
+def _ensure_null_prune_fixture(spark: SparkSession, sf_dir: str,
+                               fmt: str) -> str:
+    out = _fixture_dir(sf_dir, f"{fmt}nullprune")
+    if os.path.isdir(out):
+        return out
+    base = _null_prune_base(spark, sf_dir)
+    tmp = f"{out}.build-{os.getpid()}"
+    if fmt == "delta":
+        from ..sources.delta_sink import delete_where_delta, write_delta
+
+        write_delta(base, tmp, partition_by=["grp"])
+        delete_where_delta(spark, tmp, "v IS NULL")
+    else:
+        from ..sources.iceberg_sink import (
+            delete_where_iceberg,
+            write_iceberg,
+        )
+
+        write_iceberg(base, tmp, partition_by=["grp"])
+        delete_where_iceberg(spark, tmp, "v IS NULL")
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@register_extra("delta_null_pruning", _NULL_PRUNE_SQL)
+def q_delta_null_pruning(spark: SparkSession,
+                         sf_dir: str) -> DataFrame:
+    """The nullCount data-skipping lever pinned INSIDE a hash gate
+    (round 14 — `add.stats.nullCount` made judge-visible): a
+    ``DELETE WHERE v IS NULL`` on a three-shape table (null-free /
+    half-null / all-null file) must have opened exactly the two
+    null-bearing files, recomputed here on the pre-delete snapshot;
+    the surviving rows replay against the oracle."""
+    from ..sources.delta_sink import (
+        _prune_dml_paths,
+        read_delta_table,
+        snapshot_as_of,
+    )
+
+    fixture = _ensure_null_prune_fixture(spark, sf_dir, "delta")
+    pre = snapshot_as_of(fixture, 0)
+    paths, counts = _prune_dml_paths(fixture, pre, "v IS NULL")
+    rows = read_delta_table(spark, fixture)
+    return rows.select(
+        "doc_id", "grp", "v",
+        F.lit(len(paths)).cast("long").alias("n_files_kept"),
+        F.lit(counts["n_null_skipped"]).cast("long")
+        .alias("n_null_skipped"),
+    )
+
+
+@register_extra("iceberg_null_pruning", _NULL_PRUNE_SQL)
+def q_iceberg_null_pruning(spark: SparkSession,
+                           sf_dir: str) -> DataFrame:
+    """`delta_null_pruning`'s format-#2 twin: spec manifest field 110
+    ``null_value_counts`` drives the SAME lever (round 14 — format
+    parity for IS [NOT] NULL skipping)."""
+    from ..sources.delta_sink import _prune_dml_paths
+    from ..sources.iceberg_sink import (
+        _declared_types,
+        _prev_state,
+        read_iceberg_table,
+        read_table,
+    )
+
+    fixture = _ensure_null_prune_fixture(spark, sf_dir, "iceberg")
+    cur = _prev_state(fixture)
+    pre = read_table(fixture, snapshot_id=1)  # before the DELETE
+    pseudo = {**cur, "live": pre["live"],
+              "partition_values": pre["partition_values"],
+              "file_stats": pre["file_stats"]}
+    paths, counts = _prune_dml_paths(
+        fixture, pseudo, "v IS NULL",
+        declared=_declared_types(cur),
+    )
+    rows = read_iceberg_table(spark, fixture)
+    return rows.select(
+        "doc_id", "grp", "v",
+        F.lit(len(paths)).cast("long").alias("n_files_kept"),
+        F.lit(counts["n_null_skipped"]).cast("long")
+        .alias("n_null_skipped"),
+    )
