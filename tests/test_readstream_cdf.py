@@ -418,3 +418,55 @@ class TestExactlyOnceComposition:
         # the same epoch ids — the txn watermark absorbs the replay
         drain(str(tmp_path / "ck2"))
         assert _rows(read_delta_table(spark, out_tbl)) == got1
+
+
+class TestRandomizedLifecycleProperty:
+    def test_random_commit_sequences_stream_equals_batch(
+            self, spark, tmp_path):
+        """PROPERTY: for a seeded random sequence of write verbs
+        (append / overwrite / delete / update / merge / restore), the
+        streamed feed equals the batch `read_changes` over the same
+        range row-for-row — the planner can't drift from the verbs it
+        mirrors."""
+        import random
+
+        from hainan_big_data_recommend_system_spark.sources.delta_sink import (  # noqa: E501
+            restore_delta,
+            update_where_delta,
+        )
+
+        rng = random.Random(0x14C0DE)
+        for trial in range(3):
+            tbl = str(tmp_path / f"t{trial}")
+            write_delta(spark.createDataFrame(
+                [(i, f"v{i}") for i in range(12)],
+                "id long, v string"), tbl)
+            for step in range(5):
+                op = rng.randrange(5)
+                if op == 0:
+                    write_delta(spark.createDataFrame(
+                        [(100 + step * 10 + k, "a") for k in range(3)],
+                        "id long, v string"), tbl)
+                elif op == 1:
+                    write_delta(spark.createDataFrame(
+                        [(200 + step, "o")], "id long, v string"),
+                        tbl, mode="overwrite")
+                elif op == 2:
+                    delete_where_delta(
+                        spark, tbl, f"id % 7 = {rng.randrange(7)}")
+                elif op == 3:
+                    update_where_delta(
+                        spark, tbl, f"id % 5 = {rng.randrange(5)}",
+                        {"v": "'u'"})
+                else:
+                    cur = snapshot(tbl)["version"]
+                    restore_delta(tbl, rng.randrange(cur + 1))
+            last = snapshot(tbl)["version"]
+            _drain(spark, open_change_stream(spark, tbl),
+                   f"rnd{trial}", str(tmp_path / f"ck{trial}"))
+            got = _rows(_mem(spark, f"rnd{trial}"))
+            want = _rows(read_changes(spark, tbl, -1, last))
+            assert got == want, (
+                f"trial {trial}: stream diverged from batch "
+                f"({len(got)} vs {len(want)} rows)"
+            )
