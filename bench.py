@@ -184,6 +184,29 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 4)
+    # The driver keeps only a ~2 KB tail of stdout and parses the LAST
+    # line as JSON (VERDICT r14 "what's wrong" #1: the enriched single
+    # line grew past the tail window and the round-14 artifact lost its
+    # cold total).  So: the adjudication extras (warm timings, loadavg)
+    # go on an EARLIER stdout line and into a side file BENCH_LOCAL.json,
+    # and the FINAL line stays the compact driver-parsed shape that fit
+    # through round 13 — metric/value/unit/queries/sf only.
+    extras = {
+        "metric": "catalog_adjudication",
+        "warm": warm,
+        "warm_total": round(sum(warm.values()), 4),
+        "loadavg_launch": [round(x, 2) for x in LOAD_AT_LAUNCH],
+        "loadavg_per_query": loads,
+    }
+    print(json.dumps(extras))
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_LOCAL.json"), "w"
+        ) as fh:
+            json.dump({**extras, "cold": timings, "cold_total": total}, fh)
+    except OSError:
+        pass  # read-only checkout: the stdout line above still carries it
     print(
         json.dumps(
             {
@@ -191,10 +214,6 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "warm": warm,
-                "warm_total": round(sum(warm.values()), 4),
-                "loadavg_launch": [round(x, 2) for x in LOAD_AT_LAUNCH],
-                "loadavg_per_query": loads,
                 "sf": sf_of(SF_DIR),
             }
         )

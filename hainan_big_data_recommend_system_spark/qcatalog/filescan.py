@@ -2953,8 +2953,9 @@ def q_delta_dayreload(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _residual_merge_events(spark: SparkSession, sf_dir: str):
     """(base, events) for the non-equi-ON merge fixtures: a versioned
     documents table plus a CDC batch holding NEWER updates
-    (doc_id%3==0, must apply), STALE updates (doc_id%5==1 others,
-    must no-op without inserting), and brand-new keys."""
+    (doc_id%3==0, must apply), STALE updates (doc_id%5==1 others —
+    NOT MATCHED under full-ON, so INSERT * re-inserts them beside
+    the untouched original), and brand-new keys."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         (F.col("doc_id") % 97).cast("long").alias("ver"),
@@ -2996,6 +2997,14 @@ _RESIDUAL_MERGE_SQL = """
     SELECT d.doc_id + m.m, CAST(0 AS BIGINT), md5(d.text || '-ins')
     FROM documents d, m
     WHERE d.doc_id % 11 = 5
+    UNION ALL
+    -- full-ON matched-ness (ADVICE r14): a STALE event's key matches
+    -- but its only pair fails the residual, so under Spark/Delta
+    -- semantics it is NOT MATCHED and INSERT * re-inserts it
+    SELECT d.doc_id, CAST((d.doc_id % 97) - 1 AS BIGINT),
+           md5(d.text || '-stale')
+    FROM documents d
+    WHERE d.doc_id % 3 <> 0 AND d.doc_id % 5 = 1
 """
 
 
@@ -3006,7 +3015,7 @@ def _ensure_residual_merge_fixture(spark: SparkSession, sf_dir: str,
     ``ON t.doc_id = ev.doc_id AND ev.ver > t.ver`` — the equi
     conjunct stays the join key, the residual gates the MATCHED
     action pair-wise."""
-    out = _fixture_dir(sf_dir, f"{fmt}residualmerge")
+    out = _fixture_dir(sf_dir, f"{fmt}residualmerge-fullon")
     if os.path.isdir(out):
         return out
     from ..sources.sql_dml import run_dml
@@ -3033,12 +3042,14 @@ def _ensure_residual_merge_fixture(spark: SparkSession, sf_dir: str,
 @register_extra("delta_merge_residual_roundtrip", _RESIDUAL_MERGE_SQL)
 def q_delta_merge_residual(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
-    """Non-equi MERGE ON (round 14): only NEWER events supersede their
-    rows; stale events are matched-but-untouched and never insert (no
-    duplicate keys), new keys insert.  The oracle re-derives every
-    row's version and body from the documents table, so a residual
-    applied as key-only matching, or a stale event leaking through to
-    INSERT, hash-mismatches."""
+    """Non-equi MERGE ON (round 14; full-ON semantics round 15, ADVICE
+    r14 medium): only NEWER events supersede their rows; STALE events
+    fail the residual on every pair, so they are NOT MATCHED under the
+    whole-ON rule Spark/Delta apply and ``INSERT *`` re-inserts them
+    beside the untouched original; new keys insert.  The oracle
+    re-derives every row's version and body from the documents table,
+    so a residual applied as key-only matching, or a stale event
+    silently dropped, hash-mismatches."""
     from ..sources.delta_sink import read_delta_table
 
     fixture = _ensure_residual_merge_fixture(spark, sf_dir, "delta")

@@ -46,6 +46,7 @@ transactional output is its lake-scale replacement.
 
 from __future__ import annotations
 
+import functools
 import json
 import os
 import re
@@ -2560,9 +2561,13 @@ def merge_delta(
     ``"s.ts > t.ts"``) — applied as the standard decomposition: the
     equi conjuncts stay the join key, and only pairs PASSING the
     residual take the MATCHED actions (update/delete); failing pairs
-    are left untouched, and key-matched source rows never fall
-    through to INSERT (so a stale CDC update can't duplicate its
-    key).  Evaluating a pair requires the target row, so the residual
+    are left untouched.  Matched-ness is judged on the WHOLE ON
+    predicate, exactly like Spark/Delta (ADVICE r14): a source row
+    with NO passing pair is NOT MATCHED and takes the INSERT clause
+    (so ``INSERT *`` re-inserts a stale CDC row under its key — gate
+    with ``not_matched_insert`` if that is not wanted), and a target
+    row with no passing pair counts as NOT MATCHED BY SOURCE.
+    Evaluating a pair requires the target row, so the residual
     implies the same key-match scan the upsert already pays.
 
     ``matched_set`` (round 13): per-column ``UPDATE SET`` assignments
@@ -2811,12 +2816,32 @@ def merge_delta(
             upd_targets = _matched_targets(upd_src)
             del_targets = (_matched_targets(del_src)
                            if del_src is not None else None)
-            nmbs_targets = (
-                alive.join(F.broadcast(src_keys), key_cols,
-                           "left_anti")
-                .filter(not_matched_by_source_delete)
-                if not_matched_by_source_delete is not None else None
-            )
+            if not_matched_by_source_delete is None:
+                nmbs_targets = None
+            elif matched_residual is None:
+                nmbs_targets = (
+                    alive.join(F.broadcast(src_keys), key_cols,
+                               "left_anti")
+                    .filter(not_matched_by_source_delete)
+                )
+            else:
+                # full-ON matched-ness (ADVICE r14 medium): Spark and
+                # Delta judge NOT MATCHED BY SOURCE on the WHOLE ON
+                # predicate, so a target row whose key matches but
+                # whose every pair fails the residual IS by-source —
+                # anti-join on passing PAIR positions, not keys
+                matched_pos = (
+                    alive.alias("t")
+                    .join(F.broadcast(source.alias("s")), key_cols,
+                          "inner")
+                    .filter(matched_residual)
+                    .select("__fp", "__ri").distinct()
+                )
+                nmbs_targets = (
+                    alive.join(matched_pos, ["__fp", "__ri"],
+                               "left_anti")
+                    .filter(not_matched_by_source_delete)
+                )
             tagged = upd_targets.select("__fp", "__ri").withColumn(
                 "__why", F.lit("upd"))
             for extra in (del_targets, nmbs_targets):
@@ -2846,10 +2871,10 @@ def merge_delta(
             if matched_residual is None:
                 upd_m = upd_src.join(matched_keys, key_cols,
                                      "left_semi")
+                ins_rows = ins_src.join(matched_keys, key_cols,
+                                        "left_anti")
             else:
-                # SOURCE rows with >= 1 passing pair restage; a
-                # key-matched row whose every pair fails the residual
-                # is matched-but-untouched (and never inserts)
+                # SOURCE rows with >= 1 passing pair restage
                 s_other = [c for c in upd_src.columns
                            if c not in key_cols]
                 upd_m = (
@@ -2862,7 +2887,35 @@ def merge_delta(
                               for c in s_other])
                     .distinct()
                 )
-            ins_rows = ins_src.join(matched_keys, key_cols, "left_anti")
+                # full-ON matched-ness (ADVICE r14 medium): a source
+                # row is NOT MATCHED iff no target pair satisfies
+                # key-eq AND the residual — Spark/Delta judge
+                # matched-ness on the whole ON predicate, so a
+                # key-matched row whose every pair fails the residual
+                # INSERTS (e.g. a stale CDC row under INSERT *).
+                # Null-safe equality on every column so a matched
+                # source row carrying NULLs is still excluded.
+                i_cols = ins_src.columns
+                matched_src = (
+                    alive.alias("t")
+                    .join(F.broadcast(ins_src.alias("s")), key_cols,
+                          "inner")
+                    .filter(matched_residual)
+                    .select(*key_cols,
+                            *[F.col(f"s.`{c}`").alias(c)
+                              for c in i_cols if c not in key_cols])
+                    .distinct()
+                )
+                anti = functools.reduce(
+                    lambda a, b: a & b,
+                    [F.col(f"i.`{c}`").eqNullSafe(F.col(f"m.`{c}`"))
+                     for c in i_cols],
+                )
+                ins_rows = (
+                    ins_src.alias("i")
+                    .join(F.broadcast(matched_src.alias("m")), anti,
+                          "left_anti")
+                )
 
             def _proj(d):
                 return (d.select(*declared_cols)

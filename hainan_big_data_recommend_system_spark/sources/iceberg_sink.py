@@ -71,6 +71,7 @@ the lake-scale replacement, here in both major table formats.
 
 from __future__ import annotations
 
+import functools
 import os
 import re
 import shutil
@@ -1465,9 +1466,7 @@ def update_where_iceberg(
         return {"version": None, "snapshot_id": None,
                 "n_rows_updated": 0, "n_files_added": 0,
                 "n_delete_files": 0}
-    part_cols = sorted({
-        c for v in prev["partition_values"].values() for c in v
-    })
+    part_cols = _layout_part_cols(prev)
     matched = _alive_rows_with_positions(spark, table_dir, prev,
                                          condition, paths=paths)
     token = uuid.uuid4().hex[:12]
@@ -1600,6 +1599,22 @@ def _declared_types(prev: dict) -> dict[str, str]:
     return out
 
 
+def _layout_part_cols(prev: dict) -> list[str]:
+    """The table's DIRECTORY-layout partition columns — identity
+    field names plus hidden-transform derived names — from the
+    RECORDED partition spec, not from surviving files' partition
+    values (ADVICE r14: a partitioned table whose live set is
+    momentarily empty must not stage new files unpartitioned).
+    Tables written before the spec was recorded fall back to the
+    live files' observed values."""
+    spec = prev.get("partition_spec") or []
+    if spec:
+        return sorted(f["name"] for f in spec)
+    return sorted({
+        c for v in prev.get("partition_values", {}).values() for c in v
+    })
+
+
 def _iceberg_conflicts(prev: dict, cur: dict, paths) -> list[str]:
     """The retry loop's logical-conflict rule (ADVICE r11 medium),
     mirroring the Delta sink's `_conflicting_paths`: this writer's
@@ -1702,9 +1717,7 @@ def _merge_iceberg_scan(
             raise ValueError(
                 f"matched_set cannot assign merge keys {bad}"
             )
-    part_cols = sorted({
-        c for v in prev0["partition_values"].values() for c in v
-    })
+    part_cols = _layout_part_cols(prev0)
     hidden_spec = [f for f in prev0.get("partition_spec", [])
                    if f["transform"] != "identity"]
     paths = sorted(prev0["live"])
@@ -1735,11 +1748,31 @@ def _merge_iceberg_scan(
         upd_targets = _matched_targets(upd_src)
         del_targets = (_matched_targets(del_src)
                        if del_src is not None else None)
-        nmbs_targets = (
-            alive.join(F.broadcast(src_keys), key_cols, "left_anti")
-            .filter(not_matched_by_source_delete)
-            if not_matched_by_source_delete is not None else None
-        )
+        if not_matched_by_source_delete is None:
+            nmbs_targets = None
+        elif matched_residual is None:
+            nmbs_targets = (
+                alive.join(F.broadcast(src_keys), key_cols,
+                           "left_anti")
+                .filter(not_matched_by_source_delete)
+            )
+        else:
+            # full-ON matched-ness (ADVICE r14 medium): NOT MATCHED
+            # BY SOURCE is judged on the whole ON predicate — a
+            # target row with no PASSING pair is by-source even when
+            # its key matches, so anti-join on pair positions
+            matched_pos = (
+                alive.alias("t")
+                .join(F.broadcast(source.alias("s")), key_cols,
+                      "inner")
+                .filter(matched_residual)
+                .select("file_path", "__ri").distinct()
+            )
+            nmbs_targets = (
+                alive.join(matched_pos, ["file_path", "__ri"],
+                           "left_anti")
+                .filter(not_matched_by_source_delete)
+            )
         dels = upd_targets.select("file_path",
                                   F.col("__ri").alias("pos"))
         for extra in (del_targets, nmbs_targets):
@@ -1759,10 +1792,10 @@ def _merge_iceberg_scan(
         )
         if matched_residual is None:
             upd_m = upd_src.join(matched_keys, key_cols, "left_semi")
+            ins_rows = ins_src.join(matched_keys, key_cols,
+                                    "left_anti")
         else:
-            # SOURCE rows with >= 1 passing pair restage; key-matched
-            # rows whose every pair fails are matched-but-untouched
-            # (and never insert)
+            # SOURCE rows with >= 1 passing pair restage
             s_other = [c for c in upd_src.columns
                        if c not in key_cols]
             upd_m = (
@@ -1775,7 +1808,32 @@ def _merge_iceberg_scan(
                           for c in s_other])
                 .distinct()
             )
-        ins_rows = ins_src.join(matched_keys, key_cols, "left_anti")
+            # full-ON matched-ness (ADVICE r14 medium): a source row
+            # with NO passing pair is NOT MATCHED and takes the
+            # INSERT clause, exactly like Spark/Delta judge the
+            # whole ON predicate.  Null-safe equality on every
+            # column so a matched row carrying NULLs still drops.
+            i_cols = ins_src.columns
+            matched_src = (
+                alive.alias("t")
+                .join(F.broadcast(ins_src.alias("s")), key_cols,
+                      "inner")
+                .filter(matched_residual)
+                .select(*key_cols,
+                        *[F.col(f"s.`{c}`").alias(c)
+                          for c in i_cols if c not in key_cols])
+                .distinct()
+            )
+            anti = functools.reduce(
+                lambda a, b: a & b,
+                [F.col(f"i.`{c}`").eqNullSafe(F.col(f"m.`{c}`"))
+                 for c in i_cols],
+            )
+            ins_rows = (
+                ins_src.alias("i")
+                .join(F.broadcast(matched_src.alias("m")), anti,
+                      "left_anti")
+            )
         if matched_set is not None:
             dup = (upd_m.groupBy(*key_cols).count()
                    .filter("count > 1").limit(1).count())
@@ -2006,9 +2064,7 @@ def merge_iceberg(
         raise ValueError(f"merge keys not in source schema: {missing}")
     eq_ids = [field_ids[c] for c in key_cols]
     _check_schema_against_table(stage_src, prev0, "merge source")
-    part_cols = sorted({
-        c for v in prev0["partition_values"].values() for c in v
-    })
+    part_cols = _layout_part_cols(prev0)
     hidden_spec = [f for f in prev0.get("partition_spec", [])
                    if f["transform"] != "identity"]
     adds = _stage_iceberg_files(

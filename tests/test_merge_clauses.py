@@ -411,16 +411,20 @@ class TestIcebergClauses:
 SCH_TS = "id long, ts long, v string"
 BASE_TS = [(1, 10, "old1"), (2, 20, "old2"), (3, 30, "old3")]
 SRC_TS = [(1, 15, "newer1"), (2, 5, "stale2"), (9, 1, "ins9")]
-WANT_TS = [(1, 15, "newer1"), (2, 20, "old2"), (3, 30, "old3"),
-           (9, 1, "ins9")]
+# full-ON matched-ness (ADVICE r14 medium): the stale row's only pair
+# fails the residual, so it is NOT MATCHED — INSERT * re-inserts it
+# beside the untouched original, exactly as Spark/Delta would
+WANT_TS = [(1, 15, "newer1"), (2, 5, "stale2"), (2, 20, "old2"),
+           (3, 30, "old3"), (9, 1, "ins9")]
 
 
 class TestNonEquiResidual:
     """Round 14 (VERDICT r13 next-round #6): MERGE ON's non-equi
     conjuncts as a pair-evaluated matched_residual — the standard
     decomposition.  ``ON t.id = s.id AND s.ts > t.ts`` applies only
-    NEWER updates; a stale CDC row is matched-but-untouched and never
-    falls through to INSERT (no duplicate keys)."""
+    NEWER updates.  Matched-ness is judged on the WHOLE ON predicate
+    (round 15, ADVICE r14): a stale CDC row is NOT MATCHED, so a bare
+    INSERT * re-inserts it — gate with not_matched_insert to drop it."""
 
     def test_delta_residual_api(self, spark, tmp_path):
         tbl = str(tmp_path / "nr")
@@ -496,17 +500,85 @@ class TestNonEquiResidual:
 
     def test_residual_with_delete_clause(self, spark, tmp_path):
         """Terminal deletes gate on the residual too: only a NEWER
-        delete event tombstones its target row."""
+        delete event tombstones its target row.  The stale delete
+        event is NOT MATCHED under full-ON, so the not_matched_insert
+        gate (the CDC idiom) keeps it from re-inserting."""
         tbl = str(tmp_path / "rd")
         write_delta(spark.createDataFrame(BASE_TS, SCH_TS), tbl)
         src = spark.createDataFrame(
             [(1, 15, "D"), (2, 5, "D")], SCH_TS)
         merge_delta(spark, src, tbl, key_cols=["id"],
                     matched_delete="v = 'D'",
+                    not_matched_insert="v <> 'D'",
                     matched_residual="s.ts > t.ts")
         got = _delta_live(spark, tbl, ("id", "ts", "v"))
         # id=1's delete is newer (applies); id=2's is stale (no-op)
         assert got == [(2, 20, "old2"), (3, 30, "old3")]
+
+    def test_residual_stale_insert_gate(self, spark, tmp_path):
+        """An UNGATED merge re-inserts the stale row (full-ON NOT
+        MATCHED), while a gated one drops it — both formats."""
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            read_iceberg_table,
+        )
+
+        src = spark.createDataFrame([(2, 5, "stale2")], SCH_TS)
+        want_gated = [(2, 20, "old2")]
+        for fmt in ("delta", "iceberg"):
+            for gate, want in ((None, [(2, 5, "stale2"),
+                                       (2, 20, "old2")]),
+                               ("false", want_gated)):
+                tbl = str(tmp_path / f"sg-{fmt}-{gate}")
+                base = spark.createDataFrame([(2, 20, "old2")],
+                                             SCH_TS)
+                if fmt == "delta":
+                    write_delta(base, tbl)
+                    merge_delta(spark, src, tbl, key_cols=["id"],
+                                matched_residual="s.ts > t.ts",
+                                not_matched_insert=gate)
+                    got = _delta_live(spark, tbl, ("id", "ts", "v"))
+                else:
+                    write_iceberg(base, tbl)
+                    merge_iceberg(spark, src, tbl, key_cols=["id"],
+                                  matched_residual="s.ts > t.ts",
+                                  not_matched_insert=gate,
+                                  accept_target_scan=True)
+                    got = sorted(
+                        tuple(r) for r in
+                        read_iceberg_table(spark, tbl).collect())
+                assert got == want, (fmt, gate)
+
+    def test_residual_nmbs_full_on(self, spark, tmp_path):
+        """NOT MATCHED BY SOURCE judges the whole ON predicate: a
+        target row whose key matches but whose every pair fails the
+        residual IS by-source and deletes — both formats."""
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            read_iceberg_table,
+        )
+
+        # id=1: passing pair (kept, updated); id=2: key matches but
+        # residual fails (DELETED under full-ON); id=3: key absent
+        # from source (DELETED, the classic case)
+        src = spark.createDataFrame(
+            [(1, 15, "newer1"), (2, 5, "stale2")], SCH_TS)
+        for fmt in ("delta", "iceberg"):
+            tbl = str(tmp_path / f"nmbs-{fmt}")
+            base = spark.createDataFrame(BASE_TS, SCH_TS)
+            kw = dict(key_cols=["id"],
+                      matched_residual="s.ts > t.ts",
+                      not_matched_insert="false",
+                      not_matched_by_source_delete="true")
+            if fmt == "delta":
+                write_delta(base, tbl)
+                merge_delta(spark, src, tbl, **kw)
+                got = _delta_live(spark, tbl, ("id", "ts", "v"))
+            else:
+                write_iceberg(base, tbl)
+                merge_iceberg(spark, src, tbl,
+                              accept_target_scan=True, **kw)
+                got = sorted(tuple(r) for r in
+                             read_iceberg_table(spark, tbl).collect())
+            assert got == [(1, 15, "newer1")], fmt
 
 
 class TestIcebergTargetScanOptIn:
