@@ -51,6 +51,7 @@ ValueError-only decode contract, like every decoder in the fleet.
 from __future__ import annotations
 
 import json
+import os
 import re
 from collections.abc import Callable
 
@@ -687,6 +688,7 @@ def make_table_metadata(
     partition_spec: list[dict] | None = None,
     snapshot_ops: dict[int, str] | None = None,
     snapshot_ts: dict[int, int] | None = None,
+    table_dir: str | None = None,
 ) -> str:
     """``schema_fields`` (round 11) is the spec's schema block —
     ``[{id, name, type}, ...]`` — recorded so readers can resolve
@@ -695,19 +697,34 @@ def make_table_metadata(
     properties block — the streaming sink's exactly-once txn
     watermarks live there and every metadata rewrite carries them
     forward.  ``snapshot_ts`` (round 14) carries each snapshot's
-    spec ``timestamp-ms``; snapshots absent from the map (the one
-    being committed now) are stamped with the current wall clock —
-    the in-log age `expire_snapshots_iceberg(older_than_hours=)`
-    prefers over file mtime."""
-    import time
+    spec ``timestamp-ms`` — the in-log age
+    `expire_snapshots_iceberg(older_than_hours=)` prefers over file
+    mtime.  A snapshot ABSENT from the map is stamped from its
+    manifest list's mtime when ``table_dir`` is given (ADVICE r14:
+    stamping NOW would re-stamp every un-timestamped historical
+    snapshot of a pre-round-14 table as born-now on the upgrade
+    commit, deferring its expiry by hours; for the snapshot being
+    committed the just-written manifest list's mtime IS now), and
+    omitted otherwise (readers keep their mtime fallback)."""
 
-    _now_ms = int(time.time() * 1000)
+    def _ts(sid: int, ml: str) -> dict:
+        ts = (snapshot_ts or {}).get(sid)
+        if ts is not None:
+            return {"timestamp-ms": ts}
+        if table_dir is not None:
+            try:
+                return {"timestamp-ms": int(os.path.getmtime(
+                    os.path.join(table_dir, ml)) * 1000)}
+            except OSError:
+                pass
+        return {}
+
     obj: dict = {
         "format-version": format_version,
         "current-snapshot-id": current,
         "snapshots": [
             {"snapshot-id": sid, "manifest-list": ml,
-             "timestamp-ms": (snapshot_ts or {}).get(sid, _now_ms),
+             **_ts(sid, ml),
              # the spec's snapshot summary: changelog consumers skip
              # 'replace' snapshots (compaction rewrites no logical
              # rows — round 13)

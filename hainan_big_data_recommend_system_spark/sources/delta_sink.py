@@ -3473,13 +3473,19 @@ def vacuum_delta(table_dir: str, retention_versions: int | None = None,
             path = _commit_path(table_dir, v)
             try:
                 with open(path, encoding="utf-8") as fh:
-                    for line in fh:
-                        if not line.strip():
-                            continue
-                        obj = json.loads(line)
-                        ts = obj.get("commitInfo", {}).get("timestamp")
-                        if isinstance(ts, int):
-                            return ts / 1000.0
+                    lines = fh.readlines()
+                # _stamped_commit appends commitInfo LAST, so scan in
+                # reverse and JSON-parse only candidate lines — a
+                # forward parse-everything walk would decode every
+                # add action of every commit on every age-based
+                # vacuum (ADVICE r14)
+                for line in reversed(lines):
+                    if not line.strip() or '"commitInfo"' not in line:
+                        continue
+                    obj = json.loads(line)
+                    ts = obj.get("commitInfo", {}).get("timestamp")
+                    if isinstance(ts, int):
+                        return ts / 1000.0
             except (OSError, ValueError):
                 pass
             return os.path.getmtime(path)

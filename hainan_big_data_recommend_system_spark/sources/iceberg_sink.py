@@ -1117,6 +1117,7 @@ def write_iceberg(
                             or None),
             snapshot_ops={**prev.get("snapshot_ops", {}), sid: ("append" if mode == "append" else "overwrite")},
             snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1415,6 +1416,7 @@ def delete_where_iceberg(
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "delete"},
             snapshot_ts=cur.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1563,6 +1565,7 @@ def update_where_iceberg(
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
             snapshot_ts=cur.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1943,6 +1946,7 @@ def _merge_iceberg_scan(
             snapshot_ops={**cur.get("snapshot_ops", {}),
                           sid: "overwrite"},
             snapshot_ts=cur.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token,
                            blobs):
@@ -2219,6 +2223,7 @@ def merge_iceberg(
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
             snapshot_ts=cur.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2549,6 +2554,7 @@ def rewrite_data_files_iceberg(
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "replace"},
             snapshot_ts=cur.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2808,6 +2814,7 @@ def rewrite_manifests_iceberg(
             snapshot_ops={**prev.get("snapshot_ops", {}),
                           sid: "replace"},
             snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -2878,6 +2885,7 @@ def add_columns_iceberg(table_dir: str, columns: dict[str, str],
             partition_spec=prev.get("partition_spec") or None,
             snapshot_ops=prev.get("snapshot_ops") or None,
             snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version,
@@ -3037,6 +3045,7 @@ def rollback_iceberg(table_dir: str, snapshot_id: int,
             partition_spec=prev.get("partition_spec") or None,
             snapshot_ops=prev.get("snapshot_ops") or None,
             snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version, "snapshot_id": snapshot_id}
@@ -3088,6 +3097,7 @@ def expire_snapshots_iceberg(
                 if sid in snapshots
             } or None,
             snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
         )
         if not _claim_metadata(table_dir, version, meta_text, token, {}):
             continue

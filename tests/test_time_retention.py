@@ -238,3 +238,26 @@ class TestExpireByAge:
         tbl = self._table(spark, tmp_path)
         with pytest.raises(ValueError, match=">= 0"):
             expire_snapshots_iceberg(tbl, older_than_hours=-2)
+
+    def test_upgrade_commit_preserves_legacy_ages(self, spark,
+                                                  tmp_path):
+        """ADVICE r14: the first commit on a pre-round-14 table (no
+        recorded timestamp-ms) must NOT re-stamp historical snapshots
+        as born-now — they stamp from their manifest list's mtime, so
+        an aged snapshot still expires right after the upgrade."""
+        tbl = self._table(spark, tmp_path)
+        st = _prev_state(tbl)
+        _edit_iceberg_snap_ts(tbl, {1, 2, 3}, hours=None)  # legacy
+        for sid in (1, 2):
+            _backdate_mtime(os.path.join(tbl, st["snapshots"][sid]), 2)
+        # the upgrade commit: a new snapshot on the legacy table
+        write_iceberg(spark.createDataFrame([(9,)], "id long"), tbl)
+        ts = _prev_state(tbl)["snapshot_ts"]
+        now_ms = time.time() * 1000
+        for sid in (1, 2):  # stamped from backdated mtime, not NOW
+            assert ts[sid] < now_ms - 1.5 * 3600 * 1000
+        assert ts[4] > now_ms - 60_000  # the new snapshot is young
+        res = expire_snapshots_iceberg(tbl, retain_last=1,
+                                       older_than_hours=1)
+        assert res["version"] is not None
+        assert sorted(_prev_state(tbl)["snapshots"]) == [3, 4]
