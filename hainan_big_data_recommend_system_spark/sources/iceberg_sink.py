@@ -71,6 +71,7 @@ the lake-scale replacement, here in both major table formats.
 
 from __future__ import annotations
 
+import json
 import functools
 import os
 import re
@@ -1165,6 +1166,13 @@ def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
     schema_json = None
     names = prev.get("field_names", {})
     types = prev.get("field_types", {})
+    # RENAMED columns (round 15): files written before a rename store
+    # the column under its old name and this sink writes no parquet
+    # field ids, so the scan schema carries every historical name as
+    # an extra nullable column (same type, resolved by the spec's
+    # name-mapping property) and the rows coalesce them back — each
+    # file materializes exactly one of the name variants
+    hist = _rename_history(prev)
     if names and all(
         types.get(i) in _JSON_TYPE for i in names
     ):
@@ -1173,16 +1181,26 @@ def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
         }
         import json as _json
 
-        schema_json = _json.dumps({
-            "type": "struct",
-            "fields": [
-                {"name": n, "type": _JSON_TYPE[types[i]],
-                 "nullable": True, "metadata": {}}
-                for i, n in sorted(names.items())
-            ],
-        })
+        fields = [
+            {"name": n, "type": _JSON_TYPE[types[i]],
+             "nullable": True, "metadata": {}}
+            for i, n in sorted(names.items())
+        ]
+        fields += [
+            {"name": h, "type": _JSON_TYPE[types[i]],
+             "nullable": True, "metadata": {}}
+            for i, n in sorted(names.items())
+            for h in hist.get(n, ())
+        ]
+        schema_json = _json.dumps({"type": "struct",
+                                   "fields": fields})
         part_cols_scan = sorted(part)
     else:
+        if hist:
+            raise ValueError(
+                "table has renamed columns but no fully-typed "
+                "recorded schema; cannot resolve historical names"
+            )
         part_cols_scan = ()
     df, _ = _attach_partition_columns(
         spark,
@@ -1190,6 +1208,16 @@ def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
                              part_cols_scan),
         table_dir, paths, prev["partition_values"], None,
     )
+    if hist:
+        df = df.select(
+            "__fp", "__ri",
+            *[F.coalesce(n, *hist[n]).alias(n) if n in hist
+              else F.col(n)
+              for n in (cn for cn in df.columns
+                        if cn not in ("__fp", "__ri")
+                        and all(cn not in hs for hs in hist.values()))
+            ],
+        )
     mapping = spark.createDataFrame(
         [(_abs_uri(table_dir, p), p, seqs.get(p, 0)) for p in paths],
         "__fp string, file_path string, __dataseq long",
@@ -2872,6 +2900,17 @@ def add_columns_iceberg(table_dir: str, columns: dict[str, str],
         dup = sorted(set(typed) & have)
         if dup:
             raise ValueError(f"columns already exist: {dup}")
+        retired = sorted(
+            set(typed)
+            & _all_mapped_names(_name_mapping(prev.get("properties")))
+        )
+        if retired:
+            raise ValueError(
+                f"columns {retired} are historical names of renamed "
+                "or dropped fields; old data files may still carry "
+                "them, so re-binding the name would be ambiguous "
+                "(pick a fresh name)"
+            )
         fields = _carry_schema_fields(prev) or []
         next_id = max((f["id"] for f in fields), default=0) + 1
         for n, st in typed.items():
@@ -2890,6 +2929,222 @@ def add_columns_iceberg(table_dir: str, columns: dict[str, str],
         if _claim_metadata(table_dir, version, meta_text, token, {}):
             return {"version": version,
                     "n_columns_added": len(typed)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+#: The spec's name-mapping table property (iceberg.apache.org/spec/
+#: #name-mapping-serialization): a JSON list of
+#: ``{"field-id": N, "names": [...]}`` entries resolving HISTORICAL
+#: column names in data files (written before a rename, without
+#: parquet field ids) back to their field ids.
+_NAME_MAPPING_PROP = "schema.name-mapping.default"
+
+
+def _name_mapping(props: dict | None) -> dict[int, list[str]]:
+    """``{field_id: [names...]}`` from the recorded name-mapping
+    property (empty when absent).  Loud on malformed JSON — a
+    half-read mapping would silently misresolve renamed columns."""
+    raw = (props or {}).get(_NAME_MAPPING_PROP)
+    if not raw:
+        return {}
+    obj = json.loads(raw)
+    if not isinstance(obj, list):
+        raise ValueError(f"{_NAME_MAPPING_PROP} is not a JSON list")
+    out: dict[int, list[str]] = {}
+    for e in obj:
+        fid, names = e.get("field-id"), e.get("names")
+        if not isinstance(fid, int) or not isinstance(names, list):
+            raise ValueError(
+                f"{_NAME_MAPPING_PROP} entry malformed: {e!r}"
+            )
+        out[fid] = [n for n in names if isinstance(n, str)]
+    return out
+
+
+def _mapping_prop(mapping: dict[int, list[str]]) -> str:
+    return json.dumps(
+        [{"field-id": i, "names": ns}
+         for i, ns in sorted(mapping.items())],
+        sort_keys=True, separators=(",", ":"),
+    )
+
+
+def _all_mapped_names(mapping: dict[int, list[str]]) -> set[str]:
+    return {n for ns in mapping.values() for n in ns}
+
+
+def _rename_history(prev: dict) -> dict[str, list[str]]:
+    """``{current_name: [historical names...]}`` for current fields
+    that have ever been renamed — what the live-row scan must
+    coalesce over (old data files store the column under its name
+    AT WRITE TIME; this sink writes no parquet field ids, so
+    resolution is by name mapping, the spec's fallback)."""
+    mapping = _name_mapping(prev.get("properties"))
+    if not mapping:
+        return {}
+    out = {}
+    for fid, cur in prev.get("field_names", {}).items():
+        hist = [n for n in mapping.get(fid, []) if n != cur]
+        if hist:
+            out[cur] = hist
+    return out
+
+
+def _refuse_partition_source(prev: dict, cols) -> None:
+    srcs = {f.get("source") or f["name"]
+            for f in prev.get("partition_spec") or []}
+    srcs |= {c for v in prev.get("partition_values", {}).values()
+             for c in v}
+    bad = sorted(set(cols) & srcs)
+    if bad:
+        raise ValueError(
+            f"columns {bad} are partition sources; renaming or "
+            "dropping them would orphan the recorded partition "
+            "layout (Iceberg's own ALTER refuses this too)"
+        )
+
+
+def _refuse_live_eq_delete_refs(prev: dict, fids) -> None:
+    hit = sorted({
+        i for eq in prev.get("equality_deletes", [])
+        for i in eq.get("equality_ids", []) if i in set(fids)
+    })
+    if hit:
+        raise ValueError(
+            f"field ids {hit} are referenced by LIVE equality-delete "
+            "files (which store the column under its old name); "
+            "compact the table first (rewrite_data_files) so the "
+            "deletes apply, then rename/drop"
+        )
+
+
+def rename_columns_iceberg(table_dir: str, renames: dict[str, str],
+                           max_retries: int = 10) -> dict:
+    """ALTER TABLE ... RENAME COLUMN, metadata-only (round 15,
+    VERDICT r14 next-round #3): the schema is keyed by FIELD IDS, so
+    a rename swaps the name at the same id and touches no data file,
+    manifest, or snapshot.  Old data files still store the column
+    under its old name; the spec's name-mapping property
+    (``schema.name-mapping.default``) records every historical name
+    per field id and the live-row scan coalesces them back.
+
+    Refused loudly: renaming a partition source column (the layout
+    and manifests key on it), a column referenced by a live equality
+    delete, or renaming TO a name that any field's mapping history
+    already claims (a later file could then carry the same column
+    name for two different field ids — unresolvable without parquet
+    field ids).
+
+    Returns ``{version, n_columns_renamed}``."""
+    if not renames:
+        raise ValueError("RENAME COLUMN needs at least one rename")
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        prev = _prev_state(table_dir)
+        if prev["version"] < 0 or not prev["field_names"]:
+            raise ValueError("cannot ALTER a table with no schema")
+        by_name = {n: i for i, n in prev["field_names"].items()}
+        missing = sorted(set(renames) - set(by_name))
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        mapping = _name_mapping(prev.get("properties"))
+        claimed = _all_mapped_names(mapping) | set(by_name)
+        for old, new in renames.items():
+            if new == old:
+                raise ValueError(f"rename {old!r} to itself")
+            if new in claimed - set(
+                mapping.get(by_name[old], []) + [old]
+            ):
+                raise ValueError(
+                    f"target name {new!r} is (or was) another "
+                    "column's name; reusing it would make old data "
+                    "files ambiguous"
+                )
+        _refuse_partition_source(prev, renames)
+        _refuse_live_eq_delete_refs(
+            prev, [by_name[c] for c in renames])
+        fields = _carry_schema_fields(prev) or []
+        for f in fields:
+            old_new = {by_name[o]: (o, n) for o, n in renames.items()}
+            if f["id"] in old_new:
+                o, n = old_new[f["id"]]
+                ns = mapping.setdefault(f["id"], [o])
+                if o not in ns:
+                    ns.append(o)
+                if n not in ns:
+                    ns.append(n)
+                f["name"] = n
+        props = {**(prev.get("properties") or {}),
+                 _NAME_MAPPING_PROP: _mapping_prop(mapping)}
+        version = prev["version"] + 1
+        meta_text = make_table_metadata(
+            prev["snapshots"], current=prev["current"],
+            schema_fields=fields, properties=props,
+            partition_spec=prev.get("partition_spec") or None,
+            snapshot_ops=prev.get("snapshot_ops") or None,
+            snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
+        )
+        if _claim_metadata(table_dir, version, meta_text, token, {}):
+            return {"version": version,
+                    "n_columns_renamed": len(renames)}
+    raise ValueError(
+        f"lost {max_retries} version claims in a row; giving up"
+    )
+
+
+def drop_columns_iceberg(table_dir: str, cols: list[str],
+                         max_retries: int = 10) -> dict:
+    """ALTER TABLE ... DROP COLUMN, metadata-only (round 15): the
+    field leaves the schema; data files keep the bytes but no reader
+    projects them (ids are never reused, so manifest bounds keyed by
+    the dropped id simply stop resolving).  The dropped name STAYS in
+    the name-mapping property so `add_columns_iceberg` refuses to
+    re-bind it while old files could still carry it.
+
+    Refused loudly: partition sources, live equality-delete
+    references, and dropping every column.
+
+    Returns ``{version, n_columns_dropped}``."""
+    if not cols:
+        raise ValueError("DROP COLUMN needs at least one column")
+    token = uuid.uuid4().hex[:12]
+    for _ in range(max_retries):
+        prev = _prev_state(table_dir)
+        if prev["version"] < 0 or not prev["field_names"]:
+            raise ValueError("cannot ALTER a table with no schema")
+        by_name = {n: i for i, n in prev["field_names"].items()}
+        missing = sorted(set(cols) - set(by_name))
+        if missing:
+            raise ValueError(f"no such columns: {missing}")
+        if set(cols) >= set(by_name):
+            raise ValueError("cannot drop every column")
+        _refuse_partition_source(prev, cols)
+        _refuse_live_eq_delete_refs(prev, [by_name[c] for c in cols])
+        drop_ids = {by_name[c] for c in cols}
+        mapping = _name_mapping(prev.get("properties"))
+        for c in cols:
+            ns = mapping.setdefault(by_name[c], [])
+            if c not in ns:
+                ns.append(c)
+        fields = [f for f in (_carry_schema_fields(prev) or [])
+                  if f["id"] not in drop_ids]
+        props = {**(prev.get("properties") or {}),
+                 _NAME_MAPPING_PROP: _mapping_prop(mapping)}
+        version = prev["version"] + 1
+        meta_text = make_table_metadata(
+            prev["snapshots"], current=prev["current"],
+            schema_fields=fields, properties=props,
+            partition_spec=prev.get("partition_spec") or None,
+            snapshot_ops=prev.get("snapshot_ops") or None,
+            snapshot_ts=prev.get("snapshot_ts"),
+            table_dir=table_dir,
+        )
+        if _claim_metadata(table_dir, version, meta_text, token, {}):
+            return {"version": version,
+                    "n_columns_dropped": len(cols)}
     raise ValueError(
         f"lost {max_retries} version claims in a row; giving up"
     )

@@ -408,6 +408,24 @@ _ALTER_RE = re.compile(
     r"ADD\s+COLUMNS?\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_RENAME_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_COL_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"DROP\s+COLUMNS?\s+"
+    r"(\(\s*[A-Za-z_][A-Za-z0-9_,\s]*\)|[A-Za-z_][A-Za-z0-9_]*)"
+    r"\s*;?\s*$",
+    re.IGNORECASE,
+)
+_SET_PROPS_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$",
+    re.IGNORECASE | re.DOTALL,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
@@ -638,6 +656,61 @@ def run_dml(
         from .iceberg_sink import add_columns_iceberg
 
         return add_columns_iceberg(tdir, cols)
+    m = _RENAME_COL_RE.match(sql)
+    if m:
+        # metadata-only on both formats (round 15): Iceberg renames
+        # at the stable field id, Delta at the stable physicalName
+        # (which requires column mapping — enable via SET
+        # TBLPROPERTIES below, like Delta's own ALTER)
+        tdir = _dir(m.group(1))
+        renames = {m.group(2): m.group(3)}
+        if fmt == "delta":
+            from .delta_sink import rename_columns_delta
+
+            return rename_columns_delta(tdir, renames)
+        from .iceberg_sink import rename_columns_iceberg
+
+        return rename_columns_iceberg(tdir, renames)
+    m = _DROP_COL_RE.match(sql)
+    if m:
+        body = m.group(2).strip()
+        if body.startswith("("):
+            cols = [c.strip() for c in body[1:-1].split(",")
+                    if c.strip()]
+        else:
+            cols = [body]
+        tdir = _dir(m.group(1))
+        if fmt == "delta":
+            from .delta_sink import drop_columns_delta
+
+            return drop_columns_delta(tdir, cols)
+        from .iceberg_sink import drop_columns_iceberg
+
+        return drop_columns_iceberg(tdir, cols)
+    m = _SET_PROPS_RE.match(sql)
+    if m:
+        props = {}
+        for part in _split_in_list(m.group(2)):
+            pm = re.match(
+                r"^\s*'((?:[^']|'')*)'\s*=\s*'((?:[^']|'')*)'\s*$",
+                part,
+            )
+            if not pm:
+                raise ValueError(
+                    f"unparseable TBLPROPERTIES entry {part.strip()!r}"
+                )
+            props[pm.group(1)] = pm.group(2)
+        tdir = _dir(m.group(1))
+        if (fmt == "delta"
+                and props == {"delta.columnMapping.mode": "name"}):
+            from .delta_sink import enable_column_mapping_delta
+
+            return enable_column_mapping_delta(tdir)
+        raise ValueError(
+            f"unsupported TBLPROPERTIES {sorted(props)} for a {fmt} "
+            "table; supported: 'delta.columnMapping.mode'='name' on "
+            "delta (the RENAME/DROP COLUMN protocol upgrade)"
+        )
     m = _INSERT_RE.match(sql)
     if m:
         # INSERT INTO t <select|values|with>: the query half runs in

@@ -52,9 +52,16 @@ def test_same_commit_remove_then_add_resurrects():
 
 
 def test_reader_version_gate():
+    # v2 (column mapping) is IMPLEMENTED since round 15 — accepted
+    state = replay_delta_log(_log(
+        [{"protocol": {"minReaderVersion": 2}},
+         {"add": {"path": "a", "size": 1, "numRecords": 1}}],
+    ))
+    assert state["live"] == {"a": (1, 1)}
+    # an unknown future reader version still refuses loudly
     with pytest.raises(ValueError, match="reader version"):
         replay_delta_log(_log(
-            [{"protocol": {"minReaderVersion": 2}},
+            [{"protocol": {"minReaderVersion": 4}},
              {"add": {"path": "a", "size": 1, "numRecords": 1}}],
         ))
 
