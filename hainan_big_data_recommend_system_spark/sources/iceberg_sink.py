@@ -2623,7 +2623,16 @@ def read_changes_iceberg(
     is an insert)."""
     from pyspark.sql import functions as F
 
-    snapB = read_table(table_dir, snapshot_id=to_snapshot_id)
+    # carry the CURRENT metadata's typed schema + properties into both
+    # endpoint states (round 15): `_alive_rows_with_positions` needs
+    # field_types for the declared-schema scan and the name-mapping
+    # property to coalesce RENAMED columns' historical names out of
+    # pre-rename files — `read_table` alone returns only the file sets
+    cur_meta = _prev_state(table_dir)
+    extra = {"field_types": cur_meta.get("field_types", {}),
+             "properties": cur_meta.get("properties", {})}
+    snapB = {**read_table(table_dir, snapshot_id=to_snapshot_id),
+             **extra}
     if from_snapshot_id is None:
         snapA = {"live": {}}
     else:
@@ -2633,7 +2642,10 @@ def read_changes_iceberg(
                 f"{from_snapshot_id} > to {snapB['snapshot_id']}); "
                 "deletes only accrete forward — swap the endpoints"
             )
-        snapA = read_table(table_dir, snapshot_id=from_snapshot_id)
+        snapA = {
+            **read_table(table_dir, snapshot_id=from_snapshot_id),
+            **extra,
+        }
     live_a, live_b = set(snapA["live"]), set(snapB["live"])
     added = sorted(live_b - live_a)
     removed = sorted(live_a - live_b)
