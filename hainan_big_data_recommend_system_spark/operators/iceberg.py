@@ -203,6 +203,7 @@ def parse_table_metadata(text: str) -> dict:
     out: dict[int, str] = {}
     snap_ops: dict[int, str] = {}
     snap_ts: dict[int, int] = {}
+    snap_parents: dict[int, int] = {}
     for s in snaps:
         if not isinstance(s, dict):
             raise ValueError("snapshot entry is not an object")
@@ -217,8 +218,30 @@ def parse_table_metadata(text: str) -> dict:
         ts = s.get("timestamp-ms")
         if isinstance(ts, int) and not isinstance(ts, bool):
             snap_ts[sid] = ts
+        par = s.get("parent-snapshot-id")
+        if isinstance(par, int) and not isinstance(par, bool):
+            snap_parents[sid] = par
     if cur not in out:
         raise ValueError("current-snapshot-id not in the snapshot list")
+    refs: dict[str, dict] = {}
+    raw_refs = obj.get("refs")
+    if raw_refs is not None:
+        # the spec's snapshot-references block (round 15 — WAP):
+        # branch heads and tags by name
+        if not isinstance(raw_refs, dict):
+            raise ValueError("refs is not an object")
+        for name, r in raw_refs.items():
+            if (not isinstance(name, str) or not isinstance(r, dict)
+                    or not isinstance(r.get("snapshot-id"), int)
+                    or r.get("type") not in ("branch", "tag")):
+                raise ValueError(f"malformed ref {name!r}")
+            if r["snapshot-id"] not in out:
+                raise ValueError(
+                    f"ref {name!r} points at unknown snapshot "
+                    f"{r['snapshot-id']}"
+                )
+            refs[name] = {"snapshot_id": r["snapshot-id"],
+                          "type": r["type"]}
     field_names: dict[int, str] = {}
     field_types: dict[int, str] = {}
     schemas = obj.get("schemas")
@@ -294,6 +317,8 @@ def parse_table_metadata(text: str) -> dict:
         "partition_spec": partition_spec,
         "snapshot_ops": snap_ops,
         "snapshot_ts": snap_ts,
+        "snapshot_parents": snap_parents,
+        "refs": refs,
     }
 
 
@@ -689,6 +714,8 @@ def make_table_metadata(
     snapshot_ops: dict[int, str] | None = None,
     snapshot_ts: dict[int, int] | None = None,
     table_dir: str | None = None,
+    snapshot_parents: dict[int, int] | None = None,
+    refs: dict[str, dict] | None = None,
 ) -> str:
     """``schema_fields`` (round 11) is the spec's schema block —
     ``[{id, name, type}, ...]`` — recorded so readers can resolve
@@ -725,6 +752,10 @@ def make_table_metadata(
         "snapshots": [
             {"snapshot-id": sid, "manifest-list": ml,
              **_ts(sid, ml),
+             **({"parent-snapshot-id": snapshot_parents[sid]}
+                if snapshot_parents
+                and snapshot_parents.get(sid) is not None
+                else {}),
              # the spec's snapshot summary: changelog consumers skip
              # 'replace' snapshots (compaction rewrites no logical
              # rows — round 13)
@@ -735,6 +766,13 @@ def make_table_metadata(
     }
     if properties:
         obj["properties"] = dict(sorted(properties.items()))
+    if refs:
+        # the spec's snapshot-references block (round 15 — WAP):
+        # branch heads and tags; "main" mirrors current-snapshot-id
+        obj["refs"] = {
+            name: {"snapshot-id": r["snapshot_id"], "type": r["type"]}
+            for name, r in sorted(refs.items())
+        }
     if partition_spec:
         # the spec's partition-specs block (round 13 — HIDDEN
         # partitioning): each field names its transform and source
