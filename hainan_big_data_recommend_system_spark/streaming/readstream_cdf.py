@@ -48,7 +48,16 @@ negotiation — latestOffset cannot see the committed start, so a
 reader-side cap could stall a restarted query behind its own
 checkpoint).  For a bounded-batch BACKFILL over a deep history, use
 `cdf_source.stream_changes(max_versions_per_batch=N)` to drain up to
-the present, then hand the checkpointed tail to this source.
+the present, then hand the checkpointed tail to this source — the
+composed feed's exactly-once seam is pinned by
+tests/test_stream_handoff.py, restarts inside both phases included.
+
+``trigger(availableNow=True)`` works on both sources (round 15,
+pinned by the same test file): Spark's MicroBatchExecution falls
+back to SINGLE-BATCH execution for Python sources (it logs exactly
+that), draining everything up to the launch-instant offset in one
+micro-batch and stopping; a later availableNow run off the same
+checkpoint picks up only the tail — the T6 daily-batch lifecycle.
 """
 
 from __future__ import annotations
