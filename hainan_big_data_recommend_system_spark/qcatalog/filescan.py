@@ -1756,7 +1756,7 @@ def _ensure_delta_update_fixture(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-@register(  # promoted rotation #10 (r12): the r11 lifecycle verbs into the judged window
+@register_extra(  # demoted rotation #13 (r15): UPDATE/DV/CDC facets ride sql_ddl_lifecycle_delta + delta_dv_delete_roundtrip + delta_cdf_roundtrip
     "delta_update_roundtrip",
     """
     SELECT doc_id,
@@ -2277,7 +2277,7 @@ def _ensure_iceberg_hidden_part_fixture(
     return out
 
 
-@register(  # promoted r14 (rotation #12): transform-aware pruning, kept/skipped pinned
+@register_extra(  # demoted rotation #13 (r15): the days() transform + derived-value + pruning facets ride iceberg_dayreload_replace_where
     "iceberg_hidden_partitioning",
     """
     WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
@@ -2458,7 +2458,7 @@ _ICEBERG_LIFECYCLE_STATE_SQL = """
 """
 
 
-@register(  # promoted r13 (rotation #11): format-#2 DML triple
+@register_extra(  # demoted rotation #13 (r15): the position-delete UPDATE facet rides iceberg_optimize_roundtrip + iceberg_changelog_roundtrip (same lifecycle fixture, state hash-pinned)
     "iceberg_update_roundtrip",
     f"""
     SELECT doc_id, body_md5,
@@ -2863,7 +2863,8 @@ _DAYRELOAD_SQL = """
 """
 
 
-@register_extra("iceberg_dayreload_replace_where", _DAYRELOAD_SQL)
+@register(  # promoted rotation #13 (r15): partition-scoped reload over hidden partitioning
+    "iceberg_dayreload_replace_where", _DAYRELOAD_SQL)
 def q_iceberg_dayreload(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``replace_where`` over HIDDEN partitioning (round 14): a daily
     reload of the 2024-01-11 partition on a ``days(ts)`` Iceberg
@@ -3120,7 +3121,8 @@ def _ensure_ddl_lifecycle_fixture(spark: SparkSession, sf_dir: str,
     return out
 
 
-@register_extra("sql_ddl_lifecycle_delta", _DDL_LIFECYCLE_SQL)
+@register(  # promoted rotation #13 (r15): the SQL front door in one hash gate
+    "sql_ddl_lifecycle_delta", _DDL_LIFECYCLE_SQL)
 def q_sql_ddl_lifecycle_delta(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
     """The DDL front door end to end on Delta: every surviving row,
@@ -3240,7 +3242,8 @@ def q_delta_null_pruning(spark: SparkSession,
     )
 
 
-@register_extra("iceberg_null_pruning", _NULL_PRUNE_SQL)
+@register(  # promoted rotation #13 (r15): the null-count parity lever, kept/skipped pinned
+    "iceberg_null_pruning", _NULL_PRUNE_SQL)
 def q_iceberg_null_pruning(spark: SparkSession,
                            sf_dir: str) -> DataFrame:
     """`delta_null_pruning`'s format-#2 twin: spec manifest field 110
