@@ -255,19 +255,28 @@ def read_change_task(table_dir: str, task: dict,
             if idx in dead:
                 continue
             out = []
-            for name, type_str in fields:
+            for name, type_str, accepted in fields:
                 if name == "_commit_version":
                     out.append(version)
                 elif name == "_change_type":
                     out.append(row["_change_type"] if is_cdc
                                else change)
-                elif name in file_cols:
-                    out.append(row.get(name))
-                elif name in pv:
-                    out.append(_typed_partition_value(pv[name],
-                                                      type_str))
                 else:
-                    out.append(None)
+                    # accepted spellings (round 15): a column-mapped
+                    # table's files and partitionValues key on the
+                    # PHYSICAL name; a renamed Iceberg column's old
+                    # files keep its historical name
+                    hit = next((s for s in accepted
+                                if s in file_cols), None)
+                    if hit is not None:
+                        out.append(row.get(hit))
+                        continue
+                    hit = next((s for s in accepted if s in pv), None)
+                    if hit is not None:
+                        out.append(_typed_partition_value(pv[hit],
+                                                          type_str))
+                    else:
+                        out.append(None)
             yield tuple(out)
 
 
@@ -340,8 +349,18 @@ class DeltaChangeFeedDataSource(DataSource):
         return feed_schema(self._table_dir())
 
     def streamReader(self, schema: "StructType") -> _DeltaCDFStreamReader:
-        fields = [(f.name, f.dataType.simpleString())
-                  for f in schema.fields]
+        # accepted file-column spellings per logical field (round 15):
+        # on a column-mapped table every data/CDC file and
+        # partitionValues map keys on the stable PHYSICAL name
+        from ..sources.delta_sink import snapshot
+
+        snap = snapshot(self._table_dir())
+        l2p = (snap.get("column_mapping") or {}).get("l2p", {})
+        fields = [
+            (f.name, f.dataType.simpleString(),
+             list(dict.fromkeys([l2p.get(f.name, f.name), f.name])))
+            for f in schema.fields
+        ]
         return _DeltaCDFStreamReader(
             self._table_dir(),
             int(self.options.get("startingversion",
@@ -538,16 +557,21 @@ def read_changelog_task(table_dir: str, task: dict,
                 if not (idx in dead_b or _eq_dead(row, eq_m_new)):
                     continue
             out = []
-            for name, type_str in fields:
+            for name, type_str, accepted in fields:
                 if name == "_change_type":
                     out.append(change)
-                elif name in file_cols:
-                    out.append(row.get(name))
-                elif name in pv:
-                    out.append(_typed_partition_value(pv[name],
-                                                      type_str))
                 else:
-                    out.append(None)
+                    hit = next((s for s in accepted
+                                if s in file_cols), None)
+                    if hit is not None:
+                        out.append(row.get(hit))
+                        continue
+                    hit = next((s for s in accepted if s in pv), None)
+                    if hit is not None:
+                        out.append(_typed_partition_value(pv[hit],
+                                                          type_str))
+                    else:
+                        out.append(None)
             yield tuple(out)
 
 
@@ -680,8 +704,18 @@ class IcebergChangelogDataSource(DataSource):
         return changelog_schema(self._table_dir())
 
     def streamReader(self, schema: "StructType"):
-        fields = [(f.name, f.dataType.simpleString())
-                  for f in schema.fields]
+        # accepted file-column spellings per field (round 15): a
+        # RENAMED column's pre-rename files keep its historical name
+        # (resolved via the spec name-mapping property)
+        from ..sources.iceberg_sink import _prev_state, _rename_history
+
+        prev = _prev_state(self._table_dir())
+        hist = _rename_history(prev)
+        fields = [
+            (f.name, f.dataType.simpleString(),
+             [f.name] + list(hist.get(f.name, ())))
+            for f in schema.fields
+        ]
         return _IcebergChangelogStreamReader(
             self._table_dir(),
             int(self.options.get("startingsnapshotid",
