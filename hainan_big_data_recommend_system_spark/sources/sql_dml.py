@@ -76,6 +76,11 @@ _TIME_TRAVEL_RE = re.compile(
     r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+VERSION\s+AS\s+OF\s+(\d+)\b",
     re.IGNORECASE,
 )
+_BRANCH_TRAVEL_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z0-9_.]*)\s+VERSION\s+AS\s+OF\s+"
+    r"'([A-Za-z_][A-Za-z0-9_]*)'",
+    re.IGNORECASE,
+)
 _DELETE_RE = re.compile(
     r"^\s*DELETE\s+FROM\s+([A-Za-z_][A-Za-z0-9_.]*)\s+WHERE\s+(.+?)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
@@ -426,6 +431,23 @@ _SET_PROPS_RE = re.compile(
     r"SET\s+TBLPROPERTIES\s*\((.*)\)\s*;?\s*$",
     re.IGNORECASE | re.DOTALL,
 )
+_CREATE_REF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"CREATE\s+(BRANCH|TAG)\s+([A-Za-z_][A-Za-z0-9_]*)"
+    r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*$",
+    re.IGNORECASE,
+)
+_DROP_REF_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([A-Za-z_][A-Za-z0-9_]*)\s+"
+    r"DROP\s+(BRANCH|TAG)\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
+    re.IGNORECASE,
+)
+_CALL_RE = re.compile(
+    r"^\s*CALL\s+(fast_forward|cherry_pick)\s*\(\s*"
+    r"([A-Za-z_][A-Za-z0-9_]*)\s*,\s*"
+    r"(?:'([A-Za-z_][A-Za-z0-9_]*)'|(\d+))\s*\)\s*;?\s*$",
+    re.IGNORECASE,
+)
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?"
     r"([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$",
@@ -687,6 +709,60 @@ def run_dml(
         from .iceberg_sink import drop_columns_iceberg
 
         return drop_columns_iceberg(tdir, cols)
+    m = _CREATE_REF_RE.match(sql)
+    if m:
+        # the WAP surface (round 15): branches and tags are Iceberg
+        # snapshot references; Delta has no equivalent metadata block
+        tdir = _dir(m.group(1))
+        if fmt != "iceberg":
+            raise ValueError(
+                "CREATE BRANCH/TAG is an Iceberg snapshot-reference "
+                "verb; this table is delta"
+            )
+        from .iceberg_sink import create_ref_iceberg
+
+        return create_ref_iceberg(
+            tdir, m.group(3), kind=m.group(2).lower(),
+            snapshot_id=(int(m.group(4)) if m.group(4) else None),
+        )
+    m = _DROP_REF_RE.match(sql)
+    if m:
+        tdir = _dir(m.group(1))
+        if fmt != "iceberg":
+            raise ValueError(
+                "DROP BRANCH/TAG is an Iceberg snapshot-reference "
+                "verb; this table is delta"
+            )
+        from .iceberg_sink import drop_ref_iceberg
+
+        return drop_ref_iceberg(tdir, m.group(3))
+    m = _CALL_RE.match(sql)
+    if m:
+        # Iceberg's stored-procedure spellings:
+        # CALL fast_forward(t, 'branch') publishes a branch;
+        # CALL cherry_pick(t, snapshot_id) publishes one staged append
+        proc = m.group(1).lower()
+        tdir = _dir(m.group(2))
+        if fmt != "iceberg":
+            raise ValueError(
+                f"CALL {proc} is an Iceberg procedure; this table "
+                "is delta"
+            )
+        if proc == "fast_forward":
+            if not m.group(3):
+                raise ValueError(
+                    "CALL fast_forward needs a quoted branch name"
+                )
+            from .iceberg_sink import fast_forward_iceberg
+
+            return fast_forward_iceberg(tdir, m.group(3))
+        if not m.group(4):
+            raise ValueError(
+                "CALL cherry_pick needs a numeric snapshot id"
+            )
+        from .iceberg_sink import cherry_pick_iceberg
+
+        return cherry_pick_iceberg(tdir, int(m.group(4)))
     m = _SET_PROPS_RE.match(sql)
     if m:
         props = {}
@@ -920,6 +996,31 @@ def run_query(
     if fmt not in ("delta", "iceberg"):
         raise ValueError(f"unknown table format {fmt!r}")
     versions: dict[str, int] = {}
+    branches: dict[str, str] = {}
+
+    # ``name VERSION AS OF 'ref'`` (round 15): a QUOTED version is an
+    # Iceberg branch/tag name (the audit read of write-audit-publish).
+    # The quoted form must rewrite BEFORE the literal-aware split
+    # (the ref rides inside the quotes); a quote-PARITY guard keeps
+    # literals containing the phrase untouched ('' escaping consumes
+    # quotes two at a time, so parity still identifies literal spans).
+    out_parts: list[str] = []
+    pos = 0
+    for bm in _BRANCH_TRAVEL_RE.finditer(sql):
+        if sql.count("'", 0, bm.start()) % 2:
+            continue  # inside a string literal: data, not time travel
+        name, ref = bm.group(1), bm.group(2)
+        if branches.get(name, ref) != ref:
+            raise ValueError(
+                f"table {name!r} addressed two refs in one query; "
+                "register a second name for the other view"
+            )
+        branches[name] = ref
+        out_parts.append(sql[pos:bm.start()])
+        out_parts.append(name)
+        pos = bm.end()
+    out_parts.append(sql[pos:])
+    sql = "".join(out_parts)
 
     def _claim(m: re.Match) -> str:
         name = m.group(1)
@@ -939,11 +1040,17 @@ def run_query(
         p if i % 2 else _TIME_TRAVEL_RE.sub(_claim, p)
         for i, p in enumerate(parts)
     )
-    unknown = sorted(set(versions) - set(tables))
+    unknown = sorted((set(versions) | set(branches)) - set(tables))
     if unknown:
         raise ValueError(
             f"VERSION AS OF names unknown tables {unknown} "
             f"(known: {sorted(tables)})"
+        )
+    both = sorted(set(versions) & set(branches))
+    if both:
+        raise ValueError(
+            f"tables {both} time-traveled to BOTH a version and a "
+            "ref in one query; register a second name"
         )
     for name, table_dir in tables.items():
         # resolve and register ONLY the tables the query text actually
@@ -956,15 +1063,22 @@ def run_query(
         if _detect_fmt(table_dir, fmt) == "delta":
             from .delta_sink import read_delta_table
 
+            if name in branches:
+                raise ValueError(
+                    f"VERSION AS OF '{branches[name]}' addresses an "
+                    f"Iceberg branch/tag; table {name!r} is delta"
+                )
             df = read_delta_table(spark, table_dir,
                                   version=versions.get(name))
         else:
             from .iceberg_sink import read_iceberg_table
 
             # VERSION AS OF on format #2 addresses the SNAPSHOT ID
-            # (Iceberg's own time-travel key)
+            # (Iceberg's own time-travel key); a QUOTED version is a
+            # branch/tag ref
             df = read_iceberg_table(spark, table_dir,
-                                    snapshot_id=versions.get(name))
+                                    snapshot_id=versions.get(name),
+                                    branch=branches.get(name))
         df.createOrReplaceTempView(name)
     for vname, vdf in (sources or {}).items():
         vdf.createOrReplaceTempView(vname)

@@ -416,3 +416,35 @@ class TestReadStreamOnMappedTables:
         assert (2, "b", 21, "insert") in ins
         dels = [r for r in sink if r[-1] == "delete"]
         assert (2, "b", 20, "delete") in dels
+
+
+class TestMappedCheckpointFastPath:
+    def test_checkpoint_crossing_preserves_mapping(self, spark,
+                                                   tmp_path):
+        """12 commits on a mapped, renamed table cross the default
+        checkpoint interval; the checkpoint-seeded snapshot must keep
+        translating physical partitionValues/stats and the read must
+        stay value-equal."""
+        from hainan_big_data_recommend_system_spark.sources.delta_sink import (  # noqa: E501
+            _checkpoint_versions,
+        )
+
+        tbl = str(tmp_path / "t")
+        write_delta(spark.createDataFrame([(0, "a", 0)], SCH), tbl)
+        enable_column_mapping_delta(tbl)
+        rename_columns_delta(tbl, {"qty": "amount"})
+        for k in range(1, 10):
+            write_delta(
+                spark.createDataFrame(
+                    [(k, f"n{k}", 10 * k)],
+                    "id long, name string, amount long"),
+                tbl)
+        assert _checkpoint_versions(tbl), "no checkpoint written"
+        snap = snapshot(tbl)
+        assert snap["column_mapping"]["l2p"]["amount"] == "qty"
+        got = _rows(read_delta_table(spark, tbl))
+        assert got == [(k, "a" if k == 0 else f"n{k}", 10 * k)
+                       for k in range(10)]
+        update_where_delta(spark, tbl, "amount = 90",
+                           {"amount": "amount + 9"})
+        assert (9, "n9", 99) in _rows(read_delta_table(spark, tbl))

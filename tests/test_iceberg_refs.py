@@ -164,3 +164,77 @@ class TestRefLifecycle:
         drop_ref_iceberg(tbl, "old")
         expire_snapshots_iceberg(tbl, retain_last=1)
         assert sorted(_prev_state(tbl)["snapshots"]) == [3]
+
+
+class TestSqlWapFrontDoor:
+    """Round 15: the reference-procedure SQL spellings — ALTER TABLE
+    CREATE/DROP BRANCH|TAG, CALL fast_forward / cherry_pick, and the
+    quoted ``VERSION AS OF 'ref'`` audit read (quote-parity guarded:
+    the phrase inside a string literal stays data)."""
+
+    def test_lifecycle_through_sql(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (  # noqa: E501
+            run_dml,
+            run_query,
+        )
+
+        cat: dict = {}
+        run_dml(spark,
+                "CREATE TABLE t (id BIGINT, v STRING) USING iceberg",
+                cat, base_dir=str(tmp_path))
+        run_dml(spark, "INSERT INTO t VALUES (1, 'a')", cat)
+        run_dml(spark, "ALTER TABLE t CREATE TAG pre", cat)
+        write_iceberg(spark.createDataFrame([(2, "b")], SCH),
+                      cat["t"], branch="staging")
+        assert _rows(run_query(spark, "SELECT * FROM t", cat)) == [
+            (1, "a")]
+        assert _rows(run_query(
+            spark, "SELECT * FROM t VERSION AS OF 'staging'",
+            cat)) == [(1, "a"), (2, "b")]
+        run_dml(spark, "CALL fast_forward(t, 'staging')", cat)
+        assert _rows(run_query(spark, "SELECT * FROM t", cat)) == [
+            (1, "a"), (2, "b")]
+        assert _rows(run_query(
+            spark, "SELECT * FROM t VERSION AS OF 'pre'", cat)) == [
+            (1, "a")]
+        # a literal containing the phrase is DATA
+        got = run_query(
+            spark, "SELECT 't VERSION AS OF ''pre''' AS s",
+            cat).collect()
+        assert got[0]["s"] == "t VERSION AS OF 'pre'"
+        run_dml(spark, "ALTER TABLE t DROP TAG pre", cat)
+        with pytest.raises(ValueError, match="no such ref"):
+            run_query(spark,
+                      "SELECT * FROM t VERSION AS OF 'pre'",
+                      cat).collect()
+
+    def test_cherry_pick_call_and_delta_refusals(self, spark,
+                                                 tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.sql_dml import (  # noqa: E501
+            run_dml,
+            run_query,
+        )
+
+        cat: dict = {}
+        run_dml(spark,
+                "CREATE TABLE t (id BIGINT, v STRING) USING iceberg",
+                cat, base_dir=str(tmp_path / "i"))
+        run_dml(spark, "INSERT INTO t VALUES (1, 'a')", cat)
+        r = write_iceberg(spark.createDataFrame([(9, "z")], SCH),
+                          cat["t"], branch="fix")
+        run_dml(spark,
+                f"CALL cherry_pick(t, {r['snapshot_id']})", cat)
+        assert _rows(run_query(spark, "SELECT * FROM t", cat)) == [
+            (1, "a"), (9, "z")]
+        run_dml(spark, "CREATE TABLE d (id BIGINT) USING delta", cat,
+                base_dir=str(tmp_path / "d"))
+        run_dml(spark, "INSERT INTO d VALUES (1)", cat)
+        for stmt in ("ALTER TABLE d CREATE BRANCH b",
+                     "ALTER TABLE d DROP BRANCH b",
+                     "CALL fast_forward(d, 'b')"):
+            with pytest.raises(ValueError, match="[Ii]ceberg"):
+                run_dml(spark, stmt, cat)
+        with pytest.raises(ValueError, match="delta"):
+            run_query(spark,
+                      "SELECT * FROM d VERSION AS OF 'b'",
+                      cat).collect()
