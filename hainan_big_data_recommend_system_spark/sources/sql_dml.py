@@ -578,7 +578,15 @@ def run_dml(
     directory is ``tables[name]`` when pre-wired, else
     ``base_dir/name``.  The statement's ``USING delta|iceberg``
     overrides ``fmt`` for that table.  Returns the underlying verb's
-    result dict."""
+    result dict.
+
+    Statement surface: CREATE TABLE [IF NOT EXISTS] / CTAS,
+    DROP TABLE, SHOW TABLES, ALTER TABLE ADD COLUMNS / RENAME COLUMN
+    / DROP COLUMN(S) / SET TBLPROPERTIES (column-mapping enable) /
+    CREATE|DROP BRANCH|TAG (Iceberg refs, round 15),
+    CALL fast_forward / cherry_pick (the WAP publishes),
+    INSERT INTO ... SELECT|VALUES, DELETE / UPDATE / MERGE,
+    RESTORE TABLE, DESCRIBE <metadata table>, VACUUM, OPTIMIZE."""
     if fmt not in ("delta", "iceberg"):
         raise ValueError(f"unknown table format {fmt!r}")
     cr = parse_create(sql)

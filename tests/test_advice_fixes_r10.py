@@ -106,8 +106,8 @@ def _inject_after_staging(monkeypatch, concurrent):
     protects."""
     orig = delta_sink._stage_data_files
 
-    def wrapper(df, table_dir, token, partition_by=None):
-        adds = orig(df, table_dir, token, partition_by=partition_by)
+    def wrapper(df, table_dir, token, **kw):
+        adds = orig(df, table_dir, token, **kw)
         monkeypatch.setattr(delta_sink, "_stage_data_files", orig)
         concurrent()
         return adds
