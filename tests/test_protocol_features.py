@@ -160,9 +160,14 @@ class TestReaderAcceptance:
         with pytest.raises(ValueError, match="unknownFeature"):
             replay_delta_log([commit])
 
-    def test_rejects_v2_column_mapping(self):
-        with pytest.raises(ValueError, match="reader version 2"):
-            validate_protocol({"minReaderVersion": 2})
+    def test_accepts_v2_column_mapping(self):
+        # v2 gates column mapping — IMPLEMENTED since round 15, so a
+        # mapped table's protocol is readable (both the legacy (2, 5)
+        # form and the table-features spelling)
+        validate_protocol({"minReaderVersion": 2})
+        validate_protocol({"minReaderVersion": 3,
+                           "readerFeatures": ["columnMapping",
+                                              "deletionVectors"]})
 
     def test_rejects_v4(self):
         with pytest.raises(ValueError, match="reader version 4"):
