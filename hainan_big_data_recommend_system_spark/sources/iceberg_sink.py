@@ -263,12 +263,50 @@ def _check_schema_is_evolution(df: DataFrame, prev: dict) -> None:
 
 def _schema_fields(df: DataFrame) -> list[dict]:
     """The spec's schema block from a DataFrame: 1-based field ids in
-    schema position order (identity mapping — this sink never
-    renames/reorders, so position IS identity)."""
+    schema position order — BRAND-NEW tables only.  An existing table
+    resolves through `_resolved_schema_fields`: once RENAME/DROP
+    exist (round 15), position is no longer identity, and a
+    positional re-derivation would shift every id after a gap —
+    clobbering the recorded ids the manifest bounds and name-mapping
+    history key on (caught by tests/test_rename_property.py)."""
     return [
         {"id": i + 1, "name": f.name, "type": f.dataType.simpleString()}
         for i, f in enumerate(df.schema.fields)
     ]
+
+
+def _used_field_ids(prev: dict) -> set[int]:
+    """Every field id the table has EVER bound — current schema plus
+    the name-mapping history (renamed/dropped fields).  The spec's
+    never-reuse rule: a fresh id must clear all of them, or a new
+    column would inherit a dead field's manifest bounds and mapping
+    entry."""
+    used = set(prev.get("field_names") or {})
+    used |= set(_name_mapping(prev.get("properties")))
+    return used
+
+
+def _resolved_schema_fields(df: DataFrame, prev: dict) -> list[dict]:
+    """The spec's schema block for a write against an EXISTING table:
+    each DataFrame column takes its RECORDED field id (by current
+    logical name); genuinely new columns (merge_schema evolution)
+    get fresh ids past every id ever used.  Falls back to positional
+    ids only when the table has no recorded schema."""
+    recorded = {
+        n: i for i, n in (prev.get("field_names") or {}).items()
+    }
+    if not recorded:
+        return _schema_fields(df)
+    next_id = max(_used_field_ids(prev), default=0) + 1
+    out = []
+    for f in df.schema.fields:
+        fid = recorded.get(f.name)
+        if fid is None:
+            fid = next_id
+            next_id += 1
+        out.append({"id": fid, "name": f.name,
+                    "type": f.dataType.simpleString()})
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -974,7 +1012,7 @@ def write_iceberg(
         return {"version": None, "snapshot_id": None, "n_files": 0,
                 "n_records": 0, "n_removed": 0,
                 "n_manifests_reused": 0, "skipped": True}
-    schema_fields = _schema_fields(df)
+    schema_fields = _resolved_schema_fields(df, prev0)
     field_ids = {f["name"]: f["id"] for f in schema_fields}
     part_fields = tuple(part_names)
 
@@ -1571,7 +1609,7 @@ def update_where_iceberg(
         if hidden_spec else postimage,
         table_dir, token, partition_by=part_cols or None,
     )
-    schema_fields = _schema_fields(postimage)
+    schema_fields = _resolved_schema_fields(postimage, prev)
     field_ids = prev["field_ids"] or {
         f["name"]: f["id"] for f in schema_fields
     }
@@ -1942,7 +1980,7 @@ def _merge_iceberg_scan(
     else:
         to_stage = _proj(ins_src)
     _check_schema_against_table(to_stage, prev0, "merge source")
-    schema_fields = _schema_fields(to_stage)
+    schema_fields = _resolved_schema_fields(to_stage, prev0)
     field_ids = {f["name"]: f["id"] for f in schema_fields}
     adds = _stage_iceberg_files(
         with_transform_columns(to_stage, hidden_spec)
@@ -2126,7 +2164,7 @@ def merge_iceberg(
             stage_src = stage_src.select(*names)
             if del_src is not None:
                 del_src = del_src.select(*names)
-    schema_fields = _schema_fields(stage_src)
+    schema_fields = _resolved_schema_fields(stage_src, prev0)
     field_ids = {f["name"]: f["id"] for f in schema_fields}
     missing = [c for c in key_cols if c not in field_ids]
     if missing:
@@ -2983,7 +3021,10 @@ def add_columns_iceberg(table_dir: str, columns: dict[str, str],
                 "(pick a fresh name)"
             )
         fields = _carry_schema_fields(prev) or []
-        next_id = max((f["id"] for f in fields), default=0) + 1
+        # never reuse an id EVER bound — after a drop of the max-id
+        # field, max(current)+1 would re-bind the dead id (round 15)
+        next_id = max(_used_field_ids(prev)
+                      | {f["id"] for f in fields}, default=0) + 1
         for n, st in typed.items():
             fields.append({"id": next_id, "name": n, "type": st})
             next_id += 1
