@@ -1426,6 +1426,7 @@ def delete_where_iceberg(
     table_dir: str,
     condition: str,
     max_retries: int = 10,
+    branch: str | None = None,
 ) -> dict:
     """DELETE WHERE via format-v2 POSITION DELETE files — no data file
     rewritten, no positions on the driver.
@@ -1443,6 +1444,10 @@ def delete_where_iceberg(
     number on top of the prior manifest list (reuse: O(files-written)
     metadata, not O(table)).
 
+    ``branch`` (round 15 — the DML half of write-audit-publish):
+    the scan and the delete files resolve against the BRANCH head and
+    only the branch ref moves; main is untouched until the publish.
+
     Returns ``{version, snapshot_id, n_rows_deleted,
     n_delete_files}`` (``version None`` when nothing new matched)."""
     from pyspark.sql import functions as F
@@ -1450,6 +1455,9 @@ def delete_where_iceberg(
     from .delta_sink import _prune_dml_paths
 
     prev = _prev_state(table_dir)
+    branch_head = None
+    if branch is not None:
+        prev, branch_head = _branch_overlay(table_dir, prev, branch)
     if not prev["live"]:
         return {"version": None, "snapshot_id": None,
                 "n_rows_deleted": 0, "n_delete_files": 0}
@@ -1479,6 +1487,8 @@ def delete_where_iceberg(
 
     for _ in range(max_retries):
         cur = _prev_state(table_dir)
+        if branch is not None:
+            cur, branch_head = _branch_overlay(table_dir, cur, branch)
         conflicts = _iceberg_conflicts(prev, cur, paths)
         if (conflicts
                 or cur["position_delete_files"]
@@ -1503,17 +1513,24 @@ def delete_where_iceberg(
             with open(os.path.join(table_dir, rel), "wb") as fh:
                 fh.write(blob)
         snapshots = {**cur["snapshots"], sid: ml_path}
+        refs = dict(cur.get("refs") or {})
+        if branch is not None:
+            refs[branch] = {"snapshot_id": sid, "type": "branch"}
         meta_text = make_table_metadata(
-            snapshots, current=sid,
+            snapshots,
+            current=(cur["current"] if branch is not None else sid),
             schema_fields=_carry_schema_fields(cur),
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "delete"},
             snapshot_ts=cur.get("snapshot_ts"),
             table_dir=table_dir,
-            snapshot_parents={**cur.get("snapshot_parents", {}),
-                              sid: cur["current"]},
-            refs=cur.get("refs") or None,
+            snapshot_parents={
+                **cur.get("snapshot_parents", {}),
+                sid: (branch_head if branch is not None
+                      else cur["current"]),
+            },
+            refs=refs or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1530,6 +1547,7 @@ def update_where_iceberg(
     condition: str,
     assignments: dict[str, str],
     max_retries: int = 10,
+    branch: str | None = None,
 ) -> dict:
     """UPDATE ... SET col = expr WHERE condition on format #2 — closing
     the DML triple (VERDICT r11 What's missing #2), composed from the
@@ -1543,6 +1561,10 @@ def update_where_iceberg(
     semantics: ``{"a": "b", "b": "a"}`` swaps).  Updating a partition
     column moves the row to its new partition directory naturally.
 
+    ``branch`` (round 15): resolve against and advance the BRANCH
+    head only — `delete_where_iceberg`'s twin half of staging DML for
+    write-audit-publish.
+
     Returns ``{version, snapshot_id, n_rows_updated, n_files_added,
     n_delete_files}`` (``version None`` when nothing matched)."""
     from pyspark.sql import functions as F
@@ -1551,6 +1573,9 @@ def update_where_iceberg(
         if not isinstance(c, str) or not c:
             raise ValueError("assignment target must be a column name")
     prev = _prev_state(table_dir)
+    branch_head = None
+    if branch is not None:
+        prev, branch_head = _branch_overlay(table_dir, prev, branch)
     if not prev["live"]:
         return {"version": None, "snapshot_id": None,
                 "n_rows_updated": 0, "n_files_added": 0,
@@ -1617,6 +1642,8 @@ def update_where_iceberg(
 
     for _ in range(max_retries):
         cur = _prev_state(table_dir)
+        if branch is not None:
+            cur, branch_head = _branch_overlay(table_dir, cur, branch)
         conflicts = _iceberg_conflicts(prev, cur, paths)
         if (conflicts
                 or cur["position_delete_files"]
@@ -1655,17 +1682,24 @@ def update_where_iceberg(
             with open(os.path.join(table_dir, rel), "wb") as fh:
                 fh.write(blob)
         snapshots = {**cur["snapshots"], sid: ml_path}
+        refs = dict(cur.get("refs") or {})
+        if branch is not None:
+            refs[branch] = {"snapshot_id": sid, "type": "branch"}
         meta_text = make_table_metadata(
-            snapshots, current=sid,
+            snapshots,
+            current=(cur["current"] if branch is not None else sid),
             schema_fields=_carry_schema_fields(cur) or schema_fields,
             properties=cur.get("properties"),
             partition_spec=cur.get("partition_spec") or None,
             snapshot_ops={**cur.get("snapshot_ops", {}), sid: "overwrite"},
             snapshot_ts=cur.get("snapshot_ts"),
             table_dir=table_dir,
-            snapshot_parents={**cur.get("snapshot_parents", {}),
-                              sid: cur["current"]},
-            refs=cur.get("refs") or None,
+            snapshot_parents={
+                **cur.get("snapshot_parents", {}),
+                sid: (branch_head if branch is not None
+                      else cur["current"]),
+            },
+            refs=refs or None,
         )
         if _claim_metadata(table_dir, version, meta_text, token, blobs):
             return {"version": version, "snapshot_id": sid,
@@ -1778,7 +1812,11 @@ def _merge_iceberg_scan(
     #9 and #6): `merge_iceberg(accept_target_scan=True)` lands here
     when a clause needs the target rows — per-column ``matched_set``,
     a NOT-MATCHED insert gate, or a pair-evaluated ``matched_residual``
-    (the MERGE ON clause's non-equi conjuncts).  The cost is explicit:
+    (the MERGE ON clause's non-equi conjuncts).  Matched-ness under a
+    residual is judged on the WHOLE ON predicate exactly like
+    Spark/Delta (round 15, ADVICE r14): a source row with no passing
+    pair takes the INSERT clause, a target row with no passing pair
+    counts as NOT MATCHED BY SOURCE.  The cost is explicit:
     one key-match scan of the table's live rows (the same shape
     `merge_delta` always pays), with matched targets tombstoned by
     POSITION delete files and updates/inserts restaged — one atomic

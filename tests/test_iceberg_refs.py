@@ -238,3 +238,57 @@ class TestSqlWapFrontDoor:
             run_query(spark,
                       "SELECT * FROM d VERSION AS OF 'b'",
                       cat).collect()
+
+
+class TestBranchDml:
+    """Round 15 follow-up: the DML half of write-audit-publish —
+    UPDATE and DELETE stage against the branch head (position deletes
+    and restaged files land on the branch's file set), main is
+    untouched until the publish, and the parent chain stays linear so
+    fast-forward still applies."""
+
+    def test_full_dml_wap_cycle(self, spark, tmp_path):
+        from hainan_big_data_recommend_system_spark.sources.iceberg_sink import (  # noqa: E501
+            update_where_iceberg,
+        )
+
+        tbl = str(tmp_path / "t")
+        write_iceberg(spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c")], SCH), tbl)
+        write_iceberg(spark.createDataFrame([(4, "d")], SCH), tbl,
+                      branch="wap")
+        update_where_iceberg(spark, tbl, "id = 2", {"v": "'B'"},
+                             branch="wap")
+        delete_where_iceberg(spark, tbl, "id = 1", branch="wap")
+        # main never moved; the branch carries the whole DML batch
+        assert _rows(read_iceberg_table(spark, tbl)) == [
+            (1, "a"), (2, "b"), (3, "c")]
+        assert _rows(read_iceberg_table(spark, tbl,
+                                        branch="wap")) == [
+            (2, "B"), (3, "c"), (4, "d")]
+        st = _prev_state(tbl)
+        assert st["current"] == 1
+        ff = fast_forward_iceberg(tbl, "wap")
+        assert _rows(read_iceberg_table(spark, tbl)) == [
+            (2, "B"), (3, "c"), (4, "d")]
+        # linear ancestry through the staged chain
+        st = _prev_state(tbl)
+        assert st["snapshot_parents"] == {2: 1, 3: 2, 4: 3}
+        assert ff["snapshot_id"] == 4
+
+    def test_branch_dml_does_not_see_main_tail(self, spark,
+                                               tmp_path):
+        """Rows appended to MAIN after the fork are invisible to a
+        branch DELETE — the scan is the branch head's file set."""
+        tbl = str(tmp_path / "t")
+        write_iceberg(spark.createDataFrame([(1, "a")], SCH), tbl)
+        write_iceberg(spark.createDataFrame([(2, "b")], SCH), tbl,
+                      branch="wap")
+        write_iceberg(spark.createDataFrame([(9, "z")], SCH), tbl)
+        res = delete_where_iceberg(spark, tbl, "id = 9", branch="wap")
+        assert res["version"] is None  # no branch row matched
+        assert _rows(read_iceberg_table(spark, tbl,
+                                        branch="wap")) == [
+            (1, "a"), (2, "b")]
+        assert _rows(read_iceberg_table(spark, tbl)) == [
+            (1, "a"), (9, "z")]
