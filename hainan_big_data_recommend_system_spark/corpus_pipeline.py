@@ -52,6 +52,7 @@ from .operators.textstats import (
     leakage_safe_splits,
     pii_redact,
 )
+from .session import CHECKPOINT_LEVEL
 
 
 def _fs_for(spark: SparkSession, path: str):
@@ -198,7 +199,7 @@ def ingest_format_sources(
     union = None
     ledger: dict[str, dict[str, int]] = {}
     for source, df_in, df_out in legs:
-        df_out = df_out.localCheckpoint(eager=False)
+        df_out = df_out.localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         ledger[f"00_ingest_{source}"] = {
             "rows_in": df_in.count(),
             "rows_out": df_out.count(),
@@ -225,7 +226,7 @@ def ingest_crawl_directory(
     from .sources.files import read_container_records
 
     records = read_container_records(spark, warc_dir, "warc", glob=glob)
-    records = records.localCheckpoint(eager=False)
+    records = records.localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     n_records = records.count()
     pages = records.filter(
         (F.col("record_type") == "response")

@@ -42,6 +42,7 @@ and the power method; fixed-point determinism is elementary.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 _SCALE = 1000
 _DEC = "decimal(38,0)"
@@ -67,7 +68,7 @@ def als_rank1_factors(
     # it twice and the scoring stage three more times — without this
     # the upstream join/groupBy lineage re-executes ~8× (measured
     # 21.5 → 11.5s cold at sf0.1)
-    r = r.localCheckpoint(eager=True)
+    r = r.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     # v starts as the all-ones direction at fixed-point scale
     v = r.select("i").distinct().withColumn("v", F.lit(_SCALE))
     u = None
@@ -92,7 +93,7 @@ def als_rank1_factors(
         # The eager job over a broadcast-joined groupBy is the minimum
         # one pass per alternation; MLlib ALS checkpoints on a cadence
         # for the same lineage-growth reason.
-        u = u.localCheckpoint(eager=True)
+        u = u.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         u = u.crossJoin(
             F.broadcast(u.agg(F.max("uf").alias("__m")))
         ).select(
@@ -114,7 +115,7 @@ def als_rank1_factors(
             "i",
             F.expr(f"cast(__num * {_SCALE} div __den as long)").alias("v"),
         )
-        v = v.localCheckpoint(eager=True)  # raw side, same reason as u
+        v = v.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)  # raw side, same reason as u
         v = v.crossJoin(
             F.broadcast(v.agg(F.max("v").alias("__m")))
         ).select(

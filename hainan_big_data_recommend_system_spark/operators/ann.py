@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .similarity import quantize_vec
+from ..session import CHECKPOINT_LEVEL
 
 
 def _mixed_block_topk(k: int):
@@ -300,7 +301,7 @@ def ivf_topk(
         .crossJoin(centers_df)
         .select("vid", "__qv", "centroid_id", dist2.alias("__d2"))
         .withColumn("__pr", F.row_number().over(probe_w))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     assigned = ranked.filter(F.col("__pr") == 1).select(
         "vid", "__qv", F.col("centroid_id").cast("int").alias("__blk")

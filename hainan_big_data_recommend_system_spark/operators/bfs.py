@@ -22,6 +22,7 @@ similar-user expansion is exactly a 2-hop neighborhood walk).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def bfs_hops(
@@ -40,13 +41,13 @@ def bfs_hops(
         edges.select(F.col(u).alias("u"), F.col(v).alias("v"))
         .union(edges.select(F.col(v).alias("u"), F.col(u).alias("v")))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     )
     dist = (
         seeds.select(F.col(node).alias("node"))
         .distinct()
         .withColumn("hops", F.lit(0))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     )
     frontier = dist.select("node")
     for h in range(1, max_hops + 1):
@@ -56,8 +57,8 @@ def bfs_hops(
             .distinct()
             .join(dist.select("node"), "node", "left_anti")
             .withColumn("hops", F.lit(h))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         )
-        dist = dist.union(nxt).localCheckpoint(eager=False)
+        dist = dist.union(nxt).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         frontier = nxt.select("node")
     return dist.select("node", F.col("hops").cast("long").alias("hops"))

@@ -31,6 +31,7 @@ construction, same pattern as the components convergence probe.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 #: symbol delimiter — must not occur inside any symbol; word characters
 #: are whitespace-split corpus tokens, so '|' is safe for the catalog use
@@ -102,7 +103,7 @@ def bpe_train(
     seq = words.select(
         _seq_expr(F.col(word_col)).alias("seq"),
         F.col(freq_col).cast("long").alias("freq"),
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, n_merges + 1):
         best = (
@@ -123,7 +124,7 @@ def bpe_train(
         seq = seq.select(
             F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
             "freq",
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     return merges
 
 

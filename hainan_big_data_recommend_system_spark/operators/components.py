@@ -37,6 +37,7 @@ oracle-checkable against a recursive-CTE transitive closure.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 # two large primes for the convergence signatures: raw sums of 64-bit-hash
 # node ids overflow long (ANSI mode throws), and a single modded sum has a
@@ -85,7 +86,7 @@ def connected_components(
     # the undirected union below references it twice, and lazily that
     # would run the upstream plan twice inside one job
     pairs = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    pairs = pairs.localCheckpoint()
+    pairs = pairs.localCheckpoint(storageLevel=CHECKPOINT_LEVEL)
     und = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
 
     # lazy localCheckpoint: the convergence aggregate below is the action
@@ -94,7 +95,7 @@ def connected_components(
         und.select(F.col("u").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     )
     prev_sig = _label_sig(labels)
 
@@ -108,7 +109,7 @@ def connected_components(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         )
         cur_sig = _label_sig(labels)
         if cur_sig == prev_sig:
@@ -155,7 +156,7 @@ def connected_components_star(
         raw.select(F.col("u").alias("node"))
         .union(raw.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=CHECKPOINT_LEVEL)
     )
     e = (
         raw.filter(F.col("u") != F.col("v"))
@@ -163,7 +164,7 @@ def connected_components_star(
             F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(storageLevel=CHECKPOINT_LEVEL)
     )
 
     def sig(df: DataFrame) -> tuple:
@@ -186,7 +187,7 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
         )
-        e = large.distinct().localCheckpoint()
+        e = large.distinct().localCheckpoint(storageLevel=CHECKPOINT_LEVEL)
 
         # small-star: edges already point small->large after canonicalize;
         # group by the LARGE endpoint, link its small neighbors + itself to
@@ -204,7 +205,7 @@ def connected_components_star(
             )
             .filter(F.col("u") != F.col("v"))
         )
-        e = small.distinct().localCheckpoint()
+        e = small.distinct().localCheckpoint(storageLevel=CHECKPOINT_LEVEL)
 
         cur = sig(e)
         if cur == prev:

@@ -28,6 +28,7 @@ bit-identical across engines.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def exact_dedup(
@@ -132,7 +133,7 @@ def ngram_jaccard_topk(
     sh = (
         shingle_src
         if shingle_src is not None
-        else hashed_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
+        else hashed_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 
@@ -348,7 +349,7 @@ def verify_candidate_pairs(
     sh = (
         shingle_src
         if shingle_src is not None
-        else hashed_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True)
+        else hashed_shingles(docs, id_col, text_col, n).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
 

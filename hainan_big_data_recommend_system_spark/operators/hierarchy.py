@@ -20,6 +20,7 @@ naive walk would take 64 dependent joins.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def resolve_roots(
@@ -40,7 +41,7 @@ def resolve_roots(
         .otherwise(F.lit(1))
         .cast("long")
         .alias("dist"),
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
     for _ in range(rounds):
         hop = state.select(
             F.col("node").alias("p_node"),
@@ -54,7 +55,7 @@ def resolve_roots(
                 F.col("p_ptr").alias("ptr"),
                 (F.col("dist") + F.col("p_dist")).alias("dist"),
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
         )
     return state.select(
         "node",

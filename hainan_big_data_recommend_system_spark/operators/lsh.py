@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from .similarity import int_dot, quantize_vec
+from ..session import CHECKPOINT_LEVEL
 
 _MIX_M = 2003  # prime → components uniform in [-1001, 1001]
 _MASK64 = (1 << 64) - 1
@@ -213,7 +214,7 @@ def lsh_topk_pinned(
     # (build once, probe many), same staging shape as qcatalog/dedup.py.
     sig = lsh_signatures(
         df, id_col, vec_col, planes, scale, data_dim=dim
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     a = sig.select(F.col("vid").alias("query_id"), "t", "bucket")
     if query_filter is not None:
         a = a.filter(query_filter)

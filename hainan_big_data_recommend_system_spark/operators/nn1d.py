@@ -34,6 +34,7 @@ exact counterpart when the ranking key is scalar.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def nearest_neighbors_1d(
@@ -61,7 +62,7 @@ def nearest_neighbors_1d(
             F.col(val_col).alias("__v"),
         )
         .withColumn("__pos", F.row_number().over(w_pos))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
 
     # T = max multiplicity of a single value per group → exact band width

@@ -29,6 +29,7 @@ shuffle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def distributed_prefix_sum(
@@ -51,7 +52,7 @@ def distributed_prefix_sum(
     # materialize once: the bucket totals AND the probe side both consume
     # this relation — lazily the upstream (tokenize/hash projections) would
     # execute twice per pass
-    rows = df.withColumn("__bkt", bucket).localCheckpoint(eager=True)
+    rows = df.withColumn("__bkt", bucket).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
 
     # pass 1: one partial sum per bucket; exclusive offsets via a window
     # over ≤256 rows (safely single-partition — it is driver-bounded)

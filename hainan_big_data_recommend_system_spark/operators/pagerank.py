@@ -33,6 +33,7 @@ stacking five joins deep.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 TELEPORT_MICRO = 150_000
 DAMP_MICRO = 850_000
@@ -54,12 +55,12 @@ def pagerank_micro(
         .unionByName(
             pairs.select(F.col(b_col).alias("u"), F.col(a_col).alias("v"))
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     deg = (
         e.groupBy("u")
         .agg(F.count(F.lit(1)).cast("long").alias("d"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     r = deg.select("u", F.lit(UNIT).cast("long").alias("r"))
     for _ in range(n_iter):
@@ -77,7 +78,7 @@ def pagerank_micro(
                 .cast("long")
                 .alias("r"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         )
     return r.select(F.col("u").alias("doc_id"), F.col("r").alias("rank_micros"))
 

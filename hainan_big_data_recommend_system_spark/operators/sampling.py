@@ -16,6 +16,7 @@ oracle-checkable — unlike ``rand(seed)``, whose stream is engine-specific.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def hash_rank(key: Column, seed: str = "42") -> Column:
@@ -112,7 +113,7 @@ def temperature_mixture_sample(
     )
     # tiny (one row per domain) but its parent aggregate scans the corpus,
     # and BOTH the normalizer and the rate join consume it
-    w = w.localCheckpoint(eager=True)
+    w = w.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     tot = w.agg(
         F.sum("n_d").cast("long").alias("n_total"),
         F.sum("w_i").cast("long").alias("w_total"),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .ann import pinned_centroid_ranks
 from .similarity import blocked_cosine_pairs_np
+from ..session import CHECKPOINT_LEVEL
 
 
 def semdedup(
@@ -67,7 +68,7 @@ def semdedup(
     pairs = blocked_cosine_pairs_np(
         with_cid, "vec_id", "__vec", block_col="cluster_id",
         threshold=threshold, scale=scale,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     # peers per vector (either side of the a<b pair), dropped = any smaller peer
     peers = (
         pairs.select(F.col("a_id").alias("vec_id"), F.col("b_id").alias("peer"))

@@ -32,6 +32,7 @@ well-distributed after max_df pruning.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def quantize_vec(vec: Column, scale: int = 1000) -> Column:
@@ -308,7 +309,7 @@ def sparse_cosine_topk(
         # GC-reclaimed after the query instead of living in the CacheManager
         # forever.  (Non-replicated + lineage cut → executor loss fails the
         # job; at cluster scale stage this table reliably instead.)
-        tw = tf.join(F.broadcast(kept), "token", "inner").localCheckpoint(eager=True)
+        tw = tf.join(F.broadcast(kept), "token", "inner").localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         scored = _posting_join_scores(tw, query_filter)
     w = Window.partitionBy("a_id").orderBy(F.desc("sim"), F.asc("b_id"))
     return (

@@ -10,6 +10,7 @@ built from integer counts then divided once).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 #: tiny per-language function-word lexicons for the n-gram/lexicon heuristic
 LANG_LEXICONS: dict[str, tuple[str, ...]] = {
@@ -404,7 +405,7 @@ def unigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     counts = (
         toks.groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     tot = counts.agg(
         F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
@@ -454,12 +455,12 @@ def bigram_lm_scores(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     c1 = (
         uni.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     c2 = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     v = c1.agg(F.count(F.lit(1)).alias("v"))
     lp = F.round(
@@ -526,7 +527,7 @@ def kn_bigram_lm_scores(
     c2 = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=True)  # feeds every model table + scoring
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)  # feeds every model table + scoring
     )
     c1 = c2.groupBy("w1").agg(
         F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1f")
@@ -617,7 +618,7 @@ def dsir_importance_weights(
             F.sum("__t").alias("ct"),
             F.count(F.lit(1)).alias("cr"),
         )
-        .localCheckpoint(eager=True)  # feeds totals AND the scoring join
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)  # feeds totals AND the scoring join
     )
     tot = model.agg(
         F.sum("ct").alias("nt"), F.sum("cr").alias("nr")

@@ -27,6 +27,7 @@ from ..operators.nn1d import nearest_neighbors_1d
 from ..operators.scoring import rank_discounted_score
 from ..operators.topk import topk_per_group
 from . import register, register_extra
+from ..session import CHECKPOINT_LEVEL
 
 
 @register(
@@ -108,7 +109,7 @@ def reco_assembly(
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("uid"), F.col("l_partkey").alias("pid"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     )
     hot = hot_items(li, "l_partkey", n=30).select(
         F.col("l_partkey").alias("pid")

@@ -18,8 +18,23 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import SparkSession
+from pyspark.storagelevel import StorageLevel
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: Storage level for every ``localCheckpoint`` in the engine (guide §5).
+#: Spark's default local-checkpoint level stores blocks DESERIALIZED
+#: (``MEMORY_AND_DISK_DESER``): every MemoryStore put then pays a
+#: ``SizeEstimator`` reflection walk over the row-object graph to price the
+#: block, and the retained object graphs bloat the old generation across a
+#: long-lived session (one bench JVM runs 50 queries' checkpoints
+#: back-to-back).  Measured on this runtime: ``reco_assembly`` first run in
+#: a fresh JVM 53.7s deserialized vs 6.2s serialized, and 66s warm
+#: mid-bench vs ~5s after this change.  Serialized blocks have exact sizes
+#: (no estimator walk) and compact byte[] payloads (no GC amplification);
+#: the extra (de)serialization is codegen'd UnsafeRow work, which the
+#: steady-state A/B shows is free at these block sizes.
+CHECKPOINT_LEVEL = StorageLevel.MEMORY_AND_DISK  # serialized in Spark 4 naming
 
 
 def get_spark(

@@ -25,6 +25,7 @@ and driver class.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from ..session import CHECKPOINT_LEVEL
 
 
 def read_jdbc_table(
@@ -104,7 +105,7 @@ def write_jdbc_append_dedup(
             .select(*dedup_keys)
             # eager: runs the JDBC key scan NOW, once, and replaces it in
             # the write plan with the snapshot (never a per-task cursor)
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         )
         batch = batch.join(existing, dedup_keys, "left_anti")
     except Exception as e:

@@ -33,6 +33,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, Window, functions as F
+from ..session import CHECKPOINT_LEVEL
 
 
 def _read_epochs(spark, path: str) -> DataFrame | None:
@@ -137,7 +138,7 @@ def dedup_ingest_writer(
             survivors = survivors.join(
                 F.broadcast(prior) if _small(prior) else prior, "__h", "left_anti"
             )
-        survivors = survivors.localCheckpoint(eager=True)  # multiple consumers
+        survivors = survivors.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)  # multiple consumers
 
         buckets = None
         if bucket_dir is not None:
@@ -189,7 +190,7 @@ def _near_dup_stage(
     buckets = lsh_buckets(
         minhash_signatures(docs, "doc_id", "text", num_hashes, shingle_n),
         rows_per_band,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
 
     # in-batch candidates (a_id < b_id) + corpus candidates (a=new, b=old)
     cand = lsh_candidate_pairs(buckets).withColumn("__from_corpus", F.lit(False))
@@ -206,7 +207,7 @@ def _near_dup_stage(
             .withColumn("__from_corpus", F.lit(True))
         )
         cand = cand.unionByName(corpus_cand)
-    cand = cand.localCheckpoint(eager=True)
+    cand = cand.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
 
     # verification corpus: the batch docs plus ONLY the candidate partner
     # docs pulled from prior epochs — bounded by |candidates|
@@ -244,7 +245,7 @@ def _near_dup_stage(
     )
     kept = survivors.join(
         dropped.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     kept_buckets = buckets.join(
         kept.select(F.col(id_col).alias("doc_id")), "doc_id"
     )
@@ -526,7 +527,7 @@ def forget_docs(
     id_df = F.broadcast(
         spark.createDataFrame([(i,) for i in ids], f"{id_col} {id_type}")
     )
-    hits = corpus.join(id_df, id_col).localCheckpoint(eager=True)
+    hits = corpus.join(id_df, id_col).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     removed = hits.count()
     if removed == 0:
         return 0
@@ -549,7 +550,7 @@ def forget_docs(
                 F.md5(F.col(text_col).cast("binary")), F.lit("__null__")
             ).alias("fingerprint")
         ).distinct()
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
 
     def _purge(state_dir: str, state: DataFrame, key_cols: list, victims):
         """Rewrite only the partitions of ``state_dir`` holding victim
