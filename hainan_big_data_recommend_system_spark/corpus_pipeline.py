@@ -33,7 +33,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, Observation, SparkSession, functions as F
 
 from .operators.components import connected_components
 from .operators.contamination import benchmark_overlap
@@ -68,12 +68,27 @@ def _fs_for(spark: SparkSession, path: str):
 
 
 def _stage(spark: SparkSession, out_dir: str, name: str, build):
-    """Restartable stage: build → parquet once; later runs read back."""
+    """Restartable stage: build → parquet once; later runs read back.
+
+    Returns ``(df, n_rows)``.  On a fresh build the row count rides the
+    write job as an observed metric (guide §1/§2 — the ledger previously
+    paid a SEPARATE count job per stage, ~0.3 s each on the 8-stage
+    chain); on resume it is one parquet metadata count over the staged
+    files.  Either way the count is computed from the staged data of
+    THIS run — never read from a side file."""
     path = os.path.join(out_dir, name)
     jvm, fs, _ = _fs_for(spark, path)
+    n = None
     if not fs.exists(jvm.org.apache.hadoop.fs.Path(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path)
+        obs = Observation()
+        build().observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(path)
+        n = int(obs.get["n"])
+    df = spark.read.parquet(path)
+    if n is None:
+        n = df.count()
+    return df, n
 
 
 def _guard_recipe(spark: SparkSession, out_dir: str, recipe: dict) -> None:
@@ -320,8 +335,8 @@ def build_training_corpus(
             "doc_id", F.col("redacted_text").alias("text")
         )
 
-    cleaned = _stage(spark, out_dir, "01_clean", clean)
-    record("01_clean", n0, cleaned.count())
+    cleaned, n_cleaned = _stage(spark, out_dir, "01_clean", clean)
+    record("01_clean", n0, n_cleaned)
 
     def quality():
         flags = corpus_clean_flags(cleaned, "doc_id", "text")
@@ -331,8 +346,8 @@ def build_training_corpus(
             )
         )
 
-    survivors = _stage(spark, out_dir, "02_quality", quality)
-    record("02_quality", stats["01_clean"]["rows_out"], survivors.count())
+    survivors, n_survivors = _stage(spark, out_dir, "02_quality", quality)
+    record("02_quality", stats["01_clean"]["rows_out"], n_survivors)
 
     def pairs():
         # candidates from LSH buckets, then EXACT-Jaccard verification —
@@ -351,7 +366,7 @@ def build_training_corpus(
             threshold=split_jaccard_threshold,
         )
 
-    dup_pairs = _stage(spark, out_dir, "03a_pairs", pairs)
+    dup_pairs, _n_pairs = _stage(spark, out_dir, "03a_pairs", pairs)
 
     def neardup():
         hard = dup_pairs.filter(
@@ -365,8 +380,8 @@ def build_training_corpus(
         )
         return survivors.join(drop, "doc_id", "left_anti")
 
-    pruned = _stage(spark, out_dir, "03_neardup", neardup)
-    record("03_neardup", stats["02_quality"]["rows_out"], pruned.count())
+    pruned, n_pruned = _stage(spark, out_dir, "03_neardup", neardup)
+    record("03_neardup", stats["02_quality"]["rows_out"], n_pruned)
 
     if benchmark is not None:
         def decontam():
@@ -378,12 +393,10 @@ def build_training_corpus(
             ).select("doc_id")
             return pruned.join(dirty, "doc_id", "left_anti")
 
-        final_docs = _stage(spark, out_dir, "04_decontam", decontam)
+        final_docs, n_final = _stage(spark, out_dir, "04_decontam", decontam)
     else:
-        final_docs = pruned
-    record(
-        "04_decontam", stats["03_neardup"]["rows_out"], final_docs.count()
-    )
+        final_docs, n_final = pruned, n_pruned
+    record("04_decontam", stats["03_neardup"]["rows_out"], n_final)
 
     if dsir_target is not None:
         def select():
@@ -403,10 +416,10 @@ def build_training_corpus(
                 "doc_id",
             )
 
-        selected = _stage(spark, out_dir, "05_select", select)
+        selected, n_selected = _stage(spark, out_dir, "05_select", select)
     else:
-        selected = final_docs
-    record("05_select", stats["04_decontam"]["rows_out"], selected.count())
+        selected, n_selected = final_docs, n_final
+    record("05_select", stats["04_decontam"]["rows_out"], n_selected)
 
     def splits():
         # the FULL low-threshold graph groups the split assignment: the
@@ -420,8 +433,8 @@ def build_training_corpus(
             "doc_id",
         )
 
-    with_split = _stage(spark, out_dir, "06_splits", splits)
-    record("06_splits", stats["05_select"]["rows_out"], with_split.count())
+    with_split, n_split = _stage(spark, out_dir, "06_splits", splits)
+    record("06_splits", stats["05_select"]["rows_out"], n_split)
 
     def materialize():
         if objective == "ar":
@@ -432,10 +445,8 @@ def build_training_corpus(
         fimd = fim_transform(with_split, "doc_id", "text")
         return with_split.select("doc_id", "split").join(fimd, "doc_id")
 
-    materialized = _stage(spark, out_dir, "07_objective", materialize)
-    record(
-        "07_objective", stats["06_splits"]["rows_out"], materialized.count()
-    )
+    materialized, n_mat = _stage(spark, out_dir, "07_objective", materialize)
+    record("07_objective", stats["06_splits"]["rows_out"], n_mat)
 
     def shards():
         # training_shards emits the LAYOUT table (doc_id, shard_id,
@@ -445,8 +456,8 @@ def build_training_corpus(
         )
         return materialized.join(layout, "doc_id")
 
-    sharded = _stage(spark, out_dir, "08_shards", shards)
-    record("08_shards", stats["07_objective"]["rows_out"], sharded.count())
+    sharded, n_sharded = _stage(spark, out_dir, "08_shards", shards)
+    record("08_shards", stats["07_objective"]["rows_out"], n_sharded)
 
     # provenance manifest: the dataset card's verifiable core.  The
     # digest is an order-free integer fold over every row's identity and

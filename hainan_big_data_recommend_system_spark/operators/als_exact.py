@@ -41,7 +41,7 @@ and the power method; fixed-point determinism is elementary.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 from ..session import CHECKPOINT_LEVEL
 
 _SCALE = 1000
@@ -92,15 +92,23 @@ def als_rank1_factors(
         # before this (the r8→r9 cost fix: 21.5 → ~13s cold at sf0.1).
         # The eager job over a broadcast-joined groupBy is the minimum
         # one pass per alternation; MLlib ALS checkpoints on a cadence
-        # for the same lineage-growth reason.
-        u = u.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
-        u = u.crossJoin(
-            F.broadcast(u.agg(F.max("uf").alias("__m")))
-        ).select(
+        # for the same lineage-growth reason.  The normalization max
+        # rides the SAME job as an observed metric (r15, guide §1/§2:
+        # one job per alternation side instead of two — the separate
+        # max-aggregate job and its broadcast exchange disappear); the
+        # exact integer max then normalizes as a literal.
+        obs_u = Observation()
+        u = u.observe(obs_u, F.max("uf").alias("__m")).localCheckpoint(
+            eager=True, storageLevel=CHECKPOINT_LEVEL
+        )
+        u_max = obs_u.get["__m"]
+        if u_max is None:  # empty side: match greatest(null, 1) = 1
+            u_max = 0
+        u = u.select(
             "u",
             F.expr(
                 f"cast(cast(uf as {_DEC}) * {_SCALE} "
-                f"div greatest(__m, 1) as long)"
+                f"div greatest({u_max}, 1) as long)"
             ).alias("uf"),
         )
         rv = r.join(F.broadcast(u), "u").groupBy("i").agg(
@@ -115,14 +123,19 @@ def als_rank1_factors(
             "i",
             F.expr(f"cast(__num * {_SCALE} div __den as long)").alias("v"),
         )
-        v = v.localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)  # raw side, same reason as u
-        v = v.crossJoin(
-            F.broadcast(v.agg(F.max("v").alias("__m")))
-        ).select(
+        # raw side + observed max in one job, same reason as u
+        obs_v = Observation()
+        v = v.observe(obs_v, F.max("v").alias("__m")).localCheckpoint(
+            eager=True, storageLevel=CHECKPOINT_LEVEL
+        )
+        v_max = obs_v.get["__m"]
+        if v_max is None:  # empty side: match greatest(null, 1) = 1
+            v_max = 0
+        v = v.select(
             "i",
             F.expr(
                 f"cast(cast(v as {_DEC}) * {_SCALE} "
-                f"div greatest(__m, 1) as long)"
+                f"div greatest({v_max}, 1) as long)"
             ).alias("v"),
         )
     return u, v, r
