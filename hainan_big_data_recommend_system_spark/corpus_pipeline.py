@@ -162,14 +162,23 @@ def ingest_format_sources(
     from .operators.markdown import markdown_to_text
     from .operators.subtitles import srt_cues, srt_transcript
 
-    legs: list[tuple[str, DataFrame, DataFrame]] = []  # (source, in, out)
+    # (source, input-count observation, out): the input count rides the
+    # SAME job that materializes the leg (an Observation on the input
+    # node), so each leg pays ONE action instead of two (guide §1/§2)
+    legs: list[tuple[str, Observation, DataFrame]] = []
+
+    def _observed(df: DataFrame) -> tuple[DataFrame, Observation]:
+        obs = Observation()
+        return df.observe(obs, F.count(F.lit(1)).alias("n")), obs
+
     if html_pages is not None:
+        html_pages, obs_in = _observed(html_pages)
         out = html_extract_text(html_pages, id_col, "html").select(
             F.col(id_col),
             F.col("main_text").alias("text"),
             F.lit("html").alias("source"),
         ).filter(F.length("text") > 0)
-        legs.append(("html", html_pages, out))
+        legs.append(("html", obs_in, out))
     if pdf_docs is not None:
         import pandas as pd
 
@@ -188,18 +197,21 @@ def ingest_format_sources(
                         rows.append({id_col: int(did), "text": text})
                 yield pd.DataFrame(rows, columns=[id_col, "text"])
 
+        pdf_docs, obs_in = _observed(pdf_docs)
         out = pdf_docs.mapInPandas(
             pdf_extract, f"{id_col} long, text string"
         ).withColumn("source", F.lit("pdf"))
-        legs.append(("pdf", pdf_docs, out))
+        legs.append(("pdf", obs_in, out))
     if markdown_docs is not None:
+        markdown_docs, obs_in = _observed(markdown_docs)
         out = markdown_docs.select(
             F.col(id_col),
             markdown_to_text("md").alias("text"),
             F.lit("markdown").alias("source"),
         ).filter(F.length("text") > 0)
-        legs.append(("markdown", markdown_docs, out))
+        legs.append(("markdown", obs_in, out))
     if subtitle_docs is not None:
+        subtitle_docs, obs_in = _observed(subtitle_docs)
         cues = srt_cues(subtitle_docs, id_col, "srt").filter(
             F.col("start_ms").isNotNull()
         )
@@ -208,16 +220,25 @@ def ingest_format_sources(
             F.col("transcript").alias("text"),
             F.lit("subtitle").alias("source"),
         ).filter(F.length("text") > 0)
-        legs.append(("subtitle", subtitle_docs, out))
+        legs.append(("subtitle", obs_in, out))
     if not legs:
         raise ValueError("ingest_format_sources needs at least one source")
     union = None
     ledger: dict[str, dict[str, int]] = {}
-    for source, df_in, df_out in legs:
-        df_out = df_out.localCheckpoint(eager=False, storageLevel=CHECKPOINT_LEVEL)
+    for source, obs_in, df_out in legs:
+        # ONE eager-checkpoint job per leg: the materialization fires the
+        # input-count observation (placed on the leg's input node) and
+        # the output-count observation together — previously each leg
+        # paid two separate count jobs.  Observations only complete on a
+        # real SQL action over the observed plan, hence eager (a lazy
+        # checkpoint's later RDD-level count never posts the metrics).
+        obs_out = Observation()
+        df_out = df_out.observe(
+            obs_out, F.count(F.lit(1)).alias("n")
+        ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         ledger[f"00_ingest_{source}"] = {
-            "rows_in": df_in.count(),
-            "rows_out": df_out.count(),
+            "rows_in": int(obs_in.get["n"]),
+            "rows_out": int(obs_out.get["n"]),
         }
         union = df_out if union is None else union.unionByName(df_out)
     return union, ledger
