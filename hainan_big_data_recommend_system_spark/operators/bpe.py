@@ -82,14 +82,19 @@ def bpe_train(
     word_col: str,
     freq_col: str,
     n_merges: int = 8,
+    checkpoint_every: int = 4,
 ) -> list[tuple[int, str, str, int]]:
     """Learn ``n_merges`` BPE merges from a ``(word, freq)`` table;
     returns ``[(step, left, right, pair_count), ...]``.
 
     Every iteration: one vocabulary-sized pair count (groupBy + integer
     sum), a deterministic 1-row argmax, one literal replace.  Sequences
-    are eagerly checkpointed per step so the lineage stays one replace
-    deep instead of accumulating ``n_merges`` nested plans."""
+    are eagerly checkpointed every ``checkpoint_every`` merges (r15,
+    guide §2: a literal ``replace`` is one cheap string pass, so letting
+    a few of them stack in the argmax scan costs less than a
+    materialization job per step — halving the job count of the training
+    loop — while the cadence still keeps the lineage bounded for large
+    ``n_merges``)."""
     # the delimiter construction is the correctness foundation: a word
     # containing SEP would forge bucket boundaries and corrupt every
     # merge after it.  The check is one filter over the vocab-sized
@@ -124,7 +129,11 @@ def bpe_train(
         seq = seq.select(
             F.replace(F.col("seq"), F.lit(pat), F.lit(rep)).alias("seq"),
             "freq",
-        ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+        )
+        if step % max(checkpoint_every, 1) == 0:
+            seq = seq.localCheckpoint(
+                eager=True, storageLevel=CHECKPOINT_LEVEL
+            )
     return merges
 
 
