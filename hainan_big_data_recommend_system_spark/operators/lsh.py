@@ -201,10 +201,26 @@ def lsh_topk_pinned(
     the deduplicated pair set afterwards (two hash joins keyed on the id),
     so the widest stage's row width is independent of vector dim.
     """
-    dim = _vec_dim(df, vec_col)
     if bits is None:
-        n = df.filter(F.col(vec_col).isNotNull()).count()
-        bits = derive_bits(n)
+        # one aggregate job yields BOTH the geometry count and the dim
+        # (r15, guide §1: this path previously paid a limit(1) probe job
+        # for the dim plus a separate count job)
+        row = (
+            df.filter(F.col(vec_col).isNotNull())
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.first(F.size(F.col(vec_col))).alias("d"),
+            )
+            .collect()[0]
+        )
+        if not row["n"]:
+            raise ValueError(
+                f"cannot infer dim of {vec_col!r}: no non-null vectors"
+            )
+        dim = int(row["d"])
+        bits = derive_bits(int(row["n"]))
+    else:
+        dim = _vec_dim(df, vec_col)
     planes = pinned_hyperplanes(n_tables, bits, dim)
     # materialize the signature index once: the bucket self-join consumes
     # it on BOTH sides, and the query-side filter makes the subplans
