@@ -56,8 +56,15 @@ def benchmark_overlap(
     comparable in size to the corpus (that is :func:`dup_ngram_coverage`'s
     regime).
     """
-    corpus_sh = shingles(corpus, id_col, text_col, n=n, distinct=True).select(
-        "doc_id", F.xxhash64("shingle").alias("__sh")
+    # hash BEFORE the distinct (r15, guide §2 — the same discipline as
+    # dedup.hashed_shingles): the dedup shuffle then moves 16-byte
+    # (doc_id, int64) rows instead of n-word strings.  Distinct-hash
+    # counts equal distinct-string counts up to 64-bit collisions
+    # (~|shingles|²/2⁶⁵), the same tolerance the hit join already has.
+    corpus_sh = (
+        shingles(corpus, id_col, text_col, n=n, distinct=False)
+        .select("doc_id", F.xxhash64("shingle").alias("__sh"))
+        .distinct()
     )
     bench_sh = (
         shingles(
