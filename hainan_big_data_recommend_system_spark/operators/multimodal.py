@@ -385,7 +385,10 @@ def _map_media_rows(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            # dict records, not iterrows: iterrows builds a pandas Series
+            # per row (measured ~10x slower per row); row_fn only needs
+            # __getitem__ access, which dicts provide
+            for r in pdf.to_dict("records"):
                 payload = bytes(r["payload"])
                 if use_real_decoder:
                     _try_real_decode(payload)
@@ -493,8 +496,8 @@ def generate_bmp_media(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                did = int(r[id_col])
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
                 rows.append(
                     {
                         "media_id": did,
@@ -502,7 +505,7 @@ def generate_bmp_media(
                         "payload": make_bmp(
                             1 + did % mod_w,
                             1 + did % mod_h,
-                            str(r[text_col]).encode("utf-8"),
+                            str(text).encode("utf-8"),
                         ),
                         "source": "synthetic-bmp",
                     }
@@ -529,8 +532,8 @@ def generate_png_media(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                did = int(r[id_col])
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
                 rows.append(
                     {
                         "media_id": did,
@@ -538,7 +541,7 @@ def generate_png_media(
                         "payload": make_png(
                             1 + did % mod_w,
                             1 + did % mod_h,
-                            str(r[text_col]).encode("utf-8"),
+                            str(text).encode("utf-8"),
                         ),
                         "source": "synthetic-png",
                     }
@@ -576,8 +579,8 @@ def generate_jpeg_media(
     def batches(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
-                did = int(r[id_col])
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                did = int(did)
                 rows.append(
                     {
                         "media_id": did,
@@ -585,7 +588,7 @@ def generate_jpeg_media(
                         "payload": make_jpeg(
                             1 + did % mod_w,
                             1 + did % mod_h,
-                            str(r[text_col]).encode("utf-8"),
+                            str(text).encode("utf-8"),
                             subsampling=subsampling,
                         ),
                         "source": f"synthetic-jpeg-{subsampling}",

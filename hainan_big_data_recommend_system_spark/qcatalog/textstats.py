@@ -373,7 +373,7 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gif_gen_decode(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 decoded = decode_any(
                     make_gif(
@@ -1672,7 +1672,7 @@ def q_jpeg_progressive_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_decode(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 seed = str(r["text"]).encode("utf-8")
                 gray = did % 5 == 0
@@ -1847,7 +1847,7 @@ def q_image_exif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_parse(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 payload = add_exif(
                     make_jpeg(
@@ -1939,7 +1939,7 @@ def q_gif_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_decode(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 payload = make_gif(
                     1 + did % 21,
@@ -2230,7 +2230,7 @@ def q_warc_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_parse(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 body = (
                     "<html><body><p>" + str(r["text"]) + "</p></body></html>"
@@ -2475,7 +2475,7 @@ def q_warc_http_decoding_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_parse(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 enc = [None, "chunked", "gzip"][did % 3]
                 body = ("<p>" + str(r["text"]) + "</p>").encode("utf-8")
@@ -2540,7 +2540,7 @@ def q_warc_revisit_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_parse(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 uri = f"https://crawl.example/doc/{did}"
                 revisits = (
@@ -2617,7 +2617,7 @@ def q_archive_corpus_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_parse(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 text = str(r["text"]).encode("utf-8")
                 meta = f'{{"doc_id": {did}}}'.encode("ascii")
@@ -2762,7 +2762,7 @@ def q_pdf_text_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     def gen_and_extract(it):
         for pdf_batch in it:
             rows = []
-            for _, r in pdf_batch.iterrows():
+            for r in pdf_batch.to_dict("records"):
                 did = int(r["doc_id"])
                 text = str(r["text"])
                 lines = [text[i : i + 60] for i in range(0, len(text), 60)] or [""]
@@ -2829,7 +2829,7 @@ def q_warc_html_text_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     def warc_bodies(it):
         for pdf in it:
             rows = []
-            for _, r in pdf.iterrows():
+            for r in pdf.to_dict("records"):
                 did = int(r["doc_id"])
                 page = (
                     "<html><head><script>var x=1;</script></head><body>"

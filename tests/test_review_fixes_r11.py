@@ -58,8 +58,13 @@ def test_bloom_int32_columns_hash_at_their_width(spark, tmp_path):
 
 
 def test_iceberg_append_schema_is_enforced(spark, tmp_path):
-    """Field ids are positional: a reordered append would remap the
-    ids every manifest bound and equality_ids are keyed by."""
+    """A reordered APPEND is refused (the manifest bounds and
+    equality_ids it would stamp are keyed by field id, so a silent
+    positional remap corrupts them).  An OVERWRITE may reorder — and
+    since round 15 field ids resolve by NAME against the recorded
+    schema (never positionally; tests/test_rename_property.py pins the
+    full lifecycle), the surviving columns KEEP their ids across the
+    overwrite: id stays 1 and v stays 2 whatever order they arrive in."""
     tbl = str(tmp_path / "tbl")
     write_iceberg(spark.range(3).selectExpr("id", "id AS v")
                   .coalesce(1), tbl)
@@ -68,9 +73,9 @@ def test_iceberg_append_schema_is_enforced(spark, tmp_path):
         write_iceberg(reordered.coalesce(1), tbl)
     with pytest.raises(ValueError, match="positional"):
         merge_iceberg(spark, reordered.coalesce(1), tbl, ["id"])
-    # overwrite may change the schema
+    # overwrite may change the schema; ids are name-stable
     write_iceberg(reordered.coalesce(1), tbl, mode="overwrite")
-    assert read_table(tbl)["field_names"] == {1: "v", 2: "id"}
+    assert read_table(tbl)["field_names"] == {1: "id", 2: "v"}
 
 
 def test_iceberg_metadata_rewrites_preserve_field_types(spark, tmp_path):
