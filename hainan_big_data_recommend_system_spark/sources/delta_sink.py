@@ -55,6 +55,7 @@ import uuid
 
 from pyspark.sql import DataFrame
 
+from ..session import CHECKPOINT_LEVEL
 from ..operators.deltalog import (
     make_checkpoint_parquet,
     make_commit,
@@ -2639,6 +2640,15 @@ def delete_where_delta(
         table_dir, paths, pv, snap.get("schema_json"),
     )
     cond_rows = df.filter(condition)
+    if change_data:
+        # the matched rows feed TWO actions (the DV build's collect and
+        # the change-data write) — materialize the scan+filter once and
+        # let both read the checkpointed blocks instead of re-scanning
+        # the pruned file set per action (guide §2: remove redundant
+        # passes; at 100 TB the matched subset is the small side)
+        cond_rows = cond_rows.localCheckpoint(
+            eager=True, storageLevel=CHECKPOINT_LEVEL
+        )
     old_dvs = snap.get("deletion_vectors", {})
     fstats = snap.get("file_stats", {})
     token = uuid.uuid4().hex[:12]
@@ -2883,8 +2893,28 @@ def merge_delta(
                 )
     token = uuid.uuid4().hex[:12]
     adds: list[dict] = []
+    src_obs = None
     if not clauses:
-        adds = _stage_data_files(source, table_dir, token,
+        staged_src = source
+        if snap["live"]:
+            # the pruning block below needs the source keys' min/max
+            # (key-range pruning) and, for partition-key columns, the
+            # distinct touched values — previously 1-2 separate
+            # aggregate jobs over the source.  Both ride the staging
+            # write as observed metrics instead (guide §1/§2: one job,
+            # not three); collect_set is bounded by O(touched
+            # partitions), the same bound the old distinct collect had.
+            from pyspark.sql import Observation, functions as F
+
+            src_obs = Observation()
+            aggs = []
+            for c in key_cols:
+                aggs.append(F.min(c).alias(f"__lo_{c}"))
+                aggs.append(F.max(c).alias(f"__hi_{c}"))
+                if c in part_cols:
+                    aggs.append(F.collect_set(c).alias(f"__pv_{c}"))
+            staged_src = source.observe(src_obs, *aggs)
+        adds = _stage_data_files(staged_src, table_dir, token,
                                  partition_by=part_cols or None,
                                  l2p=_l2p_of(snap))
 
@@ -2902,28 +2932,41 @@ def merge_delta(
         # partition pruning first: merge keys that ARE partition
         # columns constrain which files can hold a match at all —
         # the source's distinct values per such column are O(touched
-        # partitions), collected once
-        wanted: dict[str, set] = {}
-        for c in key_cols:
-            if c in part_cols:
-                wanted[c] = {
-                    _spark_partition_str(r[c]) for r in
-                    source.select(c).distinct().collect()
-                    if r[c] is not None
-                }
+        # partitions).  In the upsert path they arrive as observed
+        # metrics of the staging write (src_obs above); the clause
+        # path (which stages later) still pays the aggregate jobs.
+        if src_obs is not None:
+            metrics = src_obs.get
+            wanted = {
+                c: {_spark_partition_str(v)
+                    for v in (metrics[f"__pv_{c}"] or [])}
+                for c in key_cols if c in part_cols
+            }
+            bounds = metrics
+        else:
+            wanted = {}
+            for c in key_cols:
+                if c in part_cols:
+                    wanted[c] = {
+                        _spark_partition_str(r[c]) for r in
+                        source.select(c).distinct().collect()
+                        if r[c] is not None
+                    }
         kept = (prune_by_partition(snap, wanted)["kept"] if wanted
                 else dict(snap["live"]))
         # key-RANGE pruning (round 12): the source keys' min/max bound
         # which target files can hold a match — ONE tiny agg over the
-        # source, then the same stats pruner the read path uses (files
+        # source (observed on the staging write in the upsert path),
+        # then the same stats pruner the read path uses (files
         # without bounds, or with incomparable types, are kept).  A
         # CDC batch of recent keys on a key-clustered 100 TB table
         # opens the recent files, not all of them.
-        aggs = []
-        for c in key_cols:
-            aggs.append(F.min(c).alias(f"__lo_{c}"))
-            aggs.append(F.max(c).alias(f"__hi_{c}"))
-        bounds = source.agg(*aggs).collect()[0]
+        if src_obs is None:
+            aggs = []
+            for c in key_cols:
+                aggs.append(F.min(c).alias(f"__lo_{c}"))
+                aggs.append(F.max(c).alias(f"__hi_{c}"))
+            bounds = source.agg(*aggs).collect()[0]
         declared_types = _declared_from_snap(snap)
         for c in key_cols:
             lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
@@ -2958,6 +3001,15 @@ def merge_delta(
                 F.broadcast(source.select(*key_cols).distinct()),
                 key_cols, "inner",
             )
+            if change_data:
+                # matched feeds the DV build's collect AND the CDC
+                # write (preimage + matched_keys) — materialize the
+                # key-match scan once instead of re-running it per
+                # action (guide §2/§5; the matched subset is the small
+                # side of a 100 TB merge by construction)
+                matched = matched.localCheckpoint(
+                    eager=True, storageLevel=CHECKPOINT_LEVEL
+                )
             updates = _build_dv_updates(
                 spark, matched.select("__fp", "__ri"), table_dir,
                 abs_to_rel,
@@ -2990,7 +3042,16 @@ def merge_delta(
         else:
             # clause routing against the live target: each category's
             # target rows come from ONE alive scan with the relevant
-            # (small, broadcast) source key set
+            # (small, broadcast) source key set.  The routed categories
+            # (upd/del/nmbs targets, matched_keys, pair joins) are
+            # consumed by THREE separate actions (DV collect, staging
+            # write, CDC write) — without this checkpoint each action
+            # re-scans the pruned live file set, ~6-8 scans per clause
+            # merge (guide §2/§5: materialize the shared intermediate
+            # once; serialized blocks, spills to disk at scale)
+            alive = alive.localCheckpoint(
+                eager=True, storageLevel=CHECKPOINT_LEVEL
+            )
             src_keys = source.select(*key_cols).distinct()
             t_other = [c for c in alive.columns if c not in key_cols]
 
@@ -3052,18 +3113,28 @@ def merge_delta(
                         extra.select("__fp", "__ri")
                         .withColumn("__why", F.lit("del"))
                     )
-            counts = {
-                r["__why"]: r["n"]
-                for r in tagged.groupBy("__why")
-                .agg(F.count("*").alias("n")).collect()
-            }
-            n_updated = int(counts.get("upd", 0))
-            n_deleted = int(counts.get("del", 0))
+            # the upd/del counts ride the DV build's collect as
+            # observed metrics — previously a SEPARATE groupBy job over
+            # the same tagged frame (guide §1/§2: one action carries
+            # both facets)
+            from pyspark.sql import Observation
+
+            obs_tag = Observation()
+            tagged = tagged.observe(
+                obs_tag,
+                F.sum(F.when(F.col("__why") == "upd", 1)
+                      .otherwise(0)).alias("__n_upd"),
+                F.sum(F.when(F.col("__why") == "del", 1)
+                      .otherwise(0)).alias("__n_del"),
+            )
             updates = _build_dv_updates(
                 spark, tagged.select("__fp", "__ri"), table_dir,
                 abs_to_rel,
                 {p: old_dvs[p] for p in paths if p in old_dvs},
             )
+            tag_metrics = obs_tag.get
+            n_updated = int(tag_metrics["__n_upd"] or 0)
+            n_deleted = int(tag_metrics["__n_del"] or 0)
             descs = _dv_descriptors(updates, table_dir,
                                     inline_threshold, token)
             matched_keys = F.broadcast(
