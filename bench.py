@@ -78,6 +78,25 @@ def main() -> None:
         KMeans(k=2, seed=0, maxIter=1).fit(pts)
     except Exception:
         pass
+    # warm the Arrow Python runner: the FIRST applyInPandas / mapInPandas
+    # of a session forks the Python worker pool and imports pandas/pyarrow
+    # in the workers (~2.2s measured on this host) — round 15 charged it
+    # to whichever staging line or query crossed the Python boundary
+    # first.  Two 64-row jobs (one per eval type) pay it here, the same
+    # rationale as the MLlib/codegen warmups above: per-query timings
+    # measure the operators, not interpreter start-up.
+    try:
+        tiny_py = spark.createDataFrame(
+            [(i % 4, i) for i in range(64)], "k int, v long"
+        )
+        tiny_py.groupBy("k").applyInPandas(
+            lambda pdf: pdf, "k int, v long"
+        ).write.format("noop").mode("overwrite").save()
+        tiny_py.mapInPandas(
+            lambda it: it, "k int, v long"
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
     spark.catalog.clearCache()
     # Prime the OS page cache for the benchmark tables: a full sequential
     # read of each parquet file before any timing starts.  Per-query numbers

@@ -69,3 +69,41 @@ def test_quantile_bucket_edges(spark):
         .collect()
     ]
     assert got == [1, 1, 2, 2, 3, 3, 4, 4, 5, 5]
+
+
+def test_bounds_fast_path_matches_sampled_path(spark):
+    # round 16: precomputed (lo, hi) bounds replace repartitionByRange's
+    # sampling pass with arithmetic bucket ids — ranks must be IDENTICAL
+    # to the sampled path (and to the single-window formulation), on
+    # tie-heavy data, both directions, including bounds wider than the
+    # data and a one-value domain
+    rows = [(i, (i * 7) % 13) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v long")
+    for desc in (False, True):
+        base = {
+            (r["id"], r["rank"]) for r in distributed_global_rank(
+                df, "v", ["id"], descending=desc,
+                tiebreak_descending=[False],
+            ).collect()
+        }
+        fast = {
+            (r["id"], r["rank"]) for r in distributed_global_rank(
+                df, "v", ["id"], descending=desc,
+                tiebreak_descending=[False], bounds=(0, 12),
+            ).collect()
+        }
+        wide = {
+            (r["id"], r["rank"]) for r in distributed_global_rank(
+                df, "v", ["id"], descending=desc,
+                tiebreak_descending=[False], bounds=(-100, 1000),
+            ).collect()
+        }
+        assert fast == base and wide == base
+    one = spark.createDataFrame([(i, 42) for i in range(10)],
+                                "id long, v long")
+    got = sorted(
+        (r["id"], r["rank"]) for r in distributed_global_rank(
+            one, "v", ["id"], bounds=(42, 42)
+        ).collect()
+    )
+    assert got == [(i, i + 1) for i in range(10)]
