@@ -70,12 +70,14 @@ def _fs_for(spark: SparkSession, path: str):
 def _stage(spark: SparkSession, out_dir: str, name: str, build):
     """Restartable stage: build → parquet once; later runs read back.
 
-    Returns ``(df, n_rows)``.  On a fresh build the row count rides the
-    write job as an observed metric (guide §1/§2 — the ledger previously
-    paid a SEPARATE count job per stage, ~0.3 s each on the 8-stage
-    chain); on resume it is one parquet metadata count over the staged
-    files.  Either way the count is computed from the staged data of
-    THIS run — never read from a side file."""
+    Returns ``(df, n_rows_or_None)``.  On a fresh build the row count
+    rides the write job as an observed metric (guide §1/§2 — the ledger
+    previously paid a SEPARATE count job per stage, ~0.3 s each on the
+    8-stage chain); on resume the count is ``None`` and the caller runs
+    ``df.count()`` only if it actually needs the number (ADVICE r15:
+    ``03a_pairs`` discards its count, so a resumed run paid a count job
+    for nothing).  Either way a materialized count comes from the staged
+    data of THIS run — never read from a side file."""
     path = os.path.join(out_dir, name)
     jvm, fs, _ = _fs_for(spark, path)
     n = None
@@ -86,9 +88,14 @@ def _stage(spark: SparkSession, out_dir: str, name: str, build):
         ).parquet(path)
         n = int(obs.get["n"])
     df = spark.read.parquet(path)
-    if n is None:
-        n = df.count()
     return df, n
+
+
+def _count_of(df: DataFrame, n: int | None) -> int:
+    """Resolve a :func:`_stage` count: the observed number when the
+    stage was built this run, one count job over the staged files on
+    resume."""
+    return df.count() if n is None else n
 
 
 def _guard_recipe(spark: SparkSession, out_dir: str, recipe: dict) -> None:
@@ -223,19 +230,36 @@ def ingest_format_sources(
         legs.append(("subtitle", obs_in, out))
     if not legs:
         raise ValueError("ingest_format_sources needs at least one source")
-    union = None
-    ledger: dict[str, dict[str, int]] = {}
-    for source, obs_in, df_out in legs:
+
+    def _materialize(leg):
         # ONE eager-checkpoint job per leg: the materialization fires the
         # input-count observation (placed on the leg's input node) and
         # the output-count observation together — previously each leg
         # paid two separate count jobs.  Observations only complete on a
         # real SQL action over the observed plan, hence eager (a lazy
         # checkpoint's later RDD-level count never posts the metrics).
+        source, obs_in, df_out = leg
         obs_out = Observation()
-        df_out = df_out.observe(
+        ck = df_out.observe(
             obs_out, F.count(F.lit(1)).alias("n")
         ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
+        return source, obs_in, obs_out, ck
+
+    # the legs are INDEPENDENT jobs — submit them from a small thread
+    # pool so one leg's straggler tail backfills with the next leg's
+    # tasks (guide §2.6) instead of running 4 Python-heavy
+    # materializations back to back.  Union/ledger order stays the
+    # legs' declaration order, so the result is bit-identical.
+    if len(legs) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(legs)) as pool:
+            done = list(pool.map(_materialize, legs))
+    else:
+        done = [_materialize(legs[0])]
+    union = None
+    ledger: dict[str, dict[str, int]] = {}
+    for source, obs_in, obs_out, df_out in done:
         ledger[f"00_ingest_{source}"] = {
             "rows_in": int(obs_in.get["n"]),
             "rows_out": int(obs_out.get["n"]),
@@ -357,7 +381,7 @@ def build_training_corpus(
         )
 
     cleaned, n_cleaned = _stage(spark, out_dir, "01_clean", clean)
-    record("01_clean", n0, n_cleaned)
+    record("01_clean", n0, _count_of(cleaned, n_cleaned))
 
     def quality():
         flags = corpus_clean_flags(cleaned, "doc_id", "text")
@@ -368,7 +392,8 @@ def build_training_corpus(
         )
 
     survivors, n_survivors = _stage(spark, out_dir, "02_quality", quality)
-    record("02_quality", stats["01_clean"]["rows_out"], n_survivors)
+    record("02_quality", stats["01_clean"]["rows_out"],
+           _count_of(survivors, n_survivors))
 
     def pairs():
         # candidates from LSH buckets, then EXACT-Jaccard verification —
@@ -402,7 +427,8 @@ def build_training_corpus(
         return survivors.join(drop, "doc_id", "left_anti")
 
     pruned, n_pruned = _stage(spark, out_dir, "03_neardup", neardup)
-    record("03_neardup", stats["02_quality"]["rows_out"], n_pruned)
+    record("03_neardup", stats["02_quality"]["rows_out"],
+           _count_of(pruned, n_pruned))
 
     if benchmark is not None:
         def decontam():
@@ -417,7 +443,8 @@ def build_training_corpus(
         final_docs, n_final = _stage(spark, out_dir, "04_decontam", decontam)
     else:
         final_docs, n_final = pruned, n_pruned
-    record("04_decontam", stats["03_neardup"]["rows_out"], n_final)
+    record("04_decontam", stats["03_neardup"]["rows_out"],
+           _count_of(final_docs, n_final))
 
     if dsir_target is not None:
         def select():
@@ -440,7 +467,8 @@ def build_training_corpus(
         selected, n_selected = _stage(spark, out_dir, "05_select", select)
     else:
         selected, n_selected = final_docs, n_final
-    record("05_select", stats["04_decontam"]["rows_out"], n_selected)
+    record("05_select", stats["04_decontam"]["rows_out"],
+           _count_of(selected, n_selected))
 
     def splits():
         # the FULL low-threshold graph groups the split assignment: the
@@ -455,7 +483,8 @@ def build_training_corpus(
         )
 
     with_split, n_split = _stage(spark, out_dir, "06_splits", splits)
-    record("06_splits", stats["05_select"]["rows_out"], n_split)
+    record("06_splits", stats["05_select"]["rows_out"],
+           _count_of(with_split, n_split))
 
     def materialize():
         if objective == "ar":
@@ -467,7 +496,8 @@ def build_training_corpus(
         return with_split.select("doc_id", "split").join(fimd, "doc_id")
 
     materialized, n_mat = _stage(spark, out_dir, "07_objective", materialize)
-    record("07_objective", stats["06_splits"]["rows_out"], n_mat)
+    record("07_objective", stats["06_splits"]["rows_out"],
+           _count_of(materialized, n_mat))
 
     def shards():
         # training_shards emits the LAYOUT table (doc_id, shard_id,
@@ -478,7 +508,8 @@ def build_training_corpus(
         return materialized.join(layout, "doc_id")
 
     sharded, n_sharded = _stage(spark, out_dir, "08_shards", shards)
-    record("08_shards", stats["07_objective"]["rows_out"], n_sharded)
+    record("08_shards", stats["07_objective"]["rows_out"],
+           _count_of(sharded, n_sharded))
 
     # provenance manifest: the dataset card's verifiable core.  The
     # digest is an order-free integer fold over every row's identity and
