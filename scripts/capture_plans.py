@@ -8,11 +8,13 @@ Usage: python scripts/capture_plans.py <suffix> [query ...]
   suffix: "before" or "after" (file name suffix)
   query:  optional subset; default = all registry queries
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_PLAN_DIR (default plans/r15).
+     SPARK_GRAFT_PLAN_DIR (default plans/r16).
 """
 
 from __future__ import annotations
 
+import contextlib
+import io
 import os
 import sys
 
@@ -29,7 +31,7 @@ def main() -> None:
     out_dir = os.environ.get(
         "SPARK_GRAFT_PLAN_DIR",
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                     "plans", "r15"),
+                     "plans", "r16"),
     )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark(app_name="capture_plans")
@@ -37,9 +39,13 @@ def main() -> None:
         spec = REGISTRY[name]
         try:
             df = spec.fn(spark, sf_dir)
-            plan = df._sc._jvm.PythonSQLUtils.explainString(
-                df._jdf.queryExecution(), "formatted"
-            )
+            # public API capture (ADVICE r15 low: the former
+            # PythonSQLUtils.explainString reach-in can break across
+            # PySpark versions)
+            buf = io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain("formatted")
+            plan = buf.getvalue()
         except Exception as e:  # a query that fails to plan still gets a file
             plan = f"PLAN CAPTURE FAILED: {e!r}\n"
         path = os.path.join(out_dir, f"{name}_{suffix}.txt")
