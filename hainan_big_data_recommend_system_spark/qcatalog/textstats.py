@@ -321,102 +321,105 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercise multi-MCU images and non-multiple-of-16 chroma edges;
     pixel tolerance vs the analytic box-downsample expectation is
     pinned in tests/test_jpeg.py."""
-    from ..operators.multimodal import (
-        decode_image_features,
-        generate_bmp_media,
-        generate_jpeg_media,
-        generate_png_media,
-    )
+    import hashlib
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    bmp_feats = decode_image_features(
-        generate_bmp_media(docs, "doc_id", "text")
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        F.col("width").alias("img_w"),
-        F.col("height").alias("img_h"),
-        (F.col("channels") * 8).cast("int").alias("img_bpp"),
-        F.col("n_bytes").alias("img_bytes"),
-    )
-    png_feats = decode_image_features(
-        generate_png_media(docs, "doc_id", "text")
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        F.col("width").alias("png_w"),
-        F.col("height").alias("png_h"),
-        F.col("channels").alias("png_channels"),
-        F.col("px_md5").alias("png_px_md5"),
-    )
-    jpeg_feats = decode_image_features(
-        generate_jpeg_media(docs, "doc_id", "text")
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        F.col("width").alias("jpeg_w"),
-        F.col("height").alias("jpeg_h"),
-        F.col("channels").alias("jpeg_channels"),
-    )
-    jpeg420_feats = decode_image_features(
-        generate_jpeg_media(
-            docs, "doc_id", "text", mod_w=19, mod_h=21, subsampling="420"
-        )
-    ).select(
-        F.col("media_id").alias("doc_id"),
-        F.col("width").alias("jpeg420_w"),
-        F.col("height").alias("jpeg420_h"),
-        F.col("channels").alias("jpeg420_channels"),
-    )
     import pandas as pd
 
     from ..operators.gif import make_gif
-    from ..operators.multimodal import _spread, decode_any
+    from ..operators.jpeg import make_jpeg
+    from ..operators.multimodal import (
+        _fake_decode,
+        _spread,
+        decode_any,
+        make_bmp,
+        make_png,
+    )
 
-    def gif_gen_decode(it):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    # ONE fused generate+decode pass per doc (round 16, guide §4): the
+    # former shape was 4 generator kernels + 4 decode kernels + 1 gif
+    # kernel + 5 joins — every payload crossed the Arrow boundary twice
+    # and the query paid 12 jobs of plumbing for one partition-parallel
+    # Python stage.  The kernel calls the SAME make_*/decode functions
+    # the media operators use, with identical fallback semantics
+    # (decode_any → _fake_decode, digest of decoded pixels else raw
+    # payload — decode_image_features' row_fn branch verbatim), so
+    # every emitted value is bit-identical to the joined formulation;
+    # a doc whose GIF fails to decode is skipped, exactly as the old
+    # inner join dropped it.  The media operators themselves are
+    # unchanged (streaming/other queries still compose them).
+    def _dims(payload):
+        decoded = decode_any(payload)
+        if decoded is not None:
+            w, h, c, pixels = decoded
+            return w, h, c, pixels
+        w, h, c, _ = _fake_decode(payload)
+        return w, h, c, None
+
+    def all_feats(it):
         for pdf in it:
             rows = []
-            for r in pdf.to_dict("records"):
-                did = int(r["doc_id"])
-                decoded = decode_any(
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                tb = str(text).encode("utf-8")
+                gif_dec = decode_any(
                     make_gif(
-                        1 + did % 21,
-                        1 + did % 13,
-                        str(r["text"]).encode("utf-8"),
+                        1 + did % 21, 1 + did % 13, tb,
                         interlaced=(did % 2 == 1),
                     )
                 )
-                if decoded is None:
+                if gif_dec is None:
                     continue
-                w, h, c, px = decoded
-                rows.append(
-                    {
-                        "doc_id": did,
-                        "gif_w": w,
-                        "gif_h": h,
-                        "gif_channels": c,
-                        "gif_px_sum": sum(px),
-                    }
+                gw, gh, gc, gpx = gif_dec
+                bmp = make_bmp(1 + did % 31, 1 + did % 17, tb)
+                bw, bh, bc, _ = _dims(bmp)
+                png = make_png(1 + did % 29, 1 + did % 13, tb)
+                pw, ph, pc, ppx = _dims(png)
+                jw, jh, jc, _ = _dims(
+                    make_jpeg(1 + did % 23, 1 + did % 11, tb)
                 )
+                j4w, j4h, j4c, _ = _dims(
+                    make_jpeg(1 + did % 19, 1 + did % 21, tb,
+                              subsampling="420")
+                )
+                rows.append({
+                    "doc_id": did,
+                    "n_bytes": len(tb),
+                    "content_sha256": hashlib.sha256(tb).hexdigest(),
+                    "size_class": "large" if len(tb) >= 1024 else "small",
+                    "img_w": bw,
+                    "img_h": bh,
+                    "img_bpp": bc * 8,
+                    "img_bytes": len(bmp),
+                    "png_w": pw,
+                    "png_h": ph,
+                    "png_channels": pc,
+                    "png_px_md5": hashlib.md5(
+                        ppx if ppx is not None else png
+                    ).hexdigest(),
+                    "jpeg_w": jw,
+                    "jpeg_h": jh,
+                    "jpeg_channels": jc,
+                    "jpeg420_w": j4w,
+                    "jpeg420_h": j4h,
+                    "jpeg420_channels": j4c,
+                    "gif_w": gw,
+                    "gif_h": gh,
+                    "gif_channels": gc,
+                    "gif_px_sum": sum(gpx),
+                })
             if rows:
                 yield pd.DataFrame(rows)
 
-    gif_feats = _spread(docs, "doc_id").mapInPandas(
-        gif_gen_decode,
-        "doc_id long, gif_w int, gif_h int, gif_channels int, "
-        "gif_px_sum long",
-    )
-    payload = F.col("text").cast("binary")
-    n_bytes = F.length(payload).cast("bigint")
-    meta = docs.select(
-        "doc_id",
-        n_bytes.alias("n_bytes"),
-        F.sha2(payload, 256).alias("content_sha256"),
-        F.when(n_bytes >= 1024, "large").otherwise("small").alias("size_class"),
-    )
-    return (
-        meta.join(bmp_feats, "doc_id")
-        .join(png_feats, "doc_id")
-        .join(jpeg_feats, "doc_id")
-        .join(jpeg420_feats, "doc_id")
-        .join(gif_feats, "doc_id")
+    return _spread(docs).mapInPandas(
+        all_feats,
+        "doc_id long, n_bytes long, content_sha256 string, "
+        "size_class string, img_w int, img_h int, img_bpp int, "
+        "img_bytes long, png_w int, png_h int, png_channels int, "
+        "png_px_md5 string, jpeg_w int, jpeg_h int, jpeg_channels int, "
+        "jpeg420_w int, jpeg420_h int, jpeg420_channels int, "
+        "gif_w int, gif_h int, gif_channels int, gif_px_sum long",
     )
 
 
