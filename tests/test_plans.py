@@ -146,15 +146,16 @@ def test_event_time_windows_one_exchange_per_kind(spark):
 
 
 def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
-    """Five decode chains (BMP + PNG since round 4, JPEG since round 5,
-    4:2:0 JPEG and GIF since round 6) stream Arrow batches — the three
-    generate->decode pairs are MapInPandas x2 each, the fused GIF
-    generate+decode kernel is x1 (9 total); all five metadata joins stay
-    broadcast, and no row-at-a-time Python eval appears anywhere."""
+    """All five decode chains (BMP + PNG since round 4, JPEG since round
+    5, 4:2:0 JPEG and GIF since round 6) are fused into ONE Arrow
+    generate+decode kernel (round 16): a single MapInPandas over the doc
+    scan, zero joins — the former 9-kernel/5-join shape paid every
+    payload across the Arrow boundary twice plus 12 jobs of join
+    plumbing.  No row-at-a-time Python eval anywhere."""
     plan = plan_of(spark, "multimodal_meta")
-    assert plan.count("MapInPandas") == 9, plan
+    assert plan.count("MapInPandas") == 1, plan
     assert "EvalPython" not in plan, plan
-    assert plan.count("BroadcastHashJoin") == 5, plan
+    assert "Join" not in plan, plan
 
 
 # ---------------------------------------------------------------------------
@@ -163,10 +164,13 @@ def test_multimodal_meta_arrow_batched_with_broadcast_join(spark):
 
 
 def test_ann_topk_lsh_narrow_dedup_and_plane_broadcast(spark):
-    """Hyperplane LSH: the planes ride a broadcast (96 tiny rows, never
-    data x data); the bucket join shuffles on (t, bucket) and the
+    """Hyperplane LSH: signatures come from the numpy matmul kernel
+    behind an eager checkpoint (round 16 — the plan shows the checkpoint
+    leaf, so no plane crossJoin and no (t, bucket) exchange survives:
+    the filtered query side broadcasts into the bucket join); the
     cross-table candidate dedup exchange carries ONLY the two id longs
-    (the round-4 shuffle-width fix); no Python eval anywhere."""
+    (the round-4 shuffle-width fix); no row-at-a-time Python eval and
+    no cartesian product anywhere."""
     import re
 
     plan = plan_of(spark, "ann_topk_lsh")
@@ -174,7 +178,6 @@ def test_ann_topk_lsh_narrow_dedup_and_plane_broadcast(spark):
     assert "CartesianProduct" not in plan, plan
     ex = _exchange_lines(plan)
     assert re.search(r"hashpartitioning\(query_id#\d+L, neighbor_id#\d+L", ex), ex
-    assert re.search(r"hashpartitioning\(t#\d+, bucket#\d+L", ex), ex
     assert "__q" not in ex, ex  # vectors never key a shuffle
 
 
