@@ -48,6 +48,23 @@ def exact_dedup(
     )
 
 
+def _spread_scan(docs: DataFrame, key_col: str) -> DataFrame:
+    """Scale-adaptive parallelism guard for CPU-heavy per-doc expansions
+    (round 16, guide §2.6): a small corpus arrives as ONE file split
+    (the sf0.1 fixtures are single-row-group parquet), which serializes
+    the whole shingle explode on one core — measured 3.0 → 0.55 s for
+    the 250k-shingle distinct at sf0.1.  A production corpus arrives in
+    thousands of splits and must NOT pay a full-text shuffle, so the
+    repartition fires only when the physical scan parallelism is below
+    the session default; at scale the condition is false and this is a
+    no-op.  Hash-partitioning on the doc key keeps the explode's output
+    grouped for the downstream per-doc aggregates."""
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < n:
+        return docs.repartition(n, F.col(key_col))
+    return docs
+
+
 def shingles(
     docs: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
@@ -57,6 +74,7 @@ def shingles(
     (e.g. a min/max aggregate) — the distinct is a full shuffle of string
     rows, the single most expensive step of the shingle pipeline.
     """
+    docs = _spread_scan(docs.select(id_col, text_col), id_col)
     toks = F.split(F.trim(F.col(text_col)), r"[ \t\n\x0B\f\r]+")
     # guard: Spark's sequence(1, stop) DESCENDS when stop < 1 — short docs
     # must yield zero shingles, not bogus ones
