@@ -1313,16 +1313,18 @@ def _alive_rows_with_positions(spark, table_dir: str, prev: dict,
         ).select(
             *[F.col(c).alias(f"__eq_{c}") for c in keys]
         ).distinct()
-        cond = None
+        # ONE anti join with the sequence bound folded into the join
+        # condition (round 16, guide §2.4): the former filter-split +
+        # unionByName re-scanned the whole upstream lineage once per
+        # branch — 2^k scan branches over k stacked equality deletes.
+        # left_anti keeps exactly the rows with no (key-match AND
+        # dataseq < eq_seq) partner: rows at/above the delete's
+        # sequence can never match, so they survive — identical
+        # semantics, half the plan per delete.
+        cond = F.col("__dataseq") < F.lit(eq["sequence_number"])
         for c in keys:
-            clause = F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
-            cond = clause if cond is None else cond & clause
-        affected = rows.filter(
-            F.col("__dataseq") < eq["sequence_number"]
-        ).join(F.broadcast(eq_keys), cond, "left_anti")
-        rows = affected.unionByName(
-            rows.filter(F.col("__dataseq") >= eq["sequence_number"])
-        )
+            cond = cond & F.col(c).eqNullSafe(F.col(f"__eq_{c}"))
+        rows = rows.join(F.broadcast(eq_keys), cond, "left_anti")
     # rows dead via LIVE POSITION DELETES, under the sequence rule: a
     # prior delete row counts only against a data file it actually
     # applies to (dseq >= data_seq) — a rewritten file shrugs off old
