@@ -406,7 +406,16 @@ def build_training_corpus(
         sigs = minhash_signatures(
             survivors, "doc_id", "text", num_hashes=16, shingle_n=3
         )
-        cand = lsh_candidate_pairs(lsh_buckets(sigs, rows_per_band=2))
+        # materialize the bucket index once (round 16, guide §2.4): the
+        # candidate self-join consumes it on BOTH sides and the sides'
+        # subplans differ by alias, so ReuseExchange cannot kick in —
+        # without this the whole shingle→minhash→band pipeline executes
+        # twice inside one stage (the same discipline qcatalog/dedup.py
+        # applies by staging buckets to a table)
+        buckets = lsh_buckets(sigs, rows_per_band=2).localCheckpoint(
+            eager=True, storageLevel=CHECKPOINT_LEVEL
+        )
+        cand = lsh_candidate_pairs(buckets)
         return verify_candidate_pairs(
             survivors, cand, "doc_id", "text", n=3,
             threshold=split_jaccard_threshold,

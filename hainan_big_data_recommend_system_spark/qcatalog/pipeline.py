@@ -775,8 +775,15 @@ def q_corpus_pipeline_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     under the hash."""
     from ..catalog import load_table
     from ..corpus_pipeline import build_training_corpus, ingest_format_sources
+    from ..operators.dedup import _spread_scan
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the sf fixtures arrive as ONE file split, serializing every
+    # Python-heavy ingest leg on a core apiece (round 16, guide §2.6) —
+    # the conditional spread is a no-op on an already-parallel corpus
+    docs = _spread_scan(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+    )
     t = F.col("text")
     did = F.col("doc_id")
 
