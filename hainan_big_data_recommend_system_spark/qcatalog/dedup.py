@@ -652,12 +652,44 @@ def q_image_neardup_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance <= 10.  (image_a, image_b, hamming) pairs, a < b.  The
     bucket join is the MinHash-band discipline: work is proportional to
     the sum of squared band-bucket sizes, never the all-pairs cross."""
-    from ..operators.multimodal import generate_png_media
-    from ..operators.phash import phash_image_hashes, phash_neardup_pairs
+    import pandas as pd
+
+    from ..operators.multimodal import _spread, decode_any, make_png
+    from ..operators.phash import _to_i64, dhash64, phash_neardup_pairs
+    from ..session import CHECKPOINT_LEVEL
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    media = generate_png_media(docs, "doc_id", "text")
-    hashes = phash_image_hashes(media)
+
+    # ONE fused generate+decode+dHash pass (round 16, guide §4; the
+    # multimodal_meta fusion pattern): the former generate_png_media →
+    # phash_image_hashes chain shipped every PNG payload across the
+    # Arrow boundary twice — and, unchecked, the 2-kernel chain executed
+    # TWICE because the band self-join consumes the hash frame on both
+    # sides.  The kernel calls the same make_png/decode_any the media
+    # operators use (identical drop-on-undecodable semantics); the tiny
+    # (media_id, dhash) index is checkpointed once for the self-join.
+    def png_dhash(it):
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                did = int(did)
+                decoded = decode_any(
+                    make_png(1 + did % 29, 1 + did % 13,
+                             str(text).encode("utf-8"))
+                )
+                if decoded is None:
+                    continue
+                w, h, c, px = decoded
+                rows.append({
+                    "media_id": did,
+                    "dhash": _to_i64(dhash64(px, w, h, c)),
+                })
+            if rows:
+                yield pd.DataFrame(rows)
+
+    hashes = _spread(docs).mapInPandas(
+        png_dhash, "media_id long, dhash long"
+    ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
     return phash_neardup_pairs(hashes, "dhash", "media_id", bands=8, max_hamming=10).select(
         F.col("image_a"), F.col("image_b"), F.col("hamming")
     )
