@@ -51,6 +51,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from ..session import CHECKPOINT_LEVEL
+
 
 def tokenize_distinct(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """``(doc_id, token)`` distinct pairs — lowercase whitespace tokens."""
@@ -144,7 +146,14 @@ def prefix_filter_pairs(
     """
     if not 0 < threshold_micros <= 1_000_000:
         raise ValueError("threshold_micros must be in (0, 1e6]")
-    toks = tokenize_distinct(docs, id_col, text_col)
+    # materialize the token relation once (round 16, guide §2.4): the
+    # df-count, prefix, exact-signature and BOTH verification sides all
+    # consume it — without this the explode+distinct shuffle re-executes
+    # per reference (the subplans differ by alias, so ReuseExchange
+    # cannot kick in).  Narrow (doc_id, token) rows; serialized blocks.
+    toks = tokenize_distinct(docs, id_col, text_col).localCheckpoint(
+        eager=True, storageLevel=CHECKPOINT_LEVEL
+    )
 
     if not collapse_exact:
         pairs = _verified_pairs(toks, threshold_micros)
@@ -157,10 +166,12 @@ def prefix_filter_pairs(
             ).alias("__sig"),
             F.count("*").alias("__n"),
         )
+        # one row per doc, consumed by the rep semi-join, intra pairs
+        # (twice) and inter expansion (twice) — same reuse argument
         members = sig.join(
             sig.groupBy("__sig").agg(F.min("doc_id").alias("__rep")),
             "__sig",
-        )
+        ).localCheckpoint(eager=True, storageLevel=CHECKPOINT_LEVEL)
         rep_toks = toks.join(
             members.where(F.col("doc_id") == F.col("__rep")).select(
                 "doc_id"
